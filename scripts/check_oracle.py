@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Dev-side mirror of the driver's t2 correctness gate (NOT library code —
+the engine itself is pure Scala/Spark; this script only exists so oracle
+mismatches surface before the driver runs).
+
+Usage:
+  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+  python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import duckdb, glob, json, sys
+
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main() -> int:
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(oracle):
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            failures += 1
+            continue
+        try:
+            spark_df = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            ora_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        a, b = norm(spark_df), norm(ora_df)
+        problems = []
+        if list(a.columns) != list(b.columns):
+            problems.append(f"columns {list(a.columns)} vs {list(b.columns)}")
+        elif a.shape != b.shape:
+            problems.append(f"shape {a.shape} vs {b.shape}")
+        else:
+            for c in a.columns:
+                av, bv = a[c], b[c]
+                if np.issubdtype(av.dtype, np.number) and np.issubdtype(bv.dtype, np.number):
+                    av, bv = av.astype(float).values, bv.astype(float).values
+                    both_nan = np.isnan(av) & np.isnan(bv)
+                    diff = np.where(both_nan, 0.0, np.abs(av - bv))
+                    bad = ~(both_nan | np.isclose(av, bv, rtol=1e-12, atol=1e-12))
+                    if bad.any():
+                        problems.append(
+                            f"col {c}: {bad.sum()} cells differ, max |Δ|={np.nanmax(diff):.3g}")
+                else:
+                    bad = av.astype(str).values != bv.astype(str).values
+                    if bad.any():
+                        i = int(np.argmax(bad))
+                        problems.append(f"col {c}: {bad.sum()} cells differ, e.g. "
+                                        f"{av.iloc[i]!r} vs {bv.iloc[i]!r}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            exact = "exact" if a.equals(b) else "tolerance"
+            print(f"PASS {name} rows={len(a)} ({exact})")
+    print(f"{len(oracle) - failures}/{len(oracle)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
