@@ -17,7 +17,7 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's raison d'être: impute missing values in a table. */
   def entry(spark: SparkSession): DataFrame =
-    ImputeQueries.queries("impute_customer_acctbal")(spark, "/root/testdata/sf0.001")
+    ImputeQueries.rbmClean(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -40,14 +40,25 @@ object Noise {
         .otherwise(col(valueCol)))
 
   // ---- SQL string builders so oracle queries use the exact same math ----
+  // Literals carry an `e0` exponent: DuckDB parses bare decimal literals
+  // as DECIMAL and would evaluate the whole argument in exact decimal
+  // arithmetic — up to 1 ulp away from Spark's double arithmetic, which
+  // sin() then amplifies into visible drift. `12.9898e0` forces DOUBLE.
+
+  /** Renders a Double as a DuckDB DOUBLE literal (plain decimal form +
+    * e0 exponent so it can never be mistaken for DECIMAL). */
+  def sqlDouble(v: Double): String = {
+    require(!v.isNaN && !v.isInfinite, s"non-finite literal $v")
+    java.math.BigDecimal.valueOf(v).toPlainString + "e0"
+  }
 
   /** DuckDB-compatible SQL for hashNoise(key, salt). */
   def sqlNoise(keyExpr: String, salt: Int): String = {
-    val x = s"sin($keyExpr * 12.9898 + $salt.0 * 78.233) * 43758.5453"
+    val x = s"sin($keyExpr * 12.9898e0 + ${salt}e0 * 78.233e0) * 43758.5453e0"
     s"(($x) - floor($x))"
   }
 
   /** DuckDB-compatible SQL for missingMask(key, salt, frac). */
   def sqlMissing(keyExpr: String, salt: Int, frac: Double): String =
-    s"(${sqlNoise(keyExpr, salt)} < $frac)"
+    s"(${sqlNoise(keyExpr, salt)} < ${sqlDouble(frac)})"
 }

@@ -1,0 +1,163 @@
+package graft.ml
+
+import breeze.linalg.DenseMatrix
+import graft.impute.{ColumnLayout, Encoding, ImputeSpec}
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StructType}
+
+/** MLlib-style `Estimator`/`Model` pair for RBM-based missing-value
+  * imputation — the Spark-native re-expression of the reference's
+  * `clean()` API (upstream: boltzmannclean.py; SURVEY.md §3.1):
+  * `new RbmImputer().setNumericCols(...).setCategoricalCols(...)
+  * .fit(df).transform(df)` returns `df` with nulls/NaNs in the declared
+  * columns replaced, all other cells and columns untouched.
+  *
+  * Execution shape (designed for the 1000-executor case):
+  *  - `fit`: two light metadata passes (min/max agg; per-categorical
+  *    top-K distinct) + one bounded `collect` of an encoded sample
+  *    (`sampleLimit` rows — the RBM is a few-thousand-parameter model;
+  *    a bounded uniform sample is statistically faithful at any SF),
+  *    then driver-local Breeze CD-1 training. Nothing quadratic in
+  *    cluster size; sample never exceeds `sampleLimit` rows regardless
+  *    of input scale.
+  *  - `transform`: weights broadcast once; reconstruction is a
+  *    shuffle-free `mapPartitions` doing one batched Breeze GEMM per
+  *    1024-row block; encode/merge/decode are Column projections inside
+  *    whole-stage codegen.
+  */
+class RbmImputer(override val uid: String) extends Estimator[RbmImputerModel] {
+
+  def this() = this(Identifiable.randomUID("rbmImputer"))
+
+  final val numericCols = new StringArrayParam(this, "numericCols",
+    "numeric columns to impute (min-max scaled into [0,1])")
+  final val categoricalCols = new StringArrayParam(this, "categoricalCols",
+    "categorical columns to impute (one-hot encoded)")
+  final val keyCol = new Param[String](this, "keyCol",
+    "numeric key column driving deterministic noise fill")
+  final val nHidden = new IntParam(this, "nHidden", "hidden units", ParamValidators.gt(0))
+  final val learnRate = new DoubleParam(this, "learnRate", "learning rate", ParamValidators.gt(0))
+  final val batchSize = new IntParam(this, "batchSize", "minibatch size", ParamValidators.gt(0))
+  final val dropoutFraction = new DoubleParam(this, "dropoutFraction",
+    "hidden-unit dropout probability", ParamValidators.inRange(0, 1))
+  final val maxEpochs = new IntParam(this, "maxEpochs", "max training epochs", ParamValidators.gt(0))
+  final val adagrad = new BooleanParam(this, "adagrad", "use AdaGrad updates")
+  final val seed = new LongParam(this, "seed", "rng seed")
+  final val sampleLimit = new IntParam(this, "sampleLimit",
+    "max rows collected for driver-local training", ParamValidators.gt(0))
+  final val maxCardinality = new IntParam(this, "maxCardinality",
+    "one-hot width cap per categorical column", ParamValidators.gt(0))
+
+  setDefault(numericCols -> Array.empty[String], categoricalCols -> Array.empty[String],
+    nHidden -> 16, learnRate -> 0.1, batchSize -> 64, dropoutFraction -> 0.5,
+    maxEpochs -> 30, adagrad -> true, seed -> 42L, sampleLimit -> 100000,
+    maxCardinality -> 10000)
+
+  def setNumericCols(v: Seq[String]): this.type = set(numericCols, v.toArray)
+  def setCategoricalCols(v: Seq[String]): this.type = set(categoricalCols, v.toArray)
+  def setKeyCol(v: String): this.type = set(keyCol, v)
+  def setNHidden(v: Int): this.type = set(nHidden, v)
+  def setLearnRate(v: Double): this.type = set(learnRate, v)
+  def setBatchSize(v: Int): this.type = set(batchSize, v)
+  def setDropoutFraction(v: Double): this.type = set(dropoutFraction, v)
+  def setMaxEpochs(v: Int): this.type = set(maxEpochs, v)
+  def setAdagrad(v: Boolean): this.type = set(adagrad, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+  def setSampleLimit(v: Int): this.type = set(sampleLimit, v)
+  def setMaxCardinality(v: Int): this.type = set(maxCardinality, v)
+
+  def spec: ImputeSpec =
+    ImputeSpec($(numericCols).toSeq, $(categoricalCols).toSeq, $(maxCardinality))
+
+  def rbmConfig: RbmCore.Config = RbmCore.Config(
+    nHidden = $(nHidden), learnRate = $(learnRate), batchSize = $(batchSize),
+    dropout = $(dropoutFraction), maxEpochs = $(maxEpochs), adagrad = $(adagrad),
+    seed = $(seed))
+
+  override def fit(ds: Dataset[_]): RbmImputerModel = {
+    val df = ds.toDF()
+    val layout = Encoding.fitLayout(df, spec)
+    val encoded = Encoding.encode(df, layout, $(keyCol))
+      .select(Encoding.VCol, Encoding.KnownCol)
+    // Bounded uniform sample for driver-local training. count() is a
+    // cheap metadata-ish pass; the sample fraction is padded 10% then
+    // truncated so the collect stays <= sampleLimit rows at any SF.
+    val n = df.count()
+    val lim = $(sampleLimit)
+    val sampled =
+      if (n <= lim) encoded
+      else encoded.sample(withReplacement = false,
+        math.min(1.0, lim.toDouble * 1.1 / n), $(seed)).limit(lim)
+    val rows = sampled.collect()
+    val m = rows.length
+    val x = DenseMatrix.zeros[Double](m, layout.width)
+    val known = DenseMatrix.fill[Boolean](m, layout.width)(true)
+    var i = 0
+    while (i < m) {
+      val v = rows(i).getSeq[Double](0)
+      val k = rows(i).getSeq[Boolean](1)
+      var j = 0
+      while (j < layout.width) { x(i, j) = v(j); j += 1 }
+      // expand per-source-column known flags to per-unit flags
+      var s = 0
+      while (s < layout.numerics.size) { known(i, s) = k(s); s += 1 }
+      var g = 0
+      while (g < layout.categoricals.size) {
+        val (start, len) = layout.catSlice(g)
+        var u = 0
+        while (u < len) { known(i, start + u) = k(layout.numerics.size + g); u += 1 }
+        g += 1
+      }
+      i += 1
+    }
+    val result = RbmCore.fit(x, known, rbmConfig)
+    val model = new RbmImputerModel(uid, layout, result.weights, result.epochErrors)
+    model.setParent(this)
+    copyValues(model)
+  }
+
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): RbmImputer = defaultCopy(extra)
+}
+
+class RbmImputerModel(
+    override val uid: String,
+    val layout: ColumnLayout,
+    val weights: RbmWeights,
+    val epochErrors: Seq[Double]) extends Model[RbmImputerModel] {
+
+  /** Key column is inherited from the estimator via copyValues. */
+  final val keyCol = new Param[String](this, "keyCol",
+    "numeric key column driving deterministic noise fill")
+  def setKeyCol(v: String): this.type = set(keyCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val originalColumns = df.schema.fieldNames.toSeq
+    val encoded = Encoding.encode(df, layout, $(keyCol))
+    val outSchema = encoded.schema.add(Encoding.ReconCol, ArrayType(DoubleType, false))
+    val bc = df.sparkSession.sparkContext.broadcast(weights)
+    val vIdx = encoded.schema.fieldIndex(Encoding.VCol)
+    val width = layout.width
+    val reconDf = encoded.mapPartitions { it: Iterator[Row] =>
+      it.grouped(1024).flatMap { batch =>
+        val v = DenseMatrix.tabulate(batch.size, width)(
+          (r, c) => batch(r).getSeq[Double](vIdx)(c))
+        val recon = RbmCore.reconstruct(bc.value, v)
+        batch.iterator.zipWithIndex.map { case (row, r) =>
+          Row.fromSeq(row.toSeq :+ (0 until width).map(recon(r, _)))
+        }
+      }
+    }(Encoders.row(outSchema))
+    Encoding.decode(reconDf, layout, originalColumns)
+  }
+
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): RbmImputerModel = {
+    val copied = new RbmImputerModel(uid, layout, weights, epochErrors)
+    copyValues(copied, extra).setParent(parent)
+  }
+}

@@ -1,12 +1,18 @@
 package graft.queries
 
 import graft.Tables
-import graft.impute.MeanImpute
+import graft.functions.Noise
+import graft.impute.{MeanImpute, RbmFixture}
+import graft.ml.RbmImputer
+import org.apache.spark.sql.functions.col
 
 /** Driver-contract queries for the imputation pipeline (SURVEY §2-A).
   * M1: deterministic mean-impute slice (full `clean()` dataflow shape
   * with the model stage swapped for the known-cell mean). M2 adds the
-  * RBM-backed variants (non-oracle, invariant-tested).
+  * RBM: `impute_customer_rbm_fixture` puts the deterministic transform
+  * tail (A5–A15) under the DuckDB oracle via fixture weights (SURVEY
+  * §5.4); `impute_customer_rbm` is the full self-trained Estimator/
+  * Model pipeline (stochastic → rows-only check + ScalaTest invariants).
   */
 object ImputeQueries extends Registry {
 
@@ -15,11 +21,28 @@ object ImputeQueries extends Registry {
   private val supplierCols =
     Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
 
+  /** The reference `clean()` equivalent: inject missingness into one
+    * numeric + one categorical column, fit the RBM, impute. */
+  def rbmClean: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+    val withMissing = Noise.injectMissing(
+      Noise.injectMissing(base, "c_acctbal", "c_custkey", salt = 21, frac = 0.10),
+      "c_mktsegment", "c_custkey", salt = 22, frac = 0.10)
+    val imputer = new RbmImputer()
+      .setNumericCols(Seq("c_acctbal"))
+      .setCategoricalCols(Seq("c_mktsegment"))
+      .setKeyCol("c_custkey")
+      .setNHidden(8).setMaxEpochs(15).setBatchSize(32).setLearnRate(0.2)
+    imputer.fit(withMissing).transform(withMissing)
+  }
+
   val queries: Map[String, Q] = Map(
     "impute_customer_acctbal" -> ((s, d) =>
       MeanImpute.imputeNumeric(Tables.customer(s, d), "c_acctbal", "c_custkey", salt = 1)),
     "impute_supplier_acctbal" -> ((s, d) =>
       MeanImpute.imputeNumeric(Tables.supplier(s, d), "s_acctbal", "s_suppkey", salt = 2)),
+    "impute_customer_rbm_fixture" -> ((s, d) => RbmFixture.query(s, d)),
+    "impute_customer_rbm" -> rbmClean,
   )
 
   val oracle: Map[String, String] = Map(
@@ -27,5 +50,7 @@ object ImputeQueries extends Registry {
       MeanImpute.oracleSql("customer", customerCols, "c_acctbal", "c_custkey", salt = 1),
     "impute_supplier_acctbal" ->
       MeanImpute.oracleSql("supplier", supplierCols, "s_acctbal", "s_suppkey", salt = 2),
+    "impute_customer_rbm_fixture" -> RbmFixture.oracleSql,
+    // impute_customer_rbm: stochastic training — no SQL oracle by design
   )
 }
