@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational substrate queries (SURVEY §2-B): the star-schema query
@@ -40,6 +41,100 @@ object RelationalQueries extends Registry {
         .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
                 col("l_discount") > lit(0.05))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+    // B3: the 5-way star join (TPC-H Q5 shape). The four dimension
+    // tables are tiny → Catalyst broadcasts them; only lineitem⋈orders
+    // shuffles, on the join key. Revenue per nation.
+    "b3_star_join_revenue" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount").cast("decimal(4,2)"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"),
+             count(lit(1)).as("line_count"))
+    }),
+    // B4: semi + anti join — customers who ordered in H1/1998 vs never.
+    "b4_semi_join" -> ((s, d) => {
+      val o98 = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      Tables.customer(s, d)
+        .join(o98, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+    "b4_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+    // B6: distinct counting per group (exact; HLL variant is non-oracle).
+    "b6_distinct_parts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+             countDistinct(col("l_suppkey")).as("distinct_supps"))),
+    // B7: rollup with grouping-set indicators.
+    "b7_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("cnt"),
+             grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))),
+    // B8: window functions — running revenue + order rank per customer.
+    // Frame order is made total with the unique o_orderkey tie-break so
+    // both engines accumulate in the same sequence.
+    "b8_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("order_rank", row_number().over(w).cast("bigint"))
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(12,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("prev_price",
+          lag(col("o_totalprice"), 1).over(w))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+          "order_rank", "running_spend", "prev_price")
+    }),
+    // B9: global top-k with total tie-broken order → TakeOrderedAndProject.
+    "b9_topk_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+    // B10: set ops over key sets from two predicates.
+    "b10_set_ops" -> ((s, d) => {
+      val auto = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+      val rich = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 8000).select("c_custkey")
+      auto.union(rich).distinct()
+        .exceptAll(auto.intersect(rich))
+        .select(col("c_custkey"))
+    }),
+    // B11: scalar function surface — strings + JSON over events.props.
+    "b11_scalar_functions" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k_value", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("etype_upper", upper(col("event_type")))
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+        .filter(col("k_value").isNotNull)
+        .groupBy(col("etype_upper"), col("user_bucket"))
+        .agg(sum(col("k_value")).as("k_sum"),
+             round(avg(col("k_value")), 6).as("k_avg"),
+             count(lit(1)).as("n"))),
+    // B12: event-time tumbling windows over the events stream table —
+    // batch form of the Structured Streaming aggregation (C9 mirrors it).
+    "b12_event_time_windows" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+             countDistinct(col("user_id")).as("unique_users"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -60,5 +155,69 @@ object RelationalQueries extends Registry {
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND l_discount > 0.05""",
+    "b3_star_join_revenue" -> """
+      SELECT r_name, n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        count(*) AS line_count
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY r_name, n_name""",
+    "b4_semi_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1998-01-01')""",
+    "b4_anti_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "b6_distinct_parts" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS distinct_parts,
+             count(DISTINCT l_suppkey) AS distinct_supps
+      FROM lineitem GROUP BY l_returnflag""",
+    "b7_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty, count(*) AS cnt,
+             GROUPING(l_returnflag, l_linestatus) AS gid
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "b8_window_running" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        row_number() OVER w AS order_rank,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+             OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        lag(o_totalprice, 1) OVER w AS prev_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "b9_topk_orders" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
+    "b10_set_ops" -> """
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+       UNION
+       SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+      EXCEPT ALL
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+       INTERSECT
+       SELECT c_custkey FROM customer WHERE c_acctbal > 8000)""",
+    "b11_scalar_functions" -> """
+      SELECT upper(event_type) AS etype_upper,
+             user_id % 10 AS user_bucket,
+             CAST(sum(k_value) AS BIGINT) AS k_sum,
+             round(avg(k_value), 6) AS k_avg,
+             count(*) AS n
+      FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+            FROM events)
+      WHERE k_value IS NOT NULL
+      GROUP BY 1, 2""",
+    "b12_event_time_windows" -> """
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+             count(DISTINCT user_id) AS unique_users
+      FROM events GROUP BY 1, 2""",
   )
 }
