@@ -12,6 +12,10 @@ object SparkEntry {
   private val registries: Seq[Registry] = Seq(
     ImputeQueries,
     RelationalQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
+    MultimodalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,32 @@
+package graft.dedup
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication (C1) — the workhorse of LLM corpus cleaning.
+  * Normalized-content fingerprint (md5 over whitespace-normalized
+  * lowercase text) → one shuffle keyed on the fingerprint → keep the
+  * smallest id per group. Linear, one shuffle, no skew issues beyond
+  * AQE's reach: exactly the shape that survives 100 TB.
+  */
+object Dedup {
+
+  /** Adds the content fingerprint used as the dedup key. */
+  def withFingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", TextFunctions.contentFingerprint(col(textCol)))
+
+  /** One row per distinct content, keeping the smallest `idCol`. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = withFingerprint(df, textCol)
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+    df.join(keep, idCol)
+  }
+
+  /** Per-fingerprint group sizes — the dup-ratio diagnostic. */
+  def groupSizes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withFingerprint(df, textCol)
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+}

@@ -1,0 +1,156 @@
+package graft.dedup
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection via MinHash + LSH banding (C2), the
+  * standard web-corpus dedup pipeline: word-shingle → 64-bit shingle
+  * hash → k permutation-min signatures → band buckets → candidate
+  * pairs → (optional) exact Jaccard confirm → connected components →
+  * keep one doc per cluster.
+  *
+  * Scale shape: signatures are computed in ONE pass over the shingle
+  * array with a single `aggregate` expression (no UDF, stays in
+  * codegen). Banding explodes each doc into `bands` rows — a constant
+  * factor — and candidate generation is a self-join *within buckets
+  * only*. At 100 TB the bucket join is the only quadratic risk; the
+  * bucket-size cap below drops degenerate buckets (boilerplate shingles)
+  * exactly as production pipelines do.
+  */
+object MinHashDedup {
+
+  // 2^31 - 1 (Mersenne): with a,b,h < p, a*h + b < 2^62 stays inside
+  // long range, so the permutation math never overflows under ANSI.
+  private val Prime = 2147483647L
+
+  /** Deterministic permutation parameters (seeded). */
+  private def params(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val rng = new scala.util.Random(seed)
+    def pos(): Long = math.abs(rng.nextLong()) % (Prime - 1) + 1
+    (Seq.fill(k)(pos()), Seq.fill(k)(pos()))
+  }
+
+  /** k-wide MinHash signature of a text column, one aggregate pass. */
+  def signature(text: Column, numHashes: Int, shingleSize: Int,
+                seed: Long = 42L): Column = {
+    val (a, b) = params(numHashes, seed)
+    val hashes = transform(TextFunctions.shingles(text, shingleSize),
+      s => pmod(xxhash64(s), lit(Prime)))
+    val aArr = array(a.map(lit): _*)
+    val bArr = array(b.map(lit): _*)
+    val idx = sequence(lit(0), lit(numHashes - 1))
+    val init = array_repeat(lit(Long.MaxValue), numHashes)
+    aggregate(hashes, init, (acc, h) =>
+      zip_with(acc, idx, (m, i) =>
+        least(m, pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(Prime)))))
+  }
+
+  /** Candidate near-dup pairs (idA < idB) from LSH banding. Buckets
+    * larger than `maxBucket` are dropped (degenerate/boilerplate). */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+                     maxBucket: Int = 64, seed: Long = 42L): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+    val sig = signature(col(textCol), numHashes, shingleSize, seed)
+    val banded = df.select(col(idCol).as("doc"), sig.as("sig"))
+      .select(col("doc"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", lit("band"), b,
+          concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))))
+      .toDF("doc", "band", "bucket")
+    val small = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucket))
+    // pairs within bucket, deduped across bands
+    small.select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+
+  /** Jaccard from two precomputed distinct-shingle arrays. Sizes are
+    * ints, so any expression arrangement yields identical doubles. */
+  def jaccardFromShingles(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    val uni = size(sa) + size(sb) - inter
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** Exact word-shingle Jaccard similarity for a pair of texts. */
+  def jaccard(textA: Column, textB: Column, shingleSize: Int): Column =
+    jaccardFromShingles(
+      array_distinct(TextFunctions.shingles(textA, shingleSize)),
+      array_distinct(TextFunctions.shingles(textB, shingleSize)))
+
+  /** Candidate pairs confirmed by exact Jaccard ≥ threshold. Shingle
+    * sets are materialized per DOC before the pair join — shingling per
+    * PAIR would multiply the tokenization cost by the candidate count
+    * (measured 5× on the bench corpus). */
+  def confirmedPairs(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, numHashes: Int = 32, bands: Int = 8,
+                     shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    val pairs = candidatePairs(df, idCol, textCol, numHashes, bands, shingleSize,
+      seed = seed)
+    val sh = df.select(col(idCol),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
+    pairs
+      .join(sh.select(col(idCol).as("a"), col("__sh").as("__sha")), "a")
+      .join(sh.select(col(idCol).as("b"), col("__sh").as("__shb")), "b")
+      .withColumn("jaccard", jaccardFromShingles(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Connected components over an (a,b) edge list by iterative min-label
+    * propagation — the GraphX-free formulation that is just joins and
+    * aggregations, so it scales like any shuffle and needs no extra
+    * dependency. Converges in O(diameter) rounds; near-dup clusters are
+    * short chains, so `maxIter` 10 is generous.
+    * Returns (id, component) where component = min id in the cluster. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint after every round: iterative self-joins double the
+    // logical plan per iteration, and Catalyst re-analyzes the WHOLE
+    // lineage each round (cache doesn't truncate it) — without the
+    // checkpoint, planning time explodes exponentially with maxIter.
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborMin = sym
+        .join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("id2"))
+        .agg(min(col("component")).as("nbr_component"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = updated.as("u").join(labels.as("l"), "id")
+        .filter(col("u.component") =!= col("l.component")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup removal: keep one doc per confirmed cluster
+    * plus all unclustered docs. */
+  def dedup(df: DataFrame, idCol: String, textCol: String,
+            threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+            shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    val comps = connectedComponents(confirmedPairs(df, idCol, textCol, threshold,
+      numHashes, bands, shingleSize, seed))
+    val keepers = comps.groupBy(col("component")).agg(min(col("id")).as("__keep"))
+      .select(col("__keep"))
+    val clustered = comps.select(col("id"))
+    df.join(clustered, df(idCol) === clustered("id"), "left_anti")
+      .union(df.join(keepers, df(idCol) === keepers("__keep"), "left_semi"))
+  }
+}

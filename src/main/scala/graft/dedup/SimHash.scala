@@ -1,0 +1,62 @@
+package graft.dedup
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-dup fingerprints: every token votes its 64 hash bits
+  * (+1/−1), the sign vector becomes a 64-bit fingerprint, and near-dups
+  * are fingerprints within a small Hamming distance. Complementary to
+  * MinHash: O(1) space per doc and pair-testable with one xor.
+  *
+  * Implementation stays UDF-free: one `aggregate` over the token array
+  * folds all 64 bit-votes into an array<long>; candidate blocking uses
+  * the standard 4×16-bit chunk trick (Hamming ≤ 3 ⇒ at least one chunk
+  * equal), so the self-join is per-chunk-bucket, never all-pairs.
+  */
+object SimHash {
+
+  /** Column-arg bit shifts (the Scala wrappers only take Int amounts). */
+  private def shr(x: Column, n: Column): Column = call_function("shiftright", x, n)
+  private def shl(x: Column, n: Column): Column = call_function("shiftleft", x, n)
+
+  /** 64-bit SimHash fingerprint of a text column (as a signed long). */
+  def fingerprint(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val bitIdx = sequence(lit(0), lit(63))
+    val votes = aggregate(toks, array_repeat(lit(0L), 64), (acc, t) => {
+      val h = xxhash64(t)
+      zip_with(acc, bitIdx, (v, i) =>
+        v + when(shr(h, i.cast("int")).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+    })
+    aggregate(
+      zip_with(votes, bitIdx, (v, i) =>
+        when(v > 0, shl(lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Pairs (a,b) with Hamming distance ≤ maxDistance, blocked on equal
+    * 16-bit chunks so only docs sharing a chunk are compared. */
+  def nearPairs(df: DataFrame, idCol: String, textCol: String,
+                maxDistance: Int = 3): DataFrame = {
+    val fps = df.select(col(idCol).as("doc"), fingerprint(col(textCol)).as("fp"))
+    val chunked = fps.select(col("doc"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => shr(col("fp"), (i * 16).cast("int")).bitwiseAND(lit(0xFFFFL)))))
+      .toDF("doc", "fp", "chunk_idx", "chunk")
+    val l = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc").as("a"), col("fp").as("fpa"))
+    val r = chunked.select(col("chunk_idx").as("ci2"), col("chunk").as("c2"),
+      col("doc").as("b"), col("fp").as("fpb"))
+    l.join(r, l("chunk_idx") === r("ci2") && l("chunk") === r("c2") &&
+        l("a") < r("b"))
+      .withColumn("hamming", hamming(col("fpa"), col("fpb")))
+      .filter(col("hamming") <= maxDistance)
+      .select("a", "b", "hamming")
+      .distinct()
+  }
+}

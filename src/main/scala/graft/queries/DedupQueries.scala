@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.{Dedup, MinHashDedup, SimHash}
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries (C1/C2). Exact dedup and the sampled n-gram
+  * Jaccard self-join are deterministic → DuckDB oracles. MinHash and
+  * SimHash pipelines hinge on xxhash64 (no DuckDB equivalent) → rows
+  * checked by the driver, semantics by ScalaTest invariants.
+  */
+object DedupQueries extends Registry {
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  val queries: Map[String, Q] = Map(
+    // C1: exact dedup — keep the min-id doc per normalized content.
+    "c1_exact_dedup" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .select(docCols.map(col): _*)),
+    "c1_dup_stats" -> ((s, d) =>
+      Dedup.groupSizes(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("n_copies") > 1)),
+    // C2 (oracle-able slice): exact 3-gram Jaccard over a contiguous id
+    // range (the generator plants near-dups at adjacent ids), all pairs.
+    // The corpus's planted near-dups are token-shuffled (token-set
+    // jaccard ≥ 0.8, 3-gram jaccard ≈ 0) → unigram shingles throughout.
+    "c2_ngram_jaccard" -> ((s, d) => {
+      val sample = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), array_distinct(
+          graft.text.TextFunctions.shingles(col("text"), 1)).as("__sh"))
+      val l = sample.select(col("doc_id").as("a"), col("__sh").as("__sha"))
+      val r = sample.select(col("doc_id").as("b"), col("__sh").as("__shb"))
+      l.join(r, col("a") < col("b"))
+        .withColumn("jaccard",
+          MinHashDedup.jaccardFromShingles(col("__sha"), col("__shb")))
+        .filter(col("jaccard") >= 0.6)
+        .select("a", "b", "jaccard")
+    }),
+    // C2: MinHash LSH near-dup pairs confirmed by exact Jaccard.
+    "c2_minhash_pairs" -> ((s, d) =>
+      MinHashDedup.confirmedPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.7, shingleSize = 1)
+        .orderBy(col("a"), col("b"))),
+    // C2: full near-dup removal (LSH → components → keep one per cluster).
+    "c2_minhash_dedup" -> ((s, d) =>
+      MinHashDedup.dedup(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.7, shingleSize = 1)
+        .select(docCols.map(col): _*)),
+    // C2: SimHash fingerprints + near pairs at Hamming ≤ 6.
+    "c2_simhash_pairs" -> ((s, d) =>
+      SimHash.nearPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 6)
+        .orderBy(col("a"), col("b"))),
+  )
+
+  private def toks = TextQueries.sqlToks("text")
+
+  val oracle: Map[String, String] = Map(
+    "c1_exact_dedup" -> s"""
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id IN (
+        SELECT min(doc_id) FROM documents
+        GROUP BY md5(array_to_string($toks, ' ')))""",
+    "c1_dup_stats" -> s"""
+      SELECT md5(array_to_string($toks, ' ')) AS fingerprint,
+             count(*) AS n_copies, min(doc_id) AS keeper_id
+      FROM documents
+      GROUP BY 1 HAVING count(*) > 1""",
+    "c2_ngram_jaccard" -> {
+      val sh = TextQueries.sqlShingles("toks", 1)
+      s"""
+      WITH s AS (
+        SELECT doc_id, list_distinct($sh) AS sh
+        FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id < 100)
+      ), j AS (
+        SELECT l.doc_id AS a, r.doc_id AS b,
+          CASE WHEN len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) = 0 THEN 0.0e0
+               ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                    / CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+          END AS jaccard
+        FROM s l JOIN s r ON l.doc_id < r.doc_id)
+      SELECT a, b, jaccard FROM j WHERE jaccard >= 0.6e0"""
+    },
+    // c2_minhash_pairs / c2_minhash_dedup / c2_simhash_pairs: xxhash64-
+    // based — no engine-portable SQL; covered by ScalaTest invariants.
+  )
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.Tables
+import graft.similarity.Cosine
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search queries (C3/C4) over `embeddings`
+  * (64-d float vectors). Exact variants carry DuckDB oracles
+  * (list_dot_product); the LSH/ANN path is recall-tested in ScalaTest.
+  */
+object SimilarityQueries extends Registry {
+
+  val queries: Map[String, Q] = Map(
+    // C4: query-vector → table top-k (the retrieval primitive).
+    "c4_cosine_topk" -> ((s, d) =>
+      Cosine.topK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 1L, k = 20)),
+    // C3: all-pairs top-k within label buckets over a deterministic
+    // sample — the oracle-able exact slice of the self-join.
+    "c3_cosine_selfjoin" -> ((s, d) =>
+      Cosine.selfJoinTopK(
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 0),
+        "vec_id", "embedding", "label", k = 3)),
+    // C3 at scale: LSH-bucketed approximate neighbors over the full
+    // table (recall vs exact tested in ScalaTest; driver rows-check).
+    "c3_ann_topk" -> ((s, d) =>
+      Cosine.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, k = 3)),
+  )
+
+  /** Shared cosine SQL: round(dot/(|a||b|), 6) with zero-denominator
+    * guard, mirroring Cosine.cosine's expression shape. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+       |  THEN 0.0e0
+       |  ELSE list_dot_product($a, $b)
+       |       / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+       |  END, 6)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "c4_cosine_topk" -> s"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1),
+      scored AS (
+        SELECT vec_id, ${cosSql("embedding::DOUBLE[]", "qv")} AS score
+        FROM embeddings, q WHERE vec_id != 1)
+      SELECT vec_id, score FROM scored
+      ORDER BY score DESC, vec_id ASC LIMIT 20""",
+    "c3_cosine_selfjoin" -> s"""
+      WITH s AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE vec_id % 10 = 0),
+      scored AS (
+        SELECT l.vec_id AS a, r.vec_id AS b, ${cosSql("l.v", "r.v")} AS score
+        FROM s l JOIN s r ON l.label = r.label AND l.vec_id != r.vec_id),
+      ranked AS (
+        SELECT a, b, score,
+          row_number() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS rank
+        FROM scored)
+      SELECT a, b, score, rank FROM ranked WHERE rank <= 3""",
+    // c3_ann_topk: hyperplane constants impractical to embed portably —
+    // recall tested against the exact baseline in CosineSpec.
+  )
+}

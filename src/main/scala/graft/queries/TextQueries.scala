@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries (C5/C7) over `documents`, with DuckDB oracles
+  * that mirror the tokenization/arithmetic expression-for-expression.
+  * Ratios are exact integer divisions (bit-identical across engines);
+  * only cross-row averages get a 6-dp round to absorb sum-order noise.
+  */
+object TextQueries extends Registry {
+
+  /** DuckDB fragment: whitespace tokens of lowercased text. */
+  private[queries] def sqlToks(text: String): String =
+    s"list_filter(string_split_regex(lower($text), '\\s+'), x -> len(x) > 0)"
+
+  /** DuckDB fragment: word n-gram shingles (mirrors TextFunctions.shingles). */
+  private[queries] def sqlShingles(toks: String, n: Int): String =
+    s"""CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')]
+       | ELSE list_transform(range(0, len($toks) - $n + 1),
+       |        i -> array_to_string(($toks)[i+1:i+$n], ' ')) END""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // C5: corpus statistics per (lang, source).
+    "c5_text_stats" -> ((s, d) => {
+      val text = col("text")
+      val toks = TextFunctions.tokens(text)
+      val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+      Tables.documents(s, d)
+        .withColumn("__wc", TextFunctions.wordCount(text))
+        .withColumn("__tokchars", tokChars)
+        .withColumn("__dr", TextFunctions.distinctTokenRatio(text))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__wc")).as("total_words"),
+          sum(length(text).cast("bigint")).as("total_chars"),
+          (sum(col("__tokchars")).cast("double") / sum(col("__wc")).cast("double"))
+            .as("mean_word_len"),
+          round(avg(col("__dr")), 6).as("mean_distinct_ratio"))
+    }),
+    // C5: heuristic language ID — stopword-lexicon argmax per doc.
+    "c5_lang_id" -> ((s, d) => {
+      val text = col("text")
+      val langs = TextFunctions.stopwords.keys.toSeq.sorted
+      val base = Tables.documents(s, d).select(col("doc_id"), text, col("lang"))
+      val withScores = langs.foldLeft(base) { (df, l) =>
+        df.withColumn(s"ratio_$l", TextFunctions.stopwordRatio(text, l))
+      }
+      withScores
+        .withColumn("lang_pred", TextFunctions.langId(text))
+        .select(Seq(col("doc_id"), col("lang"), col("lang_pred")) ++
+          langs.map(l => col(s"ratio_$l")): _*)
+    }),
+    // C7: quality gate — composite score + filter, the standard corpus
+    // cleaning step before training.
+    "c7_quality_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("word_count", TextFunctions.wordCount(col("text")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .select("doc_id", "lang", "source", "word_count", "quality")),
+    // North-star token accounting: approx-BPE token counts per source.
+    "c5_token_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("__bpe", TextFunctions.approxBpeCount(col("text")))
+        .groupBy(col("source"))
+        .agg(sum(col("__bpe")).as("total_tokens"),
+             max(col("__bpe")).as("max_doc_tokens"),
+             count(lit(1)).as("n_docs"))),
+  )
+
+  private val langs = TextFunctions.stopwords.keys.toSeq.sorted
+
+  private def sqlRatio(l: String): String = {
+    val lex = TextFunctions.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""CASE WHEN len(toks) = 0 THEN 0.0e0
+       | ELSE CAST(len(list_filter(toks, t -> list_contains($lex, t))) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) END""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "c5_text_stats" -> s"""
+      WITH t AS (
+        SELECT lang, source, ${sqlToks("text")} AS toks, text FROM documents
+      ), p AS (
+        SELECT lang, source,
+          len(toks) AS wc,
+          CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS tokchars,
+          CASE WHEN len(toks) = 0 THEN 0.0e0
+               ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS dr,
+          len(text) AS chars
+        FROM t)
+      SELECT lang, source, count(*) AS n_docs,
+        CAST(sum(wc) AS BIGINT) AS total_words,
+        CAST(sum(chars) AS BIGINT) AS total_chars,
+        CAST(sum(tokchars) AS DOUBLE) / CAST(sum(wc) AS DOUBLE) AS mean_word_len,
+        round(avg(dr), 6) AS mean_distinct_ratio
+      FROM p GROUP BY lang, source""",
+    "c5_lang_id" -> {
+      val ratios = langs.map(l => s"${sqlRatio(l)} AS ratio_$l").mkString(",\n          ")
+      val best = s"greatest(${langs.map(l => s"ratio_$l").mkString(", ")})"
+      val pick = langs.map(l => s"WHEN ratio_$l = $best THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      s"""
+      WITH t AS (SELECT doc_id, lang, ${sqlToks("text")} AS toks FROM documents),
+      r AS (SELECT doc_id, lang,
+          $ratios
+        FROM t)
+      SELECT doc_id, lang, $pick AS lang_pred,
+             ${langs.map(l => s"ratio_$l").mkString(", ")}
+      FROM r"""
+    },
+    "c7_quality_filter" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang, source, ${sqlToks("text")} AS toks FROM documents
+      ), p AS (
+        SELECT doc_id, lang, source,
+          CAST(len(toks) AS BIGINT) AS word_count,
+          CAST(len(toks) AS DOUBLE) AS wc,
+          CASE WHEN len(toks) = 0 THEN 0.0e0
+               ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS diversity,
+          CASE WHEN len(toks) = 0 THEN 0.0e0
+               ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) END AS awl
+        FROM t)
+      SELECT doc_id, lang, source, word_count,
+        round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
+              + diversity * 0.4e0
+              + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) AS quality
+      FROM p
+      WHERE round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
+              + diversity * 0.4e0
+              + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) >= 0.5e0""",
+    "c5_token_counts" -> s"""
+      WITH t AS (SELECT source, ${sqlToks("text")} AS toks FROM documents),
+      p AS (SELECT source,
+        CAST(list_sum(list_transform(toks, t -> 1 + len(t) // 8)) AS BIGINT) AS bpe
+      FROM t)
+      SELECT source, CAST(sum(bpe) AS BIGINT) AS total_tokens,
+             max(bpe) AS max_doc_tokens, count(*) AS n_docs
+      FROM p GROUP BY source""",
+  )
+}

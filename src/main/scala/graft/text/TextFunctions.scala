@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface
+  * (BASELINE.json north star): tokenization, counting, quality
+  * heuristics, language scoring, fingerprints. Everything here is a
+  * composition of built-in codegen'd functions — no UDFs — so the ops
+  * inline into whole-stage codegen and scale with the scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of lowercased text (empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword count approximation: whitespace tokens plus an
+    * extra unit per 4 chars of long tokens — a deterministic stand-in
+    * for a real tokenizer's length scaling. */
+  def approxBpeCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + lit(1L) + floor(length(t) / lit(8.0)).cast("long"))
+
+  def wordCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  def charCount(text: Column): Column = length(text).cast("bigint")
+
+  def avgWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(totalLen.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Fraction of distinct tokens — low values flag boilerplate/spam. */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Tiny built-in stopword lexicons per language. Real pipelines load
+    * bigger dictionaries; the operator shape (broadcast lexicon,
+    * array_intersect ratio) is what matters at scale. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es", "por", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "est", "pour", "les"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist", "es", "den", "von"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t =>
+      array_contains(array(stopwords(lang).map(lit): _*), t)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  /** n-gram heuristic language ID: argmax of stopword ratio across the
+    * built-in lexicons; ties resolve in lexicon-name order. */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => stopwordRatio(text, l))
+    val best = greatest(scores: _*)
+    langs.zip(scores).tail.foldLeft(
+      when(scores.head === best, lit(langs.head))) {
+      case (acc, (l, sc)) => acc.when(sc === best, lit(l))
+    }
+  }
+
+  /** Composite quality score in [0,1]: doc-length band, token
+    * diversity, mean word length band. Deterministic arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val wc = wordCount(text).cast("double")
+    val lenScore = least(wc / lit(50.0), lit(1.0)) *
+      when(wc > 2000, lit(0.5)).otherwise(lit(1.0))
+    val diversity = distinctTokenRatio(text)
+    val awl = avgWordLength(text)
+    val wlScore = when(awl >= 3 && awl <= 10, lit(1.0)).otherwise(lit(0.5))
+    round((lenScore * lit(0.4) + diversity * lit(0.4) + wlScore * lit(0.2)), 6)
+  }
+
+  /** Exact content fingerprint: md5 of whitespace-normalized lowercase
+    * text — identical in DuckDB, the backbone of exact dedup (C1). */
+  def contentFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Word n-gram shingles (space-joined), the MinHash input. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

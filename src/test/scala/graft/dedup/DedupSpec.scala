@@ -1,0 +1,81 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001).cache()
+
+  test("exact dedup is idempotent and keeps one row per fingerprint") {
+    val once = Dedup.exact(docs, "doc_id", "text")
+    val twice = Dedup.exact(once.select(docs.columns.map(col): _*), "doc_id", "text")
+    assert(once.count() === twice.count())
+    val fps = Dedup.withFingerprint(docs, "text")
+      .select("fingerprint").distinct().count()
+    assert(once.count() === fps)
+  }
+
+  test("minhash candidate pairs cover the high-jaccard ground truth (recall)") {
+    val sample = docs.filter(col("doc_id") < 100)
+    // ground truth: token-set jaccard >= 0.9 pairs
+    val l = sample.select(col("doc_id").as("a"), col("text").as("__ta"))
+    val r = sample.select(col("doc_id").as("b"), col("text").as("__tb"))
+    val truth = l.join(r, col("a") < col("b"))
+      .withColumn("j", MinHashDedup.jaccard(col("__ta"), col("__tb"), 1))
+      .filter(col("j") >= 0.9)
+      .select("a", "b")
+    val candidates = MinHashDedup.candidatePairs(sample, "doc_id", "text",
+      shingleSize = 1).select("a", "b")
+    val nTruth = truth.count()
+    val found = truth.intersect(candidates).count()
+    assert(nTruth > 0, "fixture should contain >=0.9-jaccard near-dup pairs")
+    assert(found.toDouble / nTruth >= 0.8,
+      s"LSH recall too low: $found/$nTruth")
+  }
+
+  test("confirmed pairs all meet the jaccard threshold (precision)") {
+    val pairs = MinHashDedup.confirmedPairs(docs.filter(col("doc_id") < 100),
+      "doc_id", "text", threshold = 0.7, shingleSize = 1)
+    assert(pairs.filter(col("jaccard") < 0.7).count() === 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("connected components merge transitive near-dup chains") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comps = MinHashDedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+  }
+
+  test("near-dup dedup removes clustered docs but keeps one per cluster") {
+    val sample = docs.filter(col("doc_id") < 100)
+    val deduped = MinHashDedup.dedup(sample, "doc_id", "text",
+      threshold = 0.9, shingleSize = 1)
+    val n = sample.count()
+    val m = deduped.count()
+    assert(m < n, s"expected near-dups to be removed ($m of $n kept)")
+    assert(m > 0)
+    // no surviving pair should exceed the threshold... spot-check count
+    val pairs = MinHashDedup.confirmedPairs(deduped, "doc_id", "text",
+      threshold = 0.9, shingleSize = 1)
+    assert(pairs.count() === 0, "dedup left a >=0.9-jaccard pair behind")
+  }
+
+  test("simhash: identical text same fingerprint, near pairs found") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), SimHash.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    val pairs = SimHash.nearPairs(df, "doc_id", "text", maxDistance = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+}

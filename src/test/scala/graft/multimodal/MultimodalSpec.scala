@@ -1,0 +1,38 @@
+package graft.multimodal
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val assets =
+    Multimodal.assetsFromDocuments(Tables.documents(spark, sf0001)).cache()
+
+  test("asset schema carries binary payload + typed metadata") {
+    val f = assets.schema("payload")
+    assert(f.dataType.typeName === "binary")
+    assert(assets.schema("meta").dataType.typeName === "struct")
+  }
+
+  test("feature extraction: fixed width, first feature = byte length") {
+    val feats = Multimodal.extractFeatures(assets)
+    val bad = feats.filter(
+      size(col("features")) =!= 6 ||
+      element_at(col("features"), 1) =!= length(col("payload")).cast("double"))
+    assert(bad.count() === 0)
+  }
+
+  test("feature extraction preserves row count and is deterministic") {
+    val a = Multimodal.extractFeatures(assets)
+    assert(a.count() === assets.count())
+    val s1 = a.agg(round(sum(element_at(col("features"), 2)), 6)).collect()(0).getDouble(0)
+    val s2 = Multimodal.extractFeatures(assets)
+      .agg(round(sum(element_at(col("features"), 2)), 6)).collect()(0).getDouble(0)
+    assert(s1 === s2)
+  }
+
+  test("frame sampling produces non-empty frame arrays") {
+    val framed = Multimodal.sampleFrames(assets)
+    assert(framed.filter(size(col("frames")) < 1).count() === 0)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CosineSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001).cache()
+
+  test("cosine of a vector with itself is 1") {
+    val bad = emb.select(
+      Cosine.cosine(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-9)
+    assert(bad.count() === 0)
+  }
+
+  test("topK returns k rows, descending, excluding the query row") {
+    val top = Cosine.topK(emb, "vec_id", "embedding", queryId = 1L, k = 10)
+      .collect()
+    assert(top.length === 10)
+    assert(!top.map(_.getLong(0)).contains(1L))
+    val scores = top.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ANN recall against the exact global top-1 baseline") {
+    val sample = emb.filter(col("vec_id") < 200).withColumn("__all", lit(1))
+    val exact = Cosine.selfJoinTopK(sample, "vec_id", "embedding", "__all", k = 1)
+      .filter(col("rank") === 1).select("a", "b")
+    val ann = Cosine.annTopK(sample, "vec_id", "embedding", dim = 64, k = 3)
+      .select("a", "b")
+    val nExact = exact.count()
+    val hit = exact.intersect(ann).count()
+    assert(nExact > 0)
+    // neighbors here are near-orthogonal (cos≈0.2): 12 tables × 3 planes
+    // gives per-pair detection ≈ 1-(1-0.17)^12 ≈ 0.89
+    assert(hit.toDouble / nExact >= 0.6, s"ANN recall $hit/$nExact")
+  }
+}
