@@ -119,6 +119,10 @@ object MinHashDedup {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("component"))).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -131,10 +135,12 @@ object MinHashDedup {
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val changed = updated.as("u").join(labels.as("l"), "id")
-        .filter(col("u.component") =!= col("l.component")).limit(1).count()
+      // labels only ever decrease, so Σcomponent strictly decreases iff
+      // anything changed — one cheap action instead of a join+count
+      val newSum = labelSum(updated)
       labels = updated
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       i += 1
     }
     labels

@@ -107,6 +107,22 @@ object Encoding {
       .withColumn(KnownCol, array(knownFlags: _*))
   }
 
+  /** Expands per-source-column known flags into per-encoded-unit flags
+    * (a categorical column's flag covers its whole one-hot group). */
+  def expandKnown(layout: ColumnLayout, k: IndexedSeq[Boolean]): Array[Boolean] = {
+    val out = new Array[Boolean](layout.width)
+    var s = 0
+    while (s < layout.numerics.size) { out(s) = k(s); s += 1 }
+    var g = 0
+    while (g < layout.categoricals.size) {
+      val (start, len) = layout.catSlice(g)
+      var u = 0
+      while (u < len) { out(start + u) = k(layout.numerics.size + g); u += 1 }
+      g += 1
+    }
+    out
+  }
+
   /** Merges the reconstruction back: known cells pass through untouched
     * (A12), numerics inverse-scale (A13), categoricals argmax-decode
     * with ties going to the first unit (A14), original schema restored

@@ -68,6 +68,120 @@ object RbmCore {
 
   final case class FitResult(weights: RbmWeights, epochErrors: Seq[Double])
 
+  /** Data-parallel training backend for the 100 TB path (SURVEY §7 M5):
+    * the classic MLlib pattern — weights broadcast each epoch, one
+    * synchronous pass computes per-partition CD-1 gradient sums that
+    * `treeAggregate` reduces (depth 2, so the driver never receives
+    * more than √P partial results), driver applies the AdaGrad update.
+    * Nothing on the driver scales with row count: the only driver-side
+    * data is the (nv×nh) gradient and a small collected validation
+    * sample for early stopping.
+    */
+  def fitDistributed(encoded: org.apache.spark.sql.DataFrame,
+                     layout: graft.impute.ColumnLayout,
+                     cfg: Config): FitResult = {
+    import breeze.linalg.{DenseMatrix => BM, DenseVector => BV}
+    import org.apache.spark.storage.StorageLevel
+    val nv = layout.width
+    val nh = cfg.nHidden
+    val spark = encoded.sparkSession
+    val data = encoded
+      .select(graft.impute.Encoding.VCol, graft.impute.Encoding.KnownCol)
+      .rdd.map { row =>
+        val v = row.getSeq[Double](0).toArray
+        val k = graft.impute.Encoding.expandKnown(
+          layout, row.getSeq[Boolean](1).toIndexedSeq)
+        (v, k)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = data.count()
+
+    // small fixed validation sample, scored driver-side each epoch
+    val valRows = data.sample(withReplacement = false,
+      math.min(1.0, 2000.0 / math.max(n, 1L)), cfg.seed).collect()
+    val valX = BM.tabulate(valRows.length, nv)((i, j) => valRows(i)._1(j))
+    def valError(w: RbmWeights): Double = {
+      if (valRows.isEmpty) return 0.0
+      val recon = reconstruct(w, valX)
+      var se = 0.0; var cnt = 0L
+      var i = 0
+      while (i < valRows.length) {
+        val k = valRows(i)._2
+        var j = 0
+        while (j < nv) {
+          if (k(j)) { val d = recon(i, j) - valX(i, j); se += d * d; cnt += 1 }
+          j += 1
+        }
+        i += 1
+      }
+      if (cnt == 0) 0.0 else se / cnt
+    }
+
+    var wts = init(nv, cfg)
+    val cacheW = BM.zeros[Double](nv, nh)
+    val cacheB = BV.zeros[Double](nv)
+    val cacheC = BV.zeros[Double](nh)
+    val eps = 1e-8
+    var best = wts
+    var bestErr = Double.MaxValue
+    var bad = 0
+    val errors = Seq.newBuilder[Double]
+    var epoch = 0
+    while (epoch < cfg.maxEpochs && bad < cfg.patience) {
+      val bc = spark.sparkContext.broadcast(wts)
+      val seedE = cfg.seed + 31L * epoch
+      val dropout = cfg.dropout
+      type Acc = (BM[Double], BV[Double], BV[Double], Long)
+      val zero: Acc = (BM.zeros[Double](nv, nh), BV.zeros[Double](nv),
+        BV.zeros[Double](nh), 0L)
+      val (gw, gb, gc, cnt) = data.treeAggregate(zero)(
+        seqOp = { (acc: Acc, row: (Array[Double], Array[Boolean])) =>
+          val w = bc.value
+          val rng = new scala.util.Random(
+            seedE ^ org.apache.spark.TaskContext.getPartitionId().toLong)
+          val v0 = BV(row._1)
+          val h0p = breeze.numerics.sigmoid(w.w.t * v0 + w.hBias)
+          val h0s = h0p.map(p => if (rng.nextDouble() < p) 1.0 else 0.0)
+          if (dropout > 0) {
+            var j = 0
+            while (j < nh) { if (rng.nextDouble() < dropout) h0s(j) = 0.0; j += 1 }
+          }
+          val v1p = breeze.numerics.sigmoid(w.w * h0s + w.vBias)
+          val h1p = breeze.numerics.sigmoid(w.w.t * v1p + w.hBias)
+          acc._1 :+= v0 * h0p.t - v1p * h1p.t
+          acc._2 :+= v0 - v1p
+          acc._3 :+= h0p - h1p
+          (acc._1, acc._2, acc._3, acc._4 + 1)
+        },
+        combOp = { (a: Acc, b: Acc) =>
+          (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4)
+        },
+        depth = 2)
+      bc.destroy()
+      if (cnt > 0) {
+        val dW = gw /:/ cnt.toDouble
+        val dB = gb /:/ cnt.toDouble
+        val dC = gc /:/ cnt.toDouble
+        if (cfg.adagrad) {
+          cacheW :+= dW *:* dW; cacheB :+= dB *:* dB; cacheC :+= dC *:* dC
+          wts = RbmWeights(
+            wts.w + (dW *:* cfg.learnRate) /:/ breeze.numerics.sqrt(cacheW + eps),
+            wts.vBias + (dB *:* cfg.learnRate) /:/ breeze.numerics.sqrt(cacheB + eps),
+            wts.hBias + (dC *:* cfg.learnRate) /:/ breeze.numerics.sqrt(cacheC + eps))
+        } else {
+          wts = RbmWeights(wts.w + dW *:* cfg.learnRate,
+            wts.vBias + dB *:* cfg.learnRate, wts.hBias + dC *:* cfg.learnRate)
+        }
+      }
+      val err = valError(wts)
+      errors += err
+      if (err < bestErr - 1e-12) { bestErr = err; best = wts; bad = 0 }
+      else bad += 1
+      epoch += 1
+    }
+    data.unpersist(blocking = false)
+    FitResult(if (bestErr < Double.MaxValue) best else wts, errors.result())
+  }
+
   /** Trains on `x` (noise-filled, [0,1] cells). A deterministic fraction
     * of `known` cells is hidden from training (replaced with noise) and
     * used as the early-stopping validation set — the reference's A9/A17

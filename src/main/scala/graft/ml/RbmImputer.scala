@@ -50,11 +50,15 @@ class RbmImputer(override val uid: String) extends Estimator[RbmImputerModel] {
     "max rows collected for driver-local training", ParamValidators.gt(0))
   final val maxCardinality = new IntParam(this, "maxCardinality",
     "one-hot width cap per categorical column", ParamValidators.gt(0))
+  final val backend = new Param[String](this, "backend",
+    "training backend: 'local' (bounded-sample, driver Breeze) or " +
+      "'distributed' (treeAggregate data-parallel gradients)",
+    ParamValidators.inArray(Array("local", "distributed")))
 
   setDefault(numericCols -> Array.empty[String], categoricalCols -> Array.empty[String],
     nHidden -> 16, learnRate -> 0.1, batchSize -> 64, dropoutFraction -> 0.5,
     maxEpochs -> 30, adagrad -> true, seed -> 42L, sampleLimit -> 100000,
-    maxCardinality -> 10000)
+    maxCardinality -> 10000, backend -> "local")
 
   def setNumericCols(v: Seq[String]): this.type = set(numericCols, v.toArray)
   def setCategoricalCols(v: Seq[String]): this.type = set(categoricalCols, v.toArray)
@@ -68,6 +72,7 @@ class RbmImputer(override val uid: String) extends Estimator[RbmImputerModel] {
   def setSeed(v: Long): this.type = set(seed, v)
   def setSampleLimit(v: Int): this.type = set(sampleLimit, v)
   def setMaxCardinality(v: Int): this.type = set(maxCardinality, v)
+  def setBackend(v: String): this.type = set(backend, v)
 
   def spec: ImputeSpec =
     ImputeSpec($(numericCols).toSeq, $(categoricalCols).toSeq, $(maxCardinality))
@@ -77,14 +82,15 @@ class RbmImputer(override val uid: String) extends Estimator[RbmImputerModel] {
     dropout = $(dropoutFraction), maxEpochs = $(maxEpochs), adagrad = $(adagrad),
     seed = $(seed))
 
-  override def fit(ds: Dataset[_]): RbmImputerModel = {
-    val df = ds.toDF()
+  /** Layout fit + bounded-sample collect of encoded training matrices
+    * (shared by plain fit and the tuner). count() is one cheap pass;
+    * the sample fraction is padded 10% then truncated so the collect
+    * stays <= sampleLimit rows at any SF. */
+  private[ml] def collectTrainingData(df: org.apache.spark.sql.DataFrame)
+      : (ColumnLayout, DenseMatrix[Double], DenseMatrix[Boolean]) = {
     val layout = Encoding.fitLayout(df, spec)
     val encoded = Encoding.encode(df, layout, $(keyCol))
       .select(Encoding.VCol, Encoding.KnownCol)
-    // Bounded uniform sample for driver-local training. count() is a
-    // cheap metadata-ish pass; the sample fraction is padded 10% then
-    // truncated so the collect stays <= sampleLimit rows at any SF.
     val n = df.count()
     val lim = $(sampleLimit)
     val sampled =
@@ -98,25 +104,32 @@ class RbmImputer(override val uid: String) extends Estimator[RbmImputerModel] {
     var i = 0
     while (i < m) {
       val v = rows(i).getSeq[Double](0)
-      val k = rows(i).getSeq[Boolean](1)
+      val ku = Encoding.expandKnown(layout, rows(i).getSeq[Boolean](1).toIndexedSeq)
       var j = 0
-      while (j < layout.width) { x(i, j) = v(j); j += 1 }
-      // expand per-source-column known flags to per-unit flags
-      var s = 0
-      while (s < layout.numerics.size) { known(i, s) = k(s); s += 1 }
-      var g = 0
-      while (g < layout.categoricals.size) {
-        val (start, len) = layout.catSlice(g)
-        var u = 0
-        while (u < len) { known(i, start + u) = k(layout.numerics.size + g); u += 1 }
-        g += 1
-      }
+      while (j < layout.width) { x(i, j) = v(j); known(i, j) = ku(j); j += 1 }
       i += 1
     }
-    val result = RbmCore.fit(x, known, rbmConfig)
+    (layout, x, known)
+  }
+
+  private[ml] def buildModel(layout: ColumnLayout,
+                             result: RbmCore.FitResult): RbmImputerModel = {
     val model = new RbmImputerModel(uid, layout, result.weights, result.epochErrors)
     model.setParent(this)
     copyValues(model)
+  }
+
+  override def fit(ds: Dataset[_]): RbmImputerModel = {
+    val df = ds.toDF()
+    if ($(backend) == "distributed") {
+      val layout = Encoding.fitLayout(df, spec)
+      val result = RbmCore.fitDistributed(
+        Encoding.encode(df, layout, $(keyCol)), layout, rbmConfig)
+      buildModel(layout, result)
+    } else {
+      val (layout, x, known) = collectTrainingData(df)
+      buildModel(layout, RbmCore.fit(x, known, rbmConfig))
+    }
   }
 
   override def transformSchema(schema: StructType): StructType = schema

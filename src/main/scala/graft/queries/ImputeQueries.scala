@@ -43,6 +43,36 @@ object ImputeQueries extends Registry {
       MeanImpute.imputeNumeric(Tables.supplier(s, d), "s_acctbal", "s_suppkey", salt = 2)),
     "impute_customer_rbm_fixture" -> ((s, d) => RbmFixture.query(s, d)),
     "impute_customer_rbm" -> rbmClean,
+    // tune_rbm=True path (A16/A17): tiny grid, shared training sample.
+    "impute_customer_rbm_tuned" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+      val withMissing = Noise.injectMissing(
+        Noise.injectMissing(base, "c_acctbal", "c_custkey", salt = 21, frac = 0.10),
+        "c_mktsegment", "c_custkey", salt = 22, frac = 0.10)
+      val imputer = new graft.ml.RbmImputer()
+        .setNumericCols(Seq("c_acctbal"))
+        .setCategoricalCols(Seq("c_mktsegment"))
+        .setKeyCol("c_custkey").setMaxEpochs(10).setBatchSize(32)
+      val grid = Seq(
+        graft.ml.RbmTuner.Candidate(8, 0.1, 32, 0.0),
+        graft.ml.RbmTuner.Candidate(8, 0.3, 32, 0.5),
+        graft.ml.RbmTuner.Candidate(16, 0.2, 32, 0.25))
+      graft.ml.RbmTuner.fitTuned(imputer, withMissing, grid, tuneEpochs = 3)
+        .model.transform(withMissing)
+    }),
+    // 100 TB training path: treeAggregate data-parallel gradients.
+    "impute_customer_rbm_distributed" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+      val withMissing = Noise.injectMissing(
+        Noise.injectMissing(base, "c_acctbal", "c_custkey", salt = 21, frac = 0.10),
+        "c_mktsegment", "c_custkey", salt = 22, frac = 0.10)
+      new graft.ml.RbmImputer()
+        .setNumericCols(Seq("c_acctbal"))
+        .setCategoricalCols(Seq("c_mktsegment"))
+        .setKeyCol("c_custkey").setBackend("distributed")
+        .setMaxEpochs(8).setLearnRate(0.5)
+        .fit(withMissing).transform(withMissing)
+    }),
   )
 
   val oracle: Map[String, String] = Map(

@@ -79,7 +79,7 @@ object Cosine {
     * shuffle/bucketing key, and candidate scoring stays per-bucket —
     * never all-pairs. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-              k: Int, numPlanes: Int = 3, numTables: Int = 12,
+              k: Int, numPlanes: Int = 3, numTables: Int = 8,
               seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val buckets = array((0 until numTables).map(t =>

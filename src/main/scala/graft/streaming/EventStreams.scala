@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators over the `events` stream (C9/C10):
+  * watermarked event-time windows, sessionization, and stateful dedup.
+  *
+  * Every transform here takes a DataFrame and works identically on a
+  * batch frame or a `readStream` frame — that is the point: batch
+  * equivalence is the correctness oracle for the streaming path
+  * (ScalaTest feeds the same rows through MemoryStream and the batch
+  * engine and asserts identical results at watermark close).
+  *
+  * Scale posture: state size is bounded by the watermark horizon ×
+  * key cardinality; tumbling windows shuffle once on (window, type);
+  * `dropDuplicatesWithinWatermark` keeps only in-horizon keys. All
+  * state lives in the state store, partitioned by key — no driver
+  * state anywhere.
+  */
+object EventStreams {
+
+  /** Tumbling hourly aggregate (the streaming twin of query
+    * b12_event_time_windows, minus countDistinct, which streaming
+    * state doesn't support exactly — approx_count_distinct would be
+    * the streaming substitute). */
+  def hourlyTumbling(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** Sliding windows: 1-hour span every 15 minutes. */
+  def sliding(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Per-user sessions closed by a 10-minute inactivity gap —
+    * `session_window` keeps the state machine in the state store. */
+  def sessionize(events: DataFrame, gap: String = "10 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Stateful streaming dedup on event_id within the watermark horizon
+    * (C10) — exactly-once-per-key semantics bounded by state TTL. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Batch-equivalence tests (SURVEY §2 C9/C10): the same rows through
+  * the streaming engine (MemoryStream, one batch, then complete/append
+  * output) must match the batch engine's answer. */
+class EventStreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val batchEvents = Tables.events(spark, sf0001)
+    .select("event_id", "ts", "user_id", "event_type", "value").cache()
+
+  private def streamed(transform: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame,
+      mode: String): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val rows = batchEvents.as[Ev].collect()
+    input.addData(rows.toSeq)
+    val q = transform(input.toDF())
+      .writeStream.format("memory").queryName("sink_" + mode)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("sink_" + mode)
+  }
+
+  test("hourly tumbling aggregate: streaming == batch") {
+    val stream = streamed(EventStreams.hourlyTumbling(_), "complete")
+      .orderBy("hour_start", "event_type")
+    val batch = EventStreams.hourlyTumbling(batchEvents)
+      .orderBy("hour_start", "event_type")
+    assert(stream.collect().toSeq === batch.collect().toSeq)
+  }
+
+  test("sessionization: streaming == batch") {
+    val stream = streamed(EventStreams.sessionize(_), "complete")
+      .orderBy("user_id", "session_start")
+    val batch = EventStreams.sessionize(batchEvents)
+      .orderBy("user_id", "session_start")
+    assert(stream.collect().toSeq === batch.collect().toSeq)
+  }
+
+  test("stateful dedup keeps one row per event_id") {
+    val withDups = batchEvents.union(batchEvents.limit(100))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(withDups.as[Ev].collect().toSeq)
+    val q = EventStreams.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_sink")
+    assert(out.count() === batchEvents.count())
+    assert(out.groupBy("event_id").count().filter(col("count") > 1).count() === 0)
+  }
+}
