@@ -60,6 +60,26 @@ object ImputeQueries extends Registry {
       graft.ml.RbmTuner.fitTuned(imputer, withMissing, grid, tuneEpochs = 3)
         .model.transform(withMissing)
     }),
+    // C8: per-segment orchestration — one model per mktsegment.
+    "c8_segment_mean_impute" -> ((s, d) =>
+      graft.impute.SegmentedImpute.meanBySegment(
+        Tables.customer(s, d), "c_acctbal", "c_mktsegment", "c_custkey", salt = 31)),
+    "c8_segment_rbm_impute" -> ((s, d) => {
+      val withMissing = Noise.injectMissing(
+        Tables.customer(s, d), "c_acctbal", "c_custkey", salt = 31, frac = 0.10)
+      graft.impute.SegmentedImpute.rbmBySegment(
+        withMissing, "c_acctbal", "c_mktsegment", "c_custkey",
+        graft.ml.RbmCore.Config(nHidden = 4, maxEpochs = 5))
+    }),
+    // Reference API parity: the one-call clean() facade.
+    "clean_api" -> ((s, d) => {
+      val withMissing = Noise.injectMissing(
+        Noise.injectMissing(Tables.customer(s, d), "c_acctbal", "c_custkey",
+          salt = 21, frac = 0.10),
+        "c_mktsegment", "c_custkey", salt = 22, frac = 0.10)
+      graft.Clean.clean(withMissing, Seq("c_acctbal"), Seq("c_mktsegment"),
+        keyCol = "c_custkey", maxEpochs = 10)
+    }),
     // 100 TB training path: treeAggregate data-parallel gradients.
     "impute_customer_rbm_distributed" -> ((s, d) => {
       val base = Tables.customer(s, d)
@@ -81,6 +101,9 @@ object ImputeQueries extends Registry {
     "impute_supplier_acctbal" ->
       MeanImpute.oracleSql("supplier", supplierCols, "s_acctbal", "s_suppkey", salt = 2),
     "impute_customer_rbm_fixture" -> RbmFixture.oracleSql,
-    // impute_customer_rbm: stochastic training — no SQL oracle by design
+    "c8_segment_mean_impute" -> graft.impute.SegmentedImpute.meanBySegmentSql(
+      "customer", customerCols, "c_acctbal", "c_mktsegment", "c_custkey", salt = 31),
+    // impute_customer_rbm / _tuned / _distributed / c8_segment_rbm /
+    // clean_api: stochastic training — no SQL oracle by design
   )
 }

@@ -126,6 +126,20 @@ object RelationalQueries extends Registry {
         .agg(sum(col("k_value")).as("k_sum"),
              round(avg(col("k_value")), 6).as("k_avg"),
              count(lit(1)).as("n"))),
+    // B11b: string-function surface over part.
+    "b11_string_functions" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        levenshtein(col("p_brand"), lit("Brand#11")).cast("bigint").as("brand_dist"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("bigint").as("name_len"))),
+    // B6b: HLL approximate distinct (approx → rows-only driver check).
+    "b6_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
     // B12: event-time tumbling windows over the events stream table —
     // batch form of the Structured Streaming aggregation (C9 mirrors it).
     "b12_event_time_windows" -> ((s, d) =>
@@ -213,6 +227,13 @@ object RelationalQueries extends Registry {
             FROM events)
       WHERE k_value IS NOT NULL
       GROUP BY 1, 2""",
+    "b11_string_functions" -> """
+      SELECT p_partkey, lower(p_name) AS name_lower,
+             substring(p_type, 1, 5) AS type5,
+             CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_dist,
+             concat_ws('|', p_brand, p_type) AS brand_type,
+             CAST(length(p_name) AS BIGINT) AS name_len
+      FROM part""",
     "b12_event_time_windows" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
              count(*) AS n_events,
