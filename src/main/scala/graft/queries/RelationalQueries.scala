@@ -82,6 +82,13 @@ object RelationalQueries extends Registry {
         .agg(sum(col("l_quantity")).as("sum_qty"),
              count(lit(1)).as("cnt"),
              grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))),
+    // B7b: cube — all grouping-set combinations.
+    "b7_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("cnt"),
+             grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))),
     // B8: window functions — running revenue + order rank per customer.
     // Frame order is made total with the unique o_orderkey tie-break so
     // both engines accumulate in the same sequence.
@@ -198,6 +205,11 @@ object RelationalQueries extends Registry {
              sum(l_quantity) AS sum_qty, count(*) AS cnt,
              GROUPING(l_returnflag, l_linestatus) AS gid
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "b7_cube" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty, count(*) AS cnt,
+             GROUPING(l_returnflag, l_linestatus) AS gid
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "b8_window_running" -> """
       SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
         row_number() OVER w AS order_rank,

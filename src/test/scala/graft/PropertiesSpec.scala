@@ -1,0 +1,74 @@
+package graft
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.impute.{CategoryInfo, ColumnLayout, NumericStats}
+import graft.ml.{RbmCore, RbmWeights}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property layer (SURVEY §5.2-2): algebraic invariants of
+  * the pure math, independent of any fixture data. Raw ScalaCheck
+  * runner (the scalatest-plus bridge isn't in the offline cache). */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def hashNoise(key: Double, salt: Int): Double = {
+    val x = math.sin(key * 12.9898 + salt * 78.233) * 43758.5453
+    x - math.floor(x)
+  }
+
+  test("hash-noise is always in [0,1) and key-deterministic") {
+    check(Prop.forAll(Gen.chooseNum(-1e9, 1e9), Gen.chooseNum(0, 10000)) {
+      (key: Double, salt: Int) =>
+        val u = hashNoise(key, salt)
+        u >= 0.0 && u < 1.0 && u == hashNoise(key, salt)
+    })
+  }
+
+  test("scale∘unscale is identity up to FP rounding") {
+    val gen = for {
+      mn <- Gen.chooseNum(-1e6, 1e6)
+      span <- Gen.chooseNum(1e-3, 1e6)
+      x <- Gen.chooseNum(0.0, 1.0)
+    } yield (mn, mn + span, mn + x * span)
+    check(Prop.forAll(gen) { case (mn, mx, x) =>
+      val scaled = (x - mn) / (mx - mn)
+      val back = scaled * (mx - mn) + mn
+      math.abs(back - x) <= 1e-9 * math.max(1.0, math.abs(x))
+    })
+  }
+
+  test("RBM reconstruction is always strictly inside (0,1)") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 8)
+      nv <- Gen.chooseNum(1, 6)
+      nh <- Gen.chooseNum(1, 5)
+      cells <- Gen.listOfN(n * nv, Gen.chooseNum(0.0, 1.0))
+      wts <- Gen.listOfN(nv * nh, Gen.chooseNum(-3.0, 3.0))
+    } yield (n, nv, nh, cells, wts)
+    check(Prop.forAll(gen) { case (n, nv, nh, cells, wts) =>
+      val v = new DenseMatrix(n, nv, cells.toArray)
+      val w = RbmWeights(new DenseMatrix(nv, nh, wts.toArray),
+        DenseVector.zeros[Double](nv), DenseVector.zeros[Double](nh))
+      RbmCore.reconstruct(w, v).toArray.forall(x => x > 0.0 && x < 1.0)
+    })
+  }
+
+  test("expandKnown: categorical flag covers its whole one-hot group") {
+    val layout = ColumnLayout(
+      Seq(NumericStats("a", 0, 1), NumericStats("b", 0, 1)),
+      Seq(CategoryInfo("c", Seq("x", "y", "z")), CategoryInfo("d", Seq("p", "q"))))
+    check(Prop.forAll(Gen.listOfN(4, Gen.oneOf(true, false))) { flags =>
+      val expanded = graft.impute.Encoding.expandKnown(layout, flags.toIndexedSeq)
+      expanded.length == layout.width &&
+        expanded(0) == flags(0) && expanded(1) == flags(1) &&
+        (2 to 4).forall(expanded(_) == flags(2)) &&
+        (5 to 6).forall(expanded(_) == flags(3))
+    })
+  }
+}
