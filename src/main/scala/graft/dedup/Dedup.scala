@@ -16,6 +16,20 @@ object Dedup {
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", TextFunctions.contentFingerprint(col(textCol)))
 
+  /** Order-insensitive variant: fingerprint of the SORTED distinct token
+    * set — catches token-shuffled duplicates (bag-of-words dups) that
+    * byte-level fingerprints miss. */
+  def tokenSetFingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(concat_ws(" ", array_sort(array_distinct(TextFunctions.tokens(text)))))
+
+  /** One row per distinct token set, keeping the smallest `idCol`. */
+  def exactTokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df.withColumn("fingerprint", tokenSetFingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+    df.join(keep, idCol)
+  }
+
   /** One row per distinct content, keeping the smallest `idCol`. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = withFingerprint(df, textCol)

@@ -46,6 +46,23 @@ object MinHashDedup {
         least(m, pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(Prime)))))
   }
 
+  /** Whole-table signatures via explode + k min-aggregates — same
+    * result as [[signature]] but ~an order of magnitude faster: the
+    * hash-agg path keeps k long buffers per doc instead of allocating
+    * a k-element array per shingle. Returns (doc, sig). */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int, shingleSize: Int, seed: Long): DataFrame = {
+    val (a, b) = params(numHashes, seed)
+    val exploded = df.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+      .select(col("doc"), pmod(xxhash64(col("sh")), lit(Prime)).as("h"))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(lit(a(i)) * col("h") + lit(b(i)), lit(Prime))).as(s"m$i"))
+    exploded.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** Candidate near-dup pairs (idA < idB) from LSH banding. Buckets
     * larger than `maxBucket` are dropped (degenerate/boilerplate). */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
@@ -53,8 +70,7 @@ object MinHashDedup {
                      maxBucket: Int = 64, seed: Long = 42L): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
-    val sig = signature(col(textCol), numHashes, shingleSize, seed)
-    val banded = df.select(col(idCol).as("doc"), sig.as("sig"))
+    val banded = signatures(df, idCol, textCol, numHashes, shingleSize, seed)
       .select(col("doc"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_", lit("band"), b,
           concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))))

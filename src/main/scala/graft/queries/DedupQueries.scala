@@ -21,6 +21,17 @@ object DedupQueries extends Registry {
     "c1_dup_stats" -> ((s, d) =>
       Dedup.groupSizes(Tables.documents(s, d), "doc_id", "text")
         .filter(col("n_copies") > 1)),
+    // C1b: order-insensitive exact dedup — catches the corpus's
+    // token-shuffled duplicates (the byte-exact variant finds none).
+    "c1_tokenset_dedup" -> ((s, d) =>
+      Dedup.exactTokenSet(Tables.documents(s, d), "doc_id", "text")
+        .select(docCols.map(col): _*)),
+    "c1_tokenset_dup_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("fingerprint", Dedup.tokenSetFingerprint(col("text")))
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+        .filter(col("n_copies") > 1)),
     // C2 (oracle-able slice): exact 3-gram Jaccard over a contiguous id
     // range (the generator plants near-dups at adjacent ids), all pairs.
     // The corpus's planted near-dups are token-shuffled (token-set
@@ -64,6 +75,16 @@ object DedupQueries extends Registry {
         GROUP BY md5(array_to_string($toks, ' ')))""",
     "c1_dup_stats" -> s"""
       SELECT md5(array_to_string($toks, ' ')) AS fingerprint,
+             count(*) AS n_copies, min(doc_id) AS keeper_id
+      FROM documents
+      GROUP BY 1 HAVING count(*) > 1""",
+    "c1_tokenset_dedup" -> s"""
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id IN (
+        SELECT min(doc_id) FROM documents
+        GROUP BY md5(array_to_string(list_sort(list_distinct($toks)), ' ')))""",
+    "c1_tokenset_dup_stats" -> s"""
+      SELECT md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint,
              count(*) AS n_copies, min(doc_id) AS keeper_id
       FROM documents
       GROUP BY 1 HAVING count(*) > 1""",

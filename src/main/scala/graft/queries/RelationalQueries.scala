@@ -65,10 +65,13 @@ object RelationalQueries extends Registry {
         .join(o98, col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name", "c_mktsegment")
     }),
-    "b4_anti_join" -> ((s, d) =>
+    "b4_anti_join" -> ((s, d) => {
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name", "c_mktsegment")),
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
     // B6: distinct counting per group (exact; HLL variant is non-oracle).
     "b6_distinct_parts" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -194,7 +197,9 @@ object RelationalQueries extends Registry {
                       AND o_orderdate >= TIMESTAMP '1998-01-01')""",
     "b4_anti_join" -> """
       SELECT c_custkey, c_name, c_mktsegment FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1998-06-01')""",
     "b6_distinct_parts" -> """
       SELECT l_returnflag,
              count(DISTINCT l_partkey) AS distinct_parts,

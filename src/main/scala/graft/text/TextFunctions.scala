@@ -87,11 +87,19 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
-  /** Word n-gram shingles (space-joined), the MinHash input. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles (space-joined), the MinHash input.
+    *
+    * n=1 short-circuits to the token array: referencing `toks` inside
+    * the transform lambda makes codegen re-evaluate the tokenization
+    * PER ELEMENT (no CSE across lambda scopes) — O(tokens²), measured
+    * 8s for 5000 docs. For n>1 callers should tokenize into a
+    * materialized column first if the input is large. */
+  def shingles(text: Column, n: Int): Column =
+    if (n == 1) tokens(text)
+    else {
+      val toks = tokens(text)
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
 }
