@@ -159,6 +159,27 @@ object RelationalQueries extends Registry {
         .agg(count(lit(1)).as("n_events"),
              sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
              countDistinct(col("user_id")).as("unique_users"))),
+    // B12b: gap-based sessionization in batch via lag + running sum —
+    // the window-function twin of EventStreams.sessionize. Gaps compare
+    // integer microseconds (unix_micros/epoch_us) so both engines cut
+    // sessions at identical boundaries.
+    "b12_sessionization" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val newSession = when(
+        lag(us, 1).over(w).isNull || us - lag(us, 1).over(w) > 600000000L, 1L)
+        .otherwise(0L)
+      Tables.events(s, d)
+        .withColumn("__new", newSession)
+        .withColumn("session_idx",
+          sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("session_start"),
+             max(col("ts")).as("session_end"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -257,5 +278,23 @@ object RelationalQueries extends Registry {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
              count(DISTINCT user_id) AS unique_users
       FROM events GROUP BY 1, 2""",
+    "b12_sessionization" -> """
+      WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 600000000
+               THEN 1 ELSE 0 END AS newsess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessioned AS (
+        SELECT user_id, ts, value,
+          sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM marked)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sessioned GROUP BY user_id, session_idx""",
   )
 }

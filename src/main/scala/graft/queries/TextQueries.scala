@@ -61,6 +61,16 @@ object TextQueries extends Registry {
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
         .select("doc_id", "lang", "source", "word_count", "quality")),
+    // C5: TF-IDF (hashing trick — engine-specific hashes → rows-only).
+    "c5_tfidf_norms" -> ((s, d) => {
+      val (out, _) = graft.text.TfIdf.transform(
+        Tables.documents(s, d), "text", numFeatures = 1 << 12)
+      val normUdf = udf((v: org.apache.spark.ml.linalg.Vector) =>
+        math.sqrt(v.toArray.map(x => x * x).sum))
+      out.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(normUdf(col("tfidf"))), 4).as("mean_tfidf_norm"))
+    }),
     // North-star token accounting: approx-BPE token counts per source.
     "c5_token_counts" -> ((s, d) =>
       Tables.documents(s, d)

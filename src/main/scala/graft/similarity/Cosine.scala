@@ -103,9 +103,11 @@ object Cosine {
       when(n === 0, v).otherwise(transform(v, x => x / n)).as("__v")
     })
     val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
+    // vecs is rows×dim (small relative to the pair set): force broadcast
+    // so the 10⁶-scale candidate pairs never shuffle with arrays attached
     candidates
-      .join(vecs.select(col("__id").as("a"), col("__v").as("__va")), "a")
-      .join(vecs.select(col("__id").as("b"), col("__v").as("__vb")), "b")
+      .join(broadcast(vecs.select(col("__id").as("a"), col("__v").as("__va"))), "a")
+      .join(broadcast(vecs.select(col("__id").as("b"), col("__v").as("__vb"))), "b")
       .withColumn("score", round(dot(col("__va"), col("__vb")), 6))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
