@@ -26,8 +26,9 @@ object MeanImpute {
     * the reference's core invariant (SURVEY §5.1-ii). */
   def imputeNumeric(df: DataFrame, valueCol: String, keyCol: String,
                     salt: Int = 1, frac: Double = 0.10): DataFrame = {
+    // keyCol may be any SQL expression (e.g. a composite row key)
     val masked = df
-      .withColumn("__miss", Noise.missingMask(col(keyCol), salt, frac))
+      .withColumn("__miss", Noise.missingMask(expr(keyCol), salt, frac))
       .withColumn(valueCol,
         when(col("__miss"), lit(null)).otherwise(col(valueCol)))
     val stats = masked.agg(
@@ -41,6 +42,47 @@ object MeanImpute {
     masked.crossJoin(broadcast(stats))
       .withColumn(valueCol, when(col("__miss"), filled).otherwise(col(valueCol)))
       .drop("__miss", "__mn", "__mx", "__mean")
+  }
+
+  /** Deterministic categorical imputation: fill missing cells with the
+    * global mode (most frequent value; ties break to the lexicographic
+    * smallest). One groupBy + a one-row broadcast — the categorical
+    * twin of the mean slice, linear at any SF. */
+  def imputeMode(df: DataFrame, valueCol: String, keyCol: String,
+                 salt: Int, frac: Double = 0.10): DataFrame = {
+    val masked = df
+      .withColumn("__miss", Noise.missingMask(expr(keyCol), salt, frac))
+      .withColumn(valueCol,
+        when(col("__miss"), lit(null)).otherwise(col(valueCol)))
+    val mode = masked.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__val")).count()
+      .orderBy(col("count").desc, col("__val").asc)
+      .limit(1).select(col("__val").as("__mode"))
+    masked.crossJoin(broadcast(mode))
+      .withColumn(valueCol,
+        when(col("__miss"), col("__mode")).otherwise(col(valueCol)))
+      .drop("__miss", "__mode")
+  }
+
+  /** DuckDB oracle for [[imputeMode]]. */
+  def modeOracleSql(tbl: String, allCols: Seq[String], valueCol: String,
+                    keyExpr: String, salt: Int, frac: Double = 0.10): String = {
+    val miss = Noise.sqlMissing(keyExpr, salt, frac)
+    val maskedCols = allCols.map {
+      case `valueCol` => s"CASE WHEN $miss THEN NULL ELSE $valueCol END AS $valueCol"
+      case c => c
+    }.mkString(", ")
+    val outCols = allCols.map {
+      case `valueCol` => s"CASE WHEN __miss THEN __mode ELSE $valueCol END AS $valueCol"
+      case c => c
+    }.mkString(", ")
+    s"""WITH masked AS (
+       |  SELECT $maskedCols, $miss AS __miss FROM $tbl
+       |), m AS (
+       |  SELECT $valueCol AS __mode FROM masked WHERE $valueCol IS NOT NULL
+       |  GROUP BY $valueCol ORDER BY count(*) DESC, $valueCol ASC LIMIT 1
+       |)
+       |SELECT $outCols FROM masked, m""".stripMargin
   }
 
   /** DuckDB oracle for [[imputeNumeric]] over table `tbl`: same math,

@@ -191,6 +191,7 @@ object RbmCore {
     val n = x.rows
     val nv = x.cols
     require(known.rows == n && known.cols == nv, "mask shape mismatch")
+    if (n == 0) return FitResult(init(nv, cfg), Seq.empty)
 
     // A9: hide a fraction of known cells; train sees noise there.
     val holdout = DenseMatrix.fill[Boolean](n, nv)(false)

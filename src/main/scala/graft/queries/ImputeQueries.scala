@@ -20,6 +20,13 @@ object ImputeQueries extends Registry {
     Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
   private val supplierCols =
     Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+  private val lineitemCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+  private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+  // composite per-row key (l_orderkey is not unique per lineitem row)
+  private val lineitemKey = "(l_orderkey * 8 + l_linenumber)"
 
   /** The reference `clean()` equivalent: inject missingness into one
     * numeric + one categorical column, fit the RBM, impute. */
@@ -41,6 +48,14 @@ object ImputeQueries extends Registry {
       MeanImpute.imputeNumeric(Tables.customer(s, d), "c_acctbal", "c_custkey", salt = 1)),
     "impute_supplier_acctbal" -> ((s, d) =>
       MeanImpute.imputeNumeric(Tables.supplier(s, d), "s_acctbal", "s_suppkey", salt = 2)),
+    // fact-table scale: 600k rows at sf0.1, composite row key.
+    "impute_lineitem_quantity" -> ((s, d) =>
+      MeanImpute.imputeNumeric(Tables.lineitem(s, d), "l_quantity",
+        lineitemKey, salt = 41)),
+    // deterministic categorical fill: global mode with stable ties.
+    "impute_orders_priority_mode" -> ((s, d) =>
+      MeanImpute.imputeMode(Tables.orders(s, d), "o_orderpriority",
+        "o_orderkey", salt = 42)),
     "impute_customer_rbm_fixture" -> ((s, d) => RbmFixture.query(s, d)),
     "impute_customer_rbm" -> rbmClean,
     // tune_rbm=True path (A16/A17): tiny grid, shared training sample.
@@ -100,6 +115,12 @@ object ImputeQueries extends Registry {
       MeanImpute.oracleSql("customer", customerCols, "c_acctbal", "c_custkey", salt = 1),
     "impute_supplier_acctbal" ->
       MeanImpute.oracleSql("supplier", supplierCols, "s_acctbal", "s_suppkey", salt = 2),
+    "impute_lineitem_quantity" ->
+      MeanImpute.oracleSql("lineitem", lineitemCols, "l_quantity",
+        lineitemKey, salt = 41),
+    "impute_orders_priority_mode" ->
+      MeanImpute.modeOracleSql("orders", ordersCols, "o_orderpriority",
+        "o_orderkey", salt = 42),
     "impute_customer_rbm_fixture" -> RbmFixture.oracleSql,
     "c8_segment_mean_impute" -> graft.impute.SegmentedImpute.meanBySegmentSql(
       "customer", customerCols, "c_acctbal", "c_mktsegment", "c_custkey", salt = 31),
