@@ -22,21 +22,25 @@ object Dedup {
   def tokenSetFingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     md5(concat_ws(" ", array_sort(array_distinct(TextFunctions.tokens(text)))))
 
-  /** One row per distinct token set, keeping the smallest `idCol`. */
-  def exactTokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = df.withColumn("fingerprint", tokenSetFingerprint(col(textCol)))
-      .groupBy(col("fingerprint"))
+  /** Keeps the min-id row per fingerprint expression; output schema ==
+    * input schema (the internal fingerprint never leaks, and a caller's
+    * own `fingerprint` column is preserved). */
+  private def keepMinPer(df: DataFrame, idCol: String,
+                         fp: org.apache.spark.sql.Column): DataFrame = {
+    val keep = df.withColumn("__fp", fp)
+      .groupBy(col("__fp"))
       .agg(min(col(idCol)).as(idCol))
-    df.join(keep, idCol)
+      .drop("__fp")
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** One row per distinct token set, keeping the smallest `idCol`. */
+  def exactTokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    keepMinPer(df, idCol, tokenSetFingerprint(col(textCol)))
+
   /** One row per distinct content, keeping the smallest `idCol`. */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = withFingerprint(df, textCol)
-      .groupBy(col("fingerprint"))
-      .agg(min(col(idCol)).as(idCol))
-    df.join(keep, idCol)
-  }
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    keepMinPer(df, idCol, TextFunctions.contentFingerprint(col(textCol)))
 
   /** Per-fingerprint group sizes — the dup-ratio diagnostic. */
   def groupSizes(df: DataFrame, idCol: String, textCol: String): DataFrame =

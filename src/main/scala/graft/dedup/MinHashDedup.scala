@@ -135,9 +135,13 @@ object MinHashDedup {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("component"))).collect()(0).get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // change-detection fingerprint that works for ANY id type (summing
+    // raw ids breaks for string/double ids): decimal sum of per-row
+    // hashes — decimal so an ANSI long-sum overflow can't throw
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(xxhash64(col("id"), col("component"))
+          .cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false
@@ -151,11 +155,9 @@ object MinHashDedup {
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
         .localCheckpoint()
-      // labels only ever decrease, so Σcomponent strictly decreases iff
-      // anything changed — one cheap action instead of a join+count
       val newSum = labelSum(updated)
       labels = updated
-      converged = newSum == prevSum
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       i += 1
     }

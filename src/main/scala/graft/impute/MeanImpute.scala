@@ -90,7 +90,6 @@ object MeanImpute {
   def oracleSql(tbl: String, allCols: Seq[String], valueCol: String,
                 keyCol: String, salt: Int = 1, frac: Double = 0.10): String = {
     val miss = Noise.sqlMissing(keyCol, salt, frac)
-    val passCols = allCols.filterNot(_ == valueCol)
     val maskedCols = allCols.map {
       case `valueCol` => s"CASE WHEN $miss THEN NULL ELSE $valueCol END AS $valueCol"
       case c => c

@@ -11,21 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object Scaling {
 
-  def minCol(c: String): String  = s"__min_$c"
-  def maxCol(c: String): String  = s"__max_$c"
-  def meanCol(c: String): String = s"__mean_$c"
-
-  /** One-row stats frame with min/max/mean per column (nulls skipped —
-    * Spark agg semantics match the reference's pandas .min()/.max()). */
-  def fitStats(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(min(col(c)).as(minCol(c)),
-          max(col(c)).as(maxCol(c)),
-          avg(col(c)).as(meanCol(c)))
-    }
-    df.agg(aggs.head, aggs.tail: _*)
-  }
-
   /** (x − min) / (max − min); constant columns map to 0 (reference A5). */
   def scale(x: Column, mn: Column, mx: Column): Column =
     when(mx === mn, lit(0.0)).otherwise((x - mn) / (mx - mn))
@@ -33,9 +18,4 @@ object Scaling {
   /** x·(max − min) + min — inverse of [[scale]] (reference A13). */
   def unscale(x: Column, mn: Column, mx: Column): Column =
     x * (mx - mn) + mn
-
-  /** Attaches the one-row stats frame to every row via broadcast
-    * cross-join — the scale-safe alternative to collecting scalars. */
-  def withStats(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.crossJoin(broadcast(fitStats(df, cols)))
 }

@@ -78,10 +78,20 @@ object SegmentedImpute {
     val valueIdx = schema.fieldIndex(valueCol)
     val keyIdx = schema.fieldIndex(keyCol)
     val segIdx = schema.fieldIndex(segmentCol)
+    // NaN-safe stats: Spark orders NaN above every double, so a single
+    // NaN cell would otherwise become the max and wreck the range
+    val cleanVal = {
+      val c = col(valueCol).cast("double")
+      when(isnan(c), lit(null)).otherwise(c)
+    }
     val stats = df.agg(
-      min(col(valueCol)).cast("double").as("mn"),
-      max(col(valueCol)).cast("double").as("mx")).collect()(0)
-    val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
+      min(cleanVal).as("mn"),
+      max(cleanVal).as("mx")).collect()(0)
+    // all-null / empty input → degenerate stats; impute into [0,1]
+    def statOr(i: Int, dflt: Double): Double =
+      if (stats.isNullAt(i) || stats.getDouble(i).isNaN) dflt else stats.getDouble(i)
+    val mn = statOr(0, 0.0)
+    val mx = statOr(1, 1.0)
     val range = if (mx == mn) 1.0 else mx - mn
 
     implicit val rowEnc = Encoders.row(schema)
@@ -102,6 +112,11 @@ object SegmentedImpute {
               out = imputeGroup(rows.toSeq)
             }
           }
+          // missing = null OR NaN, matching Encoding.missingExpr and
+          // the clean() contract (a NaN treated as known would poison
+          // every weight in the group's model)
+          def isMissing(r: Row): Boolean =
+            r.isNullAt(valueIdx) || num(r, valueIdx).isNaN
           def imputeGroup(rows: Seq[Row]): Iterator[Row] = {
             val train = rows.take(maxGroupRows)
             val m = train.size
@@ -109,7 +124,7 @@ object SegmentedImpute {
             val known = DenseMatrix.fill[Boolean](m, 1)(true)
             var i = 0
             train.foreach { r =>
-              if (r.isNullAt(valueIdx)) {
+              if (isMissing(r)) {
                 known(i, 0) = false
                 x(i, 0) = hashNoiseLocal(numKey(r, keyIdx), 9001)
               } else x(i, 0) = (num(r, valueIdx) - mn) / range
@@ -117,7 +132,7 @@ object SegmentedImpute {
             }
             val wts = RbmCore.fit(x, known, cfg).weights
             rows.iterator.map { r =>
-              if (!r.isNullAt(valueIdx)) r
+              if (!isMissing(r)) r
               else {
                 val vin = DenseMatrix.create(1, 1,
                   Array(hashNoiseLocal(numKey(r, keyIdx), 9001)))

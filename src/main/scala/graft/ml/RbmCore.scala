@@ -85,19 +85,24 @@ object RbmCore {
     val nv = layout.width
     val nh = cfg.nHidden
     val spark = encoded.sparkSession
-    val data = encoded
+    val all = encoded
       .select(graft.impute.Encoding.VCol, graft.impute.Encoding.KnownCol)
       .rdd.map { row =>
         val v = row.getSeq[Double](0).toArray
         val k = graft.impute.Encoding.expandKnown(
           layout, row.getSeq[Boolean](1).toIndexedSeq)
         (v, k)
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-    val n = data.count()
-
-    // small fixed validation sample, scored driver-side each epoch
-    val valRows = data.sample(withReplacement = false,
-      math.min(1.0, 2000.0 / math.max(n, 1L)), cfg.seed).collect()
+      }
+    // deterministic ~10% row holdout (content-hashed, so it survives
+    // repartitioning): validation rows are EXCLUDED from training, so
+    // early stopping measures generalization, not training error
+    def isHoldout(v: Array[Double]): Boolean =
+      (java.util.Arrays.hashCode(v) & 0x7fffffff) % 10 == 0
+    val data = all.filter(r => !isHoldout(r._1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    data.count()
+    val valRows = all.filter(r => isHoldout(r._1))
+      .take(2000)
     val valX = BM.tabulate(valRows.length, nv)((i, j) => valRows(i)._1(j))
     def valError(w: RbmWeights): Double = {
       if (valRows.isEmpty) return 0.0
@@ -131,13 +136,16 @@ object RbmCore {
       val seedE = cfg.seed + 31L * epoch
       val dropout = cfg.dropout
       type Acc = (BM[Double], BV[Double], BV[Double], Long)
-      val zero: Acc = (BM.zeros[Double](nv, nh), BV.zeros[Double](nv),
-        BV.zeros[Double](nh), 0L)
-      val (gw, gb, gc, cnt) = data.treeAggregate(zero)(
-        seqOp = { (acc: Acc, row: (Array[Double], Array[Boolean])) =>
-          val w = bc.value
-          val rng = new scala.util.Random(
-            seedE ^ org.apache.spark.TaskContext.getPartitionId().toLong)
+      // one RNG per PARTITION (a per-row RNG with a fixed seed would
+      // reuse the identical random stream for every row, biasing the
+      // hidden sampling and dropout masks per partition)
+      val partials = data.mapPartitionsWithIndex { (pid, it) =>
+        val w = bc.value
+        val rng = new scala.util.Random(seedE ^ (pid.toLong * 0x9E3779B9L))
+        val acc: Acc = (BM.zeros[Double](nv, nh), BV.zeros[Double](nv),
+          BV.zeros[Double](nh), 0L)
+        var cnt = 0L
+        it.foreach { row =>
           val v0 = BV(row._1)
           val h0p = breeze.numerics.sigmoid(w.w.t * v0 + w.hBias)
           val h0s = h0p.map(p => if (rng.nextDouble() < p) 1.0 else 0.0)
@@ -150,12 +158,13 @@ object RbmCore {
           acc._1 :+= v0 * h0p.t - v1p * h1p.t
           acc._2 :+= v0 - v1p
           acc._3 :+= h0p - h1p
-          (acc._1, acc._2, acc._3, acc._4 + 1)
-        },
-        combOp = { (a: Acc, b: Acc) =>
-          (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4)
-        },
-        depth = 2)
+          cnt += 1
+        }
+        Iterator.single((acc._1, acc._2, acc._3, cnt))
+      }
+      val (gw, gb, gc, cnt) = partials.treeReduce({ (a: Acc, b: Acc) =>
+        (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4)
+      }, depth = 2)
       bc.destroy()
       if (cnt > 0) {
         val dW = gw /:/ cnt.toDouble

@@ -18,12 +18,9 @@ trait Registry {
   def oracle: Map[String, String]
 }
 
-object Registry {
-  /** Determinism helpers shared by oracle SQL builders (SURVEY §5.3):
-    * money doubles sit on a 2-decimal grid (verified, FIXTURES.md), so
-    * `CAST(x AS DECIMAL)` → exact integer-scaled sums → `CAST AS DOUBLE`
-    * is bit-identical in Spark and DuckDB regardless of addition order.
-    */
-  def decSum(expr: String, prec: Int = 18, scale: Int = 2): String =
-    s"CAST(sum(CAST($expr AS DECIMAL($prec,$scale))) AS DOUBLE)"
-}
+// Determinism convention shared by every oracle SQL in this package
+// (SURVEY §5.3): money doubles sit on a 2-decimal grid (FIXTURES.md), so
+// `CAST(sum(CAST(x AS DECIMAL(p,2))) AS DOUBLE)` yields exact,
+// addition-order-insensitive sums that are bit-identical in Spark and
+// DuckDB; float literals are written with an e0 exponent so DuckDB
+// parses them as DOUBLE, never DECIMAL (see Noise.sqlDouble).

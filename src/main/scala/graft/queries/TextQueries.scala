@@ -15,11 +15,15 @@ object TextQueries extends Registry {
   private[queries] def sqlToks(text: String): String =
     s"list_filter(string_split_regex(lower($text), '\\s+'), x -> len(x) > 0)"
 
-  /** DuckDB fragment: word n-gram shingles (mirrors TextFunctions.shingles). */
+  /** DuckDB fragment: word n-gram shingles (mirrors TextFunctions.shingles,
+    * including its n==1 short-circuit — the CASE branch would emit ['']
+    * for an empty doc where Spark emits []). */
   private[queries] def sqlShingles(toks: String, n: Int): String =
-    s"""CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')]
-       | ELSE list_transform(range(0, len($toks) - $n + 1),
-       |        i -> array_to_string(($toks)[i+1:i+$n], ' ')) END""".stripMargin
+    if (n == 1) toks
+    else
+      s"""CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')]
+         | ELSE list_transform(range(0, len($toks) - $n + 1),
+         |        i -> array_to_string(($toks)[i+1:i+$n], ' ')) END""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // C5: corpus statistics per (lang, source).

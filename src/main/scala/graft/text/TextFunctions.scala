@@ -16,7 +16,7 @@ object TextFunctions {
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** BPE-ish subword count approximation: whitespace tokens plus an
-    * extra unit per 4 chars of long tokens — a deterministic stand-in
+    * extra unit per 8 chars of long tokens — a deterministic stand-in
     * for a real tokenizer's length scaling. */
   def approxBpeCount(text: Column): Column =
     aggregate(tokens(text), lit(0L),
