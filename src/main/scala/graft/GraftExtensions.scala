@@ -1,0 +1,28 @@
+package graft
+
+import graft.expressions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions registering graft's native Catalyst functions —
+  * the documented public injection point (`spark.sql.extensions=
+  * graft.GraftExtensions` or `SparkSession.builder.withExtensions`).
+  * Currently one function, added only where composition of built-ins
+  * measurably loses (SURVEY §4.2 said "no custom Catalyst required" —
+  * correct for capability; this is a performance escalation on the
+  * similarity hot path):
+  *
+  *  - `graft_dot(array<double>, array<double>) → double`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -10,8 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object Cosine {
 
+  /** Native codegen'd dot product (graft.expressions.DotProduct): a bare
+    * primitive loop over the array buffers — same left-to-right
+    * accumulation order as the previous `aggregate(zip_with(...))`
+    * composition (bit-identical results) without its per-row
+    * intermediate array allocation. Built directly as an Expression so
+    * it works in any session, registered or not. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
