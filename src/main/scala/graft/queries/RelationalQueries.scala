@@ -145,6 +145,17 @@ object RelationalQueries extends Registry {
         levenshtein(col("p_brand"), lit("Brand#11")).cast("bigint").as("brand_dist"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         length(col("p_name")).cast("bigint").as("name_len"))),
+    // B5b: exact interpolated percentiles per group (type-7 quantiles,
+    // same definition both engines; 4-dp round absorbs interpolation
+    // rounding-shape differences).
+    "b5_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))),
     // B6b: HLL approximate distinct (approx → rows-only driver check).
     "b6_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -265,6 +276,13 @@ object RelationalQueries extends Registry {
             FROM events)
       WHERE k_value IS NOT NULL
       GROUP BY 1, 2""",
+    "b5_percentiles" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25e0), 4) AS p25,
+             round(quantile_cont(l_extendedprice, 0.5e0), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75e0), 4) AS p75,
+             round(quantile_cont(l_extendedprice, 0.95e0), 4) AS p95
+      FROM lineitem GROUP BY l_returnflag""",
     "b11_string_functions" -> """
       SELECT p_partkey, lower(p_name) AS name_lower,
              substring(p_type, 1, 5) AS type5,

@@ -65,6 +65,24 @@ object TextQueries extends Registry {
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
         .select("doc_id", "lang", "source", "word_count", "quality")),
+    // C5: character-trigram profile — top-5 per lang (classic n-gram
+    // language profile). lower(text) is materialized into a column
+    // BEFORE the per-position lambda (an in-lambda reference would
+    // re-evaluate it per position — the O(n²) trap).
+    "c5_char_ngram_profile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram").asc)
+      Tables.documents(s, d)
+        .withColumn("__lt", lower(col("text")))
+        .select(col("lang"), explode(
+          when(length(col("__lt")) < 3, array())
+            .otherwise(transform(sequence(lit(1), length(col("__lt")) - 2),
+              i => substring(col("__lt"), i.cast("int"), lit(3))))).as("gram"))
+        .groupBy(col("lang"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 5)
+    }),
     // C5: TF-IDF (hashing trick — engine-specific hashes → rows-only).
     "c5_tfidf_norms" -> ((s, d) => {
       val (out, _) = graft.text.TfIdf.transform(
@@ -147,6 +165,20 @@ object TextQueries extends Registry {
       WHERE round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
               + diversity * 0.4e0
               + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) >= 0.5e0""",
+    "c5_char_ngram_profile" -> """
+      WITH grams AS (
+        SELECT lang, unnest(CASE WHEN len(lower(text)) < 3 THEN []
+          ELSE list_transform(range(0, len(lower(text)) - 2),
+                 i -> lower(text)[i+1:i+3]) END) AS gram
+        FROM documents
+      ), counted AS (
+        SELECT lang, gram, count(*) AS cnt FROM grams GROUP BY lang, gram
+      ), ranked AS (
+        SELECT lang, gram, cnt,
+          row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rank
+        FROM counted)
+      SELECT lang, gram, cnt, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 5""",
     "c5_token_counts" -> s"""
       WITH t AS (SELECT source, ${sqlToks("text")} AS toks FROM documents),
       p AS (SELECT source,
