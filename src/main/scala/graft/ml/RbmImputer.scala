@@ -173,4 +173,54 @@ class RbmImputerModel(
     val copied = new RbmImputerModel(uid, layout, weights, epochErrors)
     copyValues(copied, extra).setParent(parent)
   }
+
+  /** Persists the model as one inspectable parquet row (layout, weights,
+    * params). Plain methods instead of MLWritable: the DefaultParams
+    * reader/writer plumbing is private[ml], and a transparent format
+    * beats an opaque one for a 6-column model. */
+  def save(path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    Seq(RbmImputerModel.ModelData(
+      uid = uid,
+      keyColName = $(keyCol),
+      numericNames = layout.numerics.map(_.name),
+      numericMins = layout.numerics.map(_.min),
+      numericMaxs = layout.numerics.map(_.max),
+      catNames = layout.categoricals.map(_.name),
+      catValues = layout.categoricals.map(_.values),
+      nVisible = weights.nVisible,
+      nHidden = weights.nHidden,
+      w = weights.w.toArray.toSeq, // column-major
+      vBias = weights.vBias.toArray.toSeq,
+      hBias = weights.hBias.toArray.toSeq,
+      epochErrors = epochErrors))
+      .toDS().write.mode("overwrite").parquet(path)
+  }
+}
+
+object RbmImputerModel {
+  private[ml] case class ModelData(
+      uid: String, keyColName: String,
+      numericNames: Seq[String], numericMins: Seq[Double], numericMaxs: Seq[Double],
+      catNames: Seq[String], catValues: Seq[Seq[String]],
+      nVisible: Int, nHidden: Int,
+      w: Seq[Double], vBias: Seq[Double], hBias: Seq[Double],
+      epochErrors: Seq[Double])
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): RbmImputerModel = {
+    import spark.implicits._
+    val d = spark.read.parquet(path).as[ModelData].head()
+    val layout = ColumnLayout(
+      d.numericNames.indices.map(i =>
+        graft.impute.NumericStats(d.numericNames(i), d.numericMins(i), d.numericMaxs(i))),
+      d.catNames.indices.map(i =>
+        graft.impute.CategoryInfo(d.catNames(i), d.catValues(i))))
+    val weights = RbmWeights(
+      new breeze.linalg.DenseMatrix(d.nVisible, d.nHidden, d.w.toArray),
+      breeze.linalg.DenseVector(d.vBias.toArray),
+      breeze.linalg.DenseVector(d.hBias.toArray))
+    new RbmImputerModel(d.uid, layout, weights, d.epochErrors)
+      .setKeyCol(d.keyColName)
+  }
 }

@@ -71,7 +71,7 @@ object Cosine {
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
     val bits = (0 until numPlanes).map { p =>
-      val plane = array(planes(p).map(lit): _*)
+      val plane = array(planes(p).toIndexedSeq.map(lit): _*)
       when(dot(vec.cast("array<double>"), plane) > 0,
         shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
