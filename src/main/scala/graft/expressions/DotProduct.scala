@@ -18,9 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * everything else" escalation the design brief prescribes, applied to
   * the one measured hot path that justifies it.
   *
-  * Null semantics: null if either array is null; null ELEMENTS are
-  * treated as 0 contribution (missing dimension). Arrays shorter than
-  * the other contribute over the common prefix.
+  * Null semantics — deliberately identical to the
+  * `aggregate(zip_with(a,b,*),0.0,+)` composition it replaces, so no
+  * caller sees a silent behavior change: null if either array is null,
+  * if the lengths differ (zip_with null-pads the shorter side, which
+  * poisons the fold), or if any element is null. A length mismatch is a
+  * data bug; a NULL score surfaces it where a common-prefix dot product
+  * would produce a plausible-but-wrong ranking.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,13 +46,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        acc += x.getDouble(i) * y.getDouble(i)
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     acc
@@ -60,14 +64,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -71,11 +71,14 @@ object RbmCore {
   /** Data-parallel training backend for the 100 TB path (SURVEY §7 M5):
     * the classic MLlib pattern — weights broadcast each epoch, one
     * synchronous pass computes per-partition CD-1 gradient sums that
-    * `treeAggregate` reduces (depth 2, so the driver never receives
-    * more than √P partial results), driver applies the AdaGrad update.
+    * `treeReduce` combines (depth 2, so the driver never receives more
+    * than √P partial results), driver applies the AdaGrad update.
     * Nothing on the driver scales with row count: the only driver-side
-    * data is the (nv×nh) gradient and a small collected validation
-    * sample for early stopping.
+    * data is the (nv×nh) gradient and a small uniformly-sampled
+    * validation set (content-hash row holdout, excluded from training)
+    * for early stopping. Stochastic draws are seeded per ROW from the
+    * row's content hash, so training is invariant to partitioning, row
+    * order, and AQE re-plans.
     */
   def fitDistributed(encoded: org.apache.spark.sql.DataFrame,
                      layout: graft.impute.ColumnLayout,
@@ -92,7 +95,7 @@ object RbmCore {
         val k = graft.impute.Encoding.expandKnown(
           layout, row.getSeq[Boolean](1).toIndexedSeq)
         (v, k)
-      }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
     // deterministic ~10% row holdout (content-hashed, so it survives
     // repartitioning): validation rows are EXCLUDED from training, so
     // early stopping measures generalization, not training error
@@ -100,9 +103,15 @@ object RbmCore {
       (java.util.Arrays.hashCode(v) & 0x7fffffff) % 10 == 0
     val data = all.filter(r => !isHoldout(r._1))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    data.count()
+    val nTrain = data.count()
+    // uniform (not first-partition-biased) validation sample
     val valRows = all.filter(r => isHoldout(r._1))
-      .take(2000)
+      .takeSample(withReplacement = false, 2000, cfg.seed)
+    all.unpersist(blocking = false)
+    if (nTrain == 0) {
+      data.unpersist(blocking = false)
+      return FitResult(init(nv, cfg), Seq.empty)
+    }
     val valX = BM.tabulate(valRows.length, nv)((i, j) => valRows(i)._1(j))
     def valError(w: RbmWeights): Double = {
       if (valRows.isEmpty) return 0.0
@@ -136,16 +145,19 @@ object RbmCore {
       val seedE = cfg.seed + 31L * epoch
       val dropout = cfg.dropout
       type Acc = (BM[Double], BV[Double], BV[Double], Long)
-      // one RNG per PARTITION (a per-row RNG with a fixed seed would
-      // reuse the identical random stream for every row, biasing the
-      // hidden sampling and dropout masks per partition)
-      val partials = data.mapPartitionsWithIndex { (pid, it) =>
+      // per-ROW RNG seeded from the row's content hash: decorrelated
+      // across rows (the original per-row fixed seed reused one stream
+      // for every row) AND invariant to partition layout / row order
+      // (a per-partition sequential RNG would not be)
+      val partials = data.mapPartitions { it =>
         val w = bc.value
-        val rng = new scala.util.Random(seedE ^ (pid.toLong * 0x9E3779B9L))
-        val acc: Acc = (BM.zeros[Double](nv, nh), BV.zeros[Double](nv),
-          BV.zeros[Double](nh), 0L)
+        val accW = BM.zeros[Double](nv, nh)
+        val accB = BV.zeros[Double](nv)
+        val accC = BV.zeros[Double](nh)
         var cnt = 0L
         it.foreach { row =>
+          val rng = new scala.util.Random(
+            seedE ^ (java.util.Arrays.hashCode(row._1).toLong * 0x9E3779B9L))
           val v0 = BV(row._1)
           val h0p = breeze.numerics.sigmoid(w.w.t * v0 + w.hBias)
           val h0s = h0p.map(p => if (rng.nextDouble() < p) 1.0 else 0.0)
@@ -155,12 +167,12 @@ object RbmCore {
           }
           val v1p = breeze.numerics.sigmoid(w.w * h0s + w.vBias)
           val h1p = breeze.numerics.sigmoid(w.w.t * v1p + w.hBias)
-          acc._1 :+= v0 * h0p.t - v1p * h1p.t
-          acc._2 :+= v0 - v1p
-          acc._3 :+= h0p - h1p
+          accW :+= v0 * h0p.t - v1p * h1p.t
+          accB :+= v0 - v1p
+          accC :+= h0p - h1p
           cnt += 1
         }
-        Iterator.single((acc._1, acc._2, acc._3, cnt))
+        Iterator.single((accW, accB, accC, cnt))
       }
       val (gw, gb, gc, cnt) = partials.treeReduce({ (a: Acc, b: Acc) =>
         (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4)

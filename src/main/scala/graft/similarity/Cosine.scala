@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (C3/C4): exact cosine as the baseline,
-  * LSH-bucketed approximate as the scale path. Dot products are
-  * `zip_with`+`aggregate` folds over array<double> — codegen'd, no UDF,
-  * deterministic left-to-right accumulation (matters for the oracle).
+  * LSH-bucketed approximate as the scale path. Dot products compile to
+  * graft's native DotProduct expression (a codegen'd primitive loop,
+  * see graft.expressions) with deterministic left-to-right accumulation
+  * (matters for the oracle) and the same null semantics as the
+  * `aggregate(zip_with(...))` composition it replaced.
   */
 object Cosine {
 

@@ -25,14 +25,18 @@ class DotProductSpec extends SparkSpec {
     assert(r === 32.0)
   }
 
-  test("null semantics: null array → null; null element → skipped") {
+  test("null semantics match the zip_with composition: any null or length mismatch → null") {
     import spark.implicits._
     val df = Seq(
       (Some(Seq(Some(1.0), None, Some(3.0))), Some(Seq(Some(2.0), Some(2.0), Some(2.0)))),
-      (None, Some(Seq(Some(1.0))))).toDF("a", "b")
+      (None, Some(Seq(Some(1.0)))),
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(1.0)))), // length mismatch
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0), Some(4.0))))).toDF("a", "b")
     val out = df.select(Cosine.dot(col("a"), col("b")).as("d")).collect()
-    assert(out(0).getDouble(0) === 8.0)
-    assert(out(1).isNullAt(0))
+    assert(out(0).isNullAt(0), "null element must poison the dot product")
+    assert(out(1).isNullAt(0), "null array")
+    assert(out(2).isNullAt(0), "length mismatch")
+    assert(out(3).getDouble(0) === 11.0)
   }
 
   test("interpreted eval agrees with codegen") {
