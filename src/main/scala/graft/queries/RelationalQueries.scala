@@ -144,7 +144,9 @@ object RelationalQueries extends Registry {
         substring(col("p_type"), 1, 5).as("type5"),
         levenshtein(col("p_brand"), lit("Brand#11")).cast("bigint").as("brand_dist"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
-        length(col("p_name")).cast("bigint").as("name_len"))),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        regexp_replace(col("p_brand"), "#\\d+", "").as("brand_stem"))),
     // B5b: exact interpolated percentiles per group (type-7 quantiles,
     // same definition both engines; 4-dp round absorbs interpolation
     // rounding-shape differences).
@@ -288,7 +290,9 @@ object RelationalQueries extends Registry {
              substring(p_type, 1, 5) AS type5,
              CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_dist,
              concat_ws('|', p_brand, p_type) AS brand_type,
-             CAST(length(p_name) AS BIGINT) AS name_len
+             CAST(length(p_name) AS BIGINT) AS name_len,
+             regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+             regexp_replace(p_brand, '#\d+', '') AS brand_stem
       FROM part""",
     "b12_event_time_windows" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
