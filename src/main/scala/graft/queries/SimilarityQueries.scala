@@ -26,6 +26,15 @@ object SimilarityQueries extends Registry {
     "c3_ann_topk" -> ((s, d) =>
       Cosine.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, k = 3)),
+    // C3: IVF variant — k-means coarse cells as the data-adaptive
+    // bucketing (recall tested on clustered data in CosineSpec).
+    "c3_ivf_topk" -> ((s, d) =>
+      Cosine.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 3, numCentroids = 8)),
+    // C2/north star: embedding-cosine near-dup removal.
+    "c2_embedding_dedup" -> ((s, d) =>
+      graft.dedup.EmbeddingDedup.dedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, threshold = 0.25)),
   )
 
   /** Shared cosine SQL: round(dot/(|a||b|), 6) with zero-denominator

@@ -80,6 +80,25 @@ object Cosine {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-style approximate neighbors: a k-means coarse quantizer
+    * (MLlib KMeans over the vectors) assigns every row to a centroid
+    * cell; neighbors are searched within the cell only — the
+    * data-adaptive alternative to random hyperplanes (cells follow the
+    * data's cluster structure). Single-probe: at 100 TB the centroid id
+    * is the physical bucketing key, and multi-probe is a union over
+    * the nProbe nearest cells. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              numCentroids: Int = 16, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = df.withColumn("__mlvec",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(numCentroids).setSeed(seed)
+      .setFeaturesCol("__mlvec").setPredictionCol("__cell")
+    val assigned = km.fit(withVec).transform(withVec).drop("__mlvec")
+    selfJoinTopK(assigned, idCol, vecCol, "__cell", k)
+  }
+
   /** Approximate top-k neighbors via MULTI-TABLE random-hyperplane LSH:
     * `numTables` independent codes of `numPlanes` bits; candidates share
     * a bucket in at least one table, are deduped, then scored exactly.

@@ -24,6 +24,36 @@ class CosineSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("IVF recall on clustered vectors; embedding dedup removes planted duplicates") {
+    import spark.implicits._
+    // synthetic clustered embeddings: 8 centers, tight noise
+    val dim = 16
+    def vec(center: Int, noiseSeed: Int): Seq[Double] =
+      (0 until dim).map { d =>
+        val c = math.sin(center * 37.0 + d * 1.7) // stable center pattern
+        // hash-noise, not a sin lattice: sin(seed*k) phase-aliases at
+        // small seed deltas, accidentally planting real near-dups
+        val x = math.sin(noiseSeed * 12.9898 + d * 78.233) * 43758.5453
+        c + ((x - math.floor(x)) - 0.5) * 0.6
+      }
+    val rows = (0 until 400).map(i => (i.toLong, vec(i % 8, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Cosine.selfJoinTopK(df.withColumn("__one", lit(1)),
+      "vec_id", "embedding", "__one", k = 1).filter(col("rank") === 1)
+      .select("a", "b")
+    val ivf = Cosine.ivfTopK(df, "vec_id", "embedding", k = 3,
+      numCentroids = 8).select("a", "b")
+    val nExact = exact.count()
+    val hit = exact.intersect(ivf).count()
+    assert(hit.toDouble / nExact >= 0.8, s"IVF recall $hit/$nExact")
+
+    // plant exact duplicates; embedding dedup must remove them
+    val withDups = df.union(df.limit(50).withColumn("vec_id", col("vec_id") + 1000))
+    val deduped = graft.dedup.EmbeddingDedup.dedup(withDups, "vec_id",
+      "embedding", dim = dim, threshold = 0.999)
+    assert(deduped.count() === 400, s"expected 400, got ${deduped.count()}")
+  }
+
   test("ANN recall against the exact global top-1 baseline") {
     val sample = emb.filter(col("vec_id") < 200).withColumn("__all", lit(1))
     val exact = Cosine.selfJoinTopK(sample, "vec_id", "embedding", "__all", k = 1)
