@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingDedup {
 
-  /** Confirmed near-dup pairs: cosine ≥ threshold among LSH candidates. */
+  /** Confirmed near-dup pairs: cosine ≥ threshold among LSH candidates.
+    * Goes through the rankless candidates→score→threshold path — dedup
+    * needs edges, not ranks, so the per-key window sort that round 1
+    * paid (annTopK with k = MaxValue) is gone. numPlanes = 0 self-sizes
+    * the code to the corpus (Cosine.planesFor). */
   def pairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-            threshold: Double, numPlanes: Int = 3, numTables: Int = 8,
+            threshold: Double, numPlanes: Int = 0, numTables: Int = 8,
             seed: Long = 42L): DataFrame =
-    Cosine.annTopK(df, idCol, vecCol, dim, k = Int.MaxValue,
+    Cosine.annScoredPairs(df, idCol, vecCol, dim,
         numPlanes = numPlanes, numTables = numTables, seed = seed)
-      .filter(col("score") >= threshold && col("a") < col("b"))
+      .filter(col("score") >= threshold)
       .select("a", "b", "score")
 
   /** Keeps one row per near-dup cluster plus all unclustered rows. */

@@ -121,10 +121,27 @@ object MinHashDedup {
   /** Connected components over an (a,b) edge list by iterative min-label
     * propagation — the GraphX-free formulation that is just joins and
     * aggregations, so it scales like any shuffle and needs no extra
-    * dependency. Converges in O(diameter) rounds; near-dup clusters are
-    * short chains, so `maxIter` 10 is generous.
+    * dependency. Converges in O(diameter) rounds and exits as soon as a
+    * round changes nothing, so a generous `maxIter` costs nothing on
+    * short-chain near-dup graphs. Non-convergence is VISIBLE: a warning
+    * is logged (use [[connectedComponentsConverged]] for the flag) —
+    * a 100 TB corpus with dup-chains longer than the cap must not
+    * silently mis-cluster.
     * Returns (id, component) where component = min id in the cluster. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val (labels, converged, rounds) =
+      connectedComponentsConverged(edges, maxIter)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did NOT converge within $rounds rounds " +
+          s"(maxIter=$maxIter): long duplicate chains may be split " +
+          "across components; raise maxIter")
+    labels
+  }
+
+  /** [[connectedComponents]] plus the convergence flag and round count. */
+  def connectedComponentsConverged(edges: DataFrame, maxIter: Int = 50)
+      : (DataFrame, Boolean, Int) = {
     // localCheckpoint after every round: iterative self-joins double the
     // logical plan per iteration, and Catalyst re-analyzes the WHOLE
     // lineage each round (cache doesn't truncate it) — without the
@@ -161,7 +178,7 @@ object MinHashDedup {
       prevSum = newSum
       i += 1
     }
-    labels
+    (labels, converged, i)
   }
 
   /** End-to-end near-dup removal: keep one doc per confirmed cluster

@@ -43,6 +43,14 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // BinaryExpression would infer nullable = left.nullable || right.nullable,
+  // but this expression returns null even for two NON-null inputs (length
+  // mismatch, null element). With non-nullable children (e.g. literal
+  // arrays) the inherited `false` makes codegen drop the isNull check and
+  // silently read a stale 0.0 — exactly the plausible-but-wrong score the
+  // null contract exists to surface.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

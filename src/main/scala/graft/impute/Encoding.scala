@@ -48,12 +48,17 @@ object Encoding {
   val KnownCol = "__known" // Array[Boolean]: per SOURCE column presence
   val ReconCol = "__recon" // Array[Double]: RBM reconstruction
 
-  /** Fits the layout: one agg pass for numeric min/max (A4) plus one
-    * distinct pass per categorical (A6). Categories beyond the top
-    * `maxCardinality` by frequency collapse into their own exclusion
-    * (they decode as the most frequent value) — the width cap that keeps
-    * the model broadcastable. Value lists are sorted so Spark and any
-    * handwritten oracle enumerate identical unit order (SURVEY §5.3). */
+  /** Fits the layout: one agg pass for numeric min/max (A4) plus ONE
+    * pass for ALL categorical value lists (A6) — explode the (column,
+    * value) pairs, count, rank per column, collect once. Driver
+    * round-trips are independent of column count (round 1 ran one
+    * groupBy-collect per categorical column — k collects for k columns).
+    * Categories beyond the top `maxCardinality` by frequency collapse
+    * into their own exclusion (they decode as the most frequent value) —
+    * the width cap that keeps the model broadcastable. Value lists are
+    * sorted so Spark and any handwritten oracle enumerate identical unit
+    * order (SURVEY §5.3); frequency ties at the cap break by string
+    * order of the value. */
   def fitLayout(df: DataFrame, spec: ImputeSpec): ColumnLayout = {
     val stats: Seq[NumericStats] = if (spec.numeric.isEmpty) Seq.empty else {
       val aggs = spec.numeric.flatMap(c => Seq(min(col(c)), max(col(c))))
@@ -66,14 +71,23 @@ object Encoding {
         NumericStats(c, d(row.get(2 * i)), d(row.get(2 * i + 1)))
       }
     }
-    val cats = spec.categorical.map { c =>
-      val values = df.filter(col(c).isNotNull)
-        .groupBy(col(c)).count()
-        .orderBy(col("count").desc, col(c).asc)
-        .limit(spec.maxCardinality)
-        .select(col(c).cast("string"))
-        .collect().map(_.getString(0)).toSeq.sorted
-      CategoryInfo(c, values)
+    val cats: Seq[CategoryInfo] = if (spec.categorical.isEmpty) Seq.empty else {
+      import org.apache.spark.sql.expressions.Window
+      val entries = spec.categorical.map(c =>
+        struct(lit(c).as("col"), col(c).cast("string").as("v")))
+      val w = Window.partitionBy(col("col"))
+        .orderBy(col("count").desc, col("v").asc)
+      val top = df.select(explode(array(entries: _*)).as("e"))
+        .select(col("e.col").as("col"), col("e.v").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("col"), col("v")).count()
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= spec.maxCardinality)
+        .select("col", "v")
+        .collect()
+      val byCol = top.groupBy(_.getString(0))
+      spec.categorical.map(c => CategoryInfo(c,
+        byCol.getOrElse(c, Array.empty).map(_.getString(1)).toSeq.sorted))
     }
     ColumnLayout(stats, cats)
   }

@@ -138,7 +138,8 @@ object SegmentedImpute {
                   Array(hashNoiseLocal(numKey(r, keyIdx), 9001)))
                 val recon = RbmCore.reconstruct(wts, vin)
                 val filled = recon(0, 0) * range + mn
-                Row.fromSeq(r.toSeq.updated(valueIdx, filled))
+                Row.fromSeq(r.toSeq.updated(valueIdx,
+                  castBack(filled, schema(valueIdx).dataType)))
               }
             }
           }
@@ -146,6 +147,24 @@ object SegmentedImpute {
           def next(): Row = { fill(); out.next() }
         }
       }(rowEnc)
+  }
+
+  /** The output row must carry the DECLARED column type: the schema is
+    * unchanged, so writing a raw Double into a float/int/decimal column
+    * would blow up the row encoder — and only on imputed rows. */
+  private def castBack(v: Double, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType => v
+      case FloatType => v.toFloat
+      case LongType => math.round(v)
+      case IntegerType => math.round(v).toInt
+      case ShortType => math.round(v).toShort
+      case ByteType => math.round(v).toByte
+      case d: DecimalType => new java.math.BigDecimal(v)
+        .setScale(d.scale, java.math.RoundingMode.HALF_UP)
+      case _ => v
+    }
   }
 
   private def num(r: Row, i: Int): Double = r.get(i) match {

@@ -113,8 +113,11 @@ object RbmCore {
       return FitResult(init(nv, cfg), Seq.empty)
     }
     val valX = BM.tabulate(valRows.length, nv)((i, j) => valRows(i)._1(j))
+    // NaN = "no early-stopping signal" (empty holdout): training then
+    // runs to maxEpochs instead of silently stopping after patience+1
+    // epochs on a constant fake 0.0 error
     def valError(w: RbmWeights): Double = {
-      if (valRows.isEmpty) return 0.0
+      if (valRows.isEmpty) return Double.NaN
       val recon = reconstruct(w, valX)
       var se = 0.0; var cnt = 0L
       var i = 0
@@ -127,7 +130,7 @@ object RbmCore {
         }
         i += 1
       }
-      if (cnt == 0) 0.0 else se / cnt
+      if (cnt == 0) Double.NaN else se / cnt
     }
 
     var wts = init(nv, cfg)
@@ -195,7 +198,8 @@ object RbmCore {
       }
       val err = valError(wts)
       errors += err
-      if (err < bestErr - 1e-12) { bestErr = err; best = wts; bad = 0 }
+      if (err.isNaN) { /* no holdout → no early-stop signal */ }
+      else if (err < bestErr - 1e-12) { bestErr = err; best = wts; bad = 0 }
       else bad += 1
       epoch += 1
     }
@@ -248,7 +252,7 @@ object RbmCore {
         }
         i += 1
       }
-      if (cnt == 0) 0.0 else se / cnt
+      if (cnt == 0) Double.NaN else se / cnt
     }
 
     var best = wts
@@ -291,7 +295,8 @@ object RbmCore {
       }
       val err = valError(wts)
       errors += err
-      if (err < bestErr - 1e-12) { bestErr = err; best = wts; bad = 0 }
+      if (err.isNaN) { /* no holdout → no early-stop signal */ }
+      else if (err < bestErr - 1e-12) { bestErr = err; best = wts; bad = 0 }
       else bad += 1
       epoch += 1
     }

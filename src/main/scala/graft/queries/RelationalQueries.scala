@@ -147,6 +147,46 @@ object RelationalQueries extends Registry {
         length(col("p_name")).cast("bigint").as("name_len"),
         regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
         regexp_replace(col("p_brand"), "#\\d+", "").as("brand_stem"))),
+    // B11c: date/time function surface over orders. Date-typed values
+    // are emitted as yyyy-MM-dd strings or timestamps — never DATE
+    // columns — so both engines' pandas dtypes line up for the hash
+    // compare; field extracts cast to bigint on both sides.
+    "b11_datetime_functions" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd")
+          .as("ship_by"),
+        datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate")))
+          .cast("bigint").as("days_to_eoy"),
+        year(col("o_orderdate")).cast("bigint").as("o_year"),
+        quarter(col("o_orderdate")).cast("bigint").as("o_quarter"),
+        month(col("o_orderdate")).cast("bigint").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("o_day"),
+        weekofyear(col("o_orderdate")).cast("bigint").as("iso_week"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"))),
+    // B11d: array + map function surface over part.p_name word lists —
+    // transform/aggregate/sort/contains plus a real map lookup
+    // (map_from_arrays → element_at). Distinct-keyed map (Spark throws
+    // on duplicate map keys under the default dedup policy).
+    "b11_array_map_functions" -> ((s, d) => {
+      val words = split(col("p_name"), " ")
+      val lens = transform(words, w => length(w))
+      val dwords = array_distinct(words)
+      val wordLen = map_from_arrays(dwords, transform(dwords, w => length(w)))
+      val firstSorted = element_at(array_sort(words), 1)
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        size(words).cast("bigint").as("n_words"),
+        aggregate(lens, lit(0), (acc, x) => acc + x).cast("bigint")
+          .as("total_chars"),
+        array_max(lens).cast("bigint").as("longest_word"),
+        firstSorted.as("first_word"),
+        element_at(wordLen, firstSorted).cast("bigint").as("first_word_len"),
+        array_join(array_sort(words), "-").as("sorted_words"),
+        array_contains(words, "green").as("has_green"))
+    }),
     // B5b: exact interpolated percentiles per group (type-7 quantiles,
     // same definition both engines; 4-dp round absorbs interpolation
     // rounding-shape differences).
@@ -278,6 +318,29 @@ object RelationalQueries extends Registry {
             FROM events)
       WHERE k_value IS NOT NULL
       GROUP BY 1, 2""",
+    "b11_datetime_functions" -> """
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS ship_by,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+             CAST(month(o_orderdate) AS BIGINT) AS o_month,
+             CAST(day(o_orderdate) AS BIGINT) AS o_day,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+             date_trunc('month', o_orderdate) AS month_start,
+             CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+      FROM orders""",
+    "b11_array_map_functions" -> """
+      SELECT p_partkey,
+             CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+             CAST(list_aggregate(list_transform(string_split(p_name, ' '), w -> length(w)), 'sum') AS BIGINT) AS total_chars,
+             CAST(list_max(list_transform(string_split(p_name, ' '), w -> length(w))) AS BIGINT) AS longest_word,
+             list_sort(string_split(p_name, ' '))[1] AS first_word,
+             CAST(length(list_sort(string_split(p_name, ' '))[1]) AS BIGINT) AS first_word_len,
+             array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_words,
+             list_contains(string_split(p_name, ' '), 'green') AS has_green
+      FROM part""",
     "b5_percentiles" -> """
       SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.25e0), 4) AS p25,

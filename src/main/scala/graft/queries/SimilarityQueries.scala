@@ -31,10 +31,17 @@ object SimilarityQueries extends Registry {
     "c3_ivf_topk" -> ((s, d) =>
       Cosine.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3, numCentroids = 8)),
-    // C2/north star: embedding-cosine near-dup removal.
+    // C2/north star: embedding-cosine near-dup removal. Projected to
+    // scalar columns — the driver's pandas canonicalization cannot
+    // sort/hash an array<float> column (the one red row of round 1).
+    // Threshold sits above the corpus's random-pair tail (p99.9 ≈ 0.38,
+    // max ≈ 0.51 at sf0.01): round 1's 0.25 was BELOW p99, which chained
+    // a third of all pairs into one giant cluster and "deduped" the
+    // table down to 2 rows.
     "c2_embedding_dedup" -> ((s, d) =>
       graft.dedup.EmbeddingDedup.dedup(Tables.embeddings(s, d), "vec_id",
-        "embedding", dim = 64, threshold = 0.25)),
+        "embedding", dim = 64, threshold = 0.45)
+        .select(col("vec_id"), col("label"))),
   )
 
   /** Shared cosine SQL: round(dot/(|a||b|), 6) with zero-denominator

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object Cosine {
 
   /** Native codegen'd dot product (graft.expressions.DotProduct): a bare
-    * primitive loop over the array buffers — same left-to-right
+    * primitive loop over the two array buffers — same left-to-right
     * accumulation order as the previous `aggregate(zip_with(...))`
     * composition (bit-identical results) without its per-row
     * intermediate array allocation. Built directly as an Expression so
@@ -30,6 +30,17 @@ object Cosine {
     val d = norm(a) * norm(b)
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
+
+  /** (id, unit-normalized vector) projection: after it, cosine costs ONE
+    * dot per pair instead of three (zero vectors pass through unscaled —
+    * their dot with anything is 0, matching cosine's zero-denominator
+    * guard). */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), {
+      val v = col(vecCol).cast("array<double>")
+      val n = norm(v)
+      when(n === 0, v).otherwise(transform(v, x => x / n)).as("__v")
+    })
 
   /** Top-k most similar rows to one query vector (C4). The query row is
     * a one-row broadcast cross-join — the plan is scan → projection →
@@ -80,65 +91,129 @@ object Cosine {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** IVF-style approximate neighbors: a k-means coarse quantizer
-    * (MLlib KMeans over the vectors) assigns every row to a centroid
-    * cell; neighbors are searched within the cell only — the
-    * data-adaptive alternative to random hyperplanes (cells follow the
-    * data's cluster structure). Single-probe: at 100 TB the centroid id
-    * is the physical bucketing key, and multi-probe is a union over
-    * the nProbe nearest cells. */
+  /** IVF-style approximate neighbors with MULTI-PROBE: a k-means coarse
+    * quantizer assigns every vector to its nearest centroid cell (the
+    * physical bucketing key at 100 TB); each QUERY vector probes its
+    * `nProbe` nearest cells, so neighbors sitting just across a cell
+    * border — the single-probe recall cliff — are still found. The
+    * centroid set is tiny and lives in the plan as literals; cell
+    * assignment is a pure projection (argmin over per-centroid squared
+    * distances via array_sort on (dist, idx) structs), so the only
+    * shuffle is the per-cell pair join. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              numCentroids: Int = 16, seed: Long = 42L): DataFrame = {
+              numCentroids: Int = 16, nProbe: Int = 2,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = df.withColumn("__mlvec",
       array_to_vector(col(vecCol).cast("array<double>")))
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(numCentroids).setSeed(seed)
       .setFeaturesCol("__mlvec").setPredictionCol("__cell")
-    val assigned = km.fit(withVec).transform(withVec).drop("__mlvec")
-    selfJoinTopK(assigned, idCol, vecCol, "__cell", k)
+    val centers = km.fit(withVec).clusterCenters.map(_.toArray)
+    val v = col(vecCol).cast("array<double>")
+    // ‖v‖² shared across all centroid distances; ‖c‖² is a literal —
+    // each cell distance costs exactly one dot product
+    val base = df.withColumn("__vv", dot(v, v))
+    val dists = array(centers.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.toIndexedSeq.map(lit): _*)
+      val d = col("__vv") - lit(2.0) * dot(v, cl) + lit(c.map(x => x * x).sum)
+      struct(d.as("d"), lit(i).as("i"))
+    }.toIndexedSeq: _*)
+    val probes = transform(
+      slice(array_sort(dists), 1, math.min(nProbe, numCentroids)),
+      s => s.getField("i"))
+    // index side: every vector lives in exactly its nearest cell;
+    // query side: each vector probes its nProbe nearest cells
+    val indexSide = base.select(element_at(probes, 1).as("__cell"),
+      col(idCol).as("b"), v.as("__vb"))
+    val querySide = base.select(col(idCol).as("a"), v.as("__va"),
+      explode(probes).as("__qcell"))
+    val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
+    querySide.join(indexSide,
+        col("__qcell") === col("__cell") && col("a") =!= col("b"))
+      .withColumn("score", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("a", "b", "score", "rank")
   }
 
-  /** Approximate top-k neighbors via MULTI-TABLE random-hyperplane LSH:
-    * `numTables` independent codes of `numPlanes` bits; candidates share
-    * a bucket in at least one table, are deduped, then scored exactly.
-    * Multi-table is the part that matters: with near-orthogonal
-    * neighbors (cos≈0.2, as in the test embeddings) a single m-bit code
-    * has per-pair recall (1−θ/π)^m ≈ 0.1, while L tables lift it to
-    * 1−(1−p)^L. At 100 TB each table's (table,bucket) key is the
-    * shuffle/bucketing key, and candidate scoring stays per-bucket —
-    * never all-pairs. */
-  def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-              k: Int, numPlanes: Int = 3, numTables: Int = 8,
-              seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** How many hyperplanes a self-sized LSH code uses: enough bits that
+    * the EXPECTED bucket holds ~`targetBucket` rows (buckets/table =
+    * 2^planes ≈ n/targetBucket), clamped to [2, 24]. Fixed small plane
+    * counts (the round-1 bug) give 2³ = 8 buckets at ANY n — candidate
+    * generation degenerates to near-all-pairs as the corpus grows. */
+  def planesFor(n: Long, targetBucket: Int = 32): Int =
+    math.min(24, math.max(2,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt))
+
+  /** Shared ANN substrate: multi-table hyperplane-LSH candidates, scored
+    * exactly. `bothDirections` emits each pair once per ordering (for
+    * per-query top-k) or once with a < b (for dedup edges). */
+  private def annScored(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, numPlanes: Int, numTables: Int,
+                        maxBucket: Int, seed: Long,
+                        bothDirections: Boolean): DataFrame = {
+    val planes =
+      if (numPlanes > 0) numPlanes else planesFor(df.count())
     val buckets = array((0 until numTables).map(t =>
-      lshBucket(col(vecCol), dim, numPlanes, seed + t * 7919)): _*)
+      lshBucket(col(vecCol), dim, planes, seed + t * 7919)): _*)
     val coded = df.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v"),
       posexplode(buckets).as(Seq("__table", "__bucket")))
-    val l = coded.select(col("__table"), col("__bucket"),
-      col("__id").as("a"), col("__v").as("__va"))
-    val r = coded.select(col("__table").as("__t2"), col("__bucket").as("__b2"),
-      col("__id").as("b"), col("__v").as("__vb"))
-    val candidates = l.join(r,
-        col("__table") === col("__t2") && col("__bucket") === col("__b2") &&
-        col("a") =!= col("b"))
+    // degenerate-bucket cap (same role as MinHashDedup's maxBucket),
+    // done as a count-filter + join rather than collect_list so no
+    // single hot bucket can blow an aggregation buffer at scale
+    val sized = coded.groupBy(col("__table"), col("__bucket")).count()
+      .filter(col("count").between(2, maxBucket))
+      .select(col("__table").as("__t"), col("__bucket").as("__b"))
+    val kept = coded.join(sized,
+        col("__table") === col("__t") && col("__bucket") === col("__b"))
+      .select(col("__table"), col("__bucket"), col("__id"))
+    val pairCond = if (bothDirections) col("a") =!= col("b")
+                   else col("a") < col("b")
+    val candidates = kept.select(col("__table"), col("__bucket"), col("__id").as("a"))
+      .join(kept.select(col("__table").as("__t2"), col("__bucket").as("__b2"),
+        col("__id").as("b")),
+        col("__table") === col("__t2") && col("__bucket") === col("__b2") && pairCond)
       .select("a", "b").distinct()
-    // unit-normalize per VECTOR before the pair join: cosine then costs
-    // one dot per pair instead of three (3× on the bench corpus)
-    val vecs = df.select(col(idCol).as("__id"), {
-      val v = col(vecCol).cast("array<double>")
-      val n = norm(v)
-      when(n === 0, v).otherwise(transform(v, x => x / n)).as("__v")
-    })
-    val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
-    // vecs is rows×dim (small relative to the pair set): force broadcast
-    // so the 10⁶-scale candidate pairs never shuffle with arrays attached
+    // score via plain shuffled joins keyed on a/b — NEVER a forced
+    // broadcast of the corpus (round 1 broadcast the full vector table
+    // twice: fine at sf0.1, an executor OOM at 100 TB). AQE still
+    // size-gates an automatic broadcast when the table really is small.
+    val vecs = normalized(df, idCol, vecCol)
     candidates
-      .join(broadcast(vecs.select(col("__id").as("a"), col("__v").as("__va"))), "a")
-      .join(broadcast(vecs.select(col("__id").as("b"), col("__v").as("__vb"))), "b")
+      .join(vecs.select(col("__id").as("a"), col("__v").as("__va")), "a")
+      .join(vecs.select(col("__id").as("b"), col("__v").as("__vb")), "b")
       .withColumn("score", round(dot(col("__va"), col("__vb")), 6))
+      .select("a", "b", "score")
+  }
+
+  /** LSH candidate pairs (a < b) with exact cosine scores and NO
+    * ranking — the dedup-edge shape: candidates → score → caller
+    * thresholds. Skips the per-key row_number sort entirely (round 1
+    * routed dedup through top-k with k = MaxValue, paying a window sort
+    * over every candidate pair just to discard the rank). */
+  def annScoredPairs(df: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, numPlanes: Int = 0, numTables: Int = 8,
+                     maxBucket: Int = 256, seed: Long = 42L): DataFrame =
+    annScored(df, idCol, vecCol, dim, numPlanes, numTables, maxBucket,
+      seed, bothDirections = false)
+
+  /** Approximate top-k neighbors via MULTI-TABLE random-hyperplane LSH:
+    * `numTables` independent codes; candidates share a bucket in at
+    * least one table, are deduped, then scored exactly and ranked per
+    * query id. numPlanes = 0 (default) self-sizes to the corpus
+    * (planesFor), so buckets stay ~constant-size at any n; at 100 TB
+    * each (table, bucket) key is the shuffle/bucketing key and candidate
+    * scoring stays per-bucket — never all-pairs. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              k: Int, numPlanes: Int = 0, numTables: Int = 8,
+              maxBucket: Int = 256, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
+    annScored(df, idCol, vecCol, dim, numPlanes, numTables, maxBucket,
+        seed, bothDirections = true)
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("a", "b", "score", "rank")

@@ -50,6 +50,23 @@ class DedupSpec extends SparkSpec {
     assert(comps(10L) === 10L && comps(11L) === 10L)
   }
 
+  test("connected components converge on a chain longer than round 1's cap, and report status") {
+    import spark.implicits._
+    // a 30-hop chain: min-label propagation moves one hop per round, so
+    // this needs ~30 rounds — round 1's silent maxIter=10 would have
+    // mislabeled the tail without any signal
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, converged, rounds) =
+      MinHashDedup.connectedComponentsConverged(chain)
+    assert(converged, s"chain did not converge in $rounds rounds")
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.forall(_ === 0L), "all chain nodes must share component 0")
+    // an artificially low cap must report non-convergence, not lie
+    val (_, conv2, _) =
+      MinHashDedup.connectedComponentsConverged(chain, maxIter = 3)
+    assert(!conv2, "3 rounds cannot converge a 30-hop chain")
+  }
+
   test("near-dup dedup removes clustered docs but keeps one per cluster") {
     val sample = docs.filter(col("doc_id") < 100)
     val deduped = MinHashDedup.dedup(sample, "doc_id", "text",

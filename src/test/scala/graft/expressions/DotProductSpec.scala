@@ -39,6 +39,21 @@ class DotProductSpec extends SparkSpec {
     assert(out(3).getDouble(0) === 11.0)
   }
 
+  test("nullable even with non-nullable children: literal-array length mismatch and null element → NULL") {
+    // literal arrays are non-nullable children; without `nullable = true`
+    // codegen drops the isNull slot and the mismatch surfaces as 0.0
+    val mismatch = spark.range(1)
+      .select(Cosine.dot(array(lit(1.0), lit(2.0)), array(lit(3.0))).as("d"))
+      .collect()(0)
+    assert(mismatch.isNullAt(0), "length mismatch over literals must be NULL")
+    val nullElem = spark.range(1)
+      .select(Cosine.dot(
+        array(lit(1.0), lit(null).cast("double")),
+        array(lit(3.0), lit(4.0))).as("d"))
+      .collect()(0)
+    assert(nullElem.isNullAt(0), "null element over literals must be NULL")
+  }
+
   test("interpreted eval agrees with codegen") {
     import spark.implicits._
     val df = Seq((Seq(0.5, -1.5, 2.0), Seq(1.0, 2.0, -0.25))).toDF("a", "b")

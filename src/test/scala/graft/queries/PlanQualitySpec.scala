@@ -51,4 +51,16 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("b9_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("ann: no forced broadcast of the vector corpus (scale posture)") {
+    // round 1 pinned broadcast(vecs) on BOTH sides of the scoring join —
+    // at 100 TB the "small side" is the corpus itself. The plan must
+    // carry no broadcast hint; whatever broadcast appears may only come
+    // from AQE's size-gated decision on genuinely small frames.
+    val df = graft.SparkEntry.queries("c3_ann_topk")(spark, sf0001)
+    val analyzed = df.queryExecution.analyzed.toString()
+    assert(!analyzed.contains("ResolvedHint"),
+      "ANN plan carries a broadcast hint:\n" +
+        analyzed.linesIterator.filter(_.contains("Hint")).mkString("\n"))
+  }
 }

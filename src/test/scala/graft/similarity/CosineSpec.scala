@@ -45,7 +45,14 @@ class CosineSpec extends SparkSpec {
       numCentroids = 8).select("a", "b")
     val nExact = exact.count()
     val hit = exact.intersect(ivf).count()
-    assert(hit.toDouble / nExact >= 0.8, s"IVF recall $hit/$nExact")
+    // multi-probe (nProbe=2 default) covers cell-border neighbors that
+    // single-probe missed — the floor rises from round 1's 0.8
+    assert(hit.toDouble / nExact >= 0.9, s"IVF recall $hit/$nExact")
+    // single-probe must never beat multi-probe (sanity on the probe set)
+    val single = Cosine.ivfTopK(df, "vec_id", "embedding", k = 3,
+      numCentroids = 8, nProbe = 1).select("a", "b")
+    val hit1 = exact.intersect(single).count()
+    assert(hit1 <= hit, s"nProbe=1 found $hit1 > nProbe=2's $hit")
 
     // plant exact duplicates; embedding dedup must remove them
     val withDups = df.union(df.limit(50).withColumn("vec_id", col("vec_id") + 1000))
