@@ -13,6 +13,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // dev-only knobs: run a comma-given subset / repeat each query N
+    // times (perf isolation on a noisy host); driver runs use defaults
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
@@ -24,16 +29,23 @@ object Bench {
     // one-time startup cost (measured ~4-8s on the first action)
     spark.range(1000000).selectExpr("sum(id)").collect()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .take(200)
-          false
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .take(200)
+              false
+          }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        if (reps > 1) System.err.println(
+          s"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(", ")}")
+        name -> times.min
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -146,8 +146,11 @@ object MinHashDedup {
     // logical plan per iteration, and Catalyst re-analyzes the WHOLE
     // lineage each round (cache doesn't truncate it) — without the
     // checkpoint, planning time explodes exponentially with maxIter.
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // Checkpoint the edge list BEFORE symmetrizing: a union of `edges`
+    // with its own swap executes the entire upstream candidate+confirm
+    // pipeline TWICE (measured ~2× the whole dedup cost at sf0.1).
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))

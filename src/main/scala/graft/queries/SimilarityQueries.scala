@@ -27,10 +27,11 @@ object SimilarityQueries extends Registry {
       Cosine.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, k = 3)),
     // C3: IVF variant — k-means coarse cells as the data-adaptive
-    // bucketing (recall tested on clustered data in CosineSpec).
+    // bucketing, cells self-sized to ≈√n, multi-probe (recall tested
+    // on clustered data in CosineSpec).
     "c3_ivf_topk" -> ((s, d) =>
       Cosine.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 3, numCentroids = 8)),
+        k = 3)),
     // C2/north star: embedding-cosine near-dup removal. Projected to
     // scalar columns — the driver's pandas canonicalization cannot
     // sort/hash an array<float> column (the one red row of round 1).

@@ -101,38 +101,52 @@ object Cosine {
     * distances via array_sort on (dist, idx) structs), so the only
     * shuffle is the per-cell pair join. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              numCentroids: Int = 16, nProbe: Int = 2,
-              seed: Long = 42L): DataFrame = {
+              numCentroids: Int = 0, nProbe: Int = 2,
+              seed: Long = 42L, fitSample: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.functions.array_to_vector
-    val withVec = df.withColumn("__mlvec",
-      array_to_vector(col(vecCol).cast("array<double>")))
+    val n = df.count()
+    // classic IVF sizing: nlist ≈ √n keeps per-cell pair work ≈ n^1.5
+    // total instead of n²/nlist with a fixed tiny cell count
+    val cells = if (numCentroids > 0) numCentroids
+      else math.max(2, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+    // the coarse quantizer fits on a bounded sample — at 100 TB k-means
+    // never sees the full corpus, only assignment does
+    val fitDf = (if (n <= fitSample) df
+                 else df.sample(fitSample.toDouble / n, seed))
+      .withColumn("__mlvec", array_to_vector(col(vecCol).cast("array<double>")))
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(numCentroids).setSeed(seed)
+      .setK(cells).setSeed(seed)
       .setFeaturesCol("__mlvec").setPredictionCol("__cell")
-    val centers = km.fit(withVec).clusterCenters.map(_.toArray)
+    val centers = km.fit(fitDf).clusterCenters.map(_.toArray)
     val v = col(vecCol).cast("array<double>")
-    // ‖v‖² shared across all centroid distances; ‖c‖² is a literal —
-    // each cell distance costs exactly one dot product
-    val base = df.withColumn("__vv", dot(v, v))
+    // cell assignment is a pure projection: squared Euclidean distance
+    // to each centroid (‖c‖² folds to a literal), argmin via array_sort
+    // over (dist, idx) structs
+    val vv = dot(v, v)
     val dists = array(centers.zipWithIndex.map { case (c, i) =>
       val cl = array(c.toIndexedSeq.map(lit): _*)
-      val d = col("__vv") - lit(2.0) * dot(v, cl) + lit(c.map(x => x * x).sum)
+      val d = vv - lit(2.0) * dot(v, cl) + lit(c.map(x => x * x).sum)
       struct(d.as("d"), lit(i).as("i"))
     }.toIndexedSeq: _*)
     val probes = transform(
-      slice(array_sort(dists), 1, math.min(nProbe, numCentroids)),
+      slice(array_sort(dists), 1, math.min(nProbe, centers.length)),
       s => s.getField("i"))
+    // vectors pre-normalized once: scoring is ONE dot per pair
+    val nrm = norm(v)
+    val unit = when(nrm === 0, v).otherwise(transform(v, x => x / nrm))
+    val base = df.select(col(idCol).as("__id"), unit.as("__v"),
+      probes.as("__probes"))
     // index side: every vector lives in exactly its nearest cell;
     // query side: each vector probes its nProbe nearest cells
-    val indexSide = base.select(element_at(probes, 1).as("__cell"),
-      col(idCol).as("b"), v.as("__vb"))
-    val querySide = base.select(col(idCol).as("a"), v.as("__va"),
-      explode(probes).as("__qcell"))
+    val indexSide = base.select(element_at(col("__probes"), 1).as("__cell"),
+      col("__id").as("b"), col("__v").as("__vb"))
+    val querySide = base.select(col("__id").as("a"), col("__v").as("__va"),
+      explode(col("__probes")).as("__qcell"))
     val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
     querySide.join(indexSide,
         col("__qcell") === col("__cell") && col("a") =!= col("b"))
-      .withColumn("score", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("score", round(dot(col("__va"), col("__vb")), 6))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("a", "b", "score", "rank")
