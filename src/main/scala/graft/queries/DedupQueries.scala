@@ -59,6 +59,13 @@ object DedupQueries extends Registry {
       MinHashDedup.dedup(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.7, shingleSize = 1)
         .select(docCols.map(col): _*)),
+    // C2: winnowing overlap detector (MOSS) — doc pairs sharing ≥ 2
+    // selected fingerprints after the document-frequency cap. The
+    // fingerprint arithmetic is engine-portable (see TextQueries
+    // sqlWinnowFps) so unlike MinHash this near-dup path IS oracled.
+    "c2_winnow_overlap" -> ((s, d) =>
+      graft.text.Winnowing.overlapPairs(Tables.documents(s, d), "doc_id", "text")
+        .select(col("a"), col("b"), col("shared"))),
     // C2: SimHash fingerprints + near pairs at Hamming ≤ 6.
     "c2_simhash_pairs" -> ((s, d) =>
       SimHash.nearPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 6)
@@ -103,6 +110,17 @@ object DedupQueries extends Registry {
         FROM s l JOIN s r ON l.doc_id < r.doc_id)
       SELECT a, b, jaccard FROM j WHERE jaccard >= 0.6e0"""
     },
+    "c2_winnow_overlap" -> s"""
+      WITH ${TextQueries.sqlWinnowFps(8, 4)},
+      rare AS (
+        SELECT fp FROM (SELECT fp, count(*) AS df FROM winnow_f GROUP BY fp)
+        WHERE df BETWEEN 2 AND 16
+      ), kept AS (
+        SELECT f.doc_id, f.fp FROM winnow_f f JOIN rare USING (fp)
+      )
+      SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+      FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 3""",
     // c2_minhash_pairs / c2_minhash_dedup / c2_simhash_pairs: xxhash64-
     // based — no engine-portable SQL; covered by ScalaTest invariants.
   )

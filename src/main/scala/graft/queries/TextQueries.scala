@@ -25,7 +25,42 @@ object TextQueries extends Registry {
          | ELSE list_transform(range(0, len($toks) - $n + 1),
          |        i -> array_to_string(($toks)[i+1:i+$n], ' ')) END""".stripMargin
 
+  /** DuckDB fragment: winnowing fingerprints, one row per (doc_id, fp) —
+    * mirrors graft.text.Winnowing expression-for-expression (Horner
+    * rolling hash base 31 mod 1e9+7 via list_reduce; window minima;
+    * per-doc distinct). Spark sequence(1,n) ↔ DuckDB range(1,n+1). */
+  private[queries] def sqlWinnowFps(k: Int, w: Int): String = s"""
+      winnow_t AS (
+        SELECT doc_id, array_to_string(${sqlToks("text")}, ' ') AS norm
+        FROM documents
+      ), winnow_g AS (
+        SELECT doc_id,
+          CASE WHEN len(norm) < $k THEN CAST([] AS BIGINT[])
+          ELSE list_transform(range(1, len(norm) - $k + 2),
+            i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(i, i + $k),
+                     j -> CAST(ascii(norm[j:j]) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 1000000007)) END AS gh
+        FROM winnow_t
+      ), winnow_f AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+          ELSE list_distinct(list_transform(
+                 range(1, greatest(len(gh) - $w + 1, 1) + 1),
+                 p -> list_min(gh[p:p+${w - 1}]))) END) AS fp
+        FROM winnow_g
+      )"""
+
   val queries: Map[String, Q] = Map(
+    // C5: winnowing document fingerprints (MOSS) — per-doc fingerprint
+    // stats; the fingerprint arithmetic is BIGINT Horner hashing, exact
+    // in both engines.
+    "c5_winnow_fingerprints" -> ((s, d) =>
+      graft.text.Winnowing.fingerprints(Tables.documents(s, d), "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+             min(col("fp")).as("fp_min"),
+             max(col("fp")).as("fp_max"))),
     // C5: corpus statistics per (lang, source).
     "c5_text_stats" -> ((s, d) => {
       val text = col("text")
@@ -93,6 +128,16 @@ object TextQueries extends Registry {
         .agg(count(lit(1)).as("n_docs"),
              round(avg(normUdf(col("tfidf"))), 4).as("mean_tfidf_norm"))
     }),
+    // C5: exact TF-IDF (real vocabulary, no hashing) — top-3 terms per
+    // doc by smoothed tf·idf. Fully relational, so it sits under the
+    // DuckDB oracle (the hashed variant above is rows-only by design).
+    "c5_tfidf_exact" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+      graft.text.TfIdf.exact(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+    }),
     // North-star token accounting: approx-BPE token counts per source.
     "c5_token_counts" -> ((s, d) =>
       Tables.documents(s, d)
@@ -113,6 +158,11 @@ object TextQueries extends Registry {
   }
 
   val oracle: Map[String, String] = Map(
+    "c5_winnow_fingerprints" -> s"""
+      WITH ${sqlWinnowFps(8, 4)}
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+             min(fp) AS fp_min, max(fp) AS fp_max
+      FROM winnow_f GROUP BY doc_id""",
     "c5_text_stats" -> s"""
       WITH t AS (
         SELECT lang, source, ${sqlToks("text")} AS toks, text FROM documents
@@ -179,6 +229,24 @@ object TextQueries extends Registry {
         FROM counted)
       SELECT lang, gram, cnt, CAST(rank AS BIGINT) AS rank
       FROM ranked WHERE rank <= 5""",
+    "c5_tfidf_exact" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(${sqlToks("text")}) AS term FROM documents
+      ), pairs AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+      ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY term
+      ), scored AS (
+        SELECT p.doc_id, p.term, p.tf, d.df,
+          round(CAST(p.tf AS DOUBLE) *
+                ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1.0e0)
+                   / (CAST(d.df AS DOUBLE) + 1.0e0)), 6) AS tfidf
+        FROM pairs p JOIN dfreq d USING (term))
+      SELECT doc_id, term, tf, df, tfidf,
+        CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+      FROM scored QUALIFY rank <= 3""",
     "c5_token_counts" -> s"""
       WITH t AS (SELECT source, ${sqlToks("text")} AS toks FROM documents),
       p AS (SELECT source,
