@@ -233,6 +233,17 @@ object RelationalQueries extends Registry {
              max(col("ts")).as("session_end"),
              sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
     }),
+    // B12c/C10: capped sessions — the batch twin of the custom-state
+    // flatMapGroupsWithState operator (split on inactivity gap OR an
+    // event-count cap, which session_window can't express). The batch
+    // path runs the SAME pure fold as the streaming path, so this
+    // oracle row transitively checks the streaming operator's logic.
+    // 24h gap / 8-event cap: at the test data's event density a 10-min
+    // gap yields near-singleton sessions, so these are sized to make
+    // both split conditions actually fire (max gap-session ~50 events).
+    "b12_capped_sessions" -> ((s, d) =>
+      graft.streaming.StatefulSessions.cappedSessions(Tables.events(s, d),
+        gapMinutes = 1440, maxEvents = 8)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -381,5 +392,41 @@ object RelationalQueries extends Registry {
              min(ts) AS session_start, max(ts) AS session_end,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       FROM sessioned GROUP BY user_id, session_idx""",
+    // Gap-split first (10 min), then cap-split into chunks of 20 events
+    // via integer division on row_number inside each gap session. A
+    // chunk that is not the last of its gap session closed because the
+    // next within-gap event hit the cap -> 'cap'; the last chunk of a
+    // non-final gap session closed on inactivity -> 'gap' (the fold
+    // checks gap before cap, so a capped chunk followed by a beyond-gap
+    // event is 'gap' there too); the user's final chunk -> 'end'.
+    "b12_capped_sessions" -> """
+      WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 86400000000
+               THEN 1 ELSE 0 END AS newsess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessioned AS (
+        SELECT user_id, event_id, ts, value,
+          sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM marked
+      ), chunked AS (
+        SELECT user_id, sess, ts, value,
+          (row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) - 1)
+            // 8 AS chunk
+        FROM sessioned
+      ), agg AS (
+        SELECT user_id, sess, chunk,
+          min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM chunked GROUP BY user_id, sess, chunk)
+      SELECT user_id, session_start, session_end, n_events, session_value,
+        CASE WHEN chunk < max(chunk) OVER (PARTITION BY user_id, sess) THEN 'cap'
+             WHEN sess < max(sess) OVER (PARTITION BY user_id) THEN 'gap'
+             ELSE 'end' END AS closed_by
+      FROM agg""",
   )
 }
