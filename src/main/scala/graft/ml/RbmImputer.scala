@@ -4,8 +4,9 @@ import breeze.linalg.DenseMatrix
 import graft.impute.{ColumnLayout, Encoding, ImputeSpec}
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable,
+  Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StructType}
 
 /** MLlib-style `Estimator`/`Model` pair for RBM-based missing-value
@@ -28,7 +29,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StructType}
   *    1024-row block; encode/merge/decode are Column projections inside
   *    whole-stage codegen.
   */
-class RbmImputer(override val uid: String) extends Estimator[RbmImputerModel] {
+class RbmImputer(override val uid: String) extends Estimator[RbmImputerModel]
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("rbmImputer"))
 
@@ -136,11 +138,16 @@ class RbmImputer(override val uid: String) extends Estimator[RbmImputerModel] {
   override def copy(extra: ParamMap): RbmImputer = defaultCopy(extra)
 }
 
+/** Params-only stage, so stock MLlib persistence applies — makes the
+  * unfitted estimator legal inside `Pipeline.save`. */
+object RbmImputer extends DefaultParamsReadable[RbmImputer]
+
 class RbmImputerModel(
     override val uid: String,
     val layout: ColumnLayout,
     val weights: RbmWeights,
-    val epochErrors: Seq[Double]) extends Model[RbmImputerModel] {
+    val epochErrors: Seq[Double]) extends Model[RbmImputerModel]
+    with MLWritable {
 
   /** Key column is inherited from the estimator via copyValues. */
   final val keyCol = new Param[String](this, "keyCol",
@@ -174,32 +181,15 @@ class RbmImputerModel(
     copyValues(copied, extra).setParent(parent)
   }
 
-  /** Persists the model as one inspectable parquet row (layout, weights,
-    * params). Plain methods instead of MLWritable: the DefaultParams
-    * reader/writer plumbing is private[ml], and a transparent format
-    * beats an opaque one for a 6-column model. */
-  def save(path: String): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    import spark.implicits._
-    Seq(RbmImputerModel.ModelData(
-      uid = uid,
-      keyColName = $(keyCol),
-      numericNames = layout.numerics.map(_.name),
-      numericMins = layout.numerics.map(_.min),
-      numericMaxs = layout.numerics.map(_.max),
-      catNames = layout.categoricals.map(_.name),
-      catValues = layout.categoricals.map(_.values),
-      nVisible = weights.nVisible,
-      nHidden = weights.nHidden,
-      w = weights.w.toArray.toSeq, // column-major
-      vBias = weights.vBias.toArray.toSeq,
-      hBias = weights.hBias.toArray.toSeq,
-      epochErrors = epochErrors))
-      .toDS().write.mode("overwrite").parquet(path)
-  }
+  /** MLlib-standard persistence (`model.write.save(path)`): metadata in
+    * the DefaultParams JSON layout (so `PipelineModel.load` can resolve
+    * this class reflectively — the model is a legal stage of a persisted
+    * MLlib `Pipeline`) plus one inspectable parquet row of structural
+    * state (layout, weights) under `path/data`. */
+  override def write: MLWriter = new RbmImputerModel.Writer(this)
 }
 
-object RbmImputerModel {
+object RbmImputerModel extends MLReadable[RbmImputerModel] {
   private[ml] case class ModelData(
       uid: String, keyColName: String,
       numericNames: Seq[String], numericMins: Seq[Double], numericMaxs: Seq[Double],
@@ -208,9 +198,22 @@ object RbmImputerModel {
       w: Seq[Double], vBias: Seq[Double], hBias: Seq[Double],
       epochErrors: Seq[Double])
 
-  def load(spark: org.apache.spark.sql.SparkSession, path: String): RbmImputerModel = {
-    import spark.implicits._
-    val d = spark.read.parquet(path).as[ModelData].head()
+  private def modelData(m: RbmImputerModel): ModelData = ModelData(
+    uid = m.uid,
+    keyColName = m.getOrDefault(m.keyCol),
+    numericNames = m.layout.numerics.map(_.name),
+    numericMins = m.layout.numerics.map(_.min),
+    numericMaxs = m.layout.numerics.map(_.max),
+    catNames = m.layout.categoricals.map(_.name),
+    catValues = m.layout.categoricals.map(_.values),
+    nVisible = m.weights.nVisible,
+    nHidden = m.weights.nHidden,
+    w = m.weights.w.toArray.toSeq, // column-major
+    vBias = m.weights.vBias.toArray.toSeq,
+    hBias = m.weights.hBias.toArray.toSeq,
+    epochErrors = m.epochErrors)
+
+  private def fromData(d: ModelData): RbmImputerModel = {
     val layout = ColumnLayout(
       d.numericNames.indices.map(i =>
         graft.impute.NumericStats(d.numericNames(i), d.numericMins(i), d.numericMaxs(i))),
@@ -223,4 +226,50 @@ object RbmImputerModel {
     new RbmImputerModel(d.uid, layout, weights, d.epochErrors)
       .setKeyCol(d.keyColName)
   }
+
+  /** Writes `path/metadata` in the exact JSON layout MLlib's (private)
+    * DefaultParamsWriter produces — `{class, timestamp, sparkVersion,
+    * uid, paramMap, defaultParamMap}` — which is what PipelineModel.load
+    * parses to resolve the stage class before dispatching to [[read]].
+    * The helpers themselves are private[ml], but the on-disk layout is
+    * MLlib's cross-version persistence contract. */
+  private class Writer(instance: RbmImputerModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      import org.json4s._
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods._
+      def enc(pp: ParamPair[_]): (String, JValue) =
+        pp.param.name -> parse(pp.param.asInstanceOf[Param[Any]].jsonEncode(pp.value))
+      val metadata: JValue =
+        ("class" -> instance.getClass.getName) ~
+        ("timestamp" -> System.currentTimeMillis()) ~
+        ("sparkVersion" -> sc.version) ~
+        ("uid" -> instance.uid) ~
+        ("paramMap" -> JObject(instance.extractParamMap().toSeq.map(enc).toList)) ~
+        ("defaultParamMap" -> JObject(Nil))
+      sc.parallelize(Seq(compact(render(metadata))), 1)
+        .saveAsTextFile(new org.apache.hadoop.fs.Path(path, "metadata").toString)
+      val spark = sparkSession
+      import spark.implicits._
+      Seq(modelData(instance)).toDS().write
+        .parquet(new org.apache.hadoop.fs.Path(path, "data").toString)
+    }
+  }
+
+  private class Reader extends MLReader[RbmImputerModel] {
+    override def load(path: String): RbmImputerModel = {
+      val spark = sparkSession
+      import spark.implicits._
+      fromData(spark.read
+        .parquet(new org.apache.hadoop.fs.Path(path, "data").toString)
+        .as[ModelData].head())
+    }
+  }
+
+  override def read: MLReader[RbmImputerModel] = new Reader
+  override def load(path: String): RbmImputerModel = super.load(path)
+
+  /** Legacy two-arg loader, kept for callers that pass the session. */
+  def load(spark: SparkSession, path: String): RbmImputerModel =
+    read.load(path)
 }
