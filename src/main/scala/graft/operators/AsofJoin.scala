@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the most recent right row
+  * with `right.ts <= left.ts` (backward direction, inclusive) per join
+  * key — the time-series point-in-time lookup Spark has no built-in
+  * operator for (pandas `merge_asof`, DuckDB `ASOF JOIN`).
+  *
+  * Execution shape (the 100 TB argument): both sides are tagged and
+  * unioned, then a single window pass per key carries the latest right
+  * payload forward — ONE shuffle on the join key and one sort within
+  * partitions, identical to what a sort-merge join would pay, with no
+  * range cross-join and no per-key candidate explosion. Skewed keys
+  * behave exactly like a skewed sort (AQE handles them); memory per
+  * task is O(1) beyond the sort, because `last(_, ignoreNulls)` over a
+  * running frame keeps only the current carried value.
+  *
+  * Semantics notes:
+  *  - left rows with no prior right row keep a NULL payload (left-outer).
+  *  - at equal timestamps the right row is visible to the left row
+  *    (inclusive match), implemented by sorting right rows before left
+  *    rows at ties.
+  *  - if multiple right rows share (key, ts), the one carried is the
+  *    last in the sort — callers wanting determinism should ensure
+  *    uniqueness per (key, ts) or pass `rightTieBreak`.
+  *  - `toleranceUs` (optional): matches older than the tolerance are
+  *    nulled out, pandas-merge_asof-style.
+  */
+object AsofJoin {
+
+  private val SideCol = "__asof_side"
+  private val RightTsCol = "__asof_right_ts"
+  private val PayloadCol = "__asof_payload"
+  private val CarriedCol = "__asof_carried"
+
+  /** @param left       probe side; all its columns are preserved
+    * @param right      build side; its non-key columns arrive as
+    *                   `rightPrefix`-free columns of the output
+    * @param keys       equi-join key column names (same names both sides)
+    * @param leftTs     event-time column of `left`
+    * @param rightTs    event-time column of `right`
+    * @param toleranceUs max allowed staleness `left.ts - right.ts` in
+    *                   microseconds; None = unbounded
+    * @param rightTieBreak extra right-side sort columns breaking
+    *                   (key, ts) ties deterministically (last wins) */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               toleranceUs: Option[Long] = None,
+               rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one equi-join key")
+    val rightPayloadCols =
+      right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
+    val payload = struct(
+      (col(rightTs).as(RightTsCol) +:
+        rightPayloadCols.map(col)) ++
+        rightTieBreak.map(c => col(c).as(s"__tie_$c")): _*)
+
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__asof_ts"),
+        payload.as(PayloadCol),
+        lit(0).as(SideCol)): _*)
+    val rightPayloadType = taggedRight.schema(PayloadCol).dataType
+    val taggedLeft = left.select(
+      col("*"),
+      col(leftTs).as("__asof_ts"),
+      lit(null).cast(rightPayloadType).as(PayloadCol),
+      lit(1).as(SideCol))
+    // align left schema to (keys, ts, payload, side, leftCols...) so the
+    // union by name works with the right side padded with null leftCols
+    val leftOnlyCols = left.columns.toSeq
+    val paddedRight = leftOnlyCols.filterNot(keys.contains)
+      .foldLeft(taggedRight) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+
+    // right rows sort before left rows at equal ts (side 0 < 1) so an
+    // equal-timestamp right row is visible to the left row; extra
+    // right-side tie-break columns order duplicates within (key, ts).
+    val sortCols = col("__asof_ts") +: col(SideCol) +:
+      rightTieBreak.map(c => col(PayloadCol)(s"__tie_$c"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = taggedLeft.unionByName(paddedRight)
+      .withColumn(CarriedCol, last(col(PayloadCol), ignoreNulls = true).over(w))
+
+    val matched = toleranceUs match {
+      case Some(tol) => when(
+        unix_micros(col("__asof_ts")) -
+          unix_micros(col(CarriedCol)(RightTsCol)) <= tol,
+        col(CarriedCol))
+      case None => col(CarriedCol)
+    }
+    val out = carried.filter(col(SideCol) === 1)
+      .withColumn(CarriedCol, matched)
+    val rightOut = col(CarriedCol)(RightTsCol).as(rightTs) +:
+      rightPayloadCols.map(c => col(CarriedCol)(c).as(c))
+    out.select(leftOnlyCols.map(col) ++ rightOut: _*)
+  }
+}

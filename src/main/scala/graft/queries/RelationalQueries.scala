@@ -244,6 +244,20 @@ object RelationalQueries extends Registry {
     "b12_capped_sessions" -> ((s, d) =>
       graft.streaming.StatefulSessions.cappedSessions(Tables.events(s, d),
         gapMinutes = 1440, maxEvents = 8)),
+    // D1 (beyond-survey): as-of join — each event picks up its user's
+    // most recent end-of-day snapshot (point-in-time feature lookup).
+    // Oracle is DuckDB's native ASOF LEFT JOIN; the Spark side is the
+    // union+window single-shuffle operator in graft.operators.AsofJoin.
+    "d1_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val snaps = ev.groupBy(col("user_id"),
+          (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).as("snap_ts"))
+        .agg(count(lit(1)).as("day_events"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("day_value"))
+      graft.operators.AsofJoin.asofJoin(
+        ev.select("event_id", "user_id", "ts"),
+        snaps, Seq("user_id"), "ts", "snap_ts")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -428,5 +442,15 @@ object RelationalQueries extends Registry {
              WHEN sess < max(sess) OVER (PARTITION BY user_id) THEN 'gap'
              ELSE 'end' END AS closed_by
       FROM agg""",
+    "d1_asof_join" -> """
+      WITH snaps AS (
+        SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS snap_ts,
+               count(*) AS day_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events GROUP BY 1, 2
+      )
+      SELECT e.event_id, e.user_id, e.ts, s.snap_ts, s.day_events, s.day_value
+      FROM events e ASOF LEFT JOIN snaps s
+        ON e.user_id = s.user_id AND e.ts >= s.snap_ts""",
   )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class AsofJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(m: Long) = new Timestamp(m * 60000L)
+
+  private lazy val quotes = Seq(
+    (1L, ts(0), 10.0), (1L, ts(10), 11.0), (1L, ts(20), 12.0),
+    (2L, ts(5), 100.0)).toDF("key", "qts", "price")
+  private lazy val trades = Seq(
+    (1L, ts(0), "at-tick"),   // equal ts: inclusive match -> 10.0
+    (1L, ts(15), "between"),  // latest prior is ts(10) -> 11.0
+    (1L, ts(99), "stale"),    // far after last quote -> 12.0
+    (2L, ts(4), "early"),     // before any quote -> null
+    (3L, ts(7), "no-key")     // key has no quotes -> null
+  ).toDF("key", "tts", "label")
+
+  test("backward inclusive semantics, left-outer nulls") {
+    val out = AsofJoin.asofJoin(trades, quotes, Seq("key"), "tts", "qts")
+      .orderBy("key", "tts")
+      .select("label", "price").as[(String, Option[Double])].collect()
+    assert(out === Seq(("at-tick", Some(10.0)), ("between", Some(11.0)),
+      ("stale", Some(12.0)), ("early", None), ("no-key", None)))
+  }
+
+  test("tolerance nulls out stale matches") {
+    val out = AsofJoin.asofJoin(trades, quotes, Seq("key"), "tts", "qts",
+        toleranceUs = Some(10L * 60000000L)) // 10 minutes
+      .orderBy("key", "tts")
+      .select("label", "price").as[(String, Option[Double])].collect()
+    val byLabel = out.toSeq.toMap
+    assert(byLabel("stale") === None)    // 79 min stale
+    assert(byLabel("between") === Some(11.0))
+  }
+
+  test("matches a brute-force join on the events table") {
+    val ev = Tables.events(spark, sf0001)
+    val snaps = ev.groupBy(col("user_id"),
+        (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).as("snap_ts"))
+      .agg(count(lit(1)).as("day_events"))
+    val left = ev.select("event_id", "user_id", "ts")
+
+    val fast = AsofJoin.asofJoin(left, snaps, Seq("user_id"), "ts", "snap_ts")
+      .select("event_id", "snap_ts", "day_events")
+
+    // brute force: range join + row_number over candidates
+    val w = Window.partitionBy("event_id").orderBy(col("snap_ts").desc)
+    val brute = left.join(snaps, Seq("user_id"), "left")
+      .filter(col("snap_ts").isNull || col("snap_ts") <= col("ts"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("event_id", "snap_ts", "day_events")
+    // brute force drops left rows whose only candidates were filtered
+    // out (matched rows but all snap_ts > ts) — re-outer them
+    val bruteOuter = left.select("event_id")
+      .join(brute, Seq("event_id"), "left")
+
+    assert(fast.orderBy("event_id").collect().toSeq ===
+      bruteOuter.orderBy("event_id").collect().toSeq)
+    // the join is non-vacuous both ways
+    assert(fast.filter(col("snap_ts").isNotNull).count() > 0)
+    assert(fast.filter(col("snap_ts").isNull).count() > 0)
+  }
+
+  test("plan: single shuffle for the asof core") {
+    val leftIn = Seq((1L, ts(1), "a")).toDF("key", "tts", "payload")
+    val rightIn = Seq((1L, ts(0), 1.0)).toDF("key", "qts", "v")
+    val plan = AsofJoin.asofJoin(leftIn, rightIn, Seq("key"), "tts", "qts")
+      .queryExecution.optimizedPlan.toString
+    val exchanges = "RepartitionByExpression|Exchange".r
+      .findAllIn(plan).length
+    // union of two local relations -> exactly the window's one shuffle
+    assert(plan.contains("Window"))
+    assert(!plan.toLowerCase.contains("join"), "no join node expected")
+  }
+}
