@@ -115,8 +115,11 @@ object Cosine {
     val fitDf = (if (n <= fitSample) df
                  else df.sample(fitSample.toDouble / n, seed))
       .withColumn("__mlvec", array_to_vector(col(vecCol).cast("array<double>")))
+    // a coarse quantizer needs rough cells, not converged ones — cap the
+    // Lloyd iterations (IVF recall comes from multi-probe, not centroid
+    // polish; FAISS trains its quantizer the same way)
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(seed)
+      .setK(cells).setSeed(seed).setMaxIter(8).setTol(1e-3)
       .setFeaturesCol("__mlvec").setPredictionCol("__cell")
     val centers = km.fit(fitDf).clusterCenters.map(_.toArray)
     val v = col(vecCol).cast("array<double>")
