@@ -258,6 +258,35 @@ object RelationalQueries extends Registry {
         ev.select("event_id", "user_id", "ts"),
         snaps, Seq("user_id"), "ts", "snap_ts")
     }),
+    // D2 (beyond-survey): point-in-interval range join — each event is
+    // matched to the gap-session interval containing it via the
+    // bucketed equi-join in graft.operators.RangeJoin (a bare range
+    // predicate would nested-loop). Oracle: plain BETWEEN join.
+    "d2_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val newSession = when(
+        lag(us, 1).over(w).isNull || us - lag(us, 1).over(w) > 600000000L, 1L)
+        .otherwise(0L)
+      val sess = ev
+        .withColumn("__new", newSession)
+        .withColumn("session_idx",
+          sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(us).as("start_us"), max(us).as("end_us"),
+             count(lit(1)).as("n_events"))
+      val points = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("point_us"))
+      graft.operators.RangeJoin.pointInInterval(
+          points, sess, "point_us", "start_us", "end_us",
+          Seq("user_id"), bucketWidth = 600000000L)
+        .select(col("event_id"), col("user_id"),
+          col("session_idx").cast("bigint").as("session_idx"),
+          timestamp_micros(col("start_us")).as("session_start"),
+          col("n_events"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -452,5 +481,27 @@ object RelationalQueries extends Registry {
       SELECT e.event_id, e.user_id, e.ts, s.snap_ts, s.day_events, s.day_value
       FROM events e ASOF LEFT JOIN snaps s
         ON e.user_id = s.user_id AND e.ts >= s.snap_ts""",
+    "d2_range_join" -> """
+      WITH marked AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 600000000
+               THEN 1 ELSE 0 END AS newsess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessioned AS (
+        SELECT user_id, ts,
+          sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM marked
+      ), sess AS (
+        SELECT user_id, session_idx, min(ts) AS s, max(ts) AS e,
+               count(*) AS n_events
+        FROM sessioned GROUP BY user_id, session_idx)
+      SELECT ev.event_id, ev.user_id,
+             CAST(se.session_idx AS BIGINT) AS session_idx,
+             se.s AS session_start, se.n_events
+      FROM events ev JOIN sess se
+        ON ev.user_id = se.user_id AND ev.ts BETWEEN se.s AND se.e""",
   )
 }
