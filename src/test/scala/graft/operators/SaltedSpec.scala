@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SaltedSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 90% of rows on one hot key, the rest spread out
+  private lazy val skewed = spark.range(10000)
+    .select(
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("key"),
+      (col("id") * 3 % 100).cast("double").as("v"))
+
+  test("saltedAgg equals plain aggregation") {
+    val plain = skewed.groupBy("key")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"), max("v").as("mx"))
+    val salted = Salted.saltedAgg(skewed, Seq("key"), saltFactor = 16,
+      partial = Seq(sum("v").as("sv"), count(lit(1)).as("n"), max("v").as("mx")),
+      merge = Seq(sum("sv").as("sv"), sum("n").as("n"), max("mx").as("mx")))
+    assert(salted.orderBy("key").collect().toSeq ===
+      plain.orderBy("key").collect().toSeq)
+    // the hot key really was spread: phase 1 produced multiple partials
+    val phase1Groups = skewed
+      .withColumn("__s", pmod(xxhash64(col("key"), col("v")), lit(16)))
+      .filter(col("key") === 7L).select("__s").distinct().count()
+    assert(phase1Groups > 1)
+  }
+
+  test("saltedJoin equals plain join") {
+    val dim = Seq((7L, "hot"), (10L, "cold"), (999L, "nokey"))
+      .toDF("key", "label")
+    val plain = skewed.join(dim, Seq("key"))
+      .select("key", "v", "label")
+    val salted = Salted.saltedJoin(skewed, dim, Seq("key"), saltFactor = 8)
+      .select("key", "v", "label")
+    assert(salted.orderBy("key", "v").collect().toSeq ===
+      plain.orderBy("key", "v").collect().toSeq)
+    assert(salted.count() === plain.count())
+  }
+}
