@@ -63,6 +63,35 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Resize stub: decimate the payload to ≈`targetBytes` by keeping
+    * every k-th byte (k = ceil(len/target)) — the partition-local,
+    * shuffle-free shape of an image resize (a real one decodes, scales,
+    * re-encodes inside the same batch loop; the codec is the only
+    * missing piece in this container). Output is `resized: binary`
+    * alongside the original payload so downstream can pick either. */
+  def resize(assets: DataFrame, targetBytes: Int = 256,
+             batchSize: Int = 256): DataFrame = {
+    require(targetBytes > 0)
+    val schema = assets.schema.add("resized",
+      org.apache.spark.sql.types.BinaryType)
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    assets.mapPartitions { it: Iterator[Row] =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val p = row.getAs[Array[Byte]](payloadIdx)
+          val out =
+            if (p == null) null
+            else if (p.length <= targetBytes) p
+            else {
+              val k = math.ceil(p.length.toDouble / targetBytes).toInt
+              p.indices.collect { case i if i % k == 0 => p(i) }.toArray
+            }
+          Row.fromSeq(row.toSeq :+ out)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Frame/segment sampling stub: every `stride`-th slice of
     * `frameBytes` bytes — the partition-local slicing shape of video
     * frame sampling, minus the codec. */

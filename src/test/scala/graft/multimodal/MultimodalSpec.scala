@@ -35,4 +35,15 @@ class MultimodalSpec extends SparkSpec {
     val framed = Multimodal.sampleFrames(assets)
     assert(framed.filter(size(col("frames")) < 1).count() === 0)
   }
+
+  test("resize bounds payload size and keeps small payloads intact") {
+    val resized = Multimodal.resize(assets, targetBytes = 100)
+    // decimation by ceil(len/target) keeps at most target bytes
+    assert(resized.filter(length(col("resized")) > 100).count() === 0)
+    assert(resized.filter(length(col("resized")) < 1).count() === 0)
+    // payloads already under target pass through byte-identical
+    val small = resized.filter(length(col("payload")) <= 100)
+    assert(small.filter(col("resized") =!= col("payload")).count() === 0)
+    assert(resized.count() === assets.count())
+  }
 }
