@@ -5,15 +5,19 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-/** Session extensions registering graft's native Catalyst functions —
+/** Session extensions registering graft's native Catalyst surface —
   * the documented public injection point (`spark.sql.extensions=
   * graft.GraftExtensions` or `SparkSession.builder.withExtensions`).
-  * Currently one function, added only where composition of built-ins
+  * Kept deliberately small, added only where composition of built-ins
   * measurably loses (SURVEY §4.2 said "no custom Catalyst required" —
-  * correct for capability; this is a performance escalation on the
-  * similarity hot path):
+  * correct for capability; these are performance escalations):
   *
-  *  - `graft_dot(array<double>, array<double>) → double`
+  *  - `graft_dot(array<double>, array<double>) → double` — codegen'd
+  *    dot product on the similarity hot path.
+  *  - [[graft.plans.RangeJoinRewrite]] — opt-in optimizer rule
+  *    (enabled by setting `spark.graft.rangeJoin.bucketWidth`) that
+  *    turns BETWEEN theta-joins into bucketed equi-joins instead of
+  *    per-key nested loops.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -24,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
