@@ -59,4 +59,23 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** End-to-end archive sink (SURVEY C9's readStream → transform →
+    * `foreachBatch` shape): watermark-bounded dedup, then every
+    * micro-batch appends date-partitioned parquet — the layout
+    * `sources.TableSink` reads back with partition pruning. Returned
+    * writer still needs `.option("checkpointLocation", ...).start()`,
+    * which is what makes the append idempotent across restarts (a
+    * replayed batch re-appends, so exactly-once delivery at rest comes
+    * from the checkpoint + dedup pairing, the standard contract for
+    * file sinks driven through foreachBatch). */
+  def archiveDeduped(events: DataFrame, outPath: String,
+                     watermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    dedupWithinWatermark(events, watermark)
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("event_date").parquet(outPath)
+      }
 }

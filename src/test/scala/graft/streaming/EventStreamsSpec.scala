@@ -49,6 +49,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream.collect().toSeq === batch.collect().toSeq)
   }
 
+  test("file-source ingest -> dedup -> foreachBatch partitioned archive") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_archive").toString
+    // stream input: the events table plus 100 duplicated rows, as files
+    batchEvents.write.parquet(s"$dir/in")
+    batchEvents.limit(100).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(s"$dir/in")
+    val q = EventStreams.archiveDeduped(stream, s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() === batchEvents.count()) // dups dropped
+    assert(out.groupBy("event_id").count().filter(col("count") > 1).count() === 0)
+    // hive-style date partitions actually materialized
+    val partDirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+    assert(partDirs.length > 1)
+  }
+
   test("stateful dedup keeps one row per event_id") {
     val withDups = batchEvents.union(batchEvents.limit(100))
     implicit val sqlCtx = spark.sqlContext
