@@ -176,8 +176,14 @@ object Cosine {
       if (numPlanes > 0) numPlanes else planesFor(df.count())
     val buckets = array((0 until numTables).map(t =>
       lshBucket(col(vecCol), dim, planes, seed + t * 7919)): _*)
+    // materialize the bucket codes once: they feed BOTH the bucket-size
+    // census and the kept-join, and each code costs numTables × planes
+    // dot products per row — without the checkpoint the whole LSH
+    // projection runs twice (and the optimizer cannot CSE across the
+    // aggregate boundary)
     val coded = df.select(col(idCol).as("__id"),
       posexplode(buckets).as(Seq("__table", "__bucket")))
+      .localCheckpoint()
     // degenerate-bucket cap (same role as MinHashDedup's maxBucket),
     // done as a count-filter + join rather than collect_list so no
     // single hot bucket can blow an aggregation buffer at scale
@@ -198,7 +204,10 @@ object Cosine {
     // broadcast of the corpus (round 1 broadcast the full vector table
     // twice: fine at sf0.1, an executor OOM at 100 TB). AQE still
     // size-gates an automatic broadcast when the table really is small.
-    val vecs = normalized(df, idCol, vecCol)
+    // Normalization (norm = one dot per row) is materialized once for
+    // the same reason as `coded` above: it feeds both the a- and b-side
+    // scoring joins.
+    val vecs = normalized(df, idCol, vecCol).localCheckpoint()
     candidates
       .join(vecs.select(col("__id").as("a"), col("__v").as("__va")), "a")
       .join(vecs.select(col("__id").as("b"), col("__v").as("__vb")), "b")
