@@ -108,8 +108,12 @@ object MinHashDedup {
                      shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
     val pairs = candidatePairs(df, idCol, textCol, numHashes, bands, shingleSize,
       seed = seed)
+    // materialized once: the shingle arrays feed BOTH the a- and b-side
+    // joins, and re-shingling the corpus is the dominant repeated cost
+    // (same pattern as the ANN bucket-code checkpoint in Cosine)
     val sh = df.select(col(idCol),
       array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
+      .localCheckpoint()
     pairs
       .join(sh.select(col(idCol).as("a"), col("__sh").as("__sha")), "a")
       .join(sh.select(col(idCol).as("b"), col("__sh").as("__shb")), "b")
