@@ -44,7 +44,10 @@ object Bench {
         }
         if (reps > 1) System.err.println(
           s"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(", ")}")
-        name -> times.min
+        // best SUCCESSFUL rep; -1 (and an errors entry) only when every
+        // rep failed — one transient failure must not mask real timings
+        val ok = times.filter(_ >= 0)
+        name -> (if (ok.nonEmpty) ok.min else -1.0)
       }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""

@@ -37,8 +37,9 @@ object AsofJoin {
   private val CarriedCol = "__asof_carried"
 
   /** @param left       probe side; all its columns are preserved
-    * @param right      build side; its non-key columns arrive as
-    *                   `rightPrefix`-free columns of the output
+    * @param right      build side; its ts and non-key columns arrive
+    *                   under their own names, suffixed `_right` when
+    *                   the name collides with a left column
     * @param keys       equi-join key column names (same names both sides)
     * @param leftTs     event-time column of `left`
     * @param rightTs    event-time column of `right`
@@ -97,8 +98,14 @@ object AsofJoin {
     }
     val out = carried.filter(col(SideCol) === 1)
       .withColumn(CarriedCol, matched)
-    val rightOut = col(CarriedCol)(RightTsCol).as(rightTs) +:
-      rightPayloadCols.map(c => col(CarriedCol)(c).as(c))
+    // pandas-merge_asof-style disambiguation: a carried right column
+    // whose name collides with a left column (e.g. both sides call
+    // their event time "ts") comes back suffixed — a duplicate name
+    // would make every downstream reference AMBIGUOUS_REFERENCE
+    def outName(c: String): String =
+      if (leftOnlyCols.contains(c)) c + "_right" else c
+    val rightOut = col(CarriedCol)(RightTsCol).as(outName(rightTs)) +:
+      rightPayloadCols.map(c => col(CarriedCol)(c).as(outName(c)))
     out.select(leftOnlyCols.map(col) ++ rightOut: _*)
   }
 }

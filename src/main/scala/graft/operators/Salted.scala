@@ -30,14 +30,19 @@ object Salted {
 
   private val SaltCol = "__salt"
 
-  /** Deterministic per-row salt: hash over ALL columns of the row and
-    * the partition-local position via `spark_partition_id` is avoided —
-    * `rand` with a fixed seed is partition-stable in Spark only per
-    * plan, so instead use xxhash64 over the full row, which spreads
-    * identical-key rows whenever any other column differs (the common
-    * case for fact rows). */
-  private def salt(df: DataFrame, saltFactor: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
+  /** Per-row salt: xxhash64 over the full row MIXED WITH a per-row
+    * physical component (partition id + partition-local position). The
+    * row-content hash alone would send byte-identical rows — exactly
+    * the heavy-duplicate hot keys salting exists for — to ONE salt
+    * value, silently disabling the spread. The physical component
+    * guarantees spread even for identical rows; it makes the salt
+    * assignment non-deterministic across runs, which is harmless here
+    * because any assignment yields the same aggregate/join result (the
+    * salt never escapes the operator). */
+  private[operators] def salt(df: DataFrame, saltFactor: Int): Column =
+    pmod(xxhash64(
+      (df.columns.map(col) :+ spark_partition_id().cast("long") :+
+        monotonically_increasing_id()).toIndexedSeq: _*), lit(saltFactor))
 
   /** Two-phase skew-safe aggregation.
     * @param partial per-column phase-1 aggregates over raw rows

@@ -133,10 +133,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val iBucketAttr =
         AttributeReference(BucketName + "_i", LongType, nullable = false)()
       // Sequence is TimeZoneAwareExpression: post-analysis plans must
-      // carry the zone themselves or the node reports unresolved
+      // carry the zone themselves or the node reports unresolved. The
+      // step is deliberately OMITTED: an explicit step of 1 makes an
+      // inverted interval (lo > hi — matches nothing, but must not
+      // crash) throw 'Illegal sequence boundaries', while the default
+      // step follows the boundary direction; the kept BETWEEN conjunct
+      // filters every row such an interval generates.
       val gen = Generate(
         Explode(new Sequence(bucketOf(lo, width), bucketOf(hi, width),
-          Some(Literal(1L)), Some(conf.sessionLocalTimeZone))),
+          None, Some(conf.sessionLocalTimeZone))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(iBucketAttr), intervalSide)
 

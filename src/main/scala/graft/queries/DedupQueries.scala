@@ -59,8 +59,9 @@ object DedupQueries extends Registry {
       MinHashDedup.dedup(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.7, shingleSize = 1)
         .select(docCols.map(col): _*)),
-    // C2: winnowing overlap detector (MOSS) — doc pairs sharing ≥ 2
-    // selected fingerprints after the document-frequency cap. The
+    // C2: winnowing overlap detector (MOSS) — doc pairs sharing at
+    // least Winnowing.overlapPairs' default minShared selected
+    // fingerprints after the document-frequency cap. The
     // fingerprint arithmetic is engine-portable (see TextQueries
     // sqlWinnowFps) so unlike MinHash this near-dup path IS oracled.
     "c2_winnow_overlap" -> ((s, d) =>

@@ -435,13 +435,13 @@ object RelationalQueries extends Registry {
              min(ts) AS session_start, max(ts) AS session_end,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       FROM sessioned GROUP BY user_id, session_idx""",
-    // Gap-split first (10 min), then cap-split into chunks of 20 events
+    // Gap-split first (24h), then cap-split into chunks of 8 events
     // via integer division on row_number inside each gap session. A
     // chunk that is not the last of its gap session closed because the
-    // next within-gap event hit the cap -> 'cap'; the last chunk of a
-    // non-final gap session closed on inactivity -> 'gap' (the fold
-    // checks gap before cap, so a capped chunk followed by a beyond-gap
-    // event is 'gap' there too); the user's final chunk -> 'end'.
+    // next within-gap event hit the cap -> 'cap'; every other chunk
+    // closed because the gap elapsed -> 'gap' (the fold checks gap
+    // before cap, and tail flush / streaming timeout carry the same
+    // 'gap' label — there is no separate 'end', see CappedSession).
     "b12_capped_sessions" -> """
       WITH marked AS (
         SELECT user_id, event_id, ts, value,
@@ -468,8 +468,7 @@ object RelationalQueries extends Registry {
         FROM chunked GROUP BY user_id, sess, chunk)
       SELECT user_id, session_start, session_end, n_events, session_value,
         CASE WHEN chunk < max(chunk) OVER (PARTITION BY user_id, sess) THEN 'cap'
-             WHEN sess < max(sess) OVER (PARTITION BY user_id) THEN 'gap'
-             ELSE 'end' END AS closed_by
+             ELSE 'gap' END AS closed_by
       FROM agg""",
     "d1_asof_join" -> """
       WITH snaps AS (

@@ -31,16 +31,19 @@ object Cosine {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  /** (id, unit-normalized vector) projection: after it, cosine costs ONE
-    * dot per pair instead of three (zero vectors pass through unscaled —
+  /** Unit-normalization expression (zero vectors pass through unscaled —
     * their dot with anything is 0, matching cosine's zero-denominator
     * guard). */
+  private def unitExpr(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0, v).otherwise(transform(v, x => x / n))
+  }
+
+  /** (id, unit-normalized vector) projection: after it, cosine costs ONE
+    * dot per pair instead of three. */
   private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("__id"), {
-      val v = col(vecCol).cast("array<double>")
-      val n = norm(v)
-      when(n === 0, v).otherwise(transform(v, x => x / n)).as("__v")
-    })
+    df.select(col(idCol).as("__id"),
+      unitExpr(col(vecCol).cast("array<double>")).as("__v"))
 
   /** Top-k most similar rows to one query vector (C4). The query row is
     * a one-row broadcast cross-join — the plan is scan → projection →
@@ -135,11 +138,13 @@ object Cosine {
     val probes = transform(
       slice(array_sort(dists), 1, math.min(nProbe, centers.length)),
       s => s.getField("i"))
-    // vectors pre-normalized once: scoring is ONE dot per pair
-    val nrm = norm(v)
-    val unit = when(nrm === 0, v).otherwise(transform(v, x => x / nrm))
-    val base = df.select(col(idCol).as("__id"), unit.as("__v"),
-      probes.as("__probes"))
+    // probes come from the RAW vector (k-means was fit on raw vectors);
+    // scoring uses the unit vector. Both plus the argmin over `cells`
+    // per-centroid distances are the dominant per-row cost, and `base`
+    // feeds BOTH sides of the cell self-join — materialize it once
+    // (same pattern as annScored)
+    val base = df.select(col(idCol).as("__id"), unitExpr(v).as("__v"),
+      probes.as("__probes")).localCheckpoint()
     // index side: every vector lives in exactly its nearest cell;
     // query side: each vector probes its nProbe nearest cells
     val indexSide = base.select(element_at(col("__probes"), 1).as("__cell"),

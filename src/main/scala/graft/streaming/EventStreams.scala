@@ -62,20 +62,28 @@ object EventStreams {
 
   /** End-to-end archive sink (SURVEY C9's readStream → transform →
     * `foreachBatch` shape): watermark-bounded dedup, then every
-    * micro-batch appends date-partitioned parquet — the layout
+    * micro-batch lands as date-partitioned parquet — the layout
     * `sources.TableSink` reads back with partition pruning. Returned
-    * writer still needs `.option("checkpointLocation", ...).start()`,
-    * which is what makes the append idempotent across restarts (a
-    * replayed batch re-appends, so exactly-once delivery at rest comes
-    * from the checkpoint + dedup pairing, the standard contract for
-    * file sinks driven through foreachBatch). */
+    * writer still needs `.option("checkpointLocation", ...).start()`.
+    *
+    * Replay safety: foreachBatch re-executes a batch whose checkpoint
+    * commit was lost, so a blind append would double that batch's rows.
+    * Each batch therefore writes under its own `__batch_id` partition
+    * with DYNAMIC partition overwrite — a replayed batch replaces
+    * exactly the (event_date, __batch_id) partitions it wrote before,
+    * never touching other batches: idempotent per batch, the standard
+    * foreachBatch file-sink contract. */
   def archiveDeduped(events: DataFrame, outPath: String,
                      watermark: String = "1 hour")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     dedupWithinWatermark(events, watermark)
       .withColumn("event_date", to_date(col("ts")))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("event_date").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_date", "__batch_id")
+          .parquet(outPath)
       }
 }

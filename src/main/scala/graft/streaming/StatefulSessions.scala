@@ -21,8 +21,16 @@ case class SessionEvent(event_id: Long, user_id: Long, ts: Timestamp,
   * (timestamps as epoch micros, value as integer cents). */
 case class OpenSession(start: Long, last: Long, n: Long, cents: Long)
 
-/** Emitted session. `closed_by`: "gap" (inactivity split), "cap" (event
-  * -count split) or "end" (no further events / event-time timeout). */
+/** Emitted session. `closed_by`: "cap" = the next within-gap event hit
+  * the event-count cap; "gap" = the inactivity gap elapsed — whether
+  * observed by a following event (batch and streaming), by event-time
+  * timeout (streaming), or at end-of-data (batch tail flush: no more
+  * events means the gap elapsed too). There is deliberately NO separate
+  * "end" label: a streaming timeout cannot know whether a later event
+  * exists, so an end/gap distinction would make the same input rows
+  * label differently across trigger boundaries — with the unified
+  * label, batch equivalence holds per session regardless of how events
+  * split across triggers. */
 case class CappedSession(user_id: Long, start_us: Long, end_us: Long,
                          n_events: Long, session_value: Double,
                          closed_by: String)
@@ -82,7 +90,8 @@ object StatefulSessions {
   /** Capped sessions over `events` (needs event_id, user_id, ts, value).
     * Streaming input → `flatMapGroupsWithState` with event-time timeout;
     * batch input → `flatMapGroups` over the same fold (open tails are
-    * flushed as "end", which the streaming side emits on timeout).
+    * flushed as "gap", the same label the streaming side emits on
+    * timeout — see [[CappedSession]] for why the labels unify).
     * Events are ordered by (ts_us, event_id) inside each group, so
     * output is deterministic; streaming equivalence assumes per-user
     * event-time order across triggers within the watermark horizon (the
@@ -108,7 +117,9 @@ object StatefulSessions {
             (uid: Long, it: Iterator[SessionEvent],
              state: GroupState[OpenSession]) =>
               if (state.hasTimedOut) {
-                val tail = state.getOption.map(emit(uid, _, "end"))
+                // timeout == the gap elapsed: same label a following
+                // beyond-gap event would have produced
+                val tail = state.getOption.map(emit(uid, _, "gap"))
                 state.remove()
                 tail.iterator
               } else {
@@ -134,7 +145,8 @@ object StatefulSessions {
             val sorted = it.toIndexedSeq
               .sortBy(e => (e.ts_us, e.event_id)).iterator
             val (closed, open) = foldEvents(sorted, None, gapUs, maxEvents)
-            (closed ++ open.map(emit(uid, _, "end"))).iterator
+            // tail flush: no further events, so the gap elapsed
+            (closed ++ open.map(emit(uid, _, "gap"))).iterator
         }
     out.toDF()
       .withColumn("session_start", timestamp_micros(col("start_us")))

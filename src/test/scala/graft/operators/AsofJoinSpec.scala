@@ -72,12 +72,26 @@ class AsofJoinSpec extends SparkSpec {
   test("plan: single shuffle for the asof core") {
     val leftIn = Seq((1L, ts(1), "a")).toDF("key", "tts", "payload")
     val rightIn = Seq((1L, ts(0), 1.0)).toDF("key", "qts", "v")
-    val plan = AsofJoin.asofJoin(leftIn, rightIn, Seq("key"), "tts", "qts")
-      .queryExecution.optimizedPlan.toString
-    val exchanges = "RepartitionByExpression|Exchange".r
-      .findAllIn(plan).length
-    // union of two local relations -> exactly the window's one shuffle
-    assert(plan.contains("Window"))
-    assert(!plan.toLowerCase.contains("join"), "no join node expected")
+    val df = AsofJoin.asofJoin(leftIn, rightIn, Seq("key"), "tts", "qts")
+    df.collect() // finalize the adaptive plan before counting exchanges
+    // AQE's toString prints the final AND initial plans — count
+    // shuffles in the final section only
+    val physical = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(physical).length
+    assert(shuffles === 1, s"expected the window's single shuffle:\n$physical")
+    assert(physical.contains("Window"))
+    assert(!physical.toLowerCase.contains("join"), "no join node expected")
+  }
+
+  test("colliding column names come back suffixed _right") {
+    val leftIn = Seq((1L, ts(10), "a")).toDF("key", "ts", "label")
+    val rightIn = Seq((1L, ts(0), "b")).toDF("key", "ts", "label")
+    val out = AsofJoin.asofJoin(leftIn, rightIn, Seq("key"), "ts", "ts")
+    assert(out.columns.toSeq ===
+      Seq("key", "ts", "label", "ts_right", "label_right"))
+    val row = out.collect()(0)
+    assert(row.getAs[Timestamp]("ts_right") === ts(0))
+    assert(row.getAs[String]("label_right") === "b")
   }
 }

@@ -23,9 +23,23 @@ class SaltedSpec extends SparkSpec {
       plain.orderBy("key").collect().toSeq)
     // the hot key really was spread: phase 1 produced multiple partials
     val phase1Groups = skewed
-      .withColumn("__s", pmod(xxhash64(col("key"), col("v")), lit(16)))
+      .withColumn("__s", Salted.salt(skewed, 16))
       .filter(col("key") === 7L).select("__s").distinct().count()
     assert(phase1Groups > 1)
+  }
+
+  test("byte-identical duplicate rows still spread across salts") {
+    // the degenerate hot key: every row identical in every column — a
+    // row-content-only hash would collapse all of them onto one salt
+    val dups = spark.range(10000).select(lit(7L).as("key"), lit(1.0).as("v"))
+    val spread = dups.withColumn("__s", Salted.salt(dups, 16))
+      .select("__s").distinct().count()
+    assert(spread > 1)
+    val plain = dups.groupBy("key").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val salted = Salted.saltedAgg(dups, Seq("key"), 16,
+      partial = Seq(sum("v").as("sv"), count(lit(1)).as("n")),
+      merge = Seq(sum("sv").as("sv"), sum("n").as("n")))
+    assert(salted.collect().toSeq === plain.collect().toSeq)
   }
 
   test("saltedJoin equals plain join") {

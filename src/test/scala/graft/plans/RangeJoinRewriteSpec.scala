@@ -23,13 +23,16 @@ class RangeJoinRewriteSpec extends SparkSpec {
   }
 
   private lazy val setup: Unit = {
-    // points on a long axis incl. negatives; intervals overlap and nest
+    // points on a long axis incl. negatives; intervals overlap and
+    // nest, and every 11th is INVERTED (lo > hi: matches nothing, but
+    // the armed rule must not crash on it)
     spark.range(-500, 500).select(col("id").as("pid"),
         (col("id") % 7).as("key"), (col("id") * 13).as("p"))
       .createOrReplaceTempView("rj_points")
     spark.range(-40, 40).select(col("id").as("iid"),
         (col("id") % 7).as("key"), (col("id") * 157).as("lo"),
-        (col("id") * 157 + 400).as("hi"))
+        when(col("id") % 11 === 0, col("id") * 157 - 300)
+          .otherwise(col("id") * 157 + 400).as("hi"))
       .createOrReplaceTempView("rj_intervals")
   }
 

@@ -66,6 +66,15 @@ class EventStreamsSpec extends SparkSpec {
     val partDirs = new java.io.File(s"$dir/out").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
     assert(partDirs.length > 1)
+    // restart against the same checkpoint: committed batches are not
+    // re-appended (idempotent archive)
+    val q2 = EventStreams.archiveDeduped(
+        spark.readStream.schema(batchEvents.schema).parquet(s"$dir/in"),
+        s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$dir/out").count() === batchEvents.count())
   }
 
   test("stateful dedup keeps one row per event_id") {

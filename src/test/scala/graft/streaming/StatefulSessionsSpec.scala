@@ -102,4 +102,45 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(batch.exists(_.getString(5) == "gap"))
     assert(batch.forall(_.getLong(3) <= 8))
   }
+
+  test("multi-trigger timeouts keep batch equivalence (incl. labels)") {
+    // user 1's state times out mid-stream (trigger 2 advances the
+    // watermark past its gap horizon with other-user traffic), then
+    // user 1 returns with a beyond-gap event — the timed-out session's
+    // label must match what batch derives from the full event list
+    val D = 86400000L // one day in millis
+    val t0 = 1700000000000L
+    def ev(id: Long, uid: Long, ms: Long) =
+      RawEv(id, new Timestamp(ms), uid, "x", 1.0)
+    val trigger1 = Seq(ev(1, 1, t0), ev(2, 1, t0 + 60000))
+    val trigger2 = Seq(ev(3, 2, t0 + 3 * D))   // watermark -> past user 1's horizon
+    val trigger3 = Seq(ev(4, 2, t0 + 4 * D))   // fires user 1's timeout
+    val trigger4 = Seq(ev(5, 1, t0 + 5 * D))   // user 1 returns, beyond gap
+    val flush = Seq(ev(6, 3, t0 + 9 * D), ev(7, 3, t0 + 10 * D))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEv]
+    val q = StatefulSessions.cappedSessions(input.toDF(),
+        gapMinutes = 1440, maxEvents = 8)
+      .writeStream.format("memory").queryName("capped_multi")
+      .outputMode("append").start()
+    Seq(trigger1, trigger2, trigger3, trigger4, flush).foreach { batch =>
+      input.addData(batch); q.processAllAvailable()
+    }
+    q.stop()
+
+    val all = (trigger1 ++ trigger2 ++ trigger3 ++ trigger4 ++ flush).toDF()
+    val batchOut = StatefulSessions.cappedSessions(all,
+        gapMinutes = 1440, maxEvents = 8)
+      .filter(col("user_id").isin(1L, 2L))
+      .orderBy("user_id", "session_start").collect().toSeq
+    val streamOut = spark.table("capped_multi")
+      .filter(col("user_id").isin(1L, 2L))
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamOut === batchOut)
+    // the mid-stream-timed-out session exists and is labeled gap
+    assert(streamOut.count(r => r.getLong(0) == 1L) === 2)
+    assert(streamOut.filter(r => r.getLong(0) == 1L)
+      .forall(_.getString(5) == "gap"))
+  }
 }
