@@ -203,6 +203,17 @@ object RelationalQueries extends Registry {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+    // B5c: sketch-based quantiles (KLL/GK-style approx_percentile) —
+    // the single-pass mergeable twin of b5_percentiles' exact type-7
+    // quantiles; approx → rows-only driver check, exactness covered by
+    // the b5 oracle row.
+    "b5_approx_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+            .as("p95_approx"))),
     // B12: event-time tumbling windows over the events stream table —
     // batch form of the Structured Streaming aggregation (C9 mirrors it).
     "b12_event_time_windows" -> ((s, d) =>

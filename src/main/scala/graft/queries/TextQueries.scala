@@ -146,6 +146,16 @@ object TextQueries extends Registry {
         .agg(sum(col("__bpe")).as("total_tokens"),
              max(col("__bpe")).as("max_doc_tokens"),
              count(lit(1)).as("n_docs"))),
+    // C5: exact corpus-wide top-k frequent tokens (vocabulary heavy
+    // hitters) — explode + hash agg + TakeOrderedAndProject; the
+    // (count desc, token asc) tie-break makes the cut deterministic, so
+    // unlike sketch-based heavy hitters this is fully oracle-able.
+    "c5_frequent_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
   )
 
   private val langs = TextFunctions.stopwords.keys.toSeq.sorted
@@ -255,5 +265,9 @@ object TextQueries extends Registry {
       SELECT source, CAST(sum(bpe) AS BIGINT) AS total_tokens,
              max(bpe) AS max_doc_tokens, count(*) AS n_docs
       FROM p GROUP BY source""",
+    "c5_frequent_tokens" -> s"""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(${sqlToks("text")}) AS token FROM documents)
+      GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
   )
 }
