@@ -47,6 +47,7 @@ object Bench {
         // best SUCCESSFUL rep; -1 (and an errors entry) only when every
         // rep failed — one transient failure must not mask real timings
         val ok = times.filter(_ >= 0)
+        if (ok.nonEmpty) errors.remove(name)
         name -> (if (ok.nonEmpty) ok.min else -1.0)
       }
     def esc(s: String): String = s.flatMap {

@@ -101,9 +101,17 @@ object AsofJoin {
     // pandas-merge_asof-style disambiguation: a carried right column
     // whose name collides with a left column (e.g. both sides call
     // their event time "ts") comes back suffixed — a duplicate name
-    // would make every downstream reference AMBIGUOUS_REFERENCE
+    // would make every downstream reference AMBIGUOUS_REFERENCE. If
+    // the suffixed name collides too, fail loudly (pandas raises on
+    // post-suffix overlap for the same reason).
     def outName(c: String): String =
-      if (leftOnlyCols.contains(c)) c + "_right" else c
+      if (leftOnlyCols.contains(c)) {
+        val suffixed = c + "_right"
+        require(!leftOnlyCols.contains(suffixed),
+          s"asofJoin cannot disambiguate right column '$c': left already " +
+            s"has both '$c' and '$suffixed' — rename one of them")
+        suffixed
+      } else c
     val rightOut = col(CarriedCol)(RightTsCol).as(outName(rightTs)) +:
       rightPayloadCols.map(c => col(CarriedCol)(c).as(outName(c)))
     out.select(leftOnlyCols.map(col) ++ rightOut: _*)

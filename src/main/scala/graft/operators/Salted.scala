@@ -15,34 +15,31 @@ import org.apache.spark.sql.functions._
   *    supplies both phase functions (sum/sum, count/sum, max/max, ...),
   *    which is exactly the algebraic-decomposition contract partial
   *    aggregation uses internally.
-  *  - `saltedJoin`: left rows get a random-but-deterministic salt in
-  *    [0, saltFactor); the (smaller) right side is replicated once per
-  *    salt value. The hot key's probe rows land on `saltFactor`
-  *    different reducers instead of one. Replication multiplies the
-  *    right side — use for dimension-sized right tables with a skewed
-  *    fact on the left.
+  *  - `saltedJoin`: left rows get a salt in [0, saltFactor); the
+  *    (smaller) right side is replicated once per salt value. The hot
+  *    key's probe rows land on `saltFactor` different reducers instead
+  *    of one. Replication multiplies the right side — use for
+  *    dimension-sized right tables with a skewed fact on the left.
   *
-  * Salt is `pmod(hash(monotonic row pieces), saltFactor)` — derived
-  * from the row's own key columns plus a per-row component so the
-  * distribution is even and re-runs are plan-deterministic.
+  * The salt is a per-row physical counter modulo `saltFactor` — evenly
+  * spread by construction (even for byte-identical rows) and
+  * non-deterministic across runs, which is harmless: any salt
+  * assignment produces the same aggregate/join result, and the salt
+  * never escapes the operator.
   */
 object Salted {
 
   private val SaltCol = "__salt"
 
-  /** Per-row salt: xxhash64 over the full row MIXED WITH a per-row
-    * physical component (partition id + partition-local position). The
-    * row-content hash alone would send byte-identical rows — exactly
-    * the heavy-duplicate hot keys salting exists for — to ONE salt
-    * value, silently disabling the spread. The physical component
-    * guarantees spread even for identical rows; it makes the salt
-    * assignment non-deterministic across runs, which is harmless here
-    * because any assignment yields the same aggregate/join result (the
-    * salt never escapes the operator). */
-  private[operators] def salt(df: DataFrame, saltFactor: Int): Column =
-    pmod(xxhash64(
-      (df.columns.map(col) :+ spark_partition_id().cast("long") :+
-        monotonically_increasing_id()).toIndexedSeq: _*), lit(saltFactor))
+  /** Per-row salt. A row-content hash would send byte-identical rows —
+    * exactly the heavy-duplicate hot keys salting exists for — to ONE
+    * salt value, silently disabling the spread, so the salt comes from
+    * `monotonically_increasing_id` instead: unique per row (partition
+    * id in the upper bits, partition-local counter below), so
+    * consecutive rows cycle uniformly through the salt space at the
+    * cost of one modulo — no per-column hashing on the hot path. */
+  private[operators] def salt(saltFactor: Int): Column =
+    pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
 
   /** Two-phase skew-safe aggregation.
     * @param partial per-column phase-1 aggregates over raw rows
@@ -51,7 +48,7 @@ object Salted {
   def saltedAgg(df: DataFrame, keys: Seq[String], saltFactor: Int,
                 partial: Seq[Column], merge: Seq[Column]): DataFrame = {
     require(partial.nonEmpty && merge.nonEmpty)
-    df.withColumn(SaltCol, salt(df, saltFactor))
+    df.withColumn(SaltCol, salt(saltFactor))
       .groupBy((keys :+ SaltCol).map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)
@@ -63,7 +60,7 @@ object Salted {
     * dimension-sized). */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {
-    val saltedLeft = left.withColumn(SaltCol, salt(left, saltFactor))
+    val saltedLeft = left.withColumn(SaltCol, salt(saltFactor))
     val replicatedRight = right.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
     saltedLeft.join(replicatedRight, keys :+ SaltCol).drop(SaltCol)

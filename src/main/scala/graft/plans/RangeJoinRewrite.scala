@@ -133,15 +133,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val iBucketAttr =
         AttributeReference(BucketName + "_i", LongType, nullable = false)()
       // Sequence is TimeZoneAwareExpression: post-analysis plans must
-      // carry the zone themselves or the node reports unresolved. The
-      // step is deliberately OMITTED: an explicit step of 1 makes an
-      // inverted interval (lo > hi — matches nothing, but must not
-      // crash) throw 'Illegal sequence boundaries', while the default
-      // step follows the boundary direction; the kept BETWEEN conjunct
-      // filters every row such an interval generates.
-      val gen = Generate(
-        Explode(new Sequence(bucketOf(lo, width), bucketOf(hi, width),
-          None, Some(conf.sessionLocalTimeZone))),
+      // carry the zone themselves or the node reports unresolved. An
+      // inverted interval (lo > hi, or a NULL bound — matches nothing)
+      // must neither crash ('Illegal sequence boundaries' with a fixed
+      // step) nor explode into its full descending span (default step):
+      // guard with an empty bucket array, which Explode turns into zero
+      // rows at zero cost.
+      val startB = bucketOf(lo, width)
+      val stopB = bucketOf(hi, width)
+      val span = If(LessThanOrEqual(startB, stopB),
+        new Sequence(startB, stopB, Some(Literal(1L)),
+          Some(conf.sessionLocalTimeZone)),
+        Literal.create(Seq.empty[Long],
+          org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
+      val gen = Generate(Explode(span),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(iBucketAttr), intervalSide)
 

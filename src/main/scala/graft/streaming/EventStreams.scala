@@ -72,7 +72,14 @@ object EventStreams {
     * with DYNAMIC partition overwrite — a replayed batch replaces
     * exactly the (event_date, __batch_id) partitions it wrote before,
     * never touching other batches: idempotent per batch, the standard
-    * foreachBatch file-sink contract. */
+    * foreachBatch file-sink contract.
+    *
+    * CONTRACT: `outPath` belongs to ONE checkpoint lineage. Batch ids
+    * restart at 0 under a fresh checkpoint, so pointing a new query
+    * (new checkpointLocation) at an existing archive would overwrite
+    * the old run's same-numbered partitions — use a new outPath
+    * alongside a new checkpoint. Read the archive back through
+    * [[readArchive]], which strips the internal `__batch_id` column. */
   def archiveDeduped(events: DataFrame, outPath: String,
                      watermark: String = "1 hour")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -86,4 +93,10 @@ object EventStreams {
           .partitionBy("event_date", "__batch_id")
           .parquet(outPath)
       }
+
+  /** Reads an [[archiveDeduped]] archive, hiding the idempotency
+    * bookkeeping column — readers see the event schema + event_date. */
+  def readArchive(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.parquet(path).drop("__batch_id")
 }

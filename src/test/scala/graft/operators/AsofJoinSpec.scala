@@ -93,5 +93,11 @@ class AsofJoinSpec extends SparkSpec {
     val row = out.collect()(0)
     assert(row.getAs[Timestamp]("ts_right") === ts(0))
     assert(row.getAs[String]("label_right") === "b")
+    // a post-suffix overlap cannot be disambiguated: fail loudly
+    val clash = leftIn.withColumn("ts_right", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(clash, rightIn, Seq("key"), "ts", "ts")
+    }
+    assert(e.getMessage.contains("ts_right"))
   }
 }

@@ -23,7 +23,7 @@ class SaltedSpec extends SparkSpec {
       plain.orderBy("key").collect().toSeq)
     // the hot key really was spread: phase 1 produced multiple partials
     val phase1Groups = skewed
-      .withColumn("__s", Salted.salt(skewed, 16))
+      .withColumn("__s", Salted.salt(16))
       .filter(col("key") === 7L).select("__s").distinct().count()
     assert(phase1Groups > 1)
   }
@@ -32,7 +32,7 @@ class SaltedSpec extends SparkSpec {
     // the degenerate hot key: every row identical in every column — a
     // row-content-only hash would collapse all of them onto one salt
     val dups = spark.range(10000).select(lit(7L).as("key"), lit(1.0).as("v"))
-    val spread = dups.withColumn("__s", Salted.salt(dups, 16))
+    val spread = dups.withColumn("__s", Salted.salt(16))
       .select("__s").distinct().count()
     assert(spread > 1)
     val plain = dups.groupBy("key").agg(sum("v").as("sv"), count(lit(1)).as("n"))

@@ -59,9 +59,11 @@ class EventStreamsSpec extends SparkSpec {
       .option("checkpointLocation", s"$dir/ckpt").start()
     q.processAllAvailable()
     q.stop()
-    val out = spark.read.parquet(s"$dir/out")
+    val out = EventStreams.readArchive(spark, s"$dir/out")
     assert(out.count() === batchEvents.count()) // dups dropped
     assert(out.groupBy("event_id").count().filter(col("count") > 1).count() === 0)
+    // the idempotency bookkeeping column stays internal
+    assert(!out.columns.contains("__batch_id"))
     // hive-style date partitions actually materialized
     val partDirs = new java.io.File(s"$dir/out").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
@@ -74,7 +76,8 @@ class EventStreamsSpec extends SparkSpec {
       .option("checkpointLocation", s"$dir/ckpt").start()
     q2.processAllAvailable()
     q2.stop()
-    assert(spark.read.parquet(s"$dir/out").count() === batchEvents.count())
+    assert(EventStreams.readArchive(spark, s"$dir/out").count() ===
+      batchEvents.count())
   }
 
   test("stateful dedup keeps one row per event_id") {

@@ -82,7 +82,7 @@ class StatefulSessionsSpec extends SparkSpec {
     // per trigger) so the watermark first advances past every session's
     // gap horizon (24h after its last event), then a further batch runs
     // with that watermark and fires the event-time timeouts that flush
-    // open tails as "end".
+    // open tails as "gap".
     input.addData(rows)
     q.processAllAvailable()
     input.addData(RawEv(-1, new Timestamp(maxTs + 3 * 86400000L), -1, "x", 0.0))
