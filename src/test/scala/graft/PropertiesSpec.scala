@@ -71,4 +71,45 @@ class PropertiesSpec extends AnyFunSuite {
         (5 to 6).forall(expanded(_) == flags(3))
     })
   }
+
+  test("session fold: any trigger split == one-shot; sessions partition events") {
+    import graft.streaming.{SessionEvent, StatefulSessions}
+    val gen = for {
+      n <- Gen.chooseNum(0, 60)
+      deltas <- Gen.listOfN(n, Gen.chooseNum(0L, 30L)) // minutes between events
+      cents <- Gen.listOfN(n, Gen.chooseNum(0L, 1000L))
+      gapMin <- Gen.chooseNum(1L, 12L)
+      cap <- Gen.chooseNum(1, 7)
+      cut <- Gen.chooseNum(0, math.max(n, 1))
+    } yield (deltas, cents, gapMin, cap, cut)
+    check(Prop.forAll(gen) { case (deltas, cents, gapMin, cap, cut) =>
+      val M = 60000000L
+      var t = 0L
+      val events = deltas.zip(cents).zipWithIndex.map { case ((d, c), i) =>
+        t += d * M
+        SessionEvent(i.toLong, 1L, new java.sql.Timestamp(t / 1000), t, c)
+      }
+      val gapUs = gapMin * M
+      val (one, oneOpen) =
+        StatefulSessions.foldEvents(events.iterator, None, gapUs, cap)
+      // splitting the stream at ANY point and carrying state must match
+      // the one-shot fold — the exact contract the streaming wrapper
+      // relies on across trigger boundaries
+      val (h1, o1) = StatefulSessions.foldEvents(
+        events.take(cut).iterator, None, gapUs, cap)
+      val (h2, o2) = StatefulSessions.foldEvents(
+        events.drop(cut).iterator, o1, gapUs, cap)
+      val splitEq = (h1 ++ h2) == one && o2 == oneOpen
+      // closed sessions + open tail partition the events: counts and
+      // value sums add up, bounds are ordered, the cap binds
+      val closedN = one.map(_.n_events).sum + oneOpen.map(_.n).getOrElse(0L)
+      val closedC = one.map(s => math.round(s.session_value * 100)).sum +
+        oneOpen.map(_.cents).getOrElse(0L)
+      val invariants = closedN == events.length.toLong &&
+        closedC == cents.sum &&
+        one.forall(s => s.start_us <= s.end_us && s.n_events <= cap) &&
+        one.forall(s => Set("gap", "cap").contains(s.closed_by))
+      splitEq && invariants
+    })
+  }
 }
