@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries extends Registry {
 
+  /** Shared by the c7_stratified_sample query and its oracle (declared
+    * before the query maps — object vals initialize in order). */
+  private val SampleFractions =
+    Map("en" -> 0.35, "fr" -> 0.6, "de" -> 0.9)
+
   /** DuckDB fragment: whitespace tokens of lowercased text. */
   private[queries] def sqlToks(text: String): String =
     s"list_filter(string_split_regex(lower($text), '\\s+'), x -> len(x) > 0)"
@@ -100,6 +105,13 @@ object TextQueries extends Registry {
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
         .select("doc_id", "lang", "source", "word_count", "quality")),
+    // C7b: deterministic stratified sampling (training-data mixing:
+    // downsample dominant languages, keep rare ones) — keyed hash-noise
+    // decision, so the exact sampled row set is oracle-able.
+    "c7_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratified(Tables.documents(s, d),
+          "doc_id", "lang", SampleFractions, defaultFraction = 0.1)
+        .select("doc_id", "lang", "source", "n_chars")),
     // C5: character-trigram profile — top-5 per lang (classic n-gram
     // language profile). lower(text) is materialized into a column
     // BEFORE the per-position lambda (an in-lambda reference would
@@ -269,5 +281,9 @@ object TextQueries extends Registry {
       SELECT token, count(*) AS n
       FROM (SELECT unnest(${sqlToks("text")}) AS token FROM documents)
       GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
+    "c7_stratified_sample" -> s"""
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE ${graft.operators.Sampling.sqlPredicate("doc_id", "lang",
+        SampleFractions, defaultFraction = 0.1)}""",
   )
 }
