@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Opt-in optimizer rule turning a point-in-interval theta-join into
   * the bucketed equi-join of `graft.operators.RangeJoin` — so that a
@@ -21,9 +21,10 @@ import org.apache.spark.sql.types.LongType
   *    user's assertion about typical interval length — there is no
   *    safe way to guess it from a logical plan);
   *  - the join is INNER with a conjunctive condition containing at
-  *    least `point >= lo AND point <= hi` over LongType attributes,
-  *    point on one side and both bounds on the other (BETWEEN parses
-  *    to exactly this);
+  *    least `point >= lo AND point <= hi` over long or timestamp
+  *    attributes (timestamps bucket by epoch micros, so the width conf
+  *    is in microseconds for them), point on one side and both bounds
+  *    on the other (BETWEEN parses to exactly this);
   *  - neither side is small enough to broadcast (a broadcast
   *    nested-loop over a dimension-sized interval table is already the
   *    right plan — the rewrite would only add a shuffle).
@@ -42,13 +43,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** Attribute-name marker preventing re-rewrite of produced joins. */
   private val BucketName = "__graft_bucket"
 
+  /** Axis value as a long: LongType attributes as-is, TimestampType
+    * via epoch micros (so `width` is in MICROSECONDS for timestamp
+    * axes — e.g. 3600000000 for hourly buckets). */
+  private def axis(e: Expression): Expression =
+    if (e.dataType == TimestampType) UnixMicros(e) else e
+
   private def bucketOf(e: Expression, width: Long): Expression =
-    IntegralDivide(e, Literal(width))
+    IntegralDivide(axis(e), Literal(width))
 
   private def sideAttr(e: Expression, side: LogicalPlan): Option[Attribute] =
     e match {
       case a: AttributeReference
-        if a.dataType == LongType && side.outputSet.contains(a) => Some(a)
+        if (a.dataType == LongType || a.dataType == TimestampType) &&
+          side.outputSet.contains(a) => Some(a)
       case _ => None
     }
 

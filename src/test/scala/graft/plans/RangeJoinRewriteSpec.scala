@@ -78,6 +78,32 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("timestamp axes rewrite too (width in micros)") {
+    setup
+    spark.range(0, 300).select(col("id").as("pid"),
+        timestamp_micros(col("id") * 600000000L).as("pts"))
+      .createOrReplaceTempView("rj_tpoints")
+    spark.range(0, 48).select(col("id").as("iid"),
+        timestamp_micros(col("id") * 3600000000L).as("lo"),
+        timestamp_micros(col("id") * 3600000000L + 3000000000L).as("hi"))
+      .createOrReplaceTempView("rj_tintervals")
+    val sql = """SELECT pid, iid FROM rj_tpoints p JOIN rj_tintervals i
+                 ON p.pts BETWEEN i.lo AND i.hi"""
+    val baseline = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(baseline.nonEmpty)
+    withConfs(Width -> "3600000000", // 1h buckets in micros
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(sql)
+      val rewritten = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rewritten === baseline)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("CartesianProduct") &&
+             !physical.contains("BroadcastNestedLoopJoin"),
+        s"expected an equi-join plan:\n$physical")
+    }
+  }
+
   test("rule stays dormant without the width conf or with a broadcastable side") {
     setup
     // no conf: a keyless BETWEEN join nested-loops as stock Spark does
