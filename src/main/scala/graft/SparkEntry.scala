@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * names (the driver sorts columns by name before hashing).
   */
 object SparkEntry {
-  private val registries: Seq[Registry] = Seq(
+  private[graft] val registries: Seq[Registry] = Seq(
     ImputeQueries,
     RelationalQueries,
     TextQueries,

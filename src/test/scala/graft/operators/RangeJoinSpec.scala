@@ -49,6 +49,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set((1L, "x"), (2L, "y")))
   }
 
+  test("negative axis values bucket consistently") {
+    // pmod floors toward negative infinity on both sides, so points
+    // and intervals agree on bucket boundaries below zero
+    val p = Seq((1L, -5L), (2L, -15L), (3L, -10L)).toDF("pid", "p")
+    val iv = Seq((-12L, -4L, "x"), (-100L, -14L, "y")).toDF("s", "e", "tag")
+    val got = RangeJoin.pointInInterval(p, iv, "p", "s", "e", Nil, 10L)
+      .select("pid", "tag").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "x"), (3L, "x"), (2L, "y")))
+  }
+
   test("matches a plain BETWEEN join on the events table") {
     val ev = Tables.events(spark, sf0001)
     val pts = ev.select(col("event_id"), col("user_id"),
