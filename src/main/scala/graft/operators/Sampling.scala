@@ -34,20 +34,35 @@ object Sampling {
                  salt: Int = 7): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f =>
       f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
-    val frac: Column = fractions.foldLeft(lit(defaultFraction)) {
-      case (acc, (k, f)) => when(col(strataCol) === k, lit(f)).otherwise(acc)
-    }
+    // one FLAT CaseWhen, not a fold of nested when/otherwise — a
+    // per-source fractions map can carry thousands of strata, and a
+    // thousands-deep expression tree hits Catalyst's deep-tree
+    // analysis/codegen pathologies
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val frac: Column =
+      if (fractions.isEmpty) lit(defaultFraction)
+      else column(org.apache.spark.sql.catalyst.expressions.CaseWhen(
+        fractions.toSeq.map { case (k, f) =>
+          expression(col(strataCol) === k) -> expression(lit(f))
+        },
+        Some(expression(lit(defaultFraction)))))
     df.filter(Noise.hashNoise(col(keyCol), salt) < frac)
   }
 
-  /** DuckDB twin of [[stratified]]'s predicate, for oracle SQL. */
+  /** DuckDB twin of [[stratified]]'s predicate, for oracle SQL.
+    * Stratum keys are SQL-escaped; an empty map degenerates to the
+    * bare default literal (CASE with zero WHENs is invalid SQL). */
   def sqlPredicate(keyExpr: String, strataExpr: String,
                    fractions: Map[String, Double],
                    defaultFraction: Double = 0.0, salt: Int = 7): String = {
-    val cases = fractions.toSeq.sortBy(_._1).map { case (k, f) =>
-      s"WHEN $strataExpr = '$k' THEN ${Noise.sqlDouble(f)}"
-    }.mkString(" ")
-    s"(${Noise.sqlNoise(keyExpr, salt)} < " +
-      s"(CASE $cases ELSE ${Noise.sqlDouble(defaultFraction)} END))"
+    val fracSql =
+      if (fractions.isEmpty) Noise.sqlDouble(defaultFraction)
+      else {
+        val cases = fractions.toSeq.sortBy(_._1).map { case (k, f) =>
+          s"WHEN $strataExpr = '${k.replace("'", "''")}' THEN ${Noise.sqlDouble(f)}"
+        }.mkString(" ")
+        s"(CASE $cases ELSE ${Noise.sqlDouble(defaultFraction)} END)"
+      }
+    s"(${Noise.sqlNoise(keyExpr, salt)} < $fracSql)"
   }
 }

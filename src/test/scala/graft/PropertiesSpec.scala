@@ -74,18 +74,22 @@ class PropertiesSpec extends AnyFunSuite {
 
   test("session fold: any trigger split == one-shot; sessions partition events") {
     import graft.streaming.{SessionEvent, StatefulSessions}
+    // deltas and cents travel as ONE list of pairs so ScalaCheck
+    // shrinking can never desynchronize their lengths (independent
+    // shrinks would truncate the zip but not the cents.sum invariant)
     val gen = for {
       n <- Gen.chooseNum(0, 60)
-      deltas <- Gen.listOfN(n, Gen.chooseNum(0L, 30L)) // minutes between events
-      cents <- Gen.listOfN(n, Gen.chooseNum(0L, 1000L))
+      rows <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 1000L)))
       gapMin <- Gen.chooseNum(1L, 12L)
       cap <- Gen.chooseNum(1, 7)
       cut <- Gen.chooseNum(0, math.max(n, 1))
-    } yield (deltas, cents, gapMin, cap, cut)
-    check(Prop.forAll(gen) { case (deltas, cents, gapMin, cap, cut) =>
+    } yield (rows, gapMin, cap, cut)
+    check(Prop.forAll(gen) { case (rows, gapMin, cap, cut) =>
+      val cents = rows.map(_._2)
       val M = 60000000L
       var t = 0L
-      val events = deltas.zip(cents).zipWithIndex.map { case ((d, c), i) =>
+      val events = rows.zipWithIndex.map { case ((d, c), i) =>
         t += d * M
         SessionEvent(i.toLong, 1L, new java.sql.Timestamp(t / 1000), t, c)
       }

@@ -19,5 +19,11 @@ class SparkEntrySpec extends SparkSpec {
     val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across registries: $dupes")
     assert(names.size === SparkEntry.queries.size)
+    // same for the oracle maps: a duplicated oracle key would make the
+    // driver verify the surviving query against the wrong SQL
+    val oracleNames = SparkEntry.registries.flatMap(_.oracle.keys)
+    val oracleDupes = oracleNames.groupBy(identity).filter(_._2.size > 1).keys
+    assert(oracleDupes.isEmpty, s"duplicate oracle keys: $oracleDupes")
+    assert(oracleNames.size === SparkEntry.oracleSql.size)
   }
 }
