@@ -87,19 +87,15 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
-  /** Word n-gram shingles (space-joined), the MinHash input.
-    *
-    * n=1 short-circuits to the token array: referencing `toks` inside
-    * the transform lambda makes codegen re-evaluate the tokenization
-    * PER ELEMENT (no CSE across lambda scopes) — O(tokens²), measured
-    * 8s for 5000 docs. For n>1 callers should tokenize into a
-    * materialized column first if the input is large. */
+  /** Word n-gram shingles (space-joined), the MinHash / winnowing
+    * input — the native one-pass [[graft.expressions.Shingles]]
+    * expression. The previous built-in composition re-evaluated the
+    * tokenization inside the transform lambda PER ELEMENT (no CSE
+    * across lambda scopes) — O(tokens²), measured 5.8s vs 0.4s for
+    * the corpus split alone; the expression tokenizes once per row.
+    * Bit-identical semantics asserted in ShinglesSpec. */
   def shingles(text: Column, n: Int): Column =
-    if (n == 1) tokens(text)
-    else {
-      val toks = tokens(text)
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    }
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.Shingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 }
