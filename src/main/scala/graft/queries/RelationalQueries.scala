@@ -298,9 +298,91 @@ object RelationalQueries extends Registry {
           timestamp_micros(col("start_us")).as("session_start"),
           col("n_events"))
     }),
+    // B7b: explicit GROUPING SETS — finer than rollup/cube (disjoint
+    // per-dimension slices + grand total in one shuffle pass); grouping
+    // ids disambiguate "null group value" from "aggregated-away".
+    "b7_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
+             grouping(col("l_linestatus")).cast("bigint").as("g_ls"),
+             sum(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("n"))),
+    // B13: pivot — long→wide with an explicit value list (never
+    // inferred: a distinct-scan at 100 TB to discover pivot columns is
+    // a full extra pass, and a fixed list keeps the schema stable).
+    "b13_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")),
+    // B13b: unpivot/melt — wide→long, the inverse reshape (narrow op,
+    // no shuffle; output rows = rows × measures).
+    "b13_unpivot" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"),
+          col("c_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("nationkey")), "metric", "value")),
+    // B14: lateral explode with position — the unnest/flatten surface
+    // (posexplode keeps the element index, needed whenever order in the
+    // source array is meaningful).
+    "b14_lateral_explode" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .toDF("p_partkey", "pos", "word")
+        .select(col("p_partkey"), col("pos").cast("bigint").as("pos"),
+          col("word"), length(col("word")).cast("bigint").as("word_len"))),
+    // D6 (beyond-survey): bloom-prefiltered fact⋉dim semi join — the
+    // broadcast key-sketch pattern for dim sides too big for a hash
+    // broadcast. Exact confirm join after the probe ⇒ identical result
+    // to a plain semi join, so it sits under the oracle.
+    "d6_bloom_join" -> ((s, d) => {
+      val dim = Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+      graft.operators.BloomJoin.semiJoin(
+          Tables.lineitem(s, d), dim, "l_suppkey", "s_suppkey",
+          expectedItems = 100000L)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+             sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+               .as("revenue"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "b7_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        sum(l_quantity) AS sum_qty, count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "b13_pivot" -> """
+      SELECT l_returnflag,
+        sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+        sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+      FROM lineitem GROUP BY l_returnflag""",
+    "b13_unpivot" -> """
+      SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer""",
+    "b14_lateral_explode" -> """
+      SELECT p_partkey, CAST(t.i - 1 AS BIGINT) AS pos, ws[t.i] AS word,
+        CAST(length(ws[t.i]) AS BIGINT) AS word_len
+      FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part),
+           LATERAL unnest(range(1, len(ws) + 1)) AS t(i)""",
+    "d6_bloom_join" -> """
+      SELECT l_suppkey, count(*) AS n_items,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
+      GROUP BY l_suppkey""",
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         sum(l_quantity) AS sum_qty,
