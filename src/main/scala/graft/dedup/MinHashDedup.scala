@@ -85,6 +85,62 @@ object MinHashDedup {
       .distinct()
   }
 
+  /** Expose the permutation constants so the DuckDB oracle SQL can
+    * embed the SAME (a,b) pairs as the Spark plan. */
+  private[graft] def permutationParams(k: Int, seed: Long): (Seq[Long], Seq[Long]) =
+    params(k, seed)
+
+  /** Engine-portable shingle hash: Horner base-31 mod 1e9+7 over the
+    * shingle's code points — the same arithmetic DuckDB reproduces via
+    * `list_reduce`/`ascii` (see Winnowing for the precedent), unlike
+    * xxhash64 which only Spark implements. The lambda only references
+    * its own argument, so the char split evaluates once per shingle —
+    * O(total chars), no cross-lambda re-evaluation. */
+  def portableShingleHash(sh: Column): Column =
+    aggregate(filter(split(sh, ""), c => length(c) > 0),
+      lit(0L), (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
+
+  /** Candidate pairs exactly as [[candidatePairs]], but with the
+    * portable shingle hash and band buckets keyed by the signature
+    * VALUES (comma-joined) instead of an engine hash — every stage is
+    * reproducible in DuckDB SQL, putting the LSH banding pipeline
+    * itself (not just the Jaccard confirm) under the driver's exact
+    * oracle. Same scale shape: one signature pass, banding explode,
+    * degenerate-bucket cap, within-bucket pairs. */
+  def portableCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                             numHashes: Int = 16, bands: Int = 4,
+                             shingleSize: Int = 3, maxBucket: Int = 64,
+                             seed: Long = 42L): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+    val (a, b) = params(numHashes, seed)
+    val hs = transform(
+      TextFunctions.shingles(col(textCol), shingleSize),
+      sh => portableShingleHash(sh))
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(col("__hs"), h =>
+        pmod(element_at(array(a.map(lit): _*), i + 1) * h +
+          element_at(array(b.map(lit): _*), i + 1), lit(Prime)))))
+    val banded = df
+      .select(col(idCol).as("doc"), hs.as("__hs"))
+      // zero shingles (empty doc at shingleSize=1) → array_min(null):
+      // drop them on both engines rather than bucket nulls together
+      .filter(size(col("__hs")) > 0)
+      .select(col("doc"), sig.as("__sig"))
+      .select(col("doc"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => concat_ws(",",
+          transform(slice(col("__sig"), bi * rows + 1, lit(rows)),
+            v => v.cast("string"))))))
+      .toDF("doc", "band", "bucket")
+    val small = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucket))
+    small.select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+
   /** Jaccard from two precomputed distinct-shingle arrays. Sizes are
     * ints, so any expression arrangement yields identical doubles. */
   def jaccardFromShingles(sa: Column, sb: Column): Column = {

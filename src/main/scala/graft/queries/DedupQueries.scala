@@ -71,6 +71,14 @@ object DedupQueries extends Registry {
     "c2_simhash_pairs" -> ((s, d) =>
       SimHash.nearPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 6)
         .orderBy(col("a"), col("b"))),
+    // C2: the portable-hash MinHash LSH pipeline — Horner shingle
+    // hashing + value-keyed band buckets, so signature computation,
+    // banding and candidate generation (not just the Jaccard confirm)
+    // sit under the exact DuckDB oracle.
+    "c2_minhash_portable_pairs" -> ((s, d) =>
+      MinHashDedup.portableCandidatePairs(Tables.documents(s, d),
+        "doc_id", "text", shingleSize = 1)
+        .orderBy(col("a"), col("b"))),
   )
 
   private def toks = TextQueries.sqlToks("text")
@@ -122,6 +130,40 @@ object DedupQueries extends Registry {
       SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
       FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
       GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 3""",
+    "c2_minhash_portable_pairs" -> {
+      // SAME permutation constants as the Spark plan (seed 42, k 16)
+      val (pa, pb) = MinHashDedup.permutationParams(16, 42L)
+      val aList = pa.mkString("[", ",", "]")
+      val bList = pb.mkString("[", ",", "]")
+      s"""
+      WITH hs AS (
+        SELECT doc_id, list_transform($toks, x ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, len(x) + 1),
+              j -> CAST(ascii(x[j:j]) AS BIGINT))),
+          (a, c) -> (a * 31 + c) % 1000000007)) AS h
+        FROM documents
+      ), sig AS (
+        SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(h,
+            v -> (($aList)[i+1] * v + ($bList)[i+1]) % 2147483647))) AS s
+        FROM hs WHERE len(h) > 0
+      ), banded AS (
+        SELECT doc_id, t.b AS band,
+          array_to_string(s[t.b*4+1 : t.b*4+4], ',') AS bucket
+        FROM sig, LATERAL unnest(range(0, 4)) AS t(b)
+      ), sized AS (
+        SELECT band, bucket FROM (
+          SELECT band, bucket, count(*) AS c FROM banded GROUP BY 1, 2)
+        WHERE c BETWEEN 2 AND 64
+      ), kept AS (
+        SELECT x.band, x.bucket, x.doc_id
+        FROM banded x JOIN sized USING (band, bucket)
+      )
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM kept x JOIN kept y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id"""
+    },
     // c2_minhash_pairs / c2_minhash_dedup / c2_simhash_pairs: xxhash64-
     // based — no engine-portable SQL; covered by ScalaTest invariants.
   )

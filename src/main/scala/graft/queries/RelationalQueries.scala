@@ -338,6 +338,18 @@ object RelationalQueries extends Registry {
         .toDF("p_partkey", "pos", "word")
         .select(col("p_partkey"), col("pos").cast("bigint").as("pos"),
           col("word"), length(col("word")).cast("bigint").as("word_len"))),
+    // D7 (beyond-survey): interval join — batch twin of the
+    // stream-stream attribution join (EventStreams.attributionJoin);
+    // the SAME function runs here on batch frames and in
+    // StreamStreamJoinSpec on MemoryStreams, so this oracle row
+    // transitively checks the streaming join's semantics.
+    "d7_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStreams.attributionJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        windowMinutes = 10)
+    }),
     // D6 (beyond-survey): bloom-prefiltered fact⋉dim semi join — the
     // broadcast key-sketch pattern for dim sides too big for a hash
     // broadcast. Exact confirm join after the probe ⇒ identical result
@@ -377,6 +389,13 @@ object RelationalQueries extends Registry {
         CAST(length(ws[t.i]) AS BIGINT) AS word_len
       FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part),
            LATERAL unnest(range(1, len(ws) + 1)) AS t(i)""",
+    "d7_interval_join" -> """
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        p.value AS purchase_value, c.event_id AS click_id, c.ts AS click_ts
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
     "d6_bloom_join" -> """
       SELECT l_suppkey, count(*) AS n_items,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue

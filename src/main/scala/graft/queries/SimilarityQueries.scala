@@ -43,6 +43,20 @@ object SimilarityQueries extends Registry {
       graft.dedup.EmbeddingDedup.dedup(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64, threshold = 0.45)
         .select(col("vec_id"), col("label"))),
+    // C3: per-label centroids (the IVF/k-NN-classify building block) —
+    // posexplode to (label, dim, v), then an ORDER-INSENSITIVE exact
+    // mean: elements rounded to the 6-dp grid (tie-free for binary
+    // fractions — a double can never sit exactly on a half-ulp of a
+    // decimal grid) and summed as DECIMAL, so Spark's partial aggs and
+    // DuckDB's single-threaded sum agree bit-for-bit.
+    "c3_label_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+        .toDF("label", "dim", "v")
+        .groupBy(col("label"), col("dim").cast("bigint").as("dim"))
+        .agg((sum(round(col("v"), 6).cast("decimal(28,6)")).cast("double") /
+              count(lit(1))).as("centroid"),
+             count(lit(1)).as("n_vecs"))),
   )
 
   /** Shared cosine SQL: round(dot/(|a||b|), 6) with zero-denominator
@@ -73,6 +87,14 @@ object SimilarityQueries extends Registry {
           row_number() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS rank
         FROM scored)
       SELECT a, b, score, rank FROM ranked WHERE rank <= 3""",
+    "c3_label_centroids" -> """
+      SELECT label, CAST(t.i - 1 AS BIGINT) AS dim,
+        CAST(sum(CAST(round(v[t.i], 6) AS DECIMAL(28,6))) AS DOUBLE)
+          / count(*) AS centroid,
+        count(*) AS n_vecs
+      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+           LATERAL unnest(range(1, len(v) + 1)) AS t(i)
+      GROUP BY label, t.i""",
     // c3_ann_topk: hyperplane constants impractical to embed portably —
     // recall tested against the exact baseline in CosineSpec.
   )

@@ -99,4 +99,37 @@ object EventStreams {
   def readArchive(spark: org.apache.spark.sql.SparkSession,
                   path: String): DataFrame =
     spark.read.parquet(path).drop("__batch_id")
+
+  /** Stream-stream interval join (C9): each `purchase` event joins the
+    * same user's `click` events from the preceding `windowMinutes` —
+    * the attribution join. Works identically on batch and stream
+    * frames; on streams BOTH sides carry watermarks and the join
+    * condition bounds click_ts to a finite interval around purchase_ts,
+    * which is exactly what lets Spark's symmetric hash join evict
+    * state: rows older than (watermark − window) can never match
+    * again, so state is O(users × window), not O(stream).
+    *
+    * Batch twin `d7_interval_join` runs this same function under the
+    * DuckDB oracle; StreamStreamJoinSpec asserts stream == batch on a
+    * MemoryStream feed. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      windowMinutes: Int = 10,
+                      watermark: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    p.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("click_ts") < col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join (C9): the same attribution join run on
+  * two MemoryStreams must match the batch answer — and the batch form
+  * is the oracle-backed query d7_interval_join, so the chain
+  * stream == batch == DuckDB closes end-to-end. */
+class StreamStreamJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("stream-stream attribution join == batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+
+    val pIn = MemoryStream[Ev]
+    val cIn = MemoryStream[Ev]
+    pIn.addData(purchases.as[Ev].collect().toSeq)
+    cIn.addData(clicks.as[Ev].collect().toSeq)
+    val q = EventStreams.attributionJoin(pIn.toDF(), cIn.toDF())
+      .writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val order = Seq(col("purchase_id"), col("click_id"))
+    val stream = spark.table("ssj_sink").orderBy(order: _*).collect().toSeq
+    val batch = EventStreams.attributionJoin(purchases, clicks)
+      .orderBy(order: _*).collect().toSeq
+    assert(batch.nonEmpty, "fixture must produce matches")
+    assert(stream === batch)
+  }
+
+  test("interval bounds are half-open: a click at the purchase instant does not match") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val tIn = Timestamp.valueOf("2024-01-01 09:55:00")
+    val tEdge = Timestamp.valueOf("2024-01-01 09:50:00") // exactly -10 min
+    val tOut = Timestamp.valueOf("2024-01-01 09:49:59")
+    val purchases = Seq(Ev(1L, t0, 7L, "purchase", 5.0)).toDF()
+    val clicks = Seq(
+      Ev(10L, tIn, 7L, "click", 0.0),
+      Ev(11L, tEdge, 7L, "click", 0.0),
+      Ev(12L, tOut, 7L, "click", 0.0),
+      Ev(13L, t0, 7L, "click", 0.0),
+      Ev(14L, tIn, 8L, "click", 0.0)).toDF()
+    val got = EventStreams.attributionJoin(purchases, clicks)
+      .select("click_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(10L, 11L), "closed lower bound, open upper bound")
+  }
+}
