@@ -41,6 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.expressions.Shingles(children.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_horner_hash"),
+      new ExpressionInfo(classOf[graft.expressions.HornerHash].getName,
+        "graft_horner_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_horner_hash takes exactly 1 argument")
+        graft.expressions.HornerHash(children.head)
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

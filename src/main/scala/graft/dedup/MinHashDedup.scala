@@ -93,12 +93,13 @@ object MinHashDedup {
   /** Engine-portable shingle hash: Horner base-31 mod 1e9+7 over the
     * shingle's code points — the same arithmetic DuckDB reproduces via
     * `list_reduce`/`ascii` (see Winnowing for the precedent), unlike
-    * xxhash64 which only Spark implements. The lambda only references
-    * its own argument, so the char split evaluates once per shingle —
-    * O(total chars), no cross-lambda re-evaluation. */
+    * xxhash64 which only Spark implements. Native one-pass expression
+    * (graft.expressions.HornerHash) — the split+aggregate composition
+    * allocated a per-char string array per shingle. */
   def portableShingleHash(sh: Column): Column =
-    aggregate(filter(split(sh, ""), c => length(c) > 0),
-      lit(0L), (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.HornerHash(
+        org.apache.spark.sql.GraftColumnBridge.expression(sh)))
 
   /** Candidate pairs exactly as [[candidatePairs]], but with the
     * portable shingle hash and band buckets keyed by the signature

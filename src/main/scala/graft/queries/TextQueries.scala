@@ -112,6 +112,28 @@ object TextQueries extends Registry {
       graft.operators.Sampling.stratified(Tables.documents(s, d),
           "doc_id", "lang", SampleFractions, defaultFraction = 0.1)
         .select("doc_id", "lang", "source", "n_chars")),
+    // C7c: the end-to-end curation pipeline — the composed form of the
+    // ops a real corpus cleaning job chains before training: quality
+    // gate → language self-consistency gate (predicted == recorded
+    // lang) → order-insensitive exact dedup keeping the min doc id.
+    // Every stage is deterministic, so the WHOLE pipeline sits under
+    // one oracle row (the point: operators compose without losing the
+    // correctness gate). Dedup-by-window is one shuffle; the gates are
+    // narrow scans.
+    "c7_curation_pipeline" -> ((s, d) => {
+      val text = col("text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp"))
+      Tables.documents(s, d)
+        .withColumn("quality", TextFunctions.qualityScore(text))
+        .filter(col("quality") >= 0.5)
+        .withColumn("lang_pred", TextFunctions.langId(text))
+        .filter(col("lang_pred") === col("lang"))
+        .withColumn("__fp", graft.dedup.Dedup.tokenSetFingerprint(text))
+        .withColumn("__keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__keep"))
+        .select("doc_id", "lang", "source", "quality")
+    }),
     // C5: character-trigram profile — top-5 per lang (classic n-gram
     // language profile). lower(text) is materialized into a column
     // BEFORE the per-position lambda (an in-lambda reference would
@@ -237,6 +259,40 @@ object TextQueries extends Registry {
       WHERE round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
               + diversity * 0.4e0
               + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) >= 0.5e0""",
+    "c7_curation_pipeline" -> {
+      val ratios = langs.map(l => s"${sqlRatio(l)} AS ratio_$l").mkString(",\n          ")
+      val best = s"greatest(${langs.map(l => s"ratio_$l").mkString(", ")})"
+      val pick = langs.map(l => s"WHEN ratio_$l = $best THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      s"""
+      WITH t AS (
+        SELECT doc_id, lang, source, ${sqlToks("text")} AS toks FROM documents
+      ), p AS (
+        SELECT doc_id, lang, source, toks,
+          CAST(len(toks) AS DOUBLE) AS wc,
+          CASE WHEN len(toks) = 0 THEN 0.0e0
+               ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS diversity,
+          CASE WHEN len(toks) = 0 THEN 0.0e0
+               ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) END AS awl,
+          $ratios
+        FROM t
+      ), q AS (
+        SELECT doc_id, lang, source, toks,
+          round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
+                + diversity * 0.4e0
+                + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) AS quality,
+          $pick AS lang_pred
+        FROM p
+      ), g AS (
+        SELECT doc_id, lang, source, quality,
+          min(doc_id) OVER (PARTITION BY
+            md5(array_to_string(list_sort(list_distinct(toks)), ' '))) AS keeper
+        FROM q
+        WHERE quality >= 0.5e0 AND lang_pred = lang
+      )
+      SELECT doc_id, lang, source, quality FROM g WHERE doc_id = keeper"""
+    },
     "c5_char_ngram_profile" -> """
       WITH grams AS (
         SELECT lang, unnest(CASE WHEN len(lower(text)) < 3 THEN []
