@@ -49,6 +49,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_horner_hash takes exactly 1 argument")
         graft.expressions.HornerHash(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[graft.expressions.GramHashes].getName,
+        "graft_gram_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_gram_hashes takes exactly 2 arguments")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_gram_hashes k must be an integer literal, got $other")
+        }
+        graft.expressions.GramHashes(children.head, k)
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -37,20 +37,31 @@ object Winnowing {
     * so gram hashing can index in O(1). Direct `substr(norm, j, 1)` in
     * the hash lambda is the trap: UTF8String seeks from the string start
     * per access, turning hashing O(len²·k) (measured 15s for 5k docs at
-    * sf0.1; this shape is ~1 pass). */
+    * sf0.1; this shape is ~1 pass). Kept as the semantic reference for
+    * [[gramHashesComposed]]; the production path is the native rolling
+    * expression below. */
   def charCodes(norm: Column): Column =
     transform(filter(split(norm, ""), c => length(c) > 0),
       c => ascii(c).cast("long"))
 
-  /** Polynomial hash of every k-gram of the char-code array (`codes`
-    * MUST be a materialized column reference, not an expression — an
-    * in-lambda expression re-evaluates per position, the O(n²) codegen
-    * trap). Returns array<bigint>; fewer than k codes → empty. */
-  def gramHashes(codes: Column, k: Int): Column =
+  /** Built-in-composition gram hashing over a materialized char-code
+    * column — O(len·k) folds + one sequence alloc per gram. Retained as
+    * the reference implementation WinnowingSpec checks the native
+    * expression against. */
+  def gramHashesComposed(codes: Column, k: Int): Column =
     when(size(codes) < k, array().cast("array<bigint>"))
       .otherwise(transform(sequence(lit(1), size(codes) - (k - 1)),
         i => aggregate(sequence(i, i + (k - 1)), lit(0L),
           (acc, j) => (acc * Base + element_at(codes, j)) % Mod)))
+
+  /** Polynomial hash of every character k-gram of `norm` — the native
+    * rolling-hash expression (graft.expressions.GramHashes): one O(len)
+    * pass, no per-gram allocation. Returns array<bigint>; fewer than k
+    * chars → empty. */
+  def gramHashes(norm: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.GramHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(norm), k))
 
   /** Winnowing selection: distinct minima over every window of `w`
     * consecutive gram hashes (fewer than w grams → one window). */
@@ -63,8 +74,7 @@ object Winnowing {
   /** One row per (doc, fingerprint): `idCol, fp`. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, w: Int = 4): DataFrame =
-    df.withColumn("__codes", charCodes(normalize(col(textCol))))
-      .withColumn("__gh", gramHashes(col("__codes"), k))
+    df.withColumn("__gh", gramHashes(normalize(col(textCol)), k))
       .select(col(idCol), explode(select(col("__gh"), w)).as("fp"))
 
   /** Document pairs sharing ≥ `minShared` fingerprints, with the shared

@@ -70,10 +70,15 @@ class WinnowingSpec extends SparkSpec {
     import spark.implicits._
     // "abcd" with k=4: ((0*31+97)*31+98)*31+99)*31+100 = 2987074
     val df = Seq((1L, "abcd")).toDF("doc_id", "text")
-    val h = df.withColumn("__codes",
-        Winnowing.charCodes(Winnowing.normalize(col("text"))))
-      .select(Winnowing.gramHashes(col("__codes"), 4).as("gh"))
+    val h = df
+      .select(Winnowing.gramHashes(Winnowing.normalize(col("text")), 4).as("gh"))
       .head().getSeq[Long](0)
     assert(h === Seq(2987074L))
+    // the composed reference path agrees
+    val hc = df.withColumn("__codes",
+        Winnowing.charCodes(Winnowing.normalize(col("text"))))
+      .select(Winnowing.gramHashesComposed(col("__codes"), 4).as("gh"))
+      .head().getSeq[Long](0)
+    assert(hc === Seq(2987074L))
   }
 }
