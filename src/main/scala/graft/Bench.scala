@@ -78,7 +78,7 @@ object Bench {
     Files.writeString(Paths.get(outPath), full + "\n")
     val byTimeDesc = results.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => s"\"${esc(k)}\":${f"$v%.2f"}" }
-    val budget = 1800 // chars; tail window 2000 minus sbt epilogue
+    val budget = 1880 // chars; tail window 2000 minus sbt epilogue (~90)
     val compactAll = render(results.map {
       case (k, v) => s"\"${esc(k)}\":${f"$v%.2f"}" }.toSeq, "")
     val line =

@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+class TextSourcesSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf0001)
+  private def dataSchema: StructType = docs.schema
+
+  private def assertSameRows(a: org.apache.spark.sql.DataFrame,
+                             b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("documents round-trip through JSON lines bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    TextSources.writeJsonLines(docs, s"$dir/docs")
+    val back = TextSources.readJsonLines(spark, s"$dir/docs", dataSchema)
+      .select(docs.columns.map(col): _*)
+    assertSameRows(docs, back)
+  }
+
+  test("documents round-trip through CSV (free text with commas/quotes/newlines)") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    TextSources.writeCsv(docs, s"$dir/docs")
+    val back = TextSources.readCsv(spark, s"$dir/docs", dataSchema)
+      .select(docs.columns.map(col): _*)
+    assertSameRows(docs, back)
+  }
+
+  test("malformed JSON lines are quarantined, not fatal, and clean rows survive") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_bad").toString
+    TextSources.writeJsonLines(docs.limit(10), s"$dir/docs")
+    // splice garbage lines into the data directory
+    val bad = java.nio.file.Paths.get(s"$dir/docs/zz_bad.json")
+    java.nio.file.Files.writeString(bad,
+      "{\"doc_id\": oops}\nnot json at all\n")
+    assert(TextSources.readJsonLines(spark, s"$dir/docs", dataSchema)
+      .count() === 10)
+    val corrupt = TextSources.corruptJsonLines(spark, s"$dir/docs", dataSchema)
+      .collect().map(_.getString(0)).sorted
+    assert(corrupt.length === 2)
+    assert(corrupt.contains("not json at all"))
+  }
+
+  test("downstream operators run unchanged on a JSONL-sourced frame") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_ops").toString
+    TextSources.writeJsonLines(docs, s"$dir/docs")
+    val back = TextSources.readJsonLines(spark, s"$dir/docs", dataSchema)
+    val fromJson = graft.dedup.Dedup.exact(back, "doc_id", "text").count()
+    val fromParquet = graft.dedup.Dedup.exact(docs, "doc_id", "text").count()
+    assert(fromJson === fromParquet)
+  }
+}
