@@ -350,6 +350,12 @@ object RelationalQueries extends Registry {
         ev.filter(col("event_type") === "click"),
         windowMinutes = 10)
     }),
+    // D8 (beyond-survey): per-user running totals — batch twin of the
+    // transformWithState (state v2) processor; the SAME pure fold runs
+    // here via flatMapGroups and in StatefulRunningSpec on a RocksDB
+    // stream, so this oracle row transitively checks the processor.
+    "d8_running_totals" -> ((s, d) =>
+      graft.streaming.StatefulRunning.runningStatsBatch(Tables.events(s, d))),
     // D6 (beyond-survey): bloom-prefiltered fact⋉dim semi join — the
     // broadcast key-sketch pattern for dim sides too big for a hash
     // broadcast. Exact confirm join after the probe ⇒ identical result
@@ -396,6 +402,13 @@ object RelationalQueries extends Registry {
         ON p.user_id = c.user_id
        AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
       WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+    "d8_running_totals" -> """
+      SELECT event_id, user_id,
+        CAST(row_number() OVER w AS BIGINT) AS n_so_far,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_so_far
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "d6_bloom_join" -> """
       SELECT l_suppkey, count(*) AS n_items,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
