@@ -62,6 +62,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.expressions.GramHashes(children.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[graft.expressions.CharNgrams].getName,
+        "graft_char_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_char_ngrams takes exactly 2 arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_char_ngrams n must be an integer literal, got $other")
+        }
+        graft.expressions.CharNgrams(children.head, n)
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

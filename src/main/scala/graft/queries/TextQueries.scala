@@ -135,18 +135,15 @@ object TextQueries extends Registry {
         .select("doc_id", "lang", "source", "quality")
     }),
     // C5: character-trigram profile — top-5 per lang (classic n-gram
-    // language profile). lower(text) is materialized into a column
-    // BEFORE the per-position lambda (an in-lambda reference would
-    // re-evaluate it per position — the O(n²) trap).
+    // language profile), over the native one-pass CharNgrams
+    // expression (the per-position substring composition re-seeks the
+    // string per gram — O(len²) per doc).
     "c5_char_ngram_profile" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram").asc)
       Tables.documents(s, d)
-        .withColumn("__lt", lower(col("text")))
-        .select(col("lang"), explode(
-          when(length(col("__lt")) < 3, array())
-            .otherwise(transform(sequence(lit(1), length(col("__lt")) - 2),
-              i => substring(col("__lt"), i.cast("int"), lit(3))))).as("gram"))
+        .select(col("lang"),
+          explode(TextFunctions.charNgrams(lower(col("text")), 3)).as("gram"))
         .groupBy(col("lang"), col("gram"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rank", row_number().over(w).cast("bigint"))

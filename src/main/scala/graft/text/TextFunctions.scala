@@ -87,6 +87,16 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** All character n-grams (code-point windows) — the language-profile
+    * primitive, as the native one-pass [[graft.expressions.CharNgrams]]
+    * expression (the per-position `substring` composition re-seeks the
+    * UTF8String from the start per gram — O(len²) per doc). Callers
+    * lowercase/normalize first if needed. */
+  def charNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.CharNgrams(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
   /** Word n-gram shingles (space-joined), the MinHash / winnowing
     * input — the native one-pass [[graft.expressions.Shingles]]
     * expression. The previous built-in composition re-evaluated the
