@@ -43,6 +43,25 @@ object SimilarityQueries extends Registry {
       graft.dedup.EmbeddingDedup.dedup(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64, threshold = 0.45)
         .select(col("vec_id"), col("label"))),
+    // C3: int8 scalar quantization — per-vector scale, quantized
+    // codes, and the reconstruction-error bound a serving index would
+    // monitor. Within-row arithmetic only → exact oracle.
+    "c3_quantized_vectors" -> ((s, d) => {
+      val q = graft.similarity.Quantize.scalarQuantize(
+        Tables.embeddings(s, d), "embedding")
+      val v = col("embedding").cast("array<double>")
+      val recon = graft.similarity.Quantize.dequantize(col("q"), col("q_scale"))
+      // error computed BEFORE the output select: aliasing the rounded
+      // scale as "q_scale" in the same projection would shadow the
+      // name, and the error expression would silently dequantize with
+      // the ROUNDED scale (observed: max_err off by 1e-8 vs the oracle)
+      q.withColumn("__max_err",
+          array_max(zip_with(v, recon, (x, r) => abs(x - r))))
+        .select(col("vec_id"), col("label"),
+          round(col("q_scale"), 9).as("q_scale"),
+          round(col("__max_err"), 9).as("max_err"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
+    }),
     // C3: per-label centroids (the IVF/k-NN-classify building block) —
     // posexplode to (label, dim, v), then an ORDER-INSENSITIVE exact
     // mean: elements rounded to the 6-dp grid (tie-free for binary
@@ -87,6 +106,22 @@ object SimilarityQueries extends Registry {
           row_number() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS rank
         FROM scored)
       SELECT a, b, score, rank FROM ranked WHERE rank <= 3""",
+    "c3_quantized_vectors" -> """
+      WITH s AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS sc
+        FROM embeddings
+      ), q AS (
+        SELECT vec_id, label, v, sc,
+          CASE WHEN sc = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(v, x -> CAST(round(x / sc) AS BIGINT)) END AS qv
+        FROM s
+      )
+      SELECT vec_id, label, round(sc, 9) AS q_scale,
+        round(list_max(list_transform(range(1, len(v) + 1),
+          i -> abs(v[i] - qv[i] * sc))), 9) AS max_err,
+        CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+      FROM q""",
     "c3_label_centroids" -> """
       SELECT label, CAST(t.i - 1 AS BIGINT) AS dim,
         CAST(sum(CAST(round(v[t.i], 6) AS DECIMAL(28,6))) AS DOUBLE)
