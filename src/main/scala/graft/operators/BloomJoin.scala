@@ -29,11 +29,17 @@ import org.apache.spark.sql.functions._
 object BloomJoin {
 
   /** Broadcastable key-set sketch of `dim.dimKey`, built distributed
-    * (`stat.bloomFilter` tree-aggregates per-partition blooms). */
+    * (`stat.bloomFilter` tree-aggregates per-partition blooms). An
+    * EMPTY dim yields an empty bloom (matches-nothing): Spark's
+    * `stat.bloomFilter` itself NPEs on an empty frame (the aggregate
+    * returns a null buffer), and a filtered dim being empty at some
+    * scale factor is a legitimate state, not an error. */
   def keysOf(dim: DataFrame, dimKey: String,
              expectedItems: Long, fpp: Double = 0.01)
       : org.apache.spark.util.sketch.BloomFilter =
-    dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    if (dim.select(dimKey).isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    else dim.stat.bloomFilter(dimKey, expectedItems, fpp)
 
   /** Fact rows surviving the broadcast bloom probe on `factKey`. Null
     * keys are dropped — an equi-join never matches them anyway. */

@@ -36,6 +36,18 @@ class BloomJoinSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 2L))
   }
 
+  test("empty dim yields an empty result, not an NPE") {
+    // Spark's stat.bloomFilter NPEs on an empty frame; a filtered dim
+    // being empty at some scale factor is a legitimate state
+    import spark.implicits._
+    val fact = Seq(1L, 2L).toDF("k")
+    val dim = Seq(1L).toDF("dk").filter(col("dk") > 100)
+    assert(BloomJoin.semiJoin(fact, dim, "k", "dk", expectedItems = 10L)
+      .count() === 0)
+    assert(BloomJoin.innerJoin(fact, dim, "k", "dk", expectedItems = 10L)
+      .count() === 0)
+  }
+
   test("a tight bloom prunes non-matching keys before the join") {
     import spark.implicits._
     val fact = (1L to 10000L).toDF("k")

@@ -63,4 +63,43 @@ class PlanQualitySpec extends SparkSpec {
       "ANN plan carries a broadcast hint:\n" +
         analyzed.linesIterator.filter(_.contains("Hint")).mkString("\n"))
   }
+
+  test("b13 pivot: two-phase shape with partial aggregation, no join") {
+    // Spark plans pivot as two aggregations: reduce on
+    // (groupCols, pivotCol) first, then pivot the reduced rows — the
+    // first shuffle carries pre-aggregated data, which is the property
+    // that matters at scale. Assert partial aggs exist and the pivot
+    // did not degenerate into a join of per-value subqueries.
+    val p = plan("b13_pivot")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pivot lost partial aggregation:\n" + p.take(1500))
+    assert(!p.contains("Join"), "pivot degenerated into joins")
+  }
+
+  test("b14 lateral explode: narrow plan, no shuffle at all") {
+    val p = plan("b14_lateral_explode")
+    assert(!p.contains("Exchange"),
+      "explode projection must not shuffle:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("Generate"), "expected a Generate (explode) node")
+  }
+
+  test("d6 bloom join: bloom probe does not defeat scan pruning") {
+    val p = plan("d6_bloom_join")
+    // the probe is a post-scan filter; column pruning must still hold —
+    // lineitem money columns other than l_extendedprice stay unread
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(!readSchemas.contains("l_tax"),
+      "bloom probe defeated column pruning:\n" + readSchemas)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "confirm join missing")
+  }
+
+  test("c3 quantize: single-pass narrow projection over the scan") {
+    val p = plan("c3_quantized_vectors")
+    assert(!p.contains("Exchange"),
+      "quantization must be a narrow projection:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
