@@ -223,7 +223,10 @@ object MinHashDedup {
       Option(df.agg(sum(xxhash64(col("id"), col("component"))
           .cast("decimal(38,0)"))).collect()(0).getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    // no fingerprint of the INITIAL labels: a nonempty edge set always
+    // changes something in round 1 (every b of an a<b edge adopts a),
+    // so the first comparable sum is round 1's — one job saved per call
+    var prevSum: Option[java.math.BigDecimal] = None
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -238,8 +241,8 @@ object MinHashDedup {
         .localCheckpoint()
       val newSum = labelSum(updated)
       labels = updated
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
+      converged = prevSum.exists(_.compareTo(newSum) == 0)
+      prevSum = Some(newSum)
       i += 1
     }
     (labels, converged, i)

@@ -109,6 +109,21 @@ object RelationalQueries extends Registry {
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
           "order_rank", "running_spend", "prev_price")
     }),
+    // B8b: ranking/distribution window surface — ntile, percent_rank,
+    // cume_dist, nth_value over a total (tie-broken) order, so every
+    // function is deterministic and oracle-able.
+    "b8_window_ranking" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cume"),
+        nth_value(col("c_custkey"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_richest"))
+    }),
     // B9: global top-k with total tie-broken order → TakeOrderedAndProject.
     "b9_topk_orders" -> ((s, d) =>
       Tables.orders(s, d)
@@ -402,6 +417,17 @@ object RelationalQueries extends Registry {
         ON p.user_id = c.user_id
        AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
       WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+    "b8_window_ranking" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        round(percent_rank() OVER w, 9) AS pct_rank,
+        round(cume_dist() OVER w, 9) AS cume,
+        nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+          ORDER BY c_acctbal DESC, c_custkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_richest
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC)""",
     "d8_running_totals" -> """
       SELECT event_id, user_id,
         CAST(row_number() OVER w AS BIGINT) AS n_so_far,

@@ -169,6 +169,37 @@ object TextQueries extends Registry {
         .withColumn("rank", row_number().over(w).cast("bigint"))
         .filter(col("rank") <= 3)
     }),
+    // C5: collocation extraction — top-20 bigrams by pointwise mutual
+    // information (the classic corpus-analysis op: which adjacent word
+    // pairs co-occur far beyond chance). PMI is ranked on the ROUNDED
+    // value with (a, b) tie-breaks so the cut is identical across
+    // engines (ln can differ by an ulp between libm implementations).
+    "c5_collocations" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+      val uniTotal = toks.agg(count(lit(1)).as("n_uni"))
+      val bi = docs.select(
+          explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+        .filter(col("bg").contains(" ")) // <2-token docs emit no bigram
+      val biTotal = bi.agg(count(lit(1)).as("n_bi"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      bi.groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .withColumn("a", split(col("bg"), " ").getItem(0))
+        .withColumn("b", split(col("bg"), " ").getItem(1))
+        .join(uni.select(col("tok").as("a"), col("c_tok").as("c_a")), "a")
+        .join(uni.select(col("tok").as("b"), col("c_tok").as("c_b")), "b")
+        .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(biTotal))
+        .withColumn("pmi", round(log(
+          (col("c_ab").cast("double") / col("n_bi")) /
+            ((col("c_a").cast("double") / col("n_uni")) *
+             (col("c_b").cast("double") / col("n_uni")))), 6))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 20)
+        .select("a", "b", "c_ab", "pmi", "rank")
+    }),
     // North-star token accounting: approx-BPE token counts per source.
     "c5_token_counts" -> ((s, d) =>
       Tables.documents(s, d)
@@ -322,6 +353,34 @@ object TextQueries extends Registry {
         CAST(row_number() OVER (PARTITION BY doc_id
                ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
       FROM scored QUALIFY rank <= 3""",
+    "c5_collocations" -> {
+      val sh2 = sqlShingles("toks", 2)
+      s"""
+      WITH toks AS (SELECT unnest(${sqlToks("text")}) AS tok FROM documents),
+      uni AS (SELECT tok, count(*) AS c_tok FROM toks GROUP BY tok),
+      tot AS (SELECT count(*) AS n_uni FROM toks),
+      bg AS (
+        SELECT bg FROM (
+          SELECT unnest($sh2) AS bg
+          FROM (SELECT ${sqlToks("text")} AS toks FROM documents))
+        WHERE contains(bg, ' ')
+      ),
+      bt AS (SELECT count(*) AS n_bi FROM bg),
+      bc AS (SELECT bg, count(*) AS c_ab FROM bg GROUP BY bg
+             HAVING count(*) >= 5),
+      j AS (SELECT string_split(bg, ' ')[1] AS a,
+                   string_split(bg, ' ')[2] AS b, c_ab FROM bc),
+      p AS (
+        SELECT a, b, c_ab,
+          round(ln((CAST(c_ab AS DOUBLE) / n_bi) /
+            ((CAST(ua.c_tok AS DOUBLE) / n_uni) *
+             (CAST(ub.c_tok AS DOUBLE) / n_uni))), 6) AS pmi
+        FROM j JOIN uni ua ON ua.tok = j.a
+               JOIN uni ub ON ub.tok = j.b, tot, bt)
+      SELECT a, b, c_ab, pmi,
+        CAST(row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS BIGINT) AS rank
+      FROM p QUALIFY rank <= 20"""
+    },
     "c5_token_counts" -> s"""
       WITH t AS (SELECT source, ${sqlToks("text")} AS toks FROM documents),
       p AS (SELECT source,
