@@ -365,6 +365,19 @@ object RelationalQueries extends Registry {
         ev.filter(col("event_type") === "click"),
         windowMinutes = 10)
     }),
+    // D3 (beyond-survey): salted two-phase aggregation — the skew
+    // escape hatch, run under the oracle: ANY salt assignment yields
+    // the same result as the plain GROUP BY (decimal sums are
+    // order-insensitive), so the oracle is the unsalted aggregate.
+    "d3_salted_agg" -> ((s, d) =>
+      graft.operators.Salted.saltedAgg(
+        Tables.lineitem(s, d), Seq("l_returnflag"), saltFactor = 16,
+        partial = Seq(
+          sum(col("l_extendedprice").cast("decimal(12,2)")).as("rev"),
+          count(lit(1)).as("n")),
+        merge = Seq(
+          sum(col("rev")).cast("double").as("revenue"),
+          sum(col("n")).as("n")))),
     // D8 (beyond-survey): per-user running totals — batch twin of the
     // transformWithState (state v2) processor; the SAME pure fold runs
     // here via flatMapGroups and in StatefulRunningSpec on a RocksDB
@@ -428,6 +441,11 @@ object RelationalQueries extends Registry {
       FROM customer
       WINDOW w AS (PARTITION BY c_mktsegment
                    ORDER BY c_acctbal DESC, c_custkey ASC)""",
+    "d3_salted_agg" -> """
+      SELECT l_returnflag,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""",
     "d8_running_totals" -> """
       SELECT event_id, user_id,
         CAST(row_number() OVER w AS BIGINT) AS n_so_far,
