@@ -43,15 +43,28 @@ object AsofJoin {
     * @param keys       equi-join key column names (same names both sides)
     * @param leftTs     event-time column of `left`
     * @param rightTs    event-time column of `right`
-    * @param toleranceUs max allowed staleness `left.ts - right.ts` in
-    *                   microseconds; None = unbounded
+    * @param toleranceUs max allowed distance between the matched
+    *                   timestamps in microseconds (`left − right`
+    *                   backward, `right − left` forward); None = unbounded
     * @param rightTieBreak extra right-side sort columns breaking
-    *                   (key, ts) ties deterministically (last wins) */
+    *                   (key, ts) ties deterministically (the
+    *                   traversal-last row wins: largest tie value
+    *                   backward, smallest forward)
+    * @param direction  "backward" (default): most recent right row with
+    *                   `right.ts <= left.ts`; "forward": nearest
+    *                   following right row with `right.ts >= left.ts`
+    *                   (DuckDB `ASOF ... ON l.ts <= r.ts`). Same
+    *                   single-shuffle union+window plan — the traversal
+    *                   just runs in descending time. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                toleranceUs: Option[Long] = None,
-               rightTieBreak: Seq[String] = Nil): DataFrame = {
+               rightTieBreak: Seq[String] = Nil,
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equi-join key")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
+    val backward = direction == "backward"
     val rightPayloadCols =
       right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
     val payload = struct(
@@ -81,8 +94,11 @@ object AsofJoin {
     // right rows sort before left rows at equal ts (side 0 < 1) so an
     // equal-timestamp right row is visible to the left row; extra
     // right-side tie-break columns order duplicates within (key, ts).
-    val sortCols = col("__asof_ts") +: col(SideCol) +:
-      rightTieBreak.map(c => col(PayloadCol)(s"__tie_$c"))
+    // Forward direction reverses the TIME traversal only — sides still
+    // order right-before-left within a tie, keeping equal-ts inclusive.
+    def ord(c: Column): Column = if (backward) c.asc else c.desc
+    val sortCols = ord(col("__asof_ts")) +: col(SideCol).asc +:
+      rightTieBreak.map(c => ord(col(PayloadCol)(s"__tie_$c")))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -90,10 +106,15 @@ object AsofJoin {
       .withColumn(CarriedCol, last(col(PayloadCol), ignoreNulls = true).over(w))
 
     val matched = toleranceUs match {
-      case Some(tol) => when(
-        unix_micros(col("__asof_ts")) -
-          unix_micros(col(CarriedCol)(RightTsCol)) <= tol,
-        col(CarriedCol))
+      case Some(tol) =>
+        val distance =
+          if (backward)
+            unix_micros(col("__asof_ts")) -
+              unix_micros(col(CarriedCol)(RightTsCol))
+          else
+            unix_micros(col(CarriedCol)(RightTsCol)) -
+              unix_micros(col("__asof_ts"))
+        when(distance <= tol, col(CarriedCol))
       case None => col(CarriedCol)
     }
     val out = carried.filter(col(SideCol) === 1)

@@ -284,6 +284,19 @@ object RelationalQueries extends Registry {
         ev.select("event_id", "user_id", "ts"),
         snaps, Seq("user_id"), "ts", "snap_ts")
     }),
+    // D1b: forward as-of — each event picks up its NEXT end-of-day
+    // snapshot (= its own day's summary, since snapshots stamp day+1).
+    // Oracle: DuckDB ASOF with the comparison reversed (e.ts <= snap).
+    "d1_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val snaps = ev.groupBy(col("user_id"),
+          (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).as("snap_ts"))
+        .agg(count(lit(1)).as("day_events"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("day_value"))
+      graft.operators.AsofJoin.asofJoin(
+        ev.select("event_id", "user_id", "ts"),
+        snaps, Seq("user_id"), "ts", "snap_ts", direction = "forward")
+    }),
     // D2 (beyond-survey): point-in-interval range join — each event is
     // matched to the gap-session interval containing it via the
     // bucketed equi-join in graft.operators.RangeJoin (a bare range
@@ -649,6 +662,16 @@ object RelationalQueries extends Registry {
       SELECT e.event_id, e.user_id, e.ts, s.snap_ts, s.day_events, s.day_value
       FROM events e ASOF LEFT JOIN snaps s
         ON e.user_id = s.user_id AND e.ts >= s.snap_ts""",
+    "d1_asof_forward" -> """
+      WITH snaps AS (
+        SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS snap_ts,
+               count(*) AS day_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events GROUP BY 1, 2
+      )
+      SELECT e.event_id, e.user_id, e.ts, s.snap_ts, s.day_events, s.day_value
+      FROM events e ASOF LEFT JOIN snaps s
+        ON e.user_id = s.user_id AND e.ts <= s.snap_ts""",
     "d2_range_join" -> """
       WITH marked AS (
         SELECT user_id, event_id, ts,

@@ -40,6 +40,43 @@ class AsofJoinSpec extends SparkSpec {
     assert(byLabel("between") === Some(11.0))
   }
 
+  test("forward direction: nearest following quote, inclusive, with tolerance") {
+    val out = AsofJoin.asofJoin(trades, quotes, Seq("key"), "tts", "qts",
+        direction = "forward")
+      .orderBy("key", "tts")
+      .select("label", "price").as[(String, Option[Double])].collect()
+    assert(out === Seq(
+      ("at-tick", Some(10.0)),  // equal ts: inclusive
+      ("between", Some(12.0)),  // next quote is ts(20)
+      ("stale", None),          // nothing after ts(99)
+      ("early", Some(100.0)),   // next quote ts(5)
+      ("no-key", None)))
+    val tol = AsofJoin.asofJoin(trades, quotes, Seq("key"), "tts", "qts",
+        toleranceUs = Some(1L * 60000000L), direction = "forward")
+      .select("label", "price").as[(String, Option[Double])].collect().toMap
+    assert(tol("between") === None, "5-min-ahead quote outside 1-min tolerance")
+    assert(tol("at-tick") === Some(10.0))
+  }
+
+  test("forward matches a brute-force min-following join") {
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
+    val snaps = ev.groupBy(col("user_id"),
+        (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).as("snap_ts"))
+      .agg(count(lit(1)).as("day_events"))
+    val asof = AsofJoin.asofJoin(ev, snaps, Seq("user_id"), "ts", "snap_ts",
+      direction = "forward")
+    val brute = ev.as("e").join(snaps.as("s"),
+        col("e.user_id") === col("s.user_id") && col("s.snap_ts") >= col("e.ts"),
+        "left")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("e.event_id"))
+          .orderBy(col("s.snap_ts").asc_nulls_last)))
+      .filter(col("rk") === 1)
+      .select(col("e.event_id"), col("e.user_id"), col("e.ts"),
+        col("s.snap_ts"), col("s.day_events"))
+    assert(asof.exceptAll(brute).isEmpty && brute.exceptAll(asof).isEmpty)
+  }
+
   test("matches a brute-force join on the events table") {
     val ev = Tables.events(spark, sf0001)
     val snaps = ev.groupBy(col("user_id"),
