@@ -100,6 +100,18 @@ object EventStreams {
                   path: String): DataFrame =
     spark.read.parquet(path).drop("__batch_id")
 
+  /** Stream-static enrichment join (C9): every streaming event picks up
+    * its user's profile row from a STATIC (batch) dimension — the
+    * broadcast-enrichment pattern. No watermark needed and no state:
+    * the static side is planned per micro-batch (broadcast under AQE
+    * thresholds), so at 100 TB of stream the cost per batch is the
+    * batch size, never the stream history. Works identically on a
+    * batch frame (the spec's equivalence oracle). */
+  def enrichWithProfile(events: DataFrame, profiles: DataFrame): DataFrame =
+    events.join(
+      profiles.select(col("user_id"), col("user_tier"), col("signup_ts")),
+      Seq("user_id"), "left")
+
   /** Stream-stream interval join (C9): each `purchase` event joins the
     * same user's `click` events from the preceding `windowMinutes` —
     * the attribution join. Works identically on batch and stream

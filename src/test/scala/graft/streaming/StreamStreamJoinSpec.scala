@@ -37,6 +37,29 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("stream-static enrichment join == batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // static profile dim derived from the batch data: tier by activity
+    val profiles = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("signup_ts"))
+      .withColumn("user_tier",
+        when(col("n") >= 20, "heavy").otherwise("light"))
+      .select("user_id", "user_tier", "signup_ts")
+    val input = MemoryStream[Ev]
+    input.addData(ev.as[Ev].collect().toSeq)
+    val q = EventStreams.enrichWithProfile(input.toDF(), profiles)
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("enrich_sink").orderBy("event_id")
+    val batch = EventStreams.enrichWithProfile(ev, profiles).orderBy("event_id")
+    assert(stream.columns.toSeq === batch.columns.toSeq)
+    assert(stream.collect().toSeq === batch.collect().toSeq)
+  }
+
   test("interval bounds are half-open: a click at the purchase instant does not match") {
     import java.sql.Timestamp
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
