@@ -169,6 +169,20 @@ object TextQueries extends Registry {
         .withColumn("rank", row_number().over(w).cast("bigint"))
         .filter(col("rank") <= 3)
     }),
+    // C5: context-window chunking — the training-data packing step:
+    // 32-token windows every 24 tokens (8-token overlap), one row per
+    // chunk with its token count and content fingerprint. Pure integer
+    // window arithmetic → exact oracle.
+    "c5_doc_chunks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"),
+          posexplode(TextFunctions.chunks(col("__toks"), 32, 24)))
+        .toDF("doc_id", "chunk_idx", "chunk")
+        .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+          org.apache.spark.sql.functions.size(split(col("chunk"), " "))
+            .cast("bigint").as("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))),
     // C5: collocation extraction — top-20 bigrams by pointwise mutual
     // information (the classic corpus-analysis op: which adjacent word
     // pairs co-occur far beyond chance). PMI is ranked on the ROUNDED
@@ -353,6 +367,20 @@ object TextQueries extends Registry {
         CAST(row_number() OVER (PARTITION BY doc_id
                ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
       FROM scored QUALIFY rank <= 3""",
+    "c5_doc_chunks" -> s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      c AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          ELSE list_transform(
+            range(0, 1 + (greatest(len(toks) - 32, 0) + 23) // 24),
+            c -> array_to_string(toks[c*24+1 : least(c*24+32, len(toks))], ' '))
+          END AS chs
+        FROM t)
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS chunk_idx,
+        CAST(len(string_split(chs[u.i], ' ')) AS BIGINT) AS n_tokens,
+        md5(chs[u.i]) AS chunk_md5
+      FROM c, LATERAL unnest(range(1, len(chs) + 1)) AS u(i)""",
     "c5_collocations" -> {
       val sh2 = sqlShingles("toks", 2)
       s"""

@@ -87,6 +87,32 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** Token-window chunks for context-window packing: windows of
+    * `chunkTokens` tokens starting every `strideTokens` tokens
+    * (overlap = chunk − stride), space-joined; the final window is
+    * shorter when the doc does not divide evenly, so every token lands
+    * in at least one chunk when stride ≤ chunk. Empty docs yield no
+    * chunks.
+    *
+    * `toks` MUST be a materialized token-array COLUMN (not an
+    * expression) — an in-lambda tokenization subtree re-evaluates per
+    * chunk (the lambda-CSE trap); against an attribute the per-chunk
+    * cost is one bounded slice. The window count is pure integer
+    * arithmetic (`1 + ceil(max(k−chunk,0)/stride)`) so the DuckDB
+    * oracle mirrors it exactly. */
+  def chunks(toks: Column, chunkTokens: Int, strideTokens: Int): Column = {
+    require(chunkTokens >= 1 && strideTokens >= 1,
+      "chunkTokens and strideTokens must be >= 1")
+    val k = size(toks)
+    val nChunks = (lit(1) +
+      ((greatest(k - chunkTokens, lit(0)) + (strideTokens - 1)) /
+        strideTokens).cast("int"))
+    when(k === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1), c =>
+        concat_ws(" ", slice(toks, c * strideTokens + lit(1),
+          least(lit(chunkTokens), k - c * strideTokens)))))
+  }
+
   /** All character n-grams (code-point windows) — the language-profile
     * primitive, as the native one-pass [[graft.expressions.CharNgrams]]
     * expression (the per-position `substring` composition re-seeks the
