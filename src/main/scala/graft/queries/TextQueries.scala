@@ -169,6 +169,29 @@ object TextQueries extends Registry {
         .withColumn("rank", row_number().over(w).cast("bigint"))
         .filter(col("rank") <= 3)
     }),
+    // C7: unigram language-model scoring — mean negative log2
+    // probability per token under the corpus's own add-1-smoothed
+    // unigram distribution (the perplexity-style quality signal real
+    // pipelines threshold on: gibberish and boilerplate both score
+    // badly). Deterministic: per-token logs summed on a 6-dp decimal
+    // grid, so cross-engine log/sum-order noise cannot move the mean.
+    "c7_unigram_logprob" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+      val vocab = counts.agg(count(lit(1)).as("v"),
+        sum(col("c_tok")).as("n_total"))
+      toks.join(counts, "tok").crossJoin(broadcast(vocab))
+        .withColumn("__nll", round(
+          -log2((col("c_tok").cast("double") + 1.0) /
+            (col("n_total").cast("double") + col("v").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(col("__nll")).cast("double") / count(lit(1)))
+            .as("mean_nll"))
+    }),
     // C5: context-window chunking — the training-data packing step:
     // 32-token windows every 24 tokens (8-token overlap), one row per
     // chunk with its token count and content fingerprint. Pure integer
@@ -367,6 +390,19 @@ object TextQueries extends Registry {
         CAST(row_number() OVER (PARTITION BY doc_id
                ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
       FROM scored QUALIFY rank <= 3""",
+    "c7_unigram_logprob" -> s"""
+      WITH toks AS (SELECT doc_id, unnest(${sqlToks("text")}) AS tok FROM documents),
+      counts AS (SELECT tok, count(*) AS c_tok FROM toks GROUP BY tok),
+      vocab AS (SELECT count(*) AS v, sum(c_tok) AS n_total FROM counts),
+      scored AS (
+        SELECT doc_id,
+          CAST(round(-log2((CAST(c_tok AS DOUBLE) + 1.0e0)
+            / (CAST(n_total AS DOUBLE) + CAST(v AS DOUBLE))), 6)
+            AS DECIMAL(18,6)) AS nll
+        FROM toks JOIN counts USING (tok), vocab)
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(nll) AS DOUBLE) / count(*) AS mean_nll
+      FROM scored GROUP BY doc_id""",
     "c5_doc_chunks" -> s"""
       WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
       c AS (
