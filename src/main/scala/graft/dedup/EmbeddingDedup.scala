@@ -33,10 +33,14 @@ object EmbeddingDedup {
             threshold: Double): DataFrame = {
     val comps = MinHashDedup.connectedComponents(
       pairs(df, idCol, vecCol, dim, threshold))
-    val keepers = comps.groupBy(col("component")).agg(min(col("id")).as("__keep"))
-      .select(col("__keep"))
-    val clustered = comps.select(col("id"))
-    df.join(clustered, df(idCol) === clustered("id"), "left_anti")
-      .union(df.join(keepers, df(idCol) === keepers("__keep"), "left_semi"))
+    // one corpus scan: small keep-flag table left-joins in (same shape
+    // as MinHashDedup.dedup — unclustered rows pass as null flags)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    val flags = comps
+      .withColumn("__keep", col("id") === min(col("id")).over(w))
+      .select(col("id").as("__cid"), col("__keep"))
+    df.join(flags, df(idCol) === flags("__cid"), "left")
+      .filter(col("__cid").isNull || col("__keep"))
+      .drop("__cid", "__keep")
   }
 }

@@ -249,16 +249,22 @@ object MinHashDedup {
   }
 
   /** End-to-end near-dup removal: keep one doc per confirmed cluster
-    * plus all unclustered docs. */
+    * plus all unclustered docs. ONE corpus scan: the (small) component
+    * table joins in with a per-id keep flag (id == min id of its
+    * cluster), and unclustered rows pass through the left join as
+    * null-flag rows — the previous anti-join ∪ semi-join shape read
+    * the corpus twice. */
   def dedup(df: DataFrame, idCol: String, textCol: String,
             threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
             shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
     val comps = connectedComponents(confirmedPairs(df, idCol, textCol, threshold,
       numHashes, bands, shingleSize, seed))
-    val keepers = comps.groupBy(col("component")).agg(min(col("id")).as("__keep"))
-      .select(col("__keep"))
-    val clustered = comps.select(col("id"))
-    df.join(clustered, df(idCol) === clustered("id"), "left_anti")
-      .union(df.join(keepers, df(idCol) === keepers("__keep"), "left_semi"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    val flags = comps
+      .withColumn("__keep", col("id") === min(col("id")).over(w))
+      .select(col("id").as("__cid"), col("__keep"))
+    df.join(flags, df(idCol) === flags("__cid"), "left")
+      .filter(col("__cid").isNull || col("__keep"))
+      .drop("__cid", "__keep")
   }
 }
