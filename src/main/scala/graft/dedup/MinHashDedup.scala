@@ -200,7 +200,13 @@ object MinHashDedup {
     labels
   }
 
-  /** [[connectedComponents]] plus the convergence flag and round count. */
+  /** [[connectedComponents]] plus the convergence flag and round count.
+    * Convergence is detected by comparing consecutive round fingerprints,
+    * so the flag can first be true after round 2 — `maxIter = 1` always
+    * reports `converged = false` on a nonempty edge set (which is also
+    * semantically right: one round of min-label propagation is only a
+    * fixpoint for a graph of isolated pairs). An EMPTY edge set returns
+    * immediately as converged with 0 rounds. */
   def connectedComponentsConverged(edges: DataFrame, maxIter: Int = 50)
       : (DataFrame, Boolean, Int) = {
     // localCheckpoint after every round: iterative self-joins double the
@@ -211,6 +217,9 @@ object MinHashDedup {
     // with its own swap executes the entire upstream candidate+confirm
     // pipeline TWICE (measured ~2× the whole dedup cost at sf0.1).
     val e = edges.select(col("a"), col("b")).localCheckpoint()
+    if (e.isEmpty)
+      return (e.select(col("a").as("id"), col("b").as("component")),
+        true, 0)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()

@@ -42,14 +42,29 @@ object BloomJoin {
     else dim.stat.bloomFilter(dimKey, expectedItems, fpp)
 
   /** Fact rows surviving the broadcast bloom probe on `factKey`. Null
-    * keys are dropped — an equi-join never matches them anyway. */
+    * keys are dropped — an equi-join never matches them anyway.
+    * The probe MUST hash the same way `stat.bloomFilter` inserted:
+    * integral keys were put as longs, strings as strings — probing a
+    * string key as a cast long would false-NEGATIVE and silently drop
+    * matching fact rows, so the key type picks the probe and anything
+    * else is rejected loudly. */
   private def prefiltered(fact: DataFrame, factKey: String,
                           bf: org.apache.spark.util.sketch.BloomFilter)
       : DataFrame = {
+    import org.apache.spark.sql.types._
     val bcast = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey).cast("long")))
+    val probe = fact.schema(factKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
+          .apply(col(factKey).cast("long"))
+      case StringType =>
+        udf((k: String) => k != null && bcast.value.mightContainString(k))
+          .apply(col(factKey))
+      case other => throw new IllegalArgumentException(
+        s"BloomJoin key '$factKey' has type $other; only integral and " +
+          "string keys hash consistently with stat.bloomFilter")
+    }
+    fact.filter(probe)
   }
 
   /** `fact ⋉ dim` (left semi) with a bloom pre-filter on the fact side.
@@ -65,7 +80,10 @@ object BloomJoin {
   def innerJoin(fact: DataFrame, dim: DataFrame,
                 factKey: String, dimKey: String,
                 expectedItems: Long = 1000000L,
-                fpp: Double = 0.01): DataFrame =
-    prefiltered(fact, factKey, keysOf(dim, dimKey, expectedItems, fpp))
-      .join(dim, col(factKey) === col(dimKey))
+                fpp: Double = 0.01): DataFrame = {
+    // frame-qualified columns: with factKey == dimKey (the usual
+    // star-schema spelling) unqualified col() is ambiguous
+    val pf = prefiltered(fact, factKey, keysOf(dim, dimKey, expectedItems, fpp))
+    pf.join(dim, pf(factKey) === dim(dimKey))
+  }
 }
