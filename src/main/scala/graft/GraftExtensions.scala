@@ -75,6 +75,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.expressions.CharNgrams(children.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_freq"),
+      new ExpressionInfo(classOf[graft.expressions.TopKFreq].getName,
+        "graft_topk_freq"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "graft_topk_freq takes exactly 3 arguments")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk_freq $what must be an integer literal, got $other")
+        }
+        graft.expressions.TopKFreq(children.head,
+          intLit(children(1), "k"), intLit(children(2), "capacity"))
+          .toAggregateExpression()
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -255,6 +255,21 @@ object TextQueries extends Registry {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(50)),
+    // C5: heavy-hitter shingles via the graft_topk_freq Misra-Gries
+    // aggregate (expressions/TopKFreq.scala) — bounded-memory top-k
+    // with NO full histogram shuffle: one O(capacity) summary per
+    // partition, merged, one row out. At 100 TB the exact variant
+    // above shuffles the full (shingle, count) space; this never
+    // does. Capacity 65536 > the corpus' distinct 3-shingles (27k at
+    // sf0.1), so counts are exact here and the DuckDB oracle applies;
+    // past capacity it degrades to the documented n/(cap+1) bound
+    // (TopKFreqSpec covers that regime).
+    "c5_heavy_hitter_shingles" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
+        .agg(expr("graft_topk_freq(sh, 30, 65536)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("shingle"), col("e.cnt").as("n"))),
   )
 
   private val langs = TextFunctions.stopwords.keys.toSeq.sorted
@@ -457,6 +472,11 @@ object TextQueries extends Registry {
       SELECT token, count(*) AS n
       FROM (SELECT unnest(${sqlToks("text")}) AS token FROM documents)
       GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
+    "c5_heavy_hitter_shingles" -> s"""
+      WITH t AS (SELECT ${sqlToks("text")} AS toks FROM documents)
+      SELECT shingle, count(*) AS n
+      FROM (SELECT unnest(${sqlShingles("toks", 3)}) AS shingle FROM t)
+      GROUP BY shingle ORDER BY n DESC, shingle ASC LIMIT 30""",
     "c7_stratified_sample" -> s"""
       SELECT doc_id, lang, source, n_chars FROM documents
       WHERE ${graft.operators.Sampling.sqlPredicate("doc_id", "lang",
