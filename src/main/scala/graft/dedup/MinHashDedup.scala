@@ -142,6 +142,42 @@ object MinHashDedup {
       .distinct()
   }
 
+  /** Per-doc portable band-bucket strings (`"band:v1,v2,..."`) as ONE
+    * array column — a pure projection (signature + banding, no shuffle,
+    * no self-join), which is exactly what a STREAMING frame can run:
+    * [[graft.streaming.StreamingNearDedup]] explodes these into
+    * per-bucket claims. Same portable arithmetic as
+    * [[portableCandidatePairs]] (Horner shingle hash, value-keyed
+    * buckets), so the batch twin sits under the DuckDB oracle.
+    * Docs with zero shingles (empty text at shingleSize=1) are dropped,
+    * mirroring portableCandidatePairs. Returns (doc_id, buckets). */
+  def portableBandedDocs(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 16, bands: Int = 4,
+                         shingleSize: Int = 1, seed: Long = 42L): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+    val (a, b) = params(numHashes, seed)
+    val hs = transform(
+      TextFunctions.shingles(col(textCol), shingleSize),
+      sh => portableShingleHash(sh))
+    // __hs is materialized as an attribute before sig references it:
+    // a lambda body referencing a non-argument SUBTREE re-evaluates it
+    // per element (no CSE across lambda scopes — the graft_shingles
+    // lesson); referencing an attribute is free.
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(col("__hs"), h =>
+        pmod(element_at(array(a.map(lit): _*), i + 1) * h +
+          element_at(array(b.map(lit): _*), i + 1), lit(Prime)))))
+    val buckets = transform(sequence(lit(0), lit(bands - 1)), bi =>
+      concat_ws(":", bi.cast("string"),
+        concat_ws(",", transform(slice(col("__sig"), bi * rows + 1, lit(rows)),
+          v => v.cast("string")))))
+    df.select(col(idCol).as("doc_id"), hs.as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col("doc_id"), sig.as("__sig"))
+      .select(col("doc_id"), buckets.as("buckets"))
+  }
+
   /** Jaccard from two precomputed distinct-shingle arrays. Sizes are
     * ints, so any expression arrangement yields identical doubles. */
   def jaccardFromShingles(sa: Column, sb: Column): Column = {

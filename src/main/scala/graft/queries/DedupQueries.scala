@@ -79,6 +79,14 @@ object DedupQueries extends Registry {
       MinHashDedup.portableCandidatePairs(Tables.documents(s, d),
         "doc_id", "text", shingleSize = 1)
         .orderBy(col("a"), col("b"))),
+    // C2: batch twin of the ONLINE (streaming first-wins) dedup —
+    // kept = docs that are the min doc_id of every band bucket they
+    // land in. Same portable banding as the pairs query, so the
+    // greedy-ingestion semantics themselves sit under the exact
+    // oracle; StreamingNearDedupSpec asserts stream == this twin.
+    "c2_online_dedup_twin" -> ((s, d) =>
+      graft.streaming.StreamingNearDedup.keptBatch(
+        Tables.documents(s, d), "doc_id", "text")),
   )
 
   private def toks = TextQueries.sqlToks("text")
@@ -163,6 +171,36 @@ object DedupQueries extends Registry {
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM kept x JOIN kept y
         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id"""
+    },
+    "c2_online_dedup_twin" -> {
+      // SAME portable signature pipeline as c2_minhash_portable_pairs
+      // (seed 42, k 16, 4 bands, unigram shingles); kept = min of every
+      // bucket. Bucket string embeds the band index exactly as
+      // MinHashDedup.portableBandedDocs builds it.
+      val (pa, pb) = MinHashDedup.permutationParams(16, 42L)
+      val aList = pa.mkString("[", ",", "]")
+      val bList = pb.mkString("[", ",", "]")
+      s"""
+      WITH hs AS (
+        SELECT doc_id, list_transform($toks, x ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, len(x) + 1),
+              j -> CAST(ascii(x[j:j]) AS BIGINT))),
+          (a, c) -> (a * 31 + c) % 1000000007)) AS h
+        FROM documents
+      ), sig AS (
+        SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(h,
+            v -> (($aList)[i+1] * v + ($bList)[i+1]) % 2147483647))) AS s
+        FROM hs WHERE len(h) > 0
+      ), banded AS (
+        SELECT doc_id, CAST(t.b AS VARCHAR) || ':' ||
+          array_to_string(s[t.b*4+1 : t.b*4+4], ',') AS bucket
+        FROM sig, LATERAL unnest(range(0, 4)) AS t(b)
+      ), k AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY bucket) AS keeper
+        FROM banded)
+      SELECT doc_id FROM k GROUP BY doc_id HAVING bool_and(doc_id = keeper)"""
     },
     // c2_minhash_pairs / c2_minhash_dedup / c2_simhash_pairs: xxhash64-
     // based — no engine-portable SQL; covered by ScalaTest invariants.

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.dedup.MinHashDedup
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig}
+
+/** One doc's claim on one LSH band bucket. */
+case class BandClaim(doc_id: Long, bucket: String)
+
+/** Per-band verdict: was this bucket already claimed by an earlier doc? */
+case class BandVerdict(doc_id: Long, dup: Boolean)
+
+/** State-store record: the bucket's first claimant. */
+case class BucketClaimant(doc_id: Long)
+
+/** ONLINE near-duplicate dedup — the streaming twin of the MinHash/LSH
+  * pipeline in [[graft.dedup.MinHashDedup]]: documents arrive in
+  * micro-batches and each is kept or dropped AT ARRIVAL, never
+  * revisited. Semantics are greedy first-wins (the standard shape for
+  * online corpus ingestion): a doc is dropped iff ANY of its band
+  * buckets was claimed by an earlier doc — earlier micro-batch, or
+  * smaller doc_id within the batch — where every arriving doc claims
+  * its buckets whether or not it is kept. This differs from the batch
+  * pipeline's connected-components clustering (which can see the whole
+  * graph); greedy is what one-pass ingestion can decide.
+  *
+  * Scale shape: the state store holds ONE tiny record per distinct
+  * bucket (the first claimant), partitioned by bucket key — no
+  * signature matrix, no candidate join, no driver state. A doc's cost
+  * is its banding projection plus `bands` state lookups. Pass a
+  * `TTLConfig` to bound state on an unending stream (expired buckets
+  * become claimable again — dedup horizon = TTL, the usual production
+  * trade).
+  *
+  * Because "first claimant of a bucket" is order-insensitive once ids
+  * are assigned in arrival order, the streaming fold equals a batch
+  * rule — doc kept iff it is the min doc_id of EVERY bucket it lands
+  * in — and that batch twin ([[keptBatch]]) uses the engine-portable
+  * banding of [[MinHashDedup.portableBandedDocs]], so it sits under
+  * the driver's exact DuckDB oracle (c2_online_dedup_twin). Stream ==
+  * batch is asserted in StreamingNearDedupSpec; batch == DuckDB by the
+  * oracle. */
+object StreamingNearDedup {
+
+  /** First-wins claim machine, keyed by bucket string: `ValueState`
+    * holds the first claimant ever seen; rows within a micro-batch are
+    * folded in doc_id order so a batch split is invisible. */
+  class FirstClaimProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, BandClaim, BandVerdict] {
+    @transient private var claimant:
+      org.apache.spark.sql.streaming.ValueState[BucketClaimant] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      claimant = getHandle.getValueState[BucketClaimant]("claimant",
+        Encoders.product[BucketClaimant], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[BandClaim],
+                                 timerValues: TimerValues)
+        : Iterator[BandVerdict] = {
+      val sorted = rows.toSeq.sortBy(_.doc_id)
+      var first = Option(claimant.get())
+      val out = sorted.map { r =>
+        val dup = first.exists(_.doc_id != r.doc_id)
+        if (first.isEmpty) {
+          first = Some(BucketClaimant(r.doc_id))
+          claimant.update(first.get)
+        }
+        BandVerdict(r.doc_id, dup)
+      }
+      out.iterator
+    }
+  }
+
+  /** Exploded (doc_id, bucket) claims — a projection, streaming-safe. */
+  private def claims(docs: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int, bands: Int, shingleSize: Int,
+                     seed: Long): DataFrame =
+    MinHashDedup.portableBandedDocs(docs, idCol, textCol, numHashes, bands,
+        shingleSize, seed)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(col("buckets")).as("bucket"))
+
+  /** Streaming per-band verdicts: one row per (doc, band) saying
+    * whether that band bucket was already claimed. All of a doc's
+    * verdicts land in its arrival micro-batch, so [[resolveKept]]
+    * inside `foreachBatch` yields the kept doc ids per batch. Requires
+    * the RocksDB state store provider (state v2). */
+  def bandVerdicts(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 1,
+                   seed: Long = 42L, ttl: TTLConfig = TTLConfig.NONE)
+      : DataFrame = {
+    val c = claims(docs, idCol, textCol, numHashes, bands, shingleSize, seed)
+    import c.sparkSession.implicits._
+    c.as[BandClaim]
+      .groupByKey(_.bucket)
+      .transformWithState(new FirstClaimProcessor(ttl),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Batch aggregation of [[bandVerdicts]] output → kept doc ids (docs
+    * none of whose bands were previously claimed). Run inside
+    * `foreachBatch`, where each doc's verdicts are complete. */
+  def resolveKept(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("doc_id"))
+      .agg(max(col("dup")).as("any_dup"))
+      .filter(!col("any_dup"))
+      .select(col("doc_id"))
+
+  /** Batch twin: kept = docs that are the min doc_id of EVERY band
+    * bucket they land in; `min(boolean)` is conjunction. Bucket minima
+    * come from a hash AGGREGATE + re-join rather than
+    * `min over (partition by bucket)`: a window pins each bucket to one
+    * task (a degenerate boilerplate bucket = one straggler, and AQE
+    * cannot split window skew), while the agg is partial/final
+    * map-combined and the re-join is AQE-skew-splittable. Equals the
+    * streaming fold whenever doc ids are assigned in arrival order. */
+  def keptBatch(docs: DataFrame, idCol: String, textCol: String,
+                numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 1,
+                seed: Long = 42L): DataFrame = {
+    val c = claims(docs, idCol, textCol, numHashes, bands, shingleSize, seed)
+      .localCheckpoint() // claims feed both join sides; bands once, not twice
+    val keepers = c.groupBy(col("bucket")).agg(min(col("doc_id")).as("keeper"))
+    c.join(keepers, "bucket")
+      .groupBy(col("doc_id"))
+      .agg(min(col("doc_id") === col("keeper")).as("all_first"))
+      .filter(col("all_first"))
+      .select(col("doc_id"))
+  }
+}
