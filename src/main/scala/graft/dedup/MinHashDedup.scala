@@ -90,6 +90,21 @@ object MinHashDedup {
   private[graft] def permutationParams(k: Int, seed: Long): (Seq[Long], Seq[Long]) =
     params(k, seed)
 
+  /** Expression-level `let`: evaluate `value` ONCE per row and hand it
+    * to `body` as a bound lambda variable. Catalyst has no common-
+    * subexpression elimination across lambda scopes, and CollapseProject
+    * happily inlines an aliased attribute back INTO a lambda body — so a
+    * banding lambda that references the signature array re-evaluates the
+    * whole shingle→Horner→16-permutation pipeline once PER BAND, and the
+    * explode-pushdown filter re-evaluates it again (measured: the
+    * c2_online_dedup_twin claims projection cost 9.9s vs 0.8s for the
+    * same arithmetic evaluated once). `transform` over a one-element
+    * array is the fix: the value becomes a lambda ARGUMENT, which the
+    * evaluator materializes exactly once and the optimizer cannot
+    * inline through. */
+  private def bindOnce(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Engine-portable shingle hash: Horner base-31 mod 1e9+7 over the
     * shingle's code points — the same arithmetic DuckDB reproduces via
     * `list_reduce`/`ascii` (see Winnowing for the precedent), unlike
@@ -118,20 +133,25 @@ object MinHashDedup {
     val hs = transform(
       TextFunctions.shingles(col(textCol), shingleSize),
       sh => portableShingleHash(sh))
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(col("__hs"), h =>
-        pmod(element_at(array(a.map(lit): _*), i + 1) * h +
-          element_at(array(b.map(lit): _*), i + 1), lit(Prime)))))
-    val banded = df
-      .select(col(idCol).as("doc"), hs.as("__hs"))
-      // zero shingles (empty doc at shingleSize=1) → array_min(null):
-      // drop them on both engines rather than bucket nulls together
-      .filter(size(col("__hs")) > 0)
-      .select(col("doc"), sig.as("__sig"))
-      .select(col("doc"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+    def sigOf(hsv: Column): Column =
+      transform(sequence(lit(0), lit(numHashes - 1)), i =>
+        array_min(transform(hsv, h =>
+          pmod(element_at(array(a.map(lit): _*), i + 1) * h +
+            element_at(array(b.map(lit): _*), i + 1), lit(Prime)))))
+    // hs and sig are let-bound (see bindOnce): each evaluated once per
+    // row regardless of how many bands reference them
+    val buckets = bindOnce(hs, hsv => bindOnce(sigOf(hsv), sigv =>
+      transform(sequence(lit(0), lit(bands - 1)),
         bi => concat_ws(",",
-          transform(slice(col("__sig"), bi * rows + 1, lit(rows)),
+          transform(slice(sigv, bi * rows + 1, lit(rows)),
             v => v.cast("string"))))))
+    val banded = df
+      // zero shingles (empty doc at shingleSize=1) → array_min(null):
+      // drop them on both engines rather than bucket nulls together.
+      // Filtering on the raw shingle count costs a tokenization pass
+      // but no Horner hashing (transform preserves length).
+      .filter(size(TextFunctions.shingles(col(textCol), shingleSize)) > 0)
+      .select(col(idCol).as("doc"), posexplode(buckets))
       .toDF("doc", "band", "bucket")
     val small = banded.groupBy("band", "bucket")
       .agg(collect_list(col("doc")).as("docs"))
@@ -160,22 +180,24 @@ object MinHashDedup {
     val hs = transform(
       TextFunctions.shingles(col(textCol), shingleSize),
       sh => portableShingleHash(sh))
-    // __hs is materialized as an attribute before sig references it:
-    // a lambda body referencing a non-argument SUBTREE re-evaluates it
-    // per element (no CSE across lambda scopes — the graft_shingles
-    // lesson); referencing an attribute is free.
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(col("__hs"), h =>
-        pmod(element_at(array(a.map(lit): _*), i + 1) * h +
-          element_at(array(b.map(lit): _*), i + 1), lit(Prime)))))
-    val buckets = transform(sequence(lit(0), lit(bands - 1)), bi =>
-      concat_ws(":", bi.cast("string"),
-        concat_ws(",", transform(slice(col("__sig"), bi * rows + 1, lit(rows)),
-          v => v.cast("string")))))
-    df.select(col(idCol).as("doc_id"), hs.as("__hs"))
-      .filter(size(col("__hs")) > 0)
-      .select(col("doc_id"), sig.as("__sig"))
-      .select(col("doc_id"), buckets.as("buckets"))
+    def sigOf(hsv: Column): Column =
+      transform(sequence(lit(0), lit(numHashes - 1)), i =>
+        array_min(transform(hsv, h =>
+          pmod(element_at(array(a.map(lit): _*), i + 1) * h +
+            element_at(array(b.map(lit): _*), i + 1), lit(Prime)))))
+    // the shingle hashes and the signature are LET-BOUND (bindOnce):
+    // materializing them as aliased attributes is NOT enough, because
+    // CollapseProject inlines the alias back into the banding lambda
+    // and the whole pipeline re-runs once per band (+ once more in the
+    // explode-pushdown filter) — measured 9.9s vs 0.8s on this very
+    // projection at sf0.1.
+    val buckets = bindOnce(hs, hsv => bindOnce(sigOf(hsv), sigv =>
+      transform(sequence(lit(0), lit(bands - 1)), bi =>
+        concat_ws(":", bi.cast("string"),
+          concat_ws(",", transform(slice(sigv, bi * rows + 1, lit(rows)),
+            v => v.cast("string")))))))
+    df.filter(size(TextFunctions.shingles(col(textCol), shingleSize)) > 0)
+      .select(col(idCol).as("doc_id"), buckets.as("buckets"))
   }
 
   /** Jaccard from two precomputed distinct-shingle arrays. Sizes are

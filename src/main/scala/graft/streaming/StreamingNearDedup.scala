@@ -120,8 +120,23 @@ object StreamingNearDedup {
   def keptBatch(docs: DataFrame, idCol: String, textCol: String,
                 numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 1,
                 seed: Long = 42L): DataFrame = {
-    val c = claims(docs, idCol, textCol, numHashes, bands, shingleSize, seed)
-      .localCheckpoint() // claims feed both join sides; bands once, not twice
+    // The banding projection (shingle → Horner → 16 permutations) is the
+    // dominant cost; make sure it runs on every core. A single small
+    // parquet row group scans as ONE partition, pinning the whole hash
+    // pass to one thread — at real scale scan partitions ≫ cores and
+    // this is a no-op (never a repartition of a large input).
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    // checkpoint BEFORE the explode: post-explode, the explode-pushdown
+    // filter re-evaluates the full banding pipeline a second time; the
+    // pre-explode (doc_id, buckets) frame evaluates it once, feeds both
+    // join sides, and the explode of a materialized 4-element array is
+    // free.
+    val banded = MinHashDedup.portableBandedDocs(wide, idCol, textCol,
+        numHashes, bands, shingleSize, seed)
+      .select(col("doc_id").cast("long").as("doc_id"), col("buckets"))
+      .localCheckpoint()
+    val c = banded.select(col("doc_id"), explode(col("buckets")).as("bucket"))
     val keepers = c.groupBy(col("bucket")).agg(min(col("doc_id")).as("keeper"))
     c.join(keepers, "bucket")
       .groupBy(col("doc_id"))
