@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.dedup.{Dedup, MinHashDedup, SimHash}
+import graft.dedup.{Decontaminate, Dedup, MinHashDedup, SimHash}
 import org.apache.spark.sql.functions._
 
 /** Deduplication queries (C1/C2). Exact dedup and the sampled n-gram
@@ -87,6 +87,28 @@ object DedupQueries extends Registry {
     "c2_online_dedup_twin" -> ((s, d) =>
       graft.streaming.StreamingNearDedup.keptBatch(
         Tables.documents(s, d), "doc_id", "text")),
+    // C2: benchmark decontamination — docs below id 100 play the EVAL
+    // set (id-less: only the text column is handed over), the rest is
+    // the TRAIN corpus; survivors share no word 8-gram with eval. The
+    // exact string-matching path is engine-portable → DuckDB oracle;
+    // the xxhash64 production path (rows-only) is asserted equal to it
+    // in DecontaminateSpec.
+    "c2_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.decontaminateExact(
+        docs.filter(col("doc_id") >= 100),
+        docs.filter(col("doc_id") < 100).select(col("text")),
+        "doc_id", "text")
+        .select(docCols.map(col): _*)
+    }),
+    "c2_decontaminate_hashed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.decontaminate(
+        docs.filter(col("doc_id") >= 100),
+        docs.filter(col("doc_id") < 100).select(col("text")),
+        "doc_id", "text")
+        .select(docCols.map(col): _*)
+    }),
   )
 
   private def toks = TextQueries.sqlToks("text")
@@ -202,7 +224,26 @@ object DedupQueries extends Registry {
         FROM banded)
       SELECT doc_id FROM k GROUP BY doc_id HAVING bool_and(doc_id = keeper)"""
     },
-    // c2_minhash_pairs / c2_minhash_dedup / c2_simhash_pairs: xxhash64-
-    // based — no engine-portable SQL; covered by ScalaTest invariants.
+    "c2_decontaminate" -> {
+      val sh = TextQueries.sqlShingles("toks", 8)
+      s"""
+      WITH t AS (
+        SELECT doc_id, $toks AS toks FROM documents
+      ), ev AS (
+        SELECT DISTINCT sh FROM (
+          SELECT unnest($sh) AS sh FROM t WHERE doc_id < 100)
+        WHERE len(sh) > 0
+      ), contam AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, unnest($sh) AS sh FROM t WHERE doc_id >= 100) g
+        WHERE len(sh) > 0 AND sh IN (SELECT sh FROM ev)
+      )
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM contam)"""
+    },
+    // c2_minhash_pairs / c2_minhash_dedup / c2_simhash_pairs /
+    // c2_decontaminate_hashed: xxhash64-based — no engine-portable SQL;
+    // covered by ScalaTest invariants (the hashed decontamination path
+    // is asserted row-identical to the oracled exact path).
   )
 }

@@ -1,0 +1,60 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Planted-overlap corpus: train docs 1/2 embed a verbatim 8-gram run
+  // from the eval set, 3/4/5 share only shorter runs or nothing.
+  private val evalSet = Seq(
+    "the quick brown fox jumps over the lazy dog tonight",
+    "benchmark questions must stay held out of training data"
+  ).toDF("text")
+
+  private val train = Seq(
+    (1L, "prefix words then the quick brown fox jumps over the lazy dog and more"),
+    (2L, "benchmark questions must stay held out of training data verbatim copy"),
+    (3L, "the quick brown fox sat still"), // 4-token overlap only
+    (4L, "completely unrelated text about spark catalyst expression codegen paths"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("planted 8-gram overlap is dropped; clean and short-overlap docs kept") {
+    val kept = Decontaminate.decontaminate(train, evalSet, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(3L, 4L, 5L))
+    // output schema == input schema
+    val out = Decontaminate.decontaminate(train, evalSet, "doc_id", "text")
+    assert(out.schema === train.schema)
+  }
+
+  test("hashed path equals exact string-matching path on the real corpus") {
+    val docs = Tables.documents(spark, sf001)
+    val evalDocs = docs.filter(col("doc_id") < 100).select(col("text"))
+    val trainDocs = docs.filter(col("doc_id") >= 100)
+    val exact = Decontaminate.contaminatedIdsExact(trainDocs, evalDocs, "doc_id", "text")
+    val hashed = Decontaminate.contaminatedIds(trainDocs, evalDocs, "doc_id", "text")
+    assert(exact.exceptAll(hashed).count() === 0)
+    assert(hashed.exceptAll(exact).count() === 0)
+    assert(exact.count() > 0, "fixture corpus should contain real 8-gram overlap")
+  }
+
+  test("blank documents never count as contamination overlap") {
+    val blanks = Seq((10L, ""), (11L, "   "), (12L, "real content here")).toDF("doc_id", "text")
+    val blankEval = Seq("", "  ").toDF("text")
+    // blank eval rows must not flag blank (or any) train docs
+    val kept = Decontaminate.decontaminate(blanks, blankEval, "doc_id", "text")
+    assert(kept.count() === 3)
+  }
+
+  test("eval side works with any schema (only the text column is read)") {
+    val weirdEval = Seq(("x", 1, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("label", "rank", "text")
+    val contaminated = Decontaminate.contaminatedIds(train, weirdEval, "doc_id", "text")
+      .as[Long].collect().sorted
+    assert(contaminated.toSeq === Seq(1L))
+  }
+}
