@@ -93,10 +93,14 @@ object StreamingNearDedup {
       : DataFrame = {
     val c = claims(docs, idCol, textCol, numHashes, bands, shingleSize, seed)
     import c.sparkSession.implicits._
+    // state TTL is only evaluated under processing-time semantics —
+    // TimeMode.None would reject (or silently never expire) the config
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None()
+               else TimeMode.ProcessingTime()
     c.as[BandClaim]
       .groupByKey(_.bucket)
-      .transformWithState(new FirstClaimProcessor(ttl),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new FirstClaimProcessor(ttl), mode,
+        OutputMode.Append())
       .toDF()
   }
 

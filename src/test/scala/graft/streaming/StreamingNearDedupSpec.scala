@@ -64,4 +64,95 @@ class StreamingNearDedupSpec extends SparkSpec {
     val got = streamKept(Seq(Seq(a), Seq(dupOfA, fresh)), "firstwins")
     assert(got === Set(1L, 3L))
   }
+
+  test("drop precision and dup recall vs exact-jaccard ground truth") {
+    // The low keep-rate (17/500 at sf0.001) is a property of the CORPUS,
+    // not an artifact of the greedy 4x4 banding: measure it. Ground
+    // truth = token-set jaccard >= 0.5 (unigram shingles, matching the
+    // keptBatch default). A drop is justified iff some EARLIER doc is a
+    // >=0.5-jaccard partner; a true-dup later doc should be dropped.
+    // Measured at HEAD: precision 0.983, recall 0.988 (the corpus is
+    // highly self-similar: 481/500 docs have an earlier 0.5+ partner).
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).cache()
+    val l = docs.select(col("doc_id").as("a"), col("text").as("__ta"))
+    val r = docs.select(col("doc_id").as("b"), col("text").as("__tb"))
+    val truth = l.join(r, col("a") < col("b"))
+      .withColumn("j", graft.dedup.MinHashDedup.jaccard(col("__ta"), col("__tb"), 1))
+      .filter(col("j") >= 0.5)
+      .select(col("a"), col("b")).cache()
+    val kept = StreamingNearDedup.keptBatch(docs, "doc_id", "text")
+      .select(col("doc_id"))
+    val dropped = docs.select(col("doc_id")).exceptAll(kept).cache()
+    val nDropped = dropped.count()
+    val justified = dropped
+      .join(truth, dropped("doc_id") === truth("b"), "left_semi").count()
+    val trueDupLater = docs.select(col("doc_id"))
+      .join(truth, col("doc_id") === truth("b"), "left_semi").cache()
+    val nTrueDup = trueDupLater.count()
+    val caught = trueDupLater
+      .join(dropped.withColumnRenamed("doc_id", "d"),
+        col("doc_id") === col("d"), "left_semi").count()
+    assert(nDropped > 0 && nTrueDup > 0)
+    assert(justified.toDouble / nDropped >= 0.9,
+      s"drop precision too low: $justified/$nDropped")
+    assert(caught.toDouble / nTrueDup >= 0.9,
+      s"dup recall too low: $caught/$nTrueDup")
+  }
+
+  test("TTL: an expired bucket becomes claimable again; inside horizon still dedups") {
+    // A TTL'd (processing-time) stateful query is ALWAYS-ON by
+    // construction: once processing-time semantics are in play,
+    // `shouldRunAnotherBatch` is permanently true and the engine keeps
+    // scheduling (empty) micro-batches — `processAllAvailable` starves
+    // and even Trigger.AvailableNow never terminates (measured: 593
+    // batches before the test harness killed it). So this test POLLS
+    // the verdicts collected by foreachBatch under a deadline instead
+    // of waiting for quiescence.
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val a = Doc(1L, "alpha beta gamma delta epsilon zeta")
+    val dup = Doc(2L, "alpha beta gamma delta epsilon zeta")
+
+    def runTtl(ttl: java.time.Duration, pauseMs: Long): Map[Long, Boolean] = {
+      val verdicts = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+      val input = MemoryStream[Doc]
+      val q = StreamingNearDedup.bandVerdicts(input.toDF(), "doc_id", "text",
+          ttl = org.apache.spark.sql.streaming.TTLConfig(ttl))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // any_dup per doc: true iff some band bucket was already claimed
+          batch.groupBy(col("doc_id")).agg(max(col("dup")).as("any_dup"))
+            .collect().foreach(r => verdicts.put(r.getLong(0), r.getBoolean(1)))
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ttl").toString)
+        .start()
+      def await(id: Long): Unit = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (!verdicts.containsKey(id) && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(verdicts.containsKey(id), s"doc $id never got a verdict")
+      }
+      input.addData(Seq(a)); await(1L)
+      Thread.sleep(pauseMs)
+      input.addData(Seq(dup)); await(2L)
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      verdicts.asScala.toMap
+    }
+
+    // duplicate arrives AFTER the TTL horizon -> the original claim has
+    // expired, the bucket is claimable again, the doc is KEPT
+    val expired = runTtl(java.time.Duration.ofMillis(300), pauseMs = 1500L)
+    assert(expired === Map(1L -> false, 2L -> false),
+      s"expired bucket should be claimable again: $expired")
+
+    // duplicate arriving INSIDE the horizon is still dropped
+    val inside = runTtl(java.time.Duration.ofMinutes(10), pauseMs = 0L)
+    assert(inside === Map(1L -> false, 2L -> true),
+      s"inside-horizon duplicate must be dropped: $inside")
+  }
 }
