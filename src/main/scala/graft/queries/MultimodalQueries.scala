@@ -20,14 +20,29 @@ object MultimodalQueries extends Registry {
              sum(length(col("payload")).cast("bigint")).as("total_bytes"),
              min(length(col("payload")).cast("bigint")).as("min_bytes"),
              max(length(col("payload")).cast("bigint")).as("max_bytes"))),
-    // C6: batched partition-local feature extraction (decoder stubbed,
-    // batching/schema real) → per-modality feature moments.
+    // C6: batched partition-local feature extraction (byte-stats
+    // fallback path, batching/schema real) → per-modality moments.
     "c6_feature_extract" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.assetsFromDocuments(Tables.documents(s, d)))
         .groupBy(col("modality"))
         .agg(round(avg(element_at(col("features"), 2)), 6).as("mean_byte_avg"),
              count(lit(1)).as("n"))),
+    // C6: REAL image decode under the exact oracle — PPM fixture bytes
+    // are built per doc_id with pixel(i) = (doc_id + i) mod 256, decoded
+    // by the pure-JVM P6 parser; DuckDB recomputes dimensions and
+    // channel means from the same closed form without touching bytes.
+    "c6_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.ppmFixtureBytes(
+          (4 + id % 5).toInt, (3 + id % 4).toInt, id)))
+        .toDF("asset_id", "payload")
+      Multimodal.decodeImages(fixture)
+        .select(col("asset_id"), col("format"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -37,6 +52,21 @@ object MultimodalQueries extends Registry {
              CAST(min(octet_length(text::BLOB)) AS BIGINT) AS min_bytes,
              CAST(max(octet_length(text::BLOB)) AS BIGINT) AS max_bytes
       FROM documents GROUP BY 1""",
-    // c6_feature_extract: decoder stub output — ScalaTest-verified.
+    // c6_feature_extract: byte-stats fallback output — ScalaTest-verified.
+    "c6_image_decode" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+               CAST(4 + doc_id % 5 AS BIGINT) AS width,
+               CAST(3 + doc_id % 4 AS BIGINT) AS height
+        FROM documents WHERE doc_id < 50
+      )
+      SELECT asset_id, 'ppm' AS format, width, height,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 3 * p + 0) % 256)) AS DOUBLE) / (width * height) AS mean_r,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 3 * p + 1) % 256)) AS DOUBLE) / (width * height) AS mean_g,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 3 * p + 2) % 256)) AS DOUBLE) / (width * height) AS mean_b
+      FROM f""",
   )
 }

@@ -36,6 +36,49 @@ class MultimodalSpec extends SparkSpec {
     assert(framed.filter(size(col("frames")) < 1).count() === 0)
   }
 
+  test("PPM decode is bit-exact on hand-computed fixture") {
+    // 2x2 image, seed 0: bytes 0..11; channel sums R=0+3+6+9=18,
+    // G=1+4+7+10=22, B=2+5+8+11=26; means /4
+    val info = Multimodal.decodeImage(Multimodal.ppmFixtureBytes(2, 2, 0L)).get
+    assert(info === Multimodal.ImageInfo("ppm", 2, 2, 4.5, 5.5, 6.5))
+    // comments and multi-digit dims parse
+    val withComment =
+      ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++
+        Multimodal.ppmFixtureBytes(2, 2, 0L).drop("P6\n2 2\n255\n".length))
+    assert(Multimodal.decodeImage(withComment) === Some(info))
+  }
+
+  test("BMP decode handles padding, BGR order and bottom-up rows") {
+    // 3x2 24-bit BMP: rowBytes=9, pad=3. Pixel (x,y) = (R=10x+y, G=100, B=7)
+    val w = 3; val h = 2
+    val pad = (4 - (w * 3) % 4) % 4
+    val body = new java.io.ByteArrayOutputStream()
+    def le32(v: Int) = (0 to 3).foreach(s => body.write((v >> (8 * s)) & 0xff))
+    def le16(v: Int) = (0 to 1).foreach(s => body.write((v >> (8 * s)) & 0xff))
+    body.write('B'); body.write('M')
+    le32(54 + (w * 3 + pad) * h); le32(0); le32(54) // size, reserved, offset
+    le32(40); le32(w); le32(h); le16(1); le16(24)   // DIB, w, h, planes, bpp
+    le32(0); le32(0); le32(0); le32(0); le32(0); le32(0) // BI_RGB + tail
+    for (y <- (h - 1) to 0 by -1) { // bottom-up
+      for (x <- 0 until w) {
+        body.write(7); body.write(100); body.write(10 * x + y) // B,G,R
+      }
+      (0 until pad).foreach(_ => body.write(0))
+    }
+    val info = Multimodal.decodeImage(body.toByteArray).get
+    // R mean = (0+10+20 + 1+11+21)/6 = 63/6 = 10.5
+    assert(info === Multimodal.ImageInfo("bmp", 3, 2, 10.5, 100.0, 7.0))
+  }
+
+  test("non-image payloads fall back to None; decodeImages appends nulls") {
+    assert(Multimodal.decodeImage("not an image".getBytes) === None)
+    assert(Multimodal.decodeImage(Array[Byte]('P', '6')) === None) // truncated
+    assert(Multimodal.decodeImage(null) === None)
+    val out = Multimodal.decodeImages(assets) // text payloads: none decode
+    assert(out.filter(col("format").isNotNull).count() === 0)
+    assert(out.count() === assets.count())
+  }
+
   test("resize bounds payload size and keeps small payloads intact") {
     val resized = Multimodal.resize(assets, targetBytes = 100)
     // decimation by ceil(len/target) keeps at most target bytes
