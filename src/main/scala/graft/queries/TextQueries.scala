@@ -249,12 +249,18 @@ object TextQueries extends Registry {
     // hitters) — explode + hash agg + TakeOrderedAndProject; the
     // (count desc, token asc) tie-break makes the cut deterministic, so
     // unlike sketch-based heavy hitters this is fully oracle-able.
+    // C5: top-50 tokens via graft_topk_freq — same Misra-Gries shape
+    // as c5_heavy_hitter_shingles below (one O(capacity) summary per
+    // partition, merged on the driver side of the agg, ONE row out)
+    // instead of shuffling the full (token, count) histogram. Capacity
+    // 65536 > the corpus' distinct unigrams, so counts are exact and
+    // the DuckDB oracle applies unchanged.
     "c5_frequent_tokens" -> ((s, d) =>
       Tables.documents(s, d)
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("token").asc)
-        .limit(50)),
+        .agg(expr("graft_topk_freq(token, 50, 65536)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("token"), col("e.cnt").as("n"))),
     // C5: heavy-hitter shingles via the graft_topk_freq Misra-Gries
     // aggregate (expressions/TopKFreq.scala) — bounded-memory top-k
     // with NO full histogram shuffle: one O(capacity) summary per

@@ -141,6 +141,15 @@ object StreamingNearDedup {
       .select(col("doc_id").cast("long").as("doc_id"), col("buckets"))
       .localCheckpoint()
     val c = banded.select(col("doc_id"), explode(col("buckets")).as("bucket"))
+    // NO degenerate-bucket cap here, unlike the candidate-PAIR paths:
+    // dropping a mega bucket there only loses candidates; here it would
+    // CHANGE keep semantics (every doc in the dropped bucket would keep,
+    // diverging from the streaming fold and the oracle). A mega bucket
+    // is also harmless in this shape: the per-bucket min is a partial
+    // (map-combined) aggregate, and the re-join probes ONE keeper row
+    // per bucket, so output stays exactly |claims| rows — linear, and
+    // AQE can split a skewed join partition. Linearity is pinned in
+    // StreamingNearDedupSpec.
     val keepers = c.groupBy(col("bucket")).agg(min(col("doc_id")).as("keeper"))
     c.join(keepers, "bucket")
       .groupBy(col("doc_id"))

@@ -100,6 +100,24 @@ class StreamingNearDedupSpec extends SparkSpec {
       s"dup recall too low: $caught/$nTrueDup")
   }
 
+  test("mega-buckets stay linear: keeper join emits exactly |claims| rows") {
+    // keptBatch has NO degenerate-bucket cap (a cap would change keep
+    // semantics vs the streaming fold and the oracle) — so pin the
+    // property that makes that safe: the keeper side is one row per
+    // bucket, hence the join output is |claims| regardless of skew.
+    val docs = Tables.documents(spark, sf0001)
+    val claims = graft.dedup.MinHashDedup
+      .portableBandedDocs(docs, "doc_id", "text")
+      .select(col("doc_id"), explode(col("buckets")).as("bucket")).cache()
+    val keepers = claims.groupBy(col("bucket"))
+      .agg(min(col("doc_id")).as("keeper")).cache()
+    val maxBucket = claims.groupBy(col("bucket")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    info(s"claims=${claims.count()} buckets=${keepers.count()} " +
+      s"max bucket size=$maxBucket")
+    assert(claims.join(keepers, "bucket").count() === claims.count())
+  }
+
   test("TTL: an expired bucket becomes claimable again; inside horizon still dedups") {
     // A TTL'd (processing-time) stateful query is ALWAYS-ON by
     // construction: once processing-time semantics are in play,
