@@ -49,6 +49,78 @@ object Sampling {
     df.filter(Noise.hashNoise(col(keyCol), salt) < frac)
   }
 
+  /** Weighted DOMAIN-MIXTURE sampling — hit a target source mixture
+    * (e.g. 40% web / 30% books / 30% code) with the largest corpus the
+    * observed counts allow. Rates are DATA-DEPENDENT, unlike
+    * [[stratified]]'s fixed fractions:
+    *
+    *   budget  = min over strata of count(s) / weight(s)
+    *             (the largest total where every stratum can fill its
+    *              share without upsampling)
+    *   rate(s) = min(1, budget * weight(s) / count(s))
+    *
+    * so the binding stratum samples at 1.0 and the rest downsample to
+    * match. Strata absent from `weights` are dropped. The keep decision
+    * is the same keyed hash-noise as [[stratified]] — reproducible,
+    * nested, engine-portable — and the rate arithmetic is plain IEEE
+    * double division/multiplication in a FIXED order, so DuckDB
+    * reproduces the exact sampled row set (see [[sqlMixture]]).
+    *
+    * Scale shape: one tiny groupBy over the strata column (hundreds of
+    * rows at any corpus size), a scalar min, and a broadcast join of
+    * the per-stratum rates — the corpus itself is only scanned and
+    * filtered, never shuffled. */
+  def mixture(df: DataFrame, keyCol: String, strataCol: String,
+              weights: Map[String, Double], salt: Int = 11): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0.0), "weights must be positive")
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val weightCol: Column = column(
+      org.apache.spark.sql.catalyst.expressions.CaseWhen(
+        weights.toSeq.map { case (k, w) =>
+          expression(col(strataCol) === k) -> expression(lit(w))
+        }, None))
+    val counts = df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .withColumn("__w", weightCol)
+    val budget = counts.agg(min(col("__cnt") / col("__w")).as("__budget"))
+    val rates = counts.crossJoin(broadcast(budget))
+      .withColumn("__rate",
+        least(lit(1.0), col("__budget") * col("__w") / col("__cnt")))
+      .select(col(strataCol), col("__rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(Noise.hashNoise(col(keyCol), salt) < col("__rate"))
+      .withColumn("rate", round(col("__rate"), 6))
+      .drop("__rate")
+  }
+
+  /** DuckDB twin of [[mixture]] as a full SELECT over `table`,
+    * mirroring the rate arithmetic term-for-term (same division and
+    * multiplication order — IEEE doubles are deterministic but not
+    * associative). `extraCols` lists the passthrough columns. */
+  def sqlMixture(table: String, keyExpr: String, strataExpr: String,
+                 weights: Map[String, Double], extraCols: Seq[String],
+                 salt: Int = 11): String = {
+    val inList = weights.keys.toSeq.sorted
+      .map(k => s"'${k.replace("'", "''")}'").mkString(", ")
+    val wCase = weights.toSeq.sortBy(_._1).map { case (k, w) =>
+      s"WHEN $strataExpr = '${k.replace("'", "''")}' THEN ${Noise.sqlDouble(w)}"
+    }.mkString("CASE ", " ", " END")
+    val cols = (Seq(keyExpr, strataExpr) ++ extraCols).mkString(", ")
+    s"""
+      WITH __c AS (
+        SELECT $strataExpr, CAST(count(*) AS DOUBLE) AS __cnt, $wCase AS __w
+        FROM $table WHERE $strataExpr IN ($inList) GROUP BY $strataExpr
+      ), __b AS (SELECT min(__cnt / __w) AS __budget FROM __c),
+      __r AS (
+        SELECT $strataExpr, least(1.0e0, __budget * __w / __cnt) AS __rate
+        FROM __c, __b)
+      SELECT $cols, round(__rate, 6) AS rate
+      FROM $table JOIN __r USING ($strataExpr)
+      WHERE ${Noise.sqlNoise(keyExpr, salt)} < __rate"""
+  }
+
   /** DuckDB twin of [[stratified]]'s predicate, for oracle SQL.
     * Stratum keys are SQL-escaped; an empty map degenerates to the
     * bare default literal (CASE with zero WHENs is invalid SQL). */

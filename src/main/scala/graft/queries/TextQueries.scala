@@ -16,6 +16,12 @@ object TextQueries extends Registry {
   private val SampleFractions =
     Map("en" -> 0.35, "fr" -> 0.6, "de" -> 0.9)
 
+  /** Target domain mixture for c7_domain_mixture (4 of the 20 sources;
+    * the rest drop). Rates derive from these weights AND the observed
+    * counts — see Sampling.mixture. */
+  private val MixtureWeights =
+    Map("src0" -> 0.35, "src1" -> 0.15, "src2" -> 0.2, "src17" -> 0.3)
+
   /** DuckDB fragment: whitespace tokens of lowercased text. */
   private[queries] def sqlToks(text: String): String =
     s"list_filter(string_split_regex(lower($text), '\\s+'), x -> len(x) > 0)"
@@ -261,6 +267,49 @@ object TextQueries extends Registry {
         .agg(expr("graft_topk_freq(token, 50, 65536)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("token"), col("e.cnt").as("n"))),
+    // C5: concat-and-chunk sequence packing (GPT-style) — global token
+    // offsets via the two-level block prefix-sum (Packing.scala: no
+    // full-corpus single-partition window), then pure integer-division
+    // sequence assignment at 256-token capacity. blockSize=64 so the
+    // block structure is actually exercised at test scale; the oracle
+    // is the naive one-window cumsum, which must agree exactly.
+    "c5_sequence_packing" -> ((s, d) =>
+      graft.text.Packing.docPacking(Tables.documents(s, d),
+        "doc_id", "text", seqLen = 256, blockSize = 64)),
+    // C7: weighted domain-mixture sampling — rates computed FROM the
+    // observed per-source counts to hit the target mixture with the
+    // largest corpus possible (Sampling.mixture); keep decisions are
+    // keyed hash-noise, so the exact sampled row set is oracle-able.
+    "c7_domain_mixture" -> ((s, d) =>
+      graft.operators.Sampling.mixture(Tables.documents(s, d),
+          "doc_id", "source", MixtureWeights)
+        .select("doc_id", "source", "lang", "n_chars", "rate")),
+    // C7: PII redaction — plant deterministic e-mails (doc_id % 3) and
+    // IPv4s (doc_id % 5) into the synthetic corpus, then scrub with the
+    // portable regex chain (Redact.scala) and report per-doc redaction
+    // counts + the md5 of the scrubbed text. Counts are taken on the
+    // planted text (pre-redaction) in both engines.
+    "c7_pii_redact" -> ((s, d) => {
+      val planted1 = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .withColumn("__t1", planted1)
+        .withColumn("__txt", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("__t1"), lit(" host 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 up")))
+          .otherwise(col("__t1")))
+        .select(col("doc_id"),
+          graft.text.Redact.countEmails(col("__txt")).cast("bigint").as("n_emails"),
+          graft.text.Redact.countIps(col("__txt")).cast("bigint").as("n_ips"),
+          md5(graft.text.Redact.redactPii(col("__txt"))).as("clean_md5"))
+    }),
+    // C7: Gopher-style repetition signals (Repetition.scala) — per-doc
+    // duplicate-token and duplicate-trigram fractions plus the
+    // most-common-token share, the standard boilerplate/spam gates.
+    "c7_repetition_stats" -> ((s, d) =>
+      graft.text.Repetition.stats(Tables.documents(s, d), "doc_id", "text")),
     // C5: heavy-hitter shingles via the graft_topk_freq Misra-Gries
     // aggregate (expressions/TopKFreq.scala) — bounded-memory top-k
     // with NO full histogram shuffle: one O(capacity) summary per
@@ -487,5 +536,75 @@ object TextQueries extends Registry {
       SELECT doc_id, lang, source, n_chars FROM documents
       WHERE ${graft.operators.Sampling.sqlPredicate("doc_id", "lang",
         SampleFractions, defaultFraction = 0.1)}""",
+    // Naive one-window cumsum — the point of the oracle split: the
+    // Spark side runs the scalable two-level block scan, DuckDB the
+    // textbook window, and the offsets must agree exactly.
+    "c5_sequence_packing" -> s"""
+      WITH t AS (
+        SELECT doc_id, len(${sqlToks("text")}) AS wc FROM documents
+      ), o AS (
+        SELECT doc_id, wc,
+          COALESCE(sum(wc) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM t WHERE wc > 0)
+      SELECT doc_id, CAST(wc AS BIGINT) AS n_tokens,
+        CAST(off AS BIGINT) AS start_off,
+        CAST(off // 256 AS BIGINT) AS seq_first,
+        CAST((off + wc - 1) // 256 AS BIGINT) AS seq_last,
+        CAST((off + wc - 1) // 256 - off // 256 + 1 AS BIGINT) AS n_seqs
+      FROM o""",
+    "c7_domain_mixture" -> graft.operators.Sampling.sqlMixture(
+      "documents", "doc_id", "source", MixtureWeights,
+      extraCols = Seq("lang", "n_chars")),
+    "c7_pii_redact" -> {
+      import graft.text.Redact
+      s"""
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com now'
+            ELSE text END AS t1
+        FROM documents
+      ), p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0
+            THEN t1 || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.7 up'
+            ELSE t1 END AS txt
+        FROM t)
+      SELECT doc_id,
+        ${Redact.sqlCount("txt", Redact.EmailPattern)} AS n_emails,
+        ${Redact.sqlCount("txt", Redact.Ipv4Pattern)} AS n_ips,
+        md5(${Redact.sqlRedact("txt")}) AS clean_md5
+      FROM p"""
+    },
+    "c7_repetition_stats" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(${sqlToks("text")}) AS t FROM documents
+      ), tc AS (
+        SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t
+      ), ta AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          count(*) AS n_dist, max(c) AS top_c
+        FROM tc GROUP BY doc_id
+      ), td AS (
+        SELECT doc_id, ${sqlToks("text")} AS toks FROM documents
+      ), tg AS (
+        SELECT doc_id, unnest(${sqlShingles("toks", 3)}) AS g FROM td
+      ), gc AS (
+        SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g
+      ), ga AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+          count(*) AS n_tri_dist
+        FROM gc GROUP BY doc_id)
+      SELECT ta.doc_id, ta.n_tokens,
+        round(1.0e0 - CAST(n_dist AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          AS dup_token_frac,
+        round(1.0e0 - CAST(n_tri_dist AS DOUBLE) / CAST(n_tri AS DOUBLE), 6)
+          AS dup_trigram_frac,
+        round(CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          AS top_token_frac
+      FROM ta JOIN ga USING (doc_id)""",
   )
 }

@@ -27,6 +27,35 @@ class SamplingSpec extends SparkSpec {
     assert(s100.size === docs.count())
   }
 
+  test("mixture: binding stratum keeps everything, output tracks target shares") {
+    // equal counts per source (25 each at sf0.001) → the largest
+    // weight binds: its rate is 1.0 and every other rate is w/w_max
+    val weights = Map("src0" -> 0.4, "src1" -> 0.2, "src2" -> 0.4)
+    val out = Sampling.mixture(docs, "doc_id", "source", weights).cache()
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet.subsetOf(weights.keySet), "unlisted sources must drop")
+    // binding strata (max weight) keep all 25 docs
+    assert(kept("src0") === 25L)
+    assert(kept("src2") === 25L)
+    // src1's rate is 0.2/0.4 = 0.5 → expect ~12-13 of 25 docs
+    assert(kept("src1") >= 7 && kept("src1") <= 18,
+      s"src1 kept ${kept("src1")}, want ~12.5")
+    // reported rate column matches the closed form w/w_max
+    val rates = out.select("source", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("src0") === 1.0)
+    assert(math.abs(rates("src1") - 0.5) < 1e-9)
+  }
+
+  test("mixture is deterministic under repartitioning") {
+    val weights = Map("src3" -> 0.5, "src4" -> 0.5)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.mixture(df, "doc_id", "source", weights)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(docs) === ids(docs.repartition(13)))
+  }
+
   test("per-stratum rates land near their targets") {
     val f = Map("en" -> 0.3, "fr" -> 0.7)
     val sampled = Sampling.stratified(docs, "doc_id", "lang", f, 0.0)
