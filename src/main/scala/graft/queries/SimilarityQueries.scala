@@ -62,6 +62,16 @@ object SimilarityQueries extends Registry {
           round(col("__max_err"), 9).as("max_err"),
           aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
     }),
+    // C3/C4: hybrid retrieval (HybridSearch.scala) — lexical term-
+    // frequency score fused 50/50 with cosine against the vec_id=1
+    // query embedding, top-20 by the fused score. Docs pair with
+    // vectors by id. Fully deterministic → exact oracle.
+    "c3_hybrid_search" -> ((s, d) =>
+      graft.similarity.HybridSearch.search(
+        Tables.documents(s, d),
+        Tables.embeddings(s, d).withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "text", "embedding",
+        terms = Seq("spark", "join", "merge"), queryId = 1L, k = 20)),
     // C3: per-label centroids (the IVF/k-NN-classify building block) —
     // posexplode to (label, dim, v), then an ORDER-INSENSITIVE exact
     // mean: elements rounded to the 6-dp grid (tie-free for binary
@@ -130,6 +140,26 @@ object SimilarityQueries extends Registry {
       FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
            LATERAL unnest(range(1, len(v) + 1)) AS t(i)
       GROUP BY label, t.i""",
+    "c3_hybrid_search" -> {
+      val toksSql = TextQueries.sqlToks("text")
+      s"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1),
+      t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      l AS (
+        SELECT doc_id, round(CASE WHEN len(toks) = 0 THEN 0.0e0
+          ELSE CAST(len(list_filter(toks,
+                 t -> list_contains(['spark', 'join', 'merge'], t))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END, 6) AS lex_score
+        FROM t),
+      s AS (
+        SELECT l.doc_id, l.lex_score,
+          ${cosSql("e.embedding::DOUBLE[]", "qv")} AS dense_score
+        FROM l JOIN embeddings e ON e.vec_id = l.doc_id, q
+        WHERE l.doc_id != 1)
+      SELECT doc_id, lex_score, dense_score,
+        round(lex_score * 0.5e0 + dense_score * 0.5e0, 6) AS score
+      FROM s ORDER BY score DESC, doc_id ASC LIMIT 20"""
+    },
     // c3_ann_topk: hyperplane constants impractical to embed portably —
     // recall tested against the exact baseline in CosineSpec.
   )

@@ -1,0 +1,60 @@
+package graft.similarity
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — the RAG-era search primitive: fuse a LEXICAL
+  * match score (query-term frequency in the document) with a DENSE
+  * score (cosine against a query embedding) and rank by the weighted
+  * sum. Pure composition of existing operators:
+  *
+  *   - lexical: term-count over the token array, normalized by doc
+  *     length — a narrow projection (no inverted index needed for
+  *     scoring a single query; at 100 TB the candidate set would come
+  *     from an index/LSH first and this scorer ranks the candidates);
+  *   - dense: one broadcast of the 1-row query vector, dot product via
+  *     the native DotProduct expression;
+  *   - fusion: `w·lex + (1−w)·dense`, ranked with (score desc, id)
+  *     tie-break → TakeOrderedAndProject, never a global sort.
+  *
+  * Every stage is deterministic arithmetic → the whole pipeline sits
+  * under the DuckDB oracle (c3_hybrid_search).
+  */
+object HybridSearch {
+
+  /** Fraction of doc tokens that are query terms (term frequency
+    * normalized by doc length; 0 for empty docs). */
+  def lexicalScore(text: org.apache.spark.sql.Column, terms: Seq[String])
+      : org.apache.spark.sql.Column = {
+    val toks = TextFunctions.tokens(text)
+    val termArr = array(terms.map(lit): _*)
+    val hits = size(filter(toks, t => array_contains(termArr, t)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Top-k docs by fused score. `docs` must carry (idCol, textCol);
+    * `vecs` (idCol, vecCol); the query embedding is row `queryId` of
+    * `vecs` (broadcast — one row). */
+  def search(docs: DataFrame, vecs: DataFrame, idCol: String,
+             textCol: String, vecCol: String, terms: Seq[String],
+             queryId: Long, k: Int, lexWeight: Double = 0.5): DataFrame = {
+    require(k >= 1 && lexWeight >= 0.0 && lexWeight <= 1.0)
+    val qv = vecs.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("__qv"))
+    val scored = docs
+      .select(col(idCol), lexicalScore(col(textCol), terms).as("__lex"))
+      .join(vecs.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v")), idCol)
+      .crossJoin(broadcast(qv))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("lex_score", round(col("__lex"), 6))
+      .withColumn("dense_score", round(Cosine.cosine(col("__v"), col("__qv")), 6))
+      .withColumn("score", round(
+        col("lex_score") * lexWeight + col("dense_score") * (1.0 - lexWeight), 6))
+    scored.select(col(idCol), col("lex_score"), col("dense_score"), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}
