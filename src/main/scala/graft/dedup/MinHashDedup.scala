@@ -247,9 +247,10 @@ object MinHashDedup {
     * a 100 TB corpus with dup-chains longer than the cap must not
     * silently mis-cluster.
     * Returns (id, component) where component = min id in the cluster. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     val (labels, converged, rounds) =
-      connectedComponentsConverged(edges, maxIter)
+      connectedComponentsConverged(edges, maxIter, smallGraphMaxEdges)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents did NOT converge within $rounds rounds " +
@@ -260,12 +261,26 @@ object MinHashDedup {
 
   /** [[connectedComponents]] plus the convergence flag and round count.
     * Convergence is detected by comparing consecutive round fingerprints,
-    * so the flag can first be true after round 2 — `maxIter = 1` always
-    * reports `converged = false` on a nonempty edge set (which is also
-    * semantically right: one round of min-label propagation is only a
-    * fixpoint for a graph of isolated pairs). An EMPTY edge set returns
-    * immediately as converged with 0 rounds. */
-  def connectedComponentsConverged(edges: DataFrame, maxIter: Int = 50)
+    * so the flag can first be true after round 2 — on the DISTRIBUTED
+    * path, `maxIter = 1` always reports `converged = false` on a
+    * nonempty edge set (which is also semantically right: one round of
+    * min-label propagation is only a fixpoint for a graph of isolated
+    * pairs). An EMPTY edge set returns immediately as converged with 0
+    * rounds.
+    *
+    * ADAPTIVE SMALL-GRAPH PATH: when the (materialized) edge list holds
+    * at most `smallGraphMaxEdges` rows, components are computed by
+    * union-find on the driver — exact, single job, `converged = true`,
+    * 0 rounds. The near-dup GRAPH is typically orders of magnitude
+    * smaller than the corpus (confirmed pairs only), so even 100 TB
+    * runs often fit the default 2²⁰-edge bound (~16 MB of longs); when
+    * they don't, the checkpointed distributed rounds run unchanged.
+    * Same AQE philosophy as broadcast-threshold joins: pick the
+    * physical strategy from the measured size, keep semantics
+    * identical (DedupSpec asserts driver == distributed labels). Pass
+    * `smallGraphMaxEdges = 0` to force the distributed path. */
+  def connectedComponentsConverged(edges: DataFrame, maxIter: Int = 50,
+                                   smallGraphMaxEdges: Long = 1L << 20)
       : (DataFrame, Boolean, Int) = {
     // localCheckpoint after every round: iterative self-joins double the
     // logical plan per iteration, and Catalyst re-analyzes the WHOLE
@@ -275,9 +290,12 @@ object MinHashDedup {
     // with its own swap executes the entire upstream candidate+confirm
     // pipeline TWICE (measured ~2× the whole dedup cost at sf0.1).
     val e = edges.select(col("a"), col("b")).localCheckpoint()
-    if (e.isEmpty)
+    val nEdges = e.count()
+    if (nEdges == 0)
       return (e.select(col("a").as("id"), col("b").as("component")),
         true, 0)
+    if (nEdges <= smallGraphMaxEdges)
+      return (driverComponents(e), true, 0)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
@@ -313,6 +331,42 @@ object MinHashDedup {
       i += 1
     }
     (labels, converged, i)
+  }
+
+  /** Driver-side union-find over a SMALL collected edge list, emitting
+    * the same (id, component = min id of cluster) labels as the
+    * distributed fixpoint. Works for any Comparable id type (long,
+    * string, ...), matching the distributed path's type-agnosticism. */
+  private def driverComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    e.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    val ord: Ordering[Any] =
+      (x: Any, y: Any) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    val rows = parent.keys.toSeq.groupBy(find).valuesIterator.flatMap { ns =>
+      val m = ns.min(ord)
+      ns.map(n => org.apache.spark.sql.Row(n, m))
+    }.toSeq
+    val idType = e.schema.fields(0).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   /** End-to-end near-dup removal: keep one doc per confirmed cluster

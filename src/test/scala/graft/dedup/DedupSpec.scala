@@ -55,16 +55,39 @@ class DedupSpec extends SparkSpec {
     // a 30-hop chain: min-label propagation moves one hop per round, so
     // this needs ~30 rounds — round 1's silent maxIter=10 would have
     // mislabeled the tail without any signal
+    // smallGraphMaxEdges = 0 forces the DISTRIBUTED rounds — this test
+    // pins their convergence reporting, which the driver path bypasses
     val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
     val (labels, converged, rounds) =
-      MinHashDedup.connectedComponentsConverged(chain)
+      MinHashDedup.connectedComponentsConverged(chain, smallGraphMaxEdges = 0)
     assert(converged, s"chain did not converge in $rounds rounds")
     val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.values.forall(_ === 0L), "all chain nodes must share component 0")
     // an artificially low cap must report non-convergence, not lie
-    val (_, conv2, _) =
-      MinHashDedup.connectedComponentsConverged(chain, maxIter = 3)
+    val (_, conv2, _) = MinHashDedup.connectedComponentsConverged(
+      chain, maxIter = 3, smallGraphMaxEdges = 0)
     assert(!conv2, "3 rounds cannot converge a 30-hop chain")
+  }
+
+  test("adaptive driver union-find emits the same labels as the distributed rounds") {
+    import spark.implicits._
+    // pseudo-random graph with chains, triangles, and isolated pairs
+    val rng = new scala.util.Random(7)
+    val edges = (1 to 400).map { _ =>
+      val a = rng.nextInt(300).toLong; val b = rng.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.toDF("a", "b")
+    val driver = MinHashDedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = MinHashDedup.connectedComponents(edges, smallGraphMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver === dist)
+    // string ids go through the same generic driver path
+    val sEdges = Seq(("x", "y"), ("y", "z"), ("p", "q")).toDF("a", "b")
+    val sComps = MinHashDedup.connectedComponents(sEdges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sComps === Map("x" -> "x", "y" -> "x", "z" -> "x",
+      "p" -> "p", "q" -> "p"))
   }
 
   test("near-dup dedup removes clustered docs but keeps one per cluster") {
