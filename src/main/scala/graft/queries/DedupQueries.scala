@@ -32,6 +32,24 @@ object DedupQueries extends Registry {
         .groupBy(col("fingerprint"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
         .filter(col("n_copies") > 1)),
+    // C1c: INCREMENTAL dedup — the nightly-ingest op: a new batch
+    // (doc_id >= 250) drops docs already present in the reference
+    // corpus (doc_id < 250, matched by token-set fingerprint via a
+    // shuffled anti join — the reference fingerprint set is never
+    // broadcast-pinned) and then dedups within the batch keeping the
+    // min id. Appending tomorrow's batch never re-decides today's.
+    "c1_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldFps = docs.filter(col("doc_id") < 250)
+        .select(Dedup.tokenSetFingerprint(col("text")).as("__fp")).distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+      docs.filter(col("doc_id") >= 250)
+        .withColumn("__fp", Dedup.tokenSetFingerprint(col("text")))
+        .join(oldFps, Seq("__fp"), "left_anti")
+        .withColumn("__keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__keep"))
+        .select(docCols.map(col): _*)
+    }),
     // C2 (oracle-able slice): exact 3-gram Jaccard over a contiguous id
     // range (the generator plants near-dups at adjacent ids), all pairs.
     // The corpus's planted near-dups are token-shuffled (token-set
@@ -134,6 +152,18 @@ object DedupQueries extends Registry {
              count(*) AS n_copies, min(doc_id) AS keeper_id
       FROM documents
       GROUP BY 1 HAVING count(*) > 1""",
+    "c1_incremental_dedup" -> s"""
+      WITH f AS (
+        SELECT doc_id, text, lang, source, n_chars,
+          md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+        FROM documents
+      ), batch AS (
+        SELECT * FROM f WHERE doc_id >= 250
+          AND fp NOT IN (SELECT fp FROM f WHERE doc_id < 250)
+      ), keep AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM batch)
+      SELECT doc_id, text, lang, source, n_chars
+      FROM keep WHERE doc_id = keeper""",
     "c2_ngram_jaccard" -> {
       val sh = TextQueries.sqlShingles("toks", 1)
       s"""

@@ -305,6 +305,17 @@ object TextQueries extends Registry {
           graft.text.Redact.countIps(col("__txt")).cast("bigint").as("n_ips"),
           md5(graft.text.Redact.redactPii(col("__txt"))).as("clean_md5"))
     }),
+    // C7: token-budget corpus selection (BudgetSelect.scala) — keep the
+    // highest-quality docs whose running token total fits a 15k-token
+    // budget, rank order (quality desc, doc_id). Two-level prefix sum
+    // binned by the 6-dp quality grid; the oracle runs the naive
+    // one-window cumsum and must agree exactly.
+    "c7_budget_select" -> ((s, d) =>
+      graft.text.BudgetSelect.selectToBudget(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.wordCount(col("text")).as("n_tokens")),
+        "doc_id", "quality", "n_tokens", budget = 15000L)),
     // C7: Gopher-style repetition signals (Repetition.scala) — per-doc
     // duplicate-token and duplicate-trigram fractions plus the
     // most-common-token share, the standard boilerplate/spam gates.
@@ -579,6 +590,28 @@ object TextQueries extends Registry {
         md5(${Redact.sqlRedact("txt")}) AS clean_md5
       FROM p"""
     },
+    "c7_budget_select" -> s"""
+      WITH t0 AS (
+        SELECT doc_id, ${sqlToks("text")} AS toks FROM documents
+      ), t AS (
+        SELECT doc_id,
+          round(least(CAST(len(toks) AS DOUBLE) / 50.0e0, 1.0e0)
+                * (CASE WHEN CAST(len(toks) AS DOUBLE) > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
+              + (CASE WHEN len(toks) = 0 THEN 0.0e0
+                 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) * 0.4e0
+              + (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0e0
+                            ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE) END) BETWEEN 3 AND 10
+                 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) AS quality,
+          CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t0
+      ), o AS (
+        SELECT doc_id, quality, n_tokens,
+          COALESCE(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM t)
+      SELECT doc_id, quality, n_tokens, CAST(off AS BIGINT) AS start_off
+      FROM o WHERE off + n_tokens <= 15000""",
     "c7_repetition_stats" -> s"""
       WITH toks AS (
         SELECT doc_id, unnest(${sqlToks("text")}) AS t FROM documents
