@@ -102,4 +102,52 @@ class PlanQualitySpec extends SparkSpec {
       "quantization must be a narrow projection:\n" +
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("packing: the corpus-wide window is partitioned; only block totals run unpartitioned") {
+    // the scale claim of c5_sequence_packing: the full-corpus running
+    // sum windows PARTITIONED by block, and the only unpartitioned
+    // window ranges over the tiny per-block totals relation. Inspect
+    // the optimized plan's Window nodes: exactly one partitioned (by
+    // __blk, over docs) and one unpartitioned (over the aggregated
+    // block totals, AFTER an Aggregate in its subtree).
+    val df = graft.SparkEntry.queries("c5_sequence_packing")(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size === 2, s"expected 2 windows, got ${windows.size}")
+    val (unpart, part) = windows.partition(_.partitionSpec.isEmpty)
+    assert(part.size === 1, "corpus window lost its partition key")
+    assert(unpart.size === 1)
+    // the unpartitioned window must sit above the block-totals Aggregate
+    assert(unpart.head.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _ => false
+    }, "unpartitioned window does not range over aggregated block totals")
+  }
+
+  test("budget select: bin-prefix attaches via broadcast; corpus never globally sorted") {
+    val p = plan("c7_budget_select")
+    assert(p.contains("BroadcastHashJoin"),
+      "bin prefix must broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "bin-prefix join became a shuffle")
+  }
+
+  test("hybrid search: query vector broadcasts, ranking is TakeOrderedAndProject") {
+    val p = plan("c3_hybrid_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k became a global sort:\n" + p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "1-row query vector not broadcast")
+  }
+
+  test("domain mixture: corpus is scanned and filtered, never shuffled") {
+    // the only Exchanges allowed are for the tiny per-stratum counts
+    // aggregation (and its scalar min); the corpus-side probe must be
+    // a broadcast join + filter. No SortMergeJoin anywhere.
+    val p = plan("c7_domain_mixture")
+    assert(!p.contains("SortMergeJoin"),
+      "rates join must broadcast, not shuffle the corpus:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), "rates not broadcast")
+  }
 }
