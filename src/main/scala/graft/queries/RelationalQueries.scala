@@ -397,6 +397,32 @@ object RelationalQueries extends Registry {
     // stream, so this oracle row transitively checks the processor.
     "d8_running_totals" -> ((s, d) =>
       graft.streaming.StatefulRunning.runningStatsBatch(Tables.events(s, d))),
+    // D9 (beyond-survey): event-rate anomaly detection — the pipeline
+    // observability op: hourly counts per event type, z-scored against
+    // that type's own mean/stddev across hours, |z| >= 2 flagged.
+    // Variance from exact integer sums (n, n²) in a FIXED expression
+    // order, so the doubles — and sqrt, correctly rounded per IEEE in
+    // both engines — agree bit-for-bit with the oracle. Two tiny aggs
+    // (hours × types, then types) + a broadcast join back: nothing
+    // corpus-sized shuffles twice.
+    "d9_rate_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("s"), sum(col("n") * col("n")).as("ss"),
+          count(lit(1)).as("k"))
+      val meanRaw = col("s").cast("double") / col("k").cast("double")
+      val varRaw = (col("ss").cast("double") -
+        col("s").cast("double") * col("s").cast("double") / col("k").cast("double")) /
+        col("k").cast("double")
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("z", when(varRaw <= 0, lit(0.0))
+          .otherwise(round((col("n").cast("double") - meanRaw) / sqrt(varRaw), 6)))
+        .select(col("event_type"), col("hour"), col("n"),
+          round(meanRaw, 6).as("mean_n"), col("z"),
+          (abs(col("z")) >= 2.0).cast("bigint").as("flagged"))
+    }),
     // D6 (beyond-survey): bloom-prefiltered fact⋉dim semi join — the
     // broadcast key-sketch pattern for dim sides too big for a hash
     // broadcast. Exact confirm join after the probe ⇒ identical result
@@ -466,6 +492,27 @@ object RelationalQueries extends Registry {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "d9_rate_anomaly" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+      ), stats AS (
+        SELECT event_type, sum(n) AS s, sum(n * n) AS ss, count(*) AS k
+        FROM hourly GROUP BY event_type
+      ), j AS (
+        SELECT h.event_type, h.hour, h.n,
+          CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS mean_raw,
+          (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(k AS DOUBLE)) / CAST(k AS DOUBLE) AS var_raw
+        FROM hourly h JOIN stats USING (event_type)
+      )
+      SELECT event_type, hour, n, round(mean_raw, 6) AS mean_n,
+        CASE WHEN var_raw <= 0 THEN 0.0e0
+          ELSE round((CAST(n AS DOUBLE) - mean_raw) / sqrt(var_raw), 6) END AS z,
+        CAST(abs(CASE WHEN var_raw <= 0 THEN 0.0e0
+          ELSE round((CAST(n AS DOUBLE) - mean_raw) / sqrt(var_raw), 6) END)
+          >= 2.0e0 AS BIGINT) AS flagged
+      FROM j""",
     "d6_bloom_join" -> """
       SELECT l_suppkey, count(*) AS n_items,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue

@@ -109,8 +109,13 @@ class PlanQualitySpec extends SparkSpec {
     // window ranges over the tiny per-block totals relation. Inspect
     // the optimized plan's Window nodes: exactly one partitioned (by
     // __blk, over docs) and one unpartitioned (over the aggregated
-    // block totals, AFTER an Aggregate in its subtree).
-    val df = graft.SparkEntry.queries("c5_sequence_packing")(spark, sf0001)
+    // block totals, AFTER an Aggregate in its subtree). Built with a
+    // parameterization no other suite uses — a concurrently-cached
+    // identical plan would be substituted by its InMemoryRelation and
+    // hide the windows.
+    val df = graft.text.Packing.docPacking(
+      graft.Tables.documents(spark, sf0001), "doc_id", "text",
+      seqLen = 128, blockSize = 16)
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }

@@ -33,8 +33,13 @@ class PackingSpec extends SparkSpec {
   }
 
   test("packing lays tokens end-to-end: offsets contiguous, spans disjoint") {
+    // NOTE: do not .cache() this frame — its plan is identical to the
+    // c5_sequence_packing query's, and a live cache entry would
+    // substitute an InMemoryRelation into PlanQualitySpec's
+    // window-structure assertion (suites share the session and can run
+    // concurrently)
     val packed = Packing.docPacking(Tables.documents(spark, sf0001),
-      "doc_id", "text", seqLen = 256, blockSize = 64).cache()
+      "doc_id", "text", seqLen = 256, blockSize = 64).localCheckpoint()
     // each doc starts exactly where the previous one ended
     val w = Window.orderBy(col("doc_id"))
     val gaps = packed
