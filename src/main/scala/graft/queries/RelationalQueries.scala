@@ -397,6 +397,22 @@ object RelationalQueries extends Registry {
     // stream, so this oracle row transitively checks the processor.
     "d8_running_totals" -> ((s, d) =>
       graft.streaming.StatefulRunning.runningStatsBatch(Tables.events(s, d))),
+    // D10 (beyond-survey): weekly cohort retention — the classic
+    // product-analytics matrix: users bucketed by first-seen week, one
+    // row per (cohort, week offset) with distinct active users. Two
+    // aggs over (user, week) — both shuffle on user/cohort keys with
+    // partial aggregation; the firsts table is per-user (small relative
+    // to events) and joins back on the shuffle key.
+    "d10_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val firsts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ev.join(firsts, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("bigint").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
     // D9 (beyond-survey): event-rate anomaly detection — the pipeline
     // observability op: hourly counts per event type, z-scored against
     // that type's own mean/stddev across hours, |z| >= 2 flagged.
@@ -492,6 +508,17 @@ object RelationalQueries extends Registry {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "d10_retention" -> """
+      WITH uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+      ), firsts AS (
+        SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id
+      )
+      SELECT cohort,
+        CAST(datediff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+        count(DISTINCT user_id) AS n_users
+      FROM uw JOIN firsts USING (user_id)
+      GROUP BY cohort, datediff('day', cohort, wk) // 7""",
     "d9_rate_anomaly" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n

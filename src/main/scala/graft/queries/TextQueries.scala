@@ -321,6 +321,45 @@ object TextQueries extends Registry {
     // most-common-token share, the standard boilerplate/spam gates.
     "c7_repetition_stats" -> ((s, d) =>
       graft.text.Repetition.stats(Tables.documents(s, d), "doc_id", "text")),
+    // C5: GROUPED Misra-Gries — top-10 tokens per language through the
+    // same bounded-memory aggregate, one summary per (group, partition)
+    // instead of a full per-lang histogram shuffle. Exact-capacity
+    // regime → the plain GROUP BY oracle applies.
+    "c5_topk_per_lang" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"))
+        .agg(expr("graft_topk_freq(token, 10, 65536)").as("tk"))
+        .select(col("lang"), explode(col("tk")).as("e"))
+        .select(col("lang"), col("e.item").as("token"), col("e.cnt").as("n"))),
+    // C7: bigram language-model scoring — mean negative log2 of the
+    // add-1-smoothed conditional P(w_i | w_{i-1}), the stronger quality
+    // signal over the unigram variant (repetitive boilerplate has
+    // high-probability unigrams but degenerate transitions). Same
+    // decimal-grid determinism as c7_unigram_logprob; docs with < 2
+    // tokens have no transitions and drop out in both engines.
+    "c7_bigram_logprob" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bi = docs.select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+        .filter(col("bg").contains(" "))
+      val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      val uniCounts = docs.select(
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+      val vocab = uniCounts.agg(count(lit(1)).as("v"))
+      bi.join(biCounts, "bg")
+        .withColumn("__prev", split(col("bg"), " ").getItem(0))
+        .join(uniCounts.select(col("tok").as("__prev"), col("c_tok")), "__prev")
+        .crossJoin(broadcast(vocab))
+        .withColumn("__nll", round(
+          -log2((col("c_bg").cast("double") + 1.0) /
+            (col("c_tok").cast("double") + col("v").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("__nll")).cast("double") / count(lit(1))).as("mean_nll"))
+    }),
     // C5: heavy-hitter shingles via the graft_topk_freq Misra-Gries
     // aggregate (expressions/TopKFreq.scala) — bounded-memory top-k
     // with NO full histogram shuffle: one O(capacity) summary per
@@ -589,6 +628,40 @@ object TextQueries extends Registry {
         ${Redact.sqlCount("txt", Redact.Ipv4Pattern)} AS n_ips,
         md5(${Redact.sqlRedact("txt")}) AS clean_md5
       FROM p"""
+    },
+    "c5_topk_per_lang" -> s"""
+      WITH toks AS (
+        SELECT lang, unnest(${sqlToks("text")}) AS token FROM documents
+      ), counted AS (
+        SELECT lang, token, count(*) AS n FROM toks GROUP BY lang, token
+      ), ranked AS (
+        SELECT lang, token, n,
+          row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS r
+        FROM counted)
+      SELECT lang, token, n FROM ranked WHERE r <= 10""",
+    "c7_bigram_logprob" -> {
+      val sh2 = sqlShingles("toks", 2)
+      s"""
+      WITH td AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      bi AS (
+        SELECT doc_id, bg FROM (
+          SELECT doc_id, unnest($sh2) AS bg FROM td)
+        WHERE contains(bg, ' ')
+      ),
+      bc AS (SELECT bg, count(*) AS c_bg FROM bi GROUP BY bg),
+      uni AS (SELECT tok, count(*) AS c_tok FROM
+        (SELECT unnest(${sqlToks("text")}) AS tok FROM documents) GROUP BY tok),
+      vocab AS (SELECT count(*) AS v FROM uni),
+      scored AS (
+        SELECT doc_id,
+          CAST(round(-log2((CAST(c_bg AS DOUBLE) + 1.0e0)
+            / (CAST(c_tok AS DOUBLE) + CAST(v AS DOUBLE))), 6)
+            AS DECIMAL(18,6)) AS nll
+        FROM bi JOIN bc USING (bg)
+          JOIN uni ON uni.tok = string_split(bi.bg, ' ')[1], vocab)
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(nll) AS DOUBLE) / count(*) AS mean_nll
+      FROM scored GROUP BY doc_id"""
     },
     "c7_budget_select" -> s"""
       WITH t0 AS (
