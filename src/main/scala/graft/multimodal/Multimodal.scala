@@ -91,7 +91,7 @@ object Multimodal {
     if (w <= 0 || h <= 0 || maxval != 255 ||
         i + 3L * w * h > p.length) return None
     channelMeans(p, i, w, h, "ppm", rIdx = 0, gIdx = 1, bIdx = 2,
-      rowPad = 0, bottomUp = false)
+      rowPad = 0)
   }
 
   private def decodeBmp(p: Array[Byte]): Option[ImageInfo] = {
@@ -103,18 +103,24 @@ object Multimodal {
     val w = i32(18); val h = i32(22) // h<0 = top-down; means don't care
     val bpp = u16(28); val compression = i32(30)
     val ah = math.abs(h)
-    val rowBytes = w * 3
-    val pad = (4 - rowBytes % 4) % 4
+    // all size arithmetic in Long: a hostile/corrupt header can carry
+    // w ≈ 2³¹/3 where `w * 3` overflows Int and sails past the bound
+    // check — the contract is "None for anything malformed", never an
+    // ArrayIndexOutOfBounds that kills the task. dataOffset must also
+    // be non-negative (i32 reads it signed) and past the 54-byte header.
+    val rowBytes = w.toLong * 3
+    val pad = ((4 - rowBytes % 4) % 4).toInt
     if (w <= 0 || ah <= 0 || bpp != 24 || compression != 0 ||
-        dataOffset + (rowBytes + pad).toLong * ah > p.length) return None
+        dataOffset < 54 ||
+        dataOffset.toLong + (rowBytes + pad) * ah > p.length) return None
     // BMP stores BGR
     channelMeans(p, dataOffset, w, ah, "bmp", rIdx = 2, gIdx = 1, bIdx = 0,
-      rowPad = pad, bottomUp = true)
+      rowPad = pad)
   }
 
   private def channelMeans(p: Array[Byte], off: Int, w: Int, h: Int,
                            fmt: String, rIdx: Int, gIdx: Int, bIdx: Int,
-                           rowPad: Int, bottomUp: Boolean): Option[ImageInfo] = {
+                           rowPad: Int): Option[ImageInfo] = {
     var r = 0L; var g = 0L; var b = 0L
     var i = off
     var row = 0

@@ -74,22 +74,27 @@ object Sampling {
               weights: Map[String, Double], salt: Int = 11): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.values.forall(_ > 0.0), "weights must be positive")
-    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    val weightCol: Column = column(
-      org.apache.spark.sql.catalyst.expressions.CaseWhen(
-        weights.toSeq.map { case (k, w) =>
-          expression(col(strataCol) === k) -> expression(lit(w))
-        }, None))
+    // per-stratum counts collect to the driver — bounded by |weights|
+    // rows at any corpus size (the corpus itself is never collected).
+    // Driver-side rate arithmetic uses the same IEEE ops in the same
+    // order as sqlMixture's SQL, so the oracle still matches bit-exactly.
     val counts = df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(strataCol))
-      .agg(count(lit(1)).cast("double").as("__cnt"))
-      .withColumn("__w", weightCol)
-    val budget = counts.agg(min(col("__cnt") / col("__w")).as("__budget"))
-    val rates = counts.crossJoin(broadcast(budget))
-      .withColumn("__rate",
-        least(lit(1.0), col("__budget") * col("__w") / col("__cnt")))
-      .select(col(strataCol), col("__rate"))
-    df.join(broadcast(rates), strataCol)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    // a weighted stratum with zero rows makes the target mixture
+    // unsatisfiable (its share can never be filled) — fail loudly
+    // rather than silently skewing the output toward present strata
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"mixture: weighted strata absent from data: ${missing.toSeq.sorted
+        .mkString(", ")} — the target mixture cannot be satisfied")
+    val budget = weights.map { case (k, w) => counts(k) / w }.min
+    val rates = weights.map { case (k, w) =>
+      (k, math.min(1.0, budget * w / counts(k)))
+    }.toSeq
+    import df.sparkSession.implicits._
+    val ratesDf = rates.toDF(strataCol, "__rate")
+    df.join(broadcast(ratesDf), strataCol)
       .filter(Noise.hashNoise(col(keyCol), salt) < col("__rate"))
       .withColumn("rate", round(col("__rate"), 6))
       .drop("__rate")

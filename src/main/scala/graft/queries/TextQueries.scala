@@ -340,9 +340,15 @@ object TextQueries extends Registry {
     // tokens have no transitions and drop out in both engines.
     "c7_bigram_logprob" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // materialized once: the (doc_id, bigram) frame feeds BOTH the
+      // per-bigram count build side and the probe side of the join, and
+      // Spark has no cross-branch CSE — without the checkpoint the
+      // dominant tokenize+shingle+explode pipeline runs twice (the same
+      // pattern confirmedPairs and keptBatch document)
       val bi = docs.select(col("doc_id"),
           explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
         .filter(col("bg").contains(" "))
+        .localCheckpoint()
       val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
       val uniCounts = docs.select(
           explode(TextFunctions.tokens(col("text"))).as("tok"))

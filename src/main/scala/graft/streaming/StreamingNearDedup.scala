@@ -129,8 +129,21 @@ object StreamingNearDedup {
     // parquet row group scans as ONE partition, pinning the whole hash
     // pass to one thread — at real scale scan partitions ≫ cores and
     // this is a no-op (never a repartition of a large input).
+    // Only probe the partition count when the plan is NARROW over its
+    // source: on an exchange-bearing plan (join/agg/window upstream),
+    // Dataset.rdd forces AQE to execute every upstream query stage just
+    // to report a number — doubling arbitrary caller work — and such
+    // plans already spread across shuffle partitions anyway.
+    import org.apache.spark.sql.catalyst.plans.logical._
     val p = docs.sparkSession.sparkContext.defaultParallelism
-    val wide = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    val narrowOverSource = !docs.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Distinct | _: Deduplicate |
+           _: RepartitionOperation | _: Sort => true
+      case _ => false
+    }
+    val wide =
+      if (narrowOverSource && docs.rdd.getNumPartitions < p) docs.repartition(p)
+      else docs
     // checkpoint BEFORE the explode: post-explode, the explode-pushdown
     // filter re-evaluates the full banding pipeline a second time; the
     // pre-explode (doc_id, buckets) frame evaluates it once, feeds both

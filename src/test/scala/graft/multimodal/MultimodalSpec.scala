@@ -70,6 +70,28 @@ class MultimodalSpec extends SparkSpec {
     assert(info === Multimodal.ImageInfo("bmp", 3, 2, 10.5, 100.0, 7.0))
   }
 
+  test("hostile BMP headers return None, never throw (negative offset, w*3 overflow)") {
+    def bmp(dataOffset: Int, w: Int, h: Int): Array[Byte] = {
+      val body = new java.io.ByteArrayOutputStream()
+      def le32(v: Int) = (0 to 3).foreach(s => body.write((v >> (8 * s)) & 0xff))
+      def le16(v: Int) = (0 to 1).foreach(s => body.write((v >> (8 * s)) & 0xff))
+      body.write('B'); body.write('M')
+      le32(58); le32(0); le32(dataOffset)
+      le32(40); le32(w); le32(h); le16(1); le16(24)
+      le32(0); le32(0); le32(0); le32(0); le32(0); le32(0)
+      body.write(0); body.write(0); body.write(0); body.write(0)
+      body.toByteArray
+    }
+    // negative data offset (i32 reads the field signed)
+    assert(Multimodal.decodeImage(bmp(-1, 1, 1)) === None)
+    // offset pointing inside the header
+    assert(Multimodal.decodeImage(bmp(10, 1, 1)) === None)
+    // w*3 overflows Int to a tiny positive number
+    assert(Multimodal.decodeImage(bmp(54, 0x55555556, 1)) === None)
+    // h = Int.MinValue: math.abs stays negative
+    assert(Multimodal.decodeImage(bmp(54, 1, Int.MinValue)) === None)
+  }
+
   test("non-image payloads fall back to None; decodeImages appends nulls") {
     assert(Multimodal.decodeImage("not an image".getBytes) === None)
     assert(Multimodal.decodeImage(Array[Byte]('P', '6')) === None) // truncated

@@ -48,6 +48,25 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(rates("src1") - 0.5) < 1e-9)
   }
 
+  test("mixture with UNEQUAL counts: scarce stratum binds the budget") {
+    import spark.implicits._
+    // src A: 40 rows, src B: 10 rows, equal target shares → B binds:
+    // budget = min(40/0.5, 10/0.5) = 20; rate(A) = 20*0.5/40 = 0.25,
+    // rate(B) = 1.0 — the corpus can only support 10 B-rows' worth of
+    // A at a 50/50 mix
+    val df = ((1L to 40L).map(i => (i, "A")) ++ (41L to 50L).map(i => (i, "B")))
+      .toDF("id", "src")
+    val out = Sampling.mixture(df, "id", "src", Map("A" -> 0.5, "B" -> 0.5))
+    val rates = out.select("src", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("B") === 1.0)
+    assert(math.abs(rates("A") - 0.25) < 1e-9)
+    val kept = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("B") === 10L, "binding stratum must keep everything")
+    assert(kept("A") >= 4 && kept("A") <= 17, s"A kept ${kept("A")}, want ~10")
+  }
+
   test("mixture is deterministic under repartitioning") {
     val weights = Map("src3" -> 0.5, "src4" -> 0.5)
     def ids(df: org.apache.spark.sql.DataFrame) =
