@@ -62,6 +62,37 @@ object SimilarityQueries extends Registry {
           round(col("__max_err"), 9).as("max_err"),
           aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
     }),
+    // C3: kNN label classification — the embedding-quality eval op:
+    // predict each sampled vector's label from the majority label of
+    // its 5 nearest neighbors (cosine, neighbors from the same sample,
+    // self excluded); ties break (votes desc, label asc). Eval sets
+    // are small by construction, so the all-pairs join is the honest
+    // shape here — the LSH/IVF paths serve the full-corpus case.
+    "c3_knn_classify" -> ((s, d) => {
+      val sample = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("__v"))
+      val a = sample.select(col("vec_id").as("a"), col("label").as("label_true"),
+        col("__v").as("__va"))
+      val b = sample.select(col("vec_id").as("b"), col("label").as("label_b"),
+        col("__v").as("__vb"))
+      val wN = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
+      val wV = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a")).orderBy(col("votes").desc, col("label_b").asc)
+      a.join(b, col("a") =!= col("b"))
+        .withColumn("score", round(Cosine.cosine(col("__va"), col("__vb")), 6))
+        .withColumn("__rk", row_number().over(wN))
+        .filter(col("__rk") <= 5)
+        .groupBy(col("a"), col("label_true"), col("label_b"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("__vr", row_number().over(wV))
+        .filter(col("__vr") === 1)
+        .select(col("a").as("vec_id"), col("label_true"),
+          col("label_b").as("label_pred"),
+          (col("label_b") === col("label_true")).cast("bigint").as("correct"))
+    }),
     // C3/C4: hybrid retrieval (HybridSearch.scala) — lexical term-
     // frequency score fused 50/50 with cosine against the vec_id=1
     // query embedding, top-20 by the fused score. Docs pair with
@@ -140,6 +171,30 @@ object SimilarityQueries extends Registry {
       FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
            LATERAL unnest(range(1, len(v) + 1)) AS t(i)
       GROUP BY label, t.i""",
+    "c3_knn_classify" -> s"""
+      WITH s AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+      ), scored AS (
+        SELECT l.vec_id AS a, l.label AS label_true,
+          r.vec_id AS b, r.label AS label_b,
+          ${cosSql("l.v", "r.v")} AS score
+        FROM s l JOIN s r ON l.vec_id != r.vec_id
+      ), nn AS (
+        SELECT a, label_true, label_b,
+          row_number() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS rk
+        FROM scored
+      ), votes AS (
+        SELECT a, label_true, label_b, count(*) AS votes
+        FROM nn WHERE rk <= 5 GROUP BY a, label_true, label_b
+      ), picked AS (
+        SELECT a, label_true, label_b,
+          row_number() OVER (PARTITION BY a
+            ORDER BY votes DESC, label_b ASC) AS vr
+        FROM votes)
+      SELECT a AS vec_id, label_true, label_b AS label_pred,
+        CAST(label_b = label_true AS BIGINT) AS correct
+      FROM picked WHERE vr = 1""",
     "c3_hybrid_search" -> {
       val toksSql = TextQueries.sqlToks("text")
       s"""
