@@ -75,24 +75,12 @@ class StreamingNearDedupSpec extends SparkSpec {
     // highly self-similar: 481/500 docs have an earlier 0.5+ partner).
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).cache()
-    val l = docs.select(col("doc_id").as("a"), col("text").as("__ta"))
-    val r = docs.select(col("doc_id").as("b"), col("text").as("__tb"))
-    val truth = l.join(r, col("a") < col("b"))
-      .withColumn("j", graft.dedup.MinHashDedup.jaccard(col("__ta"), col("__tb"), 1))
-      .filter(col("j") >= 0.5)
-      .select(col("a"), col("b")).cache()
+    val truth = graft.dedup.DedupGroundTruth
+      .jaccardTruthPairs(docs, "doc_id", "text", threshold = 0.5).cache()
     val kept = StreamingNearDedup.keptBatch(docs, "doc_id", "text")
       .select(col("doc_id"))
-    val dropped = docs.select(col("doc_id")).exceptAll(kept).cache()
-    val nDropped = dropped.count()
-    val justified = dropped
-      .join(truth, dropped("doc_id") === truth("b"), "left_semi").count()
-    val trueDupLater = docs.select(col("doc_id"))
-      .join(truth, col("doc_id") === truth("b"), "left_semi").cache()
-    val nTrueDup = trueDupLater.count()
-    val caught = trueDupLater
-      .join(dropped.withColumnRenamed("doc_id", "d"),
-        col("doc_id") === col("d"), "left_semi").count()
+    val (nDropped, justified, nTrueDup, caught) =
+      graft.dedup.DedupGroundTruth.firstWinsQuality(docs, "doc_id", kept, truth)
     assert(nDropped > 0 && nTrueDup > 0)
     assert(justified.toDouble / nDropped >= 0.9,
       s"drop precision too low: $justified/$nDropped")
