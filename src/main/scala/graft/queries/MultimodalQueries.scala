@@ -28,6 +28,20 @@ object MultimodalQueries extends Registry {
         .groupBy(col("modality"))
         .agg(round(avg(element_at(col("features"), 2)), 6).as("mean_byte_avg"),
              count(lit(1)).as("n"))),
+    // C6: frame sampling under the exact oracle — every 256th 64-byte
+    // slice of the payload (the video frame-sample shape, minus the
+    // codec), reported as per-asset frame count + first/last frame
+    // digests. Spark slices BYTES of the binary payload; the DuckDB
+    // twin slices CHARACTERS of the text — equal because the corpus is
+    // pure ASCII (asserted: octet_length == length on every doc, same
+    // trick c6_modality_stats uses).
+    "c6_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.assetsFromDocuments(Tables.documents(s, d)))
+        .select(col("asset_id"), col("modality"),
+          size(col("frames")).cast("bigint").as("n_frames"),
+          md5(element_at(col("frames"), 1)).as("first_md5"),
+          md5(element_at(col("frames"), -1)).as("last_md5"))),
     // C6: REAL image decode under the exact oracle — PPM fixture bytes
     // are built per doc_id with pixel(i) = (doc_id + i) mod 256, decoded
     // by the pure-JVM P6 parser; DuckDB recomputes dimensions and
@@ -53,6 +67,18 @@ object MultimodalQueries extends Registry {
              CAST(max(octet_length(text::BLOB)) AS BIGINT) AS max_bytes
       FROM documents GROUP BY 1""",
     // c6_feature_extract: byte-stats fallback output — ScalaTest-verified.
+    "c6_frame_sample" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id, 'text/' || lang AS modality,
+          list_transform(
+            range(0, greatest((length(text) - 1) // 256, 0) + 1),
+            i -> text[i * 256 + 1 : i * 256 + 64]) AS frames
+        FROM documents)
+      SELECT asset_id, modality,
+        CAST(len(frames) AS BIGINT) AS n_frames,
+        md5(frames[1]) AS first_md5,
+        md5(frames[-1]) AS last_md5
+      FROM f""",
     "c6_image_decode" -> """
       WITH f AS (
         SELECT doc_id AS asset_id,
