@@ -316,6 +316,24 @@ object TextQueries extends Registry {
           TextFunctions.qualityScore(col("text")).as("quality"),
           TextFunctions.wordCount(col("text")).as("n_tokens")),
         "doc_id", "quality", "n_tokens", budget = 15000L)),
+    // C7: curation pipeline v2 — the round-5 ops COMPOSED end-to-end
+    // under one oracle row: quality gate → repetition gate (token
+    // diversity floor) → token-budget selection over the survivors →
+    // PII scrub of the selected text. Like c7_curation_pipeline, the
+    // point is that independently-verified operators chain without
+    // losing the exactness guarantee.
+    "c7_curation_v2" -> ((s, d) => {
+      val gated = Tables.documents(s, d)
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .filter(TextFunctions.distinctTokenRatio(col("text")) >= 0.1)
+        .withColumn("n_tokens", TextFunctions.wordCount(col("text")))
+      graft.text.BudgetSelect.selectToBudget(gated,
+          "doc_id", "quality", "n_tokens", budget = 10000L)
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          col("start_off"),
+          md5(graft.text.Redact.redactPii(col("text"))).as("clean_md5"))
+    }),
     // C7: Gopher-style repetition signals (Repetition.scala) — per-doc
     // duplicate-token and duplicate-trigram fractions plus the
     // most-common-token share, the standard boilerplate/spam gates.
@@ -691,6 +709,37 @@ object TextQueries extends Registry {
         FROM t)
       SELECT doc_id, quality, n_tokens, CAST(off AS BIGINT) AS start_off
       FROM o WHERE off + n_tokens <= 15000""",
+    "c7_curation_v2" -> {
+      import graft.text.Redact
+      s"""
+      WITH t0 AS (
+        SELECT doc_id, text, ${sqlToks("text")} AS toks FROM documents
+      ), g AS (
+        SELECT doc_id, text,
+          round(least(CAST(len(toks) AS DOUBLE) / 50.0e0, 1.0e0)
+                * (CASE WHEN CAST(len(toks) AS DOUBLE) > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
+              + (CASE WHEN len(toks) = 0 THEN 0.0e0
+                 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) * 0.4e0
+              + (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0e0
+                            ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE) END) BETWEEN 3 AND 10
+                 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) AS quality,
+          CASE WHEN len(toks) = 0 THEN 0.0e0
+               ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS dr,
+          CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t0
+      ), f AS (
+        SELECT doc_id, text, quality, n_tokens FROM g
+        WHERE quality >= 0.5e0 AND dr >= 0.1e0
+      ), o AS (
+        SELECT doc_id, text, quality, n_tokens,
+          COALESCE(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM f)
+      SELECT doc_id, quality, n_tokens, CAST(off AS BIGINT) AS start_off,
+        md5(${Redact.sqlRedact("text")}) AS clean_md5
+      FROM o WHERE off + n_tokens <= 10000"""
+    },
     "c7_repetition_stats" -> s"""
       WITH toks AS (
         SELECT doc_id, unnest(${sqlToks("text")}) AS t FROM documents
