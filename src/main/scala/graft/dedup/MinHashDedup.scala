@@ -273,8 +273,10 @@ object MinHashDedup {
     * union-find on the driver — exact, single job, `converged = true`,
     * 0 rounds. The near-dup GRAPH is typically orders of magnitude
     * smaller than the corpus (confirmed pairs only), so even 100 TB
-    * runs often fit the default 2²⁰-edge bound (~16 MB of longs); when
-    * they don't, the checkpointed distributed rounds run unchanged.
+    * runs often fit the default 2²⁰-edge bound (edges stream through
+    * `toLocalIterator` partition-by-partition, so driver heap holds the
+    * union-find map — one entry per distinct id — not 2²⁰ boxed Rows);
+    * when they don't, the checkpointed distributed rounds run unchanged.
     * Same AQE philosophy as broadcast-threshold joins: pick the
     * physical strategy from the measured size, keep semantics
     * identical (DedupSpec asserts driver == distributed labels). Pass
@@ -347,15 +349,28 @@ object MinHashDedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    e.collect().foreach { row =>
+    // stream the (already checkpointed) edges partition-by-partition: a
+    // full collect() of 2²⁰ edges materializes ~1M boxed GenericRows
+    // (100 MB+ of driver heap) all at once; the iterator keeps only the
+    // union-find map (one entry per distinct id) resident
+    e.toLocalIterator().forEachRemaining { row =>
       val a = row.get(0); val b = row.get(1)
       if (!parent.contains(a)) parent(a) = a
       if (!parent.contains(b)) parent(b) = b
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent(rb) = ra
     }
-    val ord: Ordering[Any] =
-      (x: Any, y: Any) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    // the min label must agree with the distributed path's min(component):
+    // Spark orders strings as UTF-8 bytes (UTF8String), while Java
+    // String.compareTo is UTF-16 code-unit order — the two diverge for
+    // supplementary (non-BMP) characters, which would flip cluster labels
+    // depending on which side of smallGraphMaxEdges a run lands
+    val ord: Ordering[Any] = (x: Any, y: Any) => (x, y) match {
+      case (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
     val rows = parent.keys.toSeq.groupBy(find).valuesIterator.flatMap { ns =>
       val m = ns.min(ord)
       ns.map(n => org.apache.spark.sql.Row(n, m))

@@ -21,13 +21,28 @@ object MultimodalQueries extends Registry {
              min(length(col("payload")).cast("bigint")).as("min_bytes"),
              max(length(col("payload")).cast("bigint")).as("max_bytes"))),
     // C6: batched partition-local feature extraction (byte-stats
-    // fallback path, batching/schema real) → per-modality moments.
-    "c6_feature_extract" -> ((s, d) =>
-      Multimodal.extractFeatures(
-        Multimodal.assetsFromDocuments(Tables.documents(s, d)))
-        .groupBy(col("modality"))
-        .agg(round(avg(element_at(col("features"), 2)), 6).as("mean_byte_avg"),
-             count(lit(1)).as("n"))),
+    // fallback path, batching/schema real) under the EXACT oracle: the
+    // payloads are the same deterministic PPM fixture as
+    // c6_image_decode (header "P6\nW H\n255\n" + pixel(i) =
+    // (doc_id + i) mod 256), so decodeStub's length / mean byte /
+    // 4-bin histogram are pure integer arithmetic DuckDB recomputes
+    // without touching the bytes.
+    "c6_feature_extract" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.ppmFixtureBytes(
+          (4 + id % 5).toInt, (3 + id % 4).toInt, id)))
+        .toDF("asset_id", "payload")
+      Multimodal.extractFeatures(fixture)
+        .select(col("asset_id"),
+          element_at(col("features"), 1).cast("bigint").as("n_bytes"),
+          round(element_at(col("features"), 2), 6).as("mean_byte"),
+          element_at(col("features"), 3).cast("bigint").as("bin0"),
+          element_at(col("features"), 4).cast("bigint").as("bin1"),
+          element_at(col("features"), 5).cast("bigint").as("bin2"),
+          element_at(col("features"), 6).cast("bigint").as("bin3"))
+    }),
     // C6: frame sampling under the exact oracle — every 256th 64-byte
     // slice of the payload (the video frame-sample shape, minus the
     // codec), reported as per-asset frame count + first/last frame
@@ -66,7 +81,31 @@ object MultimodalQueries extends Registry {
              CAST(min(octet_length(text::BLOB)) AS BIGINT) AS min_bytes,
              CAST(max(octet_length(text::BLOB)) AS BIGINT) AS max_bytes
       FROM documents GROUP BY 1""",
-    // c6_feature_extract: byte-stats fallback output — ScalaTest-verified.
+    // c6_feature_extract: decodeStub byte stats over the closed-form PPM
+    // fixture — header ASCII codes + (id + i) mod 256 pixels, all
+    // integer arithmetic.
+    "c6_feature_extract" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+               CAST(4 + doc_id % 5 AS BIGINT) AS w,
+               CAST(3 + doc_id % 4 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 50
+      ), b AS (
+        SELECT asset_id,
+          list_transform(range(1, length('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)) + 1),
+            i -> ascii(('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10))[i:i]))
+          || list_transform(range(0, 3 * w * h), i -> (asset_id + i) % 256)
+          AS bytes
+        FROM f
+      )
+      SELECT asset_id,
+        CAST(len(bytes) AS BIGINT) AS n_bytes,
+        round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes), 6) AS mean_byte,
+        CAST(len(list_filter(bytes, c -> c // 64 = 0)) AS BIGINT) AS bin0,
+        CAST(len(list_filter(bytes, c -> c // 64 = 1)) AS BIGINT) AS bin1,
+        CAST(len(list_filter(bytes, c -> c // 64 = 2)) AS BIGINT) AS bin2,
+        CAST(len(list_filter(bytes, c -> c // 64 = 3)) AS BIGINT) AS bin3
+      FROM b""",
     "c6_frame_sample" -> """
       WITH f AS (
         SELECT doc_id AS asset_id, 'text/' || lang AS modality,

@@ -124,19 +124,28 @@ object TextQueries extends Registry {
     // lang) → order-insensitive exact dedup keeping the min doc id.
     // Every stage is deterministic, so the WHOLE pipeline sits under
     // one oracle row (the point: operators compose without losing the
-    // correctness gate). Dedup-by-window is one shuffle; the gates are
-    // narrow scans.
+    // correctness gate). The dedup keep is min(doc_id) per fingerprint
+    // via agg + re-join, NOT a window: a partial-aggregatable hash agg
+    // collapses a skewed fingerprint (one giant boilerplate dup
+    // cluster) map-side, where `min over (partition by __fp)` would
+    // pin the whole cluster to a single window task (the same shape
+    // StreamingNearDedup.resolveKept uses). The gated frame feeds both
+    // the agg and the probe side, so it is materialized once — without
+    // the checkpoint the quality/lang-id scans run twice.
     "c7_curation_pipeline" -> ((s, d) => {
       val text = col("text")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__fp"))
-      Tables.documents(s, d)
+      val gated = Tables.documents(s, d)
         .withColumn("quality", TextFunctions.qualityScore(text))
         .filter(col("quality") >= 0.5)
         .withColumn("lang_pred", TextFunctions.langId(text))
         .filter(col("lang_pred") === col("lang"))
         .withColumn("__fp", graft.dedup.Dedup.tokenSetFingerprint(text))
-        .withColumn("__keep", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("quality"), col("__fp"))
+        .localCheckpoint()
+      val keep = gated.groupBy(col("__fp"))
+        .agg(min(col("doc_id")).as("__keep"))
+      gated.join(keep, "__fp")
         .filter(col("doc_id") === col("__keep"))
         .select("doc_id", "lang", "source", "quality")
     }),
@@ -156,14 +165,17 @@ object TextQueries extends Registry {
         .filter(col("rank") <= 5)
     }),
     // C5: TF-IDF (hashing trick — engine-specific hashes → rows-only).
+    // The L2 norm stays in codegen: vector_to_array → native DotProduct
+    // (same left-to-right accumulation a toArray fold would use) — no
+    // ScalaUDF node anywhere in the plan.
     "c5_tfidf_norms" -> ((s, d) => {
       val (out, _) = graft.text.TfIdf.transform(
         Tables.documents(s, d), "text", numFeatures = 1 << 12)
-      val normUdf = udf((v: org.apache.spark.ml.linalg.Vector) =>
-        math.sqrt(v.toArray.map(x => x * x).sum))
+      val norm = graft.similarity.Cosine.norm(
+        org.apache.spark.ml.functions.vector_to_array(col("tfidf")))
       out.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-             round(avg(normUdf(col("tfidf"))), 4).as("mean_tfidf_norm"))
+             round(avg(norm), 4).as("mean_tfidf_norm"))
     }),
     // C5: exact TF-IDF (real vocabulary, no hashing) — top-3 terms per
     // doc by smoothed tf·idf. Fully relational, so it sits under the

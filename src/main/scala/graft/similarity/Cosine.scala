@@ -98,14 +98,22 @@ object Cosine {
     * quantizer assigns every vector to its nearest centroid cell (the
     * physical bucketing key at 100 TB); each QUERY vector probes its
     * `nProbe` nearest cells, so neighbors sitting just across a cell
-    * border — the single-probe recall cliff — are still found. The
-    * centroid set is tiny and lives in the plan as literals; cell
-    * assignment is a pure projection (argmin over per-centroid squared
-    * distances via array_sort on (dist, idx) structs), so the only
-    * shuffle is the per-cell pair join. */
+    * border — the single-probe recall cliff — are still found. Cell
+    * assignment is a single pass either way, chosen ADAPTIVELY from the
+    * measured centroid size (same philosophy as the dedup small-graph
+    * gate): below `maxPlanCentroidDoubles` the centroids live in the
+    * plan as literals (argmin = array_sort over per-centroid (dist, idx)
+    * structs — zero join); above it they become a ONE-ROW broadcast
+    * centroid-matrix relation cross-joined onto the scan, and the argmin
+    * is the same array arithmetic over the broadcast column — nlist ≈ √n
+    * grows with the corpus, and without the gate a 100× corpus inflates
+    * every task's codegen by nlist × dim literal doubles. Both paths
+    * compute bit-identical probes (same operation order), asserted in
+    * CosineSpec. The only shuffle is the per-cell pair join. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               numCentroids: Int = 0, nProbe: Int = 2,
-              seed: Long = 42L, fitSample: Int = 100000): DataFrame = {
+              seed: Long = 42L, fitSample: Int = 100000,
+              maxPlanCentroidDoubles: Int = 32768): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.functions.array_to_vector
     val n = df.count()
@@ -125,26 +133,13 @@ object Cosine {
       .setK(cells).setSeed(seed).setMaxIter(8).setTol(1e-3)
       .setFeaturesCol("__mlvec").setPredictionCol("__cell")
     val centers = km.fit(fitDf).clusterCenters.map(_.toArray)
-    val v = col(vecCol).cast("array<double>")
-    // cell assignment is a pure projection: squared Euclidean distance
-    // to each centroid (‖c‖² folds to a literal), argmin via array_sort
-    // over (dist, idx) structs
-    val vv = dot(v, v)
-    val dists = array(centers.zipWithIndex.map { case (c, i) =>
-      val cl = array(c.toIndexedSeq.map(lit): _*)
-      val d = vv - lit(2.0) * dot(v, cl) + lit(c.map(x => x * x).sum)
-      struct(d.as("d"), lit(i).as("i"))
-    }.toIndexedSeq: _*)
-    val probes = transform(
-      slice(array_sort(dists), 1, math.min(nProbe, centers.length)),
-      s => s.getField("i"))
     // probes come from the RAW vector (k-means was fit on raw vectors);
     // scoring uses the unit vector. Both plus the argmin over `cells`
     // per-centroid distances are the dominant per-row cost, and `base`
     // feeds BOTH sides of the cell self-join — materialize it once
     // (same pattern as annScored)
-    val base = df.select(col(idCol).as("__id"), unitExpr(v).as("__v"),
-      probes.as("__probes")).localCheckpoint()
+    val base = ivfProbes(df, idCol, vecCol, centers, nProbe,
+      maxPlanCentroidDoubles).localCheckpoint()
     // index side: every vector lives in exactly its nearest cell;
     // query side: each vector probes its nProbe nearest cells
     val indexSide = base.select(element_at(col("__probes"), 1).as("__cell"),
@@ -158,6 +153,52 @@ object Cosine {
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("a", "b", "score", "rank")
+  }
+
+  /** Cell/probe assignment stage of [[ivfTopK]], visible for plan
+    * assertions: returns `(__id, __v unit vector, __probes)` with NO
+    * checkpoint. Picks the physical form from the measured centroid
+    * size — plan literals below the gate, a one-row broadcast
+    * centroid-matrix relation above it. */
+  private[similarity] def ivfProbes(df: DataFrame, idCol: String,
+      vecCol: String, centers: Array[Array[Double]], nProbe: Int,
+      maxPlanCentroidDoubles: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val vv = dot(v, v)
+    val nP = math.min(nProbe, centers.length)
+    val dim = centers.headOption.map(_.length).getOrElse(0)
+    def probesOf(dists: Column): Column =
+      transform(slice(array_sort(dists), 1, nP), s => s.getField("i"))
+    if (centers.length.toLong * dim <= maxPlanCentroidDoubles) {
+      // literal path: squared Euclidean distance to each centroid
+      // (‖c‖² folds to a literal), argmin as a pure projection
+      val dists = array(centers.zipWithIndex.map { case (c, i) =>
+        val cl = array(c.toIndexedSeq.map(lit): _*)
+        val d = vv - lit(2.0) * dot(v, cl) + lit(c.map(x => x * x).sum)
+        struct(d.as("d"), lit(i).as("i"))
+      }.toIndexedSeq: _*)
+      df.select(col(idCol).as("__id"), unitExpr(v).as("__v"),
+        probesOf(dists).as("__probes"))
+    } else {
+      // broadcast path: the whole centroid matrix is ONE row holding an
+      // array<struct<i, c, cc>> — a BroadcastNestedLoopJoin appends the
+      // column to every scan row (no shuffle, no per-task literal
+      // blowup), and the same (dist, idx) argmin runs over it with
+      // higher-order array functions. Identical arithmetic order to the
+      // literal path → identical probes.
+      val spark = df.sparkSession
+      import spark.implicits._
+      val cmat = centers.zipWithIndex
+        .map { case (c, i) => (i, c, c.map(x => x * x).sum) }.toSeq
+        .toDF("i", "c", "cc")
+        .agg(collect_list(struct(col("i"), col("c"), col("cc"))).as("__cmat"))
+      val dists = transform(col("__cmat"), s =>
+        struct((vv - lit(2.0) * dot(v, s.getField("c")) + s.getField("cc"))
+          .as("d"), s.getField("i").as("i")))
+      df.crossJoin(broadcast(cmat))
+        .select(col(idCol).as("__id"), unitExpr(v).as("__v"),
+          probesOf(dists).as("__probes"))
+    }
   }
 
   /** How many hyperplanes a self-sized LSH code uses: enough bits that

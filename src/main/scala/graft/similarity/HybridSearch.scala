@@ -43,6 +43,10 @@ object HybridSearch {
     require(k >= 1 && lexWeight >= 0.0 && lexWeight <= 1.0)
     val qv = vecs.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>").as("__qv"))
+    // a missing query row would silently annihilate the broadcast cross
+    // join ("no matches" masking a caller bug) — fail loudly instead;
+    // the check collects at most one 1-row frame, so it costs one tiny job
+    require(!qv.isEmpty, s"hybrid search: query id $queryId not found in vecs")
     val scored = docs
       .select(col(idCol), lexicalScore(col(textCol), terms).as("__lex"))
       .join(vecs.select(col(idCol),

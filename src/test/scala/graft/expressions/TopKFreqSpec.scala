@@ -60,6 +60,33 @@ class TopKFreqSpec extends SparkSpec {
     assert(got.contains("item1"))
   }
 
+  test("bench-scale guard: capacity 65536 keeps every graft_topk_freq query exact at sf0.1") {
+    // c5_frequent_tokens / c5_topk_per_lang / c5_heavy_hitter_shingles
+    // route through graft_topk_freq(…, 65536) and claim EXACT counts —
+    // true only while distinct items stay below capacity (no decrement
+    // ever fires). The bench runs at sf0.1 WITHOUT the DuckDB oracle,
+    // so this spec pins the assumption at that scale factor: if corpus
+    // growth ever saturates the summary, this fails loudly instead of
+    // the bench silently reporting approximate counts as exact.
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(sf01).isDirectory, "sf0.1 testdata not mounted")
+    val cap = 65536
+    val distinctTokens = tokens(sf01).distinct().count()
+    assert(distinctTokens <= cap,
+      s"distinct unigrams $distinctTokens exceed capacity $cap — " +
+        "c5_frequent_tokens/c5_topk_per_lang are no longer exact")
+    val distinctShingles = Tables.documents(spark, sf01)
+      .select(explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
+      .distinct().count()
+    assert(distinctShingles <= cap,
+      s"distinct 3-shingles $distinctShingles exceed capacity $cap — " +
+        "c5_heavy_hitter_shingles is no longer exact")
+    // per-lang groups see a subset of the corpus-wide distinct set, so
+    // the corpus-wide checks above cover the grouped query too; close
+    // the loop end-to-end on the corpus-wide top-50
+    assert(sketchTopK(sf01, 50, cap) === exactTopK(sf01, 50))
+  }
+
   test("group-by integration and null handling") {
     import spark.implicits._
     val df = Seq(("a", Some("x")), ("a", Some("x")), ("a", Some("y")),

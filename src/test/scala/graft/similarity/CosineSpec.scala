@@ -61,6 +61,41 @@ class CosineSpec extends SparkSpec {
     assert(deduped.count() === 400, s"expected 400, got ${deduped.count()}")
   }
 
+  test("IVF broadcast-centroid path matches the literal path exactly") {
+    // the adaptive gate (maxPlanCentroidDoubles) switches centroid
+    // storage from plan literals to a one-row broadcast relation as
+    // nlist × dim grows with the corpus — both paths must produce the
+    // SAME rows (the arithmetic order is identical by construction)
+    val sample = emb.filter(col("vec_id") < 300)
+    val literal = Cosine.ivfTopK(sample, "vec_id", "embedding", k = 3,
+      numCentroids = 8, maxPlanCentroidDoubles = Int.MaxValue)
+    val bcast = Cosine.ivfTopK(sample, "vec_id", "embedding", k = 3,
+      numCentroids = 8, maxPlanCentroidDoubles = 0)
+    assert(literal.exceptAll(bcast).isEmpty && bcast.exceptAll(literal).isEmpty,
+      "broadcast-centroid IVF diverged from the literal-centroid path")
+    // plan-shape check on the probe stage itself (ivfTopK checkpoints
+    // it, which would hide the join): above the gate the centroid
+    // matrix arrives via a broadcast join and the plan text stays
+    // small no matter how large nlist grows; below it the literals are
+    // inlined and no join exists
+    val centers = Array.tabulate(8)(i =>
+      Array.tabulate(64)(d => math.sin(i * 37.0 + d)))
+    val bPlan = Cosine.ivfProbes(sample, "vec_id", "embedding", centers,
+      nProbe = 2, maxPlanCentroidDoubles = 0)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastNestedLoopJoin"),
+      "forced-broadcast IVF probe plan shows no broadcast join")
+    val lPlan = Cosine.ivfProbes(sample, "vec_id", "embedding", centers,
+      nProbe = 2, maxPlanCentroidDoubles = Int.MaxValue)
+      .queryExecution.executedPlan.toString
+    assert(!lPlan.contains("Join"), "literal IVF probe plan grew a join")
+    // the broadcast plan must be free of the per-centroid literal
+    // blowup: at 8×64 the literal plan inlines ≥512 doubles, the
+    // broadcast one carries none of them
+    assert(bPlan.length < lPlan.length,
+      s"broadcast plan (${bPlan.length} chars) not smaller than literal (${lPlan.length})")
+  }
+
   test("ANN recall against the exact global top-1 baseline") {
     val sample = emb.filter(col("vec_id") < 200).withColumn("__all", lit(1))
     val exact = Cosine.selfJoinTopK(sample, "vec_id", "embedding", "__all", k = 1)

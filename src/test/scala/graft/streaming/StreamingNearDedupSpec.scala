@@ -151,8 +151,11 @@ class StreamingNearDedupSpec extends SparkSpec {
     }
 
     // duplicate arrives AFTER the TTL horizon -> the original claim has
-    // expired, the bucket is claimable again, the doc is KEPT
-    val expired = runTtl(java.time.Duration.ofMillis(300), pauseMs = 1500L)
+    // expired, the bucket is claimable again, the doc is KEPT. The
+    // 100 ms TTL vs 5 s pause gives ~50× slack so a GC pause or slow
+    // executor can't deliver the duplicate while the claim still lives
+    // (the old 300 ms/1.5 s margin was flaggable as flaky)
+    val expired = runTtl(java.time.Duration.ofMillis(100), pauseMs = 5000L)
     assert(expired === Map(1L -> false, 2L -> false),
       s"expired bucket should be claimable again: $expired")
 
