@@ -1,0 +1,61 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthetic 10× scale probe for the dedup/ANN family: every 100 TB
+  * claim in SCALING.md is a plan-shape argument — this measures ONE
+  * scaling exponent to validate the lot. The documents/embeddings
+  * corpus is unioned `mult`× with re-keyed ids (ids shifted by
+  * i × (maxId+1), so duplicate CLUSTERS also multiply — each copy
+  * carries the same intra-copy near-dup structure), written as parquet
+  * mimicking an sf dir, and the headline queries run once at 1× and
+  * once at `mult`×. A linear-shuffle operator should scale ≈ mult×;
+  * anything super-linear gets root-caused. Results recorded in
+  * BASELINE.md. Usage: runMain graft.tools.ScaleProbe [sfDir] [mult]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val bigDir = java.nio.file.Files
+      .createTempDirectory(s"graft_scale_${mult}x").toString
+    def replicate(table: String, idCol: String): Unit = {
+      val base = Tables.load(spark, sfDir, table)
+      val maxId = base.agg(max(col(idCol))).collect()(0).getLong(0)
+      (0 until mult).map(i =>
+          base.withColumn(idCol, col(idCol) + lit(i * (maxId + 1))))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$bigDir/$table.parquet")
+    }
+    replicate("documents", "doc_id")
+    replicate("embeddings", "vec_id")
+    println(s"[scale] staged ${mult}x corpus at $bigDir")
+
+    val queries = Seq("c2_minhash_dedup", "c2_online_dedup_twin",
+      "c3_ann_topk", "c1_exact_dedup", "c2_embedding_dedup")
+    println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
+    println("|---|---|---|---|")
+    queries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def run(dir: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(sfDir) // warm the codegen/scan path once at small scale
+      val t1 = run(sfDir)
+      val tN = run(bigDir)
+      println(f"| $name | $t1%.2f | $tN%.2f | ${tN / t1}%.1fx |")
+    }
+    spark.stop()
+  }
+}

@@ -96,6 +96,28 @@ class CosineSpec extends SparkSpec {
       s"broadcast plan (${bPlan.length} chars) not smaller than literal (${lPlan.length})")
   }
 
+  test("measured recall/cost knee holds at sf0.01 (curve in SCALING.md)") {
+    // operating points from graft.tools.AnnRecallCurve (deterministic:
+    // fixed seeds, fixed corpus): recall@1 vs the exact top-1 on the
+    // REAL embeddings table. Floors sit just under the measured values
+    // (LSH tables=12: 0.846, IVF nProbe=8: 0.850) so a recall
+    // regression in banding, probe selection, or scoring fails here
+    // before it silently degrades c3_ann_topk / c3_ivf_topk.
+    val embs = Tables.embeddings(spark, sf001).localCheckpoint()
+    val exact = Cosine.selfJoinTopK(embs.withColumn("__all", lit(1)),
+        "vec_id", "embedding", "__all", k = 1)
+      .select("a", "b").localCheckpoint()
+    val nExact = exact.count()
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+      exact.intersect(approx.select("a", "b")).count().toDouble / nExact
+    val lsh = recallOf(Cosine.annTopK(embs, "vec_id", "embedding",
+      dim = 64, k = 1, numTables = 12))
+    assert(lsh >= 0.8, s"LSH tables=12 recall@1 $lsh below the 0.846 knee")
+    val ivf = recallOf(Cosine.ivfTopK(embs, "vec_id", "embedding",
+      k = 1, nProbe = 8))
+    assert(ivf >= 0.8, s"IVF nProbe=8 recall@1 $ivf below the 0.850 knee")
+  }
+
   test("ANN recall against the exact global top-1 baseline") {
     val sample = emb.filter(col("vec_id") < 200).withColumn("__all", lit(1))
     val exact = Cosine.selfJoinTopK(sample, "vec_id", "embedding", "__all", k = 1)
