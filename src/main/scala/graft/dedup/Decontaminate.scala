@@ -86,4 +86,39 @@ object Decontaminate {
                          textCol: String, n: Int = 8): DataFrame =
     train.join(contaminatedIdsExact(train, eval, idCol, textCol, n),
       Seq(idCol), "left_anti")
+
+  private def score(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int,
+                    key: Column => Column): DataFrame = {
+    val evalGrams = grams(eval, Seq.empty, textCol, n)
+      .select(key(col("__sh")).as("__g")).distinct()
+      .withColumn("__hit", lit(1L))
+    grams(train, Seq(col(idCol)), textCol, n)
+      .select(col(idCol), key(col("__sh")).as("__g")).distinct()
+      .join(broadcast(evalGrams), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Per-doc contamination SCORE — the graded companion to the binary
+    * drop: the fraction of each train doc's DISTINCT word n-grams that
+    * appear in the eval set (what published pipelines threshold on when
+    * "any shared gram" is too blunt, e.g. boilerplate-heavy corpora).
+    * Same broadcast-eval / one-explode scan shape as [[decontaminate]];
+    * the per-doc distinct + count is one hash agg keyed on id. Docs
+    * with zero grams (empty text) have no defined score and drop out.
+    * Output: idCol, n_grams, n_overlap, contamination (6 dp). */
+  def contaminationScore(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8): DataFrame =
+    score(train, eval, idCol, textCol, n, xxhash64(_))
+
+  /** [[contaminationScore]] with exact string matching — collision-free
+    * and engine-portable (the DuckDB-oracled variant). */
+  def contaminationScoreExact(train: DataFrame, eval: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 8): DataFrame =
+    score(train, eval, idCol, textCol, n, identity)
 }

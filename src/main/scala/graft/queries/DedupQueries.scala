@@ -127,6 +127,27 @@ object DedupQueries extends Registry {
         "doc_id", "text")
         .select(docCols.map(col): _*)
     }),
+    // C2d: graded contamination — per-doc fraction of distinct 8-grams
+    // shared with the eval slice (what pipelines threshold on when
+    // binary any-overlap is too blunt). Exact string matching → oracle;
+    // the hashed production path is asserted equal in DecontaminateSpec.
+    "c2_contamination_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.contaminationScoreExact(
+        docs.filter(col("doc_id") >= 100),
+        docs.filter(col("doc_id") < 100).select(col("text")),
+        "doc_id", "text")
+    }),
+    // C1d: SUB-document exact dedup (C4/RefinedWeb span removal) —
+    // consecutive 8-token spans, corpus-wide first-occurrence-wins,
+    // docs reassembled from surviving spans (empty docs drop). The
+    // whole op — span split, first-occurrence agg+re-join, ordered
+    // reassembly — sits under one oracle row.
+    "c1_span_dedup" -> ((s, d) =>
+      graft.text.SpanDedup.dedupSpans(Tables.documents(s, d),
+          "doc_id", "text", spanTokens = 8)
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))),
   )
 
   private def toks = TextQueries.sqlToks("text")
@@ -271,6 +292,48 @@ object DedupQueries extends Registry {
       SELECT doc_id, text, lang, source, n_chars FROM documents
       WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM contam)"""
     },
+    "c2_contamination_score" -> {
+      val sh = TextQueries.sqlShingles("toks", 8)
+      s"""
+      WITH t AS (
+        SELECT doc_id, $toks AS toks FROM documents
+      ), ev AS (
+        SELECT DISTINCT sh FROM (
+          SELECT unnest($sh) AS sh FROM t WHERE doc_id < 100)
+        WHERE len(sh) > 0
+      ), dg AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest($sh) AS sh FROM t WHERE doc_id >= 100)
+        WHERE len(sh) > 0
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN sh IN (SELECT sh FROM ev) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_overlap,
+        round(CAST(sum(CASE WHEN sh IN (SELECT sh FROM ev) THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS contamination
+      FROM dg GROUP BY doc_id"""
+    },
+    "c1_span_dedup" -> s"""
+      WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+      s AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS span_idx,
+          array_to_string(toks[u.i*8+1 : least(u.i*8+8, len(toks))], ' ') AS span
+        FROM t, LATERAL unnest(range(0,
+          CASE WHEN len(toks) = 0 THEN 0
+               ELSE 1 + (greatest(len(toks) - 8, 0) + 7) // 8 END)) AS u(i)
+      ),
+      k AS (
+        SELECT doc_id, span_idx, span FROM (
+          SELECT doc_id, span_idx, span, row_number()
+            OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+          FROM s) WHERE rn = 1
+      ),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+              FROM s GROUP BY doc_id)
+      SELECT k.doc_id, tot.n_spans, CAST(count(*) AS BIGINT) AS n_kept,
+        md5(string_agg(k.span, ' ' ORDER BY k.span_idx)) AS clean_md5
+      FROM k JOIN tot ON k.doc_id = tot.doc_id
+      GROUP BY k.doc_id, tot.n_spans""",
     // c2_minhash_pairs / c2_minhash_dedup / c2_simhash_pairs /
     // c2_decontaminate_hashed: xxhash64-based — no engine-portable SQL;
     // covered by ScalaTest invariants (the hashed decontamination path

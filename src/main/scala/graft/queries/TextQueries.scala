@@ -396,6 +396,18 @@ object TextQueries extends Registry {
         .agg(count(lit(1)).as("n_bigrams"),
           (sum(col("__nll")).cast("double") / count(lit(1))).as("mean_nll"))
     }),
+    // C7: per-domain quality cap (RefinedWeb "max N pages per domain")
+    // — exact top-25 per source by (quality desc, doc_id), computed
+    // with the salted two-level TopPerGroup so a hot domain spreads
+    // over 16 tasks instead of pinning one window task; the result is
+    // exactly the naive single-window top-N (TopPerGroupSpec), which
+    // is what the oracle computes.
+    "c7_domain_cap" -> ((s, d) =>
+      graft.operators.TopPerGroup.topN(
+        Tables.documents(s, d)
+          .withColumn("quality", TextFunctions.qualityScore(col("text"))),
+        groupCol = "source", orderCol = "quality", idCol = "doc_id", n = 25)
+        .select("doc_id", "source", "quality", "rank")),
     // C5: heavy-hitter shingles via the graft_topk_freq Misra-Gries
     // aggregate (expressions/TopKFreq.scala) — bounded-memory top-k
     // with NO full histogram shuffle: one O(capacity) summary per
@@ -480,6 +492,30 @@ object TextQueries extends Registry {
       WHERE round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
               + diversity * 0.4e0
               + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) >= 0.5e0""",
+    "c7_domain_cap" -> s"""
+      WITH t AS (
+        SELECT doc_id, source, ${sqlToks("text")} AS toks FROM documents
+      ), p AS (
+        SELECT doc_id, source,
+          CAST(len(toks) AS DOUBLE) AS wc,
+          CASE WHEN len(toks) = 0 THEN 0.0e0
+               ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS diversity,
+          CASE WHEN len(toks) = 0 THEN 0.0e0
+               ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) END AS awl
+        FROM t
+      ), q AS (
+        SELECT doc_id, source,
+          round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
+                + diversity * 0.4e0
+                + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) AS quality
+        FROM p)
+      SELECT doc_id, source, quality, rank FROM (
+        SELECT doc_id, source, quality,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+        FROM q)
+      WHERE rank <= 25""",
     "c7_curation_pipeline" -> {
       val ratios = langs.map(l => s"${sqlRatio(l)} AS ratio_$l").mkString(",\n          ")
       val best = s"greatest(${langs.map(l => s"ratio_$l").mkString(", ")})"

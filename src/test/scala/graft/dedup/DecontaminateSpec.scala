@@ -42,6 +42,31 @@ class DecontaminateSpec extends SparkSpec {
     assert(exact.count() > 0, "fixture corpus should contain real 8-gram overlap")
   }
 
+  test("contamination score: planted overlap fractions, hashed == exact") {
+    val scores = Decontaminate.contaminationScoreExact(
+        train, evalSet, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: 14 tokens → 7 distinct 8-grams, 3 of them inside the
+    // planted eval run; doc 2: fully contained prefix run; doc 4: zero
+    // overlap; docs 3 (< 8 tokens → 1 short gram... none matching) and
+    // 5 (empty → no grams, drops out)
+    val byId = scores.map(s => s._1 -> s).toMap
+    assert(byId(1L)._3 > 0 && byId(1L)._3 < byId(1L)._2,
+      s"doc 1 should be partially contaminated: ${byId(1L)}")
+    assert(byId(2L)._3 > 0, s"doc 2 should overlap: ${byId(2L)}")
+    assert(byId(4L)._3 === 0L, s"doc 4 must be clean: ${byId(4L)}")
+    assert(!byId.contains(5L), "empty doc has no grams and must drop")
+    // hashed production path computes identical rows on the real corpus
+    val docs = Tables.documents(spark, sf001)
+    val ev = docs.filter(col("doc_id") < 100).select(col("text"))
+    val tr = docs.filter(col("doc_id") >= 100)
+    val exact = Decontaminate.contaminationScoreExact(tr, ev, "doc_id", "text")
+    val hashed = Decontaminate.contaminationScore(tr, ev, "doc_id", "text")
+    assert(exact.exceptAll(hashed).count() === 0)
+    assert(hashed.exceptAll(exact).count() === 0)
+  }
+
   test("blank documents never count as contamination overlap") {
     val blanks = Seq((10L, ""), (11L, "   "), (12L, "real content here")).toDF("doc_id", "text")
     val blankEval = Seq("", "  ").toDF("text")
