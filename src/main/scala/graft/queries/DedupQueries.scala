@@ -105,6 +105,16 @@ object DedupQueries extends Registry {
     "c2_online_dedup_twin" -> ((s, d) =>
       graft.streaming.StreamingNearDedup.keptBatch(
         Tables.documents(s, d), "doc_id", "text")),
+    // C2e: incremental NEAR-dup — the nightly batch (doc_id >= 250)
+    // dropped against the reference corpus's band buckets, then
+    // first-wins within the batch; equals the online machine streamed
+    // reference-then-batch (spec-pinned to keptBatch on the union).
+    "c2_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.streaming.StreamingNearDedup.incrementalKept(
+        docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+    }),
     // C2: benchmark decontamination — docs below id 100 play the EVAL
     // set (id-less: only the text column is handed over), the rest is
     // the TRAIN corpus; survivors share no word 8-gram with eval. The
@@ -274,6 +284,41 @@ object DedupQueries extends Registry {
         SELECT doc_id, min(doc_id) OVER (PARTITION BY bucket) AS keeper
         FROM banded)
       SELECT doc_id FROM k GROUP BY doc_id HAVING bool_and(doc_id = keeper)"""
+    },
+    "c2_incremental_neardup" -> {
+      // same portable banding CTEs as c2_online_dedup_twin, split at
+      // doc_id 250 into reference bucket set and batch claims
+      val (pa, pb) = MinHashDedup.permutationParams(16, 42L)
+      val aList = pa.mkString("[", ",", "]")
+      val bList = pb.mkString("[", ",", "]")
+      s"""
+      WITH hs AS (
+        SELECT doc_id, list_transform($toks, x ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, len(x) + 1),
+              j -> CAST(ascii(x[j:j]) AS BIGINT))),
+          (a, c) -> (a * 31 + c) % 1000000007)) AS h
+        FROM documents
+      ), sig AS (
+        SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(h,
+            v -> (($aList)[i+1] * v + ($bList)[i+1]) % 2147483647))) AS s
+        FROM hs WHERE len(h) > 0
+      ), banded AS (
+        SELECT doc_id, CAST(t.b AS VARCHAR) || ':' ||
+          array_to_string(s[t.b*4+1 : t.b*4+4], ',') AS bucket
+        FROM sig, LATERAL unnest(range(0, 4)) AS t(b)
+      ), ref AS (
+        SELECT DISTINCT bucket FROM banded WHERE doc_id < 250
+      ), k AS (
+        SELECT b.doc_id,
+          min(b.doc_id) OVER (PARTITION BY b.bucket) AS keeper,
+          (r.bucket IS NOT NULL) AS hit
+        FROM (SELECT * FROM banded WHERE doc_id >= 250) b
+        LEFT JOIN ref r ON b.bucket = r.bucket)
+      SELECT doc_id FROM k
+      GROUP BY doc_id
+      HAVING bool_and(doc_id = keeper) AND NOT bool_or(hit)"""
     },
     "c2_decontaminate" -> {
       val sh = TextQueries.sqlShingles("toks", 8)

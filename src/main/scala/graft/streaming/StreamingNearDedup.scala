@@ -170,4 +170,45 @@ object StreamingNearDedup {
       .filter(col("all_first"))
       .select(col("doc_id"))
   }
+
+  /** INCREMENTAL near-dup — the nightly-crawl companion to
+    * c1_incremental_dedup at the LSH-band level: a new `batch` keeps a
+    * doc iff none of its band buckets is claimed by the existing
+    * `reference` corpus AND it is the min-id claimant of each of its
+    * buckets within the batch (every batch doc claims its buckets,
+    * kept or not — the online machine's rule). This is exactly the
+    * warm-start of [[FirstClaimProcessor]]: stream the reference
+    * first, then the batch — equivalently `keptBatch(reference ∪
+    * batch)` restricted to batch ids whenever reference ids precede
+    * batch ids (spec-pinned). Appending tomorrow's batch never
+    * re-decides today's keeps.
+    *
+    * Scale shape: reference buckets arrive as a DISTINCT projection
+    * joined (shuffled, never broadcast-pinned — the reference is the
+    * BIG side) onto the batch claims; the within-batch rule is the
+    * same skew-safe agg+re-join as [[keptBatch]]. Nothing rescans the
+    * reference text: at 100 TB the distinct bucket set is the compact
+    * incremental state you persist between runs. */
+  def incrementalKept(batch: DataFrame, reference: DataFrame,
+                      idCol: String, textCol: String, numHashes: Int = 16,
+                      bands: Int = 4, shingleSize: Int = 1,
+                      seed: Long = 42L): DataFrame = {
+    val refBuckets = MinHashDedup.portableBandedDocs(reference, idCol,
+        textCol, numHashes, bands, shingleSize, seed)
+      .select(explode(col("buckets")).as("bucket")).distinct()
+      .withColumn("__ref", lit(true))
+    val c = MinHashDedup.portableBandedDocs(batch, idCol, textCol,
+        numHashes, bands, shingleSize, seed)
+      .select(col("doc_id").cast("long").as("doc_id"), col("buckets"))
+      .localCheckpoint()
+      .select(col("doc_id"), explode(col("buckets")).as("bucket"))
+    val keepers = c.groupBy(col("bucket")).agg(min(col("doc_id")).as("keeper"))
+    c.join(keepers, "bucket")
+      .join(refBuckets, Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(col("doc_id") === col("keeper")).as("all_first"),
+           max(coalesce(col("__ref"), lit(false))).as("any_ref"))
+      .filter(col("all_first") && !col("any_ref"))
+      .select(col("doc_id"))
+  }
 }

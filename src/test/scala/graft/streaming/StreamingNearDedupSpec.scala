@@ -106,6 +106,21 @@ class StreamingNearDedupSpec extends SparkSpec {
     assert(claims.join(keepers, "bucket").count() === claims.count())
   }
 
+  test("incrementalKept == keptBatch on the union restricted to batch ids") {
+    // the semantic pin: with reference ids below batch ids, warm-
+    // starting the first-wins machine with the reference is the same
+    // as streaming reference-then-batch through one machine
+    val docs = graft.Tables.documents(spark, sf001)
+    val ref = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val inc = StreamingNearDedup.incrementalKept(batch, ref, "doc_id", "text")
+    val union = StreamingNearDedup.keptBatch(docs, "doc_id", "text")
+      .filter(col("doc_id") >= 250)
+    assert(inc.exceptAll(union).count() === 0)
+    assert(union.exceptAll(inc).count() === 0)
+    assert(inc.count() > 0, "batch should keep at least one novel doc")
+  }
+
   test("TTL: an expired bucket becomes claimable again; inside horizon still dedups") {
     // A TTL'd (processing-time) stateful query is ALWAYS-ON by
     // construction: once processing-time semantics are in play,
