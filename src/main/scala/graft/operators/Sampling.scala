@@ -100,6 +100,25 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Deterministic EXACT-size uniform sample: the `k` rows with the
+    * smallest keyed hash-noise (ties broken by the key), so unlike the
+    * fraction-based ops this returns exactly min(k, n) rows — the
+    * "give me 10M held-out docs" shape. Re-runnable (same keys ⇒ same
+    * sample on any layout) and oracle-able like the rest of the
+    * family. The plan is TakeOrderedAndProject — per-partition top-k
+    * merged on the driver side of the exchange, NEVER a global sort
+    * (asserted in PlanQualitySpec). */
+  def fixedSize(df: DataFrame, keyCol: String, k: Int,
+                salt: Int = 13): DataFrame = {
+    require(k >= 1)
+    df.orderBy(Noise.hashNoise(col(keyCol), salt).asc, col(keyCol).asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[fixedSize]]'s ORDER BY ... LIMIT clause. */
+  def sqlFixedSize(keyExpr: String, k: Int, salt: Int = 13): String =
+    s"ORDER BY ${Noise.sqlNoise(keyExpr, salt)}, $keyExpr LIMIT $k"
+
   /** DuckDB twin of [[mixture]] as a full SELECT over `table`,
     * mirroring the rate arithmetic term-for-term (same division and
     * multiplication order — IEEE doubles are deterministic but not

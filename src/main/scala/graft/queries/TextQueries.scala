@@ -396,6 +396,12 @@ object TextQueries extends Registry {
         .agg(count(lit(1)).as("n_bigrams"),
           (sum(col("__nll")).cast("double") / count(lit(1))).as("mean_nll"))
     }),
+    // C7: exact-size deterministic sample — 100 docs by smallest keyed
+    // hash-noise; TakeOrderedAndProject, never a global sort.
+    "c7_fixed_size_sample" -> ((s, d) =>
+      graft.operators.Sampling.fixedSize(
+        Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", k = 100)),
     // C7: per-domain quality cap (RefinedWeb "max N pages per domain")
     // — exact top-25 per source by (quality desc, doc_id), computed
     // with the salted two-level TopPerGroup so a hot domain spreads
@@ -492,6 +498,9 @@ object TextQueries extends Registry {
       WHERE round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
               + diversity * 0.4e0
               + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) >= 0.5e0""",
+    "c7_fixed_size_sample" -> s"""
+      SELECT doc_id, lang, source, n_chars FROM documents
+      ${graft.operators.Sampling.sqlFixedSize("doc_id", 100)}""",
     "c7_domain_cap" -> s"""
       WITH t AS (
         SELECT doc_id, source, ${sqlToks("text")} AS toks FROM documents

@@ -27,6 +27,20 @@ class SamplingSpec extends SparkSpec {
     assert(s100.size === docs.count())
   }
 
+  test("fixedSize: exact k, deterministic across layouts, prefix-nested in k") {
+    def ids(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Sampling.fixedSize(df, "doc_id", k)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s50 = ids(docs, 50)
+    assert(s50.size === 50)
+    // same sample on a different physical layout
+    assert(ids(docs.repartition(7), 50) === s50)
+    // smaller k is a prefix of larger k (same noise ordering)
+    assert(s50.subsetOf(ids(docs, 120)))
+    // k past n returns everything
+    assert(ids(docs, 100000).size === docs.count())
+  }
+
   test("mixture: binding stratum keeps everything, output tracks target shares") {
     // equal counts per source (25 each at sf0.001) → the largest
     // weight binds: its rate is 1.0 and every other rate is w/w_max

@@ -145,6 +145,12 @@ class PlanQualitySpec extends SparkSpec {
       "1-row query vector not broadcast")
   }
 
+  test("fixed-size sample: TakeOrderedAndProject, never a global sort") {
+    val p = plan("c7_fixed_size_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "exact-k sample became a global sort:\n" + p.take(1500))
+  }
+
   test("domain mixture: corpus is scanned and filtered, never shuffled") {
     // the only Exchanges allowed are for the tiny per-stratum counts
     // aggregation (and its scalar min); the corpus-side probe must be
