@@ -140,6 +140,26 @@ object RelationalQueries extends Registry {
         .exceptAll(auto.intersect(rich))
         .select(col("c_custkey"))
     }),
+    // B15: correlated scalar subquery — orders above their own
+    // customer's average order value. Declared in SQL (the surface a
+    // reference user would write); Catalyst decorrelates it into an
+    // aggregate + join, so the physical plan is the same partial-agg +
+    // shuffled-join shape as the hand-written form — no per-row
+    // re-execution anywhere.
+    "b15_correlated_scalar" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_b15")
+      // DECIMAL sum + one double division (the Registry determinism
+      // pattern): a plain double avg would accumulate in engine-
+      // specific order and move boundary rows between engines
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graft_orders_b15 o
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*)
+          FROM graft_orders_b15 i
+          WHERE i.o_custkey = o.o_custkey)""")
+    }),
     // B11: scalar function surface — strings + JSON over events.props.
     "b11_scalar_functions" -> ((s, d) =>
       Tables.events(s, d)
@@ -610,6 +630,14 @@ object RelationalQueries extends Registry {
     "b9_topk_orders" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
+    "b15_correlated_scalar" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > 2 * (
+        SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*)
+        FROM orders i
+        WHERE i.o_custkey = o.o_custkey)""",
     "b10_set_ops" -> """
       (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
        UNION

@@ -145,6 +145,24 @@ class PlanQualitySpec extends SparkSpec {
       "1-row query vector not broadcast")
   }
 
+  test("b15: correlated scalar subquery decorrelates to agg + join") {
+    val p = plan("b15_correlated_scalar")
+    assert(!p.contains("ScalarSubquery"),
+      "correlated subquery survived as per-row execution:\n" + p.take(1500))
+    assert(p.contains("HashAggregate") &&
+      (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+        p.contains("ShuffledHashJoin")),
+      "expected the decorrelated agg+join shape:\n" + p.take(1500))
+  }
+
+  test("span dedup: first-occurrence is a partial-aggregated hash agg, no window") {
+    val p = plan("c1_span_dedup")
+    assert(!p.contains("Window"),
+      "span first-occurrence became a window (skew-unsafe):\n" + p.take(1500))
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "expected partial min aggregation:\n" + p.take(1500))
+  }
+
   test("fixed-size sample: TakeOrderedAndProject, never a global sort") {
     val p = plan("c7_fixed_size_sample")
     assert(p.contains("TakeOrderedAndProject"),
