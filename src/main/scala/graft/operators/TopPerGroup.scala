@@ -28,6 +28,12 @@ object TopPerGroup {
   def topN(df: DataFrame, groupCol: String, orderCol: String,
            idCol: String, n: Int, salts: Int = 16): DataFrame = {
     require(n >= 1 && salts >= 1)
+    // `rank` is this operator's output column — silently overwriting a
+    // caller's same-named column (and dropping their __r1) would hand
+    // downstream code the cap's rank in place of theirs with no error
+    require(!df.columns.contains("rank") && !df.columns.contains("__r1"),
+      "topN emits a 'rank' column (and uses '__r1' internally): rename " +
+        "the input's conflicting column first")
     val ord: Seq[Column] = Seq(col(orderCol).desc, col(idCol).asc)
     val local = Window.partitionBy(col(groupCol),
       pmod(xxhash64(col(idCol)), lit(salts))).orderBy(ord: _*)

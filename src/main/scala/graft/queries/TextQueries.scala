@@ -36,6 +36,24 @@ object TextQueries extends Registry {
          | ELSE list_transform(range(0, len($toks) - $n + 1),
          |        i -> array_to_string(($toks)[i+1:i+$n], ' ')) END""".stripMargin
 
+  /** DuckDB fragment: the wc / diversity / awl inputs of the quality
+    * score, projected from a `toks` column (shared by every oracle that
+    * recomputes TextFunctions.qualityScore — keep the single source). */
+  private def sqlQualityInputs: String =
+    """CAST(len(toks) AS DOUBLE) AS wc,
+      |          CASE WHEN len(toks) = 0 THEN 0.0e0
+      |               ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS diversity,
+      |          CASE WHEN len(toks) = 0 THEN 0.0e0
+      |               ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+      |                    / CAST(len(toks) AS DOUBLE) END AS awl""".stripMargin
+
+  /** DuckDB fragment: the composite quality score over wc/diversity/awl
+    * (term-for-term twin of TextFunctions.qualityScore). */
+  private def sqlQualityExpr: String =
+    """round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
+      |                + diversity * 0.4e0
+      |                + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6)""".stripMargin
+
   /** DuckDB fragment: winnowing fingerprints, one row per (doc_id, fp) —
     * mirrors graft.text.Winnowing expression-for-expression (Horner
     * rolling hash base 31 mod 1e9+7 via list_reduce; window minima;
@@ -483,21 +501,12 @@ object TextQueries extends Registry {
       ), p AS (
         SELECT doc_id, lang, source,
           CAST(len(toks) AS BIGINT) AS word_count,
-          CAST(len(toks) AS DOUBLE) AS wc,
-          CASE WHEN len(toks) = 0 THEN 0.0e0
-               ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS diversity,
-          CASE WHEN len(toks) = 0 THEN 0.0e0
-               ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
-                    / CAST(len(toks) AS DOUBLE) END AS awl
+          $sqlQualityInputs
         FROM t)
       SELECT doc_id, lang, source, word_count,
-        round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
-              + diversity * 0.4e0
-              + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) AS quality
+        $sqlQualityExpr AS quality
       FROM p
-      WHERE round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
-              + diversity * 0.4e0
-              + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) >= 0.5e0""",
+      WHERE $sqlQualityExpr >= 0.5e0""",
     "c7_fixed_size_sample" -> s"""
       SELECT doc_id, lang, source, n_chars FROM documents
       ${graft.operators.Sampling.sqlFixedSize("doc_id", 100)}""",
@@ -506,18 +515,11 @@ object TextQueries extends Registry {
         SELECT doc_id, source, ${sqlToks("text")} AS toks FROM documents
       ), p AS (
         SELECT doc_id, source,
-          CAST(len(toks) AS DOUBLE) AS wc,
-          CASE WHEN len(toks) = 0 THEN 0.0e0
-               ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS diversity,
-          CASE WHEN len(toks) = 0 THEN 0.0e0
-               ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
-                    / CAST(len(toks) AS DOUBLE) END AS awl
+          $sqlQualityInputs
         FROM t
       ), q AS (
         SELECT doc_id, source,
-          round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
-                + diversity * 0.4e0
-                + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) AS quality
+          $sqlQualityExpr AS quality
         FROM p)
       SELECT doc_id, source, quality, rank FROM (
         SELECT doc_id, source, quality,
@@ -535,19 +537,12 @@ object TextQueries extends Registry {
         SELECT doc_id, lang, source, ${sqlToks("text")} AS toks FROM documents
       ), p AS (
         SELECT doc_id, lang, source, toks,
-          CAST(len(toks) AS DOUBLE) AS wc,
-          CASE WHEN len(toks) = 0 THEN 0.0e0
-               ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS diversity,
-          CASE WHEN len(toks) = 0 THEN 0.0e0
-               ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
-                    / CAST(len(toks) AS DOUBLE) END AS awl,
+          $sqlQualityInputs,
           $ratios
         FROM t
       ), q AS (
         SELECT doc_id, lang, source, toks,
-          round(least(wc / 50.0e0, 1.0e0) * (CASE WHEN wc > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.4e0
-                + diversity * 0.4e0
-                + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) AS quality,
+          $sqlQualityExpr AS quality,
           $pick AS lang_pred
         FROM p
       ), g AS (

@@ -41,17 +41,21 @@ object HybridSearch {
              textCol: String, vecCol: String, terms: Seq[String],
              queryId: Long, k: Int, lexWeight: Double = 0.5): DataFrame = {
     require(k >= 1 && lexWeight >= 0.0 && lexWeight <= 1.0)
-    val qv = vecs.filter(col(idCol) === queryId)
-      .select(col(vecCol).cast("array<double>").as("__qv"))
-    // a missing query row would silently annihilate the broadcast cross
-    // join ("no matches" masking a caller bug) — fail loudly instead;
-    // the check collects at most one 1-row frame, so it costs one tiny job
-    require(!qv.isEmpty, s"hybrid search: query id $queryId not found in vecs")
+    // the query vector is ONE row: collect it up front (one tiny
+    // pushdown-filtered scan) and inline it as an array literal — a
+    // missing id fails loudly here instead of a join silently
+    // annihilating to "no matches", and the big side needs no join at
+    // all for the query vector (64 doubles of plan literal, nothing
+    // like the IVF nlist×dim growth)
+    val qRows = vecs.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).collect()
+    require(qRows.nonEmpty, s"hybrid search: query id $queryId not found in vecs")
+    val qv = lit(qRows(0).getSeq[Double](0).toArray)
     val scored = docs
       .select(col(idCol), lexicalScore(col(textCol), terms).as("__lex"))
       .join(vecs.select(col(idCol),
         col(vecCol).cast("array<double>").as("__v")), idCol)
-      .crossJoin(broadcast(qv))
+      .withColumn("__qv", qv)
       .filter(col(idCol) =!= queryId)
       .withColumn("lex_score", round(col("__lex"), 6))
       .withColumn("dense_score", round(Cosine.cosine(col("__v"), col("__qv")), 6))

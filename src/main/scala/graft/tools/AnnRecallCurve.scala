@@ -45,12 +45,11 @@ object AnnRecallCurve {
 
     println("\n| engine | config | recall@" + k + " | seconds |")
     println("|---|---|---|---|")
-    for (tables <- Seq(4, 8, 12, 16); planes <- Seq(0)) {
+    for (tables <- Seq(4, 8, 12, 16)) {
       val (r, s) = recallOf(Cosine.annTopK(embs, "vec_id", "embedding",
-        dim = 64, k = k, numPlanes = planes, numTables = tables))
-      val pLabel = if (planes == 0) s"auto(${Cosine.planesFor(n)})"
-                   else planes.toString
-      println(f"| LSH | tables=$tables planes=$pLabel | $r%.3f | $s%.2f |")
+        dim = 64, k = k, numPlanes = 0, numTables = tables))
+      println(f"| LSH | tables=$tables planes=auto(${Cosine.planesFor(n)}) " +
+        f"| $r%.3f | $s%.2f |")
     }
     for (planes <- Seq(4, 6, 8)) {
       val (r, s) = recallOf(Cosine.annTopK(embs, "vec_id", "embedding",

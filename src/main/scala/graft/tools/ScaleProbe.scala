@@ -30,7 +30,9 @@ object ScaleProbe {
       .createTempDirectory(s"graft_scale_${mult}x").toString
     def replicate(table: String, idCol: String): Unit = {
       val base = Tables.load(spark, sfDir, table)
-      val maxId = base.agg(max(col(idCol))).collect()(0).getLong(0)
+      val maxRow = base.agg(max(col(idCol))).collect()(0)
+      require(!maxRow.isNullAt(0), s"$table at $sfDir is empty — nothing to replicate")
+      val maxId = maxRow.getLong(0)
       (0 until mult).map(i =>
           base.withColumn(idCol, col(idCol) + lit(i * (maxId + 1))))
         .reduce(_ union _)

@@ -36,8 +36,12 @@ object StreamingDedupDemo {
       dir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     import org.apache.spark.sql.expressions.Window
+    // materialized once: every per-chunk filter+write below would
+    // otherwise re-run the global-sort ntile window (n sorts of the
+    // corpus instead of one)
     val tagged = df.withColumn("__chunk",
       ntile(n).over(Window.orderBy(col(orderCol))) - 1)
+      .localCheckpoint()
     (0 until n).foreach { i =>
       val stage = s"$work/stage_${dir.replaceAll(".*/", "")}_$i"
       tagged.filter(col("__chunk") === i).drop("__chunk")

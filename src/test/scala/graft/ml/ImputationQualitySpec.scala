@@ -26,6 +26,10 @@ class ImputationQualitySpec extends SparkSpec {
   private lazy val withMissing =
     Noise.injectMissing(base, "a", "id", salt = 80, frac = 0.15).cache()
 
+  // the local fit is used by BOTH tests (quality bar + distributed
+  // parity) — memoized so the 40-epoch training runs once
+  private lazy val localErrors: (Double, Double) = fillErrors("local")
+
   /** Mean abs error of the model's fills on the masked cells, plus the
     * mean-impute error on the same cells. */
   private def fillErrors(backendName: String): (Double, Double) = {
@@ -48,7 +52,7 @@ class ImputationQualitySpec extends SparkSpec {
   }
 
   test("RBM imputation beats mean imputation on correlated bimodal data") {
-    val (rbmErr, meanErr) = fillErrors("local")
+    val (rbmErr, meanErr) = localErrors
     // mean-impute error ≈ 300 (bimodal); the RBM sees `b` and should
     // land on the right mode most of the time
     assert(rbmErr < meanErr * 0.75,
@@ -61,7 +65,7 @@ class ImputationQualitySpec extends SparkSpec {
     // bit-equality (different batch partitioning → different CD-1
     // trajectories); SAME quality: both clearly beat mean impute, and
     // neither is far worse than the other.
-    val (localErr, meanErr) = fillErrors("local")
+    val (localErr, meanErr) = localErrors
     val (distErr, _) = fillErrors("distributed")
     assert(distErr < meanErr * 0.75,
       s"distributed RBM err $distErr not clearly better than mean err $meanErr")

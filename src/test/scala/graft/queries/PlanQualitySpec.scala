@@ -137,12 +137,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "bin-prefix join became a shuffle")
   }
 
-  test("hybrid search: query vector broadcasts, ranking is TakeOrderedAndProject") {
+  test("hybrid search: query vector inlined, ranking is TakeOrderedAndProject") {
     val p = plan("c3_hybrid_search")
     assert(p.contains("TakeOrderedAndProject"),
       "top-k became a global sort:\n" + p.take(1500))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "1-row query vector not broadcast")
+    // the 1-row query vector is collected once and inlined as a
+    // literal — the plan must carry NO join for it (the only join is
+    // docs ⋈ vecs on id)
+    assert(!p.contains("NestedLoopJoin"),
+      "query vector reintroduced a per-row join:\n" + p.take(1500))
   }
 
   test("b15: correlated scalar subquery decorrelates to agg + join") {
