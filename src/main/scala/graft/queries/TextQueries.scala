@@ -420,6 +420,34 @@ object TextQueries extends Registry {
       graft.operators.Sampling.fixedSize(
         Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
         "doc_id", k = 100)),
+    // C7: curation pipeline v3 — the ROUND-6 operators composed end to
+    // end under one oracle row: span-level dedup of the train slice →
+    // graded decontamination on the CLEANED text (≤ 20% eval-gram
+    // overlap) → quality gate on the cleaned text → per-domain cap
+    // (top 15 per source). Each stage is independently oracle-verified;
+    // this row proves they chain without losing the exactness gate —
+    // and that downstream stages legitimately consume UPSTREAM OUTPUT
+    // (grams/quality of the deduped text, not the raw text).
+    "c7_curation_v3" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cleaned = graft.text.SpanDedup.dedupSpans(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text", spanTokens = 8)
+      val contam = graft.dedup.Decontaminate.contaminationScoreExact(
+        cleaned,
+        // the eval side reads the SAME textCol name as the train side
+        docs.filter(col("doc_id") < 100).select(col("text").as("clean_text")),
+        "doc_id", "clean_text")
+      val gated = cleaned
+        .join(contam.select(col("doc_id"), col("contamination")), "doc_id")
+        .filter(col("contamination") <= 0.2)
+        .withColumn("quality", TextFunctions.qualityScore(col("clean_text")))
+        .filter(col("quality") >= 0.5)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.operators.TopPerGroup.topN(gated, "source", "quality",
+          "doc_id", n = 15)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("n_kept"), col("rank"), md5(col("clean_text")).as("clean_md5"))
+    }),
     // C7: per-domain quality cap (RefinedWeb "max N pages per domain")
     // — exact top-25 per source by (quality desc, doc_id), computed
     // with the salted two-level TopPerGroup so a hot domain spreads
@@ -510,6 +538,66 @@ object TextQueries extends Registry {
     "c7_fixed_size_sample" -> s"""
       SELECT doc_id, lang, source, n_chars FROM documents
       ${graft.operators.Sampling.sqlFixedSize("doc_id", 100)}""",
+    "c7_curation_v3" -> s"""
+      WITH tr AS (
+        SELECT doc_id, ${sqlToks("text")} AS toks FROM documents
+        WHERE doc_id >= 100
+      ), s AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS span_idx,
+          array_to_string(toks[u.i*8+1 : least(u.i*8+8, len(toks))], ' ') AS span
+        FROM tr, LATERAL unnest(range(0,
+          CASE WHEN len(toks) = 0 THEN 0
+               ELSE 1 + (greatest(len(toks) - 8, 0) + 7) // 8 END)) AS u(i)
+      ), k AS (
+        SELECT doc_id, span_idx, span FROM (
+          SELECT doc_id, span_idx, span, row_number()
+            OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+          FROM s) WHERE rn = 1
+      ), cl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+        FROM k GROUP BY doc_id
+      ), evt AS (
+        SELECT ${sqlToks("text")} AS toks FROM documents WHERE doc_id < 100
+      ), ev AS (
+        SELECT DISTINCT sh FROM (
+          SELECT unnest(${sqlShingles("toks", 8)}) AS sh FROM evt)
+        WHERE len(sh) > 0
+      ), ct AS (
+        SELECT doc_id, n_kept, clean_text,
+          ${sqlToks("clean_text")} AS toks FROM cl
+      ), dg AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(${sqlShingles("toks", 8)}) AS sh FROM ct)
+        WHERE len(sh) > 0
+      ), sc AS (
+        SELECT doc_id,
+          round(CAST(sum(CASE WHEN sh IN (SELECT sh FROM ev) THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*), 6) AS contamination
+        FROM dg GROUP BY doc_id
+      ), q0 AS (
+        SELECT ct.doc_id, ct.n_kept, ct.clean_text, ct.toks
+        FROM ct JOIN sc ON ct.doc_id = sc.doc_id
+        WHERE sc.contamination <= 0.2e0
+      ), p AS (
+        SELECT doc_id, n_kept, clean_text,
+          $sqlQualityInputs
+        FROM q0
+      ), q AS (
+        SELECT doc_id, n_kept, clean_text,
+          $sqlQualityExpr AS quality
+        FROM p
+      ), f AS (
+        SELECT q.doc_id, d.source, q.quality, q.n_kept, q.clean_text
+        FROM q JOIN documents d ON q.doc_id = d.doc_id
+        WHERE q.quality >= 0.5e0
+      ), r AS (
+        SELECT doc_id, source, quality, n_kept, clean_text,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+        FROM f)
+      SELECT doc_id, source, quality, n_kept, rank, md5(clean_text) AS clean_md5
+      FROM r WHERE rank <= 15""",
     "c7_domain_cap" -> s"""
       WITH t AS (
         SELECT doc_id, source, ${sqlToks("text")} AS toks FROM documents
