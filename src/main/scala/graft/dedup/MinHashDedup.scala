@@ -349,11 +349,17 @@ object MinHashDedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    // stream the (already checkpointed) edges partition-by-partition: a
-    // full collect() of 2²⁰ edges materializes ~1M boxed GenericRows
-    // (100 MB+ of driver heap) all at once; the iterator keeps only the
-    // union-find map (one entry per distinct id) resident
-    e.toLocalIterator().forEachRemaining { row =>
+    // stream the (already checkpointed) edges: a full collect() of 2²⁰
+    // edges materializes ~1M boxed GenericRows (100 MB+ of driver heap)
+    // all at once; the iterator keeps only the union-find map (one entry
+    // per distinct id) resident. coalesce(1) first — toLocalIterator
+    // runs ONE Spark job per partition fetched, and with cluster-scale
+    // shuffle.partitions (200–2000) that is hundreds of sequential
+    // driver round-trips for a ≤16 MB edge set. The edge count is
+    // already measured ≤ smallGraphMaxEdges before entering this path,
+    // so a single partition is bounded by construction → exactly one
+    // fetch job.
+    e.coalesce(1).toLocalIterator().forEachRemaining { row =>
       val a = row.get(0); val b = row.get(1)
       if (!parent.contains(a)) parent(a) = a
       if (!parent.contains(b)) parent(b) = b

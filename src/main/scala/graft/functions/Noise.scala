@@ -28,6 +28,40 @@ object Noise {
     x - floor(x)
   }
 
+  /** Engine-portable integer rank in [0, 1e9+7): pure BIGINT multiply/
+    * add/mod — no libm calls — so Spark and DuckDB agree on EVERY rank
+    * bit-exactly, not just away from a threshold. Use where the k-th
+    * rank boundary is STRUCTURAL (top-k sampling cuts): [[hashNoise]]'s
+    * sin() can differ between JVM Math.sin and a host libm by 1 ulp,
+    * which a `< frac` threshold absorbs (boundary rows are measure-zero)
+    * but a rank cut turns into a different k-th row on every run. The
+    * middle round is SQUARED so consecutive keys don't map to an
+    * arithmetic stride (a purely linear map would — any composition of
+    * linear rounds stays linear mod p). */
+  def intRank(key: Column, salt: Int): Column = {
+    require(salt >= 0, "salt must be non-negative")
+    val p = lit(1000000007L)
+    val k0 = pmod(key.cast("long"), p)
+    // multiplier = Knuth's 2654435761 (fits: k0 * 2654435761 < 2^62,
+    // h1² < (1e9+7)² < 2^60 — no 64-bit overflow on either engine). A
+    // SMALL multiplier here is a trap: for keys below √p / a the square
+    // never wraps the modulus, so ranks stay monotone in the key and
+    // "top-k by rank" degenerates to "first k keys".
+    val h1 = pmod((k0 + lit(salt.toLong) + lit(1L)) * lit(2654435761L), p)
+    pmod(h1 * h1 + k0, p)
+  }
+
+  /** DuckDB-compatible SQL for intRank(key, salt) — identical BIGINT
+    * arithmetic term-for-term (DuckDB's % is sign-of-dividend like
+    * Java's, so the double-mod makes k0 non-negative on both sides). */
+  def sqlIntRank(keyExpr: String, salt: Int): String = {
+    require(salt >= 0, "salt must be non-negative")
+    val p = "1000000007"
+    val k0 = s"(((CAST($keyExpr AS BIGINT) % $p) + $p) % $p)"
+    val h1 = s"(((($k0 + $salt + 1) * 2654435761) % $p))"
+    s"(($h1 * $h1 + $k0) % $p)"
+  }
+
   /** True where the cell should be treated as missing (fraction `frac`). */
   def missingMask(key: Column, salt: Int, frac: Double): Column =
     hashNoise(key, salt) < lit(frac)

@@ -101,23 +101,28 @@ object Sampling {
   }
 
   /** Deterministic EXACT-size uniform sample: the `k` rows with the
-    * smallest keyed hash-noise (ties broken by the key), so unlike the
-    * fraction-based ops this returns exactly min(k, n) rows — the
+    * smallest keyed integer rank (ties broken by the key), so unlike
+    * the fraction-based ops this returns exactly min(k, n) rows — the
     * "give me 10M held-out docs" shape. Re-runnable (same keys ⇒ same
-    * sample on any layout) and oracle-able like the rest of the
-    * family. The plan is TakeOrderedAndProject — per-partition top-k
-    * merged on the driver side of the exchange, NEVER a global sort
-    * (asserted in PlanQualitySpec). */
+    * sample on any layout) and oracle-able like the rest of the family.
+    * The rank is [[Noise.intRank]] — pure BIGINT arithmetic, NOT the
+    * sin()-based hashNoise the threshold samplers use: a top-k cut
+    * makes the k-th rank a structural boundary, and JVM Math.sin vs a
+    * host libm can disagree by 1 ulp there, whereas integer mod
+    * arithmetic is bit-identical on every engine by construction. The
+    * plan is TakeOrderedAndProject — per-partition top-k merged on the
+    * driver side of the exchange, NEVER a global sort (asserted in
+    * PlanQualitySpec). */
   def fixedSize(df: DataFrame, keyCol: String, k: Int,
                 salt: Int = 13): DataFrame = {
     require(k >= 1)
-    df.orderBy(Noise.hashNoise(col(keyCol), salt).asc, col(keyCol).asc)
+    df.orderBy(Noise.intRank(col(keyCol), salt).asc, col(keyCol).asc)
       .limit(k)
   }
 
   /** DuckDB twin of [[fixedSize]]'s ORDER BY ... LIMIT clause. */
   def sqlFixedSize(keyExpr: String, k: Int, salt: Int = 13): String =
-    s"ORDER BY ${Noise.sqlNoise(keyExpr, salt)}, $keyExpr LIMIT $k"
+    s"ORDER BY ${Noise.sqlIntRank(keyExpr, salt)}, $keyExpr LIMIT $k"
 
   /** DuckDB twin of [[mixture]] as a full SELECT over `table`,
     * mirroring the rate arithmetic term-for-term (same division and

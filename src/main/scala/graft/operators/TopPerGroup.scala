@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * operator sits under the DuckDB oracle (c7_domain_cap), which
   * computes the naive form. Ordering must be total for cross-engine
   * determinism: (orderCol desc, idCol asc).
+  *
+  * PRECONDITION: `idCol` must be unique within each group. The
+  * exactness proof and cross-engine determinism both rest on
+  * (orderCol, idCol) being a TOTAL order — a duplicated id makes both
+  * row_number levels nondeterministic (which copy ranks first depends
+  * on partition layout) and can diverge from the naive window AND from
+  * the DuckDB oracle. Not checked at runtime (a distinct-count over
+  * the corpus would cost a full extra aggregation per call at 100 TB);
+  * TopPerGroupSpec asserts it for the shipped c7_domain_cap key, and
+  * callers with synthesized ids must guarantee it themselves.
   */
 object TopPerGroup {
 

@@ -205,7 +205,13 @@ object Cosine {
     * the EXPECTED bucket holds ~`targetBucket` rows (buckets/table =
     * 2^planes ≈ n/targetBucket), clamped to [2, 24]. Fixed small plane
     * counts (the round-1 bug) give 2³ = 8 buckets at ANY n — candidate
-    * generation degenerates to near-all-pairs as the corpus grows. */
+    * generation degenerates to near-all-pairs as the corpus grows.
+    * targetBucket is the recall/cost dial (measured grid in SCALING.md):
+    * bigger buckets = fewer planes = more candidates = higher recall.
+    * [[annTopK]] defaults to 128 (the measured recall knee for SEARCH,
+    * 0.71 recall@10 at sf0.1); [[annScoredPairs]] keeps 32 (DEDUP
+    * candidates are near-identical vectors whose codes collide even in
+    * small buckets — planted-dup specs hold there at ~4× fewer pairs). */
   def planesFor(n: Long, targetBucket: Int = 32): Int =
     math.min(24, math.max(2,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
@@ -217,9 +223,10 @@ object Cosine {
   private def annScored(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, numPlanes: Int, numTables: Int,
                         maxBucket: Int, seed: Long,
-                        bothDirections: Boolean): DataFrame = {
+                        bothDirections: Boolean,
+                        targetBucket: Int): DataFrame = {
     val planes =
-      if (numPlanes > 0) numPlanes else planesFor(df.count())
+      if (numPlanes > 0) numPlanes else planesFor(df.count(), targetBucket)
     val buckets = array((0 until numTables).map(t =>
       lshBucket(col(vecCol), dim, planes, seed + t * 7919)): _*)
     // materialize the bucket codes once: they feed BOTH the bucket-size
@@ -268,24 +275,30 @@ object Cosine {
     * over every candidate pair just to discard the rank). */
   def annScoredPairs(df: DataFrame, idCol: String, vecCol: String,
                      dim: Int, numPlanes: Int = 0, numTables: Int = 8,
-                     maxBucket: Int = 256, seed: Long = 42L): DataFrame =
+                     maxBucket: Int = 256, seed: Long = 42L,
+                     targetBucket: Int = 32): DataFrame =
     annScored(df, idCol, vecCol, dim, numPlanes, numTables, maxBucket,
-      seed, bothDirections = false)
+      seed, bothDirections = false, targetBucket = targetBucket)
 
   /** Approximate top-k neighbors via MULTI-TABLE random-hyperplane LSH:
     * `numTables` independent codes; candidates share a bucket in at
     * least one table, are deduped, then scored exactly and ranked per
     * query id. numPlanes = 0 (default) self-sizes to the corpus
-    * (planesFor), so buckets stay ~constant-size at any n; at 100 TB
-    * each (table, bucket) key is the shuffle/bucketing key and candidate
-    * scoring stays per-bucket — never all-pairs. */
+    * (planesFor at targetBucket = 128 — the measured recall knee:
+    * 0.71 recall@10 at sf0.1 vs 0.36 at the old 32-row buckets, see
+    * SCALING.md's grid), so buckets stay ~constant-size at any n; at
+    * 100 TB each (table, bucket) key is the shuffle/bucketing key and
+    * candidate scoring stays per-bucket — never all-pairs. Lower
+    * `targetBucket` (or raise numPlanes) to buy speed at the cost of
+    * recall. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
               k: Int, numPlanes: Int = 0, numTables: Int = 8,
-              maxBucket: Int = 256, seed: Long = 42L): DataFrame = {
+              maxBucket: Int = 256, seed: Long = 42L,
+              targetBucket: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
     annScored(df, idCol, vecCol, dim, numPlanes, numTables, maxBucket,
-        seed, bothDirections = true)
+        seed, bothDirections = true, targetBucket = targetBucket)
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("a", "b", "score", "rank")

@@ -36,7 +36,15 @@ object HybridSearch {
 
   /** Top-k docs by fused score. `docs` must carry (idCol, textCol);
     * `vecs` (idCol, vecCol); the query embedding is row `queryId` of
-    * `vecs` (broadcast — one row). */
+    * `vecs`, inlined as a plan literal.
+    *
+    * EAGER: collecting that one-row query vector runs a small Spark job
+    * at DataFrame-CONSTRUCTION time (not at action time), and a missing
+    * `queryId` throws here instead of returning an empty result (an
+    * absent query id is caller error, not "no matches"). Callers that
+    * build plans lazily or probe possibly-absent ids should filter
+    * `vecs` first; don't construct this frame on a latency-critical
+    * path expecting laziness. */
   def search(docs: DataFrame, vecs: DataFrame, idCol: String,
              textCol: String, vecCol: String, terms: Seq[String],
              queryId: Long, k: Int, lexWeight: Double = 0.5): DataFrame = {

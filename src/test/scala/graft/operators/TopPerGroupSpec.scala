@@ -27,6 +27,17 @@ class TopPerGroupSpec extends SparkSpec {
     assert(naive.exceptAll(one).isEmpty && one.exceptAll(naive).isEmpty)
   }
 
+  test("idCol uniqueness precondition holds for the shipped c7_domain_cap key") {
+    // topN's exactness proof requires idCol unique per group (total
+    // order). The operator does not pay a runtime distinct-count for
+    // it, so pin it here for the one shipped call site: c7_domain_cap
+    // caps documents per domain keyed on doc_id.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val dupIds = docs.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).count()
+    assert(dupIds === 0, s"doc_id not unique: $dupIds duplicated ids")
+  }
+
   test("groups smaller than N keep all rows, ranked") {
     import spark.implicits._
     val df = Seq(("a", 1L, 0.9), ("a", 2L, 0.5), ("b", 3L, 0.1))

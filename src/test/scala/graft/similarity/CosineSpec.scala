@@ -118,6 +118,24 @@ class CosineSpec extends SparkSpec {
     assert(ivf >= 0.8, s"IVF nProbe=8 recall@1 $ivf below the 0.850 knee")
   }
 
+  test("DEFAULT annTopK operating point clears a 0.7 recall@10 floor at sf0.1") {
+    // r6 verdict: the shipped default (targetBucket 32 → planes 6 at
+    // 2000 vectors) measured 0.36 recall@10 — speed-tuned past the
+    // knee. The default now sits AT the measured knee (targetBucket
+    // 128 → planes 4, 0.711 recall@10 in SCALING.md's grid). This
+    // floor pins the DEFAULT call — the exact shape a user ships
+    // without reading the grid — not a hand-picked operating point.
+    val embs = Tables.embeddings(spark, sf01).localCheckpoint()
+    val exact = Cosine.selfJoinTopK(embs.withColumn("__all", lit(1)),
+        "vec_id", "embedding", "__all", k = 10)
+      .select("a", "b").localCheckpoint()
+    val nExact = exact.count()
+    val ann = Cosine.annTopK(embs, "vec_id", "embedding", dim = 64, k = 10)
+    val hit = exact.intersect(ann.select("a", "b")).count()
+    assert(hit.toDouble / nExact >= 0.7,
+      s"default annTopK recall@10 ${hit.toDouble / nExact} below the 0.711 knee")
+  }
+
   test("ANN recall against the exact global top-1 baseline") {
     val sample = emb.filter(col("vec_id") < 200).withColumn("__all", lit(1))
     val exact = Cosine.selfJoinTopK(sample, "vec_id", "embedding", "__all", k = 1)
