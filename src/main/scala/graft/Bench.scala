@@ -57,6 +57,31 @@ object Bench {
         if (ok.nonEmpty) errors.remove(name)
         name -> (if (ok.nonEmpty) ok.min else -1.0)
       }
+    // Self-guard against contaminated artifacts: round 6 shipped a
+    // 13.2 s driver reading for a query that re-measures at 2.9 s —
+    // host contention that landed on BOTH reps, so min-of-2 didn't
+    // protect. Compare each timing to the previous bench.json (the
+    // file is committed per round, so at run time it holds last
+    // round's values) and flag >3× outliers as "suspect": the
+    // artifact identifies its own noise instead of reading as a
+    // regression. The absolute floor (+1 s) keeps sub-second jitter
+    // from flagging.
+    val prior: Map[String, Double] =
+      try {
+        val txt = Files.readString(Paths.get(outPath))
+        val start = txt.indexOf("\"queries\":{")
+        val end = txt.indexOf("}", start)
+        if (start < 0 || end < 0) Map.empty
+        else """"([^"]+)":(-?[0-9.eE+]+)""".r
+          .findAllMatchIn(txt.substring(start + 11, end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
+    val suspects = results.collect { case (name, v)
+      if v > 0 && prior.get(name).exists(p => p > 0 && v > 3 * p && v - p > 1.0)
+      => name }.toSeq.sorted
+    if (suspects.nonEmpty) System.err.println(
+      s"[bench] SUSPECT (>3x their last-round time — likely host " +
+        s"contention, re-measure isolated): ${suspects.mkString(", ")}")
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -66,9 +91,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    val suspectJson =
+      suspects.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
     def render(qEntries: Seq[String], extra: String): String = {
       val qs = qEntries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","queries":$qs,"errors":$errJson$extra,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","queries":$qs,"errors":$errJson,"suspect":$suspectJson$extra,"sf":"${esc(sfDir)}"}"""
     }
     // Full-precision JSON goes to the file (per-query history for the
     // judge); stdout gets a compacted line. The driver keeps only a

@@ -9,16 +9,19 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * metadata struct alongside; decode / feature-extract / frame-sample
   * run as batched partition-local transforms over the payload bytes.
   *
-  * [[decodeImage]] is a REAL pure-JVM decoder for two uncompressed
-  * raster formats (binary PPM "P6" and 24-bit uncompressed BMP) —
-  * header parse → (width, height) → per-channel pixel means — and
-  * [[decodeImages]] runs it in the batched mapPartitions shape a
-  * JPEG/PNG codec would use at 100 TB (the container ships no such
-  * codecs; swapping the per-payload function is the only change).
-  * [[decodeStub]]'s byte-level statistics remain as the generic
-  * fallback for opaque modalities. Decoded output sits under the
-  * DuckDB oracle via a deterministic PPM fixture (c6_image_decode)
-  * whose pixel values are a closed form the oracle recomputes.
+  * [[decodeImage]] is a REAL decoder for the formats a training corpus
+  * actually holds: JPEG / PNG / GIF / TIFF / BMP via `javax.imageio`
+  * (the readers ship in `java.desktop` — pure JVM, no native codecs
+  * needed), plus two hand-rolled fast paths (binary PPM "P6" and
+  * 24-bit uncompressed BMP) whose integer arithmetic is bit-exact by
+  * construction and feeds the DuckDB oracle. [[decodeImages]] runs it
+  * in the batched mapPartitions shape. [[decodeStub]]'s byte-level
+  * statistics remain as the generic fallback for opaque modalities
+  * (audio/video payloads, text). Decoded output sits under the DuckDB
+  * oracle two ways: a deterministic PPM fixture (c6_image_decode) and
+  * a PNG fixture (c6_png_decode — PNG is lossless, so ImageIO's decoded
+  * pixels equal the same closed form); lossy JPEG is rows+spec checked
+  * (deterministic within one JDK, not across decoders).
   */
 object Multimodal {
 
@@ -52,17 +55,76 @@ object Multimodal {
   case class ImageInfo(format: String, width: Int, height: Int,
                        meanR: Double, meanG: Double, meanB: Double)
 
-  /** Pure-JVM image decode: binary PPM (`P6`, 8-bit maxval) and
-    * uncompressed 24-bit BMP (`BM`, BI_RGB). Returns None for anything
-    * else (truncated, other formats) — callers fall back to byte-level
-    * stats. Channel means divide the Long channel sum by the pixel
-    * count in one double division, so the DuckDB oracle reproduces the
-    * values bit-exactly. */
+  /** Image decode: hand-rolled parsers for binary PPM (`P6`, 8-bit
+    * maxval) and uncompressed 24-bit BMP (`BM`, BI_RGB) — pure integer
+    * arithmetic the DuckDB oracle reproduces bit-exactly — and
+    * `javax.imageio` for everything it ships readers for (JPEG, PNG,
+    * GIF, TIFF, and BMP variants the fast path skips, e.g. 32-bit).
+    * Returns None for anything malformed or unrecognized — callers
+    * fall back to byte-level stats. Channel means divide the Long
+    * channel sum by the pixel count in one double division on every
+    * path, so lossless formats land on the same closed form. */
   def decodeImage(p: Array[Byte]): Option[ImageInfo] = {
     if (p == null || p.length < 2) None
     else if (p(0) == 'P' && p(1) == '6') decodePpm(p)
-    else if (p(0) == 'B' && p(1) == 'M') decodeBmp(p)
-    else None
+    else if (p(0) == 'B' && p(1) == 'M') decodeBmp(p).orElse(decodeViaImageIO(p))
+    else decodeViaImageIO(p)
+  }
+
+  /** Magic-byte gate so the common case (text/audio payloads that are
+    * not images) skips ImageInputStream construction entirely — the
+    * reader probe below costs a stream + registry scan per payload,
+    * which at 100 TB is pure waste on non-image modalities. */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte) ||              // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 'I' && p(1) == 'I' && p(2) == 42 && p(3) == 0) ||   // TIFF LE
+      (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 42) ||   // TIFF BE
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** JPEG/PNG/GIF/TIFF/BMP decode via `javax.imageio` (readers verified
+    * present in this JDK's `java.desktop`). Pixels are read row-by-row
+    * through `getRGB` into sRGB ints; for images already in 8-bit RGB
+    * (every fixture and typical corpus JPEGs/PNGs) that conversion is
+    * the identity, so lossless formats reproduce the source bytes and
+    * the means match the hand-rolled parsers' closed form exactly.
+    * Corrupt or truncated payloads return None, never throw — a bad
+    * blob must not kill the task. */
+  private[multimodal] def decodeViaImageIO(p: Array[Byte]): Option[ImageInfo] = {
+    if (!looksLikeImage(p)) return None
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+        val img = reader.read(0)
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) return None
+        var r = 0L; var g = 0L; var b = 0L
+        val buf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, buf, 0, w)
+          var x = 0
+          while (x < w) {
+            val px = buf(x)
+            r += (px >>> 16) & 0xff; g += (px >>> 8) & 0xff; b += px & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(ImageInfo(fmt, w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n))
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
   }
 
   private def decodePpm(p: Array[Byte]): Option[ImageInfo] = {
@@ -149,6 +211,36 @@ object Multimodal {
     header ++ px
   }
 
+  /** Deterministic REAL-format image fixture with the SAME pixel closed
+    * form as [[ppmFixtureBytes]] — channel byte at linear index i (RGB
+    * interleaved, row-major) is `(seed + i) mod 256` — encoded through
+    * `javax.imageio.ImageIO.write`. For lossless formats ("png", "bmp")
+    * the decoded pixels equal that closed form exactly, so the DuckDB
+    * oracle covers real-format decode with the identical arithmetic it
+    * already uses for PPM; "jpg" is lossy and sits under rows+spec
+    * checks only. */
+  def imageFixtureBytes(w: Int, h: Int, seed: Long, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = 3L * p
+        val r = ((seed + i) % 256).toInt
+        val g = ((seed + i + 1) % 256).toInt
+        val b = ((seed + i + 2) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        p += 1; x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, baos)
+    require(ok, s"no ImageIO writer for format '$format'")
+    baos.toByteArray
+  }
+
   /** Batched image decode over the payload column, appending format /
     * width / height / mean_r / mean_g / mean_b (nulls where the payload
     * is not a decodable image). Same partition-local batch shape as
@@ -173,29 +265,41 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Feature vector for a decoded image — same fixed width (6) as
+    * [[decodeStub]]'s byte-stats vector so the two branches of
+    * [[extractFeatures]] are schema-compatible: width, height,
+    * per-channel means, pixel count. */
+  def imageFeatures(info: ImageInfo): Array[Double] =
+    Array(info.width.toDouble, info.height.toDouble,
+      info.meanR, info.meanG, info.meanB,
+      info.width.toDouble * info.height)
+
   /** Feature extraction over the payload column: batched
     * partition-local processing (batch size bounds peak memory exactly
     * like an Arrow batch would), appending `features: array<double>`.
-    * No shuffle — scales with the scan. */
+    * Payloads that decode as images ([[decodeImage]] — JPEG/PNG/GIF/
+    * TIFF/BMP/PPM) get REAL [[imageFeatures]]; everything else falls
+    * back to [[decodeStub]] byte statistics. No shuffle — scales with
+    * the scan. */
   def extractFeatures(assets: DataFrame, batchSize: Int = 256): DataFrame = {
     val schema = assets.schema.add("features", ArrayType(DoubleType, false))
     val payloadIdx = assets.schema.fieldIndex("payload")
     assets.mapPartitions { it: Iterator[Row] =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real decoder would hand the whole batch to native code here
         batch.iterator.map { row =>
-          val feats = decodeStub(row.getAs[Array[Byte]](payloadIdx))
+          val p = row.getAs[Array[Byte]](payloadIdx)
+          val feats = decodeImage(p).map(imageFeatures).getOrElse(decodeStub(p))
           Row.fromSeq(row.toSeq :+ feats.toSeq)
         }
       }
     }(Encoders.row(schema))
   }
 
-  /** Resize stub: decimate the payload to ≈`targetBytes` by keeping
-    * every k-th byte (k = ceil(len/target)) — the partition-local,
-    * shuffle-free shape of an image resize (a real one decodes, scales,
-    * re-encodes inside the same batch loop; the codec is the only
-    * missing piece in this container). Output is `resized: binary`
+  /** Byte-level decimation to ≈`targetBytes` (keep every k-th byte,
+    * k = ceil(len/target)) — the partition-local, shuffle-free shape
+    * of a payload downsample for OPAQUE modalities (audio/video bytes
+    * this library doesn't decode). For images, [[resizeImages]] does a
+    * real decode → scale → re-encode. Output is `resized: binary`
     * alongside the original payload so downstream can pick either. */
   def resize(assets: DataFrame, targetBytes: Int = 256,
              batchSize: Int = 256): DataFrame = {
@@ -218,6 +322,51 @@ object Multimodal {
         }
       }
     }(Encoders.row(schema))
+  }
+
+  /** REAL image resize: decode (ImageIO formats — JPEG/PNG/GIF/TIFF/
+    * BMP), bilinear-scale to `targetW` × `targetH` offscreen (works
+    * headless: BufferedImage rasters need no display), re-encode as
+    * PNG (lossless, so resized bytes are deterministic for one JDK's
+    * scaler). Non-image payloads get a null `resized_img`. Batched
+    * partition-local, no shuffle — the 100 TB thumbnail-generation
+    * shape. */
+  def resizeImages(assets: DataFrame, targetW: Int, targetH: Int,
+                   batchSize: Int = 256): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val schema = assets.schema.add("resized_img",
+      org.apache.spark.sql.types.BinaryType)
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    assets.mapPartitions { it: Iterator[Row] =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val p = row.getAs[Array[Byte]](payloadIdx)
+          Row.fromSeq(row.toSeq :+ resizeOne(p, targetW, targetH).orNull)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Decode → bilinear scale → PNG re-encode for one payload; None when
+    * the payload is not an ImageIO-decodable image. */
+  private[multimodal] def resizeOne(p: Array[Byte], tw: Int,
+                                    th: Int): Option[Array[Byte]] = {
+    if (p == null || !looksLikeImage(p)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null) return None
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      try {
+        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img, 0, 0, tw, th, null)
+      } finally g2.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      Some(baos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Frame/segment sampling stub: every `stride`-th slice of

@@ -5,9 +5,11 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries (C6): binary payload plumbing with typed
-  * metadata. Byte-level aggregates are engine-portable (oracle); the
-  * batched feature-extraction path (stubbed decoder) is rows-checked +
-  * ScalaTest-verified.
+  * metadata. Byte-level aggregates and LOSSLESS real decodes (PPM
+  * parser, ImageIO PNG) are engine-portable closed forms under the
+  * DuckDB oracle; lossy JPEG decode and the resize round-trip are
+  * rows-checked + ScalaTest-bounded (deterministic within one JDK, not
+  * across decoders).
   */
 object MultimodalQueries extends Registry {
 
@@ -20,13 +22,13 @@ object MultimodalQueries extends Registry {
              sum(length(col("payload")).cast("bigint")).as("total_bytes"),
              min(length(col("payload")).cast("bigint")).as("min_bytes"),
              max(length(col("payload")).cast("bigint")).as("max_bytes"))),
-    // C6: batched partition-local feature extraction (byte-stats
-    // fallback path, batching/schema real) under the EXACT oracle: the
-    // payloads are the same deterministic PPM fixture as
-    // c6_image_decode (header "P6\nW H\n255\n" + pixel(i) =
-    // (doc_id + i) mod 256), so decodeStub's length / mean byte /
-    // 4-bin histogram are pure integer arithmetic DuckDB recomputes
-    // without touching the bytes.
+    // C6: batched partition-local feature extraction routed through the
+    // REAL image decode (extractFeatures decodes the PPM fixture and
+    // emits imageFeatures = width/height/channel means/pixel count)
+    // under the EXACT oracle: pixel(i) = (doc_id + i) mod 256 is a
+    // closed form DuckDB recomputes without touching the bytes — the
+    // same arithmetic c6_image_decode pins, now through the feature
+    // vector path.
     "c6_feature_extract" -> ((s, d) => {
       import s.implicits._
       val fixture = Tables.documents(s, d)
@@ -36,13 +38,24 @@ object MultimodalQueries extends Registry {
         .toDF("asset_id", "payload")
       Multimodal.extractFeatures(fixture)
         .select(col("asset_id"),
-          element_at(col("features"), 1).cast("bigint").as("n_bytes"),
-          round(element_at(col("features"), 2), 6).as("mean_byte"),
-          element_at(col("features"), 3).cast("bigint").as("bin0"),
-          element_at(col("features"), 4).cast("bigint").as("bin1"),
-          element_at(col("features"), 5).cast("bigint").as("bin2"),
-          element_at(col("features"), 6).cast("bigint").as("bin3"))
+          element_at(col("features"), 1).cast("bigint").as("width"),
+          element_at(col("features"), 2).cast("bigint").as("height"),
+          element_at(col("features"), 3).as("mean_r"),
+          element_at(col("features"), 4).as("mean_g"),
+          element_at(col("features"), 5).as("mean_b"),
+          element_at(col("features"), 6).cast("bigint").as("n_pixels"))
     }),
+    // C6 rows-only: the same feature extraction over REAL
+    // documents-derived payloads (text bytes → decodeStub fallback) —
+    // keeps a bench row measuring the scan-and-extract path over actual
+    // table payloads (the fixture query above measures decode
+    // arithmetic, not table scanning).
+    "c6_feature_extract_raw" -> ((s, d) =>
+      Multimodal.extractFeatures(
+          Multimodal.assetsFromDocuments(Tables.documents(s, d)))
+        .select(col("asset_id"),
+          element_at(col("features"), 1).cast("bigint").as("n_bytes"),
+          round(element_at(col("features"), 2), 6).as("mean_byte"))),
     // C6: frame sampling under the exact oracle — every 256th 64-byte
     // slice of the payload (the video frame-sample shape, minus the
     // codec), reported as per-asset frame count + first/last frame
@@ -72,6 +85,56 @@ object MultimodalQueries extends Registry {
         .select(col("asset_id"), col("format"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
+    // C6: REAL PNG decode via javax.imageio under the exact oracle —
+    // the PNG fixture encodes the SAME closed-form pixels as the PPM
+    // one ((doc_id + i) mod 256), and PNG is lossless, so ImageIO's
+    // decoded channel means equal the identical DuckDB arithmetic.
+    // This is the real-corpus decode path (a JPEG/PNG reader), not a
+    // hand-rolled parser.
+    "c6_png_decode" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.imageFixtureBytes(
+          (4 + id % 5).toInt, (3 + id % 4).toInt, id, "png")))
+        .toDF("asset_id", "payload")
+      Multimodal.decodeImages(fixture)
+        .select(col("asset_id"), col("format"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+    // C6 rows-only: JPEG decode — lossy, so pixel values are
+    // decoder-deterministic within one JDK but not a cross-engine
+    // closed form; MultimodalSpec bounds the means against the source
+    // pixels instead. Dimensions ARE exact.
+    "c6_jpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.imageFixtureBytes(
+          (4 + id % 5).toInt, (3 + id % 4).toInt, id, "jpg")))
+        .toDF("asset_id", "payload")
+      Multimodal.decodeImages(fixture)
+        .select(col("asset_id"), col("format"), col("width"), col("height"),
+          round(col("mean_r"), 2).as("mean_r"),
+          round(col("mean_g"), 2).as("mean_g"),
+          round(col("mean_b"), 2).as("mean_b"))
+    }),
+    // C6 rows-only: real resize — decode the PNG fixture, bilinear
+    // scale to 8x8, re-encode PNG, decode AGAIN and report the
+    // round-tripped dimensions (all 8x8 ⇒ the plumbing is proven by
+    // the decode of the resized bytes, spec'd in MultimodalSpec).
+    "c6_image_resize" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.imageFixtureBytes(
+          (4 + id % 5).toInt, (3 + id % 4).toInt, id, "png")))
+        .toDF("asset_id", "payload")
+      Multimodal.decodeImages(
+          Multimodal.resizeImages(fixture, targetW = 8, targetH = 8)
+            .drop("payload").withColumnRenamed("resized_img", "payload"))
+        .select(col("asset_id"), col("format"), col("width"), col("height"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -81,31 +144,26 @@ object MultimodalQueries extends Registry {
              CAST(min(octet_length(text::BLOB)) AS BIGINT) AS min_bytes,
              CAST(max(octet_length(text::BLOB)) AS BIGINT) AS max_bytes
       FROM documents GROUP BY 1""",
-    // c6_feature_extract: decodeStub byte stats over the closed-form PPM
-    // fixture — header ASCII codes + (id + i) mod 256 pixels, all
-    // integer arithmetic.
+    // c6_feature_extract: extractFeatures now routes decodable images
+    // through the REAL decode, so the oracle is the image closed form
+    // (same arithmetic as c6_image_decode) shaped as the feature
+    // vector: width, height, channel means, pixel count.
     "c6_feature_extract" -> """
       WITH f AS (
         SELECT doc_id AS asset_id,
-               CAST(4 + doc_id % 5 AS BIGINT) AS w,
-               CAST(3 + doc_id % 4 AS BIGINT) AS h
+               CAST(4 + doc_id % 5 AS BIGINT) AS width,
+               CAST(3 + doc_id % 4 AS BIGINT) AS height
         FROM documents WHERE doc_id < 50
-      ), b AS (
-        SELECT asset_id,
-          list_transform(range(1, length('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)) + 1),
-            i -> ascii(('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10))[i:i]))
-          || list_transform(range(0, 3 * w * h), i -> (asset_id + i) % 256)
-          AS bytes
-        FROM f
       )
-      SELECT asset_id,
-        CAST(len(bytes) AS BIGINT) AS n_bytes,
-        round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes), 6) AS mean_byte,
-        CAST(len(list_filter(bytes, c -> c // 64 = 0)) AS BIGINT) AS bin0,
-        CAST(len(list_filter(bytes, c -> c // 64 = 1)) AS BIGINT) AS bin1,
-        CAST(len(list_filter(bytes, c -> c // 64 = 2)) AS BIGINT) AS bin2,
-        CAST(len(list_filter(bytes, c -> c // 64 = 3)) AS BIGINT) AS bin3
-      FROM b""",
+      SELECT asset_id, width, height,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 3 * p + 0) % 256)) AS DOUBLE) / (width * height) AS mean_r,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 3 * p + 1) % 256)) AS DOUBLE) / (width * height) AS mean_g,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 3 * p + 2) % 256)) AS DOUBLE) / (width * height) AS mean_b,
+        width * height AS n_pixels
+      FROM f""",
     "c6_frame_sample" -> """
       WITH f AS (
         SELECT doc_id AS asset_id, 'text/' || lang AS modality,
@@ -126,6 +184,24 @@ object MultimodalQueries extends Registry {
         FROM documents WHERE doc_id < 50
       )
       SELECT asset_id, 'ppm' AS format, width, height,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 3 * p + 0) % 256)) AS DOUBLE) / (width * height) AS mean_r,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 3 * p + 1) % 256)) AS DOUBLE) / (width * height) AS mean_g,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 3 * p + 2) % 256)) AS DOUBLE) / (width * height) AS mean_b
+      FROM f""",
+    // c6_png_decode: PNG is lossless, so ImageIO's decode of the PNG
+    // fixture reproduces the identical closed-form pixels — the only
+    // difference from c6_image_decode is the format label.
+    "c6_png_decode" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+               CAST(4 + doc_id % 5 AS BIGINT) AS width,
+               CAST(3 + doc_id % 4 AS BIGINT) AS height
+        FROM documents WHERE doc_id < 50
+      )
+      SELECT asset_id, 'png' AS format, width, height,
         CAST(list_sum(list_transform(range(0, width * height),
               p -> (asset_id + 3 * p + 0) % 256)) AS DOUBLE) / (width * height) AS mean_r,
         CAST(list_sum(list_transform(range(0, width * height),

@@ -110,29 +110,38 @@ object Cosine {
     * every task's codegen by nlist × dim literal doubles. Both paths
     * compute bit-identical probes (same operation order), asserted in
     * CosineSpec. The only shuffle is the per-cell pair join. */
+  /** Coarse-quantizer fit on a bounded sample — shared by the one-shot
+    * [[ivfTopK]] and the persisted [[IvfIndex]]: identical parameters
+    * produce identical centers (same sample, same seed, same Lloyd
+    * schedule), which IvfIndexSpec's served ≡ recomputed equivalence
+    * relies on. At 100 TB k-means never sees the full corpus, only
+    * assignment does. nlist ≈ √n keeps per-cell pair work ≈ n^1.5
+    * total instead of n²/nlist with a fixed tiny cell count; a coarse
+    * quantizer needs rough cells, not converged ones, so Lloyd is
+    * capped at 8 iterations (IVF recall comes from multi-probe, not
+    * centroid polish; FAISS trains its quantizer the same way). */
+  private[similarity] def fitQuantizer(df: DataFrame, vecCol: String,
+      numCentroids: Int, seed: Long,
+      fitSample: Int): Array[Array[Double]] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = df.count()
+    val cells = if (numCentroids > 0) numCentroids
+      else math.max(2, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val fitDf = (if (n <= fitSample) df
+                 else df.sample(fitSample.toDouble / n, seed))
+      .withColumn("__mlvec", array_to_vector(col(vecCol).cast("array<double>")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(seed).setMaxIter(8).setTol(1e-3)
+      .setFeaturesCol("__mlvec").setPredictionCol("__cell")
+    km.fit(fitDf).clusterCenters.map(_.toArray)
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               numCentroids: Int = 0, nProbe: Int = 2,
               seed: Long = 42L, fitSample: Int = 100000,
               maxPlanCentroidDoubles: Int = 32768): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.ml.functions.array_to_vector
-    val n = df.count()
-    // classic IVF sizing: nlist ≈ √n keeps per-cell pair work ≈ n^1.5
-    // total instead of n²/nlist with a fixed tiny cell count
-    val cells = if (numCentroids > 0) numCentroids
-      else math.max(2, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
-    // the coarse quantizer fits on a bounded sample — at 100 TB k-means
-    // never sees the full corpus, only assignment does
-    val fitDf = (if (n <= fitSample) df
-                 else df.sample(fitSample.toDouble / n, seed))
-      .withColumn("__mlvec", array_to_vector(col(vecCol).cast("array<double>")))
-    // a coarse quantizer needs rough cells, not converged ones — cap the
-    // Lloyd iterations (IVF recall comes from multi-probe, not centroid
-    // polish; FAISS trains its quantizer the same way)
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(seed).setMaxIter(8).setTol(1e-3)
-      .setFeaturesCol("__mlvec").setPredictionCol("__cell")
-    val centers = km.fit(fitDf).clusterCenters.map(_.toArray)
+    val centers = fitQuantizer(df, vecCol, numCentroids, seed, fitSample)
     // probes come from the RAW vector (k-means was fit on raw vectors);
     // scoring uses the unit vector. Both plus the argmin over `cells`
     // per-centroid distances are the dominant per-row cost, and `base`

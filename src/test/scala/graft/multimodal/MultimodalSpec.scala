@@ -92,6 +92,81 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(bmp(54, 1, Int.MinValue)) === None)
   }
 
+  test("ImageIO decode: lossless PNG/BMP fixtures match the PPM closed form exactly") {
+    // imageFixtureBytes encodes the SAME pixels as ppmFixtureBytes;
+    // lossless round-trips must land on the identical channel means
+    for ((w, h, seed) <- Seq((4, 3, 0L), (8, 6, 17L), (5, 5, 200L))) {
+      val ppm = Multimodal.decodeImage(Multimodal.ppmFixtureBytes(w, h, seed)).get
+      val png = Multimodal.decodeImage(
+        Multimodal.imageFixtureBytes(w, h, seed, "png")).get
+      assert(png.format === "png" && png.width === w && png.height === h)
+      assert((png.meanR, png.meanG, png.meanB) ===
+        ((ppm.meanR, ppm.meanG, ppm.meanB)), s"png means diverged at $w x $h")
+      // ImageIO-WRITTEN BMP decoded by ImageIO must also be exact
+      val bmp = Multimodal.decodeImage(
+        Multimodal.imageFixtureBytes(w, h, seed, "bmp")).get
+      assert(bmp.width === w && bmp.height === h)
+      assert((bmp.meanR, bmp.meanG, bmp.meanB) ===
+        ((ppm.meanR, ppm.meanG, ppm.meanB)), s"bmp means diverged at $w x $h")
+    }
+  }
+
+  test("ImageIO decode: JPEG dims exact, means near the source (lossy bound)") {
+    for ((w, h, seed) <- Seq((4, 3, 0L), (8, 6, 17L))) {
+      val src = Multimodal.decodeImage(Multimodal.ppmFixtureBytes(w, h, seed)).get
+      val jpg = Multimodal.decodeImage(
+        Multimodal.imageFixtureBytes(w, h, seed, "jpg")).get
+      assert(jpg.format === "jpeg" && jpg.width === w && jpg.height === h)
+      // the fixture ramps each channel by 3/pixel (smooth), so the mean
+      // survives DCT quantization to within a few levels
+      assert(math.abs(jpg.meanR - src.meanR) <= 16.0 &&
+             math.abs(jpg.meanG - src.meanG) <= 16.0 &&
+             math.abs(jpg.meanB - src.meanB) <= 16.0,
+        s"jpeg means too far from source at $w x $h: $jpg vs $src")
+    }
+    // and the decode is deterministic within this JDK
+    val a = Multimodal.decodeImage(Multimodal.imageFixtureBytes(8, 6, 17L, "jpg"))
+    val b = Multimodal.decodeImage(Multimodal.imageFixtureBytes(8, 6, 17L, "jpg"))
+    assert(a === b)
+  }
+
+  test("GIF decode: dims exact (palette formats route through ImageIO)") {
+    val gif = Multimodal.decodeImage(
+      Multimodal.imageFixtureBytes(4, 3, 5L, "gif")).get
+    assert(gif.format === "gif" && gif.width === 4 && gif.height === 3)
+  }
+
+  test("resizeImages round-trips: resized PNG decodes at target dims") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, Multimodal.imageFixtureBytes(4, 3, 1L, "png")),
+      (2L, Multimodal.imageFixtureBytes(8, 6, 2L, "jpg")),
+      (3L, "not an image".getBytes))
+      .toDF("asset_id", "payload")
+    val resized = Multimodal.resizeImages(fixture, targetW = 8, targetH = 8)
+    val rows = resized.select("asset_id", "resized_img").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows(3L) === null, "non-image payload should not resize")
+    for (id <- Seq(1L, 2L)) {
+      val info = Multimodal.decodeImage(rows(id)).get
+      assert(info.format === "png" && info.width === 8 && info.height === 8,
+        s"asset $id resized to $info")
+    }
+    // solid-color image resizes to the same solid color (bilinear is
+    // exact on a constant field) — pins that scaling touches pixels,
+    // not just headers
+    val solid = {
+      val img = new java.awt.image.BufferedImage(6, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 6) img.setRGB(x, y, 0x405060)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos); baos.toByteArray
+    }
+    val r2 = Multimodal.resizeOne(solid, 3, 3).get
+    val i2 = Multimodal.decodeImage(r2).get
+    assert((i2.meanR, i2.meanG, i2.meanB) === ((0x40.toDouble, 0x50.toDouble, 0x60.toDouble)))
+  }
+
   test("non-image payloads fall back to None; decodeImages appends nulls") {
     assert(Multimodal.decodeImage("not an image".getBytes) === None)
     assert(Multimodal.decodeImage(Array[Byte]('P', '6')) === None) // truncated
