@@ -4,7 +4,7 @@ import graft.{SparkEntry, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Synthetic 10× scale probe for the dedup/ANN family: every 100 TB
+/** Synthetic 10× scale probe for the dedup/ANN/impute families: every 100 TB
   * claim in SCALING.md is a plan-shape argument — this measures ONE
   * scaling exponent to validate the lot. The documents/embeddings
   * corpus is unioned `mult`× with re-keyed ids (ids shifted by
@@ -40,10 +40,15 @@ object ScaleProbe {
     }
     replicate("documents", "doc_id")
     replicate("embeddings", "vec_id")
+    // the impute family trains on customer (treeAggregate CD-1 path +
+    // per-segment executor-side fits) — replicate it the same way so
+    // the probe covers training, not just dedup/ANN
+    replicate("customer", "c_custkey")
     println(s"[scale] staged ${mult}x corpus at $bigDir")
 
     val queries = Seq("c2_minhash_dedup", "c2_online_dedup_twin",
-      "c3_ann_topk", "c1_exact_dedup", "c2_embedding_dedup")
+      "c3_ann_topk", "c1_exact_dedup", "c2_embedding_dedup",
+      "impute_customer_rbm_distributed", "c8_segment_rbm_impute")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     queries.foreach { name =>

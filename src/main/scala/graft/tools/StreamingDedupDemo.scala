@@ -11,15 +11,21 @@ import org.apache.spark.sql.streaming.Trigger
   *
   *   file source (one parquet chunk per micro-batch, the object-store
   *   landing-zone pattern) → [[StreamingNearDedup.bandVerdicts]] →
-  *   `foreachBatch` { [[StreamingNearDedup.resolveKept]] } with
-  *   per-batch kept-rate + state-store row logging, then an
+  *   `foreachBatch` { [[StreamingNearDedup.resolveKept]] → the
+  *   curation-v3 gates: exact decontamination against a fixed eval
+  *   slice (≤ 20% gram overlap) + quality-score floor } with per-batch
+  *   kept/curated-rate + state-store row logging, then an
   *   [[EventStreams.hourlyTumbling]] watermarked window over the same
   *   landing zone.
   *
-  * The run closes the loop against the BATCH twin: after the stream
-  * drains, kept ids must equal [[StreamingNearDedup.keptBatch]] on the
-  * full corpus — the same stream==batch equivalence the specs pin, now
-  * demonstrated over a real multi-batch file stream.
+  * The run closes the loop against the BATCH twins TWICE: after the
+  * stream drains, (1) kept ids must equal
+  * [[StreamingNearDedup.keptBatch]] on the full corpus, and (2) the
+  * CURATED ids (dedup ∘ decontaminate ∘ quality) must equal the same
+  * gates applied batch-side to the keptBatch set — the composed
+  * pipeline, not just its dedup stage, is stream==batch. (The gates
+  * are per-doc against static reference data, so they commute with
+  * micro-batching by construction; the check pins it.)
   *
   * Usage: runMain graft.tools.StreamingDedupDemo [sfDir] [nChunks]
   * (defaults: /root/testdata/sf0.01, 8 chunks). Runs in well under a
@@ -91,19 +97,42 @@ object StreamingDedupDemo {
     // an unbounded production ingest would pass a TTL horizon here
     val verdicts = StreamingNearDedup.bandVerdicts(stream, "doc_id", "text")
     val keptIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val curatedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val seen = new java.util.concurrent.atomic.AtomicLong()
+    // curation-v3 gates, streamed: the eval slice is STATIC reference
+    // data (a benchmark suite doesn't change per micro-batch), so both
+    // gates are per-doc and commute with batching. localCheckpoint the
+    // eval side once — every micro-batch probes it.
+    val evalSlice = docs.filter(col("doc_id") < 100)
+      .select(col("text")).localCheckpoint()
+    def curate(keptDocs: DataFrame): DataFrame = {
+      val contam = graft.dedup.Decontaminate.contaminationScoreExact(
+        keptDocs, evalSlice, "doc_id", "text")
+      keptDocs.join(contam.select(col("doc_id"), col("contamination")), "doc_id")
+        .filter(col("contamination") <= 0.2)
+        .withColumn("quality",
+          graft.text.TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"))
+    }
     val query = verdicts.writeStream
-      .queryName("near_dedup")
+      .queryName("near_dedup_curation")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val kept = StreamingNearDedup.resolveKept(batch)
+        val keptDf = StreamingNearDedup.resolveKept(batch).localCheckpoint()
+        val kept = keptDf.collect().map(_.getLong(0))
+        // payload lookup by id from the store (a real pipeline carries
+        // text alongside or fetches it by key — same join shape)
+        val curated = curate(docs.join(keptDf, "doc_id"))
           .collect().map(_.getLong(0))
         val docsInBatch = batch.select("doc_id").distinct().count()
         seen.addAndGet(docsInBatch)
         kept.foreach(k => keptIds.add(k))
+        curated.foreach(c => curatedIds.add(c))
         println(f"[demo] batch $id%2d: $docsInBatch%4d docs, " +
           f"${kept.length}%4d kept (${
             if (docsInBatch == 0) 0.0 else 100.0 * kept.length / docsInBatch
-          }%5.1f%%), cumulative kept ${keptIds.size()}")
+          }%5.1f%%), ${curated.length}%4d curated, " +
+          f"cumulative kept ${keptIds.size()} / curated ${curatedIds.size()}")
         ()
       }
       .option("checkpointLocation", s"$work/ckpt_dedup")
@@ -126,6 +155,20 @@ object StreamingDedupDemo {
     require(streamKept == batchKept,
       s"stream kept ${streamKept.size} != batch twin ${batchKept.size}")
     println(s"[demo] stream kept set == keptBatch twin (${batchKept.size} docs) ✓")
+
+    // ---- cross-check 2: the COMPOSED pipeline is stream == batch ----
+    val batchCurated = curate(
+        docs.join(StreamingNearDedup.keptBatch(docs, "doc_id", "text"),
+          "doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val streamCurated = {
+      import scala.jdk.CollectionConverters._
+      curatedIds.asScala.toSet
+    }
+    require(streamCurated == batchCurated,
+      s"stream curated ${streamCurated.size} != batch twin ${batchCurated.size}")
+    println(s"[demo] stream curated set (dedup ∘ decontaminate ∘ quality) " +
+      s"== batch twin (${batchCurated.size} docs) ✓")
 
     // ---- watermarked event-time window over a second stream --------
     val events = Tables.events(spark, sfDir)
