@@ -200,6 +200,109 @@ object Multimodal {
     Some(ImageInfo(fmt, w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n))
   }
 
+  /** Decoded audio facts: channel count, sample rate, frame count,
+    * mean and peak |amplitude| over all 16-bit samples. */
+  case class AudioInfo(format: String, channels: Int, sampleRate: Int,
+                       nFrames: Long, meanAbs: Double, peakAbs: Long)
+
+  /** Pure-JVM WAV decode (RIFF / PCM 16-bit little-endian — the format
+    * raw speech corpora actually ship): chunk walk → fmt → data →
+    * per-sample integer stats. The mean divides a Long |sample| sum by
+    * the sample count in ONE double division, so the DuckDB oracle
+    * reproduces it bit-exactly from a closed-form fixture (same trick
+    * as the PPM pixel means). Returns None for anything malformed or
+    * non-PCM-16 — a bad blob must never kill the task. All size
+    * arithmetic in Long (hostile chunk lengths must fail the bounds
+    * check, not overflow past it). MultimodalSpec cross-checks the
+    * parse against `javax.sound.sampled.AudioSystem` (also pure JVM,
+    * ships in java.desktop) so the hand-rolled header walk agrees with
+    * the platform decoder on format facts. */
+  def decodeWav(p: Array[Byte]): Option[AudioInfo] = {
+    if (p == null || p.length < 44) return None
+    def u16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(p, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12L
+    var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
+    while (off + 8 <= p.length) {
+      val id = tag(off.toInt); val len = u32(off.toInt + 4)
+      if (id == "fmt " && len >= 16 && off + 8 + 16 <= p.length) {
+        val audioFormat = u16(off.toInt + 8)
+        channels = u16(off.toInt + 10)
+        rate = u32(off.toInt + 12).toInt
+        bits = u16(off.toInt + 22)
+        fmtOk = audioFormat == 1 && bits == 16 && channels >= 1 && rate > 0
+      } else if (id == "data") {
+        if (!fmtOk || off + 8 + len > p.length || len % 2 != 0) return None
+        val start = off.toInt + 8
+        val nSamples = (len / 2).toInt
+        var sum = 0L; var peak = 0L; var i = 0
+        while (i < nSamples) {
+          val s = ((p(start + 2 * i) & 0xff) |
+            (p(start + 2 * i + 1) << 8)).toShort.toInt
+          val a = math.abs(s.toLong)
+          sum += a; if (a > peak) peak = a
+          i += 1
+        }
+        if (nSamples == 0 || nSamples % channels != 0) return None
+        return Some(AudioInfo("wav", channels, rate, nSamples.toLong / channels,
+          sum.toDouble / nSamples, peak))
+      }
+      // chunks are word-aligned: odd-length chunks carry a pad byte
+      off += 8 + len + (len % 2)
+    }
+    None
+  }
+
+  /** Deterministic WAV fixture: 16-bit sample at linear index i is
+    * `((seed + i) mod 65536) - 32768` — full-range PCM whose |sample|
+    * stats are a closed form the DuckDB oracle recomputes without
+    * touching the bytes. */
+  def wavFixtureBytes(nFrames: Int, channels: Int, sampleRate: Int,
+                      seed: Long): Array[Byte] = {
+    val nSamples = nFrames * channels
+    val dataLen = nSamples * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = (0 to 3).foreach(s => out.write(((v >> (8 * s)) & 0xff).toInt))
+    out.write("RIFF".getBytes("US-ASCII")); w32(36L + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16L)
+    w16(1); w16(channels); w32(sampleRate.toLong)
+    w32(sampleRate.toLong * channels * 2); w16(channels * 2); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen.toLong)
+    var i = 0
+    while (i < nSamples) { w16((((seed + i) % 65536) - 32768).toInt); i += 1 }
+    out.toByteArray
+  }
+
+  /** Batched WAV decode over the payload column, appending channels /
+    * sample_rate / n_frames / mean_abs / peak_abs (nulls where the
+    * payload is not PCM-16 WAV). Same partition-local batch shape as
+    * [[decodeImages]] — no shuffle, scales with the scan. */
+  def decodeAudios(assets: DataFrame, batchSize: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = assets.schema
+      .add("aformat", StringType).add("channels", LongType)
+      .add("sample_rate", LongType).add("n_frames", LongType)
+      .add("mean_abs", DoubleType).add("peak_abs", LongType)
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    assets.mapPartitions { it: Iterator[Row] =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val extra = decodeWav(row.getAs[Array[Byte]](payloadIdx)) match {
+            case Some(a) => Seq(a.format, a.channels.toLong, a.sampleRate.toLong,
+              a.nFrames, a.meanAbs, a.peakAbs)
+            case None => Seq(null, null, null, null, null, null)
+          }
+          Row.fromSeq(row.toSeq ++ extra)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic PPM fixture: pixel byte at linear index i (RGB
     * interleaved, row-major) is `(seed + i) mod 256` — a closed form
     * the DuckDB oracle recomputes without touching the bytes. */
@@ -274,13 +377,20 @@ object Multimodal {
       info.meanR, info.meanG, info.meanB,
       info.width.toDouble * info.height)
 
+  /** Feature vector for decoded audio — fixed width 6 like the other
+    * branches: channels, sample rate, frames, mean/peak |amplitude|,
+    * duration in seconds. */
+  def audioFeatures(a: AudioInfo): Array[Double] =
+    Array(a.channels.toDouble, a.sampleRate.toDouble, a.nFrames.toDouble,
+      a.meanAbs, a.peakAbs.toDouble, a.nFrames.toDouble / a.sampleRate)
+
   /** Feature extraction over the payload column: batched
     * partition-local processing (batch size bounds peak memory exactly
     * like an Arrow batch would), appending `features: array<double>`.
     * Payloads that decode as images ([[decodeImage]] — JPEG/PNG/GIF/
-    * TIFF/BMP/PPM) get REAL [[imageFeatures]]; everything else falls
-    * back to [[decodeStub]] byte statistics. No shuffle — scales with
-    * the scan. */
+    * TIFF/BMP/PPM) get REAL [[imageFeatures]]; PCM-16 WAV payloads get
+    * [[audioFeatures]]; everything else falls back to [[decodeStub]]
+    * byte statistics. No shuffle — scales with the scan. */
   def extractFeatures(assets: DataFrame, batchSize: Int = 256): DataFrame = {
     val schema = assets.schema.add("features", ArrayType(DoubleType, false))
     val payloadIdx = assets.schema.fieldIndex("payload")
@@ -288,7 +398,9 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
           val p = row.getAs[Array[Byte]](payloadIdx)
-          val feats = decodeImage(p).map(imageFeatures).getOrElse(decodeStub(p))
+          val feats = decodeImage(p).map(imageFeatures)
+            .orElse(decodeWav(p).map(audioFeatures))
+            .getOrElse(decodeStub(p))
           Row.fromSeq(row.toSeq :+ feats.toSeq)
         }
       }

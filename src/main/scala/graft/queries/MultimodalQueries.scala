@@ -119,6 +119,23 @@ object MultimodalQueries extends Registry {
           round(col("mean_g"), 2).as("mean_g"),
           round(col("mean_b"), 2).as("mean_b"))
     }),
+    // C6: REAL audio decode under the exact oracle — WAV/PCM-16 fixture
+    // with sample(i) = ((doc_id + i) mod 65536) - 32768, parsed by the
+    // pure-JVM RIFF chunk walk; DuckDB recomputes |sample| stats from
+    // the same closed form without touching bytes. Stereo rows exercise
+    // the frames = samples/channels arithmetic.
+    "c6_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.wavFixtureBytes(
+          (100 + id % 50).toInt, (1 + id % 2).toInt, 8000, id)))
+        .toDF("asset_id", "payload")
+      Multimodal.decodeAudios(fixture)
+        .select(col("asset_id"), col("aformat"), col("channels"),
+          col("sample_rate"), col("n_frames"), col("mean_abs"),
+          col("peak_abs"))
+    }),
     // C6 rows-only: real resize — decode the PNG fixture, bilinear
     // scale to 8x8, re-encode PNG, decode AGAIN and report the
     // round-tripped dimensions (all 8x8 ⇒ the plumbing is proven by
@@ -209,5 +226,25 @@ object MultimodalQueries extends Registry {
         CAST(list_sum(list_transform(range(0, width * height),
               p -> (asset_id + 3 * p + 2) % 256)) AS DOUBLE) / (width * height) AS mean_b
       FROM f""",
+    // c6_audio_decode: |sample| stats of the closed-form PCM fixture —
+    // pure integer arithmetic plus the same one-double-division mean
+    // pattern as the image oracles.
+    "c6_audio_decode" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+               CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+               CAST(1 + doc_id % 2 AS BIGINT) AS channels
+        FROM documents WHERE doc_id < 50
+      ), s AS (
+        SELECT asset_id, channels, n_frames,
+          list_transform(range(0, n_frames * channels),
+            i -> abs(((asset_id + i) % 65536) - 32768)) AS a
+        FROM f
+      )
+      SELECT asset_id, 'wav' AS aformat, channels,
+        CAST(8000 AS BIGINT) AS sample_rate, n_frames,
+        CAST(list_sum(a) AS DOUBLE) / (n_frames * channels) AS mean_abs,
+        CAST(list_max(a) AS BIGINT) AS peak_abs
+      FROM s""",
   )
 }

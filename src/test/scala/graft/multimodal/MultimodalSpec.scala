@@ -167,6 +167,59 @@ class MultimodalSpec extends SparkSpec {
     assert((i2.meanR, i2.meanG, i2.meanB) === ((0x40.toDouble, 0x50.toDouble, 0x60.toDouble)))
   }
 
+  test("WAV decode is bit-exact on a hand-computed fixture; stereo frames divide") {
+    // 4 frames mono, seed 0: samples 0..3 → value (i - 32768), abs =
+    // 32768 - i; mean = (32768+32767+32766+32765)/4 = 32766.5, peak 32768
+    val mono = Multimodal.decodeWav(
+      Multimodal.wavFixtureBytes(4, 1, 8000, 0L)).get
+    assert(mono === Multimodal.AudioInfo("wav", 1, 8000, 4, 32766.5, 32768))
+    // stereo: 4 frames x 2 channels = 8 samples, frames = samples/channels
+    val stereo = Multimodal.decodeWav(
+      Multimodal.wavFixtureBytes(4, 2, 16000, 100L)).get
+    assert(stereo.channels === 2 && stereo.sampleRate === 16000 &&
+      stereo.nFrames === 4)
+    // the platform decoder (javax.sound, also pure JVM) agrees on the
+    // format facts — pins the hand-rolled header walk against AudioSystem
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(
+        Multimodal.wavFixtureBytes(4, 2, 16000, 100L)))
+    assert(ais.getFormat.getChannels === 2)
+    assert(ais.getFormat.getSampleRate === 16000.0f)
+    assert(ais.getFormat.getSampleSizeInBits === 16)
+    assert(ais.getFrameLength === 4L)
+  }
+
+  test("hostile/malformed WAV returns None, never throws") {
+    val good = Multimodal.wavFixtureBytes(4, 1, 8000, 0L)
+    assert(Multimodal.decodeWav(null) === None)
+    assert(Multimodal.decodeWav("RIFFxxxx".getBytes) === None) // truncated
+    assert(Multimodal.decodeWav(good.take(40)) === None)       // cut header
+    // data chunk length larger than the payload
+    val liar = good.clone()
+    liar(43) = 0x7f // inflate the data length field
+    assert(Multimodal.decodeWav(liar) === None)
+    // non-PCM audioFormat
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    assert(Multimodal.decodeWav(nonPcm) === None)
+    // text payloads fall through instantly
+    assert(Multimodal.decodeWav("not audio at all, just text".getBytes) === None)
+  }
+
+  test("extractFeatures routes audio payloads through the WAV decode") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, Multimodal.wavFixtureBytes(8, 2, 8000, 0L)),
+      (2L, "plain text".getBytes))
+      .toDF("asset_id", "payload")
+    val feats = Multimodal.extractFeatures(fixture)
+      .select("asset_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(feats(1L)(0) === 2.0, "channels")          // audio branch
+    assert(feats(1L)(1) === 8000.0, "sample rate")
+    assert(feats(1L)(2) === 8.0, "frames")
+    assert(feats(2L)(0) === "plain text".length.toDouble) // byte-stats branch
+  }
+
   test("non-image payloads fall back to None; decodeImages appends nulls") {
     assert(Multimodal.decodeImage("not an image".getBytes) === None)
     assert(Multimodal.decodeImage(Array[Byte]('P', '6')) === None) // truncated
