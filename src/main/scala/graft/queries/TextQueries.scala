@@ -454,6 +454,27 @@ object TextQueries extends Registry {
     // over 16 tasks instead of pinning one window task; the result is
     // exactly the naive single-window top-N (TopPerGroupSpec), which
     // is what the oracle computes.
+    // C7: HTML boilerplate stripping — the web-crawl first pass. The
+    // fixture wraps each doc's text in deterministic markup (head,
+    // style + script blocks, comment, entities around the body) so the
+    // strip provably removes block elements wholesale and keeps the
+    // payload text; the DuckDB twin builds and strips the SAME markup
+    // (Java/RE2-common regex subset, see HtmlStrip), compared by md5
+    // of the cleaned bytes.
+    "c7_html_strip" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style>p {color: red}</style>" +
+          "</head><body><!-- id "),
+        col("doc_id").cast("string"),
+        lit(" --><h1>Q&amp;A</h1><p class=\"main\">"), col("text"),
+        lit("</p><script type=\"text/javascript\">var x = 1;" +
+          "</script></body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.text.HtmlStrip.strip(html).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("bigint").as("n_chars_clean"))
+    }),
     "c7_domain_cap" -> ((s, d) =>
       graft.operators.TopPerGroup.topN(
         Tables.documents(s, d)
@@ -598,6 +619,20 @@ object TextQueries extends Registry {
         FROM f)
       SELECT doc_id, source, quality, n_kept, rank, md5(clean_text) AS clean_md5
       FROM r WHERE rank <= 15""",
+    "c7_html_strip" -> {
+      val htmlExpr =
+        """'<html><head><title>t</title><style>p {color: red}</style>""" +
+        """</head><body><!-- id ' || CAST(doc_id AS VARCHAR) || """ +
+        """' --><h1>Q&amp;A</h1><p class="main">' || text || """ +
+        """'</p><script type="text/javascript">var x = 1;""" +
+        """</script></body></html>'"""
+      s"""
+      SELECT doc_id,
+        md5(${graft.text.HtmlStrip.sqlStrip(htmlExpr)}) AS clean_md5,
+        CAST(length(${graft.text.HtmlStrip.sqlStrip(htmlExpr)}) AS BIGINT)
+          AS n_chars_clean
+      FROM documents"""
+    },
     "c7_domain_cap" -> s"""
       WITH t AS (
         SELECT doc_id, source, ${sqlToks("text")} AS toks FROM documents
