@@ -66,15 +66,22 @@ object Bench {
     // artifact identifies its own noise instead of reading as a
     // regression. The absolute floor (+1 s) keeps sub-second jitter
     // from flagging.
+    // per-entry parse tolerance: Double.toString emits scientific
+    // notation below 1e-3 (negative exponent — the char class includes
+    // '-' for it), and one malformed entry must drop only ITSELF, not
+    // silently erase the whole prior map (which would turn the guard
+    // off with no diagnostic)
     val prior: Map[String, Double] =
       try {
         val txt = Files.readString(Paths.get(outPath))
         val start = txt.indexOf("\"queries\":{")
         val end = txt.indexOf("}", start)
         if (start < 0 || end < 0) Map.empty
-        else """"([^"]+)":(-?[0-9.eE+]+)""".r
+        else """"([^"]+)":(-?[0-9.eE+-]+)""".r
           .findAllMatchIn(txt.substring(start + 11, end))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble)
+            .toOption)
+          .toMap
       } catch { case _: Exception => Map.empty }
     val suspects = results.collect { case (name, v)
       if v > 0 && prior.get(name).exists(p => p > 0 && v > 3 * p && v - p > 1.0)

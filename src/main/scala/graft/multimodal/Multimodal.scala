@@ -75,6 +75,12 @@ object Multimodal {
     * not images) skips ImageInputStream construction entirely — the
     * reader probe below costs a stream + registry scan per payload,
     * which at 100 TB is pure waste on non-image modalities. */
+  /** Decode-size cap for ImageIO paths: payloads whose HEADER declares
+    * more pixels than this return None instead of allocating the
+    * buffer (a decode bomb's OutOfMemoryError escapes NonFatal and
+    * would kill the task). */
+  val MaxDecodePixels: Long = 1L << 24
+
   private def looksLikeImage(p: Array[Byte]): Boolean =
     p.length >= 4 && (
       (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
@@ -104,6 +110,14 @@ object Multimodal {
       try {
         reader.setInput(iis, true, true)
         val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+        // decompression-bomb guard: dimensions come from the HEADER
+        // (no pixel decode yet) — a few-KB payload can declare
+        // 60000x60000 and reader.read would allocate ~14 GB, and the
+        // resulting OutOfMemoryError is NOT caught by NonFatal. Bound
+        // BEFORE decoding: 16.7M pixels (a 16 MP photo, ~67 MB ARGB
+        // buffer) covers any sane corpus image.
+        if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxDecodePixels)
+          return None
         val img = reader.read(0)
         val w = img.getWidth; val h = img.getHeight
         if (w <= 0 || h <= 0) return None
@@ -460,25 +474,38 @@ object Multimodal {
   }
 
   /** Decode → bilinear scale → PNG re-encode for one payload; None when
-    * the payload is not an ImageIO-decodable image. */
+    * the payload is not an ImageIO-decodable image. Uses the same
+    * header-dimension bound as [[decodeViaImageIO]] (ImageIO.read
+    * directly would decode a declared-huge bomb before we could check). */
   private[multimodal] def resizeOne(p: Array[Byte], tw: Int,
                                     th: Int): Option[Array[Byte]] = {
     if (p == null || !looksLikeImage(p)) return None
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-      if (img == null) return None
-      val out = new java.awt.image.BufferedImage(
-        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g2 = out.createGraphics()
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
       try {
-        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g2.drawImage(img, 0, 0, tw, th, null)
-      } finally g2.dispose()
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", baos)
-      Some(baos.toByteArray)
+        reader.setInput(iis, true, true)
+        if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxDecodePixels)
+          return None
+        val img = reader.read(0)
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        try {
+          g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, tw, th, null)
+        } finally g2.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        Some(baos.toByteArray)
+      } finally reader.dispose()
     } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
   }
 
   /** Frame/segment sampling stub: every `stride`-th slice of

@@ -448,12 +448,6 @@ object TextQueries extends Registry {
         .select(col("doc_id"), col("source"), col("quality"),
           col("n_kept"), col("rank"), md5(col("clean_text")).as("clean_md5"))
     }),
-    // C7: per-domain quality cap (RefinedWeb "max N pages per domain")
-    // — exact top-25 per source by (quality desc, doc_id), computed
-    // with the salted two-level TopPerGroup so a hot domain spreads
-    // over 16 tasks instead of pinning one window task; the result is
-    // exactly the naive single-window top-N (TopPerGroupSpec), which
-    // is what the oracle computes.
     // C7: HTML boilerplate stripping — the web-crawl first pass. The
     // fixture wraps each doc's text in deterministic markup (head,
     // style + script blocks, comment, entities around the body) so the
@@ -475,6 +469,12 @@ object TextQueries extends Registry {
         .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
           length(col("clean")).cast("bigint").as("n_chars_clean"))
     }),
+    // C7: per-domain quality cap (RefinedWeb "max N pages per domain")
+    // — exact top-25 per source by (quality desc, doc_id), computed
+    // with the salted two-level TopPerGroup so a hot domain spreads
+    // over 16 tasks instead of pinning one window task; the result is
+    // exactly the naive single-window top-N (TopPerGroupSpec), which
+    // is what the oracle computes.
     "c7_domain_cap" -> ((s, d) =>
       graft.operators.TopPerGroup.topN(
         Tables.documents(s, d)
@@ -627,11 +627,13 @@ object TextQueries extends Registry {
         """'</p><script type="text/javascript">var x = 1;""" +
         """</script></body></html>'"""
       s"""
-      SELECT doc_id,
-        md5(${graft.text.HtmlStrip.sqlStrip(htmlExpr)}) AS clean_md5,
-        CAST(length(${graft.text.HtmlStrip.sqlStrip(htmlExpr)}) AS BIGINT)
-          AS n_chars_clean
-      FROM documents"""
+      WITH c AS (
+        SELECT doc_id,
+          ${graft.text.HtmlStrip.sqlStrip(htmlExpr)} AS clean
+        FROM documents)
+      SELECT doc_id, md5(clean) AS clean_md5,
+        CAST(length(clean) AS BIGINT) AS n_chars_clean
+      FROM c"""
     },
     "c7_domain_cap" -> s"""
       WITH t AS (

@@ -29,12 +29,20 @@ object HtmlStrip {
   /** (pattern, replacement) chain, applied in order. The generic tag
     * pattern requires a name start (`[/!]?[A-Za-z]`) so stray angle
     * brackets in prose ("1 < 2 and 3 > 2") survive as text — `<[^>]+>`
-    * would eat them. */
+    * would eat them. Block patterns are case-INSENSITIVE (`(?is)`):
+    * real crawls carry `<SCRIPT>`/`<Style>` tags, and a case-sensitive
+    * miss would leak the block BODY into the cleaned text (the generic
+    * strip removes only the tags). */
   val Chain: Seq[(String, String)] = Seq(
-    "(?s)<script[^>]*>.*?</script>" -> " ",
-    "(?s)<style[^>]*>.*?</style>" -> " ",
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
     "(?s)<!--.*?-->" -> " ",
     "<[/!]?[A-Za-z][^>]*>" -> " ")
+
+  /** Explicit whitespace class instead of `\s`: Java's `\s` includes
+    * vertical tab, RE2's does not — the one place the two engines'
+    * regex semantics differ in this operator's subset. */
+  private[text] val WsClass = "[ \\t\\n\\r\\f\\x0B]+"
 
   /** Entity subset worth decoding (the rest are rare enough to leave
     * to downstream normalization). &amp; LAST — decoding it first
@@ -55,7 +63,7 @@ object HtmlStrip {
       // so use the plain string replace
       replace(c, lit(from), lit(to))
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, WsClass, " "))
   }
 
   // ---- DuckDB twin (RE2: 'gs' flags = global + dotall) ---------------
@@ -64,14 +72,18 @@ object HtmlStrip {
 
   def sqlStrip(textExpr: String): String = {
     val noMarkup = Chain.foldLeft(textExpr) { case (e, (pat, repl)) =>
-      // strip the Java inline (?s): RE2 takes dotall as the 's' flag
-      val p = pat.replace("(?s)", "")
-      val flags = if (pat.startsWith("(?s)")) "'gs'" else "'g'"
+      // strip the Java inline flag group: RE2 takes dotall/case as
+      // regexp_replace flag arguments ('s' / 'i') instead
+      val p = pat.replace("(?is)", "").replace("(?s)", "")
+      val flags =
+        if (pat.startsWith("(?is)")) "'gis'"
+        else if (pat.startsWith("(?s)")) "'gs'"
+        else "'g'"
       s"regexp_replace($e, ${q(p)}, ${q(repl)}, $flags)"
     }
     val decoded = Entities.foldLeft(noMarkup) { case (e, (from, to)) =>
       s"replace($e, ${q(from)}, ${q(to)})"
     }
-    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace($decoded, '$WsClass', ' ', 'g'))"
   }
 }

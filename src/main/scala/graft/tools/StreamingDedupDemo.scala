@@ -108,8 +108,13 @@ object StreamingDedupDemo {
     def curate(keptDocs: DataFrame): DataFrame = {
       val contam = graft.dedup.Decontaminate.contaminationScoreExact(
         keptDocs, evalSlice, "doc_id", "text")
-      keptDocs.join(contam.select(col("doc_id"), col("contamination")), "doc_id")
-        .filter(col("contamination") <= 0.2)
+      // LEFT join + coalesce(0): the score emits no row for docs too
+      // short to form a single 8-gram, and those have trivially zero
+      // eval overlap — an inner join would silently drop them from
+      // the curated set (and the batch twin would agree, hiding it)
+      keptDocs.join(contam.select(col("doc_id"), col("contamination")),
+          Seq("doc_id"), "left")
+        .filter(coalesce(col("contamination"), lit(0.0)) <= 0.2)
         .withColumn("quality",
           graft.text.TextFunctions.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)

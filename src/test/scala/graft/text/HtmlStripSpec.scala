@@ -36,6 +36,18 @@ class HtmlStripSpec extends SparkSpec {
     assert(stripOne("x &amp;lt; y") === "x &lt; y")
   }
 
+  test("uppercase/mixed-case block tags strip wholesale (real crawls carry them)") {
+    assert(stripOne("<SCRIPT>var secret = 1;</SCRIPT>Hello") === "Hello")
+    assert(stripOne("<Style>body{}</Style><P>kept</P>") === "kept")
+    assert(stripOne("<SCRIPT TYPE=\"text/javascript\">x();</script>ok") === "ok")
+  }
+
+  test("vertical tab collapses identically to the oracle's RE2 class") {
+    // Java \s includes \x0B, RE2's does not — the explicit WsClass
+    // makes both engines collapse it; pin the Spark side here
+    assert(stripOne("a\u000Bb") === "a b")
+  }
+
   test("whitespace collapses; plain text passes through trimmed") {
     assert(stripOne("  no   markup\there  ") === "no markup here")
     assert(stripOne("<div>\n  a\n  b\n</div>") === "a b")
