@@ -31,4 +31,30 @@ class NoiseSpec extends SparkSpec {
       .select("c_custkey").collect().map(_.getLong(0)).toSet
     assert(a === b)
   }
+
+  test("intRank spreads consecutive keys uniformly (guards the monotone-rank bug)") {
+    // the first intRank draft used a small multiplier: for keys below
+    // √p/a the square never wrapped the modulus, ranks were MONOTONE in
+    // the key, and "top-k by rank" degenerated to "first k keys". Pin
+    // both properties: quartile uniformity and non-monotonicity.
+    val p = 1000000007L
+    val n = 10000
+    val ranks = spark.range(0, n)
+      .select(Noise.intRank(col("id"), 13).as("r"))
+      .collect().map(_.getLong(0))
+    val quartiles = ranks.groupBy(r => (r * 4 / p).toInt).view.mapValues(_.length)
+    (0 to 3).foreach { qt =>
+      val cnt = quartiles.getOrElse(qt, 0)
+      assert(math.abs(cnt - n / 4) < n / 8,
+        s"quartile $qt holds $cnt of $n ranks — not uniform")
+    }
+    val ascendingPairs = ranks.zip(ranks.tail).count { case (a, b) => b > a }
+    assert(math.abs(ascendingPairs - n / 2) < n / 8,
+      s"$ascendingPairs/$n ascending adjacent pairs — ranks correlate with keys")
+    // and the low-key region specifically must not be sorted (the
+    // exact symptom of the un-wrapped square)
+    val low = ranks.take(100)
+    assert(!(low.zip(low.tail).forall { case (a, b) => b >= a }),
+      "ranks monotone over the first 100 keys")
+  }
 }
