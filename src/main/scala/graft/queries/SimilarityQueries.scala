@@ -32,6 +32,20 @@ object SimilarityQueries extends Registry {
     "c3_ivf_topk" -> ((s, d) =>
       Cosine.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3)),
+    // C3: the SERVING shape — build the persisted IVF index (bucketed
+    // vector table + centroids), then answer a 100-query batch from it
+    // with no re-fit and zero Exchange on the index side. Rows-only
+    // (served ≡ recompute is IvfIndexSpec-pinned); the build cost is
+    // deliberately inside the timed query so the bench row carries the
+    // full build+serve story (ProfileIvfIndex splits the two).
+    "c3_ivf_serve" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_serve"
+      graft.similarity.IvfIndex.write(embs, "vec_id", "embedding",
+        table = "graft_ivf_serve_vectors", path = tmp)
+      graft.similarity.IvfIndex.topK(s, "graft_ivf_serve_vectors", tmp,
+        embs.limit(100), "vec_id", "embedding", k = 10)
+    }),
     // C2/north star: embedding-cosine near-dup removal. Projected to
     // scalar columns — the driver's pandas canonicalization cannot
     // sort/hash an array<float> column (the one red row of round 1).
