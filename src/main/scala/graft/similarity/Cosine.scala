@@ -228,12 +228,21 @@ object Cosine {
 
   /** Shared ANN substrate: multi-table hyperplane-LSH candidates, scored
     * exactly. `bothDirections` emits each pair once per ordering (for
-    * per-query top-k) or once with a < b (for dedup edges). */
+    * per-query top-k) or once with a < b (for dedup edges).
+    * `probeBits = 1` adds MULTI-PROBE on the query side: each code also
+    * probes the `planes` buckets at Hamming distance 1 (one sign bit
+    * flipped) — neighbors sitting just across one hyperplane, the
+    * dominant LSH miss mode, are recovered without paying for more
+    * tables (the same recall trick [[ivfTopK]]'s nProbe plays for
+    * k-means cells). The INDEX side stays single-bucket, so the join
+    * fan-out is (1 + planes)× on the probe side only. */
   private def annScored(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, numPlanes: Int, numTables: Int,
                         maxBucket: Int, seed: Long,
                         bothDirections: Boolean,
-                        targetBucket: Int): DataFrame = {
+                        targetBucket: Int,
+                        probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1, "probeBits must be 0 or 1")
     val planes =
       if (numPlanes > 0) numPlanes else planesFor(df.count(), targetBucket)
     val buckets = array((0 until numTables).map(t =>
@@ -257,7 +266,19 @@ object Cosine {
       .select(col("__table"), col("__bucket"), col("__id"))
     val pairCond = if (bothDirections) col("a") =!= col("b")
                    else col("a") < col("b")
-    val candidates = kept.select(col("__table"), col("__bucket"), col("__id").as("a"))
+    // probe side: own bucket + (with probeBits = 1) each 1-bit flip.
+    // Probes come from the UNCAPPED codes (a query in a dropped
+    // degenerate bucket can still probe its neighbors); the index side
+    // is `kept`, so the cap still bounds every join key's fan-in.
+    val probeSide =
+      if (probeBits == 0)
+        kept.select(col("__table"), col("__bucket"), col("__id").as("a"))
+      else coded.select(col("__table"),
+          explode(array((col("__bucket") +:
+            (0 until planes).map(j =>
+              col("__bucket").bitwiseXOR(lit(1L << j)))): _*)).as("__bucket"),
+          col("__id").as("a"))
+    val candidates = probeSide
       .join(kept.select(col("__table").as("__t2"), col("__bucket").as("__b2"),
         col("__id").as("b")),
         col("__table") === col("__t2") && col("__bucket") === col("__b2") && pairCond)
@@ -303,11 +324,12 @@ object Cosine {
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
               k: Int, numPlanes: Int = 0, numTables: Int = 8,
               maxBucket: Int = 256, seed: Long = 42L,
-              targetBucket: Int = 128): DataFrame = {
+              targetBucket: Int = 128, probeBits: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
     annScored(df, idCol, vecCol, dim, numPlanes, numTables, maxBucket,
-        seed, bothDirections = true, targetBucket = targetBucket)
+        seed, bothDirections = true, targetBucket = targetBucket,
+        probeBits = probeBits)
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("a", "b", "score", "rank")

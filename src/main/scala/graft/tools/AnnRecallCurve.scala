@@ -58,6 +58,12 @@ object AnnRecallCurve {
         dim = 64, k = k, numPlanes = planes, numTables = 8))
       println(f"| LSH | tables=8 planes=$planes | $r%.3f | $s%.2f |")
     }
+    for ((tables, planes) <- Seq((2, 4), (4, 4), (4, 6), (8, 6))) {
+      val (r, s) = recallOf(Cosine.annTopK(embs, "vec_id", "embedding",
+        dim = 64, k = k, numPlanes = planes, numTables = tables,
+        probeBits = 1))
+      println(f"| LSH | tables=$tables planes=$planes probeBits=1 | $r%.3f | $s%.2f |")
+    }
     for (nProbe <- Seq(1, 2, 4, 8)) {
       val (r, s) = recallOf(Cosine.ivfTopK(embs, "vec_id", "embedding",
         k = k, nProbe = nProbe))

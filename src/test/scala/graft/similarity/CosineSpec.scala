@@ -134,6 +134,15 @@ class CosineSpec extends SparkSpec {
     val hit = exact.intersect(ann.select("a", "b")).count()
     assert(hit.toDouble / nExact >= 0.7,
       s"default annTopK recall@10 ${hit.toDouble / nExact} below the 0.711 knee")
+    // and the high-recall multiprobe point (tables=4, planes=4,
+    // probeBits=1 — 0.938 measured) holds a 0.9 floor: one flipped
+    // sign bit on the query side recovers across-one-hyperplane
+    // misses more cheaply than quadrupling the tables
+    val mp = Cosine.annTopK(embs, "vec_id", "embedding", dim = 64, k = 10,
+      numPlanes = 4, numTables = 4, probeBits = 1)
+    val mpHit = exact.intersect(mp.select("a", "b")).count()
+    assert(mpHit.toDouble / nExact >= 0.9,
+      s"multiprobe recall@10 ${mpHit.toDouble / nExact} below the 0.938 point")
   }
 
   test("ANN recall against the exact global top-1 baseline") {
