@@ -63,6 +63,20 @@ object ScaleProbe {
       val tN = run(bigDir)
       println(f"| $name | $t1%.2f | $tN%.2f | ${tN / t1}%.1fx |")
     }
+    // multiprobe ANN is not a SparkEntry row — probe it directly (the
+    // (1+planes)× query-side fan-out grows with log n, so confirm the
+    // measured exponent stays ≤ linear like the single-probe path)
+    def runMp(dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.similarity.Cosine.annTopK(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 10, numPlanes = 0, numTables = 4, probeBits = 1)
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    runMp(sfDir)
+    val m1 = runMp(sfDir); val mN = runMp(bigDir)
+    println(f"| annTopK tables=4 probeBits=1 (direct) | $m1%.2f | $mN%.2f | ${mN / m1}%.1fx |")
     spark.stop()
   }
 }
