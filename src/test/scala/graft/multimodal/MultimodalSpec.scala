@@ -102,12 +102,17 @@ class MultimodalSpec extends SparkSpec {
       assert(png.format === "png" && png.width === w && png.height === h)
       assert((png.meanR, png.meanG, png.meanB) ===
         ((ppm.meanR, ppm.meanG, ppm.meanB)), s"png means diverged at $w x $h")
-      // ImageIO-WRITTEN BMP decoded by ImageIO must also be exact
-      val bmp = Multimodal.decodeImage(
-        Multimodal.imageFixtureBytes(w, h, seed, "bmp")).get
-      assert(bmp.width === w && bmp.height === h)
-      assert((bmp.meanR, bmp.meanG, bmp.meanB) ===
-        ((ppm.meanR, ppm.meanG, ppm.meanB)), s"bmp means diverged at $w x $h")
+      // ImageIO-WRITTEN BMP and TIFF decoded by ImageIO must also be
+      // exact (both lossless; the TIFF reader/writer ship in the JDK
+      // since 9)
+      for (fmt <- Seq("bmp", "tiff")) {
+        val got = Multimodal.decodeImage(
+          Multimodal.imageFixtureBytes(w, h, seed, fmt)).get
+        assert(got.width === w && got.height === h, s"$fmt dims")
+        assert((got.meanR, got.meanG, got.meanB) ===
+          ((ppm.meanR, ppm.meanG, ppm.meanB)),
+          s"$fmt means diverged at $w x $h")
+      }
     }
   }
 
