@@ -31,7 +31,10 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
 
   /** Quick-start local session (tests, notebooks). On a cluster, use
-    * [[builder]] with your own master/deploy settings. */
+    * [[builder]] with your own master/deploy settings — and apply
+    * [[GraftConf.configure]] (or start from
+    * `GraftConf.recommended(clusterCores)`) for the shuffle-partition /
+    * AQE / scan-split knobs a 100 TB deployment should set. */
   def session(master: String = "local[*]",
               shufflePartitions: Option[Int] = None): SparkSession = {
     val b = builder().master(master)

@@ -141,6 +141,39 @@ class MultimodalSpec extends SparkSpec {
     assert(gif.format === "gif" && gif.width === 4 && gif.height === 3)
   }
 
+  test("fuzz: decoders never throw on random or bit-flipped payloads") {
+    // the per-payload contract is "None (or byte-stats) for anything
+    // malformed, never an exception" — a bad blob must not kill a
+    // 100 TB scan task. Seeded fuzz: pure-random buffers plus
+    // bit-flipped valid fixtures (the nastier case: plausible headers,
+    // corrupt bodies).
+    val rng = new scala.util.Random(42)
+    val fixtures = Seq(
+      Multimodal.ppmFixtureBytes(4, 3, 7L),
+      Multimodal.imageFixtureBytes(4, 3, 7L, "png"),
+      Multimodal.imageFixtureBytes(4, 3, 7L, "jpg"),
+      Multimodal.imageFixtureBytes(4, 3, 7L, "bmp"),
+      Multimodal.wavFixtureBytes(8, 2, 8000, 7L))
+    val payloads =
+      (1 to 100).map(_ => Array.fill(rng.nextInt(200))(rng.nextInt().toByte)) ++
+      (1 to 100).map { _ =>
+        val f = fixtures(rng.nextInt(fixtures.length)).clone()
+        (0 until 1 + rng.nextInt(8)).foreach { _ =>
+          val i = rng.nextInt(f.length)
+          f(i) = (f(i) ^ (1 << rng.nextInt(8))).toByte
+        }
+        f
+      } ++
+      fixtures.map(_.take(7)) // truncated headers
+    payloads.foreach { p =>
+      Multimodal.decodeImage(p)   // Option or nothing — must not throw
+      Multimodal.decodeWav(p)
+      Multimodal.resizeOne(p, 4, 4)
+      val feats = Multimodal.decodeStub(p)
+      assert(feats.length === 6)
+    }
+  }
+
   test("resizeImages round-trips: resized PNG decodes at target dims") {
     import spark.implicits._
     val fixture = Seq(
