@@ -221,6 +221,11 @@ object Cosine {
     * 0.71 recall@10 at sf0.1); [[annScoredPairs]] keeps 32 (DEDUP
     * candidates are near-identical vectors whose codes collide even in
     * small buckets — planted-dup specs hold there at ~4× fewer pairs). */
+  /** annTopK's default targetBucket — the measured recall knee. Tools
+    * that label "auto" plane counts (AnnRecallCurve) reference this so
+    * a future default move cannot desync their labels again. */
+  val DefaultSearchTargetBucket = 128
+
   def planesFor(n: Long, targetBucket: Int = 32): Int =
     math.min(24, math.max(2,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
@@ -257,9 +262,16 @@ object Cosine {
       .localCheckpoint()
     // degenerate-bucket cap (same role as MinHashDedup's maxBucket),
     // done as a count-filter + join rather than collect_list so no
-    // single hot bucket can blow an aggregation buffer at scale
+    // single hot bucket can blow an aggregation buffer at scale. The
+    // LOWER bound depends on the probe mode: single-probe pairs form
+    // within a bucket, so singletons are dead weight (floor 2) — but a
+    // multi-probe query reaches ACROSS buckets, and dropping singleton
+    // buckets would make any vector alone in its bucket in every table
+    // silently unreachable as a neighbor (exactly the tail vector
+    // multiprobe exists to recover), so the floor drops to 1.
+    val minBucket = if (probeBits == 0) 2 else 1
     val sized = coded.groupBy(col("__table"), col("__bucket")).count()
-      .filter(col("count").between(2, maxBucket))
+      .filter(col("count").between(minBucket, maxBucket))
       .select(col("__table").as("__t"), col("__bucket").as("__b"))
     val kept = coded.join(sized,
         col("__table") === col("__t") && col("__bucket") === col("__b"))
@@ -324,7 +336,8 @@ object Cosine {
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
               k: Int, numPlanes: Int = 0, numTables: Int = 8,
               maxBucket: Int = 256, seed: Long = 42L,
-              targetBucket: Int = 128, probeBits: Int = 0): DataFrame = {
+              targetBucket: Int = DefaultSearchTargetBucket,
+              probeBits: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
     annScored(df, idCol, vecCol, dim, numPlanes, numTables, maxBucket,

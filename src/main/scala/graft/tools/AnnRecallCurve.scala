@@ -48,9 +48,10 @@ object AnnRecallCurve {
     for (tables <- Seq(4, 8, 12, 16)) {
       val (r, s) = recallOf(Cosine.annTopK(embs, "vec_id", "embedding",
         dim = 64, k = k, numPlanes = 0, numTables = tables))
-      // numPlanes=0 self-sizes with annTopK's default targetBucket
-      // (128 since round 7 — the recall knee), so label with the same
-      println(f"| LSH | tables=$tables planes=auto(${Cosine.planesFor(n, 128)}) " +
+      // numPlanes=0 self-sizes with annTopK's default targetBucket —
+      // label through the SAME constant so a default move can't desync
+      println(f"| LSH | tables=$tables planes=auto(${
+        Cosine.planesFor(n, Cosine.DefaultSearchTargetBucket)}) " +
         f"| $r%.3f | $s%.2f |")
     }
     for (planes <- Seq(4, 6, 8)) {
