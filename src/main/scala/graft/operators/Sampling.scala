@@ -150,6 +150,78 @@ object Sampling {
       WHERE ${Noise.sqlNoise(keyExpr, salt)} < __rate"""
   }
 
+  /** Split-name → exclusive integer upper bound on the bucket value,
+    * shared by [[splitExpr]] and [[sqlSplitExpr]] so Spark and DuckDB
+    * can never disagree on a boundary. Bounds come from cumulative
+    * weights rounded onto the integer bucket grid; the LAST bound is
+    * forced to `resolution` so the mapping is exhaustive even when the
+    * float cumsum rounds to resolution - 1. */
+  private def splitThresholds(splits: Seq[(String, Double)],
+                              resolution: Int): Seq[(String, Long)] = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be distinct")
+    require(splits.forall(_._2 > 0.0), "split weights must be positive")
+    require(resolution >= splits.size,
+      s"resolution $resolution cannot host ${splits.size} splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $total")
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * resolution))
+    splits.map(_._1).zip(bounds.init :+ resolution.toLong)
+  }
+
+  /** Deterministic TRAIN/VAL/TEST SPLIT assignment: maps the row's own
+    * key to a named split via `intRank(key, salt) % resolution` against
+    * cumulative integer thresholds. Pure BIGINT arithmetic end-to-end
+    * (no libm, no RNG stream), which buys the three properties a
+    * 100 TB corpus split needs:
+    *
+    *  - exhaustive + disjoint by construction — every row gets exactly
+    *    one split, on any engine, bit-identically (oracle-able);
+    *  - append-stable — the assignment is a function of the key alone,
+    *    so growing the corpus never re-rolls an old row's split (a
+    *    model trained on yesterday's `train` never sees tomorrow's
+    *    re-shuffled `test`);
+    *  - leakage-aware — key on a GROUP id (e.g.
+    *    `graft_horner_hash(domain)`) and every row of the group lands
+    *    in the same split, so near-duplicates within a crawl domain
+    *    cannot straddle train/test.
+    *
+    * No shuffle, no state: a projection over the scan. */
+  def splitExpr(key: Column, splits: Seq[(String, Double)],
+                salt: Int = 17, resolution: Int = 10000): Column = {
+    val th = splitThresholds(splits, resolution)
+    val bucket = Noise.intRank(key, salt) % lit(resolution.toLong)
+    th.init.reverse.foldLeft(lit(th.last._1): Column) {
+      case (acc, (name, bound)) =>
+        when(bucket < lit(bound), lit(name)).otherwise(acc)
+    }
+  }
+
+  /** [[splitExpr]] as a DataFrame op: adds a `split` column. */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   splits: Seq[(String, Double)],
+                   salt: Int = 17, resolution: Int = 10000): DataFrame =
+    df.withColumn("split", splitExpr(col(keyCol), splits, salt, resolution))
+
+  /** DuckDB twin of [[splitExpr]] — same thresholds, same BIGINT
+    * bucket arithmetic, term-for-term. */
+  def sqlSplitExpr(keyExpr: String, splits: Seq[(String, Double)],
+                   salt: Int = 17, resolution: Int = 10000): String = {
+    val th = splitThresholds(splits, resolution)
+    def q(s: String) = s"'${s.replace("'", "''")}'"
+    if (th.size == 1) q(th.head._1)  // CASE with zero WHENs is invalid SQL
+    else {
+      val bucket = s"(${Noise.sqlIntRank(keyExpr, salt)} % $resolution)"
+      val whens = th.init.map { case (name, bound) =>
+        s"WHEN $bucket < $bound THEN ${q(name)}"
+      }.mkString(" ")
+      s"(CASE $whens ELSE ${q(th.last._1)} END)"
+    }
+  }
+
   /** DuckDB twin of [[stratified]]'s predicate, for oracle SQL.
     * Stratum keys are SQL-escaped; an empty map degenerates to the
     * bare default literal (CASE with zero WHENs is invalid SQL). */

@@ -50,6 +50,21 @@ object DedupQueries extends Registry {
         .filter(col("doc_id") === col("__keep"))
         .select(docCols.map(col): _*)
     }),
+    // D34: snapshot diff — dataset versioning between two corpus cuts.
+    // Old = 90% of docs (drops every 10th id), new = 6/7 of docs with
+    // every 3rd doc's text revised; the diff classifies every id seen
+    // in either cut as added / removed / changed / unchanged by content
+    // md5. Both snapshots derive deterministically from `documents` so
+    // DuckDB rebuilds them and the statuses are under the exact oracle.
+    "d11_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+    }),
     // C2 (oracle-able slice): exact 3-gram Jaccard over a contiguous id
     // range (the generator plants near-dups at adjacent ids), all pairs.
     // The corpus's planted near-dups are token-shuffled (token-set
@@ -163,6 +178,21 @@ object DedupQueries extends Registry {
   private def toks = TextQueries.sqlToks("text")
 
   val oracle: Map[String, String] = Map(
+    "d11_snapshot_diff" -> """
+      WITH old AS (
+        SELECT doc_id, md5(text) AS ofp FROM documents
+        WHERE doc_id % 10 <> 0
+      ), new AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]'
+                   ELSE text END) AS nfp
+        FROM documents WHERE doc_id % 7 <> 0)
+      SELECT doc_id,
+        CASE WHEN ofp IS NULL THEN 'added'
+             WHEN nfp IS NULL THEN 'removed'
+             WHEN ofp = nfp THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM old FULL JOIN new USING (doc_id)""",
     "c1_exact_dedup" -> s"""
       SELECT doc_id, text, lang, source, n_chars FROM documents
       WHERE doc_id IN (

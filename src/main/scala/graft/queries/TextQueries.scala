@@ -22,6 +22,12 @@ object TextQueries extends Registry {
   private val MixtureWeights =
     Map("src0" -> 0.35, "src1" -> 0.15, "src2" -> 0.2, "src17" -> 0.3)
 
+  /** Train/val/test weights for the split-assignment queries — one val
+    * shared by the Spark plan and the oracle SQL so the cumulative
+    * integer thresholds can never diverge between engines. */
+  private val SplitWeights =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   /** DuckDB fragment: whitespace tokens of lowercased text. */
   private[queries] def sqlToks(text: String): String =
     s"list_filter(string_split_regex(lower($text), '\\s+'), x -> len(x) > 0)"
@@ -414,6 +420,25 @@ object TextQueries extends Registry {
         .agg(count(lit(1)).as("n_bigrams"),
           (sum(col("__nll")).cast("double") / count(lit(1))).as("mean_nll"))
     }),
+    // C7: deterministic train/val/test assignment — every doc mapped to
+    // exactly one split from its own id (pure BIGINT bucket arithmetic:
+    // exhaustive, disjoint, append-stable — Sampling.assignSplits).
+    "c7_split_assign" -> ((s, d) =>
+      graft.operators.Sampling.assignSplits(
+        Tables.documents(s, d).select("doc_id", "lang"),
+        "doc_id", SplitWeights)),
+    // C7: LEAKAGE-SAFE split — keyed on the Horner hash of the SOURCE
+    // domain instead of the doc id, so every doc of a domain lands in
+    // the same split and near-duplicates within a crawl domain cannot
+    // straddle train/test. The grouped output proves the property on
+    // the driver gate: one (source, split) row per source.
+    "c7_split_by_source" -> ((s, d) =>
+      graft.operators.Sampling.assignSplits(
+        Tables.documents(s, d).withColumn("__k",
+          graft.dedup.MinHashDedup.portableShingleHash(col("source"))),
+        "__k", SplitWeights, salt = 19)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))),
     // C7: exact-size deterministic sample — 100 docs by smallest keyed
     // hash-noise; TakeOrderedAndProject, never a global sort.
     "c7_fixed_size_sample" -> ((s, d) =>
@@ -559,6 +584,23 @@ object TextQueries extends Registry {
     "c7_fixed_size_sample" -> s"""
       SELECT doc_id, lang, source, n_chars FROM documents
       ${graft.operators.Sampling.sqlFixedSize("doc_id", 100)}""",
+    "c7_split_assign" -> s"""
+      SELECT doc_id, lang,
+        ${graft.operators.Sampling.sqlSplitExpr("doc_id", SplitWeights)}
+          AS split
+      FROM documents""",
+    "c7_split_by_source" -> s"""
+      WITH k AS (
+        SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, len(source) + 1),
+            j -> CAST(ascii(source[j:j]) AS BIGINT))),
+          (a, c) -> (a * 31 + c) % 1000000007) AS kk
+        FROM documents)
+      SELECT source,
+        ${graft.operators.Sampling.sqlSplitExpr("kk", SplitWeights,
+          salt = 19)} AS split,
+        CAST(count(*) AS BIGINT) AS n_docs
+      FROM k GROUP BY source, split""",
     "c7_curation_v3" -> s"""
       WITH tr AS (
         SELECT doc_id, ${sqlToks("text")} AS toks FROM documents

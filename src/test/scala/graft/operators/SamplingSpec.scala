@@ -89,6 +89,69 @@ class SamplingSpec extends SparkSpec {
     assert(ids(docs) === ids(docs.repartition(13)))
   }
 
+  test("assignSplits: exhaustive, disjoint, layout-stable, append-stable") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.assignSplits(docs, "doc_id", splits).cache()
+    // every row gets exactly one split, and only the given names appear
+    assert(out.count() === docs.count())
+    val names = out.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(names.subsetOf(Set("train", "val", "test")))
+    // layout-invariant: same assignment on a different partitioning
+    val a = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.assignSplits(docs.repartition(7), "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // append-stable: assignment over a SUBSET matches the full corpus
+    // (the split is a function of the key alone — growing the corpus
+    // never re-rolls an old row)
+    val sub = Sampling.assignSplits(docs.filter(col("doc_id") < 50),
+        "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub === a.filter(_._1 < 50))
+    // shares land near their weights (500 docs, ±10 pts is generous)
+    val got = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    splits.foreach { case (name, w) =>
+      val share = got.getOrElse(name, 0L) / n
+      assert(math.abs(share - w) < 0.1, s"$name: got $share, want ~$w")
+    }
+  }
+
+  test("assignSplits keyed on a group hash keeps groups intact") {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val keyed = docs.withColumn("__k", column(
+      graft.expressions.HornerHash(expression(col("source")))))
+    val out = Sampling.assignSplits(keyed, "__k",
+      Seq("train" -> 0.8, "test" -> 0.2), salt = 19)
+    // leakage guard: every source maps to exactly one split
+    val perSource = out.groupBy("source")
+      .agg(countDistinct(col("split")).as("k")).collect()
+    assert(perSource.nonEmpty)
+    assert(perSource.forall(_.getLong(1) === 1L),
+      "a source straddles splits — group-keyed assignment is broken")
+  }
+
+  test("assignSplits validates its weights") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, "doc_id", Seq("a" -> 1.1, "b" -> -0.1))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, "doc_id", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+    // single-split degenerate case assigns everything to the one name
+    val one = Sampling.assignSplits(docs, "doc_id", Seq("all" -> 1.0))
+    assert(one.select("split").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("all"))
+  }
+
   test("per-stratum rates land near their targets") {
     val f = Map("en" -> 0.3, "fr" -> 0.7)
     val sampled = Sampling.stratified(docs, "doc_id", "lang", f, 0.0)

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotDiffSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def statusMap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("classifies added / removed / changed / unchanged") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("id", "text")
+    val neu = Seq((2L, "beta"), (3L, "GAMMA"), (4L, "delta"), (5L, "epsilon"))
+      .toDF("id", "text")
+    val got = statusMap(SnapshotDiff.diff(old, neu, "id", "text"))
+    assert(got === Map(
+      1L -> "removed",   // only in old
+      2L -> "unchanged", // same bytes
+      3L -> "changed",   // case edit IS a change (byte-level fp)
+      4L -> "unchanged",
+      5L -> "added"))    // only in new
+  }
+
+  test("identical snapshots are all unchanged; disjoint ones never are") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    assert(statusMap(SnapshotDiff.diff(df, df, "id", "text"))
+      .values.toSet === Set("unchanged"))
+    val other = Seq((3L, "c")).toDF("id", "text")
+    assert(statusMap(SnapshotDiff.diff(df, other, "id", "text")) ===
+      Map(1L -> "removed", 2L -> "removed", 3L -> "added"))
+  }
+
+  test("empty sides degrade to all-added / all-removed") {
+    val df = Seq((1L, "a")).toDF("id", "text")
+    val empty = df.filter(lit(false))
+    assert(statusMap(SnapshotDiff.diff(empty, df, "id", "text")) ===
+      Map(1L -> "added"))
+    assert(statusMap(SnapshotDiff.diff(df, empty, "id", "text")) ===
+      Map(1L -> "removed"))
+  }
+
+  test("summary counts match the row-level diff") {
+    val old = (1L to 100L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val neu = (11L to 110L)
+      .map(i => (i, if (i % 2 == 0) s"doc $i v2" else s"doc $i"))
+      .toDF("id", "text")
+    val sum = SnapshotDiff.summary(old, neu, "id", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // removed: 1-10; added: 101-110; of 11-100 in both, evens changed
+    assert(sum === Map("removed" -> 10L, "added" -> 10L,
+      "changed" -> 45L, "unchanged" -> 45L))
+  }
+}

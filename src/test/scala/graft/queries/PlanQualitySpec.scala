@@ -175,6 +175,32 @@ class PlanQualitySpec extends SparkSpec {
       "exact-k sample became a global sort:\n" + p.take(1500))
   }
 
+  test("split assign: a pure projection over the scan — zero Exchange") {
+    val p = plan("c7_split_assign")
+    assert(!p.contains("Exchange"),
+      "split assignment must not shuffle — it is a key-derived CASE:\n" +
+        p.take(1500))
+    assert(!p.contains("Join"), "split assignment must not join")
+  }
+
+  test("snapshot diff: fingerprints computed below the join, no text through the shuffle") {
+    val p = plan("d11_snapshot_diff")
+    // the full-outer id join must be an equi-join (SMJ/shuffled hash),
+    // never a nested-loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "diff join degenerated to a non-equi join:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // the join's shuffle carries (id, md5) only — the text column must
+    // be consumed by the md5 projection below the Exchange, so no
+    // Exchange output row includes `text`
+    val badRow = p.linesIterator.sliding(2).exists(w =>
+      w.head.startsWith("(") && w.head.contains("Exchange") &&
+        w.last.contains("text#"))
+    assert(!badRow, "raw text shuffled through the diff Exchange:\n" +
+      p.linesIterator.filter(l => l.contains("Exchange") || l.contains("text#"))
+        .mkString("\n"))
+  }
+
   test("domain mixture: corpus is scanned and filtered, never shuffled") {
     // the only Exchanges allowed are for the tiny per-stratum counts
     // aggregation (and its scalar min); the corpus-side probe must be
