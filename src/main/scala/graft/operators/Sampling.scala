@@ -167,9 +167,23 @@ object Sampling {
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9,
       s"split weights must sum to 1, got $total")
+    // intRank's modulus: buckets past it can never occur, and the mod
+    // bias is ~resolution/modulus (negligible at the 1e4 default)
+    require(resolution <= 1000000007,
+      s"resolution $resolution exceeds the rank modulus 1e9+7")
     val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => math.round(c * resolution))
-    splits.map(_._1).zip(bounds.init :+ resolution.toLong)
+    val th = splits.map(_._1).zip(bounds.init :+ resolution.toLong)
+    // a weight below the bucket grid rounds two bounds together and
+    // would SILENTLY produce an empty split — fail loudly instead
+    (0L +: th.map(_._2)).sliding(2).zip(th.iterator).foreach {
+      case (Seq(lo, hi), (name, _)) => require(hi > lo,
+        s"split '$name' (weight ${splits.find(_._1 == name).get._2}) " +
+          s"rounds to zero buckets at resolution $resolution — raise " +
+          "the resolution")
+      case _ => ()
+    }
+    th
   }
 
   /** Deterministic TRAIN/VAL/TEST SPLIT assignment: maps the row's own
@@ -189,15 +203,25 @@ object Sampling {
     *    in the same split, so near-duplicates within a crawl domain
     *    cannot straddle train/test.
     *
-    * No shuffle, no state: a projection over the scan. */
+    * A NULL key yields a NULL split (never a silent pile-up in the
+    * last split — the caller decides what a keyless row means); both
+    * engines agree because the SQL twin carries the same guard.
+    *
+    * No shuffle, no state: a projection over the scan. Built as ONE
+    * flat CaseWhen, not a nested when/otherwise fold — same
+    * deep-tree rationale as [[stratified]]. */
   def splitExpr(key: Column, splits: Seq[(String, Double)],
                 salt: Int = 17, resolution: Int = 10000): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val th = splitThresholds(splits, resolution)
     val bucket = Noise.intRank(key, salt) % lit(resolution.toLong)
-    th.init.reverse.foldLeft(lit(th.last._1): Column) {
-      case (acc, (name, bound)) =>
-        when(bucket < lit(bound), lit(name)).otherwise(acc)
-    }
+    val last: Column = when(key.isNotNull, lit(th.last._1))
+    if (th.size == 1) last
+    else column(org.apache.spark.sql.catalyst.expressions.CaseWhen(
+      th.init.map { case (name, bound) =>
+        expression(bucket < lit(bound)) -> expression(lit(name))
+      },
+      Some(expression(last))))
   }
 
   /** [[splitExpr]] as a DataFrame op: adds a `split` column. */
@@ -212,13 +236,16 @@ object Sampling {
                    salt: Int = 17, resolution: Int = 10000): String = {
     val th = splitThresholds(splits, resolution)
     def q(s: String) = s"'${s.replace("'", "''")}'"
-    if (th.size == 1) q(th.head._1)  // CASE with zero WHENs is invalid SQL
+    // null-key guard mirrors splitExpr: NULL key → NULL split (a bare
+    // CASE with no ELSE yields NULL in both engines)
+    val last = s"(CASE WHEN $keyExpr IS NOT NULL THEN ${q(th.last._1)} END)"
+    if (th.size == 1) last
     else {
       val bucket = s"(${Noise.sqlIntRank(keyExpr, salt)} % $resolution)"
       val whens = th.init.map { case (name, bound) =>
         s"WHEN $bucket < $bound THEN ${q(name)}"
       }.mkString(" ")
-      s"(CASE $whens ELSE ${q(th.last._1)} END)"
+      s"(CASE $whens ELSE $last END)"
     }
   }
 

@@ -26,16 +26,23 @@ object SnapshotDiff {
   /** One row per id present in either snapshot: (idCol, status).
     * Fingerprint is md5 over the raw text bytes — byte-level change
     * detection (an edit of case or whitespace IS a change; callers
-    * wanting normalized comparison pass a pre-normalized column). */
+    * wanting normalized comparison pass a pre-normalized column).
+    * Presence is carried as an explicit flag per side, NOT inferred
+    * from fingerprint nullness — a row whose text is NULL still
+    * exists in its snapshot (md5(NULL) is NULL, and conflating the
+    * two would report a live doc as added/removed); null-vs-null
+    * compares as unchanged via null-safe equality. */
   def diff(oldDf: DataFrame, newDf: DataFrame,
            idCol: String, textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol), md5(col(textCol)).as("__old_fp"))
-    val n = newDf.select(col(idCol), md5(col(textCol)).as("__new_fp"))
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("__old_fp"),
+      lit(true).as("__in_old"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("__new_fp"),
+      lit(true).as("__in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__old_fp").isNull, lit("added"))
-          .when(col("__new_fp").isNull, lit("removed"))
-          .when(col("__old_fp") === col("__new_fp"), lit("unchanged"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("__old_fp") <=> col("__new_fp"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

@@ -150,6 +150,28 @@ class SamplingSpec extends SparkSpec {
     val one = Sampling.assignSplits(docs, "doc_id", Seq("all" -> 1.0))
     assert(one.select("split").distinct().collect()
       .map(_.getString(0)).toSeq === Seq("all"))
+    // a weight below the bucket grid must fail LOUDLY, not silently
+    // produce an empty split (0.99996 rounds to all 10000 buckets)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, "doc_id",
+        Seq("train" -> 0.99996, "holdout" -> 0.00004))
+    }
+    // resolution past intRank's modulus would skew every share
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, "doc_id",
+        Seq("a" -> 0.5, "b" -> 0.5), resolution = 2000000000)
+    }
+  }
+
+  test("assignSplits: NULL keys get a NULL split, never the last split") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "x"), (None, "y"), (Some(2L), "z"))
+      .toDF("id", "v")
+    val out = Sampling.assignSplits(df, "id",
+      Seq("train" -> 0.8, "test" -> 0.2)).collect()
+      .map(r => r.getString(1) -> Option(r.getString(2))).toMap
+    assert(out("y") === None, "null key must yield a null split")
+    assert(out("x").isDefined && out("z").isDefined)
   }
 
   test("per-stratum rates land near their targets") {

@@ -42,6 +42,18 @@ class SnapshotDiffSpec extends SparkSpec {
       Map(1L -> "removed"))
   }
 
+  test("NULL text is presence, not absence") {
+    val old = Seq((1L, Option.empty[String]), (2L, Some("b")),
+      (3L, Option.empty[String])).toDF("id", "text")
+    val neu = Seq((1L, Some("a")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("id", "text")
+    // a row with NULL text still EXISTS in its snapshot: null→text is
+    // changed (not added), text→null is changed (not removed),
+    // null→null is unchanged
+    assert(statusMap(SnapshotDiff.diff(old, neu, "id", "text")) ===
+      Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"))
+  }
+
   test("summary counts match the row-level diff") {
     val old = (1L to 100L).map(i => (i, s"doc $i")).toDF("id", "text")
     val neu = (11L to 110L)
