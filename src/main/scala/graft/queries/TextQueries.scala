@@ -28,6 +28,56 @@ object TextQueries extends Registry {
   private val SplitWeights =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** Synthetic crawl URLs for the c7_url_* queries: consecutive doc-id
+    * PAIRS share a page id (g = doc_id - doc_id % 2) and a host derived
+    * from g, and differ only in canonicalization noise — case-shifted
+    * scheme/host, `www.`, default port, tracking params, param order,
+    * trailing slash, fragment — so canonical forms collide exactly in
+    * pairs. Even ids take the noisy verbose form, odd ids the near-
+    * canonical form; pairs alternate http/https families. The oracle
+    * builds the same strings (sqlUrlFixture). */
+  private def urlFixture(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val gl = col("doc_id") - (col("doc_id") % 2)
+    val g = gl.cast("string")
+    val site = concat(lit("site"), (gl % 50).cast("string"))
+    val raw = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTP://WWW."), upper(site),
+          lit(".EXAMPLE.COM:80/Docs/"), g,
+          lit("/?b=2&a=1&utm_source=news#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://"), site, lit(".example.com/Docs/"), g,
+          lit("?a=1&b=2&gclid=1")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("HTTPS://WWW."), upper(site),
+          lit(".EXAMPLE.COM:443/p/"), g,
+          lit("/?utm_campaign=x&z=9&y=8")))
+      .otherwise(
+        concat(lit("https://"), site, lit(".example.com/p/"), g,
+          lit("/?y=8&z=9&fbclid=f")))
+    docs.select(col("doc_id"), raw.as("url"))
+  }
+
+  /** DuckDB CTE twin of [[urlFixture]] (yields table `f`: doc_id, url). */
+  private def sqlUrlFixture: String =
+    """f AS (
+      |        SELECT doc_id,
+      |          CASE WHEN doc_id % 4 = 0
+      |               THEN 'HTTP://WWW.' || upper(site) || '.EXAMPLE.COM:80/Docs/'
+      |                    || g || '/?b=2&a=1&utm_source=news#frag'
+      |               WHEN doc_id % 4 = 1
+      |               THEN 'http://' || site || '.example.com/Docs/'
+      |                    || g || '?a=1&b=2&gclid=1'
+      |               WHEN doc_id % 4 = 2
+      |               THEN 'HTTPS://WWW.' || upper(site) || '.EXAMPLE.COM:443/p/'
+      |                    || g || '/?utm_campaign=x&z=9&y=8'
+      |               ELSE 'https://' || site || '.example.com/p/'
+      |                    || g || '/?y=8&z=9&fbclid=f' END AS url
+      |        FROM (SELECT doc_id,
+      |                CAST(doc_id - doc_id % 2 AS VARCHAR) AS g,
+      |                'site' || CAST((doc_id - doc_id % 2) % 50 AS VARCHAR) AS site
+      |              FROM documents))""".stripMargin
+
   /** DuckDB fragment: whitespace tokens of lowercased text. */
   private[queries] def sqlToks(text: String): String =
     s"list_filter(string_split_regex(lower($text), '\\s+'), x -> len(x) > 0)"
@@ -439,6 +489,25 @@ object TextQueries extends Registry {
         "__k", SplitWeights, salt = 19)
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"))),
+    // C7/D35: URL canonicalization — the crawl-side dedup key. The
+    // fixture plants pairs of URLs that differ only in normalization
+    // noise (case, www, default port, tracking params, param order,
+    // trailing slash, fragment); row-level canonical forms under the
+    // exact oracle.
+    "c7_url_canonicalize" -> ((s, d) =>
+      urlFixture(Tables.documents(s, d))
+        .select(col("doc_id"), col("url"),
+          graft.text.UrlNormalize.canonical(col("url"))
+            .as("canonical_url"))),
+    // D35b: crawl dedup BY canonical URL — the planted pairs collapse
+    // 2:1 (every canonical has exactly two raw forms; keeper = min id).
+    "c7_url_dedup" -> ((s, d) =>
+      urlFixture(Tables.documents(s, d))
+        .withColumn("canonical_url",
+          graft.text.UrlNormalize.canonical(col("url")))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))),
     // C7: exact-size deterministic sample — 100 docs by smallest keyed
     // hash-noise; TakeOrderedAndProject, never a global sort.
     "c7_fixed_size_sample" -> ((s, d) =>
@@ -584,6 +653,18 @@ object TextQueries extends Registry {
     "c7_fixed_size_sample" -> s"""
       SELECT doc_id, lang, source, n_chars FROM documents
       ${graft.operators.Sampling.sqlFixedSize("doc_id", 100)}""",
+    "c7_url_canonicalize" -> s"""
+      WITH $sqlUrlFixture
+      SELECT doc_id, url,
+        ${graft.text.UrlNormalize.sqlCanonical("url")} AS canonical_url
+      FROM f""",
+    "c7_url_dedup" -> s"""
+      WITH $sqlUrlFixture
+      SELECT ${graft.text.UrlNormalize.sqlCanonical("url")}
+               AS canonical_url,
+             min(doc_id) AS keeper_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM f GROUP BY 1""",
     "c7_split_assign" -> s"""
       SELECT doc_id, lang,
         ${graft.operators.Sampling.sqlSplitExpr("doc_id", SplitWeights)}

@@ -48,7 +48,10 @@ object ScaleProbe {
 
     val queries = Seq("c2_minhash_dedup", "c2_online_dedup_twin",
       "c3_ann_topk", "c1_exact_dedup", "c2_embedding_dedup",
-      "impute_customer_rbm_distributed", "c8_segment_rbm_impute")
+      "impute_customer_rbm_distributed", "c8_segment_rbm_impute",
+      // snapshot diff: the one new round-7 op with a shuffle — its
+      // (id, md5) join payload claim should show as ~linear scaling
+      "d11_snapshot_diff")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     queries.foreach { name =>
