@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.dedup.{Decontaminate, Dedup, MinHashDedup, SimHash}
+import graft.dedup.{Decontaminate, Dedup, MinHashDedup, MinHashIndex, SimHash}
 import org.apache.spark.sql.functions._
 
 /** Deduplication queries (C1/C2). Exact dedup and the sampled n-gram
@@ -130,6 +130,24 @@ object DedupQueries extends Registry {
         docs.filter(col("doc_id") >= 250),
         docs.filter(col("doc_id") < 250), "doc_id", "text")
     }),
+    // C2e': the SAME nightly batch served from the PERSISTED reference
+    // bucket index — the reference is banded ONCE at write time and
+    // never re-scanned at serve time; the serve path is shared with
+    // c2_incremental_neardup, so the persisted variant sits under the
+    // identical exact oracle. Build cost deliberately inside the timed
+    // query (c3_ivf_serve's convention — the bench row carries the
+    // full build+serve story); path/table keyed on the sf dir so a
+    // Verify at sf0.01 and a Bench at sf0.1 on the same host don't
+    // overwrite each other's index mid-scan.
+    "c2_incremental_persisted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val suffix = math.abs(d.hashCode).toString
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_$suffix"
+      MinHashIndex.write(docs.filter(col("doc_id") < 250), "doc_id",
+        "text", table = s"graft_mh_buckets_$suffix", path = tmp)
+      MinHashIndex.incrementalKept(s, s"graft_mh_buckets_$suffix",
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+    }),
     // C2: benchmark decontamination — docs below id 100 play the EVAL
     // set (id-less: only the text column is handed over), the rest is
     // the TRAIN corpus; survivors share no word 8-gram with eval. The
@@ -176,6 +194,46 @@ object DedupQueries extends Registry {
   )
 
   private def toks = TextQueries.sqlToks("text")
+
+  /** Shared by c2_incremental_neardup and c2_incremental_persisted —
+    * same portable banding CTEs as c2_online_dedup_twin, split at
+    * doc_id 250 into reference bucket set and batch claims. The
+    * persisted variant reads the bucket set from a bucketed table
+    * instead of re-banding, through the same serve path, so its
+    * results are identical by construction (MinHashIndexSpec pins it). */
+  private lazy val incrementalNeardupSql: String = {
+    val (pa, pb) = MinHashDedup.permutationParams(16, 42L)
+    val aList = pa.mkString("[", ",", "]")
+    val bList = pb.mkString("[", ",", "]")
+    s"""
+      WITH hs AS (
+        SELECT doc_id, list_transform($toks, x ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, len(x) + 1),
+              j -> CAST(ascii(x[j:j]) AS BIGINT))),
+          (a, c) -> (a * 31 + c) % 1000000007)) AS h
+        FROM documents
+      ), sig AS (
+        SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(h,
+            v -> (($aList)[i+1] * v + ($bList)[i+1]) % 2147483647))) AS s
+        FROM hs WHERE len(h) > 0
+      ), banded AS (
+        SELECT doc_id, CAST(t.b AS VARCHAR) || ':' ||
+          array_to_string(s[t.b*4+1 : t.b*4+4], ',') AS bucket
+        FROM sig, LATERAL unnest(range(0, 4)) AS t(b)
+      ), ref AS (
+        SELECT DISTINCT bucket FROM banded WHERE doc_id < 250
+      ), k AS (
+        SELECT b.doc_id,
+          min(b.doc_id) OVER (PARTITION BY b.bucket) AS keeper,
+          (r.bucket IS NOT NULL) AS hit
+        FROM (SELECT * FROM banded WHERE doc_id >= 250) b
+        LEFT JOIN ref r ON b.bucket = r.bucket)
+      SELECT doc_id FROM k
+      GROUP BY doc_id
+      HAVING bool_and(doc_id = keeper) AND NOT bool_or(hit)"""
+  }
 
   val oracle: Map[String, String] = Map(
     "d11_snapshot_diff" -> """
@@ -315,41 +373,10 @@ object DedupQueries extends Registry {
         FROM banded)
       SELECT doc_id FROM k GROUP BY doc_id HAVING bool_and(doc_id = keeper)"""
     },
-    "c2_incremental_neardup" -> {
-      // same portable banding CTEs as c2_online_dedup_twin, split at
-      // doc_id 250 into reference bucket set and batch claims
-      val (pa, pb) = MinHashDedup.permutationParams(16, 42L)
-      val aList = pa.mkString("[", ",", "]")
-      val bList = pb.mkString("[", ",", "]")
-      s"""
-      WITH hs AS (
-        SELECT doc_id, list_transform($toks, x ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(1, len(x) + 1),
-              j -> CAST(ascii(x[j:j]) AS BIGINT))),
-          (a, c) -> (a * 31 + c) % 1000000007)) AS h
-        FROM documents
-      ), sig AS (
-        SELECT doc_id, list_transform(range(0, 16), i ->
-          list_min(list_transform(h,
-            v -> (($aList)[i+1] * v + ($bList)[i+1]) % 2147483647))) AS s
-        FROM hs WHERE len(h) > 0
-      ), banded AS (
-        SELECT doc_id, CAST(t.b AS VARCHAR) || ':' ||
-          array_to_string(s[t.b*4+1 : t.b*4+4], ',') AS bucket
-        FROM sig, LATERAL unnest(range(0, 4)) AS t(b)
-      ), ref AS (
-        SELECT DISTINCT bucket FROM banded WHERE doc_id < 250
-      ), k AS (
-        SELECT b.doc_id,
-          min(b.doc_id) OVER (PARTITION BY b.bucket) AS keeper,
-          (r.bucket IS NOT NULL) AS hit
-        FROM (SELECT * FROM banded WHERE doc_id >= 250) b
-        LEFT JOIN ref r ON b.bucket = r.bucket)
-      SELECT doc_id FROM k
-      GROUP BY doc_id
-      HAVING bool_and(doc_id = keeper) AND NOT bool_or(hit)"""
-    },
+    "c2_incremental_neardup" -> incrementalNeardupSql,
+    // identical results by construction: the persisted index serves
+    // the same bucket set through the same shared serve path
+    "c2_incremental_persisted" -> incrementalNeardupSql,
     "c2_decontaminate" -> {
       val sh = TextQueries.sqlShingles("toks", 8)
       s"""

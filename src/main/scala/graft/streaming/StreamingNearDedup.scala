@@ -196,18 +196,54 @@ object StreamingNearDedup {
     val refBuckets = MinHashDedup.portableBandedDocs(reference, idCol,
         textCol, numHashes, bands, shingleSize, seed)
       .select(explode(col("buckets")).as("bucket")).distinct()
-      .withColumn("__ref", lit(true))
+    incrementalKeptAgainstBuckets(batch, refBuckets, idCol, textCol,
+      numHashes, bands, shingleSize, seed)
+  }
+
+  /** The incremental serve path shared by [[incrementalKept]]
+    * (reference banded on the fly) and
+    * [[graft.dedup.MinHashIndex.incrementalKept]] (bucket set read
+    * from a persisted BUCKETED table). `refBuckets` must be a
+    * single-column `bucket` frame, distinct per bucket.
+    *
+    * The reference join runs FIRST, directly on the batch claims: the
+    * claims shuffle once onto the bucket key, and when `refBuckets` is
+    * a bucketed scan its layout IS the join partitioning — the index
+    * side is read in place with no Exchange (MinHashIndexSpec asserts
+    * it on the executed plan; the reference key is renamed
+    * `__ref_bucket` so an index-side shuffle would be visible by name,
+    * the IvfIndex `__cell`/`__qcell` trick — alias-aware output
+    * partitioning carries the bucketed layout through the rename).
+    * The within-batch keeper minima ride a SECOND batch-side exchange
+    * that is map-side combined down to one (bucket, min) row per
+    * input partition — Catalyst prunes the ref join out of that
+    * branch because min is duplicate-insensitive. When conf shuffle
+    * partitions ≠ the index bucket count (the normal cluster case),
+    * those already-tiny keeper rows re-align to the bucketed layout
+    * in one more exchange; every bucket-key shuffle in the plan moves
+    * batch-derived rows only, never the index. Since `refBuckets` is
+    * distinct, the left join preserves claim multiplicity, so keeper
+    * minima are identical to computing them before the join. */
+  private[graft] def incrementalKeptAgainstBuckets(batch: DataFrame,
+      refBuckets: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int,
+      seed: Long): DataFrame = {
+    val ref = refBuckets.select(col("bucket").as("__ref_bucket"),
+      lit(true).as("__ref"))
     val c = MinHashDedup.portableBandedDocs(batch, idCol, textCol,
         numHashes, bands, shingleSize, seed)
       .select(col("doc_id").cast("long").as("doc_id"), col("buckets"))
       .localCheckpoint()
       .select(col("doc_id"), explode(col("buckets")).as("bucket"))
-    val keepers = c.groupBy(col("bucket")).agg(min(col("doc_id")).as("keeper"))
-    c.join(keepers, "bucket")
-      .join(refBuckets, Seq("bucket"), "left")
+    val claims = c.join(ref, col("bucket") === col("__ref_bucket"), "left")
+      .select(col("doc_id"), col("bucket"),
+        coalesce(col("__ref"), lit(false)).as("__hit"))
+    val keepers = claims.groupBy(col("bucket"))
+      .agg(min(col("doc_id")).as("keeper"))
+    claims.join(keepers, "bucket")
       .groupBy(col("doc_id"))
       .agg(min(col("doc_id") === col("keeper")).as("all_first"),
-           max(coalesce(col("__ref"), lit(false))).as("any_ref"))
+           max(col("__hit")).as("any_ref"))
       .filter(col("all_first") && !col("any_ref"))
       .select(col("doc_id"))
   }
