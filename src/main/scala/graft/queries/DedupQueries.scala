@@ -136,16 +136,13 @@ object DedupQueries extends Registry {
     // c2_incremental_neardup, so the persisted variant sits under the
     // identical exact oracle. Build cost deliberately inside the timed
     // query (c3_ivf_serve's convention — the bench row carries the
-    // full build+serve story); path/table keyed on the sf dir so a
-    // Verify at sf0.01 and a Bench at sf0.1 on the same host don't
-    // overwrite each other's index mid-scan.
+    // full build+serve story).
     "c2_incremental_persisted" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val suffix = math.abs(d.hashCode).toString
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_$suffix"
+      val (tbl, tmp) = indexScratch(d, "graft_mh_buckets")
       MinHashIndex.write(docs.filter(col("doc_id") < 250), "doc_id",
-        "text", table = s"graft_mh_buckets_$suffix", path = tmp)
-      MinHashIndex.incrementalKept(s, s"graft_mh_buckets_$suffix",
+        "text", table = tbl, path = tmp)
+      MinHashIndex.incrementalKept(s, tbl,
         docs.filter(col("doc_id") >= 250), "doc_id", "text")
     }),
     // C2: benchmark decontamination — docs below id 100 play the EVAL

@@ -16,6 +16,19 @@ trait Registry {
   type Q = (SparkSession, String) => DataFrame
   def queries: Map[String, Q]
   def oracle: Map[String, String]
+
+  /** (catalog table, tmp path) for build+serve queries that persist an
+    * index inside the timed query (c3_ivf_serve, c2_incremental_
+    * persisted). Keyed on the sf dir: a Verify at sf0.01 and a Bench
+    * at sf0.1 on the same host must not overwrite each other's index
+    * mid-scan (lazy reads racing an Overwrite). The hash is masked to
+    * non-negative (`& 0x7fffffff`, not math.abs — abs(Int.MinValue) is
+    * negative and would put a '-' in a catalog table name). */
+  protected def indexScratch(sfDir: String, prefix: String): (String, String) = {
+    val suffix = (sfDir.hashCode & 0x7fffffff).toString
+    (s"${prefix}_$suffix",
+      s"${System.getProperty("java.io.tmpdir")}/${prefix}_$suffix")
+  }
 }
 
 // Determinism convention shared by every oracle SQL in this package

@@ -40,16 +40,13 @@ object SimilarityQueries extends Registry {
     // full build+serve story (ProfileIvfIndex splits the two).
     "c3_ivf_serve" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
-      // path/table keyed on the sf dir: a Verify at sf0.01 and a Bench
-      // at sf0.1 on the same host must not overwrite each other's
-      // index mid-scan (lazy reads racing an Overwrite). Query batch is
-      // a key PREDICATE, not limit(100) — LIMIT without ORDER BY picks
-      // rows by scan-split order and would flap with partition planning.
-      val suffix = math.abs(d.hashCode).toString
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_serve_$suffix"
+      // Query batch is a key PREDICATE, not limit(100) — LIMIT without
+      // ORDER BY picks rows by scan-split order and would flap with
+      // partition planning.
+      val (tbl, tmp) = indexScratch(d, "graft_ivf_serve_vectors")
       graft.similarity.IvfIndex.write(embs, "vec_id", "embedding",
-        table = s"graft_ivf_serve_vectors_$suffix", path = tmp)
-      graft.similarity.IvfIndex.topK(s, s"graft_ivf_serve_vectors_$suffix",
+        table = tbl, path = tmp)
+      graft.similarity.IvfIndex.topK(s, tbl,
         tmp, embs.filter(col("vec_id") < 100), "vec_id", "embedding", k = 10)
     }),
     // C2/north star: embedding-cosine near-dup removal. Projected to

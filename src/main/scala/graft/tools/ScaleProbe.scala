@@ -51,7 +51,11 @@ object ScaleProbe {
       "impute_customer_rbm_distributed", "c8_segment_rbm_impute",
       // snapshot diff: the one new round-7 op with a shuffle — its
       // (id, md5) join payload claim should show as ~linear scaling
-      "d11_snapshot_diff")
+      "d11_snapshot_diff",
+      // persisted MinHash index: build (band reference + bucketed
+      // write) + serve (batch claims vs bucketed table) — both sides
+      // replicate, so this measures the full build+serve exponent
+      "c2_incremental_persisted")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     queries.foreach { name =>

@@ -50,6 +50,23 @@ class UrlNormalizeSpec extends SparkSpec {
       canon("http://site.com/Page").head)
   }
 
+  test("userinfo keeps its case and never collides distinct credentials") {
+    assert(canon("http://Alice@E.com/x") === Seq("http://Alice@e.com/x"))
+    // RFC 3986: userinfo is case-sensitive like the path
+    assert(canon("http://Alice@e.com/x").head !==
+      canon("http://alice@e.com/x").head)
+    // port/www stripping applies to the HOST, not the userinfo
+    assert(canon("http://U:p@WWW.E.com:80/x") === Seq("http://U:p@e.com/x"))
+  }
+
+  test("trailing newline disables end-anchored steps, identically, not divergently") {
+    // \z (absolute end) never matches before a stray final newline, so
+    // the port/slash strips are skipped — same outcome in DuckDB,
+    // where $ would NOT have matched but Java's $ WOULD have
+    assert(canon("http://e.com/a/\n") === Seq("http://e.com/a/\n"))
+    assert(canon("http://e.com:80/x\n") === Seq("http://e.com/x\n"))
+  }
+
   test("non-URL input passes through trimmed; null propagates") {
     assert(canon("  not a url  ") === Seq("not a url"))
     val n = Seq(Option.empty[String]).toDF("u")
