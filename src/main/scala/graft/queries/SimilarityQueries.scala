@@ -120,6 +120,21 @@ object SimilarityQueries extends Registry {
         Tables.embeddings(s, d).withColumnRenamed("vec_id", "doc_id"),
         "doc_id", "text", "embedding",
         terms = Seq("spark", "join", "merge"), queryId = 1L, k = 20)),
+    // C3: BM25 ranked lexical retrieval (text.Bm25) — docs below id 10
+    // play the QUERY batch (an eval set probing the corpus), the rest
+    // the corpus; top-5 per query. No df-stopping here: the synthetic
+    // corpus has a ~31-term vocabulary where all but one term sit in
+    // >50% of docs, so any stopping fraction ≤0.8 empties the
+    // candidate set (measured; the knob is exercised on controlled
+    // data in Bm25Spec instead). Deterministic on the 6-dp decimal
+    // grid → exact oracle.
+    "c3_bm25_retrieval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.Bm25.topK(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text",
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        k = 5)
+    }),
     // C3: per-label centroids (the IVF/k-NN-classify building block) —
     // posexplode to (label, dim, v), then an ORDER-INSENSITIVE exact
     // mean: elements rounded to the 6-dp grid (tie-free for binary
@@ -146,6 +161,10 @@ object SimilarityQueries extends Registry {
        |  END, 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c3_bm25_retrieval" -> graft.text.Bm25.sql(
+      "SELECT doc_id, text FROM documents WHERE doc_id >= 10",
+      "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 10",
+      k = 5),
     "c4_cosine_topk" -> s"""
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1),
       scored AS (

@@ -55,7 +55,11 @@ object ScaleProbe {
       // persisted MinHash index: build (band reference + bucketed
       // write) + serve (batch claims vs bucketed table) — both sides
       // replicate, so this measures the full build+serve exponent
-      "c2_incremental_persisted")
+      "c2_incremental_persisted",
+      // BM25: fixed 10-query batch vs a 10x corpus — the three
+      // corpus-side hash aggs should dominate and scale ~linearly;
+      // the broadcast candidate probe must NOT grow super-linearly
+      "c3_bm25_retrieval")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     queries.foreach { name =>
