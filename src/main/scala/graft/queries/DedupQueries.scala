@@ -32,6 +32,13 @@ object DedupQueries extends Registry {
         .groupBy(col("fingerprint"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
         .filter(col("n_copies") > 1)),
+    // C1c: canonical selection — among token-set duplicate groups keep
+    // the MOST COMPLETE copy (max token count, tie min id), not the
+    // first-seen: bag-of-words copies differ in repetition/truncation
+    // and a pipeline wants the fullest one. Agg+re-join, no window.
+    "c1_keep_best" -> ((s, d) =>
+      Dedup.tokenSetKeepBest(Tables.documents(s, d), "doc_id", "text")
+        .select(docCols.map(col): _*)),
     // C1c: INCREMENTAL dedup — the nightly-ingest op: a new batch
     // (doc_id >= 250) drops docs already present in the reference
     // corpus (doc_id < 250, matched by token-set fingerprint via a
@@ -263,6 +270,14 @@ object DedupQueries extends Registry {
       WHERE doc_id IN (
         SELECT min(doc_id) FROM documents
         GROUP BY md5(array_to_string(list_sort(list_distinct($toks)), ' ')))""",
+    "c1_keep_best" -> s"""
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id IN (
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY md5(array_to_string(list_sort(list_distinct($toks)), ' '))
+            ORDER BY CAST(len($toks) AS BIGINT) DESC, doc_id ASC) AS r
+          FROM documents) WHERE r = 1)""",
     "c1_tokenset_dup_stats" -> s"""
       SELECT md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint,
              count(*) AS n_copies, min(doc_id) AS keeper_id

@@ -16,6 +16,36 @@ class DedupSpec extends SparkSpec {
     assert(once.count() === fps)
   }
 
+  test("keepBest keeps the max-score copy, min id on ties, one per group") {
+    import spark.implicits._
+    val df = Seq(
+      // group A: same token SET, different completeness — 3 wins on count
+      (1L, "alpha beta"), (3L, "beta alpha beta alpha beta"),
+      // group B: byte-identical → count ties → min id (4) wins
+      (4L, "gamma delta"), (5L, "gamma delta"),
+      // singleton
+      (9L, "epsilon")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.tokenSetKeepBest(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(3L, 4L, 9L))
+    // output schema is the input schema (no internal columns leak)
+    assert(Dedup.tokenSetKeepBest(df, "doc_id", "text").columns.toSeq
+      === df.columns.toSeq)
+  }
+
+  test("keepBest equals the naive window form on real documents") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(Dedup.tokenSetFingerprint(col("text")))
+      .orderBy(size(graft.text.TextFunctions.tokens(col("text"))).desc,
+        col("doc_id").asc)
+    val naive = docs.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1).select("doc_id")
+    val got = Dedup.tokenSetKeepBest(docs, "doc_id", "text").select("doc_id")
+    assert(got.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(got).count() === 0)
+  }
+
   test("minhash candidate pairs cover the high-jaccard ground truth (recall)") {
     val sample = docs.filter(col("doc_id") < 100)
     // ground truth: token-set jaccard >= 0.9 pairs
