@@ -97,12 +97,22 @@ object Bench {
     }
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
+    // Stdout gets a BOUNDED errors object: round 7 had 118 failures and
+    // the full error map alone (~24k chars) overflowed the driver's
+    // 2000-char tail no matter how many query timings were dropped —
+    // the summary line vanished and the round read as `parsed: null`.
+    // Keep at most 3 messages (truncated) plus an explicit errors_n
+    // count; the file always carries every full message.
+    val errJsonStdout = errors.take(3)
+      .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v.take(80))}\"" }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val suspectJson =
       suspects.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
-    def render(qEntries: Seq[String], extra: String): String = {
+    def render(qEntries: Seq[String], extra: String,
+               errs: String = errJson): String = {
       val qs = qEntries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","queries":$qs,"errors":$errJson,"suspect":$suspectJson$extra,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","queries":$qs,"errors":$errs,"errors_n":${errors.size},"suspect":$suspectJson$extra,"sf":"${esc(sfDir)}"}"""
     }
     // Full-precision JSON goes to the file (per-query history for the
     // judge); stdout gets a compacted line. The driver keeps only a
@@ -119,16 +129,18 @@ object Bench {
       .map { case (k, v) => s"\"${esc(k)}\":${fmt(v, "%.2f")}" }
     val budget = 1880 // chars; tail window 2000 minus sbt epilogue (~90)
     val compactAll = render(results.map {
-      case (k, v) => s"\"${esc(k)}\":${fmt(v, "%.2f")}" }.toSeq, "")
+      case (k, v) => s"\"${esc(k)}\":${fmt(v, "%.2f")}" }.toSeq, "",
+      errJsonStdout)
     val line =
       if (compactAll.length <= budget) compactAll
       else {
         var kept = byTimeDesc
-        var out = render(kept, s""","queries_dropped":0""")
+        var out = render(kept, s""","queries_dropped":0""", errJsonStdout)
         while (out.length > budget && kept.nonEmpty) {
           kept = kept.dropRight(1)
           out = render(kept,
-            s""","queries_dropped":${results.size - kept.size}""")
+            s""","queries_dropped":${results.size - kept.size}""",
+            errJsonStdout)
         }
         out
       }

@@ -28,15 +28,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-    * outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy
-    * conf) and convert to a microsecond TimestampType with integer
-    * division — a double division would lose precision at 1.7e18 ns.
-    * DuckDB applies the same ns→µs truncation, so oracles agree. */
+  /** `events.ts` has shipped as two physical parquet types across data
+    * generations: TIMESTAMP(NANOS) (which Spark 4 refuses outright —
+    * [PARQUET_TYPE_ILLEGAL] — unless read as long via the legacy conf)
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark loads as
+    * TIMESTAMP_NTZ). Branch on the type that actually loaded so both
+    * generations normalize to a microsecond TimestampType:
+    *  - LongType (nanosAsLong): integer-divide ns→µs — a double
+    *    division would lose precision at 1.7e18 ns; DuckDB applies the
+    *    same truncation, so oracles agree.
+    *  - TIMESTAMP_NTZ: reinterpret as UTC. Sessions pin
+    *    spark.sql.session.timeZone=UTC, so the cast is value-preserving
+    *    and matches DuckDB's naive read of the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -72,6 +72,25 @@ object DedupQueries extends Registry {
             .otherwise(col("text")))
       graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
     }),
+    // D39: CDC merge — the write-side complement of d11: base snapshot
+    // (90% of docs) + a changelog of upserts (every 7th doc re-crawled,
+    // text revised, seq 1) and deletes (every 13th doc taken down,
+    // seq 2, so a doc in both — id % 91 == 0 — resolves to DELETE by
+    // latest-wins) → the next snapshot. Changelog collapses via hash
+    // agg (max-struct arg-max, no window), then one full-outer join.
+    "d12_merge_upsert" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      val upserts = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpUpsert))
+      val deletes = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("__seq", lit(2L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpDelete))
+      graft.operators.MergeUpsert.merge(
+        base, upserts.unionByName(deletes), "doc_id", "__seq", "__op")
+    }),
     // C2 (oracle-able slice): exact 3-gram Jaccard over a contiguous id
     // range (the generator plants near-dups at adjacent ids), all pairs.
     // The corpus's planted near-dups are token-shuffled (token-set
@@ -255,6 +274,29 @@ object DedupQueries extends Registry {
              WHEN ofp = nfp THEN 'unchanged'
              ELSE 'changed' END AS status
       FROM old FULL JOIN new USING (doc_id)""",
+    "d12_merge_upsert" -> """
+      WITH base AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE doc_id % 10 <> 0
+      ), changes AS (
+        SELECT doc_id, text || ' [rev2]' AS text, lang, source, n_chars,
+               1 AS seq, 'upsert' AS op
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, text, lang, source, n_chars, 2, 'delete'
+        FROM documents WHERE doc_id % 13 = 0
+      ), latest AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY seq DESC) AS rn
+          FROM changes) WHERE rn = 1)
+      SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+        CASE WHEN l.op = 'upsert' THEN l.text ELSE b.text END AS text,
+        CASE WHEN l.op = 'upsert' THEN l.lang ELSE b.lang END AS lang,
+        CASE WHEN l.op = 'upsert' THEN l.source ELSE b.source END AS source,
+        CASE WHEN l.op = 'upsert' THEN l.n_chars ELSE b.n_chars END AS n_chars
+      FROM base b FULL JOIN latest l ON b.doc_id = l.doc_id
+      WHERE l.op IS NULL OR l.op = 'upsert'""",
     "c1_exact_dedup" -> s"""
       SELECT doc_id, text, lang, source, n_chars FROM documents
       WHERE doc_id IN (

@@ -473,9 +473,38 @@ object RelationalQueries extends Registry {
              sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
                .as("revenue"))
     }),
+    // D40: column profile — the one-scan data-quality summary run on
+    // every corpus drop before trusting it: per-column row/null/exact-
+    // distinct counts + min/max/mean for numerics (mean through an
+    // exact decimal sum, SURVEY §5.3). Mixed column types on purpose:
+    // timestamps and strings profile as counts-only.
+    "d13_column_profile" -> ((s, d) =>
+      graft.operators.ColumnProfile.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_returnflag", "l_shipdate", "l_linestatus"))),
   )
 
   val oracle: Map[String, String] = Map(
+    "d13_column_profile" -> {
+      def num(c: String) = s"""
+        SELECT '$c' AS "column", count(*) AS n_rows,
+          count(*) - count($c) AS n_nulls,
+          count(DISTINCT $c) AS n_distinct,
+          CAST(min($c) AS DOUBLE) AS min_d,
+          CAST(max($c) AS DOUBLE) AS max_d,
+          CAST(sum(CAST($c AS DECIMAL(32,6))) AS DOUBLE) / count($c) AS mean_d
+        FROM lineitem"""
+      def other(c: String) = s"""
+        SELECT '$c' AS "column", count(*) AS n_rows,
+          count(*) - count($c) AS n_nulls,
+          count(DISTINCT $c) AS n_distinct,
+          CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d,
+          CAST(NULL AS DOUBLE) AS mean_d
+        FROM lineitem"""
+      Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+        num("l_discount"), other("l_returnflag"), other("l_shipdate"),
+        other("l_linestatus")).mkString(" UNION ALL ")
+    },
     "b7_grouping_sets" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
