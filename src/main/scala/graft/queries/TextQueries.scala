@@ -477,6 +477,16 @@ object TextQueries extends Registry {
       graft.operators.Sampling.assignSplits(
         Tables.documents(s, d).select("doc_id", "lang"),
         "doc_id", SplitWeights)),
+    // C7/D41: epoch shuffle — the deterministic per-epoch corpus
+    // permutation (reproducible training order), computed with the
+    // two-level bucket scheme instead of a global sort; the oracle runs
+    // the naive single-window form of the same (bucket, rank, id)
+    // order, so the scale-safe path is pinned to the reference
+    // permutation bit-for-bit.
+    "c7_epoch_shuffle" -> ((s, d) =>
+      graft.operators.EpochShuffle.positions(
+        Tables.documents(s, d).select("doc_id"), "doc_id",
+        epoch = 3, nBuckets = 64)),
     // C7: LEAKAGE-SAFE split — keyed on the Horner hash of the SOURCE
     // domain instead of the doc id, so every doc of a domain lands in
     // the same split and near-duplicates within a crawl domain cannot
@@ -669,6 +679,11 @@ object TextQueries extends Registry {
       SELECT doc_id, lang,
         ${graft.operators.Sampling.sqlSplitExpr("doc_id", SplitWeights)}
           AS split
+      FROM documents""",
+    "c7_epoch_shuffle" -> s"""
+      SELECT doc_id,
+        ${graft.operators.EpochShuffle.sqlPositionExpr("doc_id", 3, 64)}
+          AS shuffle_pos
       FROM documents""",
     "c7_split_by_source" -> s"""
       WITH k AS (
