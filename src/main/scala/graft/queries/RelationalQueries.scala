@@ -411,6 +411,22 @@ object RelationalQueries extends Registry {
         merge = Seq(
           sum(col("rev")).cast("double").as("revenue"),
           sum(col("n")).as("n")))),
+    // D3b: skew-safe JOIN — the hot-key fact⋈dim shape: fact rows
+    // salted across 8 reducers, the dimension replicated 8×, identical
+    // result to the plain join (which is exactly what the oracle
+    // checks). The post-join agg goes through DECIMAL so the oracle is
+    // bit-exact.
+    "d3_salted_join" -> ((s, d) =>
+      graft.operators.Salted.saltedJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_extendedprice")),
+        Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        Seq("l_orderkey"), saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)"))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_lines"))),
     // D8 (beyond-survey): per-user running totals — batch twin of the
     // transformWithState (state v2) processor; the SAME pure fold runs
     // here via flatMapGroups and in StatefulRunningSpec on a RocksDB
@@ -473,6 +489,16 @@ object RelationalQueries extends Registry {
              sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
                .as("revenue"))
     }),
+    // D42: z-order key — the Morton interleave that drives the
+    // multi-dim clustering layout (ZOrder.layout); the key arithmetic
+    // itself sits under the exact oracle, the file-envelope pruning
+    // property is ZOrderSpec's job.
+    "d14_zorder_curve" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      p.select(col("p_partkey"), col("p_size"),
+        graft.operators.ZOrder.zValue(col("p_size"),
+          pmod(col("p_partkey"), lit(64L)), 6).as("z"))
+    }),
     // D40: column profile — the one-scan data-quality summary run on
     // every corpus drop before trusting it: per-column row/null/exact-
     // distinct counts + min/max/mean for numerics (mean through an
@@ -485,6 +511,11 @@ object RelationalQueries extends Registry {
   )
 
   val oracle: Map[String, String] = Map(
+    "d14_zorder_curve" -> s"""
+      SELECT p_partkey, p_size,
+        ${graft.operators.ZOrder.sqlZValue("p_size",
+          "((p_partkey % 64) + 64) % 64", 6)} AS z
+      FROM part""",
     "d13_column_profile" -> {
       def num(c: String) = s"""
         SELECT '$c' AS "column", count(*) AS n_rows,
@@ -545,6 +576,13 @@ object RelationalQueries extends Registry {
       FROM customer
       WINDOW w AS (PARTITION BY c_mktsegment
                    ORDER BY c_acctbal DESC, c_custkey ASC)""",
+    "d3_salted_join" -> """
+      SELECT o_orderpriority,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS revenue,
+        count(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""",
     "d3_salted_agg" -> """
       SELECT l_returnflag,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
