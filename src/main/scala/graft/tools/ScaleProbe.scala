@@ -44,6 +44,9 @@ object ScaleProbe {
     // per-segment executor-side fits) — replicate it the same way so
     // the probe covers training, not just dedup/ANN
     replicate("customer", "c_custkey")
+    // round-8 ops touch lineitem (column profile) and part (z-order)
+    replicate("lineitem", "l_orderkey")
+    replicate("part", "p_partkey")
     println(s"[scale] staged ${mult}x corpus at $bigDir")
 
     val queries = Seq("c2_minhash_dedup", "c2_online_dedup_twin",
@@ -59,7 +62,14 @@ object ScaleProbe {
       // BM25: fixed 10-query batch vs a 10x corpus — the three
       // corpus-side hash aggs should dominate and scale ~linearly;
       // the broadcast candidate probe must NOT grow super-linearly
-      "c3_bm25_retrieval")
+      "c3_bm25_retrieval",
+      // round-8 ops: CDC merge (agg + full-outer join — linear),
+      // epoch shuffle (bucketed windows + kilobyte offset table —
+      // linear, the offsets window is nBuckets rows at ANY corpus
+      // size), column profile (one scan + Expand for multi-distinct),
+      // z-order key (pure projection — scan-bound)
+      "d12_merge_upsert", "c7_epoch_shuffle", "d13_column_profile",
+      "d14_zorder_curve")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     queries.foreach { name =>
