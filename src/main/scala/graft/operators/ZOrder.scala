@@ -61,6 +61,32 @@ object ZOrder {
         .cast("long")))
   }
 
+  /** Quantile-based [0, 2^bits) quantizer for heavy-tailed or
+    * unknown-range dimensions: bucket boundaries from
+    * `approx_percentile` (one aggregate pass — the t-digest-style
+    * sketch merges across partitions, no sort), assignment as a
+    * codegen'd CASE chain over ≤ 2^bits literals. A linear
+    * [[bucketize]] on a power-law column would dump ~all rows into
+    * bucket 0 and the z-curve would degenerate to a sort on the other
+    * dimension; equal-frequency buckets keep every z-cell populated.
+    * Returns (quantized df column, boundaries) so a writer can persist
+    * the boundaries and quantize future batches identically. */
+  def bucketizeByQuantiles(df: DataFrame, c: Column, bits: Int)
+      : (Column, Seq[Double]) = {
+    require(bits >= 1 && bits <= 8, "quantile buckets: bits in [1, 8]")
+    val cells = 1 << bits
+    val probs = (1 until cells).map(_.toDouble / cells)
+    val row = df.select(percentile_approx(c.cast("double"),
+      array(probs.map(lit): _*), lit(10000)).as("q")).head()
+    val bounds = row.getSeq[Double](0)
+    // ascending CASE chain: bucket = count of boundaries below value
+    val q = bounds.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (b, _)) => acc + when(c.cast("double") > lit(b), 1L)
+        .otherwise(0L)
+    }
+    (q, bounds)
+  }
+
   /** Cluster `df` along the z-curve of two bucketized dimensions:
     * range-partition on the z-key (sampled bounds, one shuffle), sort
     * each partition by it, keep the key column `zCol` for inspection /

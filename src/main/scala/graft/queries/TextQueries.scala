@@ -477,6 +477,19 @@ object TextQueries extends Registry {
       graft.operators.Sampling.assignSplits(
         Tables.documents(s, d).select("doc_id", "lang"),
         "doc_id", SplitWeights)),
+    // C7: per-group fixed-size sample — exactly k docs per language
+    // (eval-set drawing: "20 random-but-reproducible docs per lang"),
+    // composed from the portable intRank (uniform, key-derived) and
+    // the skew-safe two-level TopPerGroup — a hot group spreads over
+    // 16 tasks, and the result is the naive window's, under oracle.
+    "c7_group_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("__rk",
+          graft.functions.Noise.intRank(col("doc_id"), 11))
+      graft.operators.TopPerGroup.topN(docs, "lang", "__rk", "doc_id",
+          n = 20)
+        .select(col("doc_id"), col("lang"), col("rank"))
+    }),
     // C7/D41: epoch shuffle — the deterministic per-epoch corpus
     // permutation (reproducible training order), computed with the
     // two-level bucket scheme instead of a global sort; the oracle runs
@@ -680,6 +693,13 @@ object TextQueries extends Registry {
         ${graft.operators.Sampling.sqlSplitExpr("doc_id", SplitWeights)}
           AS split
       FROM documents""",
+    "c7_group_sample" -> s"""
+      SELECT doc_id, lang, rank FROM (
+        SELECT doc_id, lang, row_number() OVER (
+          PARTITION BY lang
+          ORDER BY ${graft.functions.Noise.sqlIntRank("doc_id", 11)} DESC,
+                   doc_id ASC) AS rank
+        FROM documents) WHERE rank <= 20""",
     "c7_epoch_shuffle" -> s"""
       SELECT doc_id,
         ${graft.operators.EpochShuffle.sqlPositionExpr("doc_id", 3, 64)}

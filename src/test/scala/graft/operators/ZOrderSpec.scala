@@ -48,6 +48,22 @@ class ZOrderSpec extends SparkSpec {
     assert(rowwise.forall { case (_, dy) => dy === 63L })
   }
 
+  test("quantile bucketize spreads a power-law column; linear does not") {
+    // heavy tail: value = 2^(i/100) — linear bucketize at [0, max]
+    // crams ~94% of rows into bucket 0; quantile buckets equalize.
+    val vals = (0 until 1000).map(i => math.pow(2.0, i / 100.0)).toDF("v")
+    val mx = math.pow(2.0, 9.99)
+    val linCounts = vals.select(ZOrder.bucketize(col("v"), 0, mx, 2).as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    assert(linCounts(0L) > 700L) // degenerate: most rows in one bucket
+    val (q, bounds) = ZOrder.bucketizeByQuantiles(vals, col("v"), 2)
+    val qCounts = vals.select(q.as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    assert(qCounts.keySet === Set(0L, 1L, 2L, 3L))
+    assert(qCounts.values.forall(n => n > 200 && n < 300))
+    assert(bounds.size === 3 && bounds === bounds.sorted)
+  }
+
   test("written z-files carry prunable footer stats on both columns") {
     // Write the layout, then recompute each FILE's x/y envelope via
     // input_file_name — the parquet footer min/max a reader would skip
