@@ -73,6 +73,30 @@ def main() -> int:
             exact = "exact" if a.equals(b) else "tolerance"
             print(f"PASS {name} rows={len(a)} ({exact})")
     print(f"{len(oracle) - failures}/{len(oracle)} queries pass")
+
+    # Coverage must be a SUPERSET of the last recorded round: round 7
+    # silently lost 11 event-time queries (they failed to plan, left no
+    # output, and nothing compared the name sets). Diff against the
+    # newest committed CORRECTNESS_r*.json so a shrink is loud here
+    # before the driver ever runs.
+    import os, re
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = sorted(
+        (f for f in os.listdir(repo) if re.match(r"CORRECTNESS_r\d+\.json$", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()))
+    if rounds:
+        prev = set(json.load(open(os.path.join(repo, rounds[-1]))))
+        # compare against EVERY dumped query (oracle-backed and
+        # rows-only alike) — the prior artifact contains both kinds
+        cur = {d for d in os.listdir(outdir)
+               if os.path.isdir(os.path.join(outdir, d))}
+        lost = sorted(prev - cur)
+        if lost:
+            print(f"COVERAGE SHRANK vs {rounds[-1]}: lost {len(lost)}: "
+                  + ", ".join(lost))
+            failures += len(lost)
+        else:
+            print(f"coverage ⊇ {rounds[-1]} ({len(prev)} prior, {len(cur)} now)")
     return 1 if failures else 0
 
 

@@ -201,6 +201,36 @@ class PlanQualitySpec extends SparkSpec {
         .mkString("\n"))
   }
 
+  test("partitioned layout + selective dim filter → dynamic partition pruning") {
+    // The runtime half of the pruning story: a fact table laid out with
+    // TableSink.writePartitioned, joined to a dimension on the
+    // partition column with a selective filter on the dim, must get a
+    // DYNAMIC partition filter on the fact scan — Spark builds the dim
+    // side first and skips whole fact partitions at run time. At 100 TB
+    // this is the difference between scanning one month and scanning
+    // the table when the month list comes from a subquery, not a
+    // literal.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    graft.sources.TableSink.writePartitioned(
+      graft.Tables.orders(spark, sf0001)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM")),
+      s"$dir/orders_m", Seq("month"))
+    val fact = spark.read.parquet(s"$dir/orders_m")
+    val dim = fact.select("month").distinct()
+      .withColumn("is_audit", col("month").endsWith("-03"))
+    val q = fact.join(dim.filter(col("is_audit")), "month")
+      .groupBy(col("month")).agg(count(lit(1)).as("n"))
+    q.collect()
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no dynamic partition pruning on the fact scan:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters"))
+          .mkString("\n"))
+  }
+
   test("domain mixture: corpus is scanned and filtered, never shuffled") {
     // the only Exchanges allowed are for the tiny per-stratum counts
     // aggregation (and its scalar min); the corpus-side probe must be
