@@ -102,6 +102,24 @@ object MultimodalQueries extends Registry {
         .select(col("asset_id"), col("format"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
+    // C6: MULTI-FRAME decode under the exact oracle — animated GIF
+    // (the JDK's closest thing to video): per-frame grayscale means of
+    // the 256-gray-palette fixture are the closed form
+    // (asset_id + 7·frame + p) mod 256, encoded losslessly because the
+    // fixture's own IndexColorModel becomes the GIF color table. One
+    // row per decoded frame — the unit of frame-level corpus work.
+    "c6_gif_frames" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 30).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.gifFixtureBytes(
+          (4 + id % 5).toInt, (3 + id % 4).toInt, (2 + id % 3).toInt, id)))
+        .toDF("asset_id", "payload")
+      Multimodal.decodeImageFrames(fixture)
+        .select(col("asset_id"), col("frame_idx"), col("format"),
+          col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
     // C6 rows-only: JPEG decode — lossy, so pixel values are
     // decoder-deterministic within one JDK but not a cross-engine
     // closed form; MultimodalSpec bounds the means against the source
@@ -193,6 +211,28 @@ object MultimodalQueries extends Registry {
         md5(frames[1]) AS first_md5,
         md5(frames[-1]) AS last_md5
       FROM f""",
+    "c6_gif_frames" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+               CAST(4 + doc_id % 5 AS BIGINT) AS width,
+               CAST(3 + doc_id % 4 AS BIGINT) AS height,
+               CAST(2 + doc_id % 3 AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id < 30
+      ), fr AS (
+        SELECT asset_id, width, height, CAST(u.f AS BIGINT) AS frame_idx
+        FROM f, unnest(range(0, n_frames)) AS u(f)
+      )
+      SELECT asset_id, frame_idx, 'gif' AS format, width, height,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 7 * frame_idx + p) % 256)) AS DOUBLE)
+          / (width * height) AS mean_r,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 7 * frame_idx + p) % 256)) AS DOUBLE)
+          / (width * height) AS mean_g,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 7 * frame_idx + p) % 256)) AS DOUBLE)
+          / (width * height) AS mean_b
+      FROM fr""",
     "c6_image_decode" -> """
       WITH f AS (
         SELECT doc_id AS asset_id,

@@ -277,4 +277,33 @@ class MultimodalSpec extends SparkSpec {
     assert(small.filter(col("resized") =!= col("payload")).count() === 0)
     assert(resized.count() === assets.count())
   }
+
+  test("animated GIF frames decode losslessly to the closed form") {
+    for ((w, h, n, seed) <- Seq((4, 3, 1, 0L), (5, 4, 3, 7L),
+        (8, 6, 4, 250L))) {
+      val frames = Multimodal.decodeFrames(
+        Multimodal.gifFixtureBytes(w, h, n, seed))
+        .getOrElse(fail(s"no frames for ($w,$h,$n,$seed)"))
+      assert(frames.size === n)
+      frames.foreach { fi =>
+        assert(fi.format === "gif" && fi.width === w && fi.height === h)
+        val expected = (0 until w * h)
+          .map(p => (seed + 7L * fi.frameIdx + p) % 256).sum.toDouble / (w * h)
+        assert(fi.meanR === expected, s"frame ${fi.frameIdx}")
+        assert(fi.meanG === expected && fi.meanB === expected)
+      }
+    }
+  }
+
+  test("decodeFrames: single-frame formats give one frame; junk gives none") {
+    val png = Multimodal.imageFixtureBytes(4, 3, 5L, "png")
+    val fs = Multimodal.decodeFrames(png).get
+    assert(fs.size === 1 && fs.head.format === "png")
+    assert(Multimodal.decodeFrames("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeFrames(Array.emptyByteArray).isEmpty)
+    // truncated GIF: header survives, frame data does not — never throws
+    val gif = Multimodal.gifFixtureBytes(4, 3, 2, 1L)
+    val truncated = gif.take(gif.length / 3)
+    Multimodal.decodeFrames(truncated) // must not throw
+  }
 }
