@@ -477,6 +477,33 @@ object TextQueries extends Registry {
       graft.operators.Sampling.assignSplits(
         Tables.documents(s, d).select("doc_id", "lang"),
         "doc_id", SplitWeights)),
+    // C7 rows-only (trained model → float-order ~1e-12 coefficient
+    // jitter, per the SparkEntry contract): the fastText-pattern
+    // TRAINED quality filter — weak labels from the corpus (clean = 1)
+    // vs synthesized crawl junk (digit soup / char runs / hash noise,
+    // label 0), logistic regression over the deterministic text
+    // signals, then P(clean) per real doc. Semantics pinned in
+    // QualityClassifierSpec (holdout accuracy, junk margin).
+    "c7_lr_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clean = docs.select(col("doc_id"), col("text"))
+        .withColumn("label", lit(1.0))
+      val junk = s.range(0, 200).select(
+        (col("id") + 1000000L).as("doc_id"),
+        when(col("id") % 3 === 0,
+          repeat(concat(pmod(col("id") * 7919, lit(100000))
+            .cast("string"), lit(" ")), 40))
+          .when(col("id") % 3 === 1, repeat(lit("z"), 300))
+          .otherwise(repeat(concat(lit("xq"),
+            pmod(col("id") * 104729, lit(997)).cast("string"), lit(" ")),
+            60)).as("text"),
+        lit(0.0).as("label"))
+      val model = graft.ml.QualityClassifier.train(
+        clean.unionByName(junk), "text", "label")
+      graft.ml.QualityClassifier.score(
+          docs.select(col("doc_id"), col("text")), "text", model)
+        .select(col("doc_id"), round(col("lr_quality"), 2).as("lr_quality"))
+    }),
     // C7: per-group fixed-size sample — exactly k docs per language
     // (eval-set drawing: "20 random-but-reproducible docs per lang"),
     // composed from the portable intRank (uniform, key-derived) and

@@ -40,4 +40,47 @@ object TableSink {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** COMPACTION — the small-files fix every long-lived ingest needs:
+    * streaming sinks, per-batch CDC rewrites and fine-grained
+    * partitions leave thousands of KB-sized parquet files, and at
+    * 100 TB the per-file open/footer/task overhead comes to dominate
+    * scans (and object-store listing). Rewrites `srcDir` to `dstDir`
+    * with file count chosen from the MEASURED input bytes
+    * (`ceil(bytes / targetBytes)`, so output files land near the
+    * 128–512 MB sweet spot), preserving the row data bit-for-bit.
+    * One shuffle-less coalesce when shrinking file count — plus an
+    * optional `sortCol` to restore clustering (z-key, time), which
+    * upgrades the coalesce to a range repartition.
+    * Returns (filesBefore, filesAfter). Compact into a NEW directory
+    * and swap atomically at the catalog/manifest level — in-place
+    * compaction under concurrent readers is a table-format feature,
+    * not a filesystem one. */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+              dstDir: String, targetBytes: Long = 256L << 20,
+              sortCol: Option[String] = None): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) out += f
+      }
+      out.result()
+    }
+    val before = dataFiles(srcDir)
+    val nOut = math.max(1,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(srcDir)
+    val laid = sortCol match {
+      case Some(c) => df.repartitionByRange(nOut,
+        org.apache.spark.sql.functions.col(c))
+      case None    => df.coalesce(nOut)
+    }
+    laid.write.mode(SaveMode.Overwrite).parquet(dstDir)
+    (before.size, dataFiles(dstDir).size)
+  }
 }

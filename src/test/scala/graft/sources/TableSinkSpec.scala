@@ -57,4 +57,36 @@ class TableSinkSpec extends SparkSpec {
       assert(rows.map(r => (r.getLong(0), r.getString(1))).toSet === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("compact: shrinks a many-small-files table, content bit-identical") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables.lineitem(spark, sf0001)
+    // stage a pathological layout: 64 tiny files
+    li.repartition(64).write.mode("overwrite").parquet(s"$tmp/li_small")
+    val (before, after) = TableSink.compact(spark, s"$tmp/li_small",
+      s"$tmp/li_compacted", targetBytes = 1L << 20)
+    assert(before === 64)
+    assert(after < 16, s"expected far fewer files, got $after")
+    val a = spark.read.parquet(s"$tmp/li_small")
+    val b = spark.read.parquet(s"$tmp/li_compacted")
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("compact with sortCol restores clustering (disjoint file ranges)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf0001)
+    li.repartition(32).write.mode("overwrite").parquet(s"$tmp/li_shuffled")
+    TableSink.compact(spark, s"$tmp/li_shuffled", s"$tmp/li_sorted",
+      targetBytes = 200L << 10, sortCol = Some("l_orderkey"))
+    val ranges = spark.read.parquet(s"$tmp/li_sorted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .select("lo", "hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(ranges.size > 1, "want multiple files to check disjointness")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping file ranges: $ranges")
+    }
+  }
 }
