@@ -69,7 +69,10 @@ object ScaleProbe {
       // size), column profile (one scan + Expand for multi-distinct),
       // z-order key (pure projection — scan-bound)
       "d12_merge_upsert", "c7_epoch_shuffle", "d13_column_profile",
-      "d14_zorder_curve")
+      "d14_zorder_curve",
+      // trained quality filter: 50 treeAggregate gradient passes over
+      // the replicated corpus + one scoring scan — should be ~linear
+      "c7_lr_quality")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     queries.foreach { name =>
