@@ -74,22 +74,38 @@ def main() -> int:
             print(f"PASS {name} rows={len(a)} ({exact})")
     print(f"{len(oracle) - failures}/{len(oracle)} queries pass")
 
+    # Any query Verify recorded as FAILED fails this gate too — a
+    # rows-only query (no oracle entry) that threw would otherwise be
+    # invisible to the exit code (its _verify_error placeholder dir
+    # even counts as "present").
+    import os, re
+    try:
+        verrs = json.load(open(f"{outdir}/verify_errors.json"))
+    except Exception:
+        verrs = {}
+    if verrs:
+        print(f"VERIFY ERRORS ({len(verrs)}): " + ", ".join(sorted(verrs)))
+        failures += len(verrs)
+
     # Coverage must be a SUPERSET of the last recorded round: round 7
     # silently lost 11 event-time queries (they failed to plan, left no
     # output, and nothing compared the name sets). Diff against the
     # newest committed CORRECTNESS_r*.json so a shrink is loud here
-    # before the driver ever runs.
-    import os, re
+    # before the driver ever runs. The current set comes from
+    # query_names.json (what THIS run actually executed) — directory
+    # listing alone would count stale dirs from a previous Verify into
+    # the same outdir as coverage.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = sorted(
         (f for f in os.listdir(repo) if re.match(r"CORRECTNESS_r\d+\.json$", f)),
         key=lambda f: int(re.search(r"\d+", f).group()))
     if rounds:
         prev = set(json.load(open(os.path.join(repo, rounds[-1]))))
-        # compare against EVERY dumped query (oracle-backed and
-        # rows-only alike) — the prior artifact contains both kinds
-        cur = {d for d in os.listdir(outdir)
-               if os.path.isdir(os.path.join(outdir, d))}
+        try:
+            cur = set(json.load(open(f"{outdir}/query_names.json")))
+        except Exception:
+            cur = {d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d))}
         lost = sorted(prev - cur)
         if lost:
             print(f"COVERAGE SHRANK vs {rounds[-1]}: lost {len(lost)}: "

@@ -29,6 +29,11 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like every other entry point: the events TIMESTAMP_NTZ→LTZ
+      // normalization is session-timezone-dependent, and a bench that
+      // loads shifted timestamps times DIFFERENT work than the
+      // verified queries (different rows pass the ts filters)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

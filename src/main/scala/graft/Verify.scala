@@ -56,6 +56,11 @@ object Verify {
     val errJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // the query set THIS run executed — lets the dev gate detect
+    // coverage shrink without trusting (possibly stale) output dirs
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .map(q).mkString("[", ",", "]"))
     if (failed.nonEmpty) System.err.println(
       s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()

@@ -44,10 +44,19 @@ object MergeUpsert {
   def merge(base: DataFrame, changes: DataFrame, idCol: String,
             seqCol: String, opCol: String): DataFrame = {
     val payload = base.columns.filter(_ != idCol).toSeq
+    // Unknown ops fail LOUDLY at execution: without this, anything that
+    // is not exactly 'upsert' wins the arg-max and then silently falls
+    // through the keep-filter — a changelog writing 'update' or
+    // 'UPSERT' would erase its rows from the snapshot as if deleted.
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isin(OpUpsert, OpDelete), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"MergeUpsert: unknown op (expected '$OpUpsert' or " +
+            s"'$OpDelete'): "), col(opCol)))))
     // Latest change per id as ONE aggregate: struct comparison orders
     // by seq first, so max() is arg-max-by-seq with deterministic
     // (op, payload) tie-breaks on equal seqs.
-    val latest = changes
+    val latest = checked
       .groupBy(col(idCol))
       .agg(max(struct(
         (col(seqCol) +: col(opCol) +: payload.map(col)): _*)).as("__c"))

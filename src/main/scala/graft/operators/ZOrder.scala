@@ -78,6 +78,10 @@ object ZOrder {
     val probs = (1 until cells).map(_.toDouble / cells)
     val row = df.select(percentile_approx(c.cast("double"),
       array(probs.map(lit): _*), lit(10000)).as("q")).head()
+    // percentile_approx of zero non-null values is NULL — fail with a
+    // real message instead of an NPE at the fold below
+    require(!row.isNullAt(0),
+      "bucketizeByQuantiles: no non-null values to quantize")
     val bounds = row.getSeq[Double](0)
     // ascending CASE chain: bucket = count of boundaries below value
     val q = bounds.zipWithIndex.foldLeft(lit(0L)) {

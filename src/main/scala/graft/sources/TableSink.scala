@@ -60,10 +60,12 @@ object TableSink {
               dstDir: String, targetBytes: Long = 256L << 20,
               sortCol: Option[String] = None): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      // filesystem FROM the path (FileSystem.get = default scheme only,
+      // wrong for the object-store tables this is written for)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
       val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
       while (it.hasNext) {
         val f = it.next()

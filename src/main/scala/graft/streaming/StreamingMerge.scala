@@ -54,7 +54,9 @@ object StreamingMerge {
     val withB = base.withColumn(BucketCol, bucketOf(idCol, nBuckets))
     withB.repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(dir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    // resolve the filesystem FROM the path: FileSystem.get returns the
+    // DEFAULT scheme and breaks for any table on s3a://, file://, etc.
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       base.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(s"$dir/$SchemaFile"), true)
@@ -64,9 +66,8 @@ object StreamingMerge {
   private val SchemaFile = "_graft_schema.json"
 
   private def readWithSchema(spark: SparkSession, dir: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$dir/$SchemaFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
@@ -98,32 +99,33 @@ object StreamingMerge {
       withBucket.drop(BucketCol), idCol, seqCol, opCol)
       .withColumn(BucketCol, bucketOf(idCol, nBuckets))
       .persist()
-    val prev = spark.conf.getOption(
-      "spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      merged.repartition(col(BucketCol))
-        .write.mode("overwrite").partitionBy(BucketCol).parquet(dir)
-      // Dynamic overwrite only replaces partitions PRESENT in the
-      // output: a bucket whose every row was deleted writes nothing
-      // and would keep its stale files. Drop those directories
-      // explicitly (the set is bounded by the touched-bucket list).
+      // MATERIALIZE the merge before overwriting the directory it was
+      // read from — the remaining-bucket collect below runs the plan
+      // to completion, so the subsequent write consumes the cache, not
+      // the files it is about to replace. (Relying on lazy cache
+      // substitution here would make self-overwrite safety an
+      // implementation detail.) The collect is bounded: ≤ nBuckets
+      // rows. Doubles as the stale-bucket census — dynamic overwrite
+      // only replaces partitions PRESENT in the output, so a bucket
+      // whose every row was deleted writes nothing and must have its
+      // directory dropped explicitly.
       val remaining = merged.select(BucketCol).distinct()
         .collect().map(_.getLong(0)).toSet
-      val fs = org.apache.hadoop.fs.FileSystem.get(
+      // per-WRITE dynamic mode, not the session conf: a session-global
+      // set/restore races with concurrent writers in the same session
+      // (a restore flipping the mode to static mid-plan would turn the
+      // scoped overwrite into whole-table deletion)
+      merged.repartition(col(BucketCol))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol).parquet(dir)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       touched.filterNot(remaining).foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$BucketCol=$b"), true)
       }
-    } finally {
-      merged.unpersist()
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    } finally merged.unpersist()
   }
 
   /** Start the maintainer: every micro-batch of `changeStream` folds

@@ -22,6 +22,7 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -60,6 +60,18 @@ class MergeUpsertSpec extends SparkSpec {
     assert(rows(MergeUpsert.merge(base, c2, "id", "seq", "op"))(2L) === "b")
   }
 
+  test("unknown ops fail loudly instead of silently deleting") {
+    val bad = changes((2L, "two v2", 1L, "update")) // common CDC synonym
+    val ex = intercept[Exception] {
+      MergeUpsert.merge(base, bad, "id", "seq", "op").collect()
+    }
+    assert(ex.getMessage != null)
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(t =>
+        Option(t.getMessage).toSeq ++ msgs(t.getCause))
+    assert(msgs(ex).exists(_.contains("unknown op")), msgs(ex).mkString("; "))
+  }
+
   test("merge(base, diff-derived changelog) round-trips a snapshot") {
     // Rebuild `new` from `old` + a changelog derived from the two
     // snapshots — the inverse relationship with SnapshotDiff.

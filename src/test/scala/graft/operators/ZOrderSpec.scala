@@ -64,6 +64,14 @@ class ZOrderSpec extends SparkSpec {
     assert(bounds.size === 3 && bounds === bounds.sorted)
   }
 
+  test("quantile bucketize on empty/all-null input fails with a clear message") {
+    val empty = Seq.empty[Double].toDF("v")
+    val ex = intercept[IllegalArgumentException] {
+      ZOrder.bucketizeByQuantiles(empty, col("v"), 2)
+    }
+    assert(ex.getMessage.contains("no non-null values"))
+  }
+
   test("written z-files carry prunable footer stats on both columns") {
     // Write the layout, then recompute each FILE's x/y envelope via
     // input_file_name — the parquet footer min/max a reader would skip
