@@ -214,6 +214,25 @@ object DedupQueries extends Registry {
           "doc_id", "text", spanTokens = 8)
         .select(col("doc_id"), col("n_spans"), col("n_kept"),
           md5(col("clean_text")).as("clean_md5"))),
+    // C1e: fuzzy record linkage via symmetric deletes (graft.dedup.
+    // SymSpell) — customer names matched against a deterministically
+    // corrupted twin (one digit deleted at a key-derived position, the
+    // same substring surgery in both engines), edit distance ≤ 1. The
+    // oracle is the naive all-pairs levenshtein filter, so blocking
+    // losslessness itself sits under the hash check.
+    "c1_fuzzy_pairs" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val orig = cust.select(col("c_custkey").as("orig_key"),
+        col("c_name").as("orig_name"))
+      val corrupted = cust.select(col("c_custkey").as("cand_key"),
+        concat(
+          expr("substring(c_name, 1, 9 + cast(c_custkey % 9 as int))"),
+          expr("substring(c_name, 11 + cast(c_custkey % 9 as int), 100)"))
+          .as("cand_name"))
+      graft.dedup.SymSpell.fuzzyJoin(
+        orig, "orig_key", "orig_name",
+        corrupted, "cand_key", "cand_name", maxDist = 1)
+    }),
   )
 
   private def toks = TextQueries.sqlToks("text")
@@ -494,5 +513,16 @@ object DedupQueries extends Registry {
     // c2_decontaminate_hashed: xxhash64-based — no engine-portable SQL;
     // covered by ScalaTest invariants (the hashed decontamination path
     // is asserted row-identical to the oracled exact path).
+    "c1_fuzzy_pairs" -> """
+      WITH corr AS (
+        SELECT c_custkey AS cand_key,
+          substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
+            || substring(c_name, CAST(11 + c_custkey % 9 AS INT), 100)
+            AS cand_name
+        FROM customer)
+      SELECT a.c_custkey AS orig_key, corr.cand_key,
+        CAST(levenshtein(a.c_name, corr.cand_name) AS BIGINT) AS dist
+      FROM customer a CROSS JOIN corr
+      WHERE levenshtein(a.c_name, corr.cand_name) <= 1""",
   )
 }

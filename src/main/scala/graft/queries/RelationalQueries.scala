@@ -508,6 +508,30 @@ object RelationalQueries extends Registry {
       graft.operators.ColumnProfile.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
           "l_returnflag", "l_shipdate", "l_linestatus"))),
+    // D47: declarative constraint checks (the Deequ pattern) — the
+    // data-contract gate run on every drop. Mixed pass/fail on
+    // purpose: the in_range bound and the status regex are tightened
+    // until real rows violate them, so the report shape (violations>0,
+    // passed=false) sits under the oracle too. Row-level checks fuse
+    // into ONE scan; unique adds a key agg; ref_integrity an anti join.
+    "d15_constraint_checks" -> ((s, d) => {
+      import graft.operators.Checks._
+      graft.operators.Checks.run(Tables.orders(s, d), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 300000.0),
+        Accepted("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")),
+        Matches("o_orderstatus", "^[FO]$"),
+        Satisfies("positive_price", col("o_totalprice") > 0),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", Tables.customer(s, d), "c_custkey")))
+    }),
+    // D48: funnel analysis — ordered signup → click → purchase
+    // conversion over the event log; strict first-touch ordering, one
+    // shuffle total (chained whole-partition window minima).
+    "d16_funnel" -> ((s, d) =>
+      graft.operators.Funnel.funnel(Tables.events(s, d),
+        Seq("signup", "click", "purchase"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -863,5 +887,81 @@ object RelationalQueries extends Registry {
              se.s AS session_start, se.n_events
       FROM events ev JOIN sess se
         ON ev.user_id = se.user_id AND ev.ts BETWEEN se.s AND se.e""",
+    "d15_constraint_checks" -> """
+      SELECT 'not_null' AS "check", 'o_custkey' AS target,
+        count(*) AS n_rows,
+        count(*) - count(o_custkey) AS violations,
+        count(*) - count(o_custkey) = 0 AS passed
+      FROM orders
+      UNION ALL
+      SELECT 'in_range', 'o_totalprice', count(*),
+        CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+          AND (o_totalprice < 0 OR o_totalprice > 300000)
+          THEN 1 ELSE 0 END), 0) AS BIGINT),
+        CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+          AND (o_totalprice < 0 OR o_totalprice > 300000)
+          THEN 1 ELSE 0 END), 0) AS BIGINT) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'accepted_values', 'o_orderpriority', count(*),
+        CAST(coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL
+          AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+            '4-NOT SPECIFIED', '5-LOW') THEN 1 ELSE 0 END), 0) AS BIGINT),
+        CAST(coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL
+          AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+            '4-NOT SPECIFIED', '5-LOW') THEN 1 ELSE 0 END), 0) AS BIGINT) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'matches_regex', 'o_orderstatus', count(*),
+        CAST(coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL
+          AND NOT regexp_matches(o_orderstatus, '^[FO]$')
+          THEN 1 ELSE 0 END), 0) AS BIGINT),
+        CAST(coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL
+          AND NOT regexp_matches(o_orderstatus, '^[FO]$')
+          THEN 1 ELSE 0 END), 0) AS BIGINT) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'satisfies', 'positive_price', count(*),
+        CAST(coalesce(sum(CASE WHEN NOT coalesce(o_totalprice > 0, TRUE)
+          THEN 1 ELSE 0 END), 0) AS BIGINT),
+        CAST(coalesce(sum(CASE WHEN NOT coalesce(o_totalprice > 0, TRUE)
+          THEN 1 ELSE 0 END), 0) AS BIGINT) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'unique', 'o_orderkey', count(*),
+        count(o_orderkey) - count(DISTINCT o_orderkey),
+        count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'ref_integrity', 'o_custkey',
+        (SELECT count(*) FROM orders),
+        (SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND o.o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL)),
+        (SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND o.o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL)) = 0""",
+    "d16_funnel" -> """
+      WITH f AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('signup', 'click', 'purchase')
+      ), w1 AS (
+        SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+          OVER (PARTITION BY user_id) AS t0 FROM f
+      ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+          OVER (PARTITION BY user_id) AS t1 FROM w1
+      ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+          OVER (PARTITION BY user_id) AS t2 FROM w2
+      ), u AS (SELECT DISTINCT user_id, t0, t1, t2 FROM w3)
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+             count(t0) AS n_users FROM u
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', count(t1) FROM u
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', count(t2) FROM u""",
   )
 }
