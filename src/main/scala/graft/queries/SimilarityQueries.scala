@@ -149,6 +149,29 @@ object SimilarityQueries extends Registry {
         .agg((sum(round(col("v"), 6).cast("decimal(28,6)")).cast("double") /
               count(lit(1))).as("centroid"),
              count(lit(1)).as("n_vecs"))),
+    // C3: exact k-means assignment step (graft.ml.KMeansLloyd) — the
+    // integer micro-unit grid makes every distance a BIGINT, so the
+    // full argmin (ties → lower cluster id) sits under the oracle
+    // bit-for-bit. Initial centroids = the 8 lowest-id vectors.
+    "c3_kmeans_assign" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val init = graft.ml.KMeansLloyd.initialCentroids(
+        emb, "vec_id", "embedding", k = 8)
+      graft.ml.KMeansLloyd.assignExact(emb, "vec_id", "embedding", init)
+    }),
+    // C3: full distributed Lloyd fit (5 iterations) — deterministic by
+    // construction (integer-grid updates, RNG-free seeding) but the
+    // real-valued centroids of iterations ≥ 2 aren't SQL-portable, so
+    // the driver records rows-only; KMeansSpec pins the semantics
+    // (≡ driver-side reference run, layout invariance, inertia
+    // monotonicity).
+    "c3_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.ml.KMeansLloyd.fit(emb, "vec_id", "embedding",
+        k = 8, iters = 5)
+      graft.ml.KMeansLloyd.transform(emb, "vec_id", "embedding", model)
+        .select(col("vec_id"), col("cluster"), round(col("d2"), 3).as("d2"))
+    }),
   )
 
   /** Shared cosine SQL: round(dot/(|a||b|), 6) with zero-denominator
@@ -253,5 +276,29 @@ object SimilarityQueries extends Registry {
     },
     // c3_ann_topk: hyperplane constants impractical to embed portably —
     // recall tested against the exact baseline in CosineSpec.
+    // c3_kmeans: iteration-2+ centroids are driver-computed reals — not
+    // SQL-expressible; pinned by KMeansSpec instead (≡ driver
+    // reference, layout invariance, inertia decreasing).
+    "c3_kmeans_assign" -> """
+      WITH q AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings
+      ), c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+        FROM q ORDER BY vec_id LIMIT 8
+      ), d AS (
+        SELECT q.vec_id, c.cid,
+          CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN c
+      )
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist AS d2
+      FROM (SELECT vec_id, cid, dist,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+            FROM d)
+      WHERE rn = 1""",
   )
 }
