@@ -532,6 +532,24 @@ object RelationalQueries extends Registry {
     "d16_funnel" -> ((s, d) =>
       graft.operators.Funnel.funnel(Tables.events(s, d),
         Seq("signup", "click", "purchase"))),
+    // B12d: NATIVE session_window sessionization — the same streaming
+    // operator (EventStreams.sessionize, stream ≡ batch in
+    // EventStreamsSpec) run in batch under an oracle. Differs from
+    // b12_sessionization's lag/sum form in break semantics (gap ≥ 10
+    // min splits here, > splits there) and in emitting window.end =
+    // last event + gap — the oracle encodes session_window's rules.
+    "b12_session_window" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionize(Tables.events(s, d))),
+    // D49: time-series resample + forward fill — dense per-user hourly
+    // grid with explicit zero rows and last-known value carry-forward.
+    "d17_gap_fill" -> ((s, d) =>
+      graft.operators.GapFill.resampleFfill(Tables.events(s, d),
+        "user_id", "ts", "value")),
+    // D50: equi-width histogram with explicit empty/under/overflow
+    // buckets; 22 × 5000-wide buckets so every edge is an exact double.
+    "d18_histogram" -> ((s, d) =>
+      graft.operators.Histogram.equiWidth(Tables.lineitem(s, d),
+        "l_extendedprice", 0.0, 110000.0, 22)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -963,5 +981,62 @@ object RelationalQueries extends Registry {
       SELECT CAST(2 AS BIGINT), 'click', count(t1) FROM u
       UNION ALL
       SELECT CAST(3 AS BIGINT), 'purchase', count(t2) FROM u""",
+    "b12_session_window" -> """
+      WITH ordered AS (
+        SELECT user_id, ts, value,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+      ), marked AS (
+        SELECT *, CASE WHEN prev IS NULL
+            OR epoch_us(ts) - epoch_us(prev) >= 600000000
+          THEN 1 ELSE 0 END AS brk
+        FROM ordered
+      ), sess AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT min(ts) AS session_start,
+        max(ts) + INTERVAL 10 MINUTE AS session_end,
+        user_id, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sess GROUP BY user_id, sid""",
+    "d17_gap_fill" -> """
+      WITH b AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+      ), g AS (
+        SELECT user_id,
+          unnest(generate_series(min(bucket), max(bucket),
+                                 INTERVAL 1 HOUR)) AS bucket
+        FROM b GROUP BY user_id
+      )
+      SELECT g.user_id, g.bucket,
+        coalesce(b.n_events, 0) AS n_events,
+        last_value(b.v IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+      FROM g LEFT JOIN b
+        ON g.user_id = b.user_id AND g.bucket = b.bucket""",
+    "d18_histogram" -> """
+      WITH c AS (
+        SELECT CASE WHEN l_extendedprice < 0 THEN CAST(-1 AS BIGINT)
+                    WHEN l_extendedprice >= 110000 THEN CAST(22 AS BIGINT)
+                    ELSE CAST(floor(l_extendedprice / 5000.0e0) AS BIGINT)
+               END AS bucket,
+               count(*) AS n_rows
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1
+      ), s AS (
+        SELECT CAST(unnest(generate_series(-1, 22)) AS BIGINT) AS bucket
+      )
+      SELECT s.bucket,
+        CASE WHEN s.bucket BETWEEN 0 AND 21
+             THEN 0.0e0 + s.bucket * 5000.0e0 END AS lo_edge,
+        CASE WHEN s.bucket BETWEEN 0 AND 21
+             THEN 0.0e0 + (s.bucket + 1) * 5000.0e0 END AS hi_edge,
+        coalesce(c.n_rows, 0) AS n_rows
+      FROM s LEFT JOIN c ON s.bucket = c.bucket""",
   )
 }
