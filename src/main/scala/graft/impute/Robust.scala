@@ -1,0 +1,60 @@
+package graft.impute
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ROBUST (PERCENTILE-BASED) PREPROCESSING — the outlier-tolerant
+  * companions to Scaling's min-max: winsorization clips a value column
+  * at per-group percentile fences (corrupt magnitudes stop dominating
+  * sums and fitted scales), robust scaling centers on the median and
+  * divides by the IQR (one wild value cannot move the transform the
+  * way it moves mean/min/max). Both are standard tabular-ML prep the
+  * upstream's min-max path has no answer for when data is dirty —
+  * which is the whole premise of a cleaning library.
+  *
+  * Determinism (SURVEY §5.3): fences/median/IQR are EXACT interpolated
+  * (type-7) quantiles — identical in Spark (`percentile`) and DuckDB
+  * (`quantile_cont`) — rounded to the 4-dp grid before use, so every
+  * derived threshold and every scaled value is a double op on
+  * identical operands in both engines.
+  *
+  * Scale shape: one grouped percentile aggregate over the value column
+  * (the only pass over the big table; percentile is a sort-based agg
+  * per group — groups are small in count, so the stats frame is tiny),
+  * broadcast-joined back, then a codegen'd projection. Same
+  * stats-attach pattern as MeanImpute/Scaling — PlanQualitySpec
+  * asserts the broadcast.
+  */
+object Robust {
+
+  /** Clip `valueCol` into its per-group [loP, hiP] percentile fences.
+    * Output: input columns + `<valueCol>_clipped`. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP < hiP)
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(round(expr(s"percentile($valueCol, $loP)"), 4).as("__lo"),
+        round(expr(s"percentile($valueCol, $hiP)"), 4).as("__hi"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** Median/IQR scaling: (x − p50) / (p75 − p25) per group, rounded to
+    * the 6-dp grid. Degenerate groups (IQR = 0) scale to 0 rather than
+    * NaN. Output: input columns + `<valueCol>_scaled`. */
+  def robustScale(df: DataFrame, valueCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("__med"),
+        (round(expr(s"percentile($valueCol, 0.75)"), 4) -
+          round(expr(s"percentile($valueCol, 0.25)"), 4)).as("__iqr"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(s"${valueCol}_scaled",
+        when(col("__iqr") === 0, lit(0.0))
+          .otherwise(round((col(valueCol).cast("double") - col("__med"))
+            / col("__iqr"), 6)))
+      .drop("__med", "__iqr")
+  }
+}

@@ -108,6 +108,20 @@ object ImputeQueries extends Registry {
         .setMaxEpochs(8).setLearnRate(0.5)
         .fit(withMissing).transform(withMissing)
     }),
+    // C8b: robust prep (graft.impute.Robust) — winsorization clips at
+    // per-group percentile fences, robust scaling centers on median /
+    // IQR; both use exact type-7 quantiles on the 4-dp grid, so the
+    // whole transform sits under the oracle.
+    "c8_winsorize" -> ((s, d) =>
+      graft.impute.Robust.winsorize(
+          Tables.lineitem(s, d).select("l_orderkey", "l_returnflag",
+            "l_extendedprice"),
+          "l_extendedprice", Seq("l_returnflag"))),
+    "c8_robust_scale" -> ((s, d) =>
+      graft.impute.Robust.robustScale(
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment",
+            "c_acctbal"),
+          "c_acctbal", Seq("c_mktsegment"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -126,5 +140,27 @@ object ImputeQueries extends Registry {
       "customer", customerCols, "c_acctbal", "c_mktsegment", "c_custkey", salt = 31),
     // impute_customer_rbm / _tuned / _distributed / c8_segment_rbm /
     // clean_api: stochastic training — no SQL oracle by design
+    "c8_winsorize" -> """
+      WITH t AS (
+        SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.05e0), 4) AS lo,
+          round(quantile_cont(l_extendedprice, 0.95e0), 4) AS hi
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_returnflag, l.l_orderkey, l.l_extendedprice,
+        least(greatest(l.l_extendedprice, t.lo), t.hi)
+          AS l_extendedprice_clipped
+      FROM lineitem l JOIN t USING (l_returnflag)""",
+    "c8_robust_scale" -> """
+      WITH t AS (
+        SELECT c_mktsegment,
+          round(quantile_cont(c_acctbal, 0.5e0), 4) AS med,
+          round(quantile_cont(c_acctbal, 0.75e0), 4)
+            - round(quantile_cont(c_acctbal, 0.25e0), 4) AS iqr
+        FROM customer GROUP BY c_mktsegment)
+      SELECT c.c_mktsegment, c.c_custkey, c.c_acctbal,
+        CASE WHEN t.iqr = 0 THEN 0.0e0
+             ELSE round((c.c_acctbal - t.med) / t.iqr, 6)
+        END AS c_acctbal_scaled
+      FROM customer c JOIN t USING (c_mktsegment)""",
   )
 }

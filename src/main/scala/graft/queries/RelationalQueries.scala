@@ -550,6 +550,20 @@ object RelationalQueries extends Registry {
     "d18_histogram" -> ((s, d) =>
       graft.operators.Histogram.equiWidth(Tables.lineitem(s, d),
         "l_extendedprice", 0.0, 110000.0, 22)),
+    // B8c: TIME-range window frame — trailing 1-hour per-user activity
+    // (sliding feature windows keyed on event time, not row position).
+    // Spark's rangeBetween needs a numeric sort key: integer
+    // microseconds, [-3.6e9, 0] inclusive ≡ SQL RANGE INTERVAL 1 HOUR
+    // PRECEDING; peers (equal ts) are in-frame in both engines.
+    "b8_window_time_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+          .as("v_1h"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1038,5 +1052,13 @@ object RelationalQueries extends Registry {
              THEN 0.0e0 + (s.bucket + 1) * 5000.0e0 END AS hi_edge,
         coalesce(c.n_rows, 0) AS n_rows
       FROM s LEFT JOIN c ON s.bucket = c.bucket""",
+    "b8_window_time_range" -> """
+      SELECT event_id, user_id, ts,
+        count(*) OVER w AS n_1h,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW)""",
   )
 }

@@ -1,0 +1,54 @@
+package graft.impute
+
+import graft.SparkSpec
+
+class RobustSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // group "a": 1..20 plus two wild outliers; percentile(0.05/0.95) of
+  // 1..20,‑1000,1000 are interpolated type-7 values computed by Spark —
+  // assert the CLIPPING behavior, not the fence arithmetic (the fence
+  // sits under the DuckDB oracle row)
+  private val df = ((1 to 20).map(i => ("a", i.toDouble)) ++
+    Seq(("a", -1000.0), ("a", 1000.0), ("b", 7.0), ("b", 7.0)))
+    .toDF("g", "v")
+
+  test("winsorize: outliers clamp to fences, interior values untouched") {
+    val out = Robust.winsorize(df, "v", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val a = out.filter(_._1 == "a")
+    val lo = a.map(_._3).min; val hi = a.map(_._3).max
+    // the wild values must be clamped exactly to the fences
+    assert(a.find(_._2 == -1000.0).get._3 === lo)
+    assert(a.find(_._2 == 1000.0).get._3 === hi)
+    assert(lo > -1000.0 && hi < 1000.0)
+    // values inside the fences pass through bit-identical
+    a.filter(r => r._2 > lo && r._2 < hi).foreach(r => assert(r._3 === r._2))
+    // monotone: clipping preserves order
+    val sorted = a.sortBy(_._2)
+    assert(sorted.map(_._3).sliding(2).forall(w => w(0) <= w(1)))
+  }
+
+  test("robustScale: median maps to 0, IQR=0 group maps to 0 not NaN") {
+    val out = Robust.robustScale(df, "v", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // all-equal group: IQR 0 → scaled 0
+    out.filter(_._1 == "b").foreach(r => assert(r._3 === 0.0))
+    val a = out.filter(_._1 == "a")
+    // strictly increasing in v (affine positive transform)
+    val sorted = a.sortBy(_._2)
+    assert(sorted.map(_._3).sliding(2).forall(w => w(0) < w(1)))
+    // a value at the median scales to 0: median of 22 values is between
+    // 10 and 11 — check sign change around it instead of an exact zero
+    assert(a.find(_._2 == 10.0).get._3 < 0 && a.find(_._2 == 11.0).get._3 > 0)
+    assert(a.forall(r => !r._3.isNaN && !r._3.isInfinite))
+  }
+
+  test("schema: appends exactly one derived column") {
+    assert(Robust.winsorize(df, "v", Seq("g")).columns.toSeq
+      === Seq("g", "v", "v_clipped"))
+    assert(Robust.robustScale(df, "v", Seq("g")).columns.toSeq
+      === Seq("g", "v", "v_scaled"))
+  }
+}

@@ -241,4 +241,49 @@ class PlanQualitySpec extends SparkSpec {
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
     assert(p.contains("BroadcastHashJoin"), "rates not broadcast")
   }
+
+  test("constraint checks: referential-integrity probe is a broadcast anti join") {
+    // the fact side streams through; only the dim's key column builds
+    val p = plan("d15_constraint_checks")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "ref_integrity did not plan as broadcast anti join:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "constraint check shuffled the fact table for the dim probe")
+  }
+
+  test("k-means exact assignment is a pure projection — zero Exchange") {
+    val p = plan("c3_kmeans_assign")
+    assert(!p.contains("Exchange"),
+      "assignment should be narrow:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("fuzzy pairs: candidates come from an equi-join, never a cartesian") {
+    val p = plan("c1_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "SymSpell candidate generation degenerated to all-pairs:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("histogram: one scan, map-side partial aggregation") {
+    val df = graft.SparkEntry.queries("d18_histogram")(spark, sf0001)
+    df.collect()
+    // executed-plan tree (before AQE's appended Initial Plan section):
+    // each physical node appears exactly once there
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"histogram re-scanned the table:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "no partial aggregation before the bucket shuffle")
+  }
+
+  test("winsorize: percentile fences broadcast back, no corpus shuffle join") {
+    val p = plan("c8_winsorize")
+    assert(p.contains("BroadcastHashJoin"), "fences not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "stats attach shuffled the value table")
+  }
 }
