@@ -233,6 +233,25 @@ object DedupQueries extends Registry {
         orig, "orig_key", "orig_name",
         corrupted, "cand_key", "cand_name", maxDist = 1)
     }),
+    // C1f: entity resolution — fuzzy pairs → connected components →
+    // canonical min-id, composed end-to-end (graft.dedup.
+    // EntityResolution). Records = part names (64 distinct values over
+    // 2000 rows at sf0.01 — real duplication) plus a corrupted twin
+    // (one char deleted at a key-derived position); typo chains
+    // canonicalize transitively. Oracle: naive all-pairs edges + a
+    // recursive-CTE reachability closure, so the WHOLE chain —
+    // blocking, closure, canonical pick — is hash-checked.
+    "c1_entity_resolution" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val records = part.select((col("p_partkey") * 2).as("id"),
+          col("p_name").as("s"))
+        .unionByName(part.select((col("p_partkey") * 2 + 1).as("id"),
+          concat(
+            expr("substring(p_name, 1, 3 + cast(p_partkey % 7 as int))"),
+            expr("substring(p_name, 5 + cast(p_partkey % 7 as int), 1000)"))
+            .as("s")))
+      graft.dedup.EntityResolution.resolve(records, "id", "s", maxDist = 1)
+    }),
   )
 
   private def toks = TextQueries.sqlToks("text")
@@ -524,5 +543,24 @@ object DedupQueries extends Registry {
         CAST(levenshtein(a.c_name, corr.cand_name) AS BIGINT) AS dist
       FROM customer a CROSS JOIN corr
       WHERE levenshtein(a.c_name, corr.cand_name) <= 1""",
+    "c1_entity_resolution" -> """
+      WITH RECURSIVE recs AS (
+        SELECT p_partkey * 2 AS id, p_name AS s FROM part
+        UNION ALL
+        SELECT p_partkey * 2 + 1,
+          substring(p_name, 1, CAST(3 + p_partkey % 7 AS INT))
+            || substring(p_name, CAST(5 + p_partkey % 7 AS INT), 1000)
+        FROM part),
+      edges AS (
+        SELECT a.id AS a, b.id AS b FROM recs a JOIN recs b
+        ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+           AND levenshtein(a.s, b.s) <= 1),
+      sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      reach(node, root) AS (
+        SELECT id, id FROM recs
+        UNION
+        SELECT sym.b, reach.root FROM reach JOIN sym ON sym.a = reach.node)
+      SELECT node AS id, min(root) AS canonical
+      FROM reach GROUP BY node""",
   )
 }
