@@ -29,13 +29,20 @@ object ScaleProbe {
 
     val bigDir = java.nio.file.Files
       .createTempDirectory(s"graft_scale_${mult}x").toString
-    def replicate(table: String, idCol: String): Unit = {
+    def replicate(table: String, idCol: String,
+                  alsoShift: Seq[String] = Nil): Unit = {
       val base = Tables.load(spark, sfDir, table)
-      val maxRow = base.agg(max(col(idCol))).collect()(0)
-      require(!maxRow.isNullAt(0), s"$table at $sfDir is empty — nothing to replicate")
-      val maxId = maxRow.getLong(0)
-      (0 until mult).map(i =>
-          base.withColumn(idCol, col(idCol) + lit(i * (maxId + 1))))
+      val cols = idCol +: alsoShift
+      val maxs: Map[String, Long] = cols.map { c =>
+        val m = base.agg(max(col(c))).collect()(0)
+        require(!m.isNullAt(0), s"$table at $sfDir is empty — nothing to replicate")
+        c -> m.getLong(0)
+      }.toMap
+      (0 until mult).map { i =>
+          cols.foldLeft(base) { (df, c) =>
+            df.withColumn(c, col(c) + lit(i * (maxs(c) + 1)))
+          }
+        }
         .reduce(_ union _)
         .write.mode("overwrite").parquet(s"$bigDir/$table.parquet")
     }
@@ -48,6 +55,13 @@ object ScaleProbe {
     // round-8 ops touch lineitem (column profile) and part (z-order)
     replicate("lineitem", "l_orderkey")
     replicate("part", "p_partkey")
+    // event analytics (funnel, sessions, gap fill): user_id shifts too,
+    // so 10× means 10× USERS at the original per-user density — the
+    // realistic growth axis for per-key windows
+    replicate("events", "event_id", alsoShift = Seq("user_id"))
+    // constraint checks join orders → customer; shift o_custkey in step
+    // with the customer re-key so referential integrity still holds
+    replicate("orders", "o_orderkey", alsoShift = Seq("o_custkey"))
     println(s"[scale] staged ${mult}x corpus at $bigDir")
 
     val queries = Seq("c2_minhash_dedup", "c2_online_dedup_twin",
@@ -73,7 +87,17 @@ object ScaleProbe {
       "d14_zorder_curve",
       // trained quality filter: 50 treeAggregate gradient passes over
       // the replicated corpus + one scoring scan — should be ~linear
-      "c7_lr_quality")
+      "c7_lr_quality",
+      // round-8b ops: constraint checks (one scan + key agg + bcast
+      // anti join — linear), funnel + native session windows + gap
+      // fill (per-user windows over 10× users — linear), fuzzy pairs
+      // (names duplicate 10× across copies, so candidate buckets
+      // densify — watch for super-linear pair blowup), k-means (5
+      // Lloyd passes, narrow + k·dim stats — linear), histogram and
+      // winsorize (scan-bound)
+      "d15_constraint_checks", "d16_funnel", "b12_session_window",
+      "d17_gap_fill", "c1_fuzzy_pairs", "c3_kmeans", "d18_histogram",
+      "c8_winsorize")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     queries.foreach { name =>
