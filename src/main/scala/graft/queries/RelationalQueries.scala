@@ -532,6 +532,14 @@ object RelationalQueries extends Registry {
     "d16_funnel" -> ((s, d) =>
       graft.operators.Funnel.funnel(Tables.events(s, d),
         Seq("signup", "click", "purchase"))),
+    // D48b: per-user step completions — the BATCH twin of the
+    // streaming funnel state machine (StatefulFunnel: the same pure
+    // fold runs under flatMapGroupsWithState; spec asserts stream ≡
+    // batch), emitted as rows so the oracle checks every user's every
+    // completion timestamp, not just the counts.
+    "d16_funnel_completions" -> ((s, d) =>
+      graft.streaming.StatefulFunnel.stepCompletions(Tables.events(s, d),
+        Seq("signup", "click", "purchase"))),
     // B12d: NATIVE session_window sessionization — the same streaming
     // operator (EventStreams.sessionize, stream ≡ batch in
     // EventStreamsSpec) run in batch under an oracle. Differs from
@@ -995,6 +1003,28 @@ object RelationalQueries extends Registry {
       SELECT CAST(2 AS BIGINT), 'click', count(t1) FROM u
       UNION ALL
       SELECT CAST(3 AS BIGINT), 'purchase', count(t2) FROM u""",
+    "d16_funnel_completions" -> """
+      WITH f AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('signup', 'click', 'purchase')
+      ), w1 AS (
+        SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+          OVER (PARTITION BY user_id) AS t0 FROM f
+      ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+          OVER (PARTITION BY user_id) AS t1 FROM w1
+      ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+          OVER (PARTITION BY user_id) AS t2 FROM w2
+      ), u AS (SELECT DISTINCT user_id, t0, t1, t2 FROM w3)
+      SELECT user_id, CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+             t0 AS completed_at FROM u WHERE t0 IS NOT NULL
+      UNION ALL
+      SELECT user_id, CAST(2 AS BIGINT), 'click', t1 FROM u
+      WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT user_id, CAST(3 AS BIGINT), 'purchase', t2 FROM u
+      WHERE t2 IS NOT NULL""",
     "b12_session_window" -> """
       WITH ordered AS (
         SELECT user_id, ts, value,
