@@ -265,4 +265,99 @@ object Sampling {
       }
     s"(${Noise.sqlNoise(keyExpr, salt)} < $fracSql)"
   }
+
+  /** WEIGHTED sampling: probability-proportional-to-size SYSTEMATIC
+    * sampling (the survey-statistics PPS design) in pure BIGINT
+    * arithmetic — the weighted counterpart of [[fixedSize]]. Rows are
+    * laid on a deterministic pseudo-random circle (ordered by
+    * [[Noise.intRank]] — portable integer hashing, no libm at the
+    * structural boundary), each occupying an arc of its integer
+    * weight; k equally-spaced grid points pick the sample. Inclusion
+    * expectation is EXACTLY k·w/W for w ≤ W/k, heavier rows can be
+    * picked multiple times (`n_picks` — use it as a repetition count
+    * or cap weights upstream), and Σ n_picks = k always.
+    *
+    * Why not Efraimidis–Spirakis (u^(1/w) top-k): its boundary is a
+    * pow()/sin() float comparison — exactly the 1-ulp engine
+    * divergence [[fixedSize]]'s doc rules out at a structural top-k
+    * cut. Here EVERY quantity (rank, prefix sum, grid test) is exact
+    * BIGINT, so the sampled set is bit-portable by construction.
+    *
+    * Scale shape: the corpus-wide prefix sum uses the same two-level
+    * scheme as EpochShuffle — bounded per-bucket windows + an
+    * nBuckets-row offset window broadcast back; no global sort, no
+    * single-partition window. k·W must fit in 64 bits (document counts
+    * × byte weights at 100 TB can overflow — pre-divide weights or
+    * lift the two multiplications to DECIMAL(38,0) then).
+    *
+    * @param weightCol positive integer-valued weight (clamped to ≥ 1)
+    */
+  def ppsSystematic(df: DataFrame, keyCol: String, weightCol: String,
+                    k: Int, salt: Int = 19,
+                    nBuckets: Int = 1024): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = greatest(col(weightCol).cast("long"), lit(1L))
+    val ranked = df
+      .withColumn("__w", w)
+      .withColumn("__rank", Noise.intRank(col(keyCol), salt))
+      .withColumn("__bkt", pmod(col("__rank"), lit(nBuckets.toLong)))
+    val intraW = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__rank"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = ranked.groupBy(col("__bkt"))
+      .agg(sum(col("__w")).as("__bw"))
+    val offsets = buckets
+      .withColumn("__off", coalesce(sum(col("__bw")).over(offW), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val total = buckets.agg(sum(col("__bw")).as("__tw"))
+    // inclusive global prefix in (bucket, rank, key) order
+    val withCum = ranked
+      .withColumn("__intra", sum(col("__w")).over(intraW))
+      .join(broadcast(offsets), "__bkt")
+      .crossJoin(broadcast(total))
+      .withColumn("__cum", col("__off") + col("__intra"))
+    // grid points j·W/k, j ∈ [0, k): row holds those j with
+    // k·(cum−w) ≤ j·W < k·cum  ⇒  picks = ceil(k·cum/W) − ceil(k·(cum−w)/W).
+    // ceil(a/b) = (a + b − 1) div b — `div` is Spark's INTEGER division
+    // on longs (the `/` operator would go through double and lose
+    // exactness past 2⁵³).
+    val kL = lit(k.toLong)
+    withCum
+      .withColumn("__n1", kL * col("__cum") + col("__tw") - lit(1L))
+      .withColumn("__n0",
+        kL * (col("__cum") - col("__w")) + col("__tw") - lit(1L))
+      .withColumn("n_picks", expr("(__n1 div __tw) - (__n0 div __tw)"))
+      .where(col("n_picks") >= 1)
+      .drop("__w", "__rank", "__bkt", "__intra", "__off", "__tw",
+        "__cum", "__n1", "__n0")
+  }
+
+  /** DuckDB twin of [[ppsSystematic]]: naive single-window prefix (fine
+    * at oracle scale), identical BIGINT grid arithmetic. `cols` are the
+    * passthrough output columns. */
+  def sqlPps(table: String, keyExpr: String, weightExpr: String, k: Int,
+             cols: Seq[String], salt: Int = 19,
+             nBuckets: Int = 1024): String = {
+    val r = Noise.sqlIntRank(keyExpr, salt)
+    val colList = cols.mkString(", ")
+    s"""
+      WITH pre AS (
+        SELECT $colList,
+          greatest(CAST($weightExpr AS BIGINT), 1) AS w,
+          CAST(sum(greatest(CAST($weightExpr AS BIGINT), 1)) OVER (
+            ORDER BY ($r) % $nBuckets, $r, $keyExpr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum
+        FROM $table
+      ), tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM pre)
+      SELECT $colList,
+        CAST(((($k * cum) + tw - 1) // tw)
+           - ((($k * (cum - w)) + tw - 1) // tw) AS BIGINT) AS n_picks
+      FROM pre, tot
+      WHERE ((($k * cum) + tw - 1) // tw)
+          - ((($k * (cum - w)) + tw - 1) // tw) >= 1"""
+  }
 }

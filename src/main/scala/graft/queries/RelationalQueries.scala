@@ -558,6 +558,22 @@ object RelationalQueries extends Registry {
     "d18_histogram" -> ((s, d) =>
       graft.operators.Histogram.equiWidth(Tables.lineitem(s, d),
         "l_extendedprice", 0.0, 110000.0, 22)),
+    // D53: event-type transition matrix — per-user Markov transitions
+    // (prev type → type) with exact counts and one-division
+    // probabilities; the behavioral-analytics twin of the text bigram
+    // LM. One user-hash shuffle for the lag, then a tiny (5×5) agg.
+    "d19_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pw = Window.partitionBy(col("prev_type"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n").cast("double") / sum(col("n")).over(pw).cast("double"))
+    }),
     // B8c: TIME-range window frame — trailing 1-hour per-user activity
     // (sliding feature windows keyed on event time, not row position).
     // Spark's rangeBetween needs a numeric sort key: integer
@@ -1082,6 +1098,20 @@ object RelationalQueries extends Registry {
              THEN 0.0e0 + (s.bucket + 1) * 5000.0e0 END AS hi_edge,
         coalesce(c.n_rows, 0) AS n_rows
       FROM s LEFT JOIN c ON s.bucket = c.bucket""",
+    "d19_event_transitions" -> """
+      WITH t AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_type
+        FROM events
+      ), c AS (
+        SELECT prev_type, event_type, count(*) AS n
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type)
+      SELECT prev_type, event_type, n,
+        CAST(n AS DOUBLE) /
+          CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      FROM c""",
     "b8_window_time_range" -> """
       SELECT event_id, user_id, ts,
         count(*) OVER w AS n_1h,

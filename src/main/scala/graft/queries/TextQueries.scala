@@ -564,6 +564,14 @@ object TextQueries extends Registry {
       graft.operators.Sampling.fixedSize(
         Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
         "doc_id", k = 100)),
+    // C7: WEIGHTED exact-size sample — PPS systematic on the integer
+    // grid (Sampling.ppsSystematic): longer documents proportionally
+    // more likely, Σ n_picks = 100 always, bit-portable (no float at
+    // the selection boundary).
+    "c7_pps_sample" -> ((s, d) =>
+      graft.operators.Sampling.ppsSystematic(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 100)),
     // C7: curation pipeline v3 — the ROUND-6 operators composed end to
     // end under one oracle row: span-level dedup of the train slice →
     // graded decontamination on the CLEANED text (≤ 20% eval-gram
@@ -703,6 +711,8 @@ object TextQueries extends Registry {
     "c7_fixed_size_sample" -> s"""
       SELECT doc_id, lang, source, n_chars FROM documents
       ${graft.operators.Sampling.sqlFixedSize("doc_id", 100)}""",
+    "c7_pps_sample" -> graft.operators.Sampling.sqlPps(
+      "documents", "doc_id", "n_chars", 100, Seq("doc_id", "n_chars")),
     "c7_url_canonicalize" -> s"""
       WITH $sqlUrlFixture
       SELECT doc_id, url,

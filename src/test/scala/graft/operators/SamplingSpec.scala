@@ -188,4 +188,37 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(got - rate) < 0.15, s"$lang: got $got, want ~$rate")
     }
   }
+
+  test("ppsSystematic: exactly k picks, weight-proportional, layout-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "n_chars")
+    val k = 100
+    val out = Sampling.ppsSystematic(docs, "doc_id", "n_chars", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // systematic invariant: total picks == k, every count ≥ 1
+    assert(out.map(_._3).sum === k.toLong)
+    assert(out.forall(_._3 >= 1L))
+    // expectation bound: |n_picks − k·w/W| < 1 + 1 (a row can straddle
+    // two strides) — and heavy rows (w ≥ W/k) are ALWAYS selected
+    val W = docs.agg(sum(greatest(col("n_chars"), lit(1L)))).collect()(0).getLong(0)
+    val picksBy = out.map(r => r._1 -> r._3).toMap
+    docs.collect().foreach { r =>
+      val id = r.getLong(0); val w = math.max(r.getLong(1), 1L)
+      val expect = k.toDouble * w / W
+      val got = picksBy.getOrElse(id, 0L).toDouble
+      assert(math.abs(got - expect) <= 2.0, s"doc $id: $got vs $expect")
+      if (w * k >= W) assert(picksBy.contains(id), s"heavy doc $id missed")
+    }
+    // deterministic under repartition
+    val out2 = Sampling.ppsSystematic(docs.repartition(7), "doc_id",
+        "n_chars", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out2 === out.toSet)
+    // weighted vs uniform: the weighted sample's mean doc length must
+    // exceed the corpus mean (longer docs over-represented)
+    val meanSel = out.map(_._2.toDouble).sum / out.length
+    val meanAll = W.toDouble / docs.count()
+    assert(meanSel > meanAll, s"weighting had no effect: $meanSel vs $meanAll")
+  }
 }
