@@ -558,6 +558,20 @@ object RelationalQueries extends Registry {
     "d18_histogram" -> ((s, d) =>
       graft.operators.Histogram.equiWidth(Tables.lineitem(s, d),
         "l_extendedprice", 0.0, 110000.0, 22)),
+    // D54: incremental aggregate maintenance — the rollup refreshed by
+    // MERGING two shards' mergeable states (count/decimal-sum/min/max)
+    // instead of rescanning; the oracle recomputes from the full table,
+    // so merge ≡ recompute is hash-checked bit-for-bit.
+    "d20_incremental_agg" -> ((s, d) => {
+      import graft.operators.IncrementalAgg
+      val li = Tables.lineitem(s, d)
+      val g = Seq("l_returnflag", "l_linestatus")
+      val even = li.filter(pmod(col("l_orderkey"), lit(2L)) === 0)
+      val odd = li.filter(pmod(col("l_orderkey"), lit(2L)) === 1)
+      IncrementalAgg.finish(IncrementalAgg.merge(
+        IncrementalAgg.state(even, g, "l_quantity"),
+        IncrementalAgg.state(odd, g, "l_quantity"), g))
+    }),
     // D53: event-type transition matrix — per-user Markov transitions
     // (prev type → type) with exact counts and one-division
     // probabilities; the behavioral-analytics twin of the text bigram
@@ -1098,6 +1112,15 @@ object RelationalQueries extends Registry {
              THEN 0.0e0 + (s.bucket + 1) * 5000.0e0 END AS hi_edge,
         coalesce(c.n_rows, 0) AS n_rows
       FROM s LEFT JOIN c ON s.bucket = c.bucket""",
+    "d20_incremental_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+        count(l_quantity) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(32,6))) AS DOUBLE) AS sum_v,
+        min(CAST(l_quantity AS DOUBLE)) AS min_v,
+        max(CAST(l_quantity AS DOUBLE)) AS max_v,
+        CAST(sum(CAST(l_quantity AS DECIMAL(32,6))) AS DOUBLE)
+          / CAST(count(l_quantity) AS DOUBLE) AS avg_v
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "d19_event_transitions" -> """
       WITH t AS (
         SELECT user_id, event_type,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IncrementalAggSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val g = Seq("l_returnflag", "l_linestatus")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDecimal(3), r.getDouble(4), r.getDouble(5))).toMap
+
+  test("merge of shards ≡ full recompute, bit-exact; associative 3-way") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val full = rows(IncrementalAgg.state(li, g, "l_quantity"))
+    val parts = (0 to 2).map(i =>
+      IncrementalAgg.state(li.filter(pmod(col("l_orderkey"), lit(3L)) === i),
+        g, "l_quantity"))
+    val mergedLeft = rows(IncrementalAgg.merge(
+      IncrementalAgg.merge(parts(0), parts(1), g), parts(2), g))
+    val mergedRight = rows(IncrementalAgg.merge(
+      parts(0), IncrementalAgg.merge(parts(1), parts(2), g), g))
+    assert(mergedLeft === full)
+    assert(mergedRight === full)
+  }
+
+  test("one-sided groups survive; nulls counted per SQL") {
+    val a = Seq(("x", Some(1.0)), ("x", Some(3.0)), ("y", Some(5.0)))
+      .toDF("k", "v")
+    val b = Seq(("x", Some(2.0)), ("z", Option.empty[Double]))
+      .toDF("k", "v")
+    val m = IncrementalAgg.merge(
+      IncrementalAgg.state(a, Seq("k"), "v"),
+      IncrementalAgg.state(b, Seq("k"), "v"), Seq("k"))
+    val fin = IncrementalAgg.finish(m).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(fin.keySet === Set("x", "y", "z"))
+    val x = fin("x")
+    assert(x.getLong(1) === 3L && x.getDouble(2) === 6.0)
+    assert(x.getDouble(3) === 1.0 && x.getDouble(4) === 3.0)
+    assert(x.getDouble(5) === 2.0) // avg
+    // all-null group: n=0, stats null, avg null (never NaN)
+    val z = fin("z")
+    assert(z.getLong(1) === 0L && z.isNullAt(3) && z.isNullAt(5))
+  }
+
+  test("finished avg equals direct per-group average on real data") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val fin = IncrementalAgg.finish(IncrementalAgg.state(li, g, "l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6)).toMap
+    val direct = li.groupBy(g.map(col): _*)
+      .agg((sum(col("l_extendedprice").cast("decimal(32,6)")).cast("double") /
+        count(col("l_extendedprice"))).as("a"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(fin === direct)
+  }
+}
