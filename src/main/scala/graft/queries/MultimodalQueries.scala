@@ -170,6 +170,35 @@ object MultimodalQueries extends Registry {
             .drop("payload").withColumnRenamed("resized_img", "payload"))
         .select(col("asset_id"), col("format"), col("width"), col("height"))
     }),
+    // C6: image perceptual hash (PerceptualHash.aHash) on REAL PNG
+    // decode — the fixtures fit inside the 8×8 grid, so every cell is
+    // one pixel and the exact integer bit rule (luma·N > totalLuma)
+    // is DuckDB-expressible; PNG is lossless so ImageIO's pixels equal
+    // the closed form.
+    "c6_phash" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.imageFixtureBytes(
+          (4 + id % 5).toInt, (3 + id % 4).toInt, id, "png")))
+        .toDF("asset_id", "payload")
+      graft.multimodal.PerceptualHash.hashImages(fixture)
+        .select(col("asset_id"), col("phash"))
+    }),
+    // C6: image near-dup pairs — banded blocking over the hash (the
+    // SimHash pigeonhole argument on pixels), exact Hamming confirm;
+    // lossless for maxDist < nBands, so the naive-pairs oracle matches.
+    "c6_phash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.imageFixtureBytes(
+          (4 + id % 5).toInt, (3 + id % 4).toInt, id, "png")))
+        .toDF("asset_id", "payload")
+      graft.multimodal.PerceptualHash.nearDupPairs(
+        graft.multimodal.PerceptualHash.hashImages(fixture),
+        "asset_id", maxDist = 3, nBands = 4)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -286,5 +315,52 @@ object MultimodalQueries extends Registry {
         CAST(list_sum(a) AS DOUBLE) / (n_frames * channels) AS mean_abs,
         CAST(list_max(a) AS BIGINT) AS peak_abs
       FROM s""",
+    "c6_phash" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+          CAST(4 + doc_id % 5 AS BIGINT) AS w,
+          CAST(3 + doc_id % 4 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 50
+      ), px AS (
+        SELECT asset_id, w, h, p.p,
+          ((asset_id + 3 * p.p) % 256) + ((asset_id + 3 * p.p + 1) % 256)
+            + ((asset_id + 3 * p.p + 2) % 256) AS luma
+        FROM f, LATERAL unnest(generate_series(0, w * h - 1)) p(p)
+      ), tot AS (
+        SELECT asset_id, CAST(sum(luma) AS BIGINT) AS total,
+          max(w * h) AS n
+        FROM px GROUP BY asset_id)
+      SELECT px.asset_id,
+        CAST(coalesce(sum(CASE WHEN luma * n > total
+          THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END), 0)
+          AS BIGINT) AS phash
+      FROM px JOIN tot USING (asset_id)
+      GROUP BY px.asset_id""",
+    "c6_phash_pairs" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+          CAST(4 + doc_id % 5 AS BIGINT) AS w,
+          CAST(3 + doc_id % 4 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 50
+      ), px AS (
+        SELECT asset_id, w, h, p.p,
+          ((asset_id + 3 * p.p) % 256) + ((asset_id + 3 * p.p + 1) % 256)
+            + ((asset_id + 3 * p.p + 2) % 256) AS luma
+        FROM f, LATERAL unnest(generate_series(0, w * h - 1)) p(p)
+      ), tot AS (
+        SELECT asset_id, CAST(sum(luma) AS BIGINT) AS total,
+          max(w * h) AS n
+        FROM px GROUP BY asset_id
+      ), hashes AS (
+        SELECT px.asset_id,
+          CAST(coalesce(sum(CASE WHEN luma * n > total
+            THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END), 0)
+            AS BIGINT) AS phash
+        FROM px JOIN tot USING (asset_id)
+        GROUP BY px.asset_id)
+      SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+      FROM hashes a JOIN hashes b ON a.asset_id < b.asset_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
   )
 }

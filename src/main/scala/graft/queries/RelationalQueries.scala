@@ -558,6 +558,43 @@ object RelationalQueries extends Registry {
     "d18_histogram" -> ((s, d) =>
       graft.operators.Histogram.equiWidth(Tables.lineitem(s, d),
         "l_extendedprice", 0.0, 110000.0, 22)),
+    // D55: SCD2 interval build — per-user daily snapshots become
+    // validity intervals (valid_from = change ts, valid_to = next
+    // change, open-ended current version); point-in-time enrichment
+    // composes with AsofJoin (Scd2Spec asserts ≡ BETWEEN join).
+    "d21_scd2_intervals" -> ((s, d) => {
+      val snaps = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("change_ts"))
+        .agg(count(lit(1)).as("day_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("day_value"))
+      graft.operators.Scd2.buildIntervals(snaps, "user_id", "change_ts",
+        tieCol = "change_ts")
+    }),
+    // D56: co-occurrence / basket analysis — for each event-type pair,
+    // how many users do both, with lift vs independence. The self-join
+    // runs on the per-user DISTINCT type set (≤ |types| rows per user),
+    // so pair generation is linear in users, never events².
+    "d22_cooccurrence" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val a = ut.toDF("user_id", "t_a")
+      val b = ut.toDF("user_id", "t_b")
+      val pairs = a.join(b, Seq("user_id"))
+        .where(col("t_a") < col("t_b"))
+        .groupBy(col("t_a"), col("t_b"))
+        .agg(count(lit(1)).as("n_users"))
+      val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      val universe = ut.select(col("user_id")).distinct().count()
+      pairs
+        .join(broadcast(totals.toDF("t_a", "n_a")), "t_a")
+        .join(broadcast(totals.toDF("t_b", "n_b")), "t_b")
+        .select(col("t_a"), col("t_b"), col("n_users"), col("n_a"),
+          col("n_b"),
+          (col("n_users").cast("double") * lit(universe.toDouble) /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .as("lift"))
+    }),
     // D54: incremental aggregate maintenance — the rollup refreshed by
     // MERGING two shards' mergeable states (count/decimal-sum/min/max)
     // instead of rescanning; the oracle recomputes from the full table,
@@ -1112,6 +1149,33 @@ object RelationalQueries extends Registry {
              THEN 0.0e0 + (s.bucket + 1) * 5000.0e0 END AS hi_edge,
         coalesce(c.n_rows, 0) AS n_rows
       FROM s LEFT JOIN c ON s.bucket = c.bucket""",
+    "d21_scd2_intervals" -> """
+      WITH snaps AS (
+        SELECT user_id, date_trunc('day', ts) AS change_ts,
+          count(*) AS day_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events GROUP BY user_id, date_trunc('day', ts))
+      SELECT user_id, change_ts, day_events, day_value,
+        change_ts AS valid_from,
+        lead(change_ts) OVER (PARTITION BY user_id ORDER BY change_ts)
+          AS valid_to
+      FROM snaps""",
+    "d22_cooccurrence" -> """
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      pairs AS (
+        SELECT a.event_type AS t_a, b.event_type AS t_b,
+          count(*) AS n_users
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type),
+      tot AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+      uni AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS u FROM ut)
+      SELECT p.t_a, p.t_b, p.n_users, ta.n_t AS n_a, tb.n_t AS n_b,
+        CAST(p.n_users AS DOUBLE) * uni.u
+          / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)) AS lift
+      FROM pairs p
+      JOIN tot ta ON p.t_a = ta.event_type
+      JOIN tot tb ON p.t_b = tb.event_type, uni""",
     "d20_incremental_agg" -> """
       SELECT l_returnflag, l_linestatus,
         count(l_quantity) AS n,
