@@ -1,0 +1,116 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WEIGHTED PAGERANK — iterative link-graph centrality, the canonical
+  * "importance" signal for crawl curation (rank domains / pages before
+  * sampling a training corpus) and the repo's first genuinely iterative
+  * graph operator (connected components exist; this adds fixed-point
+  * value propagation).
+  *
+  * Determinism (SURVEY §5.3): every rank lives on an integer grid —
+  * `scale` micro-units of probability mass (default 1e12) — and every
+  * update is pure BIGINT arithmetic: per-edge contribution
+  * `(rank(src) * w) DIV outWeight(src)`, damped update
+  * `teleport + (dampNumer * Σcontrib) DIV dampDenom`. Integer division
+  * truncates identically in Spark (`DIV`) and DuckDB (`//`, both
+  * operands non-negative), and BIGINT sums are order-insensitive, so a
+  * fixed iteration count is bit-portable across engines and layouts —
+  * no float fixed-point tolerance anywhere.
+  *
+  * Overflow bounds (64-bit safe by construction): rank ≤ scale = 1e12,
+  * so `rank * w` needs `w ≤ 9.2e18 / 1e12 ≈ 9.2e6`. Callers with hotter
+  * edges pre-aggregate or down-scale weights (rank only depends on
+  * per-source weight *proportions*, so dividing all of a source's
+  * weights by a common factor is semantics-preserving).
+  *
+  * Scale shape (100 TB): the edge list is the big table; ranks and
+  * out-weights are #nodes-sized. Each iteration is one equi-join of
+  * edges⋈ranks⋈outw on `src` (AQE broadcasts the rank side while it
+  * fits; at web scale all three can be pre-partitioned on `src` so the
+  * join is co-located and only the dst-aggregation shuffles) followed by
+  * one partial-aggregated `groupBy(dst)`. The corpus-sized edge frame is
+  * never windowed, never collected; per iteration exactly one shuffle of
+  * #edges rows (the contribution agg) plus a #nodes-sized left join.
+  * Lineage grows linearly in `iterations`; for long runs callers should
+  * `localCheckpoint` the returned frame every few iterations (the query
+  * surface uses 3, where plain lineage is cheaper than materializing).
+  *
+  * Dangling semantics: nodes with no out-edges absorb mass (the
+  * standard simplified formulation — their rank is not redistributed);
+  * nodes with no in-edges settle at the teleport floor. Total mass is
+  * therefore ≤ scale and the ordering — the signal users consume — is
+  * unaffected.
+  */
+object PageRank {
+
+  /** Iterate weighted PageRank over `edges(src, dst, w)`.
+    * Returns one row per node: (node, pr_rank) with pr_rank in
+    * [0, scale] micro-units. */
+  def ranks(edgesIn: DataFrame, iterations: Int,
+            scale: Long = 1000000000000L,
+            dampNumer: Long = 85, dampDenom: Long = 100): DataFrame = {
+    require(iterations >= 0 && scale > 0 && dampDenom > 0 &&
+      dampNumer >= 0 && dampNumer <= dampDenom)
+    val edges = edgesIn.select(col("src"), col("dst"),
+      col("w").cast("long").as("w"))
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    // n is a scalar (node count) — one tiny job, then pure driver-side
+    // BIGINT constants identical to the oracle's subquery arithmetic.
+    val n = nodes.count()
+    require(n > 0, "PageRank over an empty edge set")
+    val base = scale / n
+    val teleport = ((dampDenom - dampNumer) * base) / dampDenom
+    var ranks = nodes.withColumn("pr_rank", lit(base))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src")
+          .withColumnRenamed("pr_rank", "__r"), "src")
+        .join(outw, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(__r * w) DIV ow")).as("__c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampNumer * coalesce(__c, 0L)) DIV $dampDenom"))
+            .as("pr_rank"))
+    }
+    ranks
+  }
+
+  /** DuckDB twin: the same BIGINT iteration unrolled as a WITH chain.
+    * `edgesSql` must produce columns (src, dst, w BIGINT). */
+  def sqlRanks(edgesSql: String, iterations: Int,
+               scale: Long = 1000000000000L,
+               dampNumer: Long = 85, dampDenom: Long = 100): String = {
+    val base = s"($scale // cnt)"
+    val teleport = s"((($dampDenom - $dampNumer) * $base) // $dampDenom)"
+    // every sum is CAST back to BIGINT: DuckDB widens sum(BIGINT) to
+    // HUGEINT, which the driver would see as a schema/type mismatch
+    val head = s"""
+      WITH edges AS ($edgesSql),
+      outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+               FROM edges GROUP BY 1),
+      nodes AS (SELECT src AS node FROM edges
+                UNION SELECT dst AS node FROM edges),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+      r0 AS (SELECT node, $base AS pr_rank FROM nodes CROSS JOIN nn)"""
+    val iters = (1 to iterations).map { i =>
+      s"""
+      c$i AS (SELECT e.dst AS node,
+                CAST(sum((r.pr_rank * e.w) // o.ow) AS BIGINT) AS c
+              FROM edges e JOIN r${i - 1} r ON e.src = r.node
+              JOIN outw o ON e.src = o.src GROUP BY 1),
+      r$i AS (SELECT nodes.node,
+                CAST($teleport + ($dampNumer * COALESCE(c$i.c, 0))
+                  // $dampDenom AS BIGINT) AS pr_rank
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN c$i ON nodes.node = c$i.node)"""
+    }.mkString(",")
+    val withChain = if (iterations > 0) s"$head,$iters" else head
+    s"$withChain SELECT node, pr_rank FROM r$iterations"
+  }
+}

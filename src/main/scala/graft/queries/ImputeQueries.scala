@@ -122,6 +122,15 @@ object ImputeQueries extends Registry {
           Tables.customer(s, d).select("c_custkey", "c_mktsegment",
             "c_acctbal"),
           "c_acctbal", Seq("c_mktsegment"))),
+    // D59: quantile discretization (graft.impute.Discretize) — exact
+    // equal-frequency binning at per-segment type-7 quartile fences;
+    // one percentile agg + broadcast attach, bins are indicator sums
+    // over identical doubles so the whole op is oracle-exact.
+    "d25_quantile_bins" -> ((s, d) =>
+      graft.impute.Discretize.quantileBins(
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment",
+          "c_acctbal"),
+        "c_acctbal", Seq("c_mktsegment"), nBins = 4)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -162,5 +171,8 @@ object ImputeQueries extends Registry {
              ELSE round((c.c_acctbal - t.med) / t.iqr, 6)
         END AS c_acctbal_scaled
       FROM customer c JOIN t USING (c_mktsegment)""",
+    "d25_quantile_bins" -> graft.impute.Discretize.sqlQuantileBins(
+      "customer", "c_acctbal", Seq("c_mktsegment"), 4,
+      Seq("c_custkey", "c_mktsegment", "c_acctbal")),
   )
 }

@@ -639,6 +639,34 @@ object RelationalQueries extends Registry {
         sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
           .as("v_1h"))
     }),
+    // D57: weighted PageRank on the nation trade graph (customer
+    // nation → supplier nation, weight = lineitem count), 3 iterations
+    // on the BIGINT micro-unit grid — bit-exact vs DuckDB's unrolled
+    // WITH chain. The edge list is the only corpus-sized frame; ranks
+    // are #nodes-sized, so each iteration is one broadcastable join +
+    // one partial-agg'd shuffle (PageRank Scaladoc).
+    "d23_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.graph.PageRank.ranks(edges, iterations = 3)
+        .join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("pr_rank"))
+    }),
+    // D58: k-anonymity / l-diversity audit — equivalence classes on
+    // (nation, market segment), sensitive column acctbal; k=12 sits
+    // mid-distribution (class sizes 5–21 at sf0.01) so both at-risk
+    // and safe classes appear. One hash agg over the table.
+    "d24_k_anonymity" -> ((s, d) =>
+      graft.operators.Anonymity.audit(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 12)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1207,5 +1235,20 @@ object RelationalQueries extends Registry {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                              AND CURRENT ROW)""",
+    "d23_pagerank" -> {
+      val edgesSql = """
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2"""
+      s"""SELECT n_name, pr_rank
+          FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
+          JOIN nation ON pr.node = n_nationkey"""
+    },
+    "d24_k_anonymity" -> graft.operators.Anonymity.sqlAudit(
+      "customer", Seq("c_nationkey", "c_mktsegment"), "c_acctbal", 12),
   )
 }

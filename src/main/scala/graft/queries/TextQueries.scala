@@ -648,6 +648,16 @@ object TextQueries extends Registry {
         .agg(expr("graft_topk_freq(sh, 30, 65536)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("shingle"), col("e.cnt").as("n"))),
+    // C5: BPE tokenizer training (graft.text.Bpe) — 30 merges learned
+    // from the corpus: one corpus pass for word frequencies, then each
+    // round is a vocabulary-sized pair count + a 1-row argmax. The
+    // result is the driver's merge table. Rows-only by the no-oracle
+    // contract (iterative data-dependent argmax isn't one SQL query);
+    // BpeSpec proves ≡ an independent driver-side reference.
+    "c5_bpe_merges" -> ((s, d) =>
+      graft.text.Bpe.mergesDf(s,
+        graft.text.Bpe.learn(Tables.documents(s, d).select("text"),
+          "text", nMerges = 30))),
   )
 
   private val langs = TextFunctions.stopwords.keys.toSeq.sorted

@@ -1,0 +1,146 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BYTE-PAIR-ENCODING TOKENIZER TRAINING — learn a merge table from a
+  * corpus (the Sennrich et al. 2016 algorithm every GPT/Llama-family
+  * tokenizer descends from): start from characters, repeatedly merge
+  * the most frequent adjacent symbol pair. The missing piece of this
+  * repo's tokenizer story — token *counting* existed (TextFunctions),
+  * tokenizer *training* did not, and at 100 TB training the tokenizer
+  * IS a cluster job.
+  *
+  * Scale shape — the classic two-phase decomposition:
+  *  1. ONE pass over the corpus builds the word-frequency table (hash
+  *     agg on the word — partial map-side; the result is
+  *     vocabulary-sized, millions of rows at web scale, not corpus-
+  *     sized).
+  *  2. Every merge round then runs on that word table only: one
+  *     pair-count aggregation (explode adjacent pairs × word freq, hash
+  *     agg), one `limit(1)` argmax to the driver (a single row — this
+  *     is the unavoidable sequential decision of the algorithm), and
+  *     one codegen'd fold that applies the merge. `localCheckpoint`
+  *     after each round keeps lineage flat across hundreds of rounds.
+  *     The corpus is never touched again.
+  *
+  * Determinism: the argmax tie-breaks (count DESC, left ASC, right
+  * ASC) — total order, so the learned merge table is identical for any
+  * partitioning or row order (counts are exact integer sums). The merge
+  * application is a left-to-right greedy fold, the standard convention.
+  * Iterative data-dependent argmax is not expressible in one SQL query,
+  * so the query surface is rows-only; BpeSpec proves the distributed
+  * learner ≡ an independent driver-side reference implementation.
+  *
+  * Symbols stay in `[a-z]` + the `</w>` terminal by construction
+  * (wordFreq keeps lowercase letter runs only), so embedding them in
+  * generated lambda SQL needs no escaping beyond quote doubling.
+  */
+object Bpe {
+
+  /** One learned merge: `left`+`right` → `merged`, with the pair count
+    * that won the round. */
+  case class Merge(merge_rank: Int, left: String, right: String,
+                   merged: String, pair_count: Long)
+
+  /** (word, freq) over lowercase letter runs of `textCol` — the single
+    * corpus-sized pass. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Learn up to `nMerges` merges; stops early when the best remaining
+    * pair occurs fewer than `minCount` times. */
+  def learn(df: DataFrame, textCol: String, nMerges: Int,
+            minCount: Long = 2L): Seq[Merge] = {
+    require(nMerges >= 0 && minCount >= 1)
+    // chars + terminal: "low" → [l, o, w, </w>]
+    var words = wordFreq(df, textCol)
+      .select(concat(split(col("word"), ""), array(lit(EndOfWord)))
+        .as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += Merge(r, a, b, a + b, top(0).getLong(2))
+        words = words.withColumn("syms", mergeOnce(a, b))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Adjacent-pair counts weighted by word frequency (overlapping
+    * pairs counted, the standard convention): (l, r, cnt). */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("syms")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(syms) - 2),
+          |  i -> struct(syms[i] AS l, syms[i + 1] AS r))""".stripMargin))
+        .as("p"), col("freq"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Apply an ordered merge table to a symbol-array frame (column
+    * `syms`) — one codegen'd fold per merge, lineage flattened every
+    * few rounds so arbitrarily long merge lists stay plannable. */
+  def applyMerges(words: DataFrame, merges: Seq[Merge],
+                  checkpointEvery: Int = 8): DataFrame =
+    merges.zipWithIndex.foldLeft(words) { case (df, (m, i)) =>
+      val merged = df.withColumn("syms", mergeOnce(m.left, m.right))
+      if ((i + 1) % checkpointEvery == 0) merged.localCheckpoint()
+      else merged
+    }
+
+  /** Learned merges as a DataFrame (the query-surface shape). */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+  }
+
+  /** Driver-side greedy segmentation of one word under a merge table —
+    * the reference semantics the distributed fold must match. */
+  def segmentWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString) :+ EndOfWord
+    merges.foreach { case (a, b) =>
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result().toIndexedSeq
+    }
+    syms
+  }
+
+  val EndOfWord = "</w>"
+
+  /** One greedy left-to-right merge pass of (a, b) → ab over `syms`,
+    * as a fold the codegen can run per row: seed with the first
+    * symbol, then either grow the last symbol into the merge or
+    * append. (Driver-side loop equivalent: [[segmentWord]].)
+    *
+    * The seed-with-first trick sidesteps typed-empty-array literals;
+    * size-<2 arrays pass through (sequence() would otherwise run
+    * backwards on them). */
+  private def mergeOnce(a: String, b: String): Column = {
+    val qa = lit(a); val qb = lit(b); val qab = lit(a + b)
+    val fold = aggregate(
+      slice(col("syms"), lit(2), size(col("syms")) - 1),
+      slice(col("syms"), lit(1), lit(1)),
+      (acc, x) => when(element_at(acc, -1) === qa && x === qb,
+        concat(slice(acc, lit(1), size(acc) - 1), array(qab)))
+        .otherwise(concat(acc, array(x))))
+    when(size(col("syms")) < 2, col("syms")).otherwise(fold)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AnonymitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // three classes: (US, A) size 4 / 2 distinct salaries; (US, B)
+  // size 2 / constant salary; (DE, A) size 1
+  private val df = Seq(
+    ("US", "A", 10.0), ("US", "A", 10.0), ("US", "A", 20.0), ("US", "A", 20.0),
+    ("US", "B", 30.0), ("US", "B", 30.0),
+    ("DE", "A", 40.0)).toDF("country", "seg", "salary")
+
+  private def audit(k: Int) =
+    Anonymity.audit(df, Seq("country", "seg"), "salary", k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+
+  test("class sizes, l-diversity, and the k flag are exact") {
+    val out = audit(3)
+    assert(out(("US", "A")) === ((4L, 2L, 0)))
+    assert(out(("US", "B")) === ((2L, 1L, 1))) // big enough? no: 2 < 3
+    assert(out(("DE", "A")) === ((1L, 1L, 1)))
+  }
+
+  test("k boundary is strict: class_size == k is safe") {
+    val out = audit(2)
+    assert(out(("US", "B"))._3 === 0) // size 2, k=2 → not at risk
+    assert(out(("DE", "A"))._3 === 1)
+  }
+
+  test("l-diversity catches the constant-sensitive class k misses") {
+    val out = audit(2)
+    // (US, B) passes k=2 yet shelters a single salary value
+    assert(out(("US", "B"))._1 >= 2 && out(("US", "B"))._2 === 1L)
+  }
+
+  test("approx mode tracks exact diversity on real data") {
+    val cust = spark.read.parquet(s"$sf001/customer.parquet")
+    // single quasi column → (c_nationkey, class_size, l_diversity, at_risk)
+    val exact = Anonymity.audit(cust, Seq("c_nationkey"), "c_acctbal", 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val approx = Anonymity.audit(cust, Seq("c_nationkey"), "c_acctbal", 10,
+      approxDiversity = true)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(exact.keySet === approx.keySet)
+    // approx_count_distinct's default rsd is 5% (one σ) — allow 2σ
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= math.max(3L, (v * 0.10).toLong),
+        s"nation $k: approx ${approx(k)} vs exact $v")
+    }
+  }
+}
