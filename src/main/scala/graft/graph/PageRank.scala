@@ -33,9 +33,10 @@ import org.apache.spark.sql.functions._
   * one partial-aggregated `groupBy(dst)`. The corpus-sized edge frame is
   * never windowed, never collected; per iteration exactly one shuffle of
   * #edges rows (the contribution agg) plus a #nodes-sized left join.
-  * Lineage grows linearly in `iterations`; for long runs callers should
-  * `localCheckpoint` the returned frame every few iterations (the query
-  * surface uses 3, where plain lineage is cheaper than materializing).
+  * The edge derivation is materialized once (`localCheckpoint`) so
+  * iterations re-read the materialized edge table instead of re-running
+  * the upstream joins, and rank lineage is flattened every
+  * `checkpointEvery` iterations.
   *
   * Dangling semantics: nodes with no out-edges absorb mass (the
   * standard simplified formulation — their rank is not redistributed);
@@ -50,14 +51,20 @@ object PageRank {
     * [0, scale] micro-units. */
   def ranks(edgesIn: DataFrame, iterations: Int,
             scale: Long = 1000000000000L,
-            dampNumer: Long = 85, dampDenom: Long = 100): DataFrame = {
+            dampNumer: Long = 85, dampDenom: Long = 100,
+            checkpointEvery: Int = 8): DataFrame = {
     require(iterations >= 0 && scale > 0 && dampDenom > 0 &&
-      dampNumer >= 0 && dampNumer <= dampDenom)
+      dampNumer >= 0 && dampNumer <= dampDenom && checkpointEvery > 0)
+    // localCheckpoint the edge frame (and the #nodes-sized outw/nodes
+    // derived from it) ONCE: without it every iteration re-executes the
+    // caller's whole edge derivation — the executed query plan showed 5
+    // redundant corpus-join re-runs before this materialization.
     val edges = edgesIn.select(col("src"), col("dst"),
-      col("w").cast("long").as("w"))
-    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+      col("w").cast("long").as("w")).localCheckpoint()
+    val outw = edges.groupBy("src").agg(sum("w").as("ow")).localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     // n is a scalar (node count) — one tiny job, then pure driver-side
     // BIGINT constants identical to the oracle's subquery arithmetic.
     val n = nodes.count()
@@ -65,7 +72,7 @@ object PageRank {
     val base = scale / n
     val teleport = ((dampDenom - dampNumer) * base) / dampDenom
     var ranks = nodes.withColumn("pr_rank", lit(base))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = edges
         .join(ranks.withColumnRenamed("node", "src")
           .withColumnRenamed("pr_rank", "__r"), "src")
@@ -77,6 +84,10 @@ object PageRank {
           (lit(teleport) +
             expr(s"($dampNumer * coalesce(__c, 0L)) DIV $dampDenom"))
             .as("pr_rank"))
+      // flatten the rank frame's own lineage on long runs (each
+      // iteration otherwise nests the previous iteration's plan)
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -667,6 +667,75 @@ object RelationalQueries extends Registry {
     "d24_k_anonymity" -> ((s, d) =>
       graft.operators.Anonymity.audit(Tables.customer(s, d),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 12)),
+    // D60: session path mining — top navigation paths: per user-day
+    // session, the ordered event-type sequence (capped at the first 12
+    // events so a hot user can't build an unbounded string), counted
+    // and top-50'd. ONE (user, day) shuffle for the ordered collapse
+    // (sort_array over structs — no window), then a tiny path agg and
+    // TakeOrderedAndProject. Total order (ts, event_id) makes the
+    // path string deterministic.
+    "d26_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 12)
+        .groupBy(col("user_id"), col("day"))
+        .agg(concat_ws(">", transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          e => e.getField("event_type"))).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path")).limit(50)
+    }),
+    // D61: key-skew profile — the shuffle-planning diagnostic: rows
+    // per join key, bucketed by decimal magnitude (digits of the
+    // count — pure integer/string arithmetic, no log2 floats), with
+    // per-bucket key counts, row mass, and the hottest key size.
+    // Two partial-agg'd hash aggs; nothing corpus-sized leaves the
+    // first one.
+    "d27_key_skew" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        .groupBy(length(col("cnt").cast("string")).as("magnitude"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_per_key"))),
+    // D62: correlation matrix — exact-grid Pearson over the lineitem
+    // numerics: every sum (n, Σx, Σy, Σx², Σy², Σxy) is an exact
+    // DECIMAL on the cents grid (factors cast to DECIMAL BEFORE the
+    // product — the doubles are 2-dp-representable, so products are
+    // exact 4-dp decimals), then one fixed double-arithmetic formula
+    // over identical operands in both engines. ONE scan, one 1-row
+    // partial-agg'd aggregate for all three pairs.
+    "d28_correlation" -> ((s, d) => {
+      def dec(c: String) = col(c).cast("decimal(18,2)")
+      def pair(x: String, y: String) = Seq(
+        count(col(x)).cast("double").as(s"n_${x}_$y"),
+        sum(dec(x)).cast("double").as(s"sx_${x}_$y"),
+        sum(dec(y)).cast("double").as(s"sy_${x}_$y"),
+        sum(dec(x) * dec(x)).cast("double").as(s"sxx_${x}_$y"),
+        sum(dec(y) * dec(y)).cast("double").as(s"syy_${x}_$y"),
+        sum(dec(x) * dec(y)).cast("double").as(s"sxy_${x}_$y"))
+      val pairs = Seq(("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"), ("l_extendedprice", "l_discount"))
+      val aggs = pairs.flatMap { case (x, y) => pair(x, y) }
+      val sums = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      // all three pairs from the ONE 1-row aggregate (an explode of
+      // literal structs, not a union that would re-run the scan)
+      val rows = pairs.map { case (x, y) =>
+        val (n, sx, sy, sxx, syy, sxy) =
+          (col(s"n_${x}_$y"), col(s"sx_${x}_$y"), col(s"sy_${x}_$y"),
+            col(s"sxx_${x}_$y"), col(s"syy_${x}_$y"), col(s"sxy_${x}_$y"))
+        struct(lit(x).as("x_col"), lit(y).as("y_col"),
+          ((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+            .as("corr"))
+      }
+      sums.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.x_col"), col("r.y_col"), col("r.corr"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1250,5 +1319,53 @@ object RelationalQueries extends Registry {
     },
     "d24_k_anonymity" -> graft.operators.Anonymity.sqlAudit(
       "customer", Seq("c_nationkey", "c_mktsegment"), "c_acctbal", 12),
+    "d26_top_paths" -> """
+      WITH e AS (
+        SELECT user_id, date_trunc('day', ts) AS day, ts, event_id,
+          event_type,
+          row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                             ORDER BY ts, event_id) AS rn
+        FROM events),
+      p AS (
+        SELECT user_id, day,
+          string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM e WHERE rn <= 12 GROUP BY user_id, day)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM p GROUP BY path
+      ORDER BY n_sessions DESC, path ASC LIMIT 50""",
+    "d27_key_skew" -> """
+      WITH k AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(length(CAST(cnt AS VARCHAR)) AS INT) AS magnitude,
+        CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(sum(cnt) AS BIGINT) AS n_rows,
+        max(cnt) AS max_per_key
+      FROM k GROUP BY 1""",
+    "d28_correlation" -> {
+      def sums(x: String, y: String, sfx: String) =
+        s"""CAST(count($x) AS DOUBLE) AS n$sfx,
+            CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE) AS sx$sfx,
+            CAST(sum(CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS sy$sfx,
+            CAST(sum(CAST($x AS DECIMAL(18,2)) * CAST($x AS DECIMAL(18,2)))
+              AS DOUBLE) AS sxx$sfx,
+            CAST(sum(CAST($y AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2)))
+              AS DOUBLE) AS syy$sfx,
+            CAST(sum(CAST($x AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2)))
+              AS DOUBLE) AS sxy$sfx"""
+      def row(x: String, y: String, i: String) =
+        s"""SELECT '$x' AS x_col, '$y' AS y_col,
+              (n$i * sxy$i - sx$i * sy$i) /
+                (sqrt(n$i * sxx$i - sx$i * sx$i) *
+                 sqrt(n$i * syy$i - sy$i * sy$i)) AS corr FROM s"""
+      s"""WITH s AS (SELECT
+            ${sums("l_quantity", "l_extendedprice", "1")},
+            ${sums("l_quantity", "l_discount", "2")},
+            ${sums("l_extendedprice", "l_discount", "3")}
+          FROM lineitem)
+          ${row("l_quantity", "l_extendedprice", "1")}
+          UNION ALL ${row("l_quantity", "l_discount", "2")}
+          UNION ALL ${row("l_extendedprice", "l_discount", "3")}"""
+    },
   )
 }
