@@ -56,4 +56,36 @@ object IncrementalAgg {
         when(col("n") > 0,
           col("sum_v").cast("double") / col("n").cast("double")))
       .withColumn("sum_v", col("sum_v").cast("double"))
+
+  // ---- mergeable DISTINCT counts ----------------------------------
+  // COUNT(DISTINCT key) is the one common rollup metric the exact
+  // state above cannot carry: distinctness is not decomposable into a
+  // scalar. The mergeable form is the Datasketches HLL sketch (binary
+  // register state; update and union are both register-wise max, so
+  // they are order- and partitioning-insensitive):
+  //   sketch(history ∪ delta) = union(sketch(history), sketch(delta))
+  // The estimate is approximate (~1.6% rel. std. error at lgK=12), so
+  // this family is rows+spec, not oracle — IncrementalAggSpec pins
+  // merge ≡ recompute on the ESTIMATE and a ≤5% error floor vs exact.
+  // At 100 TB this replaces the two-phase exact distinct (a full
+  // re-shuffle of history per refresh) with |groups| × ~kB of state.
+
+  /** Mergeable distinct-count state: `(groupCols..., nd_sketch)`.
+    * `lgK` trades state size (2^lgK bytes-ish) for error. */
+  def distinctState(df: DataFrame, groupCols: Seq[String],
+                    keyCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("nd_sketch"))
+
+  /** Distinct state ⊕ state — groups on either side survive. */
+  def distinctMerge(a: DataFrame, b: DataFrame,
+                    groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col("nd_sketch")).as("nd_sketch"))
+
+  /** Finished view: adds the cardinality estimate. */
+  def distinctFinish(state: DataFrame): DataFrame =
+    state.withColumn("approx_distinct",
+      hll_sketch_estimate(col("nd_sketch")))
 }

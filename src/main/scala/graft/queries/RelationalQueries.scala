@@ -609,6 +609,23 @@ object RelationalQueries extends Registry {
         IncrementalAgg.state(even, g, "l_quantity"),
         IncrementalAgg.state(odd, g, "l_quantity"), g))
     }),
+    // D70: incremental DISTINCT maintenance — the one rollup metric the
+    // exact d20 state can't carry, held as mergeable HLL sketches
+    // (union of shard sketches ≡ sketch of the union — register-wise
+    // max, order- and partitioning-insensitive). Rows-only by the
+    // engine-sketch contract; IncrementalAggSpec pins merge ≡ recompute
+    // on the estimate and a ≤5% error floor vs exact distinct.
+    "d20_incremental_distinct" -> ((s, d) => {
+      import graft.operators.IncrementalAgg
+      val li = Tables.lineitem(s, d)
+      val g = Seq("l_returnflag", "l_linestatus")
+      val even = li.filter(pmod(col("l_orderkey"), lit(2L)) === 0)
+      val odd = li.filter(pmod(col("l_orderkey"), lit(2L)) === 1)
+      IncrementalAgg.distinctFinish(IncrementalAgg.distinctMerge(
+        IncrementalAgg.distinctState(even, g, "l_partkey"),
+        IncrementalAgg.distinctState(odd, g, "l_partkey"), g))
+        .drop("nd_sketch")
+    }),
     // D53: event-type transition matrix — per-user Markov transitions
     // (prev type → type) with exact counts and one-division
     // probabilities; the behavioral-analytics twin of the text bigram
@@ -735,6 +752,63 @@ object RelationalQueries extends Registry {
       }
       sums.select(explode(array(rows: _*)).as("r"))
         .select(col("r.x_col"), col("r.y_col"), col("r.corr"))
+    }),
+    // D66: per-key rate limiting (streaming.RateLimit batch twin) —
+    // every event annotated with its within-user-DAY arrival rank and
+    // an admitted flag for the first 3 (day buckets: the cap actually
+    // binds on this fixture — max 10/user-day at sf0.01); ONE
+    // (user, day) shuffle with bounded frames. The streaming form is
+    // the same pure fold in a transformWithState processor
+    // (RateLimitSpec: stream ≡ batch ≡ this window form).
+    "d29_rate_limit" -> ((s, d) =>
+      graft.streaming.RateLimit.capBatch(Tables.events(s, d),
+        cap = 3, truncUnit = "day")),
+    // D67: debounce — telemetry dedup: drop an event arriving within
+    // 30 min of the SAME user's previous event of the same type (lag
+    // gap-filter semantics, the standard alert-merge debounce; the
+    // threshold sits where it actually BINDS on this fixture — min
+    // same-user-type gap is ~8 s, p01 ≈ 30 min, so ~1% of rows drop).
+    // One (user, type) shuffle, codegen'd lag + filter.
+    "d30_debounce" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .where(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L)
+        .drop("prev_us")
+    }),
+    // D68: LEFT-OUTER attribution join — d7's interval join keeping
+    // unattributed purchases (null click columns); on streams Spark
+    // holds each purchase until the click watermark passes its
+    // interval, so state stays bounded and the row set converges to
+    // this batch twin.
+    "d31_attribution_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStreams.attributionJoinOuter(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        windowMinutes = 10)
+    }),
+    // D69: A/B experiment analysis — units = users over ALL events (a
+    // user with no purchases contributes metric 0, the correct
+    // intention-to-treat denominator), deterministic intRank variant
+    // assignment, per-user purchase value on the exact decimal grid,
+    // Welch t from Σm/Σm² in ONE pass. Two shuffles total: the
+    // per-user groupBy and a 1-row partial-agg'd summary.
+    "d32_ab_test" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)").as("m"))
+        .withColumn("variant", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treatment"), salt = 17))
+      graft.operators.Experiment.welchTTest(
+        perUser, "variant", "m", "control", "treatment")
     }),
   )
 
@@ -1342,6 +1416,40 @@ object RelationalQueries extends Registry {
         CAST(sum(cnt) AS BIGINT) AS n_rows,
         max(cnt) AS max_per_key
       FROM k GROUP BY 1""",
+    "d29_rate_limit" -> """
+      SELECT event_id, user_id, ts, event_type,
+        CAST(row_number() OVER (
+          PARTITION BY user_id, date_trunc('day', ts)
+          ORDER BY ts, event_id) AS BIGINT) AS n_in_hour,
+        CAST(row_number() OVER (
+          PARTITION BY user_id, date_trunc('day', ts)
+          ORDER BY ts, event_id) <= 3 AS INT) AS admitted
+      FROM events""",
+    "d30_debounce" -> """
+      WITH t AS (
+        SELECT event_id, user_id, event_type, ts,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS prev_us
+        FROM events)
+      SELECT event_id, user_id, event_type, ts FROM t
+      WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000""",
+    "d31_attribution_outer" -> """
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        p.value AS purchase_value, c.event_id AS click_id, c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts""",
+    "d32_ab_test" -> graft.operators.Experiment.sqlWelch(
+      s"""SELECT
+            ${graft.operators.Experiment.sqlVariantOf("user_id",
+              Seq("control", "treatment"), 17)} AS variant, m
+          FROM (SELECT user_id,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(12,2))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m
+            FROM events GROUP BY user_id)""",
+      "control", "treatment"),
     "d28_correlation" -> {
       def sums(x: String, y: String, sfx: String) =
         s"""CAST(count($x) AS DOUBLE) AS n$sfx,

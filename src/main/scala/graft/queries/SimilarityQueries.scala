@@ -135,6 +135,20 @@ object SimilarityQueries extends Registry {
         docs.filter(col("doc_id") < 10), "doc_id", "text",
         k = 5)
     }),
+    // C3: lexical SERVING shape — persist the inverted index (bucketed
+    // postings + terms + stats), then answer the query batch from it.
+    // Served scores are bit-identical to the one-shot recompute, so
+    // this sits under the SAME exact DuckDB oracle as c3_bm25_retrieval
+    // — the strongest correctness statement of the three persisted
+    // indexes (IVF and MinHash serve under rows+spec).
+    "c3_bm25_serve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (tbl, tmp) = indexScratch(d, "graft_bm25_serve_postings")
+      graft.text.LexicalIndex.write(docs.filter(col("doc_id") >= 10),
+        "doc_id", "text", table = tbl, path = tmp, numBuckets = 8)
+      graft.text.LexicalIndex.topK(s, tbl, tmp,
+        docs.filter(col("doc_id") < 10), "doc_id", "text", k = 5)
+    }),
     // C3: per-label centroids (the IVF/k-NN-classify building block) —
     // posexplode to (label, dim, v), then an ORDER-INSENSITIVE exact
     // mean: elements rounded to the 6-dp grid (tie-free for binary
@@ -185,6 +199,11 @@ object SimilarityQueries extends Registry {
 
   val oracle: Map[String, String] = Map(
     "c3_bm25_retrieval" -> graft.text.Bm25.sql(
+      "SELECT doc_id, text FROM documents WHERE doc_id >= 10",
+      "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 10",
+      k = 5),
+    // identical oracle: serving from the persisted index ≡ recompute
+    "c3_bm25_serve" -> graft.text.Bm25.sql(
       "SELECT doc_id, text FROM documents WHERE doc_id >= 10",
       "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 10",
       k = 5),

@@ -347,6 +347,18 @@ object TextQueries extends Registry {
     // instead of shuffling the full (token, count) histogram. Capacity
     // 65536 > the corpus' distinct unigrams, so counts are exact and
     // the DuckDB oracle applies unchanged.
+    // C5: KEYED heavy hitters — per-language top tokens via the same
+    // Misra–Gries aggregate, one summary per group (the shape the
+    // streaming twin StreamingHeavyHitters folds incrementally;
+    // stream == this batch == oracle in the exact-capacity regime).
+    "c5_lang_top_tokens" -> ((s, d) =>
+      graft.streaming.StreamingHeavyHitters.topKBatch(
+        graft.streaming.StreamingHeavyHitters.toItems(
+          Tables.documents(s, d)
+            .select(col("lang"),
+              explode(graft.text.TextFunctions.tokens(col("text"))).as("token")),
+          "lang", "token"),
+        k = 10, capacity = 65536)),
     "c5_frequent_tokens" -> ((s, d) =>
       Tables.documents(s, d)
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
@@ -979,6 +991,17 @@ object TextQueries extends Registry {
       SELECT source, CAST(sum(bpe) AS BIGINT) AS total_tokens,
              max(bpe) AS max_doc_tokens, count(*) AS n_docs
       FROM p GROUP BY source""",
+    "c5_lang_top_tokens" -> s"""
+      WITH t AS (
+        SELECT lang, unnest(${sqlToks("text")}) AS token FROM documents
+      ), c AS (
+        SELECT lang, token, count(*) AS cnt FROM t GROUP BY lang, token
+      ), r AS (
+        SELECT lang AS key, token AS item, cnt,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY cnt DESC, token ASC) AS INT) AS rank
+        FROM c)
+      SELECT key, item, cnt, rank FROM r WHERE rank <= 10""",
     "c5_frequent_tokens" -> s"""
       SELECT token, count(*) AS n
       FROM (SELECT unnest(${sqlToks("text")}) AS token FROM documents)

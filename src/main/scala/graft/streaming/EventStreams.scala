@@ -144,4 +144,38 @@ object EventStreams {
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("purchase_value"), col("click_id"), col("click_ts"))
   }
+
+  /** LEFT-OUTER stream-stream interval join — [[attributionJoin]] that
+    * also emits UNATTRIBUTED purchases (null click columns): the
+    * "which conversions had no preceding touchpoint" question, which
+    * the inner join silently drops. On streams this is Spark's
+    * watermarked outer join: a purchase is held in state until the
+    * click-side watermark passes the end of its candidate interval,
+    * THEN emitted with nulls if nothing matched — so outer results
+    * trail the watermark by design, state stays O(users × window), and
+    * the row set equals the batch twin once the watermark passes
+    * (StreamStreamJoinSpec asserts it). Batch twin `d29_attribution_outer`
+    * runs this same function under the DuckDB oracle (LEFT JOIN …
+    * BETWEEN twin). */
+  def attributionJoinOuter(purchases: DataFrame, clicks: DataFrame,
+                           windowMinutes: Int = 10,
+                           watermark: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    p.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("click_ts") < col("purchase_ts"),
+      "leftOuter")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+  }
 }

@@ -1,0 +1,109 @@
+package graft.text
+
+import graft.operators.TopPerGroup
+import graft.sources.TableSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted INVERTED INDEX for BM25 serving — the lexical sibling of
+  * [[graft.similarity.IvfIndex]] (dense ANN) and
+  * [[graft.dedup.MinHashIndex]] (near-dup), completing the
+  * build-once/serve-forever triad. [[Bm25.topK]] re-tokenizes and
+  * re-aggregates the whole corpus on every call: right for a one-shot
+  * analytical query, wrong for the 100 TB serving shape where the
+  * corpus is indexed nightly and queried constantly.
+  *
+  *  - [[write]]: tokenize ONCE, aggregate postings and document
+  *    lengths, DENORMALIZE dl into the posting rows (one build-time
+  *    join so serving needs no doc-side join at all), and persist
+  *      `path/stats`    — 1 row (n_docs, total_len);
+  *      `path/terms`    — vocabulary-sized (term, df);
+  *      a BUCKETED catalog table of (term, doc_id, tf, dl)
+  *    via [[TableSink.writeBucketed]], bucketed + sorted on `term`.
+  *  - [[topK]]: read stats (driver, 1 row), enrich the QUERY batch's
+  *    terms with df from the terms table (query side is small by
+  *    contract — it broadcasts into the vocabulary scan), then join
+  *    the enriched query terms against the bucketed postings with the
+  *    query side BROADCAST: the index — the 100 TB side — is read in
+  *    place with NO Exchange (LexicalIndexSpec asserts it). Only the
+  *    candidate contributions (corpus rows matching a query term,
+  *    post df-stopping) reach the per-(query, doc) score shuffle.
+  *
+  * Served scores are IDENTICAL to a fresh [[Bm25.topK]] run with the
+  * same parameters: the persisted tf/dl/df/stats are the same
+  * aggregates the one-shot path computes, and the scoring projection
+  * runs the same fixed double-op sequence on the same 6-dp grid — so
+  * the serve queries sit under the SAME exact DuckDB oracle
+  * ([[Bm25.sql]]) as the recompute, not a weaker rows-only check.
+  */
+object LexicalIndex {
+
+  /** Build and persist the index. `table` is the catalog name for the
+    * bucketed postings (bucket metadata needs a catalog); `path` is the
+    * storage location. `numBuckets` should put bucket × file near
+    * 128–512 MB at the target scale — postings shrink ~10× from raw
+    * text, so ~1 bucket per 2–5 GB of corpus. */
+  def write(corpus: DataFrame, idCol: String, textCol: String,
+            table: String, path: String, numBuckets: Int = 32): Unit = {
+    val toks = corpus.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .localCheckpoint()
+    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val doclen = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
+    doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+    TableSink.writeBucketed(
+      postings.join(doclen, "doc_id")
+        .select(col("term"), col("doc_id"), col("tf"), col("dl")),
+      table, s"$path/postings", Seq("term"), numBuckets)
+  }
+
+  /** Top-`k` docs per query against the PERSISTED index — no corpus
+    * tokenization, no corpus aggregation. Same output contract and
+    * same exact scores as [[Bm25.topK]] with identical parameters. */
+  def topK(spark: SparkSession, table: String, path: String,
+           queries: DataFrame, queryId: String, queryText: String,
+           k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+           maxDfFraction: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"maxDfFraction must be in (0, 1]: $maxDfFraction")
+    val stats = spark.read.parquet(s"$path/stats").collect()(0)
+    val nDocs = stats.getLong(stats.fieldIndex("n_docs"))
+    val totalLen = stats.getLong(stats.fieldIndex("total_len"))
+    // query terms + df: the query batch broadcasts into the
+    // vocabulary-sized terms scan (map-side), then the enriched result
+    // (still query-sized) broadcasts into the postings scan
+    val qterms = spark.read.parquet(s"$path/terms")
+      .join(broadcast(queries
+        .select(col(queryId).as("query_id"),
+          explode(TextFunctions.tokens(col(queryText))).as("term"))
+        .distinct()), "term")
+      .filter(col("df").cast("double") <=
+        lit(maxDfFraction) * lit(nDocs.toDouble))
+    // scoring projection: the EXACT op sequence of Bm25.topK with
+    // n_docs/total_len as literals carrying the same values — IEEE
+    // double ops are value-functions, so the scores are bit-identical
+    val contrib = spark.table(table)
+      .join(broadcast(qterms), "term")
+      .withColumn("__c", round(
+        log((lit(nDocs.toDouble) - col("df").cast("double")
+            + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl").cast("double")
+              * lit(nDocs.toDouble)
+              / lit(totalLen.toDouble))), 6)
+        .cast("decimal(18,6)"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).cast("decimal(18,6)").as("score"))
+    TopPerGroup.topN(scored, "query_id", "score", "doc_id", k)
+      .withColumn("score", col("score").cast("double"))
+  }
+}

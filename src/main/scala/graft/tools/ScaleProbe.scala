@@ -62,6 +62,14 @@ object ScaleProbe {
     // constraint checks join orders → customer; shift o_custkey in step
     // with the customer re-key so referential integrity still holds
     replicate("orders", "o_orderkey", alsoShift = Seq("o_custkey"))
+    // PageRank's edge derivation joins supplier/nation: lineitem copies
+    // keep their original l_suppkey values, so the dims are copied
+    // as-is (10× edge weights into the same 25-node graph — the
+    // realistic axis: more traffic, same domain universe)
+    Seq("supplier", "nation").foreach { t =>
+      Tables.load(spark, sfDir, t)
+        .write.mode("overwrite").parquet(s"$bigDir/$t.parquet")
+    }
     println(s"[scale] staged ${mult}x corpus at $bigDir")
 
     val queries = Seq("c2_minhash_dedup", "c2_online_dedup_twin",
@@ -97,10 +105,30 @@ object ScaleProbe {
       // winsorize (scan-bound)
       "d15_constraint_checks", "d16_funnel", "b12_session_window",
       "d17_gap_fill", "c1_fuzzy_pairs", "c3_kmeans", "d18_histogram",
-      "c8_winsorize")
+      "c8_winsorize",
+      // round-8c ops: PageRank (edge derivation = the replicated
+      // 4-way join, then iterations on the materialized 25-node
+      // graph — derivation should dominate, ~linear), path mining
+      // (one (user, day) shuffle over 10× users — linear), key-skew
+      // profile + correlation matrix (scan-bound aggs), k-anonymity +
+      // quantile bins (customer-sized aggs), BPE (corpus pass grows
+      // 10× but the vocabulary — and so every merge round — is
+      // IDENTICAL across copies: total should be clearly sub-linear)
+      "d23_pagerank", "d26_top_paths", "d27_key_skew",
+      "d28_correlation", "d24_k_anonymity", "d25_quantile_bins",
+      "c5_bpe_merges",
+      // round-8c streaming twins: rate limiting (bounded user-hour
+      // windows over 10× users — linear), debounce (lag window, same
+      // shape), outer attribution join (10× users × fixed per-user
+      // density — the interval join stays linear because candidate
+      // clicks per purchase don't grow with user count)
+      "d29_rate_limit", "d30_debounce", "d31_attribution_outer")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
-    queries.foreach { name =>
+    // optional third arg: comma-separated subset (re-probe new ops
+    // without paying for the full battery)
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    queries.filter(q => only.forall(_.contains(q))).foreach { name =>
       val fn = SparkEntry.queries(name)
       def run(dir: String): Double = {
         val t0 = System.nanoTime()
@@ -123,9 +151,11 @@ object ScaleProbe {
         .count()
       (System.nanoTime() - t0) / 1e9
     }
-    runMp(sfDir)
-    val m1 = runMp(sfDir); val mN = runMp(bigDir)
-    println(f"| annTopK tables=4 probeBits=1 (direct) | $m1%.2f | $mN%.2f | ${mN / m1}%.1fx |")
+    if (only.isEmpty) {
+      runMp(sfDir)
+      val m1 = runMp(sfDir); val mN = runMp(bigDir)
+      println(f"| annTopK tables=4 probeBits=1 (direct) | $m1%.2f | $mN%.2f | ${mN / m1}%.1fx |")
+    }
     spark.stop()
   }
 }

@@ -47,6 +47,28 @@ class IncrementalAggSpec extends SparkSpec {
     assert(z.getLong(1) === 0L && z.isNullAt(3) && z.isNullAt(5))
   }
 
+  test("distinct sketches: merge of shards ≡ full recompute on the estimate") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    def est(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.distinctFinish(df).drop("nd_sketch").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = est(IncrementalAgg.distinctState(li, g, "l_partkey"))
+    val parts = (0 to 2).map(i => IncrementalAgg.distinctState(
+      li.filter(pmod(col("l_orderkey"), lit(3L)) === i), g, "l_partkey"))
+    val merged = est(IncrementalAgg.distinctMerge(
+      IncrementalAgg.distinctMerge(parts(0), parts(1), g), parts(2), g))
+    assert(merged === full,
+      "unioned shard sketches must estimate identically to a one-shot sketch")
+    // and the estimate is honest: within 5% of the exact distinct
+    val exact = li.groupBy(g.map(col): _*)
+      .agg(countDistinct(col("l_partkey")).as("nd")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    full.foreach { case (k, e) =>
+      val x = exact(k).toDouble
+      assert(math.abs(e - x) / x <= 0.05, s"group $k: est $e vs exact $x")
+    }
+  }
+
   test("finished avg equals direct per-group average on real data") {
     val li = graft.Tables.lineitem(spark, sf0001)
     val fin = IncrementalAgg.finish(IncrementalAgg.state(li, g, "l_extendedprice"))

@@ -77,4 +77,56 @@ class StreamStreamJoinSpec extends SparkSpec {
       .select("click_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got === Seq(10L, 11L), "closed lower bound, open upper bound")
   }
+
+  test("outer attribution join (batch): unattributed purchases appear with null clicks") {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    val inner = EventStreams.attributionJoin(purchases, clicks)
+    val outer = EventStreams.attributionJoinOuter(purchases, clicks)
+    // outer ⊇ inner, and the extra rows are exactly the unmatched
+    // purchases, one row each, with null click columns
+    assert(outer.where(col("click_id").isNotNull).count() === inner.count())
+    val unmatched = outer.where(col("click_id").isNull)
+    assert(unmatched.count() > 0, "fixture must have unattributed purchases")
+    assert(unmatched.count() ===
+      purchases.count() - inner.select("purchase_id").distinct().count())
+    assert(unmatched.select("purchase_ts").na.drop().count()
+      === unmatched.count(), "purchase side fully populated")
+  }
+
+  test("outer attribution join: stream == batch once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    // outer results emit only after the watermark passes a purchase's
+    // candidate interval: feed the real data, then a far-future flush
+    // event on BOTH sides so the watermark overtakes every interval
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+    val pIn = MemoryStream[Ev]
+    val cIn = MemoryStream[Ev]
+    val q = EventStreams.attributionJoinOuter(pIn.toDF(), cIn.toDF())
+      .writeStream.format("memory").queryName("ssj_outer_sink")
+      .outputMode("append").start()
+    pIn.addData(purchases.as[Ev].collect().toSeq)
+    cIn.addData(clicks.as[Ev].collect().toSeq)
+    q.processAllAvailable()
+    pIn.addData(Seq(Ev(-1L, flushTs, -1L, "purchase", 0.0)))
+    cIn.addData(Seq(Ev(-2L, flushTs, -1L, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val order = Seq(col("purchase_id"), col("click_id"))
+    // drop the flush rows before comparing
+    val stream = spark.table("ssj_outer_sink")
+      .where(col("purchase_id") =!= -1L)
+      .orderBy(order: _*).collect().toSeq
+    val batch = EventStreams.attributionJoinOuter(purchases, clicks)
+      .orderBy(order: _*).collect().toSeq
+    assert(batch.exists(_.isNullAt(4)), "fixture has unattributed purchases")
+    assert(stream === batch)
+  }
 }
