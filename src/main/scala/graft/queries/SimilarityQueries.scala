@@ -32,6 +32,23 @@ object SimilarityQueries extends Registry {
     "c3_ivf_topk" -> ((s, d) =>
       Cosine.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3)),
+    // C3: product quantization — 32× code compression + ADC shortlist
+    // + exact grid re-rank (FAISS serving recipe). Deterministic end to
+    // end (grid Lloyd codebooks, BIGINT ADC tables) but the codebooks
+    // are model state, so rows-only; ProductQuantizeSpec pins the 0.7
+    // recall@10 floor and exact re-rank distances.
+    "c3_pq_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      // codebooks train on a bounded sample with few Lloyd rounds (the
+      // FAISS posture — stable buckets, not a converged optimum): at
+      // any corpus size the fit cost is 8 subspaces × 2 bounded
+      // iterations; ADC + re-rank is where the corpus is touched
+      val cb = graft.similarity.ProductQuantize.fit(
+        embs, "vec_id", "embedding", dim = 64, m = 8, ksub = 16,
+        iters = 2, fitSample = 2000)
+      graft.similarity.ProductQuantize.adcTopK(embs, "vec_id", "embedding",
+        embs.filter(col("vec_id") < 10), "vec_id", "embedding", cb, k = 10)
+    }),
     // C3: the SERVING shape — build the persisted IVF index (bucketed
     // vector table + centroids), then answer a 100-query batch from it
     // with no re-fit and zero Exchange on the index side. Rows-only

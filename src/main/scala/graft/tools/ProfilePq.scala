@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.{GraftExtensions, Tables}
+import graft.similarity.ProductQuantize
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Phase timings for the PQ query — where does c3_pq_topk spend its
+  * time at a given SF? Usage: runMain graft.tools.ProfilePq <sfDir> */
+object ProfilePq {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pq] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val embs = Tables.embeddings(spark, sfDir)
+    (1 to 2).foreach { rep =>
+      println(s"--- rep $rep ---")
+      val cb = time("fit")(ProductQuantize.fit(
+        embs, "vec_id", "embedding", dim = 64, m = 8, ksub = 16,
+        iters = 2, fitSample = 2000))
+      val codes = time("encode.count")(
+        ProductQuantize.encode(embs, "vec_id", "embedding", cb).count())
+      println(s"[pq] codes: $codes")
+      // phase split found the round-8 pathology: WITHOUT the codes
+      // localCheckpoint inside adcTopK, the posexplode re-evaluated the
+      // m × ksub argmin per exploded row (encode 0.4 s, scoring 5-10 s);
+      // with it the full serve is ~2.4 s warm at this SF
+      time("adcTopK.count")(
+        ProductQuantize.adcTopK(embs, "vec_id", "embedding",
+          embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb, k = 10).count())
+    }
+    spark.stop()
+  }
+}
