@@ -371,7 +371,25 @@ object Multimodal {
     * parse against `javax.sound.sampled.AudioSystem` (also pure JVM,
     * ships in java.desktop) so the hand-rolled header walk agrees with
     * the platform decoder on format facts. */
-  def decodeWav(p: Array[Byte]): Option[AudioInfo] = {
+  def decodeWav(p: Array[Byte]): Option[AudioInfo] = wavHeader(p).map {
+    case (channels, rate, start, nSamples) =>
+      var sum = 0L; var peak = 0L; var i = 0
+      while (i < nSamples) {
+        val a = math.abs(pcm16(p, start, i).toLong)
+        sum += a; if (a > peak) peak = a
+        i += 1
+      }
+      AudioInfo("wav", channels, rate, nSamples.toLong / channels,
+        sum.toDouble / nSamples, peak)
+  }
+
+  /** 16-bit little-endian sample `i` of the data chunk at `start`. */
+  @inline private def pcm16(p: Array[Byte], start: Int, i: Int): Int =
+    ((p(start + 2 * i) & 0xff) | (p(start + 2 * i + 1) << 8)).toShort.toInt
+
+  /** Shared RIFF walk: `(channels, rate, dataStart, nSamples)` for a
+    * valid PCM-16 WAV, None otherwise. */
+  private def wavHeader(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (p == null || p.length < 44) return None
     def u16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
     def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
@@ -390,19 +408,9 @@ object Multimodal {
         fmtOk = audioFormat == 1 && bits == 16 && channels >= 1 && rate > 0
       } else if (id == "data") {
         if (!fmtOk || off + 8 + len > p.length || len % 2 != 0) return None
-        val start = off.toInt + 8
         val nSamples = (len / 2).toInt
-        var sum = 0L; var peak = 0L; var i = 0
-        while (i < nSamples) {
-          val s = ((p(start + 2 * i) & 0xff) |
-            (p(start + 2 * i + 1) << 8)).toShort.toInt
-          val a = math.abs(s.toLong)
-          sum += a; if (a > peak) peak = a
-          i += 1
-        }
         if (nSamples == 0 || nSamples % channels != 0) return None
-        return Some(AudioInfo("wav", channels, rate, nSamples.toLong / channels,
-          sum.toDouble / nSamples, peak))
+        return Some((channels, rate, off.toInt + 8, nSamples))
       }
       // chunks are word-aligned: odd-length chunks carry a pad byte
       off += 8 + len + (len % 2)
@@ -452,6 +460,61 @@ object Multimodal {
             case None => Seq(null, null, null, null, null, null)
           }
           Row.fromSeq(row.toSeq ++ extra)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** WINDOWED AUDIO FEATURES — the speech-pipeline framing step (VAD,
+    * silence trimming, segment-level quality gates all consume
+    * fixed-length frame features, not whole-file stats): split each
+    * PCM-16 WAV into consecutive windows of `frameLen` PCM frames
+    * (`frameLen × channels` samples; the tail window is partial) and
+    * emit per window the sample count, mean/peak |amplitude| and the
+    * exact integer ENERGY (Σ s² — the VAD statistic). All features are
+    * integer sums plus one double division, so the closed-form fixture
+    * sits under the exact DuckDB oracle like the whole-file decode.
+    *
+    * One output row per window, ~`nFrames / frameLen` per asset —
+    * bounded fan-out of a narrow flatMap, no shuffle, scales with the
+    * scan exactly like [[decodeAudios]]. */
+  def audioFrameFeatures(assets: DataFrame, frameLen: Int = 512,
+                         batchSize: Int = 256): DataFrame = {
+    require(frameLen >= 1)
+    import org.apache.spark.sql.types._
+    val schema = assets.schema
+      .add("frame_idx", LongType).add("n_samples", LongType)
+      .add("mean_abs", DoubleType).add("peak_abs", LongType)
+      .add("energy", LongType)
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    assets.mapPartitions { it: Iterator[Row] =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          wavHeader(row.getAs[Array[Byte]](payloadIdx)) match {
+            case Some((channels, _, start, nSamples)) =>
+              val p = row.getAs[Array[Byte]](payloadIdx)
+              val win = frameLen * channels
+              val nWin = (nSamples + win - 1) / win
+              (0 until nWin).iterator.map { f =>
+                val lo = f * win
+                val hi = math.min(lo + win, nSamples)
+                var sum = 0L; var peak = 0L; var energy = 0L
+                var i = lo
+                while (i < hi) {
+                  val s = pcm16(p, start, i).toLong
+                  val a = math.abs(s)
+                  sum += a; if (a > peak) peak = a
+                  energy += s * s
+                  i += 1
+                }
+                val n = (hi - lo).toLong
+                // Seq[Any], NOT Seq(...): mixed Long/Double literals
+                // would numeric-widen the whole Seq to Double
+                Row.fromSeq(row.toSeq ++ Seq[Any](f.toLong, n,
+                  sum.toDouble / n, peak, energy))
+              }
+            case None => Iterator.empty
+          }
         }
       }
     }(Encoders.row(schema))

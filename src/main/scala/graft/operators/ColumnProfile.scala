@@ -68,4 +68,49 @@ object ColumnProfile {
     }
     one.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
   }
+
+  /** PROFILE DRIFT — the monitoring step between two corpus drops: diff
+    * `cur`'s profile against `prev`'s, per column. This is what turns
+    * the profile into an alert surface: schema drift (added/removed
+    * columns), null-rate regressions, cardinality shifts, mean
+    * movement, and range widening (new out-of-envelope values — the
+    * precursor of a constraint-check failure) all land in one row per
+    * column.
+    *
+    * Scale shape: two profile scans (each one-pass, partial-agg'd) and
+    * a |columns|-row full-outer join — the diff itself costs nothing at
+    * any corpus size. Deterministic end to end: every metric is a count
+    * ratio or an exact-decimal-mean delta, one double op sequence on
+    * identical operands in both engines, rounded to the 6-dp grid. */
+  def drift(cur: DataFrame, prev: DataFrame,
+            curCols: Seq[String] = Nil, prevCols: Seq[String] = Nil,
+            exact: Boolean = true): DataFrame = {
+    val pc = profile(cur, curCols, exact)
+    val pp = profile(prev, prevCols, exact)
+    val c = pc.columns.filter(_ != "column")
+      .foldLeft(pc)((d, n) => d.withColumnRenamed(n, s"${n}_cur"))
+    val p = pp.columns.filter(_ != "column")
+      .foldLeft(pp)((d, n) => d.withColumnRenamed(n, s"${n}_prev"))
+    def rate(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      when(d > 0, round(n.cast("double") / d.cast("double"), 6))
+    c.join(p, Seq("column"), "full_outer")
+      .withColumn("status",
+        when(col("n_rows_prev").isNull, lit("added"))
+          .when(col("n_rows_cur").isNull, lit("removed"))
+          .otherwise(lit("common")))
+      .withColumn("null_rate_cur", rate(col("n_nulls_cur"), col("n_rows_cur")))
+      .withColumn("null_rate_prev", rate(col("n_nulls_prev"), col("n_rows_prev")))
+      .withColumn("null_rate_delta",
+        round(col("null_rate_cur") - col("null_rate_prev"), 6))
+      .withColumn("distinct_ratio_cur", rate(col("n_distinct_cur"), col("n_rows_cur")))
+      .withColumn("distinct_ratio_prev", rate(col("n_distinct_prev"), col("n_rows_prev")))
+      .withColumn("mean_delta", round(col("mean_d_cur") - col("mean_d_prev"), 6))
+      .withColumn("range_widened",
+        (col("min_d_cur") < col("min_d_prev") ||
+          col("max_d_cur") > col("max_d_prev")).cast("int"))
+      .select("column", "status", "n_rows_cur", "n_rows_prev",
+        "null_rate_cur", "null_rate_prev", "null_rate_delta",
+        "distinct_ratio_cur", "distinct_ratio_prev",
+        "mean_delta", "range_widened")
+  }
 }

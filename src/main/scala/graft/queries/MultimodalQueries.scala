@@ -154,6 +154,21 @@ object MultimodalQueries extends Registry {
           col("sample_rate"), col("n_frames"), col("mean_abs"),
           col("peak_abs"))
     }),
+    // C6: windowed audio frame features (the VAD/segmentation framing
+    // step) over the same closed-form PCM fixture — 32-PCM-frame
+    // windows so every asset gets several windows INCLUDING a partial
+    // tail; integer sum/peak/energy + one-division mean per window.
+    "c6_audio_frames" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.wavFixtureBytes(
+          (100 + id % 50).toInt, (1 + id % 2).toInt, 8000, id)))
+        .toDF("asset_id", "payload")
+      Multimodal.audioFrameFeatures(fixture, frameLen = 32)
+        .select(col("asset_id"), col("frame_idx"), col("n_samples"),
+          col("mean_abs"), col("peak_abs"), col("energy"))
+    }),
     // C6 rows-only: real resize — decode the PNG fixture, bilinear
     // scale to 8x8, re-encode PNG, decode AGAIN and report the
     // round-tripped dimensions (all 8x8 ⇒ the plumbing is proven by
@@ -314,6 +329,33 @@ object MultimodalQueries extends Registry {
         CAST(8000 AS BIGINT) AS sample_rate, n_frames,
         CAST(list_sum(a) AS DOUBLE) / (n_frames * channels) AS mean_abs,
         CAST(list_max(a) AS BIGINT) AS peak_abs
+      FROM s""",
+    // c6_audio_frames: per-window stats of the closed-form fixture —
+    // window f covers samples [f·32·ch, min((f+1)·32·ch, total)).
+    "c6_audio_frames" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+               CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+               CAST(1 + doc_id % 2 AS BIGINT) AS channels
+        FROM documents WHERE doc_id < 50
+      ), w AS (
+        SELECT asset_id, channels, n_frames * channels AS total,
+          32 * channels AS win,
+          unnest(range(0, CAST(ceil(CAST(n_frames * channels AS DOUBLE)
+            / (32 * channels)) AS BIGINT))) AS frame_idx
+        FROM f
+      ), s AS (
+        SELECT asset_id, frame_idx,
+          list_transform(range(frame_idx * win,
+                               least((frame_idx + 1) * win, total)),
+            i -> ((asset_id + i) % 65536) - 32768) AS smp
+        FROM w
+      )
+      SELECT asset_id, frame_idx, CAST(len(smp) AS BIGINT) AS n_samples,
+        CAST(list_sum(list_transform(smp, x -> abs(x))) AS DOUBLE)
+          / len(smp) AS mean_abs,
+        CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak_abs,
+        CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS energy
       FROM s""",
     "c6_phash" -> """
       WITH f AS (

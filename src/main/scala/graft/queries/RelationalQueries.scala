@@ -508,6 +508,22 @@ object RelationalQueries extends Registry {
       graft.operators.ColumnProfile.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
           "l_returnflag", "l_shipdate", "l_linestatus"))),
+    // D71: PROFILE DRIFT — this drop vs the last one: schema drift
+    // (o_orderpriority added, o_custkey removed), a real null-rate
+    // regression (10% hash-noise missingness injected on the cur side,
+    // oracle-reproducible), cardinality and mean movement, range
+    // widening. The |columns|-row diff join costs nothing at any
+    // corpus size; the two profile scans are the whole cost.
+    "d33_profile_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val prev = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cur = graft.functions.Noise.injectMissing(
+        o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")),
+        "o_totalprice", "o_orderkey", salt = 23, frac = 0.10)
+      graft.operators.ColumnProfile.drift(cur, prev,
+        Seq("o_totalprice", "o_orderstatus", "o_orderpriority"),
+        Seq("o_totalprice", "o_orderstatus", "o_custkey"))
+    }),
     // D47: declarative constraint checks (the Deequ pattern) — the
     // data-contract gate run on every drop. Mixed pass/fail on
     // purpose: the in_range bound and the status regex are tightened
@@ -837,6 +853,61 @@ object RelationalQueries extends Registry {
       Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
         num("l_discount"), other("l_returnflag"), other("l_shipdate"),
         other("l_linestatus")).mkString(" UNION ALL ")
+    },
+    "d33_profile_drift" -> {
+      def prof(c: String, from: String, numeric: Boolean) = {
+        val stats =
+          if (numeric) s"""CAST(min($c) AS DOUBLE) AS min_d,
+            CAST(max($c) AS DOUBLE) AS max_d,
+            CAST(sum(CAST($c AS DECIMAL(32,6))) AS DOUBLE) / count($c) AS mean_d"""
+          else """CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d,
+            CAST(NULL AS DOUBLE) AS mean_d"""
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+          count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+          $stats FROM $from"""
+      }
+      def rate(n: String, d: String) =
+        s"CASE WHEN $d > 0 THEN round(CAST($n AS DOUBLE) / CAST($d AS DOUBLE), 6) END"
+      s"""
+      WITH curt AS (
+        SELECT CASE WHEN ${graft.functions.Noise.sqlMissing("o_orderkey", 23, 0.10)}
+                 THEN NULL ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      ), prevt AS (
+        SELECT o_totalprice, o_orderstatus, o_custkey
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      ), pc AS (
+        ${prof("o_totalprice", "curt", numeric = true)} UNION ALL
+        ${prof("o_orderstatus", "curt", numeric = false)} UNION ALL
+        ${prof("o_orderpriority", "curt", numeric = false)}
+      ), pp AS (
+        ${prof("o_totalprice", "prevt", numeric = true)} UNION ALL
+        ${prof("o_orderstatus", "prevt", numeric = false)} UNION ALL
+        ${prof("o_custkey", "prevt", numeric = true)}
+      ), j AS (
+        SELECT coalesce(c.col_name, p.col_name) AS col_name,
+          c.n_rows AS n_rows_cur, c.n_nulls AS n_nulls_cur,
+          c.n_distinct AS n_distinct_cur, c.min_d AS min_cur,
+          c.max_d AS max_cur, c.mean_d AS mean_cur,
+          p.n_rows AS n_rows_prev, p.n_nulls AS n_nulls_prev,
+          p.n_distinct AS n_distinct_prev, p.min_d AS min_prev,
+          p.max_d AS max_prev, p.mean_d AS mean_prev
+        FROM pc c FULL OUTER JOIN pp p ON c.col_name = p.col_name)
+      SELECT col_name AS "column",
+        CASE WHEN n_rows_prev IS NULL THEN 'added'
+             WHEN n_rows_cur IS NULL THEN 'removed'
+             ELSE 'common' END AS status,
+        n_rows_cur, n_rows_prev,
+        ${rate("n_nulls_cur", "n_rows_cur")} AS null_rate_cur,
+        ${rate("n_nulls_prev", "n_rows_prev")} AS null_rate_prev,
+        round(${rate("n_nulls_cur", "n_rows_cur")}
+          - ${rate("n_nulls_prev", "n_rows_prev")}, 6) AS null_rate_delta,
+        ${rate("n_distinct_cur", "n_rows_cur")} AS distinct_ratio_cur,
+        ${rate("n_distinct_prev", "n_rows_prev")} AS distinct_ratio_prev,
+        round(mean_cur - mean_prev, 6) AS mean_delta,
+        CAST(min_cur < min_prev OR max_cur > max_prev AS INT) AS range_widened
+      FROM j"""
     },
     "b7_grouping_sets" -> """
       SELECT l_returnflag, l_linestatus,

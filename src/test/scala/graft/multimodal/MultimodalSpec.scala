@@ -227,6 +227,33 @@ class MultimodalSpec extends SparkSpec {
     assert(ais.getFrameLength === 4L)
   }
 
+  test("audioFrameFeatures: windows tile the samples; tail partial; energy exact") {
+    import spark.implicits._
+    // 5 mono frames, frameLen 2 → windows of 2 samples: [0,1],[2,3],[4]
+    val fixture = Seq((7L, Multimodal.wavFixtureBytes(5, 1, 8000, 0L)))
+      .toDF("asset_id", "payload")
+    val rows = Multimodal.audioFrameFeatures(fixture, frameLen = 2)
+      .select("frame_idx", "n_samples", "mean_abs", "peak_abs", "energy")
+      .orderBy("frame_idx").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(1)).toSeq === Seq(2L, 2L, 1L))
+    // seed 0: sample i = i - 32768; |s| = 32768 - i; energy Σ (i-32768)²
+    def e(i: Long) = (i - 32768L) * (i - 32768L)
+    assert(rows(0).getLong(4) === e(0) + e(1))
+    assert(rows(2).getLong(4) === e(4))
+    assert(rows(0).getDouble(2) === (32768.0 + 32767.0) / 2)
+    assert(rows(2).getLong(3) === 32764L)
+    // windows sum back to the whole-file stats
+    val whole = Multimodal.decodeWav(
+      Multimodal.wavFixtureBytes(5, 1, 8000, 0L)).get
+    assert(rows.map(_.getLong(1)).sum === 5L)
+    assert(rows.map(r => r.getDouble(2) * r.getLong(1)).sum / 5.0
+      === whole.meanAbs)
+    // junk payloads produce zero frame rows, never a throw
+    val junk = Seq((8L, "not audio".getBytes)).toDF("asset_id", "payload")
+    assert(Multimodal.audioFrameFeatures(junk, frameLen = 2).count() === 0L)
+  }
+
   test("hostile/malformed WAV returns None, never throws") {
     val good = Multimodal.wavFixtureBytes(4, 1, 8000, 0L)
     assert(Multimodal.decodeWav(null) === None)

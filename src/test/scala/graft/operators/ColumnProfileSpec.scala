@@ -65,4 +65,24 @@ class ColumnProfileSpec extends SparkSpec {
     assert(p("l_quantity").getDouble(4) === 1.0)
     assert(p("l_quantity").getDouble(5) === 50.0)
   }
+
+  test("drift: schema add/remove, null-rate regression, range widening") {
+    val prev = Seq((1L, "a", 5.0), (2L, "b", 7.0), (3L, "c", 9.0))
+      .toDF("id", "s", "v")
+    val cur = Seq((4L, "a", Some(5.0), 1L), (5L, "b", Some(99.0), 1L),
+        (6L, "c", Option.empty[Double], 1L), (7L, "d", Some(6.0), 1L))
+      .toDF("id", "s", "v", "extra")
+    val d = ColumnProfile.drift(cur, prev,
+        Seq("v", "extra"), Seq("v", "id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d("extra").getString(1) === "added")
+    assert(d("id").getString(1) === "removed")
+    val v = d("v")
+    assert(v.getString(1) === "common")
+    assert(v.getDouble(v.fieldIndex("null_rate_cur")) === 0.25)
+    assert(v.getDouble(v.fieldIndex("null_rate_delta")) === 0.25)
+    assert(v.getInt(v.fieldIndex("range_widened")) === 1) // 99 > 9
+    // added/removed rows carry no delta metrics
+    assert(d("extra").isNullAt(d("extra").fieldIndex("null_rate_delta")))
+  }
 }
