@@ -57,4 +57,36 @@ object Robust {
             / col("__iqr"), 6)))
       .drop("__med", "__iqr")
   }
+
+  /** MAD OUTLIER FLAGS — the robust twin of the z-score anomaly gate
+    * (d9): median/MAD stand in for mean/stddev, so one wild burst
+    * cannot inflate the spread estimate and mask ITSELF (the classic
+    * failure of σ-based monitors on spiky data). robust_z =
+    * 0.6745·(x − median) / MAD (the consistency constant making it
+    * comparable to a σ z-score under normality); MAD = median of
+    * |x − median| per group. Degenerate groups (MAD = 0) get z = 0.
+    *
+    * Two grouped percentile aggregates over the value column (the
+    * second over per-row deviations — same stats-attach shape as
+    * winsorize, twice), tiny stats frames broadcast back. Output:
+    * input columns + `med`, `robust_z`, `flagged` (1 when
+    * |robust_z| ≥ `cutoff`). */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  cutoff: Double = 3.5): DataFrame = {
+    require(groupCols.nonEmpty && cutoff > 0)
+    val meds = df.groupBy(groupCols.map(col): _*)
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"))
+    val withMed = df.join(broadcast(meds), groupCols)
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
+    val mads = withMed.groupBy(groupCols.map(col): _*)
+      .agg(round(expr("percentile(__dev, 0.5)"), 4).as("__mad"))
+    withMed.join(broadcast(mads), groupCols)
+      .withColumn("robust_z",
+        when(col("__mad") === 0, lit(0.0))
+          .otherwise(round(lit(0.6745) *
+            (col(valueCol).cast("double") - col("med")) / col("__mad"), 6)))
+      .withColumn("flagged",
+        (abs(col("robust_z")) >= cutoff).cast("bigint"))
+      .drop("__dev", "__mad")
+  }
 }

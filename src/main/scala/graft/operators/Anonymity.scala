@@ -52,4 +52,60 @@ object Anonymity {
           CAST(count(*) < $k AS INT) AS at_risk
         FROM $table GROUP BY $q"""
   }
+
+  // ---- Laplace-noised release counts ------------------------------
+  // The differential-privacy MECHANISM shape (Dwork et al.: count +
+  // Laplace(Δf/ε) noise, Δf = 1 for counting queries) as an engine
+  // operator: per-group counts released with calibrated noise, the
+  // standard "publish how many users did X without revealing whether
+  // user u did" aggregate. The noise here is keyed hash-noise pushed
+  // through the Laplace inverse CDF — DETERMINISTIC and engine-
+  // portable, so the whole release sits under the bit-exact oracle
+  // and re-runs never re-roll (a re-published count must not wobble,
+  // or the wobble itself leaks). A cryptographic deployment would
+  // swap the public keyed hash for a secret-seeded generator — one
+  // line; the mechanism, sensitivity calibration and plan shape are
+  // what the engine provides.
+  //
+  // Scale: ONE hash aggregate (partial map-side) + a projection.
+
+  /** Per-group counts with Laplace(1/ε) noise. Output: groupCols +
+    * `noised_n` (6-dp double; true counts withheld by design — that's
+    * the point of the release). */
+  def noisedCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+                   salt: Int = 29): DataFrame = {
+    require(groupCols.nonEmpty && epsilon > 0)
+    val key = graft.dedup.MinHashDedup.portableShingleHash(
+      concat_ws("", groupCols.map(col): _*))
+    val u = graft.functions.Noise.hashNoise(key, salt)
+    // inverse-CDF Laplace: −b·sign(u−½)·ln(1−2|u−½|), b = 1/ε
+    val b = lit(1.0 / epsilon)
+    val c = u - lit(0.5)
+    val noise = -b * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("noised_n", round(col("__n").cast("double") + noise, 6))
+      .drop("__n")
+  }
+
+  /** DuckDB twin of [[noisedCounts]] — identical hash, CDF and op
+    * order. `groupCols` must be string columns (the hash input). */
+  def sqlNoisedCounts(table: String, groupCols: Seq[String],
+                      epsilon: Double, salt: Int = 29): String = {
+    import graft.functions.Noise.sqlDouble
+    val q = groupCols.mkString(", ")
+    val cat = groupCols.mkString("concat_ws(chr(1), ", ", ", ")")
+    val key = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len($cat) + 1),
+        j -> CAST(ascii(($cat)[j:j]) AS BIGINT))),
+      (a, ch) -> (a * 31 + ch) % 1000000007)"""
+    val u = graft.functions.Noise.sqlNoise(key, salt)
+    val c = s"(($u) - 5.0e-1)"
+    val noise = s"""(-${sqlDouble(1.0 / epsilon)} * sign($c)
+      * ln(1.0e0 - 2.0e0 * abs($c)))"""
+    s"""WITH g AS (
+          SELECT $q, count(*) AS n FROM $table GROUP BY $q)
+        SELECT $q, round(CAST(n AS DOUBLE) + $noise, 6) AS noised_n
+        FROM g"""
+  }
 }

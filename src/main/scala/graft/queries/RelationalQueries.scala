@@ -642,6 +642,25 @@ object RelationalQueries extends Registry {
         IncrementalAgg.distinctState(odd, g, "l_partkey"), g))
         .drop("nd_sketch")
     }),
+    // D77: Laplace-noised release counts — the DP mechanism shape with
+    // deterministic keyed noise (re-publication must not wobble; the
+    // oracle reproduces the release bit-for-bit). ε = 0.5 so the noise
+    // is clearly visible against the fixture counts.
+    "d34_noised_counts" -> ((s, d) =>
+      graft.operators.Anonymity.noisedCounts(Tables.events(s, d),
+        Seq("event_type"), epsilon = 0.5)),
+    // D78: MAD robust rate anomaly — d9's σ z-score replaced by
+    // median/MAD so a burst can't inflate the spread and mask itself;
+    // hourly counts per event type, exact type-7 medians on the 4-dp
+    // grid, robust z on the 6-dp grid.
+    "d35_robust_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      graft.impute.Robust.madOutliers(hourly, "n", Seq("event_type"))
+        .select(col("event_type"), col("hour"), col("n"),
+          col("med"), col("robust_z"), col("flagged"))
+    }),
     // D53: event-type transition matrix — per-user Markov transitions
     // (prev type → type) with exact counts and one-division
     // probabilities; the behavioral-analytics twin of the text bigram
@@ -1427,6 +1446,30 @@ object RelationalQueries extends Registry {
         CAST(sum(CAST(l_quantity AS DECIMAL(32,6))) AS DOUBLE)
           / CAST(count(l_quantity) AS DOUBLE) AS avg_v
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
+      "events", Seq("event_type"), epsilon = 0.5),
+    "d35_robust_anomaly" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+      ), meds AS (
+        SELECT event_type, round(quantile_cont(n, 0.5), 4) AS med
+        FROM hourly GROUP BY event_type
+      ), dev AS (
+        SELECT h.event_type, h.hour, h.n, m.med,
+          abs(CAST(h.n AS DOUBLE) - m.med) AS d
+        FROM hourly h JOIN meds m USING (event_type)
+      ), mads AS (
+        SELECT event_type, round(quantile_cont(d, 0.5), 4) AS mad
+        FROM dev GROUP BY event_type)
+      SELECT d.event_type, d.hour, d.n, d.med,
+        CASE WHEN m.mad = 0 THEN 0.0e0
+          ELSE round(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad, 6)
+        END AS robust_z,
+        CAST(CASE WHEN m.mad = 0 THEN 0.0e0
+          ELSE abs(round(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad, 6))
+        END >= 3.5e0 AS BIGINT) AS flagged
+      FROM dev d JOIN mads m USING (event_type)""",
     "d19_event_transitions" -> """
       WITH t AS (
         SELECT user_id, event_type,

@@ -32,6 +32,23 @@ object SimilarityQueries extends Registry {
     "c3_ivf_topk" -> ((s, d) =>
       Cosine.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3)),
+    // C3: the COMPOSED serving layout — IVF cells × PQ codes (FAISS
+    // IVFPQ): build the bucketed cell table carrying m-byte codes +
+    // unit vectors, probe cells, ADC-score candidates from CODES ONLY
+    // (column pruning drops the vectors from the scoring scan —
+    // IvfPqSpec asserts the ReadSchema), exact-cosine re-rank of the
+    // shortlist. Rows-only (model state); 0.77 measured recall@3 at
+    // nProbe=3 with the 0.7 floor spec-pinned.
+    "c3_ivfpq_serve" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val (tbl, tmp) = indexScratch(d, "graft_ivfpq_serve_vectors")
+      graft.similarity.IvfPq.write(embs, "vec_id", "embedding", dim = 64,
+        table = tbl, path = tmp, numCentroids = 8, fitSample = 2000,
+        numBuckets = 8)
+      graft.similarity.IvfPq.topK(s, tbl, tmp,
+        embs.filter(col("vec_id") < 50), "vec_id", "embedding",
+        dim = 64, k = 10, nProbe = 2)
+    }),
     // C3: product quantization — 32× code compression + ADC shortlist
     // + exact grid re-rank (FAISS serving recipe). Deterministic end to
     // end (grid Lloyd codebooks, BIGINT ADC tables) but the codebooks

@@ -160,6 +160,12 @@ object ProductQuantize {
 
   /** PQ codes: `(id, codes array<bigint> length m)` — the persisted
     * serving table (m bytes/vector at ksub ≤ 256). */
+  /** Codegen note: the m × ksub × sub argmin is ~3k expression nodes —
+    * past the JVM's 64 KB method limit, so Spark compiles what it can
+    * and falls back to interpreted projection for the rest (a logged
+    * warning, not an error). The cost is a constant factor on this one
+    * narrow pass, independent of corpus size (the expression is
+    * parameter-bound); the ADC join dominates the query either way. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              cb: Codebooks): DataFrame = {
     df.select(col(idCol).as("__id"),

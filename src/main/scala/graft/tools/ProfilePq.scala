@@ -42,6 +42,16 @@ object ProfilePq {
         ProductQuantize.adcTopK(embs, "vec_id", "embedding",
           embs.filter(col("vec_id") < 10), "vec_id", "embedding",
           cb, k = 10).count())
+      // IVF-PQ composed index: write vs serve split
+      val tmp = java.nio.file.Files.createTempDirectory("pqprof").toString
+      time("ivfpq.write")(graft.similarity.IvfPq.write(
+        embs, "vec_id", "embedding", dim = 64,
+        table = s"pqprof_$rep", path = s"$tmp/idx",
+        numCentroids = 8, fitSample = 2000, numBuckets = 8))
+      time("ivfpq.topK.count")(graft.similarity.IvfPq.topK(
+        spark, s"pqprof_$rep", s"$tmp/idx",
+        embs.filter(col("vec_id") < 50), "vec_id", "embedding",
+        dim = 64, k = 10, nProbe = 2).count())
     }
     spark.stop()
   }

@@ -122,7 +122,19 @@ object ScaleProbe {
       // shape), outer attribution join (10× users × fixed per-user
       // density — the interval join stays linear because candidate
       // clicks per purchase don't grow with user count)
-      "d29_rate_limit", "d30_debounce", "d31_attribution_outer")
+      "d29_rate_limit", "d30_debounce", "d31_attribution_outer",
+      // round-8d ops: A/B test (one user shuffle + 1-row agg — linear
+      // in events), incremental distinct (HLL states — the shard scans
+      // are the only corpus passes), profile drift (two one-pass
+      // profiles of orders), BM25 serve (build is the corpus side:
+      // postings/doclen aggs; serve cost is query-batch-sized),
+      // keyed heavy hitters (map-side MG summaries, ONE tiny row per
+      // (partition, key) to the shuffle), PQ (encode projection +
+      // candidate agg — both linear), audio framing (narrow flatMap
+      // over the per-doc fixture), c6 frame features
+      "d32_ab_test", "d20_incremental_distinct", "d33_profile_drift",
+      "c3_bm25_serve", "c5_lang_top_tokens", "c3_pq_topk",
+      "c6_audio_frames", "c3_ivfpq_serve")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops

@@ -51,4 +51,27 @@ class RobustSpec extends SparkSpec {
     assert(Robust.robustScale(df, "v", Seq("g")).columns.toSeq
       === Seq("g", "v", "v_scaled"))
   }
+
+  test("madOutliers: burst flagged, median row at z=0, σ-masking avoided") {
+    import spark.implicits._
+    // 11 calm hours around 10 plus one 100× burst: the σ z-score of
+    // the burst is dragged DOWN by its own contribution to σ, MAD is
+    // not. (Values deliberately spread: a majority sitting exactly AT
+    // the median would make MAD itself 0 — the documented degenerate.)
+    val vals = Seq(8.0, 9.0, 9.0, 10.0, 10.0, 10.0,
+      11.0, 11.0, 12.0, 12.0, 8.0, 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("a", i, v) }
+      .toDF("g", "hour", "v")
+    val out = Robust.madOutliers(df, "v", Seq("g"))
+      .collect().map(r => r.getDouble(2) ->
+        (r.getDouble(r.fieldIndex("robust_z")),
+          r.getLong(r.fieldIndex("flagged")))).toMap
+    assert(out(1000.0)._2 === 1L, "burst must flag")
+    assert(out(10.0)._1 === 0.0 && out(10.0)._2 === 0L, "median rows calm")
+    assert(out.count(_._2._2 == 1L) === 1, "only the burst flags")
+    // degenerate group (constant values → MAD 0): z pinned to 0
+    val const = Seq(("b", 1, 5.0), ("b", 2, 5.0)).toDF("g", "hour", "v")
+    assert(Robust.madOutliers(const, "v", Seq("g"))
+      .select("robust_z").collect().forall(_.getDouble(0) === 0.0))
+  }
 }

@@ -38,6 +38,32 @@ class AnonymitySpec extends SparkSpec {
     assert(out(("US", "B"))._1 >= 2 && out(("US", "B"))._2 === 1L)
   }
 
+  test("noisedCounts: deterministic, visible noise, one row per group") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    val rel = Anonymity.noisedCounts(ev, Seq("event_type"), epsilon = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val truth = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rel.keySet === truth.keySet)
+    // noise is actually applied (no group releases its exact count)...
+    assert(rel.forall { case (k, v) => v != truth(k).toDouble })
+    // ...but bounded sanely for ε=0.5 (P(|L| > 20) ≈ e⁻¹⁰)
+    assert(rel.forall { case (k, v) => math.abs(v - truth(k)) < 40.0 })
+    // re-publication is stable under any layout
+    val again = Anonymity.noisedCounts(ev.repartition(7),
+        Seq("event_type"), epsilon = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again === rel)
+    // more privacy (smaller ε) ⇒ scaled-up noise, same sign (same u)
+    val tighter = Anonymity.noisedCounts(ev, Seq("event_type"), epsilon = 0.1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rel.foreach { case (k, v) =>
+      val n1 = v - truth(k); val n2 = tighter(k) - truth(k)
+      assert(math.abs(n2 / n1 - 5.0) < 1e-3, s"$k: $n1 vs $n2")
+    }
+  }
+
   test("approx mode tracks exact diversity on real data") {
     val cust = spark.read.parquet(s"$sf001/customer.parquet")
     // single quasi column → (c_nationkey, class_size, l_diversity, at_risk)
