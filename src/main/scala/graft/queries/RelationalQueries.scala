@@ -642,6 +642,40 @@ object RelationalQueries extends Registry {
         IncrementalAgg.distinctState(odd, g, "l_partkey"), g))
         .drop("nd_sketch")
     }),
+    // B16: the SQL-TEXT front end — the same engine consumed as ANSI
+    // SQL over registered views (spark.sql), exercising CTE + join +
+    // window + qualify-style filter in one statement. The oracle is
+    // near-verbatim the same text: the point is that a reference user
+    // who writes SQL, not DataFrames, gets the identical engine.
+    "b16_sql_surface" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("graft_v_customer")
+      Tables.nation(s, d).createOrReplaceTempView("graft_v_nation")
+      s.sql("""
+        WITH spend AS (
+          SELECT o_custkey,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+          FROM graft_v_orders GROUP BY o_custkey)
+        SELECT n_name, c_custkey, total, rnk FROM (
+          SELECT n.n_name, c.c_custkey, s.total,
+            CAST(row_number() OVER (PARTITION BY n.n_name
+              ORDER BY s.total DESC, c.c_custkey) AS BIGINT) AS rnk
+          FROM spend s
+          JOIN graft_v_customer c ON c.c_custkey = s.o_custkey
+          JOIN graft_v_nation n ON n.n_nationkey = c.c_nationkey)
+        WHERE rnk <= 3""")
+    }),
+    // D79: triangle counting over the co-purchase graph (parts sharing
+    // an order, thinned to high-quantity lines so the graph has
+    // realistic density) — degree-oriented wedge join, each triangle
+    // counted once; the oracle computes the naive a<b<c form, so the
+    // orientation algorithm's correctness is EXECUTED, not argued.
+    "d36_triangles" -> ((s, d) => {
+      val edges = graft.graph.Triangles.coOccurrenceEdges(
+        Tables.lineitem(s, d).filter(col("l_quantity") >= 45),
+        "l_orderkey", "l_partkey")
+      graft.graph.Triangles.stats(edges)
+    }),
     // D77: Laplace-noised release counts — the DP mechanism shape with
     // deterministic keyed noise (re-publication must not wobble; the
     // oracle reproduces the release bit-for-bit). ε = 0.5 so the noise
@@ -1448,6 +1482,44 @@ object RelationalQueries extends Registry {
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
+    "b16_sql_surface" -> """
+      WITH spend AS (
+        SELECT o_custkey,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_custkey)
+      SELECT n_name, c_custkey, total, rnk FROM (
+        SELECT n.n_name, c.c_custkey, s.total,
+          CAST(row_number() OVER (PARTITION BY n.n_name
+            ORDER BY s.total DESC, c.c_custkey) AS BIGINT) AS rnk
+        FROM spend s
+        JOIN customer c ON c.c_custkey = s.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey) t
+      WHERE rnk <= 3""",
+    "d36_triangles" -> """
+      WITH it AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_quantity >= 45
+      ), e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM it x JOIN it y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      ), deg AS (
+        SELECT v, count(*) AS deg FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY v
+      ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        (SELECT count(*) FROM e) AS n_edges,
+        CAST((SELECT sum(deg * (deg - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+        n_triangles,
+        CASE WHEN (SELECT sum(deg * (deg - 1) / 2) FROM deg) > 0
+          THEN round(3.0e0 * CAST(n_triangles AS DOUBLE)
+            / CAST((SELECT sum(deg * (deg - 1) / 2) FROM deg) AS DOUBLE), 6)
+          ELSE 0.0e0 END AS clustering_coeff
+      FROM tri""",
     "d35_robust_anomaly" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
