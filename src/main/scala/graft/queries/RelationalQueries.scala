@@ -642,6 +642,29 @@ object RelationalQueries extends Registry {
         IncrementalAgg.distinctState(odd, g, "l_partkey"), g))
         .drop("nd_sketch")
     }),
+    // D80: funnel conversion latency — "how long from first signup to
+    // the first purchase after it", the time-to-value metric next to
+    // d16's conversion rates. Two hash aggs on user (both partial) +
+    // one 1-row percentile summary; latencies are exact µs integers,
+    // percentiles exact type-7 on the 4-dp grid, hours via one shared
+    // double division.
+    "d37_funnel_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .join(signups, "user_id")
+        .filter(unix_micros(col("ts")) >= col("s_us"))
+        .groupBy(col("user_id"), col("s_us"))
+        .agg(min(unix_micros(col("ts"))).as("p_us"))
+        .withColumn("lat_us", col("p_us") - col("s_us"))
+      lat.agg(count(lit(1)).as("n_converted"),
+        round(round(expr("percentile(lat_us, 0.5)"), 4)
+          / lit(3600000000.0), 6).as("p50_hours"),
+        round(round(expr("percentile(lat_us, 0.9)"), 4)
+          / lit(3600000000.0), 6).as("p90_hours"))
+    }),
     // B16: the SQL-TEXT front end — the same engine consumed as ANSI
     // SQL over registered views (spark.sql), exercising CTE + join +
     // window + qualify-style filter in one statement. The oracle is
@@ -1482,6 +1505,21 @@ object RelationalQueries extends Registry {
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
+    "d37_funnel_latency" -> """
+      WITH s AS (
+        SELECT user_id, min(epoch_us(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+      ), lat AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) - s.s_us AS lat_us
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+        GROUP BY e.user_id, s.s_us)
+      SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        round(round(quantile_cont(lat_us, 0.5), 4) / 3600000000.0e0, 6)
+          AS p50_hours,
+        round(round(quantile_cont(lat_us, 0.9), 4) / 3600000000.0e0, 6)
+          AS p90_hours
+      FROM lat""",
     "b16_sql_surface" -> """
       WITH spend AS (
         SELECT o_custkey,

@@ -91,4 +91,19 @@ object TextSources {
       .option("header", "true")
       .option("escape", "\"")
       .csv(path)
+
+  /** ORC — the other columnar table format large estates actually hold
+    * (Hive-era warehouses ship it; a migration engine must read it in
+    * place, not demand a parquet rewrite first). Spark's native
+    * vectorized ORC reader gives the same columnar virtues as parquet:
+    * predicate pushdown into stripe/row-group statistics, column
+    * pruning, splittable files — TextSourcesSpec asserts the pushdown
+    * reaches the scan and the round-trip is bit-exact. Schema-explicit
+    * for the same single-pass reason as the text formats. */
+  def readOrc(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

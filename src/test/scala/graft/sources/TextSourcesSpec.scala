@@ -31,6 +31,30 @@ class TextSourcesSpec extends SparkSpec {
     assertSameRows(docs, back)
   }
 
+  test("documents round-trip through ORC bit-exactly; pushdown reaches the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    TextSources.writeOrc(docs, s"$dir/docs")
+    val back = TextSources.readOrc(spark, s"$dir/docs", dataSchema)
+      .select(docs.columns.map(col): _*)
+    assertSameRows(docs, back)
+    // lineitem through ORC: a filtered two-column projection must push
+    // the predicate and prune the schema exactly as on parquet
+    val li = Tables.lineitem(spark, sf0001)
+    TextSources.writeOrc(li, s"$dir/li")
+    val filtered = TextSources.readOrc(spark, s"$dir/li", li.schema)
+      .filter(col("l_quantity") >= 45)
+      .select("l_orderkey", "l_quantity")
+    assert(filtered.count() ===
+      li.filter(col("l_quantity") >= 45).count())
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(l_quantity"),
+      s"ORC scan did not push the predicate:\n${plan.take(1500)}")
+    assert("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>".r
+      .findFirstIn(plan).isDefined,
+      s"ORC scan did not prune columns:\n${plan.take(1500)}")
+  }
+
   test("malformed JSON lines are quarantined, not fatal, and clean rows survive") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl_bad").toString
     TextSources.writeJsonLines(docs.limit(10), s"$dir/docs")
