@@ -642,6 +642,13 @@ object RelationalQueries extends Registry {
         IncrementalAgg.distinctState(odd, g, "l_partkey"), g))
         .drop("nd_sketch")
     }),
+    // D81: abandoned-cart detection (batch twin of the event-time
+    // TIMER processor — "click not followed by purchase within 30
+    // min"): user-keyed ANTI interval join, the range condition as SMJ
+    // residual. The streaming form emits on watermark-passed timers
+    // (AbandonedCartsSpec: stream ≡ this batch ≡ oracle).
+    "d38_abandoned_carts" -> ((s, d) =>
+      graft.streaming.AbandonedCarts.abandonedBatch(Tables.events(s, d))),
     // D80: funnel conversion latency — "how long from first signup to
     // the first purchase after it", the time-to-value metric next to
     // d16's conversion rates. Two hash aggs on user (both partial) +
@@ -1505,6 +1512,14 @@ object RelationalQueries extends Registry {
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
+    "d38_abandoned_carts" -> """
+      SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+      FROM events c
+      WHERE c.event_type = 'click' AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND epoch_us(p.ts) >= epoch_us(c.ts)
+          AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)""",
     "d37_funnel_latency" -> """
       WITH s AS (
         SELECT user_id, min(epoch_us(ts)) AS s_us
