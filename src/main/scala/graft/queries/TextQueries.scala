@@ -347,6 +347,24 @@ object TextQueries extends Registry {
     // instead of shuffling the full (token, count) histogram. Capacity
     // 65536 > the corpus' distinct unigrams, so counts are exact and
     // the DuckDB oracle applies unchanged.
+    // C5: vocabulary drift between two corpus drops — new/vanished
+    // terms + JS divergence of the df distributions (the "did the
+    // crawl change under us" alarm; ColumnProfile.drift's text
+    // sibling). Contributions on the 12-dp decimal grid so the Σ is
+    // order-insensitive.
+    // The fixture's word-soup vocabulary is identical across any doc
+    // split, so the "cur" drop simulates a real crawl shift: the token
+    // `spark` is renamed `sparkv2` (one term vanishes, one appears,
+    // every shared term's mass shifts) — a deterministic regex both
+    // engines apply identically.
+    "c5_vocab_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.VocabDrift.summary(
+        docs.filter(col("doc_id") >= 250)
+          .withColumn("text",
+            regexp_replace(col("text"), "\\bspark\\b", "sparkv2")),
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+    }),
     // C5: KEYED heavy hitters — per-language top tokens via the same
     // Misra–Gries aggregate, one summary per group (the shape the
     // streaming twin StreamingHeavyHitters folds incrementally;
@@ -991,6 +1009,10 @@ object TextQueries extends Registry {
       SELECT source, CAST(sum(bpe) AS BIGINT) AS total_tokens,
              max(bpe) AS max_doc_tokens, count(*) AS n_docs
       FROM p GROUP BY source""",
+    "c5_vocab_drift" -> graft.text.VocabDrift.sql(
+      """SELECT doc_id, regexp_replace(text, '\b(spark)\b', 'sparkv2', 'g')
+           AS text FROM documents WHERE doc_id >= 250""",
+      "SELECT doc_id, text FROM documents WHERE doc_id < 250"),
     "c5_lang_top_tokens" -> s"""
       WITH t AS (
         SELECT lang, unnest(${sqlToks("text")}) AS token FROM documents
