@@ -78,7 +78,20 @@ object DumpPlans {
     "d23_pagerank",
     // round-8c: quantile bins — one percentile agg broadcast back,
     // codegen'd indicator-sum projection (stats-attach shape)
-    "d25_quantile_bins")
+    "d25_quantile_bins",
+    // round-8d: BM25 serving — the bucketed postings scan joined by
+    // BROADCAST of the enriched query terms (zero index-side
+    // Exchange); only candidate scores shuffle
+    "c3_bm25_serve",
+    // round-8d: Welch A/B — per-user partial-agg'd shuffle + a 1-row
+    // conditional aggregate, variance without a second scan
+    "d32_ab_test",
+    // round-8e: triangles — the degree-oriented wedge join (the only
+    // large Exchanges carry oriented edges), closing-edge semi join
+    "d36_triangles",
+    // round-8e: abandoned carts — user-keyed SMJ ANTI join with the
+    // interval condition as join residual (no cartesian, no window)
+    "d38_abandoned_carts")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

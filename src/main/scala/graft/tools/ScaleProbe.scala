@@ -134,7 +134,15 @@ object ScaleProbe {
       // over the per-doc fixture), c6 frame features
       "d32_ab_test", "d20_incremental_distinct", "d33_profile_drift",
       "c3_bm25_serve", "c5_lang_top_tokens", "c3_pq_topk",
-      "c6_audio_frames", "c3_ivfpq_serve")
+      "c6_audio_frames", "c3_ivfpq_serve",
+      // round-8e ops: triangles (wedge join bounded by degree
+      // orientation; 10× lineitem → denser co-purchase graph, ratio
+      // reflects the E^1.5 wedge bound, not corpus size), SQL text
+      // (CTE+join+window — linear), funnel latency / abandoned carts
+      // (user-keyed aggs/anti-join over 10× users — linear), vocab
+      // drift (vocabulary-sized join; corpus pass is the linear part)
+      "d36_triangles", "b16_sql_surface", "d37_funnel_latency",
+      "d38_abandoned_carts", "c5_vocab_drift")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
