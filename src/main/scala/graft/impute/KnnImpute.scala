@@ -1,0 +1,84 @@
+package graft.impute
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** K-NEAREST-NEIGHBOR IMPUTATION — the other classic model-based
+  * imputer next to the reference's RBM (sklearn's `KNNImputer`
+  * lineage): fill a missing value with the mean of the target over the
+  * `k` complete rows closest in feature space. Where the RBM learns a
+  * joint distribution, KNN is local and assumption-free — the cleaning
+  * library's second opinion, and the one practitioners reach for first.
+  *
+  * Determinism (the whole imputer sits under the bit-exact oracle):
+  * features min-max scale with the reference's own A4/A5 arithmetic
+  * (fit on COMPLETE rows only — the donor space defines the geometry),
+  * squared distances are fixed-order IEEE sums (+,−,×,÷ are exactly
+  * rounded and engine-identical, unlike libm), neighbors rank by
+  * (d², donor id) — a total order — and the imputed value is an exact
+  * decimal mean of the k donors divided once.
+  *
+  * Scale shape: this exact form joins recipients × donors — right for
+  * the audit/small-segment shape it ships in (and the oracle). At
+  * corpus scale the SAME scoring tail runs behind a candidate
+  * generator instead of the full join: block donors with
+  * [[graft.similarity.Cosine.annTopK]]/[[graft.similarity.IvfIndex]]
+  * on the feature vector and feed candidates to the identical
+  * rank+mean — the composition the similarity family exists for.
+  * Donor-side skew is impossible (every recipient scores every donor
+  * or its candidate set); the rank window partitions by recipient.
+  */
+object KnnImpute {
+
+  /** Impute nulls of `targetCol` from the `k` nearest complete rows in
+    * `featureCols` space. Output: input columns with `targetCol`
+    * replaced by its imputed value where it was null (rows with a null
+    * FEATURE keep their null target — no geometry, no donation). */
+  def impute(df: DataFrame, idCol: String, targetCol: String,
+             featureCols: Seq[String], k: Int = 5): DataFrame = {
+    require(featureCols.nonEmpty && k >= 1)
+    val featOk = featureCols.map(col(_).isNotNull).reduce(_ && _)
+    val donors = df.filter(col(targetCol).isNotNull && featOk)
+    // A4 fit on donors: per-feature min/max, one broadcast row
+    val stats = donors.agg(
+      featureCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).head,
+      featureCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*)
+    def scaled(prefix: String)(c: String): Column =
+      Scaling.scale(col(s"$prefix$c").cast("double"),
+        col(s"__mn_$c"), col(s"__mx_$c"))
+    val recipients = df.filter(col(targetCol).isNull && featOk)
+      .select(col(idCol).as("__rid") +:
+        featureCols.map(c => col(c).as(s"__rf_$c")): _*)
+      .crossJoin(broadcast(stats))
+    val donorSide = donors
+      .select(Seq(col(idCol).as("__did"),
+        col(targetCol).cast("decimal(18,2)").as("__dv")) ++
+        featureCols.map(c => col(c).as(s"__df_$c")): _*)
+    // fixed-order squared distance over the scaled features
+    val d2 = featureCols.map { c =>
+      val e = scaled("__rf_")(c) - scaled("__df_")(c)
+      e * e
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("__rid"))
+      .orderBy(col("__d2").asc, col("__did").asc)
+    val imputed = recipients.join(donorSide,
+        col("__rid") =!= col("__did"), "inner")
+      .withColumn("__d2", d2)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .groupBy(col("__rid"))
+      .agg((sum(col("__dv")).cast("double") /
+        count(lit(1)).cast("double")).as("__imputed"))
+    // reassemble: original schema, imputed values where target was null
+    df.join(imputed, col(idCol) === col("__rid"), "left_outer")
+      .withColumn(targetCol,
+        when(col(targetCol).isNull, col("__imputed"))
+          .otherwise(col(targetCol)))
+      .drop("__rid", "__imputed")
+  }
+}

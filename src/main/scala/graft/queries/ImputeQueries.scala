@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.Noise
 import graft.impute.{MeanImpute, RbmFixture}
 import graft.ml.RbmImputer
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr, lit, pmod}
 
 /** Driver-contract queries for the imputation pipeline (SURVEY §2-A).
   * M1: deterministic mean-impute slice (full `clean()` dataflow shape
@@ -27,6 +27,11 @@ object ImputeQueries extends Registry {
     "o_totalprice", "o_orderdate", "o_orderpriority")
   // composite per-row key (l_orderkey is not unique per lineitem row)
   private val lineitemKey = "(l_orderkey * 8 + l_linenumber)"
+  // the UNIQUE lineitem row id: (orderkey, linenumber, partkey, suppkey)
+  // is the minimal unique tuple in this data generation (verified:
+  // every shorter prefix collides); strides sized for sf0.1 bounds
+  private val lineitemUniqueKey =
+    "(((l_orderkey * 8 + l_linenumber) * 32768 + l_partkey) * 1024 + l_suppkey)"
 
   /** The reference `clean()` equivalent: inject missingness into one
     * numeric + one categorical column, fit the RBM, impute. */
@@ -52,6 +57,30 @@ object ImputeQueries extends Registry {
     "impute_lineitem_quantity" -> ((s, d) =>
       MeanImpute.imputeNumeric(Tables.lineitem(s, d), "l_quantity",
         lineitemKey, salt = 41)),
+    // KNN imputation (the assumption-free imputer next to the RBM):
+    // missing l_extendedprice filled from the 5 nearest complete rows
+    // in (quantity, discount, tax) space — fully deterministic, so the
+    // whole MODEL-BASED imputer sits under the exact oracle (the RBM
+    // needed the §5.4 fixture trick for this). 1-in-20 order subsample
+    // keeps the exact recipients × donors audit join oracle-sized.
+    "impute_lineitem_knn" -> ((s, d) => {
+      // two keys on purpose: the SMALL (l_orderkey, l_linenumber) key
+      // drives the sin-based missingness mask (large arguments degrade
+      // cross-engine sin agreement), while identity/tie-break uses the
+      // UNIQUE 4-column composite — (orderkey, linenumber) alone
+      // collides in this data generation (11785 duplicate groups), and
+      // KNN needs a real row id for self-exclusion and rank ties
+      val li = Tables.lineitem(s, d)
+        .filter(pmod(col("l_orderkey"), lit(20L)) === 0)
+        .withColumn("__mkey", expr(lineitemKey))
+        .withColumn("__key", expr(lineitemUniqueKey))
+      val withMissing = Noise.injectMissing(li, "l_extendedprice",
+        "__mkey", salt = 43, frac = 0.10)
+      graft.impute.KnnImpute.impute(withMissing, "__key",
+          "l_extendedprice", Seq("l_quantity", "l_discount", "l_tax"), k = 5)
+        .select(col("__key").as("row_key"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice").as("imputed_price"))
+    }),
     // deterministic categorical fill: global mode with stable ties.
     "impute_orders_priority_mode" -> ((s, d) =>
       MeanImpute.imputeMode(Tables.orders(s, d), "o_orderpriority",
@@ -141,6 +170,45 @@ object ImputeQueries extends Registry {
     "impute_lineitem_quantity" ->
       MeanImpute.oracleSql("lineitem", lineitemCols, "l_quantity",
         lineitemKey, salt = 41),
+    "impute_lineitem_knn" -> {
+      def sc(x: String, f: String) =
+        s"""(CASE WHEN mx_$f = mn_$f THEN 0.0e0
+             ELSE (CAST($x AS DOUBLE) - mn_$f) / (mx_$f - mn_$f) END)"""
+      s"""
+      WITH base AS (
+        SELECT $lineitemUniqueKey AS key, l_orderkey, l_linenumber,
+          l_quantity, l_discount, l_tax,
+          CASE WHEN ${Noise.sqlMissing(lineitemKey, 43, 0.10)}
+            THEN NULL ELSE l_extendedprice END AS tgt
+        FROM lineitem WHERE l_orderkey % 20 = 0
+      ), stats AS (
+        SELECT
+          min(CAST(l_quantity AS DOUBLE)) AS mn_q, max(CAST(l_quantity AS DOUBLE)) AS mx_q,
+          min(CAST(l_discount AS DOUBLE)) AS mn_d, max(CAST(l_discount AS DOUBLE)) AS mx_d,
+          min(CAST(l_tax AS DOUBLE)) AS mn_t, max(CAST(l_tax AS DOUBLE)) AS mx_t
+        FROM base WHERE tgt IS NOT NULL
+      ), pairs AS (
+        SELECT r.key AS rid, d.key AS did,
+          CAST(d.tgt AS DECIMAL(18,2)) AS dv,
+          (((${sc("r.l_quantity", "q")} - ${sc("d.l_quantity", "q")})
+            * (${sc("r.l_quantity", "q")} - ${sc("d.l_quantity", "q")})
+          + (${sc("r.l_discount", "d")} - ${sc("d.l_discount", "d")})
+            * (${sc("r.l_discount", "d")} - ${sc("d.l_discount", "d")}))
+          + (${sc("r.l_tax", "t")} - ${sc("d.l_tax", "t")})
+            * (${sc("r.l_tax", "t")} - ${sc("d.l_tax", "t")})) AS d2
+        FROM base r CROSS JOIN base d CROSS JOIN stats
+        WHERE r.tgt IS NULL AND d.tgt IS NOT NULL AND r.key != d.key
+      ), ranked AS (
+        SELECT rid, dv, row_number() OVER (
+          PARTITION BY rid ORDER BY d2 ASC, did ASC) AS rn
+        FROM pairs
+      ), imp AS (
+        SELECT rid, CAST(sum(dv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS v
+        FROM ranked WHERE rn <= 5 GROUP BY rid)
+      SELECT b.key AS row_key, b.l_orderkey, b.l_linenumber,
+        coalesce(b.tgt, i.v) AS imputed_price
+      FROM base b LEFT JOIN imp i ON i.rid = b.key"""
+    },
     "impute_orders_priority_mode" ->
       MeanImpute.modeOracleSql("orders", ordersCols, "o_orderpriority",
         "o_orderkey", salt = 42),

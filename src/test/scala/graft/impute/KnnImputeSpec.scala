@@ -1,0 +1,67 @@
+package graft.impute
+
+import graft.{SparkSpec, Tables}
+import graft.functions.Noise
+import org.apache.spark.sql.functions._
+
+/** KNN imputer invariants — the reference library's own test style
+  * (§5.1): no NaNs remain, known cells untouched, imputed values live
+  * inside the donor range; plus k=1 nearest-donor exactness on a hand
+  * fixture. */
+class KnnImputeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("k=1 copies the nearest donor; ties break by donor id") {
+    val df = Seq(
+      (1L, Some(10.0), 0.0),   // donor at x=0
+      (2L, Some(20.0), 1.0),   // donor at x=1
+      (3L, Some(30.0), 0.4),   // donor at x=0.4
+      (4L, Option.empty[Double], 0.35), // nearest donor: id 3 (x=0.4)
+      (5L, Option.empty[Double], 0.5))  // 0.4 vs 0.6 → donor 3 again
+      .toDF("id", "v", "x")
+    val out = KnnImpute.impute(df, "id", "v", Seq("x"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(4L) === 30.0 && out(5L) === 30.0)
+    assert(out(1L) === 10.0 && out(2L) === 20.0) // known cells untouched
+  }
+
+  test("reference-style invariants on real data") {
+    val li = Tables.lineitem(spark, sf0001)
+      .filter(pmod(col("l_orderkey"), lit(20L)) === 0)
+      .withColumn("__mkey", expr("(l_orderkey * 8 + l_linenumber)"))
+      .withColumn("__key", expr(
+        "(((l_orderkey * 8 + l_linenumber) * 32768 + l_partkey) * 1024 + l_suppkey)"))
+    val withMissing = Noise.injectMissing(li, "l_extendedprice",
+      "__mkey", salt = 43, frac = 0.10)
+    assert(withMissing.select("__key").distinct().count()
+      === withMissing.count(), "__key must be unique")
+    assert(withMissing.filter(col("l_extendedprice").isNull).count() > 0)
+    val out = KnnImpute.impute(withMissing, "__key", "l_extendedprice",
+      Seq("l_quantity", "l_discount", "l_tax"), k = 5).cache()
+    // (i) no nulls remain (features are complete on this table)
+    assert(out.filter(col("l_extendedprice").isNull).count() === 0)
+    // (ii) originally-known cells are bit-identical
+    val known = withMissing.filter(col("l_extendedprice").isNotNull)
+      .select(col("__key"), col("l_extendedprice").as("orig"))
+    assert(out.join(known, "__key")
+      .filter(col("l_extendedprice") =!= col("orig")).count() === 0)
+    // (iii) imputed values sit inside the donor range
+    val Array(mn, mx) = known.agg(min("orig"), max("orig"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    val imputedRows = out.join(known, Seq("__key"), "left_anti")
+    assert(imputedRows.filter(col("l_extendedprice") < mn ||
+      col("l_extendedprice") > mx).count() === 0)
+  }
+
+  test("rows with a null feature keep a null target (no geometry, no guess)") {
+    val df = Seq(
+      (1L, Some(10.0), Some(0.0)),
+      (2L, Some(20.0), Some(1.0)),
+      (3L, Option.empty[Double], Option.empty[Double]))
+      .toDF("id", "v", "x")
+    val out = KnnImpute.impute(df, "id", "v", Seq("x"), k = 1)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(3L).isEmpty)
+  }
+}
