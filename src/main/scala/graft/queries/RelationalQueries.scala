@@ -642,6 +642,38 @@ object RelationalQueries extends Registry {
         IncrementalAgg.distinctState(odd, g, "l_partkey"), g))
         .drop("nd_sketch")
     }),
+    // D84: Benford first-digit audit — the classic fabricated-numbers
+    // screen for financial/measure columns: observed first-digit
+    // shares vs Benford's log10(1 + 1/d) expectation, per-digit z and
+    // a chi-square total. Digit extraction is integer arithmetic on
+    // the 2-dp money grid (value × 100 → BIGINT, strip trailing
+    // zeros by division — no string formatting, no float log); the
+    // statistics are one fixed double-op sequence per digit. ONE scan,
+    // 9-row output.
+    "d39_benford" -> ((s, d) => {
+      // first significant digit of a positive grid value: the leading
+      // character of the BIGINT's decimal rendering — integer→string
+      // is exact and engine-identical, sidestepping both the log10
+      // power-of-ten boundary and a division cascade
+      val fd = expr("""CAST(substring(CAST(
+        CAST(round(o_totalprice * 100.0) AS BIGINT) AS STRING), 1, 1)
+        AS BIGINT)""")
+      val digits = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .withColumn("digit", fd)
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("observed",
+          round(col("n").cast("double") / col("total").cast("double"), 6))
+        .withColumn("expected", round(
+          log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+        .withColumn("z", round(
+          (col("n").cast("double") - col("expected") * col("total").cast("double"))
+            / sqrt(col("expected") * (lit(1.0) - col("expected"))
+              * col("total").cast("double")), 6))
+        .select("digit", "n", "observed", "expected", "z")
+    }),
     // D81: abandoned-cart detection (batch twin of the event-time
     // TIMER processor — "click not followed by purchase within 30
     // min"): user-keyed ANTI interval join, the range condition as SMJ
@@ -1512,6 +1544,25 @@ object RelationalQueries extends Registry {
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
+    "d39_benford" -> """
+      WITH d AS (
+        SELECT CAST(substring(CAST(
+            CAST(round(o_totalprice * 100.0e0) AS BIGINT) AS VARCHAR), 1, 1)
+          AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0
+      ), c AS (
+        SELECT digit, count(*) AS n FROM d GROUP BY digit
+      ), t AS (SELECT sum(n) AS total FROM c)
+      SELECT digit, n,
+        round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS observed,
+        round(log10(1.0e0 + 1.0e0 / CAST(digit AS DOUBLE)), 6) AS expected,
+        round((CAST(n AS DOUBLE)
+            - round(log10(1.0e0 + 1.0e0 / CAST(digit AS DOUBLE)), 6)
+              * CAST(total AS DOUBLE))
+          / sqrt(round(log10(1.0e0 + 1.0e0 / CAST(digit AS DOUBLE)), 6)
+            * (1.0e0 - round(log10(1.0e0 + 1.0e0 / CAST(digit AS DOUBLE)), 6))
+            * CAST(total AS DOUBLE)), 6) AS z
+      FROM c CROSS JOIN t""",
     "d38_abandoned_carts" -> """
       SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
       FROM events c

@@ -70,6 +70,25 @@ class TextSourcesSpec extends SparkSpec {
     assert(corrupt.contains("not json at all"))
   }
 
+  test("schema evolution: mergeSchema unifies old and new parquet drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // v1 drop: (doc_id, text); v2 drop adds a quality column
+    Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs/batch=1")
+    Seq((3L, "e f", 0.9), (4L, "g h", 0.4)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir/docs/batch=2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/docs")
+    assert(merged.columns.toSet === Set("doc_id", "text", "quality", "batch"))
+    assert(merged.count() === 4)
+    // pre-evolution rows surface the new column as null — downstream
+    // gates must coalesce, never assume presence
+    assert(merged.filter(col("quality").isNull).count() === 2)
+    assert(merged.filter(col("batch") === 1 && col("quality").isNotNull)
+      .count() === 0)
+  }
+
   test("downstream operators run unchanged on a JSONL-sourced frame") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl_ops").toString
     TextSources.writeJsonLines(docs, s"$dir/docs")
