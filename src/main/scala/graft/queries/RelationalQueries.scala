@@ -642,6 +642,31 @@ object RelationalQueries extends Registry {
         IncrementalAgg.distinctState(odd, g, "l_partkey"), g))
         .drop("nd_sketch")
     }),
+    // D85: EWMA smoothing — the monitoring dashboard's trend line and
+    // its residual, over per-type hourly rates. EWMA's recursion is
+    // window-hostile, so this is the standard bounded-memory form: an
+    // 8-term lag chain with literal geometric weights, normalized over
+    // the lags that EXIST (series heads don't bias toward zero). One
+    // (type) shuffle; the lag chain is codegen'd arithmetic.
+    "d40_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("hour"))
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val terms = (0 to 7).map { k =>
+        val x = if (k == 0) col("n") else lag(col("n"), k).over(w)
+        val wt = math.pow(0.5, k)
+        (when(x.isNotNull, x.cast("double") * lit(wt)).otherwise(lit(0.0)),
+          when(x.isNotNull, lit(wt)).otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      hourly
+        .withColumn("ewma", round(num / den, 6))
+        .withColumn("deviation",
+          round(col("n").cast("double") - col("ewma"), 6))
+    }),
     // D84: Benford first-digit audit — the classic fabricated-numbers
     // screen for financial/measure columns: observed first-digit
     // shares vs Benford's log10(1 + 1/d) expectation, per-digit z and
@@ -1544,6 +1569,28 @@ object RelationalQueries extends Registry {
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
+    "d40_ewma" -> {
+      def term(k: Int): (String, String) = {
+        val x = if (k == 0) "n"
+          else s"lag(n, $k) OVER (PARTITION BY event_type ORDER BY hour)"
+        val wt = graft.functions.Noise.sqlDouble(math.pow(0.5, k))
+        (s"(CASE WHEN $x IS NOT NULL THEN CAST($x AS DOUBLE) * $wt ELSE 0.0e0 END)",
+          s"(CASE WHEN $x IS NOT NULL THEN $wt ELSE 0.0e0 END)")
+      }
+      val terms = (0 to 7).map(term)
+      val num = terms.map(_._1).mkString("(((((((", " + ", ")))))))")
+      val den = terms.map(_._2).mkString("(((((((", " + ", ")))))))")
+      s"""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+      ), e AS (
+        SELECT event_type, hour, n, round($num / $den, 6) AS ewma
+        FROM hourly)
+      SELECT event_type, hour, n, ewma,
+        round(CAST(n AS DOUBLE) - ewma, 6) AS deviation
+      FROM e"""
+    },
     "d39_benford" -> """
       WITH d AS (
         SELECT CAST(substring(CAST(

@@ -177,6 +177,22 @@ object TextQueries extends Registry {
         .select(Seq(col("doc_id"), col("lang"), col("lang_pred")) ++
           langs.map(l => col(s"ratio_$l")): _*)
     }),
+    // C5: language-ID CONFUSION MATRIX — the eval harness for the
+    // heuristic classifier above: (labeled, predicted) counts plus
+    // per-cell share of the labeled class. This is how a pipeline
+    // decides whether the cheap n-gram/stopword ID is good enough to
+    // gate a corpus, and the shape generalizes to any classifier eval.
+    "c5_langid_confusion" -> ((s, d) => {
+      val byLabel =
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .withColumn("lang_pred", graft.text.TextFunctions.langId(col("text")))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_of_label", round(
+          col("n").cast("double") /
+            sum(col("n")).over(byLabel).cast("double"), 6))
+    }),
     // C7: quality gate — composite score + filter, the standard corpus
     // cleaning step before training.
     "c7_quality_filter" -> ((s, d) =>
@@ -735,6 +751,21 @@ object TextQueries extends Registry {
       SELECT doc_id, lang, $pick AS lang_pred,
              ${langs.map(l => s"ratio_$l").mkString(", ")}
       FROM r"""
+    },
+    "c5_langid_confusion" -> {
+      val best = s"greatest(${langs.map(l => s"ratio_$l").mkString(", ")})"
+      val pick = langs.map(l => s"WHEN ratio_$l = $best THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      val ratios = langs.map(l => s"${sqlRatio(l)} AS ratio_$l").mkString(",\n          ")
+      s"""
+      WITH t AS (SELECT doc_id, lang, ${sqlToks("text")} AS toks FROM documents),
+      r AS (SELECT doc_id, lang, $ratios FROM t),
+      p AS (SELECT lang, $pick AS lang_pred FROM r),
+      c AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred)
+      SELECT lang, lang_pred, n,
+        round(CAST(n AS DOUBLE) /
+          CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share_of_label
+      FROM c"""
     },
     "c7_quality_filter" -> s"""
       WITH t AS (
