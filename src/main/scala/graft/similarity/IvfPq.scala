@@ -95,7 +95,9 @@ object IvfPq {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     require(k >= 1)
-    val short = if (shortlist > 0) shortlist else 8 * k
+    // same measured-knee default as ProductQuantize.adcTopK: the
+    // shortlist re-rank is probe-cell-sized, so 16k costs ~nothing
+    val short = if (shortlist > 0) shortlist else 16 * k
     require(short >= k, s"shortlist $short < k $k")
     val centers = IvfIndex.readCentroids(spark, path)
     val cb = readCodebooks(spark, path, dim)

@@ -184,7 +184,11 @@ object ProductQuantize {
               cb: Codebooks, k: Int, shortlist: Int = 0,
               excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1)
-    val short = if (shortlist > 0) shortlist else 8 * k
+    // default = 16k, the measured knee: the ADC join dominates cost,
+    // so a larger shortlist is ~free while recall@10 climbs 0.67→0.80
+    // (ProfilePq grid, SCALING.md) — the round-6 "don't ship the
+    // speed-tuned default" lesson applied at birth
+    val short = if (shortlist > 0) shortlist else 16 * k
     require(short >= k, s"shortlist $short < k $k")
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -53,6 +53,36 @@ object ProfilePq {
         embs.filter(col("vec_id") < 50), "vec_id", "embedding",
         dim = 64, k = 10, nProbe = 2).count())
     }
+    // recall/cost grid over the ADC shortlist (the PQ operating knob):
+    // exact L2 reference by brute force over the query batch
+    val cbG = ProductQuantize.fit(embs, "vec_id", "embedding", dim = 64,
+      m = 8, ksub = 16, iters = 2, fitSample = 2000)
+    val queries = embs.filter(col("vec_id") < 20)
+    val cv = embs.select(col("vec_id").as("b"),
+      graft.ml.KMeansLloyd.quantize(col("embedding")).as("cv"))
+    val qv = queries.select(col("vec_id").as("a"),
+      graft.ml.KMeansLloyd.quantize(col("embedding")).as("qv"))
+    val d2 = aggregate(zip_with(col("cv"), col("qv"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val exact = qv.crossJoin(cv).filter(col("a") =!= col("b"))
+      .withColumn("d2", d2).select("a", "b", "d2").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(r => (r.getLong(2),
+        r.getLong(1))).take(10).map(_.getLong(1)).toSet }
+    println("\n| shortlist | mean recall@10 | sec |")
+    println("|---|---|---|")
+    Seq(20, 40, 80, 160).foreach { short =>
+      val t0 = System.nanoTime()
+      val got = ProductQuantize.adcTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", cbG, k = 10, shortlist = short)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = exact.map { case (q, truth) =>
+        got.get(q).map(g => truth.count(g.contains).toDouble / 10).getOrElse(0.0)
+      }
+      println(f"| $short | ${recall.sum / recall.size}%.3f | $sec%.2f |")
+    }
     spark.stop()
   }
 }

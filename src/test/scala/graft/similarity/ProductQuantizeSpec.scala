@@ -71,6 +71,20 @@ class ProductQuantizeSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     info(f"PQ m=8 ksub=16 shortlist=${8 * K} mean recall@10 = $mean%.3f")
     assert(mean >= 0.7, f"mean recall $mean%.3f below floor")
+    // and the DEFAULT operating point (shortlist unset → 16k, the
+    // measured knee) must be at least as good — the r6 "speed-tuned
+    // default" bug class, pinned at the default call
+    val gotDefault = ProductQuantize.adcTopK(embs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", cb, k = K)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val meanDefault = exact.map { case (q, truth) =>
+      gotDefault.get(q).map(g => truth.count(g.contains).toDouble / K)
+        .getOrElse(0.0)
+    }.sum / exact.size
+    info(f"PQ DEFAULT shortlist mean recall@10 = $meanDefault%.3f")
+    assert(meanDefault >= mean - 1e-9,
+      f"default operating point ($meanDefault%.3f) worse than 8k ($mean%.3f)")
   }
 
   test("re-ranked distances are the exact grid distances, ranks total-ordered") {
