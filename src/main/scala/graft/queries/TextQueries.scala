@@ -363,6 +363,14 @@ object TextQueries extends Registry {
     // instead of shuffling the full (token, count) histogram. Capacity
     // 65536 > the corpus' distinct unigrams, so counts are exact and
     // the DuckDB oracle applies unchanged.
+    // C7: compression-ratio quality signal — rows-only by the zlib
+    // contract (deflate byte counts are JVM-build-defined, not SQL-
+    // expressible); CompressionSignalSpec pins the discriminative
+    // ordering (repetitive < prose < random) and layout determinism.
+    "c7_compression_ratio" -> ((s, d) =>
+      graft.text.CompressionSignal.ratios(
+          Tables.documents(s, d).select("doc_id", "text"), "text")
+        .select("doc_id", "raw_len", "deflate_len", "compression_ratio")),
     // C5: vocabulary drift between two corpus drops — new/vanished
     // terms + JS divergence of the df distributions (the "did the
     // crawl change under us" alarm; ColumnProfile.drift's text

@@ -91,10 +91,15 @@ object AbandonedCarts {
                                  timerValues: TimerValues)
         : Iterator[CartAlert] = {
       var cur = pending.get().toVector
+      // register each distinct deadline once per batch — two clicks in
+      // the same microsecond share a deadline, and double-registration
+      // is at best wasted state-store writes
+      val registered = new scala.collection.mutable.HashSet[Long]
       rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
         if (e.event_type == "click") {
           cur = cur :+ PendingClick(e.event_id, e.ts_us, e.ts)
-          getHandle.registerTimer(deadlineMs(e.ts_us))
+          val dl = deadlineMs(e.ts_us)
+          if (registered.add(dl)) getHandle.registerTimer(dl)
         } else if (e.event_type == "purchase") {
           cur = cur.filterNot(c =>
             c.ts_us <= e.ts_us && e.ts_us <= c.ts_us + windowUs)
