@@ -61,8 +61,7 @@ object ImputeQueries extends Registry {
     // missing l_extendedprice filled from the 5 nearest complete rows
     // in (quantity, discount, tax) space — fully deterministic, so the
     // whole MODEL-BASED imputer sits under the exact oracle (the RBM
-    // needed the §5.4 fixture trick for this). 1-in-20 order subsample
-    // keeps the exact recipients × donors audit join oracle-sized.
+    // needed the §5.4 fixture trick for this).
     "impute_lineitem_knn" -> ((s, d) => {
       // two keys on purpose: the SMALL (l_orderkey, l_linenumber) key
       // drives the sin-based missingness mask (large arguments degrade
@@ -70,14 +69,24 @@ object ImputeQueries extends Registry {
       // UNIQUE 4-column composite — (orderkey, linenumber) alone
       // collides in this data generation (11785 duplicate groups), and
       // KNN needs a real row id for self-exclusion and rank ties
+      // 1-in-100 order slice: the EXACT audit join is O(missing ×
+      // donors) by design (~5.8k rows → ~3.1M scored pairs at sf0.1,
+      // window-ranked per recipient) — the shape you run on a segment
+      // or a sample; the corpus path swaps in ANN candidates (scaladoc)
       val li = Tables.lineitem(s, d)
-        .filter(pmod(col("l_orderkey"), lit(20L)) === 0)
+        .filter(pmod(col("l_orderkey"), lit(100L)) === 0)
         .withColumn("__mkey", expr(lineitemKey))
         .withColumn("__key", expr(lineitemUniqueKey))
       val withMissing = Noise.injectMissing(li, "l_extendedprice",
         "__mkey", salt = 43, frac = 0.10)
+      // the final filter is semantic (drop rows the imputer could not
+      // fill — none on this table, features are complete) AND makes
+      // the output depend on the imputed VALUE: without it, a bare
+      // count() lets Catalyst eliminate the left-outer merge join
+      // (unique build side) and the bench would time an empty plan
       graft.impute.KnnImpute.impute(withMissing, "__key",
           "l_extendedprice", Seq("l_quantity", "l_discount", "l_tax"), k = 5)
+        .filter(col("l_extendedprice").isNotNull)
         .select(col("__key").as("row_key"), col("l_orderkey"),
           col("l_linenumber"), col("l_extendedprice").as("imputed_price"))
     }),
@@ -180,7 +189,7 @@ object ImputeQueries extends Registry {
           l_quantity, l_discount, l_tax,
           CASE WHEN ${Noise.sqlMissing(lineitemKey, 43, 0.10)}
             THEN NULL ELSE l_extendedprice END AS tgt
-        FROM lineitem WHERE l_orderkey % 20 = 0
+        FROM lineitem WHERE l_orderkey % 100 = 0
       ), stats AS (
         SELECT
           min(CAST(l_quantity AS DOUBLE)) AS mn_q, max(CAST(l_quantity AS DOUBLE)) AS mx_q,
@@ -207,7 +216,8 @@ object ImputeQueries extends Registry {
         FROM ranked WHERE rn <= 5 GROUP BY rid)
       SELECT b.key AS row_key, b.l_orderkey, b.l_linenumber,
         coalesce(b.tgt, i.v) AS imputed_price
-      FROM base b LEFT JOIN imp i ON i.rid = b.key"""
+      FROM base b LEFT JOIN imp i ON i.rid = b.key
+      WHERE coalesce(b.tgt, i.v) IS NOT NULL"""
     },
     "impute_orders_priority_mode" ->
       MeanImpute.modeOracleSql("orders", ordersCols, "o_orderpriority",

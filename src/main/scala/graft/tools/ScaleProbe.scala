@@ -142,7 +142,13 @@ object ScaleProbe {
       // (user-keyed aggs/anti-join over 10× users — linear), vocab
       // drift (vocabulary-sized join; corpus pass is the linear part)
       "d36_triangles", "b16_sql_surface", "d37_funnel_latency",
-      "d38_abandoned_carts", "c5_vocab_drift")
+      "d38_abandoned_carts", "c5_vocab_drift",
+      // round-8f ops: KNN impute (the EXACT audit join is O(missing ×
+      // donors) BY DESIGN — expect ~quadratic here; the 100 TB path
+      // swaps in ANN candidate generation, documented in KnnImpute),
+      // Benford / EWMA / confusion / compression (scan-bound)
+      "impute_lineitem_knn", "d39_benford", "d40_ewma",
+      "c5_langid_confusion", "c7_compression_ratio")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
