@@ -25,6 +25,14 @@ object Bench {
     // default 2 reps, min taken per query: damps host-contention spikes
     // (driver rounds measured 22s for a query that costs 2s unloaded)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Timing action: `noop` (default) writes to Spark's no-op sink,
+    // which EVALUATES every output column; `count` is the legacy mode.
+    // Round 8 found count() letting Catalyst prune real work — it
+    // eliminated a unique-build left-outer join entirely (the KNN
+    // imputer benched an empty plan) and it drops any expression the
+    // row count doesn't need (projection-tail queries timed only
+    // their scans). noop times what a consumer actually reads.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "noop")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
@@ -46,7 +54,12 @@ object Bench {
       .map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true } catch {
+          val ok = try {
+            val df = fn(spark, sfDir)
+            if (mode == "count") df.count()
+            else df.write.mode("overwrite").format("noop").save()
+            true
+          } catch {
             case e: Throwable =>
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
                 .take(200)
