@@ -50,19 +50,36 @@ object Triangles {
       .distinct()
   }
 
-  /** One-row graph summary over normalized distinct edges `(a, b)`,
-    * a < b: `n_nodes, n_edges, n_wedges, n_triangles,
-    * clustering_coeff` (= 3T / wedges, 6-dp; 0 for wedge-free graphs).
-    */
-  def stats(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("a").as("v"))
+  /** Per-node triangle membership + LOCAL clustering coefficient
+    * (tri / C(deg, 2), 6-dp) for every node on ≥1 triangle — the
+    * node-level view behind community seeds and link-spam scores
+    * (spam hubs have huge degree and near-zero local cc). Same
+    * oriented wedge join as [[stats]]; each closed wedge credits its
+    * THREE corners via one explode, then a hash agg on node. */
+  def perNode(edges: DataFrame): DataFrame = {
+    val closed = closedWedges(edges)
+    val deg = degrees(edges)
+    closed
+      .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+      .join(deg, "v")
+      .withColumn("local_cc", round(
+        col("n_triangles").cast("double") /
+          (col("deg") * (col("deg") - 1) / 2).cast("double"), 6))
+  }
+
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    // total orientation order: (deg, id) packed into one BIGINT —
-    // valid while deg < 2³¹ and 0 ≤ id < 2³² (callers with larger id
-    // spaces should densify ids first; degree can't exceed #nodes)
-    val ord = (col("deg") * lit(4294967296L) + col("v")).as("ord")
-    val keyed = deg.select(col("v"), ord)
+
+  /** Closed oriented wedges `(u, x, y)` — one row per triangle (the
+    * semi close is exact because edges are distinct). Orientation
+    * order: (deg, id) packed into one BIGINT — valid while deg < 2³¹
+    * and 0 ≤ id < 2³²; callers with larger id spaces densify first. */
+  private def closedWedges(edges: DataFrame): DataFrame = {
+    val keyed = degrees(edges).select(col("v"),
+      (col("deg") * lit(4294967296L) + col("v")).as("ord"))
     val e = edges
       .join(keyed.select(col("v").as("a"), col("ord").as("__oa")), "a")
       .join(keyed.select(col("v").as("b"), col("ord").as("__ob")), "b")
@@ -71,15 +88,22 @@ object Triangles {
         when(col("__oa") < col("__ob"), col("b")).otherwise(col("a")).as("w"),
         greatest(col("__oa"), col("__ob")).as("__ow"))
       .localCheckpoint() // feeds the wedge join twice + the closing join
-    val wedges = oriented.select(col("u"), col("w").as("x"), col("__ow").as("__ox"))
+    oriented.select(col("u"), col("w").as("x"), col("__ow").as("__ox"))
       .join(oriented.select(col("u"), col("w").as("y"), col("__ow").as("__oy")),
         "u")
       .filter(col("__ox") < col("__oy"))
-      .select(col("x"), col("y"))
-    val triangles = wedges
       .join(oriented.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"),
-        "left_semi") // semi would dedupe; edges are distinct so inner == semi,
-      // but semi lets the build side stream without duplicating wedge rows
+        "left_semi")
+      .select(col("u"), col("x"), col("y"))
+  }
+
+  /** One-row graph summary over normalized distinct edges `(a, b)`,
+    * a < b: `n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering_coeff` (= 3T / wedges, 6-dp; 0 for wedge-free graphs).
+    */
+  def stats(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val triangles = closedWedges(edges)
       .agg(count(lit(1)).as("n_triangles"))
     val base = edges.agg(count(lit(1)).as("n_edges"))
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),

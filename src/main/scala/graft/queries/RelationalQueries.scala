@@ -763,6 +763,16 @@ object RelationalQueries extends Registry {
         "l_orderkey", "l_partkey")
       graft.graph.Triangles.stats(edges)
     }),
+    // D79b: node-level view — triangle membership + LOCAL clustering
+    // coefficient per node (spam hubs: huge degree, near-zero local
+    // cc). Same oriented wedges, one explode crediting each triangle's
+    // three corners, a node hash agg. Naive per-node oracle.
+    "d36_local_cc" -> ((s, d) => {
+      val edges = graft.graph.Triangles.coOccurrenceEdges(
+        Tables.lineitem(s, d).filter(col("l_quantity") >= 45),
+        "l_orderkey", "l_partkey")
+      graft.graph.Triangles.perNode(edges)
+    }),
     // D77: Laplace-noised release counts — the DP mechanism shape with
     // deterministic keyed noise (re-publication must not wobble; the
     // oracle reproduces the release bit-for-bit). ε = 0.5 so the noise
@@ -1646,6 +1656,32 @@ object RelationalQueries extends Registry {
         JOIN customer c ON c.c_custkey = s.o_custkey
         JOIN nation n ON n.n_nationkey = c.c_nationkey) t
       WHERE rnk <= 3""",
+    "d36_local_cc" -> """
+      WITH it AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_quantity >= 45
+      ), e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM it x JOIN it y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      ), deg AS (
+        SELECT v, count(*) AS deg FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY v
+      ), tri AS (
+        SELECT e1.a AS u, e1.b AS x, e2.b AS y
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      ), pn AS (
+        SELECT v, count(*) AS n_triangles FROM (
+          SELECT u AS v FROM tri UNION ALL
+          SELECT x AS v FROM tri UNION ALL
+          SELECT y AS v FROM tri)
+        GROUP BY v)
+      SELECT pn.v, pn.n_triangles, d.deg,
+        round(CAST(pn.n_triangles AS DOUBLE)
+          / CAST(d.deg * (d.deg - 1) / 2 AS DOUBLE), 6) AS local_cc
+      FROM pn JOIN deg d ON d.v = pn.v""",
     "d36_triangles" -> """
       WITH it AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -41,6 +41,22 @@ class TrianglesSpec extends SparkSpec {
     assert(e.forall { case (a, b) => a < b })
   }
 
+  test("perNode: K4 corners each on 3 triangles with local cc 1; leaf closure") {
+    val k4 = Triangles.perNode(
+        Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(k4.keySet === Set(1L, 2L, 3L, 4L))
+    assert(k4.values.forall(_ == (3L, 1.0)))
+    // star + one closed leaf pair: hub has 1 triangle over C(4,2)=6
+    // wedges (local cc 1/6 ≈ spam-hub shape); closed leaves cc 1
+    val closed = Triangles.perNode(
+        Seq((1L,2L),(1L,3L),(1L,4L),(1L,5L),(2L,3L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(closed(1L) === ((1L, 0.166667)))
+    assert(closed(2L) === ((1L, 1.0)) && closed(3L) === ((1L, 1.0)))
+    assert(!closed.contains(4L) && !closed.contains(5L))
+  }
+
   test("matches the naive count on the real co-purchase graph") {
     val li = graft.Tables.lineitem(spark, sf0001)
       .filter(col("l_quantity") >= 45)
