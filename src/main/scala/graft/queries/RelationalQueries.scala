@@ -642,6 +642,24 @@ object RelationalQueries extends Registry {
         IncrementalAgg.distinctState(odd, g, "l_partkey"), g))
         .drop("nd_sketch")
     }),
+    // D88: CUPED variance reduction — the experimentation power-up
+    // beside d32's Welch t: pre-period spend (first half of January)
+    // as the covariate for experiment-period spend (second half);
+    // θ and the achieved reduction computed ANALYTICALLY from one
+    // pass of exact decimal sums (no adjusted column materialized).
+    "d41_cuped" -> ((s, d) => {
+      val split = lit("2024-01-16").cast("timestamp")
+      def spend(cond: org.apache.spark.sql.Column) =
+        sum(when(col("event_type") === "purchase" && cond,
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)")
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(spend(col("ts") < split).as("x"),
+          spend(col("ts") >= split).as("y"))
+      graft.operators.Experiment.cuped(perUser, "x", "y")
+    }),
     // D85: EWMA smoothing — the monitoring dashboard's trend line and
     // its residual, over per-type hourly rates. EWMA's recursion is
     // window-hostile, so this is the standard bounded-memory form: an
@@ -1579,6 +1597,17 @@ object RelationalQueries extends Registry {
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
+    "d41_cuped" -> graft.operators.Experiment.sqlCuped(
+      """SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+               AND ts < TIMESTAMP '2024-01-16'
+             THEN CAST(value AS DECIMAL(12,2))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+               AND ts >= TIMESTAMP '2024-01-16'
+             THEN CAST(value AS DECIMAL(12,2))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS y
+         FROM events GROUP BY user_id"""),
     "d40_ewma" -> {
       def term(k: Int): (String, String) = {
         val x = if (k == 0) "n"
