@@ -642,6 +642,26 @@ object RelationalQueries extends Registry {
         IncrementalAgg.distinctState(odd, g, "l_partkey"), g))
         .drop("nd_sketch")
     }),
+    // D89: Kaplan–Meier time-to-conversion — first-touch → first
+    // purchase, users without a purchase CENSORED at their last
+    // observed event (dropping them is optimistic bias, keeping them
+    // as never-converting is pessimistic — KM is the fix). Hourly
+    // buckets bound the time axis; survival = exp of a running ln sum
+    // over that bounded order.
+    "d42_survival" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(
+          min(unix_micros(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("tp"),
+          max(unix_micros(col("ts"))).as("tl"))
+        .select(
+          when(col("tp").isNotNull, col("tp") - col("t0"))
+            .otherwise(col("tl") - col("t0")).as("duration"),
+          when(col("tp").isNotNull, lit(1)).otherwise(lit(0)).as("event"))
+      graft.operators.Survival.kaplanMeier(perUser, "duration", "event",
+        bucketUs = 3600000000L)
+    }),
     // D88: CUPED variance reduction — the experimentation power-up
     // beside d32's Welch t: pre-period spend (first half of January)
     // as the covariate for experiment-period spend (second half);
@@ -1597,6 +1617,17 @@ object RelationalQueries extends Registry {
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
+    "d42_survival" -> graft.operators.Survival.sqlKaplanMeier(
+      """SELECT
+           CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tl - t0 END AS duration,
+           CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event
+         FROM (
+           SELECT user_id, min(epoch_us(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(ts) END) AS tp,
+             max(epoch_us(ts)) AS tl
+           FROM events GROUP BY user_id)""",
+      bucketUs = 3600000000L),
     "d41_cuped" -> graft.operators.Experiment.sqlCuped(
       """SELECT user_id,
            CAST(sum(CASE WHEN event_type = 'purchase'
