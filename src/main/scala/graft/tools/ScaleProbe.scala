@@ -148,7 +148,10 @@ object ScaleProbe {
       // swaps in ANN candidate generation, documented in KnnImpute),
       // Benford / EWMA / confusion / compression (scan-bound)
       "impute_lineitem_knn", "d39_benford", "d40_ewma",
-      "c5_langid_confusion", "c7_compression_ratio")
+      "c5_langid_confusion", "c7_compression_ratio",
+      // round-8g ops: CUPED (one 1-row exact-sum pass), KM survival
+      // (bounded bucketed axis), per-node triangles (same wedge bound)
+      "d41_cuped", "d42_survival", "d36_local_cc")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
