@@ -286,4 +286,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "stats attach shuffled the value table")
   }
+
+  test("ab test: one user shuffle into partial-agg'd 1-row Welch summary") {
+    val df = graft.SparkEntry.queries("d32_ab_test")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"A/B summary re-scanned events:\n$p")
+    // two aggregates (per-user, then 1-row summary), each partial+final
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "missing partial aggregation in the Welch pipeline")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the Welch summary must not join anything")
+  }
+
+  test("survival: the KM fold runs over the BUCKETED axis, not subjects") {
+    val df = graft.SparkEntry.queries("d42_survival")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // per-subject reduction is a hash agg; the single-partition window
+    // sees only the bucket axis (the Exchange feeding the Window must
+    // be SinglePartition over the bucket-aggregated frame)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "per-subject/per-bucket reductions not partial-aggregated")
+    assert(p.contains("Window"), "no window for the KM fold")
+    assert(p.contains("Exchange SinglePartition"),
+      "bucket axis not gathered for the ordered fold")
+  }
+
+  test("benford: digit projection folds into one scan + tiny agg") {
+    val df = graft.SparkEntry.queries("d39_benford")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"benford re-scanned orders:\n$p")
+    assert(!p.contains("SortMergeJoin"), "digit totals must broadcast")
+  }
 }
