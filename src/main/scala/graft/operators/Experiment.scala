@@ -93,6 +93,67 @@ object Experiment {
       round(t, 6).as("t_stat"), round(dfW, 6).as("df_welch"))
   }
 
+  /** MINIMUM DETECTABLE EFFECT — the pre-launch power check that
+    * completes the experimentation triad (test → variance reduction →
+    * power): with the observed group sizes and variances, the smallest
+    * true difference a two-sided α-level test detects with the target
+    * power is
+    *
+    *   MDE = (z_{1−α/2} + z_{power}) · √(var_a/n_a + var_b/n_b)
+    *
+    * (z constants inlined as literals — the classic 1.959964 / 0.841621
+    * for α=5%, power=80%; the normal quantile has no portable
+    * closed form, and a literal is exactly what a power calculator
+    * hard-codes). Output one row: n_a, n_b, se (6-dp), mde_abs,
+    * mde_pct_of_mean_a. Same exact-sum inputs as [[welchTTest]]. */
+  def mde(perUnit: DataFrame, variantCol: String, metricCol: String,
+          a: String, b: String, zAlpha: Double = 1.959964,
+          zPower: Double = 0.841621): DataFrame = {
+    val m = col(metricCol)
+    def side(v: String, agg: Column): Column =
+      sum(when(col(variantCol) === v, agg).otherwise(lit(null)))
+    val sums = perUnit.agg(
+      count(when(col(variantCol) === a, lit(1))).as("n_a"),
+      count(when(col(variantCol) === b, lit(1))).as("n_b"),
+      side(a, m).as("s_a"), side(b, m).as("s_b"),
+      side(a, m * m).as("q_a"), side(b, m * m).as("q_b"))
+    def d(c: String) = col(c).cast("double")
+    val varA = (d("q_a") - d("s_a") * d("s_a") / d("n_a")) / (d("n_a") - lit(1.0))
+    val varB = (d("q_b") - d("s_b") * d("s_b") / d("n_b")) / (d("n_b") - lit(1.0))
+    val se = sqrt(varA / d("n_a") + varB / d("n_b"))
+    val mdeAbs = lit(zAlpha + zPower) * se
+    val meanA = d("s_a") / d("n_a")
+    sums.select(col("n_a"), col("n_b"),
+      round(se, 6).as("se"),
+      round(mdeAbs, 6).as("mde_abs"),
+      round(lit(100.0) * mdeAbs / meanA, 6).as("mde_pct_of_mean_a"))
+  }
+
+  /** DuckDB twin of [[mde]] — same sums, same op order. */
+  def sqlMde(perUnitSql: String, a: String, b: String,
+             zAlpha: Double = 1.959964, zPower: Double = 0.841621): String = {
+    import graft.functions.Noise.sqlDouble
+    def side(v: String, e: String) =
+      s"sum(CASE WHEN variant = '$v' THEN $e ELSE NULL END)"
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val varA = s"((${d("q_a")} - ${d("s_a")} * ${d("s_a")} / ${d("n_a")}) / (${d("n_a")} - 1.0e0))"
+    val varB = s"((${d("q_b")} - ${d("s_b")} * ${d("s_b")} / ${d("n_b")}) / (${d("n_b")} - 1.0e0))"
+    val se = s"sqrt($varA / ${d("n_a")} + $varB / ${d("n_b")})"
+    s"""
+    WITH pu AS ($perUnitSql), sums AS (
+      SELECT
+        count(CASE WHEN variant = '$a' THEN 1 END) AS n_a,
+        count(CASE WHEN variant = '$b' THEN 1 END) AS n_b,
+        ${side(a, "m")} AS s_a, ${side(b, "m")} AS s_b,
+        ${side(a, "m * m")} AS q_a, ${side(b, "m * m")} AS q_b
+      FROM pu)
+    SELECT n_a, n_b, round($se, 6) AS se,
+      round(${sqlDouble(zAlpha + zPower)} * $se, 6) AS mde_abs,
+      round(100.0e0 * (${sqlDouble(zAlpha + zPower)} * $se)
+        / (${d("s_a")} / ${d("n_a")}), 6) AS mde_pct_of_mean_a
+    FROM sums"""
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM'13) — the standard
     * experimentation power-up: adjust the experiment metric Y by the
     * PRE-experiment covariate X, Y' = Y − θ(X − X̄) with

@@ -642,6 +642,22 @@ object RelationalQueries extends Registry {
         IncrementalAgg.distinctState(odd, g, "l_partkey"), g))
         .drop("nd_sketch")
     }),
+    // D90: minimum detectable effect — the pre-launch power check on
+    // the d32 experiment setup (same deterministic assignment, same
+    // one-pass exact sums): the smallest lift this traffic detects at
+    // α=5%, power=80%.
+    "d43_mde" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)").as("m"))
+        .withColumn("variant", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treatment"), salt = 17))
+      graft.operators.Experiment.mde(
+        perUser, "variant", "m", "control", "treatment")
+    }),
     // D89: Kaplan–Meier time-to-conversion — first-touch → first
     // purchase, users without a purchase CENSORED at their last
     // observed event (dropping them is optimistic bias, keeping them
@@ -1617,6 +1633,16 @@ object RelationalQueries extends Registry {
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
+    "d43_mde" -> graft.operators.Experiment.sqlMde(
+      s"""SELECT
+            ${graft.operators.Experiment.sqlVariantOf("user_id",
+              Seq("control", "treatment"), 17)} AS variant, m
+          FROM (SELECT user_id,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(12,2))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m
+            FROM events GROUP BY user_id)""",
+      "control", "treatment"),
     "d42_survival" -> graft.operators.Survival.sqlKaplanMeier(
       """SELECT
            CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tl - t0 END AS duration,
