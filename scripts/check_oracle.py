@@ -52,6 +52,22 @@ def main() -> int:
         else:
             for c in a.columns:
                 av, bv = a[c], b[c]
+                # TYPE-STRICT (round-9): the driver hashes dtypes, so an
+                # integer-vs-float (or HUGEINT-vs-BIGINT → object/float)
+                # divergence must fail HERE, not only at the driver. The
+                # old astype(float) coercion shipped d42_survival red as
+                # "154/154 bit-exact" in round 8.
+                def _cls(d):
+                    if np.issubdtype(d, np.integer):
+                        return "int"
+                    if np.issubdtype(d, np.floating):
+                        return "float"
+                    return str(d)
+                if _cls(av.dtype) != _cls(bv.dtype):
+                    problems.append(
+                        f"col {c}: dtype class {av.dtype} vs {bv.dtype} "
+                        "(driver hashes types — cast the oracle)")
+                    continue
                 if np.issubdtype(av.dtype, np.number) and np.issubdtype(bv.dtype, np.number):
                     av, bv = av.astype(float).values, bv.astype(float).values
                     both_nan = np.isnan(av) & np.isnan(bv)

@@ -55,7 +55,14 @@ object Triangles {
     * node-level view behind community seeds and link-spam scores
     * (spam hubs have huge degree and near-zero local cc). Same
     * oriented wedge join as [[stats]]; each closed wedge credits its
-    * THREE corners via one explode, then a hash agg on node. */
+    * THREE corners via one explode, then a hash agg on node.
+    *
+    * PRECONDITION (shared with [[stats]]): node ids must be integers
+    * in `[0, 2³²)` — the orientation key packs (deg, id) into one
+    * BIGINT as `deg·2³² + id`, which silently mis-orders for negative
+    * or ≥2³² ids (wrong orientation double- or zero-counts triangles
+    * with no error). Densify larger/negative id spaces first
+    * (`dense_rank` over distinct nodes is one window). */
   def perNode(edges: DataFrame): DataFrame = {
     val closed = closedWedges(edges)
     val deg = degrees(edges)
@@ -100,7 +107,7 @@ object Triangles {
   /** One-row graph summary over normalized distinct edges `(a, b)`,
     * a < b: `n_nodes, n_edges, n_wedges, n_triangles,
     * clustering_coeff` (= 3T / wedges, 6-dp; 0 for wedge-free graphs).
-    */
+    * PRECONDITION: node ids in `[0, 2³²)` — see [[perNode]]. */
   def stats(edges: DataFrame): DataFrame = {
     val deg = degrees(edges)
     val triangles = closedWedges(edges)

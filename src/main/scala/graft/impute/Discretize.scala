@@ -29,11 +29,17 @@ object Discretize {
   /** Append `<valueCol>_bin` ∈ {0..nBins−1}: equal-frequency bin of
     * `valueCol` within its `groupCols` population. */
   def quantileBins(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                   nBins: Int): DataFrame = {
+                   nBins: Int, exact: Boolean = true): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
     val ps = interiorPs(nBins)
+    // exact = false: approx_percentile's GK sketch (O(accuracy) state,
+    // mergeable) replaces the per-group value buffer — the 100-TB mode;
+    // see Robust's scale-hazard note. Fence deltas pinned by
+    // RobustModeSpec.
     val fences = ps.zipWithIndex.map { case (p, i) =>
-      round(expr(s"percentile($valueCol, $p)"), 4).as(s"__f$i")
+      val q = if (exact) expr(s"percentile($valueCol, $p)")
+        else expr(s"approx_percentile($valueCol, $p, ${Robust.ApproxAccuracy})")
+      round(q.cast("double"), 4).as(s"__f$i")
     }
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(fences.head, fences.tail: _*)

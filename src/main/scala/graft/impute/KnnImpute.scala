@@ -74,10 +74,108 @@ object KnnImpute {
       .groupBy(col("__rid"))
       .agg((sum(col("__dv")).cast("double") /
         count(lit(1)).cast("double")).as("__imputed"))
-    // reassemble: original schema, imputed values where target was null
+    // reassemble: original schema, imputed values where target was
+    // null. Cast __imputed back to the ORIGINAL target type first —
+    // when/otherwise would otherwise coerce a DECIMAL target column to
+    // double, silently changing the output schema.
+    val targetType = df.schema(targetCol).dataType
     df.join(imputed, col(idCol) === col("__rid"), "left_outer")
       .withColumn(targetCol,
-        when(col(targetCol).isNull, col("__imputed"))
+        when(col(targetCol).isNull, col("__imputed").cast(targetType))
+          .otherwise(col(targetCol)))
+      .drop("__rid", "__imputed")
+  }
+
+  /** THE CORPUS-SCALE FORM — KNN imputation over IVF-blocked candidate
+    * donors instead of the full recipients × donors join. The scoring
+    * tail is IDENTICAL to [[impute]] (same A4/A5 scaling fit on donors,
+    * same fixed-order d², same (d², donor id) rank, same exact-decimal
+    * mean); only candidate GENERATION changes: donors are bucketed into
+    * k-means cells over the scaled feature space ([[graft.ml
+    * .KMeansLloyd]] — Euclidean, bit-deterministic fit), each recipient
+    * probes its `nProbe` nearest cells, and only donors in probed cells
+    * are scored.
+    *
+    * Scale shape: fit moves k·dim doubles to the driver per iteration
+    * (never rows); donor assignment and recipient probing are narrow
+    * projections; the candidate join is an equi-join on cell id —
+    * shuffle-partitioned, no cross join anywhere. Expected scored pairs
+    * drop from |R|·|D| to |R|·nProbe·|D|/cells: with cells ≈ √|D| the
+    * exact join's quadratic term becomes |R|·nProbe·√|D| (the measured
+    * 11.6×-at-10× row in BASELINE.md becomes ≲3×). Cost of the trade:
+    * a recipient whose true k-th neighbor lives outside its probed
+    * cells gets the mean of slightly-farther donors — KnnImputeSpec
+    * pins ≥95% of imputed cells bit-equal to the exact form at sf0.01
+    * (the rest differ by the near-tie at the cell boundary).
+    *
+    * Deterministic end to end (fit, probes, tail) — same output for
+    * any partitioning or executor count; not SQL-oracle-able only
+    * because the iterative fit has no single-query SQL twin.
+    */
+  def imputeAnn(df: DataFrame, idCol: String, targetCol: String,
+                featureCols: Seq[String], k: Int = 5,
+                numCells: Int = 0, nProbe: Int = 3,
+                fitIters: Int = 3): DataFrame = {
+    require(featureCols.nonEmpty && k >= 1 && nProbe >= 1)
+    val featOk = featureCols.map(col(_).isNotNull).reduce(_ && _)
+    val donors = df.filter(col(targetCol).isNotNull && featOk)
+    val stats = donors.agg(
+      featureCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).head,
+      featureCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*)
+    def scaledVec: Column = array(featureCols.map(c =>
+      Scaling.scale(col(c).cast("double"),
+        col(s"__mn_$c"), col(s"__mx_$c"))): _*)
+    // cells ≈ √|donors| (the IVF heuristic), capped so the per-row
+    // probe projection stays a bounded plan literal (the Cosine
+    // maxPlanCentroidDoubles concern; the broadcast-matrix path is the
+    // escalation if a caller needs more cells)
+    val donorSide = donors
+      .select(Seq(col(idCol).as("__did"),
+        col(targetCol).cast("decimal(18,2)").as("__dv")) ++
+        featureCols.map(c => col(c)): _*)
+      .crossJoin(broadcast(stats))
+      .withColumn("__vec", scaledVec)
+      .select("__did", "__dv", "__vec")
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(2, math.min(256,
+        math.ceil(math.sqrt(donorSide.count().toDouble)).toInt))
+    val model = graft.ml.KMeansLloyd.fit(donorSide, "__did", "__vec",
+      cells, fitIters)
+    val indexed = donorSide
+      .withColumn("__cell",
+        graft.ml.KMeansLloyd.nearestCell(col("__vec"), model))
+    val recipients = df.filter(col(targetCol).isNull && featOk)
+      .select(col(idCol).as("__rid") +: featureCols.map(c => col(c)): _*)
+      .crossJoin(broadcast(stats))
+      .withColumn("__rvec", scaledVec)
+      .select(col("__rid"), col("__rvec"),
+        explode(graft.ml.KMeansLloyd.probeCells(col("__rvec"), model,
+          nProbe)).as("__cell"))
+    // the identical scoring tail: fixed-order d² over the scaled
+    // features via the native SqDist (left-to-right fold — bit-equal
+    // to impute's per-column reduce), (d², donor id) rank, exact mean
+    val d2 = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SqDist(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__rvec")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__vec"))))
+    val w = Window.partitionBy(col("__rid"))
+      .orderBy(col("__d2").asc, col("__did").asc)
+    val imputed = recipients.join(indexed, Seq("__cell"))
+      .withColumn("__d2", d2)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .groupBy(col("__rid"))
+      .agg((sum(col("__dv")).cast("double") /
+        count(lit(1)).cast("double")).as("__imputed"))
+    val targetType = df.schema(targetCol).dataType
+    df.join(imputed, col(idCol) === col("__rid"), "left_outer")
+      .withColumn(targetCol,
+        when(col(targetCol).isNull, col("__imputed").cast(targetType))
           .otherwise(col(targetCol)))
       .drop("__rid", "__imputed")
   }

@@ -19,22 +19,42 @@ import org.apache.spark.sql.functions._
   * identical operands in both engines.
   *
   * Scale shape: one grouped percentile aggregate over the value column
-  * (the only pass over the big table; percentile is a sort-based agg
-  * per group — groups are small in count, so the stats frame is tiny),
-  * broadcast-joined back, then a codegen'd projection. Same
-  * stats-attach pattern as MeanImpute/Scaling — PlanQualitySpec
-  * asserts the broadcast.
+  * (the only pass over the big table), broadcast-joined back, then a
+  * codegen'd projection. Same stats-attach pattern as
+  * MeanImpute/Scaling — PlanQualitySpec asserts the broadcast.
+  *
+  * THE 100-TB HAZARD — exact `percentile` buffers EVERY value of a
+  * group on one aggregation task (it is a sort-based agg over an
+  * in-memory value buffer). At sf0.1 that is ~200k doubles per group;
+  * at 100× it is tens of millions per group on a single buffer — the
+  * one OOM-shaped construct in this family. Every operator here
+  * therefore takes `exact: Boolean = true`: `false` swaps in
+  * `approx_percentile` (Greenwald–Khanna sketch, O(accuracy) state
+  * per group, mergeable map-side → constant memory at ANY group
+  * size), the same trade ColumnProfile documents for exact-distinct
+  * vs HLL. Exact stays the default because it is the oracle-exact
+  * form; at corpus scale callers pass `exact = false` (fence deltas
+  * pinned ≤1% by RobustModeSpec).
   */
 object Robust {
+
+  /** GK-sketch accuracy for the `exact = false` scale mode: inverse
+    * relative-rank error (10000 ⇒ ±0.01% rank error). */
+  val ApproxAccuracy: Int = 10000
+
+  private def pct(valueCol: String, p: Double, exact: Boolean) =
+    if (exact) expr(s"percentile($valueCol, $p)")
+    else expr(s"approx_percentile($valueCol, $p, $ApproxAccuracy)")
 
   /** Clip `valueCol` into its per-group [loP, hiP] percentile fences.
     * Output: input columns + `<valueCol>_clipped`. */
   def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
+                loP: Double = 0.05, hiP: Double = 0.95,
+                exact: Boolean = true): DataFrame = {
     require(loP >= 0 && hiP <= 1 && loP < hiP)
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(round(expr(s"percentile($valueCol, $loP)"), 4).as("__lo"),
-        round(expr(s"percentile($valueCol, $hiP)"), 4).as("__hi"))
+      .agg(round(pct(valueCol, loP, exact).cast("double"), 4).as("__lo"),
+        round(pct(valueCol, hiP, exact).cast("double"), 4).as("__hi"))
     df.join(broadcast(stats), groupCols)
       .withColumn(s"${valueCol}_clipped",
         least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
@@ -45,11 +65,11 @@ object Robust {
     * the 6-dp grid. Degenerate groups (IQR = 0) scale to 0 rather than
     * NaN. Output: input columns + `<valueCol>_scaled`. */
   def robustScale(df: DataFrame, valueCol: String,
-                  groupCols: Seq[String]): DataFrame = {
+                  groupCols: Seq[String], exact: Boolean = true): DataFrame = {
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("__med"),
-        (round(expr(s"percentile($valueCol, 0.75)"), 4) -
-          round(expr(s"percentile($valueCol, 0.25)"), 4)).as("__iqr"))
+      .agg(round(pct(valueCol, 0.5, exact).cast("double"), 4).as("__med"),
+        (round(pct(valueCol, 0.75, exact).cast("double"), 4) -
+          round(pct(valueCol, 0.25, exact).cast("double"), 4)).as("__iqr"))
     df.join(broadcast(stats), groupCols)
       .withColumn(s"${valueCol}_scaled",
         when(col("__iqr") === 0, lit(0.0))
@@ -72,14 +92,14 @@ object Robust {
     * input columns + `med`, `robust_z`, `flagged` (1 when
     * |robust_z| ≥ `cutoff`). */
   def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                  cutoff: Double = 3.5): DataFrame = {
+                  cutoff: Double = 3.5, exact: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty && cutoff > 0)
     val meds = df.groupBy(groupCols.map(col): _*)
-      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"))
+      .agg(round(pct(valueCol, 0.5, exact).cast("double"), 4).as("med"))
     val withMed = df.join(broadcast(meds), groupCols)
       .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
     val mads = withMed.groupBy(groupCols.map(col): _*)
-      .agg(round(expr("percentile(__dev, 0.5)"), 4).as("__mad"))
+      .agg(round(pct("__dev", 0.5, exact).cast("double"), 4).as("__mad"))
     withMed.join(broadcast(mads), groupCols)
       .withColumn("robust_z",
         when(col("__mad") === 0, lit(0.0))

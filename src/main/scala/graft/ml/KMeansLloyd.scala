@@ -49,20 +49,26 @@ object KMeansLloyd {
       lit(0L), (acc, v) => acc + v)
   }
 
-  /** Squared L2 distance of an integer-grid vector to a real-valued
-    * centroid: per-dim ops run in a fixed left-to-right order, so the
-    * result is identical on every executor and on the driver twin. */
-  private def d2Double(q: Column, c: Array[Double]): Column = {
-    val cl = array(c.toIndexedSeq.map(lit): _*)
-    aggregate(zip_with(q, cl, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, v) => acc + v)
-  }
+  /** The nProbe nearest (d, i) structs via the NATIVE
+    * [[graft.expressions.CentroidTopK]] expression. The Column
+    * composition (per-centroid distance subtrees, or one matrix-form
+    * transform lambda) hits both Catalyst lambda hazards at realistic
+    * cell counts — super-linear analysis/codegen in k, and interpreted
+    * HOF eval with per-element allocations (measured 129 s end-to-end
+    * for the ANN-KNN imputer at k=233; sub-second passes native).
+    * Arithmetic and (d, id) tie order are bit-identical. */
+  private def topK(q: Column, centroids: Array[Array[Double]],
+                   nP: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.CentroidTopK(
+        org.apache.spark.sql.GraftColumnBridge.expression(q),
+        centroids.map(_.toSeq).toSeq, nP))
 
   /** (cluster, d2) argmin struct over all centroids; ties → lower id. */
-  private def nearest(q: Column, centroids: Array[Array[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(d2Double(q, c).as("d"), lit(i.toLong).as("i"))
-    }.toIndexedSeq: _*))
+  private def nearest(q: Column, centroids: Array[Array[Double]]): Column = {
+    val s = element_at(topK(q, centroids, 1), 1)
+    struct(s.getField("d").as("d"), s.getField("i").as("i"))
+  }
 
   /** The k lowest-id vectors, quantized — the deterministic seeding. */
   def initialCentroids(df: DataFrame, idCol: String, vecCol: String,
@@ -135,4 +141,20 @@ object KMeansLloyd {
     df.select(col(idCol), best.getField("i").as("cluster"),
       best.getField("d").as("d2"))
   }
+
+  /** The `nProbe` nearest cells of a vector under a fitted model — the
+    * multi-probe side of IVF-style candidate generation (a row is
+    * INDEXED in exactly its nearest cell; a QUERY probes several, which
+    * is where IVF recall comes from). Deterministic: per-cell d² is the
+    * same fixed-order double fold as [[transform]], and the probe order
+    * ties break on cell id via the (d, i) struct sort. Returns an
+    * `array<bigint>` of cell ids, nearest first. */
+  def probeCells(vec: Column, model: Model, nProbe: Int): Column =
+    org.apache.spark.sql.functions.transform(
+      topK(quantize(vec), model.centroids, nProbe), s => s.getField("i"))
+
+  /** Nearest cell id only — the assignment-side special case of
+    * [[probeCells]]. */
+  def nearestCell(vec: Column, model: Model): Column =
+    element_at(topK(quantize(vec), model.centroids, 1), 1).getField("i")
 }

@@ -98,37 +98,164 @@ object PerceptualHash {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The cell-grid hash over an already-extracted luma plane — shared
+    * by [[aHash]] (whole image) and [[hashFrames]] (per video frame):
+    * identical grid mapping and integer bit rule in both. */
+  private def hashLuma(w: Int, h: Int, luma: Array[Int],
+                       gridW: Int, gridH: Int): Long = {
+    val gw = math.min(gridW, w); val gh = math.min(gridH, h)
+    val cellSum = new Array[Long](gw * gh)
+    val cellN = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * gh / h).toInt
+      var x = 0
+      while (x < w) {
+        val c = cy * gw + (x.toLong * gw / w).toInt
+        cellSum(c) += luma(y * w + x); cellN(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val totalN = w.toLong * h
+    var totalSum = 0L
+    cellSum.foreach(totalSum += _)
+    var bits = 0L; var c = 0
+    while (c < cellSum.length) {
+      // exact integer compare of cell mean vs global mean
+      if (cellSum(c) * totalN > totalSum * cellN(c)) bits |= (1L << c)
+      c += 1
+    }
+    bits
+  }
+
   /** Average hash over an (effective) min(gridW,w) × min(gridH,h) cell
     * grid, bits row-major from bit 0; unused high bits are 0. */
   def aHash(p: Array[Byte], gridW: Int = 8, gridH: Int = 8): Option[Long] = {
     require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
       "grid must hold at most 64 cells")
     lumaPixels(p).map { case (w, h, luma) =>
-      val gw = math.min(gridW, w); val gh = math.min(gridH, h)
-      val cellSum = new Array[Long](gw * gh)
-      val cellN = new Array[Long](gw * gh)
-      var y = 0
-      while (y < h) {
-        val cy = (y.toLong * gh / h).toInt
-        var x = 0
-        while (x < w) {
-          val c = cy * gw + (x.toLong * gw / w).toInt
-          cellSum(c) += luma(y * w + x); cellN(c) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val totalN = w.toLong * h
-      var totalSum = 0L
-      cellSum.foreach(totalSum += _)
-      var bits = 0L; var c = 0
-      while (c < cellSum.length) {
-        // exact integer compare of cell mean vs global mean
-        if (cellSum(c) * totalN > totalSum * cellN(c)) bits |= (1L << c)
-        c += 1
-      }
-      bits
+      hashLuma(w, h, luma, gridW, gridH)
     }
+  }
+
+  /** Per-frame luma planes of a multi-frame payload (animated GIF /
+    * multi-page TIFF — the JDK's video stand-ins), via the same ImageIO
+    * reader walk as [[Multimodal.decodeFrames]]. */
+  private def frameLumas(p: Array[Byte], maxFrames: Int)
+      : Option[Seq[(Int, Int, Int, Array[Int])]] = {
+    if (p == null || p.length < 2) return None
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val n = math.min(reader.getNumImages(true), maxFrames)
+        if (n <= 0) return None
+        val out = Seq.newBuilder[(Int, Int, Int, Array[Int])]
+        var i = 0
+        while (i < n) {
+          if (reader.getWidth(i).toLong * reader.getHeight(i) >
+              Multimodal.MaxDecodePixels) return None
+          val img = reader.read(i)
+          val w = img.getWidth; val h = img.getHeight
+          if (w <= 0 || h <= 0) return None
+          val luma = new Array[Int](w * h)
+          val rowBuf = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
+            var x = 0
+            while (x < w) {
+              val px = rowBuf(x)
+              luma(y * w + x) = ((px >> 16) & 0xff) + ((px >> 8) & 0xff) +
+                (px & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          out += ((i, w, h, luma))
+          i += 1
+        }
+        Some(out.result())
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
+  }
+
+  /** Per-FRAME average hashes — the video arm of perceptual dedup: one
+    * output row per decoded frame, appending `(frame_idx, fhash)`.
+    * Undecodable payloads emit no rows (same posture as
+    * decodeImageFrames). Narrow, batched, no shuffle — the hash stream
+    * scales with the scan like every decoder here. */
+  def hashFrames(assets: DataFrame, gridW: Int = 8, gridH: Int = 8,
+                 maxFrames: Int = 256, batchSize: Int = 256): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
+      "grid must hold at most 64 cells")
+    import org.apache.spark.sql.types._
+    val schema = assets.schema.add("frame_idx", LongType)
+      .add("fhash", LongType)
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    assets.mapPartitions { it: Iterator[Row] =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          frameLumas(row.getAs[Array[Byte]](payloadIdx), maxFrames)
+            .getOrElse(Seq.empty)
+            .map { case (f, w, h, luma) =>
+              Row.fromSeq(row.toSeq ++ Seq(f.toLong,
+                hashLuma(w, h, luma, gridW, gridH)))
+            }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** VIDEO NEAR-DUP PAIRS from per-frame hashes — the composition that
+    * turns frame hashing into video dedup: a video's signature is its
+    * DISTINCT frame-hash set; two videos are near-dups when the
+    * Jaccard overlap of their signatures reaches `minJaccard`
+    * (re-encoded, trimmed, or shifted copies share most frames;
+    * distinct footage shares none). Everything is exact integer
+    * counting + ONE double division, so the whole detector sits under
+    * the bit-exact oracle.
+    *
+    * Scale shape (100 TB): signatures via one distinct (one shuffle of
+    * |frames| rows), candidate pairs via an equi-join ON THE FRAME
+    * HASH (videos sharing ≥1 frame — never an all-pairs comparison),
+    * then a pair-level hash agg. The stopword hazard — a frame hash
+    * shared by half the corpus (black frames, title cards) exploding
+    * the join — is capped by `maxHashFreq`: hashes held by more
+    * assets are dropped from BLOCKING (they stop identifying content;
+    * same move as MinHashDedup's band caps). Output:
+    * `(id_a, id_b, shared_frames, jaccard)`. */
+  def videoNearDupPairs(frameHashes: DataFrame, idCol: String,
+                        hashCol: String = "fhash",
+                        minJaccard: Double = 0.5,
+                        maxHashFreq: Int = 1000): DataFrame = {
+    require(minJaccard > 0 && maxHashFreq >= 2)
+    val sig = frameHashes
+      .select(col(idCol).as("__id"), col(hashCol).as("__h")).distinct()
+    val sizes = sig.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val blockable = sig.join(
+      sig.groupBy(col("__h")).agg(count(lit(1)).as("__f"))
+        .filter(col("__f") <= maxHashFreq).select(col("__h")),
+      "__h")
+    val pairs = blockable.select(col("__id").as("id_a"), col("__h"))
+      .join(blockable.select(col("__id").as("id_b"), col("__h")), "__h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+    pairs
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sb")), "id_b")
+      .withColumn("jaccard", round(col("shared_frames").cast("double") /
+        (col("__sa") + col("__sb") - col("shared_frames")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "shared_frames", "jaccard")
   }
 
   /** Appends `phash: long` (null for undecodable payloads). Narrow,

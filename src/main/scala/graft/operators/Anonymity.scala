@@ -77,7 +77,10 @@ object Anonymity {
     require(groupCols.nonEmpty && epsilon > 0)
     val key = graft.dedup.MinHashDedup.portableShingleHash(
       concat_ws("", groupCols.map(col): _*))
-    val u = graft.functions.Noise.hashNoise(key, salt)
+    // clamp u away from {0,1}: u = 0 → ln(1−2|u−½|) = ln(0) = −∞, and
+    // near-0/1 values give noise far beyond the DP calibration
+    val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
+      graft.functions.Noise.hashNoise(key, salt)))
     // inverse-CDF Laplace: −b·sign(u−½)·ln(1−2|u−½|), b = 1/ε
     val b = lit(1.0 / epsilon)
     val c = u - lit(0.5)
@@ -99,7 +102,8 @@ object Anonymity {
       list_transform(range(1, len($cat) + 1),
         j -> CAST(ascii(($cat)[j:j]) AS BIGINT))),
       (a, ch) -> (a * 31 + ch) % 1000000007)"""
-    val u = graft.functions.Noise.sqlNoise(key, salt)
+    val u0 = graft.functions.Noise.sqlNoise(key, salt)
+    val u = s"greatest(${sqlDouble(1e-12)}, least(${sqlDouble(1.0 - 1e-12)}, $u0))"
     val c = s"(($u) - 5.0e-1)"
     val noise = s"""(-${sqlDouble(1.0 / epsilon)} * sign($c)
       * ln(1.0e0 - 2.0e0 * abs($c)))"""

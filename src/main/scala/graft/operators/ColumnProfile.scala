@@ -69,6 +69,25 @@ object ColumnProfile {
     one.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
   }
 
+  /** Adaptive gate for [[profile]]'s exact-vs-HLL distinct mode: the
+    * Expand-×(6·|cols|) exact-distinct plan is the single heaviest
+    * honest aggregate in the engine (×7-ing a 100 TB scan stream), so
+    * above `exactMaxRows` the profile switches itself to HLL. The row
+    * probe is `limit(n+1).count()` — a LocalLimit that short-circuits
+    * the scan long before corpus size, so the gate costs one bounded
+    * partial pass, not a full count. Every non-distinct stat
+    * (rows/nulls/min/max/decimal mean) is bit-identical in either mode
+    * (ColumnProfileSpec pins this); only `n_distinct` degrades to ±~2%.
+    */
+  val AdaptiveExactMaxRows: Int = 10 * 1000 * 1000
+
+  def profileAdaptive(df: DataFrame, cols: Seq[String] = Nil,
+                      exactMaxRows: Int = AdaptiveExactMaxRows): DataFrame = {
+    require(exactMaxRows >= 0 && exactMaxRows < Int.MaxValue)
+    val small = df.limit(exactMaxRows + 1).count() <= exactMaxRows
+    profile(df, cols, exact = small)
+  }
+
   /** PROFILE DRIFT — the monitoring step between two corpus drops: diff
     * `cur`'s profile against `prev`'s, per column. This is what turns
     * the profile into an alert surface: schema drift (added/removed

@@ -272,4 +272,87 @@ object Experiment {
           / (CAST(n_b AS DOUBLE) - 1.0e0)), 6) AS df_welch
     FROM sums"""
   }
+
+  /** SAMPLE-RATIO MISMATCH check — the experiment-health gate that must
+    * run BEFORE any effect readout: if the observed per-variant unit
+    * counts deviate from the designed split, assignment/logging is
+    * broken and every downstream statistic is garbage (the classic
+    * silent experiment killer). Pearson χ² against the expected
+    * shares; the readout is the per-variant detail plus the total
+    * statistic (df = k−1; χ² > ~3.84 at k=2 flags at 5%).
+    *
+    * Determinism: counts are exact BIGINT; expected counts and
+    * contributions are fixed-order double ops; the total folds over
+    * the BOUNDED variant axis via an ordered running-sum window, and
+    * because contributions are non-negative the window MAX of the
+    * running sum IS the total — no unordered double agg anywhere.
+    *
+    * Scale: one hash agg on variant (map-side partials), then
+    * window + projection over k rows. Output one row per variant:
+    * `variant, n_obs, n_expected (6dp), contrib (6dp), chi2 (6dp,
+    * repeated — the total), n_total`. */
+  def srmCheck(assignments: DataFrame, variantCol: String,
+               expectedShares: Map[String, Double]): DataFrame = {
+    require(expectedShares.nonEmpty &&
+      math.abs(expectedShares.values.sum - 1.0) < 1e-9,
+      "expected shares must sum to 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = assignments.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n_obs"))
+    val share = expectedShares.toSeq.sortBy(_._1)
+      .foldRight(lit(null).cast("double")) { case ((v, p), rest) =>
+        when(col("variant") === v, lit(p)).otherwise(rest)
+      }
+    val total = counts.agg(sum(col("n_obs")).as("n_total"))
+    val wCum = Window.orderBy(col("variant"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("variant"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts.crossJoin(broadcast(total))
+      .withColumn("__exp", col("n_total").cast("double") * share)
+      .withColumn("__contrib",
+        (col("n_obs").cast("double") - col("__exp"))
+          * (col("n_obs").cast("double") - col("__exp")) / col("__exp"))
+      .withColumn("chi2", round(max(sum(col("__contrib")).over(wCum))
+        .over(wAll), 6))
+      .select(col("variant"), col("n_obs"),
+        round(col("__exp"), 6).as("n_expected"),
+        round(col("__contrib"), 6).as("contrib"),
+        col("chi2"), col("n_total"))
+  }
+
+  /** DuckDB twin of [[srmCheck]] — identical share CASE, contribution
+    * arithmetic and ordered fold. `assignSql` must select `variant`. */
+  def sqlSrmCheck(assignSql: String,
+                  expectedShares: Map[String, Double]): String = {
+    import graft.functions.Noise.sqlDouble
+    val share = expectedShares.toSeq.sortBy(_._1)
+      .map { case (v, p) => s"WHEN variant = '$v' THEN ${sqlDouble(p)}" }
+      .mkString(" ")
+    s"""
+    WITH a AS ($assignSql), counts AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_obs
+      FROM a GROUP BY 1
+    ), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM counts
+    ), c AS (
+      SELECT variant, n_obs, n_total,
+        CAST(n_total AS DOUBLE) * (CASE $share END) AS e
+      FROM counts CROSS JOIN t
+    ), k AS (
+      SELECT variant, n_obs, n_total, e,
+        (CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e
+          AS contrib
+      FROM c
+    ), f AS (
+      SELECT variant, n_obs, n_total, e, contrib,
+        sum(contrib) OVER (ORDER BY variant
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM k
+    ), tot2 AS (SELECT max(cum) AS chi FROM f)
+    SELECT variant, n_obs, round(e, 6) AS n_expected,
+      round(contrib, 6) AS contrib,
+      round(chi, 6) AS chi2,
+      n_total
+    FROM f CROSS JOIN tot2"""
+  }
 }

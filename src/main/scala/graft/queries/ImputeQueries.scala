@@ -90,6 +90,28 @@ object ImputeQueries extends Registry {
         .select(col("__key").as("row_key"), col("l_orderkey"),
           col("l_linenumber"), col("l_extendedprice").as("imputed_price"))
     }),
+    // the CORPUS-SCALE form of the same imputer: candidates from
+    // IVF-blocked donors (deterministic KMeansLloyd cells over the
+    // scaled feature space, nProbe nearest cells per recipient)
+    // instead of the full recipients × donors join. 1-in-10 slice —
+    // 10× the exact query's reach — because the point IS the scale
+    // path: pairs drop from |R|·|D| to |R|·nProbe·√|D|. Deterministic
+    // end to end but the iterative fit has no single-SQL twin →
+    // rows+spec (KnnImputeSpec pins ≥95% of imputed cells bit-equal
+    // to the exact form at this exact shape).
+    "impute_lineitem_knn_ann" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(pmod(col("l_orderkey"), lit(10L)) === 0)
+        .withColumn("__mkey", expr(lineitemKey))
+        .withColumn("__key", expr(lineitemUniqueKey))
+      val withMissing = Noise.injectMissing(li, "l_extendedprice",
+        "__mkey", salt = 43, frac = 0.10)
+      graft.impute.KnnImpute.imputeAnn(withMissing, "__key",
+          "l_extendedprice", Seq("l_quantity", "l_discount", "l_tax"), k = 5)
+        .filter(col("l_extendedprice").isNotNull)
+        .select(col("__key").as("row_key"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice").as("imputed_price"))
+    }),
     // deterministic categorical fill: global mode with stable ties.
     "impute_orders_priority_mode" -> ((s, d) =>
       MeanImpute.imputeMode(Tables.orders(s, d), "o_orderpriority",

@@ -120,6 +120,29 @@ object MultimodalQueries extends Registry {
           col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
+    // C6: VIDEO DEDUP under the exact oracle — the chained composition
+    // decodeFrames → per-frame aHash → signature-overlap pairs, over a
+    // planted-dup multi-frame fixture: asset (g, m) is member m of
+    // group g with seed g·1000 + 7m, so member m's frame f is
+    // bit-identical to member 0's frame f+m (the fixture's pixel rule
+    // (seed + 7f + p) mod 256 makes a +7 seed shift a one-frame
+    // trim) — shifted/trimmed copies of the same footage, the real
+    // video-dedup shape. DuckDB recomputes every frame hash from the
+    // closed form (tiny frames ⇒ cell = pixel, bit p iff v·n > Σv,
+    // exactly the aHash integer rule) and the same Jaccard screen.
+    "c6_frame_dedup" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 30).select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id % 10L; val m = id / 10L
+          (id, Multimodal.gifFixtureBytes(
+            (4 + g % 5).toInt, (3 + g % 4).toInt, 6, g * 1000L + 7L * m))
+        }.toDF("asset_id", "payload")
+      graft.multimodal.PerceptualHash.videoNearDupPairs(
+        graft.multimodal.PerceptualHash.hashFrames(fixture), "asset_id",
+        minJaccard = 0.45, maxHashFreq = 8)
+    }),
     // C6 rows-only: JPEG decode — lossy, so pixel values are
     // decoder-deterministic within one JDK but not a cross-engine
     // closed form; MultimodalSpec bounds the means against the source
@@ -378,6 +401,49 @@ object MultimodalQueries extends Registry {
           AS BIGINT) AS phash
       FROM px JOIN tot USING (asset_id)
       GROUP BY px.asset_id""",
+    "c6_frame_dedup" -> """
+      WITH f AS (
+        SELECT doc_id AS id, doc_id % 10 AS g, doc_id // 10 AS m,
+          CAST(4 + (doc_id % 10) % 5 AS BIGINT) AS w,
+          CAST(3 + (doc_id % 10) % 4 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 30
+      ), fr AS (
+        SELECT id, g, m, w, h, fx.f
+        FROM f, LATERAL unnest(generate_series(0, 5)) fx(f)
+      ), px AS (
+        SELECT id, f, w, h, p.p,
+          (g * 1000 + 7 * m + 7 * f + p) % 256 AS v
+        FROM fr, LATERAL unnest(generate_series(0, w * h - 1)) p(p)
+      ), tot AS (
+        SELECT id, f, CAST(sum(v) AS BIGINT) AS total, max(w * h) AS n
+        FROM px GROUP BY 1, 2
+      ), hashes AS (
+        SELECT px.id, px.f,
+          CAST(coalesce(sum(CASE WHEN v * n > total
+            THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END), 0)
+            AS BIGINT) AS fhash
+        FROM px JOIN tot USING (id, f) GROUP BY 1, 2
+      ), sig AS (SELECT DISTINCT id, fhash FROM hashes
+      ), sz AS (SELECT id, count(*) AS s FROM sig GROUP BY 1
+      ), blockable AS (
+        SELECT sig.id, sig.fhash FROM sig
+        JOIN (SELECT fhash FROM sig GROUP BY 1 HAVING count(*) <= 8) ok
+          USING (fhash)
+      ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+          CAST(count(*) AS BIGINT) AS shared_frames
+        FROM blockable a JOIN blockable b
+          ON a.fhash = b.fhash AND a.id < b.id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b, shared_frames,
+        round(CAST(shared_frames AS DOUBLE) /
+          CAST(sa.s + sb.s - shared_frames AS DOUBLE), 6) AS jaccard
+      FROM pairs
+      JOIN sz sa ON sa.id = pairs.id_a
+      JOIN sz sb ON sb.id = pairs.id_b
+      WHERE round(CAST(shared_frames AS DOUBLE) /
+          CAST(sa.s + sb.s - shared_frames AS DOUBLE), 6) >= 0.45""",
     "c6_phash_pairs" -> """
       WITH f AS (
         SELECT doc_id AS asset_id,

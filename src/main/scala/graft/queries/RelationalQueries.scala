@@ -16,6 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries extends Registry {
 
+  /** Shared per-subject survival frame for d44/d45: per user, duration
+    * to first purchase (or to last-seen for censored users), the event
+    * flag, and the experiment-arm cohort (user_id parity — the same
+    * assignment the A/B family uses). */
+  private def survivalPerUser(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id")).agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("tp"),
+        max(unix_micros(col("ts"))).as("tl"))
+      .select(
+        when(pmod(col("user_id"), lit(2L)) === 0, lit("control"))
+          .otherwise(lit("treatment")).as("cohort"),
+        when(col("tp").isNotNull, col("tp") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("duration"),
+        when(col("tp").isNotNull, lit(1)).otherwise(lit(0)).as("event"))
+
+  /** DuckDB twin of [[survivalPerUser]]. */
+  private val survivalPerUserSql: String =
+    """SELECT
+         CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 'control'
+           ELSE 'treatment' END AS cohort,
+         CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tl - t0 END AS duration,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event
+       FROM (
+         SELECT user_id, min(epoch_us(ts)) AS t0,
+           min(CASE WHEN event_type = 'purchase'
+             THEN epoch_us(ts) END) AS tp,
+           max(epoch_us(ts)) AS tl
+         FROM events GROUP BY user_id)"""
+
   val queries: Map[String, Q] = Map(
     // B1+B2+B5: the TPC-H Q1 pattern — scan → pushed filter → hash agg.
     "q1_pricing_summary" -> ((s, d) => {
@@ -508,6 +541,17 @@ object RelationalQueries extends Registry {
       graft.operators.ColumnProfile.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
           "l_returnflag", "l_shipdate", "l_linestatus"))),
+    // the SCALE mode of the same profile: exact=false swaps the
+    // Expand-×7 exact-distinct plan for mergeable HLL sketches (one
+    // stream, no Expand — ColumnProfileSpec asserts the plan). Every
+    // retained column is bit-identical to exact mode, so dropping the
+    // ±2% n_distinct puts the whole scale plan under the exact oracle.
+    // profileAdaptive makes this switch itself above 10M rows.
+    "d13_column_profile_scale" -> ((s, d) =>
+      graft.operators.ColumnProfile.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_returnflag", "l_shipdate", "l_linestatus"), exact = false)
+        .drop("n_distinct")),
     // D71: PROFILE DRIFT — this drop vs the last one: schema drift
     // (o_orderpriority added, o_custkey removed), a real null-rate
     // regression (10% hash-noise missingness injected on the cur side,
@@ -678,6 +722,25 @@ object RelationalQueries extends Registry {
       graft.operators.Survival.kaplanMeier(perUser, "duration", "event",
         bucketUs = 3600000000L)
     }),
+    // D91: the SAME estimator per cohort (here: the experiment-arm
+    // assignment the A/B family uses) — one curve per arm, windows
+    // partitioned by cohort so per-arm state stays bounded-axis-sized.
+    "d44_km_cohorts" -> ((s, d) => {
+      graft.operators.Survival.kaplanMeierCohorts(
+        survivalPerUser(s, d), "duration", "event", "cohort",
+        bucketUs = 3600000000L)
+    }),
+    // D92: two-cohort LOG-RANK χ² — "is treatment's time-to-purchase
+    // curve the same curve as control's?", completing the
+    // experimentation family (Welch t / CUPED / MDE) for
+    // time-to-event outcomes. All counts exact BIGINT; the three
+    // double sums fold via ordered windows (never an unordered hash
+    // agg), so the statistic is bit-portable.
+    "d45_logrank" -> ((s, d) => {
+      graft.operators.Survival.logRank(
+        survivalPerUser(s, d), "duration", "event", "cohort",
+        bucketUs = 3600000000L)
+    }),
     // D88: CUPED variance reduction — the experimentation power-up
     // beside d32's Welch t: pre-period spend (first half of January)
     // as the covariate for experiment-period spend (second half);
@@ -834,6 +897,15 @@ object RelationalQueries extends Registry {
     "d34_noised_counts" -> ((s, d) =>
       graft.operators.Anonymity.noisedCounts(Tables.events(s, d),
         Seq("event_type"), epsilon = 0.5)),
+    // multi-column release cells — exercises the -separated tuple
+    // hash (concat_ws("") would conflate cells and correlate their
+    // noise; AnonymitySpec pins the conflation case, this row pins the
+    // cross-engine hash agreement on >1 group column).
+    "d34_noised_counts_multi" -> ((s, d) =>
+      graft.operators.Anonymity.noisedCounts(
+        Tables.events(s, d).select(col("event_type"),
+          pmod(col("user_id"), lit(3L)).cast("string").as("seg")),
+        Seq("event_type", "seg"), epsilon = 0.5)),
     // D78: MAD robust rate anomaly — d9's σ z-score replaced by
     // median/MAD so a burst can't inflate the spread and mask itself;
     // hourly counts per event type, exact type-7 medians on the 4-dp
@@ -1018,6 +1090,37 @@ object RelationalQueries extends Registry {
     // assignment, per-user purchase value on the exact decimal grid,
     // Welch t from Σm/Σm² in ONE pass. Two shuffles total: the
     // per-user groupBy and a 1-row partial-agg'd summary.
+    // D97: POISSON BOOTSTRAP CI — the distributed bootstrap (per-row
+    // Poisson(1) weights, all B replicas in ONE aggregation pass, no
+    // resampling shuffle) on the per-type mean event value. Shuffle
+    // traffic is |groups|·B, not |corpus|·B; the draw is keyed
+    // hash-noise through a literal inverse-CDF ladder so the whole CI
+    // is bit-exact under the oracle.
+    "d46_bootstrap_ci" -> ((s, d) =>
+      graft.operators.Bootstrap.meanCi(Tables.events(s, d), "value",
+        Seq("event_type"), col("event_id"), b = 100)),
+    // D98: SAMPLE-RATIO MISMATCH — the experiment-health gate before
+    // any readout: observed per-arm unit counts vs the designed 50/50
+    // split, Pearson χ² folded over the bounded variant axis.
+    "d47_srm" -> ((s, d) =>
+      graft.operators.Experiment.srmCheck(
+        Tables.events(s, d).select(col("user_id")).distinct()
+          .withColumn("variant", graft.operators.Experiment.variantOf(
+            col("user_id"), Seq("control", "treatment"), salt = 17)),
+        "variant", Map("control" -> 0.5, "treatment" -> 0.5))),
+    // D99: NELSON–AALEN cumulative hazard — the additive twin of d42's
+    // KM product over the same per-user conversion frame.
+    "d50_nelson_aalen" -> ((s, d) =>
+      graft.operators.Survival.nelsonAalen(
+        survivalPerUser(s, d), "duration", "event",
+        bucketUs = 3600000000L)),
+    // D100: RESTRICTED MEAN SURVIVAL TIME — ∫₀^τ S(t)dt at a 1-week
+    // horizon (168 hourly buckets): "average conversion-free hours in
+    // the first week", the single-number time-unit summary.
+    "d51_rmst" -> ((s, d) =>
+      graft.operators.Survival.rmst(
+        survivalPerUser(s, d), "duration", "event",
+        bucketUs = 3600000000L, horizonBuckets = 168L)),
     "d32_ab_test" -> ((s, d) => {
       val perUser = Tables.events(s, d)
         .groupBy(col("user_id"))
@@ -1051,6 +1154,24 @@ object RelationalQueries extends Registry {
         SELECT '$c' AS "column", count(*) AS n_rows,
           count(*) - count($c) AS n_nulls,
           count(DISTINCT $c) AS n_distinct,
+          CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d,
+          CAST(NULL AS DOUBLE) AS mean_d
+        FROM lineitem"""
+      Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+        num("l_discount"), other("l_returnflag"), other("l_shipdate"),
+        other("l_linestatus")).mkString(" UNION ALL ")
+    },
+    "d13_column_profile_scale" -> {
+      def num(c: String) = s"""
+        SELECT '$c' AS "column", count(*) AS n_rows,
+          count(*) - count($c) AS n_nulls,
+          CAST(min($c) AS DOUBLE) AS min_d,
+          CAST(max($c) AS DOUBLE) AS max_d,
+          CAST(sum(CAST($c AS DECIMAL(32,6))) AS DOUBLE) / count($c) AS mean_d
+        FROM lineitem"""
+      def other(c: String) = s"""
+        SELECT '$c' AS "column", count(*) AS n_rows,
+          count(*) - count($c) AS n_nulls,
           CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d,
           CAST(NULL AS DOUBLE) AS mean_d
         FROM lineitem"""
@@ -1633,6 +1754,10 @@ object RelationalQueries extends Registry {
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
+    "d34_noised_counts_multi" -> graft.operators.Anonymity.sqlNoisedCounts(
+      """(SELECT event_type,
+           CAST(((user_id % 3) + 3) % 3 AS VARCHAR) AS seg FROM events)""",
+      Seq("event_type", "seg"), epsilon = 0.5),
     "d43_mde" -> graft.operators.Experiment.sqlMde(
       s"""SELECT
             ${graft.operators.Experiment.sqlVariantOf("user_id",
@@ -1654,6 +1779,21 @@ object RelationalQueries extends Registry {
              max(epoch_us(ts)) AS tl
            FROM events GROUP BY user_id)""",
       bucketUs = 3600000000L),
+    "d44_km_cohorts" -> graft.operators.Survival.sqlKaplanMeierCohorts(
+      survivalPerUserSql, bucketUs = 3600000000L),
+    "d45_logrank" -> graft.operators.Survival.sqlLogRank(
+      survivalPerUserSql, bucketUs = 3600000000L),
+    "d46_bootstrap_ci" -> graft.operators.Bootstrap.sqlMeanCi(
+      "events", "value", Seq("event_type"), "event_id", b = 100),
+    "d47_srm" -> graft.operators.Experiment.sqlSrmCheck(
+      s"""SELECT ${graft.operators.Experiment.sqlVariantOf(
+           "user_id", Seq("control", "treatment"), salt = 17)} AS variant
+          FROM (SELECT DISTINCT user_id FROM events)""",
+      Map("control" -> 0.5, "treatment" -> 0.5)),
+    "d50_nelson_aalen" -> graft.operators.Survival.sqlNelsonAalen(
+      survivalPerUserSql, bucketUs = 3600000000L),
+    "d51_rmst" -> graft.operators.Survival.sqlRmst(
+      survivalPerUserSql, bucketUs = 3600000000L, horizonBuckets = 168L),
     "d41_cuped" -> graft.operators.Experiment.sqlCuped(
       """SELECT user_id,
            CAST(sum(CASE WHEN event_type = 'purchase'

@@ -182,6 +182,27 @@ object TextQueries extends Registry {
     // per-cell share of the labeled class. This is how a pipeline
     // decides whether the cheap n-gram/stopword ID is good enough to
     // gate a corpus, and the shape generalizes to any classifier eval.
+    // C5: COHEN'S κ — the confusion matrix's chance-corrected scalar
+    // (raw agreement flatters itself on skewed label distributions):
+    // labeled lang vs the heuristic prediction, the label-quality
+    // number a pipeline actually alerts on.
+    "c5_langid_kappa" -> ((s, d) =>
+      graft.operators.Agreement.cohenKappa(
+        Tables.documents(s, d)
+          .select(col("lang").as("a"),
+            graft.text.TextFunctions.langId(col("text")).as("b")),
+        "a", "b")),
+    // C7: CALIBRATION of the quality score — a score of 0.8 should be
+    // "right" 80% of the time or every threshold chosen from it is
+    // miscalibrated. Reliability bins + ECE against a deterministic
+    // length criterion; every cell exact (decimal score sums, integer
+    // accuracy ratios, bounded-bin ordered fold).
+    "c7_quality_calibration" -> ((s, d) =>
+      graft.operators.Calibration.reliability(
+        Tables.documents(s, d)
+          .select(TextFunctions.qualityScore(col("text")).as("score"),
+            (col("n_chars") >= 200).cast("int").as("label")),
+        "score", "label")),
     "c5_langid_confusion" -> ((s, d) => {
       val byLabel =
         org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
@@ -760,6 +781,26 @@ object TextQueries extends Registry {
              ${langs.map(l => s"ratio_$l").mkString(", ")}
       FROM r"""
     },
+    "c5_langid_kappa" -> {
+      val best = s"greatest(${langs.map(l => s"ratio_$l").mkString(", ")})"
+      val pick = langs.map(l => s"WHEN ratio_$l = $best THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      val ratios = langs.map(l => s"${sqlRatio(l)} AS ratio_$l")
+        .mkString(",\n          ")
+      graft.operators.Agreement.sqlCohenKappa(s"""
+        WITH t AS (SELECT doc_id, lang, ${sqlToks("text")} AS toks
+          FROM documents),
+        r AS (SELECT doc_id, lang, $ratios FROM t)
+        SELECT lang AS a, $pick AS b FROM r""")
+    },
+    "c7_quality_calibration" -> graft.operators.Calibration.sqlReliability(s"""
+      WITH t AS (
+        SELECT doc_id, n_chars, ${sqlToks("text")} AS toks FROM documents
+      ), p AS (
+        SELECT doc_id, n_chars, $sqlQualityInputs FROM t)
+      SELECT $sqlQualityExpr AS score,
+        CAST(n_chars >= 200 AS INT) AS label
+      FROM p"""),
     "c5_langid_confusion" -> {
       val best = s"greatest(${langs.map(l => s"ratio_$l").mkString(", ")})"
       val pick = langs.map(l => s"WHEN ratio_$l = $best THEN '$l'")

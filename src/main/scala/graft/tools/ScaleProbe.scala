@@ -151,7 +151,21 @@ object ScaleProbe {
       "c5_langid_confusion", "c7_compression_ratio",
       // round-8g ops: CUPED (one 1-row exact-sum pass), KM survival
       // (bounded bucketed axis), per-node triangles (same wedge bound)
-      "d41_cuped", "d42_survival", "d36_local_cc")
+      "d41_cuped", "d42_survival", "d36_local_cc",
+      // round-9 ops: ANN-candidate KNN impute (the scale path that
+      // retires the exact join's quadratic — pairs |R|·nProbe·√|D|;
+      // expect clearly below the exact row's ratio), exact group
+      // percentiles (the per-group value-buffer hazard named in
+      // VERDICT r8 — measured here, mitigated by exact=false),
+      // HLL-mode profile (no Expand — should beat d13's ratio),
+      // cohort KM + log-rank (bounded bucket axis ×2 cohorts)
+      "impute_lineitem_knn_ann", "b5_percentiles",
+      "d13_column_profile_scale", "d44_km_cohorts", "d45_logrank",
+      // round-9b: bootstrap (B× map-side explode into a partial agg —
+      // shuffle is groups×B; expect ~linear wall from the B× CPU),
+      // SRM / κ / calibration (scan-bound aggs + bounded-axis windows)
+      "d46_bootstrap_ci", "d47_srm", "c5_langid_kappa",
+      "c7_quality_calibration", "d50_nelson_aalen", "d51_rmst")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops

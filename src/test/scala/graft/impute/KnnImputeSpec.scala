@@ -54,6 +54,44 @@ class KnnImputeSpec extends SparkSpec {
       col("l_extendedprice") > mx).count() === 0)
   }
 
+  test("ANN candidates reproduce the exact imputer on ≥95% of cells") {
+    // the driver-surface shape (impute_lineitem_knn_ann at sf0.01):
+    // same slice, same missingness — the contract the query ships under
+    val li = Tables.lineitem(spark, sf001)
+      .filter(pmod(col("l_orderkey"), lit(10L)) === 0)
+      .withColumn("__mkey", expr("(l_orderkey * 8 + l_linenumber)"))
+      .withColumn("__key", expr(
+        "(((l_orderkey * 8 + l_linenumber) * 32768 + l_partkey) * 1024 + l_suppkey)"))
+    val withMissing = Noise.injectMissing(li, "l_extendedprice",
+      "__mkey", salt = 43, frac = 0.10)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val missingKeys = withMissing.filter(col("l_extendedprice").isNull)
+      .select(col("__key"))
+    def imputedCells(df: org.apache.spark.sql.DataFrame) =
+      df.join(missingKeys, "__key")
+        .select(col("__key"), col("l_extendedprice").as("v"))
+    val exact = imputedCells(KnnImpute.impute(withMissing, "__key",
+      "l_extendedprice", feats, k = 5))
+    val ann = imputedCells(KnnImpute.imputeAnn(withMissing, "__key",
+      "l_extendedprice", feats, k = 5))
+    val n = exact.count()
+    assert(n > 100, s"fixture too small: $n imputed cells")
+    // bit-equal cells: when the probed cells contain the true top-5
+    // donors the ANN tail IS the exact tail (same d² fold, same rank,
+    // same decimal mean) — only boundary recipients may differ
+    val agree = exact.withColumnRenamed("v", "ve")
+      .join(ann.withColumnRenamed("v", "va"), "__key")
+      .filter(col("ve") === col("va")).count()
+    assert(agree.toDouble / n >= 0.95,
+      s"only $agree / $n imputed cells match the exact imputer")
+    // and determinism: a relayout changes nothing
+    val again = imputedCells(KnnImpute.imputeAnn(
+      withMissing.repartition(13), "__key", "l_extendedprice", feats, k = 5))
+    assert(again.withColumnRenamed("v", "va").join(
+      ann.withColumnRenamed("v", "vb"), "__key")
+      .filter(col("va") =!= col("vb")).count() === 0)
+  }
+
   test("rows with a null feature keep a null target (no geometry, no guess)") {
     val df = Seq(
       (1L, Some(10.0), Some(0.0)),

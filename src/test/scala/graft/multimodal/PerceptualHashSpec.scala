@@ -75,4 +75,68 @@ class PerceptualHashSpec extends SparkSpec {
       PerceptualHash.nearDupPairs(hashed, "asset_id", maxDist = 4, nBands = 4)
     }
   }
+
+  test("hashFrames: one hash per frame, equal to aHash of the still") {
+    // a 1-frame GIF's frame hash must equal the whole-image aHash of
+    // the same pixels — the two paths share hashLuma by construction
+    val gif1 = Multimodal.gifFixtureBytes(5, 4, 1, 17L)
+    val frames = PerceptualHash.hashFrames(
+      Seq((1L, gif1)).toDF("asset_id", "payload"))
+      .select("frame_idx", "fhash").collect()
+    assert(frames.length === 1 && frames(0).getLong(0) === 0L)
+    assert(frames(0).getLong(1) === PerceptualHash.aHash(gif1).get)
+    // multi-frame: one row per frame, frame f of seed s ≡ frame 0 of
+    // seed s+7f (the fixture's pixel rule)
+    val gif = Multimodal.gifFixtureBytes(5, 4, 4, 100L)
+    val multi = PerceptualHash.hashFrames(
+      Seq((2L, gif)).toDF("asset_id", "payload"))
+      .orderBy("frame_idx").select("fhash").collect().map(_.getLong(0))
+    assert(multi.length === 4)
+    multi.zipWithIndex.foreach { case (hf, f) =>
+      val still = Multimodal.gifFixtureBytes(5, 4, 1, 100L + 7L * f)
+      assert(hf === PerceptualHash.aHash(still).get, s"frame $f")
+    }
+  }
+
+  test("videoNearDupPairs: shifted copies pair up, distinct footage does not") {
+    // three "videos": A and B share 3 of 4 frames (one-frame trim);
+    // C is unrelated footage. Seeds straddle the fixture's mod-256
+    // wrap so each frame's ramp breaks at a different pixel and the
+    // four frames hash DISTINCTLY (an unwrapped ramp hashes the same
+    // for every s — a degenerate all-frames-equal signature)
+    def vid(seed: Long) = Multimodal.gifFixtureBytes(7, 5, 4, seed)
+    val assets = Seq((1L, vid(230L)), (2L, vid(237L)), (3L, vid(100L)))
+      .toDF("asset_id", "payload")
+    val pairs = PerceptualHash.videoNearDupPairs(
+        PerceptualHash.hashFrames(assets), "asset_id", minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(pairs.contains((1L, 2L)), s"trimmed copy not detected: $pairs")
+    val (shared, jac) = pairs((1L, 2L))
+    assert(shared === 3L && jac === 0.6) // 3 shared / (4+4-3)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated footage paired")
+  }
+
+  test("videoNearDupPairs: the stopword cap drops corpus-wide frames") {
+    // a black frame shared by EVERY video must not create pairs by
+    // itself once its frequency exceeds the cap
+    def blackFirst(seed: Long) = {
+      // frame 0 constant (seed multiple of 256 keeps v flat? no —
+      // build a 1-frame flat GIF by w*h=1: a single pixel is constant)
+      Multimodal.gifFixtureBytes(1, 1, 1, seed)
+    }
+    // 1-pixel frames all hash to 0 (single cell never beats the mean)
+    val assets = (1L to 5L).map(i => (i, blackFirst(0L)))
+      .toDF("asset_id", "payload")
+    val capped = PerceptualHash.videoNearDupPairs(
+      PerceptualHash.hashFrames(assets), "asset_id",
+      minJaccard = 0.4, maxHashFreq = 3)
+    assert(capped.count() === 0)
+    // without the cap the universal frame pairs everything
+    val uncapped = PerceptualHash.videoNearDupPairs(
+      PerceptualHash.hashFrames(assets), "asset_id",
+      minJaccard = 0.4, maxHashFreq = 1000)
+    assert(uncapped.count() === 10) // C(5,2)
+  }
 }

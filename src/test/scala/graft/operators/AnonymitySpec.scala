@@ -64,6 +64,40 @@ class AnonymitySpec extends SparkSpec {
     }
   }
 
+  test("multi-column groups: the \\u0001 separator keeps tuples distinct") {
+    // concat_ws("") would conflate ("ab","c") with ("a","bc") — the two
+    // cells would then draw IDENTICAL, correlated noise. The 
+    // separator (matching the SQL twin's chr(1)) must keep them apart.
+    val t = Seq(("ab", "c"), ("a", "bc"), ("ab", "c"))
+      .toDF("x", "y")
+    val out = Anonymity.noisedCounts(t, Seq("x", "y"), epsilon = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.size === 2)
+    val nAb = out(("ab", "c")) - 2.0  // noise drawn by each tuple
+    val nA = out(("a", "bc")) - 1.0
+    assert(nAb !== nA, "conflated tuples drew identical noise")
+    // and the draw is deterministic under relayout
+    val again = Anonymity.noisedCounts(t.repartition(3), Seq("x", "y"),
+        epsilon = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(again === out)
+  }
+
+  test("Laplace draw is clamped: no group can release ±Infinity") {
+    // sweep many salts over many groups — with the [1e-12, 1−1e-12]
+    // clamp the inverse CDF is finite for EVERY u the hash can emit
+    val ev = graft.Tables.events(spark, sf0001)
+    (1 to 20).foreach { salt =>
+      val vals = Anonymity.noisedCounts(ev, Seq("event_type"),
+          epsilon = 0.5, salt = salt)
+        .collect().map(_.getDouble(1))
+      assert(vals.forall(v => !v.isNaN && !v.isInfinite),
+        s"salt $salt produced a non-finite release")
+    }
+  }
+
   test("approx mode tracks exact diversity on real data") {
     val cust = spark.read.parquet(s"$sf001/customer.parquet")
     // single quasi column → (c_nationkey, class_size, l_diversity, at_risk)

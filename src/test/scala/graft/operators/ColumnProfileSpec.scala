@@ -57,6 +57,42 @@ class ColumnProfileSpec extends SparkSpec {
     assert(math.abs(est - 1000.0) / 1000.0 < 0.1)
   }
 
+  test("scale mode: non-distinct stats bit-identical, Expand dropped") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
+    val exact = ColumnProfile.profile(li, cols).drop("n_distinct")
+    val hll = ColumnProfile.profile(li, cols, exact = false).drop("n_distinct")
+    // every retained stat (rows/nulls/min/max/decimal mean) is exact
+    // arithmetic in both modes — bit-identical, which is what lets the
+    // d13 scale query sit under the exact oracle
+    assert(byCol(exact).map { case (k, r) => k -> r.toSeq } ===
+      byCol(hll).map { case (k, r) => k -> r.toSeq })
+    // the whole point of the switch: exact multi-column distinct plans
+    // via Expand (×streams the scan); HLL collapses to one stream
+    val exactPlan = ColumnProfile.profile(li, cols)
+      .queryExecution.executedPlan.toString
+    val hllPlan = ColumnProfile.profile(li, cols, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"))
+    assert(!hllPlan.contains("Expand"))
+  }
+
+  test("adaptive gate: small stays exact, above-threshold flips to HLL") {
+    val df = (1L to 1000L).map(i => (i, s"s$i")).toDF("a", "s")
+    // under the threshold: bit-identical to the exact profile
+    val small = ColumnProfile.profileAdaptive(df, Seq("a", "s"),
+      exactMaxRows = 5000)
+    assert(byCol(small).map { case (k, r) => k -> r.toSeq } ===
+      byCol(ColumnProfile.profile(df, Seq("a", "s")))
+        .map { case (k, r) => k -> r.toSeq })
+    // over the threshold: the profile switched itself to the HLL plan
+    val big = ColumnProfile.profileAdaptive(df, Seq("a", "s"),
+      exactMaxRows = 100)
+    assert(!big.queryExecution.executedPlan.toString.contains("Expand"))
+    val est = byCol(big)("a").getLong(3).toDouble
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.1)
+  }
+
   test("profile agrees with lineitem ground truth at sf0.001") {
     val li = graft.Tables.lineitem(spark, sf0001)
     val p = byCol(ColumnProfile.profile(li, Seq("l_orderkey", "l_quantity")))

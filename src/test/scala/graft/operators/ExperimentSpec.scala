@@ -39,4 +39,44 @@ class ExperimentSpec extends SparkSpec {
     assert(v.keySet === Set("control", "treatment"))
     assert(v.values.forall(n => n > 4500 && n < 5500), v.toString)
   }
+
+  test("SRM: a broken split is flagged, a designed split is not") {
+    import spark.implicits._
+    // designed 50/50, observed 5000/5000 → χ² = 0
+    val even = (Seq.fill(5000)("control") ++ Seq.fill(5000)("treatment"))
+      .toDF("variant")
+    val ok = Experiment.srmCheck(even, "variant",
+        Map("control" -> 0.5, "treatment" -> 0.5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ok("control").getDouble(ok("control").fieldIndex("chi2")) === 0.0)
+    assert(ok("control").getDouble(ok("control").fieldIndex("n_expected"))
+      === 5000.0)
+    // logging bug drops 4% of treatment: 5000/4800 → χ² ≈ 4.08 > 3.84
+    val broken = (Seq.fill(5000)("control") ++ Seq.fill(4800)("treatment"))
+      .toDF("variant")
+    val bad = Experiment.srmCheck(broken, "variant",
+        Map("control" -> 0.5, "treatment" -> 0.5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val chi2 = bad("control").getDouble(bad("control").fieldIndex("chi2"))
+    assert(chi2 > 3.84, s"broken split not flagged: chi2=$chi2")
+    // hand check: e = 4900 each; (100² + 100²)/4900 = 4.081633
+    assert(chi2 === 4.081633)
+    // contributions and totals agree across rows
+    assert(bad("treatment").getDouble(
+      bad("treatment").fieldIndex("chi2")) === chi2)
+    assert(bad("control").getLong(
+      bad("control").fieldIndex("n_total")) === 9800L)
+  }
+
+  test("SRM: uneven designed splits (90/10) evaluate against THEIR shares") {
+    import spark.implicits._
+    val canary = (Seq.fill(9000)("main") ++ Seq.fill(1000)("canary"))
+      .toDF("variant")
+    val r = Experiment.srmCheck(canary, "variant",
+        Map("main" -> 0.9, "canary" -> 0.1))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("main").getDouble(r("main").fieldIndex("chi2")) === 0.0)
+    assert(r("canary").getDouble(r("canary").fieldIndex("n_expected"))
+      === 1000.0)
+  }
 }

@@ -27,6 +27,95 @@ class SurvivalSpec extends SparkSpec {
     assert(out(1L) === 0.5 && out(2L) === 0.0)
   }
 
+  test("cohort curves equal the single-cohort estimator run per cohort") {
+    val a = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (5L, 0))
+    val b = Seq((1L, 1), (2L, 1), (4L, 0))
+    val ps = (a.map { case (d, e) => ("A", d, e) } ++
+      b.map { case (d, e) => ("B", d, e) }).toDF("cohort", "duration", "event")
+    val out = Survival.kaplanMeierCohorts(ps, "duration", "event", "cohort",
+        bucketUs = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    def single(rows: Seq[(Long, Int)]) =
+      Survival.kaplanMeier(rows.toDF("duration", "event"), "duration",
+          "event", bucketUs = 1L)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(3), r.getDouble(4))).toMap
+    val sa = single(a); val sb = single(b)
+    assert(out.keys.count(_._1 == "A") === sa.size)
+    sa.foreach { case (t, v) => assert(out(("A", t)) === v) }
+    sb.foreach { case (t, v) => assert(out(("B", t)) === v) }
+  }
+
+  test("log-rank: hand-computed two-cohort fixture") {
+    // A: E@1, E@2; B: E@1, C@2.
+    // t=1: n1=2, n=4, d=2, d1=1 → u=0,   E1=1,   V=2·¼·½·⅔... =1/3
+    //      V = d·(n1/n)·(n2/n)·(n−d)/(n−1) = 2·0.5·0.5·(2/3) = 1/3
+    // t=2: n1=1, n=2, d=1, d1=1 → u=0.5, E1=0.5, V=1·0.5·0.5·1 = 0.25
+    // χ² = 0.5² / (1/3 + 1/4) = 0.25/0.583̄ = 0.428571
+    val ps = Seq(("A", 1L, 1), ("A", 2L, 1), ("B", 1L, 1), ("B", 2L, 0))
+      .toDF("cohort", "duration", "event")
+    val r = Survival.logRank(ps, "duration", "event", "cohort", bucketUs = 1L)
+      .head()
+    assert(r.getString(0) === "A")
+    assert(r.getLong(1) === 2L)          // observed events in A
+    assert(r.getDouble(2) === 1.5)       // expected events in A
+    assert(r.getDouble(3) === 0.428571)  // χ², 6-dp
+  }
+
+  test("log-rank: identical cohorts give χ² exactly 0") {
+    val one = Seq((1L, 1), (2L, 1), (3L, 0))
+    val ps = (one.map { case (d, e) => ("A", d, e) } ++
+      one.map { case (d, e) => ("B", d, e) }).toDF("cohort", "duration", "event")
+    val r = Survival.logRank(ps, "duration", "event", "cohort", bucketUs = 1L)
+      .head()
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getLong(1) === 2L && r.getDouble(2) === 2.0)
+  }
+
+  test("log-rank: single-subject terminal bucket (n=1) contributes V=0") {
+    // B's last subject alone at t=3: n=1, d=1 — the (n−1) guard must
+    // yield V=0 there, not a division by zero
+    val ps = Seq(("A", 1L, 1), ("B", 3L, 1)).toDF("cohort", "duration", "event")
+    val r = Survival.logRank(ps, "duration", "event", "cohort", bucketUs = 1L)
+      .head()
+    assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+  }
+
+  test("Nelson–Aalen: hand-computed hazard, non-decreasing") {
+    // E@1 (n=5), C@2, 2×E@3 (n=3), C@5 → H(1)=1/5, H(3)=1/5+2/3
+    val ps = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (5L, 0))
+      .toDF("duration", "event")
+    val out = Survival.nelsonAalen(ps, "duration", "event", bucketUs = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L) === ((1L, 5L, 0.2)))
+    assert(out(3L)._1 === 2L && out(3L)._2 === 3L)
+    assert(math.abs(out(3L)._3 - (0.2 + 2.0 / 3)) < 1e-6)
+  }
+
+  test("RMST: step-function integral by hand; event-free = horizon") {
+    // E@2 (n=2, S=0.5), E@5 (S=0), τ=8:
+    // rmst = 2·1 + (5−2)·0.5 + (8−5)·0 = 3.5
+    val ps = Seq((2L, 1), (5L, 1)).toDF("duration", "event")
+    val r = Survival.rmst(ps, "duration", "event", bucketUs = 1L,
+      horizonBuckets = 8L).head()
+    assert(r.getLong(0) === 8L && r.getDouble(1) === 3.5)
+    // censoring-only corpus: S = 1 everywhere → rmst = τ
+    val cens = Seq((3L, 0), (9L, 0)).toDF("duration", "event")
+    val c = Survival.rmst(cens, "duration", "event", bucketUs = 1L,
+      horizonBuckets = 8L).head()
+    assert(c.getDouble(1) === 8.0)
+    // horizon caps: events beyond τ don't count
+    val late = Seq((2L, 1), (50L, 1)).toDF("duration", "event")
+    val l = Survival.rmst(late, "duration", "event", bucketUs = 1L,
+      horizonBuckets = 8L).head()
+    // S=0.5 after t=2 through τ: rmst = 2 + 6·0.5 = 5
+    assert(l.getDouble(1) === 5.0)
+  }
+
   test("survival is monotone non-increasing on real conversions") {
     val perUser = graft.Tables.events(spark, sf0001)
       .groupBy("user_id").agg(
