@@ -129,10 +129,11 @@ object KnnImpute {
     def scaledVec: Column = array(featureCols.map(c =>
       Scaling.scale(col(c).cast("double"),
         col(s"__mn_$c"), col(s"__mx_$c"))): _*)
-    // cells ≈ √|donors| (the IVF heuristic), capped so the per-row
-    // probe projection stays a bounded plan literal (the Cosine
-    // maxPlanCentroidDoubles concern; the broadcast-matrix path is the
-    // escalation if a caller needs more cells)
+    // cells ≈ √|donors| (the IVF heuristic). The cap is generous —
+    // the native CentroidTopK expression carries its centroid matrix
+    // INSIDE one expression object (k·dim doubles, not k plan
+    // subtrees), so neither planning nor per-row cost explodes with
+    // k; 4096 matches Cosine's quantizer ceiling.
     val donorSide = donors
       .select(Seq(col(idCol).as("__did"),
         col(targetCol).cast("decimal(18,2)").as("__dv")) ++
@@ -142,7 +143,7 @@ object KnnImpute {
       .select("__did", "__dv", "__vec")
     val cells =
       if (numCells > 0) numCells
-      else math.max(2, math.min(256,
+      else math.max(2, math.min(4096,
         math.ceil(math.sqrt(donorSide.count().toDouble)).toInt))
     val model = graft.ml.KMeansLloyd.fit(donorSide, "__did", "__vec",
       cells, fitIters)

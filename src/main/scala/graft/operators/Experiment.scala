@@ -355,4 +355,137 @@ object Experiment {
       n_total
     FROM f CROSS JOIN tot2"""
   }
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample
+    * test: does variant b's metric distribution stochastically dominate
+    * a's? Where Welch assumes roughly-normal means, U ranks every
+    * observation and survives the heavy-tailed, zero-inflated metrics
+    * (revenue!) that break t-tests. Normal approximation with the
+    * standard tie correction:
+    *
+    *   U_a = Σ_v n_a(v)·(cumB_below(v) + n_b(v)/2)
+    *   z = (U_a − n_a·n_b/2) / √(n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+    *
+    * Determinism & scale, one move (the KM/histogram recipe): the
+    * metric lives on a DECIMAL grid, so ranking collapses to a groupBy
+    * on the VALUE AXIS (bounded by the grid's value range, not by unit
+    * count) + running sums over that axis via ordered windows. No
+    * corpus-sized window, no per-unit rank materialized; every count
+    * is exact BIGINT and the z is one fixed double sequence. Output
+    * one row: `n_a, n_b, u_a (exact ties-as-halves), z (6dp)`. */
+  def mannWhitney(perUnit: DataFrame, variantCol: String, metricCol: String,
+                  a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byValue = perUnit
+      .filter(col(variantCol).isin(a, b))
+      .groupBy(col(metricCol).as("__v"))
+      .agg(count(when(col(variantCol) === a, lit(1))).as("__na"),
+        count(when(col(variantCol) === b, lit(1))).as("__nb"))
+    val wPrev = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = byValue
+      .withColumn("__cumB", coalesce(sum(col("__nb")).over(wPrev), lit(0L)))
+      // 2·U keeps tie-halves integral: 2·na·cumB + na·nb
+      .withColumn("__u2",
+        lit(2L) * col("__na") * col("__cumB") + col("__na") * col("__nb"))
+      .withColumn("__t", col("__na") + col("__nb"))
+      .withColumn("__tc", col("__t") * col("__t") * col("__t") - col("__t"))
+    val sums = terms.agg(
+      sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"),
+      sum(col("__u2")).as("__u2s"), sum(col("__tc")).as("__tcs"))
+    def d(c: String) = col(c).cast("double")
+    val na = d("n_a"); val nb = d("n_b"); val n = na + nb
+    val ua = d("__u2s") / lit(2.0)
+    val varU = na * nb / lit(12.0) *
+      ((n + lit(1.0)) - d("__tcs") / (n * (n - lit(1.0))))
+    sums.select(col("n_a"), col("n_b"), ua.as("u_a"),
+      when(varU > 0,
+        round((ua - na * nb / lit(2.0)) / sqrt(varU), 6))
+        .otherwise(lit(0.0)).as("z"))
+  }
+
+  /** DuckDB twin of [[mannWhitney]] — identical axis aggregation,
+    * running-sum fold and double sequence. `perUnitSql` must select
+    * `(variant, m)` with `m` DECIMAL. */
+  def sqlMannWhitney(perUnitSql: String, a: String, b: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val n = s"(${d("n_a")} + ${d("n_b")})"
+    val ua = s"(${d("u2s")} / 2.0e0)"
+    val varU = s"""(${d("n_a")} * ${d("n_b")} / 12.0e0 *
+      (($n + 1.0e0) - ${d("tcs")} / ($n * ($n - 1.0e0))))"""
+    s"""
+    WITH pu AS ($perUnitSql), byv AS (
+      SELECT m AS v,
+        CAST(count(CASE WHEN variant = '$a' THEN 1 END) AS BIGINT) AS na,
+        CAST(count(CASE WHEN variant = '$b' THEN 1 END) AS BIGINT) AS nb
+      FROM pu WHERE variant IN ('$a', '$b') GROUP BY 1
+    ), terms AS (
+      SELECT na, nb,
+        coalesce(sum(nb) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumB,
+        na + nb AS t
+      FROM byv
+    ), sums AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+        CAST(sum(2 * na * cumB + na * nb) AS BIGINT) AS u2s,
+        CAST(sum(t * t * t - t) AS BIGINT) AS tcs
+      FROM terms)
+    SELECT n_a, n_b, $ua AS u_a,
+      CASE WHEN $varU > 0
+        THEN round(($ua - ${d("n_a")} * ${d("n_b")} / 2.0e0) / sqrt($varU), 6)
+        ELSE 0.0e0 END AS z
+    FROM sums"""
+  }
+
+  /** 2×2 χ² TEST OF INDEPENDENCE — conversion-rate A/B in its exact
+    * closed form: χ² = n(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) over the
+    * (variant × converted) contingency table. One conditional
+    * aggregate (four exact BIGINT cells) + one projection; χ²(1) >
+    * 3.84 flags at 5%. Output one row: the four cells, both rates
+    * (6dp), chi2 (6dp). Degenerate margins (a row or column of zeros)
+    * yield chi2 = 0 rather than NaN. */
+  def chiSquareConversion(perUnit: DataFrame, variantCol: String,
+                          successCol: String, a: String, b: String): DataFrame = {
+    val s = col(successCol).cast("int")
+    val cells = perUnit.filter(col(variantCol).isin(a, b)).agg(
+      count(when(col(variantCol) === a && s === 1, lit(1))).as("a_conv"),
+      count(when(col(variantCol) === a && s === 0, lit(1))).as("a_no"),
+      count(when(col(variantCol) === b && s === 1, lit(1))).as("b_conv"),
+      count(when(col(variantCol) === b && s === 0, lit(1))).as("b_no"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("a_conv") + d("a_no") + d("b_conv") + d("b_no")
+    val det = d("a_conv") * d("b_no") - d("a_no") * d("b_conv")
+    val denom = (d("a_conv") + d("a_no")) * (d("b_conv") + d("b_no")) *
+      (d("a_conv") + d("b_conv")) * (d("a_no") + d("b_no"))
+    cells.select(col("a_conv"), col("a_no"), col("b_conv"), col("b_no"),
+      round(d("a_conv") / (d("a_conv") + d("a_no")), 6).as("rate_a"),
+      round(d("b_conv") / (d("b_conv") + d("b_no")), 6).as("rate_b"),
+      when(denom > 0, round(n * det * det / denom, 6))
+        .otherwise(lit(0.0)).as("chi2"))
+  }
+
+  /** DuckDB twin of [[chiSquareConversion]]: `perUnitSql` must select
+    * `(variant, success)` with success 0/1. */
+  def sqlChiSquareConversion(perUnitSql: String, a: String,
+                             b: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val n = s"(${d("a_conv")} + ${d("a_no")} + ${d("b_conv")} + ${d("b_no")})"
+    val det = s"(${d("a_conv")} * ${d("b_no")} - ${d("a_no")} * ${d("b_conv")})"
+    val denom = s"""((${d("a_conv")} + ${d("a_no")}) * (${d("b_conv")} + ${d("b_no")})
+      * (${d("a_conv")} + ${d("b_conv")}) * (${d("a_no")} + ${d("b_no")}))"""
+    s"""
+    WITH pu AS ($perUnitSql), cells AS (
+      SELECT
+        CAST(count(CASE WHEN variant = '$a' AND success = 1 THEN 1 END) AS BIGINT) AS a_conv,
+        CAST(count(CASE WHEN variant = '$a' AND success = 0 THEN 1 END) AS BIGINT) AS a_no,
+        CAST(count(CASE WHEN variant = '$b' AND success = 1 THEN 1 END) AS BIGINT) AS b_conv,
+        CAST(count(CASE WHEN variant = '$b' AND success = 0 THEN 1 END) AS BIGINT) AS b_no
+      FROM pu WHERE variant IN ('$a', '$b'))
+    SELECT a_conv, a_no, b_conv, b_no,
+      round(${d("a_conv")} / (${d("a_conv")} + ${d("a_no")}), 6) AS rate_a,
+      round(${d("b_conv")} / (${d("b_conv")} + ${d("b_no")}), 6) AS rate_b,
+      CASE WHEN $denom > 0 THEN round($n * $det * $det / $denom, 6)
+        ELSE 0.0e0 END AS chi2
+    FROM cells"""
+  }
 }

@@ -35,6 +35,29 @@ object RelationalQueries extends Registry {
           .otherwise(col("tl") - col("t0")).as("duration"),
         when(col("tp").isNotNull, lit(1)).otherwise(lit(0)).as("event"))
 
+  /** Shared per-user A/B frame (d32/d52/d53): per-user purchase-value
+    * sum on the exact decimal grid + the deterministic arm. */
+  private def abPerUser(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(12,2)"))
+        .otherwise(lit(0).cast("decimal(12,2)")))
+        .cast("decimal(18,2)").as("m"))
+      .withColumn("variant", graft.operators.Experiment.variantOf(
+        col("user_id"), Seq("control", "treatment"), salt = 17))
+
+  /** DuckDB twin of [[abPerUser]]. */
+  private val abPerUserSql: String =
+    s"""SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(value AS DECIMAL(12,2))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m,
+         ${graft.operators.Experiment.sqlVariantOf("user_id",
+           Seq("control", "treatment"), salt = 17)} AS variant
+       FROM events GROUP BY user_id"""
+
   /** DuckDB twin of [[survivalPerUser]]. */
   private val survivalPerUserSql: String =
     """SELECT
@@ -1121,6 +1144,22 @@ object RelationalQueries extends Registry {
       graft.operators.Survival.rmst(
         survivalPerUser(s, d), "duration", "event",
         bucketUs = 3600000000L, horizonBuckets = 168L)),
+    // D103: MANN–WHITNEY U — the nonparametric A/B readout for the
+    // heavy-tailed, zero-inflated revenue metric Welch's t mishandles.
+    // Ranking collapses to the bounded DECIMAL value axis (the
+    // KM/histogram recipe): groupBy value + ordered running sums —
+    // no corpus-sized window, no per-unit rank.
+    "d52_mann_whitney" -> ((s, d) => {
+      graft.operators.Experiment.mannWhitney(
+        abPerUser(s, d), "variant", "m", "control", "treatment")
+    }),
+    // D104: 2×2 χ² of independence — conversion-rate A/B in closed
+    // form from four exact cells.
+    "d53_chi2_conversion" -> ((s, d) => {
+      graft.operators.Experiment.chiSquareConversion(
+        abPerUser(s, d).withColumn("success", (col("m") > 0).cast("int")),
+        "variant", "success", "control", "treatment")
+    }),
     "d32_ab_test" -> ((s, d) => {
       val perUser = Tables.events(s, d)
         .groupBy(col("user_id"))
@@ -1790,6 +1829,11 @@ object RelationalQueries extends Registry {
            "user_id", Seq("control", "treatment"), salt = 17)} AS variant
           FROM (SELECT DISTINCT user_id FROM events)""",
       Map("control" -> 0.5, "treatment" -> 0.5)),
+    "d52_mann_whitney" -> graft.operators.Experiment.sqlMannWhitney(
+      abPerUserSql, "control", "treatment"),
+    "d53_chi2_conversion" -> graft.operators.Experiment.sqlChiSquareConversion(
+      s"""SELECT variant, CASE WHEN m > 0 THEN 1 ELSE 0 END AS success
+          FROM ($abPerUserSql)""", "control", "treatment"),
     "d50_nelson_aalen" -> graft.operators.Survival.sqlNelsonAalen(
       survivalPerUserSql, bucketUs = 3600000000L),
     "d51_rmst" -> graft.operators.Survival.sqlRmst(

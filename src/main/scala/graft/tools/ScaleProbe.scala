@@ -165,7 +165,10 @@ object ScaleProbe {
       // shuffle is groups×B; expect ~linear wall from the B× CPU),
       // SRM / κ / calibration (scan-bound aggs + bounded-axis windows)
       "d46_bootstrap_ci", "d47_srm", "c5_langid_kappa",
-      "c7_quality_calibration", "d50_nelson_aalen", "d51_rmst")
+      "c7_quality_calibration", "d50_nelson_aalen", "d51_rmst",
+      // rank test runs on the bounded money-grid value axis; χ² is a
+      // four-cell conditional agg — both scan-bound
+      "d52_mann_whitney", "d53_chi2_conversion")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops

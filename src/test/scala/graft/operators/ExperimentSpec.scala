@@ -79,4 +79,41 @@ class ExperimentSpec extends SparkSpec {
     assert(r("canary").getDouble(r("canary").fieldIndex("n_expected"))
       === 1000.0)
   }
+
+  test("Mann-Whitney U: hand fixture with ties; symmetric null") {
+    import spark.implicits._
+    // A={1,3,5}, B={2,3,6}: U_A = 0 + (1+0.5) + 2 = 3.5; tie group
+    // t=2 at value 3 -> var = 9/12*((7) - 6/30) = 5.1;
+    // z = (3.5-4.5)/sqrt(5.1) = -0.442807
+    val pu = Seq(("a", 1), ("a", 3), ("a", 5), ("b", 2), ("b", 3), ("b", 6))
+      .toDF("variant", "v")
+      .select(col("variant"), col("v").cast("decimal(18,2)").as("m"))
+    val r = Experiment.mannWhitney(pu, "variant", "m", "a", "b").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 3.5)
+    assert(r.getDouble(3) === -0.442807)
+    // identical distributions -> U = n_a*n_b/2, z = 0
+    val same = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("variant", "v")
+      .select(col("variant"), col("v").cast("decimal(18,2)").as("m"))
+    val rs = Experiment.mannWhitney(same, "variant", "m", "a", "b").head()
+    assert(rs.getDouble(2) === 2.0 && rs.getDouble(3) === 0.0)
+  }
+
+  test("chi-square conversion: hand 2x2; degenerate margins guard to 0") {
+    import spark.implicits._
+    // 30/100 vs 45/100 converted: chi2 = 200*(30*55-70*45)^2/denoms = 4.8
+    val rows = (Seq.fill(30)(("a", 1)) ++ Seq.fill(70)(("a", 0)) ++
+      Seq.fill(45)(("b", 1)) ++ Seq.fill(55)(("b", 0)))
+      .toDF("variant", "success")
+    val r = Experiment.chiSquareConversion(rows, "variant", "success",
+      "a", "b").head()
+    assert(r.getLong(0) === 30L && r.getLong(1) === 70L)
+    assert(r.getDouble(4) === 0.3 && r.getDouble(5) === 0.45)
+    assert(r.getDouble(6) === 4.8) // > 3.84: flags at 5%
+    // everyone converts -> a zero column; guard yields 0, not NaN
+    val allConv = Seq(("a", 1), ("b", 1)).toDF("variant", "success")
+    val g = Experiment.chiSquareConversion(allConv, "variant", "success",
+      "a", "b").head()
+    assert(g.getDouble(6) === 0.0)
+  }
 }
