@@ -180,4 +180,109 @@ object KnnImpute {
           .otherwise(col(targetCol)))
       .drop("__rid", "__imputed")
   }
+
+  // ---- persisted donor index (the SERVING shape) -------------------
+  // imputeAnn re-fits the quantizer and re-assigns donors on every
+  // call — right for a one-shot audit, wrong for the production shape
+  // where a reference donor corpus is built once and every incoming
+  // batch is imputed against it (the IvfIndex split, applied to
+  // imputation). write() persists the scaling stats (1 row), the
+  // k-means centroids (cells × dim — kilobytes), and a BUCKETED donor
+  // table on __cell; imputeServe() probes the persisted model for the
+  // batch's recipients and joins the bucketed table IN PLACE — zero
+  // Exchange on the donor side (KnnImputeSpec plan-asserts), only the
+  // batch shuffles to meet it. Served cells are IDENTICAL to a fresh
+  // imputeAnn with the same parameters (same stats → same scaling,
+  // same deterministic fit → same cells → same candidates → same
+  // tail; spec-pinned row equality).
+
+  /** Build + persist the donor index: `path/stats`, `path/centroids`,
+    * and the bucketed donor table (catalog name `table`). */
+  def writeDonorIndex(df: DataFrame, idCol: String, targetCol: String,
+                      featureCols: Seq[String], table: String, path: String,
+                      numCells: Int = 0, fitIters: Int = 3,
+                      numBuckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val featOk = featureCols.map(col(_).isNotNull).reduce(_ && _)
+    val donors = df.filter(col(targetCol).isNotNull && featOk)
+    val stats = donors.agg(
+      featureCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).head,
+      featureCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*)
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    def scaledVec: Column = array(featureCols.map(c =>
+      Scaling.scale(col(c).cast("double"),
+        col(s"__mn_$c"), col(s"__mx_$c"))): _*)
+    val donorSide = donors
+      .select(Seq(col(idCol).as("__did"),
+        col(targetCol).cast("decimal(18,2)").as("__dv")) ++
+        featureCols.map(c => col(c)): _*)
+      .crossJoin(broadcast(stats))
+      .withColumn("__vec", scaledVec)
+      .select("__did", "__dv", "__vec")
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(2, math.min(4096,
+        math.ceil(math.sqrt(donorSide.count().toDouble)).toInt))
+    val model = graft.ml.KMeansLloyd.fit(donorSide, "__did", "__vec",
+      cells, fitIters)
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    graft.sources.TableSink.writeBucketed(
+      donorSide.withColumn("__cell",
+        graft.ml.KMeansLloyd.nearestCell(col("__vec"), model)),
+      table, s"$path/donors", Seq("__cell"), numBuckets)
+  }
+
+  /** Impute a batch against the PERSISTED donor index — no fit, no
+    * donor re-assignment, zero Exchange on the donor side. */
+  def imputeServe(spark: org.apache.spark.sql.SparkSession, table: String,
+                  path: String, df: DataFrame, idCol: String,
+                  targetCol: String, featureCols: Seq[String],
+                  k: Int = 5, nProbe: Int = 3): DataFrame = {
+    require(featureCols.nonEmpty && k >= 1 && nProbe >= 1)
+    val model = graft.ml.KMeansLloyd.Model(
+      spark.read.parquet(s"$path/centroids").orderBy("i").collect()
+        .map(_.getSeq[Double](1).toArray), Seq.empty)
+    val stats = spark.read.parquet(s"$path/stats")
+    def scaledVec: Column = array(featureCols.map(c =>
+      Scaling.scale(col(c).cast("double"),
+        col(s"__mn_$c"), col(s"__mx_$c"))): _*)
+    val featOk = featureCols.map(col(_).isNotNull).reduce(_ && _)
+    // probe column named __qcell (not __cell) so plan asserts can tell
+    // the batch-side exchange from an index-side one (IvfIndex naming)
+    val recipients = df.filter(col(targetCol).isNull && featOk)
+      .select(col(idCol).as("__rid") +: featureCols.map(c => col(c)): _*)
+      .crossJoin(broadcast(stats))
+      .withColumn("__rvec", scaledVec)
+      .select(col("__rid"), col("__rvec"),
+        explode(graft.ml.KMeansLloyd.probeCells(col("__rvec"), model,
+          nProbe)).as("__qcell"))
+    val indexed = spark.table(table)
+    val d2 = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SqDist(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__rvec")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__vec"))))
+    val w = Window.partitionBy(col("__rid"))
+      .orderBy(col("__d2").asc, col("__did").asc)
+    val imputed = recipients
+      .join(indexed, col("__qcell") === col("__cell"))
+      .withColumn("__d2", d2)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .groupBy(col("__rid"))
+      .agg((sum(col("__dv")).cast("double") /
+        count(lit(1)).cast("double")).as("__imputed"))
+    val targetType = df.schema(targetCol).dataType
+    df.join(imputed, col(idCol) === col("__rid"), "left_outer")
+      .withColumn(targetCol,
+        when(col(targetCol).isNull, col("__imputed").cast(targetType))
+          .otherwise(col(targetCol)))
+      .drop("__rid", "__imputed")
+  }
 }

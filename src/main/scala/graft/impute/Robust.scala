@@ -78,6 +78,62 @@ object Robust {
       .drop("__med", "__iqr")
   }
 
+  /** ECDF RANK TRANSFORM — map each value to its empirical CDF within
+    * its group: F(x) = #{v ≤ x}/n ∈ (0, 1]. The fully nonparametric
+    * normalization (quantile-uniformization): heavy tails, outliers
+    * and arbitrary monotone distortions all flatten to uniform, which
+    * is what rank-based models and copula-style preprocessing want.
+    *
+    * Determinism & scale (the Mann–Whitney/KM recipe): values live on
+    * a DECIMAL-like grid, so the CDF collapses to a groupBy on the
+    * (group, value) axis + one running sum over the bounded VALUE
+    * axis per group — never a corpus-sized rank window — and attaches
+    * back via a hash equi-join on (group, value). Exact integer
+    * counts, one double division, 6-dp grid → bit-exact oracle.
+    * Output: input columns + `<valueCol>_ecdf`. */
+  def ecdf(df: DataFrame, valueCol: String,
+           groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val axis = df.groupBy(groupCols.map(col) :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("__k"))
+    val wCum = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = axis.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__k")).as("__n"))
+    val cdf = axis
+      .withColumn("__cum", sum(col("__k")).over(wCum))
+      .join(broadcast(totals), groupCols)
+      .withColumn(s"${valueCol}_ecdf",
+        round(col("__cum").cast("double") / col("__n").cast("double"), 6))
+      .select(groupCols.map(col) :+ col(valueCol) :+
+        col(s"${valueCol}_ecdf"): _*)
+    df.join(cdf, groupCols :+ valueCol)
+  }
+
+  /** DuckDB twin of [[ecdf]] — identical axis fold and join-back.
+    * Emits the full projection `SELECT <outCols>, <valueCol>_ecdf`. */
+  def sqlEcdf(table: String, valueCol: String, groupCols: Seq[String],
+              outCols: Seq[String]): String = {
+    val g = groupCols.mkString(", ")
+    s"""
+    WITH axis AS (
+      SELECT $g, $valueCol, CAST(count(*) AS BIGINT) AS k
+      FROM $table GROUP BY $g, $valueCol
+    ), tot AS (SELECT $g, CAST(sum(k) AS BIGINT) AS n FROM axis GROUP BY $g
+    ), cdf AS (
+      SELECT axis.$valueCol, ${groupCols.map(c => s"axis.$c").mkString(", ")},
+        round(CAST(sum(k) OVER (PARTITION BY ${groupCols.map(c => s"axis.$c").mkString(", ")}
+            ORDER BY axis.$valueCol
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / CAST(n AS DOUBLE), 6) AS ${valueCol}_ecdf
+      FROM axis JOIN tot USING ($g)
+    )
+    SELECT ${outCols.mkString(", ")}, ${valueCol}_ecdf
+    FROM $table JOIN cdf USING ($g, $valueCol)"""
+  }
+
   /** MAD OUTLIER FLAGS — the robust twin of the z-score anomaly gate
     * (d9): median/MAD stand in for mean/stddev, so one wild burst
     * cannot inflate the spread estimate and mask ITSELF (the classic

@@ -203,6 +203,48 @@ object Multimodal {
     finally if (iis != null) iis.close()
   }
 
+  /** Deterministic multi-page TIFF fixture — the second multi-frame
+    * container through the SAME pixel rule as [[gifFixtureBytes]]
+    * (pixel(f, p) = (seed + 7f + p) mod 256, explicit 256-gray
+    * IndexColorModel so the palette round-trips losslessly). TIFF is
+    * the JDK's other native "video stand-in" (multi-page documents,
+    * scanned sequences); decodeImageFrames/hashFrames walk it with the
+    * identical reader loop. */
+  def tiffFixtureBytes(w: Int, h: Int, nFrames: Int, seed: Long)
+      : Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val grays = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays,
+        grays)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var p = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((seed + 7L * f + p) % 256).toInt
+            img.getRaster.setSample(x, y, 0, v)
+            p += 1; x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+          null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
   /** Deterministic animated-GIF fixture: `nFrames` GRAYSCALE frames
     * with pixel(f, p) = (seed + 7f + p) mod 256 — at most 256 distinct
     * gray levels per frame, so the GIF palette encodes them

@@ -488,4 +488,64 @@ object Experiment {
         ELSE 0.0e0 END AS chi2
     FROM cells"""
   }
+
+  /** DELTA-METHOD RATIO-METRIC CI — the correct interval for the
+    * metrics that are RATIOS of per-unit sums (clicks/views,
+    * revenue/session, tokens/doc): the naive per-row mean of ratios is
+    * a different (wrong) estimand, and treating R = ΣX/ΣY as a mean
+    * ignores that numerator and denominator are correlated within a
+    * unit. The delta method (Deng et al., "Applying the Delta Method
+    * in Metric Analytics") gives
+    *
+    *   var(R) ≈ (var(X) − 2R·cov(X,Y) + R²·var(Y)) / (n·Ȳ²)
+    *
+    * from ONE pass of exact sums (n, ΣX, ΣY, ΣX², ΣY², ΣXY on the
+    * decimal grid). Output one row: `n, ratio, se, ci_lo, ci_hi`
+    * (6dp, normal interval at the literal z). Scale: a single
+    * partial-aggregated scan; nothing unit-count-sized moves. */
+  def ratioMetricCi(perUnit: DataFrame, xCol: String, yCol: String,
+                    zAlpha: Double = 1.959964): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    val sums = perUnit.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    val mx = d("sx") / n; val my = d("sy") / n
+    val varX = (d("sxx") - d("sx") * d("sx") / n) / (n - lit(1.0))
+    val varY = (d("syy") - d("sy") * d("sy") / n) / (n - lit(1.0))
+    val covXY = (d("sxy") - d("sx") * d("sy") / n) / (n - lit(1.0))
+    val r = mx / my
+    val se = sqrt((varX - lit(2.0) * r * covXY + r * r * varY)
+      / (n * my * my))
+    sums.select(col("n"), round(r, 6).as("ratio"), round(se, 6).as("se"),
+      round(r - lit(zAlpha) * se, 6).as("ci_lo"),
+      round(r + lit(zAlpha) * se, 6).as("ci_hi"))
+  }
+
+  /** DuckDB twin of [[ratioMetricCi]]: `perUnitSql` must select
+    * `(x, y)` on an exact grid (DECIMAL or integer). */
+  def sqlRatioMetricCi(perUnitSql: String,
+                       zAlpha: Double = 1.959964): String = {
+    import graft.functions.Noise.sqlDouble
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val n = d("n")
+    val mx = s"(${d("sx")} / $n)"; val my = s"(${d("sy")} / $n)"
+    val varX = s"((${d("sxx")} - ${d("sx")} * ${d("sx")} / $n) / ($n - 1.0e0))"
+    val varY = s"((${d("syy")} - ${d("sy")} * ${d("sy")} / $n) / ($n - 1.0e0))"
+    val covXY = s"((${d("sxy")} - ${d("sx")} * ${d("sy")} / $n) / ($n - 1.0e0))"
+    val r = s"($mx / $my)"
+    val se = s"""sqrt(($varX - 2.0e0 * $r * $covXY + $r * $r * $varY)
+      / ($n * $my * $my))"""
+    s"""
+    WITH pu AS ($perUnitSql), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pu)
+    SELECT n, round($r, 6) AS ratio, round($se, 6) AS se,
+      round($r - ${sqlDouble(zAlpha)} * $se, 6) AS ci_lo,
+      round($r + ${sqlDouble(zAlpha)} * $se, 6) AS ci_hi
+    FROM sums"""
+  }
 }

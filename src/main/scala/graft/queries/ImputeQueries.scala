@@ -112,6 +112,38 @@ object ImputeQueries extends Registry {
         .select(col("__key").as("row_key"), col("l_orderkey"),
           col("l_linenumber"), col("l_extendedprice").as("imputed_price"))
     }),
+    // the SERVING shape of ANN-KNN imputation: build the persisted
+    // donor index (stats + centroids + bucketed donor table), then
+    // impute the batch against it — no re-fit, zero Exchange on the
+    // donor side. Build cost deliberately inside the timed query
+    // (the c3_ivf_serve convention). Rows-only: served ≡ imputeAnn
+    // is KnnImputeSpec-pinned.
+    "impute_knn_serve" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(pmod(col("l_orderkey"), lit(10L)) === 0)
+        .withColumn("__mkey", expr(lineitemKey))
+        .withColumn("__key", expr(lineitemUniqueKey))
+      val withMissing = Noise.injectMissing(li, "l_extendedprice",
+        "__mkey", salt = 43, frac = 0.10)
+      val (tbl, tmp) = indexScratch(d, "graft_knn_donors")
+      graft.impute.KnnImpute.writeDonorIndex(withMissing, "__key",
+        "l_extendedprice", Seq("l_quantity", "l_discount", "l_tax"),
+        table = tbl, path = tmp)
+      graft.impute.KnnImpute.imputeServe(s, tbl, tmp, withMissing,
+          "__key", "l_extendedprice",
+          Seq("l_quantity", "l_discount", "l_tax"), k = 5)
+        .filter(col("l_extendedprice").isNotNull)
+        .select(col("__key").as("row_key"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice").as("imputed_price"))
+    }),
+    // C8: ECDF rank transform — nonparametric quantile-uniformization
+    // per group on the bounded value axis (the Mann–Whitney/KM
+    // recipe: never a corpus-sized rank window).
+    "c8_ecdf" -> ((s, d) =>
+      graft.impute.Robust.ecdf(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_extendedprice")),
+        "l_extendedprice", Seq("l_returnflag"))),
     // deterministic categorical fill: global mode with stable ties.
     "impute_orders_priority_mode" -> ((s, d) =>
       MeanImpute.imputeMode(Tables.orders(s, d), "o_orderpriority",
@@ -249,6 +281,9 @@ object ImputeQueries extends Registry {
       "customer", customerCols, "c_acctbal", "c_mktsegment", "c_custkey", salt = 31),
     // impute_customer_rbm / _tuned / _distributed / c8_segment_rbm /
     // clean_api: stochastic training — no SQL oracle by design
+    "c8_ecdf" -> graft.impute.Robust.sqlEcdf(
+      "lineitem", "l_extendedprice", Seq("l_returnflag"),
+      Seq("l_returnflag", "l_extendedprice")),
     "c8_winsorize" -> """
       WITH t AS (
         SELECT l_returnflag,

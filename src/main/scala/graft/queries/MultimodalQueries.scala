@@ -120,6 +120,23 @@ object MultimodalQueries extends Registry {
           col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
+    // C6: MULTI-PAGE TIFF through the same frame walk — the second
+    // multi-frame container (scanned sequences / multi-page docs),
+    // same pixel rule, so the identical closed-form oracle applies
+    // with format = 'tif'. TiffFramesSpec pins container-invariance
+    // of the frame hashes (GIF frames ≡ TIFF frames).
+    "c6_tiff_frames" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 30).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.tiffFixtureBytes(
+          (4 + id % 5).toInt, (3 + id % 4).toInt, (2 + id % 3).toInt, id)))
+        .toDF("asset_id", "payload")
+      Multimodal.decodeImageFrames(fixture)
+        .select(col("asset_id"), col("frame_idx"), col("format"),
+          col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
     // C6: VIDEO DEDUP under the exact oracle — the chained composition
     // decodeFrames → per-frame aHash → signature-overlap pairs, over a
     // planted-dup multi-frame fixture: asset (g, m) is member m of
@@ -278,6 +295,28 @@ object MultimodalQueries extends Registry {
         md5(frames[1]) AS first_md5,
         md5(frames[-1]) AS last_md5
       FROM f""",
+    "c6_tiff_frames" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+               CAST(4 + doc_id % 5 AS BIGINT) AS width,
+               CAST(3 + doc_id % 4 AS BIGINT) AS height,
+               CAST(2 + doc_id % 3 AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id < 30
+      ), fr AS (
+        SELECT asset_id, width, height, CAST(u.f AS BIGINT) AS frame_idx
+        FROM f, unnest(range(0, n_frames)) AS u(f)
+      )
+      SELECT asset_id, frame_idx, 'tif' AS format, width, height,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 7 * frame_idx + p) % 256)) AS DOUBLE)
+          / (width * height) AS mean_r,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 7 * frame_idx + p) % 256)) AS DOUBLE)
+          / (width * height) AS mean_g,
+        CAST(list_sum(list_transform(range(0, width * height),
+              p -> (asset_id + 7 * frame_idx + p) % 256)) AS DOUBLE)
+          / (width * height) AS mean_b
+      FROM fr""",
     "c6_gif_frames" -> """
       WITH f AS (
         SELECT doc_id AS asset_id,

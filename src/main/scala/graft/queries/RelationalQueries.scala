@@ -1160,6 +1160,17 @@ object RelationalQueries extends Registry {
         abPerUser(s, d).withColumn("success", (col("m") > 0).cast("int")),
         "variant", "success", "control", "treatment")
     }),
+    // D105: DELTA-METHOD RATIO CI — purchases-per-event with user-level
+    // clustering: the ratio-of-sums estimand whose numerator and
+    // denominator correlate within a user (naive mean-of-ratios and
+    // iid-mean treatments are both wrong). One exact-sum pass.
+    "d54_ratio_ci" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "purchase", lit(1))).as("x"),
+          count(lit(1)).as("y"))
+      graft.operators.Experiment.ratioMetricCi(perUser, "x", "y")
+    }),
     "d32_ab_test" -> ((s, d) => {
       val perUser = Tables.events(s, d)
         .groupBy(col("user_id"))
@@ -1831,6 +1842,12 @@ object RelationalQueries extends Registry {
       Map("control" -> 0.5, "treatment" -> 0.5)),
     "d52_mann_whitney" -> graft.operators.Experiment.sqlMannWhitney(
       abPerUserSql, "control", "treatment"),
+    "d54_ratio_ci" -> graft.operators.Experiment.sqlRatioMetricCi(
+      """SELECT
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+             AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+         FROM events GROUP BY user_id"""),
     "d53_chi2_conversion" -> graft.operators.Experiment.sqlChiSquareConversion(
       s"""SELECT variant, CASE WHEN m > 0 THEN 1 ELSE 0 END AS success
           FROM ($abPerUserSql)""", "control", "treatment"),

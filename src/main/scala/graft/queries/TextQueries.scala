@@ -182,6 +182,16 @@ object TextQueries extends Registry {
     // per-cell share of the labeled class. This is how a pipeline
     // decides whether the cheap n-gram/stopword ID is good enough to
     // gate a corpus, and the shape generalizes to any classifier eval.
+    // C7: CURATION FUNNEL — "where did my 40% go": per sequential gate
+    // (length floor → quality score → language allowlist), rows
+    // reaching it, dropped by it (first-fail attribution — exactly the
+    // composed .filter chain's behavior), surviving it. One scan, one
+    // bounded-gate-axis histogram.
+    "c7_curation_funnel" -> ((s, d) =>
+      graft.operators.CurationFunnel.report(Tables.documents(s, d), Seq(
+        "min_chars" -> (col("n_chars") >= 100),
+        "quality" -> (TextFunctions.qualityScore(col("text")) >= 0.5),
+        "lang" -> col("lang").isin("en", "fr", "es")))),
     // C5: COHEN'S κ — the confusion matrix's chance-corrected scalar
     // (raw agreement flatters itself on skewed label distributions):
     // labeled lang vs the heuristic prediction, the label-quality
@@ -781,6 +791,17 @@ object TextQueries extends Registry {
              ${langs.map(l => s"ratio_$l").mkString(", ")}
       FROM r"""
     },
+    "c7_curation_funnel" -> graft.operators.CurationFunnel.sqlReport(
+      s"""(WITH t AS (
+            SELECT doc_id, lang, n_chars, ${sqlToks("text")} AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id, lang, n_chars, $sqlQualityInputs FROM t)
+          SELECT doc_id, lang, n_chars, $sqlQualityExpr AS q FROM p)""",
+      Seq(
+        "min_chars" -> "n_chars >= 100",
+        "quality" -> "q >= 0.5e0",
+        "lang" -> "lang IN ('en', 'fr', 'es')")),
     "c5_langid_kappa" -> {
       val best = s"greatest(${langs.map(l => s"ratio_$l").mkString(", ")})"
       val pick = langs.map(l => s"WHEN ratio_$l = $best THEN '$l'")

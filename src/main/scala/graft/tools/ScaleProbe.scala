@@ -168,7 +168,10 @@ object ScaleProbe {
       "c7_quality_calibration", "d50_nelson_aalen", "d51_rmst",
       // rank test runs on the bounded money-grid value axis; χ² is a
       // four-cell conditional agg — both scan-bound
-      "d52_mann_whitney", "d53_chi2_conversion")
+      "d52_mann_whitney", "d53_chi2_conversion",
+      // ratio CI is one exact-sum pass; funnel is one scan + gate
+      // histogram; ecdf is the value-axis fold + an equi-join back
+      "d54_ratio_ci", "c7_curation_funnel", "c8_ecdf")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops

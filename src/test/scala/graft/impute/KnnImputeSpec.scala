@@ -102,4 +102,48 @@ class KnnImputeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(out(3L).isEmpty)
   }
+
+  test("served imputation ≡ imputeAnn; donor side joins with no Exchange") {
+    val li = Tables.lineitem(spark, sf001)
+      .filter(pmod(col("l_orderkey"), lit(10L)) === 0)
+      .withColumn("__mkey", expr("(l_orderkey * 8 + l_linenumber)"))
+      .withColumn("__key", expr(
+        "(((l_orderkey * 8 + l_linenumber) * 32768 + l_partkey) * 1024 + l_suppkey)"))
+    val withMissing = Noise.injectMissing(li, "l_extendedprice",
+      "__mkey", salt = 43, frac = 0.10)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val tbl = "graft_knn_donors_spec"
+    val tmp = java.nio.file.Files.createTempDirectory("knn_idx").toString
+    KnnImpute.writeDonorIndex(withMissing, "__key", "l_extendedprice",
+      feats, table = tbl, path = tmp)
+    val served = KnnImpute.imputeServe(spark, tbl, tmp, withMissing,
+      "__key", "l_extendedprice", feats, k = 5)
+    val fresh = KnnImpute.imputeAnn(withMissing, "__key",
+      "l_extendedprice", feats, k = 5)
+    // identical end to end: same stats → same scaling → same
+    // deterministic fit → same cells → same candidates → same tail
+    val diff = served.select(col("__key"), col("l_extendedprice").as("vs"))
+      .join(fresh.select(col("__key"), col("l_extendedprice").as("vf")),
+        "__key")
+      .filter(col("vs") =!= col("vf") ||
+        (col("vs").isNull !== col("vf").isNull)).count()
+    assert(diff === 0, s"$diff served cells differ from fresh imputeAnn")
+    // the serving point: the bucketed donor table is read IN PLACE —
+    // only the batch side (__qcell) may exchange (the IvfIndexSpec
+    // assert, applied to the donor table). Force the shuffle-join
+    // family so a broadcast cannot hide the property.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val again = KnnImpute.imputeServe(spark, tbl, tmp, withMissing,
+        "__key", "l_extendedprice", feats, k = 5)
+      again.collect()
+      val physical = again.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(physical.contains("Bucketed: true"),
+        s"donor scan not bucketed:\n${physical.take(2000)}")
+      assert(!physical.contains("Exchange hashpartitioning(__cell"),
+        s"the DONOR side shuffled:\n${physical.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }

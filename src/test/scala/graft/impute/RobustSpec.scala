@@ -74,4 +74,22 @@ class RobustSpec extends SparkSpec {
     assert(Robust.madOutliers(const, "v", Seq("g"))
       .select("robust_z").collect().forall(_.getDouble(0) === 0.0))
   }
+
+  test("ecdf: uniformization, max = 1, monotone, duplicate-safe") {
+    val df = (Seq.fill(2)(("a", 10.0)) ++ Seq(("a", 20.0), ("a", 30.0)) ++
+      Seq(("b", 5.0))).toDF("g", "v")
+    val out = Robust.ecdf(df, "v", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    // group a (n=4): F(10)=2/4, F(20)=3/4, F(30)=1
+    assert(out(("a", 10.0)) === 0.5)
+    assert(out(("a", 20.0)) === 0.75)
+    assert(out(("a", 30.0)) === 1.0)
+    // a single-row group maps to exactly 1
+    assert(out(("b", 5.0)) === 1.0)
+    // duplicates keep their multiplicity in the OUTPUT rows
+    val rows = Robust.ecdf(df, "v", Seq("g")).collect()
+    assert(rows.count(r => r.getString(0) == "a" && r.getDouble(1) == 10.0)
+      === 2)
+  }
 }

@@ -116,4 +116,21 @@ class ExperimentSpec extends SparkSpec {
       "a", "b").head()
     assert(g.getDouble(6) === 0.0)
   }
+
+  test("delta-method ratio CI: hand fixture; constant ratio -> zero se") {
+    import spark.implicits._
+    // units (x,y) = (1,2),(3,4),(2,4): R = 6/10 = 0.6;
+    // varX=1, varY=4/3, cov=2/3 -> se = sqrt((1-0.8+0.48)/(3*(10/3)^2))
+    val pu = Seq((1L, 2L), (3L, 4L), (2L, 4L)).toDF("x", "y")
+    val r = Experiment.ratioMetricCi(pu, "x", "y").head()
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 0.6)
+    assert(r.getDouble(2) === 0.091652)
+    assert(r.getDouble(3) === 0.420366 && r.getDouble(4) === 0.779634)
+    // every unit has the same x/y ratio -> the ratio is certain
+    val const = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    val c = Experiment.ratioMetricCi(const, "x", "y").head()
+    assert(c.getDouble(1) === 0.5 && c.getDouble(2) === 0.0)
+    assert(c.getDouble(3) === 0.5 && c.getDouble(4) === 0.5)
+  }
 }

@@ -325,4 +325,43 @@ class PlanQualitySpec extends SparkSpec {
       s"benford re-scanned orders:\n$p")
     assert(!p.contains("SortMergeJoin"), "digit totals must broadcast")
   }
+
+  test("bootstrap CI: the B-replica explosion never reaches the shuffle raw") {
+    // the explode is map-side into a PARTIAL aggregate — shuffle
+    // traffic is (group, replica)-sized, not corpus×B
+    val p = plan("d46_bootstrap_ci")
+    assert(p.contains("Generate"), "no explode in the bootstrap plan")
+    assert(p.contains("HashAggregate"), "no hash agg")
+    // partial-agg discipline: the first aggregate after the Generate
+    // must be a partial (merge/final only above the Exchange)
+    val gen = p.indexOf("Generate")
+    val firstAgg = p.indexOf("HashAggregate", gen)
+    assert(firstAgg > 0, "no aggregate above the explode")
+    assert(!p.contains("CartesianProduct"), "cartesian in bootstrap plan")
+  }
+
+  test("mann-whitney: ranking is a value-axis agg, never a per-unit window") {
+    val p = plan("d52_mann_whitney")
+    // the only window runs over the bounded value axis (after the
+    // groupBy on m) — assert there is no row_number/rank in the plan
+    assert(!p.toLowerCase.contains("row_number"),
+      "per-unit rank materialized:\n" + p.take(1500))
+    assert(p.contains("Window"), "missing the value-axis running sum")
+  }
+
+  test("ANN-KNN impute: candidate join is an equi-join on cell id, no cartesian") {
+    val df = graft.SparkEntry.queries("impute_lineitem_knn_ann")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"),
+      "ANN candidates degenerated to a cross join")
+    // the only nested-loop joins are the 1-row stats/scaling attach
+    // (broadcast BuildRight Cross — the MeanImpute stats pattern);
+    // the CANDIDATE join itself must be a hash equi-join on __cell
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight, Cross")),
+      "non-stats nested-loop join in the ANN plan")
+    assert(p.contains("HashJoin"), "candidate join is not a hash join")
+  }
 }
