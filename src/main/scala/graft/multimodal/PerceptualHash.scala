@@ -214,6 +214,33 @@ object PerceptualHash {
     }(Encoders.row(schema))
   }
 
+  /** Per-asset FRAME SIGNATURE: the sorted distinct frame-hash array,
+    * computed inside the same batched per-partition pass as
+    * [[hashFrames]] — one row per asset, streaming-safe (no cross-row
+    * distinct, so no state is needed to build signatures on a stream).
+    * Appends `sig: array<long>`; undecodable payloads emit no row. */
+  def frameSignatures(assets: DataFrame, gridW: Int = 8, gridH: Int = 8,
+                      maxFrames: Int = 256, batchSize: Int = 256): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64)
+    import org.apache.spark.sql.types._
+    val schema = assets.schema
+      .add("sig", ArrayType(LongType, containsNull = false))
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    assets.mapPartitions { it: Iterator[Row] =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          frameLumas(row.getAs[Array[Byte]](payloadIdx), maxFrames).map {
+            frames =>
+              val sig = frames.map { case (_, w, h, luma) =>
+                hashLuma(w, h, luma, gridW, gridH)
+              }.distinct.sorted
+              Row.fromSeq(row.toSeq :+ sig)
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** VIDEO NEAR-DUP PAIRS from per-frame hashes — the composition that
     * turns frame hashing into video dedup: a video's signature is its
     * DISTINCT frame-hash set; two videos are near-dups when the

@@ -160,6 +160,24 @@ object MultimodalQueries extends Registry {
         graft.multimodal.PerceptualHash.hashFrames(fixture), "asset_id",
         minJaccard = 0.45, maxHashFreq = 8)
     }),
+    // C6: ONLINE video dedup BATCH TWIN — greedy first-wins over frame
+    // hashes (the StreamingNearDedup shape on the video modality):
+    // kept iff < 50% of an asset's distinct frames were claimed by an
+    // earlier asset. Stream ≡ batch is StreamingFrameDedupSpec's job;
+    // batch ≡ DuckDB here on the same planted fixture as
+    // c6_frame_dedup.
+    "c6_online_frame_dedup_twin" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 30).select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id % 10L; val m = id / 10L
+          (id, Multimodal.gifFixtureBytes(
+            (4 + g % 5).toInt, (3 + g % 4).toInt, 6, g * 1000L + 7L * m))
+        }.toDF("asset_id", "payload")
+      graft.streaming.StreamingFrameDedup.keptBatch(fixture, "asset_id")
+        .withColumn("kept", col("kept").cast("int"))
+    }),
     // C6 rows-only: JPEG decode — lossy, so pixel values are
     // decoder-deterministic within one JDK but not a cross-engine
     // closed form; MultimodalSpec bounds the means against the source
@@ -440,6 +458,45 @@ object MultimodalQueries extends Registry {
           AS BIGINT) AS phash
       FROM px JOIN tot USING (asset_id)
       GROUP BY px.asset_id""",
+    "c6_online_frame_dedup_twin" -> """
+      WITH f AS (
+        SELECT doc_id AS id, doc_id % 10 AS g, doc_id // 10 AS m,
+          CAST(4 + (doc_id % 10) % 5 AS BIGINT) AS w,
+          CAST(3 + (doc_id % 10) % 4 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 30
+      ), fr AS (
+        SELECT id, g, m, w, h, fx.f
+        FROM f, LATERAL unnest(generate_series(0, 5)) fx(f)
+      ), px AS (
+        SELECT id, f, w, h, p.p,
+          (g * 1000 + 7 * m + 7 * f + p) % 256 AS v
+        FROM fr, LATERAL unnest(generate_series(0, w * h - 1)) p(p)
+      ), tot AS (
+        SELECT id, f, CAST(sum(v) AS BIGINT) AS total, max(w * h) AS n
+        FROM px GROUP BY 1, 2
+      ), hashes AS (
+        SELECT px.id, px.f,
+          CAST(coalesce(sum(CASE WHEN v * n > total
+            THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END), 0)
+            AS BIGINT) AS fhash
+        FROM px JOIN tot USING (id, f) GROUP BY 1, 2
+      ), sig AS (SELECT DISTINCT id, fhash FROM hashes
+      ), firsts AS (
+        SELECT fhash, min(id) AS fst FROM sig GROUP BY 1
+      ), j AS (
+        SELECT s.id, CASE WHEN f.fst < s.id THEN 1 ELSE 0 END AS dup
+        FROM sig s JOIN firsts f USING (fhash)
+      ), r AS (
+        SELECT id AS asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+          CAST(sum(dup) AS BIGINT) AS n_dup
+        FROM j GROUP BY 1
+      )
+      SELECT asset_id, n_frames, n_dup,
+        round(CAST(n_dup AS DOUBLE) / CAST(n_frames AS DOUBLE), 6)
+          AS dup_frac,
+        CAST(round(CAST(n_dup AS DOUBLE) / CAST(n_frames AS DOUBLE), 6)
+          < 0.5e0 AS INT) AS kept
+      FROM r""",
     "c6_frame_dedup" -> """
       WITH f AS (
         SELECT doc_id AS id, doc_id % 10 AS g, doc_id // 10 AS m,

@@ -171,7 +171,10 @@ object ScaleProbe {
       "d52_mann_whitney", "d53_chi2_conversion",
       // ratio CI is one exact-sum pass; funnel is one scan + gate
       // histogram; ecdf is the value-axis fold + an equi-join back
-      "d54_ratio_ci", "c7_curation_funnel", "c8_ecdf")
+      "d54_ratio_ci", "c7_curation_funnel", "c8_ecdf",
+      // persisted-donor-index serve: build (fit + bucketed write) +
+      // batch impute — both sides replicate
+      "impute_knn_serve")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
