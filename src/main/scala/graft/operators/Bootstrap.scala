@@ -89,6 +89,100 @@ object Bootstrap {
         round(col("mean"), 6).as("mean"), col("ci_lo"), col("ci_hi")): _*)
   }
 
+  /** Bootstrap CI for the DIFFERENCE of two variant means — the A/B
+    * readout form: per replica, the same Poisson weights produce both
+    * variant means from ONE aggregate (conditional sums), and the CI
+    * comes from the percentile of the B mean differences. A CI
+    * excluding 0 is the nonparametric significance call — no normality
+    * assumption on the metric, which is the point for revenue-shaped
+    * data. Same one-pass scale shape as [[meanCi]]. Output one row:
+    * `n_a, n_b, diff (point, b−a, 6dp), ci_lo, ci_hi`. */
+  def diffCi(perUnit: DataFrame, variantCol: String, valueCol: String,
+             a: String, b: String, keyExpr: Column, nBoot: Int = 100,
+             alpha: Double = 0.05, salt: Int = 97): DataFrame = {
+    require(nBoot >= 10 && alpha > 0 && alpha < 1)
+    val dec = col(valueCol).cast("decimal(18,2)")
+    val isA = col(variantCol) === lit(a)
+    val isB = col(variantCol) === lit(b)
+    val point = perUnit.filter(isA || isB).agg(
+      count(when(isA, lit(1))).as("n_a"),
+      count(when(isB, lit(1))).as("n_b"),
+      (sum(when(isB, dec)).cast("double") / count(when(isB, dec))
+        - sum(when(isA, dec)).cast("double") / count(when(isA, dec)))
+        .as("__diff"))
+    val reps = perUnit.filter(isA || isB)
+      .select(col(variantCol).as("__v"), dec.as("__x"), keyExpr.as("__k"))
+      .select(col("*"), explode(sequence(lit(0), lit(nBoot - 1))).as("__r"))
+      .withColumn("__w", poissonDraw(replicaNoise(col("__k"), col("__r"), salt)))
+      .groupBy(col("__r"))
+      .agg(
+        sum(when(col("__v") === a, col("__x") * col("__w"))).as("__swa"),
+        sum(when(col("__v") === a, col("__w"))).as("__na"),
+        sum(when(col("__v") === b, col("__x") * col("__w"))).as("__swb"),
+        sum(when(col("__v") === b, col("__w"))).as("__nb"))
+      .select(
+        when(col("__na") > 0 && col("__nb") > 0,
+          col("__swb").cast("double") / col("__nb").cast("double")
+            - col("__swa").cast("double") / col("__na").cast("double"))
+          .as("__d"))
+    val lo = alpha / 2; val hi = 1 - alpha / 2
+    val ci = reps.agg(
+      round(expr(s"percentile(__d, $lo)"), 6).as("ci_lo"),
+      round(expr(s"percentile(__d, $hi)"), 6).as("ci_hi"))
+    point.crossJoin(ci)
+      .select(col("n_a"), col("n_b"), round(col("__diff"), 6).as("diff"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  /** DuckDB twin of [[diffCi]]. `perUnitSql` must select
+    * `(variant, m, key)`. */
+  def sqlDiffCi(perUnitSql: String, a: String, b: String,
+                nBoot: Int = 100, alpha: Double = 0.05,
+                salt: Int = 97): String = {
+    import graft.functions.Noise.sqlDouble
+    val x = s"sin(key * 12.9898e0 + " +
+      s"(${sqlDouble(salt.toDouble)} + CAST(r.r AS DOUBLE)) * 78.233e0) " +
+      "* 43758.5453e0"
+    val u = s"(($x) - floor($x))"
+    val ladder = PoissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN ($u) < ${sqlDouble(c)} THEN $k" }
+      .mkString(" ")
+    val w = s"(CASE $ladder ELSE ${PoissonCdf.length} END)"
+    s"""WITH pu AS ($perUnitSql), reps AS (
+          SELECT r.r AS rr,
+            CAST(sum(CASE WHEN variant = '$a'
+              THEN CAST(m AS DECIMAL(18,2)) * $w END) AS DECIMAL(38,2)) AS swa,
+            CAST(sum(CASE WHEN variant = '$a' THEN $w END) AS BIGINT) AS na,
+            CAST(sum(CASE WHEN variant = '$b'
+              THEN CAST(m AS DECIMAL(18,2)) * $w END) AS DECIMAL(38,2)) AS swb,
+            CAST(sum(CASE WHEN variant = '$b' THEN $w END) AS BIGINT) AS nb
+          FROM pu, LATERAL unnest(generate_series(0, ${nBoot - 1})) r(r)
+          WHERE variant IN ('$a', '$b')
+          GROUP BY r.r
+        ), diffs AS (
+          SELECT CASE WHEN na > 0 AND nb > 0
+            THEN CAST(swb AS DOUBLE) / CAST(nb AS DOUBLE)
+               - CAST(swa AS DOUBLE) / CAST(na AS DOUBLE) END AS d
+          FROM reps
+        ), ci AS (
+          SELECT round(quantile_cont(d, ${sqlDouble(alpha / 2)}), 6) AS ci_lo,
+            round(quantile_cont(d, ${sqlDouble(1 - alpha / 2)}), 6) AS ci_hi
+          FROM diffs
+        ), pt AS (
+          SELECT
+            CAST(count(CASE WHEN variant = '$a' THEN 1 END) AS BIGINT) AS n_a,
+            CAST(count(CASE WHEN variant = '$b' THEN 1 END) AS BIGINT) AS n_b,
+            round(CAST(sum(CASE WHEN variant = '$b'
+                THEN CAST(m AS DECIMAL(18,2)) END) AS DOUBLE)
+                / count(CASE WHEN variant = '$b' THEN m END)
+              - CAST(sum(CASE WHEN variant = '$a'
+                THEN CAST(m AS DECIMAL(18,2)) END) AS DOUBLE)
+                / count(CASE WHEN variant = '$a' THEN m END), 6) AS diff
+          FROM pu WHERE variant IN ('$a', '$b')
+        )
+        SELECT n_a, n_b, diff, ci_lo, ci_hi FROM pt CROSS JOIN ci"""
+  }
+
   /** DuckDB twin of [[meanCi]] — identical draw ladder, exact sums,
     * type-7 percentiles. `keySql` mirrors `keyExpr`. */
   def sqlMeanCi(table: String, valueCol: String, groupCols: Seq[String],

@@ -933,6 +933,24 @@ object RelationalQueries extends Registry {
     // median/MAD so a burst can't inflate the spread and mask itself;
     // hourly counts per event type, exact type-7 medians on the 4-dp
     // grid, robust z on the 6-dp grid.
+    // D111: SEASONAL-BASELINE anomaly — d35's median/MAD monitor with
+    // the baseline keyed by (type, day-of-week, hour-of-day): a quiet
+    // Sunday 3am is not an anomaly just because weekday noon is busy,
+    // and a weekday-noon outage is not masked by the weekly average.
+    // Pure composition: the SAME madOutliers over seasonal group keys
+    // (dow via datediff from a fixed Sunday — engine-portable; both
+    // engines' native dayofweek disagree on numbering).
+    "d56_seasonal_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow",
+          pmod(datediff(to_date(col("hour")), lit("2024-01-07").cast("date")),
+            lit(7)))
+        .withColumn("hod", hour(col("hour")))
+      graft.impute.Robust.madOutliers(hourly, "n",
+        Seq("event_type", "dow", "hod"))
+    }),
     "d35_robust_anomaly" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
@@ -1160,6 +1178,13 @@ object RelationalQueries extends Registry {
         abPerUser(s, d).withColumn("success", (col("m") > 0).cast("int")),
         "variant", "success", "control", "treatment")
     }),
+    // D110: BOOTSTRAP DIFFERENCE CI — the nonparametric A/B readout:
+    // percentile CI on (treatment mean − control mean) from the same
+    // one-pass Poisson replicas; a CI excluding 0 is the significance
+    // call with no normality assumption on the revenue metric.
+    "d55_bootstrap_diff" -> ((s, d) =>
+      graft.operators.Bootstrap.diffCi(abPerUser(s, d), "variant", "m",
+        "control", "treatment", col("user_id"))),
     // D105: DELTA-METHOD RATIO CI — purchases-per-event with user-level
     // clustering: the ratio-of-sums estimand whose numerator and
     // denominator correlate within a user (naive mean-of-ratios and
@@ -1842,6 +1867,9 @@ object RelationalQueries extends Registry {
       Map("control" -> 0.5, "treatment" -> 0.5)),
     "d52_mann_whitney" -> graft.operators.Experiment.sqlMannWhitney(
       abPerUserSql, "control", "treatment"),
+    "d55_bootstrap_diff" -> graft.operators.Bootstrap.sqlDiffCi(
+      s"SELECT variant, m, user_id AS key FROM ($abPerUserSql)",
+      "control", "treatment"),
     "d54_ratio_ci" -> graft.operators.Experiment.sqlRatioMetricCi(
       """SELECT
            CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
@@ -1994,6 +2022,35 @@ object RelationalQueries extends Registry {
             / CAST((SELECT sum(deg * (deg - 1) / 2) FROM deg) AS DOUBLE), 6)
           ELSE 0.0e0 END AS clustering_coeff
       FROM tri""",
+    "d56_seasonal_anomaly" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+      ), keyed AS (
+        SELECT event_type, hour, n,
+          CAST(((date_diff('day', DATE '2024-01-07', CAST(hour AS DATE))
+            % 7) + 7) % 7 AS INT) AS dow,
+          CAST(hour(hour) AS INT) AS hod
+        FROM hourly
+      ), meds AS (
+        SELECT event_type, dow, hod, round(quantile_cont(n, 0.5), 4) AS med
+        FROM keyed GROUP BY 1, 2, 3
+      ), dev AS (
+        SELECT k.event_type, k.dow, k.hod, k.hour, k.n, m.med,
+          abs(CAST(k.n AS DOUBLE) - m.med) AS d
+        FROM keyed k JOIN meds m USING (event_type, dow, hod)
+      ), mads AS (
+        SELECT event_type, dow, hod, round(quantile_cont(d, 0.5), 4) AS mad
+        FROM dev GROUP BY 1, 2, 3)
+      SELECT d.event_type, d.hour, d.n, d.dow, d.hod, d.med,
+        CASE WHEN m.mad = 0 THEN 0.0e0
+          ELSE round(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad, 6)
+        END AS robust_z,
+        CAST(CASE WHEN m.mad = 0 THEN 0.0e0
+          ELSE abs(round(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad, 6))
+        END >= 3.5e0 AS BIGINT) AS flagged
+      FROM dev d JOIN mads m USING (event_type, dow, hod)""",
     "d35_robust_anomaly" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n

@@ -174,7 +174,11 @@ object ScaleProbe {
       "d54_ratio_ci", "c7_curation_funnel", "c8_ecdf",
       // persisted-donor-index serve: build (fit + bucketed write) +
       // batch impute — both sides replicate
-      "impute_knn_serve")
+      "impute_knn_serve",
+      // bootstrap diff CI (one-pass replicas over the user frame) and
+      // seasonal anomaly (hourly agg + per-(type,dow,hod) medians —
+      // the percentile groups stay bounded by the seasonal key space)
+      "d55_bootstrap_diff", "d56_seasonal_anomaly")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops

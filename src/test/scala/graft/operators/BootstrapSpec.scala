@@ -57,4 +57,30 @@ class BootstrapSpec extends SparkSpec {
       assert(lo <= mean && mean <= hi)
     }
   }
+
+  test("diffCi: planted effect excludes 0; identical groups include it") {
+    import spark.implicits._
+    // treatment = control + 10: the CI must sit strictly above 0
+    val shifted = ((1L to 300L).map(i => ("control", i % 50 + 10.0, i)) ++
+      (301L to 600L).map(i => ("treatment", i % 50 + 20.0, i)))
+      .toDF("variant", "m", "key")
+      .select(col("variant"), col("m").cast("decimal(18,2)").as("m"),
+        col("key"))
+    val r = Bootstrap.diffCi(shifted, "variant", "m", "control",
+      "treatment", col("key"), nBoot = 60).head()
+    assert(r.getLong(0) === 300L && r.getLong(1) === 300L)
+    assert(r.getDouble(2) === 10.0)
+    assert(r.getDouble(3) > 0, s"CI low ${r.getDouble(3)} should exclude 0")
+    assert(r.getDouble(3) <= 10.0 && r.getDouble(4) >= 10.0)
+    // same distribution in both arms: the CI must straddle 0
+    val same = ((1L to 300L).map(i => ("control", i % 50 + 10.0, i)) ++
+      (301L to 600L).map(i => ("treatment", i % 50 + 10.0, i)))
+      .toDF("variant", "m", "key")
+      .select(col("variant"), col("m").cast("decimal(18,2)").as("m"),
+        col("key"))
+    val n = Bootstrap.diffCi(same, "variant", "m", "control",
+      "treatment", col("key"), nBoot = 60).head()
+    assert(n.getDouble(3) < 0 && n.getDouble(4) > 0,
+      s"null-effect CI [${n.getDouble(3)}, ${n.getDouble(4)}] excludes 0")
+  }
 }
