@@ -157,10 +157,18 @@ object Robust {
     val mads = withMed.groupBy(groupCols.map(col): _*)
       .agg(round(pct("__dev", 0.5, exact).cast("double"), 4).as("__mad"))
     withMed.join(broadcast(mads), groupCols)
+      // 6-dp via the FLOOR-PORTABLE round (×1e6, +0.5, floor, ÷1e6 —
+      // pure exactly-rounded IEEE ops, bit-identical in both engines),
+      // NOT round(x, 6): Spark's round goes through the double's
+      // SHORTEST decimal repr (BigDecimal.valueOf) and half-ups exact
+      // decimal ties, while DuckDB rounds the binary value — and this
+      // statistic lands on exact ties STRUCTURALLY (0.6745·k.5/4.0 at
+      // seasonal medians; 72 tie rows at sf0.1, 5 of them divergent)
       .withColumn("robust_z",
         when(col("__mad") === 0, lit(0.0))
-          .otherwise(round(lit(0.6745) *
-            (col(valueCol).cast("double") - col("med")) / col("__mad"), 6)))
+          .otherwise(floor(lit(0.6745) *
+            (col(valueCol).cast("double") - col("med")) / col("__mad")
+            * lit(1e6) + lit(0.5)) / lit(1e6)))
       .withColumn("flagged",
         (abs(col("robust_z")) >= cutoff).cast("bigint"))
       .drop("__dev", "__mad")

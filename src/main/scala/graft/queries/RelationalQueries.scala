@@ -2045,10 +2045,12 @@ object RelationalQueries extends Registry {
         FROM dev GROUP BY 1, 2, 3)
       SELECT d.event_type, d.hour, d.n, d.dow, d.hod, d.med,
         CASE WHEN m.mad = 0 THEN 0.0e0
-          ELSE round(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad, 6)
+          ELSE floor(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad
+            * 1.0e6 + 0.5e0) / 1.0e6
         END AS robust_z,
         CAST(CASE WHEN m.mad = 0 THEN 0.0e0
-          ELSE abs(round(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad, 6))
+          ELSE abs(floor(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad
+            * 1.0e6 + 0.5e0) / 1.0e6)
         END >= 3.5e0 AS BIGINT) AS flagged
       FROM dev d JOIN mads m USING (event_type, dow, hod)""",
     "d35_robust_anomaly" -> """
@@ -2067,7 +2069,8 @@ object RelationalQueries extends Registry {
         FROM dev GROUP BY event_type)
       SELECT d.event_type, d.hour, d.n, d.med,
         CASE WHEN m.mad = 0 THEN 0.0e0
-          ELSE round(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad, 6)
+          ELSE floor(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad
+            * 1.0e6 + 0.5e0) / 1.0e6
         END AS robust_z,
         CAST(CASE WHEN m.mad = 0 THEN 0.0e0
           ELSE abs(round(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad, 6))
