@@ -1178,6 +1178,14 @@ object RelationalQueries extends Registry {
         abPerUser(s, d).withColumn("success", (col("m") > 0).cast("int")),
         "variant", "success", "control", "treatment")
     }),
+    // D112: GINI concentration — how concentrated is value across
+    // events, per type: the corpus-balance diagnostic read before
+    // sampling (high Gini = a handful of rows ARE the mass) and the
+    // whale-detector behind any mean. Rank sums collapse to the
+    // bounded decimal value axis (exact decimal tie-block arithmetic).
+    "d57_gini" -> ((s, d) =>
+      graft.operators.Inequality.gini(Tables.events(s, d), "value",
+        Seq("event_type"))),
     // D110: BOOTSTRAP DIFFERENCE CI — the nonparametric A/B readout:
     // percentile CI on (treatment mean − control mean) from the same
     // one-pass Poisson replicas; a CI excluding 0 is the significance
@@ -1867,6 +1875,8 @@ object RelationalQueries extends Registry {
       Map("control" -> 0.5, "treatment" -> 0.5)),
     "d52_mann_whitney" -> graft.operators.Experiment.sqlMannWhitney(
       abPerUserSql, "control", "treatment"),
+    "d57_gini" -> graft.operators.Inequality.sqlGini(
+      "SELECT event_type, value AS v FROM events", Seq("event_type")),
     "d55_bootstrap_diff" -> graft.operators.Bootstrap.sqlDiffCi(
       s"SELECT variant, m, user_id AS key FROM ($abPerUserSql)",
       "control", "treatment"),

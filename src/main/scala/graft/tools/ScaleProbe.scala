@@ -178,7 +178,9 @@ object ScaleProbe {
       // bootstrap diff CI (one-pass replicas over the user frame) and
       // seasonal anomaly (hourly agg + per-(type,dow,hod) medians —
       // the percentile groups stay bounded by the seasonal key space)
-      "d55_bootstrap_diff", "d56_seasonal_anomaly")
+      "d55_bootstrap_diff", "d56_seasonal_anomaly",
+      // Gini: value-axis agg + bounded fold — scan-bound
+      "d57_gini")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
