@@ -250,27 +250,73 @@ object PerceptualHash {
     * counting + ONE double division, so the whole detector sits under
     * the bit-exact oracle.
     *
+    * `maxFrameDist > 0` makes the frame match HAMMING-TOLERANT: a
+    * re-encode that nudges luma by one quantization step shifts a few
+    * aHash bits, and exact-equality matching would walk the copy
+    * straight through. Distinct frame hashes within Hamming distance
+    * ≤ `maxFrameDist` are collapsed to a canonical representative
+    * FIRST (the min hash among each hash's ≤-distance neighbors — a
+    * ONE-HOP canonicalization: a↔b and b↔c collapse pairwise even
+    * when a↔c exceeds the distance, and the min rule keeps it
+    * deterministic and single-pass, no iterative closure), then the
+    * exact pipeline runs on canonical hashes. Candidates for the
+    * hash-universe collapse come from the same banded blocking as
+    * [[nearDupPairs]] (lossless for maxFrameDist < nBands), and the
+    * collapse join runs over DISTINCT hashes — a universe orders of
+    * magnitude smaller than the frame table.
+    *
     * Scale shape (100 TB): signatures via one distinct (one shuffle of
     * |frames| rows), candidate pairs via an equi-join ON THE FRAME
     * HASH (videos sharing ≥1 frame — never an all-pairs comparison),
     * then a pair-level hash agg. The stopword hazard — a frame hash
     * shared by half the corpus (black frames, title cards) exploding
     * the join — is capped by `maxHashFreq`: hashes held by more
-    * assets are dropped from BLOCKING (they stop identifying content;
-    * same move as MinHashDedup's band caps). Output:
-    * `(id_a, id_b, shared_frames, jaccard)`. */
+    * assets are dropped from the candidate UNIVERSE entirely — they
+    * stop identifying content — so both the overlap count AND the
+    * signature sizes in the Jaccard denominator are computed over the
+    * same filtered universe (an uncapped size under a capped overlap
+    * would systematically understate the Jaccard of pairs sharing
+    * common frames). Output: `(id_a, id_b, shared_frames, jaccard)`. */
   def videoNearDupPairs(frameHashes: DataFrame, idCol: String,
                         hashCol: String = "fhash",
                         minJaccard: Double = 0.5,
-                        maxHashFreq: Int = 1000): DataFrame = {
-    require(minJaccard > 0 && maxHashFreq >= 2)
-    val sig = frameHashes
+                        maxHashFreq: Int = 1000,
+                        maxFrameDist: Int = 0,
+                        nBands: Int = 8): DataFrame = {
+    require(minJaccard > 0 && maxHashFreq >= 2 && maxFrameDist >= 0)
+    val raw = frameHashes
       .select(col(idCol).as("__id"), col(hashCol).as("__h")).distinct()
-    val sizes = sig.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val sig = if (maxFrameDist == 0) raw else {
+      require(maxFrameDist < nBands, "banded canonicalization is only " +
+        s"lossless for maxFrameDist < nBands ($maxFrameDist >= $nBands)")
+      require(64 % nBands == 0, "nBands must divide 64")
+      val width = 64 / nBands
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      val hb = raw.select(col("__h")).distinct()
+        .select(col("__h"), explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("__h"), b * width).bitwiseAND(lit(mask))
+              .as("v"))): _*)).as("__band"))
+        .select(col("__h"), col("__band.b").as("__b"),
+          col("__band.v").as("__v"))
+      // self-pairs ride along (identical bands, distance 0), so every
+      // hash gets a canonical value
+      val canon = hb.toDF("__ha", "__b", "__v")
+        .join(hb.toDF("__hb", "__b", "__v"), Seq("__b", "__v"))
+        .select(col("__ha"), col("__hb")).distinct()
+        .filter(bit_count(col("__ha").bitwiseXOR(col("__hb")))
+          <= maxFrameDist)
+        .groupBy(col("__ha").as("__h")).agg(min(col("__hb")).as("__ch"))
+      raw.join(canon, "__h")
+        .select(col("__id"), col("__ch").as("__h")).distinct()
+    }
     val blockable = sig.join(
       sig.groupBy(col("__h")).agg(count(lit(1)).as("__f"))
         .filter(col("__f") <= maxHashFreq).select(col("__h")),
       "__h")
+    // sizes over the SAME capped universe the overlap counts — the
+    // Jaccard is then a true Jaccard of the filtered signatures
+    val sizes = blockable.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val pairs = blockable.select(col("__id").as("id_a"), col("__h"))
       .join(blockable.select(col("__id").as("id_b"), col("__h")), "__h")
       .filter(col("id_a") < col("id_b"))

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism (the whole CI sits under the bit-exact oracle): the
   * Poisson(1) draw comes from keyed hash-noise pushed through the
-  * inverse CDF as a fixed literal ladder (tail clamped at 8 — P ≈ 1e-6,
-  * and BOTH engines clamp identically so this is a definition, not an
+  * inverse CDF as a fixed literal ladder (the residual tail mass past
+  * the 9-entry ladder — P ≈ 1e-6 — maps to weight 9,
+  * and BOTH engines map it identically so this is a definition, not an
   * approximation); replica means are exact decimal Σ(w·x) over exact
   * integer Σw with ONE double division; CI bounds are exact type-7
   * percentiles over the B replica means (B is bounded, so the

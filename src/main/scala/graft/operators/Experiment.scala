@@ -287,64 +287,91 @@ object Experiment {
     * because contributions are non-negative the window MAX of the
     * running sum IS the total — no unordered double agg anywhere.
     *
-    * Scale: one hash agg on variant (map-side partials), then
-    * window + projection over k rows. Output one row per variant:
-    * `variant, n_obs, n_expected (6dp), contrib (6dp), chi2 (6dp,
-    * repeated — the total), n_total`. */
+    * Variant-set edges (the silent-failure cases a health gate exists
+    * for): a DESIGNED variant with ZERO observed rows (total
+    * assignment/logging failure for one arm) still contributes its
+    * full (0 − E)²/E term — the designed key set is outer-joined
+    * against the observed counts, so the χ² cannot understate the
+    * worst SRM. A variant OBSERVED but absent from `expectedShares`
+    * (rogue arm, config drift) is emitted with `designed = 0` and
+    * null expectation/contribution — it has no designed share to test
+    * against, but its units still inflate `n_total` (depressing every
+    * designed arm's observed-vs-expected fit) and the row itself IS
+    * the flag.
+    *
+    * Scale: one hash agg on variant (map-side partials), a broadcast
+    * outer join against the k designed keys, then window + projection
+    * over ≤ k + rogue rows. Output one row per variant (designed or
+    * observed): `variant, n_obs, n_expected (6dp), contrib (6dp),
+    * chi2 (6dp, repeated — the total over designed arms), n_total,
+    * designed (1/0)`. */
   def srmCheck(assignments: DataFrame, variantCol: String,
                expectedShares: Map[String, Double]): DataFrame = {
     require(expectedShares.nonEmpty &&
       math.abs(expectedShares.values.sum - 1.0) < 1e-9,
       "expected shares must sum to 1")
     import org.apache.spark.sql.expressions.Window
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    val designed = expectedShares.toSeq.sortBy(_._1)
+      .toDF("variant", "__share")
     val counts = assignments.groupBy(col(variantCol).as("variant"))
       .agg(count(lit(1)).as("n_obs"))
-    val share = expectedShares.toSeq.sortBy(_._1)
-      .foldRight(lit(null).cast("double")) { case ((v, p), rest) =>
-        when(col("variant") === v, lit(p)).otherwise(rest)
-      }
+    // n_total = ALL observed units (undesigned arms included: their
+    // units really did drain traffic from the designed split)
     val total = counts.agg(sum(col("n_obs")).as("n_total"))
     val wCum = Window.orderBy(col("variant"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col("variant"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    counts.crossJoin(broadcast(total))
-      .withColumn("__exp", col("n_total").cast("double") * share)
+    counts.join(broadcast(designed), Seq("variant"), "full_outer")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("__exp", col("n_total").cast("double") * col("__share"))
       .withColumn("__contrib",
         (col("n_obs").cast("double") - col("__exp"))
           * (col("n_obs").cast("double") - col("__exp")) / col("__exp"))
+      // sum() skips the null contribs of undesigned rows; contribs are
+      // non-negative, so the running-sum MAX is still the total
       .withColumn("chi2", round(max(sum(col("__contrib")).over(wCum))
         .over(wAll), 6))
       .select(col("variant"), col("n_obs"),
         round(col("__exp"), 6).as("n_expected"),
         round(col("__contrib"), 6).as("contrib"),
-        col("chi2"), col("n_total"))
+        col("chi2"), col("n_total"),
+        col("__share").isNotNull.cast("bigint").as("designed"))
   }
 
-  /** DuckDB twin of [[srmCheck]] — identical share CASE, contribution
-    * arithmetic and ordered fold. `assignSql` must select `variant`. */
+  /** DuckDB twin of [[srmCheck]] — identical designed-key outer join,
+    * contribution arithmetic and ordered fold. `assignSql` must select
+    * `variant`. */
   def sqlSrmCheck(assignSql: String,
                   expectedShares: Map[String, Double]): String = {
     import graft.functions.Noise.sqlDouble
-    val share = expectedShares.toSeq.sortBy(_._1)
-      .map { case (v, p) => s"WHEN variant = '$v' THEN ${sqlDouble(p)}" }
-      .mkString(" ")
+    val designed = expectedShares.toSeq.sortBy(_._1)
+      .map { case (v, p) => s"('$v', ${sqlDouble(p)})" }
+      .mkString(", ")
     s"""
     WITH a AS ($assignSql), counts AS (
       SELECT variant, CAST(count(*) AS BIGINT) AS n_obs
       FROM a GROUP BY 1
+    ), dv AS (SELECT * FROM (VALUES $designed) AS dv(variant, share)
     ), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM counts
+    ), j AS (
+      SELECT coalesce(counts.variant, dv.variant) AS variant,
+        coalesce(n_obs, 0) AS n_obs, share
+      FROM counts FULL OUTER JOIN dv ON counts.variant = dv.variant
     ), c AS (
-      SELECT variant, n_obs, n_total,
-        CAST(n_total AS DOUBLE) * (CASE $share END) AS e
-      FROM counts CROSS JOIN t
+      SELECT variant, n_obs, n_total, share,
+        CAST(n_total AS DOUBLE) * share AS e
+      FROM j CROSS JOIN t
     ), k AS (
-      SELECT variant, n_obs, n_total, e,
+      SELECT variant, n_obs, n_total, share, e,
         (CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e
           AS contrib
       FROM c
     ), f AS (
-      SELECT variant, n_obs, n_total, e, contrib,
+      SELECT variant, n_obs, n_total, share, e, contrib,
         sum(contrib) OVER (ORDER BY variant
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM k
@@ -352,7 +379,8 @@ object Experiment {
     SELECT variant, n_obs, round(e, 6) AS n_expected,
       round(contrib, 6) AS contrib,
       round(chi, 6) AS chi2,
-      n_total
+      n_total,
+      CAST(share IS NOT NULL AS BIGINT) AS designed
     FROM f CROSS JOIN tot2"""
   }
 

@@ -160,6 +160,32 @@ object MultimodalQueries extends Registry {
         graft.multimodal.PerceptualHash.hashFrames(fixture), "asset_id",
         minJaccard = 0.45, maxHashFreq = 8)
     }),
+    // C6: HAMMING-TOLERANT video dedup — the re-encode shape exact
+    // frame matching misses: m=2 copies carry a +2 luma shift across
+    // the fixture's mod-256 wrap, landing every frame hash at Hamming
+    // distance 2 from its twin (zero EXACT shared frames). Group seeds
+    // straddle the wrap 14 apart so only true frame twins sit within
+    // t=4; group 2 never wraps — its shift is hash-invariant (a
+    // uniform luma shift cancels in the cell-vs-mean rule) and its
+    // trio matches exactly. DuckDB recomputes every hash from the
+    // closed form and the same one-hop min-canonicalization (a plain
+    // distance cross-join over the tiny distinct-hash set — the
+    // banding the Spark side uses is lossless for t < nBands, so the
+    // two candidate generators provably agree).
+    "c6_frame_dedup_hamming" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 9).select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id % 3L; val m = id / 3L
+          val base = if (g == 0L) 224L else if (g == 1L) 238L else 100L
+          (id, Multimodal.gifFixtureBytes(7, 5, 2,
+            base + (if (m == 2L) 2L else 0L)))
+        }.toDF("asset_id", "payload")
+      graft.multimodal.PerceptualHash.videoNearDupPairs(
+        graft.multimodal.PerceptualHash.hashFrames(fixture), "asset_id",
+        minJaccard = 0.45, maxHashFreq = 8, maxFrameDist = 4)
+    }),
     // C6: ONLINE video dedup BATCH TWIN — greedy first-wins over frame
     // hashes (the StreamingNearDedup shape on the video modality):
     // kept iff < 50% of an asset's distinct frames were claimed by an
@@ -520,11 +546,65 @@ object MultimodalQueries extends Registry {
             AS BIGINT) AS fhash
         FROM px JOIN tot USING (id, f) GROUP BY 1, 2
       ), sig AS (SELECT DISTINCT id, fhash FROM hashes
-      ), sz AS (SELECT id, count(*) AS s FROM sig GROUP BY 1
       ), blockable AS (
         SELECT sig.id, sig.fhash FROM sig
         JOIN (SELECT fhash FROM sig GROUP BY 1 HAVING count(*) <= 8) ok
           USING (fhash)
+      -- sizes over the SAME capped universe as the overlap counts (the
+      -- Spark side's consistent-Jaccard convention)
+      ), sz AS (SELECT id, count(*) AS s FROM blockable GROUP BY 1
+      ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+          CAST(count(*) AS BIGINT) AS shared_frames
+        FROM blockable a JOIN blockable b
+          ON a.fhash = b.fhash AND a.id < b.id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b, shared_frames,
+        round(CAST(shared_frames AS DOUBLE) /
+          CAST(sa.s + sb.s - shared_frames AS DOUBLE), 6) AS jaccard
+      FROM pairs
+      JOIN sz sa ON sa.id = pairs.id_a
+      JOIN sz sb ON sb.id = pairs.id_b
+      WHERE round(CAST(shared_frames AS DOUBLE) /
+          CAST(sa.s + sb.s - shared_frames AS DOUBLE), 6) >= 0.45""",
+    "c6_frame_dedup_hamming" -> """
+      WITH f AS (
+        SELECT doc_id AS id,
+          (CASE doc_id % 3 WHEN 0 THEN 224 WHEN 1 THEN 238 ELSE 100 END)
+            + (CASE WHEN doc_id // 3 = 2 THEN 2 ELSE 0 END) AS s
+        FROM documents WHERE doc_id < 9
+      ), fr AS (
+        SELECT id, s, fx.f
+        FROM f, LATERAL unnest(generate_series(0, 1)) fx(f)
+      ), px AS (
+        SELECT id, f, p.p, (s + 7 * f + p) % 256 AS v
+        FROM fr, LATERAL unnest(generate_series(0, 34)) p(p)
+      ), tot AS (
+        SELECT id, f, CAST(sum(v) AS BIGINT) AS total
+        FROM px GROUP BY 1, 2
+      ), hashes AS (
+        SELECT px.id, px.f,
+          CAST(coalesce(sum(CASE WHEN v * 35 > total
+            THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END), 0)
+            AS BIGINT) AS fhash
+        FROM px JOIN tot USING (id, f) GROUP BY 1, 2
+      -- one-hop min-canonicalization over the DISTINCT hash universe:
+      -- the Spark side's banded candidate generation is lossless for
+      -- t < nBands, so a plain distance cross-join here is equivalent
+      ), hset AS (SELECT DISTINCT fhash FROM hashes
+      ), canon AS (
+        SELECT a.fhash, min(b.fhash) AS ch
+        FROM hset a JOIN hset b
+          ON bit_count(xor(a.fhash, b.fhash)) <= 4
+        GROUP BY a.fhash
+      ), sig AS (
+        SELECT DISTINCT id, ch AS fhash FROM hashes JOIN canon USING (fhash)
+      ), blockable AS (
+        SELECT sig.id, sig.fhash FROM sig
+        JOIN (SELECT fhash FROM sig GROUP BY 1 HAVING count(*) <= 8) ok
+          USING (fhash)
+      ), sz AS (SELECT id, count(*) AS s FROM blockable GROUP BY 1
       ), pairs AS (
         SELECT a.id AS id_a, b.id AS id_b,
           CAST(count(*) AS BIGINT) AS shared_frames

@@ -2082,8 +2082,12 @@ object RelationalQueries extends Registry {
           ELSE floor(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad
             * 1.0e6 + 0.5e0) / 1.0e6
         END AS robust_z,
+        -- flagged derives from the SAME floor-portable robust_z (not a
+        -- second round(...,6)): on exact decimal ties the two roundings
+        -- disagree and flagged would contradict the emitted z
         CAST(CASE WHEN m.mad = 0 THEN 0.0e0
-          ELSE abs(round(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad, 6))
+          ELSE abs(floor(0.6745e0 * (CAST(d.n AS DOUBLE) - d.med) / m.mad
+            * 1.0e6 + 0.5e0) / 1.0e6)
         END >= 3.5e0 AS BIGINT) AS flagged
       FROM dev d JOIN mads m USING (event_type)""",
     "d19_event_transitions" -> """

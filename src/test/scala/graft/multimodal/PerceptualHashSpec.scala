@@ -139,4 +139,28 @@ class PerceptualHashSpec extends SparkSpec {
       minJaccard = 0.4, maxHashFreq = 1000)
     assert(uncapped.count() === 10) // C(5,2)
   }
+
+  test("videoNearDupPairs: hamming tolerance catches a re-encode luma shift") {
+    // A (seed 230) vs A' (seed 232): a +2 luma shift ACROSS the
+    // fixture's mod-256 wrap moves every frame's wrap pixel by 2, so
+    // each frame hash lands at Hamming distance 2 from its twin —
+    // the re-encode shape exact matching walks straight through.
+    // C (seed 100) never wraps: all frames share the far-away ramp
+    // hash. Within A, frame wrap points are 7 apart (> 4), so
+    // tolerance t=4 merges ONLY true frame twins.
+    def vid(seed: Long) = Multimodal.gifFixtureBytes(7, 5, 4, seed)
+    val assets = Seq((1L, vid(230L)), (2L, vid(232L)), (3L, vid(100L)))
+      .toDF("asset_id", "payload")
+    val hashes = PerceptualHash.hashFrames(assets)
+    // exact matching: the shifted copy shares ZERO frames — missed
+    assert(PerceptualHash.videoNearDupPairs(hashes, "asset_id",
+      minJaccard = 0.4).count() === 0)
+    // t=4: every frame canonicalizes with its shifted twin → jaccard 1
+    val tol = PerceptualHash.videoNearDupPairs(hashes, "asset_id",
+        minJaccard = 0.4, maxFrameDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(tol.keySet === Set((1L, 2L)), s"pairs: $tol")
+    assert(tol((1L, 2L)) === ((4L, 1.0)))
+  }
 }

@@ -80,6 +80,39 @@ class ExperimentSpec extends SparkSpec {
       === 1000.0)
   }
 
+  test("SRM: zero-observed designed arm contributes; rogue arm is flagged") {
+    import spark.implicits._
+    // designed 50/50 but treatment logged ZERO rows: the dead arm must
+    // still contribute (0 − E)²/E — χ² = (1000-500)²/500 + (0-500)²/500
+    // = 1000, not the 500 a counts-only join would report
+    val dead = Seq.fill(1000)("control").toDF("variant")
+    val d = Experiment.srmCheck(dead, "variant",
+        Map("control" -> 0.5, "treatment" -> 0.5))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(d.keySet === Set("control", "treatment"))
+    assert(d("treatment").getLong(d("treatment").fieldIndex("n_obs")) === 0L)
+    assert(d("treatment").getLong(d("treatment").fieldIndex("designed")) === 1L)
+    assert(d("control").getDouble(d("control").fieldIndex("chi2")) === 1000.0)
+    // a variant observed in data but absent from the design: emitted
+    // with designed = 0 and null expectation, units still in n_total
+    val rogue = (Seq.fill(500)("control") ++ Seq.fill(500)("treatment") ++
+      Seq.fill(10)("oops")).toDF("variant")
+    val g = Experiment.srmCheck(rogue, "variant",
+        Map("control" -> 0.5, "treatment" -> 0.5))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(g.keySet === Set("control", "treatment", "oops"))
+    assert(g("oops").getLong(g("oops").fieldIndex("designed")) === 0L)
+    assert(g("oops").isNullAt(g("oops").fieldIndex("n_expected")))
+    assert(g("oops").isNullAt(g("oops").fieldIndex("contrib")))
+    assert(g("control").getLong(g("control").fieldIndex("n_total")) === 1010L)
+    // designed arms are tested against shares of the FULL traffic
+    // (1010·0.5 = 505), so the rogue arm's drain shows up as misfit
+    assert(g("control").getDouble(g("control").fieldIndex("n_expected"))
+      === 505.0)
+    assert(g("oops").getDouble(g("oops").fieldIndex("chi2")) ===
+      g("control").getDouble(g("control").fieldIndex("chi2")))
+  }
+
   test("Mann-Whitney U: hand fixture with ties; symmetric null") {
     import spark.implicits._
     // A={1,3,5}, B={2,3,6}: U_A = 0 + (1+0.5) + 2 = 3.5; tie group
