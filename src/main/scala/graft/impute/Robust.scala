@@ -84,21 +84,55 @@ object Robust {
     * and arbitrary monotone distortions all flatten to uniform, which
     * is what rank-based models and copula-style preprocessing want.
     *
-    * Determinism & scale (the Mann–Whitney/KM recipe): values live on
-    * a DECIMAL-like grid, so the CDF collapses to a groupBy on the
-    * (group, value) axis + one running sum over the bounded VALUE
-    * axis per group — never a corpus-sized rank window — and attaches
-    * back via a hash equi-join on (group, value). Exact integer
-    * counts, one double division, 6-dp grid → bit-exact oracle.
+    * Determinism & scale (the Mann–Whitney/KM recipe): the CDF
+    * collapses to a groupBy on the (group, value) axis + one running
+    * sum over the bounded VALUE axis per group — never a corpus-sized
+    * rank window — and attaches back via a hash equi-join on (group,
+    * value). Exact integer counts, one double division, 6-dp grid →
+    * bit-exact oracle.
+    *
+    * The bounded-axis contract is ENFORCED, not prose: the axis/join
+    * key is the value cast to DECIMAL(18,6) — exact for any value
+    * already on a ≤6-dp grid (money, counts, rates), and a hard 6-dp
+    * quantization for anything finer, so the axis can never exceed the
+    * value range × 10⁶ and the equi-join key is never a raw float.
+    * For a CONTINUOUS metric whose range × 10⁶ is still corpus-sized,
+    * pass `exact = false`: the axis first quantizes to `gridLevels`
+    * per-group min–max levels (one extra tiny stats agg + broadcast),
+    * bounding it ABSOLUTELY — ECDF drift is ≤ the largest probability
+    * mass inside one grid cell (RobustModeSpec pins ≤1% sup-norm on
+    * this data; still deterministic and SQL-twinned, since min/max are
+    * order-insensitive exact aggregates and the level arithmetic is a
+    * fixed double sequence).
+    *
+    * NULL rows (null value or null group key) take no part in the
+    * axis — they'd otherwise fold engine-dependently (Spark windows
+    * sort nulls first, DuckDB last) — and come back with a null ecdf
+    * via the left join-back, preserving the input row set.
     * Output: input columns + `<valueCol>_ecdf`. */
-  def ecdf(df: DataFrame, valueCol: String,
-           groupCols: Seq[String]): DataFrame = {
-    require(groupCols.nonEmpty)
+  def ecdf(df: DataFrame, valueCol: String, groupCols: Seq[String],
+           exact: Boolean = true, gridLevels: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty && gridLevels >= 2)
     import org.apache.spark.sql.expressions.Window
-    val axis = df.groupBy(groupCols.map(col) :+ col(valueCol): _*)
+    val keyed =
+      if (exact)
+        df.withColumn("__vk", col(valueCol).cast("decimal(18,6)"))
+      else {
+        val stats = df.filter(col(valueCol).isNotNull)
+          .groupBy(groupCols.map(col): _*)
+          .agg(min(col(valueCol).cast("double")).as("__mn"),
+            max(col(valueCol).cast("double")).as("__mx"))
+        df.join(broadcast(stats), groupCols, "left_outer")
+          .withColumn("__vk",
+            graft.functions.AxisGrid.rep(col(valueCol).cast("double"),
+              col("__mn"), col("__mx"), gridLevels))
+          .drop("__mn", "__mx")
+      }
+    val axis = keyed.filter(col("__vk").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__vk"): _*)
       .agg(count(lit(1)).as("__k"))
     val wCum = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col(valueCol))
+      .orderBy(col("__vk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = axis.groupBy(groupCols.map(col): _*)
       .agg(sum(col("__k")).as("__n"))
@@ -107,31 +141,68 @@ object Robust {
       .join(broadcast(totals), groupCols)
       .withColumn(s"${valueCol}_ecdf",
         round(col("__cum").cast("double") / col("__n").cast("double"), 6))
-      .select(groupCols.map(col) :+ col(valueCol) :+
+      .select(groupCols.map(col) :+ col("__vk") :+
         col(s"${valueCol}_ecdf"): _*)
-    df.join(cdf, groupCols :+ valueCol)
+    keyed.join(cdf, groupCols :+ "__vk", "left_outer").drop("__vk")
   }
 
-  /** DuckDB twin of [[ecdf]] — identical axis fold and join-back.
-    * Emits the full projection `SELECT <outCols>, <valueCol>_ecdf`. */
+  /** DuckDB twin of [[ecdf]] (exact mode) — identical DECIMAL(18,6)
+    * axis key, null exclusion and left join-back. Emits the full
+    * projection `SELECT <outCols>, <valueCol>_ecdf`. */
   def sqlEcdf(table: String, valueCol: String, groupCols: Seq[String],
               outCols: Seq[String]): String = {
     val g = groupCols.mkString(", ")
     s"""
-    WITH axis AS (
-      SELECT $g, $valueCol, CAST(count(*) AS BIGINT) AS k
-      FROM $table GROUP BY $g, $valueCol
+    WITH keyed AS (
+      SELECT *, CAST($valueCol AS DECIMAL(18,6)) AS vk FROM $table
+    ), axis AS (
+      SELECT $g, vk, CAST(count(*) AS BIGINT) AS k
+      FROM keyed WHERE vk IS NOT NULL GROUP BY $g, vk
     ), tot AS (SELECT $g, CAST(sum(k) AS BIGINT) AS n FROM axis GROUP BY $g
     ), cdf AS (
-      SELECT axis.$valueCol, ${groupCols.map(c => s"axis.$c").mkString(", ")},
+      SELECT axis.vk, ${groupCols.map(c => s"axis.$c").mkString(", ")},
         round(CAST(sum(k) OVER (PARTITION BY ${groupCols.map(c => s"axis.$c").mkString(", ")}
-            ORDER BY axis.$valueCol
+            ORDER BY axis.vk
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
           / CAST(n AS DOUBLE), 6) AS ${valueCol}_ecdf
       FROM axis JOIN tot USING ($g)
     )
     SELECT ${outCols.mkString(", ")}, ${valueCol}_ecdf
-    FROM $table JOIN cdf USING ($g, $valueCol)"""
+    FROM keyed LEFT JOIN cdf USING ($g, vk)"""
+  }
+
+  /** DuckDB twin of [[ecdf]] with `exact = false` — the grid-quantized
+    * scale mode is STILL oracle-able (min/max are order-insensitive
+    * exact aggregates; the level arithmetic is a fixed double
+    * sequence mirroring [[graft.functions.AxisGrid.rep]]). */
+  def sqlEcdfScale(table: String, valueCol: String, groupCols: Seq[String],
+                   outCols: Seq[String], gridLevels: Int = 10000): String = {
+    val g = groupCols.mkString(", ")
+    val lv = s"$gridLevels.0e0"
+    val v = s"CAST($valueCol AS DOUBLE)"
+    s"""
+    WITH stats AS (
+      SELECT $g, min($v) AS mn, max($v) AS mx
+      FROM $table WHERE $valueCol IS NOT NULL GROUP BY $g
+    ), keyed AS (
+      SELECT t.*, CASE WHEN mx - mn = 0 THEN mn
+        ELSE round(mn + least(floor(($v - mn) / (mx - mn) * $lv),
+          $lv - 1.0e0) * (mx - mn) / $lv, 6) END AS vk
+      FROM $table t LEFT JOIN stats USING ($g)
+    ), axis AS (
+      SELECT $g, vk, CAST(count(*) AS BIGINT) AS k
+      FROM keyed WHERE vk IS NOT NULL GROUP BY $g, vk
+    ), tot AS (SELECT $g, CAST(sum(k) AS BIGINT) AS n FROM axis GROUP BY $g
+    ), cdf AS (
+      SELECT axis.vk, ${groupCols.map(c => s"axis.$c").mkString(", ")},
+        round(CAST(sum(k) OVER (PARTITION BY ${groupCols.map(c => s"axis.$c").mkString(", ")}
+            ORDER BY axis.vk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / CAST(n AS DOUBLE), 6) AS ${valueCol}_ecdf
+      FROM axis JOIN tot USING ($g)
+    )
+    SELECT ${outCols.mkString(", ")}, ${valueCol}_ecdf
+    FROM keyed LEFT JOIN cdf USING ($g, vk)"""
   }
 
   /** MAD OUTLIER FLAGS — the robust twin of the z-score anomaly gate

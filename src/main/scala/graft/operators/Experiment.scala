@@ -402,11 +402,28 @@ object Experiment {
     * is exact BIGINT and the z is one fixed double sequence. Output
     * one row: `n_a, n_b, u_a (exact ties-as-halves), z (6dp)`. */
   def mannWhitney(perUnit: DataFrame, variantCol: String, metricCol: String,
-                  a: String, b: String): DataFrame = {
+                  a: String, b: String, exact: Boolean = true,
+                  gridLevels: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byValue = perUnit
-      .filter(col(variantCol).isin(a, b))
-      .groupBy(col(metricCol).as("__v"))
+    val sides = perUnit.filter(col(variantCol).isin(a, b))
+    // exact = false: quantize the metric to gridLevels min-max grid
+    // representatives first (AxisGrid) — the value axis is then
+    // bounded at ANY corpus size; ranks can only move within one grid
+    // cell, so the z drifts by at most the cross-cell tie mass
+    // (RobustModeSpec pins <= 0.01 on this data)
+    val keyed =
+      if (exact) sides.withColumn("__mv", col(metricCol))
+      else {
+        val stats = sides.filter(col(metricCol).isNotNull)
+          .agg(min(col(metricCol).cast("double")).as("__mn"),
+            max(col(metricCol).cast("double")).as("__mx"))
+        sides.crossJoin(broadcast(stats))
+          .withColumn("__mv",
+            graft.functions.AxisGrid.rep(col(metricCol).cast("double"),
+              col("__mn"), col("__mx"), gridLevels))
+      }
+    val byValue = keyed
+      .groupBy(col("__mv").as("__v"))
       .agg(count(when(col(variantCol) === a, lit(1))).as("__na"),
         count(when(col(variantCol) === b, lit(1))).as("__nb"))
     val wPrev = Window.orderBy(col("__v"))

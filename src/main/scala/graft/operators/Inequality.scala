@@ -27,10 +27,35 @@ import org.apache.spark.sql.functions._
   * Requires non-negative values (the standard Gini domain). */
 object Inequality {
 
+  /** `exact = false` bounds the value axis ABSOLUTELY for continuous
+    * metrics: values first quantize to `gridLevels` per-group min–max
+    * grid representatives ([[graft.functions.AxisGrid]]), so the fold
+    * touches ≤ gridLevels rows per group at ANY corpus size. The
+    * quantized Gini drifts by at most one grid cell's worth of mass
+    * re-ranked (RobustModeSpec pins ≤ 0.001 on this data); still
+    * deterministic — representatives land on the 6-dp grid and sums
+    * stay DECIMAL-exact. */
   def gini(df: DataFrame, valueCol: String,
-           groupCols: Seq[String] = Nil): DataFrame = {
-    val v = col(valueCol).cast("decimal(18,2)")
-    val axis = df.groupBy((groupCols.map(col) :+ v.as("__v")): _*)
+           groupCols: Seq[String] = Nil, exact: Boolean = true,
+           gridLevels: Int = 10000): DataFrame = {
+    val v =
+      if (exact) col(valueCol).cast("decimal(18,2)")
+      else col("__rep").cast("decimal(18,6)")
+    val base =
+      if (exact) df
+      else {
+        val stats = df.filter(col(valueCol).isNotNull)
+          .groupBy(groupCols.map(col): _*)
+          .agg(min(col(valueCol).cast("double")).as("__mn"),
+            max(col(valueCol).cast("double")).as("__mx"))
+        val joined =
+          if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+          else df.join(broadcast(stats), groupCols)
+        joined.withColumn("__rep",
+          graft.functions.AxisGrid.rep(col(valueCol).cast("double"),
+            col("__mn"), col("__mx"), gridLevels))
+      }
+    val axis = base.groupBy((groupCols.map(col) :+ v.as("__v")): _*)
       .agg(count(lit(1)).as("__k"))
     val wPrev = (if (groupCols.isEmpty) Window.orderBy(col("__v"))
                  else Window.partitionBy(groupCols.map(col): _*)

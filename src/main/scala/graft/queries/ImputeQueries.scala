@@ -144,6 +144,18 @@ object ImputeQueries extends Registry {
         Tables.lineitem(s, d).select(col("l_returnflag"),
           col("l_extendedprice")),
         "l_extendedprice", Seq("l_returnflag"))),
+    // C8: the SCALE MODE of the same transform — the value axis first
+    // quantizes to 10k per-group min-max grid levels (AxisGrid), so
+    // the fold is bounded at ANY corpus size where the exact axis
+    // grows with the distinct-value count (4.6x at 10x, BASELINE.md).
+    // Unlike a sketch mode this is STILL bit-exact under the oracle:
+    // min/max are order-insensitive exact aggregates and the level
+    // arithmetic is a fixed double sequence.
+    "c8_ecdf_scale" -> ((s, d) =>
+      graft.impute.Robust.ecdf(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_extendedprice")),
+        "l_extendedprice", Seq("l_returnflag"), exact = false)),
     // deterministic categorical fill: global mode with stable ties.
     "impute_orders_priority_mode" -> ((s, d) =>
       MeanImpute.imputeMode(Tables.orders(s, d), "o_orderpriority",
@@ -282,6 +294,9 @@ object ImputeQueries extends Registry {
     // impute_customer_rbm / _tuned / _distributed / c8_segment_rbm /
     // clean_api: stochastic training — no SQL oracle by design
     "c8_ecdf" -> graft.impute.Robust.sqlEcdf(
+      "lineitem", "l_extendedprice", Seq("l_returnflag"),
+      Seq("l_returnflag", "l_extendedprice")),
+    "c8_ecdf_scale" -> graft.impute.Robust.sqlEcdfScale(
       "lineitem", "l_extendedprice", Seq("l_returnflag"),
       Seq("l_returnflag", "l_extendedprice")),
     "c8_winsorize" -> """

@@ -180,7 +180,11 @@ object ScaleProbe {
       // the percentile groups stay bounded by the seasonal key space)
       "d55_bootstrap_diff", "d56_seasonal_anomaly",
       // Gini: value-axis agg + bounded fold — scan-bound
-      "d57_gini")
+      "d57_gini",
+      // round-10: grid-quantized ecdf — the axis is BOUNDED at 10k
+      // levels/group, so the fold cost must flatline while exact
+      // c8_ecdf's axis grows with distinct values (4.6x at 10x, r9)
+      "c8_ecdf_scale")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
@@ -188,9 +192,13 @@ object ScaleProbe {
     val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
     queries.filter(q => only.forall(_.contains(q))).foreach { name =>
       val fn = SparkEntry.queries(name)
+      // noop sink, not count(): count lets Catalyst prune
+      // row-preserving work (it eliminated c8_ecdf's left-outer
+      // attach entirely — the probe timed a bare scan), the same
+      // round-8 lesson Bench already applied
       def run(dir: String): Double = {
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       run(sfDir) // warm the codegen/scan path once at small scale

@@ -71,6 +71,68 @@ class RobustModeSpec extends SparkSpec {
       s"$disagree / $total flags disagree")
   }
 
+  test("ecdf scale mode: sup-norm drift ≤1%; rows and nulls preserved") {
+    def e(exact: Boolean) =
+      Robust.ecdf(li.select("l_returnflag", "l_extendedprice"),
+          "l_extendedprice", Seq("l_returnflag"), exact = exact)
+        .withColumnRenamed("l_extendedprice_ecdf",
+          if (exact) "fe" else "fa")
+    val joined = e(true).join(e(false),
+      Seq("l_returnflag", "l_extendedprice"))
+    assert(joined.count() >= li.count())
+    val sup = joined.agg(max(abs(col("fe") - col("fa"))))
+      .head().getDouble(0)
+    assert(sup <= 0.01, s"ECDF sup-norm drift $sup > 1%")
+  }
+
+  test("ecdf: >6dp doubles are grid-quantized, not float-joined; " +
+       "null values survive with null ecdf") {
+    import spark.implicits._
+    // two values closer than the 6-dp grid MUST collapse to one axis
+    // point (the enforced bounded-axis contract), and a null value
+    // row must come back (null ecdf) instead of silently dropping
+    val rows = Seq(("g", Some(1.00000001)), ("g", Some(1.00000002)),
+      ("g", Some(2.0)), ("g", None)).toDF("g", "v")
+    val out = Robust.ecdf(rows, "v", Seq("g"))
+    assert(out.count() === 4)
+    assert(out.filter(col("v").isNull).count() === 1)
+    assert(out.filter(col("v").isNull).head().isNullAt(
+      out.columns.indexOf("v_ecdf")))
+    val byV = out.filter(col("v").isNotNull)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // the two sub-grid neighbours share one ecdf (both = 2/3)
+    assert(byV(1.00000001) === byV(1.00000002))
+    assert(math.abs(byV(1.00000001) - 2.0 / 3) < 1e-6)
+    assert(byV(2.0) === 1.0)
+  }
+
+  test("gini scale mode drifts ≤ 0.001 from exact") {
+    def g(exact: Boolean) =
+      graft.operators.Inequality.gini(
+          graft.Tables.events(spark, sf0001), "value", Seq("event_type"),
+          exact = exact)
+        .select(col("event_type"), col("gini").as(if (exact) "ge" else "ga"))
+    val deltas = g(true).join(g(false), "event_type")
+      .agg(max(abs(col("ge") - col("ga")))).head().getDouble(0)
+    assert(deltas <= 0.001, s"gini drift $deltas > 0.001")
+  }
+
+  test("mann-whitney scale mode: z within 0.01 of exact") {
+    val pu = graft.Tables.events(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(12,2)"))
+        .otherwise(lit(0).cast("decimal(12,2)")))
+        .cast("decimal(18,2)").as("m"))
+      .withColumn("variant", graft.operators.Experiment.variantOf(
+        col("user_id"), Seq("control", "treatment"), salt = 17))
+    def z(exact: Boolean) =
+      graft.operators.Experiment.mannWhitney(pu, "variant", "m",
+        "control", "treatment", exact = exact).head().getDouble(3)
+    val d = math.abs(z(true) - z(false))
+    assert(d <= 0.01, s"M-W z drift $d > 0.01")
+  }
+
   test("quantileBins approx bins agree with exact on ≥99% of values") {
     // bin is a pure function of (group, value) — compare on the
     // distinct domain (see robustScale note on non-unique row keys)
