@@ -734,11 +734,13 @@ object TextQueries extends Registry {
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("shingle"), col("e.cnt").as("n"))),
     // C5: BPE tokenizer training (graft.text.Bpe) — 30 merges learned
-    // from the corpus: one corpus pass for word frequencies, then each
-    // round is a vocabulary-sized pair count + a 1-row argmax. The
-    // result is the driver's merge table. Rows-only by the no-oracle
-    // contract (iterative data-dependent argmax isn't one SQL query);
-    // BpeSpec proves ≡ an independent driver-side reference.
+    // from the corpus: ONE distributed corpus pass (word frequencies),
+    // then the merge loop runs driver-side over the bounded word table
+    // with incremental pair stats (round 10: the per-merge Spark-job
+    // latency cliff is gone — a 32k-merge vocab no longer means ~100k
+    // sequential jobs). Rows-only by the no-oracle contract (iterative
+    // data-dependent argmax isn't one SQL query); BpeSpec pins
+    // learn ≡ learnDistributed ≡ an independent reference.
     "c5_bpe_merges" -> ((s, d) =>
       graft.text.Bpe.mergesDf(s,
         graft.text.Bpe.learn(Tables.documents(s, d).select("text"),

@@ -15,22 +15,28 @@ import org.apache.spark.sql.functions._
   *  1. ONE pass over the corpus builds the word-frequency table (hash
   *     agg on the word — partial map-side; the result is
   *     vocabulary-sized, millions of rows at web scale, not corpus-
-  *     sized).
-  *  2. Every merge round then runs on that word table only: one
-  *     pair-count aggregation (explode adjacent pairs × word freq, hash
-  *     agg), one `limit(1)` argmax to the driver (a single row — this
-  *     is the unavoidable sequential decision of the algorithm), and
-  *     one codegen'd fold that applies the merge. `localCheckpoint`
-  *     after each round keeps lineage flat across hundreds of rounds.
-  *     The corpus is never touched again.
+  *     sized). This is the only pass that touches the corpus.
+  *  2. The merge loop runs over that BOUNDED word table — and because
+  *     it is bounded, [[learn]] collects it once and runs the loop
+  *     DRIVER-SIDE with incremental pair-stat maintenance (the
+  *     Sennrich reference shape): each round re-touches only the
+  *     words containing the merged pair. The alternative of one Spark
+  *     job per round ([[learnDistributed]], kept for word tables that
+  *     exceed driver memory) is data-scale-safe but pays ~3 sequential
+  *     jobs of scheduling latency PER MERGE — a 32k-merge production
+  *     vocabulary means ~100k sequential jobs, hours of pure latency
+  *     for work that fits in one machine's memory. Tokenizer trainers
+  *     (HF, SentencePiece) are driver-side for exactly this reason;
+  *     the cluster's job here is the corpus pass, not the argmax loop.
   *
   * Determinism: the argmax tie-breaks (count DESC, left ASC, right
   * ASC) — total order, so the learned merge table is identical for any
-  * partitioning or row order (counts are exact integer sums). The merge
-  * application is a left-to-right greedy fold, the standard convention.
-  * Iterative data-dependent argmax is not expressible in one SQL query,
-  * so the query surface is rows-only; BpeSpec proves the distributed
-  * learner ≡ an independent driver-side reference implementation.
+  * partitioning or row order (counts are exact integer sums), and the
+  * driver and distributed learners are provably interchangeable
+  * (BpeSpec pins learn ≡ learnDistributed ≡ an independent reference).
+  * The merge application is a left-to-right greedy fold, the standard
+  * convention. Iterative data-dependent argmax is not expressible in
+  * one SQL query, so the query surface is rows-only.
   *
   * Symbols stay in `[a-z]` + the `</w>` terminal by construction
   * (wordFreq keeps lowercase letter runs only), so embedding them in
@@ -51,9 +57,120 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Learn up to `nMerges` merges; stops early when the best remaining
-    * pair occurs fewer than `minCount` times. */
+    * pair occurs fewer than `minCount` times.
+    *
+    * ONE corpus-sized Spark pass (the word-frequency agg), then the
+    * merge loop runs driver-side over the collected word table with
+    * INCREMENTAL pair-stat maintenance: round r only re-processes
+    * words that contain the pair merged in round r — the Sennrich
+    * `learn_bpe` shape. Kills the one-Spark-job-per-merge latency
+    * cliff of [[learnDistributed]] (identical output, spec-pinned)
+    * while keeping the corpus pass distributed.
+    *
+    * `maxVocabRows` bounds the driver copy (a web-scale word table is
+    * millions of rows — tens of MB — but a caller feeding raw
+    * UNtokenizable junk could blow past that); exceeding it fails
+    * fast with a pointer to [[learnDistributed]]. */
   def learn(df: DataFrame, textCol: String, nMerges: Int,
-            minCount: Long = 2L): Seq[Merge] = {
+            minCount: Long = 2L, maxVocabRows: Int = 5000000): Seq[Merge] = {
+    require(nMerges >= 0 && minCount >= 1)
+    val rows = wordFreq(df, textCol).limit(maxVocabRows + 1).collect()
+    require(rows.length <= maxVocabRows,
+      s"word table exceeds maxVocabRows=$maxVocabRows — use learnDistributed")
+    learnLocal(
+      rows.map(r => (r.getString(0).map(_.toString).toArray :+ EndOfWord,
+        r.getLong(1))),
+      nMerges, minCount)
+  }
+
+  /** The in-memory merge loop over a (symbols, freq) word table —
+    * exposed for spec-level equivalence pinning. Selection order and
+    * greedy application are IDENTICAL to the distributed form. */
+  def learnLocal(table: Array[(Array[String], Long)], nMerges: Int,
+                 minCount: Long): Seq[Merge] = {
+    import scala.collection.mutable
+    val syms = table.map(_._1)
+    val freq = table.map(_._2)
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val n = stats.getOrElse(p, 0L) + sign * freq(wi)
+        if (n == 0L) stats.remove(p) else stats(p) = n
+        if (sign > 0) index.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+      if (sign < 0) {
+        // drop the word from indexes of pairs it no longer contains
+        // (recomputed below when the rewritten form is re-added)
+        var j = 0
+        while (j + 1 < s.length) {
+          index.get((s(j), s(j + 1))).foreach(_ -= wi)
+          j += 1
+        }
+      }
+    }
+    var wi = 0
+    while (wi < syms.length) { addWord(wi, 1L); wi += 1 }
+    val merges = Seq.newBuilder[Merge]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      // argmax by (count DESC, left ASC, right ASC) — an explicit
+      // total order, so HashMap iteration order is irrelevant
+      var best: ((String, String), Long) = null
+      stats.foreach { case e @ (p, c) =>
+        if (best == null || c > best._2 ||
+            (c == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2)))) best = e
+      }
+      if (best == null || best._2 < minCount) done = true
+      else {
+        val ((a, b), cnt) = best
+        merges += Merge(r, a, b, a + b, cnt)
+        // only words CONTAINING (a, b) can change — the incremental
+        // step that makes round cost ∝ affected words, not vocabulary
+        val affected = index.getOrElse((a, b), mutable.Set.empty).toArray
+        java.util.Arrays.sort(affected)
+        affected.foreach { w =>
+          val rewritten = applyPairGreedy(syms(w), a, b)
+          if (!java.util.Arrays.equals(
+              rewritten.asInstanceOf[Array[AnyRef]],
+              syms(w).asInstanceOf[Array[AnyRef]])) {
+            addWord(w, -1L)
+            syms(w) = rewritten
+            addWord(w, 1L)
+          }
+        }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** One greedy left-to-right (a, b) → ab pass — the driver-side twin
+    * of [[mergeOnce]]'s codegen fold. */
+  private def applyPairGreedy(s: Array[String], a: String,
+                              b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The one-Spark-job-per-round learner — for word tables that exceed
+    * driver memory (at which point each round's pair agg and fold ARE
+    * cluster-sized work, and the per-round scheduling latency is the
+    * price of not fitting in RAM). Output ≡ [[learn]] (spec-pinned). */
+  def learnDistributed(df: DataFrame, textCol: String, nMerges: Int,
+                       minCount: Long = 2L): Seq[Merge] = {
     require(nMerges >= 0 && minCount >= 1)
     // chars + terminal: "low" → [l, o, w, </w>]
     var words = wordFreq(df, textCol)

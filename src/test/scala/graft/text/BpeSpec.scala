@@ -97,6 +97,22 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("driver-side learner ≡ distributed learner") {
+    assert(Bpe.learn(corpusDf, "text", 12) ===
+      Bpe.learnDistributed(corpusDf, "text", 12))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text")
+    assert(Bpe.learn(docs, "text", 8) ===
+      Bpe.learnDistributed(docs, "text", 8))
+  }
+
+  test("maxVocabRows guard fails fast toward learnDistributed") {
+    val e = intercept[IllegalArgumentException] {
+      Bpe.learn(corpusDf, "text", 2, maxVocabRows = 1)
+    }
+    assert(e.getMessage.contains("learnDistributed"))
+  }
+
   test("tie-break is total: equal counts resolve (left, right) ascending") {
     // "ab" and "cd" both appear twice; (a,b) < (c,d) lexicographically
     val df = Seq("ab ab cd cd").toDF("text")
