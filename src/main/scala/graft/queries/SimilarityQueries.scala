@@ -183,6 +183,25 @@ object SimilarityQueries extends Registry {
       graft.text.LexicalIndex.topK(s, tbl, tmp,
         docs.filter(col("doc_id") < 10), "doc_id", "text", k = 5)
     }),
+    // C3: INCREMENTAL index maintenance — the nightly-batch shape the
+    // build-once indexes lacked: build on 3/4 of the corpus, MERGE the
+    // remaining quarter (postings append + vocabulary-sized df re-sum
+    // + 1-row stats rewrite — cost scales with the batch, never the
+    // indexed corpus), then serve. Every persisted aggregate is
+    // additive over disjoint doc sets, so (build ∪ merge) ≡ one-shot
+    // rebuild BIT-EXACT — same DuckDB oracle as the full-corpus serve.
+    "c3_bm25_serve_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (tbl, tmp) = indexScratch(d, "graft_bm25_incr_postings")
+      graft.text.LexicalIndex.write(
+        docs.filter(col("doc_id") >= 10 && pmod(col("doc_id"), lit(4)) =!= 0),
+        "doc_id", "text", table = tbl, path = tmp, numBuckets = 8)
+      graft.text.LexicalIndex.merge(s, tbl, tmp,
+        docs.filter(col("doc_id") >= 10 && pmod(col("doc_id"), lit(4)) === 0),
+        "doc_id", "text", numBuckets = 8)
+      graft.text.LexicalIndex.topK(s, tbl, tmp,
+        docs.filter(col("doc_id") < 10), "doc_id", "text", k = 5)
+    }),
     // C3: per-label centroids (the IVF/k-NN-classify building block) —
     // posexplode to (label, dim, v), then an ORDER-INSENSITIVE exact
     // mean: elements rounded to the 6-dp grid (tie-free for binary
@@ -238,6 +257,12 @@ object SimilarityQueries extends Registry {
       k = 5),
     // identical oracle: serving from the persisted index ≡ recompute
     "c3_bm25_serve" -> graft.text.Bm25.sql(
+      "SELECT doc_id, text FROM documents WHERE doc_id >= 10",
+      "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 10",
+      k = 5),
+    // identical oracle again: (build ∪ incremental merge) ≡ a one-shot
+    // index of the UNION corpus ≡ the recompute — the merge is exact
+    "c3_bm25_serve_incr" -> graft.text.Bm25.sql(
       "SELECT doc_id, text FROM documents WHERE doc_id >= 10",
       "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 10",
       k = 5),

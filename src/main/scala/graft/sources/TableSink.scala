@@ -41,6 +41,21 @@ object TableSink {
       .format("parquet")
       .saveAsTable(table)
 
+  /** APPEND a batch to an existing bucketed table — the incremental-
+    * maintenance write: each append lands one new (bucketed, sorted)
+    * file set scaled to the BATCH, existing files are untouched bytes,
+    * and readers keep the no-Exchange bucketed join because the bucket
+    * spec is unchanged (Spark rejects a mismatched spec at write
+    * time). Periodic [[compact]] of the table location keeps the
+    * per-bucket file count bounded across many appends. */
+  def appendBucketed(df: DataFrame, table: String,
+                     bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** COMPACTION — the small-files fix every long-lived ingest needs:
     * streaming sinks, per-batch CDC rewrites and fine-grained
     * partitions leave thousands of KB-sized parquet files, and at

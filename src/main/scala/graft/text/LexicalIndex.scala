@@ -63,6 +63,72 @@ object LexicalIndex {
       table, s"$path/postings", Seq("term"), numBuckets)
   }
 
+  /** INCREMENTALLY fold a batch of NEW documents into a persisted
+    * index — the nightly-batch path that previously had no option but
+    * a full rebuild. Every persisted aggregate is ADDITIVE over
+    * disjoint document sets, so the merge is exact, not approximate:
+    *
+    *  - postings `(term, doc_id, tf, dl)` rows are per-document facts
+    *    — the batch's rows APPEND to the bucketed table
+    *    ([[graft.sources.TableSink.appendBucketed]]): one new file set
+    *    sized to the batch, existing files untouched, bucket spec (and
+    *    the serve path's zero-Exchange join) preserved;
+    *  - `terms` df counts add: old table ∪ batch df, summed per term
+    *    (a VOCABULARY-sized job — grows sub-linearly with the corpus);
+    *  - `stats` is one row of additive counts.
+    *
+    * Because BM25 reads df/n_docs/total_len at QUERY time, the merged
+    * index serves scores BIT-IDENTICAL to a one-shot [[write]] of the
+    * union corpus (LexicalIndexSpec pins it; the `c3_bm25_serve_incr`
+    * row puts it under the exact DuckDB oracle). Per-batch cost scales
+    * with the batch + vocabulary, never the indexed corpus.
+    *
+    * CONTRACT: batch doc ids must be NEW — postings are append-only
+    * facts, so re-merging an already-indexed document would double its
+    * tf/dl/df contributions (updates/deletes need the MergeUpsert
+    * snapshot shape, not an inverted index). After many appends,
+    * [[graft.sources.TableSink.compact]] bounds per-bucket file
+    * counts. */
+  def merge(spark: SparkSession, table: String, path: String,
+            newDocs: DataFrame, idCol: String, textCol: String,
+            numBuckets: Int = 32): Unit = {
+    if (newDocs.isEmpty) return
+    val toks = newDocs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .localCheckpoint()
+    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val doclen = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
+    // stats: two 1-row reads, one additive rewrite
+    val old = spark.read.parquet(s"$path/stats").collect()(0)
+    val add = doclen.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      .collect()(0)
+    import spark.implicits._
+    Seq((old.getLong(old.fieldIndex("n_docs")) + add.getLong(0),
+        old.getLong(old.fieldIndex("total_len")) + add.getLong(1)))
+      .toDF("n_docs", "total_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    // terms: vocabulary-sized union-sum, MATERIALIZED (localCheckpoint)
+    // before overwriting the directory it was read from
+    val updatedTerms = spark.read.parquet(s"$path/terms")
+      .unionByName(postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .localCheckpoint()
+    updatedTerms.write.mode("overwrite").parquet(s"$path/terms")
+    // postings: append the batch's rows to the bucketed table
+    graft.sources.TableSink.appendBucketed(
+      postings.join(doclen, "doc_id")
+        .select(col("term"), col("doc_id"), col("tf"), col("dl")),
+      table, Seq("term"), numBuckets)
+    // appended files must be visible to an already-resolved table
+    // relation in this session
+    spark.catalog.refreshTable(table)
+  }
+
   /** Top-`k` docs per query against the PERSISTED index — no corpus
     * tokenization, no corpus aggregation. Same output contract and
     * same exact scores as [[Bm25.topK]] with identical parameters. */

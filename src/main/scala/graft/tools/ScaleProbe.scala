@@ -184,7 +184,11 @@ object ScaleProbe {
       // round-10: grid-quantized ecdf — the axis is BOUNDED at 10k
       // levels/group, so the fold cost must flatline while exact
       // c8_ecdf's axis grows with distinct values (4.6x at 10x, r9)
-      "c8_ecdf_scale")
+      "c8_ecdf_scale",
+      // round-10: incremental BM25 index — build (3/4 corpus) + merge
+      // (1/4) + serve; the full row replicates with the corpus, the
+      // merge-only exponent is ProfileLexicalMerge (measured 1.0x)
+      "c3_bm25_serve_incr")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops

@@ -48,6 +48,43 @@ class LexicalIndexSpec extends SparkSpec {
       "maxDfFraction=0.05 should change results on the fixture")
   }
 
+  test("incremental merge: (build ∪ merge) ≡ one-shot rebuild bit-exact") {
+    // nightly shape: index ~3/4 of the corpus, merge the rest
+    val initial = corpus.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = corpus.filter(pmod(col("doc_id"), lit(4)) === 0)
+    LexicalIndex.write(initial, "doc_id", "text",
+      table = "lex_incr_postings", path = s"$tmp/idx_incr", numBuckets = 4)
+    LexicalIndex.merge(spark, "lex_incr_postings", s"$tmp/idx_incr",
+      batch, "doc_id", "text", numBuckets = 4)
+    val served = LexicalIndex.topK(spark, "lex_incr_postings",
+      s"$tmp/idx_incr", queries, "doc_id", "text", k = 5)
+    // one-shot index of the union corpus — the rebuild the merge avoids
+    LexicalIndex.write(corpus, "doc_id", "text",
+      table = "lex_full_postings", path = s"$tmp/idx_full", numBuckets = 4)
+    val rebuilt = LexicalIndex.topK(spark, "lex_full_postings",
+      s"$tmp/idx_full", queries, "doc_id", "text", k = 5)
+    assert(served.count() > 0)
+    assert(served.exceptAll(rebuilt).isEmpty &&
+           rebuilt.exceptAll(served).isEmpty,
+      "merged index diverged from the one-shot rebuild")
+    // stats really are the union's (additive 1-row rewrite)
+    val st = spark.read.parquet(s"$tmp/idx_incr/stats").collect()(0)
+    val full = spark.read.parquet(s"$tmp/idx_full/stats").collect()(0)
+    assert(st === full, s"merged stats $st != rebuilt stats $full")
+    // serving the MERGED table still never shuffles the index side
+    served.collect()
+    val physical = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!physical.contains("Exchange hashpartitioning(term"),
+      "merged index side shuffled on term")
+    // an empty batch is a no-op, not a corrupted index
+    LexicalIndex.merge(spark, "lex_incr_postings", s"$tmp/idx_incr",
+      batch.limit(0), "doc_id", "text", numBuckets = 4)
+    assert(LexicalIndex.topK(spark, "lex_incr_postings", s"$tmp/idx_incr",
+      queries, "doc_id", "text", k = 5)
+      .exceptAll(rebuilt).isEmpty)
+  }
+
   test("index side of the serving join never shuffles on term") {
     LexicalIndex.write(corpus, "doc_id", "text",
       table = "lex_plan_postings", path = s"$tmp/idx_plan", numBuckets = 4)
