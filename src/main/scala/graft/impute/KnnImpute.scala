@@ -86,6 +86,70 @@ object KnnImpute {
       .drop("__rid", "__imputed")
   }
 
+  /** CATEGORICAL KNN imputation — donor-majority vote over the SAME
+    * scoring tail as [[impute]]: fill a missing label with the most
+    * common label among the `k` nearest complete rows in feature
+    * space. Completes the categorical story next to RBM argmax (joint
+    * model) and mode fill (global prior) with the LOCAL estimator —
+    * a row's own neighborhood decides, which is what practitioners
+    * mean by "KNNImputer on a categorical column".
+    *
+    * Determinism: the same A4/A5 scaling fit, fixed-order d², and
+    * (d², donor id) rank as the numeric form; the vote then breaks
+    * ties by EARLIEST DONOR — (votes DESC, min-rank ASC), and
+    * min-rank values are distinct across labels, so the pick is a
+    * total order and the whole imputer sits under the bit-exact
+    * oracle. Same audit shape as [[impute]] (recipients × donors);
+    * the candidate-blocked composition applies identically when a
+    * segment outgrows it. */
+  def imputeCategorical(df: DataFrame, idCol: String, targetCol: String,
+                        featureCols: Seq[String], k: Int = 5): DataFrame = {
+    require(featureCols.nonEmpty && k >= 1)
+    val featOk = featureCols.map(col(_).isNotNull).reduce(_ && _)
+    val donors = df.filter(col(targetCol).isNotNull && featOk)
+    val stats = donors.agg(
+      featureCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).head,
+      featureCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*)
+    def scaled(prefix: String)(c: String): Column =
+      Scaling.scale(col(s"$prefix$c").cast("double"),
+        col(s"__mn_$c"), col(s"__mx_$c"))
+    val recipients = df.filter(col(targetCol).isNull && featOk)
+      .select(col(idCol).as("__rid") +:
+        featureCols.map(c => col(c).as(s"__rf_$c")): _*)
+      .crossJoin(broadcast(stats))
+    val donorSide = donors
+      .select(Seq(col(idCol).as("__did"),
+        col(targetCol).as("__dv")) ++
+        featureCols.map(c => col(c).as(s"__df_$c")): _*)
+    val d2 = featureCols.map { c =>
+      val e = scaled("__rf_")(c) - scaled("__df_")(c)
+      e * e
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("__rid"))
+      .orderBy(col("__d2").asc, col("__did").asc)
+    val wPick = Window.partitionBy(col("__rid"))
+      .orderBy(col("__votes").desc, col("__best").asc)
+    val imputed = recipients.join(donorSide,
+        col("__rid") =!= col("__did"), "inner")
+      .withColumn("__d2", d2)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .groupBy(col("__rid"), col("__dv"))
+      .agg(count(lit(1)).as("__votes"), min(col("__rank")).as("__best"))
+      .withColumn("__pick", row_number().over(wPick))
+      .filter(col("__pick") === 1)
+      .select(col("__rid"), col("__dv").as("__imputed"))
+    df.join(imputed, col(idCol) === col("__rid"), "left_outer")
+      .withColumn(targetCol,
+        when(col(targetCol).isNull, col("__imputed"))
+          .otherwise(col(targetCol)))
+      .drop("__rid", "__imputed")
+  }
+
   /** THE CORPUS-SCALE FORM — KNN imputation over IVF-blocked candidate
     * donors instead of the full recipients × donors join. The scoring
     * tail is IDENTICAL to [[impute]] (same A4/A5 scaling fit on donors,

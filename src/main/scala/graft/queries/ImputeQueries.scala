@@ -136,6 +136,33 @@ object ImputeQueries extends Registry {
         .select(col("__key").as("row_key"), col("l_orderkey"),
           col("l_linenumber"), col("l_extendedprice").as("imputed_price"))
     }),
+    // the SERVE-ONLY twin: identical output, but the donor index is
+    // built at most ONCE per (host, sf) — an ensure-built guard, not a
+    // timed rebuild — so this bench row carries the SERVING claim on
+    // its own number (impute_knn_serve deliberately times build+serve;
+    // its 10× probe was dominated by the 10× index WRITE, which says
+    // nothing about serve latency). Bench takes min-of-2 reps, so even
+    // the rep that pays the one-time build never masks the serve cost.
+    "impute_knn_serve_only" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(pmod(col("l_orderkey"), lit(10L)) === 0)
+        .withColumn("__mkey", expr(lineitemKey))
+        .withColumn("__key", expr(lineitemUniqueKey))
+      val withMissing = Noise.injectMissing(li, "l_extendedprice",
+        "__mkey", salt = 43, frac = 0.10)
+      val (tbl, tmp) = indexScratch(d, "graft_knn_donors_so")
+      if (!s.catalog.tableExists(tbl) ||
+          !new java.io.File(s"$tmp/stats").exists())
+        graft.impute.KnnImpute.writeDonorIndex(withMissing, "__key",
+          "l_extendedprice", Seq("l_quantity", "l_discount", "l_tax"),
+          table = tbl, path = tmp)
+      graft.impute.KnnImpute.imputeServe(s, tbl, tmp, withMissing,
+          "__key", "l_extendedprice",
+          Seq("l_quantity", "l_discount", "l_tax"), k = 5)
+        .filter(col("l_extendedprice").isNotNull)
+        .select(col("__key").as("row_key"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice").as("imputed_price"))
+    }),
     // C8: ECDF rank transform — nonparametric quantile-uniformization
     // per group on the bounded value axis (the Mann–Whitney/KM
     // recipe: never a corpus-sized rank window).
@@ -160,6 +187,23 @@ object ImputeQueries extends Registry {
     "impute_orders_priority_mode" -> ((s, d) =>
       MeanImpute.imputeMode(Tables.orders(s, d), "o_orderpriority",
         "o_orderkey", salt = 42)),
+    // CATEGORICAL KNN: the LOCAL estimator for the same column the
+    // mode query fills globally — missing o_orderpriority takes the
+    // majority label of the 5 nearest complete orders in totalprice
+    // space (ties: earliest donor in (d², id) order — a total order,
+    // so the vote is oracle-exact). 1-in-20 slice: the exact audit
+    // join is O(missing × donors) by design, same contract as
+    // impute_lineitem_knn.
+    "impute_orders_priority_knn" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(20L)) === 0)
+      val withMissing = Noise.injectMissing(o, "o_orderpriority",
+        "o_orderkey", salt = 45, frac = 0.10)
+      graft.impute.KnnImpute.imputeCategorical(withMissing, "o_orderkey",
+          "o_orderpriority", Seq("o_totalprice"), k = 5)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority").as("imputed_priority"))
+    }),
     "impute_customer_rbm_fixture" -> ((s, d) => RbmFixture.query(s, d)),
     "impute_customer_rbm" -> rbmClean,
     // tune_rbm=True path (A16/A17): tiny grid, shared training sample.
@@ -288,6 +332,43 @@ object ImputeQueries extends Registry {
     "impute_orders_priority_mode" ->
       MeanImpute.modeOracleSql("orders", ordersCols, "o_orderpriority",
         "o_orderkey", salt = 42),
+    "impute_orders_priority_knn" -> {
+      val sc = (x: String) =>
+        s"""(CASE WHEN mx = mn THEN 0.0e0
+             ELSE (CAST($x AS DOUBLE) - mn) / (mx - mn) END)"""
+      s"""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+          CASE WHEN ${Noise.sqlMissing("o_orderkey", 45, 0.10)}
+            THEN NULL ELSE o_orderpriority END AS tgt
+        FROM orders WHERE o_orderkey % 20 = 0
+      ), stats AS (
+        SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,
+               max(CAST(o_totalprice AS DOUBLE)) AS mx
+        FROM base WHERE tgt IS NOT NULL
+      ), pairs AS (
+        SELECT r.o_orderkey AS rid, d.o_orderkey AS did, d.tgt AS dv,
+          ((${sc("r.o_totalprice")} - ${sc("d.o_totalprice")})
+           * (${sc("r.o_totalprice")} - ${sc("d.o_totalprice")})) AS d2
+        FROM base r CROSS JOIN base d CROSS JOIN stats
+        WHERE r.tgt IS NULL AND d.tgt IS NOT NULL
+          AND r.o_orderkey != d.o_orderkey
+      ), ranked AS (
+        SELECT rid, dv, row_number() OVER (
+          PARTITION BY rid ORDER BY d2 ASC, did ASC) AS rn
+        FROM pairs
+      ), votes AS (
+        SELECT rid, dv, count(*) AS votes, min(rn) AS best
+        FROM ranked WHERE rn <= 5 GROUP BY rid, dv
+      ), picked AS (
+        SELECT rid, dv, row_number() OVER (
+          PARTITION BY rid ORDER BY votes DESC, best ASC) AS pk
+        FROM votes)
+      SELECT b.o_orderkey, b.o_custkey,
+        coalesce(b.tgt, i.dv) AS imputed_priority
+      FROM base b LEFT JOIN (SELECT rid, dv FROM picked WHERE pk = 1) i
+        ON i.rid = b.o_orderkey"""
+    },
     "impute_customer_rbm_fixture" -> RbmFixture.oracleSql,
     "c8_segment_mean_impute" -> graft.impute.SegmentedImpute.meanBySegmentSql(
       "customer", customerCols, "c_acctbal", "c_mktsegment", "c_custkey", salt = 31),

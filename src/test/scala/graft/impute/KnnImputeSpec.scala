@@ -26,6 +26,32 @@ class KnnImputeSpec extends SparkSpec {
     assert(out(1L) === 10.0 && out(2L) === 20.0) // known cells untouched
   }
 
+  test("categorical: donor-majority vote; 2-2 ties go to the earliest donor") {
+    // recipient at x=0; donors ranked by distance: 1:A, 2:B, 3:B, 4:A
+    val df = Seq(
+      (1L, Some("A"), 1.0), (2L, Some("B"), 2.0),
+      (3L, Some("B"), 3.0), (4L, Some("A"), 4.0),
+      (9L, Option.empty[String], 0.0))
+      .toDF("id", "lab", "x")
+    // k=3 → {A, B, B}: clear majority B
+    val k3 = KnnImpute.imputeCategorical(df, "id", "lab", Seq("x"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(k3(9L) === "B")
+    assert(k3(1L) === "A" && k3(2L) === "B") // known cells untouched
+    // k=4 → {A, B, B, A}: 2-2 tie; A owns rank 1 (earliest donor) → A
+    val k4 = KnnImpute.imputeCategorical(df, "id", "lab", Seq("x"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(k4(9L) === "A")
+    // a null FEATURE row keeps its null label (no geometry, no vote)
+    val withNullFeat = df.union(
+      Seq((10L, Option.empty[String], Option.empty[Double]))
+        .toDF("id", "lab", "x"))
+    val out = KnnImpute.imputeCategorical(withNullFeat, "id", "lab",
+        Seq("x"), k = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(10L).isEmpty)
+  }
+
   test("reference-style invariants on real data") {
     val li = Tables.lineitem(spark, sf0001)
       .filter(pmod(col("l_orderkey"), lit(20L)) === 0)
