@@ -384,6 +384,126 @@ object Experiment {
     FROM f CROSS JOIN tot2"""
   }
 
+  /** GROUP-SEQUENTIAL BOUNDARY (O'Brien–Fleming shape) — the fix for
+    * the PEEKING problem every fixed-horizon statistic above silently
+    * has: an experimenter who reads [[welchTTest]] daily and stops at
+    * the first |z| > 1.96 inflates the 5% false-positive rate to
+    * 25%+ over 20 looks (each peek is another chance at a type-I
+    * error). Group-sequential testing spends the α across looks with
+    * an EARLY-CONSERVATIVE boundary
+    *
+    *   b_k = C · √(K / k)      (k = look index, K = total looks)
+    *
+    * — the O'Brien–Fleming shape: nearly unreachable early (b₁ =
+    * C·√K), relaxing to ≈ the fixed-horizon critical value at the
+    * final look, so stopping early requires overwhelming evidence and
+    * the overall α stays controlled. `cAlpha` is the literature
+    * constant for (K, α) — e.g. 2.04 for K = 5 looks at two-sided 5%
+    * (boundaries 4.56, 3.23, 2.63, 2.28, 2.04); like the z-constants
+    * in [[mde]], a literal is exactly what the tables hard-code.
+    *
+    * `perUnit` must hold one row per unit with the look it ENTERED
+    * (`lookCol` — a date/bucket; analysis at look k covers all units
+    * with look ≤ k). Cumulative Σn/Σm/Σm² per arm come from ordered
+    * running sums over the BOUNDED look axis (the srm/KM fold — exact
+    * decimal/BIGINT, no corpus-sized window); the per-look z is the
+    * same fixed Welch sequence as [[welchTTest]]. Looks where either
+    * arm has < 2 cumulative units report z = 0 (no variance exists).
+    *
+    * Output, one row per look: `look, k, n_a, n_b, z (6dp), boundary
+    * (6dp), crossed (1 when |z| ≥ boundary)`. Fully deterministic →
+    * exact oracle ([[sqlObrienFleming]]). */
+  def obrienFleming(perUnit: DataFrame, lookCol: String, variantCol: String,
+                    metricCol: String, a: String, b: String,
+                    cAlpha: Double = 2.04): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = col(metricCol)
+    def cnt(v: String) = count(when(col(variantCol) === v, lit(1)))
+    def side(v: String, e: Column) =
+      sum(when(col(variantCol) === v, e).otherwise(lit(null)))
+    val byLook = perUnit.filter(col(variantCol).isin(a, b))
+      .groupBy(col(lookCol).as("look"))
+      .agg(cnt(a).as("__na"), cnt(b).as("__nb"),
+        side(a, m).as("__sa"), side(b, m).as("__sb"),
+        side(a, m * m).as("__qa"), side(b, m * m).as("__qb"))
+    val wOrd = Window.orderBy(col("look"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def d(c: Column) = c.cast("double")
+    val cum = byLook
+      .withColumn("k", row_number().over(wOrd).cast("bigint"))
+      .withColumn("n_a", sum(col("__na")).over(wCum))
+      .withColumn("n_b", sum(col("__nb")).over(wCum))
+      .withColumn("__csa", sum(col("__sa")).over(wCum))
+      .withColumn("__csb", sum(col("__sb")).over(wCum))
+      .withColumn("__cqa", sum(col("__qa")).over(wCum))
+      .withColumn("__cqb", sum(col("__qb")).over(wCum))
+      .withColumn("__K", max(col("k")).over(wAll))
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val meanA = d(col("__csa")) / na
+    val meanB = d(col("__csb")) / nb
+    val varA = (d(col("__cqa")) - d(col("__csa")) * d(col("__csa")) / na) /
+      (na - lit(1.0))
+    val varB = (d(col("__cqb")) - d(col("__csb")) * d(col("__csb")) / nb) /
+      (nb - lit(1.0))
+    val se2 = varA / na + varB / nb
+    val z = (meanA - meanB) / sqrt(se2)
+    val boundary = lit(cAlpha) * sqrt(d(col("__K")) / d(col("k")))
+    cum.select(col("look"), col("k"), col("n_a"), col("n_b"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0, round(z, 6))
+        .otherwise(lit(0.0)).as("z"),
+      round(boundary, 6).as("boundary"))
+      .withColumn("crossed", (abs(col("z")) >= col("boundary")).cast("bigint"))
+  }
+
+  /** DuckDB twin of [[obrienFleming]] — identical per-look sums,
+    * running-sum fold and double sequence. `perUnitSql` must select
+    * `(look, variant, m)` with `m` DECIMAL. */
+  def sqlObrienFleming(perUnitSql: String, a: String, b: String,
+                       cAlpha: Double = 2.04): String = {
+    import graft.functions.Noise.sqlDouble
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val na = d("n_a"); val nb = d("n_b")
+    val varA = s"((${d("cqa")} - ${d("csa")} * ${d("csa")} / $na) / ($na - 1.0e0))"
+    val varB = s"((${d("cqb")} - ${d("csb")} * ${d("csb")} / $nb) / ($nb - 1.0e0))"
+    val se2 = s"($varA / $na + $varB / $nb)"
+    val z = s"((${d("csa")} / $na - ${d("csb")} / $nb) / sqrt($se2))"
+    s"""
+    WITH pu AS ($perUnitSql), byl AS (
+      SELECT look,
+        CAST(count(CASE WHEN variant = '$a' THEN 1 END) AS BIGINT) AS na,
+        CAST(count(CASE WHEN variant = '$b' THEN 1 END) AS BIGINT) AS nb,
+        sum(CASE WHEN variant = '$a' THEN m ELSE NULL END) AS sa,
+        sum(CASE WHEN variant = '$b' THEN m ELSE NULL END) AS sb,
+        sum(CASE WHEN variant = '$a' THEN m * m ELSE NULL END) AS qa,
+        sum(CASE WHEN variant = '$b' THEN m * m ELSE NULL END) AS qb
+      FROM pu WHERE variant IN ('$a', '$b') GROUP BY look
+    ), cum AS (
+      SELECT look,
+        CAST(row_number() OVER w AS BIGINT) AS k,
+        CAST(sum(na) OVER c AS BIGINT) AS n_a,
+        CAST(sum(nb) OVER c AS BIGINT) AS n_b,
+        sum(sa) OVER c AS csa, sum(sb) OVER c AS csb,
+        sum(qa) OVER c AS cqa, sum(qb) OVER c AS cqb,
+        CAST(count(*) OVER () AS BIGINT) AS kk
+      FROM byl
+      WINDOW w AS (ORDER BY look),
+             c AS (ORDER BY look
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT look, k, n_a, n_b,
+      CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0
+        THEN round($z, 6) ELSE 0.0e0 END AS z,
+      round(${sqlDouble(cAlpha)} * sqrt(${d("kk")} / ${d("k")}), 6)
+        AS boundary,
+      CAST(abs(CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0
+        THEN round($z, 6) ELSE 0.0e0 END)
+        >= round(${sqlDouble(cAlpha)} * sqrt(${d("kk")} / ${d("k")}), 6)
+        AS BIGINT) AS crossed
+    FROM cum"""
+  }
+
   /** MANN–WHITNEY U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample
     * test: does variant b's metric distribution stochastically dominate
     * a's? Where Welch assumes roughly-normal means, U ranks every

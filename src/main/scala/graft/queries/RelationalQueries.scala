@@ -1216,6 +1216,24 @@ object RelationalQueries extends Registry {
       graft.operators.Experiment.welchTTest(
         perUser, "variant", "m", "control", "treatment")
     }),
+    // D113: GROUP-SEQUENTIAL (O'Brien–Fleming) boundary — the peeking
+    // fix the fixed-horizon d32 readout needs when experimenters look
+    // daily: units enter at their first-seen day, cumulative Welch z
+    // per look vs the early-conservative C·√(K/k) boundary (ordered
+    // folds over the bounded day axis — the srm/KM recipe).
+    "d58_sequential_obf" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("look"),
+          sum(when(col("event_type") === "purchase",
+              col("value").cast("decimal(12,2)"))
+            .otherwise(lit(0).cast("decimal(12,2)")))
+            .cast("decimal(18,2)").as("m"))
+        .withColumn("variant", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treatment"), salt = 17))
+      graft.operators.Experiment.obrienFleming(perUser, "look",
+        "variant", "m", "control", "treatment")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1875,6 +1893,15 @@ object RelationalQueries extends Registry {
       Map("control" -> 0.5, "treatment" -> 0.5)),
     "d52_mann_whitney" -> graft.operators.Experiment.sqlMannWhitney(
       abPerUserSql, "control", "treatment"),
+    "d58_sequential_obf" -> graft.operators.Experiment.sqlObrienFleming(
+      s"""SELECT user_id, min(date_trunc('day', ts)) AS look,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m,
+           ${graft.operators.Experiment.sqlVariantOf("user_id",
+             Seq("control", "treatment"), salt = 17)} AS variant
+         FROM events GROUP BY user_id""",
+      "control", "treatment"),
     "d57_gini" -> graft.operators.Inequality.sqlGini(
       "SELECT event_type, value AS v FROM events", Seq("event_type")),
     "d55_bootstrap_diff" -> graft.operators.Bootstrap.sqlDiffCi(

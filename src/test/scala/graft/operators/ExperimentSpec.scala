@@ -113,6 +113,41 @@ class ExperimentSpec extends SparkSpec {
       g("control").getDouble(g("control").fieldIndex("chi2")))
   }
 
+  test("O'Brien-Fleming: hand-computed boundary crossings across looks") {
+    import spark.implicits._
+    // look 1: a={10,12}, b={13,15} → z = -3/√2 = -2.121320; the K=2
+    // OBF boundary b₁ = 2.04·√2 = 2.884996 → NOT crossed (a naive
+    // 1.96 peeker would have stopped here — the inflation OBF fixes).
+    // look 2 doubles both samples: z = -3/√(2/3) = -3.674235 against
+    // b₂ = 2.04 → crossed.
+    val rows = Seq(
+      (1, "a", 10), (1, "a", 12), (1, "b", 13), (1, "b", 15),
+      (2, "a", 10), (2, "a", 12), (2, "b", 13), (2, "b", 15))
+      .toDF("look", "variant", "v")
+      .select(col("look"), col("variant"),
+        col("v").cast("decimal(18,2)").as("m"))
+    val out = Experiment.obrienFleming(rows, "look", "variant", "m",
+        "a", "b")
+      .collect().map(r => r.getLong(r.fieldIndex("k")) -> r).toMap
+    assert(out.keySet === Set(1L, 2L))
+    val l1 = out(1L); val l2 = out(2L)
+    assert(l1.getDouble(l1.fieldIndex("z")) === -2.12132)
+    assert(l1.getDouble(l1.fieldIndex("boundary")) === 2.884996)
+    assert(l1.getLong(l1.fieldIndex("crossed")) === 0L)
+    assert(l2.getDouble(l2.fieldIndex("z")) === -3.674235)
+    assert(l2.getDouble(l2.fieldIndex("boundary")) === 2.04)
+    assert(l2.getLong(l2.fieldIndex("crossed")) === 1L)
+    assert(l2.getLong(l2.fieldIndex("n_a")) === 4L)
+    // a look where one arm has a single unit reports z = 0, no NaN
+    val thin = Seq((1, "a", 10), (1, "b", 11), (1, "b", 12))
+      .toDF("look", "variant", "v")
+      .select(col("look"), col("variant"),
+        col("v").cast("decimal(18,2)").as("m"))
+    val t = Experiment.obrienFleming(thin, "look", "variant", "m",
+      "a", "b").head()
+    assert(t.getDouble(t.fieldIndex("z")) === 0.0)
+  }
+
   test("Mann-Whitney U: hand fixture with ties; symmetric null") {
     import spark.implicits._
     // A={1,3,5}, B={2,3,6}: U_A = 0 + (1+0.5) + 2 = 3.5; tie group
