@@ -32,9 +32,15 @@ import org.apache.spark.sql.functions._
   * path is literally shared — MinHashIndexSpec asserts row equality),
   * so the persisted variant inherits the exact DuckDB oracle.
   *
-  * Appending a new day is an idempotent union: re-[[write]] over
-  * `reference ∪ kept batch`, or insert the batch's kept buckets — the
-  * bucket set only grows, and yesterday's keeps are never re-decided.
+  * Appending a new day is an idempotent union — [[merge]]: band only
+  * the batch, anti-join against the persisted set (an equi-join the
+  * bucketed layout serves with no index-side Exchange), and APPEND the
+  * genuinely-new buckets. The bucket set only grows and yesterday's
+  * keeps are never re-decided, so (write ∪ merge) ≡ a one-shot write
+  * of the union corpus EXACTLY (banding is per-document; the distinct
+  * bucket set of a union is the union of bucket sets) —
+  * MinHashIndexSpec pins it. Per-batch cost scales with the batch,
+  * never the reference.
   */
 object MinHashIndex {
 
@@ -52,6 +58,33 @@ object MinHashIndex {
       .select(explode(col("buckets")).as("bucket")).distinct()
     TableSink.writeBucketed(refBuckets, table, path, Seq("bucket"),
       numBuckets)
+  }
+
+  /** INCREMENTALLY fold new (typically: kept) documents into the
+    * persisted bucket set — the nightly-append path that retires the
+    * full re-[[write]]: band ONLY the batch, keep the buckets not
+    * already indexed (a left-anti equi-join the bucketed layout
+    * serves in place), and append them as one batch-sized bucketed
+    * file set ([[TableSink.appendBucketed]] — existing files are
+    * untouched bytes, the bucket spec and the serve path's
+    * zero-Exchange join survive). Banding parameters must match the
+    * index's. Exact by construction: the distinct bucket set of
+    * `reference ∪ batch` IS `old set ∪ batch's new buckets`
+    * (MinHashIndexSpec pins (write ∪ merge) ≡ one-shot rebuild).
+    * After many appends, [[TableSink.compact]] bounds per-bucket file
+    * counts. */
+  def merge(spark: SparkSession, table: String, newDocs: DataFrame,
+            idCol: String, textCol: String, numHashes: Int = 16,
+            bands: Int = 4, shingleSize: Int = 1, seed: Long = 42L,
+            numBuckets: Int = 32): Unit = {
+    if (newDocs.isEmpty) return
+    val batchBuckets = MinHashDedup.portableBandedDocs(newDocs, idCol,
+        textCol, numHashes, bands, shingleSize, seed)
+      .select(explode(col("buckets")).as("bucket")).distinct()
+    val fresh = batchBuckets
+      .join(spark.table(table), Seq("bucket"), "left_anti")
+    TableSink.appendBucketed(fresh, table, Seq("bucket"), numBuckets)
+    spark.catalog.refreshTable(table)
   }
 
   /** Incremental near-dup keeps for `batch` against the PERSISTED

@@ -303,6 +303,48 @@ object KnnImpute {
       table, s"$path/donors", Seq("__cell"), numBuckets)
   }
 
+  /** INCREMENTALLY add donors to a persisted index under its FROZEN
+    * geometry: the persisted scaling stats and centroids stay fixed
+    * (all sides keep scoring in the SAME coordinate frame — donors
+    * outside the original min/max scale linearly outside [0, 1],
+    * which is consistent, not wrong), new donors are assigned to
+    * their nearest existing cell and appended as one batch-sized
+    * bucketed file set. The merged table is bit-identical to a
+    * [[writeDonorIndex]] of the donor union GIVEN the same stats and
+    * centroids (KnnImputeSpec pins it), so [[imputeServe]] sees the
+    * new donors immediately. Same re-fit policy as
+    * [[graft.similarity.IvfIndex.merge]]: re-build when merged
+    * donors exceed ~30% of the index or the feature distribution
+    * drifts past the frozen min/max frame. */
+  def mergeDonorIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String, path: String, df: DataFrame,
+                      idCol: String, targetCol: String,
+                      featureCols: Seq[String],
+                      numBuckets: Int = 32): Unit = {
+    val featOk = featureCols.map(col(_).isNotNull).reduce(_ && _)
+    val donors = df.filter(col(targetCol).isNotNull && featOk)
+    if (donors.isEmpty) return
+    val stats = spark.read.parquet(s"$path/stats")
+    val model = graft.ml.KMeansLloyd.Model(
+      spark.read.parquet(s"$path/centroids").orderBy("i").collect()
+        .map(_.getSeq[Double](1).toArray), Seq.empty)
+    def scaledVec: Column = array(featureCols.map(c =>
+      Scaling.scale(col(c).cast("double"),
+        col(s"__mn_$c"), col(s"__mx_$c"))): _*)
+    val donorSide = donors
+      .select(Seq(col(idCol).as("__did"),
+        col(targetCol).cast("decimal(18,2)").as("__dv")) ++
+        featureCols.map(c => col(c)): _*)
+      .crossJoin(broadcast(stats))
+      .withColumn("__vec", scaledVec)
+      .select("__did", "__dv", "__vec")
+    graft.sources.TableSink.appendBucketed(
+      donorSide.withColumn("__cell",
+        graft.ml.KMeansLloyd.nearestCell(col("__vec"), model)),
+      table, Seq("__cell"), numBuckets)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Impute a batch against the PERSISTED donor index — no fit, no
     * donor re-assignment, zero Exchange on the donor side. */
   def imputeServe(spark: org.apache.spark.sql.SparkSession, table: String,

@@ -171,6 +171,24 @@ object DedupQueries extends Registry {
       MinHashIndex.incrementalKept(s, tbl,
         docs.filter(col("doc_id") >= 250), "doc_id", "text")
     }),
+    // C2e'': INCREMENTAL maintenance of the persisted bucket index —
+    // build on the first 150 docs, MERGE the next 100 (batch banding +
+    // anti-join + bucketed append: cost scales with the batch, never
+    // the reference), then serve tonight's batch. The merged bucket
+    // set equals a one-shot write of doc_id < 250 EXACTLY (banding is
+    // per-document), so this row shares c2_incremental_persisted's
+    // exact DuckDB oracle.
+    "c2_incremental_merged" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (tbl, tmp) = indexScratch(d, "graft_mh_buckets_incr")
+      MinHashIndex.write(docs.filter(col("doc_id") < 150), "doc_id",
+        "text", table = tbl, path = tmp)
+      MinHashIndex.merge(s, tbl,
+        docs.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+        "doc_id", "text")
+      MinHashIndex.incrementalKept(s, tbl,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+    }),
     // C2: benchmark decontamination — docs below id 100 play the EVAL
     // set (id-less: only the text column is handed over), the rest is
     // the TRAIN corpus; survivors share no word 8-gram with eval. The
@@ -469,6 +487,8 @@ object DedupQueries extends Registry {
     // identical results by construction: the persisted index serves
     // the same bucket set through the same shared serve path
     "c2_incremental_persisted" -> incrementalNeardupSql,
+    // the merged index's bucket set ≡ the one-shot set ⇒ same oracle
+    "c2_incremental_merged" -> incrementalNeardupSql,
     "c2_decontaminate" -> {
       val sh = TextQueries.sqlShingles("toks", 8)
       s"""

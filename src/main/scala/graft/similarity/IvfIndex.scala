@@ -64,6 +64,38 @@ object IvfIndex {
     spark.read.parquet(s"$path/centroids").orderBy("i").collect()
       .map(_.getSeq[Double](1).toArray)
 
+  /** INCREMENTALLY add vectors to a persisted index under its FROZEN
+    * geometry: new vectors are assigned to their nearest EXISTING
+    * centroid (the same arithmetic [[write]] uses) and appended as one
+    * batch-sized bucketed file set — existing files untouched, the
+    * serve path's zero-Exchange join preserved. The merged table is
+    * BIT-IDENTICAL to what [[write]] would have produced for the union
+    * corpus GIVEN the same centroids (IvfIndexSpec pins it), so
+    * [[topK]] immediately sees the new vectors.
+    *
+    * RE-FIT POLICY (the honest cost of frozen geometry): centroids
+    * were fit on the build-time sample, so cell sizes skew as the
+    * corpus drifts — recall at fixed nProbe degrades gracefully, not
+    * abruptly (FAISS operates the same add-under-frozen-quantizer
+    * model). Re-[[write]] when merged-in vectors exceed ~30% of the
+    * indexed total or a recall probe (tools/AnnRecallCurve) drops
+    * below target; until then per-batch cost scales with the batch,
+    * never the index. New-doc ids are the caller's contract (same as
+    * LexicalIndex.merge — re-adding an id duplicates it). */
+  def merge(spark: SparkSession, table: String, path: String,
+            newVectors: DataFrame, idCol: String, vecCol: String,
+            numBuckets: Int = 32,
+            maxPlanCentroidDoubles: Int = 32768): Unit = {
+    if (newVectors.isEmpty) return
+    val centers = readCentroids(spark, path)
+    val assigned = Cosine.ivfProbes(newVectors, idCol, vecCol, centers,
+        nProbe = 1, maxPlanCentroidDoubles)
+      .select(element_at(col("__probes"), 1).as("__cell"),
+        col("__id"), col("__v"))
+    TableSink.appendBucketed(assigned, table, Seq("__cell"), numBuckets)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Approximate top-k neighbors for `queries` against the PERSISTED
     * index — no quantizer fit, no corpus re-assignment. Queries probe
     * their `nProbe` nearest cells and join the bucketed vector table

@@ -30,6 +30,38 @@ class MinHashIndexSpec extends SparkSpec {
       "served index keeps diverged from the one-shot recompute")
   }
 
+  test("incremental merge: (write ∪ merge) ≡ one-shot rebuild of the union") {
+    val docs = Tables.documents(spark, sf001).localCheckpoint()
+    val part1 = docs.filter(col("doc_id") < 150)
+    val part2 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    MinHashIndex.write(part1, "doc_id", "text",
+      table = "mh_incr_buckets", path = s"$tmp/idx_incr", numBuckets = 4)
+    MinHashIndex.merge(spark, "mh_incr_buckets", part2, "doc_id", "text",
+      numBuckets = 4)
+    MinHashIndex.write(part1.union(part2), "doc_id", "text",
+      table = "mh_full_buckets", path = s"$tmp/idx_full", numBuckets = 4)
+    // banding is per-document, so the merged DISTINCT bucket set must
+    // equal the one-shot union's exactly
+    val merged = spark.table("mh_incr_buckets")
+    val full = spark.table("mh_full_buckets")
+    assert(merged.count() === merged.distinct().count(),
+      "merge introduced duplicate buckets")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "merged bucket set != one-shot union bucket set")
+    // and serving is therefore identical too
+    val servedMerged = MinHashIndex.incrementalKept(spark,
+      "mh_incr_buckets", batch, "doc_id", "text")
+    val servedFull = MinHashIndex.incrementalKept(spark,
+      "mh_full_buckets", batch, "doc_id", "text")
+    assert(servedMerged.exceptAll(servedFull).isEmpty &&
+           servedFull.exceptAll(servedMerged).isEmpty)
+    // an empty batch is a no-op
+    MinHashIndex.merge(spark, "mh_incr_buckets", batch.limit(0),
+      "doc_id", "text", numBuckets = 4)
+    assert(spark.table("mh_incr_buckets").count() === full.count())
+  }
+
   test("index side of the serving join is bucketed — no Exchange on it") {
     val docs = Tables.documents(spark, sf001).localCheckpoint()
     MinHashIndex.write(docs.filter(col("doc_id") < 250), "doc_id", "text",

@@ -52,6 +52,35 @@ class KnnImputeSpec extends SparkSpec {
     assert(out(10L).isEmpty)
   }
 
+  test("donor-index merge: new donors serve immediately under frozen geometry") {
+    val tmp = java.nio.file.Files.createTempDirectory("knn_don").toString
+    // donors at x = 0, 10, …, 90; two recipients between grid points
+    val base = ((0 until 10).map(i => (i.toLong, Some(100.0 + i), i * 10.0))
+      ++ Seq((100L, Option.empty[Double], 7.0),
+             (101L, Option.empty[Double], 33.0)))
+      .toDF("id", "v", "x")
+    KnnImpute.writeDonorIndex(base, "id", "v", Seq("x"),
+      table = "knn_incr_donors", path = tmp, numCells = 3)
+    def serve() = KnnImpute.imputeServe(spark, "knn_incr_donors", tmp,
+        base, "id", "v", Seq("x"), k = 1, nProbe = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // nProbe = all cells ⇒ exact nearest donor: x=7 → donor x=10
+    // (v=101); x=33 → donor x=30 (v=103)
+    val before = serve()
+    assert(before(100L) === 101.0 && before(101L) === 103.0)
+    // merge two closer donors; frozen stats/centroids, immediate serve
+    val d2 = Seq((50L, Some(555.0), 6.0), (51L, Some(777.0), 34.0))
+      .toDF("id", "v", "x")
+    KnnImpute.mergeDonorIndex(spark, "knn_incr_donors", tmp, d2,
+      "id", "v", Seq("x"))
+    val after = serve()
+    assert(after(100L) === 555.0 && after(101L) === 777.0)
+    // known cells untouched throughout
+    assert(after(3L) === 103.0)
+    // the merged table is the union under the frozen model: 12 donors
+    assert(spark.table("knn_incr_donors").count() === 12)
+  }
+
   test("reference-style invariants on real data") {
     val li = Tables.lineitem(spark, sf0001)
       .filter(pmod(col("l_orderkey"), lit(20L)) === 0)

@@ -26,6 +26,41 @@ class IvfIndexSpec extends SparkSpec {
       "served index results diverged from the one-shot recompute")
   }
 
+  test("incremental merge: union table under frozen centroids; new vectors findable") {
+    val embs = Tables.embeddings(spark, sf001).localCheckpoint()
+    val d1 = embs.filter(col("vec_id") % 4 =!= 0)
+    val d2 = embs.filter(col("vec_id") % 4 === 0)
+    IvfIndex.write(d1, "vec_id", "embedding", table = "ivf_incr_vectors",
+      path = s"$tmp/idx_incr", numCentroids = 8, seed = 42L, numBuckets = 4)
+    IvfIndex.merge(spark, "ivf_incr_vectors", s"$tmp/idx_incr",
+      d2, "vec_id", "embedding", numBuckets = 4)
+    // merged table ≡ what write() would produce for the UNION given
+    // the SAME (frozen) centroids: assign the union directly and diff
+    val centers = IvfIndex.readCentroids(spark, s"$tmp/idx_incr")
+    val expected = Cosine.ivfProbes(embs, "vec_id", "embedding", centers,
+        nProbe = 1, maxPlanCentroidDoubles = 32768)
+      .select(org.apache.spark.sql.functions.element_at(
+        col("__probes"), 1).as("__cell"), col("__id"), col("__v"))
+    val merged = spark.table("ivf_incr_vectors")
+    assert(merged.count() === embs.count())
+    assert(merged.exceptAll(expected).isEmpty &&
+           expected.exceptAll(merged).isEmpty,
+      "merged vector table != frozen-centroid assignment of the union")
+    // a merged-in vector is immediately served: querying WITH one of
+    // the new vectors returns its exact twin (score 1.0 self excluded;
+    // its own cell certainly probes) only if new rows participate —
+    // weaker but direct: the new id appears among someone's neighbors
+    val served = IvfIndex.topK(spark, "ivf_incr_vectors", s"$tmp/idx_incr",
+      d2.limit(20), "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(served.count() > 0)
+    val newIds = d2.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val asNeighbors = IvfIndex.topK(spark, "ivf_incr_vectors",
+        s"$tmp/idx_incr", d1.limit(50), "vec_id", "embedding",
+        k = 5, nProbe = 8)
+      .filter(col("b").isin(newIds.toSeq.map(Long.box): _*)).count()
+    assert(asNeighbors > 0, "no merged-in vector ever surfaced as a neighbor")
+  }
+
   test("index side of the serving join is bucketed — no Exchange on it") {
     val embs = Tables.embeddings(spark, sf001).localCheckpoint()
     IvfIndex.write(embs, "vec_id", "embedding", table = "ivf_plan_vectors",
