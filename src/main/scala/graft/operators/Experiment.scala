@@ -504,6 +504,140 @@ object Experiment {
     FROM cum"""
   }
 
+  /** Per-GROUP Welch z — [[welchTTest]]'s fixed double sequence run
+    * once per metric/group (one conditional-sum pass, map-side
+    * partials): the input shape for multiple-testing control. Groups
+    * where either arm has < 2 units (or zero variance) report z = 0.
+    * Output: `<groupCol>, n_a, n_b, z (6dp)`. */
+  def welchZByGroup(perUnit: DataFrame, groupCol: String,
+                    variantCol: String, metricCol: String,
+                    a: String, b: String): DataFrame = {
+    val m = col(metricCol)
+    def side(v: String, agg: Column): Column =
+      sum(when(col(variantCol) === v, agg).otherwise(lit(null)))
+    val sums = perUnit.filter(col(variantCol).isin(a, b))
+      .groupBy(col(groupCol))
+      .agg(count(when(col(variantCol) === a, lit(1))).as("n_a"),
+        count(when(col(variantCol) === b, lit(1))).as("n_b"),
+        side(a, m).as("__sa"), side(b, m).as("__sb"),
+        side(a, m * m).as("__qa"), side(b, m * m).as("__qb"))
+    def d(c: String) = col(c).cast("double")
+    val na = d("n_a"); val nb = d("n_b")
+    val varA = (d("__qa") - d("__sa") * d("__sa") / na) / (na - lit(1.0))
+    val varB = (d("__qb") - d("__sb") * d("__sb") / nb) / (nb - lit(1.0))
+    val se2 = varA / na + varB / nb
+    val z = (d("__sa") / na - d("__sb") / nb) / sqrt(se2)
+    sums.select(col(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0, round(z, 6))
+        .otherwise(lit(0.0)).as("z"))
+  }
+
+  /** DuckDB twin of [[welchZByGroup]]: `perUnitSql` must select
+    * `(g, variant, m)` with `m` DECIMAL. */
+  def sqlWelchZByGroup(perUnitSql: String, a: String, b: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val varA = s"((${d("qa")} - ${d("sa")} * ${d("sa")} / ${d("n_a")}) / (${d("n_a")} - 1.0e0))"
+    val varB = s"((${d("qb")} - ${d("sb")} * ${d("sb")} / ${d("n_b")}) / (${d("n_b")} - 1.0e0))"
+    val se2 = s"($varA / ${d("n_a")} + $varB / ${d("n_b")})"
+    val z = s"((${d("sa")} / ${d("n_a")} - ${d("sb")} / ${d("n_b")}) / sqrt($se2))"
+    s"""
+    SELECT g, n_a, n_b,
+      CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0
+        THEN round($z, 6) ELSE 0.0e0 END AS z
+    FROM (
+      SELECT g,
+        CAST(count(CASE WHEN variant = '$a' THEN 1 END) AS BIGINT) AS n_a,
+        CAST(count(CASE WHEN variant = '$b' THEN 1 END) AS BIGINT) AS n_b,
+        sum(CASE WHEN variant = '$a' THEN m ELSE NULL END) AS sa,
+        sum(CASE WHEN variant = '$b' THEN m ELSE NULL END) AS sb,
+        sum(CASE WHEN variant = '$a' THEN m * m ELSE NULL END) AS qa,
+        sum(CASE WHEN variant = '$b' THEN m * m ELSE NULL END) AS qb
+      FROM ($perUnitSql) WHERE variant IN ('$a', '$b') GROUP BY g)"""
+  }
+
+  // Abramowitz–Stegun 26.2.17 normal-CDF tail coefficients — written
+  // as exact literals so both engines run identical bits (|ε| <
+  // 7.5e-8, far below the 9-dp grid the p-values round to)
+  private val PhiT = 0.2316419
+  private val PhiB = Seq(0.319381530, -0.356563782, 1.781477937,
+    -1.821255978, 1.330274429)
+  private val InvSqrt2Pi = 0.3989422804014327
+
+  /** BENJAMINI–HOCHBERG FDR control — the MANY-METRICS twin of the
+    * [[obrienFleming]] many-LOOKS correction: reading one experiment's
+    * z across 50 metrics at α = 5% expects 2.5 false discoveries; BH
+    * caps the FALSE-DISCOVERY RATE instead of the family-wise error
+    * (the standard choice for metric dashboards — Bonferroni's FWER is
+    * needlessly brutal at 50 metrics). Procedure: rank two-sided
+    * p-values ascending, find the largest rank i with p₍ᵢ₎ ≤ i·α/m,
+    * flag every metric at or below it.
+    *
+    * p comes from |z| through the Abramowitz–Stegun 26.2.17 CDF tail
+    * (literal coefficients, one exp — the same libm-1-ulp class as
+    * BM25's ln, unobservable under the 9-dp round). Ranking and the
+    * step-up fold are ordered windows over the BOUNDED metric axis;
+    * decisions compare the ROUNDED p to the ROUNDED threshold, so
+    * both engines decide identical bits. Ties rank (p, metric) — a
+    * total order. Output per metric: `<metricCol>, z, p (9dp), rank,
+    * bh_threshold (9dp), significant`. */
+  def benjaminiHochberg(perMetric: DataFrame, metricCol: String,
+                        zCol: String, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1)
+    import org.apache.spark.sql.expressions.Window
+    val az = abs(col(zCol))
+    val t = lit(1.0) / (lit(1.0) + lit(PhiT) * az)
+    val poly = t * (lit(PhiB(0)) + t * (lit(PhiB(1)) + t * (lit(PhiB(2)) +
+      t * (lit(PhiB(3)) + t * lit(PhiB(4))))))
+    val pdf = exp(az * az * lit(-0.5)) * lit(InvSqrt2Pi)
+    val p = round(lit(2.0) * pdf * poly, 9)
+    val wOrd = Window.orderBy(col("p"), col(metricCol))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perMetric
+      .withColumn("p", p)
+      .withColumn("rank", row_number().over(wOrd).cast("bigint"))
+      .withColumn("__m", max(col("rank")).over(wAll))
+      .withColumn("bh_threshold",
+        round(col("rank").cast("double") * lit(alpha)
+          / col("__m").cast("double"), 9))
+      .withColumn("__cut", max(when(col("p") <= col("bh_threshold"),
+        col("rank")).otherwise(lit(0L))).over(wAll))
+      .select(col(metricCol), col(zCol), col("p"), col("rank"),
+        col("bh_threshold"),
+        (col("rank") <= col("__cut")).cast("bigint").as("significant"))
+  }
+
+  /** DuckDB twin of [[benjaminiHochberg]]: `perMetricSql` must select
+    * `(metric, z)`. */
+  def sqlBenjaminiHochberg(perMetricSql: String,
+                           alpha: Double = 0.05): String = {
+    import graft.functions.Noise.sqlDouble
+    val b = PhiB.map(sqlDouble)
+    val t = s"(1.0e0 / (1.0e0 + ${sqlDouble(PhiT)} * abs(z)))"
+    val poly = s"($t * (${b(0)} + $t * (${b(1)} + $t * (${b(2)} + " +
+      s"$t * (${b(3)} + $t * ${b(4)})))))"
+    val pdf = s"(exp(abs(z) * abs(z) * -0.5e0) * ${sqlDouble(InvSqrt2Pi)})"
+    s"""
+    WITH pm AS ($perMetricSql), withp AS (
+      SELECT metric, z, round(2.0e0 * $pdf * $poly, 9) AS p FROM pm
+    ), ranked AS (
+      SELECT metric, z, p,
+        CAST(row_number() OVER (ORDER BY p, metric) AS BIGINT) AS rank,
+        CAST(count(*) OVER () AS BIGINT) AS m
+      FROM withp
+    ), thr AS (
+      SELECT metric, z, p, rank,
+        round(CAST(rank AS DOUBLE) * ${sqlDouble(alpha)}
+          / CAST(m AS DOUBLE), 9) AS bh_threshold
+      FROM ranked
+    ), cut AS (
+      SELECT max(CASE WHEN p <= bh_threshold THEN rank ELSE 0 END) AS c
+      FROM thr)
+    SELECT metric, z, p, rank, bh_threshold,
+      CAST(rank <= c AS BIGINT) AS significant
+    FROM thr CROSS JOIN cut"""
+  }
+
   /** MANN–WHITNEY U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample
     * test: does variant b's metric distribution stochastically dominate
     * a's? Where Welch assumes roughly-normal means, U ranks every

@@ -1216,6 +1216,24 @@ object RelationalQueries extends Registry {
       graft.operators.Experiment.welchTTest(
         perUser, "variant", "m", "control", "treatment")
     }),
+    // D114: BENJAMINI–HOCHBERG FDR over many metrics — the
+    // many-METRICS twin of d58's many-looks correction: per-type
+    // Welch z (one conditional-sum pass per metric), p via the
+    // literal-coefficient A&S CDF tail, step-up threshold fold over
+    // the bounded metric axis.
+    "d59_bh_fdr" -> ((s, d) => {
+      val perUnit = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(12,2)"))
+          .cast("decimal(18,2)").as("m"))
+        .withColumn("variant", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treatment"), salt = 17))
+      graft.operators.Experiment.benjaminiHochberg(
+        graft.operators.Experiment.welchZByGroup(perUnit, "event_type",
+            "variant", "m", "control", "treatment")
+          .withColumnRenamed("event_type", "metric"),
+        "metric", "z")
+    }),
     // D113: GROUP-SEQUENTIAL (O'Brien–Fleming) boundary — the peeking
     // fix the fixed-horizon d32 readout needs when experimenters look
     // daily: units enter at their first-seen day, cumulative Welch z
@@ -1893,6 +1911,15 @@ object RelationalQueries extends Registry {
       Map("control" -> 0.5, "treatment" -> 0.5)),
     "d52_mann_whitney" -> graft.operators.Experiment.sqlMannWhitney(
       abPerUserSql, "control", "treatment"),
+    "d59_bh_fdr" -> graft.operators.Experiment.sqlBenjaminiHochberg(
+      s"""SELECT g AS metric, z FROM (
+            ${graft.operators.Experiment.sqlWelchZByGroup(
+              s"""SELECT event_type AS g, user_id,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS m,
+                   ${graft.operators.Experiment.sqlVariantOf("user_id",
+                     Seq("control", "treatment"), salt = 17)} AS variant
+                 FROM events GROUP BY event_type, user_id""",
+              "control", "treatment")})"""),
     "d58_sequential_obf" -> graft.operators.Experiment.sqlObrienFleming(
       s"""SELECT user_id, min(date_trunc('day', ts)) AS look,
            CAST(sum(CASE WHEN event_type = 'purchase'

@@ -148,6 +148,31 @@ class ExperimentSpec extends SparkSpec {
     assert(t.getDouble(t.fieldIndex("z")) === 0.0)
   }
 
+  test("Benjamini-Hochberg: step-up keeps a p above alpha/m; accurate Phi") {
+    import spark.implicits._
+    // z → two-sided p: 3.30→0.000967, 2.49→0.012774, 2.05→0.040364,
+    // 0.10→0.920344; at alpha=0.05, m=4 the thresholds are .0125,
+    // .025, .0375, .05 → ranks 1,2 cross (rank 2 crosses even though
+    // p₂ > α/m — the step-up property Bonferroni lacks), 3,4 don't
+    val zs = Seq(("m1", 3.30), ("m2", -2.49), ("m3", 2.05), ("m4", 0.10))
+      .toDF("metric", "z")
+    val out = Experiment.benjaminiHochberg(zs, "metric", "z")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def p(m: String) = out(m).getDouble(out(m).fieldIndex("p"))
+    assert(math.abs(p("m1") - 0.000967) < 2e-6)
+    assert(math.abs(p("m2") - 0.012774) < 2e-6)
+    assert(math.abs(p("m3") - 0.040364) < 2e-6)
+    assert(math.abs(p("m4") - 0.920344) < 2e-6)
+    def sig(m: String) = out(m).getLong(out(m).fieldIndex("significant"))
+    assert(sig("m1") === 1L && sig("m2") === 1L)
+    assert(sig("m3") === 0L && sig("m4") === 0L)
+    assert(out("m2").getLong(out(Seq("m2").head).fieldIndex("rank")) === 2L)
+    // all-null case: nothing significant
+    val none = Experiment.benjaminiHochberg(
+      Seq(("a", 0.5), ("b", 1.0)).toDF("metric", "z"), "metric", "z")
+    assert(none.filter(col("significant") === 1).count() === 0)
+  }
+
   test("Mann-Whitney U: hand fixture with ties; symmetric null") {
     import spark.implicits._
     // A={1,3,5}, B={2,3,6}: U_A = 0 + (1+0.5) + 2 = 3.5; tie group
