@@ -46,8 +46,11 @@ object TableSink {
     * file set scaled to the BATCH, existing files are untouched bytes,
     * and readers keep the no-Exchange bucketed join because the bucket
     * spec is unchanged (Spark rejects a mismatched spec at write
-    * time). Periodic [[compact]] of the table location keeps the
-    * per-bucket file count bounded across many appends. */
+    * time). Many appends accumulate one file per bucket per batch;
+    * bound that with a periodic [[writeBucketed]] REWRITE of the table
+    * into a fresh location + catalog swap — NOT [[compact]], whose
+    * plain parquet rewrite discards the bucket-id file mapping and
+    * would silently demote every downstream join back to a shuffle. */
   def appendBucketed(df: DataFrame, table: String,
                      bucketCols: Seq[String], numBuckets: Int): Unit =
     df.write.mode(SaveMode.Append)
