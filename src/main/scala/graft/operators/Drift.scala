@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DISTRIBUTION-DRIFT diagnostics between two snapshots of the same
+  * metric — the monitoring twin of [[Experiment]]'s two-sample tests:
+  * where KS/Mann–Whitney answer "are these samples from one
+  * distribution" with a p-value, the POPULATION STABILITY INDEX
+  * answers "how far has production drifted from the baseline" with a
+  * magnitude that feeds retraining triggers (the industry folk
+  * thresholds: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+  *
+  *   PSI = Σ_bins (p_curr − p_base) · ln(p_curr / p_base)
+  *
+  * Scale shape: one pass bins both snapshots onto a FIXED axis derived
+  * from the BASELINE min–max (the deployed-model convention — the bin
+  * edges are part of the monitoring contract, so current outliers
+  * clamp into the edge bins rather than moving them), then the sum
+  * over bins folds through an ORDERED window over the bounded bin axis
+  * — never an unordered double agg, so the fold order is one fixed
+  * IEEE sequence in both engines (the repo-wide determinism rule).
+  * Laplace smoothing (+0.5 per bin) keeps empty bins off ln(0) — the
+  * standard fix, documented rather than hidden. ln is the same
+  * libm-1-ulp class as BM25's, unobservable under the 6-dp round.
+  *
+  * Per group: one output row `(groupCols…, n_base, n_curr, psi)`.
+  * Bin count stays model-sized (10–100 in practice); the input scan
+  * is a single groupBy(group, bin) — no shuffle wider than the
+  * aggregation itself.
+  */
+object Drift {
+
+  /** PSI of `valueCol` between the `baseLabel` and `currLabel` rows of
+    * `snapshotCol`, per `groupCols`. `bins` fixed cells on the
+    * baseline's per-group [min, max]; values outside clamp into the
+    * edge cells. */
+  def psi(df: DataFrame, snapshotCol: String, valueCol: String,
+          baseLabel: String, currLabel: String, bins: Int = 10,
+          groupCols: Seq[String] = Nil): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val sides = df.filter(col(snapshotCol).isin(baseLabel, currLabel)
+      && col(valueCol).isNotNull)
+    val v = col(valueCol).cast("double")
+    // bin edges from the BASELINE snapshot only (fixed axis)
+    val edges = sides.filter(col(snapshotCol) === baseLabel)
+      .groupBy(g: _*)
+      .agg(min(v).as("__mn"), max(v).as("__mx"))
+    val joined =
+      if (groupCols.isEmpty) sides.crossJoin(broadcast(edges))
+      else sides.join(broadcast(edges), groupCols)
+    val span = col("__mx") - col("__mn")
+    val rawBin = floor((v - col("__mn")) / span * lit(bins.toDouble))
+    val bin = when(span === 0, lit(0L))
+      .otherwise(greatest(lit(0L),
+        least(rawBin.cast("bigint"), lit(bins.toLong - 1L))))
+    val byBin = joined
+      .withColumn("__bin", bin)
+      .groupBy(g :+ col("__bin"): _*)
+      .agg(count(when(col(snapshotCol) === baseLabel, lit(1))).as("__cb"),
+        count(when(col(snapshotCol) === currLabel, lit(1))).as("__cc"))
+    // dense the axis: a bin empty on BOTH sides contributes 0 to PSI
+    // (its smoothed p's are equal), so missing rows are safe to skip —
+    // but totals must still smooth over ALL `bins` cells, so N + 0.5·B
+    // uses the configured bin count, not the observed one.
+    val wTot = if (groupCols.isEmpty) Window.partitionBy()
+    else Window.partitionBy(groupCols.map(col): _*)
+    val wCum = wTot.orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def d(c: Column) = c.cast("double")
+    val smooth = lit(0.5 * bins)
+    val terms = byBin
+      .withColumn("n_base", sum(col("__cb")).over(wTot))
+      .withColumn("n_curr", sum(col("__cc")).over(wTot))
+      .withColumn("__pb", (d(col("__cb")) + lit(0.5))
+        / (d(col("n_base")) + smooth))
+      .withColumn("__pc", (d(col("__cc")) + lit(0.5))
+        / (d(col("n_curr")) + smooth))
+      .withColumn("__term",
+        (col("__pc") - col("__pb")) * log(col("__pc") / col("__pb")))
+      .withColumn("__cum", sum(col("__term")).over(wCum))
+    terms.groupBy(g: _*)
+      .agg(max(col("n_base")).as("n_base"),
+        max(col("n_curr")).as("n_curr"),
+        round(max_by(col("__cum"), col("__bin")), 6).as("psi"))
+  }
+
+  /** DuckDB twin of [[psi]] — identical binning arithmetic, smoothing
+    * and ordered fold (DuckDB's `ln`; its `log` is log10). `rowsSql`
+    * must select `(grp…, snapshot, v)` with `v` castable to DOUBLE;
+    * `groupCols` as in [[psi]]. */
+  def sqlPsi(rowsSql: String, baseLabel: String, currLabel: String,
+             bins: Int = 10, groupCols: Seq[String] = Nil): String = {
+    val g = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+    val gBy = if (groupCols.isEmpty) "" else
+      "GROUP BY " + groupCols.mkString(", ")
+    val part = if (groupCols.isEmpty) "" else
+      "PARTITION BY " + groupCols.mkString(", ")
+    val joinOn = if (groupCols.isEmpty) "ON TRUE" else
+      "USING (" + groupCols.mkString(", ") + ")"
+    val b = bins
+    val smooth = s"${0.5 * b}e0"
+    val pb = s"((CAST(cb AS DOUBLE) + 0.5e0) / (CAST(n_base AS DOUBLE) + $smooth))"
+    val pc = s"((CAST(cc AS DOUBLE) + 0.5e0) / (CAST(n_curr AS DOUBLE) + $smooth))"
+    s"""
+    WITH rows0 AS (
+      SELECT $g snapshot, CAST(v AS DOUBLE) AS v FROM ($rowsSql)
+      WHERE snapshot IN ('$baseLabel', '$currLabel') AND v IS NOT NULL
+    ), edges AS (
+      SELECT $g min(v) AS mn, max(v) AS mx
+      FROM rows0 WHERE snapshot = '$baseLabel' $gBy
+    ), binned AS (
+      SELECT $g snapshot,
+        CASE WHEN mx - mn = 0 THEN CAST(0 AS BIGINT)
+          ELSE greatest(CAST(0 AS BIGINT),
+            least(CAST(floor((v - mn) / (mx - mn) * ${b}.0e0) AS BIGINT),
+              CAST(${b - 1} AS BIGINT))) END AS bin
+      FROM rows0 JOIN edges $joinOn
+    ), bybin AS (
+      SELECT $g bin,
+        CAST(count(CASE WHEN snapshot = '$baseLabel' THEN 1 END)
+          AS BIGINT) AS cb,
+        CAST(count(CASE WHEN snapshot = '$currLabel' THEN 1 END)
+          AS BIGINT) AS cc
+      FROM binned GROUP BY ${g}bin
+    ), tot AS (
+      SELECT $g bin, cb, cc,
+        CAST(sum(cb) OVER ($part) AS BIGINT) AS n_base,
+        CAST(sum(cc) OVER ($part) AS BIGINT) AS n_curr
+      FROM bybin
+    ), terms AS (
+      SELECT $g bin, n_base, n_curr,
+        ($pc - $pb) * ln($pc / $pb) AS term
+      FROM tot
+    ), cums AS (
+      SELECT $g bin, n_base, n_curr,
+        sum(term) OVER ($part ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM terms)
+    SELECT $g max(n_base) AS n_base, max(n_curr) AS n_curr,
+      round(max_by(cum, bin), 6) AS psi
+    FROM cums $gBy"""
+  }
+}

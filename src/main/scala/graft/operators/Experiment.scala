@@ -703,6 +703,96 @@ object Experiment {
         .otherwise(lit(0.0)).as("z"))
   }
 
+  /** KOLMOGOROV–SMIRNOV two-sample test — the DISTRIBUTION-SHAPE
+    * companion to [[mannWhitney]]: where U asks "does b dominate a",
+    * KS asks "is b's distribution the SAME as a's" and reacts to any
+    * difference (location, spread, shape). D = sup_v |F̂_a(v) − F̂_b(v)|
+    * over the pooled value axis; λ = D·√(n_a·n_b/(n_a+n_b)) with the
+    * α = 5% asymptotic critical value λ > 1.358.
+    *
+    * Same scale-and-determinism move as Mann–Whitney: the pooled axis
+    * is a groupBy on the VALUE (bounded by the decimal grid — or by
+    * `gridLevels` when `exact = false` quantizes a continuous metric
+    * through [[graft.functions.AxisGrid]]), the two empirical CDFs are
+    * INCLUSIVE running sums over one ordered window, and D is a max of
+    * per-value doubles (each one fixed IEEE division — order-
+    * insensitive under max). No corpus-sized rank window. Output one
+    * row: `n_a, n_b, ks_d (6dp), lambda (6dp), reject_05 (0/1)`;
+    * the decision compares the UNROUNDED λ to the literal 1.358 —
+    * identical bits cross-engine. */
+  def ksTest(perUnit: DataFrame, variantCol: String, metricCol: String,
+             a: String, b: String, exact: Boolean = true,
+             gridLevels: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sides = perUnit.filter(col(variantCol).isin(a, b))
+    val keyed =
+      if (exact) sides.withColumn("__mv", col(metricCol))
+      else {
+        val stats = sides.filter(col(metricCol).isNotNull)
+          .agg(min(col(metricCol).cast("double")).as("__mn"),
+            max(col(metricCol).cast("double")).as("__mx"))
+        sides.crossJoin(broadcast(stats))
+          .withColumn("__mv",
+            graft.functions.AxisGrid.rep(col(metricCol).cast("double"),
+              col("__mn"), col("__mx"), gridLevels))
+      }
+    val byValue = keyed
+      .groupBy(col("__mv").as("__v"))
+      .agg(count(when(col(variantCol) === a, lit(1))).as("__na"),
+        count(when(col(variantCol) === b, lit(1))).as("__nb"))
+    val totals = byValue.agg(sum(col("__na")).as("n_a"),
+      sum(col("__nb")).as("n_b"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def d(c: Column) = c.cast("double")
+    val diffs = byValue
+      .withColumn("__ca", sum(col("__na")).over(wCum))
+      .withColumn("__cb", sum(col("__nb")).over(wCum))
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(d(col("__ca")) / d(col("n_a"))
+          - d(col("__cb")) / d(col("n_b"))).as("__diff"))
+    val dStat = diffs.groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__diff")).as("__d"))
+    val lam = col("__d") * sqrt(d(col("n_a")) * d(col("n_b"))
+      / (d(col("n_a")) + d(col("n_b"))))
+    dStat.select(col("n_a"), col("n_b"), round(col("__d"), 6).as("ks_d"),
+      round(lam, 6).as("lambda"),
+      (lam > lit(1.358)).cast("bigint").as("reject_05"))
+  }
+
+  /** DuckDB twin of [[ksTest]] — identical axis aggregation, inclusive
+    * cumulative fold and double sequence. `perUnitSql` must select
+    * `(variant, m)` with `m` DECIMAL. */
+  def sqlKsTest(perUnitSql: String, a: String, b: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val lam = s"(d_raw * sqrt(${d("n_a")} * ${d("n_b")} " +
+      s"/ (${d("n_a")} + ${d("n_b")})))"
+    s"""
+    WITH pu AS ($perUnitSql), byv AS (
+      SELECT m AS v,
+        CAST(count(CASE WHEN variant = '$a' THEN 1 END) AS BIGINT) AS na,
+        CAST(count(CASE WHEN variant = '$b' THEN 1 END) AS BIGINT) AS nb
+      FROM pu WHERE variant IN ('$a', '$b') GROUP BY 1
+    ), cums AS (
+      SELECT
+        sum(na) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        sum(nb) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM byv
+    ), tot AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+      FROM byv
+    ), dstat AS (
+      SELECT n_a, n_b,
+        max(abs(${d("ca")} / ${d("n_a")} - ${d("cb")} / ${d("n_b")})) AS d_raw
+      FROM cums CROSS JOIN tot GROUP BY n_a, n_b)
+    SELECT n_a, n_b, round(d_raw, 6) AS ks_d, round($lam, 6) AS lambda,
+      CAST($lam > 1.358e0 AS BIGINT) AS reject_05
+    FROM dstat"""
+  }
+
   /** DuckDB twin of [[mannWhitney]] — identical axis aggregation,
     * running-sum fold and double sequence. `perUnitSql` must select
     * `(variant, m)` with `m` DECIMAL. */

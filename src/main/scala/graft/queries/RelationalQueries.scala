@@ -1186,6 +1186,25 @@ object RelationalQueries extends Registry {
     "d57_gini" -> ((s, d) =>
       graft.operators.Inequality.gini(Tables.events(s, d), "value",
         Seq("event_type"))),
+    // D113: KOLMOGOROV–SMIRNOV two-sample — distribution-SHAPE A/B
+    // readout on the same per-user revenue metric as d52: sup-norm of
+    // the two ECDFs over the bounded decimal value axis (inclusive
+    // running sums, no corpus-sized rank window).
+    "d60_ks_test" -> ((s, d) =>
+      graft.operators.Experiment.ksTest(
+        abPerUser(s, d), "variant", "m", "control", "treatment")),
+    // D114: POPULATION STABILITY INDEX — drift magnitude of the event
+    // value distribution, first half of the month (baseline) vs second
+    // (current), per event type: the monitoring metric that triggers
+    // retraining. Baseline-anchored fixed bins + ordered fold over the
+    // bounded bin axis.
+    "d61_psi" -> ((s, d) =>
+      graft.operators.Drift.psi(
+        Tables.events(s, d).withColumn("snapshot",
+          when(dayofmonth(col("ts")) <= 15, lit("base"))
+            .otherwise(lit("curr"))),
+        "snapshot", "value", "base", "curr", bins = 10,
+        groupCols = Seq("event_type"))),
     // D110: BOOTSTRAP DIFFERENCE CI — the nonparametric A/B readout:
     // percentile CI on (treatment mean − control mean) from the same
     // one-pass Poisson replicas; a CI excluding 0 is the significance
@@ -1931,6 +1950,15 @@ object RelationalQueries extends Registry {
       "control", "treatment"),
     "d57_gini" -> graft.operators.Inequality.sqlGini(
       "SELECT event_type, value AS v FROM events", Seq("event_type")),
+    "d60_ks_test" -> graft.operators.Experiment.sqlKsTest(
+      abPerUserSql, "control", "treatment"),
+    "d61_psi" -> graft.operators.Drift.sqlPsi(
+      """SELECT event_type,
+           CASE WHEN date_part('day', ts) <= 15
+             THEN 'base' ELSE 'curr' END AS snapshot,
+           value AS v
+         FROM events""",
+      "base", "curr", bins = 10, groupCols = Seq("event_type")),
     "d55_bootstrap_diff" -> graft.operators.Bootstrap.sqlDiffCi(
       s"SELECT variant, m, user_id AS key FROM ($abPerUserSql)",
       "control", "treatment"),

@@ -192,6 +192,46 @@ class ExperimentSpec extends SparkSpec {
     assert(rs.getDouble(2) === 2.0 && rs.getDouble(3) === 0.0)
   }
 
+  test("KS two-sample: hand fixture; identical null; decisive rejection") {
+    import spark.implicits._
+    // A={1,3,5}, B={2,3,6}: ECDF diffs 1/3,0,0,1/3,0 -> D = 1/3;
+    // lambda = (1/3)*sqrt(9/6) = 0.408248 < 1.358 -> no rejection
+    val pu = Seq(("a", 1), ("a", 3), ("a", 5), ("b", 2), ("b", 3), ("b", 6))
+      .toDF("variant", "v")
+      .select(col("variant"), col("v").cast("decimal(18,2)").as("m"))
+    val r = Experiment.ksTest(pu, "variant", "m", "a", "b").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.333333)
+    assert(r.getDouble(3) === 0.408248)
+    assert(r.getLong(4) === 0L)
+    // identical distributions -> D = 0
+    val same = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("variant", "v")
+      .select(col("variant"), col("v").cast("decimal(18,2)").as("m"))
+    val rs = Experiment.ksTest(same, "variant", "m", "a", "b").head()
+    assert(rs.getDouble(2) === 0.0 && rs.getLong(4) === 0L)
+    // fully separated at n=20+20: D = 1, lambda = sqrt(10) -> reject
+    val sep = ((1 to 20).map(i => ("a", i)) ++
+      (1 to 20).map(i => ("b", 100 + i))).toDF("variant", "v")
+      .select(col("variant"), col("v").cast("decimal(18,2)").as("m"))
+    val rx = Experiment.ksTest(sep, "variant", "m", "a", "b").head()
+    assert(rx.getDouble(2) === 1.0 && rx.getLong(4) === 1L)
+  }
+
+  test("KS grid mode: bounded axis, drift within one grid cell of exact") {
+    import spark.implicits._
+    // shifted uniform grids: exact D = 0.05; a 64-level quantization
+    // can move D by at most the mass inside one cell (~1.6%)
+    val pu = ((1 to 1000).map(i => ("a", i)) ++
+      (1 to 1000).map(i => ("b", i + 50))).toDF("variant", "v")
+      .select(col("variant"), col("v").cast("decimal(18,2)").as("m"))
+    val ex = Experiment.ksTest(pu, "variant", "m", "a", "b").head()
+    val gr = Experiment.ksTest(pu, "variant", "m", "a", "b",
+      exact = false, gridLevels = 64).head()
+    assert(ex.getDouble(2) === 0.05)
+    assert(math.abs(gr.getDouble(2) - ex.getDouble(2)) <= 0.02,
+      s"grid D ${gr.getDouble(2)} vs exact ${ex.getDouble(2)}")
+  }
+
   test("chi-square conversion: hand 2x2; degenerate margins guard to 0") {
     import spark.implicits._
     // 30/100 vs 45/100 converted: chi2 = 200*(30*55-70*45)^2/denoms = 4.8
