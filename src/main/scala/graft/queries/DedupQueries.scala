@@ -13,45 +13,6 @@ object DedupQueries extends Registry {
 
   private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
-  /** Deterministic "typo" twin of a customer name — the linkage
-    * fixture both engines rebuild bit-identically: position
-    * p = 10 + key % 9 (1-indexed, inside the digit tail of the
-    * 18-char name), letter = alphabet[key % 26]; key % 3 selects
-    * substitution / deletion / insertion at p. Every edit is exactly
-    * one Levenshtein step (a letter never equals a digit). */
-  private def dirtyCustomerName(id: org.apache.spark.sql.Column,
-                                n: org.apache.spark.sql.Column)
-  : org.apache.spark.sql.Column = {
-    val p = (lit(10) + id % 9).cast("int")
-    val letter = lit("abcdefghijklmnopqrstuvwxyz")
-      .substr((id % 26).cast("int") + lit(1), lit(1))
-    val pre = n.substr(lit(1), p - 1)
-    val tailAfter = n.substr(p + 1, length(n))
-    val tailFrom = n.substr(p, length(n))
-    when(id % 3 === 0, concat(pre, letter, tailAfter))
-      .when(id % 3 === 1, concat(pre, tailAfter))
-      .otherwise(concat(pre, letter, tailFrom))
-  }
-
-  /** DuckDB twin of [[dirtyCustomerName]] over `customer`, selecting
-    * `(id, name)` as [[graft.operators.RecordLinkage.sqlFuzzyJoin]]
-    * expects. */
-  private val dirtyCustomerSql: String =
-    """SELECT c_custkey AS id,
-         CASE WHEN c_custkey % 3 = 0
-             THEN substr(c_name, 1, p - 1) || l ||
-                  substr(c_name, p + 1, length(c_name))
-           WHEN c_custkey % 3 = 1
-             THEN substr(c_name, 1, p - 1) ||
-                  substr(c_name, p + 1, length(c_name))
-           ELSE substr(c_name, 1, p - 1) || l ||
-                substr(c_name, p, length(c_name)) END AS name
-       FROM (SELECT c_custkey, c_name,
-               CAST(10 + c_custkey % 9 AS INTEGER) AS p,
-               substr('abcdefghijklmnopqrstuvwxyz',
-                 CAST(c_custkey % 26 AS INTEGER) + 1, 1) AS l
-             FROM customer)"""
-
   val queries: Map[String, Q] = Map(
     // C1: exact dedup — keep the min-id doc per normalized content.
     "c1_exact_dedup" -> ((s, d) =>
@@ -95,23 +56,6 @@ object DedupQueries extends Registry {
         .withColumn("__keep", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("__keep"))
         .select(docCols.map(col): _*)
-    }),
-    // C9: RECORD LINKAGE — blocked fuzzy matching (SymSpell deletion-
-    // neighborhood + levenshtein verify) between the customer table
-    // and a deterministically-dirtied twin: custkey % 3 picks a
-    // substitution / deletion / insertion at a custkey-derived digit
-    // position. Recall is exact for radius-1 edits by the blocking
-    // guarantee; the oracle recomputes the identical pipeline (DuckDB
-    // has levenshtein). Every join is an equi-join on the variant key
-    // — no cartesian (plan spec-asserted).
-    "c9_record_linkage" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-      val clean = cust.select(col("c_custkey").as("clean_key"),
-        col("c_name"))
-      val dirty = cust.select(col("c_custkey").as("dirty_key"),
-        dirtyCustomerName(col("c_custkey"), col("c_name")).as("c_name_d"))
-      graft.operators.RecordLinkage.fuzzyJoin(clean, dirty,
-        "clean_key", "dirty_key", "c_name", "c_name_d")
     }),
     // D34: snapshot diff — dataset versioning between two corpus cuts.
     // Old = 90% of docs (drops every 10th id), new = 6/7 of docs with
@@ -371,9 +315,6 @@ object DedupQueries extends Registry {
   }
 
   val oracle: Map[String, String] = Map(
-    "c9_record_linkage" -> graft.operators.RecordLinkage.sqlFuzzyJoin(
-      "SELECT c_custkey AS id, c_name AS name FROM customer",
-      dirtyCustomerSql, "clean_key", "dirty_key"),
     "d11_snapshot_diff" -> """
       WITH old AS (
         SELECT doc_id, md5(text) AS ofp FROM documents
