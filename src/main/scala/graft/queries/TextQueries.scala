@@ -657,6 +657,14 @@ object TextQueries extends Registry {
       graft.operators.Sampling.ppsSystematic(
         Tables.documents(s, d).select("doc_id", "n_chars"),
         "doc_id", "n_chars", k = 100)),
+    // C7: DSIR data selection — importance-resample 100 docs toward
+    // the ENGLISH target distribution (Xie et al. 2023): add-1 unigram
+    // likelihood-ratio weights piped into the exact-BIGINT PPS
+    // sampler. The end-to-end published curation move, under the
+    // bit-exact oracle.
+    "c7_dsir_select" -> ((s, d) =>
+      graft.text.Dsir.select(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en", k = 100)),
     // C7: curation pipeline v3 — the ROUND-6 operators composed end to
     // end under one oracle row: span-level dedup of the train slice →
     // graded decontamination on the CLEANED text (≤ 20% eval-gram
@@ -856,6 +864,13 @@ object TextQueries extends Registry {
       ${graft.operators.Sampling.sqlFixedSize("doc_id", 100)}""",
     "c7_pps_sample" -> graft.operators.Sampling.sqlPps(
       "documents", "doc_id", "n_chars", 100, Seq("doc_id", "n_chars")),
+    "c7_dsir_select" -> graft.operators.Sampling.sqlPps(
+      s"""(${graft.text.Dsir.sqlImportanceWeights(
+        s"""SELECT doc_id AS id, lang = 'en' AS t,
+              ${sqlToks("text")} AS toks
+            FROM documents""", idOut = "doc_id")})""",
+      "doc_id", "weight", 100,
+      Seq("doc_id", "n_tokens", "mean_ratio", "weight")),
     "c7_url_canonicalize" -> s"""
       WITH $sqlUrlFixture
       SELECT doc_id, url,
