@@ -1186,6 +1186,19 @@ object RelationalQueries extends Registry {
     "d57_gini" -> ((s, d) =>
       graft.operators.Inequality.gini(Tables.events(s, d), "value",
         Seq("event_type"))),
+    // D115: SPLIT-CONFORMAL prediction intervals — distribution-free
+    // ±q̂ around the per-segment mean predictor: train/cal/test carved
+    // from custkey thirds; q̂ is the ⌈(n+1)(1−α)⌉-th residual order
+    // statistic folded over the bounded 2-dp residual axis (never a
+    // per-row rank window). The honesty layer over the imputers.
+    "d63_conformal" -> ((s, d) =>
+      graft.operators.Conformal.meanInterval(
+        Tables.customer(s, d).select(col("c_mktsegment"),
+          when(col("c_custkey") % 3 === 0, lit("train"))
+            .when(col("c_custkey") % 3 === 1, lit("cal"))
+            .otherwise(lit("test")).as("role"),
+          col("c_acctbal").as("y")),
+        "role", "y", Seq("c_mktsegment"), alpha10 = 1)),
     // D113: KOLMOGOROV–SMIRNOV two-sample — distribution-SHAPE A/B
     // readout on the same per-user revenue metric as d52: sup-norm of
     // the two ECDFs over the bounded decimal value axis (inclusive
@@ -1952,6 +1965,14 @@ object RelationalQueries extends Registry {
       "SELECT event_type, value AS v FROM events", Seq("event_type")),
     "d60_ks_test" -> graft.operators.Experiment.sqlKsTest(
       abPerUserSql, "control", "treatment"),
+    "d63_conformal" -> graft.operators.Conformal.sqlMeanInterval(
+      """SELECT c_mktsegment,
+           CASE WHEN c_custkey % 3 = 0 THEN 'train'
+                WHEN c_custkey % 3 = 1 THEN 'cal'
+                ELSE 'test' END AS role,
+           c_acctbal AS y
+         FROM customer""",
+      Seq("c_mktsegment"), alpha10 = 1),
     "d61_psi" -> graft.operators.Drift.sqlPsi(
       """SELECT event_type,
            CASE WHEN date_part('day', ts) <= 15
