@@ -61,10 +61,11 @@ object Drift {
       .groupBy(g :+ col("__bin"): _*)
       .agg(count(when(col(snapshotCol) === baseLabel, lit(1))).as("__cb"),
         count(when(col(snapshotCol) === currLabel, lit(1))).as("__cc"))
-    // dense the axis: a bin empty on BOTH sides contributes 0 to PSI
-    // (its smoothed p's are equal), so missing rows are safe to skip —
-    // but totals must still smooth over ALL `bins` cells, so N + 0.5·B
-    // uses the configured bin count, not the observed one.
+    // a bin empty on BOTH sides is SKIPPED entirely (it never appears
+    // in byBin — the convention for unobserved cells; note its term
+    // would NOT be zero when n_base ≠ n_curr, so "skip" is a semantic
+    // choice, mirrored in the SQL twin and the streaming monitor);
+    // totals still smooth over the configured `bins` count.
     val wTot = if (groupCols.isEmpty) Window.partitionBy()
     else Window.partitionBy(groupCols.map(col): _*)
     val wCum = wTot.orderBy(col("__bin"))
