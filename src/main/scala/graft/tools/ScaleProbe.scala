@@ -188,7 +188,14 @@ object ScaleProbe {
       // round-10: incremental BM25 index — build (3/4 corpus) + merge
       // (1/4) + serve; the full row replicates with the corpus, the
       // merge-only exponent is ProfileLexicalMerge (measured 1.0x)
-      "c3_bm25_serve_incr")
+      "c3_bm25_serve_incr",
+      // round-10: KS / PSI / conformal — all bounded-axis folds
+      // (pooled value grid, B bins, 2-dp residual grid): expect ~scan
+      "d60_ks_test", "d61_psi", "d63_conformal",
+      // round-10: DSIR selection — tokenize+explode, two LM hash aggs,
+      // per-token equi-join, PPS two-level prefix: the BM25/TF-IDF
+      // family's shape, expect ~linear
+      "c7_dsir_select")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
