@@ -88,6 +88,101 @@ object Drift {
         round(max_by(col("__cum"), col("__bin")), 6).as("psi"))
   }
 
+  /** CUSUM CHANGEPOINT DETECTION — the sequential shift detector that
+    * complements [[psi]] (magnitude between two snapshots) and the
+    * EWMA/seasonal anomaly rows (point outliers): CUSUM accumulates
+    * small persistent deviations from a target until they cross a
+    * decision interval, catching the slow drift a per-point z-score
+    * never flags (Page 1954):
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + x_t − μ − κ)   (upward shifts)
+    *   S⁻_t = max(0, S⁻_{t−1} + μ − x_t − κ)   (downward shifts)
+    *
+    * The recursion is NOT a window function, but its closed form is:
+    * S_t = P_t − min_{0≤j≤t} P_j over the prefix sums P of the
+    * deviations — one ordered running sum + one ordered running min,
+    * both over the bounded per-group SERIES axis (time buckets, not
+    * corpus rows).
+    *
+    * Determinism: everything folds in INTEGER MICRO-UNITS — `x` is
+    * exact decimal → ×10⁶ BIGINT, the per-group target mean is one
+    * truncating integer division, κ and h are micro-unit longs — so
+    * prefix sums are order-insensitive exact and both engines compare
+    * identical integers at the alarm boundary. Output per (group, t):
+    * `s_plus, s_minus` (micro→double, 6dp exact) and `alarm_up /
+    * alarm_down` (0/1). Values are assumed non-negative (the money
+    * grid); the truncating mean is documented, not hidden. */
+  def cusum(series: DataFrame, tCol: String, valueCol: String,
+            groupCols: Seq[String], allowanceMicro: Long,
+            thresholdMicro: Long): DataFrame = {
+    require(groupCols.nonEmpty, "cusum needs at least one group col")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val xm = (col(valueCol).cast("decimal(18,2)") * lit(1000000L))
+      .cast("long")
+    val wAll = Window.partitionBy(g: _*)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col(tCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withMu = series
+      .withColumn("__xm", xm)
+      .withColumn("__mu", expr("sum(__xm) over " +
+        s"(partition by ${groupCols.mkString(", ")}) div " +
+        s"count(__xm) over (partition by ${groupCols.mkString(", ")})"))
+    val dUp = col("__xm") - col("__mu") - lit(allowanceMicro)
+    val dDn = col("__mu") - col("__xm") - lit(allowanceMicro)
+    val folded = withMu
+      .withColumn("__pu", sum(dUp).over(wOrd))
+      .withColumn("__pd", sum(dDn).over(wOrd))
+      .withColumn("__su",
+        col("__pu") - least(lit(0L), min(col("__pu")).over(wOrd)))
+      .withColumn("__sd",
+        col("__pd") - least(lit(0L), min(col("__pd")).over(wOrd)))
+    folded.select(g ++ Seq(col(tCol),
+      (col("__su").cast("double") / lit(1e6)).as("s_plus"),
+      (col("__sd").cast("double") / lit(1e6)).as("s_minus"),
+      (col("__su") > thresholdMicro).cast("bigint").as("alarm_up"),
+      (col("__sd") > thresholdMicro).cast("bigint").as("alarm_down")): _*)
+  }
+
+  /** DuckDB twin of [[cusum]]: `seriesSql` must select `(grp…, t, x)`
+    * with `x` castable to DECIMAL(18,2). */
+  def sqlCusum(seriesSql: String, groupCols: Seq[String],
+               allowanceMicro: Long, thresholdMicro: Long): String = {
+    val gl = groupCols.mkString(", ")
+    s"""
+    WITH s0 AS (
+      SELECT $gl, t,
+        CAST(CAST(x AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS xm
+      FROM ($seriesSql)
+    ), mu AS (
+      SELECT $gl, t, xm,
+        sum(xm) OVER (PARTITION BY $gl) //
+          count(xm) OVER (PARTITION BY $gl) AS mu
+      FROM s0
+    ), pre AS (
+      SELECT $gl, t,
+        sum(xm - mu - $allowanceMicro) OVER (PARTITION BY $gl ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+        sum(mu - xm - $allowanceMicro) OVER (PARTITION BY $gl ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd
+      FROM mu
+    ), st AS (
+      SELECT $gl, t,
+        CAST(pu - least(0, min(pu) OVER (PARTITION BY $gl ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+          AS su,
+        CAST(pd - least(0, min(pd) OVER (PARTITION BY $gl ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+          AS sd
+      FROM pre)
+    SELECT $gl, t,
+      CAST(su AS DOUBLE) / 1000000.0e0 AS s_plus,
+      CAST(sd AS DOUBLE) / 1000000.0e0 AS s_minus,
+      CAST(su > $thresholdMicro AS BIGINT) AS alarm_up,
+      CAST(sd > $thresholdMicro AS BIGINT) AS alarm_down
+    FROM st"""
+  }
+
   /** DuckDB twin of [[psi]] — identical binning arithmetic, smoothing
     * and ordered fold (DuckDB's `ln`; its `log` is log10). `rowsSql`
     * must select `(grp…, snapshot, v)` with `v` castable to DOUBLE;

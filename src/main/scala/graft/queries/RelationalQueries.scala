@@ -1186,6 +1186,21 @@ object RelationalQueries extends Registry {
     "d57_gini" -> ((s, d) =>
       graft.operators.Inequality.gini(Tables.events(s, d), "value",
         Seq("event_type"))),
+    // D125: CUSUM changepoint detection — hourly revenue per type vs
+    // its own mean: the sequential detector for SLOW persistent shifts
+    // (PSI/seasonal-z catch magnitude and point outliers; CUSUM
+    // accumulates small deviations until they cross h). Prefix-sum
+    // closed form in integer micro-units — two ordered folds over the
+    // bounded hourly axis, exact at any corpus size.
+    "d64_cusum" -> ((s, d) =>
+      graft.operators.Drift.cusum(
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("t"))
+          .agg(sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("x")),
+        "t", "x", Seq("event_type"),
+        allowanceMicro = 50000000L, thresholdMicro = 200000000L)),
     // D115: SPLIT-CONFORMAL prediction intervals — distribution-free
     // ±q̂ around the per-segment mean predictor: train/cal/test carved
     // from custkey thirds; q̂ is the ⌈(n+1)(1−α)⌉-th residual order
@@ -1965,6 +1980,12 @@ object RelationalQueries extends Registry {
       "SELECT event_type, value AS v FROM events", Seq("event_type")),
     "d60_ks_test" -> graft.operators.Experiment.sqlKsTest(
       abPerUserSql, "control", "treatment"),
+    "d64_cusum" -> graft.operators.Drift.sqlCusum(
+      """SELECT event_type, date_trunc('hour', ts) AS t,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+         FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+      Seq("event_type"),
+      allowanceMicro = 50000000L, thresholdMicro = 200000000L),
     "d63_conformal" -> graft.operators.Conformal.sqlMeanInterval(
       """SELECT c_mktsegment,
            CASE WHEN c_custkey % 3 = 0 THEN 'train'

@@ -44,6 +44,51 @@ class DriftSpec extends SparkSpec {
     assert(scaled === pSmall)
   }
 
+  test("CUSUM: closed form equals the direct recursion; planted shift alarms") {
+    // level 100 for t < 20, shifted to 130 after; mean ends up between,
+    // so the upper CUSUM climbs through the shift and alarms
+    val xs = (0 until 40).map(t => if (t < 20) 100.0 else 130.0)
+    val df = xs.zipWithIndex.map { case (x, t) => ("g", t.toLong, x) }
+      .toDF("g", "t", "x")
+    val out = Drift.cusum(df, "t", "x", Seq("g"),
+      allowanceMicro = 5000000L, thresholdMicro = 30000000L)
+      .orderBy("t").collect()
+    // direct recursion in micro-units
+    val mu = (xs.map(x => (x * 100).toLong * 10000L).sum / 40L)
+    var sUp = 0L; var sDn = 0L
+    xs.zipWithIndex.foreach { case (x, t) =>
+      val xm = (x * 100).toLong * 10000L
+      sUp = math.max(0L, sUp + xm - mu - 5000000L)
+      sDn = math.max(0L, sDn + mu - xm - 5000000L)
+      val r = out(t)
+      assert(r.getDouble(2) === sUp / 1e6, s"s_plus at t=$t")
+      assert(r.getDouble(3) === sDn / 1e6, s"s_minus at t=$t")
+      assert(r.getLong(4) === (if (sUp > 30000000L) 1L else 0L))
+      assert(r.getLong(5) === (if (sDn > 30000000L) 1L else 0L))
+    }
+    // the shift is caught: upper alarms fire in the second half only
+    val ups = out.map(_.getLong(4))
+    assert(ups.take(20).forall(_ === 0L), "no false alarm pre-shift")
+    assert(ups.drop(20).exists(_ === 1L), "shift alarmed")
+    // the pre-shift segment runs BELOW the overall mean -> the lower
+    // side legitimately alarms there (S⁻ peaks at 200 at t=19), then
+    // drains at 20/step post-shift: 200−20(t−19) ≤ 30 from t = 28
+    assert(out.map(_.getLong(5)).drop(28).forall(_ === 0L))
+    assert(out(19).getLong(5) === 1L)
+  }
+
+  test("CUSUM: stable series never alarms; per-group isolation") {
+    val df = ((0 until 30).map(t => ("a", t.toLong, 50.0)) ++
+      (0 until 30).map(t => ("b", t.toLong, if (t < 15) 10.0 else 500.0)))
+      .toDF("g", "t", "x")
+    val out = Drift.cusum(df, "t", "x", Seq("g"),
+      allowanceMicro = 1000000L, thresholdMicro = 10000000L)
+    assert(out.filter(col("g") === "a")
+      .agg(max(col("alarm_up")) + max(col("alarm_down"))).head().getLong(0) === 0L)
+    assert(out.filter(col("g") === "b")
+      .agg(max(col("alarm_up"))).head().getLong(0) === 1L)
+  }
+
   test("PSI: per-group independence; current outliers clamp to edge bins") {
     val df = (
       (1 to 100).map(i => ("g1", "base", (i % 10).toDouble)) ++
