@@ -377,4 +377,40 @@ object PerceptualHash {
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** SHOT-BOUNDARY DETECTION + KEYFRAME SELECTION — the frame-sampling
+    * op of a video training pipeline: instead of "every Nth frame"
+    * (oversamples static shots, misses fast cuts), segment each video
+    * where consecutive frame hashes jump by more than `maxDist` bits
+    * and keep one keyframe per shot. The classic hash-based cut
+    * detector, running on [[hashFrames]] output — pure integer
+    * arithmetic (XOR + popcount on the aHash), so fixture videos sit
+    * under the exact DuckDB oracle.
+    *
+    * Output, one row per frame: `(idCol, frame_idx, fhash, dist_prev
+    * — null on frame 0, shot_idx — 0-based, is_keyframe — 1 on each
+    * shot's first frame)`.
+    *
+    * Scale shape: two ordered windows per video over the FRAME axis
+    * (bounded by `maxFrames` at decode, never corpus-sized); no joins,
+    * no shuffle beyond the per-video partition. */
+  def shotBoundaries(frameHashes: DataFrame, idCol: String,
+                     hashCol: String = "fhash",
+                     frameCol: String = "frame_idx",
+                     maxDist: Int = 4): DataFrame = {
+    require(maxDist >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col(frameCol))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    frameHashes
+      .withColumn("__prev", lag(col(hashCol), 1).over(wOrd))
+      .withColumn("dist_prev",
+        bit_count(col("__prev").bitwiseXOR(col(hashCol))).cast("long"))
+      .withColumn("__cut",
+        when(col("__prev").isNull || col("dist_prev") > maxDist, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("shot_idx", sum(col("__cut")).over(wCum) - lit(1L))
+      .select(col(idCol), col(frameCol), col(hashCol), col("dist_prev"),
+        col("shot_idx"), col("__cut").as("is_keyframe"))
+  }
 }

@@ -160,6 +160,24 @@ object MultimodalQueries extends Registry {
         graft.multimodal.PerceptualHash.hashFrames(fixture), "asset_id",
         minJaccard = 0.45, maxHashFreq = 8)
     }),
+    // C6: SHOT BOUNDARIES + keyframe selection — segment each fixture
+    // video where consecutive frame hashes jump by > 4 bits, keep one
+    // keyframe per shot: the frame-SAMPLING op (every-Nth oversamples
+    // static shots, misses cuts). Same fixture and closed-form hash
+    // oracle as c6_frame_dedup; pure XOR+popcount integer arithmetic.
+    "c6_shot_boundaries" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 30).select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id % 10L; val m = id / 10L
+          (id, Multimodal.gifFixtureBytes(
+            (4 + g % 5).toInt, (3 + g % 4).toInt, 6, g * 1000L + 7L * m))
+        }.toDF("asset_id", "payload")
+      graft.multimodal.PerceptualHash.shotBoundaries(
+        graft.multimodal.PerceptualHash.hashFrames(fixture), "asset_id",
+        maxDist = 4)
+    }),
     // C6: HAMMING-TOLERANT video dedup — the re-encode shape exact
     // frame matching misses: m=2 copies carry a +2 luma shift across
     // the fixture's mod-256 wrap, landing every frame hash at Hamming
@@ -523,6 +541,47 @@ object MultimodalQueries extends Registry {
         CAST(round(CAST(n_dup AS DOUBLE) / CAST(n_frames AS DOUBLE), 6)
           < 0.5e0 AS INT) AS kept
       FROM r""",
+    "c6_shot_boundaries" -> """
+      WITH f AS (
+        SELECT doc_id AS id, doc_id % 10 AS g, doc_id // 10 AS m,
+          CAST(4 + (doc_id % 10) % 5 AS BIGINT) AS w,
+          CAST(3 + (doc_id % 10) % 4 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 30
+      ), fr AS (
+        SELECT id, g, m, w, h, fx.f
+        FROM f, LATERAL unnest(generate_series(0, 5)) fx(f)
+      ), px AS (
+        SELECT id, f, w, h, p.p,
+          (g * 1000 + 7 * m + 7 * f + p) % 256 AS v
+        FROM fr, LATERAL unnest(generate_series(0, w * h - 1)) p(p)
+      ), tot AS (
+        SELECT id, f, CAST(sum(v) AS BIGINT) AS total, max(w * h) AS n
+        FROM px GROUP BY 1, 2
+      ), hashes AS (
+        SELECT px.id, px.f,
+          CAST(coalesce(sum(CASE WHEN v * n > total
+            THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END), 0)
+            AS BIGINT) AS fhash
+        FROM px JOIN tot USING (id, f) GROUP BY 1, 2
+      ), lagd AS (
+        SELECT id, f, fhash,
+          lag(fhash) OVER (PARTITION BY id ORDER BY f) AS prev
+        FROM hashes
+      ), cuts AS (
+        SELECT id, f, fhash,
+          CASE WHEN prev IS NULL THEN NULL
+            ELSE CAST(bit_count(xor(prev, fhash)) AS BIGINT) END
+            AS dist_prev,
+          CASE WHEN prev IS NULL
+              OR bit_count(xor(prev, fhash)) > 4 THEN 1
+            ELSE 0 END AS cut
+        FROM lagd)
+      SELECT id AS asset_id, f AS frame_idx, fhash, dist_prev,
+        CAST(sum(cut) OVER (PARTITION BY id ORDER BY f
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+          AS BIGINT) AS shot_idx,
+        CAST(cut AS BIGINT) AS is_keyframe
+      FROM cuts""",
     "c6_frame_dedup" -> """
       WITH f AS (
         SELECT doc_id AS id, doc_id % 10 AS g, doc_id // 10 AS m,

@@ -163,4 +163,29 @@ class PerceptualHashSpec extends SparkSpec {
     assert(tol.keySet === Set((1L, 2L)), s"pairs: $tol")
     assert(tol((1L, 2L)) === ((4L, 1.0)))
   }
+
+  test("shotBoundaries: cuts where the hash jumps, one keyframe per shot") {
+    // hand frame hashes: popcount(0^1)=1 stays in shot, 1^255 -> 7
+    // bits opens a new one; frame 0 is always a keyframe
+    val frames = Seq((1L, 0L, 0L), (1L, 1L, 0L), (1L, 2L, 1L),
+      (1L, 3L, 1L), (1L, 4L, 255L),
+      (2L, 0L, 42L), (2L, 1L, 42L)) // static video: one shot
+      .toDF("asset_id", "frame_idx", "fhash")
+    val out = PerceptualHash.shotBoundaries(frames, "asset_id",
+        maxDist = 4)
+      .orderBy("asset_id", "frame_idx").collect()
+    val v1 = out.filter(_.getLong(0) == 1L)
+    assert(v1.map(_.getLong(4)).toSeq === Seq(0L, 0L, 0L, 0L, 1L))
+    assert(v1.map(_.getLong(5)).toSeq === Seq(1L, 0L, 0L, 0L, 1L))
+    assert(v1(0).isNullAt(3) && v1(2).getLong(3) === 1L
+      && v1(4).getLong(3) === 7L)
+    val v2 = out.filter(_.getLong(0) == 2L)
+    assert(v2.map(_.getLong(5)).sum === 1L, "static video: one keyframe")
+    // maxDist 0: every hash change cuts -> shots 0,0,1,1,2 on video 1
+    val strict = PerceptualHash.shotBoundaries(frames, "asset_id",
+        maxDist = 0)
+      .filter(col("asset_id") === 1L)
+      .orderBy("frame_idx").collect().map(_.getLong(4)).toSeq
+    assert(strict === Seq(0L, 0L, 1L, 1L, 2L))
+  }
 }
