@@ -91,6 +91,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "k"), intLit(children(2), "capacity"))
           .toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_unicode_norm"),
+      new ExpressionInfo(classOf[graft.expressions.UnicodeNorm].getName,
+        "graft_unicode_norm"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "graft_unicode_norm takes exactly 2 arguments")
+        val strip = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_unicode_norm strip must be a boolean literal, got $other")
+        }
+        graft.expressions.UnicodeNorm(children.head, strip)
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

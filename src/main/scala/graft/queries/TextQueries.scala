@@ -657,6 +657,24 @@ object TextQueries extends Registry {
       graft.operators.Sampling.ppsSystematic(
         Tables.documents(s, d).select("doc_id", "n_chars"),
         "doc_id", "n_chars", k = 100)),
+    // C5: UNICODE CANONICALIZATION — NFC + accent folding via the
+    // native graft_unicode_norm expression: precomposed (U+00E9) and
+    // decomposed (e + U+0301) arrivals of the same visible text
+    // normalize to identical bytes (the dedup-key prerequisite); the
+    // folded form additionally drops diacritics (ß/Ł untouched — no
+    // decomposition). Oracle: DuckDB nfc_normalize / strip_accents on
+    // a chr()-built twin of the planted suffixes.
+    "c5_unicode_normalize" -> ((s, d) => {
+      val suffix = when(col("doc_id") % 4 === 0, lit(" café"))
+        .when(col("doc_id") % 4 === 1, lit(" café"))
+        .when(col("doc_id") % 4 === 2, lit(" CAFE"))
+        .otherwise(lit(" Åland straße"))
+      val str = concat(col("text"), suffix)
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          TextFunctions.unicodeNorm(str, stripAccents = false).as("nfc"),
+          TextFunctions.unicodeNorm(str, stripAccents = true).as("folded"))
+    }),
     // C7: DSIR data selection — importance-resample 100 docs toward
     // the ENGLISH target distribution (Xie et al. 2023): add-1 unigram
     // likelihood-ratio weights piped into the exact-BIGINT PPS
@@ -864,6 +882,18 @@ object TextQueries extends Registry {
       ${graft.operators.Sampling.sqlFixedSize("doc_id", 100)}""",
     "c7_pps_sample" -> graft.operators.Sampling.sqlPps(
       "documents", "doc_id", "n_chars", 100, Seq("doc_id", "n_chars")),
+    "c5_unicode_normalize" -> """
+      WITH f AS (
+        SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN ' caf' || chr(233)
+            WHEN 1 THEN ' cafe' || chr(769)
+            WHEN 2 THEN ' CAFE'
+            ELSE ' ' || chr(197) || 'land stra' || chr(223) || 'e' END
+          AS s
+        FROM documents WHERE doc_id < 50)
+      SELECT doc_id, nfc_normalize(s) AS nfc,
+        strip_accents(nfc_normalize(s)) AS folded
+      FROM f""",
     "c7_dsir_select" -> graft.operators.Sampling.sqlPps(
       s"""(${graft.text.Dsir.sqlImportanceWeights(
         s"""SELECT doc_id AS id, lang = 'en' AS t,

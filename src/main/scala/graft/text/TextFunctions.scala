@@ -134,4 +134,12 @@ object TextFunctions {
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.Shingles(
         org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
+  /** Unicode NFC canonicalization (`stripAccents = true` additionally
+    * folds diacritics) — [[graft.expressions.UnicodeNorm]]. */
+  def unicodeNorm(text: Column, stripAccents: Boolean): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.UnicodeNorm(
+        org.apache.spark.sql.GraftColumnBridge.expression(text),
+        stripAccents))
 }
