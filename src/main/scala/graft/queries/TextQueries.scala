@@ -675,6 +675,13 @@ object TextQueries extends Registry {
           TextFunctions.unicodeNorm(str, stripAccents = false).as("nfc"),
           TextFunctions.unicodeNorm(str, stripAccents = true).as("folded"))
     }),
+    // C5: DISTINCTIVE TERMS — Monroe et al. weighted log-odds with an
+    // informative Dirichlet prior, per source: frequent AND skewed
+    // vocabulary, the corpus-analysis readout raw counts (stopwords)
+    // and TF-IDF (one-offs) both get wrong.
+    "c5_distinctive_terms" -> ((s, d) =>
+      graft.text.DistinctiveTerms.distinctiveTerms(
+        Tables.documents(s, d), "source", "text", k = 5)),
     // C7: DSIR data selection — importance-resample 100 docs toward
     // the ENGLISH target distribution (Xie et al. 2023): add-1 unigram
     // likelihood-ratio weights piped into the exact-BIGINT PPS
@@ -882,6 +889,9 @@ object TextQueries extends Registry {
       ${graft.operators.Sampling.sqlFixedSize("doc_id", 100)}""",
     "c7_pps_sample" -> graft.operators.Sampling.sqlPps(
       "documents", "doc_id", "n_chars", 100, Seq("doc_id", "n_chars")),
+    "c5_distinctive_terms" -> graft.text.DistinctiveTerms.sqlDistinctiveTerms(
+      s"SELECT source AS g, ${sqlToks("text")} AS toks FROM documents",
+      groupOut = "source", k = 5),
     "c5_unicode_normalize" -> """
       WITH f AS (
         SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
