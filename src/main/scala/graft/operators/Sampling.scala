@@ -100,6 +100,59 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** TEMPERATURE-SCALED mixture — the multilingual-pretraining
+    * standard (mBERT/XLM-R/T5): sample sources proportional to
+    * p_i^α with α = 1/2, upsampling low-resource sources relative to
+    * their raw share without letting any single giant source dominate.
+    * Equivalent to [[mixture]] with weights = √count_i (the mixture
+    * only uses RELATIVE weights, so the p_i^α normalizer cancels).
+    *
+    * α is FIXED at 1/2 deliberately: √x is required by IEEE 754 to be
+    * correctly rounded, so JVM `Math.sqrt` and DuckDB `sqrt` produce
+    * identical bits and the rate boundary (`hashNoise < rate`) can
+    * never disagree cross-engine — `pow(x, α)` for general α is only
+    * 1-ulp-faithful, which is a structural hazard at a threshold.
+    * Strata are taken from the data itself (every present stratum
+    * participates). */
+  def temperatureMixture(df: DataFrame, keyCol: String, strataCol: String,
+                         salt: Int = 11): DataFrame = {
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    require(counts.nonEmpty, "temperatureMixture: no strata present")
+    val budget = counts.map { case (_, c) => c / math.sqrt(c) }.min
+    val rates = counts.map { case (k, c) =>
+      (k, math.min(1.0, budget * math.sqrt(c) / c))
+    }.toSeq
+    import df.sparkSession.implicits._
+    val ratesDf = rates.toDF(strataCol, "__rate")
+    df.join(broadcast(ratesDf), strataCol)
+      .filter(Noise.hashNoise(col(keyCol), salt) < col("__rate"))
+      .withColumn("rate", round(col("__rate"), 6))
+      .drop("__rate")
+  }
+
+  /** DuckDB twin of [[temperatureMixture]] — identical √count weight,
+    * budget and rate sequences computed in SQL. */
+  def sqlTemperatureMixture(table: String, keyExpr: String,
+                            strataExpr: String, extraCols: Seq[String],
+                            salt: Int = 11): String = {
+    val cols = (Seq(keyExpr, strataExpr) ++ extraCols).mkString(", ")
+    s"""
+      WITH __c AS (
+        SELECT $strataExpr, CAST(count(*) AS DOUBLE) AS __cnt
+        FROM $table WHERE $strataExpr IS NOT NULL GROUP BY $strataExpr
+      ), __b AS (
+        SELECT min(__cnt / sqrt(__cnt)) AS __budget FROM __c
+      ), __r AS (
+        SELECT $strataExpr,
+          least(1.0e0, __budget * sqrt(__cnt) / __cnt) AS __rate
+        FROM __c, __b)
+      SELECT $cols, round(__rate, 6) AS rate
+      FROM $table JOIN __r USING ($strataExpr)
+      WHERE ${Noise.sqlNoise(keyExpr, salt)} < __rate"""
+  }
+
   /** Deterministic EXACT-size uniform sample: the `k` rows with the
     * smallest keyed integer rank (ties broken by the key), so unlike
     * the fraction-based ops this returns exactly min(k, n) rows — the

@@ -455,6 +455,14 @@ object TextQueries extends Registry {
       graft.operators.Sampling.mixture(Tables.documents(s, d),
           "doc_id", "source", MixtureWeights)
         .select("doc_id", "source", "lang", "n_chars", "rate")),
+    // C7: TEMPERATURE-scaled mixture (α = 1/2, the multilingual-
+    // pretraining move): √count weights upsample low-resource sources
+    // without letting giants dominate; √ is correctly rounded by IEEE
+    // so the rate boundary is engine-exact.
+    "c7_temperature_mixture" -> ((s, d) =>
+      graft.operators.Sampling.temperatureMixture(Tables.documents(s, d),
+          "doc_id", "lang")
+        .select("doc_id", "source", "lang", "n_chars", "rate")),
     // C7: PII redaction — plant deterministic e-mails (doc_id % 3) and
     // IPv4s (doc_id % 5) into the synthetic corpus, then scrub with the
     // portable regex chain (Redact.scala) and report per-doc redaction
@@ -1215,6 +1223,8 @@ object TextQueries extends Registry {
     "c7_domain_mixture" -> graft.operators.Sampling.sqlMixture(
       "documents", "doc_id", "source", MixtureWeights,
       extraCols = Seq("lang", "n_chars")),
+    "c7_temperature_mixture" -> graft.operators.Sampling.sqlTemperatureMixture(
+      "documents", "doc_id", "lang", extraCols = Seq("source", "n_chars")),
     "c7_pii_redact" -> {
       import graft.text.Redact
       s"""

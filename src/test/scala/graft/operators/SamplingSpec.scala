@@ -221,4 +221,27 @@ class SamplingSpec extends SparkSpec {
     val meanAll = W.toDouble / docs.count()
     assert(meanSel > meanAll, s"weighting had no effect: $meanSel vs $meanAll")
   }
+
+  test("temperatureMixture: sqrt-compresses shares — giants downsample, " +
+      "minnows keep everything") {
+    import spark.implicits._
+    // 900 'big' vs 100 'small' keys: α = 1/2 target shares are 3:1
+    // (√900:√100), so big keeps at rate √100/√900 = 1/3, small at 1.0
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))).toDF("k", "s")
+    val out = Sampling.temperatureMixture(df, "k", "s")
+    val rates = out.groupBy("s").agg(first(col("rate")).as("r"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(rates("small")._1 === 1.0)
+    assert(rates("small")._2 === 100L)
+    assert(math.abs(rates("big")._1 - 1.0 / 3.0) < 1e-6)
+    // hash-noise keep rate concentrates near 300 of 900
+    assert(rates("big")._2 > 250L && rates("big")._2 < 350L,
+      rates.toString)
+    // deterministic: rerun yields the identical sampled set
+    val again = Sampling.temperatureMixture(df, "k", "s")
+    assert(out.select("k").exceptAll(again.select("k")).isEmpty)
+  }
 }
