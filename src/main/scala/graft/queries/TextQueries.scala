@@ -683,6 +683,12 @@ object TextQueries extends Registry {
           TextFunctions.unicodeNorm(str, stripAccents = false).as("nfc"),
           TextFunctions.unicodeNorm(str, stripAccents = true).as("folded"))
     }),
+    // C5: ZIPF FIT — OLS of ln(freq) on ln(rank) over the top terms:
+    // natural text gives slope ≈ −1 with high R²; boilerplate/token
+    // soup bends or flattens the curve. The corpus-health number pair
+    // read before a training mix is signed off.
+    "c5_zipf_fit" -> ((s, d) =>
+      graft.text.ZipfFit.fit(Tables.documents(s, d), "text", topN = 40)),
     // C5: DISTINCTIVE TERMS — Monroe et al. weighted log-odds with an
     // informative Dirichlet prior, per source: frequent AND skewed
     // vocabulary, the corpus-analysis readout raw counts (stopwords)
@@ -897,6 +903,8 @@ object TextQueries extends Registry {
       ${graft.operators.Sampling.sqlFixedSize("doc_id", 100)}""",
     "c7_pps_sample" -> graft.operators.Sampling.sqlPps(
       "documents", "doc_id", "n_chars", 100, Seq("doc_id", "n_chars")),
+    "c5_zipf_fit" -> graft.text.ZipfFit.sqlFit(
+      s"SELECT ${sqlToks("text")} AS toks FROM documents", topN = 40),
     "c5_distinctive_terms" -> graft.text.DistinctiveTerms.sqlDistinctiveTerms(
       s"SELECT source AS g, ${sqlToks("text")} AS toks FROM documents",
       groupOut = "source", k = 5),

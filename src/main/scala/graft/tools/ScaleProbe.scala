@@ -195,7 +195,12 @@ object ScaleProbe {
       // round-10: DSIR selection — tokenize+explode, two LM hash aggs,
       // per-token equi-join, PPS two-level prefix: the BM25/TF-IDF
       // family's shape, expect ~linear
-      "c7_dsir_select")
+      "c7_dsir_select",
+      // round-10b: CUSUM (bounded series axis — expect flat) and
+      // distinctive terms (tokenize + vocab-sized joins — BM25 shape)
+      "d64_cusum", "c5_distinctive_terms",
+      // round-10b: Zipf fit — term agg + model-sized rank window
+      "c5_zipf_fit")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
