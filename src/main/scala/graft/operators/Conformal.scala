@@ -39,12 +39,15 @@ object Conformal {
     val g = groupCols.map(col)
     val y = col(yCol).cast("decimal(18,2)")
     val keep = lit(10 - alpha10) // (1-α)·10
+    // null metrics take no part (the ecdf convention — a null residual
+    // on the ordered axis would sort differently cross-engine)
+    val df0 = df.filter(col(yCol).isNotNull)
     // per-group train mean: exact decimal sum, one double division
-    val fit = df.filter(col(roleCol) === "train")
+    val fit = df0.filter(col(roleCol) === "train")
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n_train"),
         (sum(y).cast("double") / count(lit(1))).as("__yhat"))
-    val withHat = df.join(broadcast(fit), groupCols)
+    val withHat = df0.join(broadcast(fit), groupCols)
       .withColumn("__res", abs(y.cast("double") - col("__yhat")))
     // q̂: bounded-residual-axis fold — never a per-row rank window
     val calByVal = withHat.filter(col(roleCol) === "cal")
@@ -85,6 +88,7 @@ object Conformal {
     s"""
     WITH rows0 AS (
       SELECT $gl, role, CAST(y AS DECIMAL(18,2)) AS y FROM ($rowsSql)
+      WHERE y IS NOT NULL
     ), fit AS (
       SELECT $gl, CAST(count(*) AS BIGINT) AS n_train,
         CAST(sum(y) AS DOUBLE) / count(*) AS yhat

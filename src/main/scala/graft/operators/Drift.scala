@@ -123,7 +123,11 @@ object Drift {
     val wAll = Window.partitionBy(g: _*)
     val wOrd = Window.partitionBy(g: _*).orderBy(col(tCol))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // null buckets/values are excluded (the ecdf convention: the two
+    // engines order nulls differently, and a null observation has no
+    // place on a sequential axis)
     val withMu = series
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
       .withColumn("__xm", xm)
       .withColumn("__mu", expr("sum(__xm) over " +
         s"(partition by ${groupCols.mkString(", ")}) div " +
@@ -154,6 +158,7 @@ object Drift {
       SELECT $gl, t,
         CAST(CAST(x AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS xm
       FROM ($seriesSql)
+      WHERE t IS NOT NULL AND x IS NOT NULL
     ), mu AS (
       SELECT $gl, t, xm,
         sum(xm) OVER (PARTITION BY $gl) //

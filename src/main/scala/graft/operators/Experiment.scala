@@ -724,7 +724,11 @@ object Experiment {
              a: String, b: String, exact: Boolean = true,
              gridLevels: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sides = perUnit.filter(col(variantCol).isin(a, b))
+    // null metrics are excluded from the axis (the ecdf convention —
+    // Spark's window sorts nulls first, DuckDB's last, so a null row
+    // on the axis would diverge cross-engine)
+    val sides = perUnit.filter(col(variantCol).isin(a, b)
+      && col(metricCol).isNotNull)
     val keyed =
       if (exact) sides.withColumn("__mv", col(metricCol))
       else {
@@ -773,7 +777,7 @@ object Experiment {
       SELECT m AS v,
         CAST(count(CASE WHEN variant = '$a' THEN 1 END) AS BIGINT) AS na,
         CAST(count(CASE WHEN variant = '$b' THEN 1 END) AS BIGINT) AS nb
-      FROM pu WHERE variant IN ('$a', '$b') GROUP BY 1
+      FROM pu WHERE variant IN ('$a', '$b') AND m IS NOT NULL GROUP BY 1
     ), cums AS (
       SELECT
         sum(na) OVER (ORDER BY v

@@ -39,6 +39,16 @@ class ConformalSpec extends SparkSpec {
     assert(cov >= 0.87 && cov <= 0.95, s"coverage $cov")
   }
 
+  test("null metrics take no part in fit, calibration, or coverage") {
+    val df = (Seq(("g", "train", Some(5.0)), ("g", "train", None)) ++
+      Seq.fill(10)(("g", "cal", Some(8.0))) ++ Seq(("g", "cal", None)) ++
+      Seq(("g", "test", Some(7.0)), ("g", "test", None)))
+      .toDF("g", "role", "y")
+    val r = Conformal.meanInterval(df, "role", "y", Seq("g")).head()
+    assert(r.getLong(1) === 1L && r.getLong(2) === 10L && r.getLong(3) === 1L)
+    assert(r.getDouble(4) === 5.0)
+  }
+
   test("tied residuals on the grid axis resolve to the same qhat") {
     // every cal residual identical -> qhat is that value at any alpha
     val df = (Seq(("g", "train", 5.0)) ++

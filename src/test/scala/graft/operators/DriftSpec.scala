@@ -77,6 +77,16 @@ class DriftSpec extends SparkSpec {
     assert(out(19).getLong(5) === 1L)
   }
 
+  test("CUSUM: null buckets and values are excluded from the series") {
+    val df = Seq(("g", Some(0L), Some(50.0)), ("g", Some(1L), None),
+      ("g", None, Some(99.0)), ("g", Some(2L), Some(50.0)))
+      .toDF("g", "t", "x")
+    val out = Drift.cusum(df, "t", "x", Seq("g"),
+      allowanceMicro = 1000000L, thresholdMicro = 10000000L)
+    assert(out.count() === 2L) // only the two fully-present rows
+    assert(out.agg(max(col("alarm_up"))).head().getLong(0) === 0L)
+  }
+
   test("CUSUM: stable series never alarms; per-group isolation") {
     val df = ((0 until 30).map(t => ("a", t.toLong, 50.0)) ++
       (0 until 30).map(t => ("b", t.toLong, if (t < 15) 10.0 else 500.0)))

@@ -217,6 +217,16 @@ class ExperimentSpec extends SparkSpec {
     assert(rx.getDouble(2) === 1.0 && rx.getLong(4) === 1L)
   }
 
+  test("KS: null metrics are excluded from the axis") {
+    import spark.implicits._
+    val pu = Seq(("a", Some(1)), ("a", Some(3)), ("a", None),
+      ("b", Some(1)), ("b", Some(3)), ("b", None)).toDF("variant", "v")
+      .select(col("variant"), col("v").cast("decimal(18,2)").as("m"))
+    val r = Experiment.ksTest(pu, "variant", "m", "a", "b").head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.0)
+  }
+
   test("KS grid mode: bounded axis, drift within one grid cell of exact") {
     import spark.implicits._
     // shifted uniform grids: exact D = 0.05; a 64-level quantization
