@@ -349,6 +349,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), "missing the value-axis running sum")
   }
 
+  test("KS test: distribution compare is a value-axis agg, no per-unit rank") {
+    val p = plan("d60_ks_test")
+    assert(!p.toLowerCase.contains("row_number"),
+      "per-unit rank materialized:\n" + p.take(1500))
+    assert(p.contains("Window"), "missing the inclusive ECDF running sum")
+    assert(p.contains("HashAggregate"), "value axis not aggregated")
+  }
+
+  test("PSI: baseline edges broadcast back; fold over the bin axis only") {
+    val p = plan("d61_psi")
+    assert(p.contains("Broadcast"), "baseline edges not broadcast:\n" +
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"), "edges attach went cartesian")
+  }
+
+  test("conformal: fit and qhat attach via broadcast, never a corpus shuffle") {
+    val p = plan("d63_conformal")
+    assert(p.contains("Broadcast"), "fit/qhat frames not broadcast")
+    assert(!p.toLowerCase.contains("row_number"),
+      "residual order statistic materialized a per-row rank:\n" +
+        p.take(1500))
+  }
+
+  test("DSIR: scoring joins are hash joins; selection never global-sorts") {
+    val df = graft.SparkEntry.queries("c7_dsir_select")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"),
+      "DSIR scoring degenerated to a cross join")
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight, Cross")),
+      "non-stats nested-loop join in the DSIR plan")
+    assert(!p.contains("GlobalSort") &&
+      !p.linesIterator.exists(l => l.contains("Sort ") &&
+        l.contains("global=true") && !l.contains("TakeOrdered")),
+      "PPS selection introduced a global sort:\n" + p.take(2000))
+  }
+
   test("ANN-KNN impute: candidate join is an equi-join on cell id, no cartesian") {
     val df = graft.SparkEntry.queries("impute_lineitem_knn_ann")(spark, sf0001)
     df.collect()
