@@ -91,7 +91,15 @@ object DumpPlans {
     "d36_triangles",
     // round-8e: abandoned carts — user-keyed SMJ ANTI join with the
     // interval condition as join residual (no cartesian, no window)
-    "d38_abandoned_carts")
+    "d38_abandoned_carts",
+    // round-10: KS two-sample — value-axis agg + one unpartitioned
+    // (bounded-axis) window, totals attach by broadcast
+    "d60_ks_test",
+    // round-10: DSIR — tokenize scan, two LM hash aggs, per-token
+    // hash join, PPS two-level prefix with no global sort
+    "c7_dsir_select",
+    // round-10: CUSUM — per-group ordered folds over the hourly axis
+    "d64_cusum")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
