@@ -88,6 +88,104 @@ object Drift {
         round(max_by(col("__cum"), col("__bin")), 6).as("psi"))
   }
 
+  /** WASSERSTEIN-1 DISTANCE (earth mover's) between two snapshots —
+    * the drift MAGNITUDE in the metric's own units, where [[psi]]
+    * gives a unitless index and KS a sup-norm: W₁ = ∫|F_base − F_curr|
+    * over the pooled value axis, i.e. "how far, in dollars, did the
+    * distribution move". The right monitoring readout for a continuous
+    * metric whose business meaning is its scale.
+    *
+    * Same scale-and-determinism shape as the KS/Mann–Whitney family:
+    * the pooled axis is a groupBy on the VALUE (bounded for grid
+    * data), the two ECDFs are inclusive ordered running sums, the
+    * segment integral |ΔF|·(v_{next} − v) folds through one more
+    * ordered running sum (never an unordered double agg), and the
+    * result is the per-group fold's last row, rounded to 6 dp. Null
+    * values are excluded (the ecdf convention). Output per group:
+    * `(groupCols…, n_base, n_curr, w1)`. */
+  def wasserstein1(df: DataFrame, snapshotCol: String, valueCol: String,
+                   baseLabel: String, currLabel: String,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val sides = df.filter(col(snapshotCol).isin(baseLabel, currLabel)
+      && col(valueCol).isNotNull)
+    val v = col(valueCol).cast("double")
+    val byValue = sides
+      .groupBy(g :+ v.as("__v"): _*)
+      .agg(count(when(col(snapshotCol) === baseLabel, lit(1))).as("__cb"),
+        count(when(col(snapshotCol) === currLabel, lit(1))).as("__cc"))
+    val wTot = if (groupCols.isEmpty) Window.partitionBy()
+    else Window.partitionBy(g: _*)
+    val wOrd = wTot.orderBy(col("__v"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    def d(c: Column) = c.cast("double")
+    val terms = byValue
+      .withColumn("n_base", sum(col("__cb")).over(wTot))
+      .withColumn("n_curr", sum(col("__cc")).over(wTot))
+      .withColumn("__fb", d(sum(col("__cb")).over(wCum)) / d(col("n_base")))
+      .withColumn("__fc", d(sum(col("__cc")).over(wCum)) / d(col("n_curr")))
+      .withColumn("__gap", lead(col("__v"), 1).over(wOrd) - col("__v"))
+      // the last axis point has no next value: its segment is empty
+      .withColumn("__seg",
+        when(col("__gap").isNull, lit(0.0))
+          .otherwise(abs(col("__fb") - col("__fc")) * col("__gap")))
+      .withColumn("__cum", sum(col("__seg")).over(wCum))
+    terms.groupBy(g: _*)
+      .agg(max(col("n_base")).as("n_base"),
+        max(col("n_curr")).as("n_curr"),
+        round(max_by(col("__cum"), col("__v")), 6).as("w1"))
+  }
+
+  /** DuckDB twin of [[wasserstein1]] — identical axis aggregation,
+    * cumulative folds and segment arithmetic. `rowsSql` must select
+    * `(grp…, snapshot, v)`. */
+  def sqlWasserstein1(rowsSql: String, baseLabel: String,
+                      currLabel: String,
+                      groupCols: Seq[String] = Nil): String = {
+    val g = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+    val gBy = if (groupCols.isEmpty) "" else
+      "GROUP BY " + groupCols.mkString(", ")
+    val part = if (groupCols.isEmpty) "" else
+      "PARTITION BY " + groupCols.mkString(", ")
+    s"""
+    WITH rows0 AS (
+      SELECT $g snapshot, CAST(v AS DOUBLE) AS v FROM ($rowsSql)
+      WHERE snapshot IN ('$baseLabel', '$currLabel') AND v IS NOT NULL
+    ), byv AS (
+      SELECT $g v,
+        CAST(count(CASE WHEN snapshot = '$baseLabel' THEN 1 END)
+          AS BIGINT) AS cb,
+        CAST(count(CASE WHEN snapshot = '$currLabel' THEN 1 END)
+          AS BIGINT) AS cc
+      FROM rows0 GROUP BY $g v
+    ), folded AS (
+      SELECT $g v,
+        CAST(sum(cb) OVER ($part) AS BIGINT) AS n_base,
+        CAST(sum(cc) OVER ($part) AS BIGINT) AS n_curr,
+        sum(cb) OVER ($part ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kb,
+        sum(cc) OVER ($part ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kc,
+        lead(v) OVER ($part ORDER BY v) AS nv
+      FROM byv
+    ), segs AS (
+      SELECT $g v, n_base, n_curr,
+        CASE WHEN nv IS NULL THEN 0.0e0
+          ELSE abs(CAST(kb AS DOUBLE) / CAST(n_base AS DOUBLE)
+                 - CAST(kc AS DOUBLE) / CAST(n_curr AS DOUBLE))
+               * (nv - v) END AS seg
+      FROM folded
+    ), cums AS (
+      SELECT $g v, n_base, n_curr,
+        sum(seg) OVER ($part ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM segs)
+    SELECT $g max(n_base) AS n_base, max(n_curr) AS n_curr,
+      round(max_by(cum, v), 6) AS w1
+    FROM cums $gBy"""
+  }
+
   /** CUSUM CHANGEPOINT DETECTION — the sequential shift detector that
     * complements [[psi]] (magnitude between two snapshots) and the
     * EWMA/seasonal anomaly rows (point outliers): CUSUM accumulates

@@ -1186,6 +1186,17 @@ object RelationalQueries extends Registry {
     "d57_gini" -> ((s, d) =>
       graft.operators.Inequality.gini(Tables.events(s, d), "value",
         Seq("event_type"))),
+    // D131: WASSERSTEIN-1 drift — the earth-mover distance between the
+    // two half-month value distributions per type: drift magnitude in
+    // the metric's own units (PSI is unitless, KS a sup-norm). Pooled
+    // value axis + segment-integral ordered folds.
+    "d65_wasserstein" -> ((s, d) =>
+      graft.operators.Drift.wasserstein1(
+        Tables.events(s, d).withColumn("snapshot",
+          when(dayofmonth(col("ts")) <= 15, lit("base"))
+            .otherwise(lit("curr"))),
+        "snapshot", "value", "base", "curr",
+        groupCols = Seq("event_type"))),
     // D125: CUSUM changepoint detection — hourly revenue per type vs
     // its own mean: the sequential detector for SLOW persistent shifts
     // (PSI/seasonal-z catch magnitude and point outliers; CUSUM
@@ -1980,6 +1991,13 @@ object RelationalQueries extends Registry {
       "SELECT event_type, value AS v FROM events", Seq("event_type")),
     "d60_ks_test" -> graft.operators.Experiment.sqlKsTest(
       abPerUserSql, "control", "treatment"),
+    "d65_wasserstein" -> graft.operators.Drift.sqlWasserstein1(
+      """SELECT event_type,
+           CASE WHEN date_part('day', ts) <= 15
+             THEN 'base' ELSE 'curr' END AS snapshot,
+           value AS v
+         FROM events""",
+      "base", "curr", groupCols = Seq("event_type")),
     "d64_cusum" -> graft.operators.Drift.sqlCusum(
       """SELECT event_type, date_trunc('hour', ts) AS t,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x

@@ -44,6 +44,32 @@ class DriftSpec extends SparkSpec {
     assert(scaled === pSmall)
   }
 
+  test("Wasserstein-1: point masses and uniform shifts give exact distances") {
+    // base at 0, curr at 7: W1 = 7 (move all mass 7 units)
+    val point = Drift.wasserstein1(
+      snap(Seq.fill(10)(0.0), Seq.fill(10)(7.0)),
+      "snapshot", "v", "base", "curr").head()
+    assert(point.getDouble(2) === 7.0)
+    // uniform grid 1..100 vs the same grid shifted by 5: W1 = 5
+    val shift = Drift.wasserstein1(
+      snap((1 to 100).map(_.toDouble), (1 to 100).map(_ + 5.0)),
+      "snapshot", "v", "base", "curr").head()
+    assert(shift.getDouble(2) === 5.0)
+    // identical snapshots: 0
+    val same = Drift.wasserstein1(
+      snap((1 to 50).map(_.toDouble), (1 to 50).map(_.toDouble)),
+      "snapshot", "v", "base", "curr").head()
+    assert(same.getDouble(2) === 0.0)
+    // unbalanced sizes still integrate the ECDF gap, not raw counts:
+    // base {0,1} x5 each vs curr {0,1} x50 each -> same distribution,
+    // W1 = 0 despite 10x the rows
+    val sizes = Drift.wasserstein1(
+      snap(Seq.fill(5)(0.0) ++ Seq.fill(5)(1.0),
+        Seq.fill(50)(0.0) ++ Seq.fill(50)(1.0)),
+      "snapshot", "v", "base", "curr").head()
+    assert(sizes.getDouble(2) === 0.0)
+  }
+
   test("CUSUM: closed form equals the direct recursion; planted shift alarms") {
     // level 100 for t < 20, shifted to 130 after; mean ends up between,
     // so the upper CUSUM climbs through the shift and alarms
