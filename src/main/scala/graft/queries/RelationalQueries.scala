@@ -1186,6 +1186,19 @@ object RelationalQueries extends Registry {
     "d57_gini" -> ((s, d) =>
       graft.operators.Inequality.gini(Tables.events(s, d), "value",
         Seq("event_type"))),
+    // D132: AUTOCORRELATION — lag-1..3 ACF of hourly revenue per type:
+    // the series-memory diagnostic read before trusting an i.i.d.
+    // assumption or choosing seasonal windows. Exact micro-unit
+    // deviations, DECIMAL(38,0)/HUGEINT product folds, one rn-shift
+    // equi-join for all lags.
+    "d66_acf" -> ((s, d) =>
+      graft.operators.SeriesStats.acf(
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("t"))
+          .agg(sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("x")),
+        "t", "x", Seq("event_type"), maxLag = 3)),
     // D131: WASSERSTEIN-1 drift — the earth-mover distance between the
     // two half-month value distributions per type: drift magnitude in
     // the metric's own units (PSI is unitless, KS a sup-norm). Pooled
@@ -1991,6 +2004,11 @@ object RelationalQueries extends Registry {
       "SELECT event_type, value AS v FROM events", Seq("event_type")),
     "d60_ks_test" -> graft.operators.Experiment.sqlKsTest(
       abPerUserSql, "control", "treatment"),
+    "d66_acf" -> graft.operators.SeriesStats.sqlAcf(
+      """SELECT event_type, date_trunc('hour', ts) AS t,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+         FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+      Seq("event_type"), maxLag = 3),
     "d65_wasserstein" -> graft.operators.Drift.sqlWasserstein1(
       """SELECT event_type,
            CASE WHEN date_part('day', ts) <= 15

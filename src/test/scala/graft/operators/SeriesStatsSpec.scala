@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SeriesStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("alternating series: acf(1) = -(n-1)/n, acf(2) = (n-2)/n exactly") {
+    // x alternates 10, 20 over n = 10 buckets: mean 15, deviations
+    // +/-5 -> num_k = sum of (n-k) products of magnitude 25 with sign
+    // (-1)^k, den = 10 * 25
+    val df = (0 until 10).map(t => ("g", t.toLong,
+      if (t % 2 == 0) 10.0 else 20.0)).toDF("g", "t", "x")
+    val out = SeriesStats.acf(df, "t", "x", Seq("g"), maxLag = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) === ((9L, -0.9)))
+    assert(out(2L) === ((8L, 0.8)))
+    assert(out(3L) === ((7L, -0.7)))
+  }
+
+  test("constant series: zero variance guards acf to 0, not NaN") {
+    val df = (0 until 8).map(t => ("g", t.toLong, 42.0)).toDF("g", "t", "x")
+    val out = SeriesStats.acf(df, "t", "x", Seq("g"), maxLag = 2).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getDouble(3) === 0.0))
+  }
+
+  test("groups are independent; null buckets drop") {
+    val df = (
+      (0 until 10).map(t => ("flat", Some(t.toLong), 5.0)) ++
+      (0 until 10).map(t => ("alt", Some(t.toLong),
+        if (t % 2 == 0) 0.0 else 2.0)) ++
+      Seq(("alt", None, 99.0))
+    ).toDF("g", "t", "x")
+    val out = SeriesStats.acf(df, "t", "x", Seq("g"), maxLag = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("flat") === 0.0)
+    assert(out("alt") === -0.9)
+  }
+}
