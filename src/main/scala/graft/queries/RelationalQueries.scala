@@ -1186,6 +1186,18 @@ object RelationalQueries extends Registry {
     "d57_gini" -> ((s, d) =>
       graft.operators.Inequality.gini(Tables.events(s, d), "value",
         Seq("event_type"))),
+    // D133: QUANTILE NORMALIZATION — map each type's value
+    // distribution onto the POOLED quantile function (v ↦
+    // Q_pool(F_type(v))): the batch-effect correction that lets
+    // differently-calibrated scorers share one threshold. Bounded
+    // value axes + ONE union-axis range-frame window — no theta join,
+    // no per-row rank.
+    "d67_quantile_norm" -> ((s, d) =>
+      graft.operators.QuantileNormalize.normalize(
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type").as("g"),
+            col("value").as("v")),
+        "g", "v")),
     // D132: AUTOCORRELATION — lag-1..3 ACF of hourly revenue per type:
     // the series-memory diagnostic read before trusting an i.i.d.
     // assumption or choosing seasonal windows. Exact micro-unit
@@ -2004,6 +2016,9 @@ object RelationalQueries extends Registry {
       "SELECT event_type, value AS v FROM events", Seq("event_type")),
     "d60_ks_test" -> graft.operators.Experiment.sqlKsTest(
       abPerUserSql, "control", "treatment"),
+    "d67_quantile_norm" -> graft.operators.QuantileNormalize.sqlNormalize(
+      "SELECT event_id, event_type AS g, value AS v FROM events",
+      cols = Seq("event_id", "g", "v")),
     "d66_acf" -> graft.operators.SeriesStats.sqlAcf(
       """SELECT event_type, date_trunc('hour', ts) AS t,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
