@@ -200,7 +200,10 @@ object ScaleProbe {
       // distinctive terms (tokenize + vocab-sized joins — BM25 shape)
       "d64_cusum", "c5_distinctive_terms",
       // round-10b: Zipf fit — term agg + model-sized rank window
-      "c5_zipf_fit")
+      "c5_zipf_fit",
+      // round-10c: W1/ACF bounded-axis folds; quantile normalization's
+      // union-axis window grows with DISTINCT values (grid contract)
+      "d65_wasserstein", "d66_acf", "d67_quantile_norm")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
