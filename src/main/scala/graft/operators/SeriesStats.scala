@@ -60,6 +60,72 @@ object SeriesStats {
             / col("__den").cast("double"), 6)).as("acf")): _*)
   }
 
+  /** χ²(h) upper 5% quantiles, h = 1..10 — literals so both engines
+    * compare identical bits at the decision boundary. */
+  private val Chi2Q95 = Seq(3.841, 5.991, 7.815, 9.488, 11.070,
+    12.592, 14.067, 15.507, 16.919, 18.307)
+
+  /** LJUNG–BOX PORTMANTEAU TEST — "is this series white noise": Q =
+    * n(n+2)·Σ_{k≤h} r_k²/(n−k) against χ²(h); the formal reading of
+    * [[acf]]'s lag profile (any one r_k can look small while the
+    * profile jointly screams autocorrelation). Composed directly on
+    * the acf output (n recovered as n_pairs + lag), with the sum over
+    * the ≤h lag axis folded through an ordered window — the repo's
+    * no-unordered-double-agg rule — and the 5% decision made against
+    * a χ² literal. Output per group: `(groupCols…, h, q (6dp),
+    * reject_05)`. */
+  def ljungBox(series: DataFrame, tCol: String, valueCol: String,
+               groupCols: Seq[String], maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= Chi2Q95.size,
+      s"maxLag in [1, ${Chi2Q95.size}]: $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val r = acf(series, tCol, valueCol, groupCols, maxLag)
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n_pairs") + col("lag"))
+    val term = n * (n + lit(2.0)) *
+      col("acf") * col("acf") / d(col("n_pairs"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val q = r.withColumn("__term", term)
+      .withColumn("__cum", sum(col("__term")).over(wCum))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("h"), max_by(col("__cum"), col("lag")).as("__q"))
+    val crit = Chi2Q95.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (v, i)) => when(col("h") === (i + 1), lit(v)).otherwise(acc)
+    }
+    q.select(g ++ Seq(col("h"), round(col("__q"), 6).as("q"),
+      (col("__q") > crit).cast("bigint").as("reject_05")): _*)
+  }
+
+  /** DuckDB twin of [[ljungBox]] — composes [[sqlAcf]] with the same
+    * fold and χ² literal. */
+  def sqlLjungBox(seriesSql: String, groupCols: Seq[String],
+                  maxLag: Int): String = {
+    require(maxLag >= 1 && maxLag <= Chi2Q95.size)
+    val gl = groupCols.mkString(", ")
+    val n = "(CAST(n_pairs + lag AS DOUBLE))"
+    val term = s"($n * ($n + 2.0e0) * acf * acf " +
+      "/ CAST(n_pairs AS DOUBLE))"
+    val crit = Chi2Q95.zipWithIndex
+      .map { case (v, i) => s"WHEN h = ${i + 1} THEN ${v}e0" }
+      .mkString("CASE ", " ", " ELSE 0.0e0 END")
+    s"""
+    WITH r AS (${sqlAcf(seriesSql, groupCols, maxLag)}),
+    folded AS (
+      SELECT $gl, lag,
+        sum($term) OVER (PARTITION BY $gl ORDER BY lag
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM r
+    ), qs AS (
+      SELECT $gl, CAST(count(*) AS BIGINT) AS h,
+        max_by(cum, lag) AS q
+      FROM folded GROUP BY $gl)
+    SELECT $gl, h, round(q, 6) AS q,
+      CAST(q > $crit AS BIGINT) AS reject_05
+    FROM qs"""
+  }
+
   /** DuckDB twin of [[acf]]: `seriesSql` must select `(grp…, t, x)`. */
   def sqlAcf(seriesSql: String, groupCols: Seq[String],
              maxLag: Int): String = {

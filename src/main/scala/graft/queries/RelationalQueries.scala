@@ -1198,6 +1198,17 @@ object RelationalQueries extends Registry {
           .select(col("event_id"), col("event_type").as("g"),
             col("value").as("v")),
         "g", "v")),
+    // D134: LJUNG–BOX — is hourly revenue white noise per type: the
+    // portmanteau Q over the first 3 lags against chi2(3); the formal
+    // reading of the ACF profile.
+    "d68_ljung_box" -> ((s, d) =>
+      graft.operators.SeriesStats.ljungBox(
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("t"))
+          .agg(sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("x")),
+        "t", "x", Seq("event_type"), maxLag = 3)),
     // D132: AUTOCORRELATION — lag-1..3 ACF of hourly revenue per type:
     // the series-memory diagnostic read before trusting an i.i.d.
     // assumption or choosing seasonal windows. Exact micro-unit
@@ -2019,6 +2030,11 @@ object RelationalQueries extends Registry {
     "d67_quantile_norm" -> graft.operators.QuantileNormalize.sqlNormalize(
       "SELECT event_id, event_type AS g, value AS v FROM events",
       cols = Seq("event_id", "g", "v")),
+    "d68_ljung_box" -> graft.operators.SeriesStats.sqlLjungBox(
+      """SELECT event_type, date_trunc('hour', ts) AS t,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+         FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+      Seq("event_type"), maxLag = 3),
     "d66_acf" -> graft.operators.SeriesStats.sqlAcf(
       """SELECT event_type, date_trunc('hour', ts) AS t,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x

@@ -28,6 +28,30 @@ class SeriesStatsSpec extends SparkSpec {
     assert(out.forall(_.getDouble(3) === 0.0))
   }
 
+  test("Ljung-Box: alternating series rejects white noise, constant doesn't") {
+    val df = (
+      (0 until 40).map(t => ("alt", t.toLong,
+        if (t % 2 == 0) 10.0 else 20.0)) ++
+      (0 until 40).map(t => ("flat", t.toLong, 42.0))
+    ).toDF("g", "t", "x")
+    val out = SeriesStats.ljungBox(df, "t", "x", Seq("g"), maxLag = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out("alt")._1 === 3L)
+    assert(out("alt")._3 === 1L, s"alternating must reject: ${out("alt")}")
+    assert(out("flat")._2 === 0.0 && out("flat")._3 === 0L)
+    // hand value for the alternating series: r = (-39/40, 38/40,
+    // -37/40) rounded 6dp; Q = sum n(n+2) r_k^2/(n-k), n = 40
+    val rs = Seq(39, 38, 37).zipWithIndex.map { case (m, i) =>
+      val r = BigDecimal(math.pow(-1.0, i + 1) * m / 40.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      40.0 * 42.0 * r * r / (40 - (i + 1))
+    }
+    val q = BigDecimal(rs.sum).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out("alt")._2 - q) < 1e-4, s"${out("alt")._2} vs $q")
+  }
+
   test("groups are independent; null buckets drop") {
     val df = (
       (0 until 10).map(t => ("flat", Some(t.toLong), 5.0)) ++
