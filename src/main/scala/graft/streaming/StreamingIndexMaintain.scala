@@ -70,4 +70,26 @@ object StreamingIndexMaintain {
           batch, idCol, vecCol, numBuckets)
       }
       .start()
+
+  /** Maintain a [[graft.impute.KnnImpute]] donor index under a row
+    * stream — fully-featured donor rows (non-null target + features)
+    * assign to frozen cells and append; rows that are not valid
+    * donors are skipped by the merge itself.
+    *
+    * Serving-session caveat (applies to every maintainer here): the
+    * merge refreshes the MICRO-BATCH session's table-metadata cache;
+    * any OTHER session serving from the catalog table must
+    * `spark.catalog.refreshTable(table)` before it sees the new
+    * files — standard Spark catalog-cache semantics. */
+  def runKnnDonor(rowStream: DataFrame, idCol: String, targetCol: String,
+                  featureCols: Seq[String], table: String, path: String,
+                  checkpointDir: String,
+                  numBuckets: Int = 32): StreamingQuery =
+    rowStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.impute.KnnImpute.mergeDonorIndex(batch.sparkSession, table,
+          path, batch, idCol, targetCol, featureCols, numBuckets)
+      }
+      .start()
 }
