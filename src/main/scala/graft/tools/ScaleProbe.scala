@@ -203,7 +203,7 @@ object ScaleProbe {
       "c5_zipf_fit",
       // round-10c: W1/ACF bounded-axis folds; quantile normalization's
       // union-axis window grows with DISTINCT values (grid contract)
-      "d65_wasserstein", "d66_acf", "d67_quantile_norm")
+      "d65_wasserstein", "d66_acf", "d67_quantile_norm", "d68_ljung_box")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
