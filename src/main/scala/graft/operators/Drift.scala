@@ -88,6 +88,134 @@ object Drift {
         round(max_by(col("__cum"), col("__bin")), 6).as("psi"))
   }
 
+  /** ln 2 as one shared literal — both engines divide by the SAME
+    * bits rather than each computing their own libm log(2). */
+  private val Ln2 = 0.6931471805599453
+
+  /** JENSEN–SHANNON DIVERGENCE between two snapshots — the BOUNDED
+    * drift index that completes the triad: [[psi]] is the industry
+    * index but unbounded (a bin going 1% → 0.01% contributes more
+    * than a 10-point mass shift), [[wasserstein1]] is in metric
+    * units; JSD is symmetric, finite by construction (m = (p+q)/2 is
+    * never 0 where either side has mass) and lands in [0, 1] when
+    * expressed in bits — the right number to THRESHOLD uniformly
+    * across metrics with wildly different scales:
+    *
+    *   JSD = ½·KL(p‖m) + ½·KL(q‖m),  m = (p+q)/2
+    *
+    * Identical axis contract to [[psi]] (baseline-derived fixed bin
+    * edges, outliers clamp into edge cells, +0.5 Laplace smoothing,
+    * both-empty bins skipped, ordered fold over the bounded bin
+    * axis). Output per group: `(groupCols…, n_base, n_curr, js)` in
+    * bits (6dp). */
+  def jsDivergence(df: DataFrame, snapshotCol: String, valueCol: String,
+                   baseLabel: String, currLabel: String, bins: Int = 10,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val sides = df.filter(col(snapshotCol).isin(baseLabel, currLabel)
+      && col(valueCol).isNotNull)
+    val v = col(valueCol).cast("double")
+    val edges = sides.filter(col(snapshotCol) === baseLabel)
+      .groupBy(g: _*)
+      .agg(min(v).as("__mn"), max(v).as("__mx"))
+    val joined =
+      if (groupCols.isEmpty) sides.crossJoin(broadcast(edges))
+      else sides.join(broadcast(edges), groupCols)
+    val span = col("__mx") - col("__mn")
+    val rawBin = floor((v - col("__mn")) / span * lit(bins.toDouble))
+    val bin = when(span === 0, lit(0L))
+      .otherwise(greatest(lit(0L),
+        least(rawBin.cast("bigint"), lit(bins.toLong - 1L))))
+    val byBin = joined
+      .withColumn("__bin", bin)
+      .groupBy(g :+ col("__bin"): _*)
+      .agg(count(when(col(snapshotCol) === baseLabel, lit(1))).as("__cb"),
+        count(when(col(snapshotCol) === currLabel, lit(1))).as("__cc"))
+    val wTot = if (groupCols.isEmpty) Window.partitionBy()
+    else Window.partitionBy(groupCols.map(col): _*)
+    val wCum = wTot.orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def d(c: Column) = c.cast("double")
+    val smooth = lit(0.5 * bins)
+    val mm = (col("__pb") + col("__pc")) * lit(0.5)
+    val terms = byBin
+      .withColumn("n_base", sum(col("__cb")).over(wTot))
+      .withColumn("n_curr", sum(col("__cc")).over(wTot))
+      .withColumn("__pb", (d(col("__cb")) + lit(0.5))
+        / (d(col("n_base")) + smooth))
+      .withColumn("__pc", (d(col("__cc")) + lit(0.5))
+        / (d(col("n_curr")) + smooth))
+      .withColumn("__term", lit(0.5) *
+        (col("__pb") * log(col("__pb") / mm)
+          + col("__pc") * log(col("__pc") / mm)))
+      .withColumn("__cum", sum(col("__term")).over(wCum))
+    terms.groupBy(g: _*)
+      .agg(max(col("n_base")).as("n_base"),
+        max(col("n_curr")).as("n_curr"),
+        round(max_by(col("__cum"), col("__bin")) / lit(Ln2), 6).as("js"))
+  }
+
+  /** DuckDB twin of [[jsDivergence]] — identical binning, smoothing,
+    * term arithmetic and ordered fold. `rowsSql` must select
+    * `(grp…, snapshot, v)`. */
+  def sqlJsDivergence(rowsSql: String, baseLabel: String,
+                      currLabel: String, bins: Int = 10,
+                      groupCols: Seq[String] = Nil): String = {
+    import graft.functions.Noise.sqlDouble
+    val g = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+    val gBy = if (groupCols.isEmpty) "" else
+      "GROUP BY " + groupCols.mkString(", ")
+    val part = if (groupCols.isEmpty) "" else
+      "PARTITION BY " + groupCols.mkString(", ")
+    val joinOn = if (groupCols.isEmpty) "ON TRUE" else
+      "USING (" + groupCols.mkString(", ") + ")"
+    val b = bins
+    val smooth = s"${0.5 * b}e0"
+    val pb = s"((CAST(cb AS DOUBLE) + 0.5e0) / (CAST(n_base AS DOUBLE) + $smooth))"
+    val pc = s"((CAST(cc AS DOUBLE) + 0.5e0) / (CAST(n_curr AS DOUBLE) + $smooth))"
+    val mm = s"(($pb + $pc) * 0.5e0)"
+    s"""
+    WITH rows0 AS (
+      SELECT $g snapshot, CAST(v AS DOUBLE) AS v FROM ($rowsSql)
+      WHERE snapshot IN ('$baseLabel', '$currLabel') AND v IS NOT NULL
+    ), edges AS (
+      SELECT $g min(v) AS mn, max(v) AS mx
+      FROM rows0 WHERE snapshot = '$baseLabel' $gBy
+    ), binned AS (
+      SELECT $g snapshot,
+        CASE WHEN mx - mn = 0 THEN CAST(0 AS BIGINT)
+          ELSE greatest(CAST(0 AS BIGINT),
+            least(CAST(floor((v - mn) / (mx - mn) * ${b}.0e0) AS BIGINT),
+              CAST(${b - 1} AS BIGINT))) END AS bin
+      FROM rows0 JOIN edges $joinOn
+    ), bybin AS (
+      SELECT $g bin,
+        CAST(count(CASE WHEN snapshot = '$baseLabel' THEN 1 END)
+          AS BIGINT) AS cb,
+        CAST(count(CASE WHEN snapshot = '$currLabel' THEN 1 END)
+          AS BIGINT) AS cc
+      FROM binned GROUP BY ${g}bin
+    ), tot AS (
+      SELECT $g bin, cb, cc,
+        CAST(sum(cb) OVER ($part) AS BIGINT) AS n_base,
+        CAST(sum(cc) OVER ($part) AS BIGINT) AS n_curr
+      FROM bybin
+    ), terms AS (
+      SELECT $g bin, n_base, n_curr,
+        0.5e0 * ($pb * ln($pb / $mm) + $pc * ln($pc / $mm)) AS term
+      FROM tot
+    ), cums AS (
+      SELECT $g bin, n_base, n_curr,
+        sum(term) OVER ($part ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM terms)
+    SELECT $g max(n_base) AS n_base, max(n_curr) AS n_curr,
+      round(max_by(cum, bin) / ${sqlDouble(Ln2)}, 6) AS js
+    FROM cums $gBy"""
+  }
+
   /** WASSERSTEIN-1 DISTANCE (earth mover's) between two snapshots —
     * the drift MAGNITUDE in the metric's own units, where [[psi]]
     * gives a unitless index and KS a sup-norm: W₁ = ∫|F_base − F_curr|

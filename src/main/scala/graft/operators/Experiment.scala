@@ -504,6 +504,137 @@ object Experiment {
     FROM cum"""
   }
 
+  /** mSPRT ALWAYS-VALID p-VALUE — the continuous-monitoring
+    * complement to [[obrienFleming]]: OBF spends α across a FIXED
+    * schedule of K looks; the mixture sequential probability ratio
+    * test (Johari et al., "Peeking at A/B Tests") is valid at EVERY
+    * look with no schedule at all — the experimenter can read the
+    * dashboard hourly forever and the type-I guarantee holds. The
+    * mixture likelihood ratio for the mean difference Δ̂ under a
+    * N(0, τ²) prior on the effect:
+    *
+    *   Λ_n = √(V_n/(V_n+τ²)) · exp(Δ̂_n²·τ² / (2·V_n·(V_n+τ²)))
+    *
+    * with V_n the Welch variance of Δ̂ at look n; the always-valid
+    * p-value is the running minimum of 1/Λ (capped at 1) — monotone
+    * nonincreasing, reject when it drops under α. τ (`tau2`) is the
+    * analyst's prior scale on the effect size — a tuning constant
+    * like [[mde]]'s z literals, not data-derived.
+    *
+    * Same machinery as [[obrienFleming]]: per-look cumulative
+    * Σn/Σm/Σm² per arm from ordered running sums over the bounded
+    * look axis, one fixed double sequence per look (exp/sqrt are the
+    * 1-ulp libm class, unobservable under the 6-dp round), then ONE
+    * more ordered fold for the running min. Looks where either arm
+    * has < 2 cumulative units (or V = 0) contribute Λ = 1 (no
+    * information). Output per look: `look, k, n_a, n_b, delta (6dp),
+    * p_always (6dp), reject_05`. */
+  def msprt(perUnit: DataFrame, lookCol: String, variantCol: String,
+            metricCol: String, a: String, b: String,
+            tau2: Double): DataFrame = {
+    require(tau2 > 0, s"tau2 must be > 0: $tau2")
+    import org.apache.spark.sql.expressions.Window
+    val m = col(metricCol)
+    def cnt(v: String) = count(when(col(variantCol) === v, lit(1)))
+    def side(v: String, e: Column) =
+      sum(when(col(variantCol) === v, e).otherwise(lit(null)))
+    val byLook = perUnit.filter(col(variantCol).isin(a, b))
+      .groupBy(col(lookCol).as("look"))
+      .agg(cnt(a).as("__na"), cnt(b).as("__nb"),
+        side(a, m).as("__sa"), side(b, m).as("__sb"),
+        side(a, m * m).as("__qa"), side(b, m * m).as("__qb"))
+    val wOrd = Window.orderBy(col("look"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column) = c.cast("double")
+    val cum = byLook
+      .withColumn("k", row_number().over(wOrd).cast("bigint"))
+      .withColumn("n_a", sum(col("__na")).over(wCum))
+      .withColumn("n_b", sum(col("__nb")).over(wCum))
+      .withColumn("__csa", sum(col("__sa")).over(wCum))
+      .withColumn("__csb", sum(col("__sb")).over(wCum))
+      .withColumn("__cqa", sum(col("__qa")).over(wCum))
+      .withColumn("__cqb", sum(col("__qb")).over(wCum))
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val delta = d(col("__csa")) / na - d(col("__csb")) / nb
+    val varA = (d(col("__cqa")) - d(col("__csa")) * d(col("__csa")) / na) /
+      (na - lit(1.0))
+    val varB = (d(col("__cqb")) - d(col("__csb")) * d(col("__csb")) / nb) /
+      (nb - lit(1.0))
+    val vv = varA / na + varB / nb
+    val t2 = lit(tau2)
+    val lam = sqrt(vv / (vv + t2)) *
+      exp(col("delta") * col("delta") * t2
+        / (lit(2.0) * vv * (vv + t2)))
+    val cand = when(col("n_a") >= 2 && col("n_b") >= 2 && vv > 0,
+      least(lit(1.0), lit(1.0) / lam)).otherwise(lit(1.0))
+    cum
+      .withColumn("delta",
+        when(col("n_a") >= 1 && col("n_b") >= 1, delta).otherwise(lit(0.0)))
+      .withColumn("__cand", cand)
+      .withColumn("__p", min(col("__cand")).over(wCum))
+      .select(col("look"), col("k"), col("n_a"), col("n_b"),
+        round(col("delta"), 6).as("delta"),
+        round(col("__p"), 6).as("p_always"))
+      .withColumn("reject_05", (col("p_always") <= lit(0.05)).cast("bigint"))
+  }
+
+  /** DuckDB twin of [[msprt]] — identical per-look sums, double
+    * sequence and running-min fold. `perUnitSql` must select
+    * `(look, variant, m)` with `m` DECIMAL. */
+  def sqlMsprt(perUnitSql: String, a: String, b: String,
+               tau2: Double): String = {
+    import graft.functions.Noise.sqlDouble
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val na = d("n_a"); val nb = d("n_b")
+    val delta = s"(${d("csa")} / $na - ${d("csb")} / $nb)"
+    val varA = s"((${d("cqa")} - ${d("csa")} * ${d("csa")} / $na) / ($na - 1.0e0))"
+    val varB = s"((${d("cqb")} - ${d("csb")} * ${d("csb")} / $nb) / ($nb - 1.0e0))"
+    val vv = s"($varA / $na + $varB / $nb)"
+    val t2 = sqlDouble(tau2)
+    val lam = s"(sqrt($vv / ($vv + $t2)) * exp(delta * delta * $t2" +
+      s" / (2.0e0 * $vv * ($vv + $t2))))"
+    s"""
+    WITH pu AS ($perUnitSql), byl AS (
+      SELECT look,
+        CAST(count(CASE WHEN variant = '$a' THEN 1 END) AS BIGINT) AS na,
+        CAST(count(CASE WHEN variant = '$b' THEN 1 END) AS BIGINT) AS nb,
+        sum(CASE WHEN variant = '$a' THEN m ELSE NULL END) AS sa,
+        sum(CASE WHEN variant = '$b' THEN m ELSE NULL END) AS sb,
+        sum(CASE WHEN variant = '$a' THEN m * m ELSE NULL END) AS qa,
+        sum(CASE WHEN variant = '$b' THEN m * m ELSE NULL END) AS qb
+      FROM pu WHERE variant IN ('$a', '$b') GROUP BY look
+    ), cum AS (
+      SELECT look,
+        CAST(row_number() OVER w AS BIGINT) AS k,
+        CAST(sum(na) OVER c AS BIGINT) AS n_a,
+        CAST(sum(nb) OVER c AS BIGINT) AS n_b,
+        sum(sa) OVER c AS csa, sum(sb) OVER c AS csb,
+        sum(qa) OVER c AS cqa, sum(qb) OVER c AS cqb
+      FROM byl
+      WINDOW w AS (ORDER BY look),
+             c AS (ORDER BY look
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), dl AS (
+      SELECT look, k, n_a, n_b, csa, csb, cqa, cqb,
+        CASE WHEN n_a >= 1 AND n_b >= 1 THEN $delta ELSE 0.0e0 END
+          AS delta
+      FROM cum
+    ), cands AS (
+      SELECT look, k, n_a, n_b, delta,
+        CASE WHEN n_a >= 2 AND n_b >= 2 AND $vv > 0
+          THEN least(1.0e0, 1.0e0 / $lam) ELSE 1.0e0 END AS cand
+      FROM dl
+    ), ps AS (
+      SELECT look, k, n_a, n_b, delta,
+        min(cand) OVER (ORDER BY look
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM cands)
+    SELECT look, k, n_a, n_b, round(delta, 6) AS delta,
+      round(p, 6) AS p_always,
+      CAST(round(p, 6) <= 0.05e0 AS BIGINT) AS reject_05
+    FROM ps"""
+  }
+
   /** Per-GROUP Welch z — [[welchTTest]]'s fixed double sequence run
     * once per metric/group (one conditional-sum pass, map-side
     * partials): the input shape for multiple-testing control. Groups

@@ -413,4 +413,75 @@ object Sampling {
       WHERE ((($k * cum) + tw - 1) // tw)
           - ((($k * (cum - w)) + tw - 1) // tw) >= 1"""
   }
+
+  /** WEIGHT DIAGNOSTICS — the numbers read BEFORE trusting any
+    * weighted selection above ([[ppsSystematic]], [[mixture]], DSIR
+    * importance weights): effective sample size ESS = (Σw)²/Σw², its
+    * ratio to n (1 = uniform weights, → 0 = a few rows dominate), and
+    * the largest single-row weight share. An importance-weighted
+    * corpus with ESS/n = 0.01 is a 100× smaller dataset wearing a big
+    * one's row count — the classic silent failure of importance
+    * sampling, caught here with one grouped pass.
+    *
+    * Determinism: weights fold on the exact DECIMAL(18,2) grid (Σw,
+    * Σw² and max are order-insensitive exact aggregates); the three
+    * ratios are final fixed double sequences. Negative/null weights
+    * are excluded (a weight is a nonnegative multiplier by
+    * definition; documented, not silent — `n_dropped` reports them).
+    * Output per group: `(groupCols…, n, n_dropped, ess (6dp),
+    * ess_ratio (6dp), max_share (6dp))`. */
+  def weightDiagnostics(df: DataFrame, weightCol: String,
+                        groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty)
+    val g = groupCols.map(col)
+    val w = col(weightCol).cast("decimal(18,2)")
+    val valid = w.isNotNull && (w >= 0)
+    def d(c: Column) = c.cast("double")
+    val agg = df.groupBy(g: _*)
+      .agg(count(when(valid, lit(1))).as("n"),
+        count(when(!valid, lit(1))).as("n_dropped"),
+        sum(when(valid, w)).cast("decimal(38,2)").as("__sw"),
+        sum(when(valid, w * w)).cast("decimal(38,4)").as("__sq"),
+        max(when(valid, w)).as("__mx"))
+    agg.select(g ++ Seq(col("n"), col("n_dropped"),
+      when(col("__sq") === 0, lit(0.0))
+        .otherwise(round(d(col("__sw")) * d(col("__sw")) / d(col("__sq")), 6))
+        .as("ess"),
+      when(col("__sq") === 0 || col("n") === 0, lit(0.0))
+        .otherwise(round(d(col("__sw")) * d(col("__sw")) / d(col("__sq"))
+          / d(col("n")), 6)).as("ess_ratio"),
+      when(col("__sw") === 0, lit(0.0))
+        .otherwise(round(d(col("__mx")) / d(col("__sw")), 6))
+        .as("max_share")): _*)
+  }
+
+  /** DuckDB twin of [[weightDiagnostics]] — identical decimal folds
+    * and double sequences. `rowsSql` must select `(grp…, w)`. */
+  def sqlWeightDiagnostics(rowsSql: String,
+                           groupCols: Seq[String]): String = {
+    val gl = groupCols.mkString(", ")
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    s"""
+    WITH r AS (
+      SELECT $gl, CAST(w AS DECIMAL(18,2)) AS w FROM ($rowsSql)
+    ), a AS (
+      SELECT $gl,
+        CAST(count(CASE WHEN w IS NOT NULL AND w >= 0 THEN 1 END)
+          AS BIGINT) AS n,
+        CAST(count(CASE WHEN w IS NULL OR w < 0 THEN 1 END)
+          AS BIGINT) AS n_dropped,
+        CAST(sum(CASE WHEN w >= 0 THEN w END) AS DECIMAL(38,2)) AS sw,
+        CAST(sum(CASE WHEN w >= 0 THEN w * w END) AS DECIMAL(38,4)) AS sq,
+        max(CASE WHEN w >= 0 THEN w END) AS mx
+      FROM r GROUP BY $gl)
+    SELECT $gl, n, n_dropped,
+      CASE WHEN sq = 0 THEN 0.0e0
+        ELSE round(${d("sw")} * ${d("sw")} / ${d("sq")}, 6) END AS ess,
+      CASE WHEN sq = 0 OR n = 0 THEN 0.0e0
+        ELSE round(${d("sw")} * ${d("sw")} / ${d("sq")} / ${d("n")}, 6)
+        END AS ess_ratio,
+      CASE WHEN sw = 0 THEN 0.0e0
+        ELSE round(${d("mx")} / ${d("sw")}, 6) END AS max_share
+    FROM a"""
+  }
 }

@@ -126,6 +126,203 @@ object SeriesStats {
     FROM qs"""
   }
 
+  /** THEIL–SEN ROBUST TREND — the median of all pairwise slopes
+    * (x_j − x_i)/(j − i) over the per-group series: the trend readout
+    * that one corrupted bucket cannot move (OLS on the same series
+    * has breakdown point 0; Theil–Sen tolerates ~29% wild points),
+    * i.e. the robust companion to [[Drift.cusum]]'s "did it shift"
+    * — this answers "how fast is it moving, ignoring the spikes".
+    *
+    * Determinism: values fold to exact micro-unit BIGINTs, the slope
+    * of each pair is ONE integer→double division (identical bits in
+    * both engines), and the median is the exact interpolated (type-7)
+    * quantile — `percentile` ≡ DuckDB `quantile_cont`, the Robust
+    * convention. Slopes are per BUCKET STEP (the row-number axis),
+    * so callers interpret the unit as "per bucket" — time buckets
+    * must be unique per group (they come from a groupBy).
+    *
+    * Scale: pairing is AXIS-BOUNDED QUADRATIC BY DESIGN — Theil–Sen
+    * is O(n²) in the series length, and the axis is the bucketed
+    * series (hours/days), never corpus rows: 1 year of hourly buckets
+    * = 38M pairs per group, one hash-join task per group. Groups with
+    * < 2 points have no pairs and are absent from the output. Output:
+    * `(groupCols…, n, n_pairs, slope (6dp, per bucket step))`. */
+  def theilSen(series: DataFrame, tCol: String, valueCol: String,
+               groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "theilSen needs at least one group col")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val xm = (col(valueCol).cast("decimal(18,2)") * lit(1000000L))
+      .cast("long")
+    val wOrd = Window.partitionBy(g: _*).orderBy(col(tCol))
+    val pts = series
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__xm", xm)
+      .withColumn("__rn", row_number().over(wOrd).cast("bigint"))
+      .select(g ++ Seq(col("__xm"), col("__rn")): _*)
+    val rhs = pts.select(
+      g ++ Seq(col("__xm").as("__xm2"), col("__rn").as("__rn2")): _*)
+    pts.join(rhs, groupCols)
+      .filter(col("__rn2") > col("__rn"))
+      .withColumn("__slope", (col("__xm2") - col("__xm")).cast("double")
+        / (col("__rn2") - col("__rn")).cast("double"))
+      .groupBy(g: _*)
+      .agg(max(col("__rn2")).as("n"),
+        count(lit(1)).as("n_pairs"),
+        round(expr("percentile(__slope, 0.5)") / lit(1e6), 6).as("slope"))
+  }
+
+  /** DuckDB twin of [[theilSen]]: `seriesSql` must select
+    * `(grp…, t, x)` with `x` castable to DECIMAL(18,2). */
+  def sqlTheilSen(seriesSql: String, groupCols: Seq[String]): String = {
+    val gl = groupCols.mkString(", ")
+    s"""
+    WITH s0 AS (
+      SELECT $gl, t,
+        CAST(CAST(x AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS xm
+      FROM ($seriesSql)
+      WHERE t IS NOT NULL AND x IS NOT NULL
+    ), pts AS (
+      SELECT $gl, xm,
+        CAST(row_number() OVER (PARTITION BY $gl ORDER BY t)
+          AS BIGINT) AS rn
+      FROM s0
+    ), pairs AS (
+      SELECT $gl, b.rn AS rn2,
+        CAST(b.xm - a.xm AS DOUBLE) / CAST(b.rn - a.rn AS DOUBLE) AS slope
+      FROM pts a JOIN (SELECT $gl, xm, rn FROM pts) b USING ($gl)
+      WHERE b.rn > a.rn)
+    SELECT $gl, max(rn2) AS n, CAST(count(*) AS BIGINT) AS n_pairs,
+      round(quantile_cont(slope, 0.5) / 1000000.0e0, 6) AS slope
+    FROM pairs GROUP BY $gl"""
+  }
+
+  /** CLASSICAL SEASONAL DECOMPOSITION (additive, moving-average) —
+    * x_t = trend + seasonal + residual: the decomposition read before
+    * trusting [[Drift.cusum]] or the seasonal-anomaly row on a metric
+    * with a daily/weekly rhythm (a raw CUSUM on strongly-seasonal
+    * revenue alarms every morning; on the RESIDUAL it alarms on real
+    * shifts).
+    *
+    *  - trend: centered moving average over one `period` (the 2×p MA
+    *    for even periods — ½-weighted ends), defined only where the
+    *    full window exists (null at the series edges, the classical
+    *    convention);
+    *  - seasonal: per-phase mean of the detrended interior, CENTERED
+    *    so the seasonal component sums to ~0 over a cycle;
+    *  - residual: x − trend − seasonal (null where trend is).
+    *
+    * Determinism: the MA numerator and the detrended values stay in
+    * EXACT scaled integers (micro-units × 2·period — the ½-weighted
+    * ends double cleanly), per-phase sums are exact BIGINT folds, and
+    * the only doubles are final fixed-sequence divisions plus ONE
+    * ordered fold over the p-row phase axis for the centering mean.
+    * Scale: two ordered windows over the bounded per-group series
+    * axis + a phase-axis groupBy (p rows per group) broadcast back —
+    * never a corpus-sized window. Output per input point:
+    * `(groupCols…, t, x, trend, seasonal, residual)` (6dp). */
+  def seasonalDecompose(series: DataFrame, tCol: String, valueCol: String,
+                        groupCols: Seq[String], period: Int): DataFrame = {
+    require(groupCols.nonEmpty && period >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val h = period / 2
+    val even = period % 2 == 0
+    val den = if (even) 2L * period else period.toLong
+    val xm = (col(valueCol).cast("decimal(18,2)") * lit(1000000L))
+      .cast("long")
+    val wOrd = Window.partitionBy(g: _*).orderBy(col(tCol))
+    val wMa = wOrd.rowsBetween(-h, h)
+    val s = sum(col("__xm")).over(wMa)
+    val tnumRaw =
+      if (even) lit(2L) * s - lag(col("__xm"), h).over(wOrd) -
+        lead(col("__xm"), h).over(wOrd)
+      else s
+    val base = series
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__xm", xm)
+      .withColumn("__rn", row_number().over(wOrd).cast("bigint"))
+      .withColumn("__tnum",
+        when(count(lit(1)).over(wMa) === lit(2 * h + 1), tnumRaw))
+      .withColumn("__ph", ((col("__rn") - 1) % period).cast("bigint"))
+    // per-phase means of the detrended interior, exact integer sums;
+    // centering mean via ONE ordered fold over the p-row phase axis
+    val wPhAll = Window.partitionBy(g: _*)
+    val wPhCum = Window.partitionBy(g: _*).orderBy(col("__ph"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val seasonal = base.filter(col("__tnum").isNotNull)
+      .withColumn("__det", lit(den) * col("__xm") - col("__tnum"))
+      .groupBy(g :+ col("__ph"): _*)
+      .agg(sum(col("__det")).as("__snum"), count(lit(1)).as("__scnt"))
+      .withColumn("__sraw",
+        col("__snum").cast("double") / col("__scnt").cast("double"))
+      .withColumn("__cum", sum(col("__sraw")).over(wPhCum))
+      .withColumn("__sc", col("__sraw")
+        - max_by(col("__cum"), col("__ph")).over(wPhAll)
+          / count(lit(1)).over(wPhAll).cast("double"))
+      .select(g ++ Seq(col("__ph"), col("__sc")): _*)
+    val dD = lit(den.toDouble); val micro = lit(1e6)
+    val xD = col("__xm").cast("double") / micro
+    val trendD = col("__tnum").cast("double") / dD / micro
+    val seasD = col("__sc") / dD / micro
+    base.join(broadcast(seasonal), groupCols :+ "__ph", "left_outer")
+      .select(g ++ Seq(col(tCol), round(xD, 6).as("x"),
+        round(trendD, 6).as("trend"),
+        round(seasD, 6).as("seasonal"),
+        round(xD - trendD - seasD, 6).as("residual")): _*)
+  }
+
+  /** DuckDB twin of [[seasonalDecompose]]: `seriesSql` must select
+    * `(grp…, t, x)` with `x` castable to DECIMAL(18,2). */
+  def sqlSeasonalDecompose(seriesSql: String, groupCols: Seq[String],
+                           period: Int): String = {
+    val gl = groupCols.mkString(", ")
+    val h = period / 2
+    val even = period % 2 == 0
+    val den = if (even) 2L * period else period.toLong
+    val tnum =
+      if (even) s"(2 * sum(xm) OVER ma - lag(xm, $h) OVER o - lead(xm, $h) OVER o)"
+      else s"(sum(xm) OVER ma)"
+    s"""
+    WITH s0 AS (
+      SELECT $gl, t,
+        CAST(CAST(x AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS xm
+      FROM ($seriesSql)
+      WHERE t IS NOT NULL AND x IS NOT NULL
+    ), base AS (
+      SELECT $gl, t, xm,
+        (CAST(row_number() OVER o AS BIGINT) - 1) % $period AS ph,
+        CASE WHEN count(*) OVER ma = ${2 * h + 1} THEN $tnum END AS tnum
+      FROM s0
+      WINDOW o AS (PARTITION BY $gl ORDER BY t),
+             ma AS (PARTITION BY $gl ORDER BY t
+                    ROWS BETWEEN $h PRECEDING AND $h FOLLOWING)
+    ), phagg AS (
+      SELECT $gl, ph, sum($den * xm - tnum) AS snum,
+        CAST(count(*) AS BIGINT) AS scnt
+      FROM base WHERE tnum IS NOT NULL GROUP BY $gl, ph
+    ), ph2 AS (
+      SELECT $gl, ph,
+        CAST(snum AS DOUBLE) / CAST(scnt AS DOUBLE) AS sraw,
+        sum(CAST(snum AS DOUBLE) / CAST(scnt AS DOUBLE))
+          OVER (PARTITION BY $gl ORDER BY ph
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM phagg
+    ), phc AS (
+      SELECT $gl, ph,
+        sraw - max_by(cum, ph) OVER (PARTITION BY $gl)
+             / CAST(count(*) OVER (PARTITION BY $gl) AS DOUBLE) AS sc
+      FROM ph2)
+    SELECT $gl, t,
+      round(CAST(xm AS DOUBLE) / 1000000.0e0, 6) AS x,
+      round(CAST(tnum AS DOUBLE) / ${den}.0e0 / 1000000.0e0, 6) AS trend,
+      round(sc / ${den}.0e0 / 1000000.0e0, 6) AS seasonal,
+      round(CAST(xm AS DOUBLE) / 1000000.0e0
+        - CAST(tnum AS DOUBLE) / ${den}.0e0 / 1000000.0e0
+        - sc / ${den}.0e0 / 1000000.0e0, 6) AS residual
+    FROM base LEFT JOIN phc USING ($gl, ph)"""
+  }
+
   /** DuckDB twin of [[acf]]: `seriesSql` must select `(grp…, t, x)`. */
   def sqlAcf(seriesSql: String, groupCols: Seq[String],
              maxLag: Int): String = {

@@ -1198,6 +1198,42 @@ object RelationalQueries extends Registry {
           .select(col("event_id"), col("event_type").as("g"),
             col("value").as("v")),
         "g", "v")),
+    // D139: WEIGHT DIAGNOSTICS — ESS/max-share of value-proportional
+    // sampling weights per type: the degeneracy check run BEFORE
+    // trusting any PPS/mixture/DSIR selection (ESS/n → 0 means the
+    // weighted corpus is a small dataset wearing a big row count).
+    "d72_ess" -> ((s, d) =>
+      graft.operators.Sampling.weightDiagnostics(
+        Tables.events(s, d).select(col("event_type"),
+          col("value").as("w")),
+        "w", Seq("event_type"))),
+    // D136: THEIL–SEN robust trend — median pairwise slope of hourly
+    // revenue per type: the trend readout one corrupted bucket cannot
+    // move (OLS breakdown point 0; Theil–Sen ~29%). Axis-bounded
+    // quadratic BY DESIGN: pairs live on the bucketed series axis
+    // (~720 hours), never corpus rows.
+    "d69_theil_sen" -> ((s, d) =>
+      graft.operators.SeriesStats.theilSen(
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("t"))
+          .agg(sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("x")),
+        "t", "x", Seq("event_type"))),
+    // D137: SEASONAL DECOMPOSITION — hourly revenue per type split
+    // into trend (2x24 centered MA) + daily seasonal + residual: the
+    // pass run before CUSUM/anomaly gating on a rhythmic metric (a
+    // raw CUSUM on seasonal revenue alarms every morning; on the
+    // residual it alarms on real shifts). Exact scaled-integer MA and
+    // phase folds; doubles only in final fixed-sequence divisions.
+    "d70_seasonal_decomp" -> ((s, d) =>
+      graft.operators.SeriesStats.seasonalDecompose(
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("t"))
+          .agg(sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("x")),
+        "t", "x", Seq("event_type"), period = 24)),
     // D134: LJUNG–BOX — is hourly revenue white noise per type: the
     // portmanteau Q over the first 3 lags against chi2(3); the formal
     // reading of the ACF profile.
@@ -1222,6 +1258,18 @@ object RelationalQueries extends Registry {
           .agg(sum(col("value").cast("decimal(18,2)"))
             .cast("decimal(18,2)").as("x")),
         "t", "x", Seq("event_type"), maxLag = 3)),
+    // D138: JENSEN–SHANNON drift — the BOUNDED, symmetric index over
+    // the same half-month snapshots: lands in [0,1] bits, so one
+    // threshold works across metrics of any scale (PSI is unbounded,
+    // W1 in metric units). Same fixed baseline-edge bins + ordered
+    // fold as PSI.
+    "d71_js_divergence" -> ((s, d) =>
+      graft.operators.Drift.jsDivergence(
+        Tables.events(s, d).withColumn("snapshot",
+          when(dayofmonth(col("ts")) <= 15, lit("base"))
+            .otherwise(lit("curr"))),
+        "snapshot", "value", "base", "curr",
+        groupCols = Seq("event_type"))),
     // D131: WASSERSTEIN-1 drift — the earth-mover distance between the
     // two half-month value distributions per type: drift magnitude in
     // the metric's own units (PSI is unitless, KS a sup-norm). Pooled
@@ -1345,6 +1393,23 @@ object RelationalQueries extends Registry {
           col("user_id"), Seq("control", "treatment"), salt = 17))
       graft.operators.Experiment.obrienFleming(perUser, "look",
         "variant", "m", "control", "treatment")
+    }),
+    // D140: mSPRT always-valid p — the continuous-monitoring
+    // complement to d58's fixed-schedule OBF boundary: valid at EVERY
+    // look with no schedule, the running-min 1/Λ under a N(0, τ²)
+    // effect prior. Same per-user purchase metric and look axis.
+    "d73_msprt" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("look"),
+          sum(when(col("event_type") === "purchase",
+              col("value").cast("decimal(12,2)"))
+            .otherwise(lit(0).cast("decimal(12,2)")))
+            .cast("decimal(18,2)").as("m"))
+        .withColumn("variant", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treatment"), salt = 17))
+      graft.operators.Experiment.msprt(perUser, "look",
+        "variant", "m", "control", "treatment", tau2 = 100.0)
     }),
   )
 
@@ -2023,6 +2088,15 @@ object RelationalQueries extends Registry {
              Seq("control", "treatment"), salt = 17)} AS variant
          FROM events GROUP BY user_id""",
       "control", "treatment"),
+    "d73_msprt" -> graft.operators.Experiment.sqlMsprt(
+      s"""SELECT user_id, min(date_trunc('day', ts)) AS look,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m,
+           ${graft.operators.Experiment.sqlVariantOf("user_id",
+             Seq("control", "treatment"), salt = 17)} AS variant
+         FROM events GROUP BY user_id""",
+      "control", "treatment", tau2 = 100.0),
     "d57_gini" -> graft.operators.Inequality.sqlGini(
       "SELECT event_type, value AS v FROM events", Seq("event_type")),
     "d60_ks_test" -> graft.operators.Experiment.sqlKsTest(
@@ -2030,6 +2104,18 @@ object RelationalQueries extends Registry {
     "d67_quantile_norm" -> graft.operators.QuantileNormalize.sqlNormalize(
       "SELECT event_id, event_type AS g, value AS v FROM events",
       cols = Seq("event_id", "g", "v")),
+    "d72_ess" -> graft.operators.Sampling.sqlWeightDiagnostics(
+      "SELECT event_type, value AS w FROM events", Seq("event_type")),
+    "d69_theil_sen" -> graft.operators.SeriesStats.sqlTheilSen(
+      """SELECT event_type, date_trunc('hour', ts) AS t,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+         FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+      Seq("event_type")),
+    "d70_seasonal_decomp" -> graft.operators.SeriesStats.sqlSeasonalDecompose(
+      """SELECT event_type, date_trunc('hour', ts) AS t,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+         FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+      Seq("event_type"), period = 24),
     "d68_ljung_box" -> graft.operators.SeriesStats.sqlLjungBox(
       """SELECT event_type, date_trunc('hour', ts) AS t,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
@@ -2040,6 +2126,13 @@ object RelationalQueries extends Registry {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
          FROM events GROUP BY event_type, date_trunc('hour', ts)""",
       Seq("event_type"), maxLag = 3),
+    "d71_js_divergence" -> graft.operators.Drift.sqlJsDivergence(
+      """SELECT event_type,
+           CASE WHEN date_part('day', ts) <= 15
+             THEN 'base' ELSE 'curr' END AS snapshot,
+           value AS v
+         FROM events""",
+      "base", "curr", groupCols = Seq("event_type")),
     "d65_wasserstein" -> graft.operators.Drift.sqlWasserstein1(
       """SELECT event_type,
            CASE WHEN date_part('day', ts) <= 15

@@ -164,6 +164,13 @@ object TextQueries extends Registry {
             .as("mean_word_len"),
           round(avg(col("__dr")), 6).as("mean_distinct_ratio"))
     }),
+    // C5: readability — Flesch ease + FK grade per doc: the
+    // complexity signal next to the quality gates (boilerplate vs
+    // encyclopedic vs legalese), on portable vowel-run/sentence-run
+    // length arithmetic. Narrow projection fused into the scan.
+    "c5_readability" -> ((s, d) =>
+      graft.text.Readability.scores(
+        Tables.documents(s, d), Seq("doc_id"), "text")),
     // C5: heuristic language ID — stopword-lexicon argmax per doc.
     "c5_lang_id" -> ((s, d) => {
       val text = col("text")
@@ -826,6 +833,8 @@ object TextQueries extends Registry {
         CAST(sum(tokchars) AS DOUBLE) / CAST(sum(wc) AS DOUBLE) AS mean_word_len,
         round(avg(dr), 6) AS mean_distinct_ratio
       FROM p GROUP BY lang, source""",
+    "c5_readability" -> graft.text.Readability.sql(
+      "documents", Seq("doc_id"), "text"),
     "c5_lang_id" -> {
       val ratios = langs.map(l => s"${sqlRatio(l)} AS ratio_$l").mkString(",\n          ")
       val best = s"greatest(${langs.map(l => s"ratio_$l").mkString(", ")})"

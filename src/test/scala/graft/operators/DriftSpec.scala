@@ -140,4 +140,37 @@ class DriftSpec extends SparkSpec {
     assert(out("g1") === 0.0)
     assert(out("g2") > 1.0, s"clamped drift should be large: ${out("g2")}")
   }
+
+  test("JSD: zero on identical snapshots, bounded by 1 bit, orders drift") {
+    val same = (1 to 100).flatMap(i =>
+      Seq(("g", "base", i.toDouble), ("g", "curr", i.toDouble)))
+    val far = (1 to 100).flatMap(i =>
+      Seq(("h", "base", i.toDouble),
+        ("h", "curr", 1000.0 + i))) // clamps into the top edge bin
+    val near = (1 to 100).flatMap(i =>
+      Seq(("m", "base", i.toDouble), ("m", "curr", i + 10.0)))
+    val out = Drift.jsDivergence(
+      (same ++ far ++ near).toDF("g", "snap", "v"),
+      "snap", "v", "base", "curr", bins = 10, groupCols = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("g") === 0.0)
+    assert(out("h") > out("m") && out("m") > 0.0,
+      s"ordering: ${out("h")} > ${out("m")} > 0")
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0 + 1e-9),
+      s"JSD in bits must land in [0,1]: $out")
+  }
+
+  test("JSD: symmetric when both sides share the support") {
+    // identical min/max on both sides -> the baseline-edge asymmetry
+    // vanishes and JSD(base, curr) == JSD(curr, base)
+    val rows = ((1 to 50).map(i => ("g", "a", i.toDouble)) ++
+      (1 to 50).map(i => ("g", "b", if (i <= 25) i.toDouble else 50.0)) ++
+      Seq(("g", "a", 50.0), ("g", "b", 1.0))).toDF("g", "snap", "v")
+    val ab = Drift.jsDivergence(rows, "snap", "v", "a", "b",
+      groupCols = Seq("g")).collect()(0).getDouble(3)
+    val ba = Drift.jsDivergence(rows, "snap", "v", "b", "a",
+      groupCols = Seq("g")).collect()(0).getDouble(3)
+    assert(ab === ba, s"$ab vs $ba")
+    assert(ab > 0.0)
+  }
 }

@@ -276,4 +276,36 @@ class ExperimentSpec extends SparkSpec {
     assert(c.getDouble(1) === 0.5 && c.getDouble(2) === 0.0)
     assert(c.getDouble(3) === 0.5 && c.getDouble(4) === 0.5)
   }
+
+  test("mSPRT: no effect keeps p at 1; a real effect drives p below alpha") {
+    import org.apache.spark.sql.functions.col
+    // arms identical per look -> delta = 0, lambda < 1, p stays 1
+    val nullRows = (1 to 5).flatMap(look => (1 to 20).flatMap(i =>
+      Seq((look.toLong, "a", BigDecimal(10 + i % 3)),
+        (look.toLong, "b", BigDecimal(10 + i % 3)))))
+    val pNull = Experiment.msprt(nullRows.toDF("look", "variant", "m"),
+      "look", "variant", "m", "a", "b", tau2 = 25.0)
+      .orderBy(col("k")).collect()
+    assert(pNull.forall(_.getDouble(5) === 1.0), pNull.mkString(";"))
+    // a 50-point gap with modest noise: evidence accumulates and the
+    // running-min p crosses alpha
+    val effRows = (1 to 6).flatMap(look => (1 to 25).flatMap(i =>
+      Seq((look.toLong, "a", BigDecimal(100 + i % 5)),
+        (look.toLong, "b", BigDecimal(50 + i % 5)))))
+    val pEff = Experiment.msprt(effRows.toDF("look", "variant", "m"),
+      "look", "variant", "m", "a", "b", tau2 = 25.0)
+      .orderBy(col("k")).collect()
+    assert(pEff.last.getDouble(5) <= 0.05, s"final p: ${pEff.last}")
+    assert(pEff.last.getLong(6) === 1L)
+    // always-valid p is monotone nonincreasing in the look index
+    val ps = pEff.map(_.getDouble(5))
+    assert(ps.zip(ps.tail).forall { case (x, y) => y <= x + 1e-12 },
+      ps.mkString(","))
+    // looks with < 2 units per arm carry no information
+    val tiny = Seq((1L, "a", BigDecimal(5)), (1L, "b", BigDecimal(9)))
+      .toDF("look", "variant", "m")
+    val t = Experiment.msprt(tiny, "look", "variant", "m", "a", "b", 25.0)
+      .collect()(0)
+    assert(t.getDouble(5) === 1.0)
+  }
 }

@@ -244,4 +244,28 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.temperatureMixture(df, "k", "s")
     assert(out.select("k").exceptAll(again.select("k")).isEmpty)
   }
+
+  test("weightDiagnostics: uniform weights give ESS = n; a dominant weight collapses it") {
+    import spark.implicits._
+    val uni = (1 to 100).map(i => ("uni", 2.5))
+    val dom = (1 to 99).map(i => ("dom", 0.01)) :+ (("dom", 1000.0))
+    val df = (uni ++ dom).toDF("g", "w")
+    val out = Sampling.weightDiagnostics(df, "w", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    val u = out("uni")
+    assert(u._1 === 100L && u._2 === 0L)
+    assert(u._3 === 100.0 && u._4 === 1.0 && u._5 === 0.01)
+    val d = out("dom")
+    // ESS = (0.99 + 1000)^2 / (99 * 1e-4 + 1e6) ~= 1.00: one row IS
+    // the dataset
+    assert(d._3 < 1.01, s"dominant ESS: ${d._3}")
+    assert(d._5 > 0.999, s"max share: ${d._5}")
+    // negative weights are dropped and counted, not folded
+    val b = Sampling.weightDiagnostics(
+      Seq(("bad", 1.0), ("bad", -3.0), ("bad", 2.0)).toDF("g", "w"),
+      "w", Seq("g")).collect()(0)
+    assert(b.getLong(1) === 2L && b.getLong(2) === 1L)
+  }
 }

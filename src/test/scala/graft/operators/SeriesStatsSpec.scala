@@ -52,6 +52,58 @@ class SeriesStatsSpec extends SparkSpec {
     assert(math.abs(out("alt")._2 - q) < 1e-4, s"${out("alt")._2} vs $q")
   }
 
+  test("Theil-Sen: exact slope on linear data; one wild point cannot move it") {
+    // x = 2t over t = 0..9, with x_5 smashed to 100: 36 clean pairs
+    // have slope exactly 2, 4 pairs fall far below, 5 far above ->
+    // the median (23rd of 45) sits inside the clean run
+    val clean = (0 until 10).map(t => ("clean", t.toLong, 2.0 * t))
+    val dirty = (0 until 10).map(t => ("dirty", t.toLong,
+      if (t == 5) 100.0 else 2.0 * t))
+    val out = SeriesStats.theilSen(
+      (clean ++ dirty).toDF("g", "t", "x"), "t", "x", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("clean") === ((10L, 45L, 2.0)))
+    assert(out("dirty") === ((10L, 45L, 2.0)))
+  }
+
+  test("Theil-Sen: groups with < 2 points are absent") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("b", 1L, 9.0))
+      .toDF("g", "t", "x")
+    val out = SeriesStats.theilSen(df, "t", "x", Seq("g")).collect()
+    assert(out.length === 1 && out(0).getString(0) === "a")
+    assert(out(0).getDouble(3) === 2.0)
+  }
+
+  test("seasonal decomposition recovers an exact trend+seasonal series") {
+    // x_t = 10t + s_{t mod 4}, s = (0, 5, -3, -2) (sums to 0): the
+    // 2x4 centered MA cancels the periodic part exactly, so trend =
+    // 10t, seasonal = s, residual = 0 on the interior
+    val s = Seq(0.0, 5.0, -3.0, -2.0)
+    val df = (0 until 20).map(t => ("g", t.toLong, 10.0 * t + s(t % 4)))
+      .toDF("g", "t", "x")
+    val out = SeriesStats.seasonalDecompose(df, "t", "x", Seq("g"), 4)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out.size === 20)
+    for (t <- 2 to 17) {
+      val r = out(t.toLong)
+      assert(r.getDouble(3) === 10.0 * t, s"trend at $t")
+      assert(r.getDouble(4) === s(t % 4), s"seasonal at $t")
+      assert(r.getDouble(5) === 0.0, s"residual at $t")
+    }
+    for (t <- Seq(0L, 1L, 18L, 19L)) {
+      assert(out(t).isNullAt(3) && out(t).isNullAt(5), s"edge $t")
+    }
+  }
+
+  test("seasonal decomposition: series shorter than period+1 is all-null trend") {
+    val df = (0 until 3).map(t => ("g", t.toLong, 5.0)).toDF("g", "t", "x")
+    val out = SeriesStats.seasonalDecompose(df, "t", "x", Seq("g"), 4)
+      .collect()
+    assert(out.length === 3)
+    assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
+  }
+
   test("groups are independent; null buckets drop") {
     val df = (
       (0 until 10).map(t => ("flat", Some(t.toLong), 5.0)) ++
