@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** K-ANONYMITY / L-DIVERSITY AUDIT — the privacy gate a training-data
@@ -111,5 +111,132 @@ object Anonymity {
           SELECT $q, count(*) AS n FROM $table GROUP BY $q)
         SELECT $q, round(CAST(n AS DOUBLE) + $noise, 6) AS noised_n
         FROM g"""
+  }
+
+  // ---- t-closeness ------------------------------------------------
+  // The audit [[audit]] cannot see: a class can be k-large and
+  // l-diverse yet still leak — if every row in the class has a HIGH
+  // salary, knowing membership narrows the sensitive value to "high"
+  // even though the exact value stays hidden. t-closeness (Li, Li &
+  // Venkatasubramanian, ICDE 2007) bounds the DISTANCE between each
+  // class's sensitive distribution and the table-wide one; for ordered
+  // (numeric) attributes the distance is the Earth Mover's Distance
+  // with ordered ground distance,
+  //
+  //   D[P, Q] = (1/(m−1)) · Σᵢ |Σ_{j≤i} (p_j − q_j)|
+  //
+  // over the m globally-distinct values in order — the same
+  // cumulative-difference fold as Wasserstein-1, normalized to [0, 1]
+  // by the axis span.
+
+  /** Per-class ordered-distance EMD against the global distribution.
+    *
+    * Determinism: all counts exact BIGINT; each per-value term is ONE
+    * fixed double sequence (cc/n_class − cg/N); both the cumulative
+    * difference and the Σ|·| run as ORDERED expanding windows over the
+    * value axis, so addition order is pinned on both engines.
+    *
+    * Scale: the axis is the DISTINCT SENSITIVE VALUE grid — the
+    * sensitive column is decimal-cast ([[graft.impute.Robust.ecdf]]'s
+    * bounded-grid contract; quantize continuous metrics first), so the
+    * working set is classes × m (model-sized), never corpus rows: two
+    * hash aggregates over the table, a broadcast of the m-row axis,
+    * and per-class ordered windows over m rows. Null quasi or
+    * sensitive values are excluded (joins cannot carry null keys
+    * cross-engine; the k-audit still counts them).
+    *
+    * Output per class: `(quasi…, class_size, m_values,
+    * t_closeness (6dp), at_risk)` — `at_risk` = 1 when t_closeness
+    * exceeds `threshold`. */
+  def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: String,
+                 threshold: Double): DataFrame = {
+    require(quasi.nonEmpty && threshold > 0)
+    import org.apache.spark.sql.expressions.Window
+    val g = quasi.map(col)
+    val rows = df
+      .filter(quasi.map(col(_).isNotNull).reduce(_ && _)
+        && col(sensitive).isNotNull)
+      .select(g :+ col(sensitive).cast("decimal(18,2)").as("__v"): _*)
+    val global = rows.groupBy(col("__v")).agg(count(lit(1)).as("__cg"))
+    val tot = global.agg(sum(col("__cg")).cast("bigint").as("__N"),
+      count(lit(1)).as("__m"))
+    val classes = rows.groupBy(g: _*).agg(count(lit(1)).as("class_size"))
+    val classVal = rows.groupBy(g :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__cc"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def d(c: Column) = c.cast("double")
+    val grid = classes
+      .crossJoin(broadcast(global))
+      .join(classVal, quasi :+ "__v", "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__r",
+        d(coalesce(col("__cc"), lit(0L))) / d(col("class_size"))
+          - d(col("__cg")) / d(col("__N")))
+      .withColumn("__cum", sum(col("__r")).over(wCum))
+      .withColumn("__acc", sum(abs(col("__cum"))).over(wCum))
+    grid.groupBy(g: _*)
+      .agg(max(col("class_size")).as("class_size"),
+        max(col("__m")).as("m_values"),
+        round(when(max(col("__m")) === 1L, lit(0.0))
+          .otherwise(max_by(col("__acc"), col("__v"))
+            / (d(max(col("__m"))) - lit(1.0))), 6).as("t_closeness"))
+      .withColumn("at_risk", (col("t_closeness") > threshold).cast("int"))
+  }
+
+  /** DuckDB twin of [[tCloseness]] — identical exclusions, term
+    * arithmetic and ordered folds. */
+  def sqlTCloseness(table: String, quasi: Seq[String], sensitive: String,
+                    threshold: Double): String = {
+    import graft.functions.Noise.sqlDouble
+    val q = quasi.mkString(", ")
+    val qc = quasi.map(c => s"c.$c").mkString(", ")
+    val notNull = (quasi :+ sensitive).map(c => s"$c IS NOT NULL")
+      .mkString(" AND ")
+    val onQ = quasi.map(c => s"cv.$c = c.$c").mkString(" AND ")
+    s"""
+    WITH rows0 AS (
+      SELECT $q, CAST($sensitive AS DECIMAL(18,2)) AS v
+      FROM $table WHERE $notNull
+    ), gax AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cg FROM rows0 GROUP BY v
+    ), tot AS (
+      SELECT CAST(sum(cg) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS m
+      FROM gax
+    ), classes AS (
+      SELECT $q, CAST(count(*) AS BIGINT) AS class_size
+      FROM rows0 GROUP BY $q
+    ), cv AS (
+      SELECT $q, v, CAST(count(*) AS BIGINT) AS cc
+      FROM rows0 GROUP BY $q, v
+    ), grid AS (
+      SELECT $qc, c.class_size, g.v, g.cg,
+        coalesce(cv.cc, CAST(0 AS BIGINT)) AS cc
+      FROM classes c CROSS JOIN gax g
+      LEFT JOIN cv ON $onQ AND cv.v = g.v
+    ), terms AS (
+      SELECT $q, class_size, v,
+        CAST(cc AS DOUBLE) / CAST(class_size AS DOUBLE)
+          - CAST(cg AS DOUBLE) / CAST(nn AS DOUBLE) AS r, m
+      FROM grid CROSS JOIN tot
+    ), cums AS (
+      SELECT $q, class_size, v, m,
+        sum(r) OVER (PARTITION BY $q ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM terms
+    ), accs AS (
+      SELECT $q, class_size, v, m,
+        sum(abs(cum)) OVER (PARTITION BY $q ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+      FROM cums
+    ), agg AS (
+      SELECT $q, max(class_size) AS class_size, max(m) AS m_values,
+        round(CASE WHEN max(m) = 1 THEN 0.0e0
+          ELSE max_by(acc, v) / (CAST(max(m) AS DOUBLE) - 1.0e0) END, 6)
+          AS t_closeness
+      FROM accs GROUP BY $q)
+    SELECT $q, class_size, m_values, t_closeness,
+      CAST(t_closeness > ${sqlDouble(threshold)} AS INT) AS at_risk
+    FROM agg"""
   }
 }

@@ -1072,4 +1072,151 @@ object Experiment {
       round($r + ${sqlDouble(zAlpha)} * $se, 6) AS ci_hi
     FROM sums"""
   }
+
+  /** CLUSTER-ROBUST DIFFERENCE IN MEANS — the analysis every
+    * experiment with unit-of-randomization ≠ unit-of-analysis needs:
+    * variants are assigned per CLUSTER (user, session, domain) but the
+    * metric is measured per ROW (event, pageview, document). Rows
+    * within a cluster are correlated, so the naive per-row Welch SE is
+    * too small by roughly √(design effect) and the t-test over-rejects
+    * — the single most common false-positive factory in A/B practice.
+    *
+    * Estimator: per-variant mean is the ratio of cluster sums
+    * μ̂ = Σ_c T_c / Σ_c n_c (≡ the plain row mean). Its variance is the
+    * delta-method / CR1 sandwich over cluster totals,
+    *
+    *   Var(μ̂) = C/((C−1)·N²) · Σ_c (T_c − μ̂·n_c)²
+    *
+    * expanded to Σ-form (ΣT², ΣTn, Σn² — exact DECIMAL/BIGINT folds)
+    * so no second pass over residuals is needed. The naive per-row SE
+    * is reported alongside, and `design_effect` = Var_cluster/Var_naive
+    * quantifies the correlation penalty.
+    *
+    * Determinism: cluster totals are exact decimal-grid sums; the
+    * quadratic folds (T², T·n, n²) stay exact (DECIMAL×DECIMAL widens,
+    * both engines); the t statistic is one fixed double sequence
+    * rounded 6-dp. Scale: one hash shuffle to (variant, cluster)
+    * partial-aggregated totals, then a 1-row conditional aggregate —
+    * the [[welchTTest]] shape with one extra keyed layer; nothing
+    * ordered, nothing collected.
+    *
+    * Output one row: c_a, c_b (clusters), n_a, n_b (rows), mean_a,
+    * mean_b, diff, se_naive, se_cluster, design_effect, t_cluster. */
+  def clusterDiff(rows: DataFrame, variantCol: String, clusterCol: String,
+                  metricCol: String, a: String, b: String): DataFrame = {
+    val m = col(metricCol)
+    // cluster totals re-anchored on a FIXED (18,6)/(10,0) grid so the
+    // quadratic folds (t², t·n, n²) stay inside DECIMAL(38) in BOTH
+    // engines — exact as long as the metric scale ≤ 6 and a cluster
+    // total < 1e12, which any per-cluster money/count metric satisfies
+    val perCluster = rows
+      .filter(col(variantCol).isin(a, b))
+      .groupBy(col(variantCol).as("__v"), col(clusterCol).as("__c"))
+      .agg(sum(m).as("__t0"), count(lit(1)).as("__n0"),
+        sum(m * m).as("__q0"))
+      .select(col("__v"),
+        col("__t0").cast("decimal(18,6)").as("__t"),
+        col("__n0").cast("decimal(10,0)").as("__n"),
+        col("__q0").cast("decimal(18,6)").as("__q"))
+    def side(v: String, agg: Column): Column =
+      sum(when(col("__v") === v, agg).otherwise(lit(null)))
+    val sums = perCluster.agg(
+      count(when(col("__v") === a, lit(1))).as("c_a"),
+      count(when(col("__v") === b, lit(1))).as("c_b"),
+      side(a, col("__n")).as("n_a"), side(b, col("__n")).as("n_b"),
+      side(a, col("__t")).as("s_a"), side(b, col("__t")).as("s_b"),
+      side(a, col("__q")).as("q_a"), side(b, col("__q")).as("q_b"),
+      side(a, col("__t") * col("__t")).as("tt_a"),
+      side(b, col("__t") * col("__t")).as("tt_b"),
+      side(a, col("__t") * col("__n")).as("tn_a"),
+      side(b, col("__t") * col("__n")).as("tn_b"),
+      side(a, col("__n") * col("__n")).as("nn_a"),
+      side(b, col("__n") * col("__n")).as("nn_b"))
+    def d(c: String) = col(c).cast("double")
+    def meanOf(s: String, n: String) = d(s) / d(n)
+    val meanA = meanOf("s_a", "n_a"); val meanB = meanOf("s_b", "n_b")
+    // cluster-robust: C/((C−1)·N²) · (ΣT² − 2μΣTn + μ²Σn²)
+    def vClu(mu: Column, ct: String, n: String, tt: String, tn: String,
+             nn: String) =
+      d(ct) / ((d(ct) - lit(1.0)) * d(n) * d(n)) *
+        (d(tt) - lit(2.0) * mu * d(tn) + mu * mu * d(nn))
+    // naive per-row: sample var / n from the same exact sums
+    def vNaive(mu: Column, n: String, s: String, q: String) =
+      ((d(q) - d(s) * d(s) / d(n)) / (d(n) - lit(1.0))) / d(n)
+    val vcA = vClu(meanA, "c_a", "n_a", "tt_a", "tn_a", "nn_a")
+    val vcB = vClu(meanB, "c_b", "n_b", "tt_b", "tn_b", "nn_b")
+    val vnA = vNaive(meanA, "n_a", "s_a", "q_a")
+    val vnB = vNaive(meanB, "n_b", "s_b", "q_b")
+    val diff = meanA - meanB
+    val seClu = sqrt(vcA + vcB)
+    val seNaive = sqrt(vnA + vnB)
+    sums.select(col("c_a"), col("c_b"),
+      col("n_a").cast("bigint").as("n_a"),
+      col("n_b").cast("bigint").as("n_b"),
+      round(meanA, 6).as("mean_a"), round(meanB, 6).as("mean_b"),
+      round(diff, 6).as("diff"),
+      round(seNaive, 6).as("se_naive"), round(seClu, 6).as("se_cluster"),
+      round((vcA + vcB) / (vnA + vnB), 6).as("design_effect"),
+      round(diff / seClu, 6).as("t_cluster"))
+  }
+
+  /** DuckDB twin of [[clusterDiff]]: `rowsSql` must select
+    * `(variant, cluster, m)` with `m` on an exact grid. */
+  def sqlClusterDiff(rowsSql: String, a: String, b: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def meanOf(s: String, n: String) = s"(${d(s)} / ${d(n)})"
+    val meanA = meanOf("s_a", "n_a"); val meanB = meanOf("s_b", "n_b")
+    def vClu(mu: String, ct: String, n: String, tt: String, tn: String,
+             nn: String) =
+      s"""(${d(ct)} / ((${d(ct)} - 1.0e0) * ${d(n)} * ${d(n)}) *
+        (${d(tt)} - 2.0e0 * $mu * ${d(tn)} + $mu * $mu * ${d(nn)}))"""
+    def vNaive(n: String, s: String, q: String) =
+      s"(((${d(q)} - ${d(s)} * ${d(s)} / ${d(n)}) / (${d(n)} - 1.0e0)) / ${d(n)})"
+    val vcA = vClu(meanA, "c_a", "n_a", "tt_a", "tn_a", "nn_a")
+    val vcB = vClu(meanB, "c_b", "n_b", "tt_b", "tn_b", "nn_b")
+    val vnA = vNaive("n_a", "s_a", "q_a")
+    val vnB = vNaive("n_b", "s_b", "q_b")
+    val diff = s"($meanA - $meanB)"
+    val seClu = s"sqrt($vcA + $vcB)"
+    val seNaive = s"sqrt($vnA + $vnB)"
+    s"""
+    WITH r0 AS (
+      SELECT variant, cluster, m FROM ($rowsSql)
+      WHERE variant IN ('$a', '$b')
+    ), pc AS (
+      -- width 19 forces INT128 physical storage so DuckDB's t*t / n*n
+      -- run in 128-bit (a 19-digit cluster-total square overflows its
+      -- int64 multiply path at width 18); Spark keeps (18,6)/(10,0)
+      -- so ITS products stay under precision 38 — same exact values,
+      -- differently-declared intermediates
+      SELECT variant, cluster,
+        CAST(sum(m) AS DECIMAL(19,6)) AS t,
+        CAST(count(*) AS DECIMAL(19,0)) AS n,
+        CAST(sum(m * m) AS DECIMAL(19,6)) AS q
+      FROM r0 GROUP BY variant, cluster
+    ), sums AS (
+      SELECT
+        CAST(count(CASE WHEN variant = '$a' THEN 1 END) AS BIGINT) AS c_a,
+        CAST(count(CASE WHEN variant = '$b' THEN 1 END) AS BIGINT) AS c_b,
+        CAST(sum(CASE WHEN variant = '$a' THEN n END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN variant = '$b' THEN n END) AS BIGINT) AS n_b,
+        sum(CASE WHEN variant = '$a' THEN t END) AS s_a,
+        sum(CASE WHEN variant = '$b' THEN t END) AS s_b,
+        sum(CASE WHEN variant = '$a' THEN q END) AS q_a,
+        sum(CASE WHEN variant = '$b' THEN q END) AS q_b,
+        sum(CASE WHEN variant = '$a' THEN t * t END) AS tt_a,
+        sum(CASE WHEN variant = '$b' THEN t * t END) AS tt_b,
+        sum(CASE WHEN variant = '$a' THEN t * n END) AS tn_a,
+        sum(CASE WHEN variant = '$b' THEN t * n END) AS tn_b,
+        sum(CASE WHEN variant = '$a' THEN n * n END) AS nn_a,
+        sum(CASE WHEN variant = '$b' THEN n * n END) AS nn_b
+      FROM pc)
+    SELECT c_a, c_b, n_a, n_b,
+      round($meanA, 6) AS mean_a, round($meanB, 6) AS mean_b,
+      round($diff, 6) AS diff,
+      round($seNaive, 6) AS se_naive, round($seClu, 6) AS se_cluster,
+      round(($vcA + $vcB) / ($vnA + $vnB), 6) AS design_effect,
+      round($diff / $seClu, 6) AS t_cluster
+    FROM sums"""
+  }
 }

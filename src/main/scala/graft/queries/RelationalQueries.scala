@@ -1017,6 +1017,13 @@ object RelationalQueries extends Registry {
     "d24_k_anonymity" -> ((s, d) =>
       graft.operators.Anonymity.audit(Tables.customer(s, d),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 12)),
+    // D143: t-closeness — the leak the k/l audit can't see: a class
+    // whose sensitive DISTRIBUTION skews far from the table-wide one
+    // discloses by membership alone. Ordered-distance EMD per class
+    // over the acctbal value grid, flagged at t = 0.15.
+    "d75_t_closeness" -> ((s, d) =>
+      graft.operators.Anonymity.tCloseness(Tables.customer(s, d),
+        Seq("c_mktsegment"), "c_acctbal", threshold = 0.15)),
     // D60: session path mining — top navigation paths: per user-day
     // session, the ordered event-type sequence (capped at the first 12
     // events so a hot user can't build an unbounded string), counted
@@ -1410,6 +1417,20 @@ object RelationalQueries extends Registry {
           col("user_id"), Seq("control", "treatment"), salt = 17))
       graft.operators.Experiment.msprt(perUser, "look",
         "variant", "m", "control", "treatment", tau2 = 100.0)
+    }),
+    // D142: cluster-robust difference in means — randomize by USER,
+    // analyze per EVENT: the naive per-row SE ignores within-user
+    // correlation and over-rejects; the CR1 sandwich over cluster
+    // totals is the honest read. design_effect quantifies the gap.
+    "d74_cluster_se" -> ((s, d) => {
+      val rows = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          col("value").cast("decimal(12,2)").as("m"))
+        .withColumn("variant", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treatment"), salt = 17))
+      graft.operators.Experiment.clusterDiff(rows, "variant",
+        "user_id", "m", "control", "treatment")
     }),
   )
 
@@ -2097,6 +2118,12 @@ object RelationalQueries extends Registry {
              Seq("control", "treatment"), salt = 17)} AS variant
          FROM events GROUP BY user_id""",
       "control", "treatment", tau2 = 100.0),
+    "d74_cluster_se" -> graft.operators.Experiment.sqlClusterDiff(
+      s"""SELECT ${graft.operators.Experiment.sqlVariantOf("user_id",
+             Seq("control", "treatment"), salt = 17)} AS variant,
+           user_id AS cluster, CAST(value AS DECIMAL(12,2)) AS m
+         FROM events WHERE event_type = 'purchase'""",
+      "control", "treatment"),
     "d57_gini" -> graft.operators.Inequality.sqlGini(
       "SELECT event_type, value AS v FROM events", Seq("event_type")),
     "d60_ks_test" -> graft.operators.Experiment.sqlKsTest(
@@ -2411,6 +2438,8 @@ object RelationalQueries extends Registry {
     },
     "d24_k_anonymity" -> graft.operators.Anonymity.sqlAudit(
       "customer", Seq("c_nationkey", "c_mktsegment"), "c_acctbal", 12),
+    "d75_t_closeness" -> graft.operators.Anonymity.sqlTCloseness(
+      "customer", Seq("c_mktsegment"), "c_acctbal", threshold = 0.15),
     "d26_top_paths" -> """
       WITH e AS (
         SELECT user_id, date_trunc('day', ts) AS day, ts, event_id,

@@ -696,6 +696,20 @@ object TextQueries extends Registry {
     // read before a training mix is signed off.
     "c5_zipf_fit" -> ((s, d) =>
       graft.text.ZipfFit.fit(Tables.documents(s, d), "text", topN = 40)),
+    // C5: HEAPS' LAW FIT — vocabulary growth V(N) ≈ k·N^β along the
+    // doc-id corpus order: β ≈ 0.4–0.6 is natural text, β → 1 means
+    // unique-ID soup, β → 0 boilerplate. No global ordering is built:
+    // first arrivals are min(doc_id) hash aggs against 16 broadcast
+    // percentile checkpoints.
+    "c5_heaps_law" -> ((s, d) =>
+      graft.text.ZipfFit.heapsFit(Tables.documents(s, d), "doc_id",
+        "text", points = 16)),
+    // C5: TOKEN ENTROPY — bits/token of each doc's token distribution
+    // plus type–token ratio: the information-density gate that catches
+    // keyword-stuffed / menu-scrape docs every length heuristic passes.
+    "c5_token_entropy" -> ((s, d) =>
+      graft.text.Entropy.tokenEntropy(Tables.documents(s, d), "doc_id",
+        "text")),
     // C5: DISTINCTIVE TERMS — Monroe et al. weighted log-odds with an
     // informative Dirichlet prior, per source: frequent AND skewed
     // vocabulary, the corpus-analysis readout raw counts (stopwords)
@@ -914,6 +928,13 @@ object TextQueries extends Registry {
       "documents", "doc_id", "n_chars", 100, Seq("doc_id", "n_chars")),
     "c5_zipf_fit" -> graft.text.ZipfFit.sqlFit(
       s"SELECT ${sqlToks("text")} AS toks FROM documents", topN = 40),
+    "c5_heaps_law" -> graft.text.ZipfFit.sqlHeapsFit(
+      s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents",
+      points = 16),
+    "c5_token_entropy" -> s"""
+      SELECT id AS doc_id, n_tokens, n_types, entropy, ttr
+      FROM (${graft.text.Entropy.sqlTokenEntropy(
+        s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents")})""",
     "c5_distinctive_terms" -> graft.text.DistinctiveTerms.sqlDistinctiveTerms(
       s"SELECT source AS g, ${sqlToks("text")} AS toks FROM documents",
       groupOut = "source", k = 5),

@@ -113,4 +113,45 @@ class AnonymitySpec extends SparkSpec {
         s"nation $k: approx ${approx(k)} vs exact $v")
     }
   }
+
+  test("tCloseness: hand-computed ordered EMD on a 3-value axis") {
+    import spark.implicits._
+    // global {1:2, 2:1, 3:1}; class A = two 1s (p−q cum 0.5, 0.25, 0
+    // → Σ|cum|/(m−1) = 0.375), class B = one 2 + one 3 (mirror)
+    val df = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 3))
+      .toDF("cls", "v")
+    val r = Anonymity.tCloseness(df, Seq("cls"), "v", threshold = 0.3)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getInt(4))).toMap
+    assert(r("A") === ((2L, 3L, 0.375, 1)), r.toString)
+    assert(r("B") === ((2L, 3L, 0.375, 1)), r.toString)
+  }
+
+  test("tCloseness: class mirroring the global distribution scores 0") {
+    import spark.implicits._
+    // both classes hold the same {1, 2, 3} → every class ≡ global
+    val df = Seq(("A", 1), ("A", 2), ("A", 3), ("B", 1), ("B", 2),
+      ("B", 3)).toDF("cls", "v")
+    val r = Anonymity.tCloseness(df, Seq("cls"), "v", threshold = 0.1)
+      .collect()
+    assert(r.forall(_.getDouble(3) === 0.0), r.mkString(","))
+    assert(r.forall(_.getInt(4) === 0))
+  }
+
+  test("tCloseness: single-value axis guards the m−1 division") {
+    import spark.implicits._
+    val df = Seq(("A", 7), ("B", 7), ("B", 7)).toDF("cls", "v")
+    val r = Anonymity.tCloseness(df, Seq("cls"), "v", threshold = 0.1)
+      .collect()
+    assert(r.length === 2 && r.forall(_.getDouble(3) === 0.0))
+  }
+
+  test("tCloseness: null quasi/sensitive rows are excluded, not joined") {
+    import spark.implicits._
+    val df = Seq((Some("A"), Some(1)), (Some("A"), None),
+      (None, Some(2)), (Some("B"), Some(2))).toDF("cls", "v")
+    val r = Anonymity.tCloseness(df, Seq("cls"), "v", threshold = 0.9)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("A" -> 1L, "B" -> 1L), r.toString)
+  }
 }

@@ -308,4 +308,43 @@ class ExperimentSpec extends SparkSpec {
       .collect()(0)
     assert(t.getDouble(5) === 1.0)
   }
+
+  test("clusterDiff: hand-computed CR1 sandwich on correlated clusters") {
+    // a-side: two fully-correlated clusters (10,10) and (20,20);
+    // b-side: two flat clusters (5,5)(5,5). By hand: mean_a 15,
+    // mean_b 5, Var_clu_a = 2/(1·16)·((20−30)²+(40−30)²) = 25,
+    // Var_clu_b = 0 → se_cluster 5, t 2; naive var_a/n = (100/3)/4 →
+    // design effect (25+0)/(8.3333…+0) = 3.
+    val rows = Seq(
+      ("a", 1L, 10), ("a", 1L, 10), ("a", 2L, 20), ("a", 2L, 20),
+      ("b", 3L, 5), ("b", 3L, 5), ("b", 4L, 5), ("b", 4L, 5))
+      .toDF("variant", "cluster", "m0")
+      .select(col("variant"), col("cluster"),
+        col("m0").cast("decimal(12,2)").as("m"))
+    val r = Experiment.clusterDiff(rows, "variant", "cluster", "m",
+      "a", "b").collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L) // clusters
+    assert(r.getLong(2) === 4L && r.getLong(3) === 4L) // rows
+    assert(r.getDouble(4) === 15.0 && r.getDouble(5) === 5.0)
+    assert(r.getDouble(6) === 10.0)                    // diff
+    assert(r.getDouble(8) === 5.0, s"se_cluster ${r.getDouble(8)}")
+    assert(r.getDouble(9) === 3.0, s"design_effect ${r.getDouble(9)}")
+    assert(r.getDouble(10) === 2.0, s"t_cluster ${r.getDouble(10)}")
+  }
+
+  test("clusterDiff: one row per cluster collapses to the naive SE") {
+    // with n_c ≡ 1 the CR1 formula reduces algebraically to the
+    // per-row sample variance — design effect must read 1
+    val rows = (1 to 60).map(i => (if (i % 2 == 0) "a" else "b",
+        i.toLong, BigDecimal((i * 37) % 13) + 1))
+      .toDF("variant", "cluster", "m0")
+      .select(col("variant"), col("cluster"),
+        col("m0").cast("decimal(12,2)").as("m"))
+    val r = Experiment.clusterDiff(rows, "variant", "cluster", "m",
+      "a", "b").collect()(0)
+    assert(math.abs(r.getDouble(8) - r.getDouble(7)) < 1e-9,
+      s"cluster ${r.getDouble(8)} vs naive ${r.getDouble(7)}")
+    assert(math.abs(r.getDouble(9) - 1.0) < 1e-6,
+      s"design_effect ${r.getDouble(9)}")
+  }
 }

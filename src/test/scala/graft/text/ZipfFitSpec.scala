@@ -39,4 +39,34 @@ class ZipfFitSpec extends SparkSpec {
     assert(rB.getDouble(3) < rN.getDouble(3),
       s"boilerplate r2 ${rB.getDouble(3)} !< natural ${rN.getDouble(3)}")
   }
+
+  test("heaps: all-unique tokens fit beta = 1 exactly (V = N)") {
+    val docs = (1 to 64).map(i =>
+      (i.toLong, (1 to 10).map(j => s"d${i}_t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = ZipfFit.heapsFit(docs, "doc_id", "text").head()
+    assert(r.getLong(0) === 16L, s"n_points ${r.getLong(0)}")
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, s"beta ${r.getDouble(1)}")
+    assert(r.getDouble(3) > 0.9999, s"r2 ${r.getDouble(3)}")
+  }
+
+  test("heaps: identical boilerplate docs fit beta ~ 0, never NaN") {
+    val docs = (1 to 64).map(i => (i.toLong, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val r = ZipfFit.heapsFit(docs, "doc_id", "text").head()
+    assert(math.abs(r.getDouble(1)) < 1e-4, s"beta ${r.getDouble(1)}")
+    assert(!r.getDouble(3).isNaN && r.getDouble(3) < 0.01,
+      s"r2 ${r.getDouble(3)}")
+  }
+
+  test("heaps: saturation ranks between unique soup and boilerplate") {
+    // half of each doc is shared vocabulary, half is novel
+    val docs = (1 to 64).map(i => (i.toLong,
+      ("s1 s2 s3 s4 s5 " +
+        (1 to 5).map(j => s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val r = ZipfFit.heapsFit(docs, "doc_id", "text").head()
+    assert(r.getDouble(1) > 0.5 && r.getDouble(1) < 1.0,
+      s"beta ${r.getDouble(1)}")
+  }
 }
