@@ -813,6 +813,27 @@ object TextQueries extends Registry {
       graft.text.Bpe.mergesDf(s,
         graft.text.Bpe.learn(Tables.documents(s, d).select("text"),
           "text", nMerges = 30))),
+    // C5: UNIGRAM-LM TOKENIZER (SentencePiece's default, Kudo 2018) —
+    // the second production tokenizer family next to BPE: seed → hard
+    // EM → prune driver-side over the bounded word table (the Bpe
+    // two-phase shape), then the learned vocabulary re-applied to the
+    // distinct word table via the distributed Viterbi encode so the
+    // timed row exercises both halves. Iterative selection isn't one
+    // SQL query → rows-only, spec-pinned (UnigramLmSpec).
+    "c5_unigram_vocab" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("text")
+      val pieces = graft.text.UnigramLm.learn(docs, "text",
+        vocabSize = 120, maxPieceLen = 5)
+      val enc = graft.text.UnigramLm.encodeWords(
+        graft.text.Bpe.wordFreq(docs, "text"), pieces)
+      val usage = enc
+        .select(explode(col("pieces")).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum(col("freq")).as("n_uses"))
+      graft.text.UnigramLm.piecesDf(s, pieces)
+        .join(usage, Seq("piece"), "left")
+        .select(col("rank"), col("piece"), col("count"),
+          col("log_prob"), coalesce(col("n_uses"), lit(0L)).as("n_uses"))
+    }),
   )
 
   private val langs = TextFunctions.stopwords.keys.toSeq.sorted

@@ -203,7 +203,24 @@ object ScaleProbe {
       "c5_zipf_fit",
       // round-10c: W1/ACF bounded-axis folds; quantile normalization's
       // union-axis window grows with DISTINCT values (grid contract)
-      "d65_wasserstein", "d66_acf", "d67_quantile_norm", "d68_ljung_box")
+      "d65_wasserstein", "d66_acf", "d67_quantile_norm", "d68_ljung_box",
+      // round-10d: Theil–Sen (axis-bounded quadratic BY DESIGN —
+      // series buckets, not corpus rows: the hourly axis is FIXED, so
+      // 10× events must not grow the pair count, expect ~flat),
+      // seasonal decomposition (two bounded-series windows + a
+      // phase-axis broadcast — expect ~flat), JSD (same PSI bin fold),
+      // ESS (one grouped exact pass — scan-bound), mSPRT (per-look
+      // cumulative sums over the bounded look axis), readability
+      // (pure scan projection)
+      "d69_theil_sen", "d70_seasonal_decomp", "d71_js_divergence",
+      "d72_ess", "d73_msprt", "c5_readability",
+      // round-10e: cluster SE (welchTTest shape: one (variant, user)
+      // agg + 1-row agg — linear), t-closeness (classes × bounded
+      // value grid; the grid grows with distinct acctbals — watch),
+      // Heaps (two token hash aggs vs 16 broadcast cuts — linear),
+      // token entropy ((doc, term) agg + doc agg — linear)
+      "d74_cluster_se", "d75_t_closeness", "c5_heaps_law",
+      "c5_token_entropy")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
