@@ -239,6 +239,28 @@ object SimilarityQueries extends Registry {
       graft.ml.KMeansLloyd.transform(emb, "vec_id", "embedding", model)
         .select(col("vec_id"), col("cluster"), round(col("d2"), 3).as("d2"))
     }),
+    // D147: exact covariance of the embedding space — the ORACLE shape
+    // of the PCA family (6-dp floor-portable quantization → exact
+    // decimal product folds). Audit-priced: O(n·d²) pair rows through
+    // one shuffle; the corpus path is Pca.fit's treeAggregate.
+    "d76_covariance" -> ((s, d) =>
+      graft.similarity.Pca.covarianceExact(
+        Tables.embeddings(s, d), "embedding")),
+    // C4: PCA fit + native-expression projection — one treeAggregate
+    // pass to (n, Σx, Σxxᵀ), driver Jacobi on the 64×64, then
+    // ProjectAffine scores every vector (k·d primitive flops/row).
+    // Float-sum combine order → rows-only; PcaSpec pins fit ≡ the
+    // exact-covariance eigensolve and projection ≡ driver matmul.
+    "c4_pca_project" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.similarity.Pca.fit(emb, "embedding", k = 8)
+      graft.similarity.Pca.project(emb, "embedding", model,
+          Seq("vec_id", "label"))
+        .select(col("vec_id"), col("label"),
+          round(element_at(col("pc"), 1), 6).as("pc1"),
+          round(element_at(col("pc"), 2), 6).as("pc2"),
+          round(element_at(col("pc"), 3), 6).as("pc3"))
+    }),
   )
 
   /** Shared cosine SQL: round(dot/(|a||b|), 6) with zero-denominator
@@ -251,6 +273,8 @@ object SimilarityQueries extends Registry {
        |  END, 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d76_covariance" -> graft.similarity.Pca.sqlCovarianceExact(
+      "SELECT embedding AS v FROM embeddings"),
     "c3_bm25_retrieval" -> graft.text.Bm25.sql(
       "SELECT doc_id, text FROM documents WHERE doc_id >= 10",
       "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 10",
