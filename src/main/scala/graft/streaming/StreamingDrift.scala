@@ -11,8 +11,8 @@ case class DriftEvent(g: String, v: Double)
 /** State-store record: one group's current-snapshot bin counts. */
 case class DriftCounts(counts: Array[Long])
 
-/** Emitted after each micro-batch: the group's PSI so far. */
-case class DriftReading(g: String, n_curr: Long, psi: Double)
+/** Emitted after each micro-batch: the group's PSI and JSD so far. */
+case class DriftReading(g: String, n_curr: Long, psi: Double, js: Double)
 
 /** Per-group baseline: fixed bin edges + frozen bin counts. */
 case class DriftBaseline(mn: Double, mx: Double, counts: Array[Long])
@@ -66,6 +66,34 @@ object StreamingDrift {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
+  private val Ln2 = 0.6931471805599453
+
+  /** Jensen–Shannon divergence (bits) of `curr` vs `base` — the batch
+    * [[graft.operators.Drift.jsDivergence]] fold's exact double
+    * sequence: ascending bins, same smoothing and skip-both-empty
+    * convention, ÷ ln 2 then HALF_UP 6-dp. One monitor read gives both
+    * drift numbers: PSI to compare with historic dashboards, JSD as
+    * the [0, 1]-bounded thresholdable index. */
+  def jsOf(base: Array[Long], curr: Array[Long]): Double = {
+    val b = base.length
+    val nb = base.sum.toDouble
+    val nc = curr.sum.toDouble
+    val smooth = 0.5 * b
+    var s = 0.0
+    var i = 0
+    while (i < b) {
+      if (base(i) != 0L || curr(i) != 0L) {
+        val pb = (base(i).toDouble + 0.5) / (nb + smooth)
+        val pc = (curr(i).toDouble + 0.5) / (nc + smooth)
+        val m = (pb + pc) * 0.5
+        s += 0.5 * (pb * math.log(pb / m) + pc * math.log(pc / m))
+      }
+      i += 1
+    }
+    java.math.BigDecimal.valueOf(s / Ln2)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** Freeze a baseline from a batch DataFrame `(g, v)` — the deploy-
     * time artifact the monitor compares against (model-sized:
     * collected to the driver like centroids/codebooks). */
@@ -106,8 +134,8 @@ object StreamingDrift {
               counts(binOf(e.v, b.mn, b.mx, bins)) += 1L
           }
           state.update(DriftCounts(counts))
-          Iterator.single(
-            DriftReading(key, counts.sum, psiOf(b.counts, counts)))
+          Iterator.single(DriftReading(key, counts.sum,
+            psiOf(b.counts, counts), jsOf(b.counts, counts)))
       }
     }
   }

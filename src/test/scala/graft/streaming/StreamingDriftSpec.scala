@@ -23,7 +23,7 @@ class StreamingDriftSpec extends SparkSpec {
   private lazy val currRows = events.filter(col("dom") > 15).select("g", "v")
 
   private def lastReadings(chunks: Seq[Seq[DriftEvent]])
-      : Map[String, (Long, Double)] = {
+      : Map[String, (Long, Double, Double)] = {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -40,26 +40,34 @@ class StreamingDriftSpec extends SparkSpec {
       .groupBy(_.getString(0))
       .map { case (g, rs) =>
         val last = rs.maxBy(_.getLong(1))
-        g -> (last.getLong(1), last.getDouble(2))
+        g -> (last.getLong(1), last.getDouble(2), last.getDouble(3))
       }
   }
 
-  private lazy val batchPsi: Map[String, (Long, Double)] =
-    graft.operators.Drift.psi(
-      baseRows.withColumn("snapshot", lit("base"))
-        .unionByName(currRows.withColumn("snapshot", lit("curr"))),
+  private lazy val snapshots =
+    baseRows.withColumn("snapshot", lit("base"))
+      .unionByName(currRows.withColumn("snapshot", lit("curr")))
+
+  // (n_curr, psi, js) per group: both batch operators on the same rows
+  private lazy val batchPsi: Map[String, (Long, Double, Double)] = {
+    val psi = graft.operators.Drift.psi(snapshots,
       "snapshot", "v", "base", "curr", bins = bins, groupCols = Seq("g"))
       .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3)))
       .toMap
+    val js = graft.operators.Drift.jsDivergence(snapshots,
+      "snapshot", "v", "base", "curr", bins = bins, groupCols = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    psi.map { case (g, (n, p)) => g -> (n, p, js(g)) }
+  }
 
-  test("one trigger == batch psi, bit-exact") {
+  test("one trigger == batch psi AND js, bit-exact") {
     val rows = currRows.as[DriftEvent].collect().toSeq
     val got = lastReadings(Seq(rows))
     assert(batchPsi.nonEmpty)
     assert(got === batchPsi)
   }
 
-  test("state carries across triggers: three chunks == batch psi") {
+  test("state carries across triggers: three chunks == batch psi and js") {
     val rows = currRows.as[DriftEvent].collect().toSeq
     val n = rows.size
     val chunks = Seq(rows.take(n / 3), rows.slice(n / 3, 2 * n / 3),
