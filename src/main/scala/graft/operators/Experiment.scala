@@ -1073,6 +1073,86 @@ object Experiment {
     FROM sums"""
   }
 
+  /** QUANTILE TREATMENT EFFECTS — where the mean-diff stack
+    * ([[welchTTest]], [[clusterDiff]]) answers "did the average
+    * move", this answers "WHERE did the distribution move": per
+    * requested percentile p, the two variants' exact type-7 quantiles
+    * and their difference. The standard read for latency/spend
+    * metrics where a treatment helps the median but wrecks p95 — a
+    * mean test averages that away.
+    *
+    * Determinism: the metric folds to exact micro-unit BIGINTs
+    * (decimal-grid contract), `percentile` ≡ DuckDB `quantile_cont`
+    * interpolates INTEGERS — the [[graft.operators.SeriesStats
+    * .theilSen]] recipe — and every output is one fixed double
+    * sequence rounded 6-dp.
+    *
+    * Scale: exact `percentile` buffers each variant's values in one
+    * aggregation buffer — the documented [[graft.impute.Robust]]
+    * hazard, acceptable per-experiment (two groups), and the same
+    * `exact = false` trade applies: GK sketches via
+    * `approx_percentile` at corpus scale (rows+spec mode).
+    *
+    * Output one row per p: `(p, n_a, n_b, q_a, q_b, qte)`. */
+  def quantileEffect(perUnit: DataFrame, variantCol: String,
+                     metricCol: String, a: String, b: String,
+                     ps: Seq[Double], exact: Boolean = true): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1))
+    val m = (col(metricCol).cast("decimal(18,2)") * lit(1000000L))
+      .cast("long")
+    val psList = ps.mkString(", ")
+    def qs(v: String) = {
+      val fn = if (exact) "percentile" else "approx_percentile"
+      perUnit.filter(col(variantCol) === v)
+        .select(m.as("__m"))
+        .agg(count(lit(1)).as(s"n_$v"),
+          expr(s"$fn(__m, array($psList))").as(s"__qs_$v"))
+    }
+    val row = qs(a).withColumnRenamed(s"n_$a", "n_a")
+      .withColumnRenamed(s"__qs_$a", "__qa")
+      .crossJoin(qs(b).withColumnRenamed(s"n_$b", "n_b")
+        .withColumnRenamed(s"__qs_$b", "__qb"))
+    val pArr = array(ps.map(lit): _*)
+    row.select(posexplode(pArr).as(Seq("__i", "p")),
+        col("n_a"), col("n_b"), col("__qa"), col("__qb"))
+      .select(col("p"), col("n_a"), col("n_b"),
+        round(element_at(col("__qa"), col("__i") + 1).cast("double")
+          / lit(1e6), 6).as("q_a"),
+        round(element_at(col("__qb"), col("__i") + 1).cast("double")
+          / lit(1e6), 6).as("q_b"),
+        round((element_at(col("__qa"), col("__i") + 1).cast("double")
+          - element_at(col("__qb"), col("__i") + 1).cast("double"))
+          / lit(1e6), 6).as("qte"))
+  }
+
+  /** DuckDB twin of [[quantileEffect]] (exact mode): `perUnitSql`
+    * must select `(variant, m)` with `m` castable to DECIMAL(18,2). */
+  def sqlQuantileEffect(perUnitSql: String, a: String, b: String,
+                        ps: Seq[Double]): String = {
+    import graft.functions.Noise.sqlDouble
+    val lst = ps.map(sqlDouble).mkString("[", ", ", "]")
+    s"""
+    WITH r0 AS (
+      SELECT variant,
+        CAST(CAST(m AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS m
+      FROM ($perUnitSql) WHERE variant IN ('$a', '$b')
+    ), qa AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_a, quantile_cont(m, $lst) AS qs
+      FROM r0 WHERE variant = '$a'
+    ), qb AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_b, quantile_cont(m, $lst) AS qs
+      FROM r0 WHERE variant = '$b'
+    ), px AS (
+      SELECT unnest($lst) AS p,
+        CAST(generate_subscripts($lst, 1) AS BIGINT) AS i)
+    SELECT p, n_a, n_b,
+      round(CAST(qa.qs[i] AS DOUBLE) / 1000000.0e0, 6) AS q_a,
+      round(CAST(qb.qs[i] AS DOUBLE) / 1000000.0e0, 6) AS q_b,
+      round((CAST(qa.qs[i] AS DOUBLE) - CAST(qb.qs[i] AS DOUBLE))
+        / 1000000.0e0, 6) AS qte
+    FROM px CROSS JOIN qa CROSS JOIN qb"""
+  }
+
   /** CLUSTER-ROBUST DIFFERENCE IN MEANS — the analysis every
     * experiment with unit-of-randomization ≠ unit-of-analysis needs:
     * variants are assigned per CLUSTER (user, session, domain) but the

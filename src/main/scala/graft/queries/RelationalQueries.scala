@@ -1418,6 +1418,23 @@ object RelationalQueries extends Registry {
       graft.operators.Experiment.msprt(perUser, "look",
         "variant", "m", "control", "treatment", tau2 = 100.0)
     }),
+    // D149: quantile treatment effects — WHERE the distribution moved:
+    // per-variant exact type-7 quantiles of the per-user purchase
+    // metric and their differences at p25/p50/p75/p90. The read that
+    // catches "median improved, tail regressed" — invisible to d32's
+    // mean test.
+    "d77_quantile_effect" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)").as("m"))
+        .withColumn("variant", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treatment"), salt = 17))
+      graft.operators.Experiment.quantileEffect(perUser, "variant",
+        "m", "control", "treatment", ps = Seq(0.25, 0.5, 0.75, 0.9))
+    }),
     // D142: cluster-robust difference in means — randomize by USER,
     // analyze per EVENT: the naive per-row SE ignores within-user
     // correlation and over-rejects; the CR1 sandwich over cluster
@@ -2118,6 +2135,15 @@ object RelationalQueries extends Registry {
              Seq("control", "treatment"), salt = 17)} AS variant
          FROM events GROUP BY user_id""",
       "control", "treatment", tau2 = 100.0),
+    "d77_quantile_effect" -> graft.operators.Experiment.sqlQuantileEffect(
+      s"""SELECT ${graft.operators.Experiment.sqlVariantOf("user_id",
+             Seq("control", "treatment"), salt = 17)} AS variant, m
+         FROM (SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m
+           FROM events GROUP BY user_id)""",
+      "control", "treatment", ps = Seq(0.25, 0.5, 0.75, 0.9)),
     "d74_cluster_se" -> graft.operators.Experiment.sqlClusterDiff(
       s"""SELECT ${graft.operators.Experiment.sqlVariantOf("user_id",
              Seq("control", "treatment"), salt = 17)} AS variant,

@@ -309,6 +309,35 @@ class ExperimentSpec extends SparkSpec {
     assert(t.getDouble(5) === 1.0)
   }
 
+  test("quantileEffect: hand-computed type-7 quantiles and shifts") {
+    // a = {1..5}: median 3, p75 = 4 (type-7: 1+0.75·4 = rank 4);
+    // b = a + 10 shifted only above the median:
+    // b = {1, 2, 3, 14, 15}: median 3 (no shift), p75 = 14 → qte −11
+    val rows = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),
+      ("b", 1), ("b", 2), ("b", 3), ("b", 14), ("b", 15))
+      .toDF("variant", "m0")
+      .select(col("variant"), col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.quantileEffect(rows, "variant", "m", "a", "b",
+        ps = Seq(0.5, 0.75))
+      .collect().map(x => x.getDouble(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4),
+          x.getDouble(5))).toMap
+    assert(r(0.5) === ((5L, 5L, 3.0, 3.0, 0.0)), r.toString)
+    assert(r(0.75) === ((5L, 5L, 4.0, 14.0, -10.0)), r.toString)
+  }
+
+  test("quantileEffect: interpolated quantile on an even-sized group") {
+    // {1, 2, 3, 4} at p = 0.5 → type-7 rank 2.5 → 2.5
+    val rows = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4),
+      ("b", 10), ("b", 20))
+      .toDF("variant", "m0")
+      .select(col("variant"), col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.quantileEffect(rows, "variant", "m", "a", "b",
+      ps = Seq(0.5)).collect()(0)
+    assert(r.getDouble(3) === 2.5 && r.getDouble(4) === 15.0)
+    assert(r.getDouble(5) === -12.5)
+  }
+
   test("clusterDiff: hand-computed CR1 sandwich on correlated clusters") {
     // a-side: two fully-correlated clusters (10,10) and (20,20);
     // b-side: two flat clusters (5,5)(5,5). By hand: mean_a 15,
