@@ -92,4 +92,65 @@ object Calibration {
     ), tot2 AS (SELECT max(cum) AS e FROM f)
     SELECT bin, n, conf, acc, gap, round(e, 6) AS ece
     FROM f CROSS JOIN tot2"""
+
+  /** ISOTONIC CALIBRATION (pool-adjacent-violators) — the FIX to what
+    * [[reliability]] diagnoses: learn the non-decreasing step map
+    * score-bin → calibrated probability that minimizes squared error,
+    * the standard post-hoc calibrator (Zadrozny & Elkan 2002) for any
+    * score a pipeline thresholds on.
+    *
+    * Scale/determinism split: ONE hash agg collapses the corpus to
+    * `nBins` (bin, n, Σy) integer rows; PAV runs driver-side over that
+    * bounded table with EXACT integer cross-multiplication pooling
+    * decisions (sy_i·n_j vs sy_j·n_i — no float compare can flip a
+    * pool), so the learned step function is bit-reproducible. The
+    * calibrated value is one integer ratio per block, rounded 6-dp.
+    * An iterative pooling fixpoint is not one SQL query → rows+spec
+    * (CalibrationSpec pins hand PAV, monotonicity, mass preservation
+    * and idempotence).
+    *
+    * Output one row per non-empty bin: `(bin, n, raw_acc (6dp),
+    * calibrated (6dp))` — apply by binning a new score the same way
+    * and joining on `bin`. */
+  def isotonic(df: DataFrame, scoreCol: String, labelCol: String,
+               nBins: Int = 100): DataFrame = {
+    require(nBins >= 2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bin = least(floor(col(scoreCol).cast("double") * nBins),
+      lit((nBins - 1).toDouble)).cast("long")
+    val bins = df
+      .select(bin.as("bin"), col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sy"))
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cal = pav(bins.map { case (_, n, sy) => (n, sy) })
+    spark.createDataset(bins.zip(cal).map { case ((b, n, sy), c) =>
+      (b, n,
+        math.floor(sy.toDouble / n.toDouble * 1e6 + 0.5) / 1e6,
+        math.floor(c * 1e6 + 0.5) / 1e6)
+    }.toIndexedSeq).toDF("bin", "n", "raw_acc", "calibrated")
+  }
+
+  /** Pool-adjacent-violators over ascending (n, Σy) blocks: returns
+    * each input position's pooled mean. Pooling compares block means
+    * by exact integer cross-multiplication. */
+  def pav(blocks: Array[(Long, Long)]): Array[Double] = {
+    // stack of (n, sy, span)
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    blocks.foreach { case (n, sy) =>
+      var cur = (n, sy, 1)
+      // violation: prev mean > cur mean  ⇔  prevSy·curN > curSy·prevN
+      while (st.nonEmpty &&
+          st.last._2 * cur._1 > cur._2 * st.last._1) {
+        val p = st.remove(st.length - 1)
+        cur = (p._1 + cur._1, p._2 + cur._2, p._3 + cur._3)
+      }
+      st += cur
+    }
+    st.iterator.flatMap { case (n, sy, span) =>
+      Iterator.fill(span)(sy.toDouble / n.toDouble)
+    }.toArray
+  }
 }

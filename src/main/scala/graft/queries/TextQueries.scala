@@ -220,6 +220,16 @@ object TextQueries extends Registry {
           .select(TextFunctions.qualityScore(col("text")).as("score"),
             (col("n_chars") >= 200).cast("int").as("label")),
         "score", "label")),
+    // C7: the calibration FIX — isotonic (PAV) step map over the same
+    // score/label pair: one bounded-bin hash agg, exact integer
+    // pooling driver-side. Iterative fixpoint → rows-only,
+    // CalibrationSpec pins the semantics.
+    "c7_isotonic_calibration" -> ((s, d) =>
+      graft.operators.Calibration.isotonic(
+        Tables.documents(s, d)
+          .select(TextFunctions.qualityScore(col("text")).as("score"),
+            (col("n_chars") >= 200).cast("int").as("label")),
+        "score", "label", nBins = 50)),
     "c5_langid_confusion" -> ((s, d) => {
       val byLabel =
         org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))

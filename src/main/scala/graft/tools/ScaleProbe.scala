@@ -220,7 +220,16 @@ object ScaleProbe {
       // Heaps (two token hash aggs vs 16 broadcast cuts — linear),
       // token entropy ((doc, term) agg + doc agg — linear)
       "d74_cluster_se", "d75_t_closeness", "c5_heaps_law",
-      "c5_token_entropy")
+      "c5_token_entropy",
+      // round-10f: unigram-LM tokenizer (corpus pass + driver EM over
+      // the bounded word table + distinct-word Viterbi — the BPE
+      // sub-linear thesis again), exact covariance (O(n·d²) pair rows
+      // BY DESIGN — the audit shape, expect ~linear in n at fixed d),
+      // PCA fit+project (one treeAggregate + native projection scan —
+      // linear), quantile effects (two exact percentile buffers — the
+      // Robust hazard priced per-experiment)
+      "c5_unigram_vocab", "d76_covariance", "c4_pca_project",
+      "d77_quantile_effect")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops

@@ -59,4 +59,45 @@ class CalibrationSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("pav: hand-computed violator pooling") {
+    // means .2, .8, .4 → the (.8, .4) violation pools to 12/20 = .6
+    val blocks = Array((10L, 2L), (10L, 8L), (10L, 4L))
+    assert(Calibration.pav(blocks).toSeq === Seq(0.2, 0.6, 0.6))
+    // cascade: pooling can trigger an earlier violation
+    // means .9, .5, .1 → all pool to 15/30 = .5
+    assert(Calibration.pav(Array((10L, 9L), (10L, 5L), (10L, 1L)))
+      .toSeq === Seq(0.5, 0.5, 0.5))
+    // already monotone → untouched
+    assert(Calibration.pav(Array((10L, 1L), (10L, 5L), (10L, 9L)))
+      .toSeq === Seq(0.1, 0.5, 0.9))
+  }
+
+  test("isotonic: monotone, mass-preserving, idempotent on clean data") {
+    // a miscalibrated middle: scores near .5 are actually BETTER than
+    // scores near .7
+    val rows = ((0 until 40).map(i => (0.05 + (i % 4) * 0.01, if (i % 10 == 0) 1 else 0)) ++
+      (0 until 40).map(i => (0.45 + (i % 4) * 0.01, if (i % 10 != 9) 1 else 0)) ++
+      (0 until 40).map(i => (0.65 + (i % 4) * 0.01, if (i % 2 == 0) 1 else 0)) ++
+      (0 until 40).map(i => (0.95 + (i % 4) * 0.01, 1))).toDF("score", "label")
+    val out = Calibration.isotonic(rows, "score", "label", nBins = 10)
+      .orderBy("bin").collect()
+    val cal = out.map(_.getDouble(3))
+    assert(cal.zip(cal.tail).forall { case (x, y) => y >= x }, // monotone
+      cal.mkString(","))
+    // mass preservation: Σ n·calibrated == Σ labels (pooled ratios)
+    val mass = out.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(mass - 40 * (4 + 36 + 20 + 40) / 40.0) < 1e-3,
+      s"mass $mass")
+    // the .45 vs .65 inversion is pooled: their calibrated values equal
+    val byBin = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byBin(4L) === byBin(6L), byBin.toString)
+    // idempotence: calibrating already-monotone bins changes nothing
+    val clean = ((0 until 50).map(i => (0.1, if (i < 5) 1 else 0)) ++
+      (0 until 50).map(i => (0.9, if (i < 45) 1 else 0))).toDF("score", "label")
+    val c = Calibration.isotonic(clean, "score", "label", nBins = 10)
+      .orderBy("bin").collect()
+    assert(c.map(r => (r.getDouble(2), r.getDouble(3)))
+      .forall { case (raw, cal2) => raw === cal2 })
+  }
 }
