@@ -1073,6 +1073,153 @@ object Experiment {
     FROM sums"""
   }
 
+  /** POST-STRATIFIED DIFFERENCE — the categorical counterpart to
+    * [[cuped]]'s covariate adjustment: when a stratum variable (device
+    * class, country, signup cohort) predicts the metric, the adjusted
+    * effect re-weights per-stratum arms to the POOLED stratum shares,
+    *
+    *   Δ_adj = Σ_s (n_s / N) · (ȳ_{a,s} − ȳ_{b,s}),
+    *   Var   = Σ_s (n_s / N)² · (var_{a,s}/n_{a,s} + var_{b,s}/n_{b,s})
+    *
+    * killing both chance covariate imbalance and the variance the
+    * strata explain. Strata missing one arm carry no contrast and are
+    * excluded from BOTH the weights and the estimate (flagged in
+    * `n_strata_dropped` — silently renormalizing against one-armed
+    * strata would bias Δ).
+    *
+    * Determinism/scale: one (variant, stratum) hash agg of exact
+    * decimal sums (the [[welchTTest]] pass keyed one level deeper),
+    * then a stratum-axis fold — per-stratum terms are fixed double
+    * sequences and the final sums run as ordered expanding windows
+    * over the BOUNDED stratum axis. Output one row: n_a, n_b,
+    * n_strata, n_strata_dropped, diff_raw, diff_adj, se_adj, t_adj
+    * (6dp). */
+  def stratifiedDiff(perUnit: DataFrame, variantCol: String,
+                     stratumCol: String, metricCol: String,
+                     a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = col(metricCol)
+    def side(v: String, agg: Column): Column =
+      sum(when(col(variantCol) === v, agg).otherwise(lit(null)))
+    val perStratum = perUnit
+      .filter(col(variantCol).isin(a, b) && col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(count(when(col(variantCol) === a, lit(1))).as("na"),
+        count(when(col(variantCol) === b, lit(1))).as("nb"),
+        side(a, m).as("sa"), side(b, m).as("sb"),
+        side(a, m * m).as("qa"), side(b, m * m).as("qb"))
+    def d(c: String) = col(c).cast("double")
+    val both = col("na") >= 2 && col("nb") >= 2
+    val meanA = d("sa") / d("na")
+    val meanB = d("sb") / d("nb")
+    val varA = (d("qa") - d("sa") * d("sa") / d("na")) / (d("na") - lit(1.0))
+    val varB = (d("qb") - d("sb") * d("sb") / d("nb")) / (d("nb") - lit(1.0))
+    val wCum = Window.partitionBy().orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val terms = perStratum
+      .withColumn("__keep", both.cast("int"))
+      .withColumn("__w", when(both, (col("na") + col("nb")).cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("__d", when(both, meanA - meanB).otherwise(lit(0.0)))
+      .withColumn("__v", when(both,
+        varA / d("na") + varB / d("nb")).otherwise(lit(0.0)))
+      .withColumn("__cw", sum(col("__w")).over(wCum))
+      .withColumn("__cwd", sum(col("__w") * col("__d")).over(wCum))
+      .withColumn("__cwwv", sum(col("__w") * col("__w") * col("__v"))
+        .over(wCum))
+      .withColumn("__ck", sum(col("__keep").cast("bigint")).over(wCum))
+      .withColumn("__csa", sum(when(both, col("sa"))).over(wCum))
+      .withColumn("__csb", sum(when(both, col("sb"))).over(wCum))
+      .withColumn("__cna", sum(when(both, col("na"))).over(wCum))
+      .withColumn("__cnb", sum(when(both, col("nb"))).over(wCum))
+    val last = terms.agg(
+      max_by(col("__cw"), col("__s")).as("tw"),
+      max_by(col("__cwd"), col("__s")).as("twd"),
+      max_by(col("__cwwv"), col("__s")).as("twwv"),
+      max_by(col("__ck"), col("__s")).as("kept"),
+      max_by(col("__csa"), col("__s")).as("tsa"),
+      max_by(col("__csb"), col("__s")).as("tsb"),
+      max_by(col("__cna"), col("__s")).as("tna"),
+      max_by(col("__cnb"), col("__s")).as("tnb"),
+      count(lit(1)).as("n_strata"))
+    def dd(c: String) = col(c).cast("double")
+    val diffAdj = dd("twd") / dd("tw")
+    val seAdj = sqrt(col("twwv") / (dd("tw") * dd("tw")))
+    val diffRaw = (dd("tsa") / dd("tna")) - (dd("tsb") / dd("tnb"))
+    last.select(
+      col("tna").cast("bigint").as("n_a"),
+      col("tnb").cast("bigint").as("n_b"),
+      col("n_strata"),
+      (col("n_strata") - col("kept")).as("n_strata_dropped"),
+      round(diffRaw, 6).as("diff_raw"),
+      round(diffAdj, 6).as("diff_adj"),
+      round(seAdj, 6).as("se_adj"),
+      round(diffAdj / seAdj, 6).as("t_adj"))
+  }
+
+  /** DuckDB twin of [[stratifiedDiff]]: `perUnitSql` must select
+    * `(variant, stratum, m)` with `m` on an exact grid. */
+  def sqlStratifiedDiff(perUnitSql: String, a: String,
+                        b: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val meanA = s"(${d("sa")} / ${d("na")})"
+    val meanB = s"(${d("sb")} / ${d("nb")})"
+    val varA = s"((${d("qa")} - ${d("sa")} * ${d("sa")} / ${d("na")}) / (${d("na")} - 1.0e0))"
+    val varB = s"((${d("qb")} - ${d("sb")} * ${d("sb")} / ${d("nb")}) / (${d("nb")} - 1.0e0))"
+    val over = "OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""
+    WITH r0 AS (
+      SELECT variant, stratum AS s, m FROM ($perUnitSql)
+      WHERE variant IN ('$a', '$b') AND stratum IS NOT NULL
+    ), ps AS (
+      SELECT s,
+        CAST(count(CASE WHEN variant = '$a' THEN 1 END) AS BIGINT) AS na,
+        CAST(count(CASE WHEN variant = '$b' THEN 1 END) AS BIGINT) AS nb,
+        sum(CASE WHEN variant = '$a' THEN m END) AS sa,
+        sum(CASE WHEN variant = '$b' THEN m END) AS sb,
+        sum(CASE WHEN variant = '$a' THEN m * m END) AS qa,
+        sum(CASE WHEN variant = '$b' THEN m * m END) AS qb
+      FROM r0 GROUP BY s
+    ), t AS (
+      SELECT s, na, nb, sa, sb,
+        CASE WHEN na >= 2 AND nb >= 2 THEN 1 ELSE 0 END AS keep,
+        CASE WHEN na >= 2 AND nb >= 2
+          THEN CAST(na + nb AS DOUBLE) ELSE 0.0e0 END AS w,
+        CASE WHEN na >= 2 AND nb >= 2
+          THEN $meanA - $meanB ELSE 0.0e0 END AS dd,
+        CASE WHEN na >= 2 AND nb >= 2
+          THEN $varA / ${d("na")} + $varB / ${d("nb")} ELSE 0.0e0 END AS v
+      FROM ps
+    ), c AS (
+      SELECT s,
+        sum(w) $over AS cw,
+        sum(w * dd) $over AS cwd,
+        sum(w * w * v) $over AS cwwv,
+        CAST(sum(keep) $over AS BIGINT) AS ck,
+        sum(CASE WHEN keep = 1 THEN sa END) $over AS csa,
+        sum(CASE WHEN keep = 1 THEN sb END) $over AS csb,
+        CAST(sum(CASE WHEN keep = 1 THEN na END) $over AS BIGINT) AS cna,
+        CAST(sum(CASE WHEN keep = 1 THEN nb END) $over AS BIGINT) AS cnb,
+        CAST(count(*) OVER () AS BIGINT) AS n_strata
+      FROM t
+    ), last AS (
+      SELECT max_by(cw, s) AS tw, max_by(cwd, s) AS twd,
+        max_by(cwwv, s) AS twwv, max_by(ck, s) AS kept,
+        max_by(csa, s) AS tsa, max_by(csb, s) AS tsb,
+        max_by(cna, s) AS tna, max_by(cnb, s) AS tnb,
+        max(n_strata) AS n_strata
+      FROM c)
+    SELECT tna AS n_a, tnb AS n_b, n_strata,
+      n_strata - kept AS n_strata_dropped,
+      round(${d("tsa")} / ${d("tna")} - ${d("tsb")} / ${d("tnb")}, 6)
+        AS diff_raw,
+      round(${d("twd")} / ${d("tw")}, 6) AS diff_adj,
+      round(sqrt(twwv / (${d("tw")} * ${d("tw")})), 6) AS se_adj,
+      round((${d("twd")} / ${d("tw")})
+        / sqrt(twwv / (${d("tw")} * ${d("tw")})), 6) AS t_adj
+    FROM last"""
+  }
+
   /** QUANTILE TREATMENT EFFECTS — where the mean-diff stack
     * ([[welchTTest]], [[clusterDiff]]) answers "did the average
     * move", this answers "WHERE did the distribution move": per

@@ -1418,6 +1418,24 @@ object RelationalQueries extends Registry {
       graft.operators.Experiment.msprt(perUser, "look",
         "variant", "m", "control", "treatment", tau2 = 100.0)
     }),
+    // D151: post-stratified difference — activity cohorts (per-user
+    // event-count buckets) predict spend, so re-weighting arms to the
+    // pooled cohort shares kills chance imbalance + the variance the
+    // cohorts explain (CUPED's categorical counterpart).
+    "d78_stratified_diff" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)").as("m"),
+          count(lit(1)).as("__ne"))
+        .withColumn("stratum", least(expr("__ne DIV 10"), lit(5L)))
+        .withColumn("variant", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treatment"), salt = 17))
+      graft.operators.Experiment.stratifiedDiff(perUser, "variant",
+        "stratum", "m", "control", "treatment")
+    }),
     // D149: quantile treatment effects — WHERE the distribution moved:
     // per-variant exact type-7 quantiles of the per-user purchase
     // metric and their differences at p25/p50/p75/p90. The read that
@@ -2135,6 +2153,17 @@ object RelationalQueries extends Registry {
              Seq("control", "treatment"), salt = 17)} AS variant
          FROM events GROUP BY user_id""",
       "control", "treatment", tau2 = 100.0),
+    "d78_stratified_diff" -> graft.operators.Experiment.sqlStratifiedDiff(
+      s"""SELECT ${graft.operators.Experiment.sqlVariantOf("user_id",
+             Seq("control", "treatment"), salt = 17)} AS variant,
+           least(ne // 10, 5) AS stratum, m
+         FROM (SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m,
+             CAST(count(*) AS BIGINT) AS ne
+           FROM events GROUP BY user_id)""",
+      "control", "treatment"),
     "d77_quantile_effect" -> graft.operators.Experiment.sqlQuantileEffect(
       s"""SELECT ${graft.operators.Experiment.sqlVariantOf("user_id",
              Seq("control", "treatment"), salt = 17)} AS variant, m

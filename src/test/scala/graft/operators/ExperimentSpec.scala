@@ -309,6 +309,40 @@ class ExperimentSpec extends SparkSpec {
     assert(t.getDouble(5) === 1.0)
   }
 
+  test("stratifiedDiff: hand-computed adjustment kills imbalance") {
+    // stratum 1 (low metric): a-heavy; stratum 2 (high): b-heavy.
+    // Within each stratum the true effect is +1; the raw diff is
+    // dragged negative by composition. By hand: s1 means a = 2, b = 1
+    // (n 4/2); s2 means a = 11, b = 10 (n 2/4) → both diffs +1 →
+    // diff_adj = 1 exactly; raw = (8+22)/6 − (2+40)/6 = 5 − 7 = −2.
+    def rows(v: String, s: Int, vals: Seq[Int]) =
+      vals.map(x => (v, s.toLong, BigDecimal(x)))
+    val df = (rows("a", 1, Seq(1, 2, 2, 3)) ++ rows("b", 1, Seq(0, 2)) ++
+      rows("a", 2, Seq(10, 12)) ++ rows("b", 2, Seq(9, 10, 10, 11)))
+      .toDF("variant", "stratum", "m0")
+      .select(col("variant"), col("stratum"),
+        col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.stratifiedDiff(df, "variant", "stratum", "m",
+      "a", "b").collect()(0)
+    assert(r.getLong(0) === 6L && r.getLong(1) === 6L)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 0L)
+    assert(r.getDouble(4) === -2.0, s"raw ${r.getDouble(4)}")
+    assert(r.getDouble(5) === 1.0, s"adj ${r.getDouble(5)}")
+  }
+
+  test("stratifiedDiff: one-armed strata are dropped, not renormalized") {
+    val df = Seq(("a", 1L, 5), ("a", 1L, 7), ("b", 1L, 4), ("b", 1L, 6),
+      ("a", 9L, 100), ("a", 9L, 102)) // stratum 9 has no b arm
+      .toDF("variant", "stratum", "m0")
+      .select(col("variant"), col("stratum"),
+        col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.stratifiedDiff(df, "variant", "stratum", "m",
+      "a", "b").collect()(0)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 1L) // 1 dropped
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L) // kept rows only
+    assert(r.getDouble(5) === 1.0, s"adj ${r.getDouble(5)}") // 6−5
+  }
+
   test("quantileEffect: hand-computed type-7 quantiles and shifts") {
     // a = {1..5}: median 3, p75 = 4 (type-7: 1+0.75·4 = rank 4);
     // b = a + 10 shifted only above the median:
