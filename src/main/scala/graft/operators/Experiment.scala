@@ -1073,6 +1073,166 @@ object Experiment {
     FROM sums"""
   }
 
+  /** YUEN'S TRIMMED-MEAN T-TEST — robust two-sample inference for
+    * heavy-tailed metrics (Yuen 1974): trim the top/bottom `trim`
+    * fraction of each arm BY RANK, compare trimmed means with the
+    * winsorized-variance standard error,
+    *
+    *   t = (x̄t_a − x̄t_b) / √(d_a + d_b),
+    *   d_v = (n_v − 1)·s²w_v / (h_v·(h_v − 1)),  h_v = n_v − 2k_v
+    *
+    * with Welch-style df. Where [[mannWhitney]] only ranks and
+    * [[welchTTest]] lets one whale user drag the mean, Yuen reports an
+    * effect SIZE in metric units that outliers cannot own.
+    *
+    * Determinism/scale — the Gini/M–W bounded-value-axis recipe: the
+    * metric folds to exact CENT-grid BIGINTs, per-(variant, value)
+    * counts carry 1-based rank ranges [lo, hi] from one ordered
+    * expanding window over the DISTINCT VALUE axis (never a per-row
+    * rank), surviving/winsorized masses are integer interval overlaps,
+    * and the Σ v·cnt / Σ v²·cnt folds run as exact DECIMAL(38)
+    * products — (10,0)×(14,0)×(14,0) caps at 38 on BOTH engines. The
+    * trimmed boundary values x_(k+1), x_(n−k) are conditional mins
+    * over the same axis. Final statistics are fixed double sequences,
+    * 6-dp. Output one row: `(n_a, n_b, h_a, h_b, tm_a, tm_b, diff,
+    * se, t_yuen, df_yuen)`. */
+  def yuenTrimmedT(perUnit: DataFrame, variantCol: String,
+                   metricCol: String, a: String, b: String,
+                   trim: Double = 0.2): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5): $trim")
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col(metricCol).cast("decimal(18,2)") * lit(100L))
+      .cast("long")
+    val axis = perUnit
+      .filter(col(variantCol).isin(a, b) && col(metricCol).isNotNull)
+      .select(col(variantCol).as("__v"), cents.as("__x"))
+      .groupBy(col("__v"), col("__x")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__v")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = axis.groupBy(col("__v")).agg(sum(col("__c")).as("__n"))
+    val ranked = axis
+      .withColumn("__hi", sum(col("__c")).over(wCum))
+      .withColumn("__lo", col("__hi") - col("__c") + 1L)
+      .join(tot, "__v")
+      .withColumn("__k", floor(lit(trim) * col("__n").cast("double"))
+        .cast("long"))
+    def dec(c: Column, p: Int) = c.cast(s"decimal($p,0)")
+    val surv = greatest(lit(0L),
+      least(col("__hi"), col("__n") - col("__k"))
+        - greatest(col("__lo"), col("__k") + 1L) + 1L)
+    val perVariant = ranked
+      .withColumn("__surv", surv)
+      .groupBy(col("__v"))
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("k"),
+        // boundary order statistics: the values whose rank interval
+        // covers k+1 and n−k
+        min(when(col("__lo") <= col("__k") + 1L
+          && col("__hi") >= col("__k") + 1L, col("__x"))).as("xlo"),
+        min(when(col("__lo") <= col("__n") - col("__k")
+          && col("__hi") >= col("__n") - col("__k"), col("__x"))).as("xhi"),
+        sum(dec(col("__surv"), 10) * dec(col("__x"), 14)).as("st"),
+        sum(dec(col("__surv"), 10) * dec(col("__x"), 14)
+          * dec(col("__x"), 14)).as("stt"))
+    def one(v: String, sfx: String) = {
+      val r = perVariant.filter(col("__v") === v)
+      r.select(col("n").as(s"n$sfx"), col("k").as(s"k$sfx"),
+        col("xlo").as(s"xlo$sfx"), col("xhi").as(s"xhi$sfx"),
+        col("st").as(s"st$sfx"), col("stt").as(s"stt$sfx"))
+    }
+    val row = one(a, "a").crossJoin(one(b, "b"))
+    def d(c: Column) = c.cast("double")
+    def stats(sfx: String): (Column, Column, Column, Column) = {
+      val n = d(col(s"n$sfx")); val k = d(col(s"k$sfx"))
+      val h = n - lit(2.0) * k
+      val xlo = d(col(s"xlo$sfx")); val xhi = d(col(s"xhi$sfx"))
+      val tm = d(col(s"st$sfx")) / h / lit(100.0)
+      // winsorized sums: trimmed tails re-enter at the boundary values
+      val sw = d(col(s"st$sfx")) + k * xlo + k * xhi
+      val sww = d(col(s"stt$sfx")) + k * xlo * xlo + k * xhi * xhi
+      val varW = (sww - sw * sw / n) / (n - lit(1.0)) / lit(10000.0)
+      val dv = (n - lit(1.0)) * varW / (h * (h - lit(1.0)))
+      (h, tm, dv, n)
+    }
+    val (ha, tma, da, na) = stats("a")
+    val (hb, tmb, db, nb) = stats("b")
+    val se = sqrt(da + db)
+    val diff = tma - tmb
+    val dfY = (da + db) * (da + db) /
+      (da * da / (ha - lit(1.0)) + db * db / (hb - lit(1.0)))
+    row.select(col("na").cast("bigint").as("n_a"),
+      col("nb").cast("bigint").as("n_b"),
+      ha.cast("bigint").as("h_a"), hb.cast("bigint").as("h_b"),
+      round(tma, 6).as("tm_a"), round(tmb, 6).as("tm_b"),
+      round(diff, 6).as("diff"), round(se, 6).as("se"),
+      round(diff / se, 6).as("t_yuen"), round(dfY, 6).as("df_yuen"))
+  }
+
+  /** DuckDB twin of [[yuenTrimmedT]]: `perUnitSql` must select
+    * `(variant, m)` with `m` castable to DECIMAL(18,2). */
+  def sqlYuenTrimmedT(perUnitSql: String, a: String, b: String,
+                      trim: Double = 0.2): String = {
+    import graft.functions.Noise.sqlDouble
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def stats(sfx: String) = {
+      val n = d(s"n$sfx"); val k = d(s"k$sfx")
+      val h = s"($n - 2.0e0 * $k)"
+      val xlo = d(s"xlo$sfx"); val xhi = d(s"xhi$sfx")
+      val tm = s"(${d(s"st$sfx")} / $h / 100.0e0)"
+      val sw = s"(${d(s"st$sfx")} + $k * $xlo + $k * $xhi)"
+      val sww = s"(${d(s"stt$sfx")} + $k * $xlo * $xlo + $k * $xhi * $xhi)"
+      val varW = s"(($sww - $sw * $sw / $n) / ($n - 1.0e0) / 10000.0e0)"
+      val dv = s"(($n - 1.0e0) * $varW / ($h * ($h - 1.0e0)))"
+      (h, tm, dv)
+    }
+    val (ha, tma, da) = stats("a")
+    val (hb, tmb, db) = stats("b")
+    val se = s"sqrt($da + $db)"
+    val diff = s"($tma - $tmb)"
+    val dfY = s"""(($da + $db) * ($da + $db)
+      / ($da * $da / ($ha - 1.0e0) + $db * $db / ($hb - 1.0e0)))"""
+    val g = sqlDouble(trim)
+    def side(v: String, sfx: String) = s"""
+      SELECT max(n) AS n$sfx, max(k) AS k$sfx,
+        min(CASE WHEN lo <= k + 1 AND hi >= k + 1 THEN x END) AS xlo$sfx,
+        min(CASE WHEN lo <= n - k AND hi >= n - k THEN x END) AS xhi$sfx,
+        sum(CAST(surv AS DECIMAL(10,0)) * CAST(x AS DECIMAL(14,0)))
+          AS st$sfx,
+        sum(CAST(surv AS DECIMAL(10,0)) * CAST(x AS DECIMAL(14,0))
+          * CAST(x AS DECIMAL(14,0))) AS stt$sfx
+      FROM ranked WHERE v = '$v'"""
+    s"""
+    WITH r0 AS (
+      SELECT variant AS v,
+        CAST(CAST(m AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM ($perUnitSql)
+      WHERE variant IN ('$a', '$b') AND m IS NOT NULL
+    ), axis AS (
+      SELECT v, x, CAST(count(*) AS BIGINT) AS c FROM r0 GROUP BY v, x
+    ), ranked0 AS (
+      SELECT v, x, c,
+        CAST(sum(c) OVER (PARTITION BY v ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS hi,
+        CAST(sum(c) OVER (PARTITION BY v) AS BIGINT) AS n
+      FROM axis
+    ), ranked AS (
+      SELECT v, x, c, hi, hi - c + 1 AS lo, n,
+        CAST(floor($g * CAST(n AS DOUBLE)) AS BIGINT) AS k,
+        greatest(CAST(0 AS BIGINT),
+          least(hi, n - CAST(floor($g * CAST(n AS DOUBLE)) AS BIGINT))
+          - greatest(hi - c + 1,
+              CAST(floor($g * CAST(n AS DOUBLE)) AS BIGINT) + 1) + 1)
+          AS surv
+      FROM ranked0
+    ), sa AS (${side(a, "a")}), sb AS (${side(b, "b")})
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      CAST($ha AS BIGINT) AS h_a, CAST($hb AS BIGINT) AS h_b,
+      round($tma, 6) AS tm_a, round($tmb, 6) AS tm_b,
+      round($diff, 6) AS diff, round($se, 6) AS se,
+      round($diff / $se, 6) AS t_yuen, round($dfY, 6) AS df_yuen
+    FROM sa CROSS JOIN sb"""
+  }
+
   /** POST-STRATIFIED DIFFERENCE — the categorical counterpart to
     * [[cuped]]'s covariate adjustment: when a stratum variable (device
     * class, country, signup cohort) predicts the metric, the adjusted

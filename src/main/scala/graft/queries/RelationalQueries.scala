@@ -1418,6 +1418,22 @@ object RelationalQueries extends Registry {
       graft.operators.Experiment.msprt(perUser, "look",
         "variant", "m", "control", "treatment", tau2 = 100.0)
     }),
+    // D152: Yuen's trimmed t — robust effect SIZE in metric units:
+    // 20% rank-trimmed means + winsorized-variance SE, the inference
+    // a whale user cannot own (MW-U only ranks; Welch follows the
+    // whale).
+    "d79_yuen_trimmed" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)").as("m"))
+        .withColumn("variant", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treatment"), salt = 17))
+      graft.operators.Experiment.yuenTrimmedT(perUser, "variant",
+        "m", "control", "treatment", trim = 0.2)
+    }),
     // D151: post-stratified difference — activity cohorts (per-user
     // event-count buckets) predict spend, so re-weighting arms to the
     // pooled cohort shares kills chance imbalance + the variance the
@@ -2153,6 +2169,8 @@ object RelationalQueries extends Registry {
              Seq("control", "treatment"), salt = 17)} AS variant
          FROM events GROUP BY user_id""",
       "control", "treatment", tau2 = 100.0),
+    "d79_yuen_trimmed" -> graft.operators.Experiment.sqlYuenTrimmedT(
+      abPerUserSql, "control", "treatment", trim = 0.2),
     "d78_stratified_diff" -> graft.operators.Experiment.sqlStratifiedDiff(
       s"""SELECT ${graft.operators.Experiment.sqlVariantOf("user_id",
              Seq("control", "treatment"), salt = 17)} AS variant,

@@ -309,6 +309,40 @@ class ExperimentSpec extends SparkSpec {
     assert(t.getDouble(5) === 1.0)
   }
 
+  test("yuenTrimmedT: hand-computed trim, winsorized variance, and " +
+    "outlier immunity") {
+    // a = {0,1,2,3,100}, b = {0,1,2,3,4}, trim 0.2 → k = 1 each side:
+    // both keep {1,2,3} → tm 2 vs 2, diff EXACTLY 0 — the whale (100)
+    // cannot move the estimate. Winsorized {1,1,2,3,3}: sw 10, sww 24
+    // → s²w = 1 → d = 4·1/(3·2) per arm → se = √(4/3).
+    val rows = (Seq(0, 1, 2, 3, 100).map(("a", _)) ++
+      Seq(0, 1, 2, 3, 4).map(("b", _)))
+      .toDF("variant", "m0")
+      .select(col("variant"), col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.yuenTrimmedT(rows, "variant", "m", "a", "b",
+      trim = 0.2).collect()(0)
+    assert(r.getLong(0) === 5L && r.getLong(1) === 5L)
+    assert(r.getLong(2) === 3L && r.getLong(3) === 3L) // h = n − 2k
+    assert(r.getDouble(4) === 2.0 && r.getDouble(5) === 2.0)
+    assert(r.getDouble(6) === 0.0, s"diff ${r.getDouble(6)}")
+    assert(r.getDouble(7) === 1.154701, s"se ${r.getDouble(7)}")
+    assert(r.getDouble(8) === 0.0, s"t ${r.getDouble(8)}")
+  }
+
+  test("yuenTrimmedT: ties collapse correctly; constant arm has zero " +
+    "winsorized variance") {
+    val rows = (Seq.fill(5)(("a", 5)) ++
+      Seq(0, 2, 4, 6, 8).map(("b", _)))
+      .toDF("variant", "m0")
+      .select(col("variant"), col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.yuenTrimmedT(rows, "variant", "m", "a", "b",
+      trim = 0.2).collect()(0)
+    assert(r.getDouble(4) === 5.0 && r.getDouble(5) === 4.0)
+    // d_a = 0 → se comes from b alone: winsorized {2,2,4,6,6}:
+    // sw 20, sww 96 → s²w = (96 − 80)/4 = 4 → d_b = 4·4/6
+    assert(r.getDouble(7) === 1.632993, s"se ${r.getDouble(7)}")
+  }
+
   test("stratifiedDiff: hand-computed adjustment kills imbalance") {
     // stratum 1 (low metric): a-heavy; stratum 2 (high): b-heavy.
     // Within each stratum the true effect is +1; the raw diff is
