@@ -1139,7 +1139,7 @@ object Experiment {
         col("xlo").as(s"xlo$sfx"), col("xhi").as(s"xhi$sfx"),
         col("st").as(s"st$sfx"), col("stt").as(s"stt$sfx"))
     }
-    val row = one(a, "a").crossJoin(one(b, "b"))
+    val row = one(a, "a").crossJoin(broadcast(one(b, "b")))
     def d(c: Column) = c.cast("double")
     def stats(sfx: String): (Column, Column, Column, Column) = {
       val n = d(col(s"n$sfx")); val k = d(col(s"k$sfx"))
@@ -1417,8 +1417,8 @@ object Experiment {
     }
     val row = qs(a).withColumnRenamed(s"n_$a", "n_a")
       .withColumnRenamed(s"__qs_$a", "__qa")
-      .crossJoin(qs(b).withColumnRenamed(s"n_$b", "n_b")
-        .withColumnRenamed(s"__qs_$b", "__qb"))
+      .crossJoin(broadcast(qs(b).withColumnRenamed(s"n_$b", "n_b")
+        .withColumnRenamed(s"__qs_$b", "__qb")))
     val pArr = array(ps.map(lit): _*)
     row.select(posexplode(pArr).as(Seq("__i", "p")),
         col("n_a"), col("n_b"), col("__qa"), col("__qb"))

@@ -403,4 +403,56 @@ class PlanQualitySpec extends SparkSpec {
       "non-stats nested-loop join in the ANN plan")
     assert(p.contains("HashJoin"), "candidate join is not a hash join")
   }
+
+  test("cluster SE: two keyed hash aggs, no window, no join at all") {
+    val df = graft.SparkEntry.queries("d74_cluster_se")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("HashAggregate"), "no hash aggregation:\n" + p.take(1500))
+    assert(!p.contains("Window"), "CR1 sums leaked into a window:\n" + p.take(1500))
+    assert(!p.contains("Join"), "clusterDiff should be join-free:\n" + p.take(1500))
+  }
+
+  test("exact covariance: pair generation is a hash equi-join on the row id") {
+    val df = graft.SparkEntry.queries("d76_covariance")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"),
+      "covariance pairs degenerated to a cross join")
+    assert(p.contains("HashJoin"), "pair join is not a hash join")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-dimension sums should attach via broadcast")
+  }
+
+  test("PCA projection: the scoring pass is a pure projection — zero Exchange") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val model = graft.similarity.Pca.fit(emb, "embedding", k = 4)
+    val df = graft.similarity.Pca.project(emb, "embedding", model,
+      Seq("vec_id"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"),
+      "native projection should not shuffle:\n" + p.take(1500))
+  }
+
+  test("yuen: trim runs on the value axis — no per-unit rank window") {
+    val df = graft.SparkEntry.queries("d79_yuen_trimmed")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // the only window is the expanding sum over DISTINCT values (fed
+    // by a hash agg), and the final 1-row×1-row combine is the allowed
+    // broadcast-cross shape
+    assert(p.contains("HashAggregate"), "value axis not aggregated first")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("Cross")), "unexpected nested-loop join")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("__v")),
+      "window not keyed by variant over the value axis:\n" +
+        winLines.mkString("\n"))
+  }
 }
