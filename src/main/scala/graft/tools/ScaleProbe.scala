@@ -229,7 +229,14 @@ object ScaleProbe {
       // linear), quantile effects (two exact percentile buffers — the
       // Robust hazard priced per-experiment)
       "c5_unigram_vocab", "d76_covariance", "c4_pca_project",
-      "d77_quantile_effect")
+      "d77_quantile_effect",
+      // round-10g: stratified diff (one (variant, stratum) exact-sum
+      // agg + bounded stratum folds — linear scan), Yuen (value-axis
+      // aggs + expanding windows over DISTINCT values — grows with the
+      // value grid, the ecdf contract), isotonic (nBins integer rows
+      // to the driver — scan-bound)
+      "d78_stratified_diff", "d79_yuen_trimmed",
+      "c7_isotonic_calibration")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
