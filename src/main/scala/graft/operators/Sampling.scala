@@ -484,4 +484,93 @@ object Sampling {
         ELSE round(${d("mx")} / ${d("sw")}, 6) END AS max_share
     FROM a"""
   }
+
+  /** WATERFILLING BUDGET ALLOCATION — the training-mix planning step
+    * upstream of [[temperatureMixture]]/domain caps: given each
+    * domain's AVAILABLE mass and a total token budget B, the fair
+    * allocation is min(avail_d, λ) with the water level λ chosen so
+    * the allocations sum to B — small domains are taken whole, large
+    * domains are capped at one common level (the max-min-fair /
+    * reservoir-filling solution). The closed form lives on the
+    * SORTED DOMAIN AXIS: the largest rank i with
+    * prefix_i + (D−i)·avail_i ≤ B is fully funded, and
+    * λ = (B − prefix_{i*}) / (D − i*).
+    *
+    * Determinism/scale: one hash agg to per-domain masses (the only
+    * corpus pass), then row_number + prefix sums over the BOUNDED
+    * domain axis with (avail, domain) total-order ties; λ is one
+    * fixed double sequence from exact BIGINTs. If Σ avail ≤ B every
+    * domain is taken whole. Output per domain:
+    * `(domain, avail, alloc (6dp), fully_funded)`. */
+  def waterfill(domains: DataFrame, domainCol: String, availCol: String,
+                budget: Long): DataFrame = {
+    require(budget > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("avail"), col("domain"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = domains
+      .select(col(domainCol).cast("string").as("domain"),
+        col(availCol).cast("bigint").as("avail"))
+      .withColumn("__i", row_number().over(w).cast("bigint"))
+      .withColumn("__prefix", sum(col("avail")).over(wCum))
+    def d(c: Column) = c.cast("double")
+    val marked = ranked
+      .withColumn("__D", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__funded", col("__prefix")
+        + (col("__D") - col("__i")) * col("avail") <= budget)
+    val lam = marked.agg(
+      max(col("__D")).as("__DL"), sum(col("avail")).as("__tot"),
+      max(when(col("__funded"), col("__i"))).as("__istar"),
+      max(when(col("__funded"), col("__prefix"))).as("__pstar"))
+    val level = when(d(col("__tot")) <= lit(budget.toDouble),
+        d(col("__tot")))
+      .otherwise((lit(budget.toDouble) - d(coalesce(col("__pstar"),
+        lit(0L)))) / (d(col("__DL")) - d(coalesce(col("__istar"),
+        lit(0L)))))
+    marked.crossJoin(broadcast(lam))
+      .select(col("domain"), col("avail"),
+        round(when(d(col("__tot")) <= lit(budget.toDouble),
+            d(col("avail")))
+          .otherwise(least(d(col("avail")), level)), 6).as("alloc"),
+        (col("__funded") || d(col("__tot")) <= lit(budget.toDouble))
+          .cast("int").as("fully_funded"))
+  }
+
+  /** DuckDB twin of [[waterfill]]: `domainsSql` must select
+    * `(domain, avail)`. */
+  def sqlWaterfill(domainsSql: String, budget: Long): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val b = s"${budget.toDouble}e0"
+    val level = s"""(CASE WHEN ${d("tot")} <= $b THEN ${d("tot")}
+      ELSE ($b - ${d("coalesce(pstar, 0)")})
+        / (${d("ddl")} - ${d("coalesce(istar, 0)")}) END)"""
+    s"""
+    WITH r0 AS (
+      SELECT CAST(domain AS VARCHAR) AS domain,
+        CAST(avail AS BIGINT) AS avail
+      FROM ($domainsSql)
+    ), ranked AS (
+      SELECT domain, avail,
+        CAST(row_number() OVER (ORDER BY avail, domain) AS BIGINT) AS i,
+        CAST(sum(avail) OVER (ORDER BY avail, domain
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS prefix,
+        CAST(count(*) OVER () AS BIGINT) AS dd
+      FROM r0
+    ), marked AS (
+      SELECT *, (prefix + (dd - i) * avail <= $budget) AS funded
+      FROM ranked
+    ), lam AS (
+      SELECT max(dd) AS ddl, CAST(sum(avail) AS BIGINT) AS tot,
+        max(CASE WHEN funded THEN i END) AS istar,
+        max(CASE WHEN funded THEN prefix END) AS pstar
+      FROM marked)
+    SELECT domain, avail,
+      round(CASE WHEN ${d("tot")} <= $b THEN ${d("avail")}
+        ELSE least(${d("avail")}, $level) END, 6) AS alloc,
+      CAST(funded OR ${d("tot")} <= $b AS INT) AS fully_funded
+    FROM marked CROSS JOIN lam"""
+  }
 }

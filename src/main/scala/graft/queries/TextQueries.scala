@@ -714,6 +714,15 @@ object TextQueries extends Registry {
     "c5_heaps_law" -> ((s, d) =>
       graft.text.ZipfFit.heapsFit(Tables.documents(s, d), "doc_id",
         "text", points = 16)),
+    // D154: waterfilling budget allocation — the training-mix planning
+    // step: take small sources whole, cap large ones at one common
+    // water level λ so allocations sum to the token budget (max-min
+    // fair). Closed form on the sorted bounded domain axis.
+    "d80_waterfill" -> ((s, d) =>
+      graft.operators.Sampling.waterfill(
+        Tables.documents(s, d).groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("avail")),
+        "source", "avail", budget = 100000L)),
     // C5: TOKEN ENTROPY — bits/token of each doc's token distribution
     // plus type–token ratio: the information-density gate that catches
     // keyword-stuffed / menu-scrape docs every length heuristic passes.
@@ -962,6 +971,9 @@ object TextQueries extends Registry {
     "c5_heaps_law" -> graft.text.ZipfFit.sqlHeapsFit(
       s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents",
       points = 16),
+    "d80_waterfill" -> graft.operators.Sampling.sqlWaterfill(
+      """SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS avail
+         FROM documents GROUP BY source""", budget = 100000L),
     "c5_token_entropy" -> s"""
       SELECT id AS doc_id, n_tokens, n_types, entropy, ttr
       FROM (${graft.text.Entropy.sqlTokenEntropy(

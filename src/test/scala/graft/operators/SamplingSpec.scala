@@ -268,4 +268,28 @@ class SamplingSpec extends SparkSpec {
       "w", Seq("g")).collect()(0)
     assert(b.getLong(1) === 2L && b.getLong(2) === 1L)
   }
+
+  test("waterfill: hand-computed level, ties, and over-budget cases") {
+    import spark.implicits._
+    // {a:10, b:50, c:100}, B=100: a funded whole, λ = (100−10)/2 = 45
+    val d1 = Seq(("a", 10L), ("b", 50L), ("c", 100L)).toDF("dom", "av")
+    val r1 = Sampling.waterfill(d1, "dom", "av", budget = 100L)
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(2), x.getInt(3))).toMap
+    assert(r1("a") === ((10.0, 1)), r1.toString)
+    assert(r1("b") === ((45.0, 0)), r1.toString)
+    assert(r1("c") === ((45.0, 0)), r1.toString)
+    assert(math.abs(r1.values.map(_._1).sum - 100.0) < 1e-9)
+    // all-tied and nothing fully funded: λ = B/D
+    val d2 = Seq(("a", 30L), ("b", 30L), ("c", 30L)).toDF("dom", "av")
+    val r2 = Sampling.waterfill(d2, "dom", "av", budget = 60L)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r2.values.forall(_ === 20.0), r2.toString)
+    // budget covers everything: taken whole, all funded
+    val r3 = Sampling.waterfill(d1, "dom", "av", budget = 1000L)
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(2), x.getInt(3))).toMap
+    assert(r3 === Map("a" -> ((10.0, 1)), "b" -> ((50.0, 1)),
+      "c" -> ((100.0, 1))), r3.toString)
+  }
 }
