@@ -1010,6 +1010,26 @@ object RelationalQueries extends Registry {
           col("node") === col("n_nationkey"))
         .select(col("n_name"), col("pr_rank"))
     }),
+    // D155: label-propagation communities over the same co-purchase
+    // nation graph as d23 — the clustering read (which nations form
+    // one trade community) next to PageRank's importance read.
+    // Synchronous, integer-weight argmax with (score DESC, label ASC)
+    // ties → a fixed 4 rounds unrolls into the DuckDB oracle.
+    "d81_label_prop" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.graph.LabelPropagation.communities(edges, rounds = 4)
+        .join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("label"))
+    }),
     // D58: k-anonymity / l-diversity audit — equivalence classes on
     // (nation, market segment), sensitive column acctbal; k=12 sits
     // mid-distribution (class sizes 5–21 at sf0.01) so both at-risk
@@ -2508,6 +2528,19 @@ object RelationalQueries extends Registry {
       s"""SELECT n_name, pr_rank
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
+    },
+    "d81_label_prop" -> {
+      val edgesSql = """
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2"""
+      s"""SELECT n_name, label
+          FROM (${graft.graph.LabelPropagation.sqlCommunities(edgesSql, 4)}) lp
+          JOIN nation ON lp.node = n_nationkey"""
     },
     "d24_k_anonymity" -> graft.operators.Anonymity.sqlAudit(
       "customer", Seq("c_nationkey", "c_mktsegment"), "c_acctbal", 12),

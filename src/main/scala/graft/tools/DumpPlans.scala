@@ -99,7 +99,18 @@ object DumpPlans {
     // hash join, PPS two-level prefix with no global sort
     "c7_dsir_select",
     // round-10: CUSUM — per-group ordered folds over the hourly axis
-    "d64_cusum")
+    "d64_cusum",
+    // round-10e/f: cluster-robust SE — join-free, two keyed hash aggs
+    "d74_cluster_se",
+    // round-10f: exact covariance — pair hash join on the row id,
+    // per-dimension sums broadcast back
+    "d76_covariance",
+    // round-10g: Yuen trimmed t — value-axis agg feeding the expanding
+    // rank window; 1-row arms combined by broadcast
+    "d79_yuen_trimmed",
+    // round-10g: waterfilling — bounded domain-axis windows, the
+    // 1-row level broadcast back
+    "d80_waterfill")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
