@@ -236,7 +236,12 @@ object ScaleProbe {
       // value grid, the ecdf contract), isotonic (nBins integer rows
       // to the driver — scan-bound)
       "d78_stratified_diff", "d79_yuen_trimmed",
-      "c7_isotonic_calibration")
+      "c7_isotonic_calibration",
+      // round-10h: waterfill (domain-axis closed form — scan-bound),
+      // label propagation (per round: edges⋈labels equi-join +
+      // partial agg; the 25-node nation graph is fixed, so 10×
+      // lineitem only grows the edge DERIVATION — expect ~linear)
+      "d80_waterfill", "d81_label_prop")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
