@@ -1073,6 +1073,98 @@ object Experiment {
     FROM sums"""
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES — the causal read when a change ships
+    * WITHOUT randomization (a staged rollout, a policy change in one
+    * segment): compare the treated group's pre→post movement against
+    * the control group's,
+    *
+    *   DiD = (ȳ_{t,post} − ȳ_{t,pre}) − (ȳ_{c,post} − ȳ_{c,pre})
+    *
+    * which nets out both the groups' standing difference and the
+    * common time trend (the two confounders a naive pre/post or
+    * treated/control comparison eats raw). SE treats the four cells
+    * as independent samples (the classic 2×2 form):
+    * √(Σ var_cell/n_cell).
+    *
+    * Determinism/scale: ONE conditional aggregate over the four
+    * (group × period) cells — exact decimal sums, fixed double
+    * sequences, no join, no window; the [[welchTTest]] shape with a
+    * 2×2 key. Output one row: per-cell n/mean, diff_pre, diff_post,
+    * did, se, t_did (6dp). */
+  def diffInDiff(rows: DataFrame, groupCol: String, periodCol: String,
+                 metricCol: String, treated: String, control: String,
+                 pre: String, post: String): DataFrame = {
+    val m = col(metricCol)
+    def cell(g: String, p: String, agg: Column): Column =
+      sum(when(col(groupCol) === g && col(periodCol) === p, agg))
+    def cnt(g: String, p: String): Column =
+      count(when(col(groupCol) === g && col(periodCol) === p, lit(1)))
+    val cells = Seq((treated, pre, "tp"), (treated, post, "tq"),
+      (control, pre, "cp"), (control, post, "cq"))
+    val sums = rows.agg(
+      cnt(cells.head._1, cells.head._2).as("n_tp"),
+      (cells.tail.map { case (g, p, s) => cnt(g, p).as(s"n_$s") } ++
+        cells.map { case (g, p, s) => cell(g, p, m).as(s"s_$s") } ++
+        cells.map { case (g, p, s) => cell(g, p, m * m).as(s"q_$s") }): _*)
+    def d(c: String) = col(c).cast("double")
+    def mean(s: String) = d(s"s_$s") / d(s"n_$s")
+    def varN(s: String) =
+      ((d(s"q_$s") - d(s"s_$s") * d(s"s_$s") / d(s"n_$s"))
+        / (d(s"n_$s") - lit(1.0))) / d(s"n_$s")
+    val diffPre = mean("tp") - mean("cp")
+    val diffPost = mean("tq") - mean("cq")
+    val did = diffPost - diffPre
+    val se = sqrt(varN("tp") + varN("tq") + varN("cp") + varN("cq"))
+    sums.select(
+      col("n_tp"), col("n_tq"), col("n_cp"), col("n_cq"),
+      round(mean("tp"), 6).as("mean_t_pre"),
+      round(mean("tq"), 6).as("mean_t_post"),
+      round(mean("cp"), 6).as("mean_c_pre"),
+      round(mean("cq"), 6).as("mean_c_post"),
+      round(diffPre, 6).as("diff_pre"),
+      round(diffPost, 6).as("diff_post"),
+      round(did, 6).as("did"), round(se, 6).as("se"),
+      round(did / se, 6).as("t_did"))
+  }
+
+  /** DuckDB twin of [[diffInDiff]]: `rowsSql` must select
+    * `(grp, period, m)` with `m` on an exact grid. */
+  def sqlDiffInDiff(rowsSql: String, treated: String, control: String,
+                    pre: String, post: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def mean(s: String) = s"(${d(s"s_$s")} / ${d(s"n_$s")})"
+    def varN(s: String) =
+      s"""(((${d(s"q_$s")} - ${d(s"s_$s")} * ${d(s"s_$s")} / ${d(s"n_$s")})
+        / (${d(s"n_$s")} - 1.0e0)) / ${d(s"n_$s")})"""
+    val cells = Seq((treated, pre, "tp"), (treated, post, "tq"),
+      (control, pre, "cp"), (control, post, "cq"))
+    val aggs = cells.map { case (g, p, s) =>
+      s"""CAST(count(CASE WHEN grp = '$g' AND period = '$p' THEN 1 END)
+           AS BIGINT) AS n_$s,
+         sum(CASE WHEN grp = '$g' AND period = '$p' THEN m END) AS s_$s,
+         sum(CASE WHEN grp = '$g' AND period = '$p' THEN m * m END)
+           AS q_$s"""
+    }.mkString(",\n")
+    val diffPre = s"(${mean("tp")} - ${mean("cp")})"
+    val diffPost = s"(${mean("tq")} - ${mean("cq")})"
+    val did = s"($diffPost - $diffPre)"
+    val se = s"""sqrt(${varN("tp")} + ${varN("tq")} + ${varN("cp")}
+      + ${varN("cq")})"""
+    s"""
+    WITH r0 AS (SELECT grp, period, m FROM ($rowsSql)),
+    sums AS (SELECT $aggs FROM r0)
+    SELECT n_tp, n_tq, n_cp, n_cq,
+      round(${mean("tp")}, 6) AS mean_t_pre,
+      round(${mean("tq")}, 6) AS mean_t_post,
+      round(${mean("cp")}, 6) AS mean_c_pre,
+      round(${mean("cq")}, 6) AS mean_c_post,
+      round($diffPre, 6) AS diff_pre,
+      round($diffPost, 6) AS diff_post,
+      round($did, 6) AS did, round($se, 6) AS se,
+      round($did / $se, 6) AS t_did
+    FROM sums"""
+  }
+
   /** YUEN'S TRIMMED-MEAN T-TEST — robust two-sample inference for
     * heavy-tailed metrics (Yuen 1974): trim the top/bottom `trim`
     * fraction of each arm BY RANK, compare trimmed means with the

@@ -1438,6 +1438,25 @@ object RelationalQueries extends Registry {
       graft.operators.Experiment.msprt(perUser, "look",
         "variant", "m", "control", "treatment", tau2 = 100.0)
     }),
+    // D156: difference-in-differences — the causal read for a staged
+    // (unrandomized) rollout: treated-vs-control pre→post movement
+    // nets out the standing group difference AND the common time
+    // trend. Per-(user, half-of-month) purchase sums, 2×2 cells in
+    // ONE conditional aggregate.
+    "d82_diff_in_diff" -> ((s, d) => {
+      val perUserPeriod = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(dayofmonth(col("ts")) <= 15, "pre").otherwise("post")
+            .as("period"))
+        .agg(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)").as("m"))
+        .withColumn("grp", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treated"), salt = 17))
+      graft.operators.Experiment.diffInDiff(perUserPeriod, "grp",
+        "period", "m", "treated", "control", "pre", "post")
+    }),
     // D152: Yuen's trimmed t — robust effect SIZE in metric units:
     // 20% rank-trimmed means + winsorized-variance SE, the inference
     // a whale user cannot own (MW-U only ranks; Welch follows the
@@ -2189,6 +2208,17 @@ object RelationalQueries extends Registry {
              Seq("control", "treatment"), salt = 17)} AS variant
          FROM events GROUP BY user_id""",
       "control", "treatment", tau2 = 100.0),
+    "d82_diff_in_diff" -> graft.operators.Experiment.sqlDiffInDiff(
+      s"""SELECT ${graft.operators.Experiment.sqlVariantOf("user_id",
+             Seq("control", "treated"), salt = 17)} AS grp, period, m
+         FROM (SELECT user_id,
+             CASE WHEN dayofmonth(ts) <= 15 THEN 'pre'
+               ELSE 'post' END AS period,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m
+           FROM events GROUP BY 1, 2)""",
+      "treated", "control", "pre", "post"),
     "d79_yuen_trimmed" -> graft.operators.Experiment.sqlYuenTrimmedT(
       abPerUserSql, "control", "treatment", trim = 0.2),
     "d78_stratified_diff" -> graft.operators.Experiment.sqlStratifiedDiff(

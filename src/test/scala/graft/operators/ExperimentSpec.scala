@@ -309,6 +309,43 @@ class ExperimentSpec extends SparkSpec {
     assert(t.getDouble(5) === 1.0)
   }
 
+  test("diffInDiff: hand-computed 2x2 nets out trend and group gap") {
+    // cell means: t_pre 2, t_post 6, c_pre 3, c_post 4 →
+    // diff_pre = −1, diff_post = 2, DiD = 3; each cell var 2, n 2 →
+    // varN = 1 each → se = 2, t = 1.5
+    val rows = Seq(("t", "pre", 1), ("t", "pre", 3),
+      ("t", "post", 5), ("t", "post", 7),
+      ("c", "pre", 2), ("c", "pre", 4),
+      ("c", "post", 3), ("c", "post", 5))
+      .toDF("grp", "period", "m0")
+      .select(col("grp"), col("period"),
+        col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.diffInDiff(rows, "grp", "period", "m",
+      "t", "c", "pre", "post").collect()(0)
+    assert((0 to 3).forall(r.getLong(_) === 2L))
+    assert(r.getDouble(8) === -1.0 && r.getDouble(9) === 2.0)
+    assert(r.getDouble(10) === 3.0, s"did ${r.getDouble(10)}")
+    assert(r.getDouble(11) === 2.0, s"se ${r.getDouble(11)}")
+    assert(r.getDouble(12) === 1.5, s"t ${r.getDouble(12)}")
+  }
+
+  test("diffInDiff: a pure common trend reads as zero effect") {
+    // both groups move +10 pre→post; the naive post-diff would read
+    // the standing gap (5), the naive pre/post would read the trend
+    // (10) — DiD reads 0
+    val rows = Seq(("t", "pre", 15), ("t", "pre", 17),
+      ("t", "post", 25), ("t", "post", 27),
+      ("c", "pre", 10), ("c", "pre", 12),
+      ("c", "post", 20), ("c", "post", 22))
+      .toDF("grp", "period", "m0")
+      .select(col("grp"), col("period"),
+        col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.diffInDiff(rows, "grp", "period", "m",
+      "t", "c", "pre", "post").collect()(0)
+    assert(r.getDouble(10) === 0.0, s"did ${r.getDouble(10)}")
+    assert(r.getDouble(8) === 5.0 && r.getDouble(9) === 5.0)
+  }
+
   test("yuenTrimmedT: hand-computed trim, winsorized variance, and " +
     "outlier immunity") {
     // a = {0,1,2,3,100}, b = {0,1,2,3,4}, trim 0.2 → k = 1 each side:
