@@ -1,0 +1,113 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS (hubs & authorities, Kleinberg 1998) — the BIPARTITE
+  * importance read PageRank collapses: in a directed graph a good HUB
+  * points at good authorities and a good AUTHORITY is pointed at by
+  * good hubs. On trade/citation/link graphs the two sides are
+  * different answers ("which nations BUY from everywhere" vs "which
+  * nations everyone BUYS FROM"), and a rank surface with only
+  * PageRank can't ask the question.
+  *
+  * Mutual recursion with weighted edges, fixed iterations:
+  *
+  *   auth_i(v) = Σ_{u→v} hub_{i-1}(u)·w,   hub_i(u) = Σ_{u→v} auth_i(v)·w
+  *
+  * each half-step L∞-normalized. Determinism ([[PageRank]]'s integer
+  * convention): scores live on a `scale` integer grid and the
+  * normalizer is `d = max(raw) DIV scale` (≥ 1 — the max raw score is
+  * ≥ scale whenever the graph has an edge), so every update is pure
+  * BIGINT arithmetic — order-insensitive sums, truncating division
+  * identical in Spark (`DIV`) and DuckDB (`//`) — and a fixed
+  * iteration count unrolls bit-exactly into the SQL oracle.
+  *
+  * Overflow bounds: scores ≤ ~scale (1e9 default), so a per-edge term
+  * needs `w ≤ 9.2e18/1e9 ≈ 9.2e9` and per-node in/out weighted degree
+  * `Σw ≤ 9.2e9` total; hotter graphs down-scale w (HITS only consumes
+  * weight proportions).
+  *
+  * Scale shape (100 TB): edges localCheckpoint'd once; per iteration
+  * TWO equi-joins of edges against a #nodes-sized score frame and two
+  * partial-agg'd groupBys — one shuffle of #edges rows per half-step,
+  * plus a broadcast 1-row max. No windows, no collect. */
+object Hits {
+
+  /** Iterate HITS over `edges(src, dst, w)`. Returns one row per
+    * node: `(node, hub, auth)` in [0, ~scale] integer units (nodes
+    * with no out-edges have hub 0; no in-edges, auth 0). */
+  def scores(edgesIn: DataFrame, iterations: Int,
+             scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && scale > 0)
+    val edges = edgesIn.select(col("src"), col("dst"),
+      col("w").cast("long").as("w")).localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth: DataFrame = null
+    for (i <- 1 to iterations) {
+      val rawA = edges
+        .join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("hub * w")).as("__ra"))
+      val dA = rawA.agg(
+        expr(s"greatest(max(__ra) DIV ${scale}L, 1L)").as("__d"))
+      auth = nodes
+        .join(rawA, Seq("node"), "left")
+        .crossJoin(broadcast(dA))
+        .select(col("node"),
+          expr("coalesce(__ra, 0L) DIV __d").as("auth"))
+      val rawH = edges
+        .join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(expr("auth * w")).as("__rh"))
+      val dH = rawH.agg(
+        expr(s"greatest(max(__rh) DIV ${scale}L, 1L)").as("__d"))
+      hub = nodes
+        .join(rawH, Seq("node"), "left")
+        .crossJoin(broadcast(dH))
+        .select(col("node"),
+          expr("coalesce(__rh, 0L) DIV __d").as("hub"))
+      if (i < iterations) { hub = hub.localCheckpoint() }
+      else auth = auth.localCheckpoint()
+    }
+    hub.join(auth, "node")
+  }
+
+  /** DuckDB twin: the same BIGINT half-steps unrolled as a WITH
+    * chain. `edgesSql` must produce `(src, dst, w BIGINT)`. */
+  def sqlScores(edgesSql: String, iterations: Int,
+                scale: Long = 1000000000L): String = {
+    require(iterations >= 1)
+    val head = s"""
+      WITH edges AS ($edgesSql),
+      nodes AS (SELECT src AS node FROM edges
+                UNION SELECT dst AS node FROM edges),
+      h0 AS (SELECT node, CAST($scale AS BIGINT) AS hub FROM nodes)"""
+    val iters = (1 to iterations).map { i =>
+      s"""
+      ra$i AS (SELECT e.dst AS node, CAST(sum(h.hub * e.w) AS BIGINT) AS ra
+               FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+      da$i AS (SELECT greatest(CAST(max(ra) AS BIGINT) // $scale, 1) AS d
+               FROM ra$i),
+      a$i AS (SELECT nodes.node,
+                CAST(COALESCE(ra$i.ra, 0) // da$i.d AS BIGINT) AS auth
+              FROM nodes CROSS JOIN da$i
+              LEFT JOIN ra$i ON nodes.node = ra$i.node),
+      rh$i AS (SELECT e.src AS node, CAST(sum(a.auth * e.w) AS BIGINT) AS rh
+               FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+      dh$i AS (SELECT greatest(CAST(max(rh) AS BIGINT) // $scale, 1) AS d
+               FROM rh$i),
+      h$i AS (SELECT nodes.node,
+                CAST(COALESCE(rh$i.rh, 0) // dh$i.d AS BIGINT) AS hub
+              FROM nodes CROSS JOIN dh$i
+              LEFT JOIN rh$i ON nodes.node = rh$i.node)"""
+    }.mkString(",")
+    s"""$head,$iters
+    SELECT h$iterations.node, h$iterations.hub, a$iterations.auth
+    FROM h$iterations JOIN a$iterations
+      ON h$iterations.node = a$iterations.node"""
+  }
+}

@@ -913,6 +913,16 @@ object RelationalQueries extends Registry {
         "l_orderkey", "l_partkey")
       graft.graph.Triangles.perNode(edges)
     }),
+    // D159: Adamic–Adar link prediction over the same co-purchase
+    // graph — top non-adjacent pairs by shared-neighborhood evidence,
+    // hub-safe (degree-capped centers) and order-free (1e-9-grid
+    // wedge weights sum as exact BIGINTs).
+    "d85_adamic_adar" -> ((s, d) => {
+      val edges = graft.graph.Triangles.coOccurrenceEdges(
+        Tables.lineitem(s, d).filter(col("l_quantity") >= 45),
+        "l_orderkey", "l_partkey")
+      graft.graph.LinkPrediction.adamicAdar(edges, k = 50)
+    }),
     // D77: Laplace-noised release counts — the DP mechanism shape with
     // deterministic keyed noise (re-publication must not wobble; the
     // oracle reproduces the release bit-for-bit). ε = 0.5 so the noise
@@ -1009,6 +1019,25 @@ object RelationalQueries extends Registry {
         .join(broadcast(Tables.nation(s, d)),
           col("node") === col("n_nationkey"))
         .select(col("n_name"), col("pr_rank"))
+    }),
+    // D161: HITS over the same trade graph — the BIPARTITE importance
+    // read PageRank collapses: hub = "buys from everywhere", authority
+    // = "everyone buys from". Integer L∞-normalized half-steps, fixed
+    // 4 iterations unrolled bit-exactly into the oracle.
+    "d86_hits" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.graph.Hits.scores(edges, iterations = 4)
+        .join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("hub"), col("auth"))
     }),
     // D155: label-propagation communities over the same co-purchase
     // nation graph as d23 — the clustering read (which nations form
@@ -1443,6 +1472,32 @@ object RelationalQueries extends Registry {
     // nets out the standing group difference AND the common time
     // trend. Per-(user, half-of-month) purchase sums, 2×2 cells in
     // ONE conditional aggregate.
+    // D158: simple OLS with inference — slope ± SE, t, R² of document
+    // length in chars on length in words, per source: the auditable
+    // effect size ("chars per word ≈ β₁ ± se") the correlation matrix
+    // only hints at. Six exact BIGINT moments per group, one closed
+    // form.
+    "d84_ols" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("source"),
+        graft.text.TextFunctions.wordCount(col("text")).as("x"),
+        col("n_chars").as("y"))
+      graft.operators.Regression.ols(docs, "x", "y", Seq("source"))
+    }),
+    // D157: Mahalanobis multivariate outliers — the JOINT-surprise
+    // cleaning diagnostic per-column fences can't see: exact decimal
+    // moments → closed-form 3×3 precision matrix → per-row d², top-100
+    // ranked, flagged at the χ²₃ 0.999 tail. Identical IEEE formula in
+    // both engines, so the whole scorer is oracle-exact.
+    "d83_mahalanobis" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(12,2)").as("x1"),
+        col("l_extendedprice").cast("decimal(12,2)").as("x2"),
+        col("l_discount").cast("decimal(12,2)").as("x3"))
+      graft.operators.Outliers.mahalanobis3(li, Seq("x1", "x2", "x3"),
+        Seq("l_orderkey", "l_linenumber"), k = 100)
+    }),
     "d82_diff_in_diff" -> ((s, d) => {
       val perUserPeriod = Tables.events(s, d)
         .groupBy(col("user_id"),
@@ -2208,6 +2263,20 @@ object RelationalQueries extends Registry {
              Seq("control", "treatment"), salt = 17)} AS variant
          FROM events GROUP BY user_id""",
       "control", "treatment", tau2 = 100.0),
+    "d84_ols" -> graft.operators.Regression.sqlOls(
+      """SELECT source,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> len(t) > 0)) AS BIGINT) AS x,
+           n_chars AS y
+         FROM documents""",
+      groupCols = Seq("source")),
+    "d83_mahalanobis" -> graft.operators.Outliers.sqlMahalanobis3(
+      """SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DECIMAL(12,2)) AS x1,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS x2,
+           CAST(l_discount AS DECIMAL(12,2)) AS x3
+         FROM lineitem""",
+      idOut = Seq("l_orderkey", "l_linenumber"), k = 100),
     "d82_diff_in_diff" -> graft.operators.Experiment.sqlDiffInDiff(
       s"""SELECT ${graft.operators.Experiment.sqlVariantOf("user_id",
              Seq("control", "treated"), salt = 17)} AS grp, period, m
@@ -2441,6 +2510,14 @@ object RelationalQueries extends Registry {
         round(CAST(pn.n_triangles AS DOUBLE)
           / CAST(d.deg * (d.deg - 1) / 2 AS DOUBLE), 6) AS local_cc
       FROM pn JOIN deg d ON d.v = pn.v""",
+    "d85_adamic_adar" -> graft.graph.LinkPrediction.sqlAdamicAdar(
+      """SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+               WHERE l_quantity >= 45) x
+         JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+               WHERE l_quantity >= 45) y
+           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey""",
+      k = 50),
     "d36_triangles" -> """
       WITH it AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -2558,6 +2635,19 @@ object RelationalQueries extends Registry {
       s"""SELECT n_name, pr_rank
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
+    },
+    "d86_hits" -> {
+      val edgesSql = """
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2"""
+      s"""SELECT n_name, hub, auth
+          FROM (${graft.graph.Hits.sqlScores(edgesSql, 4)}) hs
+          JOIN nation ON hs.node = n_nationkey"""
     },
     "d81_label_prop" -> {
       val edgesSql = """

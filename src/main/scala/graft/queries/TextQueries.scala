@@ -736,6 +736,17 @@ object TextQueries extends Registry {
     "c5_distinctive_terms" -> ((s, d) =>
       graft.text.DistinctiveTerms.distinctiveTerms(
         Tables.documents(s, d), "source", "text", k = 5)),
+    // C5: n-gram LM perplexity (CCNet, Wenzek et al. 2020) — train an
+    // add-α bigram LM on the even-doc_id "trusted" slice, score EVERY
+    // document's per-token cross-entropy under it. The fluency signal
+    // heuristic ratios can't produce; per-token log-probs quantized to
+    // the 1e-6 integer grid so the doc sums are order-free and the
+    // whole scorer sits under the bit-exact oracle.
+    "c5_lm_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.NgramLm.perplexity(
+        docs, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    }),
     // C7: DSIR data selection — importance-resample 100 docs toward
     // the ENGLISH target distribution (Xie et al. 2023): add-1 unigram
     // likelihood-ratio weights piped into the exact-BIGINT PPS
@@ -981,6 +992,11 @@ object TextQueries extends Registry {
     "c5_distinctive_terms" -> graft.text.DistinctiveTerms.sqlDistinctiveTerms(
       s"SELECT source AS g, ${sqlToks("text")} AS toks FROM documents",
       groupOut = "source", k = 5),
+    "c5_lm_perplexity" -> graft.text.NgramLm.sqlPerplexity(
+      s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents",
+      s"""SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents
+         WHERE doc_id % 2 = 0""",
+      idOut = "doc_id"),
     "c5_unicode_normalize" -> """
       WITH f AS (
         SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
