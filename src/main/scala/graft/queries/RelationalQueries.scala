@@ -1020,6 +1020,15 @@ object RelationalQueries extends Registry {
           col("node") === col("n_nationkey"))
         .select(col("n_name"), col("pr_rank"))
     }),
+    // D162: Markov removal-effect attribution — data-driven multi-touch
+    // credit (Anderl et al. 2014): journeys → transition counts
+    // (distributed), then k-step INTEGER absorption mass per
+    // remove-one-channel variant (driver-side over the bounded state
+    // axis, mirrored bit-exactly by the unrolled SQL chain). The causal
+    // counterpoint to last-touch (d68).
+    "d87_markov_attribution" -> ((s, d) =>
+      graft.operators.Attribution.removalEffects(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", "purchase")),
     // D161: HITS over the same trade graph — the BIPARTITE importance
     // read PageRank collapses: hub = "buys from everywhere", authority
     // = "everyone buys from". Integer L∞-normalized half-steps, fixed
@@ -2636,6 +2645,12 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d87_markov_attribution" -> graft.operators.Attribution
+      .sqlRemovalEffects(
+        """SELECT user_id AS id, ts, event_id AS eid, event_type AS st
+           FROM events""",
+        convValue = "purchase",
+        channels = Seq("click", "error", "signup", "view")),
     "d86_hits" -> {
       val edgesSql = """
         SELECT c.c_nationkey AS src, s.s_nationkey AS dst,

@@ -94,6 +94,14 @@ object SimilarityQueries extends Registry {
       graft.dedup.EmbeddingDedup.dedup(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64, threshold = 0.45)
         .select(col("vec_id"), col("label"))),
+    // C2: SemDeDup (Abbas et al. 2023) — k-means cluster blocking +
+    // within-cluster cosine dedup, survivor = farthest-from-centroid.
+    // The third near-dup blocking strategy (lexical bands, LSH
+    // sketches, semantic clusters); rows+spec like its family.
+    "c2_semdedup" -> ((s, d) =>
+      graft.dedup.SemDedup.dedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8, tau = 0.45)
+        .select(col("vec_id"), col("label"))),
     // C3: int8 scalar quantization — per-vector scale, quantized
     // codes, and the reconstruction-error bound a serving index would
     // monitor. Within-row arithmetic only → exact oracle.

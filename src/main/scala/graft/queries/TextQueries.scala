@@ -747,6 +747,16 @@ object TextQueries extends Registry {
       graft.text.NgramLm.perplexity(
         docs, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
     }),
+    // C7: CCNet perplexity buckets — per-language head/middle/tail
+    // thirds under the reference LM (the published sampling surface:
+    // head-heavy mixes, drop-the-tail curation). Exact type-7 tercile
+    // cutoffs broadcast back, 6-dp rounded so both engines cut alike.
+    "c7_ppl_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.NgramLm.perplexityBuckets(
+        docs, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        "lang")
+    }),
     // C7: DSIR data selection — importance-resample 100 docs toward
     // the ENGLISH target distribution (Xie et al. 2023): add-1 unigram
     // likelihood-ratio weights piped into the exact-BIGINT PPS
@@ -997,6 +1007,12 @@ object TextQueries extends Registry {
       s"""SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents
          WHERE doc_id % 2 = 0""",
       idOut = "doc_id"),
+    "c7_ppl_buckets" -> graft.text.NgramLm.sqlPerplexityBuckets(
+      s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents",
+      s"""SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents
+         WHERE doc_id % 2 = 0""",
+      "SELECT doc_id AS id, lang AS g FROM documents",
+      idOut = "doc_id", groupOut = "lang"),
     "c5_unicode_normalize" -> """
       WITH f AS (
         SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)

@@ -104,6 +104,58 @@ object NgramLm {
           col("n_tok").cast("double")), 6).as("ppl"))
   }
 
+  /** CCNet's SECOND half — perplexity BUCKETS: split each language's
+    * documents into head/middle/tail thirds by perplexity under the
+    * reference LM (Wenzek et al. 2020 §4.3 — pipelines then sample
+    * head-heavy mixes, or keep the middle and drop the tail). Cutoffs
+    * are the per-group exact type-7 terciles of ppl (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, [[graft.impute.Robust]]'s
+    * convention), rounded to 6 dp before the compare so both engines
+    * cut identically. Output: `(idCol, groupCol, ppl, bucket)`.
+    *
+    * Scale: scoring is [[perplexity]]'s scan shape; the cutoffs are
+    * one grouped percentile aggregate over the (already 6-dp) ppl
+    * column broadcast back — the Robust stats-attach pattern, with
+    * the same documented exact-percentile buffer hazard (per-group
+    * value buffer; at corpus scale swap the cutoff agg for the
+    * GK sketch the way the fence family does). */
+  def perplexityBuckets(docs: DataFrame, refDocs: DataFrame, idCol: String,
+                        textCol: String, groupCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    val scored = perplexity(docs, refDocs, idCol, textCol, alpha)
+      .join(docs.select(col(idCol), col(groupCol)), idCol)
+    val cuts = scored.groupBy(col(groupCol))
+      .agg(round(expr("percentile(ppl, 0.3333333333333333e0)"), 6).as("__c1"),
+        round(expr("percentile(ppl, 0.6666666666666666e0)"), 6).as("__c2"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("ppl"),
+        when(col("ppl") <= col("__c1"), "head")
+          .when(col("ppl") <= col("__c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** DuckDB twin of [[perplexityBuckets]]: `groupsSql` must select
+    * `(id, g)` mapping each document to its group. */
+  def sqlPerplexityBuckets(docsSql: String, refSql: String,
+                           groupsSql: String, idOut: String,
+                           groupOut: String,
+                           alpha: Double = 0.5): String = s"""
+    WITH ppl0 AS (${sqlPerplexity(docsSql, refSql, "id", alpha)}),
+    scored AS (
+      SELECT p.id, g.g, p.ppl
+      FROM ppl0 p JOIN ($groupsSql) g ON p.id = g.id
+    ), cuts AS (
+      SELECT g,
+        round(quantile_cont(ppl, 0.3333333333333333e0), 6) AS c1,
+        round(quantile_cont(ppl, 0.6666666666666666e0), 6) AS c2
+      FROM scored GROUP BY g
+    )
+    SELECT s.id AS $idOut, s.g AS $groupOut, s.ppl,
+      CASE WHEN s.ppl <= c.c1 THEN 'head'
+        WHEN s.ppl <= c.c2 THEN 'middle'
+        ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts c ON s.g = c.g"""
+
   /** DuckDB twin of [[perplexity]]: `docsSql` / `refSql` must each
     * select `(id, toks)` with `toks` the whitespace token list
     * ([[graft.queries.TextQueries.sqlToks]]). */

@@ -53,6 +53,30 @@ class NgramLmSpec extends SparkSpec {
     assert(pNoise > 1.3 * held, s"noise ppl $pNoise vs corpus avg $held")
   }
 
+  test("perplexity buckets: per-group thirds, boundary docs go head-ward") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val b = NgramLm.perplexityBuckets(
+      docs, docs.filter($"doc_id" % 2 === 0), "doc_id", "text", "lang")
+      .collect()
+    assert(b.length === docs.filter(
+      org.apache.spark.sql.functions.length($"text") > 0).count())
+    val byLang = b.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rows) =>
+      val counts = rows.groupBy(_.getString(3)).view.mapValues(_.length)
+      val n = rows.length
+      Seq("head", "middle", "tail").foreach { bk =>
+        val c = counts.getOrElse(bk, 0)
+        assert(c > 0 && c <= 2 * n / 3 + 2, s"$lang/$bk = $c of $n")
+      }
+      // ordering invariant: every head ppl <= every tail ppl
+      val maxHead = rows.filter(_.getString(3) == "head")
+        .map(_.getDouble(2)).max
+      val minTail = rows.filter(_.getString(3) == "tail")
+        .map(_.getDouble(2)).min
+      assert(maxHead <= minTail, s"$lang: head $maxHead > tail $minTail")
+    }
+  }
+
   test("empty docs are dropped; OOV never yields NaN or -inf") {
     val docs = Seq((1L, ""), (2L, "   "), (3L, "zz")).toDF("doc_id", "text")
     val r = NgramLm.perplexity(docs, ref, "doc_id", "text").collect()
