@@ -26,6 +26,24 @@ object SimilarityQueries extends Registry {
     "c3_ann_topk" -> ((s, d) =>
       Cosine.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, k = 3)),
+    // C3: hard-negative mining — per anchor, the most-similar
+    // CROSS-LABEL examples (the negatives a contrastive batch needs;
+    // random negatives are separable and teach nothing). Bounded
+    // broadcast anchor side, one corpus scan, exact oracle.
+    "c3_hard_negatives" -> ((s, d) =>
+      graft.similarity.HardNegatives.mine(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label",
+        pmod(col("vec_id"), lit(50)) === 0, k = 5)),
+    // C3: simplified silhouette — per-cluster fit quality under the
+    // k-means model ((b−a)/max over the two nearest centroids, one
+    // scan through the native CentroidTopK). The k-picker / degenerate
+    // -cluster flag; rows+spec like the k-means family.
+    "c3_silhouette" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.ml.KMeansLloyd.fit(emb, "vec_id", "embedding",
+        k = 8, iters = 5)
+      graft.ml.ClusterQuality.silhouette(emb, "vec_id", "embedding", model)
+    }),
     // C3: IVF variant — k-means coarse cells as the data-adaptive
     // bucketing, cells self-sized to ≈√n, multi-probe (recall tested
     // on clustered data in CosineSpec).
@@ -305,6 +323,23 @@ object SimilarityQueries extends Registry {
         FROM embeddings, q WHERE vec_id != 1)
       SELECT vec_id, score FROM scored
       ORDER BY score DESC, vec_id ASC LIMIT 20""",
+    "c3_hard_negatives" -> s"""
+      WITH anc AS (SELECT vec_id AS a, label AS a_label,
+                     embedding::DOUBLE[] AS va
+                   FROM embeddings WHERE vec_id % 50 = 0),
+      corp AS (SELECT vec_id AS b, label AS b_label,
+                 embedding::DOUBLE[] AS vb
+               FROM embeddings),
+      scored AS (
+        SELECT a, b, a_label, b_label, ${cosSql("va", "vb")} AS score
+        FROM anc JOIN corp ON a_label != b_label),
+      ranked AS (
+        SELECT a, b, a_label, b_label, score,
+          CAST(row_number() OVER (PARTITION BY a
+            ORDER BY score DESC, b ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT a, b, a_label, b_label, score, rank
+      FROM ranked WHERE rank <= 5""",
     "c3_cosine_selfjoin" -> s"""
       WITH s AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                  FROM embeddings WHERE vec_id % 10 = 0),
