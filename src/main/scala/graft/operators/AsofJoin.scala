@@ -53,17 +53,21 @@ object AsofJoin {
     * @param direction  "backward" (default): most recent right row with
     *                   `right.ts <= left.ts`; "forward": nearest
     *                   following right row with `right.ts >= left.ts`
-    *                   (DuckDB `ASOF ... ON l.ts <= r.ts`). Same
-    *                   single-shuffle union+window plan — the traversal
-    *                   just runs in descending time. */
+    *                   (DuckDB `ASOF ... ON l.ts <= r.ts`); "nearest":
+    *                   the closer of the two by |Δts|, distance ties →
+    *                   backward (pandas merge_asof semantics). Same
+    *                   single-shuffle union plan in every mode —
+    *                   backward/forward run one window traversal,
+    *                   nearest runs BOTH over the one exchange (two
+    *                   sorts, no second shuffle) and picks per row. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                toleranceUs: Option[Long] = None,
                rightTieBreak: Seq[String] = Nil,
                direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equi-join key")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward or forward, got $direction")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward, forward, or nearest, got $direction")
     val backward = direction == "backward"
     val rightPayloadCols =
       right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
@@ -96,29 +100,55 @@ object AsofJoin {
     // right-side tie-break columns order duplicates within (key, ts).
     // Forward direction reverses the TIME traversal only — sides still
     // order right-before-left within a tie, keeping equal-ts inclusive.
-    def ord(c: Column): Column = if (backward) c.asc else c.desc
-    val sortCols = ord(col("__asof_ts")) +: col(SideCol).asc +:
-      rightTieBreak.map(c => ord(col(PayloadCol)(s"__tie_$c")))
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(sortCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedLeft.unionByName(paddedRight)
-      .withColumn(CarriedCol, last(col(PayloadCol), ignoreNulls = true).over(w))
-
-    val matched = toleranceUs match {
-      case Some(tol) =>
-        val distance =
-          if (backward)
-            unix_micros(col("__asof_ts")) -
-              unix_micros(col(CarriedCol)(RightTsCol))
-          else
-            unix_micros(col(CarriedCol)(RightTsCol)) -
-              unix_micros(col("__asof_ts"))
-        when(distance <= tol, col(CarriedCol))
-      case None => col(CarriedCol)
+    def carriedOver(bwd: Boolean): Column = {
+      def ord(c: Column): Column = if (bwd) c.asc else c.desc
+      val sortCols = ord(col("__asof_ts")) +: col(SideCol).asc +:
+        rightTieBreak.map(c => ord(col(PayloadCol)(s"__tie_$c")))
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col(PayloadCol), ignoreNulls = true).over(w)
     }
-    val out = carried.filter(col(SideCol) === 1)
-      .withColumn(CarriedCol, matched)
+    def dist(carried: Column, bwd: Boolean): Column =
+      if (bwd) unix_micros(col("__asof_ts")) -
+        unix_micros(carried(RightTsCol))
+      else unix_micros(carried(RightTsCol)) -
+        unix_micros(col("__asof_ts"))
+    def withinTol(carried: Column, bwd: Boolean): Column =
+      toleranceUs match {
+        case Some(tol) => carried.isNotNull && dist(carried, bwd) <= tol
+        case None => carried.isNotNull
+      }
+    val unioned = taggedLeft.unionByName(paddedRight)
+    val out =
+      if (direction != "nearest") {
+        val carried = unioned
+          .withColumn(CarriedCol, carriedOver(backward))
+        val matched = toleranceUs match {
+          case Some(tol) =>
+            when(dist(col(CarriedCol), backward) <= tol, col(CarriedCol))
+          case None => col(CarriedCol)
+        }
+        carried.filter(col(SideCol) === 1)
+          .withColumn(CarriedCol, matched)
+      } else {
+        // nearest: both traversals over the SAME key exchange (two
+        // window sorts, one shuffle), then pick the closer match per
+        // row; equal distances go backward (pandas semantics)
+        val two = unioned
+          .withColumn("__asof_b", carriedOver(true))
+          .withColumn("__asof_f", carriedOver(false))
+        val bOk = withinTol(col("__asof_b"), bwd = true)
+        val fOk = withinTol(col("__asof_f"), bwd = false)
+        val pick = when(bOk && (!fOk ||
+            dist(col("__asof_b"), bwd = true) <=
+              dist(col("__asof_f"), bwd = false)), col("__asof_b"))
+          .when(fOk, col("__asof_f"))
+          .otherwise(lit(null).cast(rightPayloadType))
+        two.filter(col(SideCol) === 1)
+          .withColumn(CarriedCol, pick)
+          .drop("__asof_b", "__asof_f")
+      }
     // pandas-merge_asof-style disambiguation: a carried right column
     // whose name collides with a left column (e.g. both sides call
     // their event time "ts") comes back suffixed — a duplicate name

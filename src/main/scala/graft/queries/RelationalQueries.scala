@@ -373,6 +373,21 @@ object RelationalQueries extends Registry {
         ev.select("event_id", "user_id", "ts"),
         snaps, Seq("user_id"), "ts", "snap_ts", direction = "forward")
     }),
+    // D1c: NEAREST as-of — each event attaches its closest end-of-day
+    // snapshot in |Δts| (pandas merge_asof direction='nearest';
+    // distance ties go backward). Both traversals over ONE key
+    // exchange. Oracle: correlated min-|Δ| pick with the same
+    // (abs asc, ts asc) tie order.
+    "d1_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val snaps = ev.groupBy(col("user_id"),
+          (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).as("snap_ts"))
+        .agg(count(lit(1)).as("day_events"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("day_value"))
+      graft.operators.AsofJoin.asofJoin(
+        ev.select("event_id", "user_id", "ts"),
+        snaps, Seq("user_id"), "ts", "snap_ts", direction = "nearest")
+    }),
     // D2 (beyond-survey): point-in-interval range join — each event is
     // matched to the gap-session interval containing it via the
     // bucketed equi-join in graft.operators.RangeJoin (a bare range
@@ -1019,6 +1034,16 @@ object RelationalQueries extends Registry {
         .join(broadcast(Tables.nation(s, d)),
           col("node") === col("n_nationkey"))
         .select(col("n_name"), col("pr_rank"))
+    }),
+    // D168: join-explosion audit — predict |A ⋈ B| and its key skew
+    // from two per-key count aggs WITHOUT running the join (the 3am
+    // OOM conversation, had at plan time). Self-join of events on
+    // user_id: the sessionization shape whose pair count explodes on
+    // hot users.
+    "d88_join_audit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.JoinAudit.joinCardinality(ev, ev, Seq("user_id"),
+        k = 10)
     }),
     // D162: Markov removal-effect attribution — data-driven multi-touch
     // credit (Anderl et al. 2014): journeys → transition counts
@@ -1992,6 +2017,20 @@ object RelationalQueries extends Registry {
       SELECT e.event_id, e.user_id, e.ts, s.snap_ts, s.day_events, s.day_value
       FROM events e ASOF LEFT JOIN snaps s
         ON e.user_id = s.user_id AND e.ts <= s.snap_ts""",
+    "d1_asof_nearest" -> """
+      WITH snaps AS (
+        SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS snap_ts,
+               count(*) AS day_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events GROUP BY 1, 2
+      )
+      SELECT e.event_id, e.user_id, e.ts, p.snap_ts, p.day_events,
+             p.day_value
+      FROM events e LEFT JOIN LATERAL (
+        SELECT s.snap_ts, s.day_events, s.day_value
+        FROM snaps s WHERE s.user_id = e.user_id
+        ORDER BY abs(epoch_us(s.snap_ts) - epoch_us(e.ts)), s.snap_ts
+        LIMIT 1) p ON true""",
     "d2_range_join" -> """
       WITH marked AS (
         SELECT user_id, event_id, ts,
@@ -2645,6 +2684,9 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d88_join_audit" -> graft.operators.JoinAudit.sqlJoinCardinality(
+      "SELECT user_id FROM events", "SELECT user_id FROM events",
+      keys = Seq("user_id"), k = 10),
     "d87_markov_attribution" -> graft.operators.Attribution
       .sqlRemovalEffects(
         """SELECT user_id AS id, ts, event_id AS eid, event_type AS st

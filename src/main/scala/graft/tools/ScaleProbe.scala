@@ -241,7 +241,26 @@ object ScaleProbe {
       // label propagation (per round: edges⋈labels equi-join +
       // partial agg; the 25-node nation graph is fixed, so 10×
       // lineitem only grows the edge DERIVATION — expect ~linear)
-      "d80_waterfill", "d81_label_prop")
+      "d80_waterfill", "d81_label_prop",
+      // round-10i: LM perplexity (two vocab-bounded hash aggs + lag
+      // window + three model-keyed equi-joins — the bigram-LM shape,
+      // expect ~linear) and its bucket row (adds a grouped percentile
+      // over 6-dp ppl values — the Robust exact hazard, priced),
+      // Mahalanobis (1-row moment agg + scored scan + top-k — scan),
+      // OLS (one grouped exact-sum agg — scan), Adamic–Adar (wedges
+      // through degree-capped centers — Σdeg² with dup-densified
+      // copies: WATCH for super-linear pair blowup, the fuzzy-pairs
+      // caveat), HITS (edge derivation dominates, fixed 25-node
+      // iterations — PageRank's shape), Markov attribution (one lag
+      // window + state-axis counts; driver iteration is corpus-free —
+      // expect ~linear), SemDeDup (Σ|cluster|² within-cluster pairs:
+      // clusters densify 10× ON PURPOSE — the published quadratic,
+      // priced), hard negatives (fixed anchor batch... but %50 anchors
+      // GROW with re-keyed ids: anchors×corpus — watch), silhouette
+      // (one CentroidTopK scan — expect ~linear)
+      "c5_lm_perplexity", "c7_ppl_buckets", "d83_mahalanobis",
+      "d84_ols", "d85_adamic_adar", "d86_hits", "d87_markov_attribution",
+      "c2_semdedup", "c3_hard_negatives", "c3_silhouette")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops

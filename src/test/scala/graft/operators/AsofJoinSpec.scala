@@ -137,4 +137,44 @@ class AsofJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ts_right"))
   }
+
+  test("nearest: closer side wins, exact ties go backward") {
+    // quotes at 0/10/20; trades at 4 (→0, d=4 vs 6), 15 (tie 5/5 →
+    // backward 11.0), 16 (→20), 99 (only backward exists), and an
+    // uncovered key
+    val nTrades = Seq(
+      (1L, ts(4), "closer-back"), (1L, ts(15), "tie"),
+      (1L, ts(16), "closer-fwd"), (1L, ts(99), "only-back"),
+      (3L, ts(7), "no-key")).toDF("key", "tts", "label")
+    val out = AsofJoin.asofJoin(nTrades, quotes, Seq("key"), "tts", "qts",
+        direction = "nearest")
+      .orderBy("key", "tts")
+      .select("label", "price").as[(String, Option[Double])].collect()
+    assert(out === Seq(("closer-back", Some(10.0)), ("tie", Some(11.0)),
+      ("closer-fwd", Some(12.0)), ("only-back", Some(12.0)),
+      ("no-key", None)))
+  }
+
+  test("nearest with tolerance: both sides out of range -> null") {
+    val nTrades = Seq((1L, ts(15), "mid"), (1L, ts(99), "far"))
+      .toDF("key", "tts", "label")
+    val out = AsofJoin.asofJoin(nTrades, quotes, Seq("key"), "tts", "qts",
+        direction = "nearest", toleranceUs = Some(6L * 60000000L))
+      .orderBy("tts").select("label", "price")
+      .as[(String, Option[Double])].collect()
+    assert(out === Seq(("mid", Some(11.0)), ("far", None)))
+  }
+
+  test("nearest plan: still one shuffle (two sorts over one exchange)") {
+    val leftIn = Seq((1L, ts(1), "a")).toDF("key", "tts", "payload")
+    val rightIn = Seq((1L, ts(0), 1.0)).toDF("key", "qts", "v")
+    val df = AsofJoin.asofJoin(leftIn, rightIn, Seq("key"), "tts", "qts",
+      direction = "nearest")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(physical).length
+    assert(shuffles === 1, s"one exchange for both traversals:\n$physical")
+    assert(!physical.toLowerCase.contains("join"), "no join node expected")
+  }
 }
