@@ -239,4 +239,84 @@ object Anonymity {
       CAST(t_closeness > ${sqlDouble(threshold)} AS INT) AS at_risk
     FROM agg"""
   }
+
+  // ---- entropy l-diversity ----------------------------------------
+
+  /** ENTROPY l-DIVERSITY (Machanavajjhala et al. 2007) — the stronger
+    * form of the [[audit]] distinct count: a class whose sensitive
+    * values split 99 : 1 "has 2 distinct values" but discloses the
+    * sensitive attribute with 99% confidence. Entropy l-diversity
+    * requires H(class) ≥ ln(l); the EFFECTIVE l = e^H reads as "this
+    * class is as diverse as a uniform distribution over l values".
+    * With [[audit]] (k-anonymity + distinct l) and [[tCloseness]]
+    * this completes the classic release-audit triad.
+    *
+    * Scale/determinism: one (quasi, sensitive) hash agg then a
+    * class-axis agg; each value's −p·ln p is quantized to the 1e-9
+    * integer grid (floor-portable) so the per-class entropy sum is an
+    * exact BIGINT — order-free in both engines — and effective l is
+    * one `exp` off it, 6-dp rounded. Output: `(quasi…, class_size,
+    * distinct_l, entropy (6 dp), effective_l (6 dp), at_risk)`. */
+  def entropyLDiversity(df: DataFrame, quasi: Seq[String],
+                        sensitive: String, l: Double): DataFrame = {
+    require(quasi.nonEmpty && l >= 1)
+    val g = quasi.map(col)
+    val rows = df
+      .filter(quasi.map(col(_).isNotNull).reduce(_ && _)
+        && col(sensitive).isNotNull)
+    val perVal = rows.groupBy(g :+ col(sensitive).as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val perClass = perVal.groupBy(g: _*)
+      .agg(sum(col("__c")).cast("bigint").as("class_size"),
+        count(lit(1)).as("distinct_l"))
+    def d(c: Column) = c.cast("double")
+    val plogp = floor(
+      -(d(col("__c")) / d(col("class_size"))) *
+        log(d(col("__c")) / d(col("class_size"))) * lit(1e9) + lit(0.5))
+      .cast("bigint")
+    val h = perVal.join(perClass, quasi)
+      .withColumn("__t", plogp)
+      .groupBy(g: _*)
+      .agg(max(col("class_size")).as("class_size"),
+        max(col("distinct_l")).as("distinct_l"),
+        sum(col("__t")).as("__h9"))
+    h.select((g ++ Seq(col("class_size"), col("distinct_l"),
+        round(d(col("__h9")) / lit(1e9), 6).as("entropy"),
+        round(exp(d(col("__h9")) / lit(1e9)), 6).as("effective_l"),
+        (exp(d(col("__h9")) / lit(1e9)) < lit(l)).cast("int")
+          .as("at_risk"))): _*)
+  }
+
+  /** DuckDB twin of [[entropyLDiversity]]. */
+  def sqlEntropyLDiversity(table: String, quasi: Seq[String],
+                           sensitive: String, l: Double): String = {
+    val q = quasi.mkString(", ")
+    val notNull = (quasi :+ sensitive).map(c => s"$c IS NOT NULL")
+      .mkString(" AND ")
+    s"""
+    WITH pv AS (
+      SELECT $q, $sensitive AS s, CAST(count(*) AS BIGINT) AS c
+      FROM $table WHERE $notNull GROUP BY $q, $sensitive
+    ), pc AS (
+      SELECT $q, CAST(sum(c) AS BIGINT) AS class_size,
+        CAST(count(*) AS BIGINT) AS distinct_l
+      FROM pv GROUP BY $q
+    ), terms AS (
+      SELECT pv.*, pc.class_size, pc.distinct_l,
+        CAST(floor(-(CAST(c AS DOUBLE) / CAST(class_size AS DOUBLE))
+          * ln(CAST(c AS DOUBLE) / CAST(class_size AS DOUBLE))
+          * 1e9 + 0.5e0) AS BIGINT) AS t
+      FROM pv JOIN pc USING ($q)
+    ), agg AS (
+      SELECT $q, max(class_size) AS class_size,
+        max(distinct_l) AS distinct_l,
+        CAST(sum(t) AS BIGINT) AS h9
+      FROM terms GROUP BY $q)
+    SELECT $q, class_size, distinct_l,
+      round(CAST(h9 AS DOUBLE) / 1e9, 6) AS entropy,
+      round(exp(CAST(h9 AS DOUBLE) / 1e9), 6) AS effective_l,
+      CAST(exp(CAST(h9 AS DOUBLE) / 1e9)
+        < ${graft.functions.Noise.sqlDouble(l)} AS INT) AS at_risk
+    FROM agg"""
+  }
 }

@@ -1035,6 +1035,28 @@ object RelationalQueries extends Registry {
           col("node") === col("n_nationkey"))
         .select(col("n_name"), col("pr_rank"))
     }),
+    // D169: Spearman rank correlation — the monotone-association read
+    // Pearson gets wrong on heavy tails: ranks on the half-integer
+    // grid (doubled → exact BIGINTs), five exact decimal moments, one
+    // closed form. The robust sibling of d28_correlation.
+    "d89_spearman" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("source"),
+        graft.text.TextFunctions.wordCount(col("text")).as("x"),
+        col("n_chars").as("y"))
+      graft.operators.RankCorrelation.spearman(docs, "x", "y",
+        Seq("source"))
+    }),
+    // D170: entropy l-diversity — the release-audit triad's stronger
+    // middle leg (distinct-l is gamed by a 99:1 class; entropy is
+    // not). Per-value −p·ln p on the 1e-9 grid → order-free class
+    // sums, effective l = e^H.
+    "d90_entropy_ldiv" -> ((s, d) =>
+      graft.operators.Anonymity.entropyLDiversity(
+        Tables.orders(s, d).select(col("o_orderstatus"),
+          pmod(col("o_custkey"), lit(10L)).as("seg"),
+          col("o_orderpriority")),
+        Seq("o_orderstatus", "seg"), "o_orderpriority", l = 3.0)),
     // D168: join-explosion audit — predict |A ⋈ B| and its key skew
     // from two per-key count aggs WITHOUT running the join (the 3am
     // OOM conversation, had at plan time). Self-join of events on
@@ -2684,6 +2706,17 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d89_spearman" -> graft.operators.RankCorrelation.sqlSpearman(
+      """SELECT source,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> len(t) > 0)) AS BIGINT) AS x,
+           n_chars AS y
+         FROM documents""",
+      groupCols = Seq("source")),
+    "d90_entropy_ldiv" -> graft.operators.Anonymity.sqlEntropyLDiversity(
+      """(SELECT o_orderstatus, o_custkey % 10 AS seg, o_orderpriority
+          FROM orders)""",
+      Seq("o_orderstatus", "seg"), "o_orderpriority", l = 3.0),
     "d88_join_audit" -> graft.operators.JoinAudit.sqlJoinCardinality(
       "SELECT user_id FROM events", "SELECT user_id FROM events",
       keys = Seq("user_id"), k = 10),
