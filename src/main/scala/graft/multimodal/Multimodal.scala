@@ -482,6 +482,31 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Block-modulated WAV fixture for the VAD family: sample i is
+    * `((i / 64) % 2) · 20000 + ((seed + i) % 7)` — alternating loud /
+    * near-silent 64-sample blocks with a tiny seed-keyed dither, a
+    * closed form the DuckDB oracle recomputes without the bytes.
+    * Mono PCM-16 (the block structure is the point, not channels). */
+  def wavBlockFixtureBytes(nFrames: Int, sampleRate: Int,
+                           seed: Long): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = (0 to 3).foreach(s => out.write(((v >> (8 * s)) & 0xff).toInt))
+    out.write("RIFF".getBytes("US-ASCII")); w32(36L + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16L)
+    w16(1); w16(1); w32(sampleRate.toLong)
+    w32(sampleRate.toLong * 2); w16(2); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen.toLong)
+    var i = 0
+    while (i < nFrames) {
+      w16((((i / 64) % 2) * 20000 + ((seed + i) % 7)).toInt)
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Batched WAV decode over the payload column, appending channels /
     * sample_rate / n_frames / mean_abs / peak_abs (nulls where the
     * payload is not PCM-16 WAV). Same partition-local batch shape as

@@ -271,6 +271,22 @@ object MultimodalQueries extends Registry {
         .select(col("asset_id"), col("frame_idx"), col("n_samples"),
           col("mean_abs"), col("peak_abs"), col("energy"))
     }),
+    // C6: energy VAD — voiced/unvoiced segmentation over the windowed
+    // frame energies of a block-modulated WAV fixture (alternating
+    // loud / near-silent 64-sample blocks): exact integer energy
+    // threshold, hangover gap-merge, min-length click filter. The
+    // speech pipeline's silence-trim step under the exact oracle.
+    "c6_vad_segments" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.wavBlockFixtureBytes(
+          (200 + id % 64).toInt, 8000, id)))
+        .toDF("asset_id", "payload")
+      val frames = Multimodal.audioFrameFeatures(fixture, frameLen = 32)
+      graft.multimodal.Vad.segments(frames,
+        threshPerSample = 100000000L, hangover = 1, minFrames = 2)
+    }),
     // C6 rows-only: real resize — decode the PNG fixture, bilinear
     // scale to 8x8, re-encode PNG, decode AGAIN and report the
     // round-tripped dimensions (all 8x8 ⇒ the plumbing is proven by
@@ -481,6 +497,51 @@ object MultimodalQueries extends Registry {
         CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak_abs,
         CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS energy
       FROM s""",
+    // c6_vad_segments: the block fixture recomputed closed-form —
+    // s(i) = ((i//64)%2)·20000 + ((id+i)%7), 32-sample windows,
+    // voiced at energy ≥ 1e8·n, hangover 1, minFrames 2.
+    "c6_vad_segments" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+          CAST(200 + doc_id % 64 AS BIGINT) AS total
+        FROM documents WHERE doc_id < 50
+      ), w AS (
+        SELECT asset_id, total,
+          unnest(range(0, CAST(ceil(CAST(total AS DOUBLE) / 32)
+            AS BIGINT))) AS frame_idx
+        FROM f
+      ), e AS (
+        SELECT asset_id, frame_idx,
+          CAST(len(smp) AS BIGINT) AS n_samples,
+          CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT)
+            AS energy
+        FROM (
+          SELECT asset_id, frame_idx,
+            list_transform(range(frame_idx * 32,
+                                 least((frame_idx + 1) * 32, total)),
+              i -> ((i // 64) % 2) * 20000 + ((asset_id + i) % 7)) AS smp
+          FROM w)
+      ), voiced AS (
+        SELECT asset_id, frame_idx FROM e
+        WHERE energy >= 100000000 * n_samples
+      ), marked AS (
+        SELECT asset_id, frame_idx,
+          CASE WHEN lag(frame_idx) OVER win IS NULL
+                 OR frame_idx - lag(frame_idx) OVER win > 2
+               THEN 1 ELSE 0 END AS newseg
+        FROM voiced
+        WINDOW win AS (PARTITION BY asset_id ORDER BY frame_idx)
+      ), seg AS (
+        SELECT asset_id, frame_idx,
+          CAST(sum(newseg) OVER (PARTITION BY asset_id ORDER BY frame_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS seg_idx
+        FROM marked)
+      SELECT asset_id, seg_idx,
+        min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+        CAST(count(*) AS BIGINT) AS n_voiced
+      FROM seg GROUP BY asset_id, seg_idx
+      HAVING count(*) >= 2""",
     "c6_phash" -> """
       WITH f AS (
         SELECT doc_id AS asset_id,

@@ -28,12 +28,14 @@ object SimilarityQueries extends Registry {
         dim = 64, k = 3)),
     // C3: hard-negative mining — per anchor, the most-similar
     // CROSS-LABEL examples (the negatives a contrastive batch needs;
-    // random negatives are separable and teach nothing). Bounded
-    // broadcast anchor side, one corpus scan, exact oracle.
+    // random negatives are separable and teach nothing). The anchor
+    // side is a FIXED batch (vec_id < 50 — constant under corpus
+    // growth, matching the bounded-batch contract); one corpus scan,
+    // exact oracle.
     "c3_hard_negatives" -> ((s, d) =>
       graft.similarity.HardNegatives.mine(Tables.embeddings(s, d),
         "vec_id", "embedding", "label",
-        pmod(col("vec_id"), lit(50)) === 0, k = 5)),
+        col("vec_id") < 50, k = 5)),
     // C3: simplified silhouette — per-cluster fit quality under the
     // k-means model ((b−a)/max over the two nearest centroids, one
     // scan through the native CentroidTopK). The k-picker / degenerate
@@ -115,11 +117,17 @@ object SimilarityQueries extends Registry {
     // C2: SemDeDup (Abbas et al. 2023) — k-means cluster blocking +
     // within-cluster cosine dedup, survivor = farthest-from-centroid.
     // The third near-dup blocking strategy (lexical bands, LSH
-    // sketches, semantic clusters); rows+spec like its family.
-    "c2_semdedup" -> ((s, d) =>
-      graft.dedup.SemDedup.dedup(Tables.embeddings(s, d), "vec_id",
-        "embedding", k = 8, tau = 0.45)
-        .select(col("vec_id"), col("label"))),
+    // sketches, semantic clusters); rows+spec like its family. k SIZES
+    // WITH THE CORPUS (n/64, floor 8) — the published Σ|cluster|² cost
+    // only holds when cluster size is held bounded, and the 10× probe
+    // runs this query verbatim.
+    "c2_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val k = math.max(8L, emb.count() / 64L).toInt
+      graft.dedup.SemDedup.dedup(emb, "vec_id", "embedding",
+        k = k, tau = 0.45)
+        .select(col("vec_id"), col("label"))
+    }),
     // C3: int8 scalar quantization — per-vector scale, quantized
     // codes, and the reconstruction-error bound a serving index would
     // monitor. Within-row arithmetic only → exact oracle.
@@ -326,7 +334,7 @@ object SimilarityQueries extends Registry {
     "c3_hard_negatives" -> s"""
       WITH anc AS (SELECT vec_id AS a, label AS a_label,
                      embedding::DOUBLE[] AS va
-                   FROM embeddings WHERE vec_id % 50 = 0),
+                   FROM embeddings WHERE vec_id < 50),
       corp AS (SELECT vec_id AS b, label AS b_label,
                  embedding::DOUBLE[] AS vb
                FROM embeddings),

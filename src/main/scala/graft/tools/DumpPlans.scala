@@ -110,7 +110,24 @@ object DumpPlans {
     "d79_yuen_trimmed",
     // round-10g: waterfilling — bounded domain-axis windows, the
     // 1-row level broadcast back
-    "d80_waterfill")
+    "d80_waterfill",
+    // round-10i: LM perplexity — tokenize scan, doc-keyed lag window,
+    // three model-keyed joins (vocab side broadcast at this SF)
+    "c5_lm_perplexity",
+    // round-10i: Mahalanobis — 1-row moment agg broadcast into the
+    // scored scan, TakeOrderedAndProject top-k
+    "d83_mahalanobis",
+    // round-10i: Adamic–Adar — degree-capped wedge equi-join,
+    // adjacency anti-join, sort/limit
+    "d85_adamic_adar",
+    // round-10j: nearest as-of — ONE exchange, two window sorts
+    "d1_asof_nearest",
+    // round-10j: join audit — two partial-agg'd per-key counts,
+    // key-axis join, no corpus shuffle
+    "d88_join_audit",
+    // round-10j: Spearman — distinct-value-axis rank windows joined
+    // back, one grouped moment agg
+    "d89_spearman")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

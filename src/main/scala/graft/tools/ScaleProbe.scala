@@ -260,7 +260,14 @@ object ScaleProbe {
       // (one CentroidTopK scan — expect ~linear)
       "c5_lm_perplexity", "c7_ppl_buckets", "d83_mahalanobis",
       "d84_ols", "d85_adamic_adar", "d86_hits", "d87_markov_attribution",
-      "c2_semdedup", "c3_hard_negatives", "c3_silhouette")
+      "c2_semdedup", "c3_hard_negatives", "c3_silhouette",
+      // round-10j: nearest as-of (one exchange, two window sorts —
+      // the asof shape, linear), join audit (two per-key count aggs —
+      // scan), Spearman (DISTINCT-value-axis windows — the ecdf grid
+      // contract; watch if the value axis grows), entropy l-div
+      // ((quasi, sensitive)-axis aggs — bounded, expect ~flat)
+      "d1_asof_nearest", "d88_join_audit", "d89_spearman",
+      "d90_entropy_ldiv")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
