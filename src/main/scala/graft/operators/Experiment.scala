@@ -1698,4 +1698,115 @@ object Experiment {
       round($diff / $seClu, 6) AS t_cluster
     FROM sums"""
   }
+
+  /** EVENT STUDY (lead–lag DiD) — the diagnostic that makes
+    * [[diffInDiff]] TRUSTABLE: estimate the treated−control gap in
+    * EVERY period relative to a base period,
+    *
+    *   es(p) = (ȳ_{t,p} − ȳ_{c,p}) − (ȳ_{t,b} − ȳ_{c,b})
+    *
+    * with the four-cell independent-samples SE per period. Pre-rollout
+    * periods read the PARALLEL-TRENDS assumption directly (they should
+    * sit at ≈ 0 — a sloped pre-period means the 2×2 DiD is eating a
+    * trend difference, not a treatment effect); post periods trace the
+    * effect's dynamics instead of averaging them away.
+    *
+    * Determinism/scale: ONE conditional exact-sum aggregate keyed on
+    * (group × period) — the bounded period axis — then the base
+    * period's cells broadcast into a per-period closed form. No
+    * windows, no corpus joins. Output one row per period:
+    * `(period, n_t, n_c, mean_t (6dp), mean_c, diff, effect, se,
+    * t_effect)`; the base period reports effect 0 with null se/t (its
+    * comparison is with itself). */
+  def eventStudy(rows: DataFrame, groupCol: String, periodCol: String,
+                 metricCol: String, treated: String, control: String,
+                 basePeriod: Long): DataFrame = {
+    val m = col(metricCol)
+    def cells(g: String) = Seq(
+      count(when(col(groupCol) === g, lit(1))).as(s"n_$g"),
+      sum(when(col(groupCol) === g, m)).as(s"s_$g"),
+      sum(when(col(groupCol) === g, m * m)).as(s"q_$g"))
+    val byPeriod = rows
+      .groupBy(col(periodCol).cast("long").as("period"))
+      .agg(cells(treated).head,
+        (cells(treated).tail ++ cells(control)): _*)
+    def d(c: Column) = c.cast("double")
+    def mean(s: String) = d(col(s"s_$s")) / d(col(s"n_$s"))
+    def varN(s: String) =
+      ((d(col(s"q_$s")) - d(col(s"s_$s")) * d(col(s"s_$s")) /
+        d(col(s"n_$s"))) / (d(col(s"n_$s")) - lit(1.0))) /
+        d(col(s"n_$s"))
+    val base = byPeriod.filter(col("period") === basePeriod)
+      .select(col("n_" + treated).as("__bnt"),
+        col("s_" + treated).as("__bst"), col("q_" + treated).as("__bqt"),
+        col("n_" + control).as("__bnc"),
+        col("s_" + control).as("__bsc"), col("q_" + control).as("__bqc"))
+    def bMean(n: String, s: String) = d(col(s)) / d(col(n))
+    def bVarN(n: String, s: String, q: String) =
+      ((d(col(q)) - d(col(s)) * d(col(s)) / d(col(n)))
+        / (d(col(n)) - lit(1.0))) / d(col(n))
+    val diff = mean(treated) - mean(control)
+    val baseDiff = bMean("__bnt", "__bst") - bMean("__bnc", "__bsc")
+    val effect = diff - baseDiff
+    val se = sqrt(varN(treated) + varN(control) +
+      bVarN("__bnt", "__bst", "__bqt") + bVarN("__bnc", "__bsc", "__bqc"))
+    val isBase = col("period") === basePeriod
+    byPeriod.crossJoin(broadcast(base))
+      .select(col("period"),
+        col("n_" + treated).as("n_t"), col("n_" + control).as("n_c"),
+        round(mean(treated), 6).as("mean_t"),
+        round(mean(control), 6).as("mean_c"),
+        round(diff, 6).as("diff"),
+        when(isBase, lit(0.0)).otherwise(round(effect, 6)).as("effect"),
+        when(isBase, lit(null).cast("double"))
+          .otherwise(round(se, 6)).as("se"),
+        when(isBase, lit(null).cast("double"))
+          .otherwise(round(effect / se, 6)).as("t_effect"))
+  }
+
+  /** DuckDB twin of [[eventStudy]]: `rowsSql` must select
+    * `(grp, period, m)` with `m` on an exact grid, period integral. */
+  def sqlEventStudy(rowsSql: String, treated: String, control: String,
+                    basePeriod: Long): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def mean(n: String, s: String) = s"(${d(s)} / ${d(n)})"
+    def varN(n: String, s: String, q: String) =
+      s"""(((${d(q)} - ${d(s)} * ${d(s)} / ${d(n)})
+        / (${d(n)} - 1.0e0)) / ${d(n)})"""
+    val diff = s"(${mean("n_t", "s_t")} - ${mean("n_c", "s_c")})"
+    val baseDiff = s"(${mean("bnt", "bst")} - ${mean("bnc", "bsc")})"
+    val effect = s"($diff - $baseDiff)"
+    val se = s"""sqrt(${varN("n_t", "s_t", "q_t")}
+      + ${varN("n_c", "s_c", "q_c")} + ${varN("bnt", "bst", "bqt")}
+      + ${varN("bnc", "bsc", "bqc")})"""
+    s"""
+    WITH r0 AS (SELECT grp, CAST(period AS BIGINT) AS period, m
+                FROM ($rowsSql)),
+    byp AS (
+      SELECT period,
+        CAST(count(CASE WHEN grp = '$treated' THEN 1 END) AS BIGINT)
+          AS n_t,
+        sum(CASE WHEN grp = '$treated' THEN m END) AS s_t,
+        sum(CASE WHEN grp = '$treated' THEN m * m END) AS q_t,
+        CAST(count(CASE WHEN grp = '$control' THEN 1 END) AS BIGINT)
+          AS n_c,
+        sum(CASE WHEN grp = '$control' THEN m END) AS s_c,
+        sum(CASE WHEN grp = '$control' THEN m * m END) AS q_c
+      FROM r0 GROUP BY period
+    ), base AS (
+      SELECT n_t AS bnt, s_t AS bst, q_t AS bqt,
+        n_c AS bnc, s_c AS bsc, q_c AS bqc
+      FROM byp WHERE period = $basePeriod)
+    SELECT period, n_t, n_c,
+      round(${mean("n_t", "s_t")}, 6) AS mean_t,
+      round(${mean("n_c", "s_c")}, 6) AS mean_c,
+      round($diff, 6) AS diff,
+      CASE WHEN period = $basePeriod THEN 0e0
+        ELSE round($effect, 6) END AS effect,
+      CASE WHEN period = $basePeriod THEN NULL
+        ELSE round($se, 6) END AS se,
+      CASE WHEN period = $basePeriod THEN NULL
+        ELSE round($effect / $se, 6) END AS t_effect
+    FROM byp, base"""
+  }
 }

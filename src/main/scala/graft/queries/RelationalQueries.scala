@@ -1067,6 +1067,23 @@ object RelationalQueries extends Registry {
       graft.operators.JoinAudit.joinCardinality(ev, ev, Seq("user_id"),
         k = 10)
     }),
+    // D172: event study (lead–lag DiD) — per-week treated−control gaps
+    // relative to week 0: the parallel-trends diagnostic that makes
+    // d82's 2×2 trustable (sloped pre-periods = the DiD eats a trend,
+    // not an effect). One (group × week) conditional exact-sum agg.
+    "d91_event_study" -> ((s, d) => {
+      val perUserWeek = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          floor((dayofmonth(col("ts")) - 1) / 7).cast("long").as("week"))
+        .agg(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)").as("m"))
+        .withColumn("grp", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treated"), salt = 17))
+      graft.operators.Experiment.eventStudy(perUserWeek, "grp", "week",
+        "m", "treated", "control", basePeriod = 0L)
+    }),
     // D162: Markov removal-effect attribution — data-driven multi-touch
     // credit (Anderl et al. 2014): journeys → transition counts
     // (distributed), then k-step INTEGER absorption mass per
@@ -2706,6 +2723,17 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d91_event_study" -> graft.operators.Experiment.sqlEventStudy(
+      s"""SELECT ${graft.operators.Experiment.sqlVariantOf("user_id",
+             Seq("control", "treated"), salt = 17)} AS grp, week AS period,
+           m
+         FROM (SELECT user_id,
+             CAST(floor((dayofmonth(ts) - 1) / 7) AS BIGINT) AS week,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m
+           FROM events GROUP BY 1, 2)""",
+      "treated", "control", basePeriod = 0L),
     "d89_spearman" -> graft.operators.RankCorrelation.sqlSpearman(
       """SELECT source,
            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -481,4 +481,42 @@ class ExperimentSpec extends SparkSpec {
     assert(math.abs(r.getDouble(9) - 1.0) < 1e-6,
       s"design_effect ${r.getDouble(9)}")
   }
+
+  test("eventStudy: flat pre-periods, dynamic post effect, base row") {
+    // periods 0,1 pre (gap fixed at 5 → effect 0), 2,3 post with the
+    // treated arm pulling ahead by +3 then +6
+    def cell(g: String, p: Int, base: Int) =
+      Seq((g, p, base), (g, p, base + 2))
+    val rows = (
+      cell("t", 0, 14) ++ cell("c", 0, 9) ++   // diff 5 (base)
+      cell("t", 1, 19) ++ cell("c", 1, 14) ++  // diff 5 → effect 0
+      cell("t", 2, 27) ++ cell("c", 2, 19) ++  // diff 8 → effect 3
+      cell("t", 3, 35) ++ cell("c", 3, 24))    // diff 11 → effect 6
+      .toDF("grp", "period", "m0")
+      .select(col("grp"), col("period"),
+        col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.eventStudy(rows, "grp", "period", "m", "t", "c",
+      basePeriod = 0L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(5), x.getDouble(6),
+          if (x.isNullAt(7)) None else Some(x.getDouble(7)))).toMap
+    assert(r(0L) === ((5.0, 0.0, None)), r.toString) // base: se null
+    assert(r(1L)._2 === 0.0, "pre-period reads parallel trends")
+    assert(r(2L)._2 === 3.0 && r(3L)._2 === 6.0, r.toString)
+    // every cell has n=2, var=2 → varN=1; se = sqrt(4) = 2
+    assert(r(1L)._3 === Some(2.0) && r(2L)._3 === Some(2.0))
+  }
+
+  test("eventStudy: a pure common trend reads zero in every period") {
+    val rows = (0 to 3).flatMap(p => Seq(
+      ("t", p, 10 + 10 * p), ("t", p, 12 + 10 * p),
+      ("c", p, 5 + 10 * p), ("c", p, 7 + 10 * p)))
+      .toDF("grp", "period", "m0")
+      .select(col("grp"), col("period"),
+        col("m0").cast("decimal(18,2)").as("m"))
+    val effects = Experiment.eventStudy(rows, "grp", "period", "m",
+      "t", "c", basePeriod = 0L)
+      .collect().map(_.getDouble(6))
+    assert(effects.forall(_ === 0.0), effects.mkString(","))
+  }
 }
