@@ -153,4 +153,115 @@ object Calibration {
       Iterator.fill(span)(sy.toDouble / n.toDouble)
     }.toArray
   }
+
+  /** BRIER SCORE with the MURPHY DECOMPOSITION — the single-number
+    * twin of the reliability table, split into its three causes:
+    *
+    *   Brier ≈ REL − RES + UNC,
+    *   REL = Σ n_k(p̄_k − ō_k)²/N   (miscalibration — fixable),
+    *   RES = Σ n_k(ō_k − ō)²/N     (discrimination — the model's worth),
+    *   UNC = ō(1 − ō)              (the task's inherent noise floor)
+    *
+    * so "the score is bad" decomposes into "badly calibrated" vs
+    * "can't discriminate" vs "the task is just hard" — three different
+    * fixes. The DIRECT Brier Σ(s − y)²/N is reported alongside (the
+    * decomposition identity is exact only within-bin-constant scores;
+    * the gap is the within-bin variance, worth seeing).
+    *
+    * Determinism/scale: one binned hash agg ([[reliability]]'s shape);
+    * per-bin REL/RES contributions are quantized to the 1e-12 grid so
+    * the bin sums are exact BIGINTs (order-free); the direct Brier is
+    * exact decimal sums (Σs², Σsy, Σy — y² = y) with one division.
+    * Output ONE row: `(n, brier, reliability, resolution,
+    * uncertainty, brier_decomp)` (6 dp). */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+                         labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2)
+    val s = col(scoreCol).cast("decimal(18,6)")
+    val bin = least(floor(col(scoreCol).cast("double") * nBins),
+      lit((nBins - 1).toDouble)).cast("long")
+    val perBin = df
+      .select(bin.as("bin"), s.as("__s"),
+        col(labelCol).cast("int").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"),
+        sum(col("__s") * col("__s")).as("__ss2"),
+        sum(col("__s") * col("__y")).as("__ssy"),
+        sum(col("__y")).as("__sy"))
+    // NOTE: totals must not collide case-insensitively with perBin's
+    // names (Spark resolves case-insensitively — `__sy` ≡ `__SY`)
+    val tot = perBin.agg(sum(col("n")).as("__tn"),
+      sum(col("__sy")).as("__ty"), sum(col("__ss2")).as("__ts2"),
+      sum(col("__ssy")).as("__tsy"))
+    def d(c: Column) = c.cast("double")
+    val conf = d(col("__ss")) / d(col("n"))
+    val acc = d(col("__sy")) / d(col("n"))
+    val oBar = d(col("__ty")) / d(col("__tn"))
+    val relTerm = floor(d(col("n")) / d(col("__tn")) *
+      (conf - acc) * (conf - acc) * lit(1e12) + lit(0.5)).cast("bigint")
+    val resTerm = floor(d(col("n")) / d(col("__tn")) *
+      (acc - oBar) * (acc - oBar) * lit(1e12) + lit(0.5)).cast("bigint")
+    perBin.crossJoin(broadcast(tot))
+      .select(col("__tn"), col("__ty"), col("__ts2"), col("__tsy"),
+        relTerm.as("__rel"), resTerm.as("__res"))
+      .groupBy(col("__tn"), col("__ty"), col("__ts2"), col("__tsy"))
+      .agg(sum(col("__rel")).as("__relS"), sum(col("__res")).as("__resS"))
+      .select(col("__tn").as("n"),
+        round((d(col("__ts2")) - lit(2.0) * d(col("__tsy")) +
+          d(col("__ty"))) / d(col("__tn")), 6).as("brier"),
+        round(d(col("__relS")) / lit(1e12), 6).as("reliability"),
+        round(d(col("__resS")) / lit(1e12), 6).as("resolution"),
+        round((d(col("__ty")) / d(col("__tn"))) *
+          (lit(1.0) - d(col("__ty")) / d(col("__tn"))), 6)
+          .as("uncertainty"),
+        round(d(col("__relS")) / lit(1e12) - d(col("__resS")) / lit(1e12)
+          + (d(col("__ty")) / d(col("__tn"))) *
+            (lit(1.0) - d(col("__ty")) / d(col("__tn"))), 6)
+          .as("brier_decomp"))
+  }
+
+  /** DuckDB twin of [[brierDecomposition]]: `scoredSql` must select
+    * `(score, label)` with score on the 6-dp grid. */
+  def sqlBrierDecomposition(scoredSql: String, nBins: Int = 10):
+      String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val conf = s"(${d("ss")} / ${d("n")})"
+    val acc = s"(${d("sy")} / ${d("n")})"
+    val oBar = s"(${d("yt")} / ${d("nt")})"
+    s"""
+    WITH s0 AS (
+      SELECT least(CAST(floor(CAST(score AS DOUBLE) * $nBins) AS BIGINT),
+               ${nBins - 1}) AS bin,
+        CAST(score AS DECIMAL(18,6)) AS s, CAST(label AS INT) AS y
+      FROM ($scoredSql)
+    ), pb AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(s) AS ss,
+        sum(s * s) AS ss2, sum(s * y) AS ssy,
+        CAST(sum(y) AS BIGINT) AS sy
+      FROM s0 GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(sy) AS BIGINT) AS yt,
+        sum(ss2) AS s2t, sum(ssy) AS syt
+      FROM pb
+    ), terms AS (
+      SELECT nt, yt, s2t, syt,
+        CAST(floor(${d("n")} / ${d("nt")} * ($conf - $acc)
+          * ($conf - $acc) * 1e12 + 0.5e0) AS BIGINT) AS relb,
+        CAST(floor(${d("n")} / ${d("nt")} * ($acc - $oBar)
+          * ($acc - $oBar) * 1e12 + 0.5e0) AS BIGINT) AS resb
+      FROM pb, tot
+    ), agg AS (
+      SELECT nt, yt, s2t, syt, CAST(sum(relb) AS BIGINT) AS rels,
+        CAST(sum(resb) AS BIGINT) AS ress
+      FROM terms GROUP BY nt, yt, s2t, syt)
+    SELECT nt AS n,
+      round((${d("s2t")} - 2.0e0 * ${d("syt")} + ${d("yt")})
+        / ${d("nt")}, 6) AS brier,
+      round(${d("rels")} / 1e12, 6) AS reliability,
+      round(${d("ress")} / 1e12, 6) AS resolution,
+      round($oBar * (1e0 - $oBar), 6) AS uncertainty,
+      round(${d("rels")} / 1e12 - ${d("ress")} / 1e12
+        + $oBar * (1e0 - $oBar), 6) AS brier_decomp
+    FROM agg"""
+  }
 }

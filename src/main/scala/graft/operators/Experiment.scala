@@ -1699,6 +1699,62 @@ object Experiment {
     FROM sums"""
   }
 
+  /** UCB1 ALLOCATION (Auer et al. 2002) — the DECISION layer over the
+    * experiment family's estimates: given per-unit rewards by variant,
+    * score each arm
+    *
+    *   ucb(v) = x̄_v + c·√(2·ln N / n_v)
+    *
+    * and route the next traffic block to the argmax — optimism under
+    * uncertainty, the standard bandit read when a platform graduates
+    * from fixed-horizon tests to adaptive allocation. `c` rescales
+    * the exploration bonus for rewards outside [0, 1] (UCB1's
+    * assumption; pass the metric's range).
+    *
+    * Determinism/scale: ONE hash agg to (variant, n, Σm) — exact
+    * decimal sums — then a variant-axis closed form; `chosen` ranks
+    * on (ucb DESC, variant), a total order. Output per variant:
+    * `(variant, n, mean, bonus, ucb (6 dp), chosen)`. */
+  def ucbAllocation(rows: DataFrame, variantCol: String,
+                    metricCol: String, c: Double = 1.0): DataFrame = {
+    val sums = rows.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col(metricCol)).as("__s"))
+    val tot = sums.agg(sum(col("n")).as("__N"))
+    def d(x: Column) = x.cast("double")
+    val mean = d(col("__s")) / d(col("n"))
+    val bonus = lit(c) * sqrt(lit(2.0) * log(d(col("__N"))) / d(col("n")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("ucb").desc, col("variant"))
+    sums.crossJoin(broadcast(tot))
+      .select(col("variant"), col("n"), round(mean, 6).as("mean"),
+        round(bonus, 6).as("bonus"), round(mean + bonus, 6).as("ucb"))
+      .withColumn("chosen",
+        (row_number().over(w) === 1).cast("int"))
+  }
+
+  /** DuckDB twin of [[ucbAllocation]]: `rowsSql` must select
+    * `(variant, m)` with `m` on an exact grid. */
+  def sqlUcbAllocation(rowsSql: String, c: Double = 1.0): String = {
+    import graft.functions.Noise.sqlDouble
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val mean = s"(${d("s")} / ${d("n")})"
+    val bonus =
+      s"(${sqlDouble(c)} * sqrt(2.0e0 * ln(${d("nt")}) / ${d("n")}))"
+    s"""
+    WITH sums AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n, sum(m) AS s
+      FROM ($rowsSql) GROUP BY variant
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM sums),
+    scored AS (
+      SELECT variant, n, round($mean, 6) AS mean,
+        round($bonus, 6) AS bonus, round($mean + $bonus, 6) AS ucb
+      FROM sums, tot)
+    SELECT variant, n, mean, bonus, ucb,
+      CAST(row_number() OVER (ORDER BY ucb DESC, variant) = 1 AS INT)
+        AS chosen
+    FROM scored"""
+  }
+
   /** EVENT STUDY (lead–lag DiD) — the diagnostic that makes
     * [[diffInDiff]] TRUSTABLE: estimate the treated−control gap in
     * EVERY period relative to a base period,

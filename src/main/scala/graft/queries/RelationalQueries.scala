@@ -1067,6 +1067,34 @@ object RelationalQueries extends Registry {
       graft.operators.JoinAudit.joinCardinality(ev, ev, Seq("user_id"),
         k = 10)
     }),
+    // D173: regression discontinuity — the third quasi-experimental
+    // read: local linear both sides of a running-variable cutoff
+    // (quantity 25 ± 10); the jump at the cutoff is the effect (≈ 0
+    // on this data — the null read is the point). One conditional
+    // exact-sum agg, twelve moments, one closed form.
+    "d93_rdd" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("decimal(12,2)").as("r"),
+        col("l_extendedprice").cast("decimal(12,2)").as("y"))
+      graft.operators.Regression.discontinuity(li, "r", "y",
+        cutoff = 25.0, bandwidth = 10.0)
+    }),
+    // D174: UCB1 bandit allocation — the decision layer over the
+    // experiment estimates: optimism bonus per arm, route the next
+    // block to the argmax. Exact per-arm sums, variant-axis closed
+    // form, (ucb DESC, variant) pick.
+    "d94_ucb" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)").as("m"))
+        .withColumn("variant", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("arm_a", "arm_b", "arm_c"), salt = 23))
+      graft.operators.Experiment.ucbAllocation(perUser, "variant", "m",
+        c = 100.0)
+    }),
     // D172: event study (lead–lag DiD) — per-week treated−control gaps
     // relative to week 0: the parallel-trends diagnostic that makes
     // d82's 2×2 trustable (sloped pre-periods = the DiD eats a trend,
@@ -2723,6 +2751,20 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d93_rdd" -> graft.operators.Regression.sqlDiscontinuity(
+      """SELECT CAST(l_quantity AS DECIMAL(12,2)) AS r,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+         FROM lineitem""",
+      cutoff = 25.0, bandwidth = 10.0),
+    "d94_ucb" -> graft.operators.Experiment.sqlUcbAllocation(
+      s"""SELECT ${graft.operators.Experiment.sqlVariantOf("user_id",
+             Seq("arm_a", "arm_b", "arm_c"), salt = 23)} AS variant, m
+         FROM (SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m
+           FROM events GROUP BY user_id)""",
+      c = 100.0),
     "d91_event_study" -> graft.operators.Experiment.sqlEventStudy(
       s"""SELECT ${graft.operators.Experiment.sqlVariantOf("user_id",
              Seq("control", "treated"), salt = 17)} AS grp, week AS period,

@@ -220,6 +220,15 @@ object TextQueries extends Registry {
           .select(TextFunctions.qualityScore(col("text")).as("score"),
             (col("n_chars") >= 200).cast("int").as("label")),
         "score", "label")),
+    // C7: Brier + Murphy decomposition — the single-number twin of the
+    // reliability table split into its causes: miscalibration (REL) vs
+    // discrimination (RES) vs task noise (UNC). Same score/label pair.
+    "c7_brier_decomposition" -> ((s, d) =>
+      graft.operators.Calibration.brierDecomposition(
+        Tables.documents(s, d)
+          .select(TextFunctions.qualityScore(col("text")).as("score"),
+            (col("n_chars") >= 200).cast("int").as("label")),
+        "score", "label")),
     // C7: the calibration FIX — isotonic (PAV) step map over the same
     // score/label pair: one bounded-bin hash agg, exact integer
     // pooling driver-side. Iterative fixpoint → rows-only,
@@ -948,6 +957,15 @@ object TextQueries extends Registry {
         SELECT lang AS a, $pick AS b FROM r""")
     },
     "c7_quality_calibration" -> graft.operators.Calibration.sqlReliability(s"""
+      WITH t AS (
+        SELECT doc_id, n_chars, ${sqlToks("text")} AS toks FROM documents
+      ), p AS (
+        SELECT doc_id, n_chars, $sqlQualityInputs FROM t)
+      SELECT $sqlQualityExpr AS score,
+        CAST(n_chars >= 200 AS INT) AS label
+      FROM p"""),
+    "c7_brier_decomposition" ->
+      graft.operators.Calibration.sqlBrierDecomposition(s"""
       WITH t AS (
         SELECT doc_id, n_chars, ${sqlToks("text")} AS toks FROM documents
       ), p AS (

@@ -100,4 +100,33 @@ class CalibrationSpec extends SparkSpec {
     assert(c.map(r => (r.getDouble(2), r.getDouble(3)))
       .forall { case (raw, cal2) => raw === cal2 })
   }
+
+  test("brier decomposition: hand-computed two-bin case") {
+    // bin .0x: scores .05, labels (0,0,0,1) → conf .05, acc .25
+    // bin .9x: scores .95, labels (1,1,1,0) → conf .95, acc .75
+    val df = (Seq.fill(3)((0.05, 0)) ++ Seq((0.05, 1)) ++
+      Seq.fill(3)((0.95, 1)) ++ Seq((0.95, 0)))
+      .toDF("score", "label")
+    val r = Calibration.brierDecomposition(df, "score", "label").head
+    assert(r.getLong(0) === 8L)
+    // direct: Σ(s−y)²/8 = (3·.0025 + .9025 + 3·.0025 + .9025)/8 = .2275
+    assert(math.abs(r.getDouble(1) - 0.2275) < 1e-6, r.toString)
+    // REL = ½(.05−.25)² + ½(.95−.75)² = .04
+    assert(math.abs(r.getDouble(2) - 0.04) < 1e-6, r.toString)
+    // ō = .5; RES = ½(.25−.5)² + ½(.75−.5)² = .0625; UNC = .25
+    assert(math.abs(r.getDouble(3) - 0.0625) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 0.25) < 1e-6)
+    // within-bin-constant scores → the identity is exact
+    assert(math.abs(r.getDouble(5) - r.getDouble(1)) < 1e-6,
+      s"decomp ${r.getDouble(5)} vs direct ${r.getDouble(1)}")
+  }
+
+  test("brier: a perfect hard classifier scores 0 everywhere it can") {
+    val df = (Seq.fill(5)((0.0, 0)) ++ Seq.fill(5)((1.0, 1)))
+      .toDF("score", "label")
+    val r = Calibration.brierDecomposition(df, "score", "label").head
+    assert(r.getDouble(1) === 0.0 && r.getDouble(2) === 0.0)
+    assert(math.abs(r.getDouble(3) - 0.25) < 1e-6, "RES = UNC")
+    assert(math.abs(r.getDouble(5)) < 1e-6)
+  }
 }

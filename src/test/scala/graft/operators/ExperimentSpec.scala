@@ -507,6 +507,32 @@ class ExperimentSpec extends SparkSpec {
     assert(r(1L)._3 === Some(2.0) && r(2L)._3 === Some(2.0))
   }
 
+  test("ucbAllocation: optimism picks the under-sampled arm on ties") {
+    // arm a: 16 pulls mean 10; arm b: 4 pulls mean 10 — equal means,
+    // b's bonus is twice a's (√(1/4) vs √(1/16) scaling) → b chosen
+    val rows = (Seq.fill(16)(("a", 10)) ++ Seq.fill(4)(("b", 10)))
+      .toDF("variant", "m0")
+      .select(col("variant"), col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.ucbAllocation(rows, "variant", "m")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getInt(5)))
+      .toMap
+    val bonusA = math.sqrt(2.0 * math.log(20.0) / 16.0)
+    val bonusB = math.sqrt(2.0 * math.log(20.0) / 4.0)
+    assert(math.abs(r("a")._3 - bonusA) < 1e-6, r.toString)
+    assert(math.abs(r("b")._3 - bonusB) < 1e-6)
+    assert(r("b")._4 === 1 && r("a")._4 === 0, "explore the thin arm")
+  }
+
+  test("ucbAllocation: a decisively better arm wins despite fewer pulls") {
+    val rows = (Seq.fill(50)(("a", 10)) ++ Seq.fill(30)(("b", 30)))
+      .toDF("variant", "m0")
+      .select(col("variant"), col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.ucbAllocation(rows, "variant", "m", c = 1.0)
+      .collect().map(x => x.getString(0) -> x.getInt(5)).toMap
+    assert(r("b") === 1 && r("a") === 0)
+  }
+
   test("eventStudy: a pure common trend reads zero in every period") {
     val rows = (0 to 3).flatMap(p => Seq(
       ("t", p, 10 + 10 * p), ("t", p, 12 + 10 * p),
