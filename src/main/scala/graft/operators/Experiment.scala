@@ -1699,6 +1699,105 @@ object Experiment {
     FROM sums"""
   }
 
+  /** INSTRUMENTAL VARIABLES (the Wald estimator) — the causal read
+    * when treatment is self-selected but an INSTRUMENT nudges it: an
+    * encouragement z (the email, the eligibility cutoff, the random
+    * offer) that moves takeup d but touches the outcome y only
+    * through d. Then
+    *
+    *   LATE = (ȳ₁ − ȳ₀) / (d̄₁ − d̄₀)
+    *
+    * — the intent-to-treat effect scaled by the first stage — with
+    * the delta-method SE
+    *
+    *   se² = (se²_itt + LATE²·se²_fs) / (d̄₁ − d̄₀)²
+    *
+    * (independent-arms form). Completes the quasi-experimental
+    * family: DiD nets trends, the event study reads the pre-trend,
+    * RDD reads a cutoff jump, IV reads non-compliance. The first
+    * stage (d̄₁ − d̄₀) is reported with its own t — a WEAK instrument
+    * (small first stage) makes the ratio explode, and the readout
+    * shows it instead of hiding it.
+    *
+    * Determinism/scale: ONE conditional exact-sum aggregate over the
+    * two instrument arms (y, d, y², d², y·d sums), then a closed
+    * form. `dCol` must be on an exact grid (0/1 takeup or a dosage
+    * grid). Output one row: `(n0, n1, itt (6dp), first_stage, late,
+    * se, t, t_first_stage)`. */
+  def ivWald(rows: DataFrame, zCol: String, dCol: String,
+             metricCol: String): DataFrame = {
+    val y = col(metricCol); val dd = col(dCol)
+    def arm(v: Int, c: Column) = sum(when(col(zCol) === v, c))
+    val sums = rows.agg(
+      count(when(col(zCol) === 0, lit(1))).as("n0"),
+      count(when(col(zCol) === 1, lit(1))).as("n1"),
+      arm(0, y).as("sy0"), arm(1, y).as("sy1"),
+      arm(0, y * y).as("qy0"), arm(1, y * y).as("qy1"),
+      arm(0, dd).as("sd0"), arm(1, dd).as("sd1"),
+      arm(0, dd * dd).as("qd0"), arm(1, dd * dd).as("qd1"))
+    def d(c: String) = col(c).cast("double")
+    def mean(s: String, n: String) = d(s) / d(n)
+    def varN(q: String, s: String, n: String) =
+      ((d(q) - d(s) * d(s) / d(n)) / (d(n) - lit(1.0))) / d(n)
+    val itt = mean("sy1", "n1") - mean("sy0", "n0")
+    val fs = mean("sd1", "n1") - mean("sd0", "n0")
+    val seItt2 = varN("qy1", "sy1", "n1") + varN("qy0", "sy0", "n0")
+    val seFs2 = varN("qd1", "sd1", "n1") + varN("qd0", "sd0", "n0")
+    val late = itt / fs
+    val se = sqrt((seItt2 + late * late * seFs2) / (fs * fs))
+    // a DEAD instrument (fs exactly 0) nulls the ratio columns instead
+    // of erroring under ANSI division — the first-stage t still reads 0
+    val alive = fs =!= 0
+    sums.select(col("n0"), col("n1"),
+      round(itt, 6).as("itt"), round(fs, 6).as("first_stage"),
+      when(alive, round(late, 6)).as("late"),
+      when(alive, round(se, 6)).as("se"),
+      when(alive, round(late / se, 6)).as("t"),
+      when(sqrt(seFs2) =!= 0, round(fs / sqrt(seFs2), 6))
+        .as("t_first_stage"))
+  }
+
+  /** DuckDB twin of [[ivWald]]: `rowsSql` must select `(z, d, m)`
+    * with z ∈ {0,1} and d/m on exact grids. */
+  def sqlIvWald(rowsSql: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def mean(s: String, n: String) = s"(${d(s)} / ${d(n)})"
+    def varN(q: String, s: String, n: String) =
+      s"""(((${d(q)} - ${d(s)} * ${d(s)} / ${d(n)})
+        / (${d(n)} - 1.0e0)) / ${d(n)})"""
+    val itt = s"(${mean("sy1", "n1")} - ${mean("sy0", "n0")})"
+    val fs = s"(${mean("sd1", "n1")} - ${mean("sd0", "n0")})"
+    val seItt2 =
+      s"(${varN("qy1", "sy1", "n1")} + ${varN("qy0", "sy0", "n0")})"
+    val seFs2 =
+      s"(${varN("qd1", "sd1", "n1")} + ${varN("qd0", "sd0", "n0")})"
+    val late = s"($itt / $fs)"
+    val se = s"sqrt(($seItt2 + $late * $late * $seFs2) / ($fs * $fs))"
+    s"""
+    WITH r0 AS (SELECT z, d, m FROM ($rowsSql)), sums AS (
+      SELECT
+        CAST(count(CASE WHEN z = 0 THEN 1 END) AS BIGINT) AS n0,
+        CAST(count(CASE WHEN z = 1 THEN 1 END) AS BIGINT) AS n1,
+        sum(CASE WHEN z = 0 THEN m END) AS sy0,
+        sum(CASE WHEN z = 1 THEN m END) AS sy1,
+        sum(CASE WHEN z = 0 THEN m * m END) AS qy0,
+        sum(CASE WHEN z = 1 THEN m * m END) AS qy1,
+        sum(CASE WHEN z = 0 THEN d END) AS sd0,
+        sum(CASE WHEN z = 1 THEN d END) AS sd1,
+        sum(CASE WHEN z = 0 THEN d * d END) AS qd0,
+        sum(CASE WHEN z = 1 THEN d * d END) AS qd1
+      FROM r0)
+    SELECT n0, n1, round($itt, 6) AS itt,
+      round($fs, 6) AS first_stage,
+      CASE WHEN $fs = 0 THEN NULL ELSE round($late, 6) END AS late,
+      CASE WHEN $fs = 0 THEN NULL ELSE round($se, 6) END AS se,
+      CASE WHEN $fs = 0 THEN NULL
+        ELSE round($late / $se, 6) END AS t,
+      CASE WHEN sqrt($seFs2) = 0 THEN NULL
+        ELSE round($fs / sqrt($seFs2), 6) END AS t_first_stage
+    FROM sums"""
+  }
+
   /** UCB1 ALLOCATION (Auer et al. 2002) — the DECISION layer over the
     * experiment family's estimates: given per-unit rewards by variant,
     * score each arm

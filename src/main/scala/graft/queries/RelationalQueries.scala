@@ -1067,6 +1067,40 @@ object RelationalQueries extends Registry {
       graft.operators.JoinAudit.joinCardinality(ev, ev, Seq("user_id"),
         k = 10)
     }),
+    // D177: Holt linear-trend forecast — the series family's forward
+    // leg: per-event-type daily value series → level/trend recursion
+    // driver-side over the bounded day axis, mirrored bit-exactly by
+    // a DuckDB RECURSIVE CTE; 7-day horizon.
+    "d96_holt_forecast" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type").as("g"),
+          date_trunc("day", col("ts")).as("t"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("y"))
+      graft.operators.Forecast.holt(daily, Seq("g"), "t", "y",
+        alpha = 0.3, beta = 0.1, horizon = 7)
+    }),
+    // D176: instrumental variables (Wald) — the non-compliance read:
+    // hash-latent always-takers (30%) plus compliers who take up only
+    // when encouraged (z=1), so the first stage is ~0.7 at ANY SF
+    // while the outcome link stays null (LATE ≈ 0 — the honest read).
+    // ITT / first stage with the delta-method SE; the weak-instrument
+    // t reported alongside.
+    "d95_iv_wald" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)").as("m"))
+        .withColumn("z",
+          when(graft.operators.Experiment.variantOf(col("user_id"),
+            Seq("z0", "z1"), salt = 29) === "z1", 1).otherwise(0))
+        .withColumn("d",
+          when(col("z") === 1 ||
+            graft.functions.Noise.hashNoise(col("user_id"), 31) < 0.3,
+            1L).otherwise(0L))
+      graft.operators.Experiment.ivWald(perUser, "z", "d", "m")
+    }),
     // D173: regression discontinuity — the third quasi-experimental
     // read: local linear both sides of a running-variable cutoff
     // (quantity 25 ± 10); the jump at the cutoff is the effect (≈ 0
@@ -2751,6 +2785,25 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d96_holt_forecast" -> graft.operators.Forecast.sqlHolt(
+      """SELECT event_type AS g, date_trunc('day', ts) AS t,
+           sum(CAST(value AS DECIMAL(18,2))) AS y
+         FROM events GROUP BY 1, 2""",
+      groupOut = "g", alpha = 0.3, beta = 0.1, horizon = 7),
+    "d95_iv_wald" -> graft.operators.Experiment.sqlIvWald(
+      s"""SELECT z,
+           CASE WHEN z = 1
+               OR ${graft.functions.Noise.sqlNoise("user_id", 31)}
+                 < 0.3e0
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS d, m
+         FROM (SELECT user_id,
+             CASE WHEN ${graft.operators.Experiment.sqlVariantOf(
+               "user_id", Seq("z0", "z1"), salt = 29)} = 'z1'
+               THEN 1 ELSE 0 END AS z,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m
+           FROM events GROUP BY user_id)""".stripMargin),
     "d93_rdd" -> graft.operators.Regression.sqlDiscontinuity(
       """SELECT CAST(l_quantity AS DECIMAL(12,2)) AS r,
            CAST(l_extendedprice AS DECIMAL(12,2)) AS y

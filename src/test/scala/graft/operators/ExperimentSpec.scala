@@ -507,6 +507,51 @@ class ExperimentSpec extends SparkSpec {
     assert(r(1L)._3 === Some(2.0) && r(2L)._3 === Some(2.0))
   }
 
+  test("ivWald: hand-computed LATE on an encouragement design") {
+    // z=1: takeup .75, mean y 9; z=0: takeup .25, mean y 1
+    // → ITT 8, first stage .5, LATE 16
+    val rows = Seq(
+      (1, 1L, 12), (1, 1L, 10), (1, 1L, 14), (1, 0L, 0),
+      (0, 1L, 4), (0, 0L, 0), (0, 0L, 0), (0, 0L, 0))
+      .toDF("z", "d", "m0")
+      .select(col("z"), col("d"),
+        col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.ivWald(rows, "z", "d", "m").head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 8.0, s"itt ${r.getDouble(2)}")
+    assert(r.getDouble(3) === 0.5, s"fs ${r.getDouble(3)}")
+    assert(r.getDouble(4) === 16.0, s"late ${r.getDouble(4)}")
+    assert(r.getDouble(5) > 0 && !r.getDouble(5).isNaN)
+    assert(r.getDouble(7) > 0, "first-stage t is reported")
+  }
+
+  test("ivWald: a weak instrument surfaces as a tiny first-stage t") {
+    // takeup barely moves with z: fs small, its t small — the readout
+    // that warns before the LATE ratio is trusted
+    val strong = Seq.fill(40)((1, 1L, 10)) ++ Seq.fill(10)((1, 0L, 0)) ++
+      Seq.fill(10)((0, 1L, 10)) ++ Seq.fill(40)((0, 0L, 0))
+    val weak = Seq.fill(26)((1, 1L, 10)) ++ Seq.fill(24)((1, 0L, 0)) ++
+      Seq.fill(24)((0, 1L, 10)) ++ Seq.fill(26)((0, 0L, 0))
+    def t(fix: Seq[(Int, Long, Int)]) =
+      Experiment.ivWald(fix.toDF("z", "d", "m0")
+          .select(col("z"), col("d"),
+            col("m0").cast("decimal(18,2)").as("m")),
+        "z", "d", "m").head.getDouble(7)
+    assert(t(strong) > 5 * t(weak),
+      s"strong ${t(strong)} vs weak ${t(weak)}")
+  }
+
+  test("ivWald: a dead instrument nulls the ratio instead of erroring") {
+    val rows = Seq((1, 1L, 10), (1, 1L, 12), (0, 1L, 9), (0, 1L, 11))
+      .toDF("z", "d", "m0")
+      .select(col("z"), col("d"),
+        col("m0").cast("decimal(18,2)").as("m"))
+    val r = Experiment.ivWald(rows, "z", "d", "m").head
+    assert(r.getDouble(3) === 0.0, "first stage is zero")
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    assert(r.isNullAt(7), "takeup variance 0 -> first-stage t null too")
+  }
+
   test("ucbAllocation: optimism picks the under-sampled arm on ties") {
     // arm a: 16 pulls mean 10; arm b: 4 pulls mean 10 — equal means,
     // b's bonus is twice a's (√(1/4) vs √(1/16) scaling) → b chosen
