@@ -267,7 +267,15 @@ object ScaleProbe {
       // contract; watch if the value axis grows), entropy l-div
       // ((quasi, sensitive)-axis aggs — bounded, expect ~flat)
       "d1_asof_nearest", "d88_join_audit", "d89_spearman",
-      "d90_entropy_ldiv")
+      "d90_entropy_ldiv",
+      // round-10k: event study / IV / UCB (conditional exact-sum aggs
+      // over bounded axes — the welch/DiD shape, expect ~linear scan),
+      // RDD (one conditional agg inside the bandwidth filter — scan),
+      // Brier (binned agg — scan), Holt (corpus collapses to the
+      // bounded day axis; the recursion is driver-side — expect flat),
+      // VAD (frame fan-out + per-asset windows — linear in assets)
+      "d91_event_study", "d93_rdd", "d94_ucb", "d95_iv_wald",
+      "d96_holt_forecast", "c7_brier_decomposition", "c6_vad_segments")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
