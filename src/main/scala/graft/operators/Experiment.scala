@@ -1885,6 +1885,9 @@ object Experiment {
       .groupBy(col(periodCol).cast("long").as("period"))
       .agg(cells(treated).head,
         (cells(treated).tail ++ cells(control)): _*)
+      // a period missing an arm (or with a 1-row cell) has no variance
+      // to report — drop it BEFORE the projection divides (ANSI)
+      .filter(col(s"n_$treated") >= 2 && col(s"n_$control") >= 2)
     def d(c: Column) = c.cast("double")
     def mean(s: String) = d(col(s"s_$s")) / d(col(s"n_$s"))
     def varN(s: String) =
@@ -1948,6 +1951,8 @@ object Experiment {
         sum(CASE WHEN grp = '$control' THEN m END) AS s_c,
         sum(CASE WHEN grp = '$control' THEN m * m END) AS q_c
       FROM r0 GROUP BY period
+      HAVING count(CASE WHEN grp = '$treated' THEN 1 END) >= 2
+        AND count(CASE WHEN grp = '$control' THEN 1 END) >= 2
     ), base AS (
       SELECT n_t AS bnt, s_t AS bst, q_t AS bqt,
         n_c AS bnc, s_c AS bsc, q_c AS bqc

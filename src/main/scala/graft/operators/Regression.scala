@@ -152,7 +152,13 @@ object Regression {
     val (slR, b0R, seR) = fit("r")
     val effect = b0R - b0L
     val se = sqrt(seL * seL + seR * seR)
-    sums.filter(col("n_l") >= 3 && col("n_r") >= 3)
+    // zero x-variance on a side (one grid value in-band) has no local
+    // line — filter it out BEFORE the projection evaluates the ratios
+    // (ANSI division errors even on doubles)
+    def sxxOf(t: String) =
+      d(s"sxx_$t") - d(s"sx_$t") * d(s"sx_$t") / d(s"n_$t")
+    sums.filter(col("n_l") >= 3 && col("n_r") >= 3 &&
+        sxxOf("l") > 0 && sxxOf("r") > 0)
       .select(col("n_l"), col("n_r"),
         round(b0L, 6).as("intercept_l"), round(b0R, 6).as("intercept_r"),
         round(slL, 6).as("slope_l"), round(slR, 6).as("slope_r"),
@@ -214,6 +220,8 @@ object Regression {
       round($effect, 6) AS effect, round($se, 6) AS se,
       CASE WHEN $se = 0 THEN NULL
         ELSE round($effect / $se, 6) END AS t
-    FROM sums WHERE n_l >= 3 AND n_r >= 3"""
+    FROM sums WHERE n_l >= 3 AND n_r >= 3
+      AND (${d("sxx_l")} - ${d("sx_l")} * ${d("sx_l")} / ${d("n_l")}) > 0
+      AND (${d("sxx_r")} - ${d("sx_r")} * ${d("sx_r")} / ${d("n_r")}) > 0"""
   }
 }

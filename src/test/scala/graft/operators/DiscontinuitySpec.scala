@@ -54,4 +54,12 @@ class DiscontinuitySpec extends SparkSpec {
     assert(Regression.discontinuity(df, "r", "y", 5.0, 2.0)
       .collect().isEmpty)
   }
+
+  test("a zero-x-variance side yields no row instead of an ANSI error") {
+    // left side: three rows all at r = 4.0 — no local line exists
+    val df = dec(Seq((4.0, 1.0), (4.0, 2.0), (4.0, 3.0),
+      (5.0, 9.0), (5.5, 9.5), (6.0, 10.0)))
+    assert(Regression.discontinuity(df, "r", "y", 5.0, 2.0)
+      .collect().isEmpty)
+  }
 }

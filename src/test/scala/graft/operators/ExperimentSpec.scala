@@ -578,6 +578,18 @@ class ExperimentSpec extends SparkSpec {
     assert(r("b") === 1 && r("a") === 0)
   }
 
+  test("eventStudy: a period missing an arm is dropped, not an error") {
+    val rows = (Seq(("t", 0, 10), ("t", 0, 12), ("c", 0, 5), ("c", 0, 7),
+      ("t", 1, 20), ("t", 1, 22), ("c", 1, 15), ("c", 1, 17),
+      ("t", 2, 30), ("t", 2, 32))) // period 2: control never logged
+      .toDF("grp", "period", "m0")
+      .select(col("grp"), col("period"),
+        col("m0").cast("decimal(18,2)").as("m"))
+    val periods = Experiment.eventStudy(rows, "grp", "period", "m",
+      "t", "c", basePeriod = 0L).collect().map(_.getLong(0)).toSet
+    assert(periods === Set(0L, 1L), periods.toString)
+  }
+
   test("eventStudy: a pure common trend reads zero in every period") {
     val rows = (0 to 3).flatMap(p => Seq(
       ("t", p, 10 + 10 * p), ("t", p, 12 + 10 * p),
