@@ -1067,6 +1067,52 @@ object RelationalQueries extends Registry {
       graft.operators.JoinAudit.joinCardinality(ev, ev, Seq("user_id"),
         k = 10)
     }),
+    // D179: empirical-Bayes rate shrinkage — per-user purchase rates
+    // shrunk toward the MoM Beta prior fit on the user ensemble: the
+    // fix for every "top groups by rate = smallest n" leaderboard.
+    "d97_eb_rates" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("k"),
+          count(lit(1)).as("n"))
+      graft.operators.Shrinkage.ebRates(perUser, Seq("user_id"),
+        "k", "n")
+    }),
+    // D180: fixed-effect meta-analysis — the per-segment A/B effects
+    // pooled with inverse-variance weights + the Q/I² heterogeneity
+    // read ("is it ONE effect?"). Segments = user_id % 5 cohorts;
+    // per-segment Welch cells from one conditional agg.
+    "d98_meta_analysis" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)").as("m"))
+        .withColumn("seg", pmod(col("user_id"), lit(5L)))
+        .withColumn("variant", graft.operators.Experiment.variantOf(
+          col("user_id"), Seq("control", "treatment"), salt = 17))
+      def cellN(v: String) =
+        count(when(col("variant") === v, lit(1)))
+      def cellS(v: String) = sum(when(col("variant") === v, col("m")))
+      def cellQ(v: String) =
+        sum(when(col("variant") === v, col("m") * col("m")))
+      val perSeg = perUser.groupBy(col("seg"))
+        .agg(cellN("treatment").as("nt"), cellS("treatment").as("st"),
+          cellQ("treatment").as("qt"), cellN("control").as("nc"),
+          cellS("control").as("sc"), cellQ("control").as("qc"))
+      def dd(c: String) = col(c).cast("double")
+      def varC(q: String, ss: String, n: String) =
+        (dd(q) - dd(ss) * dd(ss) / dd(n)) / (dd(n) - lit(1.0))
+      val eff = perSeg
+        .filter(col("nt") >= 2 && col("nc") >= 2)
+        .select(col("seg"),
+          (dd("st") / dd("nt") - dd("sc") / dd("nc")).as("e"),
+          sqrt(varC("qt", "st", "nt") / dd("nt") +
+            varC("qc", "sc", "nc") / dd("nc")).as("se"))
+      graft.operators.MetaAnalysis.fixedEffect(eff, "e", "se")
+    }),
     // D177: Holt linear-trend forecast — the series family's forward
     // leg: per-event-type daily value series → level/trend recursion
     // driver-side over the bounded day axis, mirrored bit-exactly by
@@ -2785,6 +2831,44 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d97_eb_rates" -> graft.operators.Shrinkage.sqlEbRates(
+      """SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY user_id""",
+      groupCols = Seq("user_id")),
+    "d98_meta_analysis" -> graft.operators.MetaAnalysis.sqlFixedEffect(
+      s"""
+      WITH pu AS (
+        SELECT user_id, user_id % 5 AS seg,
+          ${graft.operators.Experiment.sqlVariantOf("user_id",
+            Seq("control", "treatment"), salt = 17)} AS variant,
+          CAST(sum(CASE WHEN event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(12,2))
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS m
+        FROM events GROUP BY user_id
+      ), ps AS (
+        SELECT seg,
+          CAST(count(CASE WHEN variant = 'treatment' THEN 1 END)
+            AS BIGINT) AS nt,
+          sum(CASE WHEN variant = 'treatment' THEN m END) AS st,
+          sum(CASE WHEN variant = 'treatment' THEN m * m END) AS qt,
+          CAST(count(CASE WHEN variant = 'control' THEN 1 END)
+            AS BIGINT) AS nc,
+          sum(CASE WHEN variant = 'control' THEN m END) AS sc,
+          sum(CASE WHEN variant = 'control' THEN m * m END) AS qc
+        FROM pu GROUP BY seg)
+      SELECT seg,
+        CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+          - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS e,
+        sqrt(((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+            / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0e0))
+            / CAST(nt AS DOUBLE)
+          + ((CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+            / CAST(nc AS DOUBLE)) / (CAST(nc AS DOUBLE) - 1.0e0))
+            / CAST(nc AS DOUBLE)) AS se
+      FROM ps WHERE nt >= 2 AND nc >= 2"""),
     "d96_holt_forecast" -> graft.operators.Forecast.sqlHolt(
       """SELECT event_type AS g, date_trunc('day', ts) AS t,
            sum(CAST(value AS DECIMAL(18,2))) AS y
