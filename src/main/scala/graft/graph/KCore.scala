@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** K-CORE EXTRACTION — the dense-subgraph read the rest of the graph
+  * family circles around: the k-core is the maximal subgraph where
+  * EVERY node keeps degree ≥ k after everyone else is gone. Spam
+  * rings, review-fraud cliques and community nuclei survive k-core
+  * peeling; long tails of casual nodes don't — which is why it is the
+  * standard pre-filter before the expensive per-node graph analytics
+  * (a PageRank or triangle pass over the 10-core touches a fraction
+  * of the edges).
+  *
+  * Algorithm: iterative peeling to the fixed point — drop every node
+  * with current degree < k, re-derive degrees on the induced
+  * subgraph, repeat until no node falls. Deterministic (the fixed
+  * point is unique — peeling order cannot change it), but the ROUND
+  * COUNT is data-dependent, so like connected components this is a
+  * rows+spec operator (no single-SQL twin); the spec pins
+  * hand-peelable graphs including the cascade case where removing
+  * one node unravels a chain.
+  *
+  * Scale shape: per round ONE degree aggregate over the current edge
+  * set + one semi-join filtering edges to surviving endpoints —
+  * partial-agg'd, no windows; the edge frame shrinks monotonically
+  * and is localCheckpoint'd per round (the CC lineage rule: iterative
+  * self-derivation doubles the plan otherwise). Rounds are bounded by
+  * the longest peel cascade (≤ nodes, tiny in practice — `maxIter`
+  * guards the pathological chain). */
+object KCore {
+
+  /** Nodes of the k-core of undirected `edges(a, b)` (a < b, dedup'd)
+    * with their in-core degree: `(node, degree)`. Empty when no
+    * k-core exists. */
+  def kCore(edgesIn: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 1 && maxIter >= 1)
+    var edges = edgesIn.select(col("a"), col("b")).localCheckpoint()
+    var n = -1L
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIter) {
+      val deg = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k).localCheckpoint()
+      val kn = keep.count()
+      if (kn == n) done = true
+      else {
+        n = kn
+        edges = edges
+          .join(keep.select(col("node").as("a")), "a", "left_semi")
+          .join(keep.select(col("node").as("b")), "b", "left_semi")
+          .localCheckpoint()
+        rounds += 1
+      }
+    }
+    if (rounds >= maxIter)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kCore did NOT reach the fixed point within $maxIter rounds — " +
+          "result may retain under-degree nodes; raise maxIter")
+    edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+  }
+}

@@ -129,6 +129,72 @@ object PerceptualHash {
     bits
   }
 
+  /** DIFFERENCE-hash bits over a (gridW+1) × gridH cell grid: bit
+    * (x, y) set when cell (x+1, y)'s mean luma exceeds cell (x, y)'s
+    * — HORIZONTAL GRADIENTS instead of [[aHash]]'s mean compare.
+    * Gradients survive what means don't (global contrast stretches,
+    * vignettes, smooth lighting shifts), so real dedup kits run both
+    * and OR the matches; exact integer cross-multiplied compares keep
+    * it under the closed-form oracle like aHash. Bits row-major,
+    * (gridW)·gridH of them. */
+  private def dHashLuma(w: Int, h: Int, luma: Array[Int],
+                        gridW: Int, gridH: Int): Long = {
+    val gw = math.min(gridW + 1, w); val gh = math.min(gridH, h)
+    val cellSum = new Array[Long](gw * gh)
+    val cellN = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * gh / h).toInt
+      var x = 0
+      while (x < w) {
+        val c = cy * gw + (x.toLong * gw / w).toInt
+        cellSum(c) += luma(y * w + x); cellN(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw - 1) {
+        val l = cy * gw + cx; val r = l + 1
+        // exact integer compare of adjacent cell means
+        if (cellSum(r) * cellN(l) > cellSum(l) * cellN(r))
+          bits |= (1L << (cy * (gw - 1) + cx))
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** Difference hash of an image payload ([[dHashLuma]] over the same
+    * decode paths as [[aHash]]). */
+  def dHash(p: Array[Byte], gridW: Int = 8, gridH: Int = 8): Option[Long] = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
+      "grid must hold at most 64 difference bits")
+    lumaPixels(p).map { case (w, h, luma) =>
+      dHashLuma(w, h, luma, gridW, gridH)
+    }
+  }
+
+  /** [[hashImages]]' difference-hash sibling: appends `dhash`. */
+  def dHashImages(assets: DataFrame, gridW: Int = 8, gridH: Int = 8,
+                  batchSize: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = assets.schema.add("dhash", LongType)
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    assets.mapPartitions { it: Iterator[Row] =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val h = dHash(row.getAs[Array[Byte]](payloadIdx), gridW, gridH)
+          Row.fromSeq(row.toSeq :+ h.map(Long.box).orNull)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Average hash over an (effective) min(gridW,w) × min(gridH,h) cell
     * grid, bits row-major from bit 0; unused high bits are 0. */
   def aHash(p: Array[Byte], gridW: Int = 8, gridH: Int = 8): Option[Long] = {

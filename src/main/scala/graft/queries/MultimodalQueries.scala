@@ -318,6 +318,21 @@ object MultimodalQueries extends Registry {
       graft.multimodal.PerceptualHash.hashImages(fixture)
         .select(col("asset_id"), col("phash"))
     }),
+    // C6: difference hash on the same lossless fixture — horizontal
+    // GRADIENT bits (adjacent-pixel compares here: the images fit
+    // inside the 9×8 dHash grid), the contrast-shift-proof sibling of
+    // aHash real dedup kits pair with it. Exact integer compares →
+    // closed-form oracle.
+    "c6_dhash" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.imageFixtureBytes(
+          (4 + id % 5).toInt, (3 + id % 4).toInt, id, "png")))
+        .toDF("asset_id", "payload")
+      graft.multimodal.PerceptualHash.dHashImages(fixture)
+        .select(col("asset_id"), col("dhash"))
+    }),
     // C6: image near-dup pairs — banded blocking over the hash (the
     // SimHash pigeonhole argument on pixels), exact Hamming confirm;
     // lossless for maxDist < nBands, so the naive-pairs oracle matches.
@@ -563,6 +578,33 @@ object MultimodalQueries extends Registry {
           AS BIGINT) AS phash
       FROM px JOIN tot USING (asset_id)
       GROUP BY px.asset_id""",
+    // c6_dhash: adjacent-pixel gradient bits on the closed-form fixture
+    // (every image fits inside the 9×8 grid → cell = pixel; bit index
+    // y·(w−1)+x set when luma(x+1,y) > luma(x,y) strictly).
+    "c6_dhash" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+          CAST(4 + doc_id % 5 AS BIGINT) AS w,
+          CAST(3 + doc_id % 4 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 50
+      ), px AS (
+        SELECT asset_id, w, h, y.y, x.x,
+          ((asset_id + 3 * (y.y * w + x.x)) % 256)
+            + ((asset_id + 3 * (y.y * w + x.x) + 1) % 256)
+            + ((asset_id + 3 * (y.y * w + x.x) + 2) % 256) AS luma
+        FROM f,
+          LATERAL unnest(generate_series(0, h - 1)) y(y),
+          LATERAL unnest(generate_series(0, w - 1)) x(x)
+      ), bits AS (
+        SELECT l.asset_id, l.y, l.x,
+          CASE WHEN r.luma > l.luma
+            THEN (CAST(1 AS BIGINT) << CAST(l.y * (l.w - 1) + l.x AS INT))
+            ELSE 0 END AS b
+        FROM px l JOIN px r
+          ON l.asset_id = r.asset_id AND l.y = r.y AND r.x = l.x + 1)
+      SELECT asset_id,
+        CAST(coalesce(sum(b), 0) AS BIGINT) AS dhash
+      FROM bits GROUP BY asset_id""",
     "c6_online_frame_dedup_twin" -> """
       WITH f AS (
         SELECT doc_id AS id, doc_id % 10 AS g, doc_id // 10 AS m,

@@ -1201,6 +1201,15 @@ object RelationalQueries extends Registry {
     "d87_markov_attribution" -> ((s, d) =>
       graft.operators.Attribution.removalEffects(Tables.events(s, d),
         "user_id", "ts", "event_id", "event_type", "purchase")),
+    // D181: k-core of the co-purchase graph — the dense-subgraph
+    // pre-filter (spam rings and community nuclei survive peeling;
+    // casual tails don't). Iterative fixed point → rows+spec like CC.
+    "d99_kcore" -> ((s, d) => {
+      val edges = graft.graph.Triangles.coOccurrenceEdges(
+        Tables.lineitem(s, d).filter(col("l_quantity") >= 45),
+        "l_orderkey", "l_partkey")
+      graft.graph.KCore.kCore(edges, k = 2)
+    }),
     // D161: HITS over the same trade graph — the BIPARTITE importance
     // read PageRank collapses: hub = "buys from everywhere", authority
     // = "everyone buys from". Integer L∞-normalized half-steps, fixed

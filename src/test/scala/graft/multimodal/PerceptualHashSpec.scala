@@ -188,4 +188,39 @@ class PerceptualHashSpec extends SparkSpec {
       .orderBy("frame_idx").collect().map(_.getLong(4)).toSeq
     assert(strict === Seq(0L, 0L, 1L, 1L, 2L))
   }
+
+  /** Raw P6 with luma(x, y) = v(x, y) (red channel carries it). */
+  private def ppmOf(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      px(3 * (y * w + x)) = v(x, y).toByte
+    header ++ px
+  }
+
+  test("dHash: hand bits from adjacent compares") {
+    // 4×1 luma [10, 20, 5, 30] → bits 1,0,1 → 0b101 = 5
+    val p = ppmOf(4, 1, (x, _) => Seq(10, 20, 5, 30)(x))
+    assert(PerceptualHash.dHash(p) === Some(5L))
+  }
+
+  test("dHash survives the smooth lighting shift that flips aHash") {
+    // ±35 alternating texture (40/110), then the same texture under a
+    // +16-per-column lighting ramp — all values stay in byte range:
+    // every adjacent compare keeps its sign (70 swing vs 16 step) so
+    // dHash is IDENTICAL, while odd column x=1 (126) falls below the
+    // new global mean (131) and aHash moves
+    val base = ppmOf(8, 4, (x, _) => if (x % 2 == 0) 40 else 110)
+    val lit16 = ppmOf(8, 4,
+      (x, _) => (if (x % 2 == 0) 40 else 110) + 16 * x)
+    assert(PerceptualHash.dHash(base) === PerceptualHash.dHash(lit16),
+      "gradient bits are lighting-shift invariant")
+    assert(PerceptualHash.aHash(base) !== PerceptualHash.aHash(lit16),
+      "the mean hash moves under the same shift (why both exist)")
+  }
+
+  test("dHash: flat images hash to zero; decode failures stay None") {
+    assert(PerceptualHash.dHash(ppmOf(6, 3, (_, _) => 77)) === Some(0L))
+    assert(PerceptualHash.dHash(Array[Byte](1, 2, 3)) === None)
+  }
 }
