@@ -357,4 +357,68 @@ object SeriesStats {
         AS acf
     FROM nums JOIN den USING ($gl)"""
   }
+
+  /** COUNT-METRIC HEALTH: overdispersion + zero inflation — the two
+    * diagnoses that decide whether a count metric (events per user,
+    * purchases per session) can be modeled as Poisson at all. The
+    * dispersion index var/mean reads 1 under Poisson; ≫ 1 means a
+    * negative-binomial world where Poisson-assuming CIs and anomaly
+    * thresholds are fiction. The zero share (units with NO activity
+    * of this type, relative to the full unit universe) reads the
+    * zero-inflation that per-active-user means silently drop.
+    *
+    * Determinism/scale: one (unit, key) count agg, one key-axis agg
+    * of exact integer moments, one broadcast unit-universe total.
+    * Zeros enter the moments analytically (zero counts add nothing to
+    * Σx/Σx² but do add to n — no unit × key cross join materializes).
+    * Output per key: `(keyCol, n_units, n_active, zero_share (6dp),
+    * mean (6dp), variance (6dp), dispersion (6dp))`. */
+  def countHealth(events: DataFrame, unitCol: String,
+                  keyCol: String): DataFrame = {
+    val perUnit = events.groupBy(col(keyCol), col(unitCol))
+      .agg(count(lit(1)).as("__c"))
+    val universe = events.select(col(unitCol)).distinct()
+      .agg(count(lit(1)).as("__u"))
+    def d(c: Column) = c.cast("double")
+    val byKey = perUnit.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("__c")).cast("bigint").as("__s"),
+        sum(col("__c") * col("__c")).cast("bigint").as("__q"))
+      .crossJoin(broadcast(universe))
+    val n = d(col("__u"))
+    val mean = d(col("__s")) / n
+    // zeros contribute to n only: Σx, Σx² are over active units
+    val variance = (d(col("__q")) - d(col("__s")) * d(col("__s")) / n) /
+      (n - lit(1.0))
+    byKey.select(col(keyCol), col("__u").as("n_units"), col("n_active"),
+      round(lit(1.0) - d(col("n_active")) / n, 6).as("zero_share"),
+      round(mean, 6).as("mean"), round(variance, 6).as("variance"),
+      round(variance / mean, 6).as("dispersion"))
+  }
+
+  /** DuckDB twin of [[countHealth]]: `eventsSql` must select
+    * `(unit, key)` one row per event. */
+  def sqlCountHealth(eventsSql: String, keyOut: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val n = d("u")
+    val mean = s"(${d("s")} / $n)"
+    val variance =
+      s"((${d("q")} - ${d("s")} * ${d("s")} / $n) / ($n - 1.0e0))"
+    s"""
+    WITH pu AS (
+      SELECT key, unit, CAST(count(*) AS BIGINT) AS c
+      FROM ($eventsSql) GROUP BY key, unit
+    ), uni AS (
+      SELECT CAST(count(DISTINCT unit) AS BIGINT) AS u
+      FROM ($eventsSql)
+    ), bk AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS n_active,
+        CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+      FROM pu GROUP BY key)
+    SELECT key AS $keyOut, u AS n_units, n_active,
+      round(1e0 - ${d("n_active")} / $n, 6) AS zero_share,
+      round($mean, 6) AS mean, round($variance, 6) AS variance,
+      round($variance / $mean, 6) AS dispersion
+    FROM bk, uni"""
+  }
 }

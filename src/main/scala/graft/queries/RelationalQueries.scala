@@ -1067,6 +1067,14 @@ object RelationalQueries extends Registry {
       graft.operators.JoinAudit.joinCardinality(ev, ev, Seq("user_id"),
         k = 10)
     }),
+    // D183: count-metric health — overdispersion index + zero share
+    // per event type over the user universe: decides whether Poisson
+    // CIs/thresholds are even admissible (index 1 = Poisson; ≫ 1 =
+    // negative-binomial world). Zeros enter analytically — no
+    // user × type cross join.
+    "d100_count_health" -> ((s, d) =>
+      graft.operators.SeriesStats.countHealth(Tables.events(s, d),
+        "user_id", "event_type")),
     // D179: empirical-Bayes rate shrinkage — per-user purchase rates
     // shrunk toward the MoM Beta prior fit on the user ensemble: the
     // fix for every "top groups by rate = smallest n" leaderboard.
@@ -2840,6 +2848,9 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d100_count_health" -> graft.operators.SeriesStats.sqlCountHealth(
+      "SELECT user_id AS unit, event_type AS key FROM events",
+      keyOut = "event_type"),
     "d97_eb_rates" -> graft.operators.Shrinkage.sqlEbRates(
       """SELECT user_id,
            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -36,6 +36,15 @@ object SimilarityQueries extends Registry {
       graft.similarity.HardNegatives.mine(Tables.embeddings(s, d),
         "vec_id", "embedding", "label",
         col("vec_id") < 50, k = 5)),
+    // C4: Matryoshka truncation recall — recall@10 of prefix-dim
+    // cosine search (8/16/32 dims) vs the 64-dim ground truth over a
+    // fixed anchor batch: the measurement before serving a truncated
+    // index at a fraction of the memory. Exact everywhere → oracle.
+    "c4_matryoshka_recall" -> ((s, d) =>
+      graft.similarity.MatryoshkaEval.truncationRecall(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 20, dims = Seq(8, 16, 32), fullDim = 64,
+        k = 10)),
     // C3: simplified silhouette — per-cluster fit quality under the
     // k-means model ((b−a)/max over the two nearest centroids, one
     // scan through the native CentroidTopK). The k-picker / degenerate
@@ -331,6 +340,11 @@ object SimilarityQueries extends Registry {
         FROM embeddings, q WHERE vec_id != 1)
       SELECT vec_id, score FROM scored
       ORDER BY score DESC, vec_id ASC LIMIT 20""",
+    "c4_matryoshka_recall" ->
+      graft.similarity.MatryoshkaEval.sqlTruncationRecall(
+        "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
+        anchorPredSql = "{} < 20", dims = Seq(8, 16, 32), fullDim = 64,
+        k = 10),
     "c3_hard_negatives" -> s"""
       WITH anc AS (SELECT vec_id AS a, label AS a_label,
                      embedding::DOUBLE[] AS va
