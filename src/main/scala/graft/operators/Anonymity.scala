@@ -113,6 +113,74 @@ object Anonymity {
         FROM g"""
   }
 
+  /** Per-group Laplace-noised SUMS with CONTRIBUTION BOUNDING — the
+    * half of a DP release [[noisedCounts]] doesn't cover, and the
+    * half people get wrong: a sum's sensitivity is unbounded until
+    * each UNIT's total contribution per group is clamped to ±`cap`,
+    * after which Laplace(cap/ε) calibrates. Skipping the clamp (or
+    * clamping EVENTS instead of units) silently publishes an
+    * uncalibrated release — the operator makes the right shape the
+    * only shape.
+    *
+    * Determinism: the [[noisedCounts]] recipe — keyed hash-noise
+    * through the Laplace inverse CDF, so the release is bit-stable
+    * across re-runs and engines (re-publication must not wobble).
+    * Scale: per-(group, unit) partial-agg'd sum, clamp, group agg,
+    * projection — two hash aggregates, no window, no join.
+    * Output: groupCols + `noised_sum` (6 dp). */
+  def noisedSums(df: DataFrame, groupCols: Seq[String], unitCol: String,
+                 valueCol: String, cap: Double, epsilon: Double,
+                 salt: Int = 37): DataFrame = {
+    require(groupCols.nonEmpty && cap > 0 && epsilon > 0)
+    val capD = lit(cap).cast("decimal(18,6)")
+    val perUnit = df
+      .groupBy((groupCols.map(col) :+ col(unitCol)): _*)
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__s"))
+      .withColumn("__sc",
+        greatest(-capD, least(capD, col("__s"))).cast("decimal(18,6)"))
+    val key = graft.dedup.MinHashDedup.portableShingleHash(
+      concat_ws("", groupCols.map(col): _*))
+    val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
+      graft.functions.Noise.hashNoise(key, salt)))
+    val b = lit(cap / epsilon)
+    val c = u - lit(0.5)
+    val noise = -b * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    perUnit.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__sc")).as("__t"))
+      .withColumn("noised_sum",
+        round(col("__t").cast("double") + noise, 6))
+      .drop("__t")
+  }
+
+  /** DuckDB twin of [[noisedSums]] — identical clamp, hash, CDF and
+    * op order. `groupCols` must be string columns. */
+  def sqlNoisedSums(table: String, groupCols: Seq[String],
+                    unitCol: String, valueCol: String, cap: Double,
+                    epsilon: Double, salt: Int = 37): String = {
+    import graft.functions.Noise.sqlDouble
+    val q = groupCols.mkString(", ")
+    val cat = groupCols.mkString("concat_ws(chr(1), ", ", ", ")")
+    val key = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len($cat) + 1),
+        j -> CAST(ascii(($cat)[j:j]) AS BIGINT))),
+      (a, ch) -> (a * 31 + ch) % 1000000007)"""
+    val u0 = graft.functions.Noise.sqlNoise(key, salt)
+    val u = s"greatest(${sqlDouble(1e-12)}, least(${sqlDouble(1.0 - 1e-12)}, $u0))"
+    val c = s"(($u) - 5.0e-1)"
+    val noise = s"""(-${sqlDouble(cap / epsilon)} * sign($c)
+      * ln(1.0e0 - 2.0e0 * abs($c)))"""
+    val capSql = s"CAST(${sqlDouble(cap)} AS DECIMAL(18,6))"
+    s"""WITH pu AS (
+          SELECT $q, $unitCol AS unit,
+            greatest(-$capSql, least($capSql,
+              sum(CAST($valueCol AS DECIMAL(18,6))))) AS sc
+          FROM $table GROUP BY $q, $unitCol
+        ), g AS (
+          SELECT $q, sum(sc) AS t FROM pu GROUP BY $q)
+        SELECT $q, round(CAST(t AS DOUBLE) + $noise, 6) AS noised_sum
+        FROM g"""
+  }
+
   // ---- t-closeness ------------------------------------------------
   // The audit [[audit]] cannot see: a class can be k-large and
   // l-diverse yet still leak — if every row in the class has a HIGH

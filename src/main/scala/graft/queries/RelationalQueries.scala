@@ -938,6 +938,14 @@ object RelationalQueries extends Registry {
         "l_orderkey", "l_partkey")
       graft.graph.LinkPrediction.adamicAdar(edges, k = 50)
     }),
+    // D185: Laplace-noised SUMS with contribution bounding — the half
+    // of a DP release d34 doesn't cover: each user's per-group total
+    // clamps to ±500 BEFORE the sum, then Laplace(cap/ε) calibrates to
+    // that sensitivity. Deterministic keyed noise → exact oracle.
+    "d101_noised_sums" -> ((s, d) =>
+      graft.operators.Anonymity.noisedSums(Tables.events(s, d),
+        Seq("event_type"), "user_id", "value", cap = 500.0,
+        epsilon = 0.5)),
     // D77: Laplace-noised release counts — the DP mechanism shape with
     // deterministic keyed noise (re-publication must not wobble; the
     // oracle reproduces the release bit-for-bit). ε = 0.5 so the noise
@@ -2979,6 +2987,9 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.LabelPropagation.sqlCommunities(edgesSql, 4)}) lp
           JOIN nation ON lp.node = n_nationkey"""
     },
+    "d101_noised_sums" -> graft.operators.Anonymity.sqlNoisedSums(
+      "events", Seq("event_type"), "user_id", "value", cap = 500.0,
+      epsilon = 0.5),
     "d24_k_anonymity" -> graft.operators.Anonymity.sqlAudit(
       "customer", Seq("c_nationkey", "c_mktsegment"), "c_acctbal", 12),
     "d75_t_closeness" -> graft.operators.Anonymity.sqlTCloseness(

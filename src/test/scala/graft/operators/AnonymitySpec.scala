@@ -154,4 +154,36 @@ class AnonymitySpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r === Map("A" -> 1L, "B" -> 1L), r.toString)
   }
+
+  test("noisedSums: one whale is clamped to the cap before release") {
+    import spark.implicits._
+    // group g: unit u1 contributes 10 000 (clamped to 100), u2 = 50
+    val df = Seq(("g", "u1", 6000.0), ("g", "u1", 4000.0),
+      ("g", "u2", 50.0)).toDF("grp", "unit", "v")
+    val out = Anonymity.noisedSums(df, Seq("grp"), "unit", "v",
+      cap = 100.0, epsilon = 1000.0) // huge ε → negligible noise
+      .head.getDouble(1)
+    assert(math.abs(out - 150.0) < 1.0,
+      s"clamped release ≈ 150, got $out")
+    // without bounding the whale would publish ≈ 10 050
+    assert(out < 1000.0, "the whale's tail must not leak")
+  }
+
+  test("noisedSums: deterministic across re-runs, noise scales with cap") {
+    import spark.implicits._
+    val df = Seq(("a", "u1", 10.0), ("b", "u2", 10.0))
+      .toDF("grp", "unit", "v")
+    val r1 = Anonymity.noisedSums(df, Seq("grp"), "unit", "v", 100.0, 0.5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val r2 = Anonymity.noisedSums(df, Seq("grp"), "unit", "v", 100.0, 0.5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r1 === r2, "re-publication must not wobble")
+    // larger cap → wider Laplace (b = cap/ε) on the same hash draw
+    val wide = Anonymity.noisedSums(df, Seq("grp"), "unit", "v",
+      1000.0, 0.5).collect().map(x => x.getString(0) -> x.getDouble(1))
+      .toMap
+    assert(math.abs(math.abs(wide("a") - 10.0) -
+      10 * math.abs(r1("a") - 10.0)) < 1e-6,
+      "noise is linear in the sensitivity")
+  }
 }
