@@ -1075,6 +1075,14 @@ object RelationalQueries extends Registry {
       graft.operators.JoinAudit.joinCardinality(ev, ev, Seq("user_id"),
         k = 10)
     }),
+    // D186: leakage-safe churn labels — features strictly ≤ the
+    // Jan-20 cutoff, label strictly from the 7-day horizon after it,
+    // units born after the cutoff excluded: the supervised-dataset
+    // discipline as an operator.
+    "d102_churn_labels" -> ((s, d) =>
+      graft.operators.Labels.churnLabels(Tables.events(s, d),
+        "user_id", "ts", "value", "2024-01-20 00:00:00",
+        horizonDays = 7)),
     // D183: count-metric health — overdispersion index + zero share
     // per event type over the user universe: decides whether Poisson
     // CIs/thresholds are even admissible (index 1 = Poisson; ≫ 1 =
@@ -2856,6 +2864,9 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d102_churn_labels" -> graft.operators.Labels.sqlChurnLabels(
+      "events", "user_id", "ts", "value", "2024-01-20 00:00:00",
+      horizonDays = 7),
     "d100_count_health" -> graft.operators.SeriesStats.sqlCountHealth(
       "SELECT user_id AS unit, event_type AS key FROM events",
       keyOut = "event_type"),
