@@ -1075,6 +1075,14 @@ object RelationalQueries extends Registry {
       graft.operators.JoinAudit.joinCardinality(ev, ev, Seq("user_id"),
         k = 10)
     }),
+    // D187: association rules — support/confidence/LIFT for co-bought
+    // part pairs (lift divides away the bestseller base rate that
+    // confidence alone crowns). Pair tier, basket-size-bounded join.
+    "d103_assoc_rules" -> ((s, d) =>
+      graft.operators.MarketBasket.rules(
+        Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey").as("b"), col("l_partkey").as("i")),
+        "b", "i", minPairs = 1, k = 50)),
     // D186: leakage-safe churn labels — features strictly ≤ the
     // Jan-20 cutoff, label strictly from the 7-day horizon after it,
     // units born after the cutoff excluded: the supervised-dataset
@@ -2864,6 +2872,10 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d103_assoc_rules" -> graft.operators.MarketBasket.sqlRules(
+      """SELECT l_orderkey AS b, l_partkey AS i FROM lineitem
+         WHERE l_quantity >= 45""",
+      minPairs = 1, k = 50),
     "d102_churn_labels" -> graft.operators.Labels.sqlChurnLabels(
       "events", "user_id", "ts", "value", "2024-01-20 00:00:00",
       horizonDays = 7),
