@@ -1075,6 +1075,13 @@ object RelationalQueries extends Registry {
       graft.operators.JoinAudit.joinCardinality(ev, ev, Seq("user_id"),
         k = 10)
     }),
+    // D188: RFM segmentation — recency/frequency/monetary quintile
+    // scores (recency inverted) folded into first-match lifecycle
+    // segments; exact type-7 quintile cutoffs broadcast back. The
+    // retention program's routing table.
+    "d104_rfm" -> ((s, d) =>
+      graft.operators.Rfm.rfm(Tables.events(s, d), "user_id", "ts",
+        "value", col("event_type") === "purchase")),
     // D187: association rules — support/confidence/LIFT for co-bought
     // part pairs (lift divides away the bestseller base rate that
     // confidence alone crowns). Pair tier, basket-size-bounded join.
@@ -2872,6 +2879,11 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d104_rfm" -> graft.operators.Rfm.sqlRfm(
+      """SELECT user_id AS unit, ts, value,
+           event_type = 'purchase' AS is_purchase
+         FROM events""",
+      unitOut = "user_id"),
     "d103_assoc_rules" -> graft.operators.MarketBasket.sqlRules(
       """SELECT l_orderkey AS b, l_partkey AS i FROM lineitem
          WHERE l_quantity >= 45""",
