@@ -862,6 +862,16 @@ object TextQueries extends Registry {
       graft.text.Bpe.mergesDf(s,
         graft.text.Bpe.learn(Tables.documents(s, d).select("text"),
           "text", nMerges = 30))),
+    // C5: tokenizer FERTILITY — tokens/word + chars/token per language
+    // under the corpus-trained merges: the per-language tax a shipped
+    // vocabulary levies, measured before it ships. Rows-only by the
+    // BPE-family contract (driver-derived merge table).
+    "c5_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.learn(docs.select("text"), "text",
+        nMerges = 30)
+      graft.text.Bpe.fertility(docs, "lang", "text", merges)
+    }),
     // C5: UNIGRAM-LM TOKENIZER (SentencePiece's default, Kudo 2018) —
     // the second production tokenizer family next to BPE: seed → hard
     // EM → prune driver-side over the bounded word table (the Bpe

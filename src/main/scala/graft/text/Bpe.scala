@@ -263,4 +263,48 @@ object Bpe {
         .otherwise(concat(acc, array(x))))
     when(size(col("syms")) < 2, col("syms")).otherwise(fold)
   }
+
+  /** TOKENIZER FERTILITY — the eval every tokenizer ships with: how
+    * many subword tokens a word costs (tokens/word) and how much text
+    * each token carries (chars/token), PER LANGUAGE. A vocabulary
+    * trained on one language's distribution taxes the others — their
+    * fertility climbs, their effective context shrinks, and their
+    * per-token training cost rises; this readout is how the tax is
+    * measured before a vocabulary ships.
+    *
+    * Scale shape — the [[learn]] decomposition inverted: the corpus
+    * collapses to a (lang, word, freq) table, merges apply once per
+    * DISTINCT word (never corpus rows), and the per-language sums are
+    * one vocabulary-sized agg. rows+spec like the rest of the BPE
+    * family (the merge table is driver-derived state).
+    *
+    * Output per language: `(lang, n_words, n_tokens,
+    * tokens_per_word (6 dp), chars_per_token (6 dp))` — chars count
+    * the word's letters (the `</w>` terminal carries none). */
+  def fertility(docs: DataFrame, langCol: String, textCol: String,
+                merges: Seq[Merge]): DataFrame = {
+    val wf = docs
+      .select(col(langCol).as("lang"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
+    val pieces = applyMerges(
+      wf.select(col("word")).distinct()
+        .select(col("word"),
+          concat(split(col("word"), ""), array(lit(EndOfWord)))
+            .as("syms")),
+      merges)
+      .select(col("word"), size(col("syms")).cast("long").as("__np"))
+    def d(c: Column) = c.cast("double")
+    wf.join(pieces, "word")
+      .groupBy(col("lang"))
+      .agg(sum(col("freq")).cast("bigint").as("n_words"),
+        sum(col("freq") * col("__np")).cast("bigint").as("n_tokens"),
+        sum(col("freq") * length(col("word"))).cast("bigint").as("__nc"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        round(d(col("n_tokens")) / d(col("n_words")), 6)
+          .as("tokens_per_word"),
+        round(d(col("__nc")) / d(col("n_tokens")), 6)
+          .as("chars_per_token"))
+  }
 }

@@ -131,4 +131,25 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.learn(corpusDf.repartition(5), "text", 6)
     assert(a === b)
   }
+
+  test("fertility: the untrained language pays more tokens per word") {
+    import spark.implicits._
+    // merges learned on pure-'en' text; 'xx' words share no pairs with
+    // it, so every xx word stays at character granularity
+    val docs = (Seq.fill(20)(("en", "the the banana banana")) ++
+      Seq.fill(20)(("xx", "zq zq wvk wvk")))
+      .toDF("lang", "text")
+    val merges = Bpe.learn(docs.filter($"lang" === "en")
+      .select("text"), "text", nMerges = 12)
+    val r = Bpe.fertility(docs, "lang", "text", merges)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r("en")._1 === 80L) // 4 words × 20 docs
+    // en words collapse toward 1 token; xx words stay ~chars+terminal
+    assert(r("en")._2 < r("xx")._2 - 1.0,
+      s"en ${r("en")._2} vs xx ${r("xx")._2}")
+    assert(r("en")._3 > r("xx")._3, "en tokens carry more chars each")
+    // hand floor: xx 'zq' → z,q,</w> = 3; 'wvk' → 4 → tpw = 3.5
+    assert(r("xx")._2 === 3.5, r("xx").toString)
+  }
 }
