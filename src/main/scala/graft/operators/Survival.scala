@@ -424,4 +424,108 @@ object Survival {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
       END AS survival
     FROM f"""
+
+  /** COMPETING RISKS — the Aalen–Johansen cumulative incidence the KM
+    * family silently needs whenever MORE THAN ONE event can end a
+    * subject's clock (churn-by-cancel vs churn-by-upgrade, convert vs
+    * bounce): treating cause 2 as "censoring" when estimating cause 1
+    * BIASES the KM complement upward (1 − KM overstates every cause —
+    * the classic competing-risks error). Aalen–Johansen fixes it:
+    *
+    *   CIF_k(t) = Σ_{tᵢ ≤ t} S(tᵢ⁻) · d_{k,i} / n_i
+    *
+    * with S the ALL-CAUSE KM — each cause's incidence is weighted by
+    * the probability of still being around to have it, and
+    * CIF₁ + CIF₂ + S = 1 at every bucket (the sanity identity the
+    * spec pins).
+    *
+    * Determinism/scale — the [[kaplanMeier]] recipe exactly: coarse
+    * bucket axis bounds every window, risk set from one running sum,
+    * S(t⁻) via the ln-fold with the sticky-zero guard over STRICTLY
+    * EARLIER buckets, CIFs as ordered cumulative sums over the
+    * bounded axis. `event` takes 0 = censored, 1 = cause one,
+    * 2 = cause two. Output per all-cause-event bucket: `(t_bucket,
+    * at_risk, d1, d2, surv_prev (6dp), cif_1 (6dp), cif_2 (6dp))`. */
+  def competingRisks(perSubject: DataFrame, durationCol: String,
+                     eventCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0)
+    val byBucket = perSubject
+      .select((col(durationCol) / bucketUs).cast("long").as("t_bucket"),
+        col(eventCol).cast("int").as("__e"))
+      .groupBy(col("t_bucket"))
+      .agg(count(lit(1)).as("__n"),
+        sum((col("__e") === 1).cast("long")).as("d1"),
+        sum((col("__e") === 2).cast("long")).as("d2"))
+    val total = byBucket.agg(sum(col("__n")).as("__total"))
+    val wPrev = Window.orderBy(col("t_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column) = c.cast("double")
+    val withRisk = byBucket.crossJoin(broadcast(total))
+      .withColumn("at_risk",
+        col("__total") - coalesce(sum(col("__n")).over(wPrev), lit(0L)))
+      .filter(col("d1") + col("d2") > 0)
+      .withColumn("__term", lit(1.0) -
+        d(col("d1") + col("d2")) / d(col("at_risk")))
+      .withColumn("__zeroPrev",
+        coalesce(max((col("__term") <= 0).cast("int")).over(wPrev),
+          lit(0)))
+      .withColumn("__survPrev",
+        when(col("__zeroPrev") === 1, lit(0.0))
+          .otherwise(exp(coalesce(
+            sum(when(col("__term") > 0, log(col("__term")))
+              .otherwise(lit(0.0))).over(wPrev), lit(0.0)))))
+    withRisk
+      .withColumn("cif_1", round(sum(
+        col("__survPrev") * d(col("d1")) / d(col("at_risk"))).over(wCum),
+        6))
+      .withColumn("cif_2", round(sum(
+        col("__survPrev") * d(col("d2")) / d(col("at_risk"))).over(wCum),
+        6))
+      .select(col("t_bucket"), col("at_risk"), col("d1"), col("d2"),
+        round(col("__survPrev"), 6).as("surv_prev"),
+        col("cif_1"), col("cif_2"))
+  }
+
+  /** DuckDB twin of [[competingRisks]]: `perSubjectSql` must select
+    * `(duration [BIGINT], event [0/1/2])`. */
+  def sqlCompetingRisks(perSubjectSql: String, bucketUs: Long): String = s"""
+    WITH ps AS ($perSubjectSql), b AS (
+      SELECT CAST(duration // $bucketUs AS BIGINT) AS t_bucket,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        CAST(sum(CASE WHEN event = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM ps GROUP BY 1
+    ), t AS (SELECT sum(n) AS total FROM b), r AS (
+      SELECT b.t_bucket, b.d1, b.d2,
+        CAST(t.total - coalesce(sum(b.n) OVER (ORDER BY b.t_bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS at_risk
+      FROM b, t
+    ), f AS (
+      SELECT t_bucket, d1, d2, at_risk,
+        1.0e0 - CAST(d1 + d2 AS DOUBLE) / CAST(at_risk AS DOUBLE) AS term
+      FROM r WHERE d1 + d2 > 0
+    ), s AS (
+      SELECT t_bucket, d1, d2, at_risk,
+        CASE WHEN coalesce(max(CASE WHEN term <= 0 THEN 1 ELSE 0 END)
+            OVER (ORDER BY t_bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+          THEN 0.0e0
+          ELSE exp(coalesce(
+            sum(CASE WHEN term > 0 THEN ln(term) ELSE 0.0e0 END)
+            OVER (ORDER BY t_bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0e0))
+        END AS surv_prev
+      FROM f
+    )
+    SELECT t_bucket, at_risk, d1, d2, round(surv_prev, 6) AS surv_prev,
+      round(sum(surv_prev * CAST(d1 AS DOUBLE) / CAST(at_risk AS DOUBLE))
+        OVER (ORDER BY t_bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif_1,
+      round(sum(surv_prev * CAST(d2 AS DOUBLE) / CAST(at_risk AS DOUBLE))
+        OVER (ORDER BY t_bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif_2
+    FROM s"""
 }

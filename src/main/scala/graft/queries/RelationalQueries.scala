@@ -760,6 +760,32 @@ object RelationalQueries extends Registry {
       graft.operators.Survival.kaplanMeier(perUser, "duration", "event",
         bucketUs = 3600000000L)
     }),
+    // D190: competing risks (Aalen–Johansen) — first PURCHASE (cause
+    // 1) races first ERROR (cause 2) from each user's first event;
+    // treating the loser as censoring would overstate both curves
+    // (the classic competing-risks bias). CIF₁+CIF₂+S = 1 per bucket.
+    "d105_competing_risks" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(
+          min(unix_micros(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("tp"),
+          min(when(col("event_type") === "error",
+            unix_micros(col("ts")))).as("te"),
+          max(unix_micros(col("ts"))).as("tl"))
+        .select(
+          when(col("tp").isNotNull &&
+              (col("te").isNull || col("tp") <= col("te")),
+            col("tp") - col("t0"))
+            .when(col("te").isNotNull, col("te") - col("t0"))
+            .otherwise(col("tl") - col("t0")).as("duration"),
+          when(col("tp").isNotNull &&
+              (col("te").isNull || col("tp") <= col("te")), lit(1))
+            .when(col("te").isNotNull, lit(2))
+            .otherwise(lit(0)).as("event"))
+      graft.operators.Survival.competingRisks(perUser, "duration",
+        "event", bucketUs = 3600000000L)
+    }),
     // D91: the SAME estimator per cohort (here: the experiment-arm
     // assignment the A/B family uses) — one curve per arm, windows
     // partitioned by cohort so per-arm state stays bounded-axis-sized.
@@ -2463,6 +2489,24 @@ object RelationalQueries extends Registry {
            SELECT user_id, min(epoch_us(ts)) AS t0,
              min(CASE WHEN event_type = 'purchase'
                THEN epoch_us(ts) END) AS tp,
+             max(epoch_us(ts)) AS tl
+           FROM events GROUP BY user_id)""",
+      bucketUs = 3600000000L),
+    "d105_competing_risks" -> graft.operators.Survival.sqlCompetingRisks(
+      """SELECT
+           CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+               THEN tp - t0
+             WHEN te IS NOT NULL THEN te - t0
+             ELSE tl - t0 END AS duration,
+           CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+             WHEN te IS NOT NULL THEN 2
+             ELSE 0 END AS event
+         FROM (
+           SELECT user_id, min(epoch_us(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(ts) END) AS tp,
+             min(CASE WHEN event_type = 'error'
+               THEN epoch_us(ts) END) AS te,
              max(epoch_us(ts)) AS tl
            FROM events GROUP BY user_id)""",
       bucketUs = 3600000000L),

@@ -132,4 +132,39 @@ class SurvivalSpec extends SparkSpec {
     assert(s.nonEmpty && s.head <= 1.0)
     assert(s.sliding(2).forall(w => w.length < 2 || w(1) <= w(0) + 1e-12))
   }
+
+  test("competing risks: hand-computed Aalen–Johansen, identity holds") {
+    import spark.implicits._
+    // bucket 1: A cause1, B cause2 (of 4 at risk); bucket 2: C cause1
+    // (of 2); bucket 3: D censored
+    val ps = Seq((1L, 1), (1L, 2), (2L, 1), (3L, 0))
+      .toDF("duration", "event")
+    val r = Survival.competingRisks(ps, "duration", "event", bucketUs = 1L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(4), x.getDouble(5), x.getDouble(6)))
+      .toMap
+    assert(r(1L) === ((4L, 1.0, 0.25, 0.25)), r.toString)
+    // surv_prev(2) = 1 − 2/4 = .5; cif_1 += .5·(1/2) = .5
+    assert(r(2L) === ((2L, 0.5, 0.5, 0.25)), r.toString)
+    // identity at the last event bucket: CIF1 + CIF2 + S = 1
+    val sAfter = 0.5 * 0.5 // all-cause KM through bucket 2
+    assert(math.abs(r(2L)._3 + r(2L)._4 + sAfter - 1.0) < 1e-9)
+  }
+
+  test("competing risks: 1−KM (cause-2-as-censoring) overstates CIF") {
+    import spark.implicits._
+    val ps = Seq((1L, 1), (1L, 2), (2L, 1), (3L, 0))
+      .toDF("duration", "event")
+    val cif1 = Survival.competingRisks(ps, "duration", "event", 1L)
+      .orderBy($"t_bucket".desc).head.getDouble(5)
+    // the WRONG estimate: cause 2 treated as censoring
+    val naive = Survival.kaplanMeier(
+      ps.select($"duration",
+        org.apache.spark.sql.functions.when($"event" === 1, 1)
+          .otherwise(0).as("event")),
+      "duration", "event", 1L)
+      .orderBy($"t_bucket".desc).head.getDouble(4)
+    assert(1.0 - naive > cif1 + 0.05,
+      s"naive ${1.0 - naive} must overstate AJ $cif1")
+  }
 }
