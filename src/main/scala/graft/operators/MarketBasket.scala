@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -111,5 +111,88 @@ object MarketBasket {
           consequent) AS BIGINT) AS rank
       FROM scored)
     SELECT * FROM ranked WHERE rank <= $k"""
+  }
+
+  /** RECOMMENDER BACKTEST — the [[rules]] miner evaluated the only
+    * honest way: rules are trained on baskets AT OR BEFORE a cutoff,
+    * then each POST-cutoff basket item asks its top-lift rule for one
+    * recommendation and scores a HIT when the recommended item really
+    * sits in the same future basket. Training on the test period (or
+    * evaluating on the training one) inflates hit rates exactly the
+    * way leaked features inflate AUCs — the temporal split is the
+    * operator, like [[Labels.churnLabels]] on the label side.
+    *
+    * Determinism/scale: the rule side is [[rules]]' bounded pair
+    * machinery on the train slice; rec(a) = first by (lift 6dp DESC,
+    * consequent) per antecedent — a total order; the eval is two
+    * vocabulary-keyed joins against the distinct test incidence. One
+    * summary row: `(n_rules, n_test_baskets, n_recs, n_hits,
+    * hit_rate (6 dp))`. */
+  def backtest(df: DataFrame, basketCol: String, itemCol: String,
+               tsCol: String, cutoffTs: String,
+               minPairs: Long = 2): DataFrame = {
+    val cut = to_timestamp(lit(cutoffTs))
+    val train = df.filter(col(tsCol) <= cut)
+    val test = df.filter(col(tsCol) > cut)
+      .select(col(basketCol).as("__tb"), col(itemCol).as("__ti"))
+      .distinct()
+    val ruleSet = rules(train, basketCol, itemCol, minPairs,
+      k = Int.MaxValue)
+    val w = Window.partitionBy(col("antecedent"))
+      .orderBy(col("lift").desc, col("consequent"))
+    val recs = ruleSet
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("antecedent"), col("consequent").as("__rec"))
+    val nRules = ruleSet.count()
+    val nTestBaskets = test.select(col("__tb")).distinct().count()
+    val scoredRecs = test
+      .join(recs, col("__ti") === col("antecedent"))
+      .join(test.select(col("__tb").as("__tb2"), col("__ti").as("__hit")),
+        col("__tb") === col("__tb2") && col("__rec") === col("__hit"),
+        "left")
+      .agg(count(lit(1)).as("n_recs"),
+        sum(col("__hit").isNotNull.cast("long")).as("n_hits"))
+    def d(c: Column) = c.cast("double")
+    scoredRecs.select(lit(nRules).as("n_rules"),
+      lit(nTestBaskets).as("n_test_baskets"),
+      col("n_recs"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+      round(coalesce(d(col("n_hits")), lit(0.0)) /
+        greatest(d(col("n_recs")), lit(1.0)), 6).as("hit_rate"))
+  }
+
+  /** DuckDB twin of [[backtest]]: `basketsSql` must select
+    * `(b, i, ts)` one row per incidence. */
+  def sqlBacktest(basketsSql: String, cutoffTs: String,
+                  minPairs: Long = 2): String = {
+    val rulesSql = sqlRules(
+      s"SELECT b, i FROM ($basketsSql) WHERE ts <= TIMESTAMP '$cutoffTs'",
+      minPairs, k = Int.MaxValue)
+    s"""
+    WITH ruleset AS ($rulesSql),
+    recs AS (
+      SELECT antecedent, consequent AS rec FROM (
+        SELECT antecedent, consequent,
+          row_number() OVER (PARTITION BY antecedent
+            ORDER BY lift DESC, consequent) AS r
+        FROM ruleset)
+      WHERE r = 1
+    ), test AS (
+      SELECT DISTINCT b, i FROM ($basketsSql)
+      WHERE ts > TIMESTAMP '$cutoffTs'
+    ), scored AS (
+      SELECT t.b, t.i, recs.rec,
+        CASE WHEN h.i IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM test t
+      JOIN recs ON t.i = recs.antecedent
+      LEFT JOIN test h ON h.b = t.b AND h.i = recs.rec)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ruleset) AS n_rules,
+      (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM test)
+        AS n_test_baskets,
+      CAST(count(*) AS BIGINT) AS n_recs,
+      CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits,
+      round(coalesce(CAST(sum(hit) AS DOUBLE), 0e0)
+        / greatest(CAST(count(*) AS DOUBLE), 1e0), 6) AS hit_rate
+    FROM scored"""
   }
 }

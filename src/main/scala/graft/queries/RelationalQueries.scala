@@ -1101,6 +1101,20 @@ object RelationalQueries extends Registry {
       graft.operators.JoinAudit.joinCardinality(ev, ev, Seq("user_id"),
         k = 10)
     }),
+    // D191: recommender backtest — rules trained on pre-2000 baskets,
+    // top-lift recommendation per test-basket item, hit iff it really
+    // co-occurs post-cutoff: the honest eval (training on the test
+    // period inflates hit rates the way leaked features inflate AUC).
+    "d106_rec_backtest" -> ((s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 40)
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"),
+          col("o_orderdate").as("ts"))
+      graft.operators.MarketBasket.backtest(baskets, "b", "i", "ts",
+        "2000-01-01 00:00:00", minPairs = 1)
+    }),
     // D188: RFM segmentation — recency/frequency/monetary quintile
     // scores (recency inverted) folded into first-match lifecycle
     // segments; exact type-7 quintile cutoffs broadcast back. The
@@ -2923,6 +2937,12 @@ object RelationalQueries extends Registry {
           FROM (${graft.graph.PageRank.sqlRanks(edgesSql, 3)}) pr
           JOIN nation ON pr.node = n_nationkey"""
     },
+    "d106_rec_backtest" -> graft.operators.MarketBasket.sqlBacktest(
+      """SELECT l.l_orderkey AS b, l.l_partkey AS i,
+           o.o_orderdate AS ts
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_quantity >= 40""",
+      cutoffTs = "2000-01-01 00:00:00", minPairs = 1),
     "d104_rfm" -> graft.operators.Rfm.sqlRfm(
       """SELECT user_id AS unit, ts, value,
            event_type = 'purchase' AS is_purchase

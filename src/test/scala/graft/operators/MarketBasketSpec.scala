@@ -44,6 +44,39 @@ class MarketBasketSpec extends SparkSpec {
     assert(r === Set(("x", "y"), ("y", "x")), r.toString)
   }
 
+  test("backtest: hits only count in the future, never the train set") {
+    import java.sql.Timestamp
+    def ts(y: Int) = Timestamp.valueOf(f"$y-06-01 00:00:00")
+    // train (1999): {x,y}×2 — rule x→y and y→x.
+    // test (2001): basket 10 has {x,y} → x's rec y HITS (and y→x);
+    // basket 11 has {x,z} → x's rec y MISSES; z has no rule.
+    val df = Seq(
+      (1L, "x", ts(1999)), (1L, "y", ts(1999)),
+      (2L, "x", ts(1999)), (2L, "y", ts(1999)),
+      (10L, "x", ts(2001)), (10L, "y", ts(2001)),
+      (11L, "x", ts(2001)), (11L, "z", ts(2001)))
+      .toDF("b", "i", "ts")
+    val r = MarketBasket.backtest(df, "b", "i", "ts",
+      "2000-01-01 00:00:00", minPairs = 1).head
+    assert(r.getLong(0) === 2L, "two directed rules")
+    assert(r.getLong(1) === 2L, "two test baskets")
+    // recs issued: basket10 x→y (hit), y→x (hit); basket11 x→y (miss);
+    // z has no rule → 3 recs, 2 hits
+    assert(r.getLong(2) === 3L && r.getLong(3) === 2L, r.toString)
+    assert(math.abs(r.getDouble(4) - 2.0 / 3.0) < 1e-6)
+  }
+
+  test("backtest: no future leakage — an empty test period scores 0/0") {
+    import java.sql.Timestamp
+    val df = Seq((1L, "x", Timestamp.valueOf("1999-06-01 00:00:00")),
+      (1L, "y", Timestamp.valueOf("1999-06-01 00:00:00")))
+      .toDF("b", "i", "ts")
+    val r = MarketBasket.backtest(df, "b", "i", "ts",
+      "2000-01-01 00:00:00", minPairs = 1).head
+    assert(r.getLong(2) === 0L && r.getLong(3) === 0L)
+    assert(r.getDouble(4) === 0.0)
+  }
+
   test("co-purchase rules on lineitem: ranked, bounded, lift positive") {
     val li = graft.Tables.lineitem(spark, sf0001)
       .filter($"l_quantity" >= 45)
