@@ -275,7 +275,23 @@ object ScaleProbe {
       // bounded day axis; the recursion is driver-side — expect flat),
       // VAD (frame fan-out + per-asset windows — linear in assets)
       "d91_event_study", "d93_rdd", "d94_ucb", "d95_iv_wald",
-      "d96_holt_forecast", "c7_brier_decomposition", "c6_vad_segments")
+      "d96_holt_forecast", "c7_brier_decomposition", "c6_vad_segments",
+      // round-10l/m: EB shrinkage (per-unit agg + group-axis moments —
+      // linear), meta-analysis (segment-axis folds — flat), k-core
+      // (peeling rounds over a shrinking edge frame — the co-purchase
+      // graph densifies under replication, WATCH), dhash (fixture
+      // decode scan — flat), matryoshka (fixed anchors × |dims| corpus
+      // scans — linear), count health ((unit, key) agg — linear),
+      // churn labels / RFM (per-unit conditional aggs — linear),
+      // assoc rules (basket-bounded pairs; parts collide across copies
+      // like adamic-adar — watch), rec backtest (rules + two test
+      // joins — linear-ish), competing risks (bucket-axis folds —
+      // flat), fertility (distinct-word encode + per-lang agg —
+      // sub-linear, the BPE thesis)
+      "d97_eb_rates", "d98_meta_analysis", "d99_kcore", "c6_dhash",
+      "c4_matryoshka_recall", "d100_count_health", "d102_churn_labels",
+      "d104_rfm", "d103_assoc_rules", "d106_rec_backtest",
+      "d105_competing_risks", "c5_bpe_fertility")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
