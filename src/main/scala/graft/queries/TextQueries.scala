@@ -709,6 +709,23 @@ object TextQueries extends Registry {
           TextFunctions.unicodeNorm(str, stripAccents = false).as("nfc"),
           TextFunctions.unicodeNorm(str, stripAccents = true).as("folded"))
     }),
+    // C5: code-vs-prose routing — symbol density + keyword evidence
+    // over a planted fixture (every third doc gets a code snippet
+    // appended, the unicode_normalize injection convention): the
+    // router that sends code and prose to different filter stacks.
+    "c5_code_detect" -> ((s, d) => {
+      val snippet = when(col("doc_id") % 3 === 0,
+        lit(" def f(x) { return g(x); } import os; const y = [1];"))
+        .otherwise(lit(" plain prose about a function of the state"))
+      val str = concat(col("text"), snippet)
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          round(TextFunctions.codeSymbolRatio(str), 6)
+            .as("symbol_ratio"),
+          TextFunctions.codeKeywordHits(str).as("kw_hits"),
+          TextFunctions.isCode(str, symbolThreshold = 0.01)
+            .as("is_code"))
+    }),
     // C5: ZIPF FIT — OLS of ln(freq) on ln(rank) over the top terms:
     // natural text gives slope ≈ −1 with high R²; boilerplate/token
     // soup bends or flattens the curve. The corpus-health number pair
@@ -1041,6 +1058,25 @@ object TextQueries extends Registry {
          WHERE doc_id % 2 = 0""",
       "SELECT doc_id AS id, lang AS g FROM documents",
       idOut = "doc_id", groupOut = "lang"),
+    "c5_code_detect" -> """
+      WITH f AS (
+        SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+            THEN ' def f(x) { return g(x); } import os; const y = [1];'
+            ELSE ' plain prose about a function of the state' END AS s
+        FROM documents WHERE doc_id < 200
+      ), m AS (
+        SELECT doc_id,
+          CASE WHEN len(s) = 0 THEN 0.0e0
+            ELSE CAST(len(s) - len(regexp_replace(s,
+              '[{}();=<>\[\]]', '', 'g')) AS DOUBLE)
+              / CAST(len(s) AS DOUBLE) END AS sr,
+          CAST(len(regexp_extract_all(lower(s),
+            '\b(def|return|import|class|function|var|const|void)\b'))
+            AS BIGINT) AS kw
+        FROM f)
+      SELECT doc_id, round(sr, 6) AS symbol_ratio, kw AS kw_hits,
+        CAST(sr > 1.0e-2 AND kw >= 2 AS INT) AS is_code
+      FROM m""",
     "c5_unicode_normalize" -> """
       WITH f AS (
         SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)

@@ -142,4 +142,36 @@ object TextFunctions {
       graft.expressions.UnicodeNorm(
         org.apache.spark.sql.GraftColumnBridge.expression(text),
         stripAccents))
+
+  // ---- code-vs-prose routing ---------------------------------------
+  // LLM corpora route code and prose to different filters, different
+  // dedup settings and different mixture weights — a prose quality
+  // gate run on code throws away the repositories, and code dedup run
+  // on prose misses paraphrases. The detector is deliberately
+  // heuristic (the production ones are too: symbol density + keyword
+  // evidence, cheap enough for a first-pass scan) and every signal is
+  // a pure string ratio, so the routing sits under the exact oracle.
+
+  /** Share of characters from the code-symbol class `{}();=<>[]`. */
+  def codeSymbolRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text,
+          "[{}();=<>\\[\\]]", ""))).cast("double") /
+          length(text).cast("double"))
+
+  /** Occurrences of common code keywords (word-bounded). */
+  def codeKeywordHits(text: Column): Column =
+    regexp_count(lower(text),
+      lit("\\b(def|return|import|class|function|var|const|void)\\b"))
+      .cast("long")
+
+  /** Route: code iff symbol density clears `symbolThreshold` AND at
+    * least `minKeywords` keyword hits back it up (symbols alone
+    * misfire on math-heavy prose; keywords alone on prose ABOUT
+    * code). */
+  def isCode(text: Column, symbolThreshold: Double = 0.03,
+             minKeywords: Int = 2): Column =
+    (codeSymbolRatio(text) > symbolThreshold &&
+      codeKeywordHits(text) >= minKeywords).cast("int")
 }

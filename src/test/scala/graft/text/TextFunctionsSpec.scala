@@ -41,4 +41,25 @@ class TextFunctionsSpec extends SparkSpec {
       TextFunctions.approxBpeCount(col("text")) < TextFunctions.wordCount(col("text")))
     assert(bad.count() === 0)
   }
+
+  test("isCode demands BOTH symbol density and keyword evidence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "def f(x) { return x; } import os; const y = [2];"), // code
+      (2L, "a plain sentence about nothing in particular here"), // prose
+      // math-heavy prose: symbols without keywords → NOT code
+      (3L, "(a < b) = (c > d); [e] = {f}; (g) = (h); (i) < (j);"),
+      // prose ABOUT code: keywords without symbols → NOT code
+      (4L, "how to define a function and return a value or import one"))
+      .toDF("doc_id", "text")
+    val r = docs.select($"doc_id",
+      TextFunctions.isCode($"text", symbolThreshold = 0.03).as("c"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r === Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0), r.toString)
+    // doc 4 DOES carry keyword evidence ('return', 'import',
+    // 'function') — proving the symbol gate alone rejected it
+    val kw = docs.filter($"doc_id" === 4)
+      .select(TextFunctions.codeKeywordHits($"text")).head.getLong(0)
+    assert(kw >= 2, s"fixture must carry keyword evidence: $kw")
+  }
 }
