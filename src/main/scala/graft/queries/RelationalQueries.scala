@@ -1130,6 +1130,14 @@ object RelationalQueries extends Registry {
         Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
           .select(col("l_orderkey").as("b"), col("l_partkey").as("i")),
         "b", "i", minPairs = 1, k = 50)),
+    // D193: time-decayed engagement features — 2^{−Δt/halflife}
+    // weights at the same cutoff discipline as d102: current
+    // engagement mass, not lifetime counts. Per-row weights on the
+    // 1e-9 grid so unit sums are order-free.
+    "d107_decayed_features" -> ((s, d) =>
+      graft.operators.Decay.decayedFeatures(Tables.events(s, d),
+        "user_id", "ts", "value", "2024-01-20 00:00:00",
+        halfLifeDays = 7.0)),
     // D186: leakage-safe churn labels — features strictly ≤ the
     // Jan-20 cutoff, label strictly from the 7-day horizon after it,
     // units born after the cutoff excluded: the supervised-dataset
@@ -1313,6 +1321,29 @@ object RelationalQueries extends Registry {
     // one trade community) next to PageRank's importance read.
     // Synchronous, integer-weight argmax with (score DESC, label ASC)
     // ties → a fixed 4 rounds unrolls into the DuckDB oracle.
+    // D194: modularity of the LPA partition — the number that says
+    // whether d81's communities MEAN anything (Q ≈ 0 = luck under the
+    // degree-preserving null; the nation trade graph is near-complete,
+    // so a near-zero read is itself the honest diagnosis). Unweighted
+    // over the distinct undirected edge set, self-loops excluded.
+    "d108_modularity" -> ((s, d) => {
+      val trade = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val labels = graft.graph.LabelPropagation.communities(trade,
+        rounds = 4)
+      val und = trade.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      graft.graph.Modularity.modularity(und, labels)
+    }),
     "d81_label_prop" -> ((s, d) => {
       val edges = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
         .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
@@ -2952,6 +2983,9 @@ object RelationalQueries extends Registry {
       """SELECT l_orderkey AS b, l_partkey AS i FROM lineitem
          WHERE l_quantity >= 45""",
       minPairs = 1, k = 50),
+    "d107_decayed_features" -> graft.operators.Decay.sqlDecayedFeatures(
+      "events", "user_id", "ts", "value", "2024-01-20 00:00:00",
+      halfLifeDays = 7.0),
     "d102_churn_labels" -> graft.operators.Labels.sqlChurnLabels(
       "events", "user_id", "ts", "value", "2024-01-20 00:00:00",
       horizonDays = 7),
@@ -3072,6 +3106,20 @@ object RelationalQueries extends Registry {
       s"""SELECT n_name, hub, auth
           FROM (${graft.graph.Hits.sqlScores(edgesSql, 4)}) hs
           JOIN nation ON hs.node = n_nationkey"""
+    },
+    "d108_modularity" -> {
+      val edgesSql = """
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2"""
+      graft.graph.Modularity.sqlModularity(
+        s"""SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM ($edgesSql) WHERE src != dst""",
+        graft.graph.LabelPropagation.sqlCommunities(edgesSql, 4))
     },
     "d81_label_prop" -> {
       val edgesSql = """
