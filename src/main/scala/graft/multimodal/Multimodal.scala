@@ -587,6 +587,32 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Letterboxed PPM fixture for the border-detection family: luma
+    * v(x, y) = 0 inside the planted top/bottom/left/right borders,
+    * `60 + (seed + x + 3y) mod 40` in the interior (varies with both
+    * axes, so no interior line is ever uniform) — closed form the
+    * oracle recomputes. Luma rides the red channel (g = b = 0). */
+  def ppmBorderFixtureBytes(w: Int, h: Int, top: Int, bottom: Int,
+                            left: Int, right: Int,
+                            seed: Long): Array[Byte] = {
+    require(top + bottom < h && left + right < w)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v =
+          if (y < top || y >= h - bottom || x < left || x >= w - right) 0
+          else (60 + ((seed + x + 3L * y) % 40)).toInt
+        px(3 * (y * w + x)) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    header ++ px
+  }
+
   /** Deterministic PPM fixture: pixel byte at linear index i (RGB
     * interleaved, row-major) is `(seed + i) mod 256` — a closed form
     * the DuckDB oracle recomputes without touching the bytes. */

@@ -169,6 +169,63 @@ object PerceptualHash {
     bits
   }
 
+  /** LETTERBOX / BORDER DETECTION — the crop step that runs BEFORE
+    * perceptual hashing in real image dedup: a letterboxed re-upload
+    * shares no aHash/dHash bits with its original because the black
+    * bars own the luma grid, so pipelines measure the bars and hash
+    * the interior. A row/column is BLANK when every pixel shares one
+    * value ≤ `blackThresh`; each side's border is its run of leading
+    * blank lines (capped at the image so an all-blank frame reads as
+    * fully bordered). Exact integer scans → the closed-form fixture
+    * oracle, like the hash family. Returns (top, bottom, left,
+    * right) or None when the payload doesn't decode. */
+  def borders(p: Array[Byte], blackThresh: Int = 16)
+      : Option[(Int, Int, Int, Int)] =
+    lumaPixels(p).map { case (w, h, luma) =>
+      def rowBlank(y: Int): Boolean = {
+        val v = luma(y * w)
+        v <= blackThresh &&
+          (0 until w).forall(x => luma(y * w + x) == v)
+      }
+      def colBlank(x: Int): Boolean = {
+        val v = luma(x)
+        v <= blackThresh &&
+          (0 until h).forall(y => luma(y * w + x) == v)
+      }
+      val top = (0 until h).takeWhile(rowBlank).size
+      val bottom = ((h - 1) to 0 by -1).takeWhile(rowBlank).size
+      val left = (0 until w).takeWhile(colBlank).size
+      val right = ((w - 1) to 0 by -1).takeWhile(colBlank).size
+      (top, bottom, left, right)
+    }
+
+  /** [[borders]] over a payload frame: appends top/bottom/left/right
+    * plus `boxed` = 1 when any side has a border. */
+  def detectBorders(assets: DataFrame, blackThresh: Int = 16,
+                    batchSize: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = assets.schema
+      .add("top", LongType).add("bottom", LongType)
+      .add("left", LongType).add("right", LongType)
+      .add("boxed", IntegerType)
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    assets.mapPartitions { it: Iterator[Row] =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          borders(row.getAs[Array[Byte]](payloadIdx), blackThresh) match {
+            case Some((t, b, l, r)) =>
+              Row.fromSeq(row.toSeq ++ Seq[Any](t.toLong, b.toLong,
+                l.toLong, r.toLong,
+                if (t + b + l + r > 0) 1 else 0))
+            case None =>
+              Row.fromSeq(row.toSeq ++ Seq[Any](null, null, null, null,
+                null))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Difference hash of an image payload ([[dHashLuma]] over the same
     * decode paths as [[aHash]]). */
   def dHash(p: Array[Byte], gridW: Int = 8, gridH: Int = 8): Option[Long] = {

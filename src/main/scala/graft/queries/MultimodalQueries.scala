@@ -287,6 +287,23 @@ object MultimodalQueries extends Registry {
       graft.multimodal.Vad.segments(frames,
         threshPerSample = 100000000L, hangover = 1, minFrames = 2)
     }),
+    // C6: letterbox/border detection — the crop step BEFORE perceptual
+    // hashing (black bars own the luma grid and zero out hash
+    // overlap). Planted borders on the closed-form PPM fixture; exact
+    // integer blank-line scans → oracle.
+    "c6_borders" -> ((s, d) => {
+      import s.implicits._
+      val fixture = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.ppmBorderFixtureBytes(
+          (10 + id % 4).toInt, (8 + id % 3).toInt,
+          (id % 3).toInt, ((id + 1) % 3).toInt,
+          (id % 2).toInt, ((id + 2) % 3).toInt, id)))
+        .toDF("asset_id", "payload")
+      graft.multimodal.PerceptualHash.detectBorders(fixture)
+        .select(col("asset_id"), col("top"), col("bottom"),
+          col("left"), col("right"), col("boxed"))
+    }),
     // C6 rows-only: real resize — decode the PNG fixture, bilinear
     // scale to 8x8, re-encode PNG, decode AGAIN and report the
     // round-tripped dimensions (all 8x8 ⇒ the plumbing is proven by
@@ -512,6 +529,55 @@ object MultimodalQueries extends Registry {
         CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak_abs,
         CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS energy
       FROM s""",
+    // c6_borders: planted letterbox widths recomputed from the luma
+    // closed form — a line is blank iff uniform AND ≤ 16; side = its
+    // leading blank run.
+    "c6_borders" -> """
+      WITH f AS (
+        SELECT doc_id AS asset_id,
+          CAST(10 + doc_id % 4 AS BIGINT) AS w,
+          CAST(8 + doc_id % 3 AS BIGINT) AS h,
+          CAST(doc_id % 3 AS BIGINT) AS pt,
+          CAST((doc_id + 1) % 3 AS BIGINT) AS pb,
+          CAST(doc_id % 2 AS BIGINT) AS pl,
+          CAST((doc_id + 2) % 3 AS BIGINT) AS pr
+        FROM documents WHERE doc_id < 50
+      ), px AS (
+        SELECT asset_id, w, h, y.y, x.x,
+          CASE WHEN y.y < pt OR y.y >= h - pb
+              OR x.x < pl OR x.x >= w - pr THEN 0
+            ELSE 60 + ((asset_id + x.x + 3 * y.y) % 40) END AS v
+        FROM f,
+          LATERAL unnest(generate_series(0, h - 1)) y(y),
+          LATERAL unnest(generate_series(0, w - 1)) x(x)
+      ), rows0 AS (
+        SELECT asset_id, h, y,
+          CAST(max(v) = min(v) AND max(v) <= 16 AS INT) AS blank
+        FROM px GROUP BY asset_id, h, y
+      ), cols0 AS (
+        SELECT asset_id, w, x,
+          CAST(max(v) = min(v) AND max(v) <= 16 AS INT) AS blank
+        FROM px GROUP BY asset_id, w, x
+      ), sides AS (
+        SELECT r.asset_id,
+          (SELECT coalesce(min(y), max(r2.h))
+           FROM rows0 r2 WHERE r2.asset_id = r.asset_id AND r2.blank = 0)
+            AS top,
+          (SELECT coalesce(max(r2.h) - 1 - max(y), max(r2.h))
+           FROM rows0 r2 WHERE r2.asset_id = r.asset_id AND r2.blank = 0)
+            AS bottom,
+          (SELECT coalesce(min(x), max(c2.w))
+           FROM cols0 c2 WHERE c2.asset_id = r.asset_id AND c2.blank = 0)
+            AS lft,
+          (SELECT coalesce(max(c2.w) - 1 - max(x), max(c2.w))
+           FROM cols0 c2 WHERE c2.asset_id = r.asset_id AND c2.blank = 0)
+            AS rgt
+        FROM rows0 r GROUP BY r.asset_id)
+      SELECT asset_id, CAST(top AS BIGINT) AS top,
+        CAST(bottom AS BIGINT) AS bottom, CAST(lft AS BIGINT) AS "left",
+        CAST(rgt AS BIGINT) AS "right",
+        CAST(top + bottom + lft + rgt > 0 AS INT) AS boxed
+      FROM sides""",
     // c6_vad_segments: the block fixture recomputed closed-form —
     // s(i) = ((i//64)%2)·20000 + ((id+i)%7), 32-sample windows,
     // voiced at energy ≥ 1e8·n, hangover 1, minFrames 2.

@@ -223,4 +223,20 @@ class PerceptualHashSpec extends SparkSpec {
     assert(PerceptualHash.dHash(ppmOf(6, 3, (_, _) => 77)) === Some(0L))
     assert(PerceptualHash.dHash(Array[Byte](1, 2, 3)) === None)
   }
+
+  test("borders: planted letterbox measured exactly; edge semantics") {
+    val boxed = Multimodal.ppmBorderFixtureBytes(12, 9,
+      top = 2, bottom = 1, left = 3, right = 0, seed = 5L)
+    assert(PerceptualHash.borders(boxed) === Some((2, 1, 3, 0)))
+    // borderless content reads all zeros
+    val clean = ppmOf(8, 6, (x, y) => 60 + (x + 3 * y) % 40)
+    assert(PerceptualHash.borders(clean) === Some((0, 0, 0, 0)))
+    // an all-black frame is fully bordered on every side (capped)
+    val black = ppmOf(5, 4, (_, _) => 0)
+    assert(PerceptualHash.borders(black) === Some((4, 4, 5, 5)))
+    // a uniform BRIGHT frame is NOT a letterbox (blank needs <= thresh)
+    val bright = ppmOf(5, 4, (_, _) => 200)
+    assert(PerceptualHash.borders(bright) === Some((0, 0, 0, 0)))
+    assert(PerceptualHash.borders(Array[Byte](9)) === None)
+  }
 }
