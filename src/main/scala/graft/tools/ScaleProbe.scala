@@ -291,7 +291,13 @@ object ScaleProbe {
       "d97_eb_rates", "d98_meta_analysis", "d99_kcore", "c6_dhash",
       "c4_matryoshka_recall", "d100_count_health", "d102_churn_labels",
       "d104_rfm", "d103_assoc_rules", "d106_rec_backtest",
-      "d105_competing_risks", "c5_bpe_fertility")
+      "d105_competing_risks", "c5_bpe_fertility",
+      // round-10n: code routing (regex scan — linear), decayed
+      // features / noised sums (per-unit conditional aggs — linear),
+      // modularity (edge derivation + tiny label join — linear),
+      // borders (fixture decode scan — flat)
+      "c5_code_detect", "d107_decayed_features", "d101_noised_sums",
+      "d108_modularity", "c6_borders")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
