@@ -68,14 +68,30 @@ def main() -> int:
                         f"col {c}: dtype class {av.dtype} vs {bv.dtype} "
                         "(driver hashes types — cast the oracle)")
                     continue
-                if np.issubdtype(av.dtype, np.number) and np.issubdtype(bv.dtype, np.number):
-                    av, bv = av.astype(float).values, bv.astype(float).values
-                    both_nan = np.isnan(av) & np.isnan(bv)
-                    diff = np.where(both_nan, 0.0, np.abs(av - bv))
-                    bad = ~(both_nan | np.isclose(av, bv, rtol=1e-12, atol=1e-12))
+                if (np.issubdtype(av.dtype, np.integer)
+                        and np.issubdtype(bv.dtype, np.integer)):
+                    bad = av.values.astype(np.int64) != bv.values.astype(np.int64)
                     if bad.any():
+                        problems.append(f"col {c}: {bad.sum()} int cells differ")
+                elif np.issubdtype(av.dtype, np.number) and np.issubdtype(bv.dtype, np.number):
+                    # BIT-STRICT (round-11): the driver hashes float BIT
+                    # patterns, so compare float64 bits, not np.isclose.
+                    # The old rtol=1e-12 compare treated -0.0 == +0.0 and
+                    # shipped d76_covariance red as "247/247 bit-exact"
+                    # in round 10 (SURVEY §5.3 signed-zero rule). NaNs
+                    # are normalized first (both-NaN cells match).
+                    avf = av.astype(np.float64).values.copy()
+                    bvf = bv.astype(np.float64).values.copy()
+                    both_nan = np.isnan(avf) & np.isnan(bvf)
+                    avf[both_nan] = 0.0
+                    bvf[both_nan] = 0.0
+                    bad = avf.view(np.int64) != bvf.view(np.int64)
+                    if bad.any():
+                        sz = int((bad & (avf == bvf)).sum())  # ±0.0 cells
+                        diff = np.abs(avf - bvf)
                         problems.append(
-                            f"col {c}: {bad.sum()} cells differ, max |Δ|={np.nanmax(diff):.3g}")
+                            f"col {c}: {bad.sum()} cells bit-differ "
+                            f"(signed-zero: {sz}), max |Δ|={np.nanmax(np.where(bad, diff, 0.0)):.3g}")
                 else:
                     bad = av.astype(str).values != bv.astype(str).values
                     if bad.any():

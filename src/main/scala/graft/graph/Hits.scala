@@ -40,8 +40,19 @@ object Hits {
   def scores(edgesIn: DataFrame, iterations: Int,
              scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 1 && scale > 0)
+    // weights must be INTEGRAL: a silent cast('long') would truncate
+    // w<1 to 0 (edge contributes nothing), contradicting the
+    // down-scale contract above — fail loudly on fractional input
+    // (callers re-quantize, e.g. ×1000, before down-scaling)
+    val wChecked = when(
+        col("w").cast("double") === col("w").cast("long").cast("double"),
+        col("w").cast("long"))
+      .otherwise(raise_error(concat(
+        lit("Hits: edge weight must be integral (re-quantize fractional "
+          + "weights, e.g. round(w*1000)), got "),
+        col("w").cast("string"))).cast("long"))
     val edges = edgesIn.select(col("src"), col("dst"),
-      col("w").cast("long").as("w")).localCheckpoint()
+      wChecked.as("w")).localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint()

@@ -55,10 +55,15 @@ object KCore {
         rounds += 1
       }
     }
-    if (rounds >= maxIter)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"kCore did NOT reach the fixed point within $maxIter rounds — " +
-          "result may retain under-degree nodes; raise maxIter")
+    // a truncated peel is NOT the k-core (it may retain under-degree
+    // nodes) and a warning log cannot stop callers consuming it as
+    // one — fail loudly instead; maxIter exists only to bound the
+    // pathological-chain worst case, so hitting it is an error
+    if (!done && rounds >= maxIter)
+      throw new IllegalStateException(
+        s"kCore did NOT reach the fixed point within maxIter=$maxIter " +
+          "rounds - the truncated result would retain under-degree " +
+          "nodes; raise maxIter")
     edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))

@@ -175,10 +175,12 @@ object PerceptualHash {
     * bars own the luma grid, so pipelines measure the bars and hash
     * the interior. A row/column is BLANK when every pixel shares one
     * value ≤ `blackThresh`; each side's border is its run of leading
-    * blank lines (capped at the image so an all-blank frame reads as
-    * fully bordered). Exact integer scans → the closed-form fixture
-    * oracle, like the hash family. Returns (top, bottom, left,
-    * right) or None when the payload doesn't decode. */
+    * blank lines. Opposite sides are CLAMPED so top+bottom ≤ h and
+    * left+right ≤ w (an all-blank frame reads top=h, bottom=0 — the
+    * unclamped double-count would drive downstream interior-crop
+    * arithmetic `h−top−bottom` negative). Exact integer scans → the
+    * closed-form fixture oracle, like the hash family. Returns (top,
+    * bottom, left, right) or None when the payload doesn't decode. */
   def borders(p: Array[Byte], blackThresh: Int = 16)
       : Option[(Int, Int, Int, Int)] =
     lumaPixels(p).map { case (w, h, luma) =>
@@ -193,9 +195,11 @@ object PerceptualHash {
           (0 until h).forall(y => luma(y * w + x) == v)
       }
       val top = (0 until h).takeWhile(rowBlank).size
-      val bottom = ((h - 1) to 0 by -1).takeWhile(rowBlank).size
+      val bottom = math.min(((h - 1) to 0 by -1).takeWhile(rowBlank).size,
+        h - top)
       val left = (0 until w).takeWhile(colBlank).size
-      val right = ((w - 1) to 0 by -1).takeWhile(colBlank).size
+      val right = math.min(((w - 1) to 0 by -1).takeWhile(colBlank).size,
+        w - left)
       (top, bottom, left, right)
     }
 

@@ -71,7 +71,16 @@ object Anonymity {
 
   /** Per-group counts with Laplace(1/ε) noise. Output: groupCols +
     * `noised_n` (6-dp double; true counts withheld by design — that's
-    * the point of the release). */
+    * the point of the release).
+    *
+    * '''NOT a cryptographic DP mechanism''': the noise is a
+    * DETERMINISTIC PUBLIC function of the group key and `salt` —
+    * anyone with this code (or who guesses the salt) can recompute
+    * and subtract it, recovering the exact counts. What this operator
+    * provides is the mechanism SHAPE (sensitivity calibration, the
+    * Laplace inverse CDF, the engine-portable plan) under the
+    * bit-exact oracle; a real privacy deployment MUST replace the
+    * keyed hash with a secret-seeded generator. */
   def noisedCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
                    salt: Int = 29): DataFrame = {
     require(groupCols.nonEmpty && epsilon > 0)
@@ -87,7 +96,12 @@ object Anonymity {
     val noise = -b * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
-      .withColumn("noised_n", round(col("__n").cast("double") + noise, 6))
+      // floor-portable round (§5.3 signed-zero rule): noise can drive
+      // a small count to a tiny negative, and round(·,6) would emit
+      // -0.0 in DuckDB vs +0.0 through BigDecimal
+      .withColumn("noised_n",
+        floor((col("__n").cast("double") + noise) * lit(1e6) + lit(0.5))
+          / lit(1e6))
       .drop("__n")
   }
 
@@ -109,7 +123,8 @@ object Anonymity {
       * ln(1.0e0 - 2.0e0 * abs($c)))"""
     s"""WITH g AS (
           SELECT $q, count(*) AS n FROM $table GROUP BY $q)
-        SELECT $q, round(CAST(n AS DOUBLE) + $noise, 6) AS noised_n
+        SELECT $q, floor((CAST(n AS DOUBLE) + $noise) * 1000000.0e0
+          + 0.5e0) / 1000000.0e0 AS noised_n
         FROM g"""
   }
 
@@ -125,6 +140,9 @@ object Anonymity {
     * Determinism: the [[noisedCounts]] recipe — keyed hash-noise
     * through the Laplace inverse CDF, so the release is bit-stable
     * across re-runs and engines (re-publication must not wobble).
+    * '''NOT a cryptographic DP mechanism''' — see [[noisedCounts]]:
+    * the deterministic public noise is recoverable by anyone with the
+    * code; a real deployment must swap in a secret-seeded generator.
     * Scale: per-(group, unit) partial-agg'd sum, clamp, group agg,
     * projection — two hash aggregates, no window, no join.
     * Output: groupCols + `noised_sum` (6 dp). */
@@ -147,8 +165,11 @@ object Anonymity {
     val noise = -b * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
     perUnit.groupBy(groupCols.map(col): _*)
       .agg(sum(col("__sc")).as("__t"))
+      // floor-portable round — same §5.3 signed-zero rationale as
+      // noisedCounts (clamped sums near zero + negative noise)
       .withColumn("noised_sum",
-        round(col("__t").cast("double") + noise, 6))
+        floor((col("__t").cast("double") + noise) * lit(1e6) + lit(0.5))
+          / lit(1e6))
       .drop("__t")
   }
 
@@ -177,8 +198,93 @@ object Anonymity {
           FROM $table GROUP BY $q, $unitCol
         ), g AS (
           SELECT $q, sum(sc) AS t FROM pu GROUP BY $q)
-        SELECT $q, round(CAST(t AS DOUBLE) + $noise, 6) AS noised_sum
+        SELECT $q, floor((CAST(t AS DOUBLE) + $noise) * 1000000.0e0
+          + 0.5e0) / 1000000.0e0 AS noised_sum
         FROM g"""
+  }
+
+  // ---- Laplace-noised histogram release ---------------------------
+  // The third leg of the private-release family: a DISTRIBUTION
+  // release (histogram over a bounded equi-width bin axis) rather
+  // than a scalar count/sum per named group. Composes the existing
+  // bounded-bin fold (Histogram.equiWidth: one scan, one hash agg on
+  // the bucket id, dense nb+2 spine with explicit zero rows — empty
+  // bins MUST be released noised too, or their absence leaks) with
+  // the deterministic Laplace machinery above, noise keyed on the
+  // bucket id.
+  //
+  // ε-composition: the bins partition the domain, so with the unit of
+  // privacy = ONE ROW (count sensitivity 1 per bin; a unit that can
+  // contribute k rows costs k·ε — pre-aggregate to one row per unit
+  // first, as noisedSums does) the whole histogram is ONE ε release
+  // by parallel composition: each row lands in exactly one bin, so
+  // the worst-case neighbor differs in one bin's count only.
+  // Releasing quantiles read off the noised CDF costs nothing further
+  // (post-processing).
+
+  /** Equi-width histogram of `column` over [lo, hi) with `nb` bins
+    * (+ under/overflow) and Laplace(1/ε) noise per bin. Output:
+    * `(bucket, lo_edge, hi_edge, noised_n)` — true counts withheld,
+    * empty bins noised like any other. '''NOT a cryptographic DP
+    * mechanism''' — see [[noisedCounts]]: deterministic public
+    * keyed-hash noise; swap in a secret seed for a real deployment. */
+  def noisedHistogram(df: DataFrame, column: String, lo: Double,
+                      hi: Double, nb: Int, epsilon: Double,
+                      salt: Int = 41): DataFrame = {
+    require(epsilon > 0)
+    val hist = Histogram.equiWidth(df, column, lo, hi, nb)
+    val key = graft.dedup.MinHashDedup.portableShingleHash(
+      col("bucket").cast("string"))
+    val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
+      graft.functions.Noise.hashNoise(key, salt)))
+    val b = lit(1.0 / epsilon)
+    val c = u - lit(0.5)
+    val noise = -b * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    hist.select(col("bucket"), col("lo_edge"), col("hi_edge"),
+      // floor-portable round (§5.3): noised empty bins straddle zero
+      (floor((col("n_rows").cast("double") + noise) * lit(1e6)
+        + lit(0.5)) / lit(1e6)).as("noised_n"))
+  }
+
+  /** DuckDB twin of [[noisedHistogram]] — identical bin rule, spine,
+    * hash, CDF and op order. lo/hi/width must be exactly-representable
+    * doubles (the d18 contract). */
+  def sqlNoisedHistogram(table: String, column: String, lo: Double,
+                         hi: Double, nb: Int, epsilon: Double,
+                         salt: Int = 41): String = {
+    import graft.functions.Noise.sqlDouble
+    val w = (hi - lo) / nb
+    val loS = sqlDouble(lo); val hiS = sqlDouble(hi)
+    val wS = sqlDouble(w)
+    val key = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(CAST(s.bucket AS VARCHAR)) + 1),
+        j -> CAST(ascii((CAST(s.bucket AS VARCHAR))[j:j]) AS BIGINT))),
+      (a, ch) -> (a * 31 + ch) % 1000000007)"""
+    val u0 = graft.functions.Noise.sqlNoise(key, salt)
+    val u = s"greatest(${sqlDouble(1e-12)}, least(${sqlDouble(1.0 - 1e-12)}, $u0))"
+    val c = s"(($u) - 5.0e-1)"
+    val noise = s"""(-${sqlDouble(1.0 / epsilon)} * sign($c)
+      * ln(1.0e0 - 2.0e0 * abs($c)))"""
+    s"""
+    WITH counts AS (
+      SELECT CASE WHEN $column < $loS THEN CAST(-1 AS BIGINT)
+                  WHEN $column >= $hiS THEN CAST($nb AS BIGINT)
+                  ELSE CAST(floor(($column - $loS) / $wS) AS BIGINT)
+             END AS bucket,
+             count(*) AS n_rows
+      FROM $table WHERE $column IS NOT NULL
+      GROUP BY 1
+    ), s AS (
+      SELECT CAST(unnest(generate_series(-1, $nb)) AS BIGINT) AS bucket
+    )
+    SELECT s.bucket,
+      CASE WHEN s.bucket BETWEEN 0 AND ${nb - 1}
+           THEN $loS + s.bucket * $wS END AS lo_edge,
+      CASE WHEN s.bucket BETWEEN 0 AND ${nb - 1}
+           THEN $loS + (s.bucket + 1) * $wS END AS hi_edge,
+      floor((CAST(coalesce(c.n_rows, 0) AS DOUBLE) + $noise)
+        * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS noised_n
+    FROM s LEFT JOIN counts c ON s.bucket = c.bucket"""
   }
 
   // ---- t-closeness ------------------------------------------------

@@ -68,18 +68,30 @@ object Forecast {
         }
       }
     }
-    import spark.implicits._
-    val flat = out.map { case (key, h, lv, tr, fc) =>
-      (key.map(String.valueOf).mkString(""), h, lv, tr, fc) }
-      .toDF("__k", "h", "level", "trend", "forecast")
-    // re-split the group key back into typed columns via the original
-    // frame's distinct keys (string join is only the internal carrier)
-    val keyed = series.select(g: _*).distinct()
-      .withColumn("__k", concat_ws("",
-        groupCols.map(c => col(c).cast("string")): _*))
-    keyed.join(flat, "__k")
-      .select(g ++ Seq(col("h"), col("level"), col("trend"),
-        col("forecast")): _*)
+    // Re-attach the TYPED key values directly (no stringified-key
+    // join: String.valueOf on a raw Row value and cast('string') in
+    // the engine disagree on nulls and on types like Timestamp whose
+    // JVM toString differs from Spark's cast -- groups would silently
+    // vanish). The collected key values ARE the external types
+    // createDataFrame expects, so the result key schema is the input
+    // key schema verbatim.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val keySchema = series.select(g: _*).schema
+    val outSchema = StructType(keySchema.fields ++ Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("level", DoubleType, nullable = false),
+      StructField("trend", DoubleType, nullable = false),
+      StructField("forecast", DoubleType, nullable = false)))
+    val outRows: java.util.List[Row] =
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        out.map { case (key, h, lv, tr, fc) =>
+          // Seq[Any] is load-bearing: an unannotated Seq(h, lv, …)
+          // numerically WIDENS the Long h to Double and the schema's
+          // LongType field then holds a Double
+          Row.fromSeq(key ++ Seq[Any](h, lv, tr, fc))
+        }).asJava
+    spark.createDataFrame(outRows, outSchema)
   }
 
   /** DuckDB twin of [[holt]]: `seriesSql` must select `(g, t, y)` —

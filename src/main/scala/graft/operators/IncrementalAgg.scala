@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh
@@ -88,4 +89,134 @@ object IncrementalAgg {
   def distinctFinish(state: DataFrame): DataFrame =
     state.withColumn("approx_distinct",
       hll_sketch_estimate(col("nd_sketch")))
+
+  // ---- mergeable EXACT quantiles ----------------------------------
+  // Monitored percentiles (latency SLOs — the most common production
+  // monitor) are the one family the count/sum/min/max state can't
+  // derive, and the usual answer (a GK/KLL sketch) trades away the
+  // exact oracle. The repo's bounded-grid convention sidesteps the
+  // trade: on a decimal-grid metric the mergeable state is the EXACT
+  // per-value counter table (one row per (group, grid value)), merge
+  // is a counter sum — associative, commutative, so
+  //   qstate(history ∪ delta) = quantileMerge(qstate(h), qstate(d))
+  // holds bit-for-bit — and finish walks the bounded axis with
+  // Spark Percentile's own type-7 interpolation (the same double
+  // sequence `StreamingQuantiles.interpolate` pins for the streaming
+  // twin). State per group is O(distinct grid values) longs — the
+  // ecdf axis bound; continuous metrics must be quantized first
+  // (functions.AxisGrid), exactly as the batch contract requires.
+
+  /** Quantile-axis column name for `p`, in per-mille: 0.5 → `q500`. */
+  def qname(p: Double): String = "q" + math.round(p * 1000)
+
+  /** Mergeable exact-quantile state of `valueCol` per `groupCols`:
+    * `(groupCols..., v [decimal(18,scale) grid value], cnt)`. Nulls
+    * are dropped (Spark `percentile` semantics). */
+  def quantileState(df: DataFrame, groupCols: Seq[String],
+                    valueCol: String, scale: Int = 2): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+
+        col(valueCol).cast(s"decimal(18,$scale)").as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile state ⊕ state — counter sum per (group, grid value). */
+  def quantileMerge(a: DataFrame, b: DataFrame,
+                    groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("v"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Finished view: one row per group with `n` and one double column
+    * per requested percentile (type-7, Spark `percentile`'s exact
+    * interpolation: position = p·(n−1), result = v⌊pos⌋·(⌈pos⌉−pos) +
+    * v⌈pos⌉·(pos−⌊pos⌋)). The walk is a window sort over the BOUNDED
+    * value axis — |groups|·|grid| rows, never the corpus. */
+  def quantileFinish(state: DataFrame, groupCols: Seq[String],
+                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0,1]: $ps")
+    val gc = groupCols.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gc: _*)
+    var cur = state
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__n", sum(col("cnt")).over(wAll))
+    ps.zipWithIndex.foreach { case (p, i) =>
+      cur = cur
+        .withColumn(s"__pos_$i",
+          lit(p) * (col("__n").cast("double") - lit(1.0)))
+        .withColumn(s"__lo_$i", floor(col(s"__pos_$i")))
+        .withColumn(s"__hi_$i", ceil(col(s"__pos_$i")))
+    }
+    def vAtLeast(rank0: Column): Column =
+      min(when(col("__cum") >= rank0 + lit(1L), col("v").cast("double")))
+    val aggCols: Seq[Column] = max(col("__n")).as("n") +: ps.indices.flatMap {
+      i => Seq(
+        vAtLeast(col(s"__lo_$i")).as(s"__vlo_$i"),
+        vAtLeast(col(s"__hi_$i")).as(s"__vhi_$i"),
+        max(col(s"__pos_$i")).as(s"__p_$i"),
+        max(col(s"__lo_$i")).cast("double").as(s"__flo_$i"),
+        max(col(s"__hi_$i")).cast("double").as(s"__fhi_$i"))
+    }
+    val agged = cur.groupBy(gc: _*).agg(aggCols.head, aggCols.tail: _*)
+    val qs = ps.zipWithIndex.map { case (p, i) =>
+      when(col(s"__fhi_$i") === col(s"__flo_$i"), col(s"__vlo_$i"))
+        .otherwise(
+          col(s"__vlo_$i") * (col(s"__fhi_$i") - col(s"__p_$i"))
+            + col(s"__vhi_$i") * (col(s"__p_$i") - col(s"__flo_$i")))
+        .as(qname(p))
+    }
+    agged.select(gc ++ (col("n") +: qs): _*)
+  }
+
+  /** DuckDB twin of state → finish, recomputed from the FULL table —
+    * the oracle that pins merge(state(shardA), state(shardB)) ≡
+    * recompute bit-for-bit. Same cum-walk + type-7 interpolation
+    * double sequence as [[quantileFinish]] (NOT `quantile_cont`, whose
+    * internal arithmetic DuckDB doesn't contract to this sequence). */
+  def sqlQuantileRecompute(tableSql: String, groupCols: Seq[String],
+                           valueCol: String, ps: Seq[Double],
+                           scale: Int = 2): String = {
+    val g = groupCols.mkString(", ")
+    val posCols = ps.zipWithIndex.map { case (p, i) =>
+      s"""${p}e0 * (CAST(n AS DOUBLE) - 1.0e0) AS pos_$i,
+         |        floor(${p}e0 * (CAST(n AS DOUBLE) - 1.0e0)) AS lo_$i,
+         |        ceil(${p}e0 * (CAST(n AS DOUBLE) - 1.0e0)) AS hi_$i""".stripMargin
+    }.mkString(",\n        ")
+    val aggCols = ps.indices.map { i =>
+      s"""min(CASE WHEN cum >= lo_$i + 1 THEN CAST(v AS DOUBLE) END) AS vlo_$i,
+         |        min(CASE WHEN cum >= hi_$i + 1 THEN CAST(v AS DOUBLE) END) AS vhi_$i,
+         |        max(pos_$i) AS p_$i,
+         |        CAST(max(lo_$i) AS DOUBLE) AS flo_$i,
+         |        CAST(max(hi_$i) AS DOUBLE) AS fhi_$i""".stripMargin
+    }.mkString(",\n        ")
+    val qCols = ps.zipWithIndex.map { case (p, i) =>
+      s"""CASE WHEN fhi_$i = flo_$i THEN vlo_$i
+         |        ELSE vlo_$i * (fhi_$i - p_$i) + vhi_$i * (p_$i - flo_$i)
+         |        END AS ${qname(p)}""".stripMargin
+    }.mkString(",\n      ")
+    s"""
+    WITH state AS (
+      SELECT $g, CAST($valueCol AS DECIMAL(18,$scale)) AS v,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM ($tableSql) WHERE $valueCol IS NOT NULL
+      GROUP BY $g, CAST($valueCol AS DECIMAL(18,$scale))
+    ), cum AS (
+      SELECT *, sum(cnt) OVER (PARTITION BY $g ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER (PARTITION BY $g) AS n
+      FROM state
+    ), pos AS (
+      SELECT *,
+        $posCols
+      FROM cum
+    ), agged AS (
+      SELECT $g, CAST(max(n) AS BIGINT) AS n,
+        $aggCols
+      FROM pos GROUP BY $g)
+    SELECT $g, n,
+      $qCols
+    FROM agged"""
+  }
 }

@@ -232,6 +232,28 @@ object DedupQueries extends Registry {
           "doc_id", "text", spanTokens = 8)
         .select(col("doc_id"), col("n_spans"), col("n_kept"),
           md5(col("clean_text")).as("clean_md5"))),
+    // C1f: EXACT-SUBSTRING dedup (Lee et al. 2022 semantics, windowed
+    // form) on a planted MISALIGNED-shared-paragraph fixture: every
+    // doc carries the same 10-token paragraph behind a unique prefix
+    // whose length varies with doc_id (so the paragraph never aligns
+    // with c1_span_dedup's fixed 8-token span grid — the approximate
+    // span form misses it; the stride-1 exact form excises it from
+    // every doc but the global first). Whole pipeline — window
+    // explode, first-occurrence agg, covered-position union, ordered
+    // reassembly — under one oracle row.
+    "c1_exact_substring" -> ((s, d) => {
+      val toksOf = graft.text.TextFunctions.tokens(col("text"))
+      val shared = "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa"
+      val fixture = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), concat_ws(" ",
+          array_join(slice(toksOf, lit(1),
+            lit(5) + pmod(col("doc_id"), lit(3L)).cast("int")), " "),
+          lit(shared),
+          array_join(slice(toksOf, lit(12), lit(8)), " ")).as("text"))
+      graft.text.ExactSubstring.dedupSubstrings(fixture,
+        "doc_id", "text", n = 8)
+    }),
     // C1e: fuzzy record linkage via symmetric deletes (graft.dedup.
     // SymSpell) — customer names matched against a deterministically
     // corrupted twin (one digit deleted at a key-derived position, the
@@ -552,6 +574,14 @@ object DedupQueries extends Registry {
     // c2_decontaminate_hashed: xxhash64-based — no engine-portable SQL;
     // covered by ScalaTest invariants (the hashed decontamination path
     // is asserted row-identical to the oracled exact path).
+    "c1_exact_substring" -> graft.text.ExactSubstring.sqlDedupSubstrings(
+      s"""SELECT doc_id,
+            concat_ws(' ',
+              array_to_string(($toks)[1 : 5 + CAST(doc_id % 3 AS INT)],
+                ' '),
+              'alpha beta gamma delta epsilon zeta eta theta iota kappa',
+              array_to_string(($toks)[12 : 19], ' ')) AS text
+          FROM documents WHERE doc_id < 60""", n = 8),
     "c1_fuzzy_pairs" -> """
       WITH corr AS (
         SELECT c_custkey AS cand_key,

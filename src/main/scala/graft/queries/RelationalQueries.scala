@@ -724,6 +724,24 @@ object RelationalQueries extends Registry {
         IncrementalAgg.distinctState(odd, g, "l_partkey"), g))
         .drop("nd_sketch")
     }),
+    // D120: incremental EXACT-quantile maintenance — the monitored
+    // percentile (latency SLO) held as a mergeable per-value counter
+    // table on the cent grid (merge = counter sum, finish = type-7
+    // walk over the bounded axis); the oracle recomputes from the full
+    // table with the same interpolation double sequence, so
+    // merge ≡ recompute is hash-checked bit-for-bit.
+    "d20_incremental_quantile" -> ((s, d) => {
+      import graft.operators.IncrementalAgg
+      val li = Tables.lineitem(s, d)
+      val g = Seq("l_returnflag", "l_linestatus")
+      val ps = Seq(0.5, 0.9, 0.99)
+      val even = li.filter(pmod(col("l_orderkey"), lit(2L)) === 0)
+      val odd = li.filter(pmod(col("l_orderkey"), lit(2L)) === 1)
+      IncrementalAgg.quantileFinish(IncrementalAgg.quantileMerge(
+        IncrementalAgg.quantileState(even, g, "l_extendedprice"),
+        IncrementalAgg.quantileState(odd, g, "l_extendedprice"), g),
+        g, ps)
+    }),
     // D90: minimum detectable effect — the pre-launch power check on
     // the d32 experiment setup (same deterministic assignment, same
     // one-pass exact sums): the smallest lift this traffic detects at
@@ -988,6 +1006,14 @@ object RelationalQueries extends Registry {
         Tables.events(s, d).select(col("event_type"),
           pmod(col("user_id"), lit(3L)).cast("string").as("seg")),
         Seq("event_type", "seg"), epsilon = 0.5)),
+    // D208: Laplace-noised HISTOGRAM release — the distribution leg of
+    // the private-release family: d18's bounded-bin fold (dense spine,
+    // explicit zero rows — an absent empty bin leaks) + per-bin
+    // deterministic Laplace(1/ε), one ε for the whole release by
+    // parallel composition over the disjoint bins.
+    "d34_noised_histogram" -> ((s, d) =>
+      graft.operators.Anonymity.noisedHistogram(Tables.lineitem(s, d),
+        "l_extendedprice", 0.0, 110000.0, 22, epsilon = 0.5)),
     // D78: MAD robust rate anomaly — d9's σ z-score replaced by
     // median/MAD so a burst can't inflate the spread and mask itself;
     // hourly counts per event type, exact type-7 medians on the 4-dp
@@ -2510,6 +2536,13 @@ object RelationalQueries extends Registry {
         CAST(sum(CAST(l_quantity AS DECIMAL(32,6))) AS DOUBLE)
           / CAST(count(l_quantity) AS DOUBLE) AS avg_v
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "d20_incremental_quantile" ->
+      graft.operators.IncrementalAgg.sqlQuantileRecompute(
+        "SELECT * FROM lineitem",
+        Seq("l_returnflag", "l_linestatus"), "l_extendedprice",
+        Seq(0.5, 0.9, 0.99)),
+    "d34_noised_histogram" -> graft.operators.Anonymity.sqlNoisedHistogram(
+      "lineitem", "l_extendedprice", 0.0, 110000.0, 22, epsilon = 0.5),
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
     "d34_noised_counts_multi" -> graft.operators.Anonymity.sqlNoisedCounts(

@@ -288,7 +288,7 @@ object SimilarityQueries extends Registry {
     // one shuffle; the corpus path is Pca.fit's treeAggregate.
     "d76_covariance" -> ((s, d) =>
       graft.similarity.Pca.covarianceExact(
-        Tables.embeddings(s, d), "embedding")),
+        Tables.embeddings(s, d), "embedding", idCol = Some("vec_id"))),
     // C4: PCA fit + native-expression projection — one treeAggregate
     // pass to (n, Σx, Σxxᵀ), driver Jacobi on the 64×64, then
     // ProjectAffine scores every vector (k·d primitive flops/row).
@@ -317,7 +317,7 @@ object SimilarityQueries extends Registry {
 
   val oracle: Map[String, String] = Map(
     "d76_covariance" -> graft.similarity.Pca.sqlCovarianceExact(
-      "SELECT embedding AS v FROM embeddings"),
+      "SELECT vec_id AS rid, embedding AS v FROM embeddings"),
     "c3_bm25_retrieval" -> graft.text.Bm25.sql(
       "SELECT doc_id, text FROM documents WHERE doc_id >= 10",
       "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 10",

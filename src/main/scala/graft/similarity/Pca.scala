@@ -45,13 +45,24 @@ object Pca {
   /** Upper-triangle sample covariance on the 6-dp quantized grid —
     * one row per (i ≤ j): `(i, j, n, cov (6dp))`. The floor-portable
     * quantization (×1e6, +0.5, floor, ÷1e6) makes every product an
-    * exact DECIMAL both engines fold identically. */
-  def covarianceExact(df: DataFrame, vecCol: String): DataFrame = {
+    * exact DECIMAL both engines fold identically, and the SAME
+    * floor-portable round finishes `cov` (NOT `round(·, 6)`: a tiny
+    * negative raw covariance rounds to `-0.0` in DuckDB but `+0.0`
+    * through Java BigDecimal — §5.3's signed-zero rule; `floor` of a
+    * value in [0, 1) is `+0.0` in both engines, so the class is
+    * structurally dead here). `idCol`, when given, is the natural
+    * per-row key used for the self-join (§5.3: prefer a natural key
+    * over `monotonically_increasing_id` in oracle-able queries);
+    * callers without one fall back to the synthetic id, which is safe
+    * here because the id only pairs a row with itself. */
+  def covarianceExact(df: DataFrame, vecCol: String,
+                      idCol: Option[String] = None): DataFrame = {
     val q = (floor(col("__x").cast("double") * lit(1e6) + lit(0.5))
       / lit(1e6)).cast("decimal(18,6)")
+    val rid = idCol.map(col).getOrElse(monotonically_increasing_id())
     val elems = df
       .filter(col(vecCol).isNotNull)
-      .select(monotonically_increasing_id().as("__rid"), col(vecCol))
+      .select(rid.as("__rid"), col(vecCol))
       .select(col("__rid"), posexplode(col(vecCol)).as(Seq("__i", "__x")))
       .select(col("__rid"), col("__i").cast("bigint").as("__i"), q.as("__q"))
     val rhs = elems.select(col("__rid"), col("__i").as("__j"),
@@ -69,17 +80,19 @@ object Pca {
       .join(broadcast(dims.select(col("__i").as("j"),
         col("__sx").as("__sj"))), "j")
       .select(col("i"), col("j"), col("n"),
-        round((d(col("__sxy")) - d(col("__si")) * d(col("__sj"))
-          / d(col("n"))) / (d(col("n")) - lit(1.0)), 6).as("cov"))
+        (floor(((d(col("__sxy")) - d(col("__si")) * d(col("__sj"))
+          / d(col("n"))) / (d(col("n")) - lit(1.0))) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("cov"))
   }
 
-  /** DuckDB twin of [[covarianceExact]]: `vecSql` must select `v`
-    * (the embedding list). */
+  /** DuckDB twin of [[covarianceExact]]: `vecSql` must select `rid`
+    * (a unique per-row key — the natural key when the table has one)
+    * and `v` (the embedding list). */
   def sqlCovarianceExact(vecSql: String): String = {
     def d(c: String) = s"CAST($c AS DOUBLE)"
     s"""
     WITH rows0 AS (
-      SELECT row_number() OVER () AS rid, v FROM ($vecSql)
+      SELECT rid, v FROM ($vecSql)
       WHERE v IS NOT NULL
     ), elems AS (
       SELECT rid,
@@ -95,8 +108,8 @@ object Pca {
     ), dims AS (
       SELECT i, sum(q) AS sx FROM elems GROUP BY i)
     SELECT p.i, p.j, p.n,
-      round((${d("p.sxy")} - ${d("di.sx")} * ${d("dj.sx")} / ${d("p.n")})
-        / (${d("p.n")} - 1.0e0), 6) AS cov
+      floor(((${d("p.sxy")} - ${d("di.sx")} * ${d("dj.sx")} / ${d("p.n")})
+        / (${d("p.n")} - 1.0e0)) * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS cov
     FROM pairs p
     JOIN dims di ON di.i = p.i
     JOIN dims dj ON dj.i = p.j"""

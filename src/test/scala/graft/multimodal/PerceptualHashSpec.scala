@@ -231,9 +231,12 @@ class PerceptualHashSpec extends SparkSpec {
     // borderless content reads all zeros
     val clean = ppmOf(8, 6, (x, y) => 60 + (x + 3 * y) % 40)
     assert(PerceptualHash.borders(clean) === Some((0, 0, 0, 0)))
-    // an all-black frame is fully bordered on every side (capped)
+    // an all-black frame: the leading side owns the full run and the
+    // opposite side is CLAMPED to 0, so top+bottom ≤ h and
+    // left+right ≤ w — interior-crop arithmetic (h−top−bottom) stays
+    // non-negative even on this degenerate frame
     val black = ppmOf(5, 4, (_, _) => 0)
-    assert(PerceptualHash.borders(black) === Some((4, 4, 5, 5)))
+    assert(PerceptualHash.borders(black) === Some((4, 0, 5, 0)))
     // a uniform BRIGHT frame is NOT a letterbox (blank needs <= thresh)
     val bright = ppmOf(5, 4, (_, _) => 200)
     assert(PerceptualHash.borders(bright) === Some((0, 0, 0, 0)))

@@ -186,4 +186,27 @@ class AnonymitySpec extends SparkSpec {
       10 * math.abs(r1("a") - 10.0)) < 1e-6,
       "noise is linear in the sensitivity")
   }
+
+  test("noisedHistogram: dense spine, empty bins noised, deterministic, " +
+    "crop-arithmetic-safe edges") {
+    import spark.implicits._
+    // values land in bins 0 and 2 of [0,40)/4; bins -1,1,3,4 are empty
+    val df = Seq(1.0, 2.0, 25.0).toDF("v")
+    val r1 = Anonymity.noisedHistogram(df, "v", 0.0, 40.0, 4, 0.5)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getDouble(1)), x.getDouble(3)))
+      .toMap
+    assert(r1.keySet === Set(-1L, 0L, 1L, 2L, 3L, 4L),
+      "every bin including empty and under/overflow must be present")
+    // empty bins carry noise too (their absence or exact zero leaks)
+    assert(r1(1L)._2 !== 0.0)
+    assert(r1(-1L)._1 === None && r1(0L)._1 === Some(0.0))
+    val r2 = Anonymity.noisedHistogram(df, "v", 0.0, 40.0, 4, 0.5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r1.view.mapValues(_._2).toMap === r2,
+      "re-publication must not wobble")
+    // noised counts stay near the truth at this epsilon (b = 2)
+    assert(math.abs(r1(0L)._2 - 2.0) < 20.0)
+    assert(math.abs(r1(2L)._2 - 1.0) < 20.0)
+  }
 }

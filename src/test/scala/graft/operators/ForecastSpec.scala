@@ -47,4 +47,28 @@ class ForecastSpec extends SparkSpec {
     assert(r.map(_.getString(0)).toSet === Set("two"))
     assert(r.length === 2)
   }
+
+  test("timestamp group columns and null group keys survive the " +
+    "typed re-attach") {
+    // the old stringified-key join rendered java.sql.Timestamp as
+    // '…:00.0' vs Spark's cast '…:00' (and nulls as "null" vs skipped)
+    // and silently dropped those groups — the typed path must keep them
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val s = Seq(
+      (Option(ts1), 1, 1.0), (Option(ts1), 2, 2.0),
+      (Option(ts2), 1, 4.0), (Option(ts2), 2, 8.0),
+      (Option.empty[java.sql.Timestamp], 1, 7.0),
+      (Option.empty[java.sql.Timestamp], 2, 9.0))
+      .toDF("day", "t", "y")
+    val r = Forecast.holt(s, Seq("day"), "t", "y", horizon = 1)
+    assert(r.schema("day").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val got = r.collect()
+      .map(x => Option(x.getTimestamp(0)) -> x.getDouble(4)).toMap
+    assert(got.keySet === Set(Some(ts1), Some(ts2), None),
+      "every group, including the null key, must survive")
+    // linear series forecast exactly continues for the ts1 group
+    assert(math.abs(got(Some(ts1)) - 3.0) < 1e-6)
+  }
 }

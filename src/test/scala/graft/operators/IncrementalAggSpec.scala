@@ -69,6 +69,52 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("quantile state: merge of shards ≡ full recompute, and finish ≡ " +
+    "Spark percentile bit-exact") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val ps = Seq(0.5, 0.9, 0.99)
+    def fin(state: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.quantileFinish(state, g, ps).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+    val full = fin(IncrementalAgg.quantileState(li, g, "l_extendedprice"))
+    val parts = (0 to 2).map(i => IncrementalAgg.quantileState(
+      li.filter(pmod(col("l_orderkey"), lit(3L)) === i),
+      g, "l_extendedprice"))
+    val merged = fin(IncrementalAgg.quantileMerge(
+      IncrementalAgg.quantileMerge(parts(0), parts(1), g), parts(2), g))
+    assert(merged === full, "merged shard counters must finish identically")
+    // finish ≡ Spark's own percentile over the same grid — same type-7
+    // interpolation double sequence, so equality is to the bit
+    val ref = li
+      .select(g.map(col) :+
+        col("l_extendedprice").cast("decimal(18,2)").cast("double")
+          .as("v"): _*)
+      .groupBy(g.map(col): _*)
+      .agg(expr(s"percentile(v, array(${ps.mkString(", ")}))").as("qs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getSeq[Double](2))
+      .toMap
+    full.foreach { case (k, (_, q50, q90, q99)) =>
+      assert(Seq(q50, q90, q99) === ref(k).toSeq, s"group $k")
+    }
+  }
+
+  test("quantile finish: hand-checked interpolation on a tiny axis") {
+    // values 1,2,3,4 once each: p50 → pos 1.5 → 2·0.5 + 3·0.5 = 2.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
+      .toDF("k", "v")
+    val r = IncrementalAgg.quantileFinish(
+      IncrementalAgg.quantileState(df, Seq("k"), "v"),
+      Seq("k"), Seq(0.0, 0.5, 1.0)).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 4L)
+    assert(r(0).getDouble(2) === 1.0) // q0
+    assert(r(0).getDouble(3) === 2.5) // q500
+    assert(r(0).getDouble(4) === 4.0) // q1000
+  }
+
   test("finished avg equals direct per-group average on real data") {
     val li = graft.Tables.lineitem(spark, sf0001)
     val fin = IncrementalAgg.finish(IncrementalAgg.state(li, g, "l_extendedprice"))
