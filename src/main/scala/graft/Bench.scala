@@ -125,6 +125,28 @@ object Bench {
       .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v.take(80))}\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // Per-family subtotals (written to the file JSON): the per-family
+    // budget table in BASELINE.md §"bench budget" reads these, so the
+    // 2x regression gate compares against a live per-family yardstick
+    // instead of the stale global figure written when the suite had
+    // ~50 queries. Families follow the query-name prefixes of
+    // SURVEY.md §2 / COVERAGE.md.
+    def familyOf(name: String): String =
+      if (name.startsWith("c1") || name.startsWith("c2")) "dedup"
+      else if (name.startsWith("c3") || name.startsWith("c4")) "similarity"
+      else if (name.startsWith("c5") || name.startsWith("c7")) "text"
+      else if (name.startsWith("c6")) "multimodal"
+      else if (name.startsWith("c8") || name.startsWith("impute")
+        || name == "clean_api") "impute"
+      else if (name.startsWith("q") || name.startsWith("b")) "relational"
+      else "analytics" // the d-row beyond-survey surface
+    val families = results.toSeq.filter(_._2 >= 0)
+      .groupBy { case (k, _) => familyOf(k) }
+      .view.mapValues(v => (v.size, v.map(_._2).sum)).toMap
+    val famJson = families.toSeq.sortBy(_._1)
+      .map { case (f, (n, s)) =>
+        s""""$f":{"n":$n,"sec":${fmt(s, "%.2f")}}""" }
+      .mkString("{", ",", "}")
     val suspectJson =
       suspects.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
     def render(qEntries: Seq[String], extra: String,
@@ -141,7 +163,8 @@ object Bench {
     // drop the FASTEST queries from the stdout map (the file always has
     // them all) and flag how many were dropped.
     val full = render(
-      results.map { case (k, v) => s"\"${esc(k)}\":$v" }.toSeq, "")
+      results.map { case (k, v) => s"\"${esc(k)}\":$v" }.toSeq,
+      s""","families":$famJson""")
     Files.writeString(Paths.get(outPath), full + "\n")
     val byTimeDesc = results.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => s"\"${esc(k)}\":${fmt(v, "%.2f")}" }

@@ -287,6 +287,82 @@ object Anonymity {
     FROM s LEFT JOIN counts c ON s.bucket = c.bucket"""
   }
 
+  /** Quantiles read off the NOISED CDF of [[noisedHistogram]] — free
+    * by the post-processing property of DP (a function of an ε-DP
+    * release is ε-DP; no further budget). Per requested p: clamp each
+    * bin's noised count to ≥ 0, cumulate over the bin axis in bucket
+    * order, and linearly interpolate inside the first bin whose
+    * cumulative mass reaches p · total. Under/overflow bins carry
+    * mass but have no width — a quantile landing there reports the
+    * boundary edge (`lo`/`hi`). Output: one row per p:
+    * `(p, noised_q)`. Accuracy degrades with ε exactly as the
+    * histogram's noise does; ~nb·b mass error total. '''NOT a
+    * cryptographic DP mechanism''' — see [[noisedCounts]]. */
+  def noisedQuantiles(df: DataFrame, column: String, lo: Double,
+                      hi: Double, nb: Int, epsilon: Double,
+                      ps: Seq[Double], salt: Int = 41): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / nb
+    val hist = noisedHistogram(df, column, lo, hi, nb, epsilon, salt)
+      .withColumn("__m", greatest(col("noised_n"), lit(0.0)))
+    val wOrd = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    // nb+2 rows total — the window-without-partition warning is moot
+    val cum = hist
+      .withColumn("__cum", sum(col("__m")).over(wOrd))
+      .withColumn("__tot", sum(col("__m")).over(wAll))
+      .withColumn("__prev", col("__cum") - col("__m"))
+    val psDf = cum.sparkSession.range(ps.length)
+      .select(col("id").cast("int").as("__i"))
+      .withColumn("p", element_at(array(ps.map(lit): _*), col("__i") + 1))
+      .drop("__i")
+    // first bucket whose cum reaches p·tot; interpolate inside it
+    psDf.crossJoin(cum)
+      .filter(col("__cum") >= col("p") * col("__tot"))
+      .withColumn("__q",
+        when(col("bucket") === -1L, lit(lo))
+          .when(col("bucket") === nb.toLong, lit(hi))
+          // m = 0 rows can pass the cum filter but can never be the
+          // min_by winner (their predecessor already reached p·tot);
+          // the guard only keeps ANSI mode from throwing on them
+          .when(col("__m") === 0.0, col("lo_edge"))
+          .otherwise(col("lo_edge") + lit(w) *
+            ((col("p") * col("__tot") - col("__prev")) / col("__m"))))
+      .groupBy(col("p"))
+      .agg(min_by(col("__q"), col("bucket")).as("noised_q"))
+  }
+
+  /** DuckDB twin of [[noisedQuantiles]] — identical clamp, cumulation
+    * and interpolation over the [[sqlNoisedHistogram]] release. */
+  def sqlNoisedQuantiles(table: String, column: String, lo: Double,
+                         hi: Double, nb: Int, epsilon: Double,
+                         ps: Seq[Double], salt: Int = 41): String = {
+    import graft.functions.Noise.sqlDouble
+    val w = sqlDouble((hi - lo) / nb)
+    val psList = ps.map(sqlDouble).mkString("[", ", ", "]")
+    s"""
+    WITH hist AS (${sqlNoisedHistogram(table, column, lo, hi, nb,
+        epsilon, salt)}),
+    m AS (
+      SELECT bucket, lo_edge, greatest(noised_n, 0.0e0) AS m FROM hist
+    ), cum AS (
+      SELECT bucket, lo_edge,
+        m, sum(m) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(m) OVER () AS tot
+      FROM m
+    ), ps AS (SELECT unnest($psList) AS p)
+    SELECT p,
+      min_by(CASE WHEN bucket = -1 THEN ${sqlDouble(lo)}
+                  WHEN bucket = $nb THEN ${sqlDouble(hi)}
+                  ELSE lo_edge + $w * ((p * tot - (cum - m)) / m)
+             END, bucket) AS noised_q
+    FROM ps JOIN cum ON cum.cum >= ps.p * cum.tot
+    GROUP BY p"""
+  }
+
   // ---- t-closeness ------------------------------------------------
   // The audit [[audit]] cannot see: a class can be k-large and
   // l-diverse yet still leak — if every row in the class has a HIGH

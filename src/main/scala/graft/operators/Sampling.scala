@@ -283,6 +283,63 @@ object Sampling {
                    salt: Int = 17, resolution: Int = 10000): DataFrame =
     df.withColumn("split", splitExpr(col(keyCol), splits, salt, resolution))
 
+  /** LEAKAGE-SAFE split assignment — the composition the
+    * [[splitExpr]] contract's "key on a GROUP id" clause prescribes,
+    * done for the most common leak: EXACT-DUPLICATE documents
+    * (identical normalized token streams) straddling train/test. Each
+    * duplicate cluster elects a representative (min id over identical
+    * normalized text — one hash aggregate, the skew-safe
+    * first-occurrence shape) and every member inherits the REP's
+    * split, so two copies of one document can never land on opposite
+    * sides of the boundary (the classic eval-inflation leak). Output:
+    * input columns + `cluster_rep` + `split`. Near-dup clusters:
+    * pre-resolve with the MinHash family and key [[splitExpr]] on the
+    * resolved cluster id instead — this operator owns the exact tier
+    * because only it is oracle-able.
+    *
+    * Scale: one corpus hash agg on the normalized text + one equi-join
+    * back on it (both partial/map-side-combinable); the split itself
+    * stays a projection. Append-stable like splitExpr: new copies of
+    * an old doc join the OLD cluster (smaller id wins) only if re-run
+    * over the union — for incremental corpora persist cluster_rep and
+    * reuse it. */
+  def assignSplitsLeakageSafe(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              splits: Seq[(String, Double)],
+                              salt: Int = 17,
+                              resolution: Int = 10000): DataFrame = {
+    val norm = array_join(
+      graft.text.TextFunctions.tokens(col(textCol)), " ")
+    val reps = docs
+      .select(col(idCol).as("__id"), norm.as("__norm"))
+      .groupBy(col("__norm")).agg(min(col("__id")).as("cluster_rep"))
+    docs.withColumn("__norm", norm)
+      .join(reps, "__norm")
+      .withColumn("split",
+        splitExpr(col("cluster_rep"), splits, salt, resolution))
+      .drop("__norm")
+  }
+
+  /** DuckDB twin of [[assignSplitsLeakageSafe]]: `docsSql` must
+    * select `(id, text, ...)` with `id` the split key; emits
+    * `id, cluster_rep, split`. */
+  def sqlSplitLeakageSafe(docsSql: String, idCol: String,
+                          splits: Seq[(String, Double)],
+                          salt: Int = 17,
+                          resolution: Int = 10000): String = s"""
+    WITH d AS (
+      SELECT $idCol AS id,
+        array_to_string(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
+          ' ') AS norm
+      FROM ($docsSql)
+    ), reps AS (
+      SELECT norm, min(id) AS cluster_rep FROM d GROUP BY norm)
+    SELECT d.id AS $idCol, reps.cluster_rep,
+      ${sqlSplitExpr("reps.cluster_rep", splits, salt, resolution)}
+        AS split
+    FROM d JOIN reps ON d.norm = reps.norm"""
+
   /** DuckDB twin of [[splitExpr]] — same thresholds, same BIGINT
     * bucket arithmetic, term-for-term. */
   def sqlSplitExpr(keyExpr: String, splits: Seq[(String, Double)],

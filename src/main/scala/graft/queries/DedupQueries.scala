@@ -254,6 +254,15 @@ object DedupQueries extends Registry {
       graft.text.ExactSubstring.dedupSubstrings(fixture,
         "doc_id", "text", n = 8)
     }),
+    // C1f-corpus: the same exact-substring dedup over the RAW
+    // documents table — the real corpus shape (271k tokens at sf0.1)
+    // for bench and the 10x probe; output text md5-compacted like
+    // c1_span_dedup.
+    "c1_exact_substring_corpus" -> ((s, d) =>
+      graft.text.ExactSubstring.dedupSubstrings(Tables.documents(s, d),
+          "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))),
     // C1e: fuzzy record linkage via symmetric deletes (graft.dedup.
     // SymSpell) — customer names matched against a deterministically
     // corrupted twin (one digit deleted at a key-derived position, the
@@ -334,6 +343,45 @@ object DedupQueries extends Registry {
       SELECT doc_id FROM k
       GROUP BY doc_id
       HAVING bool_and(doc_id = keeper) AND NOT bool_or(hit)"""
+  }
+
+  /** The portable MinHash-LSH candidate-pair pipeline as DuckDB SQL —
+    * SAME permutation constants as the Spark plan (seed 42, k 16,
+    * 4 bands, unigram shingles, bucket cap 64). Shared by the
+    * c2_minhash_portable_pairs oracle and the near-dup leakage-safe
+    * split (TextQueries), which closes these pairs transitively. */
+  private[queries] lazy val sqlPortablePairs: String = {
+    val (pa, pb) = MinHashDedup.permutationParams(16, 42L)
+    val aList = pa.mkString("[", ",", "]")
+    val bList = pb.mkString("[", ",", "]")
+    s"""
+      WITH hs AS (
+        SELECT doc_id, list_transform($toks, x ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, len(x) + 1),
+              j -> CAST(ascii(x[j:j]) AS BIGINT))),
+          (a, c) -> (a * 31 + c) % 1000000007)) AS h
+        FROM documents
+      ), sig AS (
+        SELECT doc_id, list_transform(range(0, 16), i ->
+          list_min(list_transform(h,
+            v -> (($aList)[i+1] * v + ($bList)[i+1]) % 2147483647))) AS s
+        FROM hs WHERE len(h) > 0
+      ), banded AS (
+        SELECT doc_id, t.b AS band,
+          array_to_string(s[t.b*4+1 : t.b*4+4], ',') AS bucket
+        FROM sig, LATERAL unnest(range(0, 4)) AS t(b)
+      ), sized AS (
+        SELECT band, bucket FROM (
+          SELECT band, bucket, count(*) AS c FROM banded GROUP BY 1, 2)
+        WHERE c BETWEEN 2 AND 64
+      ), kept AS (
+        SELECT x.band, x.bucket, x.doc_id
+        FROM banded x JOIN sized USING (band, bucket)
+      )
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM kept x JOIN kept y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -441,40 +489,7 @@ object DedupQueries extends Registry {
       SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
       FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
       GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 3""",
-    "c2_minhash_portable_pairs" -> {
-      // SAME permutation constants as the Spark plan (seed 42, k 16)
-      val (pa, pb) = MinHashDedup.permutationParams(16, 42L)
-      val aList = pa.mkString("[", ",", "]")
-      val bList = pb.mkString("[", ",", "]")
-      s"""
-      WITH hs AS (
-        SELECT doc_id, list_transform($toks, x ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(1, len(x) + 1),
-              j -> CAST(ascii(x[j:j]) AS BIGINT))),
-          (a, c) -> (a * 31 + c) % 1000000007)) AS h
-        FROM documents
-      ), sig AS (
-        SELECT doc_id, list_transform(range(0, 16), i ->
-          list_min(list_transform(h,
-            v -> (($aList)[i+1] * v + ($bList)[i+1]) % 2147483647))) AS s
-        FROM hs WHERE len(h) > 0
-      ), banded AS (
-        SELECT doc_id, t.b AS band,
-          array_to_string(s[t.b*4+1 : t.b*4+4], ',') AS bucket
-        FROM sig, LATERAL unnest(range(0, 4)) AS t(b)
-      ), sized AS (
-        SELECT band, bucket FROM (
-          SELECT band, bucket, count(*) AS c FROM banded GROUP BY 1, 2)
-        WHERE c BETWEEN 2 AND 64
-      ), kept AS (
-        SELECT x.band, x.bucket, x.doc_id
-        FROM banded x JOIN sized USING (band, bucket)
-      )
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      FROM kept x JOIN kept y
-        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id"""
-    },
+    "c2_minhash_portable_pairs" -> sqlPortablePairs,
     "c2_online_dedup_twin" -> {
       // SAME portable signature pipeline as c2_minhash_portable_pairs
       // (seed 42, k 16, 4 bands, unigram shingles); kept = min of every
@@ -582,6 +597,10 @@ object DedupQueries extends Registry {
               'alpha beta gamma delta epsilon zeta eta theta iota kappa',
               array_to_string(($toks)[12 : 19], ' ')) AS text
           FROM documents WHERE doc_id < 60""", n = 8),
+    "c1_exact_substring_corpus" -> s"""
+      SELECT doc_id, n_tokens, n_kept, md5(clean_text) AS clean_md5
+      FROM (${graft.text.ExactSubstring.sqlDedupSubstrings(
+        "SELECT doc_id, text FROM documents", n = 8)})""",
     "c1_fuzzy_pairs" -> """
       WITH corr AS (
         SELECT c_custkey AS cand_key,

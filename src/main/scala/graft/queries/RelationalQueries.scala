@@ -1014,6 +1014,13 @@ object RelationalQueries extends Registry {
     "d34_noised_histogram" -> ((s, d) =>
       graft.operators.Anonymity.noisedHistogram(Tables.lineitem(s, d),
         "l_extendedprice", 0.0, 110000.0, 22, epsilon = 0.5)),
+    // D209: quantiles read off the NOISED CDF — free by DP
+    // post-processing (no extra ε); clamp → cumulate → interpolate
+    // inside the reaching bin, boundary edges for under/overflow.
+    "d34_noised_quantiles" -> ((s, d) =>
+      graft.operators.Anonymity.noisedQuantiles(Tables.lineitem(s, d),
+        "l_extendedprice", 0.0, 110000.0, 22, epsilon = 0.5,
+        ps = Seq(0.25, 0.5, 0.9, 0.99))),
     // D78: MAD robust rate anomaly — d9's σ z-score replaced by
     // median/MAD so a burst can't inflate the spread and mask itself;
     // hourly counts per event type, exact type-7 medians on the 4-dp
@@ -2543,6 +2550,9 @@ object RelationalQueries extends Registry {
         Seq(0.5, 0.9, 0.99)),
     "d34_noised_histogram" -> graft.operators.Anonymity.sqlNoisedHistogram(
       "lineitem", "l_extendedprice", 0.0, 110000.0, 22, epsilon = 0.5),
+    "d34_noised_quantiles" -> graft.operators.Anonymity.sqlNoisedQuantiles(
+      "lineitem", "l_extendedprice", 0.0, 110000.0, 22, epsilon = 0.5,
+      ps = Seq(0.25, 0.5, 0.9, 0.99)),
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
     "d34_noised_counts_multi" -> graft.operators.Anonymity.sqlNoisedCounts(

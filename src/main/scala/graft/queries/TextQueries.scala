@@ -596,6 +596,35 @@ object TextQueries extends Registry {
       graft.operators.Sampling.assignSplits(
         Tables.documents(s, d).select("doc_id", "lang"),
         "doc_id", SplitWeights)),
+    // C7: LEAKAGE-SAFE split — exact-duplicate docs elect a cluster
+    // representative (min id over normalized text) and inherit ITS
+    // split, so two copies of one document can never straddle
+    // train/test (the classic eval-inflation leak c7_split_assign
+    // alone cannot prevent).
+    "c7_split_leakage_safe" -> ((s, d) =>
+      graft.operators.Sampling.assignSplitsLeakageSafe(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", SplitWeights)
+        .select(col("doc_id"), col("cluster_rep"), col("split"))),
+    // C7: the NEAR-DUP tier of the leakage-safe split — the portable
+    // MinHash-LSH pairs (the oracled c2 pipeline) closed transitively
+    // (min-label components), every doc keyed on its component rep:
+    // token-shuffled near-copies can't straddle train/test either.
+    "c7_split_leakage_neardup" -> ((s, d) => {
+      import graft.dedup.MinHashDedup
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashDedup.portableCandidatePairs(docs,
+          "doc_id", "text", shingleSize = 1)
+        .select(col("a"), col("b"))
+      val labels = MinHashDedup.connectedComponents(pairs)
+        .select(col("id").as("__lid"), col("component"))
+      docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("__lid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_rep"))
+        .withColumn("split", graft.operators.Sampling.splitExpr(
+          col("cluster_rep"), SplitWeights))
+    }),
     // C7 rows-only (trained model → float-order ~1e-12 coefficient
     // jitter, per the SparkEntry contract): the fastText-pattern
     // TRAINED quality filter — weak labels from the corpus (clean = 1)
@@ -1113,6 +1142,29 @@ object TextQueries extends Registry {
         ${graft.operators.Sampling.sqlSplitExpr("doc_id", SplitWeights)}
           AS split
       FROM documents""",
+    "c7_split_leakage_safe" -> graft.operators.Sampling
+      .sqlSplitLeakageSafe(
+        "SELECT doc_id, text FROM documents", "doc_id", SplitWeights),
+    // near-dup tier: the oracled portable-pairs pipeline + recursive
+    // transitive closure (the c1_entity_resolution precedent), rep =
+    // min doc_id reachable, split keyed on the rep
+    "c7_split_leakage_neardup" -> s"""
+      WITH RECURSIVE pairs AS (
+        ${DedupQueries.sqlPortablePairs}
+      ), sym AS (
+        SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+      ), reach(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT sym.b, reach.root
+        FROM reach JOIN sym ON sym.a = reach.node
+      ), lab AS (
+        SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY node)
+      SELECT doc_id, cluster_rep,
+        ${graft.operators.Sampling.sqlSplitExpr("cluster_rep",
+          SplitWeights)} AS split
+      FROM lab""",
     "c7_group_sample" -> s"""
       SELECT doc_id, lang, rank FROM (
         SELECT doc_id, lang, row_number() OVER (

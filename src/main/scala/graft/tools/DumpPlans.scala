@@ -127,7 +127,15 @@ object DumpPlans {
     "d88_join_audit",
     // round-10j: Spearman — distinct-value-axis rank windows joined
     // back, one grouped moment agg
-    "d89_spearman")
+    "d89_spearman",
+    // round-11: mergeable exact quantiles — two shard scans, counter
+    // hash agg, bounded-axis windows, no corpus sort
+    "d20_incremental_quantile",
+    // round-11: exact-substring dedup (corpus form) — stride-1 window
+    // explode, first-occurrence hash agg + re-join, bounded per-doc
+    // reassembly (watch: the covered-position explode stays on the
+    // duplicated-window side only)
+    "c1_exact_substring_corpus")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -297,7 +297,16 @@ object ScaleProbe {
       // modularity (edge derivation + tiny label join — linear),
       // borders (fixture decode scan — flat)
       "c5_code_detect", "d107_decayed_features", "d101_noised_sums",
-      "d108_modularity", "c6_borders")
+      "d108_modularity", "c6_borders",
+      // round-11: mergeable exact quantiles (two shard scans → grid
+      // counter states, finish over the bounded value axis — linear
+      // scan + axis-sized windows), noised histogram (one scan + nb+2
+      // spine — flat-ish), exact-substring dedup (stride-1 window
+      // explode ≈ corpus tokens ×1 rows + first-occurrence agg;
+      // covered-position explode is duplicated-windows × n — linear
+      // unless duplication densifies, WATCH like semdedup)
+      "d20_incremental_quantile", "d34_noised_histogram",
+      "c1_exact_substring_corpus")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops

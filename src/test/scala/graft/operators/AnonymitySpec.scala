@@ -209,4 +209,24 @@ class AnonymitySpec extends SparkSpec {
     assert(math.abs(r1(0L)._2 - 2.0) < 20.0)
     assert(math.abs(r1(2L)._2 - 1.0) < 20.0)
   }
+
+  test("noisedQuantiles: post-processed CDF tracks the true quantiles " +
+    "and stays within the histogram edges") {
+    import spark.implicits._
+    // uniform-ish mass over [0, 40): true median ~20
+    val df = (0 until 400).map(i => (i % 40).toDouble).toDF("v")
+    val r = Anonymity.noisedQuantiles(df, "v", 0.0, 40.0, 8, 0.5,
+      Seq(0.0, 0.5, 1.0)).collect()
+      .map(x => x.getDouble(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set(0.0, 0.5, 1.0))
+    assert(r.values.forall(q => q >= 0.0 && q <= 40.0),
+      "quantiles must stay inside [lo, hi]: " + r)
+    assert(math.abs(r(0.5) - 20.0) < 6.0,
+      s"noised median ${r(0.5)} strayed far from 20 at epsilon=0.5")
+    // deterministic re-publication
+    val r2 = Anonymity.noisedQuantiles(df, "v", 0.0, 40.0, 8, 0.5,
+      Seq(0.0, 0.5, 1.0)).collect()
+      .map(x => x.getDouble(0) -> x.getDouble(1)).toMap
+    assert(r === r2)
+  }
 }

@@ -292,4 +292,40 @@ class SamplingSpec extends SparkSpec {
     assert(r3 === Map("a" -> ((10.0, 1)), "b" -> ((50.0, 1)),
       "c" -> ((100.0, 1))), r3.toString)
   }
+
+  test("assignSplitsLeakageSafe: duplicate docs share a cluster rep " +
+    "and can never straddle splits; unique docs keep id-keyed splits") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    // docs 10/11/12 are the same text modulo case/whitespace; 13/14
+    // unique. Many salted trials would be needed for a straddle to be
+    // LIKELY per-pair, so plant 30 duplicate pairs with spread ids —
+    // under id-keyed assignment at least one pair straddles
+    // (probability of none < (0.8^2+0.2^2)^30 ~ 1e-5 under the hash).
+    val dups = (0 until 30).flatMap { k =>
+      Seq((100L + k, s"shared body number $k"),
+          (500L + k, s"  SHARED   body Number $k ".toLowerCase.capitalize))
+    }
+    val docs = (Seq((10L, "Alpha  Beta"), (11L, "alpha beta"),
+      (12L, "ALPHA\tBETA"), (13L, "unique one"), (14L, "unique two"))
+      ++ dups).toDF("doc_id", "text")
+    val r = Sampling.assignSplitsLeakageSafe(docs, "doc_id", "text",
+      splits).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster_rep"), x.getAs[String]("split"))).toMap
+    // identical normalized text -> one rep (the min id), one split
+    assert(r(10L)._1 === 10L && r(11L)._1 === 10L && r(12L)._1 === 10L)
+    assert(Set(r(10L)._2, r(11L)._2, r(12L)._2).size === 1,
+      "duplicates must never straddle the split boundary")
+    (0 until 30).foreach { k =>
+      assert(r(100L + k)._2 === r(500L + k)._2,
+        s"planted pair $k straddled: ${r(100L + k)} vs ${r(500L + k)}")
+    }
+    // a unique doc is its own rep and matches plain assignSplits
+    assert(r(13L)._1 === 13L)
+    val plain = Sampling.assignSplits(docs.filter($"doc_id" >= 13L &&
+        $"doc_id" <= 14L), "doc_id", splits)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r(13L)._2 === plain(13L) && r(14L)._2 === plain(14L))
+  }
 }
