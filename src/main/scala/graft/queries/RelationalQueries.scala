@@ -1467,9 +1467,14 @@ object RelationalQueries extends Registry {
         val (n, sx, sy, sxx, syy, sxy) =
           (col(s"n_${x}_$y"), col(s"sx_${x}_$y"), col(s"sy_${x}_$y"),
             col(s"sxx_${x}_$y"), col(s"syy_${x}_$y"), col(s"sxy_${x}_$y"))
+        // floor-portable 6-dp finish: the UNROUNDED quotient diverged
+        // at sf0.1 (4e-19 — the engines' decimal→double conversions
+        // round the big sxx/syy sums differently by 1 ulp); emitted
+        // statistics end on the 6-dp grid per §5.3
         struct(lit(x).as("x_col"), lit(y).as("y_col"),
-          ((n * sxy - sx * sy) /
+          (floor(((n * sxy - sx * sy) /
             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+            * lit(1e6) + lit(0.5)) / lit(1e6))
             .as("corr"))
       }
       sums.select(explode(array(rows: _*)).as("r"))
@@ -3254,9 +3259,10 @@ object RelationalQueries extends Registry {
               AS DOUBLE) AS sxy$sfx"""
       def row(x: String, y: String, i: String) =
         s"""SELECT '$x' AS x_col, '$y' AS y_col,
-              (n$i * sxy$i - sx$i * sy$i) /
+              floor((n$i * sxy$i - sx$i * sy$i) /
                 (sqrt(n$i * sxx$i - sx$i * sx$i) *
-                 sqrt(n$i * syy$i - sy$i * sy$i)) AS corr FROM s"""
+                 sqrt(n$i * syy$i - sy$i * sy$i)) * 1e6 + 0.5e0) / 1e6
+                AS corr FROM s"""
       s"""WITH s AS (SELECT
             ${sums("l_quantity", "l_extendedprice", "1")},
             ${sums("l_quantity", "l_discount", "2")},

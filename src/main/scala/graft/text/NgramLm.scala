@@ -98,10 +98,16 @@ object NgramLm {
         sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"),
         sum(col("__lp")).as("__s"))
       .select(col(idCol), col("n_tok"), col("n_oov"),
-        round(-col("__s").cast("double") / lit(1e6) /
-          col("n_tok").cast("double"), 6).as("xent"),
-        round(exp(-col("__s").cast("double") / lit(1e6) /
-          col("n_tok").cast("double")), 6).as("ppl"))
+        // floor-portable rounds (§5.3): xent = (grid sum)/1e6/n lands
+        // on EXACT decimal ties whenever n divides the micro-nat sum
+        // (2 tie cells at sf0.1) — round(·,6) half-ups through
+        // BigDecimal in Spark but rounds the binary value in DuckDB
+        (floor(-col("__s").cast("double") / lit(1e6) /
+          col("n_tok").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("xent"),
+        (floor(exp(-col("__s").cast("double") / lit(1e6) /
+          col("n_tok").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("ppl"))
   }
 
   /** CCNet's SECOND half — perplexity BUCKETS: split each language's
@@ -124,9 +130,14 @@ object NgramLm {
                         alpha: Double = 0.5): DataFrame = {
     val scored = perplexity(docs, refDocs, idCol, textCol, alpha)
       .join(docs.select(col(idCol), col(groupCol)), idCol)
+    // floor-portable cut rounds: tercile interpolation midway between
+    // two 6-dp ppl values is an exact 7-dp tie — the same §5.3 class
+    // as xent
     val cuts = scored.groupBy(col(groupCol))
-      .agg(round(expr("percentile(ppl, 0.3333333333333333e0)"), 6).as("__c1"),
-        round(expr("percentile(ppl, 0.6666666666666666e0)"), 6).as("__c2"))
+      .agg((floor(expr("percentile(ppl, 0.3333333333333333e0)")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("__c1"),
+        (floor(expr("percentile(ppl, 0.6666666666666666e0)")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("__c2"))
     scored.join(broadcast(cuts), Seq(groupCol))
       .select(col(idCol), col(groupCol), col("ppl"),
         when(col("ppl") <= col("__c1"), "head")
@@ -146,8 +157,10 @@ object NgramLm {
       FROM ppl0 p JOIN ($groupsSql) g ON p.id = g.id
     ), cuts AS (
       SELECT g,
-        round(quantile_cont(ppl, 0.3333333333333333e0), 6) AS c1,
-        round(quantile_cont(ppl, 0.6666666666666666e0), 6) AS c2
+        floor(quantile_cont(ppl, 0.3333333333333333e0) * 1e6 + 0.5e0)
+          / 1e6 AS c1,
+        floor(quantile_cont(ppl, 0.6666666666666666e0) * 1e6 + 0.5e0)
+          / 1e6 AS c2
       FROM scored GROUP BY g
     )
     SELECT s.id AS $idOut, s.g AS $groupOut, s.ppl,
@@ -205,10 +218,10 @@ object NgramLm {
     )
     SELECT id AS $idOut, CAST(count(*) AS BIGINT) AS n_tok,
       CAST(sum(oov) AS BIGINT) AS n_oov,
-      round(-CAST(sum(lpm) AS DOUBLE) / 1e6
-        / CAST(count(*) AS DOUBLE), 6) AS xent,
-      round(exp(-CAST(sum(lpm) AS DOUBLE) / 1e6
-        / CAST(count(*) AS DOUBLE)), 6) AS ppl
+      floor(-CAST(sum(lpm) AS DOUBLE) / 1e6
+        / CAST(count(*) AS DOUBLE) * 1e6 + 0.5e0) / 1e6 AS xent,
+      floor(exp(-CAST(sum(lpm) AS DOUBLE) / 1e6
+        / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5e0) / 1e6 AS ppl
     FROM lp GROUP BY id"""
   }
 }

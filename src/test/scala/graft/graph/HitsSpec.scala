@@ -74,4 +74,14 @@ class HitsSpec extends SparkSpec {
       x.getLong(2) <= 2000000000L), "scores stay ~scale-bounded")
     assert(r.exists(_.getLong(1) > 0) && r.exists(_.getLong(2) > 0))
   }
+
+  test("fractional edge weights fail loudly instead of truncating to 0") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 0.5)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Hits.scores(e, iterations = 1).collect()
+    }
+    assert(ex.getMessage.contains("integral"),
+      s"expected the integral-weight error, got: ${ex.getMessage}")
+  }
 }

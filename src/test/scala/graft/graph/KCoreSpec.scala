@@ -39,4 +39,16 @@ class KCoreSpec extends SparkSpec {
     assert(n1 === allNodes)
     assert(n1 >= n2 && n2 >= n3, s"$n1 >= $n2 >= $n3")
   }
+
+  test("hitting maxIter before the fixed point throws instead of " +
+    "returning a truncated core") {
+    import spark.implicits._
+    // path 1-2-3-4 at k=2 needs two peel rounds to reach the (empty)
+    // fixed point; maxIter=1 must fail loudly
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      KCore.kCore(edges, k = 2, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("maxIter"))
+  }
 }
