@@ -212,6 +212,25 @@ object SimilarityQueries extends Registry {
         docs.filter(col("doc_id") < 10), "doc_id", "text",
         k = 5)
     }),
+    // C3: OFFLINE RETRIEVAL EVAL — recall@5 / MRR@5 / nDCG@5 of the
+    // BM25 run against deterministic judgments (relevant = corpus
+    // docs sharing the query doc's (lang, source)); DCG gains on the
+    // 1e-9 integer grid so the folds are order-free, ratios on the
+    // 6-dp floor grid. The measurement leg of the retrieval stack.
+    "c3_retrieval_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val run = graft.text.Bm25.topK(
+        docs.filter(col("doc_id") >= 10), "doc_id", "text",
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        k = 5)
+      val qrels = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("lang"), col("source"))
+        .join(docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), col("lang"), col("source")),
+          Seq("lang", "source"))
+        .select(col("query_id"), col("doc_id"))
+      graft.similarity.RetrievalEval.metrics(run, qrels, k = 5)
+    }),
     // C3: lexical SERVING shape — persist the inverted index (bucketed
     // postings + terms + stats), then answer the query batch from it.
     // Served scores are bit-identical to the one-shot recompute, so
@@ -282,6 +301,28 @@ object SimilarityQueries extends Registry {
       graft.ml.KMeansLloyd.transform(emb, "vec_id", "embedding", model)
         .select(col("vec_id"), col("cluster"), round(col("d2"), 3).as("d2"))
     }),
+    // D203: embedding-space drift — per-dim mean/var/shift between two
+    // snapshots (even vec_ids vs odd vec_ids with a planted +0.05
+    // shift) + the one-row summary (mean-vector cosine, shift L2);
+    // exact decimal folds per dim, cross-dim terms on the 1e-9 grid.
+    // The read that triggers the IvfIndex re-fit policy.
+    "d110_embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+      val b = emb.filter(pmod(col("vec_id"), lit(2L)) === 1)
+        .select(transform(col("embedding"),
+          x => x.cast("double") + lit(0.05)).as("embedding"))
+      graft.similarity.EmbeddingDrift.perDim(a, b, "embedding")
+    }),
+    "d110_embedding_drift_summary" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+      val b = emb.filter(pmod(col("vec_id"), lit(2L)) === 1)
+        .select(transform(col("embedding"),
+          x => x.cast("double") + lit(0.05)).as("embedding"))
+      graft.similarity.EmbeddingDrift.summary(
+        graft.similarity.EmbeddingDrift.perDim(a, b, "embedding"))
+    }),
     // D147: exact covariance of the embedding space — the ORACLE shape
     // of the PCA family (6-dp floor-portable quantization → exact
     // decimal product folds). Audit-priced: O(n·d²) pair rows through
@@ -318,6 +359,27 @@ object SimilarityQueries extends Registry {
   val oracle: Map[String, String] = Map(
     "d76_covariance" -> graft.similarity.Pca.sqlCovarianceExact(
       "SELECT vec_id AS rid, embedding AS v FROM embeddings"),
+    "d110_embedding_drift" -> graft.similarity.EmbeddingDrift.sqlPerDim(
+      "SELECT embedding AS v FROM embeddings WHERE vec_id % 2 = 0",
+      """SELECT list_transform(embedding,
+           x -> CAST(x AS DOUBLE) + 0.05e0) AS v
+         FROM embeddings WHERE vec_id % 2 = 1"""),
+    "d110_embedding_drift_summary" ->
+      graft.similarity.EmbeddingDrift.sqlSummary(
+        "SELECT embedding AS v FROM embeddings WHERE vec_id % 2 = 0",
+        """SELECT list_transform(embedding,
+             x -> CAST(x AS DOUBLE) + 0.05e0) AS v
+           FROM embeddings WHERE vec_id % 2 = 1"""),
+    "c3_retrieval_eval" -> graft.similarity.RetrievalEval.sqlMetrics(
+      graft.text.Bm25.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id >= 10",
+        "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 10",
+        k = 5),
+      """SELECT q.doc_id AS query_id, c.doc_id
+         FROM documents q JOIN documents c
+           ON q.lang = c.lang AND q.source = c.source
+         WHERE q.doc_id < 10 AND c.doc_id >= 10""",
+      k = 5),
     "c3_bm25_retrieval" -> graft.text.Bm25.sql(
       "SELECT doc_id, text FROM documents WHERE doc_id >= 10",
       "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 10",
