@@ -306,7 +306,14 @@ object ScaleProbe {
       // covered-position explode is duplicated-windows × n — linear
       // unless duplication densifies, WATCH like semdedup)
       "d20_incremental_quantile", "d34_noised_histogram",
-      "c1_exact_substring_corpus")
+      "c1_exact_substring_corpus",
+      // round-11b: retrieval eval (run-sized joins after the BM25
+      // build — the build dominates, BM25-family shape), leakage-safe
+      // splits (norm-text hash agg + join-back — linear; near-dup
+      // tier adds the banding pipeline), embedding drift (posexplode
+      // scans into dim-keyed aggs — linear)
+      "c3_retrieval_eval", "c7_split_leakage_safe",
+      "c7_split_leakage_neardup", "d110_embedding_drift")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
