@@ -791,6 +791,12 @@ object TextQueries extends Registry {
     "c5_distinctive_terms" -> ((s, d) =>
       graft.text.DistinctiveTerms.distinctiveTerms(
         Tables.documents(s, d), "source", "text", k = 5)),
+    // C5: TEXTRANK keywords — PageRank over the token-adjacency graph
+    // (centrality, not frequency); pure composition of the oracled
+    // bigram pass and the BIGINT-grid PageRank, top-50 total-ordered.
+    "c5_textrank" -> ((s, d) =>
+      graft.text.TextRank.keywords(Tables.documents(s, d), "text",
+        k = 50, iterations = 3)),
     // C5: n-gram LM perplexity (CCNet, Wenzek et al. 2020) — train an
     // add-α bigram LM on the even-doc_id "trusted" slice, score EVERY
     // document's per-token cross-entropy under it. The fluency signal
@@ -1076,6 +1082,8 @@ object TextQueries extends Registry {
     "c5_distinctive_terms" -> graft.text.DistinctiveTerms.sqlDistinctiveTerms(
       s"SELECT source AS g, ${sqlToks("text")} AS toks FROM documents",
       groupOut = "source", k = 5),
+    "c5_textrank" -> graft.text.TextRank.sql(
+      "documents", sqlToks("text"), k = 50, iterations = 3),
     "c5_lm_perplexity" -> graft.text.NgramLm.sqlPerplexity(
       s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents",
       s"""SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents
