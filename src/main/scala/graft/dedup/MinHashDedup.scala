@@ -214,6 +214,19 @@ object MinHashDedup {
       array_distinct(TextFunctions.shingles(textA, shingleSize)),
       array_distinct(TextFunctions.shingles(textB, shingleSize)))
 
+  /** DIRECTIONAL containment |A ∩ B| / |A| — the asymmetric near-dup
+    * measure Jaccard dilutes: a short doc quoted whole inside a long
+    * one has containment ≈ 1 but Jaccard ≈ |A|/|B| → a quote-
+    * expansion duplicate the symmetric threshold misses. Finished on
+    * the 6-dp floor-portable grid (§5.3 — no unrounded emitted
+    * quotients). Empty A → 0. */
+  def containmentFromShingles(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    when(size(sa) === 0, lit(0.0))
+      .otherwise(floor(inter.cast("double") / size(sa).cast("double")
+        * lit(1e6) + lit(0.5)) / lit(1e6))
+  }
+
   /** Candidate pairs confirmed by exact Jaccard ≥ threshold. Shingle
     * sets are materialized per DOC before the pair join — shingling per
     * PAIR would multiply the tokenization cost by the candidate count

@@ -108,6 +108,42 @@ object DedupQueries extends Registry {
         .filter(col("jaccard") >= 0.6)
         .select("a", "b", "jaccard")
     }),
+    // C2g: DIRECTIONAL containment pairs — |A∩B|/|A| ≥ 0.8 over the
+    // same oracle-able slice as c2_ngram_jaccard: catches the
+    // quote-expansion duplicate (short doc swallowed by a longer one)
+    // whose symmetric Jaccard is diluted below any sane threshold.
+    // Ordered pairs (a≠b) because containment is asymmetric.
+    "c2_containment" -> ((s, d) => {
+      val sample = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), array_distinct(
+          graft.text.TextFunctions.shingles(col("text"), 1)).as("__sh"))
+      val l = sample.select(col("doc_id").as("a"), col("__sh").as("__sha"))
+      val r = sample.select(col("doc_id").as("b"), col("__sh").as("__shb"))
+      l.join(r, col("a") =!= col("b"))
+        .withColumn("containment",
+          MinHashDedup.containmentFromShingles(col("__sha"), col("__shb")))
+        .filter(col("containment") >= 0.8)
+        .select("a", "b", "containment")
+    }),
+    // C1g: frequency-based BOILERPLATE removal — spans appearing in
+    // ≥ minDf distinct docs of one source are template chrome and are
+    // stripped from EVERY doc (no surviving copy — unlike span/
+    // substring dedup, which keep the first). Fixture plants a
+    // per-source 8-token banner (one exact span) on every doc, so the
+    // banner's df = the source's doc count and each doc loses exactly
+    // that span while its own content spans (df 1–2) survive.
+    "c1_boilerplate_strip" -> ((s, d) => {
+      val fixture = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ",
+            lit("news update bulletin from source channel feed"),
+            col("source"), col("text")).as("text"))
+      graft.text.Boilerplate.stripFrequentSpans(fixture,
+          "doc_id", "text", "source", spanTokens = 8, minDf = 3)
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
     // C2: MinHash LSH near-dup pairs confirmed by exact Jaccard.
     "c2_minhash_pairs" -> ((s, d) =>
       MinHashDedup.confirmedPairs(Tables.documents(s, d), "doc_id", "text",
@@ -478,6 +514,30 @@ object DedupQueries extends Registry {
         FROM s l JOIN s r ON l.doc_id < r.doc_id)
       SELECT a, b, jaccard FROM j WHERE jaccard >= 0.6e0"""
     },
+    "c2_containment" -> {
+      val sh = TextQueries.sqlShingles("toks", 1)
+      s"""
+      WITH s AS (
+        SELECT doc_id, list_distinct($sh) AS sh
+        FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id < 100)
+      ), c AS (
+        SELECT l.doc_id AS a, r.doc_id AS b,
+          CASE WHEN len(l.sh) = 0 THEN 0.0e0
+               ELSE floor(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                    / CAST(len(l.sh) AS DOUBLE) * 1e6 + 0.5e0) / 1e6
+          END AS containment
+        FROM s l JOIN s r ON l.doc_id <> r.doc_id)
+      SELECT a, b, containment FROM c WHERE containment >= 0.8e0"""
+    },
+    "c1_boilerplate_strip" -> s"""
+      SELECT doc_id, n_spans, n_kept, md5(clean_text) AS clean_md5
+      FROM (${graft.text.Boilerplate.sqlStripFrequentSpans(
+        """SELECT doc_id, source AS g,
+             concat_ws(' ',
+               'news update bulletin from source channel feed',
+               source, text) AS text
+           FROM documents""",
+        spanTokens = 8, minDf = 3)})""",
     "c2_winnow_overlap" -> s"""
       WITH ${TextQueries.sqlWinnowFps(8, 4)},
       rare AS (

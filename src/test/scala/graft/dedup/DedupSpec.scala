@@ -148,4 +148,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)))
   }
+
+  test("containment catches the quote-expansion duplicate Jaccard " +
+    "dilutes; asymmetric by construction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val short = "alpha beta gamma delta"
+    val long = s"$short " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+      .select(col("doc_id"), array_distinct(
+        graft.text.TextFunctions.shingles(col("text"), 1)).as("sh"))
+    val Seq(a, b) = df.orderBy("doc_id").collect()
+      .map(_.getSeq[String](1)).toSeq
+    val cAB = MinHashDedup.containmentFromShingles(lit(a.toArray), lit(b.toArray))
+    val cBA = MinHashDedup.containmentFromShingles(lit(b.toArray), lit(a.toArray))
+    val j = MinHashDedup.jaccardFromShingles(lit(a.toArray), lit(b.toArray))
+    val r = spark.range(1).select(cAB.as("ab"), cBA.as("ba"), j.as("j"))
+      .collect().head
+    assert(r.getDouble(0) === 1.0, "short doc fully contained in long")
+    assert(r.getDouble(1) < 0.1, "reverse direction is small")
+    assert(r.getDouble(2) < 0.1,
+      "symmetric Jaccard dilutes below any sane threshold")
+  }
 }
