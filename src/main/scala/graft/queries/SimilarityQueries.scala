@@ -301,6 +301,18 @@ object SimilarityQueries extends Registry {
       graft.ml.KMeansLloyd.transform(emb, "vec_id", "embedding", model)
         .select(col("vec_id"), col("cluster"), round(col("d2"), 3).as("d2"))
     }),
+    // D208b: ROC-AUC by the rank-sum identity (tie-exact 2U over the
+    // distinct-score axis, the Mann–Whitney fold) — per segment, how
+    // well embedding dim 1 separates labels 0–4 from 5–9. The
+    // threshold-free metric the Brier/calibration family lacked.
+    "d112_auc" -> ((s, d) => {
+      val rows = Tables.embeddings(s, d).select(
+        pmod(col("vec_id"), lit(2L)).cast("string").as("seg"),
+        (col("label") < 5).cast("int").as("label"),
+        (floor(element_at(col("embedding"), 1).cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
+      graft.operators.RankEval.auc(rows, "label", "score", Seq("seg"))
+    }),
     // D203: embedding-space drift — per-dim mean/var/shift between two
     // snapshots (even vec_ids vs odd vec_ids with a planted +0.05
     // shift) + the one-row summary (mean-vector cosine, shift L2);
@@ -359,6 +371,12 @@ object SimilarityQueries extends Registry {
   val oracle: Map[String, String] = Map(
     "d76_covariance" -> graft.similarity.Pca.sqlCovarianceExact(
       "SELECT vec_id AS rid, embedding AS v FROM embeddings"),
+    "d112_auc" -> graft.operators.RankEval.sqlAuc(
+      """SELECT CAST(vec_id % 2 AS VARCHAR) AS seg,
+           CAST(label < 5 AS INT) AS label,
+           floor(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5e0) / 1e6
+             AS score
+         FROM embeddings""", Seq("seg")),
     "d110_embedding_drift" -> graft.similarity.EmbeddingDrift.sqlPerDim(
       "SELECT embedding AS v FROM embeddings WHERE vec_id % 2 = 0",
       """SELECT list_transform(embedding,
