@@ -1969,4 +1969,92 @@ object Experiment {
         ELSE round($effect / $se, 6) END AS t_effect
     FROM byp, base"""
   }
+
+  /** INVERSE-PROPENSITY-WEIGHTED ATE (Hájek estimator) — the
+    * observational leg the causal family (DiD, RDD, IV, event study,
+    * CUPED) was missing: when treatment is NOT randomized, weight each
+    * unit by 1/P(its observed arm) so the reweighted arms match the
+    * covariate mix, then difference the weighted outcome means:
+    *
+    *   ATE = Σ T·y/e / Σ T/e  −  Σ (1−T)·y/(1−e) / Σ (1−T)/(1−e)
+    *
+    * `propensityCol` is the caller's e = P(T=1 | x) — a closed-form
+    * deterministic score keeps the whole estimator under the exact
+    * oracle; a trained model makes it rows+spec like c7_lr_quality.
+    * Propensities clip to [clip, 1−clip] first (standard overlap
+    * trimming — an e near 0/1 otherwise hands one unit unbounded
+    * weight).
+    *
+    * Determinism (§5.3): every per-unit term (w, w·y) quantizes to a
+    * 1e-6 integer grid BEFORE summing — the double sums would be
+    * combine-order-dependent; integer folds are not. One hash
+    * aggregate over the units; output one row:
+    * `(n_treat, n_ctrl, ate_ipw)` (6-dp floor grid; null when either
+    * arm is empty). */
+  def ipwAte(units: DataFrame, treatCol: String, outcomeCol: String,
+             propensityCol: String, clip: Double = 0.05): DataFrame = {
+    require(clip > 0 && clip < 0.5)
+    val t = col(treatCol).cast("int")
+    val y = col(outcomeCol).cast("double")
+    val e = greatest(lit(clip), least(lit(1.0 - clip),
+      col(propensityCol).cast("double")))
+    def g(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("bigint")
+    val rows = units
+      .filter(t.isNotNull && y.isNotNull && col(propensityCol).isNotNull)
+      .select(t.as("__t"),
+        g(lit(1.0) / e).as("__w1"), g(y / e).as("__wy1"),
+        g(lit(1.0) / (lit(1.0) - e)).as("__w0"),
+        g(y / (lit(1.0) - e)).as("__wy0"))
+    val sums = rows.agg(
+      count(when(col("__t") === 1, lit(1))).as("n_treat"),
+      count(when(col("__t") === 0, lit(1))).as("n_ctrl"),
+      sum(when(col("__t") === 1, col("__w1")).otherwise(lit(0L)))
+        .as("__sw1"),
+      sum(when(col("__t") === 1, col("__wy1")).otherwise(lit(0L)))
+        .as("__swy1"),
+      sum(when(col("__t") === 0, col("__w0")).otherwise(lit(0L)))
+        .as("__sw0"),
+      sum(when(col("__t") === 0, col("__wy0")).otherwise(lit(0L)))
+        .as("__swy0"))
+    def d(c: String) = col(c).cast("double")
+    sums.select(col("n_treat"), col("n_ctrl"),
+      when(col("n_treat") > 0 && col("n_ctrl") > 0,
+        floor((d("__swy1") / d("__sw1") - d("__swy0") / d("__sw0"))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("ate_ipw"))
+  }
+
+  /** DuckDB twin of [[ipwAte]]: `unitsSql` must select
+    * `(t, y, e)`. */
+  def sqlIpwAte(unitsSql: String, clip: Double = 0.05): String = {
+    import graft.functions.Noise.sqlDouble
+    val eClip = s"greatest(${sqlDouble(clip)}, least(${sqlDouble(1 - clip)}, CAST(e AS DOUBLE)))"
+    s"""
+    WITH rows0 AS (
+      SELECT CAST(t AS INT) AS t,
+        CAST(floor(1.0e0 / $eClip * 1e6 + 0.5e0) AS BIGINT) AS w1,
+        CAST(floor(CAST(y AS DOUBLE) / $eClip * 1e6 + 0.5e0) AS BIGINT)
+          AS wy1,
+        CAST(floor(1.0e0 / (1.0e0 - $eClip) * 1e6 + 0.5e0) AS BIGINT)
+          AS w0,
+        CAST(floor(CAST(y AS DOUBLE) / (1.0e0 - $eClip) * 1e6 + 0.5e0)
+          AS BIGINT) AS wy0
+      FROM ($unitsSql)
+      WHERE t IS NOT NULL AND y IS NOT NULL AND e IS NOT NULL
+    ), sums AS (
+      SELECT
+        CAST(count(CASE WHEN t = 1 THEN 1 END) AS BIGINT) AS n_treat,
+        CAST(count(CASE WHEN t = 0 THEN 1 END) AS BIGINT) AS n_ctrl,
+        CAST(sum(CASE WHEN t = 1 THEN w1 ELSE 0 END) AS BIGINT) AS sw1,
+        CAST(sum(CASE WHEN t = 1 THEN wy1 ELSE 0 END) AS BIGINT) AS swy1,
+        CAST(sum(CASE WHEN t = 0 THEN w0 ELSE 0 END) AS BIGINT) AS sw0,
+        CAST(sum(CASE WHEN t = 0 THEN wy0 ELSE 0 END) AS BIGINT) AS swy0
+      FROM rows0)
+    SELECT n_treat, n_ctrl,
+      CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+        floor((CAST(swy1 AS DOUBLE) / CAST(sw1 AS DOUBLE)
+          - CAST(swy0 AS DOUBLE) / CAST(sw0 AS DOUBLE)) * 1e6 + 0.5e0)
+          / 1e6 END AS ate_ipw
+    FROM sums"""
+  }
 }

@@ -742,6 +742,24 @@ object RelationalQueries extends Registry {
         IncrementalAgg.quantileState(odd, g, "l_extendedprice"), g),
         g, ps)
     }),
+    // D210: inverse-propensity-weighted ATE (Hájek) — the
+    // OBSERVATIONAL leg of the causal family: treatment is planted
+    // with probability e(activity) (deterministic hash draw against a
+    // linear propensity), then IPW with the true e reweights the arms
+    // back to a common covariate mix. Per-unit terms on the 1e-6 grid
+    // so the sums are order-free.
+    "d113_ipw" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("a"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      val z = least(col("a"), lit(20L)).cast("double") / lit(20.0)
+      val e = lit(0.2) + lit(0.6) * z
+      val u = graft.functions.Noise.hashNoise(col("user_id"), salt = 23)
+      graft.operators.Experiment.ipwAte(
+        perUser.select((u < e).cast("int").as("t"), col("y"), e.as("e")),
+        "t", "y", "e")
+    }),
     // D90: minimum detectable effect — the pre-launch power check on
     // the d32 experiment setup (same deterministic assignment, same
     // one-pass exact sums): the smallest lift this traffic detects at
@@ -2553,6 +2571,17 @@ object RelationalQueries extends Registry {
         "SELECT * FROM lineitem",
         Seq("l_returnflag", "l_linestatus"), "l_extendedprice",
         Seq(0.5, 0.9, 0.99)),
+    "d113_ipw" -> {
+      val z = "(CAST(least(a, 20) AS DOUBLE) / 20.0e0)"
+      val e = s"(0.2e0 + 0.6e0 * $z)"
+      graft.operators.Experiment.sqlIpwAte(s"""
+        SELECT CASE WHEN ${graft.functions.Noise.sqlNoise("user_id", 23)}
+            < $e THEN 1 ELSE 0 END AS t,
+          CAST(sv AS DOUBLE) AS y, $e AS e
+        FROM (SELECT user_id, count(*) AS a,
+            sum(CAST(value AS DECIMAL(18,2))) AS sv
+          FROM events GROUP BY user_id)""")
+    },
     "d34_noised_histogram" -> graft.operators.Anonymity.sqlNoisedHistogram(
       "lineitem", "l_extendedprice", 0.0, 110000.0, 22, epsilon = 0.5),
     "d34_noised_quantiles" -> graft.operators.Anonymity.sqlNoisedQuantiles(

@@ -313,7 +313,14 @@ object ScaleProbe {
       // tier adds the banding pipeline), embedding drift (posexplode
       // scans into dim-keyed aggs — linear)
       "c3_retrieval_eval", "c7_split_leakage_safe",
-      "c7_split_leakage_neardup", "d110_embedding_drift")
+      "c7_split_leakage_neardup", "d110_embedding_drift",
+      // round-11c: textrank (adjacency explode grows 10x, the word
+      // graph and per-iteration cost are vocabulary-fixed — expect
+      // sub-linear, the BPE thesis on a graph), boilerplate (span df
+      // agg + anti-join — SpanDedup's linear shape), AUC (score-axis
+      // agg + bounded window — flat-ish), containment is the priced
+      // quadratic slice (fixed 100-doc range — flat by construction)
+      "c5_textrank", "c1_boilerplate_strip", "d112_auc")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops

@@ -602,4 +602,35 @@ class ExperimentSpec extends SparkSpec {
       .collect().map(_.getDouble(6))
     assert(effects.forall(_ === 0.0), effects.mkString(","))
   }
+
+  test("ipwAte: exact confounded fixture — naive diff biased, IPW " +
+    "recovers the planted effect exactly") {
+    import spark.implicits._
+    // binary confounder x; e(x=1)=0.8, e(x=0)=0.2; arm counts match e
+    // EXACTLY so Hajek with the true propensity is closed-form:
+    // y = 5*T + 2*x, true ATE = 5; naive diff-in-means = 6.2
+    val units = (
+      Seq.fill(80)((1, 1)) ++ Seq.fill(20)((0, 1)) ++   // x=1
+      Seq.fill(20)((1, 0)) ++ Seq.fill(80)((0, 0)))     // x=0
+      .map { case (t, x) =>
+        (t, 5.0 * t + 2.0 * x, if (x == 1) 0.8 else 0.2) }
+      .toDF("t", "y", "e")
+    val r = Experiment.ipwAte(units, "t", "y", "e").collect().head
+    assert(r.getLong(0) === 100L && r.getLong(1) === 100L)
+    assert(r.getDouble(2) === 5.0, s"IPW must deconfound: got $r")
+    // the naive difference is confounded (6.6 - 0.4 = 6.2)
+    val naive = units.groupBy("t").agg(
+      org.apache.spark.sql.functions.avg("y")).collect()
+      .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(math.abs(naive(1) - naive(0) - 6.2) < 1e-9)
+    // degenerate arm -> null
+    val oneArm = Seq((1, 3.0, 0.5), (1, 4.0, 0.5)).toDF("t", "y", "e")
+    assert(Experiment.ipwAte(oneArm, "t", "y", "e").collect().head
+      .isNullAt(2))
+    // clipping guards unbounded weights: e = 0.001 clips to 0.05
+    val extreme = Seq((1, 1.0, 0.001), (0, 1.0, 0.999))
+      .toDF("t", "y", "e")
+    val c = Experiment.ipwAte(extreme, "t", "y", "e").collect().head
+    assert(c.getDouble(2) === 0.0, "same outcome both arms -> ATE 0")
+  }
 }
