@@ -320,7 +320,9 @@ object ScaleProbe {
       // agg + anti-join — SpanDedup's linear shape), AUC (score-axis
       // agg + bounded window — flat-ish), containment is the priced
       // quadratic slice (fixed 100-doc range — flat by construction)
-      "c5_textrank", "c1_boilerplate_strip", "d112_auc")
+      "c5_textrank", "c1_boilerplate_strip", "d112_auc",
+      // round-11d: IPW (one per-user agg + one grid-term agg — linear)
+      "d113_ipw")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops
