@@ -2057,4 +2057,78 @@ object Experiment {
           / 1e6 END AS ate_ipw
     FROM sums"""
   }
+
+  /** DOUBLY-ROBUST ATE (AIPW — augmented IPW, the modern default
+    * observational estimator): combine an OUTCOME MODEL m_t(x) with
+    * the propensity weights so the estimate is consistent if EITHER
+    * is right,
+    *
+    *   ATE = mean[ m₁−m₀ + T·(y−m₁)/e − (1−T)·(y−m₀)/(1−e) ]
+    *
+    * `m1Col`/`m0Col` are the caller's predicted outcomes under
+    * treatment/control (closed-form → exact oracle; trained →
+    * rows+spec, like the propensity in [[ipwAte]]). When the outcome
+    * model is exactly right the correction terms vanish and AIPW
+    * equals the model's own ATE regardless of e; when e is right the
+    * weighting debiases a wrong model — ExperimentSpec pins both
+    * directions on the confounded fixture. Same §5.3 discipline as
+    * [[ipwAte]]: per-unit terms on the 1e-6 grid, mean of exact
+    * integer sums, 6-dp floor finish. One hash aggregate. */
+  def aipwAte(units: DataFrame, treatCol: String, outcomeCol: String,
+              propensityCol: String, m1Col: String, m0Col: String,
+              clip: Double = 0.05): DataFrame = {
+    require(clip > 0 && clip < 0.5)
+    val t = col(treatCol).cast("int")
+    val y = col(outcomeCol).cast("double")
+    val m1 = col(m1Col).cast("double")
+    val m0 = col(m0Col).cast("double")
+    val e = greatest(lit(clip), least(lit(1.0 - clip),
+      col(propensityCol).cast("double")))
+    val term = m1 - m0 +
+      when(t === 1, (y - m1) / e)
+        .otherwise(-(y - m0) / (lit(1.0) - e))
+    val rows = units
+      .filter(t.isNotNull && y.isNotNull && col(propensityCol).isNotNull
+        && m1.isNotNull && m0.isNotNull)
+      .select(t.as("__t"),
+        floor(term * lit(1e6) + lit(0.5)).cast("bigint").as("__g"))
+    rows.agg(
+        count(when(col("__t") === 1, lit(1))).as("n_treat"),
+        count(when(col("__t") === 0, lit(1))).as("n_ctrl"),
+        count(lit(1)).as("__n"), sum(col("__g")).as("__s"))
+      .select(col("n_treat"), col("n_ctrl"),
+        when(col("__n") > 0,
+          floor(col("__s").cast("double") / lit(1e6)
+            / col("__n").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("ate_aipw"))
+  }
+
+  /** DuckDB twin of [[aipwAte]]: `unitsSql` must select
+    * `(t, y, e, m1, m0)`. */
+  def sqlAipwAte(unitsSql: String, clip: Double = 0.05): String = {
+    import graft.functions.Noise.sqlDouble
+    val eClip = s"greatest(${sqlDouble(clip)}, least(${sqlDouble(1 - clip)}, CAST(e AS DOUBLE)))"
+    val term = s"""(CAST(m1 AS DOUBLE) - CAST(m0 AS DOUBLE)
+      + CASE WHEN CAST(t AS INT) = 1
+          THEN (CAST(y AS DOUBLE) - CAST(m1 AS DOUBLE)) / $eClip
+          ELSE -(CAST(y AS DOUBLE) - CAST(m0 AS DOUBLE))
+            / (1.0e0 - $eClip) END)"""
+    s"""
+    WITH rows0 AS (
+      SELECT CAST(t AS INT) AS t,
+        CAST(floor($term * 1e6 + 0.5e0) AS BIGINT) AS g
+      FROM ($unitsSql)
+      WHERE t IS NOT NULL AND y IS NOT NULL AND e IS NOT NULL
+        AND m1 IS NOT NULL AND m0 IS NOT NULL
+    ), sums AS (
+      SELECT CAST(count(CASE WHEN t = 1 THEN 1 END) AS BIGINT) AS n_treat,
+        CAST(count(CASE WHEN t = 0 THEN 1 END) AS BIGINT) AS n_ctrl,
+        CAST(count(*) AS BIGINT) AS n, CAST(sum(g) AS BIGINT) AS s
+      FROM rows0)
+    SELECT n_treat, n_ctrl,
+      CASE WHEN n > 0 THEN
+        floor(CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) * 1e6 + 0.5e0)
+          / 1e6 END AS ate_aipw
+    FROM sums"""
+  }
 }

@@ -760,6 +760,22 @@ object RelationalQueries extends Registry {
         perUser.select((u < e).cast("int").as("t"), col("y"), e.as("e")),
         "t", "y", "e")
     }),
+    // D211: doubly-robust AIPW on the same planted-propensity setup —
+    // outcome model = a simple closed-form of activity (deliberately
+    // imperfect; the propensity side carries consistency).
+    "d114_aipw" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("a"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      val z = least(col("a"), lit(20L)).cast("double") / lit(20.0)
+      val e = lit(0.2) + lit(0.6) * z
+      val u = graft.functions.Noise.hashNoise(col("user_id"), salt = 23)
+      graft.operators.Experiment.aipwAte(
+        perUser.select((u < e).cast("int").as("t"), col("y"), e.as("e"),
+          (lit(10.0) * z).as("m1"), (lit(8.0) * z).as("m0")),
+        "t", "y", "e", "m1", "m0")
+    }),
     // D90: minimum detectable effect — the pre-launch power check on
     // the d32 experiment setup (same deterministic assignment, same
     // one-pass exact sums): the smallest lift this traffic detects at
@@ -2578,6 +2594,18 @@ object RelationalQueries extends Registry {
         SELECT CASE WHEN ${graft.functions.Noise.sqlNoise("user_id", 23)}
             < $e THEN 1 ELSE 0 END AS t,
           CAST(sv AS DOUBLE) AS y, $e AS e
+        FROM (SELECT user_id, count(*) AS a,
+            sum(CAST(value AS DECIMAL(18,2))) AS sv
+          FROM events GROUP BY user_id)""")
+    },
+    "d114_aipw" -> {
+      val z = "(CAST(least(a, 20) AS DOUBLE) / 20.0e0)"
+      val e = s"(0.2e0 + 0.6e0 * $z)"
+      graft.operators.Experiment.sqlAipwAte(s"""
+        SELECT CASE WHEN ${graft.functions.Noise.sqlNoise("user_id", 23)}
+            < $e THEN 1 ELSE 0 END AS t,
+          CAST(sv AS DOUBLE) AS y, $e AS e,
+          10.0e0 * $z AS m1, 8.0e0 * $z AS m0
         FROM (SELECT user_id, count(*) AS a,
             sum(CAST(value AS DECIMAL(18,2))) AS sv
           FROM events GROUP BY user_id)""")

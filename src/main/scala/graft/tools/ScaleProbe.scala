@@ -321,8 +321,8 @@ object ScaleProbe {
       // agg + bounded window — flat-ish), containment is the priced
       // quadratic slice (fixed 100-doc range — flat by construction)
       "c5_textrank", "c1_boilerplate_strip", "d112_auc",
-      // round-11d: IPW (one per-user agg + one grid-term agg — linear)
-      "d113_ipw")
+      // round-11d: IPW/AIPW (one per-user agg + one grid-term agg — linear)
+      "d113_ipw", "d114_aipw")
     println(s"\n| query | 1x sec | ${mult}x sec | ratio |")
     println("|---|---|---|---|")
     // optional third arg: comma-separated subset (re-probe new ops

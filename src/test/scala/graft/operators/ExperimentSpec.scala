@@ -633,4 +633,36 @@ class ExperimentSpec extends SparkSpec {
     val c = Experiment.ipwAte(extreme, "t", "y", "e").collect().head
     assert(c.getDouble(2) === 0.0, "same outcome both arms -> ATE 0")
   }
+
+  test("aipwAte is doubly robust: right outcome model + wrong e, and " +
+    "wrong model + right e, both recover the planted effect") {
+    import spark.implicits._
+    // the ipwAte confounded fixture: y = 5T + 2x, e(x=1)=.8, e(x=0)=.2
+    def units(e1: Double, e0: Double, m1Of: Int => Double,
+              m0Of: Int => Double) = (
+      Seq.fill(80)((1, 1)) ++ Seq.fill(20)((0, 1)) ++
+      Seq.fill(20)((1, 0)) ++ Seq.fill(80)((0, 0)))
+      .map { case (t, x) =>
+        (t, 5.0 * t + 2.0 * x, if (x == 1) e1 else e0,
+          m1Of(x), m0Of(x)) }
+      .toDF("t", "y", "e", "m1", "m0")
+    // CORRECT outcome model (m1 = 5 + 2x, m0 = 2x), garbage e = 0.5:
+    // correction terms vanish, AIPW = model ATE = 5 exactly
+    val mRight = Experiment.aipwAte(
+      units(0.5, 0.5, x => 5.0 + 2.0 * x, x => 2.0 * x),
+      "t", "y", "e", "m1", "m0").collect().head
+    assert(mRight.getDouble(2) === 5.0)
+    // WRONG model (all zeros), TRUE e: the IPW correction carries it.
+    // Horvitz–Thompson form is exact on this balanced fixture.
+    val eRight = Experiment.aipwAte(
+      units(0.8, 0.2, _ => 0.0, _ => 0.0),
+      "t", "y", "e", "m1", "m0").collect().head
+    assert(math.abs(eRight.getDouble(2) - 5.0) < 0.3,
+      s"true-propensity AIPW should be near 5: $eRight")
+    // both right -> exactly 5 with zero variance contribution
+    val both = Experiment.aipwAte(
+      units(0.8, 0.2, x => 5.0 + 2.0 * x, x => 2.0 * x),
+      "t", "y", "e", "m1", "m0").collect().head
+    assert(both.getDouble(2) === 5.0)
+  }
 }
