@@ -43,8 +43,22 @@ object Hits {
     // weights must be INTEGRAL: a silent cast('long') would truncate
     // w<1 to 0 (edge contributes nothing), contradicting the
     // down-scale contract above — fail loudly on fractional input
-    // (callers re-quantize, e.g. ×1000, before down-scaling)
-    val wChecked = when(
+    // (callers re-quantize, e.g. ×1000, before down-scaling).
+    // NULL is checked FIRST (a null `when` condition would fall
+    // through to `otherwise` with a misleading "must be integral ...
+    // got null"); and |w| ≥ 2^53 is rejected explicitly — above that
+    // the double==long round-trip can no longer detect truncation
+    // (every long maps onto some representable double).
+    val wChecked = when(col("w").isNull,
+        raise_error(lit("Hits: edge weight must not be null "
+          + "(filter or default null-weight edges upstream)"))
+          .cast("long"))
+      .when(abs(col("w").cast("double")) >= lit(9007199254740992.0),
+        raise_error(concat(
+          lit("Hits: |edge weight| >= 2^53 loses integer precision in "
+            + "double (down-scale weights upstream), got "),
+          col("w").cast("string"))).cast("long"))
+      .when(
         col("w").cast("double") === col("w").cast("long").cast("double"),
         col("w").cast("long"))
       .otherwise(raise_error(concat(

@@ -304,8 +304,14 @@ object Anonymity {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     import org.apache.spark.sql.expressions.Window
     val w = (hi - lo) / nb
+    // masses quantized to BIGINT MICRO-UNITS before cumulating:
+    // noised_n is already on the 6-dp grid, so floor(m·1e6 + 0.5)
+    // recovers its exact integer micro-count and the cum/tot windows
+    // below are pure integer folds — immune to the Spark running-frame
+    // vs DuckDB segment-tree double-summation order (§5.3)
     val hist = noisedHistogram(df, column, lo, hi, nb, epsilon, salt)
-      .withColumn("__m", greatest(col("noised_n"), lit(0.0)))
+      .withColumn("__m", floor(greatest(col("noised_n"), lit(0.0))
+        * lit(1e6) + lit(0.5)).cast("bigint"))
     val wOrd = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
@@ -318,20 +324,27 @@ object Anonymity {
       .select(col("id").cast("int").as("__i"))
       .withColumn("p", element_at(array(ps.map(lit): _*), col("__i") + 1))
       .drop("__i")
-    // first bucket whose cum reaches p·tot; interpolate inside it
+    // first bucket whose cum reaches p·tot; interpolate inside it.
+    // cum/tot/prev/m are exact integers (< 2^53 in double), so both
+    // the boundary compare and the interpolation are ONE fixed IEEE
+    // sequence; the emitted quantile finishes on the 6-dp
+    // floor-portable grid (no unrounded emitted doubles, §5.3)
     psDf.crossJoin(cum)
-      .filter(col("__cum") >= col("p") * col("__tot"))
+      .filter(col("__cum").cast("double") >=
+        col("p") * col("__tot").cast("double"))
       .withColumn("__q",
         when(col("bucket") === -1L, lit(lo))
           .when(col("bucket") === nb.toLong, lit(hi))
           // m = 0 rows can pass the cum filter but can never be the
           // min_by winner (their predecessor already reached p·tot);
           // the guard only keeps ANSI mode from throwing on them
-          .when(col("__m") === 0.0, col("lo_edge"))
+          .when(col("__m") === 0L, col("lo_edge"))
           .otherwise(col("lo_edge") + lit(w) *
-            ((col("p") * col("__tot") - col("__prev")) / col("__m"))))
+            ((col("p") * col("__tot").cast("double")
+              - col("__prev").cast("double")) / col("__m").cast("double"))))
       .groupBy(col("p"))
-      .agg(min_by(col("__q"), col("bucket")).as("noised_q"))
+      .agg((floor(min_by(col("__q"), col("bucket")) * lit(1e6) + lit(0.5))
+        / lit(1e6)).as("noised_q"))
   }
 
   /** DuckDB twin of [[noisedQuantiles]] — identical clamp, cumulation
@@ -346,20 +359,24 @@ object Anonymity {
     WITH hist AS (${sqlNoisedHistogram(table, column, lo, hi, nb,
         epsilon, salt)}),
     m AS (
-      SELECT bucket, lo_edge, greatest(noised_n, 0.0e0) AS m FROM hist
+      SELECT bucket, lo_edge,
+        CAST(floor(greatest(noised_n, 0.0e0) * 1e6 + 0.5e0) AS BIGINT) AS m
+      FROM hist
     ), cum AS (
       SELECT bucket, lo_edge,
-        m, sum(m) OVER (ORDER BY bucket
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        sum(m) OVER () AS tot
+        m, CAST(sum(m) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        CAST(sum(m) OVER () AS BIGINT) AS tot
       FROM m
     ), ps AS (SELECT unnest($psList) AS p)
     SELECT p,
-      min_by(CASE WHEN bucket = -1 THEN ${sqlDouble(lo)}
+      floor(min_by(CASE WHEN bucket = -1 THEN ${sqlDouble(lo)}
                   WHEN bucket = $nb THEN ${sqlDouble(hi)}
-                  ELSE lo_edge + $w * ((p * tot - (cum - m)) / m)
-             END, bucket) AS noised_q
-    FROM ps JOIN cum ON cum.cum >= ps.p * cum.tot
+                  WHEN m = 0 THEN lo_edge
+                  ELSE lo_edge + $w * ((p * CAST(tot AS DOUBLE)
+                    - CAST(cum - m AS DOUBLE)) / CAST(m AS DOUBLE))
+             END, bucket) * 1e6 + 0.5e0) / 1e6 AS noised_q
+    FROM ps JOIN cum ON CAST(cum.cum AS DOUBLE) >= ps.p * CAST(cum.tot AS DOUBLE)
     GROUP BY p"""
   }
 

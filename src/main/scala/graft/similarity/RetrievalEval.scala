@@ -36,26 +36,33 @@ object RetrievalEval {
   /** Per-query metrics @ `k`. `results`: `(query_id, doc_id, rank)`
     * (rank 1-based; extra columns ignored); `qrels`: `(query_id,
     * doc_id)` rows naming the RELEVANT docs. Output per query seen in
-    * either input: `(query_id, n_rel, n_ret, hits, recall, mrr,
-    * ndcg)` — recall/ndcg are null for queries with no judged
-    * relevant doc (0/0 is not 0), mrr is 0.0 when no relevant doc was
-    * retrieved. */
+    * either input — the query spine comes from the UNFILTERED run, so
+    * a query whose every hit lands past rank k still reports (with
+    * `n_ret = 0`: a bad run must show up as a bad row, not vanish).
+    * Columns: `(query_id, n_rel, n_ret, hits, recall, mrr, ndcg)` —
+    * `n_ret`/`hits` count within rank ≤ k; recall/ndcg are null for
+    * queries with no judged relevant doc (0/0 is not 0), mrr is 0.0
+    * when no relevant doc was retrieved within k. */
   def metrics(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
     val ret = results.filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("bigint").as("rank"))
+    // spine BEFORE the rank cut: every query the run retrieved for
+    val spine = results.select(col("query_id")).distinct()
     val rel = qrels.select(col("query_id"), col("doc_id"))
       .distinct().withColumn("__rel", lit(1L))
     val nRel = rel.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_rel"))
-    val perQ = ret.join(rel, Seq("query_id", "doc_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_ret"),
-        sum(coalesce(col("__rel"), lit(0L))).as("hits"),
-        sum(when(col("__rel").isNotNull, gainMicro(col("rank")))
-          .otherwise(lit(0L))).as("__dcg"),
-        min(when(col("__rel").isNotNull, col("rank"))).as("__minrank"))
+    val perQ = spine.join(
+      ret.join(rel, Seq("query_id", "doc_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_ret"),
+          sum(coalesce(col("__rel"), lit(0L))).as("hits"),
+          sum(when(col("__rel").isNotNull, gainMicro(col("rank")))
+            .otherwise(lit(0L))).as("__dcg"),
+          min(when(col("__rel").isNotNull, col("rank"))).as("__minrank")),
+      Seq("query_id"), "left")
     // lower bound 1: Spark's sequence(1, 0) DESCENDS to [1, 0] and
     // gain(0) would divide by ln(1) = 0; the n_rel = 0 case is
     // guarded by the `when` below, but the branch is still evaluated
@@ -95,12 +102,14 @@ object RetrievalEval {
     WITH ret AS (
       SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank
       FROM ($resultsSql) WHERE rank <= $k
+    ), spine AS (
+      SELECT DISTINCT query_id FROM ($resultsSql)
     ), rel AS (
       SELECT DISTINCT query_id, doc_id FROM ($qrelsSql)
     ), nrel AS (
       SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
       FROM rel GROUP BY query_id
-    ), perq AS (
+    ), perqk AS (
       SELECT ret.query_id,
         CAST(count(*) AS BIGINT) AS n_ret,
         CAST(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -112,6 +121,10 @@ object RetrievalEval {
       FROM ret LEFT JOIN rel
         ON ret.query_id = rel.query_id AND ret.doc_id = rel.doc_id
       GROUP BY ret.query_id
+    ), perq AS (
+      SELECT spine.query_id, perqk.n_ret, perqk.hits, perqk.dcg,
+        perqk.minrank
+      FROM spine LEFT JOIN perqk ON spine.query_id = perqk.query_id
     ), j AS (
       SELECT coalesce(perq.query_id, nrel.query_id) AS query_id,
         coalesce(nrel.n_rel, 0) AS n_rel,

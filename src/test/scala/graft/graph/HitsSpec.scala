@@ -84,4 +84,29 @@ class HitsSpec extends SparkSpec {
     assert(ex.getMessage.contains("integral"),
       s"expected the integral-weight error, got: ${ex.getMessage}")
   }
+
+  test("null edge weights fail with a dedicated error, not the " +
+    "misleading integral message") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, Some(3.0)), (2L, 3L, None))
+      .toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Hits.scores(e, iterations = 1).collect()
+    }
+    assert(ex.getMessage.contains("null"),
+      s"expected the null-weight error, got: ${ex.getMessage}")
+  }
+
+  test("|w| >= 2^53 fails loudly — the double round-trip can no " +
+    "longer detect truncation there") {
+    import spark.implicits._
+    // 2^53 + 1 is NOT representable in double: the old check would
+    // silently accept its lossy cast
+    val e = Seq((1L, 2L, (1L << 53) + 1L)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Hits.scores(e, iterations = 1).collect()
+    }
+    assert(ex.getMessage.contains("2^53"),
+      s"expected the 2^53 precision error, got: ${ex.getMessage}")
+  }
 }

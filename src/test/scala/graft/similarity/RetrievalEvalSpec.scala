@@ -53,6 +53,24 @@ class RetrievalEvalSpec extends SparkSpec {
       "judged query with an empty run scores zero across the board")
   }
 
+  test("a query retrieved only PAST rank k still reports (n_ret = 0) — " +
+    "an unjudged bad run must not vanish from the report") {
+    val run = Seq(
+      ("good", 1L, 1L),
+      // "late" retrieves, but everything lands past k = 2
+      ("late", 7L, 3L), ("late", 8L, 4L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(("good", 1L), ("late", 7L)).toDF("query_id", "doc_id")
+    val r = RetrievalEval.metrics(run, qrels, k = 2).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.keySet === Set("good", "late"),
+      "query spine must come from the UNFILTERED run")
+    val late = r("late")
+    assert(late.getLong(1) === 1L && late.getLong(2) === 0L &&
+      late.getLong(3) === 0L)
+    assert(late.getDouble(4) === 0.0 && late.getDouble(5) === 0.0 &&
+      late.getDouble(6) === 0.0)
+  }
+
   test("a perfect run scores 1.0 on all three metrics") {
     val run = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF(
       "query_id", "doc_id", "rank")
