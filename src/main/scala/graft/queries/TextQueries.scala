@@ -808,6 +808,17 @@ object TextQueries extends Registry {
       graft.text.NgramLm.perplexity(
         docs, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
     }),
+    // C5: Kneser–Ney-smoothed TRIGRAM LM perplexity — the published
+    // smoothing (Chen & Goodman 1999) replacing the add-α bigram
+    // surrogate above: continuation counts at the bigram level, exact
+    // level-wise normalization (KneserNeySpec), same trusted-slice
+    // train / score-everything shape. Per-transition log-probs on the
+    // 1e-6 grid → order-free doc sums → bit-exact oracle.
+    "c5_lm_perplexity_kn" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.KneserNey.perplexity(
+        docs, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    }),
     // C7: CCNet perplexity buckets — per-language head/middle/tail
     // thirds under the reference LM (the published sampling surface:
     // head-heavy mixes, drop-the-tail curation). Exact type-7 tercile
@@ -1085,6 +1096,11 @@ object TextQueries extends Registry {
     "c5_textrank" -> graft.text.TextRank.sql(
       "documents", sqlToks("text"), k = 50, iterations = 3),
     "c5_lm_perplexity" -> graft.text.NgramLm.sqlPerplexity(
+      s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents",
+      s"""SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents
+         WHERE doc_id % 2 = 0""",
+      idOut = "doc_id"),
+    "c5_lm_perplexity_kn" -> graft.text.KneserNey.sqlPerplexity(
       s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents",
       s"""SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents
          WHERE doc_id % 2 = 0""",
