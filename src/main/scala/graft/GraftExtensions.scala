@@ -92,6 +92,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_quality_score"),
+      new ExpressionInfo(classOf[graft.expressions.QualityScore].getName,
+        "graft_quality_score"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          "graft_quality_score takes exactly 1 argument")
+        graft.expressions.QualityScore(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_unicode_norm"),
       new ExpressionInfo(classOf[graft.expressions.UnicodeNorm].getName,
         "graft_unicode_norm"),
