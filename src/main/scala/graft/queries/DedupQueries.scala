@@ -72,6 +72,34 @@ object DedupQueries extends Registry {
             .otherwise(col("text")))
       graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
     }),
+    // D210: versioned publish + time travel — the ATOMIC half of
+    // dataset versioning d11 diffs: two corpus cuts go through
+    // VersionedTable's manifest-commit protocol (write data files →
+    // reserve version slot → terminator commit), v2's batch is
+    // REPLAYED to prove publish idempotence (no third version), and
+    // the emitted diff reads BOTH cuts back via time travel
+    // (readAsOf) — so the oracle checks the full write→commit→read
+    // path, not just the diff arithmetic. Scratch dir wiped up front:
+    // the rebuild is deterministic, so the row stays oracle-able.
+    "d116_versioned_diff" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_versioned_docs")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 4 =!= 1)
+      val v2 = docs.filter(col("doc_id") % 6 =!= 2)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")))
+      val n1 = graft.sources.VersionedTable.publish(v1, dir, "cut-1")
+      val n2 = graft.sources.VersionedTable.publish(v2, dir, "cut-2")
+      val n2b = graft.sources.VersionedTable.publish(v2, dir, "cut-2")
+      require(n1 == 1L && n2 == 2L && n2b == 2L,
+        s"publish protocol drifted: $n1 $n2 $n2b")
+      graft.operators.SnapshotDiff.diff(
+        graft.sources.VersionedTable.readAsOf(s, dir, 1L),
+        graft.sources.VersionedTable.readAsOf(s, dir, 2L),
+        "doc_id", "text")
+    }),
     // D39: CDC merge — the write-side complement of d11: base snapshot
     // (90% of docs) + a changelog of upserts (every 7th doc re-crawled,
     // text revised, seq 1) and deletes (every 13th doc taken down,
@@ -430,6 +458,21 @@ object DedupQueries extends Registry {
           md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]'
                    ELSE text END) AS nfp
         FROM documents WHERE doc_id % 7 <> 0)
+      SELECT doc_id,
+        CASE WHEN ofp IS NULL THEN 'added'
+             WHEN nfp IS NULL THEN 'removed'
+             WHEN ofp = nfp THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM old FULL JOIN new USING (doc_id)""",
+    "d116_versioned_diff" -> """
+      WITH old AS (
+        SELECT doc_id, md5(text) AS ofp FROM documents
+        WHERE doc_id % 4 <> 1
+      ), new AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]'
+                   ELSE text END) AS nfp
+        FROM documents WHERE doc_id % 6 <> 2)
       SELECT doc_id,
         CASE WHEN ofp IS NULL THEN 'added'
              WHEN nfp IS NULL THEN 'removed'

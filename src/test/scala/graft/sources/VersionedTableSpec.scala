@@ -1,0 +1,135 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VersionedTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/vt_spec_${tag}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    VersionedTable.drop(spark, d)
+    d
+  }
+
+  test("publish / readLatest / readAsOf round-trip; old versions are " +
+    "immutable snapshots") {
+    val dir = freshDir("basic")
+    val v1 = VersionedTable.publish(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir, "batch-1")
+    assert(v1 === 1L)
+    val v2 = VersionedTable.publish(
+      Seq((1L, "a2"), (3L, "c")).toDF("id", "s"), dir, "batch-2")
+    assert(v2 === 2L)
+    assert(VersionedTable.versions(spark, dir) === Seq(1L, 2L))
+    val r1 = VersionedTable.readAsOf(spark, dir, 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r1 === Map(1L -> "a", 2L -> "b"),
+      "v1 must be unchanged after v2's publish")
+    val latest = VersionedTable.readLatest(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest === Map(1L -> "a2", 3L -> "c"))
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("a torn write is invisible: orphan data files and an " +
+    "unterminated manifest never reach a reader") {
+    val dir = freshDir("torn")
+    VersionedTable.publish(Seq((1L, "a")).toDF("id", "s"), dir, "b1")
+    // simulate a crashed writer: data dir with no manifest, plus a
+    // reserved-but-unterminated manifest stub
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((9L, "garbage")).toDF("id", "s")
+      .write.parquet(s"$dir/data/orphan-uuid")
+    val stub = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_manifests/2"),
+      false)
+    stub.write("version=2\nbatchId=crashed\nschema={}\n".getBytes)
+    stub.close()
+    // readers: only the committed version exists
+    assert(VersionedTable.versions(spark, dir) === Seq(1L))
+    assert(VersionedTable.latestVersion(spark, dir) === Some(1L))
+    assert(VersionedTable.readLatest(spark, dir).collect()
+      .map(_.getString(1)).toSeq === Seq("a"))
+    intercept[NoSuchElementException] {
+      VersionedTable.readAsOf(spark, dir, 2L)
+    }
+    // a new publish skips the reserved slot and lands at 3
+    val v = VersionedTable.publish(Seq((2L, "b")).toDF("id", "s"), dir, "b2")
+    assert(v === 3L, "writer must skip the crashed writer's slot")
+    assert(VersionedTable.versions(spark, dir) === Seq(1L, 3L))
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("replay idempotence: re-publishing a committed batchId is a " +
+    "no-op returning the original version") {
+    val dir = freshDir("replay")
+    val v1 = VersionedTable.publish(Seq((1L, "a")).toDF("id", "s"), dir, "b1")
+    val v1b = VersionedTable.publish(
+      Seq((99L, "DIFFERENT")).toDF("id", "s"), dir, "b1")
+    assert(v1b === v1, "same batchId must return the committed version")
+    assert(VersionedTable.versions(spark, dir) === Seq(1L))
+    assert(VersionedTable.readLatest(spark, dir).collect()
+      .map(_.getString(1)).toSeq === Seq("a"),
+      "replay must not change the committed data")
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("gc retention: old versions and unreferenced data dirs go; " +
+    "retained versions keep reading") {
+    val dir = freshDir("gc")
+    for (i <- 1 to 3)
+      VersionedTable.publish(Seq((i.toLong, s"v$i")).toDF("id", "s"),
+        dir, s"b$i")
+    // orphan from a crashed writer
+    Seq((9L, "orphan")).toDF("id", "s").write.parquet(s"$dir/data/orphan")
+    val (mDel, dDel) = VersionedTable.gc(spark, dir, keepLast = 2)
+    assert(mDel === 1 && dDel === 2,
+      s"expected 1 manifest + 2 data dirs deleted, got ($mDel, $dDel)")
+    intercept[NoSuchElementException] {
+      VersionedTable.readAsOf(spark, dir, 1L)
+    }
+    assert(VersionedTable.readAsOf(spark, dir, 2L).collect()
+      .map(_.getString(1)).toSeq === Seq("v2"))
+    assert(VersionedTable.readAsOf(spark, dir, 3L).collect()
+      .map(_.getString(1)).toSeq === Seq("v3"))
+    // post-gc publish continues the version sequence
+    val v4 = VersionedTable.publish(Seq((4L, "v4")).toDF("id", "s"),
+      dir, "b4")
+    assert(v4 === 4L)
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("empty dataframe publishes and time-travels via its schema") {
+    val dir = freshDir("empty")
+    val empty = Seq((1L, "x")).toDF("id", "s").filter(lit(false))
+    VersionedTable.publish(empty, dir, "b-empty")
+    val r = VersionedTable.readAsOf(spark, dir, 1L)
+    assert(r.count() === 0L)
+    assert(r.schema.fieldNames.toSeq === Seq("id", "s"))
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("concurrent distinct-batch publishers: every batch commits, " +
+    "all versions distinct, table never torn") {
+    val dir = freshDir("conc")
+    val threads = (1 to 6).map { i =>
+      new Thread(() => {
+        VersionedTable.publish(Seq((i.toLong, s"t$i")).toDF("id", "s"),
+          dir, s"batch-$i")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val vs = VersionedTable.versions(spark, dir)
+    assert(vs.size === 6 && vs.distinct.size === 6, s"versions: $vs")
+    // every committed version reads exactly its one row
+    val all = vs.flatMap(v =>
+      VersionedTable.readAsOf(spark, dir, v).collect()
+        .map(_.getString(1)))
+    assert(all.toSet === (1 to 6).map(i => s"t$i").toSet)
+    VersionedTable.drop(spark, dir)
+  }
+}
