@@ -136,6 +136,35 @@ object DedupQueries extends Registry {
         .filter(col("jaccard") >= 0.6)
         .select("a", "b", "jaccard")
     }),
+    // C2h: INCREMENTAL connected-components state — near-dup cluster
+    // labels maintained under batched edges instead of recomputed per
+    // run: edges = the oracle-able jaccard pairs (c2_ngram_jaccard's
+    // slice) + deterministic bridge edges (so the batch genuinely
+    // FUSES components, not just grows them), split 2:1 by (a+b)%3
+    // into the persisted state's batch and the incoming batch. The
+    // emitted labeling is merge(cc(batch1), batch2), which the
+    // contract pins ≡ cc(all edges) — exactly what the DuckDB
+    // recursive-reachability oracle computes on the union.
+    "c2_incremental_cc" -> ((s, d) => {
+      val sample = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), array_distinct(
+          graft.text.TextFunctions.shingles(col("text"), 1)).as("__sh"))
+      val l = sample.select(col("doc_id").as("a"), col("__sh").as("__sha"))
+      val r = sample.select(col("doc_id").as("b"), col("__sh").as("__shb"))
+      val pairs = l.join(r, col("a") < col("b"))
+        .withColumn("jaccard",
+          MinHashDedup.jaccardFromShingles(col("__sha"), col("__shb")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("a"), col("b"))
+      val bridges = s.range(0, 6)
+        .select((col("id") * 10).as("a"), (col("id") * 10 + 40).as("b"))
+      val edges = pairs.unionByName(bridges).localCheckpoint()
+      val batch1 = edges.filter((col("a") + col("b")) % 3 =!= 0)
+      val batch2 = edges.filter((col("a") + col("b")) % 3 === 0)
+      graft.dedup.IncrementalCC.merge(
+        graft.dedup.IncrementalCC.cc(batch1), batch2)
+    }),
     // C2g: DIRECTIONAL containment pairs — |A∩B|/|A| ≥ 0.8 over the
     // same oracle-able slice as c2_ngram_jaccard: catches the
     // quote-expansion duplicate (short doc swallowed by a longer one)
@@ -556,6 +585,37 @@ object DedupQueries extends Registry {
           END AS jaccard
         FROM s l JOIN s r ON l.doc_id < r.doc_id)
       SELECT a, b, jaccard FROM j WHERE jaccard >= 0.6e0"""
+    },
+    "c2_incremental_cc" -> {
+      val sh = TextQueries.sqlShingles("toks", 1)
+      s"""
+      WITH RECURSIVE s AS (
+        SELECT doc_id, list_distinct($sh) AS sh
+        FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id < 100)
+      ), jp AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM s l JOIN s r ON l.doc_id < r.doc_id
+        WHERE CASE WHEN len(l.sh) + len(r.sh)
+                     - len(list_intersect(l.sh, r.sh)) = 0 THEN 0.0e0
+              ELSE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                   / CAST(len(l.sh) + len(r.sh)
+                     - len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+              END >= 0.6e0
+      ), bridges AS (
+        SELECT CAST(t.i * 10 AS BIGINT) AS a,
+               CAST(t.i * 10 + 40 AS BIGINT) AS b
+        FROM unnest(range(0, 6)) AS t(i)
+      ), edges AS (
+        SELECT a, b FROM jp UNION ALL SELECT a, b FROM bridges
+      ), sym AS (
+        SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+      ), nodes AS (SELECT DISTINCT a AS node FROM sym),
+      reach(node, root) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT sym.b, reach.root FROM reach JOIN sym ON sym.a = reach.node)
+      SELECT node AS id, min(root) AS component
+      FROM reach GROUP BY node"""
     },
     "c2_containment" -> {
       val sh = TextQueries.sqlShingles("toks", 1)
