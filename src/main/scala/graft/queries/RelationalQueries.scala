@@ -1411,6 +1411,31 @@ object RelationalQueries extends Registry {
         .distinct()
       graft.graph.Modularity.modularity(und, labels)
     }),
+    // D211: Louvain one-level refinement — the modularity-IMPROVING
+    // step over d81's LPA labels (d108 only SCORES them): strict-gain
+    // parity-staggered local moves on exact-integer 2m·k_ic − k_i·d_c
+    // scores, 4 sweeps unrolled into the DuckDB oracle. LouvainSpec
+    // pins Q(refined) ≥ Q(lpa) on this graph.
+    "d115_louvain" -> ((s, d) => {
+      val trade = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val und = trade.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val lpa = graft.graph.LabelPropagation.communities(trade, rounds = 4)
+      graft.graph.Louvain.refine(und, lpa, sweeps = 4)
+        .join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("label"))
+    }),
     "d81_label_prop" -> ((s, d) => {
       val edges = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
         .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
@@ -3238,6 +3263,24 @@ object RelationalQueries extends Registry {
       s"""SELECT n_name, label
           FROM (${graft.graph.LabelPropagation.sqlCommunities(edgesSql, 4)}) lp
           JOIN nation ON lp.node = n_nationkey"""
+    },
+    "d115_louvain" -> {
+      val edgesSql = """
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2"""
+      val undSql = s"""
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM ($edgesSql) WHERE src != dst"""
+      s"""SELECT n_name, label
+          FROM (${graft.graph.Louvain.sqlRefine(undSql,
+            graft.graph.LabelPropagation.sqlCommunities(edgesSql, 4),
+            sweeps = 4)}) lv
+          JOIN nation ON lv.node = n_nationkey"""
     },
     "d101_noised_sums" -> graft.operators.Anonymity.sqlNoisedSums(
       "events", Seq("event_type"), "user_id", "value", cap = 500.0,

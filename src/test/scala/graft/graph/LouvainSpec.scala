@@ -1,0 +1,96 @@
+package graft.graph
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class LouvainSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def q(edges: DataFrame, labels: DataFrame): Double =
+    Modularity.modularity(edges, labels)
+      .filter(col("label") === -1L).collect().head.getDouble(4)
+
+  // two 4-cliques joined by a single bridge edge — ground-truth
+  // communities are the cliques
+  private def cliques: DataFrame = {
+    val c1 = for (i <- 0 to 3; j <- i + 1 to 3) yield (i.toLong, j.toLong)
+    val c2 = for (i <- 10 to 13; j <- i + 1 to 13) yield (i.toLong, j.toLong)
+    (c1 ++ c2 :+ (3L, 10L)).toDF("a", "b")
+  }
+
+  test("refine recovers the two cliques from singleton labels and " +
+    "strictly improves modularity") {
+    val e = cliques
+    val nodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+    val singletons = nodes.withColumn("label", col("node"))
+    val refined = Louvain.refine(e, singletons, sweeps = 4)
+    assert(q(e, refined) > q(e, singletons),
+      "local moves must improve Q from the singleton start")
+    val lab = refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.filterKeys(_ <= 3L).values.toSet.size === 1,
+      s"clique 1 must share one label: $lab")
+    assert(lab.filterKeys(_ >= 10L).values.toSet.size === 1,
+      s"clique 2 must share one label: $lab")
+    assert(lab(0L) !== lab(10L), "cliques must not merge over the bridge")
+  }
+
+  test("trade graph: louvain modularity >= label-propagation's " +
+    "(the d115 contract) and >= its own input") {
+    val trade = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf0001).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf0001).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val und = trade.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    val lpa = LabelPropagation.communities(trade, rounds = 4)
+    val refined = Louvain.refine(und, lpa, sweeps = 4)
+    val qLpa = q(und, lpa)
+    val qLouvain = q(und, refined)
+    assert(qLouvain >= qLpa,
+      s"louvain must not degrade the LPA partition: $qLouvain < $qLpa")
+  }
+
+  test("a partition already at a local optimum is a fixpoint") {
+    val e = cliques
+    val good = (0 to 3).map(i => (i.toLong, 0L))
+      .++((10 to 13).map(i => (i.toLong, 10L))).toDF("node", "label")
+    val refined = Louvain.refine(e, good, sweeps = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = good.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined === before, "optimal labeling must not move")
+  }
+
+  test("determinism: two runs produce identical labels") {
+    val e = cliques
+    val nodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+    val s0 = nodes.withColumn("label", col("node"))
+    val r1 = Louvain.refine(e, s0, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r2 = Louvain.refine(e, s0, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === r2)
+  }
+
+  test("empty edges / zero sweeps are rejected") {
+    val lab = Seq((1L, 1L)).toDF("node", "label")
+    intercept[IllegalArgumentException] {
+      Louvain.refine(Seq.empty[(Long, Long)].toDF("a", "b"), lab, 1)
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      Louvain.refine(cliques, lab, 0)
+    }
+  }
+}
