@@ -742,6 +742,34 @@ object RelationalQueries extends Registry {
         IncrementalAgg.quantileState(odd, g, "l_extendedprice"), g),
         g, ps)
     }),
+    // D212: mergeable quantile SKETCH for unbounded axes — the
+    // incremental-agg member d20's exact grid state cannot cover
+    // (latencies/token counts have no bounded decimal axis):
+    // deterministic KLL-shape compactor hierarchy, built shard-wise
+    // and MERGED (4 shards by orderkey mod), queried at the monitor
+    // percentiles. Rows-only by the sketch contract (value set depends
+    // on partition layout; QuantileSketchSpec pins the ≤1% rank-error
+    // bound for both one-shot and merged builds).
+    "d117_sketch_quantiles" -> ((s, d) => {
+      import graft.operators.QuantileSketch
+      val li = Tables.lineitem(s, d)
+      val shards = (0L until 4L).map(r =>
+        li.filter(pmod(col("l_orderkey"), lit(4L)) === r))
+      val sk = shards.map(QuantileSketch.build(_, "l_extendedprice"))
+        .reduce(QuantileSketch.merge)
+      val ps = Seq(0.25, 0.5, 0.9, 0.99)
+      val rows = ps.map(p =>
+        org.apache.spark.sql.Row(p, QuantileSketch.query(sk, p), sk.n))
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("p",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }),
     // D210: inverse-propensity-weighted ATE (Hájek) — the
     // OBSERVATIONAL leg of the causal family: treatment is planted
     // with probability e(activity) (deterministic hash draw against a
