@@ -110,6 +110,54 @@ object TextQueries extends Registry {
       |                + diversity * 0.4e0
       |                + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6)""".stripMargin
 
+  /** Shared WITH-prefix of the v4 curation chain's DuckDB twin —
+    * stage CTEs through the temperature mixture (`mx`), consumed by
+    * both c7_curation_v4 (adds split + packing) and its funnel (adds
+    * the first-fail flags). Heavy stages MATERIALIZED: DuckDB inlines
+    * CTEs per reference, and the nested stage builders reference
+    * their inputs 2–3× each. */
+  private lazy val v4SqlChain: String = {
+    val cleanedSql = graft.text.ExactSubstring.sqlDedupSubstrings(
+      "SELECT doc_id, text FROM documents WHERE doc_id >= 100", 8)
+    val bpSql = graft.text.Boilerplate.sqlStripFrequentSpans(
+      "SELECT doc_id, source AS g, clean_text AS text FROM gtd", 4, 3)
+    val mxSql = graft.operators.Sampling.sqlTemperatureMixture(
+      "mxin", "doc_id", "source", Seq("final_text"))
+    s"""
+      WITH cleaned AS MATERIALIZED ($cleanedSql),
+      evt AS (SELECT ${sqlToks("text")} AS toks FROM documents
+              WHERE doc_id < 100),
+      ev AS MATERIALIZED (SELECT DISTINCT sh FROM (
+          SELECT unnest(${sqlShingles("toks", 8)}) AS sh FROM evt)
+        WHERE len(sh) > 0),
+      ct AS MATERIALIZED (SELECT doc_id, clean_text,
+          ${sqlToks("clean_text")} AS toks FROM cleaned),
+      dg AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(${sqlShingles("toks", 8)}) AS sh FROM ct)
+        WHERE len(sh) > 0),
+      sc AS MATERIALIZED (SELECT doc_id,
+          round(CAST(sum(CASE WHEN sh IN (SELECT sh FROM ev)
+              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contamination
+        FROM dg GROUP BY doc_id),
+      q0 AS (SELECT ct.doc_id, ct.clean_text, ct.toks
+        FROM ct JOIN sc ON ct.doc_id = sc.doc_id
+        WHERE sc.contamination <= 0.2e0),
+      p4 AS (SELECT doc_id, clean_text,
+          $sqlQualityInputs
+        FROM q0),
+      qq AS MATERIALIZED (SELECT doc_id, clean_text,
+          $sqlQualityExpr AS quality
+        FROM p4),
+      gtd AS MATERIALIZED (SELECT qq.doc_id, d.source, qq.clean_text
+        FROM qq JOIN documents d ON qq.doc_id = d.doc_id
+        WHERE qq.quality >= 0.5e0),
+      bp AS MATERIALIZED ($bpSql),
+      mxin AS MATERIALIZED (SELECT bp.doc_id, d.source,
+          bp.clean_text AS final_text
+        FROM bp JOIN documents d ON bp.doc_id = d.doc_id),
+      mx AS MATERIALIZED ($mxSql)"""
+  }
+
   /** DuckDB fragment: winnowing fingerprints, one row per (doc_id, fp) —
     * mirrors graft.text.Winnowing expression-for-expression (Horner
     * rolling hash base 31 mod 1e9+7 via list_reduce; window minima;
@@ -135,6 +183,34 @@ object TextQueries extends Registry {
                  p -> list_min(gh[p:p+${w - 1}]))) END) AS fp
         FROM winnow_g
       )"""
+
+  /** Stage frames of the v4 curation chain, shared by c7_curation_v4
+    * and its funnel. Returns (docs, cleaned, contam, quality [decon
+    * survivors + quality col, PRE-gate], stripped, mixed). */
+  private def v4Stages(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val cleaned = graft.text.ExactSubstring.dedupSubstrings(
+      docs.filter(col("doc_id") >= 100), "doc_id", "text", n = 8)
+    val contam = graft.dedup.Decontaminate.contaminationScoreExact(
+      cleaned,
+      docs.filter(col("doc_id") < 100).select(col("text").as("clean_text")),
+      "doc_id", "clean_text")
+      .select(col("doc_id"), col("contamination"))
+    val quality = cleaned
+      .join(contam, "doc_id")
+      .filter(col("contamination") <= 0.2)
+      .withColumn("quality", TextFunctions.qualityScore(col("clean_text")))
+    val gated = quality.filter(col("quality") >= 0.5)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val stripped = graft.text.Boilerplate.stripFrequentSpans(
+      gated.select(col("doc_id"), col("source"), col("clean_text")),
+      "doc_id", "clean_text", "source", spanTokens = 4, minDf = 3)
+    val mixed = graft.operators.Sampling.temperatureMixture(
+      stripped.select(col("doc_id"), col("clean_text").as("final_text"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+      "doc_id", "source")
+    (docs, cleaned, contam, quality, stripped, mixed)
+  }
 
   val queries: Map[String, Q] = Map(
     // C5: winnowing document fingerprints (MOSS) — per-doc fingerprint
@@ -865,6 +941,59 @@ object TextQueries extends Registry {
         .select(col("doc_id"), col("source"), col("quality"),
           col("n_kept"), col("rank"), md5(col("clean_text")).as("clean_md5"))
     }),
+    // C7: curation pipeline v4 — the ROUND-12 composition: exact-
+    // substring dedup (8-gram, first copy survives) → graded
+    // decontamination vs the eval slice on the CLEANED text → quality
+    // gate (native expression) → frequency-based boilerplate removal
+    // (4-token spans, df ≥ 3 per source — 4-spans can still repeat
+    // after the 8-gram dedup; 8-spans cannot, by construction) →
+    // temperature domain mixture (α = ½ over sources present) →
+    // leakage-safe train/val/test split on the FINAL text → GPT-style
+    // sequence packing of the train split. Every stage consumes the
+    // PREVIOUS stage's output and the whole chain sits under one
+    // bit-exact oracle row; c7_curation_v4_funnel charges each
+    // dropped doc to its first failing stage (counts telescope,
+    // CurationFunnelSpec convention).
+    "c7_curation_v4" -> ((s, d) => {
+      val (_, _, _, _, _, mixed) = v4Stages(s, d)
+      val split = graft.operators.Sampling.assignSplitsLeakageSafe(
+        mixed.select(col("doc_id"), col("final_text").as("text"),
+          col("source"), col("rate")),
+        "doc_id", "text", SplitWeights)
+      val packed = graft.text.Packing.docPacking(
+        split.filter(col("split") === "train")
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", seqLen = 256, blockSize = 64)
+      split.join(packed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("cluster_rep"),
+          col("split"), col("rate"), col("n_tokens"), col("start_off"),
+          col("seq_first"), col("seq_last"), col("n_seqs"),
+          md5(col("text")).as("clean_md5"))
+    }),
+    // C7: v4's funnel — first-fail attribution across the five
+    // dropping stages (split/packing drop nothing). A cleaned doc
+    // shorter than 8 tokens carries no eval-grams and fails the
+    // decontamination gate in both engines (null predicate = fail,
+    // the CurationFunnel contract).
+    "c7_curation_v4_funnel" -> ((s, d) => {
+      val (docs, cleaned, contam, quality, stripped, mixed) = v4Stages(s, d)
+      val flags = docs.filter(col("doc_id") >= 100).select(col("doc_id"))
+        .join(cleaned.select(col("doc_id"), lit(true).as("__g1")),
+          Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(quality.select(col("doc_id"), col("quality")),
+          Seq("doc_id"), "left")
+        .join(stripped.select(col("doc_id"), lit(true).as("__g4")),
+          Seq("doc_id"), "left")
+        .join(mixed.select(col("doc_id"), lit(true).as("__g5")),
+          Seq("doc_id"), "left")
+      graft.operators.CurationFunnel.report(flags, Seq(
+        "substring_dedup" -> col("__g1"),
+        "decontam" -> (col("contamination") <= 0.2),
+        "quality" -> (col("quality") >= 0.5),
+        "boilerplate" -> col("__g4"),
+        "mixture" -> col("__g5")))
+    }),
     // C7: HTML boilerplate stripping — the web-crawl first pass. The
     // fixture wraps each doc's text in deterministic markup (head,
     // style + script blocks, comment, entities around the body) so the
@@ -1213,6 +1342,44 @@ object TextQueries extends Registry {
           salt = 19)} AS split,
         CAST(count(*) AS BIGINT) AS n_docs
       FROM k GROUP BY source, split""",
+    "c7_curation_v4" -> s"""$v4SqlChain,
+      spl AS MATERIALIZED (${graft.operators.Sampling.sqlSplitLeakageSafe(
+        "SELECT doc_id, final_text AS text FROM mx", "doc_id",
+        SplitWeights)}),
+      pk AS (SELECT m.doc_id,
+          CAST(len(${sqlToks("m.final_text")}) AS BIGINT) AS n_tokens
+        FROM mx m JOIN spl ON m.doc_id = spl.doc_id
+        WHERE spl.split = 'train'),
+      pack AS MATERIALIZED (SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_off
+        FROM pk WHERE n_tokens > 0)
+      SELECT mx.doc_id, mx.source, spl.cluster_rep, spl.split, mx.rate,
+        pack.n_tokens, pack.start_off,
+        pack.start_off // 256 AS seq_first,
+        (pack.start_off + pack.n_tokens - 1) // 256 AS seq_last,
+        (pack.start_off + pack.n_tokens - 1) // 256
+          - pack.start_off // 256 + 1 AS n_seqs,
+        md5(mx.final_text) AS clean_md5
+      FROM mx JOIN spl ON mx.doc_id = spl.doc_id
+      LEFT JOIN pack ON mx.doc_id = pack.doc_id""",
+    "c7_curation_v4_funnel" -> graft.operators.CurationFunnel.sqlReport(
+      s"""($v4SqlChain
+        SELECT tr.doc_id,
+          (ct.doc_id IS NOT NULL) AS g1,
+          sc.contamination <= 0.2e0 AS g2,
+          qq.quality >= 0.5e0 AS g3,
+          (bp.doc_id IS NOT NULL) AS g4,
+          (mx.doc_id IS NOT NULL) AS g5
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) tr
+        LEFT JOIN ct ON tr.doc_id = ct.doc_id
+        LEFT JOIN sc ON tr.doc_id = sc.doc_id
+        LEFT JOIN qq ON tr.doc_id = qq.doc_id
+        LEFT JOIN bp ON tr.doc_id = bp.doc_id
+        LEFT JOIN mx ON tr.doc_id = mx.doc_id)""",
+      Seq("substring_dedup" -> "g1", "decontam" -> "g2",
+        "quality" -> "g3", "boilerplate" -> "g4", "mixture" -> "g5")),
     "c7_curation_v3" -> s"""
       WITH tr AS (
         SELECT doc_id, ${sqlToks("text")} AS toks FROM documents
