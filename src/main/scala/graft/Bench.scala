@@ -14,6 +14,35 @@ object Bench {
   private def fmt(v: Double, pattern: String): String =
     String.format(java.util.Locale.ROOT, pattern, Double.box(v))
 
+  /** Per-FAMILY regression gate (BASELINE.md §"bench budget"): flag a
+    * family whose total seconds exceed 2× last round's AT EQUAL QUERY
+    * COUNT — adding queries legitimately moves a family's budget by
+    * the new rows' cost, so unequal counts never flag; a +1 s absolute
+    * floor keeps sub-second families from flagging on jitter. Pure
+    * function so BenchGateSpec can drive it with synthetic slowdowns.
+    * Input maps: family → (query count, total seconds). */
+  private[graft] def familyGate(cur: Map[String, (Int, Double)],
+                                prior: Map[String, (Int, Double)])
+      : Seq[String] =
+    cur.collect { case (f, (n, sec))
+      if prior.get(f).exists { case (pn, psec) =>
+        pn == n && psec > 0 && sec > 2 * psec && sec - psec > 1.0 }
+      => f }.toSeq.sorted
+
+  /** Parse the `families` object out of a prior bench.json line:
+    * `"f":{"n":12,"sec":3.45}` entries. Malformed entries drop
+    * individually (the per-entry tolerance rule the queries parse
+    * follows). */
+  private[graft] def parseFamilies(txt: String): Map[String, (Int, Double)] = {
+    val start = txt.indexOf("\"families\":{")
+    if (start < 0) return Map.empty
+    """"([a-z]+)":\{"n":(\d+),"sec":(-?[0-9.eE+-]+)\}""".r
+      .findAllMatchIn(txt.substring(start))
+      .flatMap(m => scala.util.Try(
+        m.group(1) -> (m.group(2).toInt, m.group(3).toDouble)).toOption)
+      .toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -147,6 +176,19 @@ object Bench {
       .map { case (f, (n, s)) =>
         s""""$f":{"n":$n,"sec":${fmt(s, "%.2f")}}""" }
       .mkString("{", ",", "}")
+    // per-family 2x gate against last round's subtotals (the live
+    // BASELINE.md budget yardstick committed in bench.json) — only
+    // meaningful on full runs: a subset run's family counts never
+    // match the prior full run's, so the equal-count rule keeps the
+    // gate silent there by construction
+    val priorFamilies =
+      try parseFamilies(Files.readString(Paths.get(outPath)))
+      catch { case _: Exception => Map.empty[String, (Int, Double)] }
+    val famSuspects = familyGate(families, priorFamilies)
+    if (famSuspects.nonEmpty) System.err.println(
+      s"[bench] FAMILY SUSPECT (>2x last-round family total at equal " +
+        s"query count — regression or contention; re-measure): " +
+        famSuspects.mkString(", "))
     val suspectJson =
       suspects.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
     def render(qEntries: Seq[String], extra: String,
@@ -162,9 +204,11 @@ object Bench {
     // fit; as a backstop, if the line would still exceed the budget,
     // drop the FASTEST queries from the stdout map (the file always has
     // them all) and flag how many were dropped.
+    val famSuspectJson =
+      famSuspects.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
     val full = render(
       results.map { case (k, v) => s"\"${esc(k)}\":$v" }.toSeq,
-      s""","families":$famJson""")
+      s""","families":$famJson,"family_suspect":$famSuspectJson""")
     Files.writeString(Paths.get(outPath), full + "\n")
     val byTimeDesc = results.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => s"\"${esc(k)}\":${fmt(v, "%.2f")}" }
