@@ -31,24 +31,37 @@ object Salted {
 
   private val SaltCol = "__salt"
 
-  /** Per-row salt. A row-content hash would send byte-identical rows —
-    * exactly the heavy-duplicate hot keys salting exists for — to ONE
-    * salt value, silently disabling the spread, so the salt comes from
-    * `monotonically_increasing_id` instead: unique per row (partition
-    * id in the upper bits, partition-local counter below), so
-    * consecutive rows cycle uniformly through the salt space at the
-    * cost of one modulo — no per-column hashing on the hot path. */
-  private[operators] def salt(saltFactor: Int): Column =
-    pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
+  /** Per-row salt. Two modes:
+    *
+    *  - `saltKey` NON-EMPTY (preferred, §5.3-clean): salt =
+    *    `xxhash64(saltKey...) mod factor` — fully DETERMINISTIC across
+    *    runs and engines. Pass a column set that is (near-)UNIQUE per
+    *    row (e.g. the fact table's primary key): uniqueness is what
+    *    spreads a hot group's rows across the salt space. A NON-unique
+    *    saltKey silently concentrates duplicates on one salt value —
+    *    the exact hazard the default mode documents.
+    *  - `saltKey` EMPTY (keyless fallback): `monotonically_increasing_
+    *    id mod factor` — unique per row by construction (so even
+    *    byte-identical rows spread), but non-deterministic across
+    *    runs. Harmless for correctness (any salt assignment yields
+    *    the same aggregate/join result; the salt never escapes the
+    *    operator), yet callers with a natural key should pass it. */
+  private[operators] def salt(saltFactor: Int,
+                              saltKey: Seq[Column]): Column =
+    if (saltKey.nonEmpty) pmod(xxhash64(saltKey: _*), lit(saltFactor.toLong))
+    else pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
 
   /** Two-phase skew-safe aggregation.
     * @param partial per-column phase-1 aggregates over raw rows
     * @param merge   phase-2 re-aggregation of the phase-1 outputs
-    *                (same column names in and out) */
+    *                (same column names in and out)
+    * @param saltKey (near-)unique row key for a deterministic salt —
+    *                see [[salt]] */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltFactor: Int,
-                partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+                partial: Seq[Column], merge: Seq[Column],
+                saltKey: Seq[Column] = Nil): DataFrame = {
     require(partial.nonEmpty && merge.nonEmpty)
-    df.withColumn(SaltCol, salt(saltFactor))
+    df.withColumn(SaltCol, salt(saltFactor, saltKey))
       .groupBy((keys :+ SaltCol).map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)
@@ -57,10 +70,10 @@ object Salted {
 
   /** Skew-safe inner equi-join: salted left × replicated right.
     * Right-side rows are duplicated `saltFactor` times (keep it
-    * dimension-sized). */
+    * dimension-sized). `saltKey` as in [[saltedAgg]]. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-                 saltFactor: Int): DataFrame = {
-    val saltedLeft = left.withColumn(SaltCol, salt(saltFactor))
+                 saltFactor: Int, saltKey: Seq[Column] = Nil): DataFrame = {
+    val saltedLeft = left.withColumn(SaltCol, salt(saltFactor, saltKey))
     val replicatedRight = right.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
     saltedLeft.join(replicatedRight, keys :+ SaltCol).drop(SaltCol)

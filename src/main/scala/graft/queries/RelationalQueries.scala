@@ -481,7 +481,11 @@ object RelationalQueries extends Registry {
           count(lit(1)).as("n")),
         merge = Seq(
           sum(col("rev")).cast("double").as("revenue"),
-          sum(col("n")).as("n")))),
+          sum(col("n")).as("n")),
+        // deterministic salt off the fact table's primary key — the
+        // salt assignment is now §5.3-clean (no per-run counter), and
+        // the key's uniqueness spreads any hot l_returnflag group
+        saltKey = Seq(col("l_orderkey"), col("l_linenumber")))),
     // D3b: skew-safe JOIN — the hot-key fact⋈dim shape: fact rows
     // salted across 8 reducers, the dimension replicated 8×, identical
     // result to the plain join (which is exactly what the oracle
@@ -490,10 +494,11 @@ object RelationalQueries extends Registry {
     "d3_salted_join" -> ((s, d) =>
       graft.operators.Salted.saltedJoin(
         Tables.lineitem(s, d).select(col("l_orderkey"),
-          col("l_extendedprice")),
+          col("l_linenumber"), col("l_extendedprice")),
         Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
           col("o_orderpriority")),
-        Seq("l_orderkey"), saltFactor = 8)
+        Seq("l_orderkey"), saltFactor = 8,
+        saltKey = Seq(col("l_orderkey"), col("l_linenumber")))
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)"))
                .cast("double").as("revenue"),

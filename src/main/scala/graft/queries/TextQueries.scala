@@ -895,6 +895,16 @@ object TextQueries extends Registry {
       graft.text.KneserNey.perplexity(
         docs, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
     }),
+    // C7: CCNet buckets RE-SEATED on the KN model — the bucket
+    // decision that drives mixture sampling, now ranked by the
+    // published smoothing (the add-α surrogate orders short/
+    // boilerplate docs materially differently).
+    "c7_ppl_buckets_kn" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.KneserNey.perplexityBuckets(
+        docs, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        "lang")
+    }),
     // C7: CCNet perplexity buckets — per-language head/middle/tail
     // thirds under the reference LM (the published sampling surface:
     // head-heavy mixes, drop-the-tail curation). Exact type-7 tercile
@@ -1234,6 +1244,12 @@ object TextQueries extends Registry {
       s"""SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents
          WHERE doc_id % 2 = 0""",
       idOut = "doc_id"),
+    "c7_ppl_buckets_kn" -> graft.text.KneserNey.sqlPerplexityBuckets(
+      s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents",
+      s"""SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents
+         WHERE doc_id % 2 = 0""",
+      "SELECT doc_id AS id, lang AS g FROM documents",
+      idOut = "doc_id", groupOut = "lang"),
     "c7_ppl_buckets" -> graft.text.NgramLm.sqlPerplexityBuckets(
       s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents",
       s"""SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents

@@ -133,13 +133,29 @@ object VersionedTable {
         .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
         .foldLeft(0L)(math.max)
     }
+    // Atomic slot claim. Hadoop's LOCAL create(path, overwrite=false)
+    // is CHECK-THEN-ACT (exists test, then open) — two racing writers
+    // can both pass the check and one manifest silently truncates the
+    // other (caught by VersionedTableSpec's concurrent test under
+    // full-suite load). On file:// the claim therefore goes through
+    // POSIX O_CREAT|O_EXCL (`File.createNewFile`); on HDFS-like
+    // systems create(overwrite=false) is atomic by contract.
+    def claimSlot(p: Path): Option[java.io.OutputStream] = {
+      val uri = fs.getUri
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        val f = new java.io.File(p.toUri.getPath)
+        if (f.createNewFile()) Some(new java.io.FileOutputStream(f))
+        else None
+      } else {
+        try Some(fs.create(p, false))
+        catch { case _: java.io.IOException => None }
+      }
+    }
     var attempt = 0
     while (attempt < maxRetries) {
       val next = maxSlot() + 1L
       val mPath = new Path(manifestDir(dir), next.toString)
-      val out = try Some(fs.create(mPath, false))
-      catch { case _: java.io.IOException => None } // slot taken: retry
-      out match {
+      claimSlot(mPath) match {
         case Some(o) =>
           try {
             val body = (Seq(s"version=$next", s"batchId=$batchId",
@@ -148,7 +164,13 @@ object VersionedTable {
               .mkString("\n")
             o.write(body.getBytes(StandardCharsets.UTF_8))
           } finally o.close()
-          return next
+          // belt-and-braces for FSes where neither claim is atomic
+          // (e.g. object stores): re-read the committed slot and make
+          // sure OUR batch owns it; a foreign batchId means the race
+          // was lost after all — retry at the next slot
+          if (readManifest(fs, mPath).exists(_.batchId == batchId))
+            return next
+          attempt += 1
         case None => attempt += 1
       }
     }

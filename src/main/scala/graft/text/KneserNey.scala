@@ -139,6 +139,54 @@ object KneserNey {
           .as("ppl"))
   }
 
+  /** CCNet perplexity BUCKETS re-seated on the KN model — the same
+    * head/middle/tail tercile surface as [[NgramLm.perplexityBuckets]]
+    * (Wenzek et al. 2020 §4.3), but ranked by the published smoothing
+    * instead of the add-α surrogate: per-group exact type-7 terciles
+    * of the 6-dp ppl, floor-portable-rounded before the compare.
+    * Output: `(idCol, groupCol, ppl, bucket)`. */
+  def perplexityBuckets(docs: DataFrame, refDocs: DataFrame, idCol: String,
+                        textCol: String, groupCol: String,
+                        discount: Double = 0.75): DataFrame = {
+    val scored = perplexity(docs, refDocs, idCol, textCol, discount)
+      .join(docs.select(col(idCol), col(groupCol)), idCol)
+    val cuts = scored.groupBy(col(groupCol))
+      .agg((floor(expr("percentile(ppl, 0.3333333333333333e0)")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("__c1"),
+        (floor(expr("percentile(ppl, 0.6666666666666666e0)")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("__c2"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("ppl"),
+        when(col("ppl") <= col("__c1"), "head")
+          .when(col("ppl") <= col("__c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** DuckDB twin of [[perplexityBuckets]]: `groupsSql` must select
+    * `(id, g)`. */
+  def sqlPerplexityBuckets(docsSql: String, refSql: String,
+                           groupsSql: String, idOut: String,
+                           groupOut: String,
+                           discount: Double = 0.75): String = s"""
+    WITH ppl0 AS MATERIALIZED (${sqlPerplexity(docsSql, refSql, "id",
+      discount)}),
+    scored AS (
+      SELECT p.id, g.g, p.ppl
+      FROM ppl0 p JOIN ($groupsSql) g ON p.id = g.id
+    ), cuts AS (
+      SELECT g,
+        floor(quantile_cont(ppl, 0.3333333333333333e0) * 1e6 + 0.5e0)
+          / 1e6 AS c1,
+        floor(quantile_cont(ppl, 0.6666666666666666e0) * 1e6 + 0.5e0)
+          / 1e6 AS c2
+      FROM scored GROUP BY g
+    )
+    SELECT s.id AS $idOut, s.g AS $groupOut, s.ppl,
+      CASE WHEN s.ppl <= c.c1 THEN 'head'
+        WHEN s.ppl <= c.c2 THEN 'middle'
+        ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts c ON s.g = c.g"""
+
   /** DuckDB twin of [[perplexity]]: `docsSql` / `refSql` must each
     * select `(id, toks)` with `toks` the whitespace token list
     * ([[graft.queries.TextQueries.sqlToks]]). Identical count chain

@@ -135,7 +135,19 @@ object DumpPlans {
     // explode, first-occurrence hash agg + re-join, bounded per-doc
     // reassembly (watch: the covered-position explode stays on the
     // duplicated-window side only)
-    "c1_exact_substring_corpus")
+    "c1_exact_substring_corpus",
+    // round-12: KN trigram scoring — tokenize scan, two doc-keyed lag
+    // windows, FIVE vocabulary-sized model joins (broadcast at this
+    // SF), one doc hash agg; no corpus-axis window
+    "c5_lm_perplexity_kn",
+    // round-12: incremental CC merge — state scanned once (semi/anti
+    // against batch nodes), the fixpoint runs over batch + touched
+    // stars only
+    "c2_incremental_cc",
+    // round-12: curation v4 — seven chained stages in one plan; the
+    // stride-1 8-gram window agg dominates, quality scoring is the
+    // native expression (no HOF nodes)
+    "c7_curation_v4")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

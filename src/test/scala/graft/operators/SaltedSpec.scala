@@ -23,7 +23,7 @@ class SaltedSpec extends SparkSpec {
       plain.orderBy("key").collect().toSeq)
     // the hot key really was spread: phase 1 produced multiple partials
     val phase1Groups = skewed
-      .withColumn("__s", Salted.salt(16))
+      .withColumn("__s", Salted.salt(16, Nil))
       .filter(col("key") === 7L).select("__s").distinct().count()
     assert(phase1Groups > 1)
   }
@@ -32,7 +32,7 @@ class SaltedSpec extends SparkSpec {
     // the degenerate hot key: every row identical in every column — a
     // row-content-only hash would collapse all of them onto one salt
     val dups = spark.range(10000).select(lit(7L).as("key"), lit(1.0).as("v"))
-    val spread = dups.withColumn("__s", Salted.salt(16))
+    val spread = dups.withColumn("__s", Salted.salt(16, Nil))
       .select("__s").distinct().count()
     assert(spread > 1)
     val plain = dups.groupBy("key").agg(sum("v").as("sv"), count(lit(1)).as("n"))
@@ -52,5 +52,27 @@ class SaltedSpec extends SparkSpec {
     assert(salted.orderBy("key", "v").collect().toSeq ===
       plain.orderBy("key", "v").collect().toSeq)
     assert(salted.count() === plain.count())
+  }
+
+  test("keyed salt is deterministic across runs and spreads a hot " +
+    "group keyed on a unique row id") {
+    val withId = skewed.withColumn("rid", monotonically_increasing_id())
+      .localCheckpoint() // pin rid so both evaluations see one value
+    val s1 = withId.withColumn("__s", Salted.salt(16, Seq(col("rid"))))
+      .select("rid", "__s").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = withId.withColumn("__s", Salted.salt(16, Seq(col("rid"))))
+      .select("rid", "__s").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 === s2, "keyed salt must be a pure function of the key")
+    val hotSpread = withId.filter(col("key") === 7L)
+      .withColumn("__s", Salted.salt(16, Seq(col("rid"))))
+      .select("__s").distinct().count()
+    assert(hotSpread > 1, "unique key must spread the hot group")
+    // and the keyed variants still equal the plain results
+    val plain = skewed.groupBy("key").agg(sum("v").as("sv"))
+    val salted = Salted.saltedAgg(skewed, Seq("key"), 16,
+      partial = Seq(sum("v").as("sv")), merge = Seq(sum("sv").as("sv")),
+      saltKey = Seq(col("key"), col("v")))
+    assert(salted.orderBy("key").collect().toSeq ===
+      plain.orderBy("key").collect().toSeq)
   }
 }

@@ -114,22 +114,31 @@ class VersionedTableSpec extends SparkSpec {
 
   test("concurrent distinct-batch publishers: every batch commits, " +
     "all versions distinct, table never torn") {
+    // full-suite load exposed the local-FS check-then-act create race
+    // (5/6 versions, one manifest silently truncated) — the claim now
+    // goes through POSIX O_CREAT|O_EXCL; 8 writers × 2 rounds keep the
+    // window under contention
     val dir = freshDir("conc")
-    val threads = (1 to 6).map { i =>
-      new Thread(() => {
-        VersionedTable.publish(Seq((i.toLong, s"t$i")).toDF("id", "s"),
-          dir, s"batch-$i")
-      })
+    for (round <- 0 to 1) {
+      val threads = (1 to 8).map { i =>
+        new Thread(() => {
+          VersionedTable.publish(
+            Seq((i.toLong, s"t$round-$i")).toDF("id", "s"),
+            dir, s"batch-$round-$i")
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
     }
-    threads.foreach(_.start())
-    threads.foreach(_.join())
     val vs = VersionedTable.versions(spark, dir)
-    assert(vs.size === 6 && vs.distinct.size === 6, s"versions: $vs")
-    // every committed version reads exactly its one row
+    assert(vs.size === 16 && vs.distinct.size === 16, s"versions: $vs")
+    // every committed version reads exactly its one row; no batch's
+    // data was lost to a slot race
     val all = vs.flatMap(v =>
       VersionedTable.readAsOf(spark, dir, v).collect()
         .map(_.getString(1)))
-    assert(all.toSet === (1 to 6).map(i => s"t$i").toSet)
+    assert(all.toSet ===
+      (for (r <- 0 to 1; i <- 1 to 8) yield s"t$r-$i").toSet)
     VersionedTable.drop(spark, dir)
   }
 }
