@@ -140,4 +140,73 @@ object QuantileSketch {
     * measurements): # values ≤ v. */
   def exactRank(df: DataFrame, valueCol: String, v: Double): Long =
     df.filter(col(valueCol).cast("double") <= v).count()
+
+  // ---- grouped + persistable state ---------------------------------
+  // The materialized-view half of the sketch (the IncrementalAgg
+  // convention): per-GROUP sketches held as plain DataFrame rows
+  // `(g, k, n, levels array<array<double>>)`, so the state writes to
+  // parquet like any table, reads back, and merges with a fresh
+  // shard's state — monitored per-segment percentiles refresh by
+  // folding today's shard into yesterday's state, never rescanning
+  // history. All within the pinned ≤1% rank-error contract; same
+  // rows+spec (no oracle) status as the ungrouped build.
+
+  /** Per-group sketch state of `valueCol` keyed on `groupCol` (read
+    * as string): one row per group, `(g, k, n, levels)`. Built with
+    * one `aggregateByKey` scan — per-partition sub-sketches, shuffle
+    * of O(groups × k log n) state, never raw values. */
+  def groupedState(df: DataFrame, groupCol: String, valueCol: String,
+                   k: Int = 2048): DataFrame = {
+    val spark = df.sparkSession
+    val pairs = df.select(col(groupCol).cast("string"),
+        col(valueCol).cast("double")).na.drop()
+      .rdd.map(r => (r.getString(0), r.getDouble(1)))
+    val states = pairs.aggregateByKey(empty(k))(insert, merge)
+      .map { case (g, sk) =>
+        Row(g, sk.k, sk.n, sk.levels.map(_.toSeq).toSeq) }
+    spark.createDataFrame(states, StateSchema)
+  }
+
+  private val StateSchema = StructType(Seq(
+    StructField("g", StringType, nullable = false),
+    StructField("k", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("levels",
+      ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false), nullable = false)))
+
+  private def sketchOfRow(r: Row): Sketch =
+    Sketch(r.getInt(1), r.getLong(2),
+      r.getSeq[scala.collection.Seq[Double]](3)
+        .map(_.toVector).toVector)
+
+  /** State ⊕ state — groups on either side survive; shared groups'
+    * sketches merge level-wise. Same schema in and out, so persisted
+    * state folds with a fresh shard's state indefinitely. */
+  def mergeStates(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    val merged = a.unionByName(b).rdd
+      .map(r => (r.getString(0), sketchOfRow(r)))
+      .reduceByKey(merge)
+      .map { case (g, sk) =>
+        Row(g, sk.k, sk.n, sk.levels.map(_.toSeq).toSeq) }
+    spark.createDataFrame(merged, StateSchema)
+  }
+
+  /** Finished view over a state: one row per (group, p) with the
+    * estimate — `(g, p, q, n)`. Per-row local walk over the bounded
+    * sketch, no shuffle. */
+  def finishState(state: DataFrame, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val spark = state.sparkSession
+    val rows = state.rdd.flatMap { r =>
+      val sk = sketchOfRow(r)
+      ps.map(p => Row(r.getString(0), p, query(sk, p), sk.n))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("p", DoubleType, nullable = false),
+      StructField("q", DoubleType, nullable = false),
+      StructField("n", LongType, nullable = false))))
+  }
 }

@@ -775,6 +775,23 @@ object RelationalQueries extends Registry {
           org.apache.spark.sql.types.StructField("n",
             org.apache.spark.sql.types.LongType, nullable = false))))
     }),
+    // D215b: the GROUPED/persistable sketch state — per-returnflag
+    // sketches built shard-wise (orderkey parity), merged as state
+    // frames (the materialized-view refresh), finished at the monitor
+    // percentiles. Rows-only by the sketch contract.
+    "d117_sketch_quantiles_grouped" -> ((s, d) => {
+      import graft.operators.QuantileSketch
+      val li = Tables.lineitem(s, d)
+      val even = li.filter(pmod(col("l_orderkey"), lit(2L)) === 0)
+      val odd = li.filter(pmod(col("l_orderkey"), lit(2L)) === 1)
+      QuantileSketch.finishState(
+        QuantileSketch.mergeStates(
+          QuantileSketch.groupedState(even, "l_returnflag",
+            "l_extendedprice"),
+          QuantileSketch.groupedState(odd, "l_returnflag",
+            "l_extendedprice")),
+        ps = Seq(0.5, 0.9, 0.99))
+    }),
     // D210: inverse-propensity-weighted ATE (Hájek) — the
     // OBSERVATIONAL leg of the causal family: treatment is planted
     // with probability e(activity) (deterministic hash draw against a

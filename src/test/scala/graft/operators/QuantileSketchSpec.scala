@@ -116,6 +116,49 @@ class QuantileSketchSpec extends SparkSpec {
     assert(mn === 1.0 && mx === 50.0, s"quantity min/max exact: $mn/$mx")
   }
 
+  test("grouped state: per-group rank error <= 1% vs the exact " +
+    "distribution on lineitem return flags") {
+    val li = Tables.lineitem(spark, sf0001)
+    val state = QuantileSketch.groupedState(li, "l_returnflag",
+      "l_extendedprice")
+    val finished = QuantileSketch.finishState(state, Seq(0.5))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(finished.keySet === Set("A", "N", "R"))
+    finished.foreach { case (g, (q, n)) =>
+      val grp = li.filter(col("l_returnflag") === g)
+      assert(n === grp.count())
+      val rank = QuantileSketch.exactRank(grp, "l_extendedprice", q)
+      assert(math.abs(rank - 0.5 * n) / n <= Eps,
+        s"group $g median rank error too large")
+    }
+  }
+
+  test("state persists to parquet and folds with a fresh shard's " +
+    "state within the error bound (the materialized-view refresh)") {
+    val li = Tables.lineitem(spark, sf0001)
+    val history = li.filter(pmod(col("l_orderkey"), lit(2L)) === 0)
+    val delta = li.filter(pmod(col("l_orderkey"), lit(2L)) === 1)
+    val dir = java.nio.file.Files.createTempDirectory("qsketch").toString
+    QuantileSketch.groupedState(history, "l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    val folded = QuantileSketch.mergeStates(reread,
+      QuantileSketch.groupedState(delta, "l_returnflag", "l_extendedprice"))
+    val finished = QuantileSketch.finishState(folded, Seq(0.25, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    for (g <- Seq("A", "N", "R"); p <- Seq(0.25, 0.9)) {
+      val grp = li.filter(col("l_returnflag") === g)
+      val n = grp.count()
+      assert(finished((g, p))._2 === n, "merged n must be exact")
+      val rank = QuantileSketch.exactRank(grp, "l_extendedprice",
+        finished((g, p))._1)
+      assert(math.abs(rank - p * n) / n <= Eps,
+        s"folded state strayed at ($g, $p)")
+    }
+  }
+
   test("guards: odd/small k, empty sketch query, mismatched-k merge") {
     intercept[IllegalArgumentException] { QuantileSketch.empty(7) }
     intercept[IllegalArgumentException] { QuantileSketch.empty(4) }
