@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** ATOMIC VERSIONED POINTER — the catalog-swap half of
+  * [[VersionedTable]]'s protocol for state that is NOT a plain file
+  * set: bucketed catalog tables (bucket specs live in the catalog, so
+  * a manifest of parquet paths would drop the zero-Exchange join),
+  * model directories, serving endpoints. The pointer history is a
+  * sequence of committed versions each naming one single-line VALUE;
+  * `current` is the highest committed version. Writers publish a new
+  * value with the same three-step protocol (slot claim via POSIX
+  * O_CREAT|O_EXCL on file:// / atomic create elsewhere, terminator
+  * commit, read-back ownership verify), so a reader never observes a
+  * torn swap and a crashed writer leaves an invisible stub.
+  *
+  * The hazard this closes is documented at the serving indexes' call
+  * sites (`Registry.indexScratch`: "lazy reads racing an Overwrite"):
+  * a rebuild now writes a FRESH versioned table/path and swaps the
+  * pointer atomically — in-flight readers keep the old version's
+  * table, new readers resolve the new one, and retention GC drops old
+  * versions once drained. */
+object AtomicPointer {
+
+  private val Terminator = "committed"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def slotDir(dir: String) = new Path(dir, "_pointer")
+
+  private def readSlot(fs: FileSystem, p: Path): Option[(Long, String)] = {
+    val in = fs.open(p)
+    val txt = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = txt.split("\n", -1).toSeq
+    if (!lines.contains(Terminator)) return None
+    for {
+      v <- lines.find(_.startsWith("version=")).map(_.drop(8).toLong)
+      value <- lines.find(_.startsWith("value=")).map(_.drop(6))
+    } yield (v, value)
+  }
+
+  private def committed(fs: FileSystem,
+                        dir: String): Seq[(Long, String)] = {
+    val sd = slotDir(dir)
+    if (!fs.exists(sd)) return Seq.empty
+    fs.listStatus(sd).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .flatMap(s => readSlot(fs, s.getPath))
+      .sortBy(_._1)
+  }
+
+  /** All committed (version, value) pairs, ascending. */
+  def history(spark: SparkSession, dir: String): Seq[(Long, String)] =
+    committed(fsOf(spark, dir), dir)
+
+  /** The current value (highest committed version), if any. */
+  def current(spark: SparkSession, dir: String): Option[String] =
+    history(spark, dir).lastOption.map(_._2)
+
+  /** Value at a specific committed version. */
+  def valueAsOf(spark: SparkSession, dir: String, version: Long): String =
+    history(spark, dir).find(_._1 == version).map(_._2)
+      .getOrElse(throw new NoSuchElementException(
+        s"pointer version $version is not committed at $dir"))
+
+  /** Publish `value` as the next version. Returns the committed
+    * version number. Single-line values only. */
+  def publish(spark: SparkSession, dir: String, value: String,
+              maxRetries: Int = 20): Long = {
+    require(!value.contains("\n"), "pointer values must be single-line")
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(slotDir(dir))
+    def maxSlot(): Long =
+      fs.listStatus(slotDir(dir)).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+        .foldLeft(0L)(math.max)
+    def claim(p: Path): Option[java.io.OutputStream] = {
+      val uri = fs.getUri
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        val f = new java.io.File(p.toUri.getPath)
+        if (f.createNewFile()) Some(new java.io.FileOutputStream(f))
+        else None
+      } else {
+        try Some(fs.create(p, false))
+        catch { case _: java.io.IOException => None }
+      }
+    }
+    val token = java.util.UUID.randomUUID().toString
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val next = maxSlot() + 1L
+      val p = new Path(slotDir(dir), next.toString)
+      claim(p) match {
+        case Some(o) =>
+          try o.write(
+            s"version=$next\ntoken=$token\nvalue=$value\n$Terminator\n"
+              .getBytes(StandardCharsets.UTF_8))
+          finally o.close()
+          // ownership verify for FSes with non-atomic create
+          val in = fs.open(p)
+          val ok = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().contains(s"token=$token") finally in.close()
+          if (ok) return next
+          attempt += 1
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"AtomicPointer.publish($dir): lost the slot $maxRetries times")
+  }
+
+  /** Drop history older than the newest `keepLast` versions (the
+    * values' underlying resources are the caller's to GC — this only
+    * trims the pointer log). Returns versions dropped. */
+  def gc(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1)
+    val fs = fsOf(spark, dir)
+    val keep = committed(fs, dir).takeRight(keepLast).map(_._1).toSet
+    val sd = slotDir(dir)
+    if (!fs.exists(sd)) return Seq.empty
+    fs.listStatus(sd).toSeq.flatMap { s =>
+      val v = readSlot(fs, s.getPath).map(_._1)
+      val stale = v.forall(!keep(_)) // uncommitted stubs also drop
+      if (stale) { fs.delete(s.getPath, false); v.orElse(Some(-1L)) }
+      else None
+    }.filter(_ >= 0).sorted
+  }
+}
