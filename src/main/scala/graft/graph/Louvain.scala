@@ -51,16 +51,36 @@ object Louvain {
     * convention) through `sweeps` parity-staggered local-move rounds.
     * Node ids must be non-negative integers (the parity schedule).
     * Returns `(node, label)` for every labeled node. */
-  def refine(edges: DataFrame, labels: DataFrame, sweeps: Int): DataFrame = {
+  def refine(edges: DataFrame, labels: DataFrame, sweeps: Int): DataFrame =
+    refineWeighted(edges.select(col("a"), col("b"), lit(1L).as("w")),
+      labels, sweeps)
+
+  /** WEIGHTED local-move refinement — the [[multiLevel]] work-horse:
+    * `edges(a, b, w)` undirected with INTEGRAL weights, self-loops
+    * (a = b) allowed and carrying the contracted intra-community
+    * mass. Standard weighted quantities: k_i counts a self-loop TWICE
+    * (both endpoints), m = Σw over distinct edges, k_{i,c} excludes
+    * self-loops (after removal i is in no candidate). Same
+    * exact-integer scores, same parity schedule, same SQL unroll. */
+  def refineWeighted(edges: DataFrame, labels: DataFrame,
+                     sweeps: Int): DataFrame = {
     require(sweeps >= 1, "sweeps must be >= 1")
     val e = edges.select(col("a").cast("bigint").as("a"),
-      col("b").cast("bigint").as("b")).localCheckpoint()
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      col("b").cast("bigint").as("b"), col("w").cast("bigint").as("w"))
       .localCheckpoint()
-    val deg = sym.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("k")).localCheckpoint()
-    val m = e.count()
-    require(m > 0, "louvain over an empty edge set")
+    val nonSelf = e.filter(col("a") =!= col("b"))
+    val sym = nonSelf.unionByName(nonSelf.select(col("b").as("a"),
+      col("a").as("b"), col("w"))).localCheckpoint()
+    // weighted degree: mirrored non-self edges once each side + 2w
+    // per self-loop
+    val deg = sym.select(col("a").as("node"), col("w"))
+      .unionByName(e.filter(col("a") === col("b"))
+        .select(col("a").as("node"), (col("w") * 2L).as("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("k")).localCheckpoint()
+    val mRow = e.agg(sum(col("w"))).collect()(0)
+    require(!mRow.isNullAt(0) && mRow.getLong(0) > 0,
+      "louvain over an empty edge set")
+    val m = mRow.getLong(0)
     var lab = labels.select(col("node").cast("bigint").as("node"),
       col("label").cast("bigint").as("label")).localCheckpoint()
     for (sweep <- 0 until sweeps) {
@@ -68,12 +88,12 @@ object Louvain {
       // community degree sums under the current labeling
       val dC = lab.join(deg, "node")
         .groupBy(col("label").as("c")).agg(sum(col("k")).as("dc"))
-      // i's edge count into each neighbor community
+      // i's edge weight into each neighbor community (self-loops out)
       val kic = sym
         .join(lab.select(col("node").as("dst0"), col("label").as("c")),
           col("b") === col("dst0"))
         .groupBy(col("a").as("node"), col("c"))
-        .agg(count(lit(1)).as("kic"))
+        .agg(sum(col("w")).as("kic"))
       // candidates = neighbor communities ∪ own (kic 0 when unlinked)
       val cand = kic
         .unionByName(lab.select(col("node"), col("label").as("c"),
@@ -87,34 +107,125 @@ object Louvain {
           (lit(2L * m) * col("kic") - col("k") *
             (col("dc") - when(col("c") === col("cur"), col("k"))
               .otherwise(lit(0L)))).as("score"))
+      // community sizes for the singleton-swap guard below
+      val sizes = lab.groupBy(col("label").as("__sc"))
+        .agg(count(lit(1)).as("__sn"))
       val best = scored.groupBy(col("node"))
         .agg(max(struct(col("score").as("s"), (-col("c")).as("nl")))
             .as("__m"),
           max(when(col("c") === col("cur"), col("score"))).as("__curs"))
         .select(col("node"), (-col("__m.nl")).as("__best"),
           col("__m.s").as("__bs"), col("__curs"))
+      // SINGLETON-SWAP GUARD (Lu/Halappanavar/Kalyanaraman 2015): two
+      // mutually-best SINGLETON communities moving simultaneously swap
+      // labels forever instead of merging; the asymmetric rule — a
+      // singleton may enter another singleton only toward the SMALLER
+      // label — lets exactly one side move, so the pair fuses. Moves
+      // involving any multi-member community are unrestricted.
       lab = lab.join(best, Seq("node"), "left")
+        .join(sizes.select(col("__sc"), col("__sn").as("__curn")),
+          col("label") === col("__sc"), "left")
+        .join(sizes.select(col("__sc").as("__sc2"),
+          col("__sn").as("__bestn")), col("__best") === col("__sc2"), "left")
         .select(col("node"),
-          when(((col("node") % 2) + 2) % 2 === parity &&
-              col("__bs") > col("__curs"), col("__best"))
+          when(Louvain.colorOf(col("node")) === parity &&
+              col("__bs") > col("__curs") &&
+              !(col("__curn") === 1L && col("__bestn") === 1L &&
+                col("__best") > col("label")), col("__best"))
             .otherwise(col("label")).as("label"))
         .localCheckpoint()
     }
     lab
   }
 
-  /** DuckDB twin of [[refine]] — the fixed sweeps unrolled as CTEs,
-    * identical candidate/score/argmax arithmetic. `edgesSql` must
-    * select distinct undirected `(a, b)`; `labelsSql` → `(node,
-    * label)` BIGINTs. */
-  def sqlRefine(edgesSql: String, labelsSql: String, sweeps: Int): String = {
+  /** Deterministic, engine-portable 2-coloring of node ids for the
+    * sweep schedule. Raw `node % 2` degenerates on CONTRACTED graphs
+    * (super-node ids are min member ids and often share parity); the
+    * bounded multiplicative hash — operands capped so BIGINT never
+    * overflows (DuckDB throws where the JVM would wrap) — mixes any
+    * id set. */
+  private[graph] def colorOf(node: org.apache.spark.sql.Column) =
+    ((node % 1000003L) * 2654435761L % 1000000007L) % 2L
+
+  /** SQL twin of [[colorOf]]. */
+  private def sqlColorOf(node: String): String =
+    s"((($node % 1000003) * 2654435761) % 1000000007) % 2"
+
+  /** FULL (two-phase) LOUVAIN, fixed two levels: local moves on the
+    * raw graph, then COARSENING — each community contracts to one
+    * super-node, intra-community edges become self-loops carrying
+    * their weight — and a second weighted local-move pass over the
+    * contracted graph, whose labels map back through the level-1
+    * assignment. This is the move one-level refinement cannot make:
+    * merging two whole communities at once (a chain of single-node
+    * moves through the valley between them never fires under the
+    * strict-gain rule). Deterministic end to end, so the whole
+    * two-level dataflow unrolls into the DuckDB oracle
+    * ([[sqlTwoLevel]]). Returns `(node, label)` — labels are level-2
+    * community ids (min super-node id, themselves level-1 labels). */
+  def twoLevel(edges: DataFrame, labels: DataFrame,
+               sweeps: Int): DataFrame = {
+    val e = edges.select(col("a").cast("bigint").as("a"),
+      col("b").cast("bigint").as("b")).localCheckpoint()
+    val l1 = refine(e, labels, sweeps).localCheckpoint()
+    val la = l1.select(col("node").as("a"), col("label").as("__la"))
+    val lb = l1.select(col("node").as("b"), col("label").as("__lb"))
+    val superEdges = e.join(la, "a").join(lb, "b")
+      .select(least(col("__la"), col("__lb")).as("a"),
+        greatest(col("__la"), col("__lb")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    val ident = l1.select(col("label").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val l2 = refineWeighted(superEdges, ident, sweeps)
+    l1.join(l2.select(col("node").as("__c1"), col("label").as("__c2")),
+        col("label") === col("__c1"), "left")
+      .select(col("node"),
+        coalesce(col("__c2"), col("label")).as("label"))
+  }
+
+  /** DuckDB twin of [[twoLevel]] — level-1 unrolled refine,
+    * contraction groupBy, level-2 weighted refine, label composition. */
+  def sqlTwoLevel(edgesSql: String, labelsSql: String,
+                  sweeps: Int): String = s"""
+    WITH eb AS MATERIALIZED ($edgesSql),
+    lv1 AS MATERIALIZED (${sqlRefine("SELECT a, b FROM eb", labelsSql,
+      sweeps)}),
+    se AS MATERIALIZED (
+      SELECT least(la.label, lb.label) AS a,
+        greatest(la.label, lb.label) AS b,
+        CAST(count(*) AS BIGINT) AS w
+      FROM eb JOIN lv1 la ON eb.a = la.node
+      JOIN lv1 lb ON eb.b = lb.node
+      GROUP BY 1, 2),
+    ident AS (SELECT DISTINCT label AS node, label FROM lv1),
+    lv2 AS MATERIALIZED (${sqlRefineWeighted("SELECT a, b, w FROM se",
+      "SELECT node, label FROM ident", sweeps)})
+    SELECT lv1.node, CAST(coalesce(lv2.label, lv1.label) AS BIGINT) AS label
+    FROM lv1 LEFT JOIN lv2 ON lv1.label = lv2.node"""
+
+  /** DuckDB twin of [[refine]] — delegates to the weighted form with
+    * unit weights (sum-of-ones ≡ the original counts, exactly). */
+  def sqlRefine(edgesSql: String, labelsSql: String, sweeps: Int): String =
+    sqlRefineWeighted(
+      s"SELECT a, b, CAST(1 AS BIGINT) AS w FROM ($edgesSql)",
+      labelsSql, sweeps)
+
+  /** DuckDB twin of [[refineWeighted]] — the fixed sweeps unrolled as
+    * CTEs, identical candidate/score/argmax arithmetic. `edgesSql`
+    * must select undirected `(a, b, w)` (self-loops allowed);
+    * `labelsSql` → `(node, label)` BIGINTs. */
+  def sqlRefineWeighted(edgesSql: String, labelsSql: String,
+                        sweeps: Int): String = {
     require(sweeps >= 1)
     val head = s"""
       WITH e AS MATERIALIZED ($edgesSql),
-      sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-      deg AS MATERIALIZED (SELECT a AS node, CAST(count(*) AS BIGINT) AS k
-              FROM sym GROUP BY a),
-      mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+      sym AS MATERIALIZED (SELECT a, b, w FROM e WHERE a <> b
+             UNION ALL SELECT b AS a, a AS b, w FROM e WHERE a <> b),
+      deg AS MATERIALIZED (SELECT node, CAST(sum(w) AS BIGINT) AS k FROM (
+               SELECT a AS node, w FROM sym
+               UNION ALL SELECT a AS node, w * 2 AS w FROM e WHERE a = b)
+             GROUP BY node),
+      mm AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS m FROM e),
       l0 AS MATERIALIZED (SELECT CAST(node AS BIGINT) AS node,
                     CAST(label AS BIGINT) AS label FROM ($labelsSql))"""
     val iters = (0 until sweeps).map { i =>
@@ -124,7 +235,7 @@ object Louvain {
       dc$j AS MATERIALIZED (SELECT l.label AS c, CAST(sum(d.k) AS BIGINT) AS dc
                FROM l$i l JOIN deg d ON l.node = d.node GROUP BY 1),
       kic$j AS MATERIALIZED (SELECT s.a AS node, lb.label AS c,
-                  CAST(count(*) AS BIGINT) AS kic
+                  CAST(sum(s.w) AS BIGINT) AS kic
                 FROM sym s JOIN l$i lb ON s.b = lb.node GROUP BY 1, 2),
       cand$j AS MATERIALIZED (SELECT node, c, CAST(max(kic) AS BIGINT) AS kic FROM (
                    SELECT node, c, kic FROM kic$j
@@ -139,14 +250,21 @@ object Louvain {
                JOIN deg d ON cd.node = d.node
                JOIN dc$j ON cd.c = dc$j.c
                CROSS JOIN mm),
+      sz$j AS MATERIALIZED (SELECT label AS szc,
+                CAST(count(*) AS BIGINT) AS szn
+              FROM l$i GROUP BY label),
       b$j AS MATERIALIZED (SELECT node, max({'s': score, 'nl': -c}) AS mb,
                 max(CASE WHEN c = cur THEN score END) AS curs
               FROM sc$j GROUP BY node),
       l$j AS MATERIALIZED (SELECT cur.node,
-                CAST(CASE WHEN ((cur.node % 2) + 2) % 2 = $p
+                CAST(CASE WHEN ${sqlColorOf("cur.node")} = $p
                             AND (b$j.mb).s > b$j.curs
+                            AND NOT (szc.szn = 1 AND szb.szn = 1
+                              AND -(b$j.mb).nl > cur.label)
                      THEN -(b$j.mb).nl ELSE cur.label END AS BIGINT) AS label
-              FROM l$i cur LEFT JOIN b$j ON cur.node = b$j.node)"""
+              FROM l$i cur LEFT JOIN b$j ON cur.node = b$j.node
+              LEFT JOIN sz$j szc ON cur.label = szc.szc
+              LEFT JOIN sz$j szb ON -(b$j.mb).nl = szb.szc)"""
     }.mkString(",")
     s"$head,$iters SELECT node, label FROM l$sweeps"
   }

@@ -83,6 +83,51 @@ class LouvainSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("two-level: coarsening merges whole communities one-level " +
+    "moves cannot — ring of 12 triangle-cliques, singleton start") {
+    // 12 triangles in a ring (m = 48): one-level from singletons
+    // recovers the triangles; past the Fortunato–Barthélemy resolution
+    // limit (c > √(2m) ⇔ c > 8 here) Q improves further by PAIRING
+    // adjacent triangles — Q_single = 3/4 − 1/c < Q_pair = 7/8 − 2/c
+    // for c > 8 — a whole-community move only the contracted level
+    // can take
+    val nCliq = 12
+    val tri = (0 until nCliq).flatMap { t =>
+      val base = t * 10L
+      Seq((base, base + 1), (base, base + 2), (base + 1, base + 2))
+    }
+    val ring = (0 until nCliq).map(t =>
+      (t * 10L + 2, ((t + 1) % nCliq) * 10L) match {
+        case (x, y) if x < y => (x, y); case (x, y) => (y, x)
+      })
+    val e = (tri ++ ring).toDF("a", "b")
+    val nodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+    val singletons = nodes.withColumn("label", col("node"))
+    val one = Louvain.refine(e, singletons, sweeps = 4)
+    val two = Louvain.twoLevel(e, singletons, sweeps = 4)
+    val qOne = q(e, one)
+    val qTwo = q(e, two)
+    assert(qTwo >= qOne,
+      s"two-level must not lose to one-level: $qTwo < $qOne")
+    val nTwo = two.select(col("label")).distinct().count()
+    val nOne = one.select(col("label")).distinct().count()
+    assert(nTwo < nOne,
+      s"coarsening must merge communities here: $nOne -> $nTwo")
+  }
+
+  test("weighted refine: self-loops and weights — contracted two-clique " +
+    "graph keeps its communities apart") {
+    // contraction of two 4-cliques + bridge: two super-nodes with
+    // self-loop weight 6 each, bridge weight 1 — merging them must
+    // NOT improve Q, so the identity labeling is a fixpoint
+    val e = Seq((0L, 0L, 6L), (1L, 1L, 6L), (0L, 1L, 1L)).toDF("a", "b", "w")
+    val ident = Seq((0L, 0L), (1L, 1L)).toDF("node", "label")
+    val r = Louvain.refineWeighted(e, ident, sweeps = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("empty edges / zero sweeps are rejected") {
     val lab = Seq((1L, 1L)).toDF("node", "label")
     intercept[IllegalArgumentException] {
