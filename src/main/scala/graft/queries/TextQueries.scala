@@ -895,6 +895,23 @@ object TextQueries extends Registry {
       graft.text.KneserNey.perplexity(
         docs, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
     }),
+    // C5: INCREMENTAL KN maintenance — the trigram count table is
+    // mergeable state (counter sum, merge ≡ retrain bit-exactly), so
+    // the trusted-slice LM refreshes by folding a new shard's counts
+    // into yesterday's state instead of re-reading the corpus. The
+    // oracle is the FULL-model SQL: the merge identity makes the
+    // outputs literally identical.
+    "c5_lm_perplexity_kn_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val merged = graft.text.KneserNey.mergeStates(
+        graft.text.KneserNey.modelState(
+          ref.filter(col("doc_id") % 4 === 0), "doc_id", "text"),
+        graft.text.KneserNey.modelState(
+          ref.filter(col("doc_id") % 4 =!= 0), "doc_id", "text"))
+      graft.text.KneserNey.perplexityFromState(docs, merged,
+        "doc_id", "text")
+    }),
     // C7: CCNet buckets RE-SEATED on the KN model — the bucket
     // decision that drives mixture sampling, now ranked by the
     // published smoothing (the add-α surrogate orders short/
@@ -1240,6 +1257,13 @@ object TextQueries extends Registry {
          WHERE doc_id % 2 = 0""",
       idOut = "doc_id"),
     "c5_lm_perplexity_kn" -> graft.text.KneserNey.sqlPerplexity(
+      s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents",
+      s"""SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents
+         WHERE doc_id % 2 = 0""",
+      idOut = "doc_id"),
+    // merge(state(A), state(B)) ≡ state(A ∪ B) bit-exactly, so the
+    // incremental query's oracle IS the full-model recompute
+    "c5_lm_perplexity_kn_incr" -> graft.text.KneserNey.sqlPerplexity(
       s"SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents",
       s"""SELECT doc_id AS id, ${sqlToks("text")} AS toks FROM documents
          WHERE doc_id % 2 = 0""",

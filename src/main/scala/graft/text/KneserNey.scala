@@ -50,23 +50,52 @@ object KneserNey {
     * transitions to score). `discount` must sit in (0, 1) so positive
     * counts never clip to zero mass. */
   def perplexity(docs: DataFrame, refDocs: DataFrame, idCol: String,
-                 textCol: String, discount: Double = 0.75): DataFrame = {
-    require(discount > 0 && discount < 1,
-      s"discount must be in (0, 1): $discount")
+                 textCol: String, discount: Double = 0.75): DataFrame =
+    perplexityFromState(docs, modelState(refDocs, idCol, textCol),
+      idCol, textCol, discount)
 
-    // ---- train: ONE trigram count table, then bounded projections ---
+  /** The KN model as MERGEABLE STATE — the trigram count table
+    * `(__u, __v, __w, __c3)`, from which every derived quantity
+    * (context totals, continuation counts, vocabulary, N₁₊ totals)
+    * projects deterministically. Counter tables merge by summation
+    * ([[mergeStates]]) with `merge(state(A), state(B)) ≡
+    * state(A ∪ B)` holding BIT-EXACTLY (counts add; the distinct
+    * trigram key set is the union), so a nightly LM refresh folds the
+    * new slice's counts into yesterday's state instead of re-reading
+    * the whole trusted corpus — the [[graft.operators.IncrementalAgg]]
+    * convention applied to the language model. */
+  def modelState(refDocs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
     val refTok = refDocs
       .select(col(idCol).as("__d"),
         posexplode(TextFunctions.tokens(col(textCol)))
           .as(Seq("__p", "__w")))
-    val vocab = refTok.select(col("__w")).distinct()
-    val nVocab = vocab.count() + 1L // + <unk>
     val wDoc = Window.partitionBy(col("__d")).orderBy(col("__p"))
-    val refTri = refTok
+    refTok
       .withColumn("__v", lag(col("__w"), 1, "<s>").over(wDoc))
       .withColumn("__u", lag(col("__w"), 2, "<s>").over(wDoc))
-    val c3 = refTri.groupBy(col("__u"), col("__v"), col("__w"))
+      .groupBy(col("__u"), col("__v"), col("__w"))
       .agg(count(lit(1)).as("__c3"))
+  }
+
+  /** State ⊕ state — counter sum per trigram key. */
+  def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("__u"), col("__v"), col("__w"))
+      .agg(sum(col("__c3")).as("__c3"))
+
+  /** Score `docs` against a trained/merged model state. */
+  def perplexityFromState(docs: DataFrame, state: DataFrame,
+                          idCol: String, textCol: String,
+                          discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1): $discount")
+    val c3 = state.localCheckpoint()
+    // vocabulary = the ref slice's token TYPES: every ref token is the
+    // `w` of exactly one trigram, so distinct __w recovers it from the
+    // state alone (no second corpus pass)
+    val vocab = c3.select(col("__w")).distinct()
+    val nVocab = vocab.count() + 1L // + <unk>
     // history totals + distinct continuations per (u,v): c(uv·), N₁₊(uv·)
     val uvT = c3.groupBy(col("__u"), col("__v"))
       .agg(sum(col("__c3")).as("__cuv"), count(lit(1)).as("__n1uv"))

@@ -74,6 +74,27 @@ class KneserNeySpec extends SparkSpec {
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
   }
 
+  test("model state is mergeable: merge(state(A), state(B)) == " +
+    "state(A union B) exactly, and scoring from the merged state is " +
+    "bit-identical to the full retrain") {
+    val a = ref.filter(col("doc_id") % 4 === 0)
+    val b = ref.filter(col("doc_id") % 4 =!= 0)
+    val merged = KneserNey.mergeStates(
+      KneserNey.modelState(a, "doc_id", "text"),
+      KneserNey.modelState(b, "doc_id", "text"))
+    val full = KneserNey.modelState(ref, "doc_id", "text")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "merged count table must equal the one-shot count table")
+    val docs = Seq((10L, "the cat sat on the mat"),
+      (11L, "a dog ate the fish zzz")).toDF("doc_id", "text")
+    val viaMerged = KneserNey.perplexityFromState(docs, merged,
+      "doc_id", "text").collect().map(_.toString).sorted
+    val viaFull = KneserNey.perplexity(docs, ref, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    assert(viaMerged.sameElements(viaFull),
+      "scores from merged state must be bit-identical to retrain")
+  }
+
   test("discount outside (0,1) is rejected") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
