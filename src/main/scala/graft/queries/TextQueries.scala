@@ -968,6 +968,42 @@ object TextQueries extends Registry {
         .select(col("doc_id"), col("source"), col("quality"),
           col("n_kept"), col("rank"), md5(col("clean_text")).as("clean_md5"))
     }),
+    // C7: DoReMi-style DOMAIN REWEIGHTING (Xie et al. 2023,
+    // deterministic surrogate) — domain weights chosen BY the data:
+    // exponentiated-gradient ascent on per-domain excess loss (proxy
+    // loss = mean quality deficit per source on the micro grid),
+    // 5 fixed rounds on integer weight/loss grids so the whole outer
+    // loop sits under the bit-exact oracle.
+    "c7_domain_reweight" -> ((s, d) => {
+      val losses = Tables.documents(s, d)
+        .withColumn("__qm",
+          floor(TextFunctions.qualityScore(col("text")) * lit(1e6)
+            + lit(0.5)).cast("bigint"))
+        .groupBy(col("source").as("g"))
+        .agg((lit(1000000L) - expr("sum(__qm) DIV count(1)")).as("loss"))
+      graft.operators.DomainReweight.reweight(losses, "g", "loss",
+        rounds = 5)
+    }),
+    // C7: GOPHER RULE GATES (Rae et al. 2021 A1.1) — the published
+    // hard-gate heuristics as exact per-doc signals: word-count band,
+    // mean word length, #/… symbol ratio, bullet-started and
+    // ellipsis-ended line ratios, alphabetic-word share, required
+    // stop words. Structure planted deterministically (the synthetic
+    // corpus has no newlines) so every rule actually discriminates.
+    "c7_gopher_rules" -> ((s, d) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\n- bullet one\n- bullet two\n* bullet three"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\ntrailing thought...\nand more..."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" ### ## ..."))
+          .otherwise(lit("")))
+      graft.text.GopherRules.report(
+        Tables.documents(s, d).withColumn("text", planted),
+        "doc_id", "text", minWords = 20L)
+    }),
     // C7: curation pipeline v4 — the ROUND-12 composition: exact-
     // substring dedup (8-gram, first copy survives) → graded
     // decontamination vs the eval slice on the CLEANED text → quality
@@ -1382,6 +1418,32 @@ object TextQueries extends Registry {
           salt = 19)} AS split,
         CAST(count(*) AS BIGINT) AS n_docs
       FROM k GROUP BY source, split""",
+    "c7_domain_reweight" -> graft.operators.DomainReweight.sqlReweight(
+      s"""WITH p AS (
+            SELECT source AS g,
+              $sqlQualityInputs
+            FROM (SELECT source, ${sqlToks("text")} AS toks
+                  FROM documents)
+          ), q AS (
+            SELECT g,
+              CAST(floor(($sqlQualityExpr) * 1e6 + 0.5e0) AS BIGINT) AS qm
+            FROM p)
+          SELECT g, 1000000 - (sum(qm) // count(*)) AS loss
+          FROM q GROUP BY g""",
+      k = 20, rounds = 5),
+    "c7_gopher_rules" -> graft.text.GopherRules.sqlReport(
+      """SELECT doc_id AS id,
+           text
+           || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet one'
+                 || chr(10) || '- bullet two' || chr(10)
+                 || '* bullet three' ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0 THEN chr(10)
+                 || 'trailing thought...' || chr(10) || 'and more...'
+                 ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN ' ### ## ...' ELSE '' END)
+           AS text
+         FROM documents""",
+      idOut = "doc_id", minWords = 20L),
     "c7_curation_v4" -> s"""$v4SqlChain,
       spl AS MATERIALIZED (${graft.operators.Sampling.sqlSplitLeakageSafe(
         "SELECT doc_id, final_text AS text FROM mx", "doc_id",
