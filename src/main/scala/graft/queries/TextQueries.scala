@@ -984,6 +984,26 @@ object TextQueries extends Registry {
       graft.operators.DomainReweight.reweight(losses, "g", "loss",
         rounds = 5)
     }),
+    // C7: DoReMi END-TO-END — the learned weights FEED the mixture
+    // sampler: reweight (above) → collect the 20-row weight table →
+    // Sampling.mixture resamples the corpus to the learned mix. The
+    // driver-side rate arithmetic is the same IEEE sequence as the
+    // oracle's SQL (the sqlMixture contract), and the weights are
+    // exact nano-grid quotients, so the SAMPLED ROW SET is bit-exact.
+    "c7_doremi_mixture" -> ((s, d) => {
+      val losses = Tables.documents(s, d)
+        .withColumn("__qm",
+          floor(TextFunctions.qualityScore(col("text")) * lit(1e6)
+            + lit(0.5)).cast("bigint"))
+        .groupBy(col("source").as("g"))
+        .agg((lit(1000000L) - expr("sum(__qm) DIV count(1)")).as("loss"))
+      val weights = graft.operators.DomainReweight.reweight(
+          losses, "g", "loss", rounds = 5)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      graft.operators.Sampling.mixture(Tables.documents(s, d),
+          "doc_id", "source", weights)
+        .select("doc_id", "source", "lang", "n_chars", "rate")
+    }),
     // C7: GOPHER RULE GATES (Rae et al. 2021 A1.1) — the published
     // hard-gate heuristics as exact per-doc signals: word-count band,
     // mean word length, #/… symbol ratio, bullet-started and
@@ -1431,6 +1451,35 @@ object TextQueries extends Registry {
           SELECT g, 1000000 - (sum(qm) // count(*)) AS loss
           FROM q GROUP BY g""",
       k = 20, rounds = 5),
+    "c7_doremi_mixture" -> {
+      val rwSql = graft.operators.DomainReweight.sqlReweight(
+        s"""WITH p AS (
+              SELECT source AS g,
+                $sqlQualityInputs
+              FROM (SELECT source, ${sqlToks("text")} AS toks
+                    FROM documents)
+            ), q AS (
+              SELECT g,
+                CAST(floor(($sqlQualityExpr) * 1e6 + 0.5e0) AS BIGINT) AS qm
+              FROM p)
+            SELECT g, 1000000 - (sum(qm) // count(*)) AS loss
+            FROM q GROUP BY g""",
+        k = 20, rounds = 5)
+      s"""
+      WITH rw AS MATERIALIZED ($rwSql),
+      __c AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS __cnt,
+          max(rw.weight) AS __w
+        FROM documents JOIN rw ON documents.source = rw.g
+        GROUP BY source
+      ), __b AS (SELECT min(__cnt / __w) AS __budget FROM __c),
+      __r AS (
+        SELECT source, least(1.0e0, __budget * __w / __cnt) AS __rate
+        FROM __c, __b)
+      SELECT doc_id, source, lang, n_chars, round(__rate, 6) AS rate
+      FROM documents JOIN __r USING (source)
+      WHERE ${graft.functions.Noise.sqlNoise("doc_id", 11)} < __rate"""
+    },
     "c7_gopher_rules" -> graft.text.GopherRules.sqlReport(
       """SELECT doc_id AS id,
            text
