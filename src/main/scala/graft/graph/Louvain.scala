@@ -34,9 +34,12 @@ import org.apache.spark.sql.functions._
   * non-simultaneous and makes the schedule engine-independent. The
   * strict-gain rule + staggering give monotone Q on every fixture and
   * the trade graph (LouvainSpec pins Q ≥ label-prop's and Q ≥ the
-  * input labeling's); the guarantee is EMPIRICAL, not structural —
-  * same-parity adjacent moves can in principle interleave, which a
-  * fixed-dataflow (oracle-able) variant cannot fully exclude.
+  * input labeling's); that MONOTONICITY guarantee is EMPIRICAL, not
+  * structural — same-parity adjacent moves can in principle
+  * interleave, which a fixed-dataflow (oracle-able) variant cannot
+  * fully exclude. The COMMUNITIES-ARE-CONNECTED invariant, by
+  * contrast, IS structural when the [[connectivityPass]] /
+  * [[leiden]] / [[leidenTwoLevel]] variants are used.
   *
   * Scale shape: per sweep ONE edges⋈labels equi-join (k_{i,c} — the
   * only corpus-sized shuffle), one labels⋈degrees hash agg (d_c,
@@ -81,6 +84,14 @@ object Louvain {
     require(!mRow.isNullAt(0) && mRow.getLong(0) > 0,
       "louvain over an empty edge set")
     val m = mRow.getLong(0)
+    // ENFORCED overflow bound (the Hits/KCore guard convention): the
+    // score 2m·k_{i,c} − k_i·(d_c − k_i) has |terms| ≤ 2·m·max(k), so
+    // 2·m·max(k) must fit in BIGINT or the JVM silently wraps where
+    // DuckDB throws. Fail loudly; down-sample degrees to re-enter.
+    val maxK = deg.agg(max(col("k"))).collect()(0).getLong(0)
+    require(BigInt(2) * BigInt(m) * BigInt(maxK) <= BigInt(Long.MaxValue),
+      s"louvain overflow bound violated: 2*m*max(k) = 2*${m}*${maxK} " +
+        "exceeds BIGINT; down-sample edge weights/degrees first")
     var lab = labels.select(col("node").cast("bigint").as("node"),
       col("label").cast("bigint").as("label")).localCheckpoint()
     for (sweep <- 0 until sweeps) {
@@ -182,6 +193,135 @@ object Louvain {
       .select(col("node"),
         coalesce(col("__c2"), col("label")).as("label"))
   }
+
+  /** LEIDEN CONNECTIVITY POST-PASS (Traag/Waltman/van Eck 2019, the
+    * defect their refinement phase exists to fix): plain local-move
+    * Louvain can leave a community internally DISCONNECTED — a bridge
+    * node moves out and strands the two halves it joined, and no
+    * strict-gain single-node move can separate them (each half alone
+    * has no better candidate). This pass makes the "communities are
+    * internally connected" invariant STRUCTURAL instead of empirical:
+    * split every community into the connected components of its
+    * intra-community subgraph, relabeling each component to its MIN
+    * member id (the [[LabelPropagation]] canonical convention —
+    * already-connected min-labeled communities are unchanged).
+    *
+    * Q is NON-DECREASING by construction: the only pairs a split
+    * separates are cross-component pairs with ZERO edge weight
+    * between them, whose modularity contribution −k_i·k_j/(2m²) is
+    * strictly negative — removing them can only raise Q
+    * (LouvainSpec pins it on a stranded-bridge fixture).
+    *
+    * Scale shape: one edges⋈labels⋈labels equi-join to the
+    * intra-community edge list (corpus-sized, hash-partitioned), then
+    * [[graft.dedup.MinHashDedup.connectedComponents]] — min-label
+    * propagation in O(component diameter) rounds with the adaptive
+    * driver union-find for small graphs. No windows, no collect. */
+  def connectivityPass(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("node").cast("bigint").as("node"),
+      col("label").cast("bigint").as("label")).localCheckpoint()
+    val e = edges.select(col("a").cast("bigint").as("a"),
+      col("b").cast("bigint").as("b")).filter(col("a") =!= col("b"))
+    val intra = e
+      .join(lab.select(col("node").as("a"), col("label").as("__la")), "a")
+      .join(lab.select(col("node").as("b"), col("label").as("__lb")), "b")
+      .filter(col("__la") === col("__lb"))
+      .select(col("a"), col("b"))
+    val comp = graft.dedup.MinHashDedup.connectedComponents(intra)
+    // nodes with no intra-community edge are their own component
+    lab.join(comp.select(col("id").as("node"),
+        col("component").cast("bigint").as("__comp")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__comp"), col("node")).as("label"))
+  }
+
+  /** DuckDB twin of [[connectivityPass]] — exact reachability closure
+    * over the intra-community subgraph via a recursive CTE; new label
+    * = min reachable id (singletons reach only themselves). */
+  def sqlConnectivityPass(edgesSql: String, labelsSql: String): String = s"""
+    SELECT node, label FROM (
+      WITH RECURSIVE lab AS MATERIALIZED (
+        SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        FROM ($labelsSql)),
+      ie AS MATERIALIZED (
+        SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b
+        FROM ($edgesSql) e
+        JOIN lab la ON e.a = la.node
+        JOIN lab lb ON e.b = lb.node
+        WHERE la.label = lb.label AND e.a <> e.b),
+      symc AS MATERIALIZED (
+        SELECT a, b FROM ie UNION SELECT b AS a, a AS b FROM ie),
+      reach(node, r) AS (
+        SELECT node, node AS r FROM lab
+        UNION
+        SELECT s.b AS node, reach.r
+        FROM symc s JOIN reach ON s.a = reach.node)
+      SELECT node, CAST(min(r) AS BIGINT) AS label
+      FROM reach GROUP BY node)"""
+
+  /** [[refine]] + [[connectivityPass]]: one-level Leiden-style local
+    * moves whose output communities are PROVABLY internally
+    * connected. */
+  def leiden(edges: DataFrame, labels: DataFrame, sweeps: Int): DataFrame = {
+    val e = edges.select(col("a").cast("bigint").as("a"),
+      col("b").cast("bigint").as("b")).localCheckpoint()
+    connectivityPass(e, refine(e, labels, sweeps))
+  }
+
+  /** DuckDB twin of [[leiden]]. */
+  def sqlLeiden(edgesSql: String, labelsSql: String, sweeps: Int): String =
+    s"""SELECT node, label FROM (${sqlConnectivityPass(edgesSql,
+      sqlRefine(edgesSql, labelsSql, sweeps))})"""
+
+  /** TWO-LEVEL LEIDEN — [[twoLevel]] with the connectivity pass after
+    * EACH local-move phase, before contraction: level-1 communities
+    * are split into connected components, contracted (so every
+    * super-node is internally connected by construction), and the
+    * level-2 labeling is split again on the contracted graph. A
+    * level-2 merge joins whole super-nodes along super-edges, so the
+    * final communities are connected in the base graph — the Leiden
+    * guarantee, structural end to end. Deterministic; the whole
+    * dataflow unrolls into the DuckDB oracle ([[sqlLeidenTwoLevel]]). */
+  def leidenTwoLevel(edges: DataFrame, labels: DataFrame,
+                     sweeps: Int): DataFrame = {
+    val e = edges.select(col("a").cast("bigint").as("a"),
+      col("b").cast("bigint").as("b")).localCheckpoint()
+    val l1 = connectivityPass(e, refine(e, labels, sweeps)).localCheckpoint()
+    val la = l1.select(col("node").as("a"), col("label").as("__la"))
+    val lb = l1.select(col("node").as("b"), col("label").as("__lb"))
+    val superEdges = e.join(la, "a").join(lb, "b")
+      .select(least(col("__la"), col("__lb")).as("a"),
+        greatest(col("__la"), col("__lb")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val ident = l1.select(col("label").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val l2 = connectivityPass(superEdges.select(col("a"), col("b")),
+      refineWeighted(superEdges, ident, sweeps))
+    l1.join(l2.select(col("node").as("__c1"), col("label").as("__c2")),
+        col("label") === col("__c1"), "left")
+      .select(col("node"),
+        coalesce(col("__c2"), col("label")).as("label"))
+  }
+
+  /** DuckDB twin of [[leidenTwoLevel]]. */
+  def sqlLeidenTwoLevel(edgesSql: String, labelsSql: String,
+                        sweeps: Int): String = s"""
+    WITH eb AS MATERIALIZED ($edgesSql),
+    lv1 AS MATERIALIZED (${sqlConnectivityPass("SELECT a, b FROM eb",
+      sqlRefine("SELECT a, b FROM eb", labelsSql, sweeps))}),
+    se AS MATERIALIZED (
+      SELECT least(la.label, lb.label) AS a,
+        greatest(la.label, lb.label) AS b,
+        CAST(count(*) AS BIGINT) AS w
+      FROM eb JOIN lv1 la ON eb.a = la.node
+      JOIN lv1 lb ON eb.b = lb.node
+      GROUP BY 1, 2),
+    ident AS (SELECT DISTINCT label AS node, label FROM lv1),
+    lv2 AS MATERIALIZED (${sqlConnectivityPass("SELECT a, b FROM se",
+      sqlRefineWeighted("SELECT a, b, w FROM se",
+        "SELECT node, label FROM ident", sweeps))})
+    SELECT lv1.node, CAST(coalesce(lv2.label, lv1.label) AS BIGINT) AS label
+    FROM lv1 LEFT JOIN lv2 ON lv1.label = lv2.node"""
 
   /** DuckDB twin of [[twoLevel]] — level-1 unrolled refine,
     * contraction groupBy, level-2 weighted refine, label composition. */

@@ -75,19 +75,22 @@ object DomainReweight {
 
   /** DuckDB twin of [[reweight]] — the fixed rounds unrolled,
     * identical grid arithmetic. `lossesSql` must select
-    * `(g, loss BIGINT micro-grid)`; `k` must equal its row count
-    * (the caller knows its domain axis). */
-  def sqlReweight(lossesSql: String, k: Long, rounds: Int,
+    * `(g, loss BIGINT micro-grid)`; the domain count k is derived
+    * from the SAME input via a count CTE (the engine side counts the
+    * losses frame too), so both sides share one definition and a
+    * changed domain axis can never silently diverge the oracle. */
+  def sqlReweight(lossesSql: String, rounds: Int,
                   eta: Double = 1.0, smooth: Double = 0.1): String = {
-    require(rounds >= 1 && k > 0)
+    require(rounds >= 1)
     val sNano = math.round(smooth * 1e9)
     val etaS = graft.functions.Noise.sqlDouble(eta)
     val head = s"""
       WITH base AS MATERIALIZED (SELECT g, CAST(loss AS BIGINT) AS loss
         FROM ($lossesSql)),
+      kk AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k FROM base),
       mx AS MATERIALIZED (SELECT CAST(max(loss) AS BIGINT) AS ml FROM base),
       w0 AS MATERIALIZED (SELECT g, loss,
-        CAST(1000000000 // $k AS BIGINT) AS w FROM base)"""
+        CAST(1000000000 // kk.k AS BIGINT) AS w FROM base CROSS JOIN kk)"""
     val iters = (1 to rounds).map { j =>
       val i = j - 1
       s"""
@@ -99,8 +102,8 @@ object DomainReweight {
       r$j AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS rs FROM m$j),
       w$j AS MATERIALIZED (SELECT m$j.g, m$j.loss,
         CAST(((1000000000 - $sNano) * (m$j.raw * 1000000000 // r$j.rs))
-          // 1000000000 + $sNano // $k AS BIGINT) AS w
-        FROM m$j CROSS JOIN r$j)"""
+          // 1000000000 + $sNano // kk.k AS BIGINT) AS w
+        FROM m$j CROSS JOIN r$j CROSS JOIN kk)"""
     }.mkString(",")
     s"""$head,$iters
     SELECT g, w AS weight_nano,

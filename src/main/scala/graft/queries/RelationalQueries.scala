@@ -1486,6 +1486,58 @@ object RelationalQueries extends Registry {
           col("node") === col("n_nationkey"))
         .select(col("n_name"), col("label"))
     }),
+    // D227: LEIDEN-STYLE connectivity pass — d115's local moves can
+    // strand a disconnected community (the defect Leiden's refinement
+    // fixes); the post-pass splits every community into the connected
+    // components of its intra-community subgraph, making
+    // "communities are internally connected" STRUCTURAL. Q
+    // non-decreasing by construction; exact reachability closure
+    // unrolls into the DuckDB oracle as a recursive CTE.
+    "d119_leiden" -> ((s, d) => {
+      val trade = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val und = trade.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val lpa = graft.graph.LabelPropagation.communities(trade, rounds = 4)
+      graft.graph.Louvain.leiden(und, lpa, sweeps = 4)
+        .join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("label"))
+    }),
+    // D228: TWO-LEVEL LEIDEN — d118's two-phase Louvain with the
+    // connectivity pass after EACH local-move phase, before
+    // contraction: every super-node is internally connected by
+    // construction, so the mapped-back level-2 communities carry the
+    // Leiden connectivity guarantee structurally end to end.
+    "d120_leiden_two_level" -> ((s, d) => {
+      val trade = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val und = trade.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val lpa = graft.graph.LabelPropagation.communities(trade, rounds = 4)
+      graft.graph.Louvain.leidenTwoLevel(und, lpa, sweeps = 4)
+        .join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("label"))
+    }),
     // D214b: FULL two-phase Louvain — local moves, community
     // contraction (intra edges → weighted self-loops), a second
     // weighted local-move pass on the contracted graph, labels mapped
@@ -3371,6 +3423,42 @@ object RelationalQueries extends Registry {
         FROM ($edgesSql) WHERE src != dst"""
       s"""SELECT n_name, label
           FROM (${graft.graph.Louvain.sqlTwoLevel(undSql,
+            graft.graph.LabelPropagation.sqlCommunities(edgesSql, 4),
+            sweeps = 4)}) lv
+          JOIN nation ON lv.node = n_nationkey"""
+    },
+    "d119_leiden" -> {
+      val edgesSql = """
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2"""
+      val undSql = s"""
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM ($edgesSql) WHERE src != dst"""
+      s"""SELECT n_name, label
+          FROM (${graft.graph.Louvain.sqlLeiden(undSql,
+            graft.graph.LabelPropagation.sqlCommunities(edgesSql, 4),
+            sweeps = 4)}) lv
+          JOIN nation ON lv.node = n_nationkey"""
+    },
+    "d120_leiden_two_level" -> {
+      val edgesSql = """
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2"""
+      val undSql = s"""
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM ($edgesSql) WHERE src != dst"""
+      s"""SELECT n_name, label
+          FROM (${graft.graph.Louvain.sqlLeidenTwoLevel(undSql,
             graft.graph.LabelPropagation.sqlCommunities(edgesSql, 4),
             sweeps = 4)}) lv
           JOIN nation ON lv.node = n_nationkey"""

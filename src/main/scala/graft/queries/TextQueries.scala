@@ -1450,7 +1450,7 @@ object TextQueries extends Registry {
             FROM p)
           SELECT g, 1000000 - (sum(qm) // count(*)) AS loss
           FROM q GROUP BY g""",
-      k = 20, rounds = 5),
+      rounds = 5),
     "c7_doremi_mixture" -> {
       val rwSql = graft.operators.DomainReweight.sqlReweight(
         s"""WITH p AS (
@@ -1464,7 +1464,7 @@ object TextQueries extends Registry {
               FROM p)
             SELECT g, 1000000 - (sum(qm) // count(*)) AS loss
             FROM q GROUP BY g""",
-        k = 20, rounds = 5)
+        rounds = 5)
       s"""
       WITH rw AS MATERIALIZED ($rwSql),
       __c AS (

@@ -50,7 +50,10 @@ object GopherRules {
     val meanWl = safeRatio(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")),
       nWords)
-    val nSymbols = countOcc(text, "#") + countOcc(text, "\\.\\.\\.")
+    // ellipsis marks count BOTH spellings: ASCII "..." and the Unicode
+    // single-char ellipsis U+2026 (Rae et al. A1.1 names "…")
+    val nSymbols = countOcc(text, "#") + countOcc(text, "\\.\\.\\.") +
+      countOcc(text, "…")
     val symbolRatio = safeRatio(nSymbols, nWords)
     val lines = split(text, "\n", -1)
     val nLines = size(lines).cast("bigint")
@@ -58,7 +61,8 @@ object GopherRules {
       trim(l).startsWith("-") || trim(l).startsWith("*") ||
         trim(l).startsWith("•"))).cast("bigint")
     val ellipsisLines = size(filter(lines, l =>
-      rtrim(l).endsWith("..."))).cast("bigint")
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+      .cast("bigint")
     val alphaWords = size(filter(toks, t => t.rlike("[a-z]")))
       .cast("bigint")
     val stopHits = size(array_intersect(array_distinct(toks),
@@ -107,13 +111,14 @@ object GopherRules {
             AS DOUBLE) / CAST(len(toks) AS BIGINT) * 1e6 + 0.5e0) / 1e6
           END AS mean_word_len,
         CAST(len(string_split(text, '#')) - 1
-          + len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
+          + len(string_split(text, '...')) - 1
+          + len(string_split(text, '…')) - 1 AS BIGINT) AS n_symbols,
         CAST(len(lines) AS BIGINT) AS n_lines,
         CAST(len(list_filter(lines, l -> trim(l) LIKE '-%'
           OR trim(l) LIKE '*%' OR trim(l) LIKE '•%')) AS BIGINT)
           AS bullet_lines,
-        CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
-          AS BIGINT) AS ellipsis_lines,
+        CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...'
+          OR rtrim(l) LIKE '%…')) AS BIGINT) AS ellipsis_lines,
         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
           AS BIGINT) AS alpha_words,
         CAST(len(list_intersect(list_distinct(toks), $stopList))

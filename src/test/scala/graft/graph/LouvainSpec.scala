@@ -128,6 +128,77 @@ class LouvainSpec extends SparkSpec {
     assert(r === Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("connectivity pass splits a stranded disconnected community " +
+    "and Q does not decrease (the Leiden guarantee)") {
+    // two triangles with NO edge between them, all forced into ONE
+    // community: strict-gain local moves cannot split it (every node's
+    // only candidate is its own community), so plain refine leaves a
+    // disconnected community — exactly the Leiden defect
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val oneCommunity = Seq(0L, 1L, 2L, 10L, 11L, 12L)
+      .map(n => (n, 0L)).toDF("node", "label")
+    val refined = Louvain.refine(e, oneCommunity, sweeps = 4)
+    assert(refined.select(col("label")).distinct().count() === 1L,
+      "plain local moves must leave the stranded community intact " +
+        "(the fixture premise)")
+    val split = Louvain.connectivityPass(e, refined)
+    val lab = split.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L),
+      s"components must split to min-member labels: $lab")
+    assert(q(e, split) > q(e, refined),
+      "splitting a zero-edge-coupled community must raise Q")
+    // leiden = refine + split in one call
+    val viaLeiden = Louvain.leiden(e, oneCommunity, sweeps = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLeiden === lab)
+  }
+
+  test("connectivity pass is the identity on connected min-labeled " +
+    "communities") {
+    val good = (0 to 3).map(i => (i.toLong, 0L))
+      .++((10 to 13).map(i => (i.toLong, 10L))).toDF("node", "label")
+    val out = Louvain.connectivityPass(cliques, good)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === good.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("two-level leiden keeps the resolution-limit win and never " +
+    "loses modularity to the unguarded two-level") {
+    val nCliq = 12
+    val tri = (0 until nCliq).flatMap { t =>
+      val base = t * 10L
+      Seq((base, base + 1), (base, base + 2), (base + 1, base + 2))
+    }
+    val ring = (0 until nCliq).map(t =>
+      (t * 10L + 2, ((t + 1) % nCliq) * 10L) match {
+        case (x, y) if x < y => (x, y); case (x, y) => (y, x)
+      })
+    val e = (tri ++ ring).toDF("a", "b")
+    val nodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+    val singletons = nodes.withColumn("label", col("node"))
+    val one = Louvain.refine(e, singletons, sweeps = 4)
+    val leiden2 = Louvain.leidenTwoLevel(e, singletons, sweeps = 4)
+    assert(q(e, leiden2) >= q(e, one),
+      "two-level leiden must not lose to one-level refine")
+    assert(leiden2.select(col("label")).distinct().count() <
+      one.select(col("label")).distinct().count(),
+      "the contracted level must still merge past the resolution limit")
+  }
+
+  test("overflow bound is ENFORCED: 2*m*max(k) past BIGINT fails " +
+    "loudly instead of wrapping") {
+    val e = Seq((0L, 1L, 1L << 61)).toDF("a", "b", "w")
+    val lab = Seq((0L, 0L), (1L, 1L)).toDF("node", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Louvain.refineWeighted(e, lab, sweeps = 1)
+    }
+    assert(ex.getMessage.contains("overflow bound"))
+  }
+
   test("empty edges / zero sweeps are rejected") {
     val lab = Seq((1L, 1L)).toDF("node", "label")
     intercept[IllegalArgumentException] {

@@ -33,9 +33,15 @@ class GopherRulesSpec extends SparkSpec {
     // bullet wall: every line a bullet
     val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
     assert(!reportOf(bullets).getAs[Boolean]("r_bullets"))
-    // ellipsis-ended lines
+    // ellipsis-ended lines — BOTH spellings (Rae et al. A1.1 names
+    // the Unicode "…"; round-13 ADVICE fix)
     val dots = (1 to 10).map(i => s"thought $i...").mkString("\n")
     assert(!reportOf(dots).getAs[Boolean]("r_ellipsis"))
+    val uniDots = (1 to 10).map(i => s"thought $i…").mkString("\n")
+    assert(!reportOf(uniDots).getAs[Boolean]("r_ellipsis"))
+    // unicode ellipsis also counts as a symbol mark
+    val uniHashy = goodDoc + (" …" * 30)
+    assert(!reportOf(uniHashy).getAs[Boolean]("r_symbols"))
     // numeric soup: words without letters
     val numeric = goodDoc + (" 123 456 789 000 111 222 333 444" * 10)
     assert(!reportOf(numeric).getAs[Boolean]("r_alpha"))
