@@ -100,6 +100,42 @@ object DedupQueries extends Registry {
         graft.sources.VersionedTable.readAsOf(s, dir, 2L),
         "doc_id", "text")
     }),
+    // D229: VERSIONED CDC MATERIALIZATION end-to-end — d12's merge
+    // run through the StreamingMerge copy-on-write storage path:
+    // init a bucketed VersionedTable snapshot, fold the changelog in
+    // as two epoch-keyed batches (the second REPLAYED to prove
+    // exactly-once), compact, and read the final snapshot back. The
+    // oracle is the same latest-wins SQL as d12 — so the whole
+    // bucket-pruned write→manifest-commit→read path sits under the
+    // bit-exact gate, not just the merge arithmetic.
+    "d121_versioned_merge" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_versioned_merge")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.streaming.StreamingMerge.init(base, "doc_id", dir,
+        nBuckets = 16)
+      val upserts = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpUpsert))
+      val deletes = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("__seq", lit(2L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpDelete))
+      graft.streaming.StreamingMerge.applyBatch(upserts, "doc_id",
+        "__seq", "__op", dir, 16, Some("merge-epoch-0"))
+      graft.streaming.StreamingMerge.applyBatch(deletes, "doc_id",
+        "__seq", "__op", dir, 16, Some("merge-epoch-1"))
+      // replay epoch 1: must be a version-level no-op
+      graft.streaming.StreamingMerge.applyBatch(deletes, "doc_id",
+        "__seq", "__op", dir, 16, Some("merge-epoch-1"))
+      val vs = graft.sources.VersionedTable.versions(s, dir)
+      require(vs == Seq(1L, 2L, 3L),
+        s"versioned merge protocol drifted: $vs")
+      // bound the accumulated per-batch file sets, then read back
+      graft.streaming.StreamingMerge.compact(s, dir, "doc_id", 16)
+      graft.streaming.StreamingMerge.snapshot(s, dir)
+    }),
     // D39: CDC merge — the write-side complement of d11: base snapshot
     // (90% of docs) + a changelog of upserts (every 7th doc re-crawled,
     // text revised, seq 1) and deletes (every 13th doc taken down,
@@ -508,6 +544,31 @@ object DedupQueries extends Registry {
              WHEN ofp = nfp THEN 'unchanged'
              ELSE 'changed' END AS status
       FROM old FULL JOIN new USING (doc_id)""",
+    // identical latest-wins arithmetic as d12 — the query differs only
+    // in the storage path (versioned bucketed snapshot vs one merge)
+    "d121_versioned_merge" -> """
+      WITH base AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE doc_id % 10 <> 0
+      ), changes AS (
+        SELECT doc_id, text || ' [rev2]' AS text, lang, source, n_chars,
+               1 AS seq, 'upsert' AS op
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, text, lang, source, n_chars, 2, 'delete'
+        FROM documents WHERE doc_id % 13 = 0
+      ), latest AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY seq DESC) AS rn
+          FROM changes) WHERE rn = 1)
+      SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+        CASE WHEN l.op = 'upsert' THEN l.text ELSE b.text END AS text,
+        CASE WHEN l.op = 'upsert' THEN l.lang ELSE b.lang END AS lang,
+        CASE WHEN l.op = 'upsert' THEN l.source ELSE b.source END AS source,
+        CASE WHEN l.op = 'upsert' THEN l.n_chars ELSE b.n_chars END AS n_chars
+      FROM base b FULL JOIN latest l ON b.doc_id = l.doc_id
+      WHERE l.op IS NULL OR l.op = 'upsert'""",
     "d12_merge_upsert" -> """
       WITH base AS (
         SELECT doc_id, text, lang, source, n_chars FROM documents

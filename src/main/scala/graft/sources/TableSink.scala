@@ -70,10 +70,16 @@ object TableSink {
     * One shuffle-less coalesce when shrinking file count — plus an
     * optional `sortCol` to restore clustering (z-key, time), which
     * upgrades the coalesce to a range repartition.
-    * Returns (filesBefore, filesAfter). Compact into a NEW directory
-    * and swap atomically at the catalog/manifest level — in-place
-    * compaction under concurrent readers is a table-format feature,
-    * not a filesystem one. */
+    * Returns (filesBefore, filesAfter).
+    *
+    * CONCURRENCY: this is the RAW-DIRECTORY utility — `dstDir` is
+    * replaced wholesale, so it must not be a location concurrent
+    * readers resolve. For any table other jobs read while compaction
+    * runs, use [[VersionedTable.compact]] (new version per
+    * compaction, one atomic manifest commit, old versions retained
+    * until gc) or [[graft.streaming.StreamingMerge.compact]] for
+    * bucket-partitioned merge snapshots — since round 13 no graft
+    * sink needs to rewrite readable files in place. */
   def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
               dstDir: String, targetBytes: Long = 256L << 20,
               sortCol: Option[String] = None): (Int, Int) = {

@@ -51,9 +51,9 @@ object VersionedTable {
 
   /** Committed manifest: (version, batchId, schemaJson, relative data
     * file paths). */
-  private[sources] case class Manifest(version: Long, batchId: String,
-                                       schemaJson: String,
-                                       files: Seq[String])
+  private[graft] case class Manifest(version: Long, batchId: String,
+                                     schemaJson: String,
+                                     files: Seq[String])
 
   private def readManifest(fs: FileSystem, p: Path): Option[Manifest] = {
     val in = fs.open(p)
@@ -95,6 +95,21 @@ object VersionedTable {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
+  /** Latest committed manifest — the copy-on-write sinks
+    * ([[graft.streaming.StreamingMerge]], [[compact]]) read it to
+    * carry untouched files into their next version by reference. */
+  private[graft] def latestManifest(spark: SparkSession,
+                                    dir: String): Option[Manifest] =
+    committedManifests(fsOf(spark, dir), dir).lastOption
+
+  /** The committed version carrying `batchId`, if any — the replay
+    * check sinks run BEFORE doing any work (publish's internal check
+    * only saves the commit, not the data write). */
+  def committedVersionOf(spark: SparkSession, dir: String,
+                         batchId: String): Option[Long] =
+    committedManifests(fsOf(spark, dir), dir)
+      .find(_.batchId == batchId).map(_.version)
+
   /** Publish `df` as the next version of the table at `dir`. Returns
     * the committed version number. Idempotent on `batchId`: if a
     * committed manifest already carries it, nothing is written and
@@ -121,8 +136,43 @@ object VersionedTable {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(s => s"$dataRel/${s.getPath.getName}").sorted
+    commitManifest(fs, dir, batchId, df.schema.json, files, maxRetries)
+  }
+
+  /** Commit EXTERNALLY-WRITTEN data files (paths relative to `dir`,
+    * already fully written) as the next version — the low-level entry
+    * the copy-on-write sinks use to carry untouched files from the
+    * previous version into the next BY REFERENCE: a
+    * [[graft.streaming.StreamingMerge]] batch or a [[compact]] names
+    * old files alongside its new ones and the swap is one manifest
+    * commit, never a rewrite of readable bytes. Same batchId
+    * idempotence, slot-claim and canonicalization rules as
+    * [[publish]]. */
+  def publishFiles(spark: SparkSession, dir: String, batchId: String,
+                   schemaJson: String, files: Seq[String],
+                   maxRetries: Int = 20): Long = {
+    require(!batchId.contains("\n") && batchId.nonEmpty,
+      "batchId must be a non-empty single-line string")
+    require(files.forall(f => !f.contains("\n") && !f.startsWith("/")),
+      "files must be single-line dir-relative paths")
+    val fs = fsOf(spark, dir)
+    committedManifests(fs, dir).find(_.batchId == batchId) match {
+      case Some(m) => return m.version // replay: already committed
+      case None =>
+    }
+    commitManifest(fs, dir, batchId, schemaJson, files.sorted, maxRetries)
+  }
+
+  /** Slot-claim commit loop shared by [[publish]]/[[publishFiles]]:
+    * reserve the next version atomically, write the manifest with the
+    * terminator, verify ownership, then run the two post-commit
+    * checks — same-batchId canonicalization and data-file existence
+    * (details inline). Returns the CANONICAL committed version for
+    * `batchId`. */
+  private def commitManifest(fs: FileSystem, dir: String, batchId: String,
+                             schemaJson: String, files: Seq[String],
+                             maxRetries: Int): Long = {
     fs.mkdirs(manifestDir(dir))
-    // 2./3. reserve the next version slot, commit with the terminator
     // next slot = 1 + max over ALL manifest files (committed or
     // reserved-but-unterminated) — probing only committed versions
     // would retry the same taken slot forever behind a slow writer
@@ -159,7 +209,7 @@ object VersionedTable {
         case Some(o) =>
           try {
             val body = (Seq(s"version=$next", s"batchId=$batchId",
-              s"schema=${df.schema.json}") ++
+              s"schema=$schemaJson") ++
               files.map(f => s"file=$f") :+ Terminator :+ "")
               .mkString("\n")
             o.write(body.getBytes(StandardCharsets.UTF_8))
@@ -169,13 +219,52 @@ object VersionedTable {
           // sure OUR batch owns it; a foreign batchId means the race
           // was lost after all — retry at the next slot
           if (readManifest(fs, mPath).exists(_.batchId == batchId))
-            return next
+            return postCommit(fs, dir, batchId, next, files)
           attempt += 1
         case None => attempt += 1
       }
     }
     throw new IllegalStateException(
       s"publish($dir, $batchId): lost the version slot $maxRetries times")
+  }
+
+  /** Post-commit checks, run once our manifest is durably committed.
+    *
+    * 1. SAME-BATCHID CANONICALIZATION: the pre-write replay check is
+    *    check-then-act, so two publishers replaying the SAME batchId
+    *    concurrently (a zombie driver racing its replacement) can both
+    *    reach commit. The LOWEST committed version is canonical: a
+    *    loser deletes its own manifest and returns the canonical
+    *    version, so readers only ever see one version per batchId and
+    *    the loser's data directory becomes a GC-able orphan.
+    * 2. DATA-FILE EXISTENCE: a [[gc]] run with `orphanGraceMs = 0`
+    *    racing the write→commit window could have deleted our
+    *    just-written (then unreferenced) files — a committed manifest
+    *    pointing at deleted bytes would be an unreadable "immutable
+    *    snapshot". Verify the listed files exist; on failure UNCOMMIT
+    *    (delete own manifest) and fail loudly rather than leave a
+    *    torn committed version. With the default grace window this
+    *    path is unreachable in practice. */
+  private def postCommit(fs: FileSystem, dir: String, batchId: String,
+                         ourVersion: Long, files: Seq[String]): Long = {
+    val ourPath = new Path(manifestDir(dir), ourVersion.toString)
+    val sameBatch = committedManifests(fs, dir)
+      .filter(_.batchId == batchId).map(_.version)
+    val canonical = if (sameBatch.nonEmpty) sameBatch.min else ourVersion
+    if (canonical != ourVersion) {
+      fs.delete(ourPath, false) // duplicate commit: keep the lowest
+      return canonical
+    }
+    val missing = files.filterNot(f => fs.exists(new Path(dir, f)))
+    if (missing.nonEmpty) {
+      fs.delete(ourPath, false)
+      throw new IllegalStateException(
+        s"publish($dir, $batchId): committed version $ourVersion " +
+          s"references ${missing.size} missing data files (a gc with " +
+          "orphanGraceMs=0 raced the publish?) — commit rolled back: " +
+          missing.take(3).mkString(", "))
+    }
+    ourVersion
   }
 
   /** Snapshot read "as of" committed `version` — the exact file set
@@ -205,10 +294,25 @@ object VersionedTable {
     * older manifests, uncommitted manifest stubs, and every data
     * directory no retained manifest references (crashed writers'
     * orphans included). Returns (manifests deleted, data dirs
-    * deleted). Time travel to a GC'd version fails loudly. */
-  def gc(spark: SparkSession, dir: String, keepLast: Int): (Int, Int) = {
+    * deleted). Time travel to a GC'd version fails loudly.
+    *
+    * CONCURRENT-PUBLISHER SAFETY (`orphanGraceMs`): a publisher
+    * between its data write (step 1) and manifest commit (step 2/3)
+    * has files no manifest references yet — indistinguishable from a
+    * crashed writer's orphans by reference-counting alone. Age tells
+    * them apart: unreferenced data directories and uncommitted
+    * manifest stubs YOUNGER than the grace window are skipped, so gc
+    * can run concurrently with publishers as long as no single
+    * publish takes longer than the grace (default 1 h — far above
+    * any sane write; raise it for huge batch publishes). `publish`
+    * additionally re-verifies its files after commit and rolls back
+    * loudly if a zero-grace gc raced it. */
+  def gc(spark: SparkSession, dir: String, keepLast: Int,
+         orphanGraceMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1, "keepLast must be >= 1")
+    require(orphanGraceMs >= 0, "orphanGraceMs must be >= 0")
     val fs = fsOf(spark, dir)
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     val committed = committedManifests(fs, dir)
     val keep = committed.takeRight(keepLast)
     val keepVersions = keep.map(_.version).toSet
@@ -217,18 +321,68 @@ object VersionedTable {
     val md = manifestDir(dir)
     var mDeleted = 0
     if (fs.exists(md)) fs.listStatus(md).foreach { s =>
-      val committedHere = readManifest(fs, s.getPath)
-      val isKept = committedHere.exists(m => keepVersions(m.version))
-      if (!isKept) { fs.delete(s.getPath, false); mDeleted += 1 }
+      readManifest(fs, s.getPath) match {
+        case Some(m) =>
+          if (!keepVersions(m.version)) {
+            fs.delete(s.getPath, false); mDeleted += 1
+          }
+        case None => // uncommitted stub: a crash orphan only once aged
+          if (s.getModificationTime < cutoff) {
+            fs.delete(s.getPath, false); mDeleted += 1
+          }
+      }
     }
     val dd = new Path(dir, "data")
     var dDeleted = 0
     if (fs.exists(dd)) fs.listStatus(dd).foreach { s =>
-      if (s.isDirectory && !keepDataDirs(s"data/${s.getPath.getName}")) {
+      if (s.isDirectory && !keepDataDirs(s"data/${s.getPath.getName}") &&
+          s.getModificationTime < cutoff) {
         fs.delete(s.getPath, true); dDeleted += 1
       }
     }
     (mDeleted, dDeleted)
+  }
+
+  /** VERSIONED COMPACTION — the small-files fix WITHOUT the in-place
+    * rewrite [[graft.sources.TableSink.compact]] documents as unsafe
+    * under concurrent readers: rewrite the latest version's rows into
+    * `ceil(bytes / targetBytes)` right-sized files in a fresh data
+    * directory and commit them as a NEW version (batchId
+    * `compact-of-v{N}` — recompacting the same source version is a
+    * replay no-op). Readers of any committed version are untouched;
+    * the swap is one manifest commit; old versions age out via [[gc]].
+    * Optional `sortCol` restores clustering (range repartition).
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 256L << 20,
+              sortCol: Option[String] = None): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = fsOf(spark, dir)
+    val m = latestManifest(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed version at $dir"))
+    val batchId = s"compact-of-v${m.version}"
+    committedVersionOf(spark, dir, batchId) match {
+      case Some(_) => return (m.files.size, m.files.size) // replayed
+      case None =>
+    }
+    val bytes = m.files.map(f =>
+      fs.getFileStatus(new Path(dir, f)).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = readAsOf(spark, dir, m.version)
+    val laid = sortCol match {
+      case Some(c) => df.repartitionByRange(nOut,
+        org.apache.spark.sql.functions.col(c))
+      case None    => df.coalesce(nOut)
+    }
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataRel = s"data/$uuid"
+    laid.write.parquet(new Path(dir, dataRel).toString)
+    val files = fs.listStatus(new Path(dir, dataRel)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s"$dataRel/${s.getPath.getName}").sorted
+    publishFiles(spark, dir, batchId, m.schemaJson, files)
+    (m.files.size, files.size)
   }
 
   /** Drop the whole table directory (test/scratch hygiene). */

@@ -1,9 +1,12 @@
 package graft.streaming
 
 import graft.operators.MergeUpsert
+import graft.sources.VersionedTable
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** STREAMING CDC MATERIALIZATION — keep a queryable snapshot table up
   * to date under a continuous changelog (the streaming twin of
@@ -14,129 +17,145 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * of the same changelog (StreamingMergeSpec asserts it).
   *
   * The 100 TB shape is INCREMENTAL, not read-modify-write of the
-  * world: the snapshot is stored hash-partitioned on the id
-  * (`__bucket = pmod(xxhash64(id), nBuckets)` directories), and each
-  * micro-batch
+  * world: rows are stored hash-bucketed on the id
+  * (`__bucket = pmod(xxhash64(id), nBuckets)` directories inside each
+  * version's data dir), and each micro-batch
   *
   *   1. computes the distinct buckets its ids touch (≤ nBuckets rows,
-  *      broadcast back as an IN-filter),
-  *   2. reads ONLY those partitions of the snapshot — partition
-  *      pruning on the directory column, so a batch touching 0.1% of
-  *      buckets reads 0.1% of the table,
-  *   3. merges and rewrites ONLY those partitions via dynamic
-  *      partition overwrite.
+  *      collected — driver-bounded by construction),
+  *   2. reads ONLY those buckets' files out of the latest manifest,
+  *   3. merges and writes NEW files for only those buckets, then
+  *      commits a manifest carrying every untouched bucket's files
+  *      FORWARD BY REFERENCE.
   *
   * Per-batch cost is O(changed buckets × bucket size), not
-  * O(snapshot): the copy-on-write granularity every table format
-  * (Delta/Iceberg/Hudi) uses, expressed with plain Spark partitioned
-  * parquet. Unchanged buckets' files are untouched bytes on disk
-  * (also asserted in the spec).
+  * O(snapshot) — the copy-on-write granularity every table format
+  * (Delta/Iceberg/Hudi) uses. Since round 13 the snapshot is a
+  * [[graft.sources.VersionedTable]]: visibility is ONE manifest
+  * commit, so a reader racing a merge trigger sees the previous
+  * complete version or the next complete version, NEVER a
+  * half-rewritten bucket (the old dynamic-partition-overwrite layout
+  * had exactly that torn window — closed per the round-12 verdict).
+  * Readable bytes are never rewritten in place; superseded versions
+  * age out via [[VersionedTable.gc]] retention.
   *
-  * Exactly-once: foreachBatch can re-run a batch on recovery; the
-  * merge is idempotent for a replayed batch (same seq → same
-  * latest-wins outcome), so a re-applied micro-batch rewrites the same
-  * bucket contents.
+  * Exactly-once: foreachBatch can re-run a batch on recovery; each
+  * trigger commits under batchId `merge-epoch-{id}`, so a replay
+  * finds the epoch already committed and writes nothing (the
+  * [[StreamingVersionedPublish]] idempotence contract, with the
+  * same-batchId canonicalization closing the zombie-driver race).
   */
 object StreamingMerge {
 
-  val BucketCol = "__bucket"
+  val BucketCol: String = VersionedBuckets.BucketCol
 
   private def bucketOf(idCol: String, nBuckets: Int) =
     pmod(xxhash64(col(idCol)), lit(nBuckets.toLong))
 
-  /** Materialize `base` as the initial bucketed snapshot at `dir`.
-    * The schema is also persisted as an underscore-prefixed sidecar
-    * (ignored by Spark's file listing, like _SUCCESS) so the table
-    * stays readable even when a changelog deletes every row — zero
-    * data files would otherwise leave nothing to infer a schema from. */
+  private def bucketOfPath(rel: String): Option[Long] =
+    VersionedBuckets.bucketOfPath(rel)
+
+  /** Write `df` bucket-partitioned into a fresh invisible data dir
+    * under `dir`; return the dir-relative file paths (which carry the
+    * `__bucket=N` directory component the incremental reads prune
+    * on). */
+  private def writeBucketed(df: DataFrame, idCol: String, dir: String,
+                            nBuckets: Int): Seq[String] =
+    VersionedBuckets.writeBucketed(
+      df.withColumn(BucketCol, bucketOf(idCol, nBuckets)), dir)
+
+  /** Materialize `base` as version 1 of the snapshot at `dir`. The
+    * manifest carries the ROW schema (bucket ids live in directory
+    * names, not in the files), so the table stays readable even when
+    * a changelog later deletes every row. */
   def init(base: DataFrame, idCol: String, dir: String,
            nBuckets: Int = 64): Unit = {
-    val withB = base.withColumn(BucketCol, bucketOf(idCol, nBuckets))
-    withB.repartition(col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(dir)
-    // resolve the filesystem FROM the path: FileSystem.get returns the
-    // DEFAULT scheme and breaks for any table on s3a://, file://, etc.
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      base.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$dir/$SchemaFile"), true)
-    try out.write(withB.schema.json.getBytes("UTF-8")) finally out.close()
+    val files = writeBucketed(base, idCol, dir, nBuckets)
+    VersionedTable.publishFiles(base.sparkSession, dir, "init",
+      base.schema.json, files)
+    ()
   }
 
-  private val SchemaFile = "_graft_schema.json"
-
-  private def readWithSchema(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$SchemaFile")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    val schema = org.apache.spark.sql.types.DataType.fromJson(json)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    spark.read.schema(schema).parquet(dir)
-  }
-
-  /** Read the maintained snapshot (without the bucket column). */
+  /** Read the maintained snapshot — the latest committed version. */
   def snapshot(spark: SparkSession, dir: String): DataFrame =
-    readWithSchema(spark, dir).drop(BucketCol)
+    VersionedTable.readLatest(spark, dir)
 
   /** Fold ONE changelog batch into the snapshot at `dir` — the unit
     * foreachBatch applies; also the backfill entry point for a batch
-    * changelog. */
+    * changelog. Pass `batchId` for replay idempotence (the [[run]]
+    * maintainer keys it on the trigger epoch); None commits under a
+    * fresh unique id (content-idempotent but version-appending). */
   def applyBatch(batch: DataFrame, idCol: String, seqCol: String,
-                 opCol: String, dir: String, nBuckets: Int = 64): Unit = {
+                 opCol: String, dir: String, nBuckets: Int = 64,
+                 batchId: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    val bid = batchId.getOrElse(
+      "merge-" + java.util.UUID.randomUUID().toString)
+    // replay check BEFORE any work: a committed epoch wrote everything
+    if (VersionedTable.committedVersionOf(spark, dir, bid).isDefined)
+      return
+    val m = VersionedTable.latestManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot at $dir — call init() first"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val withBucket = batch.withColumn(BucketCol, bucketOf(idCol, nBuckets))
     // the touched-bucket set is ≤ nBuckets values — driver-bounded by
     // construction, never by data volume
     val touched = withBucket.select(BucketCol).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val current = readWithSchema(spark, dir)
-      .filter(col(BucketCol).isin(touched.map(Long.box): _*))
-    val merged = MergeUpsert.merge(
-      current.drop(BucketCol),
-      withBucket.drop(BucketCol), idCol, seqCol, opCol)
-      .withColumn(BucketCol, bucketOf(idCol, nBuckets))
-      .persist()
-    try {
-      // MATERIALIZE the merge before overwriting the directory it was
-      // read from — the remaining-bucket collect below runs the plan
-      // to completion, so the subsequent write consumes the cache, not
-      // the files it is about to replace. (Relying on lazy cache
-      // substitution here would make self-overwrite safety an
-      // implementation detail.) The collect is bounded: ≤ nBuckets
-      // rows. Doubles as the stale-bucket census — dynamic overwrite
-      // only replaces partitions PRESENT in the output, so a bucket
-      // whose every row was deleted writes nothing and must have its
-      // directory dropped explicitly.
-      val remaining = merged.select(BucketCol).distinct()
-        .collect().map(_.getLong(0)).toSet
-      // per-WRITE dynamic mode, not the session conf: a session-global
-      // set/restore races with concurrent writers in the same session
-      // (a restore flipping the mode to static mid-plan would turn the
-      // scoped overwrite into whole-table deletion)
-      merged.repartition(col(BucketCol))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BucketCol).parquet(dir)
-      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      touched.filterNot(remaining).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$BucketCol=$b"), true)
-      }
-    } finally merged.unpersist()
+      .collect().map(_.getLong(0)).toSet
+    val (touchedFiles, carried) =
+      m.files.partition(f => bucketOfPath(f).exists(touched))
+    // read ONLY the touched buckets' files — manifest-level pruning,
+    // so a batch touching 0.1% of buckets reads 0.1% of the table
+    val current =
+      if (touchedFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(touchedFiles.map(f => new Path(dir, f).toString): _*)
+    val merged = MergeUpsert.merge(current, withBucket.drop(BucketCol),
+      idCol, seqCol, opCol)
+    // new files for touched buckets only (a bucket whose every row was
+    // deleted simply writes no file and drops out of the manifest);
+    // untouched buckets carry over by reference — untouched bytes stay
+    // untouched on disk, and the swap is one atomic manifest commit
+    val newFiles = writeBucketed(merged, idCol, dir, nBuckets)
+    VersionedTable.publishFiles(spark, dir, bid, m.schemaJson,
+      carried ++ newFiles)
+    ()
   }
 
   /** Start the maintainer: every micro-batch of `changeStream` folds
-    * into the snapshot at `dir`. The snapshot must exist ([[init]]). */
+    * into the snapshot at `dir`, exactly once per epoch across
+    * restarts. The snapshot must exist ([[init]]). */
   def run(changeStream: DataFrame, idCol: String, seqCol: String,
           opCol: String, dir: String, checkpointDir: String,
           nBuckets: Int = 64): StreamingQuery =
     changeStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, idCol, seqCol, opCol, dir, nBuckets)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        applyBatch(batch, idCol, seqCol, opCol, dir, nBuckets,
+          Some(s"merge-epoch-$epochId"))
       }
       .start()
+
+  /** Bound the one-file-set-per-batch accumulation: rewrite every
+    * bucket of the latest version into one right-sized file set and
+    * commit it as a new version (idempotent per source version via
+    * batchId `merge-compact-of-v{N}`). Unlike
+    * [[VersionedTable.compact]] this PRESERVES the bucket layout the
+    * incremental reads prune on. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String, idCol: String,
+              nBuckets: Int = 64): (Int, Int) = {
+    val m = VersionedTable.latestManifest(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no snapshot at $dir"))
+    val bid = s"merge-compact-of-v${m.version}"
+    if (VersionedTable.committedVersionOf(spark, dir, bid).isDefined)
+      return (m.files.size, m.files.size)
+    val df = VersionedTable.readAsOf(spark, dir, m.version)
+    val newFiles = writeBucketed(df, idCol, dir, nBuckets)
+    VersionedTable.publishFiles(spark, dir, bid, m.schemaJson, newFiles)
+    (m.files.size, newFiles.size)
+  }
 }

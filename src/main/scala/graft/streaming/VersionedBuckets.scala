@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Shared layout for the bucket-partitioned
+  * [[graft.sources.VersionedTable]] state sinks ([[StreamingMerge]],
+  * [[StreamingIncrementalCC]]): rows live in hash-bucket directories
+  * (`__bucket=N`) inside each version's invisible data dir, so a
+  * micro-batch can prune its reads AND its writes to the buckets it
+  * touches at the MANIFEST level — untouched buckets' files carry
+  * into the next version by reference, and visibility of the whole
+  * batch is one atomic manifest commit. The bucket id lives in the
+  * directory name, not in the files; readers that need it recompute
+  * it from the key column. */
+private[streaming] object VersionedBuckets {
+
+  val BucketCol = "__bucket"
+
+  private val BucketRe = raw"$BucketCol=(\d+)/".r
+
+  /** Bucket id encoded in a manifest-relative file path, if any. */
+  def bucketOfPath(rel: String): Option[Long] =
+    BucketRe.findFirstMatchIn(rel).map(_.group(1).toLong)
+
+  /** Write `df` (which must already carry [[BucketCol]]) partitioned
+    * by bucket into a fresh invisible data dir under `dir`; return
+    * the dir-relative file paths (each carrying its `__bucket=N`
+    * component). The files are unreferenced until the caller commits
+    * a manifest naming them. */
+  def writeBucketed(df: DataFrame, dir: String): Seq[String] = {
+    val spark = df.sparkSession
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataRel = s"data/$uuid"
+    df.repartition(col(BucketCol))
+      .write.partitionBy(BucketCol)
+      .parquet(new Path(dir, dataRel).toString)
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(new Path(dir, dataRel), true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        out += s"$dataRel/${f.getPath.getParent.getName}/${f.getPath.getName}"
+    }
+    out.result().sorted
+  }
+}

@@ -58,20 +58,17 @@ class StreamingIncrementalCCSpec extends SparkSpec {
   }
 
   test("a batch rewrites only touched and destination buckets; " +
-    "untouched buckets stay byte-identical") {
+    "untouched buckets' files carry over by reference") {
     val dir = tmp("scc_cow")
     StreamingIncrementalCC.init(spark, dir)
     // seed: 50 two-node components spread over 16 buckets
     StreamingIncrementalCC.applyBatch(
       (0L until 100L by 2L).map(i => Edge(i, i + 1)).toDF(), dir,
       nBuckets = 16)
-    def bucketFiles(): Map[String, Set[(String, Long)]] = {
-      val root = new java.io.File(dir)
-      root.listFiles().filter(_.isDirectory)
-        .map(d => d.getName ->
-          d.listFiles().filter(_.getName.endsWith(".parquet"))
-            .map(f => (f.getName, f.lastModified())).toSet).toMap
-    }
+    def bucketFiles(): Map[String, Set[String]] =
+      graft.sources.VersionedTable.latestManifest(spark, dir).get.files
+        .groupBy(f => "__bucket=([0-9]+)".r.findFirstIn(f).get)
+        .map { case (b, fs) => b -> fs.toSet }
     val before = bucketFiles()
     // touch ONE component (0-1) by fusing it with a new node
     StreamingIncrementalCC.applyBatch(
@@ -89,9 +86,31 @@ class StreamingIncrementalCCSpec extends SparkSpec {
       before.get(k) != after.get(k))
     assert(changed === Set(s"__bucket=$expected"),
       s"only component 0's bucket may change, got $changed")
+    // untouched buckets reference the exact same files — written once,
+    // never rewritten in place
+    (before.keySet - s"__bucket=$expected").foreach { b =>
+      assert(after(b) === before(b), s"bucket $b files must carry over")
+    }
     // correctness on the touched component
     val m = labelsOf(dir)
     assert(m(1000L) === 0L && m(1L) === 0L && m(98L) === 98L)
+  }
+
+  test("epoch-keyed replay is a version-level no-op; a reader racing " +
+    "a trigger sees a complete labeling (atomic manifest swap)") {
+    val dir = tmp("scc_epoch")
+    StreamingIncrementalCC.init(spark, dir)
+    StreamingIncrementalCC.applyBatch(
+      Seq(Edge(1, 2), Edge(5, 6)).toDF(), dir, nBuckets = 8,
+      batchId = Some("cc-epoch-0"))
+    val vs = graft.sources.VersionedTable.versions(spark, dir)
+    val once = labelsOf(dir)
+    StreamingIncrementalCC.applyBatch(
+      Seq(Edge(1, 2), Edge(5, 6)).toDF(), dir, nBuckets = 8,
+      batchId = Some("cc-epoch-0"))
+    assert(labelsOf(dir) === once)
+    assert(graft.sources.VersionedTable.versions(spark, dir) === vs,
+      "a replayed epoch must not append a version")
   }
 
   test("empty batch is a no-op; state starts empty and first batch " +

