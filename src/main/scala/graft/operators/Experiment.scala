@@ -213,6 +213,144 @@ object Experiment {
     FROM sums"""
   }
 
+  /** MULTI-COVARIATE REGRESSION ADJUSTMENT (ANCOVA / k-covariate
+    * CUPED) — [[cuped]]'s production form: adjust Y by k
+    * pre-experiment covariates at once, θ = Var(X)⁻¹ Cov(X, Y),
+    * var(Y_adj) = var(Y) − θ'·Cov(X, Y), capturing the variance any
+    * LINEAR COMBINATION of the covariates explains (k correlated
+    * covariates beat the best single one — ExperimentSpec pins it).
+    *
+    * Scale/determinism split (the Pca.fit moment shape): ONE hash
+    * aggregate collapses the corpus to k(k+3)/2 + 3 exact DECIMAL
+    * sums — bounded by the covariate axis, never the corpus — then
+    * the k×k normal equations solve on the DRIVER by PIVOT-FREE
+    * Gaussian elimination (covariance matrices are SPD, so no
+    * pivoting is needed and the elimination order is FIXED: one
+    * deterministic IEEE sequence [[sqlRegressionAdjust]] unrolls
+    * verbatim, keeping the row under the bit-exact oracle). Output
+    * lands on the 6-dp floor grid.
+    *
+    * `perUnit`: one row per unit, DECIMAL covariates `xCols` and
+    * metric `yCol`. Output one row:
+    * `(n, theta_1..theta_k, var_y, var_y_adj, var_reduction_pct)`.
+    * k = 1 reproduces [[cuped]] exactly. */
+  def regressionAdjust(perUnit: DataFrame, xCols: Seq[String],
+                       yCol: String): DataFrame = {
+    val k = xCols.size
+    require(k >= 1, "need at least one covariate")
+    val spark = perUnit.sparkSession
+    val y = col(yCol)
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("n"),
+        sum(y).cast("double").as("sy"),
+        sum(y * y).cast("double").as("syy")) ++
+      xCols.zipWithIndex.flatMap { case (xc, i) =>
+        Seq(sum(col(xc)).cast("double").as(s"sx$i"),
+          sum(col(xc) * y).cast("double").as(s"sxy$i"))
+      } ++
+      (for (i <- 0 until k; j <- i until k) yield
+        sum(col(xCols(i)) * col(xCols(j))).cast("double")
+          .as(s"sxx_${i}_$j"))
+    val r = perUnit.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def f(name: String) = r.getDouble(r.fieldIndex(name))
+    val n = f("n")
+    require(n > 0, "regressionAdjust over an empty frame")
+    val varY = (f("syy") - f("sy") * f("sy") / n) / n
+    val c = Array.tabulate(k)(i =>
+      (f(s"sxy$i") - f(s"sx$i") * f("sy") / n) / n)
+    val a = Array.tabulate(k, k) { (i, j) =>
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      (f(s"sxx_${lo}_$hi") - f(s"sx$i") * f(s"sx$j") / n) / n
+    }
+    val theta = solveSpd(a, c.clone())
+    var varAdj = varY
+    for (i <- 0 until k) varAdj = varAdj - theta(i) * c(i)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val outCols = Seq(lit(n.toLong).as("n")) ++
+      theta.toSeq.zipWithIndex.map { case (t, i) =>
+        lit(r6(t)).as(s"theta_${i + 1}") } ++
+      Seq(lit(r6(varY)).as("var_y"), lit(r6(varAdj)).as("var_y_adj"),
+        lit(r6(100.0 * (varY - varAdj) / varY)).as("var_reduction_pct"))
+    spark.range(1).select(outCols: _*)
+  }
+
+  /** Pivot-free in-place Gaussian elimination + back substitution for
+    * SPD systems — the FIXED IEEE sequence both [[regressionAdjust]]
+    * and its SQL twin replay. Mutates `a` and `b`. */
+  private def solveSpd(a: Array[Array[Double]],
+                       b: Array[Double]): Array[Double] = {
+    val k = b.length
+    for (p <- 0 until k - 1; rI <- p + 1 until k) {
+      require(a(p)(p) != 0.0,
+        s"singular covariate matrix at pivot $p (collinear covariates?)")
+      val m = a(rI)(p) / a(p)(p)
+      for (j <- p + 1 until k) a(rI)(j) = a(rI)(j) - m * a(p)(j)
+      b(rI) = b(rI) - m * b(p)
+    }
+    val x = new Array[Double](k)
+    for (rI <- (k - 1) to 0 by -1) {
+      var acc = b(rI)
+      for (j <- rI + 1 until k) acc = acc - a(rI)(j) * x(j)
+      require(a(rI)(rI) != 0.0,
+        s"singular covariate matrix at pivot $rI (collinear covariates?)")
+      x(rI) = acc / a(rI)(rI)
+    }
+    x
+  }
+
+  /** DuckDB twin of [[regressionAdjust]]: `perUnitSql` must select
+    * `(x1..xk, y)` DECIMAL. The fixed elimination sequence is
+    * unrolled symbolically — expression size grows fast in k, so the
+    * oracle twin is for small covariate sets (the engine side takes
+    * any k). */
+  def sqlRegressionAdjust(perUnitSql: String, k: Int): String = {
+    require(k >= 1)
+    val sumCols = Seq("CAST(count(*) AS DOUBLE) AS n",
+      "CAST(sum(y) AS DOUBLE) AS sy",
+      "CAST(sum(y * y) AS DOUBLE) AS syy") ++
+      (0 until k).flatMap(i => Seq(
+        s"CAST(sum(x${i + 1}) AS DOUBLE) AS sx$i",
+        s"CAST(sum(x${i + 1} * y) AS DOUBLE) AS sxy$i")) ++
+      (for (i <- 0 until k; j <- i until k) yield
+        s"CAST(sum(x${i + 1} * x${j + 1}) AS DOUBLE) AS sxx_${i}_$j")
+    def sxx(i: Int, j: Int) = {
+      val (lo, hi) = if (i <= j) (i, j) else (j, i); s"sxx_${lo}_$hi"
+    }
+    val varY = "((syy - sy * sy / n) / n)"
+    val c0 = Array.tabulate(k)(i => s"((sxy$i - sx$i * sy / n) / n)")
+    val a = Array.tabulate(k, k)((i, j) =>
+      s"((${sxx(i, j)} - sx$i * sx$j / n) / n)")
+    val cc = c0.clone()
+    // forward elimination — the same loop order as solveSpd, applied
+    // to expression strings so both engines execute identical ops
+    for (p <- 0 until k - 1; rI <- p + 1 until k) {
+      val m = s"(${a(rI)(p)} / ${a(p)(p)})"
+      for (j <- p + 1 until k) a(rI)(j) = s"(${a(rI)(j)} - $m * ${a(p)(j)})"
+      cc(rI) = s"(${cc(rI)} - $m * ${cc(p)})"
+    }
+    val th = new Array[String](k)
+    for (rI <- (k - 1) to 0 by -1) {
+      var acc = cc(rI)
+      for (j <- rI + 1 until k) acc = s"($acc - ${a(rI)(j)} * ${th(j)})"
+      th(rI) = s"($acc / ${a(rI)(rI)})"
+    }
+    var varAdj = varY
+    for (i <- 0 until k) varAdj = s"($varAdj - ${th(i)} * ${c0(i)})"
+    def r6(e: String) = s"floor($e * 1e6 + 0.5e0) / 1e6"
+    val thetaCols = (0 until k).map(i =>
+      s"${r6(th(i))} AS theta_${i + 1}").mkString(",\n      ")
+    s"""
+    WITH pu AS ($perUnitSql), sums AS (
+      SELECT ${sumCols.mkString(",\n        ")}
+      FROM pu)
+    SELECT CAST(n AS BIGINT) AS n,
+      $thetaCols,
+      ${r6(varY)} AS var_y,
+      ${r6(varAdj)} AS var_y_adj,
+      ${r6(s"(100.0e0 * ($varY - $varAdj) / $varY)")} AS var_reduction_pct
+    FROM sums"""
+  }
+
   /** DuckDB twin of [[welchTTest]]: `perUnitSql` must select
     * `(variant, m)` with `m` DECIMAL. */
   def sqlWelch(perUnitSql: String, a: String, b: String): String = {
@@ -2130,5 +2268,150 @@ object Experiment {
         floor(CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) * 1e6 + 0.5e0)
           / 1e6 END AS ate_aipw
     FROM sums"""
+  }
+
+  // ---------------------------------------------------------------
+  // TRAINED nuisance models for the observational estimators — the
+  // production workflow: [[ipwAte]]/[[aipwAte]] take e(x)/m_t(x) as
+  // caller columns (closed-form → the exact oracle); real
+  // observational data has neither, so fit them FROM the data. Like
+  // every trained operator here (c7_lr_quality), float reduction
+  // order makes coefficients reproducible only to ~1e-12 across
+  // partitionings → rows+spec, with the closed-form path kept as the
+  // oracle twin. PropensitySpec pins that trained-e IPW recovers the
+  // planted effect on the confounded fixture where the naive
+  // difference fails.
+  // ---------------------------------------------------------------
+
+  /** Fit the propensity e(x) = P(T = 1 | x) by MLlib logistic
+    * regression over numeric covariates — one treeAggregate gradient
+    * all-reduce per iteration (the QualityClassifier shape: linear in
+    * rows, no corpus shuffle; the coefficient vector is
+    * covariate-sized). */
+  def fitPropensity(units: DataFrame, treatCol: String,
+                    covariateCols: Seq[String], maxIter: Int = 100,
+                    regParam: Double = 0.0)
+      : org.apache.spark.ml.classification.LogisticRegressionModel = {
+    require(covariateCols.nonEmpty, "need at least one covariate")
+    new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam).setTol(1e-10)
+      .setFeaturesCol("__e_features").setLabelCol("__e_label")
+      .fit(units.select(
+        col(treatCol).cast("double").as("__e_label"),
+        org.apache.spark.ml.functions.array_to_vector(array(
+          covariateCols.map(c => col(c).cast("double")): _*))
+          .as("__e_features")))
+  }
+
+  /** Adds `e_hat` = the model's P(T = 1 | x): a broadcast of the tiny
+    * coefficient vector into a per-row dot product. */
+  def scorePropensity(units: DataFrame, covariateCols: Seq[String],
+                      model: org.apache.spark.ml.classification.LogisticRegressionModel)
+      : DataFrame = {
+    val scored = model.transform(units.withColumn("__e_features",
+      org.apache.spark.ml.functions.array_to_vector(array(
+        covariateCols.map(c => col(c).cast("double")): _*))))
+    scored.withColumn("e_hat", element_at(
+        org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
+      .drop("__e_features", "rawPrediction", "probability", "prediction")
+  }
+
+  /** Adds `e_cal`: [[scorePropensity]]'s `e_hat` isotonic-calibrated
+    * against the observed arm (the [[Calibration.isotonic]] PAV
+    * table, applied by bin join — LR's sigmoid can be systematically
+    * over/under-confident; PAV fixes the reliability curve without
+    * touching the ranking). Bins with no calibration row (empty in
+    * training) fall back to the raw score. */
+  def calibratePropensity(scored: DataFrame, treatCol: String,
+                          nBins: Int = 100): DataFrame = {
+    val cal = Calibration.isotonic(scored, "e_hat", treatCol, nBins)
+      .select(col("bin").as("__cal_bin"),
+        col("calibrated").as("__cal_e"))
+    val bin = least(floor(col("e_hat").cast("double") * nBins),
+      lit((nBins - 1).toDouble)).cast("long")
+    scored.withColumn("__bin", bin)
+      .join(broadcast(cal), col("__bin") === col("__cal_bin"), "left")
+      .withColumn("e_cal", coalesce(col("__cal_e"), col("e_hat")))
+      .drop("__bin", "__cal_bin", "__cal_e")
+  }
+
+  /** [[ipwAte]] with a TRAINED propensity: fit T ~ x, score,
+    * optionally calibrate, weight. The estimate is rows+spec (trained
+    * model contract); [[ipwAte]] with a closed-form e stays the
+    * oracle twin. */
+  def ipwAteTrained(units: DataFrame, treatCol: String,
+                    outcomeCol: String, covariateCols: Seq[String],
+                    clip: Double = 0.05,
+                    calibrate: Boolean = false): DataFrame = {
+    val model = fitPropensity(units, treatCol, covariateCols)
+    val scored = scorePropensity(units, covariateCols, model)
+    val withE =
+      if (calibrate) calibratePropensity(scored, treatCol)
+      else scored
+    ipwAte(withE, treatCol, outcomeCol,
+      if (calibrate) "e_cal" else "e_hat", clip)
+  }
+
+  /** Exact-moment OLS with intercept on the DRIVER (the
+    * [[regressionAdjust]] machinery over the (k+1)-sized augmented
+    * system): one aggregate to (X'X, X'y), [[solveSpd]], coefficients
+    * back as `(intercept, b_1..b_k)`. A small RIDGE term (λ·n on the
+    * covariate diagonal, λ = 1e-6) keeps the solve defined when a
+    * covariate is constant within an arm — routine on small strata,
+    * and a trained outcome model tolerates the negligible shrinkage
+    * (the closed-form oracle twins never pass through here). */
+  private def olsFit(df: DataFrame, xCols: Seq[String], yCol: String,
+                     ridge: Double = 1e-6): Array[Double] = {
+    val k = xCols.size
+    val y = col(yCol).cast("double")
+    val xs = xCols.map(c => col(c).cast("double"))
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("m_n"),
+        sum(y).cast("double").as("m_sy")) ++
+      xs.zipWithIndex.flatMap { case (x, i) =>
+        Seq(sum(x).cast("double").as(s"m_sx$i"),
+          sum(x * y).cast("double").as(s"m_sxy$i"))
+      } ++
+      (for (i <- 0 until k; j <- i until k) yield
+        sum(xs(i) * xs(j)).cast("double").as(s"m_sxx_${i}_$j"))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def f(name: String) = r.getDouble(r.fieldIndex(name))
+    require(f("m_n") > 0, "olsFit over an empty frame")
+    // augmented normal equations: A = [[n, sx'], [sx, X'X]], b = [sy, X'y]
+    val a = Array.ofDim[Double](k + 1, k + 1)
+    val b = new Array[Double](k + 1)
+    a(0)(0) = f("m_n"); b(0) = f("m_sy")
+    for (i <- 0 until k) {
+      a(0)(i + 1) = f(s"m_sx$i"); a(i + 1)(0) = f(s"m_sx$i")
+      b(i + 1) = f(s"m_sxy$i")
+      for (j <- i until k) {
+        a(i + 1)(j + 1) = f(s"m_sxx_${i}_$j")
+        a(j + 1)(i + 1) = f(s"m_sxx_${i}_$j")
+      }
+    }
+    for (i <- 1 to k) a(i)(i) = a(i)(i) + ridge * f("m_n")
+    solveSpd(a, b)
+  }
+
+  /** [[aipwAte]] with BOTH nuisance models trained from the data —
+    * the full doubly-robust workflow: propensity by logistic
+    * regression on the covariates, outcome models m₁/m₀ by exact-
+    * moment OLS WITHIN each arm (predicted at every unit's own x).
+    * rows+spec like [[ipwAteTrained]]. */
+  def aipwAteTrained(units: DataFrame, treatCol: String,
+                     outcomeCol: String, covariateCols: Seq[String],
+                     clip: Double = 0.05): DataFrame = {
+    val t = col(treatCol).cast("int")
+    val model = fitPropensity(units, treatCol, covariateCols)
+    val scored = scorePropensity(units, covariateCols, model)
+    val b1 = olsFit(units.filter(t === 1), covariateCols, outcomeCol)
+    val b0 = olsFit(units.filter(t === 0), covariateCols, outcomeCol)
+    def pred(b: Array[Double]): Column =
+      covariateCols.zipWithIndex.foldLeft(lit(b(0))) { case (acc, (c, i)) =>
+        acc + lit(b(i + 1)) * col(c).cast("double")
+      }
+    aipwAte(scored.withColumn("__m1", pred(b1))
+        .withColumn("__m0", pred(b0)),
+      treatCol, outcomeCol, "e_hat", "__m1", "__m0", clip)
   }
 }

@@ -925,6 +925,67 @@ object RelationalQueries extends Registry {
           spend(col("ts") >= split).as("y"))
       graft.operators.Experiment.cuped(perUser, "x", "y")
     }),
+    // D230: MULTI-COVARIATE REGRESSION ADJUSTMENT — d41's CUPED in
+    // its production form: adjust post-period spend by TWO pre-period
+    // covariates (spend AND purchase count) at once; θ = Var(X)⁻¹
+    // Cov(X,Y) solves on the driver by a FIXED pivot-free elimination
+    // the oracle unrolls verbatim, so the whole ANCOVA row is
+    // bit-exact. ExperimentSpec pins reduction ≥ single-covariate
+    // CUPED's.
+    "d122_regression_adjust" -> ((s, d) => {
+      val split = lit("2024-01-16").cast("timestamp")
+      def spend(cond: org.apache.spark.sql.Column) =
+        sum(when(col("event_type") === "purchase" && cond,
+            col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(18,2)")
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(spend(col("ts") < split).as("x1"),
+          count(when(col("event_type") === "purchase" &&
+            col("ts") < split, lit(1))).cast("decimal(18,2)").as("x2"),
+          spend(col("ts") >= split).as("y"))
+      graft.operators.Experiment.regressionAdjust(
+        perUser, Seq("x1", "x2"), "y")
+    }),
+    // D231/D232: IPW and AIPW with TRAINED nuisance models — the
+    // observational workflow d113/d114 assume away: the propensity is
+    // fit from the data (MLlib LR over activity covariates, the
+    // treeAggregate all-reduce shape) and, for AIPW, the outcome
+    // models are exact-moment per-arm OLS. Trained-model contract →
+    // rows+spec (PropensitySpec pins effect recovery on the
+    // confounded fixture); d113/d114 stay the closed-form oracle
+    // twins.
+    "d123_ipw_trained" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("a"),
+          countDistinct(col("event_type")).as("k"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      val z = least(col("a"), lit(20L)).cast("double") / lit(20.0)
+      val e = lit(0.2) + lit(0.6) * z
+      val u = graft.functions.Noise.hashNoise(col("user_id"), salt = 23)
+      graft.operators.Experiment.ipwAteTrained(
+        perUser.select((u < e).cast("int").as("t"), col("y"),
+          col("a").cast("double").as("x1"),
+          col("k").cast("double").as("x2")),
+        "t", "y", Seq("x1", "x2"))
+    }),
+    "d124_aipw_trained" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("a"),
+          countDistinct(col("event_type")).as("k"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      val z = least(col("a"), lit(20L)).cast("double") / lit(20.0)
+      val e = lit(0.2) + lit(0.6) * z
+      val u = graft.functions.Noise.hashNoise(col("user_id"), salt = 23)
+      graft.operators.Experiment.aipwAteTrained(
+        perUser.select((u < e).cast("int").as("t"), col("y"),
+          col("a").cast("double").as("x1"),
+          col("k").cast("double").as("x2")),
+        "t", "y", Seq("x1", "x2"))
+    }),
     // D85: EWMA smoothing — the monitoring dashboard's trend line and
     // its residual, over per-type hourly rates. EWMA's recursion is
     // window-hostile, so this is the standard bounded-memory form: an
@@ -2996,6 +3057,21 @@ object RelationalQueries extends Registry {
              THEN CAST(value AS DECIMAL(12,2))
              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS y
          FROM events GROUP BY user_id"""),
+    "d122_regression_adjust" -> graft.operators.Experiment
+      .sqlRegressionAdjust(
+        """SELECT
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                 AND ts < TIMESTAMP '2024-01-16'
+               THEN CAST(value AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS x1,
+             CAST(count(CASE WHEN event_type = 'purchase'
+                 AND ts < TIMESTAMP '2024-01-16'
+               THEN 1 END) AS DECIMAL(18,2)) AS x2,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                 AND ts >= TIMESTAMP '2024-01-16'
+               THEN CAST(value AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS y
+           FROM events GROUP BY user_id""", k = 2),
     "d40_ewma" -> {
       def term(k: Int): (String, String) = {
         val x = if (k == 0) "n"
