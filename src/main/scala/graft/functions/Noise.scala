@@ -95,4 +95,62 @@ object Noise {
   /** DuckDB-compatible SQL for missingMask(key, salt, frac). */
   def sqlMissing(keyExpr: String, salt: Int, frac: Double): String =
     s"(${sqlNoise(keyExpr, salt)} < ${sqlDouble(frac)})"
+
+  // ---- portable inverse normal CDF (Acklam's rational approximation,
+  // the widely-published public-domain coefficients): pure +,−,×,÷,
+  // sqrt, ln — the same transcendental budget the Laplace inverse CDF
+  // already proved cross-engine-stable — so Gaussian noise can sit
+  // under the bit-exact oracle like the Laplace mechanisms do. Max
+  // relative error ~1.15e-9, far inside the 6-dp emission grid. ----
+
+  private val AckA = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+    -2.759285104469687e+02, 1.383577518672690e+02,
+    -3.066479806614716e+01, 2.506628277459239e+00)
+  private val AckB = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+    -1.556989798598866e+02, 6.680131188771972e+01,
+    -1.328068155288572e+01)
+  private val AckC = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+    -2.400758277161838e+00, -2.549732539343734e+00,
+    4.374664141464968e+00, 2.938163982698783e+00)
+  private val AckD = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+    2.445134137142996e+00, 3.754408661907416e+00)
+  private val AckLow = 0.02425
+
+  /** Φ⁻¹(u) for u ∈ (0,1): Acklam's piecewise rational approximation
+    * as one fixed Column-arithmetic sequence (central region + the
+    * two sqrt(−2 ln ·) tails). Callers must clamp u away from {0,1}. */
+  def invNormal(u: Column): Column = {
+    // Horner evaluation matching the canonical published form
+    def num(cs: Seq[Double], x: Column): Column =
+      cs.tail.foldLeft(lit(cs.head)) { (acc, cf) => acc * x + lit(cf) }
+    val qc = u - lit(0.5)
+    val rc = qc * qc
+    val central = num(AckA, rc) * qc / (num(AckB, rc) * rc + lit(1.0))
+    val ql = sqrt(lit(-2.0) * log(u))
+    val lower = num(AckC, ql) / (num(AckD, ql) * ql + lit(1.0))
+    val qh = sqrt(lit(-2.0) * log(lit(1.0) - u))
+    val upper = -(num(AckC, qh) / (num(AckD, qh) * qh + lit(1.0)))
+    when(u < lit(AckLow), lower)
+      .when(u > lit(1.0 - AckLow), upper)
+      .otherwise(central)
+  }
+
+  /** DuckDB twin of [[invNormal]] — identical piecewise rational
+    * sequence, term for term. */
+  def sqlInvNormal(uExpr: String): String = {
+    def num(cs: Seq[Double], x: String): String =
+      cs.tail.foldLeft(sqlDouble(cs.head)) { (acc, cf) =>
+        s"($acc * $x + ${sqlDouble(cf)})" }
+    val u = s"($uExpr)"
+    val qc = s"($u - 0.5e0)"
+    val rc = s"($qc * $qc)"
+    val central = s"(${num(AckA, rc)} * $qc / (${num(AckB, rc)} * $rc + 1.0e0))"
+    val ql = s"sqrt(-2.0e0 * ln($u))"
+    val lower = s"(${num(AckC, ql)} / (${num(AckD, ql)} * $ql + 1.0e0))"
+    val qh = s"sqrt(-2.0e0 * ln(1.0e0 - $u))"
+    val upper = s"(-(${num(AckC, qh)} / (${num(AckD, qh)} * $qh + 1.0e0)))"
+    s"""(CASE WHEN $u < ${sqlDouble(AckLow)} THEN $lower
+      WHEN $u > ${sqlDouble(1.0 - AckLow)} THEN $upper
+      ELSE $central END)"""
+  }
 }

@@ -128,6 +128,64 @@ object Anonymity {
         FROM g"""
   }
 
+  /** Per-group counts under the GAUSSIAN MECHANISM — the (ε, δ)
+    * member the pure-ε Laplace family was missing: calibrate
+    * σ = Δ·sqrt(2·ln(1.25/δ))/ε (the classic analytic bound, Δ = 1
+    * for counts) and add N(0, σ²) noise. Gaussian releases compose
+    * more gracefully across many queries (advanced composition /
+    * zCDP) — the reason production ledgers ([[DpLedger]]) track
+    * (ε, δ) pairs. Noise is Φ⁻¹ of the keyed hash uniform via
+    * Acklam's rational approximation ([[graft.functions.Noise
+    * .invNormal]]) — pure arithmetic + sqrt/ln, so the release sits
+    * under the bit-exact oracle like the Laplace rows.
+    *
+    * Same NON-CRYPTOGRAPHIC caveat as [[noisedCounts]]: the keyed
+    * hash is a public function — this is the mechanism SHAPE
+    * (sensitivity calibration, CDF inversion, portable plan); a real
+    * deployment must swap in a secret-seeded generator. */
+  def noisedCountsGaussian(df: DataFrame, groupCols: Seq[String],
+                           epsilon: Double, delta: Double,
+                           salt: Int = 31): DataFrame = {
+    require(groupCols.nonEmpty && epsilon > 0)
+    require(delta > 0 && delta < 1, s"delta must be in (0,1): $delta")
+    val key = graft.dedup.MinHashDedup.portableShingleHash(
+      concat_ws("", groupCols.map(col): _*))
+    val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
+      graft.functions.Noise.hashNoise(key, salt)))
+    val sigma = math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
+    val noise = lit(sigma) * graft.functions.Noise.invNormal(u)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("noised_n",
+        floor((col("__n").cast("double") + noise) * lit(1e6) + lit(0.5))
+          / lit(1e6))
+      .drop("__n")
+  }
+
+  /** DuckDB twin of [[noisedCountsGaussian]] — identical hash, σ
+    * calibration, Φ⁻¹ sequence and floor grid. */
+  def sqlNoisedCountsGaussian(table: String, groupCols: Seq[String],
+                              epsilon: Double, delta: Double,
+                              salt: Int = 31): String = {
+    import graft.functions.Noise.sqlDouble
+    val q = groupCols.mkString(", ")
+    val cat = groupCols.mkString("concat_ws(chr(1), ", ", ", ")")
+    val key = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len($cat) + 1),
+        j -> CAST(ascii(($cat)[j:j]) AS BIGINT))),
+      (a, ch) -> (a * 31 + ch) % 1000000007)"""
+    val u0 = graft.functions.Noise.sqlNoise(key, salt)
+    val u = s"greatest(${sqlDouble(1e-12)}, least(${sqlDouble(1.0 - 1e-12)}, $u0))"
+    val sigma = math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
+    val noise =
+      s"(${sqlDouble(sigma)} * ${graft.functions.Noise.sqlInvNormal(u)})"
+    s"""WITH g AS (
+          SELECT $q, count(*) AS n FROM $table GROUP BY $q)
+        SELECT $q, floor((CAST(n AS DOUBLE) + $noise) * 1000000.0e0
+          + 0.5e0) / 1000000.0e0 AS noised_n
+        FROM g"""
+  }
+
   /** Per-group Laplace-noised SUMS with CONTRIBUTION BOUNDING — the
     * half of a DP release [[noisedCounts]] doesn't cover, and the
     * half people get wrong: a sum's sensitivity is unbounded until

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DP PRIVACY-BUDGET LEDGER — the accounting the per-release
+  * mechanisms ([[Anonymity.noisedCounts]]/[[Anonymity.noisedSums]]/
+  * histogram/quantiles/[[Anonymity.noisedCountsGaussian]]) leave to
+  * the caller: a pipeline publishing weekly statistics must be able
+  * to answer "what is this corpus's TOTAL (ε, δ) so far?" and must
+  * refuse a release that would blow the budget. This ledger is the
+  * basic SEQUENTIAL-COMPOSITION account (ε's and δ's add across
+  * releases — the safe upper bound every other accountant refines),
+  * kept as a tiny [[VersionedTable]]:
+  *
+  *  - `init` commits version 1 holding the budget row;
+  *  - `record` appends one release row per publish — the release
+  *    name is the publish batchId, so replaying a release is a
+  *    version-level no-op (the at-least-once pipeline contract) —
+  *    and FAILS LOUDLY (no version committed) when the running
+  *    (ε, δ) total would exceed the budget;
+  *  - `summary` emits the ledger with running totals and headroom.
+  *
+  * Determinism: ε lives on a 1e-6 integer grid, δ on a 1e-12 grid —
+  * the totals are exact BIGINT sums, so the summary sits under the
+  * bit-exact oracle. Scale: the ledger is release-axis sized (rows =
+  * releases, not data); every operation is one small read + one
+  * manifest commit. SINGLE-WRITER by contract: concurrent recorders
+  * of distinct releases could each base on the same parent version
+  * and lose the other's row — budget accounting has one owner (the
+  * release pipeline), and the gc/canonicalization machinery already
+  * protects against the replay races that do occur in practice. */
+object DpLedger {
+
+  private val BudgetRelease = "__budget"
+
+  private def grid(eps: Double, delta: Double): (Long, Long) = {
+    require(eps >= 0 && !eps.isNaN && eps < 9e12, s"bad epsilon $eps")
+    require(delta >= 0 && !delta.isNaN && delta < 1, s"bad delta $delta")
+    (math.round(eps * 1e6), math.round(delta * 1e12))
+  }
+
+  /** Create the ledger with its total budget (version 1). */
+  def init(spark: SparkSession, dir: String, epsBudget: Double,
+           deltaBudget: Double): Unit = {
+    val (em, dp) = grid(epsBudget, deltaBudget)
+    require(em > 0, "epsilon budget must be positive")
+    import spark.implicits._
+    VersionedTable.publish(
+      Seq((0L, BudgetRelease, "budget", em, dp))
+        .toDF("ord", "release", "mechanism", "eps_micro", "delta_pico"),
+      dir, "ledger-init")
+    ()
+  }
+
+  private def entries(spark: SparkSession, dir: String): DataFrame =
+    VersionedTable.readLatest(spark, dir)
+
+  /** Record one release. Idempotent per `release` name; throws
+    * IllegalStateException (committing nothing) when the sequential
+    * composition total would exceed the budget. Returns the committed
+    * ledger version. */
+  def record(spark: SparkSession, dir: String, release: String,
+             mechanism: String, epsilon: Double, delta: Double): Long = {
+    require(release.nonEmpty && release != BudgetRelease &&
+      !release.contains("\n"), s"bad release name '$release'")
+    val (em, dp) = grid(epsilon, delta)
+    VersionedTable.committedVersionOf(spark, dir, s"release-$release") match {
+      case Some(v) => return v // replayed release: already accounted
+      case None =>
+    }
+    val cur = entries(spark, dir).collect() // release-axis sized
+    val budget = cur.find(_.getString(1) == BudgetRelease).getOrElse(
+      throw new IllegalStateException(s"no budget row at $dir — init() first"))
+    if (cur.exists(_.getString(1) == release)) // renamed-batch replay
+      return VersionedTable.latestVersion(spark, dir).get
+    val spentE = cur.filter(_.getString(1) != BudgetRelease)
+      .map(_.getLong(3)).sum
+    val spentD = cur.filter(_.getString(1) != BudgetRelease)
+      .map(_.getLong(4)).sum
+    if (spentE + em > budget.getLong(3) || spentD + dp > budget.getLong(4))
+      throw new IllegalStateException(
+        s"release '$release' (eps=$epsilon, delta=$delta) would exceed " +
+          s"the budget: spent eps_micro=$spentE/" +
+          s"${budget.getLong(3)}, delta_pico=$spentD/${budget.getLong(4)}")
+    val ord = cur.map(_.getLong(0)).max + 1L
+    import spark.implicits._
+    val next = entries(spark, dir).unionByName(
+      Seq((ord, release, mechanism, em, dp))
+        .toDF("ord", "release", "mechanism", "eps_micro", "delta_pico"))
+    VersionedTable.publish(next, dir, s"release-$release")
+  }
+
+  /** The ledger with running sequential-composition totals and
+    * remaining headroom: one row per release (ord order) —
+    * `(ord, release, mechanism, eps_micro, delta_pico,
+    * eps_spent_micro, delta_spent_pico, eps_left_micro,
+    * delta_left_pico)`. All exact BIGINT. */
+  def summary(spark: SparkSession, dir: String): DataFrame = {
+    val e = entries(spark, dir)
+    val budget = e.filter(col("release") === BudgetRelease)
+      .select(col("eps_micro").as("__be"), col("delta_pico").as("__bd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    e.filter(col("release") =!= BudgetRelease)
+      .crossJoin(broadcast(budget))
+      .withColumn("eps_spent_micro", sum(col("eps_micro")).over(w))
+      .withColumn("delta_spent_pico", sum(col("delta_pico")).over(w))
+      .select(col("ord"), col("release"), col("mechanism"),
+        col("eps_micro"), col("delta_pico"),
+        col("eps_spent_micro"), col("delta_spent_pico"),
+        (col("__be") - col("eps_spent_micro")).as("eps_left_micro"),
+        (col("__bd") - col("delta_spent_pico")).as("delta_left_pico"))
+  }
+}

@@ -1142,6 +1142,37 @@ object RelationalQueries extends Registry {
     "d34_noised_counts" -> ((s, d) =>
       graft.operators.Anonymity.noisedCounts(Tables.events(s, d),
         Seq("event_type"), epsilon = 0.5)),
+    // D233: the GAUSSIAN (ε, δ) mechanism next to d34's pure-ε
+    // Laplace — σ = sqrt(2·ln(1.25/δ))/ε, Φ⁻¹ via Acklam's rational
+    // approximation (pure arithmetic + sqrt/ln → bit-exact oracle).
+    "d125_dp_gaussian" -> ((s, d) =>
+      graft.operators.Anonymity.noisedCountsGaussian(Tables.events(s, d),
+        Seq("event_type"), epsilon = 0.5, delta = 1e-6)),
+    // D234: the DP BUDGET LEDGER — sequential-composition accounting
+    // across releases on a tiny VersionedTable: init a (ε=2, δ=1e-6)
+    // budget, record the week's four releases (the d34 family + the
+    // Gaussian one), REPLAY one to prove release-name idempotence,
+    // and emit the running totals/headroom. All integer-grid BIGINT →
+    // exact oracle; DpLedgerSpec pins the loud budget-exceeded
+    // failure.
+    "d126_dp_ledger" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_dp_ledger")
+      graft.sources.VersionedTable.drop(s, dir)
+      graft.operators.DpLedger.init(s, dir, epsBudget = 2.0,
+        deltaBudget = 1e-6)
+      graft.operators.DpLedger.record(s, dir, "counts-week1",
+        "laplace-counts", 0.5, 0.0)
+      graft.operators.DpLedger.record(s, dir, "sums-week1",
+        "laplace-sums", 0.5, 0.0)
+      graft.operators.DpLedger.record(s, dir, "hist-week1",
+        "laplace-histogram", 0.4, 0.0)
+      graft.operators.DpLedger.record(s, dir, "gauss-week1",
+        "gaussian-counts", 0.3, 5e-7)
+      // replayed release: must not double-count
+      graft.operators.DpLedger.record(s, dir, "gauss-week1",
+        "gaussian-counts", 0.3, 5e-7)
+      graft.operators.DpLedger.summary(s, dir)
+    }),
     // multi-column release cells — exercises the -separated tuple
     // hash (concat_ws("") would conflate cells and correlate their
     // noise; AnonymitySpec pins the conflation case, this row pins the
@@ -2830,6 +2861,33 @@ object RelationalQueries extends Registry {
       ps = Seq(0.25, 0.5, 0.9, 0.99)),
     "d34_noised_counts" -> graft.operators.Anonymity.sqlNoisedCounts(
       "events", Seq("event_type"), epsilon = 0.5),
+    "d125_dp_gaussian" -> graft.operators.Anonymity
+      .sqlNoisedCountsGaussian("events", Seq("event_type"),
+        epsilon = 0.5, delta = 1e-6),
+    // the ledger arithmetic replayed over the same fixed release
+    // sequence (the engine side additionally exercises the versioned
+    // protocol + replay idempotence via require/short-circuit)
+    "d126_dp_ledger" -> """
+      WITH rel(ord, release, mechanism, eps_micro, delta_pico) AS (
+        VALUES (1, 'counts-week1', 'laplace-counts',
+                 CAST(500000 AS BIGINT), CAST(0 AS BIGINT)),
+               (2, 'sums-week1', 'laplace-sums',
+                 CAST(500000 AS BIGINT), CAST(0 AS BIGINT)),
+               (3, 'hist-week1', 'laplace-histogram',
+                 CAST(400000 AS BIGINT), CAST(0 AS BIGINT)),
+               (4, 'gauss-week1', 'gaussian-counts',
+                 CAST(300000 AS BIGINT), CAST(500000 AS BIGINT)))
+      SELECT CAST(ord AS BIGINT) AS ord, release, mechanism,
+        eps_micro, delta_pico,
+        CAST(sum(eps_micro) OVER (ORDER BY ord) AS BIGINT)
+          AS eps_spent_micro,
+        CAST(sum(delta_pico) OVER (ORDER BY ord) AS BIGINT)
+          AS delta_spent_pico,
+        CAST(2000000 - sum(eps_micro) OVER (ORDER BY ord) AS BIGINT)
+          AS eps_left_micro,
+        CAST(1000000 - sum(delta_pico) OVER (ORDER BY ord) AS BIGINT)
+          AS delta_left_pico
+      FROM rel""",
     "d34_noised_counts_multi" -> graft.operators.Anonymity.sqlNoisedCounts(
       """(SELECT event_type,
            CAST(((user_id % 3) + 3) % 3 AS VARCHAR) AS seg FROM events)""",

@@ -57,4 +57,30 @@ class NoiseSpec extends SparkSpec {
     assert(!(low.zip(low.tail).forall { case (a, b) => b >= a }),
       "ranks monotone over the first 100 keys")
   }
+
+  test("invNormal is an accurate inverse normal CDF: known quantiles, " +
+    "symmetry, and both tail branches") {
+    import spark.implicits._
+    // (p, Φ⁻¹(p)) reference pairs — standard normal quantiles
+    val cases = Seq(
+      0.5 -> 0.0, 0.975 -> 1.959964, 0.025 -> -1.959964,
+      0.84134474 -> 1.0, 0.15865526 -> -1.0,
+      0.999 -> 3.090232, 0.001 -> -3.090232,     // tail branches
+      0.9999 -> 3.719016, 0.0001 -> -3.719016)
+    val df = cases.map(c => Tuple1(c._1)).toDF("u")
+      .select(col("u"), Noise.invNormal(col("u")).as("z"))
+    df.collect().foreach { r =>
+      val expect = cases.toMap.apply(r.getDouble(0))
+      assert(math.abs(r.getDouble(1) - expect) < 1e-5,
+        s"invNormal(${r.getDouble(0)}) = ${r.getDouble(1)}, want $expect")
+    }
+    // symmetry: Φ⁻¹(u) = −Φ⁻¹(1−u) to approximation accuracy
+    val sym = (1 to 99).map(i => Tuple1(i / 100.0)).toDF("u")
+      .select((Noise.invNormal(col("u"))
+        + Noise.invNormal(lit(1.0) - col("u"))).as("s"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.abs(col("s"))))
+      .collect().head.getDouble(0)
+    assert(sym < 1e-8, s"asymmetry $sym")
+  }
 }
