@@ -186,29 +186,44 @@ object TextQueries extends Registry {
 
   /** Stage frames of the v4 curation chain, shared by c7_curation_v4
     * and its funnel. Returns (docs, cleaned, contam, quality [decon
-    * survivors + quality col, PRE-gate], stripped, mixed). */
-  private def v4Stages(s: org.apache.spark.sql.SparkSession, d: String) = {
+    * survivors + quality col, PRE-gate], stripped, mixed).
+    *
+    * With `checkpoint = true` each stage frame is localCheckpoint'd
+    * (the Bpe/CC lineage convention) — the FUNNEL's setting: it
+    * left-joins FIVE of these frames and each one's lineage would
+    * otherwise re-derive the shared chain prefix (`mixed` alone
+    * re-runs everything — the chain executed ~2–3× inside one query,
+    * the round-12 bench's heaviest row; measured 11.3 → 7.1 s).
+    * The LINEAR v4 query keeps `checkpoint = false`: inside one plan
+    * Catalyst reuses the repeated `cleaned` exchange already, and
+    * eagerly materializing the wide text frames measured 38% SLOWER
+    * than the fused pipeline. The ops are deterministic, so both
+    * settings are bit-identical (oracle-verified). */
+  private def v4Stages(s: org.apache.spark.sql.SparkSession, d: String,
+                       checkpoint: Boolean = false) = {
+    def cp(df: org.apache.spark.sql.DataFrame) =
+      if (checkpoint) df.localCheckpoint() else df
     val docs = Tables.documents(s, d)
-    val cleaned = graft.text.ExactSubstring.dedupSubstrings(
-      docs.filter(col("doc_id") >= 100), "doc_id", "text", n = 8)
-    val contam = graft.dedup.Decontaminate.contaminationScoreExact(
+    val cleaned = cp(graft.text.ExactSubstring.dedupSubstrings(
+      docs.filter(col("doc_id") >= 100), "doc_id", "text", n = 8))
+    val contam = cp(graft.dedup.Decontaminate.contaminationScoreExact(
       cleaned,
       docs.filter(col("doc_id") < 100).select(col("text").as("clean_text")),
       "doc_id", "clean_text")
-      .select(col("doc_id"), col("contamination"))
-    val quality = cleaned
+      .select(col("doc_id"), col("contamination")))
+    val quality = cp(cleaned
       .join(contam, "doc_id")
       .filter(col("contamination") <= 0.2)
-      .withColumn("quality", TextFunctions.qualityScore(col("clean_text")))
+      .withColumn("quality", TextFunctions.qualityScore(col("clean_text"))))
     val gated = quality.filter(col("quality") >= 0.5)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-    val stripped = graft.text.Boilerplate.stripFrequentSpans(
+    val stripped = cp(graft.text.Boilerplate.stripFrequentSpans(
       gated.select(col("doc_id"), col("source"), col("clean_text")),
-      "doc_id", "clean_text", "source", spanTokens = 4, minDf = 3)
-    val mixed = graft.operators.Sampling.temperatureMixture(
+      "doc_id", "clean_text", "source", spanTokens = 4, minDf = 3))
+    val mixed = cp(graft.operators.Sampling.temperatureMixture(
       stripped.select(col("doc_id"), col("clean_text").as("final_text"))
         .join(docs.select(col("doc_id"), col("source")), "doc_id"),
-      "doc_id", "source")
+      "doc_id", "source"))
     (docs, cleaned, contam, quality, stripped, mixed)
   }
 
@@ -1059,7 +1074,8 @@ object TextQueries extends Registry {
     // decontamination gate in both engines (null predicate = fail,
     // the CurationFunnel contract).
     "c7_curation_v4_funnel" -> ((s, d) => {
-      val (docs, cleaned, contam, quality, stripped, mixed) = v4Stages(s, d)
+      val (docs, cleaned, contam, quality, stripped, mixed) =
+        v4Stages(s, d, checkpoint = true)
       val flags = docs.filter(col("doc_id") >= 100).select(col("doc_id"))
         .join(cleaned.select(col("doc_id"), lit(true).as("__g1")),
           Seq("doc_id"), "left")
