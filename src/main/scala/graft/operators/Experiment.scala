@@ -2196,6 +2196,89 @@ object Experiment {
     FROM sums"""
   }
 
+  /** IPW OVERLAP / POSITIVITY DIAGNOSTICS — the check every
+    * observational analysis must pass BEFORE trusting [[ipwAte]]: a
+    * propensity near 0/1 means some units are (almost) never observed
+    * in one arm, the weights explode, and the estimate rides on a
+    * handful of units. Per arm: n, the EFFECTIVE SAMPLE SIZE of the
+    * weights (Kish: ESS = (Σw)²/Σw² — ESS ≪ n is the red flag),
+    * post-clip min/max propensity, and the share of units the clip
+    * actually touched (a large clipped share means the clip is doing
+    * estimation, not trimming).
+    *
+    * Determinism (§5.3): weights and propensities quantize to the
+    * 1e-6 grid; Σw is BIGINT, Σw² is the exact product of micro-grid
+    * integers summed as DECIMAL(38,0) (pico grid — BIGINT would
+    * overflow around 2e4 units at the clip-max weight); the ESS
+    * quotient and shares finish on the 6-dp floor grid. One hash
+    * aggregate; output ≤ 2 rows `(arm, n, ess, min_e, max_e,
+    * clip_share)`. */
+  def ipwDiagnostics(units: DataFrame, treatCol: String,
+                     propensityCol: String,
+                     clip: Double = 0.05): DataFrame = {
+    require(clip > 0 && clip < 0.5)
+    val t = col(treatCol).cast("int")
+    val eRaw = col(propensityCol).cast("double")
+    val e = greatest(lit(clip), least(lit(1.0 - clip), eRaw))
+    val w = when(t === 1, lit(1.0) / e)
+      .otherwise(lit(1.0) / (lit(1.0) - e))
+    def g(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("bigint")
+    val rows = units
+      .filter(t.isNotNull && eRaw.isNotNull)
+      .select(t.as("arm"), g(w).as("__wm"), g(e).as("__em"),
+        (eRaw < lit(clip) || eRaw > lit(1.0 - clip)).cast("long")
+          .as("__clipped"))
+      .withColumn("__w2", (col("__wm") * col("__wm"))
+        .cast("decimal(38,0)"))
+    def d(c: String) = col(c).cast("double")
+    rows.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("__wm")).as("__sw"),
+        sum(col("__w2")).as("__sw2"), min(col("__em")).as("__emin"),
+        max(col("__em")).as("__emax"), sum(col("__clipped")).as("__nc"))
+      .select(col("arm"), col("n"),
+        (floor(d("__sw") * d("__sw") / d("__sw2") * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("ess"),
+        (d("__emin") / lit(1e6)).as("min_e"),
+        (d("__emax") / lit(1e6)).as("max_e"),
+        (floor(d("__nc") / d("n") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("clip_share"))
+  }
+
+  /** DuckDB twin of [[ipwDiagnostics]]: `unitsSql` must select
+    * `(t, e)`. */
+  def sqlIpwDiagnostics(unitsSql: String, clip: Double = 0.05): String = {
+    import graft.functions.Noise.sqlDouble
+    val eClip = s"greatest(${sqlDouble(clip)}, least(${sqlDouble(1 - clip)}, CAST(e AS DOUBLE)))"
+    val w = s"""(CASE WHEN CAST(t AS INT) = 1 THEN 1.0e0 / $eClip
+      ELSE 1.0e0 / (1.0e0 - $eClip) END)"""
+    s"""
+    WITH rows0 AS (
+      SELECT CAST(t AS INT) AS arm,
+        CAST(floor($w * 1e6 + 0.5e0) AS BIGINT) AS wm,
+        CAST(floor($eClip * 1e6 + 0.5e0) AS BIGINT) AS em,
+        CASE WHEN CAST(e AS DOUBLE) < ${sqlDouble(clip)}
+          OR CAST(e AS DOUBLE) > ${sqlDouble(1 - clip)}
+          THEN 1 ELSE 0 END AS clipped
+      FROM ($unitsSql)
+      WHERE t IS NOT NULL AND e IS NOT NULL
+    ), sums AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(wm) AS BIGINT) AS sw,
+        CAST(sum(CAST(wm AS HUGEINT) * CAST(wm AS HUGEINT)) AS HUGEINT)
+          AS sw2,
+        CAST(min(em) AS BIGINT) AS emin, CAST(max(em) AS BIGINT) AS emax,
+        CAST(sum(clipped) AS BIGINT) AS nc
+      FROM rows0 GROUP BY arm)
+    SELECT arm, n,
+      floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+        * 1e6 + 0.5e0) / 1e6 AS ess,
+      CAST(emin AS DOUBLE) / 1e6 AS min_e,
+      CAST(emax AS DOUBLE) / 1e6 AS max_e,
+      floor(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5e0) / 1e6
+        AS clip_share
+    FROM sums"""
+  }
+
   /** DOUBLY-ROBUST ATE (AIPW — augmented IPW, the modern default
     * observational estimator): combine an OUTCOME MODEL m_t(x) with
     * the propensity weights so the estimate is consistent if EITHER

@@ -289,6 +289,15 @@ object RelationalQueries extends Registry {
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))),
+    // B5d: the SAME exact type-7 quantiles WITHOUT the per-group
+    // value buffer — rank selection over one window sort (the b5
+    // hazard's 100 TB path: a skewed group becomes a disk-backed
+    // external sort, never a growing aggregation buffer). Identical
+    // oracle to b5_percentiles.
+    "b5_percentiles_scalable" -> ((s, d) =>
+      graft.operators.Percentiles.exactByRank(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))),
     // B6b: HLL approximate distinct (approx → rows-only driver check).
     "b6_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -970,6 +979,19 @@ object RelationalQueries extends Registry {
           col("a").cast("double").as("x1"),
           col("k").cast("double").as("x2")),
         "t", "y", Seq("x1", "x2"))
+    }),
+    // D235: IPW overlap/positivity diagnostics on the d113 setup —
+    // per-arm Kish ESS of the weights, post-clip propensity range,
+    // clipped share; exact integer grids → bit-exact oracle.
+    "d127_ipw_diagnostics" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("a"))
+      val z = least(col("a"), lit(20L)).cast("double") / lit(20.0)
+      val e = lit(0.2) + lit(0.6) * z
+      val u = graft.functions.Noise.hashNoise(col("user_id"), salt = 23)
+      graft.operators.Experiment.ipwDiagnostics(
+        perUser.select((u < e).cast("int").as("t"), e.as("e")), "t", "e")
     }),
     "d124_aipw_trained" -> ((s, d) => {
       val perUser = Tables.events(s, d)
@@ -2511,6 +2533,13 @@ object RelationalQueries extends Registry {
              round(quantile_cont(l_extendedprice, 0.75e0), 4) AS p75,
              round(quantile_cont(l_extendedprice, 0.95e0), 4) AS p95
       FROM lineitem GROUP BY l_returnflag""",
+    "b5_percentiles_scalable" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25e0), 4) AS p25,
+             round(quantile_cont(l_extendedprice, 0.5e0), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75e0), 4) AS p75,
+             round(quantile_cont(l_extendedprice, 0.95e0), 4) AS p95
+      FROM lineitem GROUP BY l_returnflag""",
     "b11_string_functions" -> """
       SELECT p_partkey, lower(p_name) AS name_lower,
              substring(p_type, 1, 5) AS type5,
@@ -2840,6 +2869,15 @@ object RelationalQueries extends Registry {
           CAST(sv AS DOUBLE) AS y, $e AS e
         FROM (SELECT user_id, count(*) AS a,
             sum(CAST(value AS DECIMAL(18,2))) AS sv
+          FROM events GROUP BY user_id)""")
+    },
+    "d127_ipw_diagnostics" -> {
+      val z = "(CAST(least(a, 20) AS DOUBLE) / 20.0e0)"
+      val e = s"(0.2e0 + 0.6e0 * $z)"
+      graft.operators.Experiment.sqlIpwDiagnostics(s"""
+        SELECT CASE WHEN ${graft.functions.Noise.sqlNoise("user_id", 23)}
+            < $e THEN 1 ELSE 0 END AS t, $e AS e
+        FROM (SELECT user_id, count(*) AS a
           FROM events GROUP BY user_id)""")
     },
     "d114_aipw" -> {
