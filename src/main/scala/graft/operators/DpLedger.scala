@@ -92,6 +92,45 @@ object DpLedger {
     VersionedTable.publish(next, dir, s"release-$release")
   }
 
+  /** ADVANCED COMPOSITION (Dwork–Rothblum–Vadhan, heterogeneous
+    * form): for releases (ε_i, δ_i) and slack δ′,
+    *
+    *   ε_total = sqrt(2 ln(1/δ′) Σε_i²) + Σ ε_i(e^{ε_i} − 1),
+    *   δ_total = δ′ + Σδ_i
+    *
+    * — the √k-scaling bound that makes many small releases affordable
+    * where the basic Σε account would blow the budget. Determinism:
+    * Σε_i² is the exact DECIMAL sum of squared micro-grid integers
+    * (pico grid); each e^{ε_i} term quantizes to the 1e-12 grid
+    * before the exact sum (order-free); the final sqrt/ln sequence is
+    * one fixed IEEE chain, emitted on the 6-dp floor grid. One row:
+    * `(k, eps_basic_micro, delta_basic_pico, delta_slack_pico,
+    * eps_advanced, delta_advanced_pico)`. */
+  def advancedSummary(spark: SparkSession, dir: String,
+                      deltaSlack: Double): DataFrame = {
+    require(deltaSlack > 0 && deltaSlack < 1,
+      s"delta slack must be in (0,1): $deltaSlack")
+    val slackPico = math.round(deltaSlack * 1e12)
+    val rel = entries(spark, dir).filter(col("release") =!= BudgetRelease)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val epsD = d(col("eps_micro")) / lit(1e6)
+    val sums = rel.agg(
+      count(lit(1)).as("k"),
+      sum(col("eps_micro")).as("eps_basic_micro"),
+      sum(col("delta_pico")).as("delta_basic_pico"),
+      sum((col("eps_micro") * col("eps_micro")).cast("decimal(38,0)"))
+        .as("__s2_pico2"),
+      sum(floor(epsD * (exp(epsD) - lit(1.0)) * lit(1e12) + lit(0.5))
+        .cast("bigint")).as("__lin_pico"))
+    sums.select(col("k"), col("eps_basic_micro"), col("delta_basic_pico"),
+      lit(slackPico).as("delta_slack_pico"),
+      (floor((sqrt(lit(2.0) * lit(math.log(1.0 / deltaSlack))
+          * (d(col("__s2_pico2")) / lit(1e12)))
+        + d(col("__lin_pico")) / lit(1e12)) * lit(1e6) + lit(0.5))
+        / lit(1e6)).as("eps_advanced"),
+      (col("delta_basic_pico") + lit(slackPico)).as("delta_advanced_pico"))
+  }
+
   /** The ledger with running sequential-composition totals and
     * remaining headroom: one row per release (ord order) —
     * `(ord, release, mechanism, eps_micro, delta_pico,

@@ -1195,6 +1195,23 @@ object RelationalQueries extends Registry {
         "gaussian-counts", 0.3, 5e-7)
       graft.operators.DpLedger.summary(s, dir)
     }),
+    // D236: advanced composition over the same ledger — the
+    // sqrt(k)-scaling (ε, δ) bound vs d126's basic Σε account.
+    "d128_dp_ledger_advanced" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_dp_ledger_adv")
+      graft.sources.VersionedTable.drop(s, dir)
+      graft.operators.DpLedger.init(s, dir, epsBudget = 2.0,
+        deltaBudget = 1e-6)
+      graft.operators.DpLedger.record(s, dir, "counts-week1",
+        "laplace-counts", 0.5, 0.0)
+      graft.operators.DpLedger.record(s, dir, "sums-week1",
+        "laplace-sums", 0.5, 0.0)
+      graft.operators.DpLedger.record(s, dir, "hist-week1",
+        "laplace-histogram", 0.4, 0.0)
+      graft.operators.DpLedger.record(s, dir, "gauss-week1",
+        "gaussian-counts", 0.3, 5e-7)
+      graft.operators.DpLedger.advancedSummary(s, dir, deltaSlack = 1e-9)
+    }),
     // multi-column release cells — exercises the -separated tuple
     // hash (concat_ws("") would conflate cells and correlate their
     // noise; AnonymitySpec pins the conflation case, this row pins the
@@ -2926,6 +2943,36 @@ object RelationalQueries extends Registry {
         CAST(1000000 - sum(delta_pico) OVER (ORDER BY ord) AS BIGINT)
           AS delta_left_pico
       FROM rel""",
+    "d128_dp_ledger_advanced" -> {
+      val lnInv = graft.functions.Noise.sqlDouble(math.log(1.0 / 1e-9))
+      s"""
+      WITH rel(ord, eps_micro, delta_pico) AS (
+        VALUES (1, CAST(500000 AS BIGINT), CAST(0 AS BIGINT)),
+               (2, CAST(500000 AS BIGINT), CAST(0 AS BIGINT)),
+               (3, CAST(400000 AS BIGINT), CAST(0 AS BIGINT)),
+               (4, CAST(300000 AS BIGINT), CAST(500000 AS BIGINT))),
+      t AS (
+        SELECT eps_micro, delta_pico,
+          CAST(floor((CAST(eps_micro AS DOUBLE) / 1e6)
+            * (exp(CAST(eps_micro AS DOUBLE) / 1e6) - 1.0e0)
+            * 1e12 + 0.5e0) AS BIGINT) AS lin_pico,
+          CAST(eps_micro AS HUGEINT) * CAST(eps_micro AS HUGEINT)
+            AS s2_pico2
+        FROM rel),
+      sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(eps_micro) AS BIGINT) AS eps_basic_micro,
+          CAST(sum(delta_pico) AS BIGINT) AS delta_basic_pico,
+          sum(s2_pico2) AS s2, CAST(sum(lin_pico) AS BIGINT) AS lin
+        FROM t)
+      SELECT k, eps_basic_micro, delta_basic_pico,
+        CAST(1000 AS BIGINT) AS delta_slack_pico,
+        floor((sqrt(2.0e0 * $lnInv * (CAST(s2 AS DOUBLE) / 1e12))
+          + CAST(lin AS DOUBLE) / 1e12) * 1e6 + 0.5e0) / 1e6
+          AS eps_advanced,
+        CAST(delta_basic_pico + 1000 AS BIGINT) AS delta_advanced_pico
+      FROM sums"""
+    },
     "d34_noised_counts_multi" -> graft.operators.Anonymity.sqlNoisedCounts(
       """(SELECT event_type,
            CAST(((user_id % 3) + 3) % 3 AS VARCHAR) AS seg FROM events)""",

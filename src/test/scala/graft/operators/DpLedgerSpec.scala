@@ -61,6 +61,41 @@ class DpLedgerSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("advanced composition: exact arithmetic on the fixed fixture, " +
+    "and many small releases beat the basic account") {
+    val dir = freshDir("adv")
+    DpLedger.init(spark, dir, epsBudget = 2.0, deltaBudget = 1e-6)
+    Seq(("r1", 0.5, 0.0), ("r2", 0.5, 0.0), ("r3", 0.4, 0.0),
+      ("r4", 0.3, 5e-7)).foreach { case (r, e, del) =>
+      DpLedger.record(spark, dir, r, "m", e, del) }
+    val row = DpLedger.advancedSummary(spark, dir, deltaSlack = 1e-9)
+      .collect().head
+    assert(row.getLong(0) === 4L && row.getLong(1) === 1700000L &&
+      row.getLong(2) === 500000L && row.getLong(3) === 1000L &&
+      row.getLong(5) === 501000L)
+    // replicate the documented fixed sequence by hand
+    val eps = Seq(0.5, 0.5, 0.4, 0.3)
+    val s2 = eps.map(e => math.round(e * 1e6) * math.round(e * 1e6))
+      .sum.toDouble / 1e12
+    val lin = eps.map(e => math.floor(e * (math.exp(e) - 1.0) * 1e12
+      + 0.5).toLong).sum.toDouble / 1e12
+    val expect = math.floor(
+      (math.sqrt(2.0 * math.log(1.0 / 1e-9) * s2) + lin) * 1e6 + 0.5) / 1e6
+    assert(row.getDouble(4) === expect)
+    VersionedTable.drop(spark, dir)
+    // 50 releases of eps = 0.01: basic total 0.5, advanced ~0.38
+    val dir2 = freshDir("adv2")
+    DpLedger.init(spark, dir2, epsBudget = 2.0, deltaBudget = 0.0)
+    (1 to 50).foreach(i =>
+      DpLedger.record(spark, dir2, s"micro-$i", "m", 0.01, 0.0))
+    val adv = DpLedger.advancedSummary(spark, dir2, deltaSlack = 1e-6)
+      .collect().head
+    assert(adv.getLong(1) === 500000L)
+    assert(adv.getDouble(4) < 0.5,
+      s"advanced must beat basic for many small releases: $adv")
+    VersionedTable.drop(spark, dir2)
+  }
+
   test("bad inputs are rejected: missing init, reserved name, bad grid") {
     val dir = freshDir("bad")
     intercept[NoSuchElementException] {
