@@ -136,6 +136,25 @@ object DedupQueries extends Registry {
       graft.streaming.StreamingMerge.compact(s, dir, "doc_id", 16)
       graft.streaming.StreamingMerge.snapshot(s, dir)
     }),
+    // D237: ZONE-MAP FILE SKIPPING — per-file min/max recorded in the
+    // manifest at publish (one narrow scan), range reads open ONLY
+    // files whose band intersects the predicate. The require proves
+    // skipping actually fired; the emitted rows are exactly the
+    // full-scan filter, so the row sits under the bit-exact oracle.
+    "d129_versioned_skipping" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_versioned_zonemap")
+      graft.sources.VersionedTable.drop(s, dir)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartitionByRange(16, col("o_totalprice"))
+      graft.sources.VersionedTable.publish(orders, dir, "orders-cut",
+        statsCols = Seq("o_totalprice"))
+      val (df, opened, total) = graft.sources.VersionedTable
+        .readLatestPruned(s, dir, "o_totalprice", 50000.0, 100000.0)
+      require(opened < total,
+        s"zone maps failed to skip: opened $opened of $total files")
+      df
+    }),
     // D39: CDC merge — the write-side complement of d11: base snapshot
     // (90% of docs) + a changelog of upserts (every 7th doc re-crawled,
     // text revised, seq 1) and deletes (every 13th doc taken down,
@@ -544,6 +563,11 @@ object DedupQueries extends Registry {
              WHEN ofp = nfp THEN 'unchanged'
              ELSE 'changed' END AS status
       FROM old FULL JOIN new USING (doc_id)""",
+    "d129_versioned_skipping" -> """
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE CAST(o_totalprice AS DOUBLE) >= 50000.0e0
+        AND CAST(o_totalprice AS DOUBLE) <= 100000.0e0""",
     // identical latest-wins arithmetic as d12 — the query differs only
     // in the storage path (versioned bucketed snapshot vs one merge)
     "d121_versioned_merge" -> """

@@ -44,16 +44,22 @@ object VersionedTable {
 
   private val Terminator = "committed"
 
+  /** Field separator inside `stat=` manifest lines (U+0001 — cannot
+    * occur in relative paths or column names). */
+  private val StatSep = "\u0001"
+
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(dir: String) = new Path(dir, "_manifests")
 
   /** Committed manifest: (version, batchId, schemaJson, relative data
-    * file paths). */
+    * file paths, per-file zone-map stats `(file, column, min, max)`
+    * for numeric columns the publisher asked to track). */
   private[graft] case class Manifest(version: Long, batchId: String,
                                      schemaJson: String,
-                                     files: Seq[String])
+                                     files: Seq[String],
+                                     stats: Seq[(String, String, Double, Double)] = Nil)
 
   private def readManifest(fs: FileSystem, p: Path): Option[Manifest] = {
     val in = fs.open(p)
@@ -74,7 +80,14 @@ object VersionedTable {
       b <- field("batchId")
       s <- field("schema")
     } yield Manifest(v, b, s,
-      lines.filter(_.startsWith("file=")).map(_.drop(5)))
+      lines.filter(_.startsWith("file=")).map(_.drop(5)),
+      lines.filter(_.startsWith("stat=")).flatMap { l =>
+        l.drop(5).split(StatSep, -1) match {
+          case Array(f, c, mn, mx) => scala.util.Try(
+            (f, c, mn.toDouble, mx.toDouble)).toOption
+          case _ => None
+        }
+      })
   }
 
   private def committedManifests(fs: FileSystem,
@@ -116,9 +129,18 @@ object VersionedTable {
     * the existing version returns (at-least-once upstreams replay
     * safely; concurrent DISTINCT-batch writers race versions via the
     * create-no-overwrite slot claim and the loser retries). `batchId`
-    * must be single-line (it lives in the line-oriented manifest). */
+    * must be single-line (it lives in the line-oriented manifest).
+    *
+    * `statsCols` (numeric/orderable-scalar columns) asks the publish
+    * to record per-file ZONE-MAP stats in the manifest — min/max per
+    * (file, column), computed by one narrow scan of the just-written
+    * files — which [[readAsOfPruned]] uses to SKIP files whose range
+    * cannot satisfy a predicate. Cluster the data on the stat column
+    * first (`repartitionByRange`, a z-key, or [[compact]]'s sortCol)
+    * or every file spans the whole range and nothing prunes. */
   def publish(df: DataFrame, dir: String, batchId: String,
-              maxRetries: Int = 20): Long = {
+              maxRetries: Int = 20,
+              statsCols: Seq[String] = Nil): Long = {
     require(!batchId.contains("\n") && batchId.nonEmpty,
       "batchId must be a non-empty single-line string")
     val spark = df.sparkSession
@@ -136,7 +158,40 @@ object VersionedTable {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(s => s"$dataRel/${s.getPath.getName}").sorted
-    commitManifest(fs, dir, batchId, df.schema.json, files, maxRetries)
+    commitManifest(fs, dir, batchId, df.schema.json, files, maxRetries,
+      fileStats(spark, dir, files, statsCols))
+  }
+
+  /** Per-(file, column) min/max of `statsCols` over `files` — ONE
+    * narrow scan grouped by `input_file_name()` (columnar, reads only
+    * the stat columns). Files where a column is all-null emit no stat
+    * row (readers keep them conservatively). */
+  private def fileStats(spark: SparkSession, dir: String,
+                        files: Seq[String], statsCols: Seq[String])
+      : Seq[(String, String, Double, Double)] = {
+    if (statsCols.isEmpty || files.isEmpty) return Nil
+    require(statsCols.forall(c => !c.contains("\n") && !c.contains(StatSep)),
+      "stat column names must be single-line")
+    import org.apache.spark.sql.functions._
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val rows = spark.read
+      .parquet(files.map(f => new Path(dir, f).toString): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per file — bounded by the publish's files
+    val byName = files.map(f => new Path(dir, f).getName -> f).toMap
+    rows.toSeq.flatMap { r =>
+      val name = r.getString(0).split("/").last
+      byName.get(name).toSeq.flatMap { rel =>
+        statsCols.flatMap { c =>
+          val (iMn, iMx) = (r.fieldIndex(s"__mn_$c"), r.fieldIndex(s"__mx_$c"))
+          if (r.isNullAt(iMn) || r.isNullAt(iMx)) None
+          else Some((rel, c, r.getDouble(iMn), r.getDouble(iMx)))
+        }
+      }
+    }
   }
 
   /** Commit EXTERNALLY-WRITTEN data files (paths relative to `dir`,
@@ -150,7 +205,9 @@ object VersionedTable {
     * [[publish]]. */
   def publishFiles(spark: SparkSession, dir: String, batchId: String,
                    schemaJson: String, files: Seq[String],
-                   maxRetries: Int = 20): Long = {
+                   maxRetries: Int = 20,
+                   stats: Seq[(String, String, Double, Double)] = Nil)
+      : Long = {
     require(!batchId.contains("\n") && batchId.nonEmpty,
       "batchId must be a non-empty single-line string")
     require(files.forall(f => !f.contains("\n") && !f.startsWith("/")),
@@ -160,7 +217,8 @@ object VersionedTable {
       case Some(m) => return m.version // replay: already committed
       case None =>
     }
-    commitManifest(fs, dir, batchId, schemaJson, files.sorted, maxRetries)
+    commitManifest(fs, dir, batchId, schemaJson, files.sorted, maxRetries,
+      stats)
   }
 
   /** Slot-claim commit loop shared by [[publish]]/[[publishFiles]]:
@@ -171,7 +229,9 @@ object VersionedTable {
     * `batchId`. */
   private def commitManifest(fs: FileSystem, dir: String, batchId: String,
                              schemaJson: String, files: Seq[String],
-                             maxRetries: Int): Long = {
+                             maxRetries: Int,
+                             stats: Seq[(String, String, Double, Double)] = Nil)
+      : Long = {
     fs.mkdirs(manifestDir(dir))
     // next slot = 1 + max over ALL manifest files (committed or
     // reserved-but-unterminated) — probing only committed versions
@@ -210,7 +270,10 @@ object VersionedTable {
           try {
             val body = (Seq(s"version=$next", s"batchId=$batchId",
               s"schema=$schemaJson") ++
-              files.map(f => s"file=$f") :+ Terminator :+ "")
+              files.map(f => s"file=$f") ++
+              stats.map { case (f, c, mn, mx) =>
+                s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } :+
+              Terminator :+ "")
               .mkString("\n")
             o.write(body.getBytes(StandardCharsets.UTF_8))
           } finally o.close()
@@ -290,6 +353,48 @@ object VersionedTable {
     readAsOf(spark, dir, latestVersion(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no committed version at $dir")))
 
+  /** ZONE-MAP PRUNED snapshot read: `readAsOf` restricted to
+    * `column ∈ [lo, hi]`, opening ONLY the files whose recorded
+    * min/max range intersects the predicate — manifest-level file
+    * skipping, the reason [[publish]]/[[compact]] track `statsCols`.
+    * Files with no recorded stat for `column` are kept conservatively;
+    * the residual per-row filter is always applied, so the result is
+    * EXACTLY the full-scan filter (the pruning is pure I/O savings —
+    * on a range-clustered table, a narrow predicate opens a handful
+    * of files out of thousands). Returns (dataframe, files opened,
+    * files in the version). */
+  def readAsOfPruned(spark: SparkSession, dir: String, version: Long,
+                     column: String, lo: Double, hi: Double)
+      : (DataFrame, Int, Int) = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val fs = fsOf(spark, dir)
+    val m = committedManifests(fs, dir).find(_.version == version)
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version is not committed at $dir"))
+    val statOf = m.stats.filter(_._2 == column)
+      .map(s => s._1 -> (s._3, s._4)).toMap
+    val keep = m.files.filter(f => statOf.get(f) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true // no stats recorded: keep conservatively
+    })
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(keep.map(f => new Path(dir, f).toString): _*)
+    import org.apache.spark.sql.functions.col
+    (base.filter(col(column).cast("double") >= lo &&
+      col(column).cast("double") <= hi), keep.size, m.files.size)
+  }
+
+  /** [[readAsOfPruned]] on the latest committed version. */
+  def readLatestPruned(spark: SparkSession, dir: String, column: String,
+                       lo: Double, hi: Double): (DataFrame, Int, Int) =
+    readAsOfPruned(spark, dir, latestVersion(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed version at $dir")),
+      column, lo, hi)
+
   /** Retention GC: keep the newest `keepLast` committed versions; drop
     * older manifests, uncommitted manifest stubs, and every data
     * directory no retained manifest references (crashed writers'
@@ -355,7 +460,8 @@ object VersionedTable {
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 256L << 20,
-              sortCol: Option[String] = None): (Int, Int) = {
+              sortCol: Option[String] = None,
+              statsCols: Seq[String] = Nil): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = fsOf(spark, dir)
     val m = latestManifest(spark, dir).getOrElse(
@@ -381,7 +487,11 @@ object VersionedTable {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(s => s"$dataRel/${s.getPath.getName}").sorted
-    publishFiles(spark, dir, batchId, m.schemaJson, files)
+    // sortCol clustering + zone maps is the data-skipping pair: the
+    // range repartition gives each output file a narrow value band,
+    // the recorded stats let readAsOfPruned open only matching files
+    publishFiles(spark, dir, batchId, m.schemaJson, files,
+      stats = fileStats(spark, dir, files, statsCols))
     (m.files.size, files.size)
   }
 

@@ -200,6 +200,37 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("zone-map stats: a range-clustered publish records per-file " +
+    "min/max and a narrow read opens only matching files") {
+    val dir = freshDir("zonemap")
+    val df = (1L to 10000L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartitionByRange(16, col("id"))
+    VersionedTable.publish(df, dir, "b1", statsCols = Seq("id"))
+    val m = VersionedTable.latestManifest(spark, dir).get
+    assert(m.files.size === 16 && m.stats.size === 16,
+      s"one id stat per file: ${m.stats.size}/${m.files.size}")
+    val (pruned, opened, total) =
+      VersionedTable.readLatestPruned(spark, dir, "id", 2000.0, 2500.0)
+    assert(total === 16 && opened <= 3,
+      s"a 5% range must skip most files: opened $opened/$total")
+    val got = pruned.collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (2000L to 2500L),
+      "pruned read must equal the full-scan filter exactly")
+    // a version published WITHOUT stats keeps every file (conservative)
+    VersionedTable.publish(df, dir, "b2")
+    val (_, o2, t2) =
+      VersionedTable.readLatestPruned(spark, dir, "id", 2000.0, 2500.0)
+    assert(o2 === t2, "no stats -> no skipping, never wrong results")
+    // compact(sortCol + statsCols) restores clustering AND stats
+    VersionedTable.compact(spark, dir, targetBytes = 64L << 10,
+      sortCol = Some("id"), statsCols = Seq("id"))
+    val (p3, o3, t3) =
+      VersionedTable.readLatestPruned(spark, dir, "id", 2000.0, 2500.0)
+    assert(o3 < t3, s"compacted zone maps must prune: $o3/$t3")
+    assert(p3.count() === 501L)
+    VersionedTable.drop(spark, dir)
+  }
+
   test("empty dataframe publishes and time-travels via its schema") {
     val dir = freshDir("empty")
     val empty = Seq((1L, "x")).toDF("id", "s").filter(lit(false))
