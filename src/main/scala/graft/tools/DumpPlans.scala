@@ -147,7 +147,18 @@ object DumpPlans {
     // round-12: curation v4 — seven chained stages in one plan; the
     // stride-1 8-gram window agg dominates, quality scoring is the
     // native expression (no HOF nodes)
-    "c7_curation_v4")
+    "c7_curation_v4",
+    // round-13: rank-selection exact percentiles — ONE window sort +
+    // hash agg, NO percentile() buffer anywhere in the plan (and ~5x
+    // faster than the buffered aggregate at sf0.1)
+    "b5_percentiles_scalable",
+    // round-13: ANCOVA — one hash aggregate to the moment table, the
+    // solve is driver-side (the plan is just the exact-sum agg)
+    "d122_regression_adjust",
+    // round-13: versioned CDC merge — manifest-pruned bucket reads +
+    // the latest-wins merge; visibility is the manifest commit, so no
+    // dynamic-overwrite machinery appears
+    "d121_versioned_merge")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
