@@ -59,7 +59,8 @@ object VersionedTable {
   private[graft] case class Manifest(version: Long, batchId: String,
                                      schemaJson: String,
                                      files: Seq[String],
-                                     stats: Seq[(String, String, Double, Double)] = Nil)
+                                     stats: Seq[(String, String, Double, Double)] = Nil,
+                                     ts: Long = 0L)
 
   private def readManifest(fs: FileSystem, p: Path): Option[Manifest] = {
     val in = fs.open(p)
@@ -87,7 +88,9 @@ object VersionedTable {
             (f, c, mn.toDouble, mx.toDouble)).toOption
           case _ => None
         }
-      })
+      },
+      field("ts").flatMap(t =>
+        scala.util.Try(t.toLong).toOption).getOrElse(0L))
   }
 
   private def committedManifests(fs: FileSystem,
@@ -269,6 +272,7 @@ object VersionedTable {
         case Some(o) =>
           try {
             val body = (Seq(s"version=$next", s"batchId=$batchId",
+              s"ts=${System.currentTimeMillis()}",
               s"schema=$schemaJson") ++
               files.map(f => s"file=$f") ++
               stats.map { case (f, c, mn, mx) =>
@@ -394,6 +398,24 @@ object VersionedTable {
     readAsOfPruned(spark, dir, latestVersion(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no committed version at $dir")),
       column, lo, hi)
+
+  /** TIMESTAMP TIME TRAVEL: the newest version committed at or before
+    * `tsMillis` (manifests record their commit wall clock). The
+    * timestamp is ADVISORY — version order is the truth; writer clock
+    * skew can reorder ts against versions, in which case the highest
+    * qualifying VERSION still wins. Versions from manifests predating
+    * the ts field never qualify (travel to them by version number).
+    * Fails loudly when nothing was committed that early. */
+  def readAsOfTimestamp(spark: SparkSession, dir: String,
+                        tsMillis: Long): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val m = committedManifests(fs, dir)
+      .filter(mf => mf.ts > 0L && mf.ts <= tsMillis)
+      .sortBy(_.version).lastOption
+      .getOrElse(throw new NoSuchElementException(
+        s"no version committed at or before ts=$tsMillis at $dir"))
+    readAsOf(spark, dir, m.version)
+  }
 
   /** Retention GC: keep the newest `keepLast` committed versions; drop
     * older manifests, uncommitted manifest stubs, and every data

@@ -200,6 +200,25 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("timestamp time travel: the newest version committed at or " +
+    "before ts wins; too-early timestamps fail loudly") {
+    val dir = freshDir("ts")
+    VersionedTable.publish(Seq((1L, "v1")).toDF("id", "s"), dir, "b1")
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    VersionedTable.publish(Seq((1L, "v2")).toDF("id", "s"), dir, "b2")
+    assert(VersionedTable.readAsOfTimestamp(spark, dir, mid)
+      .collect().head.getString(1) === "v1")
+    assert(VersionedTable
+      .readAsOfTimestamp(spark, dir, System.currentTimeMillis())
+      .collect().head.getString(1) === "v2")
+    intercept[NoSuchElementException] {
+      VersionedTable.readAsOfTimestamp(spark, dir, mid - 60000L)
+    }
+    VersionedTable.drop(spark, dir)
+  }
+
   test("zone-map stats: a range-clustered publish records per-file " +
     "min/max and a narrow read opens only matching files") {
     val dir = freshDir("zonemap")
