@@ -39,10 +39,28 @@ object LabelPropagation {
     * (treated UNDIRECTED — edges are mirrored; `w` BIGINT-castable).
     * Returns one row per node: `(node, label)`. */
   def communities(edgesIn: DataFrame, rounds: Int,
-                  checkpointEvery: Int = 4): DataFrame = {
+                  checkpointEvery: Int = 4): DataFrame =
+    communities(edgesIn, rounds, checkpointEvery, 1L << 16)
+
+  /** [[communities]] with an explicit small-graph bound (the
+    * [[Louvain.refineWeighted]] adaptive precedent: below it the
+    * fixed rounds run as one driver computation instead of ~3
+    * distributed stages each — pure latency at bench scale; pass 0
+    * to force the distributed path; LabelPropagationSpec pins driver
+    * ≡ distributed). */
+  def communities(edgesIn: DataFrame, rounds: Int, checkpointEvery: Int,
+                  smallGraphMax: Long): DataFrame = {
     require(rounds >= 0 && checkpointEvery > 0)
     val e0 = edgesIn.select(col("src").cast("bigint").as("src"),
       col("dst").cast("bigint").as("dst"), col("w").cast("bigint").as("w"))
+      .localCheckpoint()
+    if (e0.count() <= smallGraphMax) {
+      val spark = edgesIn.sparkSession
+      import spark.implicits._
+      return communitiesDriver(e0.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq, rounds)
+        .toDF("node", "label")
+    }
     val und = e0.unionByName(e0.select(col("dst").as("src"),
       col("src").as("dst"), col("w"))).localCheckpoint()
     val nodes = und.select(col("src").as("node")).distinct()
@@ -68,6 +86,31 @@ object LabelPropagation {
       if (r % checkpointEvery == 0) labels = labels.localCheckpoint()
     }
     labels
+  }
+
+  /** Driver twin of the distributed round loop — identical mirror /
+    * score / (score DESC, label ASC) argmax arithmetic over scala
+    * maps; nodes with no best row keep their label (the left-join
+    * coalesce). */
+  private def communitiesDriver(edges: Seq[(Long, Long, Long)],
+                                rounds: Int): Seq[(Long, Long)] = {
+    val und = edges.flatMap(e =>
+      Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+    val nodes = und.map(_._1).distinct
+    var labels = nodes.map(n => n -> n).toMap
+    for (_ <- 0 until rounds) {
+      val scores = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      und.foreach { case (src, dst, w) =>
+        val l = labels(dst)
+        scores((src, l)) = scores.getOrElse((src, l), 0L) + w
+      }
+      val best = scores.toSeq.groupBy(_._1._1).map { case (n, rows) =>
+        // lexicographic max over (s, -label): max score, tie → min label
+        n -> rows.map { case ((_, l), s) => (s, -l) }.max._2 * -1L
+      }
+      labels = labels.map { case (n, l) => n -> best.getOrElse(n, l) }
+    }
+    labels.toSeq
   }
 
   /** DuckDB twin of [[communities]] — the fixed round count unrolled

@@ -66,11 +66,38 @@ object Louvain {
     * self-loops (after removal i is in no candidate). Same
     * exact-integer scores, same parity schedule, same SQL unroll. */
   def refineWeighted(edges: DataFrame, labels: DataFrame,
-                     sweeps: Int): DataFrame = {
+                     sweeps: Int): DataFrame =
+    refineWeighted(edges, labels, sweeps, SmallGraphMax)
+
+  /** Edge/label-count bound for the adaptive driver path (the
+    * [[graft.dedup.MinHashDedup.connectedComponentsConverged]]
+    * small-graph precedent): below it, the sweeps run as one driver
+    * computation instead of ~4 distributed stages each — pure
+    * latency at bench scale (the 25-node trade graph paid 6–9 s for
+    * 16 tiny joins). Semantics are IDENTICAL (LouvainSpec pins driver
+    * ≡ distributed labels; the four oracle rows stay bit-exact). */
+  private val SmallGraphMax = 1L << 16
+
+  /** [[refineWeighted]] with an explicit small-graph bound (pass 0 to
+    * force the distributed path). */
+  def refineWeighted(edges: DataFrame, labels: DataFrame, sweeps: Int,
+                     smallGraphMax: Long): DataFrame = {
     require(sweeps >= 1, "sweeps must be >= 1")
     val e = edges.select(col("a").cast("bigint").as("a"),
       col("b").cast("bigint").as("b"), col("w").cast("bigint").as("w"))
       .localCheckpoint()
+    val lab0 = labels.select(col("node").cast("bigint").as("node"),
+      col("label").cast("bigint").as("label")).localCheckpoint()
+    if (e.count() <= smallGraphMax && lab0.count() <= smallGraphMax) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val edgeSeq = e.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val labSeq = lab0.collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq
+      return refineWeightedDriver(edgeSeq, labSeq, sweeps)
+        .toDF("node", "label")
+    }
     val nonSelf = e.filter(col("a") =!= col("b"))
     val sym = nonSelf.unionByName(nonSelf.select(col("b").as("a"),
       col("a").as("b"), col("w"))).localCheckpoint()
@@ -92,8 +119,7 @@ object Louvain {
     require(BigInt(2) * BigInt(m) * BigInt(maxK) <= BigInt(Long.MaxValue),
       s"louvain overflow bound violated: 2*m*max(k) = 2*${m}*${maxK} " +
         "exceeds BIGINT; down-sample edge weights/degrees first")
-    var lab = labels.select(col("node").cast("bigint").as("node"),
-      col("label").cast("bigint").as("label")).localCheckpoint()
+    var lab = lab0
     for (sweep <- 0 until sweeps) {
       val parity = sweep % 2
       // community degree sums under the current labeling
@@ -147,6 +173,78 @@ object Louvain {
         .localCheckpoint()
     }
     lab
+  }
+
+  /** The driver twin of the distributed sweep loop — the SAME
+    * dataflow expressed over scala maps, term for term (inner-join
+    * semantics included: nodes without a degree entry never move;
+    * candidate communities without a d_c entry are not scored; a
+    * missing own-community score blocks the move exactly like the
+    * null comparison does distributed). Exact Long arithmetic under
+    * the same enforced overflow bound. */
+  private def refineWeightedDriver(edges: Seq[(Long, Long, Long)],
+                                   labels: Seq[(Long, Long)],
+                                   sweeps: Int): Seq[(Long, Long)] = {
+    val m = edges.iterator.map(_._3).sum
+    require(edges.nonEmpty && m > 0, "louvain over an empty edge set")
+    val nonSelf = edges.filter(e => e._1 != e._2)
+    val sym = nonSelf.flatMap(e =>
+      Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+    sym.foreach { case (a, _, w) => deg(a) = deg.getOrElse(a, 0L) + w }
+    edges.filter(e => e._1 == e._2).foreach { case (a, _, w) =>
+      deg(a) = deg.getOrElse(a, 0L) + 2L * w }
+    val maxK = if (deg.isEmpty) 0L else deg.values.max
+    require(BigInt(2) * BigInt(m) * BigInt(maxK) <= BigInt(Long.MaxValue),
+      s"louvain overflow bound violated: 2*m*max(k) = 2*${m}*${maxK} " +
+        "exceeds BIGINT; down-sample edge weights/degrees first")
+    var lab = labels.toMap
+    def colorOfL(node: Long): Long =
+      ((node % 1000003L) * 2654435761L % 1000000007L) % 2L
+    for (sweep <- 0 until sweeps) {
+      val parity = sweep % 2
+      val dc = scala.collection.mutable.Map.empty[Long, Long]
+      lab.foreach { case (node, l) =>
+        deg.get(node).foreach(k => dc(l) = dc.getOrElse(l, 0L) + k) }
+      val kic = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      sym.foreach { case (a, b, w) =>
+        lab.get(b).foreach(c =>
+          kic((a, c)) = kic.getOrElse((a, c), 0L) + w) }
+      val candsOf = kic.keys.toSeq.groupBy(_._1)
+        .map { case (n, ks) => n -> ks.map(_._2).toSet }
+      val sizes = lab.values.groupBy(identity).map { case (l, vs) =>
+        l -> vs.size.toLong }
+      lab = lab.map { case (node, cur) =>
+        val newLabel = deg.get(node) match {
+          case None => cur // no degree row: never scored, never moves
+          case Some(k) =>
+            val cands = candsOf.getOrElse(node, Set.empty[Long]) + cur
+            // score only candidates with a d_c row (inner join)
+            val scored = cands.toSeq.flatMap { c =>
+              dc.get(c).map { dcv =>
+                val kicV = kic.getOrElse((node, c), 0L)
+                val own = if (c == cur) k else 0L
+                (c, 2L * m * kicV - k * (dcv - own))
+              }
+            }
+            val cursOpt = scored.find(_._1 == cur).map(_._2)
+            if (scored.isEmpty || cursOpt.isEmpty) cur
+            else {
+              // argmax by (score, then SMALLEST label) — the struct
+              // max over (s, -c)
+              val (best, bs) = scored.maxBy { case (c, s) => (s, -c) }
+              val curs = cursOpt.get
+              val singletonSwap = sizes.getOrElse(cur, 0L) == 1L &&
+                sizes.getOrElse(best, 0L) == 1L && best > cur
+              if (colorOfL(node) == parity && bs > curs && !singletonSwap)
+                best
+              else cur
+            }
+        }
+        node -> newLabel
+      }
+    }
+    lab.toSeq
   }
 
   /** Deterministic, engine-portable 2-coloring of node ids for the
@@ -220,8 +318,41 @@ object Louvain {
   def connectivityPass(edges: DataFrame, labels: DataFrame): DataFrame = {
     val lab = labels.select(col("node").cast("bigint").as("node"),
       col("label").cast("bigint").as("label")).localCheckpoint()
-    val e = edges.select(col("a").cast("bigint").as("a"),
-      col("b").cast("bigint").as("b")).filter(col("a") =!= col("b"))
+    val e0 = edges.select(col("a").cast("bigint").as("a"),
+      col("b").cast("bigint").as("b")).localCheckpoint()
+    // adaptive small-graph path (the refineWeighted precedent): the
+    // intra-edge join + CC collapse to one driver union-find
+    if (e0.count() <= SmallGraphMax && lab.count() <= SmallGraphMax) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val labMap = lab.collect().map(r =>
+        r.getLong(0) -> r.getLong(1)).toMap
+      val intra = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => a != b &&
+          labMap.get(a).exists(la => labMap.get(b).contains(la)) }
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      intra.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
+      labMap.keys.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+      }
+      return labMap.keys.toSeq
+        .map(n => (n, minOfRoot(find(n)))).toDF("node", "label")
+    }
+    val e = e0.filter(col("a") =!= col("b"))
     val intra = e
       .join(lab.select(col("node").as("a"), col("label").as("__la")), "a")
       .join(lab.select(col("node").as("b"), col("label").as("__lb")), "b")

@@ -38,6 +38,23 @@ class LabelPropagationSpec extends SparkSpec {
     assert(id === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("adaptive small-graph driver path produces EXACTLY the " +
+    "distributed labels") {
+    val edges = ((1 to 80).map(i =>
+      ((i % 17).toLong, ((i * 11 + 3) % 17).toLong, (i % 4 + 1).toLong))
+      .filter { case (a, b, _) => a != b }) ++ Seq((3L, 3L, 2L))
+    for (rounds <- Seq(0, 1, 3, 4)) {
+      val drv = LabelPropagation.communities(
+        edges.toDF("src", "dst", "w"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = LabelPropagation.communities(
+        edges.toDF("src", "dst", "w"), rounds, checkpointEvery = 4,
+        smallGraphMax = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(drv === dist, s"driver != distributed at rounds=$rounds")
+    }
+  }
+
   test("layout invariance: repartitioned edges give identical labels") {
     val edges = (1 to 60).map(i =>
       ((i % 12).toLong, ((i * 7) % 12).toLong, (i % 5 + 1).toLong))

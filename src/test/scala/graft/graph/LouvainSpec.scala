@@ -189,6 +189,28 @@ class LouvainSpec extends SparkSpec {
       "the contracted level must still merge past the resolution limit")
   }
 
+  test("adaptive small-graph driver path produces EXACTLY the " +
+    "distributed labels (weighted, self-loops, isolated nodes)") {
+    // pseudo-random-ish weighted graph + a self-loop + an isolated
+    // labeled node (no degree row: must never move on either path)
+    val e = ((0 until 60).map { i =>
+      val a = (i * 7) % 23; val b = (i * 13 + 5) % 23
+      (math.min(a, b).toLong, math.max(a, b).toLong,
+        1L + (i % 3))
+    } :+ ((3L, 3L, 4L))).toDF("a", "b", "w")
+    val nodes = (0L to 23L) :+ 99L // 99 is isolated
+    val lab = nodes.map(n => (n, n % 5)).toDF("node", "label")
+    for (sweeps <- Seq(1, 3, 4)) {
+      val drv = Louvain.refineWeighted(e, lab, sweeps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Louvain.refineWeighted(e, lab, sweeps,
+        smallGraphMax = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(drv === dist, s"driver != distributed at sweeps=$sweeps")
+      assert(drv(99L) === 99L % 5, "isolated node must keep its label")
+    }
+  }
+
   test("overflow bound is ENFORCED: 2*m*max(k) past BIGINT fails " +
     "loudly instead of wrapping") {
     val e = Seq((0L, 1L, 1L << 61)).toDF("a", "b", "w")
