@@ -261,6 +261,67 @@ object Anonymity {
         FROM g"""
   }
 
+  /** [[noisedSums]] under the GAUSSIAN MECHANISM — the (ε, δ) sum
+    * release that composes via [[DpLedger.advancedSummary]]'s √k
+    * account: same unit-level contribution clamp (sensitivity = cap),
+    * σ = cap·sqrt(2·ln(1.25/δ))/ε, noise = σ·Φ⁻¹(hash uniform). Same
+    * non-cryptographic caveat as the whole family. */
+  def noisedSumsGaussian(df: DataFrame, groupCols: Seq[String],
+                         unitCol: String, valueCol: String, cap: Double,
+                         epsilon: Double, delta: Double,
+                         salt: Int = 41): DataFrame = {
+    require(groupCols.nonEmpty && cap > 0 && epsilon > 0)
+    require(delta > 0 && delta < 1, s"delta must be in (0,1): $delta")
+    val capD = lit(cap).cast("decimal(18,6)")
+    val perUnit = df
+      .groupBy((groupCols.map(col) :+ col(unitCol)): _*)
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__s"))
+      .withColumn("__sc",
+        greatest(-capD, least(capD, col("__s"))).cast("decimal(18,6)"))
+    val key = graft.dedup.MinHashDedup.portableShingleHash(
+      concat_ws("", groupCols.map(col): _*))
+    val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
+      graft.functions.Noise.hashNoise(key, salt)))
+    val sigma = cap * math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
+    val noise = lit(sigma) * graft.functions.Noise.invNormal(u)
+    perUnit.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__sc")).as("__t"))
+      .withColumn("noised_sum",
+        floor((col("__t").cast("double") + noise) * lit(1e6) + lit(0.5))
+          / lit(1e6))
+      .drop("__t")
+  }
+
+  /** DuckDB twin of [[noisedSumsGaussian]]. */
+  def sqlNoisedSumsGaussian(table: String, groupCols: Seq[String],
+                            unitCol: String, valueCol: String,
+                            cap: Double, epsilon: Double, delta: Double,
+                            salt: Int = 41): String = {
+    import graft.functions.Noise.sqlDouble
+    val q = groupCols.mkString(", ")
+    val cat = groupCols.mkString("concat_ws(chr(1), ", ", ", ")")
+    val key = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len($cat) + 1),
+        j -> CAST(ascii(($cat)[j:j]) AS BIGINT))),
+      (a, ch) -> (a * 31 + ch) % 1000000007)"""
+    val u0 = graft.functions.Noise.sqlNoise(key, salt)
+    val u = s"greatest(${sqlDouble(1e-12)}, least(${sqlDouble(1.0 - 1e-12)}, $u0))"
+    val sigma = cap * math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
+    val noise =
+      s"(${sqlDouble(sigma)} * ${graft.functions.Noise.sqlInvNormal(u)})"
+    val capSql = s"CAST(${sqlDouble(cap)} AS DECIMAL(18,6))"
+    s"""WITH pu AS (
+          SELECT $q, $unitCol AS unit,
+            greatest(-$capSql, least($capSql,
+              sum(CAST($valueCol AS DECIMAL(18,6))))) AS sc
+          FROM $table GROUP BY $q, $unitCol
+        ), g AS (
+          SELECT $q, sum(sc) AS t FROM pu GROUP BY $q)
+        SELECT $q, floor((CAST(t AS DOUBLE) + $noise) * 1000000.0e0
+          + 0.5e0) / 1000000.0e0 AS noised_sum
+        FROM g"""
+  }
+
   // ---- Laplace-noised histogram release ---------------------------
   // The third leg of the private-release family: a DISTRIBUTION
   // release (histogram over a bounded equi-width bin axis) rather

@@ -29,7 +29,10 @@ object Percentiles {
 
   /** Per-group exact type-7 quantiles of `valueCol` by rank
     * selection. `ps` = (output column name, p) pairs; values emitted
-    * `round(·, 4)` like the b5 convention. */
+    * `round(·, 4)` like the b5 convention. Nulls are ignored like the
+    * buffered aggregate's; the one divergence: a group whose EVERY
+    * value is null is ABSENT here (no rankable row survives) where
+    * `percentile()` emits it with null quantiles. */
   def exactByRank(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   ps: Seq[(String, Double)]): DataFrame = {
     require(groupCols.nonEmpty && ps.nonEmpty)

@@ -1170,6 +1170,12 @@ object RelationalQueries extends Registry {
     "d125_dp_gaussian" -> ((s, d) =>
       graft.operators.Anonymity.noisedCountsGaussian(Tables.events(s, d),
         Seq("event_type"), epsilon = 0.5, delta = 1e-6)),
+    // D238: Gaussian SUM release — d101's contribution-bounded sums
+    // under the (ε, δ) mechanism (σ = cap·sqrt(2 ln(1.25/δ))/ε).
+    "d130_dp_gaussian_sums" -> ((s, d) =>
+      graft.operators.Anonymity.noisedSumsGaussian(Tables.events(s, d),
+        Seq("event_type"), "user_id", "value", cap = 500.0,
+        epsilon = 0.5, delta = 1e-6)),
     // D234: the DP BUDGET LEDGER — sequential-composition accounting
     // across releases on a tiny VersionedTable: init a (ε=2, δ=1e-6)
     // budget, record the week's four releases (the d34 family + the
@@ -2919,6 +2925,9 @@ object RelationalQueries extends Registry {
     "d125_dp_gaussian" -> graft.operators.Anonymity
       .sqlNoisedCountsGaussian("events", Seq("event_type"),
         epsilon = 0.5, delta = 1e-6),
+    "d130_dp_gaussian_sums" -> graft.operators.Anonymity
+      .sqlNoisedSumsGaussian("events", Seq("event_type"), "user_id",
+        "value", cap = 500.0, epsilon = 0.5, delta = 1e-6),
     // the ledger arithmetic replayed over the same fixed release
     // sequence (the engine side additionally exercises the versioned
     // protocol + replay idempotence via require/short-circuit)

@@ -200,6 +200,22 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("schema evolution across versions: each version reads with its " +
+    "OWN manifest schema — old versions keep their shape after a " +
+    "widened publish") {
+    val dir = freshDir("evolve")
+    VersionedTable.publish(Seq((1L, "a")).toDF("id", "s"), dir, "b1")
+    VersionedTable.publish(
+      Seq((2L, "b", 3.5)).toDF("id", "s", "score"), dir, "b2")
+    val v1 = VersionedTable.readAsOf(spark, dir, 1L)
+    assert(v1.schema.fieldNames.toSeq === Seq("id", "s"))
+    assert(v1.count() === 1L)
+    val v2 = VersionedTable.readAsOf(spark, dir, 2L)
+    assert(v2.schema.fieldNames.toSeq === Seq("id", "s", "score"))
+    assert(v2.collect().head.getDouble(2) === 3.5)
+    VersionedTable.drop(spark, dir)
+  }
+
   test("timestamp time travel: the newest version committed at or " +
     "before ts wins; too-early timestamps fail loudly") {
     val dir = freshDir("ts")
