@@ -58,8 +58,12 @@ object StreamingIncrementalCC {
   private def bucketOf(c: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(c), lit(nBuckets.toLong))
 
-  /** Create the empty state: version 1 with no files, schema only. */
-  def init(spark: SparkSession, dir: String): Unit = {
+  /** Create the empty state: version 1 with no files, schema only.
+    * `nBuckets` is pinned here (immutable table property) so a later
+    * applyBatch with a different value fails loudly instead of
+    * mis-pruning. */
+  def init(spark: SparkSession, dir: String, nBuckets: Int = 64): Unit = {
+    VersionedBuckets.writeNBuckets(spark, dir, nBuckets)
     VersionedTable.publishFiles(spark, dir, "init", RowSchema.json, Nil)
     ()
   }
@@ -84,6 +88,7 @@ object StreamingIncrementalCC {
                  batchId: Option[String] = None): Unit = {
     if (edges.isEmpty) return
     val spark = edges.sparkSession
+    VersionedBuckets.checkNBuckets(spark, dir, nBuckets)
     val bid = batchId.getOrElse(
       "cc-" + java.util.UUID.randomUUID().toString)
     if (VersionedTable.committedVersionOf(spark, dir, bid).isDefined)

@@ -70,6 +70,7 @@ object StreamingMerge {
     * a changelog later deletes every row. */
   def init(base: DataFrame, idCol: String, dir: String,
            nBuckets: Int = 64): Unit = {
+    VersionedBuckets.writeNBuckets(base.sparkSession, dir, nBuckets)
     val files = writeBucketed(base, idCol, dir, nBuckets)
     VersionedTable.publishFiles(base.sparkSession, dir, "init",
       base.schema.json, files)
@@ -90,6 +91,7 @@ object StreamingMerge {
                  batchId: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    VersionedBuckets.checkNBuckets(spark, dir, nBuckets)
     val bid = batchId.getOrElse(
       "merge-" + java.util.UUID.randomUUID().toString)
     // replay check BEFORE any work: a committed epoch wrote everything
@@ -148,6 +150,7 @@ object StreamingMerge {
     * incremental reads prune on. Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String, idCol: String,
               nBuckets: Int = 64): (Int, Int) = {
+    VersionedBuckets.checkNBuckets(spark, dir, nBuckets)
     val m = VersionedTable.latestManifest(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no snapshot at $dir"))
     val bid = s"merge-compact-of-v${m.version}"

@@ -24,6 +24,42 @@ private[streaming] object VersionedBuckets {
   def bucketOfPath(rel: String): Option[Long] =
     BucketRe.findFirstMatchIn(rel).map(_.group(1).toLong)
 
+  /** Persist the table's bucket count at init (atomic
+    * create-no-overwrite; immutable thereafter). A caller whose
+    * nBuckets disagrees with the stored value would compute bucket
+    * ids that no longer match the stored directory tags — the
+    * manifest-level prune would read the WRONG slice of the snapshot
+    * and the merge would silently duplicate rows. [[checkNBuckets]]
+    * turns that operator error into a loud failure. */
+  def writeNBuckets(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir))
+    val p = new Path(dir, "_nbuckets")
+    val out = fs.create(p, false)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Require the caller's nBuckets to match the table's stored value
+    * (tables predating the property pass through unchecked). */
+  def checkNBuckets(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, nBuckets: Int): Unit = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir, "_nbuckets")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt finally in.close()
+      require(stored == nBuckets,
+        s"nBuckets mismatch at $dir: table was initialized with " +
+          s"$stored, caller passed $nBuckets — a mismatched bucket " +
+          "function would mis-prune reads and corrupt the merge")
+    }
+  }
+
   /** Write `df` (which must already carry [[BucketCol]]) partitioned
     * by bucket into a fresh invisible data dir under `dir`; return
     * the dir-relative file paths (each carrying its `__bucket=N`

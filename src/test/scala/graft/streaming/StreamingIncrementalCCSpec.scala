@@ -32,7 +32,7 @@ class StreamingIncrementalCCSpec extends SparkSpec {
   test("stream-maintained labels equal the one-shot batch CC of the " +
     "union, batch by batch") {
     val dir = tmp("scc"); val ck = tmp("scc_ck")
-    StreamingIncrementalCC.init(spark, dir)
+    StreamingIncrementalCC.init(spark, dir, nBuckets = 8)
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Edge]
     val q = StreamingIncrementalCC.run(input.toDF(), dir, ck, nBuckets = 8)
@@ -48,7 +48,7 @@ class StreamingIncrementalCCSpec extends SparkSpec {
 
   test("replayed batch is idempotent (foreachBatch at-least-once)") {
     val dir = tmp("scc_rep")
-    StreamingIncrementalCC.init(spark, dir)
+    StreamingIncrementalCC.init(spark, dir, nBuckets = 8)
     StreamingIncrementalCC.applyBatch(
       Seq(Edge(1, 2), Edge(5, 6)).toDF(), dir, nBuckets = 8)
     val once = labelsOf(dir)
@@ -60,7 +60,7 @@ class StreamingIncrementalCCSpec extends SparkSpec {
   test("a batch rewrites only touched and destination buckets; " +
     "untouched buckets' files carry over by reference") {
     val dir = tmp("scc_cow")
-    StreamingIncrementalCC.init(spark, dir)
+    StreamingIncrementalCC.init(spark, dir, nBuckets = 16)
     // seed: 50 two-node components spread over 16 buckets
     StreamingIncrementalCC.applyBatch(
       (0L until 100L by 2L).map(i => Edge(i, i + 1)).toDF(), dir,
@@ -99,7 +99,7 @@ class StreamingIncrementalCCSpec extends SparkSpec {
   test("epoch-keyed replay is a version-level no-op; a reader racing " +
     "a trigger sees a complete labeling (atomic manifest swap)") {
     val dir = tmp("scc_epoch")
-    StreamingIncrementalCC.init(spark, dir)
+    StreamingIncrementalCC.init(spark, dir, nBuckets = 8)
     StreamingIncrementalCC.applyBatch(
       Seq(Edge(1, 2), Edge(5, 6)).toDF(), dir, nBuckets = 8,
       batchId = Some("cc-epoch-0"))
@@ -116,12 +116,22 @@ class StreamingIncrementalCCSpec extends SparkSpec {
   test("empty batch is a no-op; state starts empty and first batch " +
     "is a plain cc") {
     val dir = tmp("scc_empty")
-    StreamingIncrementalCC.init(spark, dir)
+    StreamingIncrementalCC.init(spark, dir, nBuckets = 8)
     StreamingIncrementalCC.applyBatch(
       Seq.empty[Edge].toDF(), dir, nBuckets = 8)
     assert(StreamingIncrementalCC.labels(spark, dir).count() === 0L)
     StreamingIncrementalCC.applyBatch(Seq(Edge(7, 8)).toDF(), dir,
       nBuckets = 8)
     assert(labelsOf(dir) === Map(7L -> 7L, 8L -> 7L))
+  }
+
+  test("a mismatched nBuckets fails loudly instead of mis-pruning") {
+    val dir = tmp("scc_nb")
+    StreamingIncrementalCC.init(spark, dir, nBuckets = 8)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIncrementalCC.applyBatch(
+        Seq(Edge(1, 2)).toDF(), dir, nBuckets = 16)
+    }
+    assert(ex.getMessage.contains("nBuckets mismatch"))
   }
 }

@@ -157,6 +157,21 @@ class StreamingMergeSpec extends SparkSpec {
       s"reader observed a torn snapshot $torn; valid: $validStates")
   }
 
+  test("a mismatched nBuckets fails loudly instead of mis-pruning " +
+    "the bucket reads") {
+    val dir = tmp("snap_nb")
+    StreamingMerge.init(base, "id", dir, nBuckets = 16)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingMerge.applyBatch(
+        Seq(Change(7L, "doc 7 v2", 1000, "upsert")).toDF(),
+        "id", "seq", "op", dir, nBuckets = 64)
+    }
+    assert(ex.getMessage.contains("nBuckets mismatch"))
+    intercept[IllegalArgumentException] {
+      StreamingMerge.compact(spark, dir, "id", 64)
+    }
+  }
+
   test("compact bounds file accumulation, preserves rows and the " +
     "bucket layout, and is idempotent per source version") {
     val dir = tmp("snap6")
