@@ -26,11 +26,12 @@ import org.apache.spark.sql.functions._
   * the totals are exact BIGINT sums, so the summary sits under the
   * bit-exact oracle. Scale: the ledger is release-axis sized (rows =
   * releases, not data); every operation is one small read + one
-  * manifest commit. SINGLE-WRITER by contract: concurrent recorders
-  * of distinct releases could each base on the same parent version
-  * and lose the other's row — budget accounting has one owner (the
-  * release pipeline), and the gc/canonicalization machinery already
-  * protects against the replay races that do occur in practice. */
+  * manifest commit. CONCURRENT-SAFE since round 13: appends go
+  * through the optimistic read-modify-write commit
+  * ([[VersionedTable.publishIfUnchanged]]), so racing recorders
+  * serialize — the loser re-reads the grown ledger and re-checks the
+  * budget before retrying (DpLedgerSpec races 8 recorders and the
+  * final ledger holds all 8 rows with a correct total). */
 object DpLedger {
 
   private val BudgetRelease = "__budget"
@@ -59,37 +60,60 @@ object DpLedger {
 
   /** Record one release. Idempotent per `release` name; throws
     * IllegalStateException (committing nothing) when the sequential
-    * composition total would exceed the budget. Returns the committed
-    * ledger version. */
+    * composition total would exceed the budget. CONCURRENT-SAFE: the
+    * append is an optimistic read-modify-write
+    * ([[VersionedTable.publishIfUnchanged]]) — a racing recorder's
+    * commit aborts ours, we re-read the grown ledger, RE-CHECK the
+    * budget against it and retry, so concurrent releases can never
+    * overspend by each basing on the same stale total (the
+    * lost-update race the round-12 version documented away). Returns
+    * the committed ledger version. */
   def record(spark: SparkSession, dir: String, release: String,
              mechanism: String, epsilon: Double, delta: Double): Long = {
     require(release.nonEmpty && release != BudgetRelease &&
       !release.contains("\n"), s"bad release name '$release'")
     val (em, dp) = grid(epsilon, delta)
-    VersionedTable.committedVersionOf(spark, dir, s"release-$release") match {
-      case Some(v) => return v // replayed release: already accounted
-      case None =>
+    var attempt = 0
+    while (true) {
+      VersionedTable.committedVersionOf(spark, dir,
+        s"release-$release") match {
+        case Some(v) => return v // replayed release: already accounted
+        case None =>
+      }
+      val base = VersionedTable.latestVersion(spark, dir).getOrElse(
+        throw new NoSuchElementException(
+          s"no committed version at $dir — init() first"))
+      val cur = entries(spark, dir).collect() // release-axis sized
+      val budget = cur.find(_.getString(1) == BudgetRelease).getOrElse(
+        throw new IllegalStateException(
+          s"no budget row at $dir — init() first"))
+      if (cur.exists(_.getString(1) == release)) // renamed-batch replay
+        return base
+      val spentE = cur.filter(_.getString(1) != BudgetRelease)
+        .map(_.getLong(3)).sum
+      val spentD = cur.filter(_.getString(1) != BudgetRelease)
+        .map(_.getLong(4)).sum
+      if (spentE + em > budget.getLong(3) ||
+          spentD + dp > budget.getLong(4))
+        throw new IllegalStateException(
+          s"release '$release' (eps=$epsilon, delta=$delta) would " +
+            s"exceed the budget: spent eps_micro=$spentE/" +
+            s"${budget.getLong(3)}, delta_pico=$spentD/" +
+            s"${budget.getLong(4)}")
+      val ord = cur.map(_.getLong(0)).max + 1L
+      import spark.implicits._
+      val next = entries(spark, dir).unionByName(
+        Seq((ord, release, mechanism, em, dp))
+          .toDF("ord", "release", "mechanism", "eps_micro", "delta_pico"))
+      try {
+        return VersionedTable.publishIfUnchanged(next, dir,
+          s"release-$release", expectedBaseVersion = base)
+      } catch {
+        case _: java.util.ConcurrentModificationException
+            if attempt < 20 => attempt += 1 // re-read, re-check, retry
+      }
     }
-    val cur = entries(spark, dir).collect() // release-axis sized
-    val budget = cur.find(_.getString(1) == BudgetRelease).getOrElse(
-      throw new IllegalStateException(s"no budget row at $dir — init() first"))
-    if (cur.exists(_.getString(1) == release)) // renamed-batch replay
-      return VersionedTable.latestVersion(spark, dir).get
-    val spentE = cur.filter(_.getString(1) != BudgetRelease)
-      .map(_.getLong(3)).sum
-    val spentD = cur.filter(_.getString(1) != BudgetRelease)
-      .map(_.getLong(4)).sum
-    if (spentE + em > budget.getLong(3) || spentD + dp > budget.getLong(4))
-      throw new IllegalStateException(
-        s"release '$release' (eps=$epsilon, delta=$delta) would exceed " +
-          s"the budget: spent eps_micro=$spentE/" +
-          s"${budget.getLong(3)}, delta_pico=$spentD/${budget.getLong(4)}")
-    val ord = cur.map(_.getLong(0)).max + 1L
-    import spark.implicits._
-    val next = entries(spark, dir).unionByName(
-      Seq((ord, release, mechanism, em, dp))
-        .toDF("ord", "release", "mechanism", "eps_micro", "delta_pico"))
-    VersionedTable.publish(next, dir, s"release-$release")
+    -1L // unreachable
   }
 
   /** ADVANCED COMPOSITION (Dwork–Rothblum–Vadhan, heterogeneous

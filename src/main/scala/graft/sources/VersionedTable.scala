@@ -63,7 +63,13 @@ object VersionedTable {
                                      ts: Long = 0L)
 
   private def readManifest(fs: FileSystem, p: Path): Option[Manifest] = {
-    val in = fs.open(p)
+    // a manifest listed a moment ago may have been DELETED since (an
+    // optimistic writer aborting its conflicted slot, a same-batchId
+    // loser canonicalizing away, gc) — a vanished manifest is simply
+    // not committed, never an error for the lister
+    val in = try fs.open(p) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
     val txt = try {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
@@ -165,6 +171,33 @@ object VersionedTable {
       fileStats(spark, dir, files, statsCols))
   }
 
+  /** [[publish]] with [[publishFilesIfUnchanged]]'s optimistic
+    * conflict check — for dataframes whose CONTENT derives from
+    * `expectedBaseVersion` (the ledger append shape): throws
+    * ConcurrentModificationException (committing nothing durable)
+    * when another writer landed in between; re-read and retry. */
+  def publishIfUnchanged(df: DataFrame, dir: String, batchId: String,
+                         expectedBaseVersion: Long): Long = {
+    require(!batchId.contains("\n") && batchId.nonEmpty,
+      "batchId must be a non-empty single-line string")
+    val spark = df.sparkSession
+    val fs = fsOf(spark, dir)
+    committedManifests(fs, dir).find(_.batchId == batchId) match {
+      case Some(m) => return m.version // replay: already committed
+      case None =>
+    }
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataRel = s"data/$uuid"
+    val dataPath = new Path(dir, dataRel)
+    df.write.parquet(dataPath.toString)
+    val files = fs.listStatus(dataPath).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s"$dataRel/${s.getPath.getName}").sorted
+    publishFilesIfUnchanged(spark, dir, batchId, df.schema.json, files,
+      expectedBaseVersion)
+  }
+
   /** Per-(file, column) min/max of `statsCols` over `files` — ONE
     * narrow scan grouped by `input_file_name()` (columnar, reads only
     * the stat columns). Files where a column is all-null emit no stat
@@ -224,51 +257,151 @@ object VersionedTable {
       stats)
   }
 
+  /** OPTIMISTIC-CONCURRENCY commit for READ-MODIFY-WRITE publishers
+    * ([[compact]], the CDC merge, the ledger append): their file list
+    * DERIVES from `expectedBaseVersion`'s content, so an intervening
+    * commit would be silently LOST if we published anyway (the
+    * classic table-format conflict). After committing, scan for any
+    * manifest slot in (base, ours): a committed one, or an
+    * unterminated stub that appeared DURING our window (a racing
+    * writer mid-commit), means our content is stale — we UNCOMMIT
+    * (delete own manifest; our data dir becomes a gc-able orphan) and
+    * throw ConcurrentModificationException; the caller re-reads the
+    * new latest and retries. ANY slot in the window aborts — even an
+    * unterminated stub (it may be an in-flight writer about to
+    * terminate; exempting "pre-existing" stubs measurably loses
+    * updates — the 8-recorder DpLedgerSpec race caught exactly that).
+    * The lowest claimed slot in a window always succeeds, so racing
+    * writers serialize; a CRASHED stub inside the window blocks
+    * (loud CME, never silent loss) until [[gc]]'s grace window
+    * reclaims it. */
+  def publishFilesIfUnchanged(spark: SparkSession, dir: String,
+                              batchId: String, schemaJson: String,
+                              files: Seq[String],
+                              expectedBaseVersion: Long,
+                              stats: Seq[(String, String, Double, Double)] = Nil)
+      : Long = {
+    require(!batchId.contains("\n") && batchId.nonEmpty,
+      "batchId must be a non-empty single-line string")
+    require(files.forall(f => !f.contains("\n") && !f.startsWith("/")),
+      "files must be single-line dir-relative paths")
+    val fs = fsOf(spark, dir)
+    committedManifests(fs, dir).find(_.batchId == batchId) match {
+      case Some(m) => return m.version // replay: already committed
+      case None =>
+    }
+    fs.mkdirs(manifestDir(dir))
+    // TWO-PHASE: claim the slot and write the body WITHOUT the
+    // terminator (invisible), validate the window, only then
+    // terminate. Validating after visibility is not enough — a third
+    // writer can DIRTY-READ a committed-then-aborted version and base
+    // its own successful commit on the aborted content (the
+    // 8-recorder race lost rows exactly that way).
+    val body = (Seq(s"version=%d", s"batchId=$batchId",
+      s"ts=${System.currentTimeMillis()}", s"schema=$schemaJson") ++
+      files.sorted.map(f => s"file=$f") ++
+      stats.map { case (f, c, mn, mx) =>
+        s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" })
+    var attempt = 0
+    while (attempt < 20) {
+      val next = maxSlot(fs, dir) + 1L
+      val mPath = new Path(manifestDir(dir), next.toString)
+      claimSlot(fs, mPath) match {
+        case Some(o) =>
+          var terminated = false
+          try {
+            val head = body.map(l =>
+              if (l == "version=%d") s"version=$next" else l)
+            o.write((head.mkString("\n") + "\n")
+              .getBytes(StandardCharsets.UTF_8))
+            o.flush()
+            // conflict check while still INVISIBLE: any other slot —
+            // committed or in-flight — in (base, ours) means our
+            // derived content is (or may become) stale
+            val window = allSlots(fs, dir)
+              .filter(n => n > expectedBaseVersion && n < next)
+            if (window.nonEmpty) {
+              o.close()
+              fs.delete(mPath, false)
+              throw new java.util.ConcurrentModificationException(
+                s"publish($dir, $batchId): base version " +
+                  s"$expectedBaseVersion is stale — another writer " +
+                  s"holds ${window.toSeq.sorted.mkString(",")}; " +
+                  "re-read the latest version and retry")
+            }
+            o.write((Terminator + "\n").getBytes(StandardCharsets.UTF_8))
+            terminated = true
+          } finally if (!terminated) {
+            // CME path already closed; other failures: close quietly
+            try o.close() catch { case _: Throwable => () }
+          } else o.close()
+          // ownership verify + canonicalization/data checks, as in
+          // the unconditional commit path
+          if (readManifest(fs, mPath).exists(_.batchId == batchId))
+            return postCommit(fs, dir, batchId, next, files.sorted)
+          attempt += 1
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"publish($dir, $batchId): lost the version slot 20 times")
+  }
+
   /** Slot-claim commit loop shared by [[publish]]/[[publishFiles]]:
     * reserve the next version atomically, write the manifest with the
     * terminator, verify ownership, then run the two post-commit
     * checks — same-batchId canonicalization and data-file existence
     * (details inline). Returns the CANONICAL committed version for
     * `batchId`. */
+  // next slot = 1 + max over ALL manifest files (committed or
+  // reserved-but-unterminated) — probing only committed versions
+  // would retry the same taken slot forever behind a slow writer
+  private def maxSlot(fs: FileSystem, dir: String): Long = {
+    val md = manifestDir(dir)
+    if (!fs.exists(md)) 0L
+    else fs.listStatus(md).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .foldLeft(0L)(math.max)
+  }
+
+  private def allSlots(fs: FileSystem, dir: String): Set[Long] = {
+    val md = manifestDir(dir)
+    if (!fs.exists(md)) Set.empty
+    else fs.listStatus(md).toSeq.flatMap(s =>
+      scala.util.Try(s.getPath.getName.toLong).toOption).toSet
+  }
+
+  // Atomic slot claim. Hadoop's LOCAL create(path, overwrite=false)
+  // is CHECK-THEN-ACT (exists test, then open) — two racing writers
+  // can both pass the check and one manifest silently truncates the
+  // other (caught by VersionedTableSpec's concurrent test under
+  // full-suite load). On file:// the claim therefore goes through
+  // POSIX O_CREAT|O_EXCL (`File.createNewFile`); on HDFS-like
+  // systems create(overwrite=false) is atomic by contract.
+  private def claimSlot(fs: FileSystem,
+                        p: Path): Option[java.io.OutputStream] = {
+    val uri = fs.getUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val f = new java.io.File(p.toUri.getPath)
+      if (f.createNewFile()) Some(new java.io.FileOutputStream(f))
+      else None
+    } else {
+      try Some(fs.create(p, false))
+      catch { case _: java.io.IOException => None }
+    }
+  }
+
   private def commitManifest(fs: FileSystem, dir: String, batchId: String,
                              schemaJson: String, files: Seq[String],
                              maxRetries: Int,
                              stats: Seq[(String, String, Double, Double)] = Nil)
       : Long = {
     fs.mkdirs(manifestDir(dir))
-    // next slot = 1 + max over ALL manifest files (committed or
-    // reserved-but-unterminated) — probing only committed versions
-    // would retry the same taken slot forever behind a slow writer
-    def maxSlot(): Long = {
-      val md = manifestDir(dir)
-      if (!fs.exists(md)) 0L
-      else fs.listStatus(md).toSeq
-        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-        .foldLeft(0L)(math.max)
-    }
-    // Atomic slot claim. Hadoop's LOCAL create(path, overwrite=false)
-    // is CHECK-THEN-ACT (exists test, then open) — two racing writers
-    // can both pass the check and one manifest silently truncates the
-    // other (caught by VersionedTableSpec's concurrent test under
-    // full-suite load). On file:// the claim therefore goes through
-    // POSIX O_CREAT|O_EXCL (`File.createNewFile`); on HDFS-like
-    // systems create(overwrite=false) is atomic by contract.
-    def claimSlot(p: Path): Option[java.io.OutputStream] = {
-      val uri = fs.getUri
-      if (uri.getScheme == null || uri.getScheme == "file") {
-        val f = new java.io.File(p.toUri.getPath)
-        if (f.createNewFile()) Some(new java.io.FileOutputStream(f))
-        else None
-      } else {
-        try Some(fs.create(p, false))
-        catch { case _: java.io.IOException => None }
-      }
-    }
     var attempt = 0
     while (attempt < maxRetries) {
-      val next = maxSlot() + 1L
+      val next = maxSlot(fs, dir) + 1L
       val mPath = new Path(manifestDir(dir), next.toString)
-      claimSlot(mPath) match {
+      claimSlot(fs, mPath) match {
         case Some(o) =>
           try {
             val body = (Seq(s"version=$next", s"batchId=$batchId",
@@ -511,8 +644,12 @@ object VersionedTable {
       .map(s => s"$dataRel/${s.getPath.getName}").sorted
     // sortCol clustering + zone maps is the data-skipping pair: the
     // range repartition gives each output file a narrow value band,
-    // the recorded stats let readAsOfPruned open only matching files
-    publishFiles(spark, dir, batchId, m.schemaJson, files,
+    // the recorded stats let readAsOfPruned open only matching files.
+    // Optimistic commit: a merge trigger landing while we compacted
+    // would be LOST if we published the stale file set — conflict
+    // throws instead; the caller recompacts off the new latest.
+    publishFilesIfUnchanged(spark, dir, batchId, m.schemaJson, files,
+      expectedBaseVersion = m.version,
       stats = fileStats(spark, dir, files, statsCols))
     (m.files.size, files.size)
   }

@@ -130,8 +130,10 @@ object StreamingIncrementalCC {
       .unionByName(relabeled.select(col("id"), col("component"),
         col(BucketCol)))
     val newFiles = VersionedBuckets.writeBucketed(newContent, dir)
-    VersionedTable.publishFiles(spark, dir, bid, m.schemaJson,
-      carried ++ newFiles)
+    // optimistic commit on the base version (see StreamingMerge):
+    // a racing writer's labels must abort us, never be lost
+    VersionedTable.publishFilesIfUnchanged(spark, dir, bid, m.schemaJson,
+      carried ++ newFiles, expectedBaseVersion = m.version)
     ()
   }
 

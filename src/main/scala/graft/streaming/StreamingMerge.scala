@@ -123,8 +123,12 @@ object StreamingMerge {
     // untouched buckets carry over by reference — untouched bytes stay
     // untouched on disk, and the swap is one atomic manifest commit
     val newFiles = writeBucketed(merged, idCol, dir, nBuckets)
-    VersionedTable.publishFiles(spark, dir, bid, m.schemaJson,
-      carried ++ newFiles)
+    // optimistic commit keyed on the base version: a concurrent
+    // writer's rows would be LOST if we published a file set derived
+    // from a stale snapshot — conflict fails the trigger loudly
+    // (foreachBatch replays it against the new latest on restart)
+    VersionedTable.publishFilesIfUnchanged(spark, dir, bid, m.schemaJson,
+      carried ++ newFiles, expectedBaseVersion = m.version)
     ()
   }
 
@@ -158,7 +162,8 @@ object StreamingMerge {
       return (m.files.size, m.files.size)
     val df = VersionedTable.readAsOf(spark, dir, m.version)
     val newFiles = writeBucketed(df, idCol, dir, nBuckets)
-    VersionedTable.publishFiles(spark, dir, bid, m.schemaJson, newFiles)
+    VersionedTable.publishFilesIfUnchanged(spark, dir, bid, m.schemaJson,
+      newFiles, expectedBaseVersion = m.version)
     (m.files.size, newFiles.size)
   }
 }

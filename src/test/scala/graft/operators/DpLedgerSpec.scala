@@ -96,6 +96,24 @@ class DpLedgerSpec extends SparkSpec {
     VersionedTable.drop(spark, dir2)
   }
 
+  test("8 concurrent recorders of distinct releases: no lost updates, " +
+    "exact total (the optimistic read-modify-write commit)") {
+    val dir = freshDir("race")
+    DpLedger.init(spark, dir, epsBudget = 2.0, deltaBudget = 0.0)
+    val threads = (1 to 8).map { i =>
+      new Thread(() =>
+        DpLedger.record(spark, dir, s"r$i", "laplace", 0.1, 0.0))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val rows = DpLedger.summary(spark, dir).collect()
+    assert(rows.length === 8,
+      s"every concurrent release must be accounted: ${rows.length}")
+    assert(rows.map(_.getLong(5)).max === 800000L,
+      "the running total must include all 8 releases")
+    VersionedTable.drop(spark, dir)
+  }
+
   test("bad inputs are rejected: missing init, reserved name, bad grid") {
     val dir = freshDir("bad")
     intercept[NoSuchElementException] {

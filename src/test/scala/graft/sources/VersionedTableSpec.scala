@@ -200,6 +200,26 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("optimistic read-modify-write: a stale base version aborts the " +
+    "commit (nothing durable) instead of losing the intervening write") {
+    val dir = freshDir("occ")
+    VersionedTable.publish(Seq((1L, "a")).toDF("id", "s"), dir, "b1")
+    // another writer lands after our (simulated) read of version 1
+    VersionedTable.publish(Seq((2L, "b")).toDF("id", "s"), dir, "b2")
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.publishIfUnchanged(
+        Seq((1L, "stale")).toDF("id", "s"), dir, "b3",
+        expectedBaseVersion = 1L)
+    }
+    assert(VersionedTable.versions(spark, dir) === Seq(1L, 2L),
+      "the conflicted commit must leave no manifest")
+    // based on the true latest it commits cleanly
+    assert(VersionedTable.publishIfUnchanged(
+      Seq((3L, "c")).toDF("id", "s"), dir, "b3",
+      expectedBaseVersion = 2L) === 3L)
+    VersionedTable.drop(spark, dir)
+  }
+
   test("schema evolution across versions: each version reads with its " +
     "OWN manifest schema — old versions keep their shape after a " +
     "widened publish") {
