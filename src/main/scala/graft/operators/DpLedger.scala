@@ -123,7 +123,10 @@ object DpLedger {
     *   δ_total = δ′ + Σδ_i
     *
     * — the √k-scaling bound that makes many small releases affordable
-    * where the basic Σε account would blow the budget. Determinism:
+    * where the basic Σε account would blow the budget. REPORTING
+    * ONLY: [[record]] enforces the basic (safe, always-valid) account
+    * — a budget owner who adopts the advanced bound reads this
+    * summary and sizes the basic budget accordingly. Determinism:
     * Σε_i² is the exact DECIMAL sum of squared micro-grid integers
     * (pico grid); each e^{ε_i} term quantizes to the 1e-12 grid
     * before the exact sum (order-free); the final sqrt/ln sequence is
