@@ -406,6 +406,69 @@ object Anonymity {
     FROM s LEFT JOIN counts c ON s.bucket = c.bucket"""
   }
 
+  /** [[noisedHistogram]] under the GAUSSIAN MECHANISM — the (ε, δ)
+    * distribution release (parallel composition across bins holds for
+    * Gaussian noise exactly as for Laplace: a neighbor moves one
+    * bin's count). σ = sqrt(2·ln(1.25/δ))/ε, Δ = 1 per bin with the
+    * one-row-per-unit contract. Same non-cryptographic caveat. */
+  def noisedHistogramGaussian(df: DataFrame, column: String, lo: Double,
+                              hi: Double, nb: Int, epsilon: Double,
+                              delta: Double,
+                              salt: Int = 43): DataFrame = {
+    require(epsilon > 0)
+    require(delta > 0 && delta < 1, s"delta must be in (0,1): $delta")
+    val hist = Histogram.equiWidth(df, column, lo, hi, nb)
+    val key = graft.dedup.MinHashDedup.portableShingleHash(
+      col("bucket").cast("string"))
+    val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
+      graft.functions.Noise.hashNoise(key, salt)))
+    val sigma = math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
+    val noise = lit(sigma) * graft.functions.Noise.invNormal(u)
+    hist.select(col("bucket"), col("lo_edge"), col("hi_edge"),
+      (floor((col("n_rows").cast("double") + noise) * lit(1e6)
+        + lit(0.5)) / lit(1e6)).as("noised_n"))
+  }
+
+  /** DuckDB twin of [[noisedHistogramGaussian]]. */
+  def sqlNoisedHistogramGaussian(table: String, column: String,
+                                 lo: Double, hi: Double, nb: Int,
+                                 epsilon: Double, delta: Double,
+                                 salt: Int = 43): String = {
+    import graft.functions.Noise.sqlDouble
+    val w = (hi - lo) / nb
+    val loS = sqlDouble(lo); val hiS = sqlDouble(hi)
+    val wS = sqlDouble(w)
+    val key = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(CAST(s.bucket AS VARCHAR)) + 1),
+        j -> CAST(ascii((CAST(s.bucket AS VARCHAR))[j:j]) AS BIGINT))),
+      (a, ch) -> (a * 31 + ch) % 1000000007)"""
+    val u0 = graft.functions.Noise.sqlNoise(key, salt)
+    val u = s"greatest(${sqlDouble(1e-12)}, least(${sqlDouble(1.0 - 1e-12)}, $u0))"
+    val sigma = math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
+    val noise =
+      s"(${sqlDouble(sigma)} * ${graft.functions.Noise.sqlInvNormal(u)})"
+    s"""
+    WITH counts AS (
+      SELECT CASE WHEN $column < $loS THEN CAST(-1 AS BIGINT)
+                  WHEN $column >= $hiS THEN CAST($nb AS BIGINT)
+                  ELSE CAST(floor(($column - $loS) / $wS) AS BIGINT)
+             END AS bucket,
+             count(*) AS n_rows
+      FROM $table WHERE $column IS NOT NULL
+      GROUP BY 1
+    ), s AS (
+      SELECT CAST(unnest(generate_series(-1, $nb)) AS BIGINT) AS bucket
+    )
+    SELECT s.bucket,
+      CASE WHEN s.bucket BETWEEN 0 AND ${nb - 1}
+           THEN $loS + s.bucket * $wS END AS lo_edge,
+      CASE WHEN s.bucket BETWEEN 0 AND ${nb - 1}
+           THEN $loS + (s.bucket + 1) * $wS END AS hi_edge,
+      floor((CAST(coalesce(c.n_rows, 0) AS DOUBLE) + $noise)
+        * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS noised_n
+    FROM s LEFT JOIN counts c ON s.bucket = c.bucket"""
+  }
+
   /** Quantiles read off the NOISED CDF of [[noisedHistogram]] — free
     * by the post-processing property of DP (a function of an ε-DP
     * release is ε-DP; no further budget). Per requested p: clamp each

@@ -1235,6 +1235,13 @@ object RelationalQueries extends Registry {
     "d34_noised_histogram" -> ((s, d) =>
       graft.operators.Anonymity.noisedHistogram(Tables.lineitem(s, d),
         "l_extendedprice", 0.0, 110000.0, 22, epsilon = 0.5)),
+    // D241: the histogram release under the Gaussian mechanism —
+    // completes the (Laplace, Gaussian) x (counts, sums, histogram)
+    // release matrix.
+    "d131_dp_gaussian_histogram" -> ((s, d) =>
+      graft.operators.Anonymity.noisedHistogramGaussian(
+        Tables.lineitem(s, d), "l_extendedprice", 0.0, 110000.0, 22,
+        epsilon = 0.5, delta = 1e-6)),
     // D209: quantiles read off the NOISED CDF — free by DP
     // post-processing (no extra ε); clamp → cumulate → interpolate
     // inside the reaching bin, boundary edges for under/overflow.
@@ -2917,6 +2924,9 @@ object RelationalQueries extends Registry {
     },
     "d34_noised_histogram" -> graft.operators.Anonymity.sqlNoisedHistogram(
       "lineitem", "l_extendedprice", 0.0, 110000.0, 22, epsilon = 0.5),
+    "d131_dp_gaussian_histogram" -> graft.operators.Anonymity
+      .sqlNoisedHistogramGaussian("lineitem", "l_extendedprice", 0.0,
+        110000.0, 22, epsilon = 0.5, delta = 1e-6),
     "d34_noised_quantiles" -> graft.operators.Anonymity.sqlNoisedQuantiles(
       "lineitem", "l_extendedprice", 0.0, 110000.0, 22, epsilon = 0.5,
       ps = Seq(0.25, 0.5, 0.9, 0.99)),
