@@ -148,8 +148,14 @@ object Anonymity {
                            salt: Int = 31): DataFrame = {
     require(groupCols.nonEmpty && epsilon > 0)
     require(delta > 0 && delta < 1, s"delta must be in (0,1): $delta")
+    // the classic analytic Gaussian bound sigma = sqrt(2 ln(1.25/d))/e
+    // is only a valid (e, d)-DP calibration for e < 1 (Dwork & Roth,
+    // Thm 3.22); outside that range it UNDER-noises, so refuse rather
+    // than publish an uncalibrated release claimed as DP
+    require(epsilon < 1,
+      s"analytic Gaussian calibration requires epsilon < 1: $epsilon")
     val key = graft.dedup.MinHashDedup.portableShingleHash(
-      concat_ws("", groupCols.map(col): _*))
+      concat_ws("", groupCols.map(col): _*))
     val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
       graft.functions.Noise.hashNoise(key, salt)))
     val sigma = math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
@@ -272,6 +278,12 @@ object Anonymity {
                          salt: Int = 41): DataFrame = {
     require(groupCols.nonEmpty && cap > 0 && epsilon > 0)
     require(delta > 0 && delta < 1, s"delta must be in (0,1): $delta")
+    // the classic analytic Gaussian bound sigma = sqrt(2 ln(1.25/d))/e
+    // is only a valid (e, d)-DP calibration for e < 1 (Dwork & Roth,
+    // Thm 3.22); outside that range it UNDER-noises, so refuse rather
+    // than publish an uncalibrated release claimed as DP
+    require(epsilon < 1,
+      s"analytic Gaussian calibration requires epsilon < 1: $epsilon")
     val capD = lit(cap).cast("decimal(18,6)")
     val perUnit = df
       .groupBy((groupCols.map(col) :+ col(unitCol)): _*)
@@ -279,7 +291,7 @@ object Anonymity {
       .withColumn("__sc",
         greatest(-capD, least(capD, col("__s"))).cast("decimal(18,6)"))
     val key = graft.dedup.MinHashDedup.portableShingleHash(
-      concat_ws("", groupCols.map(col): _*))
+      concat_ws("", groupCols.map(col): _*))
     val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
       graft.functions.Noise.hashNoise(key, salt)))
     val sigma = cap * math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
@@ -417,6 +429,12 @@ object Anonymity {
                               salt: Int = 43): DataFrame = {
     require(epsilon > 0)
     require(delta > 0 && delta < 1, s"delta must be in (0,1): $delta")
+    // the classic analytic Gaussian bound sigma = sqrt(2 ln(1.25/d))/e
+    // is only a valid (e, d)-DP calibration for e < 1 (Dwork & Roth,
+    // Thm 3.22); outside that range it UNDER-noises, so refuse rather
+    // than publish an uncalibrated release claimed as DP
+    require(epsilon < 1,
+      s"analytic Gaussian calibration requires epsilon < 1: $epsilon")
     val hist = Histogram.equiWidth(df, column, lo, hi, nb)
     val key = graft.dedup.MinHashDedup.portableShingleHash(
       col("bucket").cast("string"))

@@ -36,8 +36,14 @@ object DpLedger {
 
   private val BudgetRelease = "__budget"
 
+  // eps capped at 1e6 (eps_micro <= 1e12): any larger epsilon is
+  // privacy-meaningless, and the cap keeps every BIGINT total in
+  // record/summary orders of magnitude away from Long overflow (the
+  // additions below still use addExact as a belt-and-braces guard —
+  // a wrapped-negative total would silently PASS the budget check,
+  // defeating the fails-loudly contract)
   private def grid(eps: Double, delta: Double): (Long, Long) = {
-    require(eps >= 0 && !eps.isNaN && eps < 9e12, s"bad epsilon $eps")
+    require(eps >= 0 && !eps.isNaN && eps <= 1e6, s"bad epsilon $eps")
     require(delta >= 0 && !delta.isNaN && delta < 1, s"bad delta $delta")
     (math.round(eps * 1e6), math.round(delta * 1e12))
   }
@@ -90,11 +96,11 @@ object DpLedger {
       if (cur.exists(_.getString(1) == release)) // renamed-batch replay
         return base
       val spentE = cur.filter(_.getString(1) != BudgetRelease)
-        .map(_.getLong(3)).sum
+        .map(_.getLong(3)).foldLeft(0L)(Math.addExact)
       val spentD = cur.filter(_.getString(1) != BudgetRelease)
-        .map(_.getLong(4)).sum
-      if (spentE + em > budget.getLong(3) ||
-          spentD + dp > budget.getLong(4))
+        .map(_.getLong(4)).foldLeft(0L)(Math.addExact)
+      if (Math.addExact(spentE, em) > budget.getLong(3) ||
+          Math.addExact(spentD, dp) > budget.getLong(4))
         throw new IllegalStateException(
           s"release '$release' (eps=$epsilon, delta=$delta) would " +
             s"exceed the budget: spent eps_micro=$spentE/" +
@@ -145,7 +151,11 @@ object DpLedger {
       count(lit(1)).as("k"),
       sum(col("eps_micro")).as("eps_basic_micro"),
       sum(col("delta_pico")).as("delta_basic_pico"),
-      sum((col("eps_micro") * col("eps_micro")).cast("decimal(38,0)"))
+      // cast each factor to decimal BEFORE the multiply so the square
+      // is computed in decimal(38,0) arithmetic like the HUGEINT
+      // oracle — a BIGINT multiply would wrap for eps_micro > ~3e9
+      sum(col("eps_micro").cast("decimal(19,0)")
+          * col("eps_micro").cast("decimal(19,0)"))
         .as("__s2_pico2"),
       sum(floor(epsD * (exp(epsD) - lit(1.0)) * lit(1e12) + lit(0.5))
         .cast("bigint")).as("__lin_pico"))

@@ -1227,6 +1227,16 @@ object RelationalQueries extends Registry {
         Tables.events(s, d).select(col("event_type"),
           pmod(col("user_id"), lit(3L)).cast("string").as("seg")),
         Seq("event_type", "seg"), epsilon = 0.5)),
+    // D242: the SAME multi-column cell pin for the GAUSSIAN release —
+    // round 13 shipped the Gaussian mechanisms with a ""-separated
+    // tuple hash while their DuckDB twins used chr(1), a divergence
+    // the single-group-column d125/d130 rows masked; this row keeps
+    // the cross-engine agreement load-bearing on >1 group column.
+    "d125_dp_gaussian_multi" -> ((s, d) =>
+      graft.operators.Anonymity.noisedCountsGaussian(
+        Tables.events(s, d).select(col("event_type"),
+          pmod(col("user_id"), lit(3L)).cast("string").as("seg")),
+        Seq("event_type", "seg"), epsilon = 0.5, delta = 1e-6)),
     // D208: Laplace-noised HISTOGRAM release — the distribution leg of
     // the private-release family: d18's bounded-bin fold (dense spine,
     // explicit zero rows — an absent empty bin leaks) + per-bin
@@ -2996,6 +3006,11 @@ object RelationalQueries extends Registry {
       """(SELECT event_type,
            CAST(((user_id % 3) + 3) % 3 AS VARCHAR) AS seg FROM events)""",
       Seq("event_type", "seg"), epsilon = 0.5),
+    "d125_dp_gaussian_multi" -> graft.operators.Anonymity
+      .sqlNoisedCountsGaussian(
+        """(SELECT event_type,
+             CAST(((user_id % 3) + 3) % 3 AS VARCHAR) AS seg FROM events)""",
+        Seq("event_type", "seg"), epsilon = 0.5, delta = 1e-6),
     "d43_mde" -> graft.operators.Experiment.sqlMde(
       s"""SELECT
             ${graft.operators.Experiment.sqlVariantOf("user_id",

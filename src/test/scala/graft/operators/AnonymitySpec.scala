@@ -229,4 +229,63 @@ class AnonymitySpec extends SparkSpec {
       .map(x => x.getDouble(0) -> x.getDouble(1)).toMap
     assert(r === r2)
   }
+
+  test("Gaussian multi-column groups: \\u0001 separator keeps tuples " +
+    "distinct (the round-13 \"\"-separator defect)") {
+    import spark.implicits._
+    // concat_ws("") conflates ("ab","c") with ("a","bc") — both cells
+    // would then draw IDENTICAL correlated Gaussian noise, and the
+    // engine would diverge from the chr(1) SQL twin. Pin the fix.
+    val t = Seq(("ab", "c"), ("a", "bc"), ("ab", "c")).toDF("x", "y")
+    val out = Anonymity.noisedCountsGaussian(t, Seq("x", "y"),
+        epsilon = 0.5, delta = 1e-6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.size === 2)
+    val nAb = out(("ab", "c")) - 2.0
+    val nA = out(("a", "bc")) - 1.0
+    assert(nAb !== nA, "conflated tuples drew identical Gaussian noise")
+    // deterministic under relayout (re-publication must not wobble)
+    val again = Anonymity.noisedCountsGaussian(t.repartition(3),
+        Seq("x", "y"), epsilon = 0.5, delta = 1e-6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(again === out)
+  }
+
+  test("Gaussian sums: multi-column cells draw distinct noise too") {
+    import spark.implicits._
+    val t = Seq(("ab", "c", "u1", 10.0), ("a", "bc", "u2", 10.0))
+      .toDF("x", "y", "unit", "v")
+    val out = Anonymity.noisedSumsGaussian(t, Seq("x", "y"), "unit", "v",
+        cap = 100.0, epsilon = 0.5, delta = 1e-6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.size === 2)
+    assert(out(("ab", "c")) - 10.0 !== out(("a", "bc")) - 10.0,
+      "conflated cells drew identical noise")
+  }
+
+  test("Gaussian calibration refuses epsilon >= 1 (analytic bound range)") {
+    import spark.implicits._
+    // sigma = sqrt(2 ln(1.25/delta))/epsilon is only (ε,δ)-DP for
+    // ε < 1 — beyond that it UNDER-noises while still claiming DP, so
+    // the release must fail loudly instead of publishing.
+    val t = Seq(("a", "u1", 1.0)).toDF("g", "unit", "v")
+    intercept[IllegalArgumentException] {
+      Anonymity.noisedCountsGaussian(t, Seq("g"), epsilon = 1.0,
+        delta = 1e-6)
+    }
+    intercept[IllegalArgumentException] {
+      Anonymity.noisedSumsGaussian(t, Seq("g"), "unit", "v", cap = 10.0,
+        epsilon = 1.5, delta = 1e-6)
+    }
+    intercept[IllegalArgumentException] {
+      Anonymity.noisedHistogramGaussian(t, "v", 0.0, 10.0, 4,
+        epsilon = 2.0, delta = 1e-6)
+    }
+    // and the boundary-inside value still works
+    assert(Anonymity.noisedCountsGaussian(t, Seq("g"), epsilon = 0.999,
+      delta = 1e-6).count() === 1L)
+  }
 }

@@ -126,6 +126,16 @@ class DpLedgerSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DpLedger.record(spark, dir, "r1", "laplace", -0.1, 0.0)
     }
+    // the grid refuses privacy-meaningless epsilons OUTRIGHT — the cap
+    // (eps <= 1e6, eps_micro <= 1e12) is what keeps the BIGINT budget
+    // totals orders of magnitude away from Long overflow, so a wrapped
+    // negative total can never silently pass the budget check
+    intercept[IllegalArgumentException] {
+      DpLedger.record(spark, dir, "r1", "laplace", 1.1e6, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      DpLedger.init(spark, freshDir("bad2"), 9e12, 0.0)
+    }
     VersionedTable.drop(spark, dir)
   }
 }
