@@ -39,10 +39,43 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * commit per publish, independent of data size; version discovery
   * lists one directory (O(#versions), bounded by GC). Data files are
   * written once and never rewritten — publish of a new version costs
-  * the new version's bytes, not the table's. */
+  * the new version's bytes, not the table's.
+  *
+  * METADATA HOT PATH (round 14): manifests carry their version's FULL
+  * file list + per-file stats (multi-MB at 10⁶ files), so parsing
+  * every retained manifest on every read/publish — the round-13 shape
+  * — is O(versions × manifest size) driver I/O per operation, the
+  * first thing a per-minute streaming sink on a big table hits. The
+  * fix is the `_last_checkpoint` idea: every [[CheckpointEvery]]-th
+  * commit writes a tiny SUMMARY checkpoint (`_checkpoints/{N}`: one
+  * ~40-byte `(version, ts, batchId)` line per committed version — no
+  * file lists, no stats). The summary level every hot operation runs
+  * on ([[versions]], [[latestVersion]], [[committedVersionOf]], the
+  * replay checks, timestamp travel) then costs ONE directory listing
+  * + ONE checkpoint read + a parse of only the ≤ CheckpointEvery
+  * manifests newer than the checkpoint, and a snapshot read
+  * ([[readAsOf]]/[[readLatest]]) opens exactly ONE full manifest —
+  * its own — by direct slot path. Checkpoints are advisory, never
+  * load-bearing for correctness: entries are only ever derived from
+  * manifests verified committed (immutable once terminated), readers
+  * intersect them with the live slot listing (so GC'd or
+  * canonicalized-away versions drop out), slots absent from the
+  * checkpoint (late-terminating racers, post-checkpoint commits) are
+  * parsed directly, and a missing/torn/vanished checkpoint falls back
+  * to the next older one and ultimately to the full parse. */
 object VersionedTable {
 
   private val Terminator = "committed"
+
+  /** Write a summary checkpoint every this-many versions (the Delta
+    * `_last_checkpoint` cadence): the metadata hot path then parses at
+    * most this many post-checkpoint manifests per operation. */
+  private val CheckpointEvery = 10L
+
+  /** Diagnostic: full-manifest parse attempts ([[readManifest]] calls)
+    * — the spec's O(1)-metadata assertions count these. */
+  private[graft] val manifestParses =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Field separator inside `stat=` manifest lines (U+0001 — cannot
     * occur in relative paths or column names). */
@@ -63,6 +96,7 @@ object VersionedTable {
                                      ts: Long = 0L)
 
   private def readManifest(fs: FileSystem, p: Path): Option[Manifest] = {
+    manifestParses.incrementAndGet()
     // a manifest listed a moment ago may have been DELETED since (an
     // optimistic writer aborting its conflicted slot, a same-batchId
     // loser canonicalizing away, gc) — a vanished manifest is simply
@@ -99,6 +133,9 @@ object VersionedTable {
         scala.util.Try(t.toLong).toOption).getOrElse(0L))
   }
 
+  /** FULL parse of every committed manifest — the cold path. Only
+    * [[gc]] (which must resolve every version's file references) still
+    * walks this; every hot operation runs on [[committedSummaries]]. */
   private def committedManifests(fs: FileSystem,
                                  dir: String): Seq[Manifest] = {
     val md = manifestDir(dir)
@@ -109,9 +146,115 @@ object VersionedTable {
       .sortBy(_.version)
   }
 
+  // ---- checkpoint summary level (the metadata hot path) -----------
+
+  /** One committed version's summary — everything the hot metadata
+    * operations need, WITHOUT the file list / stats payload. */
+  private[graft] case class Summary(version: Long, ts: Long,
+                                    batchId: String)
+
+  private def checkpointDir(dir: String) = new Path(dir, "_checkpoints")
+
+  private def slotPath(dir: String, version: Long) =
+    new Path(manifestDir(dir), version.toString)
+
+  /** Numeric manifest slot names — ONE directory listing, no file
+    * reads (uncommitted stubs included; summaries filter them). */
+  private def slotNames(fs: FileSystem, dir: String): Seq[Long] = {
+    val md = manifestDir(dir)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+  }
+
+  private def readCheckpointFile(fs: FileSystem,
+                                 p: Path): Option[Map[Long, Summary]] = {
+    // vanished (pruned by a racing writer) or torn → caller falls back
+    val in = try fs.open(p) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
+    val txt = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = txt.split("\n", -1).toSeq
+    if (!lines.contains(Terminator)) return None
+    Some(lines.filter(_.startsWith("v=")).flatMap { l =>
+      // batchId LAST with a bounded split — it may contain anything
+      // single-line, including the separator
+      l.drop(2).split(StatSep, 3) match {
+        case Array(v, ts, b) => scala.util.Try(
+          Summary(v.toLong, ts.toLong, b)).toOption
+        case _ => None
+      }
+    }.map(s => s.version -> s).toMap)
+  }
+
+  /** Newest readable checkpoint's summary map (empty when none). */
+  private def latestCheckpoint(fs: FileSystem,
+                               dir: String): Map[Long, Summary] = {
+    val cd = checkpointDir(dir)
+    if (!fs.exists(cd)) return Map.empty
+    fs.listStatus(cd).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .sorted.reverse.iterator
+      .flatMap(n => readCheckpointFile(fs, new Path(cd, n.toString)))
+      .nextOption().getOrElse(Map.empty)
+  }
+
+  /** Every committed version's [[Summary]], ascending — ONE slot
+    * listing + ONE checkpoint read + a [[readManifest]] of only the
+    * slots the checkpoint doesn't know (≤ [[CheckpointEvery]] recent
+    * commits, late-terminating racers, rare stubs). Checkpoint entries
+    * are trusted ONLY for slots still present in the live listing
+    * (manifests are immutable once committed; GC'd/canonicalized
+    * versions drop out by name). */
+  private def committedSummaries(fs: FileSystem,
+                                 dir: String): Seq[Summary] = {
+    val names = slotNames(fs, dir)
+    if (names.isEmpty) return Seq.empty
+    val known = latestCheckpoint(fs, dir)
+    names.sorted.flatMap { n =>
+      known.get(n).orElse(readManifest(fs, slotPath(dir, n))
+        .map(m => Summary(m.version, m.ts, m.batchId)))
+    }
+  }
+
+  /** Write `_checkpoints/{latest}` summarizing every currently
+    * committed version, then prune superseded checkpoints.
+    * BEST-EFFORT by design: failure changes nothing (readers fall
+    * back), a same-name claim loss means an equal checkpoint already
+    * exists, and a reader racing the prune tolerates the vanish. */
+  private def writeCheckpoint(fs: FileSystem, dir: String): Unit = try {
+    val sums = committedSummaries(fs, dir)
+    if (sums.isEmpty) return
+    val cd = checkpointDir(dir)
+    fs.mkdirs(cd)
+    val name = sums.last.version
+    claimSlot(fs, new Path(cd, name.toString)) match {
+      case Some(o) =>
+        try {
+          val body = (sums.map(s =>
+            s"v=${s.version}$StatSep${s.ts}$StatSep${s.batchId}") :+
+            Terminator :+ "").mkString("\n")
+          o.write(body.getBytes(StandardCharsets.UTF_8))
+        } finally o.close()
+      case None => () // an equal-or-newer writer beat us: fine
+    }
+    fs.listStatus(cd).foreach { s =>
+      val n = scala.util.Try(s.getPath.getName.toLong).toOption
+      if (n.exists(_ < name)) fs.delete(s.getPath, false)
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
   /** All committed versions, ascending. */
   def versions(spark: SparkSession, dir: String): Seq[Long] =
-    committedManifests(fsOf(spark, dir), dir).map(_.version)
+    committedSummaries(fsOf(spark, dir), dir).map(_.version)
 
   /** Latest committed version, if any. */
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
@@ -119,17 +262,21 @@ object VersionedTable {
 
   /** Latest committed manifest — the copy-on-write sinks
     * ([[graft.streaming.StreamingMerge]], [[compact]]) read it to
-    * carry untouched files into their next version by reference. */
+    * carry untouched files into their next version by reference.
+    * Resolves via the summary level: one direct manifest read. */
   private[graft] def latestManifest(spark: SparkSession,
-                                    dir: String): Option[Manifest] =
-    committedManifests(fsOf(spark, dir), dir).lastOption
+                                    dir: String): Option[Manifest] = {
+    val fs = fsOf(spark, dir)
+    committedSummaries(fs, dir).lastOption
+      .flatMap(s => readManifest(fs, slotPath(dir, s.version)))
+  }
 
   /** The committed version carrying `batchId`, if any — the replay
     * check sinks run BEFORE doing any work (publish's internal check
     * only saves the commit, not the data write). */
   def committedVersionOf(spark: SparkSession, dir: String,
                          batchId: String): Option[Long] =
-    committedManifests(fsOf(spark, dir), dir)
+    committedSummaries(fsOf(spark, dir), dir)
       .find(_.batchId == batchId).map(_.version)
 
   /** Publish `df` as the next version of the table at `dir`. Returns
@@ -154,8 +301,8 @@ object VersionedTable {
       "batchId must be a non-empty single-line string")
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
-    committedManifests(fs, dir).find(_.batchId == batchId) match {
-      case Some(m) => return m.version // replay: already committed
+    committedSummaries(fs, dir).find(_.batchId == batchId) match {
+      case Some(s) => return s.version // replay: already committed
       case None =>
     }
     // 1. data files to a fresh invisible directory
@@ -182,8 +329,8 @@ object VersionedTable {
       "batchId must be a non-empty single-line string")
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
-    committedManifests(fs, dir).find(_.batchId == batchId) match {
-      case Some(m) => return m.version // replay: already committed
+    committedSummaries(fs, dir).find(_.batchId == batchId) match {
+      case Some(s) => return s.version // replay: already committed
       case None =>
     }
     val uuid = java.util.UUID.randomUUID().toString
@@ -249,8 +396,8 @@ object VersionedTable {
     require(files.forall(f => !f.contains("\n") && !f.startsWith("/")),
       "files must be single-line dir-relative paths")
     val fs = fsOf(spark, dir)
-    committedManifests(fs, dir).find(_.batchId == batchId) match {
-      case Some(m) => return m.version // replay: already committed
+    committedSummaries(fs, dir).find(_.batchId == batchId) match {
+      case Some(s) => return s.version // replay: already committed
       case None =>
     }
     commitManifest(fs, dir, batchId, schemaJson, files.sorted, maxRetries,
@@ -286,8 +433,8 @@ object VersionedTable {
     require(files.forall(f => !f.contains("\n") && !f.startsWith("/")),
       "files must be single-line dir-relative paths")
     val fs = fsOf(spark, dir)
-    committedManifests(fs, dir).find(_.batchId == batchId) match {
-      case Some(m) => return m.version // replay: already committed
+    committedSummaries(fs, dir).find(_.batchId == batchId) match {
+      case Some(s) => return s.version // replay: already committed
       case None =>
     }
     fs.mkdirs(manifestDir(dir))
@@ -448,7 +595,7 @@ object VersionedTable {
   private def postCommit(fs: FileSystem, dir: String, batchId: String,
                          ourVersion: Long, files: Seq[String]): Long = {
     val ourPath = new Path(manifestDir(dir), ourVersion.toString)
-    val sameBatch = committedManifests(fs, dir)
+    val sameBatch = committedSummaries(fs, dir)
       .filter(_.batchId == batchId).map(_.version)
     val canonical = if (sameBatch.nonEmpty) sameBatch.min else ourVersion
     if (canonical != ourVersion) {
@@ -464,18 +611,20 @@ object VersionedTable {
           "orphanGraceMs=0 raced the publish?) — commit rolled back: " +
           missing.take(3).mkString(", "))
     }
+    // refresh the summary checkpoint on the cadence — best-effort,
+    // after the commit is final (never on the canonicalized-loser path)
+    if (ourVersion % CheckpointEvery == 0L) writeCheckpoint(fs, dir)
     ourVersion
   }
 
-  /** Snapshot read "as of" committed `version` — the exact file set
-    * that version's manifest names, immune to later publishes. Fails
-    * if the version was never committed or has been GC'd. */
-  def readAsOf(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val fs = fsOf(spark, dir)
-    val m = committedManifests(fs, dir).find(_.version == version)
-      .getOrElse(throw new NoSuchElementException(
-        s"version $version is not committed at $dir (GC'd or never " +
-          s"published); committed: ${versions(spark, dir).mkString(",")}"))
+  /** Resolve one version's manifest by DIRECT slot path — one file
+    * read, no listing. */
+  private def manifestOf(fs: FileSystem, dir: String,
+                         version: Long): Option[Manifest] =
+    readManifest(fs, slotPath(dir, version))
+
+  private def dfOf(spark: SparkSession, dir: String,
+                   m: Manifest): DataFrame =
     if (m.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
@@ -483,11 +632,24 @@ object VersionedTable {
       spark.read.schema(
         DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
         .parquet(m.files.map(f => new Path(dir, f).toString): _*)
+
+  /** Snapshot read "as of" committed `version` — the exact file set
+    * that version's manifest names, immune to later publishes. Fails
+    * if the version was never committed or has been GC'd. */
+  def readAsOf(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val m = manifestOf(fs, dir, version)
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version is not committed at $dir (GC'd or never " +
+          s"published); committed: ${versions(spark, dir).mkString(",")}"))
+    dfOf(spark, dir, m)
   }
 
-  /** Latest committed snapshot. */
+  /** Latest committed snapshot — ONE version resolution, ONE manifest
+    * read (the round-13 shape resolved the latest version and then
+    * re-listed + re-parsed everything inside readAsOf). */
   def readLatest(spark: SparkSession, dir: String): DataFrame =
-    readAsOf(spark, dir, latestVersion(spark, dir).getOrElse(
+    dfOf(spark, dir, latestManifest(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no committed version at $dir")))
 
   /** ZONE-MAP PRUNED snapshot read: `readAsOf` restricted to
@@ -505,7 +667,7 @@ object VersionedTable {
       : (DataFrame, Int, Int) = {
     require(lo <= hi, s"empty range [$lo, $hi]")
     val fs = fsOf(spark, dir)
-    val m = committedManifests(fs, dir).find(_.version == version)
+    val m = manifestOf(fs, dir, version)
       .getOrElse(throw new NoSuchElementException(
         s"version $version is not committed at $dir"))
     val statOf = m.stats.filter(_._2 == column)
@@ -542,12 +704,12 @@ object VersionedTable {
   def readAsOfTimestamp(spark: SparkSession, dir: String,
                         tsMillis: Long): DataFrame = {
     val fs = fsOf(spark, dir)
-    val m = committedManifests(fs, dir)
+    val s = committedSummaries(fs, dir)
       .filter(mf => mf.ts > 0L && mf.ts <= tsMillis)
       .sortBy(_.version).lastOption
       .getOrElse(throw new NoSuchElementException(
         s"no version committed at or before ts=$tsMillis at $dir"))
-    readAsOf(spark, dir, m.version)
+    readAsOf(spark, dir, s.version)
   }
 
   /** Retention GC: keep the newest `keepLast` committed versions; drop
@@ -600,6 +762,14 @@ object VersionedTable {
         fs.delete(s.getPath, true); dDeleted += 1
       }
     }
+    // drop every checkpoint (they may summarize just-GC'd versions —
+    // harmless for correctness, but stale entries bloat) and write one
+    // fresh summary of the retained tail; a reader racing the prune
+    // tolerates the vanish and falls back to parsing the manifests
+    val cd = checkpointDir(dir)
+    if (fs.exists(cd))
+      fs.listStatus(cd).foreach(s => fs.delete(s.getPath, false))
+    writeCheckpoint(fs, dir)
     (mDeleted, dDeleted)
   }
 

@@ -325,4 +325,77 @@ class VersionedTableSpec extends SparkSpec {
       (for (r <- 0 to 1; i <- 1 to 8) yield s"t$r-$i").toSet)
     VersionedTable.drop(spark, dir)
   }
+
+  test("metadata hot path is O(1) in version history: 1000 committed " +
+    "versions, each operation parses a bounded handful of manifests") {
+    val dir = freshDir("meta")
+    val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json
+    // 1000 manifest-only commits (empty file lists — the protocol cost
+    // without the parquet writes); checkpoints land every 10th version
+    for (i <- 1 to 1000)
+      VersionedTable.publishFiles(spark, dir, s"b-$i", schemaJson, Nil)
+    assert(VersionedTable.versions(spark, dir).size === 1000)
+    // checkpoint pruning: exactly one summary file survives
+    val cps = new java.io.File(s"$dir/_checkpoints").listFiles()
+    assert(cps != null && cps.length === 1, s"checkpoints: ${cps.toSeq}")
+    def parses(op: => Unit): Long = {
+      val before = VersionedTable.manifestParses.get()
+      op
+      VersionedTable.manifestParses.get() - before
+    }
+    // every hot operation must read O(1) manifest files — NOT the
+    // round-13 O(versions) full parse (which would be 1000 here).
+    // Budget: the ≤ CheckpointEvery post-checkpoint tail + the target
+    // manifest + a stub or two of slack.
+    val budget = 15L
+    val pLatest = parses(VersionedTable.latestVersion(spark, dir))
+    assert(pLatest <= budget, s"latestVersion parsed $pLatest manifests")
+    val pRead = parses(VersionedTable.readLatest(spark, dir).schema)
+    assert(pRead <= budget, s"readLatest parsed $pRead manifests")
+    val pAsOf = parses(VersionedTable.readAsOf(spark, dir, 500L).schema)
+    assert(pAsOf <= 2L, s"readAsOf parsed $pAsOf manifests")
+    val pBatch = parses(assert(
+      VersionedTable.committedVersionOf(spark, dir, "b-500") === Some(500L)))
+    assert(pBatch <= budget, s"committedVersionOf parsed $pBatch manifests")
+    val pPub = parses(VersionedTable.publishFiles(spark, dir, "b-new",
+      schemaJson, Nil))
+    assert(pPub <= 2 * budget, s"publishFiles parsed $pPub manifests")
+    // replay of an ancient batchId still resolves (through the
+    // checkpoint) without a full parse
+    val pReplay = parses(assert(VersionedTable.publishFiles(spark, dir,
+      "b-7", schemaJson, Nil) === 7L))
+    assert(pReplay <= budget, s"replay parsed $pReplay manifests")
+    // correctness is untouched by the summary level: gc retains and
+    // rewrites the checkpoint, reads keep working, travel to a GC'd
+    // version fails loudly
+    VersionedTable.gc(spark, dir, keepLast = 50, orphanGraceMs = 0L)
+    val vs = VersionedTable.versions(spark, dir)
+    assert(vs.size === 50 && vs.last === 1001L, s"${vs.take(3)}..${vs.last}")
+    intercept[NoSuchElementException] {
+      VersionedTable.readAsOf(spark, dir, 10L)
+    }
+    val pAfterGc = parses(VersionedTable.latestVersion(spark, dir))
+    assert(pAfterGc <= budget, s"post-gc latestVersion parsed $pAfterGc")
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("checkpoints are advisory: a deleted or torn checkpoint never " +
+    "changes results, late-committed slots are still seen") {
+    val dir = freshDir("cpadv")
+    for (i <- 1 to 25)
+      VersionedTable.publish(Seq((i.toLong, s"v$i")).toDF("id", "s"),
+        dir, s"b$i")
+    val withCp = VersionedTable.versions(spark, dir)
+    // blow the checkpoint away: full fallback, identical answers
+    val cd = new java.io.File(s"$dir/_checkpoints")
+    cd.listFiles().foreach(_.delete())
+    assert(VersionedTable.versions(spark, dir) === withCp)
+    assert(VersionedTable.readLatest(spark, dir).count() === 1L)
+    // torn checkpoint (no terminator): ignored, not an error
+    val torn = new java.io.FileWriter(s"$dir/_checkpoints/99")
+    torn.write("v=10bogus\n"); torn.close()
+    assert(VersionedTable.versions(spark, dir) === withCp)
+    assert(VersionedTable.committedVersionOf(spark, dir, "b3") === Some(3L))
+    VersionedTable.drop(spark, dir)
+  }
 }
