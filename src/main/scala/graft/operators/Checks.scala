@@ -167,4 +167,32 @@ object Checks {
       .select(col("check"), col("target"), col("n_rows"),
         col("violations"), (col("violations") === 0L).as("passed"))
   }
+
+  /** WRITE-AUDIT-PUBLISH: the constraint-gated promotion of a staged
+    * [[graft.sources.VersionedTable]] cut — run the declared contract
+    * on EXACTLY the staged file set, and only a fully passing report
+    * promotes it to the readable latest (one atomic commit; readers
+    * concurrent with the promote see old-or-new, never staged). A
+    * violation throws IllegalStateException naming the failed checks
+    * and leaves the staged cut INTACT for inspection
+    * (`VersionedTable.discardStaged` releases it). Returns the
+    * committed version. This is how a production corpus release
+    * avoids shipping a bad cut: stage → this gate → serve. */
+  def auditAndPromote(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, stagedId: String,
+                      constraints: Seq[Constraint]): Long = {
+    val staged = graft.sources.VersionedTable.readStaged(spark, dir,
+      stagedId)
+    val failed = run(staged, constraints).collect()
+      .filter(r => r.getLong(r.fieldIndex("violations")) > 0L)
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"staged publish '$stagedId' at $dir failed " +
+          s"${failed.length} constraint(s): " +
+          failed.map(r => s"${r.getString(0)}(${r.getString(1)})=" +
+            s"${r.getLong(r.fieldIndex("violations"))}")
+            .mkString(", ") +
+          " — promotion blocked, staged cut left for inspection")
+    graft.sources.VersionedTable.promote(spark, dir, stagedId)
+  }
 }

@@ -155,6 +155,42 @@ object DedupQueries extends Registry {
         s"zone maps failed to skip: opened $opened of $total files")
       df
     }),
+    // D244: MANIFEST-LEVEL CHANGE FEED — the incremental consumer's
+    // complement of d116: a bucketed versioned table takes one CDC
+    // batch (sparse upserts + deletes touching a few buckets; the
+    // merge carries every untouched bucket BY REFERENCE), and the
+    // diff v1→v2 is driven by changedFiles instead of a full-content
+    // join — md5 only over removed/added files' rows, carried files
+    // contribute `unchanged` from an id-column-only projection. The
+    // require proves the feed actually skipped files; the output is
+    // ≡ the full snapshot diff, so the row sits under the bit-exact
+    // oracle.
+    "d133_versioned_changefeed" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_versioned_feed")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      graft.streaming.StreamingMerge.init(docs, "doc_id", dir,
+        nBuckets = 16)
+      val upserts = docs.filter(col("doc_id") % 499 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpUpsert))
+      val deletes = docs.filter(col("doc_id") % 503 === 0)
+        .withColumn("__seq", lit(2L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpDelete))
+      graft.streaming.StreamingMerge.applyBatch(
+        upserts.unionByName(deletes), "doc_id", "__seq", "__op", dir,
+        16, Some("feed-epoch-0"))
+      val (added, removed) = graft.sources.VersionedTable
+        .changedFiles(s, dir, 1L, 2L)
+      val carried = graft.sources.VersionedTable.filesOf(s, dir, 2L)
+        .toSet -- added
+      require(carried.nonEmpty && (added.nonEmpty || removed.nonEmpty),
+        s"change-feed fixture drifted: +${added.size} " +
+          s"-${removed.size} =${carried.size}")
+      graft.operators.SnapshotDiff.incremental(s, dir, 1L, 2L,
+        "doc_id", "text")
+    }),
     // D39: CDC merge — the write-side complement of d11: base snapshot
     // (90% of docs) + a changelog of upserts (every 7th doc re-crawled,
     // text revised, seq 1) and deletes (every 13th doc taken down,
@@ -568,6 +604,15 @@ object DedupQueries extends Registry {
       FROM orders
       WHERE CAST(o_totalprice AS DOUBLE) >= 50000.0e0
         AND CAST(o_totalprice AS DOUBLE) <= 100000.0e0""",
+    // the FULL snapshot diff of the planted two-version table — the
+    // engine side computes it incrementally off the manifest change
+    // feed; equality proves the incremental path exact
+    "d133_versioned_changefeed" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 503 = 0 THEN 'removed'
+             WHEN doc_id % 499 = 0 THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM documents""",
     // identical latest-wins arithmetic as d12 — the query differs only
     // in the storage path (versioned bucketed snapshot vs one merge)
     "d121_versioned_merge" -> """

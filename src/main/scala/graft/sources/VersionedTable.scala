@@ -738,8 +738,25 @@ object VersionedTable {
     val committed = committedManifests(fs, dir)
     val keep = committed.takeRight(keepLast)
     val keepVersions = keep.map(_.version).toSet
-    val keepDataDirs = keep.flatMap(_.files)
+    // staged-but-not-yet-promoted cuts reference data no committed
+    // manifest knows — an audit may take arbitrarily long, so their
+    // data dirs are protected regardless of age (discardStaged is the
+    // explicit way to release them); aged TORN staged stubs are
+    // crashed stagers and go with the orphan rule
+    val sd = stagedDir(dir)
+    val stagedFiles: Seq[(Path, Option[Manifest], Long)] =
+      if (!fs.exists(sd)) Nil
+      else fs.listStatus(sd).toSeq.filter(_.isFile)
+        .map(s => (s.getPath, readStagedManifest(fs, s.getPath),
+          s.getModificationTime))
+    val stagedKeepDirs = stagedFiles.flatMap(_._2).flatMap(_.files)
       .map(f => f.split("/").take(2).mkString("/")).toSet
+    stagedFiles.foreach { case (p, m, mtime) =>
+      if (m.isEmpty && mtime < cutoff) fs.delete(p, false)
+    }
+    val keepDataDirs = (keep.flatMap(_.files)
+      .map(f => f.split("/").take(2).mkString("/")).toSet) ++
+      stagedKeepDirs
     val md = manifestDir(dir)
     var mDeleted = 0
     if (fs.exists(md)) fs.listStatus(md).foreach { s =>
@@ -822,6 +839,192 @@ object VersionedTable {
       expectedBaseVersion = m.version,
       stats = fileStats(spark, dir, files, statsCols))
     (m.files.size, files.size)
+  }
+
+  // ---- manifest-level change feed ---------------------------------
+
+  /** CHANGE FEED between two committed versions: the exact data-file
+    * delta `(added, removed)` — known from TWO manifest reads, zero
+    * data I/O. The copy-on-write sinks ([[graft.streaming
+    * .StreamingMerge]], [[publishFiles]], [[compact]]) carry every
+    * untouched file into the next version BY REFERENCE, so for them
+    * this delta IS the change: an incremental consumer
+    * ([[graft.operators.SnapshotDiff.incremental]]) re-reads only
+    * these files and its cost tracks the change, not the corpus.
+    * Files present in both versions are byte-identical by
+    * construction (committed versions are immutable snapshots). */
+  def changedFiles(spark: SparkSession, dir: String, vOld: Long,
+                   vNew: Long): (Seq[String], Seq[String]) = {
+    val fs = fsOf(spark, dir)
+    def m(v: Long) = manifestOf(fs, dir, v).getOrElse(
+      throw new NoSuchElementException(
+        s"version $v is not committed at $dir"))
+    val (mo, mn) = (m(vOld), m(vNew))
+    val (os, ns) = (mo.files.toSet, mn.files.toSet)
+    (mn.files.filterNot(os), mo.files.filterNot(ns))
+  }
+
+  /** A committed version's exact (dir-relative) data file list. */
+  def filesOf(spark: SparkSession, dir: String,
+              version: Long): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    manifestOf(fs, dir, version).map(_.files).getOrElse(
+      throw new NoSuchElementException(
+        s"version $version is not committed at $dir"))
+  }
+
+  /** Read a SUBSET of a committed version's files under that
+    * version's schema — the change-feed consumer's read primitive.
+    * `files` must come from that version's manifest
+    * ([[changedFiles]]/[[filesOf]]); foreign paths are refused. */
+  def readFileSubset(spark: SparkSession, dir: String, version: Long,
+                     files: Seq[String]): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val m = manifestOf(fs, dir, version).getOrElse(
+      throw new NoSuchElementException(
+        s"version $version is not committed at $dir"))
+    val known = m.files.toSet
+    val foreign = files.filterNot(known)
+    require(foreign.isEmpty,
+      s"files not in version $version's manifest: ${foreign.take(3)}")
+    dfOf(spark, dir, m.copy(files = files))
+  }
+
+  // ---- write-audit-publish (staged promotion) ---------------------
+  // A plain publish is IMMEDIATELY the readable latest — there is no
+  // room for "validate this cut before anyone can see it", which is
+  // how a production corpus release avoids shipping a bad week. The
+  // staged protocol splits publish into WRITE (data + a manifest in
+  // `_staged/`, terminated `staged` — a state no reader resolves) →
+  // AUDIT (readStaged: the exact file set, for operators.Checks or
+  // any other gate) → PROMOTE (one ordinary slot-claim commit of the
+  // staged file list — readers concurrent with promote see the old
+  // latest or the new version, never the staged state). A failed
+  // audit leaves the cut inspectable ([[discardStaged]] reclaims it);
+  // [[gc]] protects staged data directories from the orphan sweep, so
+  // audits can take arbitrarily long. `operators.Checks.auditAndPromote`
+  // is the constraint-gated composition.
+
+  private val StagedTerminator = "staged"
+
+  private def stagedDir(dir: String) = new Path(dir, "_staged")
+
+  private def readStagedManifest(fs: FileSystem,
+                                 p: Path): Option[Manifest] = {
+    val in = try fs.open(p) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
+    val txt = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = txt.split("\n", -1).toSeq
+    // a torn staged write (crashed stager) is invisible, like a torn
+    // manifest
+    if (!lines.contains(StagedTerminator)) return None
+    def field(k: String): Option[String] =
+      lines.find(_.startsWith(k + "=")).map(_.drop(k.length + 1))
+    for {
+      b <- field("batchId")
+      s <- field("schema")
+    } yield Manifest(-1L, b, s,
+      lines.filter(_.startsWith("file=")).map(_.drop(5)),
+      lines.filter(_.startsWith("stat=")).flatMap { l =>
+        l.drop(5).split(StatSep, -1) match {
+          case Array(f, c, mn, mx) => scala.util.Try(
+            (f, c, mn.toDouble, mx.toDouble)).toOption
+          case _ => None
+        }
+      },
+      field("ts").flatMap(t =>
+        scala.util.Try(t.toLong).toOption).getOrElse(0L))
+  }
+
+  /** Stage `df` for audit WITHOUT making it readable: data files are
+    * written and a `staged`-terminated manifest records them, but no
+    * version is committed — `readLatest`/`versions`/time travel are
+    * untouched. Returns the staged id for [[readStaged]] /
+    * [[promote]] / [[discardStaged]]. Same batchId contract as
+    * [[publish]] (promotion is batchId-idempotent); if the batchId is
+    * ALREADY committed the stage is refused (the cut exists). */
+  def publishStaged(df: DataFrame, dir: String, batchId: String,
+                    statsCols: Seq[String] = Nil): String = {
+    require(!batchId.contains("\n") && batchId.nonEmpty,
+      "batchId must be a non-empty single-line string")
+    val spark = df.sparkSession
+    val fs = fsOf(spark, dir)
+    committedSummaries(fs, dir).find(_.batchId == batchId).foreach { s =>
+      throw new IllegalStateException(
+        s"batchId '$batchId' is already committed at $dir " +
+          s"(version ${s.version}) — nothing to stage")
+    }
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataRel = s"data/$uuid"
+    val dataPath = new Path(dir, dataRel)
+    df.write.parquet(dataPath.toString)
+    val files = fs.listStatus(dataPath).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s"$dataRel/${s.getPath.getName}").sorted
+    val stats = fileStats(spark, dir, files, statsCols)
+    fs.mkdirs(stagedDir(dir))
+    val p = new Path(stagedDir(dir), uuid)
+    val o = fs.create(p, false)
+    try {
+      val body = (Seq(s"batchId=$batchId",
+        s"ts=${System.currentTimeMillis()}",
+        s"schema=${df.schema.json}") ++
+        files.map(f => s"file=$f") ++
+        stats.map { case (f, c, mn, mx) =>
+          s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } :+
+        StagedTerminator :+ "").mkString("\n")
+      o.write(body.getBytes(StandardCharsets.UTF_8))
+    } finally o.close()
+    uuid
+  }
+
+  /** The staged cut's exact file set — the audit surface. Never
+    * resolvable through any committed-read path. */
+  def readStaged(spark: SparkSession, dir: String,
+                 stagedId: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val m = readStagedManifest(fs, new Path(stagedDir(dir), stagedId))
+      .getOrElse(throw new NoSuchElementException(
+        s"no staged publish '$stagedId' at $dir"))
+    dfOf(spark, dir, m)
+  }
+
+  /** Atomically PROMOTE a staged cut to the next committed version —
+    * one ordinary slot-claim commit of the staged file list (readers
+    * see old-or-new, never staged), then the staged marker is
+    * removed. Idempotent across a crash between commit and cleanup:
+    * a replayed promote finds the batchId committed, cleans up, and
+    * returns the existing version. */
+  def promote(spark: SparkSession, dir: String,
+              stagedId: String): Long = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(stagedDir(dir), stagedId)
+    val m = readStagedManifest(fs, p).getOrElse(
+      throw new NoSuchElementException(
+        s"no staged publish '$stagedId' at $dir"))
+    val v = committedSummaries(fs, dir).find(_.batchId == m.batchId)
+      .map(_.version)
+      .getOrElse(commitManifest(fs, dir, m.batchId, m.schemaJson,
+        m.files, 20, m.stats))
+    fs.delete(p, false)
+    v
+  }
+
+  /** Abandon a staged cut: the marker goes now, the data directory
+    * becomes an ordinary aged orphan for [[gc]]. */
+  def discardStaged(spark: SparkSession, dir: String,
+                    stagedId: String): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.delete(new Path(stagedDir(dir), stagedId), false)
+    ()
   }
 
   /** Drop the whole table directory (test/scratch hygiene). */

@@ -379,6 +379,57 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("write-audit-publish: a staged cut is invisible until promote, " +
+    "promote is atomic old-or-new, a failing constraint blocks it") {
+    import graft.operators.Checks
+    val dir = freshDir("wap")
+    VersionedTable.publish(Seq((1L, "old")).toDF("id", "s"), dir, "b1")
+    // stage a BAD cut (null key) — completely invisible to readers
+    val badId = VersionedTable.publishStaged(
+      Seq((Some(2L), "x"), (None, "y"))
+        .map { case (i, s) => (i.map(Long.box).orNull, s) }
+        .toDF("id", "s"), dir, "b2")
+    assert(VersionedTable.versions(spark, dir) === Seq(1L),
+      "staging must not commit a version")
+    assert(VersionedTable.readLatest(spark, dir).collect()
+      .map(_.getString(1)).toSeq === Seq("old"))
+    // the audit surface sees exactly the staged rows
+    assert(VersionedTable.readStaged(spark, dir, badId).count() === 2L)
+    // failing constraint BLOCKS promotion, staged cut stays inspectable
+    val ex = intercept[IllegalStateException] {
+      Checks.auditAndPromote(spark, dir, badId,
+        Seq(Checks.NotNull("id")))
+    }
+    assert(ex.getMessage.contains("promotion blocked"), ex.getMessage)
+    assert(VersionedTable.versions(spark, dir) === Seq(1L))
+    assert(VersionedTable.readStaged(spark, dir, badId).count() === 2L)
+    VersionedTable.discardStaged(spark, dir, badId)
+    intercept[NoSuchElementException] {
+      VersionedTable.readStaged(spark, dir, badId)
+    }
+    // a GOOD cut passes the gate and promotes atomically
+    val goodId = VersionedTable.publishStaged(
+      Seq((2L, "new"), (3L, "new2")).toDF("id", "s"), dir, "b3")
+    // gc with zero grace must NOT reclaim staged data mid-audit
+    VersionedTable.gc(spark, dir, keepLast = 5, orphanGraceMs = 0L)
+    assert(VersionedTable.readStaged(spark, dir, goodId).count() === 2L)
+    val v = Checks.auditAndPromote(spark, dir, goodId,
+      Seq(Checks.NotNull("id"), Checks.Unique(Seq("id"))))
+    assert(v === 2L)
+    assert(VersionedTable.readLatest(spark, dir).collect()
+      .map(_.getString(1)).toSet === Set("new", "new2"))
+    // the staged marker is consumed; staging an already-committed
+    // batchId is refused
+    intercept[NoSuchElementException] {
+      VersionedTable.readStaged(spark, dir, goodId)
+    }
+    intercept[IllegalStateException] {
+      VersionedTable.publishStaged(Seq((9L, "z")).toDF("id", "s"),
+        dir, "b3")
+    }
+    VersionedTable.drop(spark, dir)
+  }
+
   test("checkpoints are advisory: a deleted or torn checkpoint never " +
     "changes results, late-committed slots are still seen") {
     val dir = freshDir("cpadv")
