@@ -155,6 +155,27 @@ object DedupQueries extends Registry {
         s"zone maps failed to skip: opened $opened of $total files")
       df
     }),
+    // D246: BLOOM POINT-LOOKUP SKIPPING — the id-equality complement
+    // of d129's zone maps: a hash-laid publish records per-file bloom
+    // filters (4096 bits, 3 xxhash64 probes) in the manifest, and a
+    // key probe opens only files whose bloom might hold it (~1 of 16
+    // under the hash layout; zone maps can't skip here — every file
+    // spans the whole key range). The require proves skipping fired;
+    // the emitted rows are exactly the full-scan equality filter.
+    "d134_versioned_point" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_versioned_bloom")
+      graft.sources.VersionedTable.drop(s, dir)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartition(16, col("o_orderkey"))
+      graft.sources.VersionedTable.publish(orders, dir, "orders-cut",
+        bloomCols = Seq("o_orderkey"))
+      val (df, opened, total) = graft.sources.VersionedTable
+        .readLatestPoint(s, dir, "o_orderkey", 7L)
+      require(opened < total,
+        s"bloom failed to skip: opened $opened of $total files")
+      df
+    }),
     // D244: MANIFEST-LEVEL CHANGE FEED — the incremental consumer's
     // complement of d116: a bucketed versioned table takes one CDC
     // batch (sparse upserts + deletes touching a few buckets; the
@@ -604,6 +625,9 @@ object DedupQueries extends Registry {
       FROM orders
       WHERE CAST(o_totalprice AS DOUBLE) >= 50000.0e0
         AND CAST(o_totalprice AS DOUBLE) <= 100000.0e0""",
+    "d134_versioned_point" -> """
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey = 7""",
     // the FULL snapshot diff of the planted two-version table — the
     // engine side computes it incrementally off the manifest change
     // feed; equality proves the incremental path exact

@@ -88,12 +88,15 @@ object VersionedTable {
 
   /** Committed manifest: (version, batchId, schemaJson, relative data
     * file paths, per-file zone-map stats `(file, column, min, max)`
-    * for numeric columns the publisher asked to track). */
+    * for numeric columns the publisher asked to track, per-file bloom
+    * filters `(file, column, mBits, k, base64 bits)` for point-lookup
+    * columns). */
   private[graft] case class Manifest(version: Long, batchId: String,
                                      schemaJson: String,
                                      files: Seq[String],
                                      stats: Seq[(String, String, Double, Double)] = Nil,
-                                     ts: Long = 0L)
+                                     ts: Long = 0L,
+                                     blooms: Seq[(String, String, Int, Int, String)] = Nil)
 
   private def readManifest(fs: FileSystem, p: Path): Option[Manifest] = {
     manifestParses.incrementAndGet()
@@ -130,7 +133,14 @@ object VersionedTable {
         }
       },
       field("ts").flatMap(t =>
-        scala.util.Try(t.toLong).toOption).getOrElse(0L))
+        scala.util.Try(t.toLong).toOption).getOrElse(0L),
+      lines.filter(_.startsWith("bloom=")).flatMap { l =>
+        l.drop(6).split(StatSep, -1) match {
+          case Array(f, c, mb, k, bits) => scala.util.Try(
+            (f, c, mb.toInt, k.toInt, bits)).toOption
+          case _ => None
+        }
+      })
   }
 
   /** FULL parse of every committed manifest — the cold path. Only
@@ -293,10 +303,18 @@ object VersionedTable {
     * files — which [[readAsOfPruned]] uses to SKIP files whose range
     * cannot satisfy a predicate. Cluster the data on the stat column
     * first (`repartitionByRange`, a z-key, or [[compact]]'s sortCol)
-    * or every file spans the whole range and nothing prunes. */
+    * or every file spans the whole range and nothing prunes.
+    *
+    * `bloomCols` is the POINT-LOOKUP complement: per-file bloom
+    * filters (m = 4096 bits, k = 3 xxhash64 probes) recorded in the
+    * manifest, which [[readAsOfPoint]] uses to open only files that
+    * might hold an id-equality probe — zone maps can't help a
+    * high-cardinality id unless the table is range-clustered on it,
+    * blooms work under the HASH layout CDC tables already have. */
   def publish(df: DataFrame, dir: String, batchId: String,
               maxRetries: Int = 20,
-              statsCols: Seq[String] = Nil): Long = {
+              statsCols: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil): Long = {
     require(!batchId.contains("\n") && batchId.nonEmpty,
       "batchId must be a non-empty single-line string")
     val spark = df.sparkSession
@@ -315,7 +333,8 @@ object VersionedTable {
         !s.getPath.getName.startsWith("."))
       .map(s => s"$dataRel/${s.getPath.getName}").sorted
     commitManifest(fs, dir, batchId, df.schema.json, files, maxRetries,
-      fileStats(spark, dir, files, statsCols))
+      fileStats(spark, dir, files, statsCols),
+      fileBlooms(spark, dir, files, bloomCols))
   }
 
   /** [[publish]] with [[publishFilesIfUnchanged]]'s optimistic
@@ -377,6 +396,49 @@ object VersionedTable {
     }
   }
 
+  /** Bloom geometry: 4096 bits / 3 probes ≈ 1% false-open rate at 500
+    * distinct values per file, ~680 B base64 per (file, column) in the
+    * manifest. */
+  private val BloomBits = 4096
+  private val BloomK = 3
+
+  /** Per-(file, column) BLOOM FILTERS over `bloomCols` — ONE narrow
+    * scan: each row emits its k bit positions
+    * (`pmod(xxhash64(seed_i, col), m)`), one hash-agg collects the
+    * distinct positions per file (bounded by m), the driver packs the
+    * bitset. Null values set no bits (a point probe is non-null). */
+  private def fileBlooms(spark: SparkSession, dir: String,
+                         files: Seq[String], bloomCols: Seq[String])
+      : Seq[(String, String, Int, Int, String)] = {
+    if (bloomCols.isEmpty || files.isEmpty) return Nil
+    require(bloomCols.forall(c => !c.contains("\n") && !c.contains(StatSep)),
+      "bloom column names must be single-line")
+    import org.apache.spark.sql.functions._
+    val src = spark.read
+      .parquet(files.map(f => new Path(dir, f).toString): _*)
+    val perCol = bloomCols.map { c =>
+      src.where(col(c).isNotNull)
+        .select(input_file_name().as("__f"), lit(c).as("__c"),
+          explode(array((0 until BloomK).map(i =>
+            pmod(xxhash64(lit(i), col(c)), lit(BloomBits.toLong))): _*))
+            .as("__p"))
+    }
+    val rows = perCol.reduce(_ unionByName _)
+      .groupBy(col("__f"), col("__c"))
+      .agg(collect_set(col("__p")).as("__ps"))
+      .collect() // ≤ files × cols rows, each ≤ m positions
+    val byName = files.map(f => new Path(dir, f).getName -> f).toMap
+    rows.toSeq.flatMap { r =>
+      val name = r.getString(0).split("/").last
+      byName.get(name).map { rel =>
+        val bits = new java.util.BitSet(BloomBits)
+        r.getSeq[Long](2).foreach(p => bits.set(p.toInt))
+        (rel, r.getString(1), BloomBits, BloomK,
+          java.util.Base64.getEncoder.encodeToString(bits.toByteArray))
+      }
+    }
+  }
+
   /** Commit EXTERNALLY-WRITTEN data files (paths relative to `dir`,
     * already fully written) as the next version — the low-level entry
     * the copy-on-write sinks use to carry untouched files from the
@@ -426,7 +488,8 @@ object VersionedTable {
                               batchId: String, schemaJson: String,
                               files: Seq[String],
                               expectedBaseVersion: Long,
-                              stats: Seq[(String, String, Double, Double)] = Nil)
+                              stats: Seq[(String, String, Double, Double)] = Nil,
+                              blooms: Seq[(String, String, Int, Int, String)] = Nil)
       : Long = {
     require(!batchId.contains("\n") && batchId.nonEmpty,
       "batchId must be a non-empty single-line string")
@@ -448,7 +511,9 @@ object VersionedTable {
       s"ts=${System.currentTimeMillis()}", s"schema=$schemaJson") ++
       files.sorted.map(f => s"file=$f") ++
       stats.map { case (f, c, mn, mx) =>
-        s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" })
+        s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
+      blooms.map { case (f, c, mb, k, bits) =>
+        s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" })
     var attempt = 0
     while (attempt < 20) {
       val next = maxSlot(fs, dir) + 1L
@@ -541,7 +606,8 @@ object VersionedTable {
   private def commitManifest(fs: FileSystem, dir: String, batchId: String,
                              schemaJson: String, files: Seq[String],
                              maxRetries: Int,
-                             stats: Seq[(String, String, Double, Double)] = Nil)
+                             stats: Seq[(String, String, Double, Double)] = Nil,
+                             blooms: Seq[(String, String, Int, Int, String)] = Nil)
       : Long = {
     fs.mkdirs(manifestDir(dir))
     var attempt = 0
@@ -556,7 +622,9 @@ object VersionedTable {
               s"schema=$schemaJson") ++
               files.map(f => s"file=$f") ++
               stats.map { case (f, c, mn, mx) =>
-                s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } :+
+                s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
+              blooms.map { case (f, c, mb, k, bits) =>
+                s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } :+
               Terminator :+ "")
               .mkString("\n")
             o.write(body.getBytes(StandardCharsets.UTF_8))
@@ -694,6 +762,71 @@ object VersionedTable {
       throw new NoSuchElementException(s"no committed version at $dir")),
       column, lo, hi)
 
+  /** BLOOM-PRUNED POINT LOOKUP: `readAsOf` restricted to
+    * `column = value`, opening ONLY the files whose manifest bloom
+    * filter might contain the value — the id-equality complement of
+    * [[readAsOfPruned]]'s range pruning (zone maps can't skip for a
+    * high-cardinality id unless the table is range-clustered on it;
+    * blooms work under the hash layout CDC tables already have, where
+    * a key lives in exactly one bucket so a probe opens ~1 file of
+    * N). Files without a recorded bloom for `column` are kept
+    * conservatively and the residual equality filter is always
+    * applied, so the result is EXACTLY the full-scan filter. The
+    * probe hashes with the SAME k-seed xxhash64 sequence the publish
+    * recorded, evaluated driver-side (no job). Returns (dataframe,
+    * files opened, files in the version). */
+  def readAsOfPoint(spark: SparkSession, dir: String, version: Long,
+                    column: String, value: Any): (DataFrame, Int, Int) = {
+    require(value != null, "point probes are non-null")
+    val fs = fsOf(spark, dir)
+    val m = manifestOf(fs, dir, version)
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version is not committed at $dir"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val dt = schema(column).dataType
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val scalaV: Any = (dt, value) match {
+      case (org.apache.spark.sql.types.LongType, n: Number) => n.longValue()
+      case (org.apache.spark.sql.types.IntegerType, n: Number) => n.intValue()
+      case (org.apache.spark.sql.types.ShortType, n: Number) => n.shortValue()
+      case (org.apache.spark.sql.types.DoubleType, n: Number) => n.doubleValue()
+      case (org.apache.spark.sql.types.FloatType, n: Number) => n.floatValue()
+      case (org.apache.spark.sql.types.StringType, v) => v.toString
+      case (_, v) => v
+    }
+    val probeLit = Literal.create(scalaV, dt)
+    val probeBits = (0 until BloomK).map { i =>
+      // seed 42L = the `functions.xxhash64` default the publish used
+      val h = XxHash64(Seq(Literal(i), probeLit), 42L).eval(null)
+        .asInstanceOf[Long]
+      (((h % BloomBits) + BloomBits) % BloomBits).toInt
+    }
+    val bloomOf = m.blooms.filter(_._2 == column)
+      .map(b => b._1 -> b).toMap
+    val keep = m.files.filter(f => bloomOf.get(f) match {
+      case Some((_, _, mb, k, bitsB64)) if mb == BloomBits && k == BloomK =>
+        val bits = java.util.BitSet.valueOf(
+          java.util.Base64.getDecoder.decode(bitsB64))
+        probeBits.forall(bits.get)
+      case _ => true // no/foreign-geometry bloom: keep conservatively
+    })
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(keep.map(f => new Path(dir, f).toString): _*)
+    import org.apache.spark.sql.functions.col
+    (base.filter(col(column) === org.apache.spark.sql.functions
+      .lit(scalaV)), keep.size, m.files.size)
+  }
+
+  /** [[readAsOfPoint]] on the latest committed version. */
+  def readLatestPoint(spark: SparkSession, dir: String, column: String,
+                      value: Any): (DataFrame, Int, Int) =
+    readAsOfPoint(spark, dir, latestVersion(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed version at $dir")),
+      column, value)
+
   /** TIMESTAMP TIME TRAVEL: the newest version committed at or before
     * `tsMillis` (manifests record their commit wall clock). The
     * timestamp is ADVISORY — version order is the truth; writer clock
@@ -803,7 +936,8 @@ object VersionedTable {
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 256L << 20,
               sortCol: Option[String] = None,
-              statsCols: Seq[String] = Nil): (Int, Int) = {
+              statsCols: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = fsOf(spark, dir)
     val m = latestManifest(spark, dir).getOrElse(
@@ -837,7 +971,8 @@ object VersionedTable {
     // throws instead; the caller recompacts off the new latest.
     publishFilesIfUnchanged(spark, dir, batchId, m.schemaJson, files,
       expectedBaseVersion = m.version,
-      stats = fileStats(spark, dir, files, statsCols))
+      stats = fileStats(spark, dir, files, statsCols),
+      blooms = fileBlooms(spark, dir, files, bloomCols))
     (m.files.size, files.size)
   }
 

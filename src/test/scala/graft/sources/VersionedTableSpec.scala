@@ -379,6 +379,51 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("bloom point lookup: a hash-laid publish records per-file " +
+    "blooms and an id probe opens ~1 file; result ≡ full-scan filter") {
+    val dir = freshDir("bloom")
+    // hash layout: each id lives in exactly one of 16 files
+    val rows = (0L until 4000L).map(i => (i, s"payload-$i"))
+      .toDF("id", "payload").repartition(16, col("id"))
+    VersionedTable.publish(rows, dir, "cut-1", bloomCols = Seq("id"))
+    val (df, opened, total) = VersionedTable.readLatestPoint(
+      spark, dir, "id", 1234L)
+    assert(total === 16)
+    assert(opened <= 2, s"bloom failed to skip: opened $opened/$total")
+    assert(df.collect().map(_.getString(1)).toSeq === Seq("payload-1234"))
+    // probe equals the unpruned filter for MANY keys (false positives
+    // only ever open more files, never change rows)
+    Seq(0L, 7L, 3999L).foreach { k =>
+      val (d2, o2, _) = VersionedTable.readLatestPoint(spark, dir, "id", k)
+      assert(o2 <= 3)
+      assert(d2.count() === 1L, s"key $k")
+    }
+    // an ABSENT key: a bloom has no false negatives — typically zero
+    // files open, always zero rows
+    val (dAbs, oAbs, _) = VersionedTable.readLatestPoint(
+      spark, dir, "id", 999999L)
+    assert(dAbs.count() === 0L)
+    assert(oAbs <= 2, s"absent key opened $oAbs files")
+    // string-typed probe column works through the same path
+    val dir2 = freshDir("bloomstr")
+    val srows = (0L until 1000L).map(i => (s"user-$i", i))
+      .toDF("uid", "v").repartition(8, col("uid"))
+    VersionedTable.publish(srows, dir2, "cut-1", bloomCols = Seq("uid"))
+    val (ds, os, ts) = VersionedTable.readLatestPoint(
+      spark, dir2, "uid", "user-77")
+    assert(os < ts && ds.collect().map(_.getLong(1)).toSeq === Seq(77L))
+    // a version published WITHOUT blooms never prunes but stays exact
+    val dir3 = freshDir("nobloom")
+    VersionedTable.publish(rows, dir3, "cut-1")
+    val (dn, on, tn) = VersionedTable.readLatestPoint(
+      spark, dir3, "id", 1234L)
+    assert(on === tn)
+    assert(dn.count() === 1L)
+    VersionedTable.drop(spark, dir)
+    VersionedTable.drop(spark, dir2)
+    VersionedTable.drop(spark, dir3)
+  }
+
   test("write-audit-publish: a staged cut is invisible until promote, " +
     "promote is atomic old-or-new, a failing constraint blocks it") {
     import graft.operators.Checks
