@@ -155,6 +155,35 @@ object DedupQueries extends Registry {
         s"zone maps failed to skip: opened $opened of $total files")
       df
     }),
+    // D247: MULTI-TABLE ATOMIC COMMIT — a corpus and its derived
+    // lexicon (per-term document frequencies, the serving-index
+    // shape) published as ONE visible unit through TableSet: members
+    // commit first (invisible to set readers), one pointer swap names
+    // the consistent pair, and the emitted row JOINS both members
+    // READ THROUGH THE SET — so the oracle pins the whole
+    // publish-members → swap → resolve-consistent-pair path, not just
+    // the lexicon arithmetic. TableSetSpec pins the crash-between-
+    // member-publishes atomicity.
+    "d135_tableset" -> ((s, d) => {
+      val (_, setDir) = indexScratch(d, "graft_tableset")
+      val (_, cDir) = indexScratch(d, "graft_tableset_corpus")
+      val (_, xDir) = indexScratch(d, "graft_tableset_lexicon")
+      Seq(setDir, cDir, xDir).foreach(
+        graft.sources.VersionedTable.drop(s, _))
+      val corpus = Tables.documents(s, d).filter(col("doc_id") % 4 =!= 1)
+      val lexicon = corpus
+        .select(col("doc_id"),
+          explode(graft.text.TextFunctions.tokens(col("text")))
+            .as("term"))
+        .groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+      graft.sources.TableSet.publishAll(s, setDir, "cut-1", Seq(
+        ("corpus", corpus, cDir), ("lexicon", lexicon, xDir)))
+      val c = graft.sources.TableSet.read(s, setDir, "corpus")
+      val x = graft.sources.TableSet.read(s, setDir, "lexicon")
+      x.crossJoin(broadcast(c.agg(count(lit(1)).as("corpus_docs"))))
+        .select(col("term"), col("df"), col("corpus_docs"))
+    }),
     // D246: BLOOM POINT-LOOKUP SKIPPING — the id-equality complement
     // of d129's zone maps: a hash-laid publish records per-file bloom
     // filters (4096 bits, 3 xxhash64 probes) in the manifest, and a
@@ -628,6 +657,20 @@ object DedupQueries extends Registry {
     "d134_versioned_point" -> """
       SELECT o_orderkey, o_totalprice, o_orderstatus
       FROM orders WHERE o_orderkey = 7""",
+    "d135_tableset" -> """
+      WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id % 4 <> 1
+      ), lex AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id,
+                unnest(list_filter(
+                  string_split_regex(lower(text), '\s+'),
+                  x -> len(x) > 0)) AS term
+              FROM corpus)
+        GROUP BY term)
+      SELECT term, df,
+        (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS corpus_docs
+      FROM lex""",
     // the FULL snapshot diff of the planted two-version table — the
     // engine side computes it incrementally off the manifest change
     // feed; equality proves the incremental path exact

@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MULTI-TABLE ATOMIC COMMIT — the missing unit over per-directory
+  * [[VersionedTable]] commits: curation publishes a corpus AND its
+  * serving artifacts (postings, IVF cells, lexicons) as separate
+  * single-table commits, so a reader between the two sees a new
+  * corpus with a stale index. The fix is the catalog-pointer pattern
+  * (Iceberg's catalog commit): member tables publish their versions
+  * FIRST — new versions exist at table level but nothing resolves
+  * them — and then ONE [[AtomicPointer]] swap names the consistent
+  * `(member → (dir, version))` assignment. Readers resolve every
+  * member through the pointer ([[current]]/[[read]]), so they see the
+  * OLD assignment or the NEW assignment, never a mix; a writer
+  * crashing between member publishes leaves the pointer — and every
+  * reader — on the old consistent set.
+  *
+  * Idempotence: [[publishAll]] publishes members with batchIds
+  * derived from the set batchId (member replays are version-level
+  * no-ops) and skips the pointer swap when the current assignment
+  * already equals the target — a replayed publishAll changes nothing.
+  *
+  * GC contract: a member table's [[VersionedTable.gc]] must retain
+  * the versions the set (and any still-served older set) references —
+  * run member gc with `keepLast` covering the set history you keep,
+  * or gc only after [[history]] shows no assignment naming the
+  * version.
+  *
+  * Scale: the pointer value is one line naming |members| (dir,
+  * version) pairs — commit cost is one small-file write regardless of
+  * member sizes; reads add one pointer resolution to the ordinary
+  * O(1) versioned read. */
+object TableSet {
+
+  private val EntrySep = ""
+  private val FieldSep = ""
+
+  private def encode(members: Map[String, (String, Long)]): String = {
+    require(members.nonEmpty, "a table set needs at least one member")
+    members.foreach { case (n, (d, v)) =>
+      require(n.nonEmpty && !n.contains("\n") && !n.contains(EntrySep) &&
+        !n.contains(FieldSep), s"bad member name '$n'")
+      require(!d.contains("\n") && !d.contains(EntrySep) &&
+        !d.contains(FieldSep), s"bad member dir '$d'")
+      require(v > 0, s"bad member version $v for '$n'")
+    }
+    members.toSeq.sortBy(_._1).map { case (n, (d, v)) =>
+      s"$n$FieldSep$d$FieldSep$v"
+    }.mkString(EntrySep)
+  }
+
+  private def decode(value: String): Map[String, (String, Long)] =
+    value.split(EntrySep, -1).toSeq.flatMap { e =>
+      e.split(FieldSep, -1) match {
+        case Array(n, d, v) =>
+          scala.util.Try(n -> (d, v.toLong)).toOption
+        case _ => None
+      }
+    }.toMap
+
+  /** Commit an explicit member assignment as the set's next version
+    * (each member version must already be committed at its table). */
+  def commit(spark: SparkSession, setDir: String,
+             members: Map[String, (String, Long)]): Long = {
+    members.foreach { case (n, (d, v)) =>
+      require(VersionedTable.versions(spark, d).contains(v),
+        s"member '$n': version $v is not committed at $d")
+    }
+    AtomicPointer.publish(spark, setDir, encode(members))
+  }
+
+  /** The current consistent assignment (empty before any commit). */
+  def current(spark: SparkSession,
+              setDir: String): Map[String, (String, Long)] =
+    AtomicPointer.current(spark, setDir).map(decode).getOrElse(Map.empty)
+
+  /** Assignment history, ascending by set version. */
+  def history(spark: SparkSession, setDir: String)
+      : Seq[(Long, Map[String, (String, Long)])] =
+    AtomicPointer.history(spark, setDir).map { case (v, s) =>
+      (v, decode(s))
+    }
+
+  /** Read one member's snapshot through the CURRENT assignment — the
+    * consistent-pair read path. */
+  def read(spark: SparkSession, setDir: String, name: String): DataFrame = {
+    val m = current(spark, setDir)
+    val (d, v) = m.getOrElse(name, throw new NoSuchElementException(
+      s"no member '$name' in the set at $setDir " +
+        s"(members: ${m.keys.toSeq.sorted.mkString(",")})"))
+    VersionedTable.readAsOf(spark, d, v)
+  }
+
+  /** Publish EVERY member dataframe as a new version of its table,
+    * then swap the assignment in ONE atomic pointer commit. Returns
+    * the committed (member → version) map. Crash-safe: members first
+    * (invisible to set readers), pointer last; replaying the same
+    * `batchId` re-resolves the member versions (publish replay
+    * no-ops) and skips the redundant swap. */
+  def publishAll(spark: SparkSession, setDir: String, batchId: String,
+                 tables: Seq[(String, DataFrame, String)])
+      : Map[String, Long] = {
+    require(tables.nonEmpty, "publishAll needs at least one member")
+    require(!batchId.contains("\n") && batchId.nonEmpty,
+      "batchId must be a non-empty single-line string")
+    val versions = tables.map { case (name, df, dir) =>
+      name -> (dir, VersionedTable.publish(df, dir, s"$batchId:$name"))
+    }.toMap
+    val target = encode(versions)
+    if (!AtomicPointer.current(spark, setDir).contains(target))
+      AtomicPointer.publish(spark, setDir, target)
+    versions.map { case (n, (_, v)) => n -> v }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.SparkSpec
+
+class TableSetSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/ts_spec_${tag}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    VersionedTable.drop(spark, d)
+    d
+  }
+
+  test("publishAll: members first, one atomic pointer swap; a writer " +
+    "crashing between member publishes leaves readers on the OLD " +
+    "consistent pair") {
+    val setDir = freshDir("set")
+    val cDir = freshDir("corpus")
+    val xDir = freshDir("index")
+    val corpus1 = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val index1 = Seq(("a", 1L), ("b", 1L)).toDF("term", "df")
+    val v1 = TableSet.publishAll(spark, setDir, "set-1", Seq(
+      ("corpus", corpus1, cDir), ("index", index1, xDir)))
+    assert(v1 === Map("corpus" -> 1L, "index" -> 1L))
+    assert(TableSet.current(spark, setDir) ===
+      Map("corpus" -> (cDir, 1L), "index" -> (xDir, 1L)))
+    assert(TableSet.read(spark, setDir, "corpus").count() === 2L)
+    // CRASH SIMULATION: the next release publishes its corpus member
+    // and dies before the index publish / pointer swap. The member
+    // version exists at TABLE level...
+    val corpus2 = Seq((1L, "a2"), (3L, "c")).toDF("id", "text")
+    VersionedTable.publish(corpus2, cDir, "set-2:corpus")
+    assert(VersionedTable.latestVersion(spark, cDir) === Some(2L))
+    // ...but every SET reader still resolves the old consistent pair
+    assert(TableSet.current(spark, setDir) ===
+      Map("corpus" -> (cDir, 1L), "index" -> (xDir, 1L)))
+    assert(TableSet.read(spark, setDir, "corpus").collect()
+      .map(_.getString(1)).toSet === Set("a", "b"),
+      "set readers must not see the crashed writer's member version")
+    // RECOVERY: replaying the whole publishAll resumes — the corpus
+    // member replays to its committed version, the index publishes,
+    // one swap makes the NEW pair visible
+    val index2 = Seq(("a2", 1L), ("c", 1L)).toDF("term", "df")
+    val v2 = TableSet.publishAll(spark, setDir, "set-2", Seq(
+      ("corpus", corpus2, cDir), ("index", index2, xDir)))
+    assert(v2 === Map("corpus" -> 2L, "index" -> 2L))
+    assert(TableSet.read(spark, setDir, "corpus").collect()
+      .map(_.getString(1)).toSet === Set("a2", "c"))
+    assert(TableSet.read(spark, setDir, "index").collect()
+      .map(_.getString(0)).toSet === Set("a2", "c"))
+    // REPLAY of the full publishAll: member versions unchanged, no new
+    // pointer version (idempotent end to end)
+    val histBefore = TableSet.history(spark, setDir).size
+    val v2b = TableSet.publishAll(spark, setDir, "set-2", Seq(
+      ("corpus", corpus2, cDir), ("index", index2, xDir)))
+    assert(v2b === v2)
+    assert(TableSet.history(spark, setDir).size === histBefore)
+    // history keeps the old consistent assignment for time travel
+    assert(TableSet.history(spark, setDir).head._2("corpus")._2 === 1L)
+    Seq(setDir, cDir, xDir).foreach(VersionedTable.drop(spark, _))
+  }
+
+  test("commit validates member versions; unknown members fail loudly") {
+    val setDir = freshDir("val")
+    val cDir = freshDir("valc")
+    VersionedTable.publish(Seq((1L, "a")).toDF("id", "s"), cDir, "b1")
+    intercept[IllegalArgumentException] {
+      TableSet.commit(spark, setDir, Map("corpus" -> (cDir, 9L)))
+    }
+    TableSet.commit(spark, setDir, Map("corpus" -> (cDir, 1L)))
+    intercept[NoSuchElementException] {
+      TableSet.read(spark, setDir, "index")
+    }
+    assert(TableSet.read(spark, setDir, "corpus").count() === 1L)
+    Seq(setDir, cDir).foreach(VersionedTable.drop(spark, _))
+  }
+}
