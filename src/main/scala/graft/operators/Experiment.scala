@@ -2370,14 +2370,24 @@ object Experiment {
     * regression over numeric covariates — one treeAggregate gradient
     * all-reduce per iteration (the QualityClassifier shape: linear in
     * rows, no corpus shuffle; the coefficient vector is
-    * covariate-sized). */
+    * covariate-sized).
+    *
+    * Iteration budget (round 14): each LBFGS iteration is a
+    * scheduler-latency-bound treeAggregate on frames this small, so
+    * the DEFAULT stopping rule is sized to the consumer — estimates
+    * emit on a 6-dp grid and PropensitySpec's recovery bands are
+    * 0.15-wide, so `tol = 1e-6` / `maxIter = 50` converges
+    * identically-for-purpose at a fraction of the round-13
+    * `tol = 1e-10, maxIter = 100` wall clock (the deliberate-row cost
+    * was iteration latency, not data — BASELINE.md round-14 probe).
+    * Callers needing research-grade coefficients pass their own. */
   def fitPropensity(units: DataFrame, treatCol: String,
-                    covariateCols: Seq[String], maxIter: Int = 100,
-                    regParam: Double = 0.0)
+                    covariateCols: Seq[String], maxIter: Int = 50,
+                    regParam: Double = 0.0, tol: Double = 1e-6)
       : org.apache.spark.ml.classification.LogisticRegressionModel = {
     require(covariateCols.nonEmpty, "need at least one covariate")
     new org.apache.spark.ml.classification.LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(regParam).setTol(1e-10)
+      .setMaxIter(maxIter).setRegParam(regParam).setTol(tol)
       .setFeaturesCol("__e_features").setLabelCol("__e_label")
       .fit(units.select(
         col(treatCol).cast("double").as("__e_label"),
@@ -2426,8 +2436,13 @@ object Experiment {
                     outcomeCol: String, covariateCols: Seq[String],
                     clip: Double = 0.05,
                     calibrate: Boolean = false): DataFrame = {
-    val model = fitPropensity(units, treatCol, covariateCols)
-    val scored = scorePropensity(units, covariateCols, model)
+    // materialize the assembled numeric frame ONCE — the fit, the
+    // scoring pass and the IPW aggregate otherwise each recompute the
+    // caller's upstream lineage (typically a groupBy+distinct chain)
+    val base = units.select((treatCol +: outcomeCol +: covariateCols)
+      .distinct.map(col): _*).localCheckpoint()
+    val model = fitPropensity(base, treatCol, covariateCols)
+    val scored = scorePropensity(base, covariateCols, model)
     val withE =
       if (calibrate) calibratePropensity(scored, treatCol)
       else scored
@@ -2485,10 +2500,16 @@ object Experiment {
                      outcomeCol: String, covariateCols: Seq[String],
                      clip: Double = 0.05): DataFrame = {
     val t = col(treatCol).cast("int")
-    val model = fitPropensity(units, treatCol, covariateCols)
-    val scored = scorePropensity(units, covariateCols, model)
-    val b1 = olsFit(units.filter(t === 1), covariateCols, outcomeCol)
-    val b0 = olsFit(units.filter(t === 0), covariateCols, outcomeCol)
+    // ONE materialization of the assembled numeric frame, shared by
+    // the propensity fit, BOTH per-arm OLS moment passes, the scoring
+    // pass and the AIPW aggregate — round 13 recomputed the caller's
+    // upstream lineage for each
+    val base = units.select((treatCol +: outcomeCol +: covariateCols)
+      .distinct.map(col): _*).localCheckpoint()
+    val model = fitPropensity(base, treatCol, covariateCols)
+    val scored = scorePropensity(base, covariateCols, model)
+    val b1 = olsFit(base.filter(t === 1), covariateCols, outcomeCol)
+    val b0 = olsFit(base.filter(t === 0), covariateCols, outcomeCol)
     def pred(b: Array[Double]): Column =
       covariateCols.zipWithIndex.foldLeft(lit(b(0))) { case (acc, (c, i)) =>
         acc + lit(b(i + 1)) * col(c).cast("double")
