@@ -155,6 +155,38 @@ object DedupQueries extends Registry {
         s"zone maps failed to skip: opened $opened of $total files")
       df
     }),
+    // D248: CDC POINT LOOKUP — the snapshot's primary access ("the
+    // current row for id X") via bucket-key skipping: the id's bucket
+    // is pmod(xxhash64(id), n) evaluated DRIVER-side (no job), file
+    // paths carry __bucket=N, so the read opens ~1/n of the snapshot
+    // exactly (no bloom false-opens). Same d121 merge fixture; the
+    // require proves the skip fired; rows ≡ the latest-wins SQL
+    // filtered to the probe id.
+    "d136_merge_lookup" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_merge_lookup")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.streaming.StreamingMerge.init(base, "doc_id", dir,
+        nBuckets = 16)
+      val upserts = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpUpsert))
+      val deletes = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("__seq", lit(2L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpDelete))
+      graft.streaming.StreamingMerge.applyBatch(
+        upserts.unionByName(deletes), "doc_id", "__seq", "__op", dir,
+        16, Some("lookup-epoch-0"))
+      // probe a revised id (7: upserted, not deleted at any scale) —
+      // the lookup must open only its bucket and return the merged row
+      val (df, opened, total) = graft.streaming.StreamingMerge
+        .lookup(s, dir, "doc_id", 7L, 16)
+      require(opened < total,
+        s"bucket skip failed: opened $opened of $total files")
+      df
+    }),
     // D247: MULTI-TABLE ATOMIC COMMIT — a corpus and its derived
     // lexicon (per-term document frequencies, the serving-index
     // shape) published as ONE visible unit through TableSet: members
@@ -657,6 +689,9 @@ object DedupQueries extends Registry {
     "d134_versioned_point" -> """
       SELECT o_orderkey, o_totalprice, o_orderstatus
       FROM orders WHERE o_orderkey = 7""",
+    "d136_merge_lookup" -> """
+      SELECT doc_id, text || ' [rev2]' AS text, lang, source, n_chars
+      FROM documents WHERE doc_id = 7""",
     "d135_tableset" -> """
       WITH corpus AS (
         SELECT * FROM documents WHERE doc_id % 4 <> 1

@@ -785,15 +785,7 @@ object VersionedTable {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val dt = schema(column).dataType
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val scalaV: Any = (dt, value) match {
-      case (org.apache.spark.sql.types.LongType, n: Number) => n.longValue()
-      case (org.apache.spark.sql.types.IntegerType, n: Number) => n.intValue()
-      case (org.apache.spark.sql.types.ShortType, n: Number) => n.shortValue()
-      case (org.apache.spark.sql.types.DoubleType, n: Number) => n.doubleValue()
-      case (org.apache.spark.sql.types.FloatType, n: Number) => n.floatValue()
-      case (org.apache.spark.sql.types.StringType, v) => v.toString
-      case (_, v) => v
-    }
+    val scalaV = castProbe(dt, value)
     val probeLit = Literal.create(scalaV, dt)
     val probeBits = (0 until BloomK).map { i =>
       // seed 42L = the `functions.xxhash64` default the publish used
@@ -826,6 +818,20 @@ object VersionedTable {
     readAsOfPoint(spark, dir, latestVersion(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no committed version at $dir")),
       column, value)
+
+  /** Narrow a probe value to the column's Scala type so driver-side
+    * hashing matches the scan-side hash of the native column exactly
+    * (shared by the bloom probe and the bucketed CDC lookup). */
+  private[graft] def castProbe(dt: DataType, value: Any): Any =
+    (dt, value) match {
+      case (org.apache.spark.sql.types.LongType, n: Number) => n.longValue()
+      case (org.apache.spark.sql.types.IntegerType, n: Number) => n.intValue()
+      case (org.apache.spark.sql.types.ShortType, n: Number) => n.shortValue()
+      case (org.apache.spark.sql.types.DoubleType, n: Number) => n.doubleValue()
+      case (org.apache.spark.sql.types.FloatType, n: Number) => n.floatValue()
+      case (org.apache.spark.sql.types.StringType, v) => v.toString
+      case (_, v) => v
+    }
 
   /** TIMESTAMP TIME TRAVEL: the newest version committed at or before
     * `tsMillis` (manifests record their commit wall clock). The

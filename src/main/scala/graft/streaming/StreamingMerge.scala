@@ -132,6 +132,42 @@ object StreamingMerge {
     ()
   }
 
+  /** POINT LOOKUP on the maintained snapshot — the CDC table's
+    * primary access pattern ("what is the current row for id X?"),
+    * answered WITHOUT opening the table: the id's bucket is a pure
+    * function of the value (`pmod(xxhash64(id), nBuckets)`, the same
+    * hash the writer used, evaluated driver-side with no job), and
+    * every data file carries its `__bucket=N` in its manifest path —
+    * so the read opens ONLY the probe bucket's files (~1/nBuckets of
+    * the snapshot) plus a residual equality filter. This is the
+    * bucket-key complement of [[graft.sources.VersionedTable
+    * .readAsOfPoint]]'s blooms: here the layout makes the skip exact
+    * (no false opens), with zero extra manifest metadata. Returns
+    * (dataframe, files opened, files in the snapshot). */
+  def lookup(spark: SparkSession, dir: String, idCol: String,
+             value: Any, nBuckets: Int = 64): (DataFrame, Int, Int) = {
+    require(value != null, "point probes are non-null")
+    VersionedBuckets.checkNBuckets(spark, dir, nBuckets)
+    val m = VersionedTable.latestManifest(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no snapshot at $dir"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val dt = schema(idCol).dataType
+    val scalaV = VersionedTable.castProbe(dt, value)
+    // seed 42L = the `functions.xxhash64` default bucketOf uses
+    val h = XxHash64(Seq(Literal.create(scalaV, dt)), 42L).eval(null)
+      .asInstanceOf[Long]
+    val bucket = ((h % nBuckets) + nBuckets) % nBuckets
+    val keep = m.files.filter(f => bucketOfPath(f).contains(bucket))
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(keep.map(f => new Path(dir, f).toString): _*)
+    (base.filter(col(idCol) === lit(scalaV)), keep.size, m.files.size)
+  }
+
   /** Start the maintainer: every micro-batch of `changeStream` folds
     * into the snapshot at `dir`, exactly once per epoch across
     * restarts. The snapshot must exist ([[init]]). */

@@ -201,4 +201,35 @@ class StreamingMergeSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap === beforeRows)
     assert(VersionedTable.versions(spark, dir).size <= vs.size + 1)
   }
+
+  test("point lookup opens only the probe id's bucket and equals the " +
+    "snapshot filter — for live, upserted, deleted and absent ids") {
+    val dir = tmp("lkp")
+    StreamingMerge.init(base, "id", dir, nBuckets = 16)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingMerge.applyBatch(b.toDF(), "id", "seq", "op", dir, 16,
+        batchId = Some(s"merge-epoch-$i"))
+    }
+    val snap = StreamingMerge.snapshot(spark, dir)
+      .as[(Long, String)].collect().toMap
+    // live-unchanged, revised, resurrected, inserted ids
+    Seq(3L, 5L, 40L, 202L).foreach { id =>
+      val (df, opened, total) = StreamingMerge.lookup(spark, dir, "id",
+        id, 16)
+      assert(opened < total,
+        s"id $id: bucket pruning must fire ($opened/$total)")
+      assert(df.collect().map(_.getString(1)).toSeq === Seq(snap(id)),
+        s"id $id")
+    }
+    // deleted and never-present ids: zero rows, still ≤ one bucket
+    Seq(20L, 99999L).foreach { id =>
+      val (df, opened, total) = StreamingMerge.lookup(spark, dir, "id",
+        id, 16)
+      assert(opened < total && df.count() === 0L, s"id $id")
+    }
+    // a mismatched nBuckets must fail loudly, not mis-prune
+    intercept[IllegalArgumentException] {
+      StreamingMerge.lookup(spark, dir, "id", 3L, nBuckets = 8)
+    }
+  }
 }
