@@ -58,6 +58,68 @@ object IncrementalAgg {
           col("sum_v").cast("double") / col("n").cast("double")))
       .withColumn("sum_v", col("sum_v").cast("double"))
 
+  // ---- retractable state + change-feed maintenance ----------------
+  // The mergeable (n, sum, min, max) state absorbs APPENDS; a CDC
+  // table also REMOVES rows, and min/max cannot be subtracted. The
+  // retractable subset (count + exact decimal sum — every algebraic,
+  // invertible component) supports both directions:
+  //   state(v2) = state(v1) ⊖ state(removed rows) ⊕ state(added rows)
+  // and the manifest change feed supplies exactly those row sets
+  // (VersionedTable.changedFiles: copy-on-write carries untouched
+  // files by reference), so a 100 TB rollup follows its table paying
+  // only for the CHANGED files per refresh — never a history rescan.
+
+  /** Retractable aggregate state: `(groupCols..., n, sum_v)` — the
+    * invertible components only. Types pinned (bigint /
+    * decimal(32,6)) so repeated maintenance keeps one schema. */
+  def retractableState(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        coalesce(sum(col(valueCol).cast("decimal(32,6)")),
+          lit(0).cast("decimal(32,6)"))
+          .cast("decimal(32,6)").as("sum_v"))
+
+  /** state ⊖ minus ⊕ plus: one hash agg over the three states with
+    * `minus` negated; groups whose count reaches zero DROP (matching
+    * a recompute, where the group is simply absent). Exact — longs
+    * and decimals negate losslessly. */
+  def retract(state: DataFrame, minus: DataFrame, plus: DataFrame,
+              groupCols: Seq[String]): DataFrame = {
+    val neg = minus
+      .withColumn("n", -col("n"))
+      .withColumn("sum_v", (-col("sum_v")).cast("decimal(32,6)"))
+    state.unionByName(neg).unionByName(plus)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).cast("bigint").as("n"),
+        sum(col("sum_v")).cast("decimal(32,6)").as("sum_v"))
+      .filter(col("n") > 0)
+  }
+
+  /** Maintain a retractable state across two committed versions of a
+    * [[graft.sources.VersionedTable]] via the manifest change feed:
+    * reads ONLY the files that changed between `vOld` and `vNew`
+    * (removed files retract, added files accumulate). `oldState` must
+    * be `retractableState(readAsOf(vOld))` (or a prior maintenance of
+    * it). Result ≡ recomputing the state over the full `vNew` — cost
+    * ∝ the change. */
+  def maintainOverVersions(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, vOld: Long, vNew: Long,
+                           oldState: DataFrame, groupCols: Seq[String],
+                           valueCol: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val (added, removed) = VersionedTable.changedFiles(spark, dir,
+      vOld, vNew)
+    retract(oldState,
+      retractableState(
+        VersionedTable.readFileSubset(spark, dir, vOld, removed),
+        groupCols, valueCol),
+      retractableState(
+        VersionedTable.readFileSubset(spark, dir, vNew, added),
+        groupCols, valueCol),
+      groupCols)
+  }
+
   // ---- mergeable DISTINCT counts ----------------------------------
   // COUNT(DISTINCT key) is the one common rollup metric the exact
   // state above cannot carry: distinctness is not decomposable into a

@@ -155,6 +155,36 @@ object DedupQueries extends Registry {
         s"zone maps failed to skip: opened $opened of $total files")
       df
     }),
+    // D249: CHANGE-FEED AGGREGATE MAINTENANCE — a per-source rollup
+    // follows its CDC table paying only for the CHANGED files: state
+    // over v1, one batch of sparse upserts+deletes (untouched buckets
+    // carried by reference), then state(v2) = state(v1) ⊖ state(rows
+    // of removed files) ⊕ state(rows of added files) off the manifest
+    // change feed — NEVER a history rescan. The emitted state is ≡
+    // recomputing over all of v2, so the row sits under the bit-exact
+    // oracle (exact bigint/decimal components only).
+    "d137_changefeed_agg" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_changefeed_agg")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      graft.streaming.StreamingMerge.init(docs, "doc_id", dir,
+        nBuckets = 16)
+      val upserts = docs.filter(col("doc_id") % 499 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpUpsert))
+      val deletes = docs.filter(col("doc_id") % 503 === 0)
+        .withColumn("__seq", lit(2L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpDelete))
+      graft.streaming.StreamingMerge.applyBatch(
+        upserts.unionByName(deletes), "doc_id", "__seq", "__op", dir,
+        16, Some("agg-epoch-0"))
+      val v1State = graft.operators.IncrementalAgg.retractableState(
+        graft.sources.VersionedTable.readAsOf(s, dir, 1L),
+        Seq("source"), "n_chars")
+      graft.operators.IncrementalAgg.maintainOverVersions(s, dir,
+        1L, 2L, v1State, Seq("source"), "n_chars")
+    }),
     // D248: CDC POINT LOOKUP — the snapshot's primary access ("the
     // current row for id X") via bucket-key skipping: the id's bucket
     // is pmod(xxhash64(id), n) evaluated DRIVER-side (no job), file
@@ -689,6 +719,14 @@ object DedupQueries extends Registry {
     "d134_versioned_point" -> """
       SELECT o_orderkey, o_totalprice, o_orderstatus
       FROM orders WHERE o_orderkey = 7""",
+    // recompute over the full v2 content — the engine maintains the
+    // state off the change feed; equality proves the retraction exact
+    "d137_changefeed_agg" -> """
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(n_chars AS DECIMAL(32,6))) AS DECIMAL(32,6))
+          AS sum_v
+      FROM documents WHERE doc_id % 503 <> 0
+      GROUP BY source""",
     "d136_merge_lookup" -> """
       SELECT doc_id, text || ' [rev2]' AS text, lang, source, n_chars
       FROM documents WHERE doc_id = 7""",

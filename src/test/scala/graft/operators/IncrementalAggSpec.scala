@@ -125,4 +125,42 @@ class IncrementalAggSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     assert(fin === direct)
   }
+
+  test("retractable state maintained over the change feed ≡ full " +
+    "recompute; groups retracted to zero drop") {
+    import graft.sources.VersionedTable
+    val dir = s"${System.getProperty("java.io.tmpdir")}/ia_feed_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    VersionedTable.drop(spark, dir)
+    def part(rows: Seq[(String, Long, Double)], name: String): String = {
+      rows.toDF("grp", "id", "v").coalesce(1)
+        .write.parquet(s"$dir/data/$name")
+      val f = new java.io.File(s"$dir/data/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getName
+      s"data/$name/$f"
+    }
+    val schemaJson = Seq(("a", 1L, 1.0)).toDF("grp", "id", "v").schema.json
+    val pa = part(Seq(("a", 1L, 1.5), ("a", 2L, 2.5), ("b", 3L, 10.0)), "pa")
+    val pb = part(Seq(("c", 4L, 7.0), ("c", 5L, 7.0)), "pb")
+    VersionedTable.publishFiles(spark, dir, "v1", schemaJson, Seq(pa, pb))
+    // v2: pa carried; pb REWRITTEN — group c fully deleted, group a
+    // grows, new group d appears
+    val pb2 = part(Seq(("a", 6L, 4.0), ("d", 7L, 100.0)), "pb2")
+    VersionedTable.publishFiles(spark, dir, "v2", schemaJson, Seq(pa, pb2))
+    val v1State = IncrementalAgg.retractableState(
+      VersionedTable.readAsOf(spark, dir, 1L), Seq("grp"), "v")
+    val maintained = IncrementalAgg.maintainOverVersions(spark, dir,
+      1L, 2L, v1State, Seq("grp"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    val recomputed = IncrementalAgg.retractableState(
+      VersionedTable.readAsOf(spark, dir, 2L), Seq("grp"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    assert(maintained === recomputed,
+      s"maintained $maintained vs recomputed $recomputed")
+    assert(!maintained.contains("c"), "fully-retracted group must drop")
+    assert(maintained("a")._1 === 3L && maintained("d")._1 === 1L)
+    VersionedTable.drop(spark, dir)
+  }
 }
