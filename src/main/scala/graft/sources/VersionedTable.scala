@@ -396,17 +396,25 @@ object VersionedTable {
     }
   }
 
-  /** Bloom geometry: 4096 bits / 3 probes ≈ 1% false-open rate at 500
-    * distinct values per file, ~680 B base64 per (file, column) in the
-    * manifest. */
-  private val BloomBits = 4096
+  /** Bloom geometry: k = 3 probes; bits ADAPTIVE per publish — the
+    * smallest power of two ≥ [[BloomBitsPerKey]] × the largest file's
+    * row count (floor [[BloomMinBits]], cap [[BloomMaxBits]]), so the
+    * false-open rate stays ~1% whether a file holds 500 keys or a
+    * million (a fixed size saturates: 9k keys in 4096 bits set every
+    * bit and nothing skips — caught by the round-14 sf0.1 gate).
+    * Readers take the geometry from each manifest entry, so mixed
+    * geometries across versions/compactions coexist. */
+  private val BloomMinBits = 4096
+  private val BloomMaxBits = 1 << 22 // 512 KiB of bits ≈ 700 KB b64
+  private val BloomBitsPerKey = 10L
   private val BloomK = 3
 
-  /** Per-(file, column) BLOOM FILTERS over `bloomCols` — ONE narrow
-    * scan: each row emits its k bit positions
-    * (`pmod(xxhash64(seed_i, col), m)`), one hash-agg collects the
-    * distinct positions per file (bounded by m), the driver packs the
-    * bitset. Null values set no bits (a point probe is non-null). */
+  /** Per-(file, column) BLOOM FILTERS over `bloomCols` — one narrow
+    * row-count pass sizes the geometry, then ONE narrow scan: each
+    * row emits its k bit positions (`pmod(xxhash64(seed_i, col), m)`),
+    * one hash-agg collects the distinct positions per file (bounded
+    * by m), the driver packs the bitset. Null values set no bits (a
+    * point probe is non-null). */
   private def fileBlooms(spark: SparkSession, dir: String,
                          files: Seq[String], bloomCols: Seq[String])
       : Seq[(String, String, Int, Int, String)] = {
@@ -416,11 +424,16 @@ object VersionedTable {
     import org.apache.spark.sql.functions._
     val src = spark.read
       .parquet(files.map(f => new Path(dir, f).toString): _*)
+    val maxRows = src.groupBy(input_file_name()).agg(count(lit(1)))
+      .agg(max(col("count(1)"))).collect()(0).getLong(0)
+    var mBits = BloomMinBits
+    while (mBits < BloomBitsPerKey * maxRows && mBits < BloomMaxBits)
+      mBits <<= 1
     val perCol = bloomCols.map { c =>
       src.where(col(c).isNotNull)
         .select(input_file_name().as("__f"), lit(c).as("__c"),
           explode(array((0 until BloomK).map(i =>
-            pmod(xxhash64(lit(i), col(c)), lit(BloomBits.toLong))): _*))
+            pmod(xxhash64(lit(i), col(c)), lit(mBits.toLong))): _*))
             .as("__p"))
     }
     val rows = perCol.reduce(_ unionByName _)
@@ -431,9 +444,9 @@ object VersionedTable {
     rows.toSeq.flatMap { r =>
       val name = r.getString(0).split("/").last
       byName.get(name).map { rel =>
-        val bits = new java.util.BitSet(BloomBits)
+        val bits = new java.util.BitSet(mBits)
         r.getSeq[Long](2).foreach(p => bits.set(p.toInt))
-        (rel, r.getString(1), BloomBits, BloomK,
+        (rel, r.getString(1), mBits, BloomK,
           java.util.Base64.getEncoder.encodeToString(bits.toByteArray))
       }
     }
@@ -787,19 +800,23 @@ object VersionedTable {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val scalaV = castProbe(dt, value)
     val probeLit = Literal.create(scalaV, dt)
-    val probeBits = (0 until BloomK).map { i =>
+    // the k raw hashes are geometry-independent; positions are taken
+    // per manifest entry's recorded bit count, so mixed geometries
+    // (adaptive sizing across versions/compactions) all prune
+    val hashes = (0 until BloomK).map { i =>
       // seed 42L = the `functions.xxhash64` default the publish used
-      val h = XxHash64(Seq(Literal(i), probeLit), 42L).eval(null)
+      XxHash64(Seq(Literal(i), probeLit), 42L).eval(null)
         .asInstanceOf[Long]
-      (((h % BloomBits) + BloomBits) % BloomBits).toInt
     }
+    def probeBits(mb: Int): Seq[Int] =
+      hashes.map(h => (((h % mb) + mb) % mb).toInt)
     val bloomOf = m.blooms.filter(_._2 == column)
       .map(b => b._1 -> b).toMap
     val keep = m.files.filter(f => bloomOf.get(f) match {
-      case Some((_, _, mb, k, bitsB64)) if mb == BloomBits && k == BloomK =>
+      case Some((_, _, mb, k, bitsB64)) if k == BloomK && mb > 0 =>
         val bits = java.util.BitSet.valueOf(
           java.util.Base64.getDecoder.decode(bitsB64))
-        probeBits.forall(bits.get)
+        probeBits(mb).forall(bits.get)
       case _ => true // no/foreign-geometry bloom: keep conservatively
     })
     val base =
