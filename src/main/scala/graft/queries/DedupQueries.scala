@@ -155,6 +155,42 @@ object DedupQueries extends Registry {
         s"zone maps failed to skip: opened $opened of $total files")
       df
     }),
+    // D250: STREAMING ROLLUP MAINTAINER — the materialized aggregate
+    // FOLLOWING the CDC snapshot as its own VersionedTable: init at
+    // v1, one merge batch advances the snapshot, refresh() walks the
+    // change feed (reads only changed buckets; batchId rollup-of-v{N}
+    // records the reflected version, so replays no-op). The REPLAYED
+    // refresh in the query pins the exactly-once path; the emitted
+    // state ≡ recomputing over the final snapshot (same SQL as d137).
+    "d138_streaming_rollup" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_stream_rollup")
+      val (_, rdir) = indexScratch(d, "graft_stream_rollup_state")
+      graft.sources.VersionedTable.drop(s, dir)
+      graft.sources.VersionedTable.drop(s, rdir)
+      val docs = Tables.documents(s, d)
+      graft.streaming.StreamingMerge.init(docs, "doc_id", dir,
+        nBuckets = 16)
+      graft.streaming.StreamingRollup.init(s, dir, rdir,
+        Seq("source"), "n_chars")
+      val upserts = docs.filter(col("doc_id") % 499 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpUpsert))
+      val deletes = docs.filter(col("doc_id") % 503 === 0)
+        .withColumn("__seq", lit(2L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpDelete))
+      graft.streaming.StreamingMerge.applyBatch(
+        upserts.unionByName(deletes), "doc_id", "__seq", "__op", dir,
+        16, Some("rollup-epoch-0"))
+      graft.streaming.StreamingRollup.refresh(s, dir, rdir,
+        Seq("source"), "n_chars")
+      // replayed refresh: must be a version-level no-op
+      graft.streaming.StreamingRollup.refresh(s, dir, rdir,
+        Seq("source"), "n_chars")
+      require(graft.sources.VersionedTable.versions(s, rdir)
+        == Seq(1L, 2L), "rollup replay idempotence drifted")
+      graft.streaming.StreamingRollup.current(s, rdir)
+    }),
     // D249: CHANGE-FEED AGGREGATE MAINTENANCE — a per-source rollup
     // follows its CDC table paying only for the CHANGED files: state
     // over v1, one batch of sparse upserts+deletes (untouched buckets
@@ -719,6 +755,13 @@ object DedupQueries extends Registry {
     "d134_versioned_point" -> """
       SELECT o_orderkey, o_totalprice, o_orderstatus
       FROM orders WHERE o_orderkey = 7""",
+    // stream-maintained rollup ≡ the same full-v2 recompute
+    "d138_streaming_rollup" -> """
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(n_chars AS DECIMAL(32,6))) AS DECIMAL(32,6))
+          AS sum_v
+      FROM documents WHERE doc_id % 503 <> 0
+      GROUP BY source""",
     // recompute over the full v2 content — the engine maintains the
     // state off the change feed; equality proves the retraction exact
     "d137_changefeed_agg" -> """

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.operators.IncrementalAgg
+import graft.sources.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** STREAMING ROLLUP MAINTAINER — a materialized aggregate that
+  * FOLLOWS a versioned table (typically the [[StreamingMerge]] CDC
+  * snapshot) through the manifest change feed: each [[refresh]]
+  * advances the rollup from the snapshot version it reflects to the
+  * current one by reading ONLY the files that changed in between
+  * (`state ⊖ removed ⊕ added`, [[IncrementalAgg.maintainOverVersions]])
+  * — per-trigger rollup cost tracks the trigger's change, never the
+  * snapshot. The rollup is itself a [[VersionedTable]]: each refresh
+  * is one atomic publish whose batchId (`rollup-of-v{N}`) RECORDS the
+  * reflected snapshot version, which makes refresh
+  *
+  *  - replay-idempotent (a re-run of the same advance finds its
+  *    batchId committed and no-ops — the exactly-once foreachBatch
+  *    contract), and
+  *  - self-describing (the next refresh reads the reflected version
+  *    out of the latest rollup manifest; no side state).
+  *
+  * GC interplay: maintaining v_a → v_b needs BOTH manifests retained.
+  * If the snapshot's gc already dropped the reflected version,
+  * [[refresh]] falls back to one full recompute of the current
+  * version (loudly impossible to get wrong — the fallback result is
+  * defined identically). Keep the snapshot's `gc(keepLast)` at least
+  * as deep as the rollup's refresh lag to stay on the incremental
+  * path.
+  *
+  * Wire-up: call `refresh` after each [[StreamingMerge.applyBatch]]
+  * in the same foreachBatch (or on its own cadence — refresh skips
+  * cleanly when the snapshot hasn't advanced). */
+object StreamingRollup {
+
+  private val BatchPrefix = "rollup-of-v"
+
+  private def reflectedVersion(spark: SparkSession,
+                               rollupDir: String): Option[Long] =
+    VersionedTable.latestManifest(spark, rollupDir)
+      .flatMap(m => m.batchId match {
+        case b if b.startsWith(BatchPrefix) =>
+          scala.util.Try(b.drop(BatchPrefix.length).toLong).toOption
+        case _ => None
+      })
+
+  /** Materialize the rollup of the snapshot's CURRENT version as
+    * version 1 of `rollupDir`. */
+  def init(spark: SparkSession, snapDir: String, rollupDir: String,
+           groupCols: Seq[String], valueCol: String): Long = {
+    val v = VersionedTable.latestVersion(spark, snapDir).getOrElse(
+      throw new NoSuchElementException(s"no snapshot at $snapDir"))
+    VersionedTable.publish(
+      IncrementalAgg.retractableState(
+        VersionedTable.readAsOf(spark, snapDir, v), groupCols, valueCol),
+      rollupDir, s"$BatchPrefix$v")
+  }
+
+  /** The maintained state (latest rollup version). */
+  def current(spark: SparkSession, rollupDir: String): DataFrame =
+    VersionedTable.readLatest(spark, rollupDir)
+
+  /** Advance the rollup to the snapshot's current version. Reads only
+    * the changed files (incremental path) or falls back to one full
+    * recompute when the reflected version was GC'd. No-op (returning
+    * the existing rollup version) when the snapshot hasn't advanced.
+    * Returns the committed rollup version. */
+  def refresh(spark: SparkSession, snapDir: String, rollupDir: String,
+              groupCols: Seq[String], valueCol: String): Long = {
+    val curV = VersionedTable.latestVersion(spark, snapDir).getOrElse(
+      throw new NoSuchElementException(s"no snapshot at $snapDir"))
+    val fromV = reflectedVersion(spark, rollupDir).getOrElse(
+      throw new IllegalStateException(
+        s"no rollup at $rollupDir — call init() first"))
+    if (fromV == curV)
+      return VersionedTable.latestVersion(spark, rollupDir).get
+    // replay check before any work (exactly-once across re-runs)
+    VersionedTable.committedVersionOf(spark, rollupDir,
+      s"$BatchPrefix$curV") match {
+      case Some(v) => return v
+      case None =>
+    }
+    val next =
+      try IncrementalAgg.maintainOverVersions(spark, snapDir, fromV,
+        curV, current(spark, rollupDir), groupCols, valueCol)
+      catch {
+        case _: NoSuchElementException =>
+          // reflected version GC'd from the snapshot: full recompute
+          IncrementalAgg.retractableState(
+            VersionedTable.readAsOf(spark, snapDir, curV), groupCols,
+            valueCol)
+      }
+    VersionedTable.publish(next, rollupDir, s"$BatchPrefix$curV")
+  }
+}

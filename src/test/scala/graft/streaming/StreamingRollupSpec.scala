@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.IncrementalAgg
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** The rollup maintainer must track the CDC snapshot bit-exactly at
+  * every trigger while reading only the changed buckets, no-op when
+  * the snapshot hasn't advanced, replay cleanly, and survive the
+  * reflected version being GC'd (full-recompute fallback). */
+class StreamingRollupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def recompute(snapDir: String) =
+    IncrementalAgg.retractableState(
+      VersionedTable.readLatest(spark, snapDir), Seq("grp"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+
+  private def maintained(rollupDir: String) =
+    StreamingRollup.current(spark, rollupDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+
+  test("rollup follows the snapshot through batches bit-exactly; " +
+    "no-op refresh; replay idempotent; gc'd base falls back") {
+    val snap = tmp("rsnap"); val roll = tmp("rroll")
+    val base = (1L to 200L)
+      .map(i => (i, if (i % 2 == 0) "even" else "odd", i.toDouble))
+      .toDF("id", "grp", "v")
+    StreamingMerge.init(base, "id", snap, nBuckets = 8)
+    val v1 = StreamingRollup.init(spark, snap, roll, Seq("grp"), "v")
+    assert(v1 === 1L)
+    assert(maintained(roll) === recompute(snap))
+    // refresh without snapshot movement: version-level no-op
+    assert(StreamingRollup.refresh(spark, snap, roll, Seq("grp"), "v")
+      === 1L)
+    assert(VersionedTable.versions(spark, roll) === Seq(1L))
+    // batch 1: upserts (group moves) + deletes
+    val b1 = ((1L to 30L).map(i => (i * 3, "even", 1000.0, 10L, "upsert")) ++
+      (1L to 10L).map(i => (i * 20, "x", 0.0, 11L, "delete")))
+      .toDF("id", "grp", "v", "seq", "op")
+    StreamingMerge.applyBatch(b1, "id", "seq", "op", snap, 8,
+      Some("e0"))
+    val r2 = StreamingRollup.refresh(spark, snap, roll, Seq("grp"), "v")
+    assert(maintained(roll) === recompute(snap))
+    // replayed refresh: same version, nothing new committed
+    assert(StreamingRollup.refresh(spark, snap, roll, Seq("grp"), "v")
+      === r2)
+    // batch 2: delete an entire group's remainder
+    val oddIds = VersionedTable.readLatest(spark, snap)
+      .filter(col("grp") === "odd").select("id").as[Long].collect()
+    val b2 = oddIds.toSeq.map(i => (i, "odd", 0.0, 20L, "delete"))
+      .toDF("id", "grp", "v", "seq", "op")
+    StreamingMerge.applyBatch(b2, "id", "seq", "op", snap, 8,
+      Some("e1"))
+    StreamingRollup.refresh(spark, snap, roll, Seq("grp"), "v")
+    val m = maintained(roll)
+    assert(m === recompute(snap))
+    assert(!m.contains("odd"), "fully-deleted group must drop")
+    // GC the snapshot down to ONE version (reflected version gone),
+    // advance again: refresh must fall back to a full recompute and
+    // still be exact
+    val b3 = Seq((9999L, "new", 42.0, 30L, "upsert"))
+      .toDF("id", "grp", "v", "seq", "op")
+    StreamingMerge.applyBatch(b3, "id", "seq", "op", snap, 8,
+      Some("e2"))
+    VersionedTable.gc(spark, snap, keepLast = 1, orphanGraceMs = 0L)
+    StreamingRollup.refresh(spark, snap, roll, Seq("grp"), "v")
+    assert(maintained(roll) === recompute(snap))
+    assert(maintained(roll)("new")._1 === 1L)
+    VersionedTable.drop(spark, snap)
+    VersionedTable.drop(spark, roll)
+  }
+}
