@@ -92,6 +92,29 @@ object TableSet {
     VersionedTable.readAsOf(spark, d, v)
   }
 
+  /** SET-AWARE RETENTION: gc every member table keeping exactly the
+    * versions the newest `keepSets` assignments reference (plus each
+    * member's own latest — a table must stay readable), then prune
+    * the pointer history to the same depth — so no retained
+    * assignment can ever dangle on a GC'd member version, closing
+    * the GC contract mechanically instead of by discipline. Returns
+    * per member dir the (manifests, data dirs) deleted. */
+  def gcMembers(spark: SparkSession, setDir: String, keepSets: Int,
+                orphanGraceMs: Long = 3600000L)
+      : Map[String, (Int, Int)] = {
+    require(keepSets >= 1, "keepSets must be >= 1")
+    val hist = history(spark, setDir)
+    if (hist.isEmpty) return Map.empty
+    val retained = hist.takeRight(keepSets)
+    val byDir = retained.flatMap(_._2.values)
+      .groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).toSet }
+    val out = byDir.map { case (d, refs) =>
+      d -> VersionedTable.gcKeeping(spark, d, refs, orphanGraceMs)
+    }
+    AtomicPointer.gc(spark, setDir, keepSets)
+    out
+  }
+
   /** Publish EVERY member dataframe as a new version of its table,
     * then swap the assignment in ONE atomic pointer commit. Returns
     * the committed (member → version) map. Crash-safe: members first

@@ -888,12 +888,26 @@ object VersionedTable {
   def gc(spark: SparkSession, dir: String, keepLast: Int,
          orphanGraceMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1, "keepLast must be >= 1")
+    val committed = committedManifests(fsOf(spark, dir), dir)
+    gcKeeping(spark, dir,
+      committed.takeRight(keepLast).map(_.version).toSet, orphanGraceMs)
+  }
+
+  /** [[gc]] retaining an EXPLICIT version set — the entry external
+    * reference holders ([[TableSet.gcMembers]]: assignments naming
+    * specific member versions) use so retention can never drop a
+    * version something still resolves. The newest committed version
+    * is always retained (a table must stay readable). */
+  def gcKeeping(spark: SparkSession, dir: String,
+                keepVersions0: Set[Long],
+                orphanGraceMs: Long = 3600000L): (Int, Int) = {
     require(orphanGraceMs >= 0, "orphanGraceMs must be >= 0")
     val fs = fsOf(spark, dir)
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val committed = committedManifests(fs, dir)
-    val keep = committed.takeRight(keepLast)
-    val keepVersions = keep.map(_.version).toSet
+    require(committed.nonEmpty, s"no committed version at $dir")
+    val keepVersions = keepVersions0 + committed.last.version
+    val keep = committed.filter(m => keepVersions(m.version))
     // staged-but-not-yet-promoted cuts reference data no committed
     // manifest knows — an audit may take arbitrarily long, so their
     // data dirs are protected regardless of age (discardStaged is the

@@ -62,6 +62,34 @@ class TableSetSpec extends SparkSpec {
     Seq(setDir, cDir, xDir).foreach(VersionedTable.drop(spark, _))
   }
 
+  test("gcMembers keeps exactly the retained assignments' versions — " +
+    "no dangling reference, old generations reclaimed") {
+    val setDir = freshDir("gcm")
+    val cDir = freshDir("gcmc")
+    val xDir = freshDir("gcmx")
+    for (g <- 1 to 3) {
+      TableSet.publishAll(spark, setDir, s"gen-$g", Seq(
+        ("corpus", Seq((g.toLong, s"c$g")).toDF("id", "s"), cDir),
+        ("index", Seq((g.toLong, s"x$g")).toDF("id", "s"), xDir)))
+    }
+    assert(VersionedTable.versions(spark, cDir) === Seq(1L, 2L, 3L))
+    // keep the last TWO set generations: member versions 2,3 retained,
+    // version 1 reclaimed, pointer history pruned to depth 2
+    TableSet.gcMembers(spark, setDir, keepSets = 2, orphanGraceMs = 0L)
+    assert(VersionedTable.versions(spark, cDir) === Seq(2L, 3L))
+    assert(VersionedTable.versions(spark, xDir) === Seq(2L, 3L))
+    assert(TableSet.history(spark, setDir).size === 2)
+    // every retained assignment still resolves — nothing dangles
+    TableSet.history(spark, setDir).foreach { case (_, m) =>
+      m.foreach { case (_, (d, v)) =>
+        assert(VersionedTable.readAsOf(spark, d, v).count() === 1L)
+      }
+    }
+    assert(TableSet.read(spark, setDir, "corpus").collect()
+      .map(_.getString(1)).toSeq === Seq("c3"))
+    Seq(setDir, cDir, xDir).foreach(VersionedTable.drop(spark, _))
+  }
+
   test("commit validates member versions; unknown members fail loudly") {
     val setDir = freshDir("val")
     val cDir = freshDir("valc")
