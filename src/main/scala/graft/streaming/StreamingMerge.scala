@@ -182,6 +182,31 @@ object StreamingMerge {
       }
       .start()
 
+  /** [[run]] + a maintained rollup in the SAME trigger: each
+    * micro-batch folds into the snapshot and then advances the
+    * [[StreamingRollup]] at `rollupDir` through the change feed —
+    * both sides are batchId-idempotent (merge on the epoch, rollup on
+    * the reflected snapshot version), so a replayed trigger re-does
+    * neither and a crash between the two is healed by the next
+    * trigger's refresh (the rollup simply advances two versions,
+    * still reading only the changed buckets). The rollup must exist
+    * ([[StreamingRollup.init]]). */
+  def runWithRollup(changeStream: DataFrame, idCol: String,
+                    seqCol: String, opCol: String, dir: String,
+                    checkpointDir: String, rollupDir: String,
+                    groupCols: Seq[String], valueCol: String,
+                    nBuckets: Int = 64): StreamingQuery =
+    changeStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        applyBatch(batch, idCol, seqCol, opCol, dir, nBuckets,
+          Some(s"merge-epoch-$epochId"))
+        StreamingRollup.refresh(batch.sparkSession, dir, rollupDir,
+          groupCols, valueCol)
+        ()
+      }
+      .start()
+
   /** Bound the one-file-set-per-batch accumulation: rewrite every
     * bucket of the latest version into one right-sized file set and
     * commit it as a new version (idempotent per source version via

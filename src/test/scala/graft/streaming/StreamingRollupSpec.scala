@@ -77,4 +77,32 @@ class StreamingRollupSpec extends SparkSpec {
     VersionedTable.drop(spark, snap)
     VersionedTable.drop(spark, roll)
   }
+
+  test("runWithRollup: snapshot AND rollup stay exact across stream " +
+    "triggers in one exactly-once pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val snap = tmp("rwsnap"); val roll = tmp("rwroll")
+    val ck = tmp("rwck")
+    val base = (1L to 100L)
+      .map(i => (i, if (i % 3 == 0) "tri" else "rest", i.toDouble))
+      .toDF("id", "grp", "v")
+    StreamingMerge.init(base, "id", snap, nBuckets = 8)
+    StreamingRollup.init(spark, snap, roll, Seq("grp"), "v")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = StreamingMerge.runWithRollup(input.toDF()
+        .withColumnRenamed("text", "grp")
+        .withColumn("v", col("id").cast("double") * 2),
+      "id", "seq", "op", snap, ck, roll, Seq("grp"), "v", nBuckets = 8)
+    val batches = Seq(
+      Seq(Change(3L, "tri", 100, "upsert"), Change(101L, "new", 101, "upsert")),
+      Seq(Change(6L, "x", 200, "delete"), Change(102L, "new", 201, "upsert")))
+    batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(maintained(roll) === recompute(snap),
+      "rollup must track the snapshot after every trigger")
+    assert(maintained(roll)("new")._1 === 2L)
+    VersionedTable.drop(spark, snap)
+    VersionedTable.drop(spark, roll)
+  }
 }
