@@ -368,8 +368,8 @@ object VersionedTable {
     * narrow scan grouped by `input_file_name()` (columnar, reads only
     * the stat columns). Files where a column is all-null emit no stat
     * row (readers keep them conservatively). */
-  private def fileStats(spark: SparkSession, dir: String,
-                        files: Seq[String], statsCols: Seq[String])
+  private[graft] def fileStats(spark: SparkSession, dir: String,
+                               files: Seq[String], statsCols: Seq[String])
       : Seq[(String, String, Double, Double)] = {
     if (statsCols.isEmpty || files.isEmpty) return Nil
     require(statsCols.forall(c => !c.contains("\n") && !c.contains(StatSep)),
@@ -383,9 +383,14 @@ object VersionedTable {
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per file — bounded by the publish's files
-    val byName = files.map(f => new Path(dir, f).getName -> f).toMap
+    // key on the LAST TWO path components, not the basename: a
+    // bucket-partitioned write gives every bucket file the SAME
+    // part-file basename (only the __bucket=N dir differs), and a
+    // basename map silently collapses to one entry
+    val byName = files.map(f =>
+      f.split("/").takeRight(2).mkString("/") -> f).toMap
     rows.toSeq.flatMap { r =>
-      val name = r.getString(0).split("/").last
+      val name = r.getString(0).split("/").takeRight(2).mkString("/")
       byName.get(name).toSeq.flatMap { rel =>
         statsCols.flatMap { c =>
           val (iMn, iMx) = (r.fieldIndex(s"__mn_$c"), r.fieldIndex(s"__mx_$c"))
@@ -440,9 +445,12 @@ object VersionedTable {
       .groupBy(col("__f"), col("__c"))
       .agg(collect_set(col("__p")).as("__ps"))
       .collect() // ≤ files × cols rows, each ≤ m positions
-    val byName = files.map(f => new Path(dir, f).getName -> f).toMap
+    // same last-two-components keying as fileStats (bucketed writes
+    // repeat basenames across __bucket=N dirs)
+    val byName = files.map(f =>
+      f.split("/").takeRight(2).mkString("/") -> f).toMap
     rows.toSeq.flatMap { r =>
-      val name = r.getString(0).split("/").last
+      val name = r.getString(0).split("/").takeRight(2).mkString("/")
       byName.get(name).map { rel =>
         val bits = new java.util.BitSet(mBits)
         r.getSeq[Long](2).foreach(p => bits.set(p.toInt))
@@ -452,6 +460,30 @@ object VersionedTable {
     }
   }
 
+  /** STAT/BLOOM INHERITANCE for copy-on-write commits: files a new
+    * version CARRIES from the previous latest are byte-identical, so
+    * their recorded zone maps / blooms stay valid — inherit them into
+    * the new manifest (caller-provided entries for the same (file,
+    * column) win) instead of silently dropping skipping metadata on
+    * every merge trigger. One extra manifest read per commit. */
+  private def inheritFileMeta(spark: SparkSession, dir: String,
+                              files: Seq[String],
+                              stats: Seq[(String, String, Double, Double)],
+                              blooms: Seq[(String, String, Int, Int, String)])
+      : (Seq[(String, String, Double, Double)],
+         Seq[(String, String, Int, Int, String)]) =
+    latestManifest(spark, dir) match {
+      case None => (stats, blooms)
+      case Some(prev) =>
+        val carried = files.toSet intersect prev.files.toSet
+        val haveStat = stats.map(s => (s._1, s._2)).toSet
+        val haveBloom = blooms.map(b => (b._1, b._2)).toSet
+        (stats ++ prev.stats.filter(s =>
+           carried(s._1) && !haveStat((s._1, s._2))),
+         blooms ++ prev.blooms.filter(b =>
+           carried(b._1) && !haveBloom((b._1, b._2))))
+    }
+
   /** Commit EXTERNALLY-WRITTEN data files (paths relative to `dir`,
     * already fully written) as the next version — the low-level entry
     * the copy-on-write sinks use to carry untouched files from the
@@ -460,7 +492,8 @@ object VersionedTable {
     * old files alongside its new ones and the swap is one manifest
     * commit, never a rewrite of readable bytes. Same batchId
     * idempotence, slot-claim and canonicalization rules as
-    * [[publish]]. */
+    * [[publish]]; carried files INHERIT the previous version's
+    * zone-map/bloom entries ([[inheritFileMeta]]). */
   def publishFiles(spark: SparkSession, dir: String, batchId: String,
                    schemaJson: String, files: Seq[String],
                    maxRetries: Int = 20,
@@ -475,8 +508,9 @@ object VersionedTable {
       case Some(s) => return s.version // replay: already committed
       case None =>
     }
+    val (st, bl) = inheritFileMeta(spark, dir, files, stats, Nil)
     commitManifest(fs, dir, batchId, schemaJson, files.sorted, maxRetries,
-      stats)
+      st, bl)
   }
 
   /** OPTIMISTIC-CONCURRENCY commit for READ-MODIFY-WRITE publishers
@@ -514,6 +548,8 @@ object VersionedTable {
       case None =>
     }
     fs.mkdirs(manifestDir(dir))
+    // carried files keep their skipping metadata across the commit
+    val (st, bl) = inheritFileMeta(spark, dir, files, stats, blooms)
     // TWO-PHASE: claim the slot and write the body WITHOUT the
     // terminator (invisible), validate the window, only then
     // terminate. Validating after visibility is not enough — a third
@@ -523,9 +559,9 @@ object VersionedTable {
     val body = (Seq(s"version=%d", s"batchId=$batchId",
       s"ts=${System.currentTimeMillis()}", s"schema=$schemaJson") ++
       files.sorted.map(f => s"file=$f") ++
-      stats.map { case (f, c, mn, mx) =>
+      st.map { case (f, c, mn, mx) =>
         s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
-      blooms.map { case (f, c, mb, k, bits) =>
+      bl.map { case (f, c, mb, k, bits) =>
         s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" })
     var attempt = 0
     while (attempt < 20) {

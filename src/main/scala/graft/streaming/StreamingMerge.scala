@@ -69,11 +69,13 @@ object StreamingMerge {
     * names, not in the files), so the table stays readable even when
     * a changelog later deletes every row. */
   def init(base: DataFrame, idCol: String, dir: String,
-           nBuckets: Int = 64): Unit = {
+           nBuckets: Int = 64, statsCols: Seq[String] = Nil): Unit = {
     VersionedBuckets.writeNBuckets(base.sparkSession, dir, nBuckets)
     val files = writeBucketed(base, idCol, dir, nBuckets)
     VersionedTable.publishFiles(base.sparkSession, dir, "init",
-      base.schema.json, files)
+      base.schema.json, files,
+      stats = VersionedTable.fileStats(base.sparkSession, dir, files,
+        statsCols))
     ()
   }
 
@@ -88,7 +90,8 @@ object StreamingMerge {
     * fresh unique id (content-idempotent but version-appending). */
   def applyBatch(batch: DataFrame, idCol: String, seqCol: String,
                  opCol: String, dir: String, nBuckets: Int = 64,
-                 batchId: Option[String] = None): Unit = {
+                 batchId: Option[String] = None,
+                 statsCols: Seq[String] = Nil): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     VersionedBuckets.checkNBuckets(spark, dir, nBuckets)
@@ -126,9 +129,14 @@ object StreamingMerge {
     // optimistic commit keyed on the base version: a concurrent
     // writer's rows would be LOST if we published a file set derived
     // from a stale snapshot — conflict fails the trigger loudly
-    // (foreachBatch replays it against the new latest on restart)
+    // (foreachBatch replays it against the new latest on restart).
+    // Stats are computed for the NEW files only (bounded by the
+    // batch); carried files inherit theirs from the previous manifest
+    // (VersionedTable.inheritFileMeta), so zone maps stay complete
+    // across triggers at per-change cost.
     VersionedTable.publishFilesIfUnchanged(spark, dir, bid, m.schemaJson,
-      carried ++ newFiles, expectedBaseVersion = m.version)
+      carried ++ newFiles, expectedBaseVersion = m.version,
+      stats = VersionedTable.fileStats(spark, dir, newFiles, statsCols))
     ()
   }
 

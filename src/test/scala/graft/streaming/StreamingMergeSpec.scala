@@ -202,6 +202,36 @@ class StreamingMergeSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, dir).size <= vs.size + 1)
   }
 
+  test("zone-map stats survive merges: carried buckets inherit their " +
+    "entries, new buckets get fresh ones — at per-change cost") {
+    val dir = tmp("inh")
+    // value == the id's bucket number, so each file's [min,max] is a
+    // single point and a range probe prunes to one bucket exactly
+    val base = (1L to 400L).map(i => (i, s"d$i")).toDF("id", "text")
+      .withColumn("v", pmod(xxhash64(col("id")), lit(8L)).cast("double"))
+    StreamingMerge.init(base, "id", dir, nBuckets = 8,
+      statsCols = Seq("v"))
+    val m1 = VersionedTable.latestManifest(spark, dir).get
+    assert(m1.stats.map(_._1).toSet === m1.files.toSet,
+      "init must record stats for every file")
+    // one batch touching a single id → one bucket rewritten
+    val b = Seq((3L, "d3 v2", 100L, "upsert"))
+      .toDF("id", "text", "seq", "op")
+      .withColumn("v", pmod(xxhash64(col("id")), lit(8L)).cast("double"))
+    StreamingMerge.applyBatch(b.select("id", "text", "v", "seq", "op"),
+      "id", "seq", "op", dir, 8, Some("e0"), statsCols = Seq("v"))
+    val m2 = VersionedTable.latestManifest(spark, dir).get
+    assert(m2.stats.map(_._1).toSet === m2.files.toSet,
+      "carried buckets must inherit stats, new buckets get fresh ones")
+    // and the maintained zone maps actually skip: probe one bucket
+    val (df, opened, total) = VersionedTable.readLatestPruned(
+      spark, dir, "v", 5.0, 5.0)
+    assert(opened < total, s"zone maps failed to skip: $opened/$total")
+    assert(df.count() ===
+      StreamingMerge.snapshot(spark, dir).filter(col("v") === 5.0).count())
+    VersionedTable.drop(spark, dir)
+  }
+
   test("point lookup opens only the probe id's bucket and equals the " +
     "snapshot filter — for live, upserted, deleted and absent ids") {
     val dir = tmp("lkp")
