@@ -941,8 +941,10 @@ object VersionedTable {
     val fs = fsOf(spark, dir)
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val committed = committedManifests(fs, dir)
-    require(committed.nonEmpty, s"no committed version at $dir")
-    val keepVersions = keepVersions0 + committed.last.version
+    // a dir with NO committed version (a writer crashed before its
+    // first commit) still gc's: aged stubs and orphan data go
+    val keepVersions =
+      keepVersions0 ++ committed.lastOption.map(_.version)
     val keep = committed.filter(m => keepVersions(m.version))
     // staged-but-not-yet-promoted cuts reference data no committed
     // manifest knows — an audit may take arbitrarily long, so their

@@ -104,6 +104,24 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("gc on a table with NO committed version (writer crashed before " +
+    "its first commit) still reclaims aged stubs and orphan data") {
+    val dir = freshDir("gcempty")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, "orphan")).toDF("id", "s").write.parquet(s"$dir/data/o1")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_manifests"))
+    val stub = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/_manifests/1"), false)
+    stub.write("version=1\nbatchId=crashed\n".getBytes)
+    stub.close()
+    val (mDel, dDel) = VersionedTable.gc(spark, dir, keepLast = 1,
+      orphanGraceMs = 0L)
+    assert(mDel === 1 && dDel === 1, s"($mDel, $dDel)")
+    assert(VersionedTable.versions(spark, dir).isEmpty)
+    VersionedTable.drop(spark, dir)
+  }
+
   test("gc grace window: young unreferenced data (an in-flight publish " +
     "between data write and commit) is NOT collected") {
     val dir = freshDir("grace")
