@@ -68,29 +68,43 @@ object StreamingRollup {
     * Returns the committed rollup version. */
   def refresh(spark: SparkSession, snapDir: String, rollupDir: String,
               groupCols: Seq[String], valueCol: String): Long = {
-    val curV = VersionedTable.latestVersion(spark, snapDir).getOrElse(
-      throw new NoSuchElementException(s"no snapshot at $snapDir"))
-    val fromV = reflectedVersion(spark, rollupDir).getOrElse(
-      throw new IllegalStateException(
-        s"no rollup at $rollupDir — call init() first"))
-    if (fromV == curV)
-      return VersionedTable.latestVersion(spark, rollupDir).get
-    // replay check before any work (exactly-once across re-runs)
-    VersionedTable.committedVersionOf(spark, rollupDir,
-      s"$BatchPrefix$curV") match {
-      case Some(v) => return v
-      case None =>
-    }
-    val next =
-      try IncrementalAgg.maintainOverVersions(spark, snapDir, fromV,
-        curV, current(spark, rollupDir), groupCols, valueCol)
-      catch {
-        case _: NoSuchElementException =>
-          // reflected version GC'd from the snapshot: full recompute
-          IncrementalAgg.retractableState(
-            VersionedTable.readAsOf(spark, snapDir, curV), groupCols,
-            valueCol)
+    var attempt = 0
+    while (true) {
+      val curV = VersionedTable.latestVersion(spark, snapDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshot at $snapDir"))
+      val fromV = reflectedVersion(spark, rollupDir).getOrElse(
+        throw new IllegalStateException(
+          s"no rollup at $rollupDir — call init() first"))
+      val rollupBase = VersionedTable.latestVersion(spark, rollupDir).get
+      if (fromV == curV) return rollupBase
+      // replay check before any work (exactly-once across re-runs)
+      VersionedTable.committedVersionOf(spark, rollupDir,
+        s"$BatchPrefix$curV") match {
+        case Some(v) => return v
+        case None =>
       }
-    VersionedTable.publish(next, rollupDir, s"$BatchPrefix$curV")
+      val next =
+        try IncrementalAgg.maintainOverVersions(spark, snapDir, fromV,
+          curV, current(spark, rollupDir), groupCols, valueCol)
+        catch {
+          case _: NoSuchElementException =>
+            // reflected version GC'd from the snapshot: full recompute
+            IncrementalAgg.retractableState(
+              VersionedTable.readAsOf(spark, snapDir, curV), groupCols,
+              valueCol)
+        }
+      // OPTIMISTIC commit keyed on the rollup version we derived from:
+      // a racing refresher (or a slower one finishing late) would
+      // otherwise land an OLDER state on top of a newer one — the
+      // conflict aborts the stale writer, which re-reads and retries
+      try {
+        return VersionedTable.publishIfUnchanged(next, rollupDir,
+          s"$BatchPrefix$curV", expectedBaseVersion = rollupBase)
+      } catch {
+        case _: java.util.ConcurrentModificationException
+            if attempt < 20 => attempt += 1 // re-derive off the winner
+      }
+    }
+    -1L // unreachable
   }
 }
