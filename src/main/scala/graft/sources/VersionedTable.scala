@@ -1150,7 +1150,14 @@ object VersionedTable {
         }
       },
       field("ts").flatMap(t =>
-        scala.util.Try(t.toLong).toOption).getOrElse(0L))
+        scala.util.Try(t.toLong).toOption).getOrElse(0L),
+      lines.filter(_.startsWith("bloom=")).flatMap { l =>
+        l.drop(6).split(StatSep, -1) match {
+          case Array(f, c, mb, k, bits) => scala.util.Try(
+            (f, c, mb.toInt, k.toInt, bits)).toOption
+          case _ => None
+        }
+      })
   }
 
   /** Stage `df` for audit WITHOUT making it readable: data files are
@@ -1161,7 +1168,8 @@ object VersionedTable {
     * [[publish]] (promotion is batchId-idempotent); if the batchId is
     * ALREADY committed the stage is refused (the cut exists). */
   def publishStaged(df: DataFrame, dir: String, batchId: String,
-                    statsCols: Seq[String] = Nil): String = {
+                    statsCols: Seq[String] = Nil,
+                    bloomCols: Seq[String] = Nil): String = {
     require(!batchId.contains("\n") && batchId.nonEmpty,
       "batchId must be a non-empty single-line string")
     val spark = df.sparkSession
@@ -1180,6 +1188,7 @@ object VersionedTable {
         !s.getPath.getName.startsWith("."))
       .map(s => s"$dataRel/${s.getPath.getName}").sorted
     val stats = fileStats(spark, dir, files, statsCols)
+    val blooms = fileBlooms(spark, dir, files, bloomCols)
     fs.mkdirs(stagedDir(dir))
     val p = new Path(stagedDir(dir), uuid)
     val o = fs.create(p, false)
@@ -1189,7 +1198,9 @@ object VersionedTable {
         s"schema=${df.schema.json}") ++
         files.map(f => s"file=$f") ++
         stats.map { case (f, c, mn, mx) =>
-          s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } :+
+          s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
+        blooms.map { case (f, c, mb, k, bits) =>
+          s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } :+
         StagedTerminator :+ "").mkString("\n")
       o.write(body.getBytes(StandardCharsets.UTF_8))
     } finally o.close()
@@ -1223,7 +1234,7 @@ object VersionedTable {
     val v = committedSummaries(fs, dir).find(_.batchId == m.batchId)
       .map(_.version)
       .getOrElse(commitManifest(fs, dir, m.batchId, m.schemaJson,
-        m.files, 20, m.stats))
+        m.files, 20, m.stats, m.blooms))
     fs.delete(p, false)
     v
   }
