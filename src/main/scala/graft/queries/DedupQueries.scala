@@ -277,9 +277,12 @@ object DedupQueries extends Registry {
         .agg(count_distinct(col("doc_id")).as("df"))
       graft.sources.TableSet.publishAll(s, setDir, "cut-1", Seq(
         ("corpus", corpus, cDir), ("lexicon", lexicon, xDir)))
-      val c = graft.sources.TableSet.read(s, setDir, "corpus")
-      val x = graft.sources.TableSet.read(s, setDir, "lexicon")
-      x.crossJoin(broadcast(c.agg(count(lit(1)).as("corpus_docs"))))
+      // ONE assignment resolution for both members — two separate
+      // read() calls could span a concurrent swap and mix generations
+      val snap = graft.sources.TableSet.snapshot(s, setDir)
+      snap("lexicon")
+        .crossJoin(broadcast(
+          snap("corpus").agg(count(lit(1)).as("corpus_docs"))))
         .select(col("term"), col("df"), col("corpus_docs"))
     }),
     // D246: BLOOM POINT-LOOKUP SKIPPING — the id-equality complement

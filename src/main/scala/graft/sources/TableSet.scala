@@ -82,14 +82,31 @@ object TableSet {
       (v, decode(s))
     }
 
-  /** Read one member's snapshot through the CURRENT assignment — the
-    * consistent-pair read path. */
+  /** Read one member's snapshot through the CURRENT assignment.
+    * CONSISTENCY NOTE: two separate `read` calls can span a pointer
+    * swap and observe members of DIFFERENT assignments — a consumer
+    * needing a consistent pair must resolve the assignment ONCE:
+    * use [[snapshot]]. */
   def read(spark: SparkSession, setDir: String, name: String): DataFrame = {
     val m = current(spark, setDir)
     val (d, v) = m.getOrElse(name, throw new NoSuchElementException(
       s"no member '$name' in the set at $setDir " +
         s"(members: ${m.keys.toSeq.sorted.mkString(",")})"))
     VersionedTable.readAsOf(spark, d, v)
+  }
+
+  /** EVERY member of ONE assignment (the current one, resolved with a
+    * single pointer read) as dataframes — the consistent-set read
+    * path: no concurrent swap can mix generations across the returned
+    * members, because each is pinned to the assignment's exact
+    * version (committed versions are immutable). */
+  def snapshot(spark: SparkSession,
+               setDir: String): Map[String, DataFrame] = {
+    val m = current(spark, setDir)
+    require(m.nonEmpty, s"no committed assignment at $setDir")
+    m.map { case (n, (d, v)) =>
+      n -> VersionedTable.readAsOf(spark, d, v)
+    }
   }
 
   /** SET-AWARE RETENTION: gc every member table keeping exactly the

@@ -59,6 +59,17 @@ class TableSetSpec extends SparkSpec {
     assert(TableSet.history(spark, setDir).size === histBefore)
     // history keeps the old consistent assignment for time travel
     assert(TableSet.history(spark, setDir).head._2("corpus")._2 === 1L)
+    // snapshot(): ONE assignment resolution pins every member — a
+    // swap AFTER the resolve cannot mix generations into the frames
+    val snap = TableSet.snapshot(spark, setDir)
+    val corpus3 = Seq((9L, "a3")).toDF("id", "text")
+    val index3 = Seq(("a3", 1L)).toDF("term", "df")
+    TableSet.publishAll(spark, setDir, "set-3", Seq(
+      ("corpus", corpus3, cDir), ("index", index3, xDir)))
+    assert(snap("corpus").collect().map(_.getString(1)).toSet ===
+      Set("a2", "c"), "pinned member frames must survive a later swap")
+    assert(snap("index").collect().map(_.getString(0)).toSet ===
+      Set("a2", "c"))
     Seq(setDir, cDir, xDir).foreach(VersionedTable.drop(spark, _))
   }
 
