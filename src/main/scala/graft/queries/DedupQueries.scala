@@ -155,6 +155,29 @@ object DedupQueries extends Registry {
         s"zone maps failed to skip: opened $opened of $total files")
       df
     }),
+    // D252: METADATA-ONLY COUNT — `SELECT count(*)` as a metadata
+    // operation: one manifest read + parquet FOOTER record counts
+    // summed driver-side (no job, no data pages; exact by format
+    // contract over immutable committed files). Emitted per VERSION
+    // (full cut AND a CDC-advanced cut), so the oracle pins both the
+    // footer arithmetic and version isolation.
+    "d139_metadata_count" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_meta_count")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      graft.streaming.StreamingMerge.init(docs, "doc_id", dir,
+        nBuckets = 16)
+      val deletes = docs.filter(col("doc_id") % 503 === 0)
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpDelete))
+      graft.streaming.StreamingMerge.applyBatch(deletes, "doc_id",
+        "__seq", "__op", dir, 16, Some("count-epoch-0"))
+      import s.implicits._
+      Seq(
+        (1L, graft.sources.VersionedTable.rowCountOf(s, dir, 1L)),
+        (2L, graft.sources.VersionedTable.rowCountOf(s, dir, 2L)))
+        .toDF("version", "n_rows")
+    }),
     // D250: STREAMING ROLLUP MAINTAINER — the materialized aggregate
     // FOLLOWING the CDC snapshot as its own VersionedTable: init at
     // v1, one merge batch advances the snapshot, refresh() walks the
@@ -758,6 +781,13 @@ object DedupQueries extends Registry {
     "d134_versioned_point" -> """
       SELECT o_orderkey, o_totalprice, o_orderstatus
       FROM orders WHERE o_orderkey = 7""",
+    "d139_metadata_count" -> """
+      SELECT CAST(1 AS BIGINT) AS version,
+             CAST(count(*) AS BIGINT) AS n_rows FROM documents
+      UNION ALL
+      SELECT CAST(2 AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM documents
+      WHERE doc_id % 503 <> 0""",
     // stream-maintained rollup ≡ the same full-v2 recompute
     "d138_streaming_rollup" -> """
       SELECT source, CAST(count(*) AS BIGINT) AS n,

@@ -872,6 +872,33 @@ object VersionedTable {
       throw new NoSuchElementException(s"no committed version at $dir")),
       column, value)
 
+  /** METADATA-ONLY row count of a committed version: one manifest
+    * read + the parquet FOOTERS' record counts, summed driver-side —
+    * no Spark job, no data pages read, exact (committed files are
+    * immutable, and a parquet footer's row-group counts are exact by
+    * format contract). The `SELECT count(*)` that costs a full scan
+    * on a raw directory is a metadata operation on a versioned table;
+    * at 10⁶ files it is 10⁶ footer reads vs 100 TB of data pages. */
+  def rowCountOf(spark: SparkSession, dir: String,
+                 version: Long): Long = {
+    val fs = fsOf(spark, dir)
+    val m = manifestOf(fs, dir, version)
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version is not committed at $dir"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    m.files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(dir, f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** [[rowCountOf]] on the latest committed version. */
+  def rowCountLatest(spark: SparkSession, dir: String): Long =
+    rowCountOf(spark, dir, latestVersion(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed version at $dir")))
+
   /** Narrow a probe value to the column's Scala type so driver-side
     * hashing matches the scan-side hash of the native column exactly
     * (shared by the bloom probe and the bucketed CDC lookup). */

@@ -397,6 +397,27 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("metadata-only row count equals the scan count per version, " +
+    "with zero Spark jobs") {
+    val dir = freshDir("rowcount")
+    VersionedTable.publish((1L to 1234L).map(i => (i, s"r$i"))
+      .toDF("id", "s").repartition(7), dir, "c1")
+    VersionedTable.publish((1L to 77L).map(i => (i, s"r$i"))
+      .toDF("id", "s"), dir, "c2")
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(VersionedTable.rowCountOf(spark, dir, 1L) === 1234L)
+    assert(VersionedTable.rowCountOf(spark, dir, 2L) === 77L)
+    assert(VersionedTable.rowCountLatest(spark, dir) === 77L)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      === jobsBefore, "footer counting must run no Spark job")
+    assert(VersionedTable.readAsOf(spark, dir, 1L).count() === 1234L)
+    // empty version: zero files, zero rows
+    VersionedTable.publish(Seq((1L, "x")).toDF("id", "s")
+      .filter(lit(false)), dir, "c3")
+    assert(VersionedTable.rowCountOf(spark, dir, 3L) === 0L)
+    VersionedTable.drop(spark, dir)
+  }
+
   test("bloom point lookup: a hash-laid publish records per-file " +
     "blooms and an id probe opens ~1 file; result ≡ full-scan filter") {
     val dir = freshDir("bloom")
