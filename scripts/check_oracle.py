@@ -39,12 +39,33 @@ def main() -> int:
         try:
             spark_df = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
             ora_df = con.sql(oracle[name]).df()
+            # STRUCTURAL LINT (round-15): no DECIMAL in any EMITTED
+            # schema, either engine. The driver's hasher canonicalizes
+            # DECIMAL differently from both engines' value semantics,
+            # and the astype(float64) coercion below cannot see it —
+            # d137/d138 shipped "bit-exact" locally in round 14 and
+            # failed the driver's hash. Doubles on the 6-dp grid /
+            # BIGINTs are the only sanctioned numeric output types.
+            dec_cols = [
+                f"{side}:{r[0]}"
+                for side, probe in (
+                    ("spark", f"SELECT * FROM read_parquet({files!r})"),
+                    ("oracle", oracle[name]))
+                for r in con.sql(f"DESCRIBE {probe}").fetchall()
+                if "DECIMAL" in str(r[1]).upper()
+                or "HUGEINT" in str(r[1]).upper()]
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failures += 1
             continue
         a, b = norm(spark_df), norm(ora_df)
         problems = []
+        if dec_cols:
+            problems.append(
+                "DECIMAL/HUGEINT output column(s) "
+                + ", ".join(dec_cols)
+                + " — the driver hashes these differently; finish as "
+                  "CAST(... AS DOUBLE) or BIGINT on BOTH engines")
         if list(a.columns) != list(b.columns):
             problems.append(f"columns {list(a.columns)} vs {list(b.columns)}")
         elif a.shape != b.shape:

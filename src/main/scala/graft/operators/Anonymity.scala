@@ -85,7 +85,7 @@ object Anonymity {
                    salt: Int = 29): DataFrame = {
     require(groupCols.nonEmpty && epsilon > 0)
     val key = graft.dedup.MinHashDedup.portableShingleHash(
-      concat_ws("", groupCols.map(col): _*))
+      concat_ws("\u0001", groupCols.map(col): _*))
     // clamp u away from {0,1}: u = 0 → ln(1−2|u−½|) = ln(0) = −∞, and
     // near-0/1 values give noise far beyond the DP calibration
     val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
@@ -155,7 +155,7 @@ object Anonymity {
     require(epsilon < 1,
       s"analytic Gaussian calibration requires epsilon < 1: $epsilon")
     val key = graft.dedup.MinHashDedup.portableShingleHash(
-      concat_ws("", groupCols.map(col): _*))
+      concat_ws("\u0001", groupCols.map(col): _*))
     val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
       graft.functions.Noise.hashNoise(key, salt)))
     val sigma = math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
@@ -173,6 +173,11 @@ object Anonymity {
   def sqlNoisedCountsGaussian(table: String, groupCols: Seq[String],
                               epsilon: Double, delta: Double,
                               salt: Int = 31): String = {
+    // same calibration-validity guard as the Spark side: the analytic
+    // sigma under-noises at epsilon >= 1, so the SQL twin must refuse
+    // the exact release the Spark mechanism refuses
+    require(epsilon < 1,
+      s"analytic Gaussian calibration requires epsilon < 1: $epsilon")
     import graft.functions.Noise.sqlDouble
     val q = groupCols.mkString(", ")
     val cat = groupCols.mkString("concat_ws(chr(1), ", ", ", ")")
@@ -221,7 +226,7 @@ object Anonymity {
       .withColumn("__sc",
         greatest(-capD, least(capD, col("__s"))).cast("decimal(18,6)"))
     val key = graft.dedup.MinHashDedup.portableShingleHash(
-      concat_ws("", groupCols.map(col): _*))
+      concat_ws("\u0001", groupCols.map(col): _*))
     val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
       graft.functions.Noise.hashNoise(key, salt)))
     val b = lit(cap / epsilon)
@@ -291,7 +296,7 @@ object Anonymity {
       .withColumn("__sc",
         greatest(-capD, least(capD, col("__s"))).cast("decimal(18,6)"))
     val key = graft.dedup.MinHashDedup.portableShingleHash(
-      concat_ws("", groupCols.map(col): _*))
+      concat_ws("\u0001", groupCols.map(col): _*))
     val u = greatest(lit(1e-12), least(lit(1.0 - 1e-12),
       graft.functions.Noise.hashNoise(key, salt)))
     val sigma = cap * math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
@@ -309,6 +314,8 @@ object Anonymity {
                             unitCol: String, valueCol: String,
                             cap: Double, epsilon: Double, delta: Double,
                             salt: Int = 41): String = {
+    require(epsilon < 1,
+      s"analytic Gaussian calibration requires epsilon < 1: $epsilon")
     import graft.functions.Noise.sqlDouble
     val q = groupCols.mkString(", ")
     val cat = groupCols.mkString("concat_ws(chr(1), ", ", ", ")")
@@ -452,6 +459,8 @@ object Anonymity {
                                  lo: Double, hi: Double, nb: Int,
                                  epsilon: Double, delta: Double,
                                  salt: Int = 43): String = {
+    require(epsilon < 1,
+      s"analytic Gaussian calibration requires epsilon < 1: $epsilon")
     import graft.functions.Noise.sqlDouble
     val w = (hi - lo) / nb
     val loS = sqlDouble(lo); val hiS = sqlDouble(hi)

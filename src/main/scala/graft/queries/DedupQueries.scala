@@ -212,7 +212,11 @@ object DedupQueries extends Registry {
         Seq("source"), "n_chars")
       require(graft.sources.VersionedTable.versions(s, rdir)
         == Seq(1L, 2L), "rollup replay idempotence drifted")
+      // finish the exact-decimal state as DOUBLE at the query
+      // boundary (package convention, Registry.scala: no DECIMAL in
+      // emitted schemas — the sums are exact integers far below 2^53)
       graft.streaming.StreamingRollup.current(s, rdir)
+        .withColumn("sum_v", col("sum_v").cast("double"))
     }),
     // D249: CHANGE-FEED AGGREGATE MAINTENANCE — a per-source rollup
     // follows its CDC table paying only for the CHANGED files: state
@@ -241,8 +245,10 @@ object DedupQueries extends Registry {
       val v1State = graft.operators.IncrementalAgg.retractableState(
         graft.sources.VersionedTable.readAsOf(s, dir, 1L),
         Seq("source"), "n_chars")
+      // finish the exact-decimal state as DOUBLE at the query boundary
       graft.operators.IncrementalAgg.maintainOverVersions(s, dir,
         1L, 2L, v1State, Seq("source"), "n_chars")
+        .withColumn("sum_v", col("sum_v").cast("double"))
     }),
     // D248: CDC POINT LOOKUP — the snapshot's primary access ("the
     // current row for id X") via bucket-key skipping: the id's bucket
@@ -791,7 +797,7 @@ object DedupQueries extends Registry {
     // stream-maintained rollup ≡ the same full-v2 recompute
     "d138_streaming_rollup" -> """
       SELECT source, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(n_chars AS DECIMAL(32,6))) AS DECIMAL(32,6))
+        CAST(sum(CAST(n_chars AS DECIMAL(32,6))) AS DOUBLE)
           AS sum_v
       FROM documents WHERE doc_id % 503 <> 0
       GROUP BY source""",
@@ -799,7 +805,7 @@ object DedupQueries extends Registry {
     // state off the change feed; equality proves the retraction exact
     "d137_changefeed_agg" -> """
       SELECT source, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(n_chars AS DECIMAL(32,6))) AS DECIMAL(32,6))
+        CAST(sum(CAST(n_chars AS DECIMAL(32,6))) AS DOUBLE)
           AS sum_v
       FROM documents WHERE doc_id % 503 <> 0
       GROUP BY source""",

@@ -1218,7 +1218,7 @@ object RelationalQueries extends Registry {
         "gaussian-counts", 0.3, 5e-7)
       graft.operators.DpLedger.advancedSummary(s, dir, deltaSlack = 1e-9)
     }),
-    // multi-column release cells — exercises the -separated tuple
+    // multi-column release cells — exercises the \u0001 (U+0001)-separated tuple
     // hash (concat_ws("") would conflate cells and correlate their
     // noise; AnonymitySpec pins the conflation case, this row pins the
     // cross-engine hash agreement on >1 group column).

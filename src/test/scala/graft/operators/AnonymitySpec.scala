@@ -66,7 +66,7 @@ class AnonymitySpec extends SparkSpec {
 
   test("multi-column groups: the \\u0001 separator keeps tuples distinct") {
     // concat_ws("") would conflate ("ab","c") with ("a","bc") — the two
-    // cells would then draw IDENTICAL, correlated noise. The 
+    // cells would then draw IDENTICAL, correlated noise. The \u0001 (U+0001)
     // separator (matching the SQL twin's chr(1)) must keep them apart.
     val t = Seq(("ab", "c"), ("a", "bc"), ("ab", "c"))
       .toDF("x", "y")

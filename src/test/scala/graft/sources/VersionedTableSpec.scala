@@ -528,7 +528,7 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readLatest(spark, dir).count() === 1L)
     // torn checkpoint (no terminator): ignored, not an error
     val torn = new java.io.FileWriter(s"$dir/_checkpoints/99")
-    torn.write("v=10bogus\n"); torn.close()
+    torn.write("v=1\u00010\u0001bogus\n"); torn.close()
     assert(VersionedTable.versions(spark, dir) === withCp)
     assert(VersionedTable.committedVersionOf(spark, dir, "b3") === Some(3L))
     VersionedTable.drop(spark, dir)
