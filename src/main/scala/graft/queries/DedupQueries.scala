@@ -178,6 +178,129 @@ object DedupQueries extends Registry {
         (2L, graft.sources.VersionedTable.rowCountOf(s, dir, 2L)))
         .toDF("version", "n_rows")
     }),
+    // D257: METADATA-ONLY MIN/MAX — the zone maps recorded for file
+    // skipping double as the answer to `SELECT min(x), max(x)`: the
+    // global range is the fold of the per-file ranges, one manifest
+    // read, zero data I/O (exact only when every non-empty file
+    // recorded the stat — else None, fall back to the scan, never a
+    // silently-wrong range).
+    "d143_metadata_range" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_meta_range")
+      graft.sources.VersionedTable.drop(s, dir)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartitionByRange(16, col("o_totalprice"))
+      graft.sources.VersionedTable.publish(orders, dir, "orders-cut",
+        statsCols = Seq("o_totalprice"))
+      val (mn, mx) = graft.sources.VersionedTable
+        .statRangeOf(s, dir, 1L, "o_totalprice")
+        .getOrElse(throw new IllegalStateException(
+          "stat coverage incomplete — metadata range unavailable"))
+      // a column never stat-tracked must answer None, not garbage
+      require(graft.sources.VersionedTable
+        .statRangeOf(s, dir, 1L, "o_orderkey").isEmpty,
+        "untracked column must not produce a metadata range")
+      import s.implicits._
+      Seq((mn, mx)).toDF("min_price", "max_price")
+    }),
+    // D253: ADD-COLUMN SCHEMA EVOLUTION — a live CDC table widens
+    // WITHOUT rewriting data: the snapshot starts WITHOUT n_chars, the
+    // changelog starts carrying it (a superset batch), and the commit
+    // widens the manifest schema in place. The final table is
+    // two-schema-generation — untouched buckets still hold 4-column
+    // files read with n_chars nulled, rewritten buckets hold 5-column
+    // files — and the oracle pins the null-backfill semantics
+    // bit-exactly against a CASE twin.
+    "d140_schema_evolution" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_schema_evo")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      graft.streaming.StreamingMerge.init(
+        docs.select("doc_id", "text", "lang", "source"), "doc_id", dir,
+        nBuckets = 16)
+      val upserts = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" [v2]")))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpUpsert))
+      graft.streaming.StreamingMerge.applyBatch(upserts, "doc_id",
+        "__seq", "__op", dir, 16, Some("evo-epoch-0"))
+      val out = graft.sources.VersionedTable.readLatest(s, dir)
+      require(out.schema.fieldNames.contains("n_chars"),
+        "schema evolution failed to widen the snapshot")
+      // v1 must still read under its own narrow schema (time travel)
+      require(graft.sources.VersionedTable.readAsOf(s, dir, 1L)
+        .schema.fieldNames.length == 4,
+        "the pre-evolution version's schema drifted")
+      out
+    }),
+    // D254: VERSIONED RE-BUCKET — the escape hatch from the immutable
+    // bucket pin: the 16-bucket CDC snapshot is rewritten into a fresh
+    // dir at 64 buckets (one bounded rewrite + pointer-style swap by
+    // the caller); a point lookup against the NEW table honors ITS pin
+    // and opens ~1/64 instead of ~1/16, while the old dir's versions
+    // are untouched. Probe id 33 is upserted by the changelog, so the
+    // row also pins latest-wins survival across the rewrite.
+    "d141_rebucket" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_rebucket_src")
+      val (_, ndir) = indexScratch(d, "graft_rebucket_dst")
+      graft.sources.VersionedTable.drop(s, dir)
+      graft.sources.VersionedTable.drop(s, ndir)
+      val docs = Tables.documents(s, d)
+      graft.streaming.StreamingMerge.init(docs, "doc_id", dir,
+        nBuckets = 16)
+      val upserts = docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpUpsert))
+      val deletes = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("__seq", lit(2L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpDelete))
+      graft.streaming.StreamingMerge.applyBatch(
+        upserts.unionByName(deletes), "doc_id", "__seq", "__op", dir,
+        16, Some("rb-epoch-0"))
+      val vOld = graft.sources.VersionedTable.versions(s, dir)
+      graft.streaming.StreamingMerge.rebucket(s, dir, ndir, 64, "doc_id")
+      require(graft.sources.VersionedTable.versions(s, dir) == vOld,
+        "rebucket must not touch the source table")
+      val (df, opened, total) = graft.streaming.StreamingMerge.lookup(
+        s, ndir, "doc_id", 33L, nBuckets = 64)
+      require(opened < total && opened * 16 <= total,
+        s"64-bucket lookup should open ~1/64: $opened of $total")
+      df
+    }),
+    // D255: SKIPPING METADATA ON THE ROLLUP'S OWN TABLE — the
+    // maintained aggregate is itself a real table (|groups| can be
+    // 10⁶), so "this group's current state" must not scan the state:
+    // init/refresh record group-key bloom filters and the point read
+    // opens only matching files. Same exact-state arithmetic as d137
+    // (retraction through one CDC batch), restricted to one group.
+    "d142_rollup_pruned" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_rollup_pruned")
+      val (_, rdir) = indexScratch(d, "graft_rollup_pruned_state")
+      graft.sources.VersionedTable.drop(s, dir)
+      graft.sources.VersionedTable.drop(s, rdir)
+      val docs = Tables.documents(s, d)
+      graft.streaming.StreamingMerge.init(docs, "doc_id", dir,
+        nBuckets = 16)
+      graft.streaming.StreamingRollup.init(s, dir, rdir,
+        Seq("source"), "n_chars", bloomCols = Seq("source"),
+        statePartitions = Some(8))
+      val deletes = docs.filter(col("doc_id") % 503 === 0)
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpDelete))
+      graft.streaming.StreamingMerge.applyBatch(deletes, "doc_id",
+        "__seq", "__op", dir, 16, Some("rp-epoch-0"))
+      graft.streaming.StreamingRollup.refresh(s, dir, rdir,
+        Seq("source"), "n_chars", bloomCols = Seq("source"),
+        statePartitions = Some(8))
+      val (hit, opened, total) = graft.sources.VersionedTable
+        .readLatestPoint(s, rdir, "source", "src7")
+      require(total > 1 && opened < total,
+        s"rollup bloom skip failed to fire: opened $opened of $total")
+      hit.select(col("source"), col("n"),
+        col("sum_v").cast("double").as("sum_v"))
+    }),
     // D250: STREAMING ROLLUP MAINTAINER — the materialized aggregate
     // FOLLOWING the CDC snapshot as its own VersionedTable: init at
     // v1, one merge batch advances the snapshot, refresh() walks the
@@ -794,6 +917,34 @@ object DedupQueries extends Registry {
       SELECT CAST(2 AS BIGINT),
              CAST(count(*) AS BIGINT) FROM documents
       WHERE doc_id % 503 <> 0""",
+    // the manifest-fold range ≡ the scan aggregate (decimal→double is
+    // exact on the 2-dp money grid, and min/max commute with the cast)
+    "d143_metadata_range" -> """
+      SELECT CAST(min(CAST(o_totalprice AS DOUBLE)) AS DOUBLE)
+               AS min_price,
+             CAST(max(CAST(o_totalprice AS DOUBLE)) AS DOUBLE)
+               AS max_price
+      FROM orders""",
+    // the two-schema-generation read ≡ the CASE twin: pre-evolution
+    // rows carry NULL in the added column, upserted rows fill it
+    "d140_schema_evolution" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+             ELSE text END AS text,
+        lang, source,
+        CASE WHEN doc_id % 7 = 0 THEN n_chars END AS n_chars
+      FROM documents""",
+    // the post-rebucket point lookup ≡ the latest-wins filter
+    "d141_rebucket" -> """
+      SELECT doc_id, text || ' [rev2]' AS text, lang, source, n_chars
+      FROM documents WHERE doc_id = 33""",
+    // one group's maintained state ≡ recomputing it over the final
+    // snapshot (same arithmetic as d137, restricted to the probe)
+    "d142_rollup_pruned" -> """
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(n_chars AS DECIMAL(32,6))) AS DOUBLE) AS sum_v
+      FROM documents WHERE doc_id % 503 <> 0 AND source = 'src7'
+      GROUP BY source""",
     // stream-maintained rollup ≡ the same full-v2 recompute
     "d138_streaming_rollup" -> """
       SELECT source, CAST(count(*) AS BIGINT) AS n,

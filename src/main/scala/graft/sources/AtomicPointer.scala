@@ -32,7 +32,8 @@ object AtomicPointer {
 
   private def slotDir(dir: String) = new Path(dir, "_pointer")
 
-  private def readSlot(fs: FileSystem, p: Path): Option[(Long, String)] = {
+  private def readSlot(fs: FileSystem,
+                       p: Path): Option[(Long, String, Option[String])] = {
     val in = fs.open(p)
     val txt = try {
       val out = new java.io.ByteArrayOutputStream()
@@ -46,11 +47,11 @@ object AtomicPointer {
     for {
       v <- lines.find(_.startsWith("version=")).map(_.drop(8).toLong)
       value <- lines.find(_.startsWith("value=")).map(_.drop(6))
-    } yield (v, value)
+    } yield (v, value, lines.find(_.startsWith("tag=")).map(_.drop(4)))
   }
 
   private def committed(fs: FileSystem,
-                        dir: String): Seq[(Long, String)] = {
+                        dir: String): Seq[(Long, String, Option[String])] = {
     val sd = slotDir(dir)
     if (!fs.exists(sd)) return Seq.empty
     fs.listStatus(sd).toSeq
@@ -61,6 +62,13 @@ object AtomicPointer {
 
   /** All committed (version, value) pairs, ascending. */
   def history(spark: SparkSession, dir: String): Seq[(Long, String)] =
+    committed(fsOf(spark, dir), dir).map(t => (t._1, t._2))
+
+  /** [[history]] with each version's writer TAG (the replay-identity
+    * line [[TableSet.publishAll]] records its set batchId under) —
+    * bounded by retention like the history itself. */
+  def taggedHistory(spark: SparkSession, dir: String)
+      : Seq[(Long, String, Option[String])] =
     committed(fsOf(spark, dir), dir)
 
   /** The current value (highest committed version), if any. */
@@ -74,10 +82,16 @@ object AtomicPointer {
         s"pointer version $version is not committed at $dir"))
 
   /** Publish `value` as the next version. Returns the committed
-    * version number. Single-line values only. */
+    * version number. Single-line values only. `tag` (optional,
+    * single-line) records the writer's replay identity in the slot —
+    * [[taggedHistory]] surfaces it so a caller can make its own
+    * publish batchId-idempotent against the WHOLE retained history,
+    * not just the current head value. */
   def publish(spark: SparkSession, dir: String, value: String,
-              maxRetries: Int = 20): Long = {
+              maxRetries: Int = 20, tag: Option[String] = None): Long = {
     require(!value.contains("\n"), "pointer values must be single-line")
+    require(tag.forall(t => t.nonEmpty && !t.contains("\n")),
+      "pointer tags must be non-empty single-line strings")
     val fs = fsOf(spark, dir)
     fs.mkdirs(slotDir(dir))
     def maxSlot(): Long =
@@ -103,7 +117,8 @@ object AtomicPointer {
       claim(p) match {
         case Some(o) =>
           try o.write(
-            s"version=$next\ntoken=$token\nvalue=$value\n$Terminator\n"
+            (Seq(s"version=$next", s"token=$token", s"value=$value") ++
+              tag.map(t => s"tag=$t") :+ Terminator :+ "").mkString("\n")
               .getBytes(StandardCharsets.UTF_8))
           finally o.close()
           // ownership verify for FSes with non-atomic create

@@ -33,8 +33,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * O(1) versioned read. */
 object TableSet {
 
-  private val EntrySep = ""
-  private val FieldSep = ""
+  private val EntrySep = "\u0002"
+  private val FieldSep = "\u0001"
 
   private def encode(members: Map[String, (String, Long)]): String = {
     require(members.nonEmpty, "a table set needs at least one member")
@@ -137,7 +137,14 @@ object TableSet {
     * the committed (member → version) map. Crash-safe: members first
     * (invisible to set readers), pointer last; replaying the same
     * `batchId` re-resolves the member versions (publish replay
-    * no-ops) and skips the redundant swap. */
+    * no-ops) and skips the swap. The swap is recorded with the set
+    * batchId as the pointer TAG and skipped whenever that batchId
+    * appears ANYWHERE in the retained pointer history — a replay
+    * delayed past a NEWER assignment must change nothing, and the
+    * old head-value-equality check would have re-published the stale
+    * assignment as a fresh version, rolling the set back. (Replay
+    * detection is bounded by pointer retention, the same contract as
+    * version-level batchId replay under [[VersionedTable.gc]].) */
   def publishAll(spark: SparkSession, setDir: String, batchId: String,
                  tables: Seq[(String, DataFrame, String)])
       : Map[String, Long] = {
@@ -148,8 +155,40 @@ object TableSet {
       name -> (dir, VersionedTable.publish(df, dir, s"$batchId:$name"))
     }.toMap
     val target = encode(versions)
-    if (!AtomicPointer.current(spark, setDir).contains(target))
-      AtomicPointer.publish(spark, setDir, target)
+    val replayed = AtomicPointer.taggedHistory(spark, setDir)
+      .exists(_._3.contains(batchId))
+    if (!replayed && !AtomicPointer.current(spark, setDir).contains(target))
+      AtomicPointer.publish(spark, setDir, target, tag = Some(batchId))
     versions.map { case (n, (_, v)) => n -> v }
   }
+
+  /** STREAMING MULTI-TABLE COMMIT — the exactly-once twin of
+    * [[publishAll]]: each micro-batch derives the set's member
+    * dataframes (`derive(batch, epochId)` returns the same
+    * `(name, df, dir)` triples publishAll takes — e.g. curation v4's
+    * corpus cut AND its lexicon) and lands them as ONE consistent
+    * assignment per trigger. Exactly-once across restarts composes
+    * from the batch pieces: member publishes are idempotent on
+    * `set-epoch-{id}:{name}`, the pointer swap on the `set-epoch-{id}`
+    * tag — so a replayed trigger re-publishes nothing and re-swaps
+    * nothing, and a crash BETWEEN a member publish and the swap heals
+    * on replay (the committed members no-op, the missing swap
+    * completes; readers meanwhile stayed on the previous consistent
+    * assignment). A `derive` returning Nil skips the trigger (no
+    * empty assignments). */
+  def runWithSet(changeStream: DataFrame, checkpointDir: String,
+                 setDir: String,
+                 derive: (DataFrame, Long) => Seq[(String, DataFrame, String)])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changeStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val tables = derive(batch, epochId)
+        if (tables.nonEmpty) {
+          publishAll(batch.sparkSession, setDir, s"set-epoch-$epochId",
+            tables)
+          ()
+        }
+      }
+      .start()
 }

@@ -77,6 +77,13 @@ object VersionedTable {
   private[graft] val manifestParses =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Diagnostic: parquet footer opens on the [[rowCountOf]] fallback
+    * path — the manifest-carried-row-count specs assert this stays
+    * ZERO for tables whose every commit recorded `rows=` entries
+    * (count(*) must be one manifest read, no per-file I/O). */
+  private[graft] val footerReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Field separator inside `stat=` manifest lines (U+0001 — cannot
     * occur in relative paths or column names). */
   private val StatSep = "\u0001"
@@ -90,13 +97,16 @@ object VersionedTable {
     * file paths, per-file zone-map stats `(file, column, min, max)`
     * for numeric columns the publisher asked to track, per-file bloom
     * filters `(file, column, mBits, k, base64 bits)` for point-lookup
-    * columns). */
+    * columns, per-file exact row counts `(file, rows)` — recorded at
+    * every commit since round 15 so `count(*)` is ONE manifest read
+    * with zero per-file I/O). */
   private[graft] case class Manifest(version: Long, batchId: String,
                                      schemaJson: String,
                                      files: Seq[String],
                                      stats: Seq[(String, String, Double, Double)] = Nil,
                                      ts: Long = 0L,
-                                     blooms: Seq[(String, String, Int, Int, String)] = Nil)
+                                     blooms: Seq[(String, String, Int, Int, String)] = Nil,
+                                     rowCounts: Seq[(String, Long)] = Nil)
 
   private def readManifest(fs: FileSystem, p: Path): Option[Manifest] = {
     manifestParses.incrementAndGet()
@@ -138,6 +148,12 @@ object VersionedTable {
         l.drop(6).split(StatSep, -1) match {
           case Array(f, c, mb, k, bits) => scala.util.Try(
             (f, c, mb.toInt, k.toInt, bits)).toOption
+          case _ => None
+        }
+      },
+      lines.filter(_.startsWith("rows=")).flatMap { l =>
+        l.drop(5).split(StatSep, -1) match {
+          case Array(f, n) => scala.util.Try((f, n.toLong)).toOption
           case _ => None
         }
       })
@@ -334,7 +350,8 @@ object VersionedTable {
       .map(s => s"$dataRel/${s.getPath.getName}").sorted
     commitManifest(fs, dir, batchId, df.schema.json, files, maxRetries,
       fileStats(spark, dir, files, statsCols),
-      fileBlooms(spark, dir, files, bloomCols))
+      fileBlooms(spark, dir, files, bloomCols),
+      fileRowCounts(spark, dir, files))
   }
 
   /** [[publish]] with [[publishFilesIfUnchanged]]'s optimistic
@@ -343,7 +360,9 @@ object VersionedTable {
     * ConcurrentModificationException (committing nothing durable)
     * when another writer landed in between; re-read and retry. */
   def publishIfUnchanged(df: DataFrame, dir: String, batchId: String,
-                         expectedBaseVersion: Long): Long = {
+                         expectedBaseVersion: Long,
+                         statsCols: Seq[String] = Nil,
+                         bloomCols: Seq[String] = Nil): Long = {
     require(!batchId.contains("\n") && batchId.nonEmpty,
       "batchId must be a non-empty single-line string")
     val spark = df.sparkSession
@@ -361,7 +380,9 @@ object VersionedTable {
         !s.getPath.getName.startsWith("."))
       .map(s => s"$dataRel/${s.getPath.getName}").sorted
     publishFilesIfUnchanged(spark, dir, batchId, df.schema.json, files,
-      expectedBaseVersion)
+      expectedBaseVersion,
+      stats = fileStats(spark, dir, files, statsCols),
+      blooms = fileBlooms(spark, dir, files, bloomCols))
   }
 
   /** Per-(file, column) min/max of `statsCols` over `files` — ONE
@@ -401,6 +422,31 @@ object VersionedTable {
     }
   }
 
+  /** Per-file EXACT row counts over `files` — ONE narrow scan grouped
+    * by `input_file_name()` reading zero data columns (files absent
+    * from the grouped result are empty part files: 0 rows). Recorded
+    * at every commit so [[rowCountOf]] is a pure manifest read —
+    * at 10⁶ S3 files the old sequential driver footer loop is hours;
+    * the manifest line is free. */
+  private[graft] def fileRowCounts(spark: SparkSession, dir: String,
+                                   files: Seq[String])
+      : Seq[(String, Long)] = {
+    if (files.isEmpty) return Nil
+    import org.apache.spark.sql.functions._
+    val rows = spark.read
+      .parquet(files.map(f => new Path(dir, f).toString): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__n"))
+      .collect() // one row per non-empty file — bounded by the publish
+    // same last-two-components keying as fileStats (bucketed writes
+    // repeat part-file basenames across __bucket=N dirs)
+    val counted = rows.map(r =>
+      r.getString(0).split("/").takeRight(2).mkString("/") ->
+        r.getLong(1)).toMap
+    files.map(f =>
+      f -> counted.getOrElse(f.split("/").takeRight(2).mkString("/"), 0L))
+  }
+
   /** Bloom geometry: k = 3 probes; bits ADAPTIVE per publish — the
     * smallest power of two ≥ [[BloomBitsPerKey]] × the largest file's
     * row count (floor [[BloomMinBits]], cap [[BloomMaxBits]]), so the
@@ -429,8 +475,12 @@ object VersionedTable {
     import org.apache.spark.sql.functions._
     val src = spark.read
       .parquet(files.map(f => new Path(dir, f).toString): _*)
-    val maxRows = src.groupBy(input_file_name()).agg(count(lit(1)))
-      .agg(max(col("count(1)"))).collect()(0).getLong(0)
+    // zero-row publishes (empty part files) yield a null max — no
+    // keys means no blooms, not an NPE at commit time
+    val maxRowsRow = src.groupBy(input_file_name()).agg(count(lit(1)))
+      .agg(max(col("count(1)"))).collect()(0)
+    if (maxRowsRow.isNullAt(0)) return Nil
+    val maxRows = maxRowsRow.getLong(0)
     var mBits = BloomMinBits
     while (mBits < BloomBitsPerKey * maxRows && mBits < BloomMaxBits)
       mBits <<= 1
@@ -460,20 +510,26 @@ object VersionedTable {
     }
   }
 
-  /** STAT/BLOOM INHERITANCE for copy-on-write commits: files a new
-    * version CARRIES from the previous latest are byte-identical, so
-    * their recorded zone maps / blooms stay valid — inherit them into
-    * the new manifest (caller-provided entries for the same (file,
-    * column) win) instead of silently dropping skipping metadata on
-    * every merge trigger. One extra manifest read per commit. */
+  /** STAT/BLOOM/ROW-COUNT INHERITANCE for copy-on-write commits:
+    * files a new version CARRIES from the previous latest are
+    * byte-identical, so their recorded zone maps / blooms / row
+    * counts stay valid — inherit them into the new manifest
+    * (caller-provided entries for the same (file, column) win)
+    * instead of silently dropping skipping metadata on every merge
+    * trigger. Files still lacking a row count after inheritance (the
+    * commit's NEW files) are counted by one narrow scan — so every
+    * commit path leaves a COMPLETE per-file count set and
+    * [[rowCountOf]] never falls back to footer I/O. One extra
+    * manifest read per commit. */
   private def inheritFileMeta(spark: SparkSession, dir: String,
                               files: Seq[String],
                               stats: Seq[(String, String, Double, Double)],
                               blooms: Seq[(String, String, Int, Int, String)])
       : (Seq[(String, String, Double, Double)],
-         Seq[(String, String, Int, Int, String)]) =
-    latestManifest(spark, dir) match {
-      case None => (stats, blooms)
+         Seq[(String, String, Int, Int, String)],
+         Seq[(String, Long)]) = {
+    val (st, bl, inheritedRows) = latestManifest(spark, dir) match {
+      case None => (stats, blooms, Nil)
       case Some(prev) =>
         val carried = files.toSet intersect prev.files.toSet
         val haveStat = stats.map(s => (s._1, s._2)).toSet
@@ -481,8 +537,13 @@ object VersionedTable {
         (stats ++ prev.stats.filter(s =>
            carried(s._1) && !haveStat((s._1, s._2))),
          blooms ++ prev.blooms.filter(b =>
-           carried(b._1) && !haveBloom((b._1, b._2))))
+           carried(b._1) && !haveBloom((b._1, b._2))),
+         prev.rowCounts.filter(rc => carried(rc._1)))
     }
+    val have = inheritedRows.map(_._1).toSet
+    val fresh = fileRowCounts(spark, dir, files.filterNot(have))
+    (st, bl, inheritedRows ++ fresh)
+  }
 
   /** Commit EXTERNALLY-WRITTEN data files (paths relative to `dir`,
     * already fully written) as the next version — the low-level entry
@@ -508,9 +569,9 @@ object VersionedTable {
       case Some(s) => return s.version // replay: already committed
       case None =>
     }
-    val (st, bl) = inheritFileMeta(spark, dir, files, stats, Nil)
+    val (st, bl, rc) = inheritFileMeta(spark, dir, files, stats, Nil)
     commitManifest(fs, dir, batchId, schemaJson, files.sorted, maxRetries,
-      st, bl)
+      st, bl, rc)
   }
 
   /** OPTIMISTIC-CONCURRENCY commit for READ-MODIFY-WRITE publishers
@@ -549,7 +610,7 @@ object VersionedTable {
     }
     fs.mkdirs(manifestDir(dir))
     // carried files keep their skipping metadata across the commit
-    val (st, bl) = inheritFileMeta(spark, dir, files, stats, blooms)
+    val (st, bl, rc) = inheritFileMeta(spark, dir, files, stats, blooms)
     // TWO-PHASE: claim the slot and write the body WITHOUT the
     // terminator (invisible), validate the window, only then
     // terminate. Validating after visibility is not enough — a third
@@ -562,7 +623,8 @@ object VersionedTable {
       st.map { case (f, c, mn, mx) =>
         s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
       bl.map { case (f, c, mb, k, bits) =>
-        s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" })
+        s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } ++
+      rc.map { case (f, n) => s"rows=$f$StatSep$n" })
     var attempt = 0
     while (attempt < 20) {
       val next = maxSlot(fs, dir) + 1L
@@ -616,13 +678,26 @@ object VersionedTable {
     * `batchId`. */
   // next slot = 1 + max over ALL manifest files (committed or
   // reserved-but-unterminated) — probing only committed versions
-  // would retry the same taken slot forever behind a slow writer
+  // would retry the same taken slot forever behind a slow writer.
+  // The latest CHECKPOINT's max version is folded in so slot numbers
+  // are NEVER REUSED: same-batchId canonicalization (and the
+  // missing-files rollback) delete a COMMITTED top slot, and if a
+  // concurrent writeCheckpoint captured it first, a re-claimed slot
+  // number would be served the stale (batchId, ts) from the
+  // checkpoint — silently breaking batchId replay idempotence and
+  // timestamp travel for the new manifest. With the checkpoint max
+  // folded in, a checkpoint entry for a live slot is always the
+  // slot's own commit.
   private def maxSlot(fs: FileSystem, dir: String): Long = {
     val md = manifestDir(dir)
-    if (!fs.exists(md)) 0L
-    else fs.listStatus(md).toSeq
-      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+    val live =
+      if (!fs.exists(md)) 0L
+      else fs.listStatus(md).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+        .foldLeft(0L)(math.max)
+    val summarized = latestCheckpoint(fs, dir).keys
       .foldLeft(0L)(math.max)
+    math.max(live, summarized)
   }
 
   private def allSlots(fs: FileSystem, dir: String): Set[Long] = {
@@ -656,7 +731,8 @@ object VersionedTable {
                              schemaJson: String, files: Seq[String],
                              maxRetries: Int,
                              stats: Seq[(String, String, Double, Double)] = Nil,
-                             blooms: Seq[(String, String, Int, Int, String)] = Nil)
+                             blooms: Seq[(String, String, Int, Int, String)] = Nil,
+                             rowCounts: Seq[(String, Long)] = Nil)
       : Long = {
     fs.mkdirs(manifestDir(dir))
     var attempt = 0
@@ -673,7 +749,8 @@ object VersionedTable {
               stats.map { case (f, c, mn, mx) =>
                 s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
               blooms.map { case (f, c, mb, k, bits) =>
-                s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } :+
+                s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } ++
+              rowCounts.map { case (f, n) => s"rows=$f$StatSep$n" } :+
               Terminator :+ "")
               .mkString("\n")
             o.write(body.getBytes(StandardCharsets.UTF_8))
@@ -872,26 +949,74 @@ object VersionedTable {
       throw new NoSuchElementException(s"no committed version at $dir")),
       column, value)
 
-  /** METADATA-ONLY row count of a committed version: one manifest
-    * read + the parquet FOOTERS' record counts, summed driver-side —
-    * no Spark job, no data pages read, exact (committed files are
-    * immutable, and a parquet footer's row-group counts are exact by
-    * format contract). The `SELECT count(*)` that costs a full scan
-    * on a raw directory is a metadata operation on a versioned table;
-    * at 10⁶ files it is 10⁶ footer reads vs 100 TB of data pages. */
+  /** METADATA-ONLY row count of a committed version: ONE manifest
+    * read — every commit since round 15 records `rows=` per data file
+    * (new files counted by one narrow scan at publish, carried files
+    * inherit), so `SELECT count(*)` costs zero per-file I/O, O(1) for
+    * real. Manifests predating the field (or commits through the raw
+    * low-level path) fall back to summing the parquet FOOTERS' record
+    * counts driver-side — still no Spark job, no data pages, exact by
+    * format contract over immutable committed files, but 10⁶ footer
+    * opens at 10⁶ S3 files is hours; the manifest line is free. The
+    * fallback counts into [[footerReads]] so specs can assert the
+    * fast path. */
   def rowCountOf(spark: SparkSession, dir: String,
                  version: Long): Long = {
     val fs = fsOf(spark, dir)
     val m = manifestOf(fs, dir, version)
       .getOrElse(throw new NoSuchElementException(
         s"version $version is not committed at $dir"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    m.files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new Path(dir, f), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
+    val counted = m.rowCounts.toMap
+    if (m.files.forall(counted.contains)) m.files.map(counted).sum
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      m.files.map { f =>
+        counted.getOrElse(f, {
+          footerReads.incrementAndGet()
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(dir, f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        })
+      }.sum
+    }
+  }
+
+  /** METADATA-ONLY MIN/MAX of a stat-tracked column: the zone maps
+    * recorded for file SKIPPING double as the answer to
+    * `SELECT min(x), max(x)` — the global range is the fold of the
+    * per-file ranges, ONE manifest read, zero data I/O. Only exact
+    * when EVERY non-empty file recorded a stat for the column
+    * (all-null files record none and hold no values, so they fold
+    * away via their zero row count); otherwise None — the caller
+    * falls back to the scan, never to a silently-wrong range. */
+  def statRangeOf(spark: SparkSession, dir: String, version: Long,
+                  column: String): Option[(Double, Double)] = {
+    val fs = fsOf(spark, dir)
+    val m = manifestOf(fs, dir, version)
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version is not committed at $dir"))
+    val statOf = m.stats.filter(_._2 == column)
+      .map(s => s._1 -> (s._3, s._4)).toMap
+    val counted = m.rowCounts.toMap
+    val covered = m.files.forall(f =>
+      statOf.contains(f) || counted.get(f).contains(0L))
+    val ranges = m.files.flatMap(statOf.get)
+    if (!covered || ranges.isEmpty) None
+    else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+  }
+
+  /** A committed version's per-file exact row counts, as recorded in
+    * its manifest (empty map for pre-round-15 manifests) — the change
+    * feed's sanity-check surface: a maintained state can verify its
+    * retraction totals against `removed.map(counts).sum` without
+    * touching data. */
+  def fileRowCountsOf(spark: SparkSession, dir: String,
+                      version: Long): Map[String, Long] = {
+    val fs = fsOf(spark, dir)
+    manifestOf(fs, dir, version).map(_.rowCounts.toMap).getOrElse(
+      throw new NoSuchElementException(
+        s"version $version is not committed at $dir"))
   }
 
   /** [[rowCountOf]] on the latest committed version. */
@@ -1078,6 +1203,52 @@ object VersionedTable {
     (m.files.size, files.size)
   }
 
+  // ---- schema evolution (add-column) ------------------------------
+
+  /** ADD-COLUMN SCHEMA EVOLUTION — the Delta/Iceberg feature a live
+    * 100 TB CDC table hits within weeks: widening the schema must NOT
+    * rewrite data. An evolution commit carries the latest version's
+    * file list UNCHANGED (stats/blooms/row counts inherit) under the
+    * widened schemaJson; readers give carried files the new schema and
+    * parquet's read-by-name contract nulls the missing columns — a
+    * zero-data-I/O commit, after which new writers (e.g. a superset
+    * [[graft.streaming.StreamingMerge]] batch) fill the column going
+    * forward. Old versions keep their own schemaJson (time travel
+    * reads each version under the schema it was committed with).
+    *
+    * REJECTED loudly (the evolution a null-backfill cannot express):
+    * dropping a column, changing an existing column's type, or adding
+    * a non-nullable column. Idempotent per source version (batchId
+    * `evolve-of-v{N}`); optimistic — a concurrent commit between read
+    * and evolve throws ConcurrentModificationException (retry on the
+    * new latest). Returns the committed version (the CURRENT version
+    * unchanged when `newSchema` already matches). */
+  def evolveSchema(spark: SparkSession, dir: String,
+                   newSchema: StructType): Long = {
+    val m = latestManifest(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed version at $dir"))
+    val old = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    old.fields.foreach { f =>
+      val nf = newSchema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"evolveSchema($dir): drops existing column '${f.name}' — " +
+            "add-column evolution cannot remove or rename"))
+      require(nf.dataType == f.dataType,
+        s"evolveSchema($dir): column '${f.name}' changes type " +
+          s"${f.dataType.simpleString} -> ${nf.dataType.simpleString} " +
+          "— incompatible (null-backfill cannot express a cast)")
+    }
+    val oldNames = old.fieldNames.toSet
+    val added = newSchema.fields.filterNot(f => oldNames(f.name))
+    require(added.forall(_.nullable),
+      s"evolveSchema($dir): added column(s) " +
+        s"${added.filterNot(_.nullable).map(_.name).mkString(",")} " +
+        "must be nullable — existing rows are null-backfilled")
+    if (added.isEmpty) return m.version
+    publishFilesIfUnchanged(spark, dir, s"evolve-of-v${m.version}",
+      newSchema.json, m.files, expectedBaseVersion = m.version)
+  }
+
   // ---- manifest-level change feed ---------------------------------
 
   /** CHANGE FEED between two committed versions: the exact data-file
@@ -1184,6 +1355,12 @@ object VersionedTable {
             (f, c, mb.toInt, k.toInt, bits)).toOption
           case _ => None
         }
+      },
+      lines.filter(_.startsWith("rows=")).flatMap { l =>
+        l.drop(5).split(StatSep, -1) match {
+          case Array(f, n) => scala.util.Try((f, n.toLong)).toOption
+          case _ => None
+        }
       })
   }
 
@@ -1216,6 +1393,7 @@ object VersionedTable {
       .map(s => s"$dataRel/${s.getPath.getName}").sorted
     val stats = fileStats(spark, dir, files, statsCols)
     val blooms = fileBlooms(spark, dir, files, bloomCols)
+    val rowCounts = fileRowCounts(spark, dir, files)
     fs.mkdirs(stagedDir(dir))
     val p = new Path(stagedDir(dir), uuid)
     val o = fs.create(p, false)
@@ -1227,7 +1405,8 @@ object VersionedTable {
         stats.map { case (f, c, mn, mx) =>
           s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
         blooms.map { case (f, c, mb, k, bits) =>
-          s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } :+
+          s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } ++
+        rowCounts.map { case (f, n) => s"rows=$f$StatSep$n" } :+
         StagedTerminator :+ "").mkString("\n")
       o.write(body.getBytes(StandardCharsets.UTF_8))
     } finally o.close()
@@ -1261,7 +1440,7 @@ object VersionedTable {
     val v = committedSummaries(fs, dir).find(_.batchId == m.batchId)
       .map(_.version)
       .getOrElse(commitManifest(fs, dir, m.batchId, m.schemaJson,
-        m.files, 20, m.stats, m.blooms))
+        m.files, 20, m.stats, m.blooms, m.rowCounts))
     fs.delete(p, false)
     v
   }

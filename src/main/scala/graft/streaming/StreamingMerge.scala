@@ -104,6 +104,32 @@ object StreamingMerge {
       throw new IllegalStateException(
         s"no snapshot at $dir — call init() first"))
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    // SCHEMA EVOLUTION: the batch may carry a SUPERSET of the snapshot
+    // row schema — new payload columns widen the table in this commit
+    // (same add-column rules as VersionedTable.evolveSchema: no drops,
+    // no type changes; carried/untouched rows read the new columns as
+    // null). The snapshot side is null-aligned before the merge so the
+    // latest-wins arithmetic sees one schema.
+    val batchPayload = batch.schema.fields
+      .filter(f => f.name != seqCol && f.name != opCol)
+    val missing = schema.fieldNames
+      .filterNot(n => batchPayload.exists(_.name == n))
+    require(missing.isEmpty,
+      s"applyBatch($dir): batch drops snapshot column(s) " +
+        s"${missing.mkString(",")} — a changelog must carry every " +
+        "payload column (add-column evolution only)")
+    schema.fields.foreach { f =>
+      val bf = batchPayload.find(_.name == f.name).get
+      require(bf.dataType == f.dataType,
+        s"applyBatch($dir): column '${f.name}' changes type " +
+          s"${f.dataType.simpleString} -> ${bf.dataType.simpleString}" +
+          " — incompatible")
+    }
+    val oldNames = schema.fieldNames.toSet
+    val added = batchPayload.filterNot(f => oldNames(f.name))
+    val widened =
+      if (added.isEmpty) schema
+      else StructType(schema.fields ++ added.map(_.copy(nullable = true)))
     val withBucket = batch.withColumn(BucketCol, bucketOf(idCol, nBuckets))
     // the touched-bucket set is ≤ nBuckets values — driver-bounded by
     // construction, never by data volume
@@ -113,11 +139,13 @@ object StreamingMerge {
       m.files.partition(f => bucketOfPath(f).exists(touched))
     // read ONLY the touched buckets' files — manifest-level pruning,
     // so a batch touching 0.1% of buckets reads 0.1% of the table
+    // (read under the WIDENED schema: parquet's read-by-name contract
+    // nulls the added columns for files written before the evolution)
     val current =
       if (touchedFiles.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+      else spark.read.schema(widened)
         .parquet(touchedFiles.map(f => new Path(dir, f).toString): _*)
     val merged = MergeUpsert.merge(current, withBucket.drop(BucketCol),
       idCol, seqCol, opCol)
@@ -134,7 +162,7 @@ object StreamingMerge {
     // batch); carried files inherit theirs from the previous manifest
     // (VersionedTable.inheritFileMeta), so zone maps stay complete
     // across triggers at per-change cost.
-    VersionedTable.publishFilesIfUnchanged(spark, dir, bid, m.schemaJson,
+    VersionedTable.publishFilesIfUnchanged(spark, dir, bid, widened.json,
       carried ++ newFiles, expectedBaseVersion = m.version,
       stats = VersionedTable.fileStats(spark, dir, newFiles, statsCols))
     ()
@@ -214,6 +242,43 @@ object StreamingMerge {
         ()
       }
       .start()
+
+  /** VERSIONED RE-BUCKET — the escape hatch from the immutable
+    * `nBuckets` pin: a CDC table that grows 100× keeps its init-time
+    * bucket count forever (the pin is what keeps reads/merges
+    * consistent), so a point lookup on a 100 TB table with 64 buckets
+    * opens 1/64 of 100 TB. The fix reuses existing machinery: rewrite
+    * the CURRENT snapshot into a FRESH directory at the new bucket
+    * count (one bounded full-rewrite job — the cost any re-bucketing
+    * pays) and let the caller swap serving to `newDir` atomically via
+    * [[graft.sources.AtomicPointer]] / [[graft.sources.TableSet]].
+    * Readers of `dir` are untouched mid-rebucket (nothing in the old
+    * table changes — old manifests, old bucket pin, old lookups all
+    * keep working); lookups against `newDir` honor ITS pinned count.
+    * Idempotent per source version (batchId `rebucket-of-v{N}` at the
+    * new dir); the maintainer should be quiesced (or its triggers
+    * replayed onto `newDir`) before the swap — changes applied to
+    * `dir` after the rewrite cut are NOT in `newDir`, exactly like any
+    * table migration. Returns the new dir's committed version. */
+  def rebucket(spark: SparkSession, dir: String, newDir: String,
+               newNBuckets: Int, idCol: String): Long = {
+    require(newNBuckets > 0, "newNBuckets must be positive")
+    val m = VersionedTable.latestManifest(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no snapshot at $dir"))
+    val bid = s"rebucket-of-v${m.version}"
+    VersionedTable.committedVersionOf(spark, newDir, bid) match {
+      case Some(v) => return v // replayed rebucket: already done
+      case None =>
+    }
+    // pin the NEW count at the new dir (create-no-overwrite: a racing
+    // rebucket to the same dir must agree or fail loudly)
+    try VersionedBuckets.writeNBuckets(spark, newDir, newNBuckets)
+    catch { case _: java.io.IOException =>
+      VersionedBuckets.checkNBuckets(spark, newDir, newNBuckets) }
+    val df = VersionedTable.readAsOf(spark, dir, m.version)
+    val files = writeBucketed(df, idCol, newDir, newNBuckets)
+    VersionedTable.publishFiles(spark, newDir, bid, m.schemaJson, files)
+  }
 
   /** Bound the one-file-set-per-batch accumulation: rewrite every
     * bucket of the latest version into one right-sized file set and

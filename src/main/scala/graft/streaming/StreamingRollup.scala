@@ -36,6 +36,18 @@ object StreamingRollup {
 
   private val BatchPrefix = "rollup-of-v"
 
+  /** Hash-layout the state on its group key into an EXPLICIT file
+    * count (an explicit repartition survives AQE coalescing, which
+    * would otherwise pack a small state into one file and leave the
+    * bloom skip nothing to skip). None keeps the planner's layout. */
+  private def layout(df: DataFrame, groupCols: Seq[String],
+                     statePartitions: Option[Int]): DataFrame =
+    statePartitions match {
+      case Some(k) => df.repartition(k,
+        groupCols.map(org.apache.spark.sql.functions.col): _*)
+      case None => df
+    }
+
   private def reflectedVersion(spark: SparkSession,
                                rollupDir: String): Option[Long] =
     VersionedTable.latestManifest(spark, rollupDir)
@@ -46,15 +58,24 @@ object StreamingRollup {
       })
 
   /** Materialize the rollup of the snapshot's CURRENT version as
-    * version 1 of `rollupDir`. */
+    * version 1 of `rollupDir`. `statsCols`/`bloomCols` give the
+    * ROLLUP TABLE its own skipping metadata (the group key is the
+    * natural bloom column): a grouped rollup at |groups| ≈ 10⁶ is a
+    * real table, and "this group's current state" should open ~1
+    * file, not scan the state. */
   def init(spark: SparkSession, snapDir: String, rollupDir: String,
-           groupCols: Seq[String], valueCol: String): Long = {
+           groupCols: Seq[String], valueCol: String,
+           statsCols: Seq[String] = Nil,
+           bloomCols: Seq[String] = Nil,
+           statePartitions: Option[Int] = None): Long = {
     val v = VersionedTable.latestVersion(spark, snapDir).getOrElse(
       throw new NoSuchElementException(s"no snapshot at $snapDir"))
     VersionedTable.publish(
-      IncrementalAgg.retractableState(
+      layout(IncrementalAgg.retractableState(
         VersionedTable.readAsOf(spark, snapDir, v), groupCols, valueCol),
-      rollupDir, s"$BatchPrefix$v")
+        groupCols, statePartitions),
+      rollupDir, s"$BatchPrefix$v",
+      statsCols = statsCols, bloomCols = bloomCols)
   }
 
   /** The maintained state (latest rollup version). */
@@ -67,7 +88,10 @@ object StreamingRollup {
     * the existing rollup version) when the snapshot hasn't advanced.
     * Returns the committed rollup version. */
   def refresh(spark: SparkSession, snapDir: String, rollupDir: String,
-              groupCols: Seq[String], valueCol: String): Long = {
+              groupCols: Seq[String], valueCol: String,
+              statsCols: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil,
+              statePartitions: Option[Int] = None): Long = {
     var attempt = 0
     while (true) {
       val curV = VersionedTable.latestVersion(spark, snapDir).getOrElse(
@@ -98,8 +122,10 @@ object StreamingRollup {
       // otherwise land an OLDER state on top of a newer one — the
       // conflict aborts the stale writer, which re-reads and retries
       try {
-        return VersionedTable.publishIfUnchanged(next, rollupDir,
-          s"$BatchPrefix$curV", expectedBaseVersion = rollupBase)
+        return VersionedTable.publishIfUnchanged(
+          layout(next, groupCols, statePartitions), rollupDir,
+          s"$BatchPrefix$curV", expectedBaseVersion = rollupBase,
+          statsCols = statsCols, bloomCols = bloomCols)
       } catch {
         case _: java.util.ConcurrentModificationException
             if attempt < 20 => attempt += 1 // re-derive off the winner

@@ -161,6 +161,16 @@ class IncrementalAggSpec extends SparkSpec {
       s"maintained $maintained vs recomputed $recomputed")
     assert(!maintained.contains("c"), "fully-retracted group must drop")
     assert(maintained("a")._1 === 3L && maintained("d")._1 === 1L)
+    // manifest-carried per-file row counts let the maintainer
+    // SANITY-CHECK its retraction totals without touching data: the
+    // rows it retracts/accumulates are exactly the removed/added
+    // files' recorded counts
+    val (added, removed) = VersionedTable.changedFiles(spark, dir, 1L, 2L)
+    val c1 = VersionedTable.fileRowCountsOf(spark, dir, 1L)
+    val c2 = VersionedTable.fileRowCountsOf(spark, dir, 2L)
+    assert(removed.map(c1).sum === 2L, "retraction total = pb's rows")
+    assert(added.map(c2).sum === 2L, "accumulation total = pb2's rows")
+    assert(VersionedTable.rowCountOf(spark, dir, 2L) === 5L)
     VersionedTable.drop(spark, dir)
   }
 }

@@ -101,6 +101,89 @@ class TableSetSpec extends SparkSpec {
     Seq(setDir, cDir, xDir).foreach(VersionedTable.drop(spark, _))
   }
 
+  test("a DELAYED publishAll replay after a newer assignment landed " +
+    "changes nothing — no pointer rollback, no new version") {
+    val setDir = freshDir("replay")
+    val cDir = freshDir("replayc")
+    val df1 = Seq((1L, "gen1")).toDF("id", "s")
+    val df2 = Seq((2L, "gen2")).toDF("id", "s")
+    TableSet.publishAll(spark, setDir, "b1", Seq(("t", df1, cDir)))
+    TableSet.publishAll(spark, setDir, "b2", Seq(("t", df2, cDir)))
+    val cur = TableSet.current(spark, setDir)
+    assert(cur("t")._2 === 2L)
+    val histBefore = TableSet.history(spark, setDir)
+    // the zombie replay of b1 arrives AFTER b2: the old head-value
+    // check would see current != b1's target and re-publish the stale
+    // assignment as a fresh pointer version, rolling the set back
+    val replayed = TableSet.publishAll(spark, setDir, "b1",
+      Seq(("t", df1, cDir)))
+    assert(replayed === Map("t" -> 1L),
+      "member publish must replay to its original version")
+    assert(TableSet.current(spark, setDir) === cur,
+      "a delayed replay must not roll the set back")
+    assert(TableSet.history(spark, setDir) === histBefore,
+      "a delayed replay must not append a pointer version")
+    Seq(setDir, cDir).foreach(VersionedTable.drop(spark, _))
+  }
+
+  test("runWithSet: one consistent assignment per trigger, exactly " +
+    "once across a crash between member publish and swap") {
+    val setDir = freshDir("rws")
+    val cDir = freshDir("rwsc")
+    val xDir = freshDir("rwsx")
+    val ck = java.nio.file.Files.createTempDirectory("rws_ck").toString
+    import org.apache.spark.sql.DataFrame
+    // each trigger publishes the batch as the corpus member and its
+    // per-term counts as the index member — the curation corpus+index
+    // pair, maintained from a stream
+    def derive(batch: DataFrame, epochId: Long)
+        : Seq[(String, DataFrame, String)] = {
+      if (batch.isEmpty) Nil
+      else Seq(
+        ("corpus", batch, cDir),
+        ("index", batch.groupBy("s")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")), xDir))
+    }
+    // CRASH SIMULATION before the stream ever runs: epoch 0's corpus
+    // member was published, then the driver died before the index
+    // publish and the swap — the set has NO assignment yet
+    VersionedTable.publish(Seq((1L, "a")).toDF("id", "s"), cDir,
+      "set-epoch-0:corpus")
+    assert(TableSet.current(spark, setDir).isEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = TableSet.runWithSet(input.toDF().toDF("id", "s"), ck,
+      setDir, derive)
+    input.addData(Seq((1L, "a")))  // the same epoch-0 content replays
+    q.processAllAvailable()
+    // healed: the corpus member replayed to v1 (nothing re-published),
+    // the index published, ONE swap made the pair visible
+    val a1 = TableSet.current(spark, setDir)
+    assert(a1("corpus") === (cDir, 1L) && a1("index") === (xDir, 1L))
+    assert(VersionedTable.versions(spark, cDir) === Seq(1L),
+      "the replayed member must not re-publish")
+    input.addData(Seq((2L, "b"), (3L, "b")))
+    q.processAllAvailable()
+    q.stop()
+    val a2 = TableSet.current(spark, setDir)
+    assert(a2("corpus") === (cDir, 2L) && a2("index") === (xDir, 2L))
+    assert(TableSet.read(spark, setDir, "index").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("b" -> 2L))
+    assert(TableSet.history(spark, setDir).size === 2)
+    // RESTART from the same checkpoint: no new data → no new epochs
+    // re-fire with content; the committed assignments stand
+    val q2 = TableSet.runWithSet(input.toDF().toDF("id", "s"), ck,
+      setDir, derive)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(TableSet.history(spark, setDir).size === 2,
+      "a restart must not re-commit committed epochs")
+    Seq(setDir, cDir, xDir).foreach(VersionedTable.drop(spark, _))
+  }
+
   test("commit validates member versions; unknown members fail loudly") {
     val setDir = freshDir("val")
     val cDir = freshDir("valc")

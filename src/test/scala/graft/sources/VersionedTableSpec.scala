@@ -533,4 +533,152 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.committedVersionOf(spark, dir, "b3") === Some(3L))
     VersionedTable.drop(spark, dir)
   }
+
+  test("slot numbers are never reused: a checkpoint-captured then " +
+    "deleted top slot cannot serve stale identity to a new commit") {
+    val dir = freshDir("slotreuse")
+    for (i <- 1 to 10)
+      VersionedTable.publish(Seq((i.toLong, s"v$i")).toDF("id", "s"),
+        dir, s"b$i")
+    // the commit cadence wrote a checkpoint at v10 summarizing slot 10
+    val top = new java.io.File(s"$dir/_manifests/10")
+    assert(top.exists())
+    // canonicalization / missing-files-rollback shape: the committed
+    // top slot vanishes AFTER the checkpoint captured it
+    assert(top.delete())
+    val v = VersionedTable.publish(Seq((99L, "new")).toDF("id", "s"),
+      dir, "bNew")
+    assert(v === 11L, "slot 10 must never be re-claimed — a stale " +
+      "checkpoint entry would serve the old (batchId, ts) for it")
+    assert(VersionedTable.committedVersionOf(spark, dir, "bNew")
+      === Some(11L))
+    assert(VersionedTable.committedVersionOf(spark, dir, "b10") === None,
+      "the deleted version's batchId must not resolve to the new slot")
+    assert(VersionedTable.readAsOf(spark, dir, 11L).collect()
+      .map(_.getString(1)).toSeq === Seq("new"))
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("publishing an empty cut with bloomCols commits cleanly " +
+    "(no blooms) instead of crashing") {
+    val dir = freshDir("emptybloom")
+    val empty = Seq((1L, "a")).toDF("id", "s").filter(col("id") < 0L)
+    val v = VersionedTable.publish(empty, dir, "b-empty",
+      bloomCols = Seq("id"), statsCols = Seq("id"))
+    assert(v === 1L)
+    assert(VersionedTable.readLatest(spark, dir).count() === 0L)
+    assert(VersionedTable.rowCountOf(spark, dir, 1L) === 0L)
+    // an EMPTY file holds no values: zero row count keeps stat
+    // coverage intact and the range is None (no values), not a crash
+    assert(VersionedTable.statRangeOf(spark, dir, 1L, "id") === None)
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("count(*) is ONE manifest read: rowCountOf opens zero footers " +
+    "on manifests carrying rows=, falls back (counted) on legacy ones") {
+    val dir = freshDir("rowcounts")
+    VersionedTable.publish(
+      (1L to 100L).map(i => (i, s"x$i")).toDF("id", "s").repartition(4),
+      dir, "b1")
+    VersionedTable.publish(
+      (1L to 37L).map(i => (i, s"y$i")).toDF("id", "s").repartition(3),
+      dir, "b2")
+    val before = VersionedTable.footerReads.get()
+    assert(VersionedTable.rowCountOf(spark, dir, 1L) === 100L)
+    assert(VersionedTable.rowCountLatest(spark, dir) === 37L)
+    assert(VersionedTable.footerReads.get() === before,
+      "round-15 manifests must answer count(*) without footer I/O")
+    // per-file counts cover every file and sum to the total
+    val perFile = VersionedTable.fileRowCountsOf(spark, dir, 1L)
+    assert(perFile.keySet === VersionedTable.filesOf(spark, dir, 1L).toSet)
+    assert(perFile.values.sum === 100L)
+    // LEGACY manifest (predating rows=): strip the lines — the footer
+    // fallback gives the same answer and counts its opens
+    val mPath = s"$dir/_manifests/1"
+    val src = scala.io.Source.fromFile(mPath)
+    val stripped = try src.getLines().filterNot(_.startsWith("rows="))
+      .mkString("\n") + "\n" finally src.close()
+    val w = new java.io.FileWriter(mPath); w.write(stripped); w.close()
+    assert(VersionedTable.rowCountOf(spark, dir, 1L) === 100L)
+    assert(VersionedTable.footerReads.get() > before,
+      "the legacy path must be the counted footer fallback")
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("statRangeOf folds the zone maps into a metadata-only min/max; " +
+    "incomplete stat coverage answers None, never a wrong range") {
+    val dir = freshDir("statrange")
+    val df = (1L to 100L).map(i => (i, i.toDouble * 1.5))
+      .toDF("id", "v").repartition(4)
+    VersionedTable.publish(df, dir, "b1", statsCols = Seq("v"))
+    assert(VersionedTable.statRangeOf(spark, dir, 1L, "v")
+      === Some((1.5, 150.0)))
+    // untracked column: None (no stats recorded)
+    assert(VersionedTable.statRangeOf(spark, dir, 1L, "id") === None)
+    // a version published WITHOUT stats: None even for v
+    VersionedTable.publish(df, dir, "b2")
+    assert(VersionedTable.statRangeOf(spark, dir, 2L, "v") === None)
+    // an all-null-column file breaks coverage → None (an all-null
+    // file records no stat and is indistinguishable from an
+    // untracked one — conservative, never wrong)
+    val withNull = (1L to 10L).map(i => (i, Some(i.toDouble)))
+      .toDF("id", "v").union(
+        Seq((99L, None: Option[Double])).toDF("id", "v").repartition(1))
+    VersionedTable.publish(withNull.repartition(5), dir, "b3",
+      statsCols = Seq("v"))
+    val r3 = VersionedTable.statRangeOf(spark, dir, 3L, "v")
+    assert(r3.forall(r => r._1 == 1.0 && r._2 == 10.0),
+      s"if covered the range must be right: $r3")
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("add-column schema evolution: zero data I/O, carried files " +
+    "read nulls, old versions keep their schema; incompatible " +
+    "evolutions are rejected") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir("evolve")
+    VersionedTable.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      dir, "b1")
+    val old = VersionedTable.readLatest(spark, dir).schema
+    val widened = StructType(old.fields :+
+      StructField("score", DoubleType, nullable = true))
+    val v2 = VersionedTable.evolveSchema(spark, dir, widened)
+    assert(v2 === 2L)
+    // the evolution commit rewrites NOTHING: same file list, counts
+    // carried, count(*) still footer-free
+    assert(VersionedTable.filesOf(spark, dir, 1L)
+      === VersionedTable.filesOf(spark, dir, 2L))
+    val before = VersionedTable.footerReads.get()
+    assert(VersionedTable.rowCountOf(spark, dir, 2L) === 2L)
+    assert(VersionedTable.footerReads.get() === before)
+    // carried rows read the new column as null
+    val rows = VersionedTable.readLatest(spark, dir).orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "b"))
+    assert(rows.forall(_.isNullAt(2)))
+    // time travel reads v1 under the schema it was committed with
+    assert(VersionedTable.readAsOf(spark, dir, 1L).schema.fieldNames
+      .toSeq === Seq("id", "s"))
+    // replay: evolving to the already-current schema is a no-op
+    assert(VersionedTable.evolveSchema(spark, dir, widened) === 2L)
+    // new publishes fill the column going forward
+    VersionedTable.publish(Seq((3L, "c", 0.5)).toDF("id", "s", "score"),
+      dir, "b3")
+    val latest = VersionedTable.readLatest(spark, dir)
+    assert(latest.where(col("score").isNotNull).count() === 1L)
+    // rejected evolutions, all loud
+    intercept[IllegalArgumentException] { // drops a column
+      VersionedTable.evolveSchema(spark, dir, StructType(
+        widened.fields.filterNot(_.name == "s")))
+    }
+    intercept[IllegalArgumentException] { // changes a type
+      VersionedTable.evolveSchema(spark, dir, StructType(
+        widened.fields.map(f =>
+          if (f.name == "score") f.copy(dataType = StringType) else f)))
+    }
+    intercept[IllegalArgumentException] { // non-nullable addition
+      VersionedTable.evolveSchema(spark, dir, StructType(
+        widened.fields :+ StructField("must", LongType, nullable = false)))
+    }
+    VersionedTable.drop(spark, dir)
+  }
 }

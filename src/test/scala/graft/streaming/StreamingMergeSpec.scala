@@ -262,4 +262,97 @@ class StreamingMergeSpec extends SparkSpec {
       StreamingMerge.lookup(spark, dir, "id", 3L, nBuckets = 8)
     }
   }
+
+  test("applyBatch accepts a SUPERSET-schema batch: add-column " +
+    "evolution through the CDC merge, old rows null-backfilled") {
+    val dir = tmp("snap6")
+    StreamingMerge.init(base, "id", dir, nBuckets = 8)
+    // the changelog starts carrying a quality score the snapshot
+    // doesn't have yet
+    val evolved = Seq(
+      (5L, "doc 5 v2", Some(0.9), 100L, "upsert"),
+      (201L, "doc 201", Some(0.4), 101L, "upsert"),
+      (10L, "x", None: Option[Double], 102L, "delete"))
+      .toDF("id", "text", "score", "seq", "op")
+    StreamingMerge.applyBatch(evolved, "id", "seq", "op", dir, 8)
+    val snap = StreamingMerge.snapshot(spark, dir)
+    assert(snap.schema.fieldNames.toSeq === Seq("id", "text", "score"))
+    val byId = snap.collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId(5L) === ("doc 5 v2", Some(0.9)))
+    assert(byId(201L) === ("doc 201", Some(0.4)))
+    assert(!byId.contains(10L))
+    assert(byId(7L) === ("doc 7", None),
+      "carried rows must read the added column as null")
+    assert(byId.size === 200L) // 200 base - 1 delete + 1 insert
+    // v1 keeps its two-column schema (time travel under old schema)
+    assert(VersionedTable.readAsOf(spark, dir, 1L).schema.fieldNames
+      .toSeq === Seq("id", "text"))
+    // the NEXT narrow batch (pre-evolution shape) is refused: a
+    // changelog must carry every payload column
+    intercept[IllegalArgumentException] {
+      StreamingMerge.applyBatch(
+        Seq(Change(6L, "doc 6 v2", 200L, "upsert")).toDF(),
+        "id", "seq", "op", dir, 8)
+    }
+    // a type change is refused
+    intercept[IllegalArgumentException] {
+      StreamingMerge.applyBatch(
+        Seq((6L, "doc 6 v2", "high", 200L, "upsert"))
+          .toDF("id", "text", "score", "seq", "op"),
+        "id", "seq", "op", dir, 8)
+    }
+    // point lookup still works on the evolved table
+    val (hit, opened, total) = StreamingMerge.lookup(spark, dir, "id",
+      5L, 8)
+    assert(opened < total)
+    assert(hit.select("score").as[Double].head() === 0.9)
+  }
+
+  test("rebucket rewrites the snapshot into a fresh dir at the new " +
+    "pinned count; lookups honor each pin; the old dir is untouched") {
+    val dir = tmp("rb"); val newDir = tmp("rbNew")
+    new java.io.File(newDir).delete()
+    StreamingMerge.init(base, "id", dir, nBuckets = 4)
+    StreamingMerge.applyBatch(batches.head.toDF(), "id", "seq", "op",
+      dir, 4)
+    val beforeVersions = VersionedTable.versions(spark, dir)
+    val beforeRows = StreamingMerge.snapshot(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val v = StreamingMerge.rebucket(spark, dir, newDir, 16, "id")
+    assert(v === 1L)
+    // contents identical across the rewrite
+    assert(StreamingMerge.snapshot(spark, newDir)
+      .as[(Long, String)].collect().toMap === beforeRows)
+    // the old dir is untouched mid-rebucket: same versions, lookups
+    // still honor the OLD pin
+    assert(VersionedTable.versions(spark, dir) === beforeVersions)
+    val (oldHit, oldOpened, oldTotal) =
+      StreamingMerge.lookup(spark, dir, "id", 5L, 4)
+    assert(oldOpened < oldTotal)
+    assert(oldHit.as[(Long, String)].collect().toMap ===
+      beforeRows.filter(_._1 == 5L))
+    // the new dir's lookups honor the NEW pin and open ~1/16
+    val (newHit, newOpened, newTotal) =
+      StreamingMerge.lookup(spark, newDir, "id", 5L, 16)
+    assert(newOpened < newTotal && newOpened * 4 <= newTotal,
+      s"16-bucket lookup should open ~1/16: $newOpened of $newTotal")
+    assert(newHit.as[(Long, String)].collect().toMap ===
+      beforeRows.filter(_._1 == 5L))
+    // a stale caller passing the OLD count at the new dir fails loudly
+    intercept[IllegalArgumentException] {
+      StreamingMerge.lookup(spark, newDir, "id", 5L, 4)
+    }
+    // replayed rebucket of the same source version is a no-op
+    assert(StreamingMerge.rebucket(spark, dir, newDir, 16, "id") === 1L)
+    assert(VersionedTable.versions(spark, newDir) === Seq(1L))
+    // the new table is a live CDC table: merges continue under its pin
+    StreamingMerge.applyBatch(
+      Seq(Change(5L, "doc 5 v3", 999L, "upsert")).toDF(),
+      "id", "seq", "op", newDir, 16)
+    assert(StreamingMerge.snapshot(spark, newDir)
+      .filter(col("id") === 5L).select("text").as[String].head()
+      === "doc 5 v3")
+  }
 }

@@ -105,4 +105,38 @@ class StreamingRollupSpec extends SparkSpec {
     VersionedTable.drop(spark, snap)
     VersionedTable.drop(spark, roll)
   }
+
+  test("the rollup table carries its own skipping metadata: a group " +
+    "point-read opens fewer files than the state holds, across " +
+    "init AND refresh") {
+    val snap = tmp("rbsnap"); val roll = tmp("rbroll")
+    // 64 groups spread over 8 state files so one group's bloom probe
+    // has real files to skip
+    val base = (1L to 512L)
+      .map(i => (i, s"g${i % 64}", i.toDouble)).toDF("id", "grp", "v")
+    StreamingMerge.init(base, "id", snap, nBuckets = 8)
+    StreamingRollup.init(spark, snap, roll, Seq("grp"), "v",
+      bloomCols = Seq("grp"), statePartitions = Some(8))
+    val (hit1, opened1, total1) = VersionedTable.readLatestPoint(
+      spark, roll, "grp", "g7")
+    assert(total1 > 1, s"state must span several files, got $total1")
+    assert(opened1 < total1,
+      s"bloom skip must fire on the INIT state: $opened1 of $total1")
+    assert(hit1.count() === 1L)
+    // advance the snapshot; the refreshed state keeps bloom coverage
+    // (new files computed, carried files inherited)
+    val b = (1L to 40L).map(i => (i * 7, s"g${(i * 7) % 64}", 9.0,
+      10L, "upsert")).toDF("id", "grp", "v", "seq", "op")
+    StreamingMerge.applyBatch(b, "id", "seq", "op", snap, 8, Some("e0"))
+    StreamingRollup.refresh(spark, snap, roll, Seq("grp"), "v",
+      bloomCols = Seq("grp"), statePartitions = Some(8))
+    val (hit2, opened2, total2) = VersionedTable.readLatestPoint(
+      spark, roll, "grp", "g7")
+    assert(opened2 < total2,
+      s"bloom skip must survive refresh: $opened2 of $total2")
+    assert(hit2.count() === 1L)
+    assert(maintained(roll) === recompute(snap))
+    VersionedTable.drop(spark, snap)
+    VersionedTable.drop(spark, roll)
+  }
 }
