@@ -178,6 +178,30 @@ object DedupQueries extends Registry {
         (2L, graft.sources.VersionedTable.rowCountOf(s, dir, 2L)))
         .toDF("version", "n_rows")
     }),
+    // D259: Z-ORDER CLUSTERING — multi-column data skipping: orders
+    // is rewritten with the bits of (o_totalprice, o_orderkey)
+    // interleaved, so zone-map pruning fires on BOTH columns at once
+    // (single-column clustering leaves the other column's min/max
+    // spanning every file). Both requires prove both prunings fired;
+    // the emitted rows are the joint-predicate filter, bit-exact.
+    "d144_zorder_skipping" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_zorder")
+      graft.sources.VersionedTable.drop(s, dir)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.VersionedTable.publish(orders, dir, "orders-cut")
+      graft.sources.ZOrder.compactZOrder(s, dir,
+        Seq("o_totalprice", "o_orderkey"), minFiles = 16)
+      val v = graft.sources.VersionedTable.latestVersion(s, dir).get
+      val (byPrice, oP, tP) = graft.sources.VersionedTable
+        .readAsOfPruned(s, dir, v, "o_totalprice", 50000.0, 100000.0)
+      require(oP < tP, s"price pruning failed: opened $oP of $tP")
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      val (_, oK, tK) = graft.sources.VersionedTable
+        .readAsOfPruned(s, dir, v, "o_orderkey", 0.0, maxKey / 10.0)
+      require(oK < tK, s"key pruning failed: opened $oK of $tK")
+      byPrice.filter(col("o_orderkey") <= maxKey / 10)
+    }),
     // D257: METADATA-ONLY MIN/MAX — the zone maps recorded for file
     // skipping double as the answer to `SELECT min(x), max(x)`: the
     // global range is the fold of the per-file ranges, one manifest
@@ -917,6 +941,14 @@ object DedupQueries extends Registry {
       SELECT CAST(2 AS BIGINT),
              CAST(count(*) AS BIGINT) FROM documents
       WHERE doc_id % 503 <> 0""",
+    // the z-ordered pruned read ≡ the joint-predicate filter
+    "d144_zorder_skipping" -> """
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE CAST(o_totalprice AS DOUBLE) >= 50000.0e0
+        AND CAST(o_totalprice AS DOUBLE) <= 100000.0e0
+        AND o_orderkey <=
+          (SELECT max(o_orderkey) // 10 FROM orders)""",
     // the manifest-fold range ≡ the scan aggregate (decimal→double is
     // exact on the 2-dp money grid, and min/max commute with the cast)
     "d143_metadata_range" -> """

@@ -84,6 +84,12 @@ object VersionedTable {
   private[graft] val footerReads =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Diagnostic: per-file FileStatus probes on the [[tableBytesOf]] /
+    * [[compact]] fallback path — zero for manifests carrying `size=`
+    * entries. */
+  private[graft] val sizeProbes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Field separator inside `stat=` manifest lines (U+0001 — cannot
     * occur in relative paths or column names). */
   private val StatSep = "\u0001"
@@ -106,7 +112,8 @@ object VersionedTable {
                                      stats: Seq[(String, String, Double, Double)] = Nil,
                                      ts: Long = 0L,
                                      blooms: Seq[(String, String, Int, Int, String)] = Nil,
-                                     rowCounts: Seq[(String, Long)] = Nil)
+                                     rowCounts: Seq[(String, Long)] = Nil,
+                                     sizes: Seq[(String, Long)] = Nil)
 
   private def readManifest(fs: FileSystem, p: Path): Option[Manifest] = {
     manifestParses.incrementAndGet()
@@ -152,6 +159,12 @@ object VersionedTable {
         }
       },
       lines.filter(_.startsWith("rows=")).flatMap { l =>
+        l.drop(5).split(StatSep, -1) match {
+          case Array(f, n) => scala.util.Try((f, n.toLong)).toOption
+          case _ => None
+        }
+      },
+      lines.filter(_.startsWith("size=")).flatMap { l =>
         l.drop(5).split(StatSep, -1) match {
           case Array(f, n) => scala.util.Try((f, n.toLong)).toOption
           case _ => None
@@ -351,7 +364,8 @@ object VersionedTable {
     commitManifest(fs, dir, batchId, df.schema.json, files, maxRetries,
       fileStats(spark, dir, files, statsCols),
       fileBlooms(spark, dir, files, bloomCols),
-      fileRowCounts(spark, dir, files))
+      fileRowCounts(spark, dir, files),
+      fileSizes(fs, dir, files))
   }
 
   /** [[publish]] with [[publishFilesIfUnchanged]]'s optimistic
@@ -447,6 +461,14 @@ object VersionedTable {
       f -> counted.getOrElse(f.split("/").takeRight(2).mkString("/"), 0L))
   }
 
+  /** Per-file byte sizes over `files` — one FileStatus probe per NEW
+    * file at commit time (carried files inherit theirs), recorded as
+    * `size=` manifest lines so [[tableBytesOf]] and [[compact]]'s
+    * target-file-count sizing never re-walk 10⁶ file statuses. */
+  private def fileSizes(fs: FileSystem, dir: String,
+                        files: Seq[String]): Seq[(String, Long)] =
+    files.map(f => f -> fs.getFileStatus(new Path(dir, f)).getLen)
+
   /** Bloom geometry: k = 3 probes; bits ADAPTIVE per publish — the
     * smallest power of two ≥ [[BloomBitsPerKey]] × the largest file's
     * row count (floor [[BloomMinBits]], cap [[BloomMaxBits]]), so the
@@ -466,8 +488,8 @@ object VersionedTable {
     * one hash-agg collects the distinct positions per file (bounded
     * by m), the driver packs the bitset. Null values set no bits (a
     * point probe is non-null). */
-  private def fileBlooms(spark: SparkSession, dir: String,
-                         files: Seq[String], bloomCols: Seq[String])
+  private[graft] def fileBlooms(spark: SparkSession, dir: String,
+                                files: Seq[String], bloomCols: Seq[String])
       : Seq[(String, String, Int, Int, String)] = {
     if (bloomCols.isEmpty || files.isEmpty) return Nil
     require(bloomCols.forall(c => !c.contains("\n") && !c.contains(StatSep)),
@@ -527,22 +549,28 @@ object VersionedTable {
                               blooms: Seq[(String, String, Int, Int, String)])
       : (Seq[(String, String, Double, Double)],
          Seq[(String, String, Int, Int, String)],
+         Seq[(String, Long)],
          Seq[(String, Long)]) = {
-    val (st, bl, inheritedRows) = latestManifest(spark, dir) match {
-      case None => (stats, blooms, Nil)
-      case Some(prev) =>
-        val carried = files.toSet intersect prev.files.toSet
-        val haveStat = stats.map(s => (s._1, s._2)).toSet
-        val haveBloom = blooms.map(b => (b._1, b._2)).toSet
-        (stats ++ prev.stats.filter(s =>
-           carried(s._1) && !haveStat((s._1, s._2))),
-         blooms ++ prev.blooms.filter(b =>
-           carried(b._1) && !haveBloom((b._1, b._2))),
-         prev.rowCounts.filter(rc => carried(rc._1)))
-    }
-    val have = inheritedRows.map(_._1).toSet
-    val fresh = fileRowCounts(spark, dir, files.filterNot(have))
-    (st, bl, inheritedRows ++ fresh)
+    val (st, bl, inheritedRows, inheritedSizes) =
+      latestManifest(spark, dir) match {
+        case None => (stats, blooms, Nil, Nil)
+        case Some(prev) =>
+          val carried = files.toSet intersect prev.files.toSet
+          val haveStat = stats.map(s => (s._1, s._2)).toSet
+          val haveBloom = blooms.map(b => (b._1, b._2)).toSet
+          (stats ++ prev.stats.filter(s =>
+             carried(s._1) && !haveStat((s._1, s._2))),
+           blooms ++ prev.blooms.filter(b =>
+             carried(b._1) && !haveBloom((b._1, b._2))),
+           prev.rowCounts.filter(rc => carried(rc._1)),
+           prev.sizes.filter(sz => carried(sz._1)))
+      }
+    val haveRows = inheritedRows.map(_._1).toSet
+    val freshRows = fileRowCounts(spark, dir, files.filterNot(haveRows))
+    val haveSizes = inheritedSizes.map(_._1).toSet
+    val freshSizes = fileSizes(fsOf(spark, dir), dir,
+      files.filterNot(haveSizes))
+    (st, bl, inheritedRows ++ freshRows, inheritedSizes ++ freshSizes)
   }
 
   /** Commit EXTERNALLY-WRITTEN data files (paths relative to `dir`,
@@ -569,9 +597,9 @@ object VersionedTable {
       case Some(s) => return s.version // replay: already committed
       case None =>
     }
-    val (st, bl, rc) = inheritFileMeta(spark, dir, files, stats, Nil)
+    val (st, bl, rc, sz) = inheritFileMeta(spark, dir, files, stats, Nil)
     commitManifest(fs, dir, batchId, schemaJson, files.sorted, maxRetries,
-      st, bl, rc)
+      st, bl, rc, sz)
   }
 
   /** OPTIMISTIC-CONCURRENCY commit for READ-MODIFY-WRITE publishers
@@ -610,7 +638,8 @@ object VersionedTable {
     }
     fs.mkdirs(manifestDir(dir))
     // carried files keep their skipping metadata across the commit
-    val (st, bl, rc) = inheritFileMeta(spark, dir, files, stats, blooms)
+    val (st, bl, rc, sz) = inheritFileMeta(spark, dir, files, stats,
+      blooms)
     // TWO-PHASE: claim the slot and write the body WITHOUT the
     // terminator (invisible), validate the window, only then
     // terminate. Validating after visibility is not enough — a third
@@ -624,7 +653,8 @@ object VersionedTable {
         s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
       bl.map { case (f, c, mb, k, bits) =>
         s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } ++
-      rc.map { case (f, n) => s"rows=$f$StatSep$n" })
+      rc.map { case (f, n) => s"rows=$f$StatSep$n" } ++
+      sz.map { case (f, n) => s"size=$f$StatSep$n" })
     var attempt = 0
     while (attempt < 20) {
       val next = maxSlot(fs, dir) + 1L
@@ -732,7 +762,8 @@ object VersionedTable {
                              maxRetries: Int,
                              stats: Seq[(String, String, Double, Double)] = Nil,
                              blooms: Seq[(String, String, Int, Int, String)] = Nil,
-                             rowCounts: Seq[(String, Long)] = Nil)
+                             rowCounts: Seq[(String, Long)] = Nil,
+                             sizes: Seq[(String, Long)] = Nil)
       : Long = {
     fs.mkdirs(manifestDir(dir))
     var attempt = 0
@@ -750,7 +781,8 @@ object VersionedTable {
                 s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
               blooms.map { case (f, c, mb, k, bits) =>
                 s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } ++
-              rowCounts.map { case (f, n) => s"rows=$f$StatSep$n" } :+
+              rowCounts.map { case (f, n) => s"rows=$f$StatSep$n" } ++
+              sizes.map { case (f, n) => s"size=$f$StatSep$n" } :+
               Terminator :+ "")
               .mkString("\n")
             o.write(body.getBytes(StandardCharsets.UTF_8))
@@ -1019,6 +1051,28 @@ object VersionedTable {
         s"version $version is not committed at $dir"))
   }
 
+  /** METADATA-ONLY table size of a committed version: the sum of the
+    * manifest's `size=` entries (recorded at every commit since
+    * round 15 — one FileStatus probe per NEW file, carried files
+    * inherit). Files missing from legacy manifests fall back to a
+    * per-file FileStatus probe, counted in [[sizeProbes]]. The input
+    * to capacity planning, compaction sizing, and storage billing —
+    * O(1) I/O instead of a 10⁶-file status walk. */
+  def tableBytesOf(spark: SparkSession, dir: String,
+                   version: Long): Long = {
+    val fs = fsOf(spark, dir)
+    val m = manifestOf(fs, dir, version)
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version is not committed at $dir"))
+    val sized = m.sizes.toMap
+    m.files.map { f =>
+      sized.getOrElse(f, {
+        sizeProbes.incrementAndGet()
+        fs.getFileStatus(new Path(dir, f)).getLen
+      })
+    }.sum
+  }
+
   /** [[rowCountOf]] on the latest committed version. */
   def rowCountLatest(spark: SparkSession, dir: String): Long =
     rowCountOf(spark, dir, latestVersion(spark, dir).getOrElse(
@@ -1174,8 +1228,13 @@ object VersionedTable {
       case Some(_) => return (m.files.size, m.files.size) // replayed
       case None =>
     }
-    val bytes = m.files.map(f =>
-      fs.getFileStatus(new Path(dir, f)).getLen).sum
+    // sizing from the manifest's recorded sizes — zero status probes
+    // on round-15 manifests (legacy files fall back per file, counted)
+    val sized = m.sizes.toMap
+    val bytes = m.files.map(f => sized.getOrElse(f, {
+      sizeProbes.incrementAndGet()
+      fs.getFileStatus(new Path(dir, f)).getLen
+    })).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = readAsOf(spark, dir, m.version)
     val laid = sortCol match {
@@ -1361,6 +1420,12 @@ object VersionedTable {
           case Array(f, n) => scala.util.Try((f, n.toLong)).toOption
           case _ => None
         }
+      },
+      lines.filter(_.startsWith("size=")).flatMap { l =>
+        l.drop(5).split(StatSep, -1) match {
+          case Array(f, n) => scala.util.Try((f, n.toLong)).toOption
+          case _ => None
+        }
       })
   }
 
@@ -1394,6 +1459,7 @@ object VersionedTable {
     val stats = fileStats(spark, dir, files, statsCols)
     val blooms = fileBlooms(spark, dir, files, bloomCols)
     val rowCounts = fileRowCounts(spark, dir, files)
+    val sizes = fileSizes(fs, dir, files)
     fs.mkdirs(stagedDir(dir))
     val p = new Path(stagedDir(dir), uuid)
     val o = fs.create(p, false)
@@ -1406,7 +1472,8 @@ object VersionedTable {
           s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
         blooms.map { case (f, c, mb, k, bits) =>
           s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } ++
-        rowCounts.map { case (f, n) => s"rows=$f$StatSep$n" } :+
+        rowCounts.map { case (f, n) => s"rows=$f$StatSep$n" } ++
+        sizes.map { case (f, n) => s"size=$f$StatSep$n" } :+
         StagedTerminator :+ "").mkString("\n")
       o.write(body.getBytes(StandardCharsets.UTF_8))
     } finally o.close()
@@ -1440,7 +1507,7 @@ object VersionedTable {
     val v = committedSummaries(fs, dir).find(_.batchId == m.batchId)
       .map(_.version)
       .getOrElse(commitManifest(fs, dir, m.batchId, m.schemaJson,
-        m.files, 20, m.stats, m.blooms, m.rowCounts))
+        m.files, 20, m.stats, m.blooms, m.rowCounts, m.sizes))
     fs.delete(p, false)
     v
   }

@@ -605,6 +605,40 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("tableBytesOf sums the manifest's recorded sizes with zero " +
+    "status probes; compact sizes itself the same way") {
+    val dir = freshDir("sizes")
+    VersionedTable.publish(
+      (1L to 200L).map(i => (i, s"x$i")).toDF("id", "s").repartition(4),
+      dir, "b1")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val walked = VersionedTable.filesOf(spark, dir, 1L).map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen)
+      .sum
+    val before = VersionedTable.sizeProbes.get()
+    assert(VersionedTable.tableBytesOf(spark, dir, 1L) === walked)
+    assert(VersionedTable.sizeProbes.get() === before,
+      "round-15 manifests must answer table bytes without status I/O")
+    // compact consumes the recorded sizes too — and its own commit
+    // re-records sizes for the compacted files
+    VersionedTable.compact(spark, dir, targetBytes = 1L << 30)
+    assert(VersionedTable.sizeProbes.get() === before)
+    val v2 = VersionedTable.latestVersion(spark, dir).get
+    assert(VersionedTable.tableBytesOf(spark, dir, v2) > 0L)
+    assert(VersionedTable.sizeProbes.get() === before)
+    assert(VersionedTable.rowCountOf(spark, dir, v2) === 200L)
+    // legacy manifest (no size= lines): fallback equal and counted
+    val mPath = s"$dir/_manifests/1"
+    val src = scala.io.Source.fromFile(mPath)
+    val stripped = try src.getLines().filterNot(_.startsWith("size="))
+      .mkString("\n") + "\n" finally src.close()
+    val w = new java.io.FileWriter(mPath); w.write(stripped); w.close()
+    assert(VersionedTable.tableBytesOf(spark, dir, 1L) === walked)
+    assert(VersionedTable.sizeProbes.get() > before)
+    VersionedTable.drop(spark, dir)
+  }
+
   test("statRangeOf folds the zone maps into a metadata-only min/max; " +
     "incomplete stat coverage answers None, never a wrong range") {
     val dir = freshDir("statrange")
