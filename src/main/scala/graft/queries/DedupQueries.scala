@@ -178,6 +178,36 @@ object DedupQueries extends Registry {
         (2L, graft.sources.VersionedTable.rowCountOf(s, dir, 2L)))
         .toDF("version", "n_rows")
     }),
+    // D260: ROW-LEVEL CHANGE DATA FEED — "which rows changed, and
+    // how" between two snapshot versions, derived from the changed
+    // files only: updates emit pre+post images, deletes the old row,
+    // inserts the new row, and the untouched same-bucket rows a
+    // copy-on-write rewrite CARRIES emit nothing (the event a naive
+    // file-delta consumer gets wrong). Bit-exact against a UNION twin.
+    "d145_change_data_feed" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_cdf_rows")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      graft.streaming.StreamingMerge.init(docs, "doc_id", dir,
+        nBuckets = 16)
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" [u]")))
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpUpsert))
+      val deletes = docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("__seq", lit(2L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpDelete))
+      val inserts = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text", concat(col("text"), lit(" [new]")))
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpUpsert))
+      graft.streaming.StreamingMerge.applyBatch(
+        updates.unionByName(deletes).unionByName(inserts), "doc_id",
+        "__seq", "__op", dir, 16, Some("cdf-epoch-0"))
+      graft.streaming.StreamingMerge.changeFeedRows(s, dir, 1L, 2L,
+        "doc_id")
+    }),
     // D259: Z-ORDER CLUSTERING — multi-column data skipping: orders
     // is rewritten with the bits of (o_totalprice, o_orderkey)
     // interleaved, so zone-map pruning fires on BOTH columns at once
@@ -941,6 +971,24 @@ object DedupQueries extends Registry {
       SELECT CAST(2 AS BIGINT),
              CAST(count(*) AS BIGINT) FROM documents
       WHERE doc_id % 503 <> 0""",
+    // the row-level feed ≡ the UNION of its four event classes; an id
+    // hit by both an update and a delete resolves latest-wins (delete,
+    // seq 2), so updates exclude the %11 ids
+    "d145_change_data_feed" -> """
+      SELECT 'update_preimage' AS __change_type,
+             doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+      UNION ALL
+      SELECT 'update_postimage', doc_id, text || ' [u]',
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+      UNION ALL
+      SELECT 'delete', doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT 'insert', doc_id + 1000000, text || ' [new]',
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 13 = 0""",
     // the z-ordered pruned read ≡ the joint-predicate filter
     "d144_zorder_skipping" -> """
       SELECT o_orderkey, o_totalprice, o_orderstatus

@@ -243,6 +243,62 @@ object StreamingMerge {
       }
       .start()
 
+  /** ROW-LEVEL CHANGE DATA FEED between two committed versions of the
+    * CDC snapshot — the consumer-facing complement of the
+    * manifest-level file delta: downstream systems (index maintainers,
+    * caches, sync targets) want "which ROWS changed, and how", not
+    * file lists. Derived entirely from the changed files (cost ∝ the
+    * change, never the snapshot): the removed files' rows and the
+    * added files' rows full-outer-join on the id, and
+    *
+    *  - id only on the new side            → `insert`
+    *  - id only on the old side            → `delete`
+    *  - both sides, payload differs        → `update_preimage` (old
+    *    row) + `update_postimage` (new row)
+    *  - both sides, payload identical      → NO event — these are the
+    *    untouched same-bucket rows a copy-on-write rewrite carries,
+    *    which a naive file-delta consumer would mis-report as
+    *    delete+insert.
+    *
+    * Payload comparison is null-safe struct equality (`<=>`), so null
+    * fields compare correctly. Schema evolution between the versions
+    * is handled like every reader: the old side is null-aligned to
+    * the new version's schema (an evolution commit alone therefore
+    * emits NO events — no bytes changed). Returns
+    * `(__change_type, <new-schema payload columns>)`. */
+  def changeFeedRows(spark: SparkSession, dir: String, vOld: Long,
+                     vNew: Long, idCol: String): DataFrame = {
+    val (added, removed) =
+      VersionedTable.changedFiles(spark, dir, vOld, vNew)
+    val newRows = VersionedTable.readFileSubset(spark, dir, vNew, added)
+    val oldRaw = VersionedTable.readFileSubset(spark, dir, vOld, removed)
+    // null-align the old side to the new schema (add-column evolution)
+    val oldRows = newRows.schema.fields
+      .filterNot(f => oldRaw.columns.contains(f.name))
+      .foldLeft(oldRaw)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val payload = newRows.columns.filter(_ != idCol).toSeq
+    def packed(df: DataFrame, as: String) = df.select(col(idCol),
+      struct(payload.map(col): _*).as(as))
+    val joined = packed(oldRows, "__o")
+      .join(packed(newRows, "__n"), Seq(idCol), "full_outer")
+    val ins = when(col("__o").isNull && col("__n").isNotNull,
+      struct(lit("insert").as("t"), col("__n").as("p")))
+    val del = when(col("__n").isNull && col("__o").isNotNull,
+      struct(lit("delete").as("t"), col("__o").as("p")))
+    val upd = col("__o").isNotNull && col("__n").isNotNull &&
+      !(col("__o") <=> col("__n"))
+    val pre = when(upd, struct(lit("update_preimage").as("t"),
+      col("__o").as("p")))
+    val post = when(upd, struct(lit("update_postimage").as("t"),
+      col("__n").as("p")))
+    joined
+      .select(col(idCol), explode(filter(array(ins, del, pre, post),
+        x => x.isNotNull)).as("__e"))
+      .select(col("__e.t").as("__change_type") +: col(idCol) +:
+        payload.map(c => col(s"__e.p.$c").as(c)): _*)
+  }
+
   /** VERSIONED RE-BUCKET — the escape hatch from the immutable
     * `nBuckets` pin: a CDC table that grows 100× keeps its init-time
     * bucket count forever (the pin is what keeps reads/merges

@@ -310,6 +310,46 @@ class StreamingMergeSpec extends SparkSpec {
     assert(hit.select("score").as[Double].head() === 0.9)
   }
 
+  test("changeFeedRows: inserts/deletes/update pre+post images; " +
+    "carried same-bucket rows emit NOTHING; evolution null-aligns") {
+    val dir = tmp("cdf")
+    StreamingMerge.init(base, "id", dir, nBuckets = 4)
+    // one batch: update id 5, delete id 20, insert 999 — everything
+    // else in their buckets is carried by the rewrite and must not
+    // appear in the feed
+    val b = Seq(
+      Change(5L, "doc 5 v2", 10L, "upsert"),
+      Change(20L, "x", 11L, "delete"),
+      Change(999L, "doc 999", 12L, "upsert"))
+    StreamingMerge.applyBatch(b.toDF(), "id", "seq", "op", dir, 4)
+    val feed = StreamingMerge.changeFeedRows(spark, dir, 1L, 2L, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(feed === Set(
+      ("update_preimage", 5L, "doc 5"),
+      ("update_postimage", 5L, "doc 5 v2"),
+      ("delete", 20L, "doc 20"),
+      ("insert", 999L, "doc 999")),
+      s"got $feed")
+    // an EVOLUTION batch: new column arrives; prior rows' feed images
+    // carry it as null
+    val evolved = Seq((5L, "doc 5 v3", Some(0.7), 20L, "upsert"))
+      .toDF("id", "text", "score", "seq", "op")
+    StreamingMerge.applyBatch(evolved, "id", "seq", "op", dir, 4)
+    val feed2 = StreamingMerge.changeFeedRows(spark, dir, 2L, 3L, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(feed2 === Set(
+      ("update_preimage", 5L, "doc 5 v2", None),
+      ("update_postimage", 5L, "doc 5 v3", Some(0.7))),
+      s"got $feed2")
+    // composing feeds across a version SPAN also works (1 -> 3)
+    val span = StreamingMerge.changeFeedRows(spark, dir, 1L, 3L, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(span.contains(("update_postimage", 5L)) &&
+      span.contains(("delete", 20L)) && span.contains(("insert", 999L)))
+  }
+
   test("rebucket rewrites the snapshot into a fresh dir at the new " +
     "pinned count; lookups honor each pin; the old dir is untouched") {
     val dir = tmp("rb"); val newDir = tmp("rbNew")
