@@ -178,6 +178,29 @@ object DedupQueries extends Registry {
         (2L, graft.sources.VersionedTable.rowCountOf(s, dir, 2L)))
         .toDF("version", "n_rows")
     }),
+    // D261: RESTORE (rollback) — a bad cut shipped; `restore(v)`
+    // commits v's exact file list as the new latest: readers flip
+    // atomically back, zero bytes copied (the files are immutable and
+    // shared), the bad cut stays in history for forensics. The
+    // emitted latest ≡ the original table, bit-exact.
+    "d146_restore" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_restore")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      graft.sources.VersionedTable.publish(docs, dir, "good-cut")
+      // the bad release: truncated corpus with mangled text
+      graft.sources.VersionedTable.publish(
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("text", upper(col("text"))), dir, "bad-cut")
+      val v = graft.sources.VersionedTable.restore(s, dir, 1L)
+      require(v == 3L && graft.sources.VersionedTable
+        .versions(s, dir) == Seq(1L, 2L, 3L),
+        "restore must append, not rewrite history")
+      // replayed restore: version-level no-op
+      require(graft.sources.VersionedTable.restore(s, dir, 1L) == 3L,
+        "replayed restore must not append")
+      graft.sources.VersionedTable.readLatest(s, dir)
+    }),
     // D260: ROW-LEVEL CHANGE DATA FEED — "which rows changed, and
     // how" between two snapshot versions, derived from the changed
     // files only: updates emit pre+post images, deletes the old row,
@@ -971,6 +994,9 @@ object DedupQueries extends Registry {
       SELECT CAST(2 AS BIGINT),
              CAST(count(*) AS BIGINT) FROM documents
       WHERE doc_id % 503 <> 0""",
+    // the restored latest ≡ the original cut
+    "d146_restore" -> """
+      SELECT doc_id, text, lang, source, n_chars FROM documents""",
     // the row-level feed ≡ the UNION of its four event classes; an id
     // hit by both an update and a delete resolves latest-wins (delete,
     // seq 2), so updates exclude the %11 ids

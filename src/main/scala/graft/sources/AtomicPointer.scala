@@ -32,8 +32,12 @@ object AtomicPointer {
 
   private def slotDir(dir: String) = new Path(dir, "_pointer")
 
-  private def readSlot(fs: FileSystem,
-                       p: Path): Option[(Long, String, Option[String])] = {
+  /** One committed pointer slot: (version, value, writer tag, commit
+    * wall clock — 0 for slots predating the ts field). */
+  private[graft] case class Slot(version: Long, value: String,
+                                 tag: Option[String], ts: Long)
+
+  private def readSlot(fs: FileSystem, p: Path): Option[Slot] = {
     val in = fs.open(p)
     val txt = try {
       val out = new java.io.ByteArrayOutputStream()
@@ -47,29 +51,41 @@ object AtomicPointer {
     for {
       v <- lines.find(_.startsWith("version=")).map(_.drop(8).toLong)
       value <- lines.find(_.startsWith("value=")).map(_.drop(6))
-    } yield (v, value, lines.find(_.startsWith("tag=")).map(_.drop(4)))
+    } yield Slot(v, value,
+      lines.find(_.startsWith("tag=")).map(_.drop(4)),
+      lines.find(_.startsWith("ts=")).flatMap(l =>
+        scala.util.Try(l.drop(3).toLong).toOption).getOrElse(0L))
   }
 
-  private def committed(fs: FileSystem,
-                        dir: String): Seq[(Long, String, Option[String])] = {
+  private def committed(fs: FileSystem, dir: String): Seq[Slot] = {
     val sd = slotDir(dir)
     if (!fs.exists(sd)) return Seq.empty
     fs.listStatus(sd).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
       .flatMap(s => readSlot(fs, s.getPath))
-      .sortBy(_._1)
+      .sortBy(_.version)
   }
 
   /** All committed (version, value) pairs, ascending. */
   def history(spark: SparkSession, dir: String): Seq[(Long, String)] =
-    committed(fsOf(spark, dir), dir).map(t => (t._1, t._2))
+    committed(fsOf(spark, dir), dir).map(s => (s.version, s.value))
 
   /** [[history]] with each version's writer TAG (the replay-identity
     * line [[TableSet.publishAll]] records its set batchId under) —
     * bounded by retention like the history itself. */
   def taggedHistory(spark: SparkSession, dir: String)
       : Seq[(Long, String, Option[String])] =
+    committed(fsOf(spark, dir), dir).map(s => (s.version, s.value, s.tag))
+
+  /** The value current "as of" `tsMillis` (newest version committed at
+    * or before it — same advisory-timestamp contract as
+    * [[VersionedTable.readAsOfTimestamp]]: version order is the truth,
+    * pre-ts-field slots never qualify). */
+  def valueAsOfTimestamp(spark: SparkSession, dir: String,
+                         tsMillis: Long): Option[String] =
     committed(fsOf(spark, dir), dir)
+      .filter(s => s.ts > 0L && s.ts <= tsMillis)
+      .sortBy(_.version).lastOption.map(_.value)
 
   /** The current value (highest committed version), if any. */
   def current(spark: SparkSession, dir: String): Option[String] =
@@ -117,7 +133,8 @@ object AtomicPointer {
       claim(p) match {
         case Some(o) =>
           try o.write(
-            (Seq(s"version=$next", s"token=$token", s"value=$value") ++
+            (Seq(s"version=$next", s"token=$token",
+              s"ts=${System.currentTimeMillis()}", s"value=$value") ++
               tag.map(t => s"tag=$t") :+ Terminator :+ "").mkString("\n")
               .getBytes(StandardCharsets.UTF_8))
           finally o.close()
@@ -140,11 +157,11 @@ object AtomicPointer {
   def gc(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1)
     val fs = fsOf(spark, dir)
-    val keep = committed(fs, dir).takeRight(keepLast).map(_._1).toSet
+    val keep = committed(fs, dir).takeRight(keepLast).map(_.version).toSet
     val sd = slotDir(dir)
     if (!fs.exists(sd)) return Seq.empty
     fs.listStatus(sd).toSeq.flatMap { s =>
-      val v = readSlot(fs, s.getPath).map(_._1)
+      val v = readSlot(fs, s.getPath).map(_.version)
       val stale = v.forall(!keep(_)) // uncommitted stubs also drop
       if (stale) { fs.delete(s.getPath, false); v.orElse(Some(-1L)) }
       else None

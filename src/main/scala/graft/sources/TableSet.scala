@@ -82,6 +82,30 @@ object TableSet {
       (v, decode(s))
     }
 
+  /** The consistent assignment current "as of" a wall-clock instant —
+    * CROSS-TABLE time travel: every member resolves to the exact
+    * version it served at that moment, so "re-run yesterday's job
+    * against yesterday's corpus AND yesterday's index" is one call.
+    * Member version reads stay valid as long as [[gcMembers]] retains
+    * the assignment. Advisory-timestamp contract as everywhere
+    * (pointer order is the truth). */
+  def currentAsOf(spark: SparkSession, setDir: String,
+                  tsMillis: Long): Map[String, (String, Long)] =
+    AtomicPointer.valueAsOfTimestamp(spark, setDir, tsMillis)
+      .map(decode).getOrElse(Map.empty)
+
+  /** [[snapshot]] of the assignment as of `tsMillis` — every member
+    * pinned to the version it served then. */
+  def snapshotAsOf(spark: SparkSession, setDir: String,
+                   tsMillis: Long): Map[String, DataFrame] = {
+    val m = currentAsOf(spark, setDir, tsMillis)
+    require(m.nonEmpty, s"no assignment committed at or before " +
+      s"ts=$tsMillis at $setDir")
+    m.map { case (n, (d, v)) =>
+      n -> VersionedTable.readAsOf(spark, d, v)
+    }
+  }
+
   /** Read one member's snapshot through the CURRENT assignment.
     * CONSISTENCY NOTE: two separate `read` calls can span a pointer
     * swap and observe members of DIFFERENT assignments — a consumer

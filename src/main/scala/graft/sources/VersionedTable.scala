@@ -1262,6 +1262,31 @@ object VersionedTable {
     (m.files.size, files.size)
   }
 
+  /** RESTORE — roll the table back to a committed `version` by
+    * committing THAT version's exact file list (and schema, stats,
+    * blooms, counts, sizes) as the NEW latest: the bad cut stays in
+    * history for forensics, readers atomically flip to the restored
+    * content, and no data is copied (the old version's files are
+    * immutable and still referenced — [[gc]]'s reference counting
+    * keeps them as long as either version is retained). Idempotent
+    * (batchId `restore-v{V}-over-v{latest}`); restoring the current
+    * latest is a no-op. Returns the committed version. */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val fs = fsOf(spark, dir)
+    val cur = latestManifest(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed version at $dir"))
+    if (cur.version == version) return cur.version
+    val m = manifestOf(fs, dir, version).getOrElse(
+      throw new NoSuchElementException(
+        s"version $version is not committed at $dir (GC'd?)"))
+    // replay / already-restored: the latest already HAS this content
+    if (cur.files == m.files && cur.schemaJson == m.schemaJson)
+      return cur.version
+    commitManifest(fs, dir, s"restore-v$version-over-v${cur.version}",
+      m.schemaJson, m.files, 20, m.stats, m.blooms, m.rowCounts,
+      m.sizes)
+  }
+
   // ---- schema evolution (add-column) ------------------------------
 
   /** ADD-COLUMN SCHEMA EVOLUTION — the Delta/Iceberg feature a live

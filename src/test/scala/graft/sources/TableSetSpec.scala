@@ -184,6 +184,38 @@ class TableSetSpec extends SparkSpec {
     Seq(setDir, cDir, xDir).foreach(VersionedTable.drop(spark, _))
   }
 
+  test("currentAsOf / snapshotAsOf: cross-table time travel pins " +
+    "every member to the version it served at that instant") {
+    val setDir = freshDir("asof")
+    val cDir = freshDir("asofc")
+    val xDir = freshDir("asofx")
+    TableSet.publishAll(spark, setDir, "g1", Seq(
+      ("corpus", Seq((1L, "c1")).toDF("id", "s"), cDir),
+      ("index", Seq((1L, "x1")).toDF("id", "s"), xDir)))
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    TableSet.publishAll(spark, setDir, "g2", Seq(
+      ("corpus", Seq((2L, "c2")).toDF("id", "s"), cDir),
+      ("index", Seq((2L, "x2")).toDF("id", "s"), xDir)))
+    // as-of between the generations: BOTH members resolve to gen 1 —
+    // never a mixed pair
+    val then_ = TableSet.snapshotAsOf(spark, setDir, between)
+    assert(then_("corpus").collect().map(_.getString(1)).toSeq
+      === Seq("c1"))
+    assert(then_("index").collect().map(_.getString(1)).toSeq
+      === Seq("x1"))
+    // as-of now: gen 2
+    val now = TableSet.currentAsOf(spark, setDir,
+      System.currentTimeMillis())
+    assert(now("corpus")._2 === 2L && now("index")._2 === 2L)
+    // before everything: empty / loud
+    assert(TableSet.currentAsOf(spark, setDir, 1L).isEmpty)
+    intercept[IllegalArgumentException] {
+      TableSet.snapshotAsOf(spark, setDir, 1L)
+    }
+    Seq(setDir, cDir, xDir).foreach(VersionedTable.drop(spark, _))
+  }
+
   test("commit validates member versions; unknown members fail loudly") {
     val setDir = freshDir("val")
     val cDir = freshDir("valc")

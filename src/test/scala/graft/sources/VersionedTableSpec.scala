@@ -605,6 +605,40 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("restore rolls back to an old version's exact content without " +
+    "copying data; history keeps the bad cut; gc keeps shared files") {
+    val dir = freshDir("restore")
+    VersionedTable.publish(Seq((1L, "good")).toDF("id", "s"), dir, "b1",
+      statsCols = Seq("id"))
+    VersionedTable.publish(Seq((2L, "bad")).toDF("id", "s"), dir, "b2")
+    val v3 = VersionedTable.restore(spark, dir, 1L)
+    assert(v3 === 3L)
+    // restored content ≡ v1, same files by reference (no copy)
+    assert(VersionedTable.readLatest(spark, dir).collect()
+      .map(_.getString(1)).toSeq === Seq("good"))
+    assert(VersionedTable.filesOf(spark, dir, 3L)
+      === VersionedTable.filesOf(spark, dir, 1L))
+    // metadata carried: count and stat range survive the restore
+    val before = VersionedTable.footerReads.get()
+    assert(VersionedTable.rowCountOf(spark, dir, 3L) === 1L)
+    assert(VersionedTable.footerReads.get() === before)
+    assert(VersionedTable.statRangeOf(spark, dir, 3L, "id")
+      === Some((1.0, 1.0)))
+    // the bad cut stays inspectable until gc
+    assert(VersionedTable.readAsOf(spark, dir, 2L).collect()
+      .map(_.getString(1)).toSeq === Seq("bad"))
+    // replayed restore: no new version
+    assert(VersionedTable.restore(spark, dir, 1L) === 3L)
+    assert(VersionedTable.versions(spark, dir) === Seq(1L, 2L, 3L))
+    // restoring the current latest is a no-op
+    assert(VersionedTable.restore(spark, dir, 3L) === 3L)
+    // gc to the restored tail: v3's (shared) files survive
+    VersionedTable.gc(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(VersionedTable.readLatest(spark, dir).collect()
+      .map(_.getString(1)).toSeq === Seq("good"))
+    VersionedTable.drop(spark, dir)
+  }
+
   test("tableBytesOf sums the manifest's recorded sizes with zero " +
     "status probes; compact sizes itself the same way") {
     val dir = freshDir("sizes")
