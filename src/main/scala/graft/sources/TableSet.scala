@@ -179,9 +179,12 @@ object TableSet {
       name -> (dir, VersionedTable.publish(df, dir, s"$batchId:$name"))
     }.toMap
     val target = encode(versions)
-    val replayed = AtomicPointer.taggedHistory(spark, setDir)
-      .exists(_._3.contains(batchId))
-    if (!replayed && !AtomicPointer.current(spark, setDir).contains(target))
+    // one history read serves BOTH the tag-replay scan and the
+    // head-value check (each taggedHistory/current call re-lists and
+    // re-parses every retained slot — per-trigger cost in runWithSet)
+    val hist = AtomicPointer.taggedHistory(spark, setDir)
+    val replayed = hist.exists(_._3.contains(batchId))
+    if (!replayed && !hist.lastOption.map(_._2).contains(target))
       AtomicPointer.publish(spark, setDir, target, tag = Some(batchId))
     versions.map { case (n, (_, v)) => n -> v }
   }

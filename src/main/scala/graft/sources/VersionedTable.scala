@@ -115,32 +115,25 @@ object VersionedTable {
                                      rowCounts: Seq[(String, Long)] = Nil,
                                      sizes: Seq[(String, Long)] = Nil)
 
-  private def readManifest(fs: FileSystem, p: Path): Option[Manifest] = {
-    manifestParses.incrementAndGet()
-    // a manifest listed a moment ago may have been DELETED since (an
-    // optimistic writer aborting its conflicted slot, a same-batchId
-    // loser canonicalizing away, gc) — a vanished manifest is simply
-    // not committed, never an error for the lister
-    val in = try fs.open(p) catch {
-      case _: java.io.FileNotFoundException => return None
-    }
-    val txt = try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+  /** One parser for BOTH manifest flavors (committed + staged): the
+    * payload line grammar is identical, only the terminator and the
+    * presence of a version differ. A single code path means a new
+    * manifest field can never reach plain commits but silently drop
+    * from staged promotion (they had diverged copies before round 15). */
+  private def parseManifestText(txt: String,
+                                terminator: String): Option[Manifest] = {
     val lines = txt.split("\n", -1).toSeq
-    // torn/uncommitted manifests are INVISIBLE: no terminator, no read
-    if (!lines.contains(Terminator)) return None
+    // torn/unterminated manifests are INVISIBLE: no terminator, no read
+    if (!lines.contains(terminator)) return None
     def field(k: String): Option[String] =
       lines.find(_.startsWith(k + "=")).map(_.drop(k.length + 1))
     for {
-      v <- field("version").map(_.toLong)
       b <- field("batchId")
       s <- field("schema")
-    } yield Manifest(v, b, s,
+    } yield Manifest(
+      field("version").flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(-1L),
+      b, s,
       lines.filter(_.startsWith("file=")).map(_.drop(5)),
       lines.filter(_.startsWith("stat=")).flatMap { l =>
         l.drop(5).split(StatSep, -1) match {
@@ -170,6 +163,28 @@ object VersionedTable {
           case _ => None
         }
       })
+  }
+
+  private def readAll(in: java.io.InputStream): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    new String(out.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): Option[Manifest] = {
+    manifestParses.incrementAndGet()
+    // a manifest listed a moment ago may have been DELETED since (an
+    // optimistic writer aborting its conflicted slot, a same-batchId
+    // loser canonicalizing away, gc) — a vanished manifest is simply
+    // not committed, never an error for the lister
+    val in = try fs.open(p) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
+    val txt = try readAll(in) finally in.close()
+    // a committed manifest must carry its version number
+    parseManifestText(txt, Terminator).filter(_.version > 0L)
   }
 
   /** FULL parse of every committed manifest — the cold path. Only
@@ -213,13 +228,7 @@ object VersionedTable {
     val in = try fs.open(p) catch {
       case _: java.io.FileNotFoundException => return None
     }
-    val txt = try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+    val txt = try readAll(in) finally in.close()
     val lines = txt.split("\n", -1).toSeq
     if (!lines.contains(Terminator)) return None
     Some(lines.filter(_.startsWith("v=")).flatMap { l =>
@@ -357,15 +366,19 @@ object VersionedTable {
     val dataRel = s"data/$uuid"
     val dataPath = new Path(dir, dataRel)
     df.write.parquet(dataPath.toString)
-    val files = fs.listStatus(dataPath).toSeq
+    // the listing already carries each file's length — record sizes
+    // from it instead of re-statting every file
+    val statuses = fs.listStatus(dataPath).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
-      .map(s => s"$dataRel/${s.getPath.getName}").sorted
+    val files = statuses.map(s => s"$dataRel/${s.getPath.getName}").sorted
+    val sizes = statuses.map(s =>
+      s"$dataRel/${s.getPath.getName}" -> s.getLen)
     commitManifest(fs, dir, batchId, df.schema.json, files, maxRetries,
       fileStats(spark, dir, files, statsCols),
       fileBlooms(spark, dir, files, bloomCols),
       fileRowCounts(spark, dir, files),
-      fileSizes(fs, dir, files))
+      sizes)
   }
 
   /** [[publish]] with [[publishFilesIfUnchanged]]'s optimistic
@@ -389,14 +402,16 @@ object VersionedTable {
     val dataRel = s"data/$uuid"
     val dataPath = new Path(dir, dataRel)
     df.write.parquet(dataPath.toString)
-    val files = fs.listStatus(dataPath).toSeq
+    val statuses = fs.listStatus(dataPath).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
-      .map(s => s"$dataRel/${s.getPath.getName}").sorted
+    val files = statuses.map(s => s"$dataRel/${s.getPath.getName}").sorted
     publishFilesIfUnchanged(spark, dir, batchId, df.schema.json, files,
       expectedBaseVersion,
       stats = fileStats(spark, dir, files, statsCols),
-      blooms = fileBlooms(spark, dir, files, bloomCols))
+      blooms = fileBlooms(spark, dir, files, bloomCols),
+      sizes = statuses.map(s =>
+        s"$dataRel/${s.getPath.getName}" -> s.getLen))
   }
 
   /** Per-(file, column) min/max of `statsCols` over `files` — ONE
@@ -436,16 +451,29 @@ object VersionedTable {
     }
   }
 
-  /** Per-file EXACT row counts over `files` — ONE narrow scan grouped
-    * by `input_file_name()` reading zero data columns (files absent
-    * from the grouped result are empty part files: 0 rows). Recorded
-    * at every commit so [[rowCountOf]] is a pure manifest read —
-    * at 10⁶ S3 files the old sequential driver footer loop is hours;
-    * the manifest line is free. */
+  /** Per-file EXACT row counts over `files`, recorded at every commit
+    * so [[rowCountOf]] is a pure manifest read — at 10⁶ S3 files the
+    * old sequential driver footer loop is hours; the manifest line is
+    * free. Hybrid: small commits (the per-trigger CDC / ledger-append
+    * case) read the just-written files' FOOTER record counts
+    * driver-side (no job-scheduling overhead); big publishes run ONE
+    * narrow zero-column scan grouped by `input_file_name()` (files
+    * absent from the grouped result are empty part files: 0 rows). */
+  private val RowCountScanThreshold = 64
+
   private[graft] def fileRowCounts(spark: SparkSession, dir: String,
                                    files: Seq[String])
       : Seq[(String, Long)] = {
     if (files.isEmpty) return Nil
+    if (files.size <= RowCountScanThreshold) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      return files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(dir, f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        f -> (try r.getRecordCount finally r.close())
+      }
+    }
     import org.apache.spark.sql.functions._
     val rows = spark.read
       .parquet(files.map(f => new Path(dir, f).toString): _*)
@@ -546,24 +574,30 @@ object VersionedTable {
   private def inheritFileMeta(spark: SparkSession, dir: String,
                               files: Seq[String],
                               stats: Seq[(String, String, Double, Double)],
-                              blooms: Seq[(String, String, Int, Int, String)])
+                              blooms: Seq[(String, String, Int, Int, String)],
+                              rowCounts: Seq[(String, Long)] = Nil,
+                              sizes: Seq[(String, Long)] = Nil)
       : (Seq[(String, String, Double, Double)],
          Seq[(String, String, Int, Int, String)],
          Seq[(String, Long)],
          Seq[(String, Long)]) = {
     val (st, bl, inheritedRows, inheritedSizes) =
       latestManifest(spark, dir) match {
-        case None => (stats, blooms, Nil, Nil)
+        case None => (stats, blooms, rowCounts, sizes)
         case Some(prev) =>
           val carried = files.toSet intersect prev.files.toSet
           val haveStat = stats.map(s => (s._1, s._2)).toSet
           val haveBloom = blooms.map(b => (b._1, b._2)).toSet
+          val haveRows0 = rowCounts.map(_._1).toSet
+          val haveSizes0 = sizes.map(_._1).toSet
           (stats ++ prev.stats.filter(s =>
              carried(s._1) && !haveStat((s._1, s._2))),
            blooms ++ prev.blooms.filter(b =>
              carried(b._1) && !haveBloom((b._1, b._2))),
-           prev.rowCounts.filter(rc => carried(rc._1)),
-           prev.sizes.filter(sz => carried(sz._1)))
+           rowCounts ++ prev.rowCounts.filter(rc =>
+             carried(rc._1) && !haveRows0(rc._1)),
+           sizes ++ prev.sizes.filter(sz =>
+             carried(sz._1) && !haveSizes0(sz._1)))
       }
     val haveRows = inheritedRows.map(_._1).toSet
     val freshRows = fileRowCounts(spark, dir, files.filterNot(haveRows))
@@ -625,7 +659,9 @@ object VersionedTable {
                               files: Seq[String],
                               expectedBaseVersion: Long,
                               stats: Seq[(String, String, Double, Double)] = Nil,
-                              blooms: Seq[(String, String, Int, Int, String)] = Nil)
+                              blooms: Seq[(String, String, Int, Int, String)] = Nil,
+                              rowCounts: Seq[(String, Long)] = Nil,
+                              sizes: Seq[(String, Long)] = Nil)
       : Long = {
     require(!batchId.contains("\n") && batchId.nonEmpty,
       "batchId must be a non-empty single-line string")
@@ -639,7 +675,7 @@ object VersionedTable {
     fs.mkdirs(manifestDir(dir))
     // carried files keep their skipping metadata across the commit
     val (st, bl, rc, sz) = inheritFileMeta(spark, dir, files, stats,
-      blooms)
+      blooms, rowCounts, sizes)
     // TWO-PHASE: claim the slot and write the body WITHOUT the
     // terminator (invisible), validate the window, only then
     // terminate. Validating after visibility is not enough — a third
@@ -725,8 +761,15 @@ object VersionedTable {
       else fs.listStatus(md).toSeq
         .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
         .foldLeft(0L)(math.max)
-    val summarized = latestCheckpoint(fs, dir).keys
-      .foldLeft(0L)(math.max)
+    // a checkpoint file's NAME is the max version it summarizes
+    // (writeCheckpoint names it sums.last.version), so one directory
+    // listing bounds every checkpoint-captured slot — no parse
+    val cd = checkpointDir(dir)
+    val summarized =
+      if (!fs.exists(cd)) 0L
+      else fs.listStatus(cd).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+        .foldLeft(0L)(math.max)
     math.max(live, summarized)
   }
 
@@ -1018,10 +1061,14 @@ object VersionedTable {
     * recorded for file SKIPPING double as the answer to
     * `SELECT min(x), max(x)` — the global range is the fold of the
     * per-file ranges, ONE manifest read, zero data I/O. Only exact
-    * when EVERY non-empty file recorded a stat for the column
-    * (all-null files record none and hold no values, so they fold
-    * away via their zero row count); otherwise None — the caller
-    * falls back to the scan, never to a silently-wrong range. */
+    * when EVERY non-empty file recorded a stat for the column;
+    * EMPTY files are exempt (their zero row count proves they hold
+    * no values). A non-empty file whose column is ENTIRELY null
+    * records no stat and is indistinguishable from an untracked one,
+    * so it disables the fast path — conservative None (min/max would
+    * ignore its nulls, but we cannot prove that from the manifest);
+    * the caller falls back to the scan, never to a silently-wrong
+    * range. */
   def statRangeOf(spark: SparkSession, dir: String, version: Long,
                   column: String): Option[(Double, Double)] = {
     val fs = fsOf(spark, dir)
@@ -1282,9 +1329,14 @@ object VersionedTable {
     // replay / already-restored: the latest already HAS this content
     if (cur.files == m.files && cur.schemaJson == m.schemaJson)
       return cur.version
-    commitManifest(fs, dir, s"restore-v$version-over-v${cur.version}",
-      m.schemaJson, m.files, 20, m.stats, m.blooms, m.rowCounts,
-      m.sizes)
+    // OPTIMISTIC on the latest we decided to roll back: a concurrent
+    // writer's commit landing in between would be silently superseded
+    // by a blind commit — conflict throws instead; the caller re-reads
+    // and decides whether the rollback still applies
+    publishFilesIfUnchanged(spark, dir,
+      s"restore-v$version-over-v${cur.version}", m.schemaJson, m.files,
+      expectedBaseVersion = cur.version, stats = m.stats,
+      blooms = m.blooms, rowCounts = m.rowCounts, sizes = m.sizes)
   }
 
   // ---- schema evolution (add-column) ------------------------------
@@ -1321,6 +1373,12 @@ object VersionedTable {
         s"evolveSchema($dir): column '${f.name}' changes type " +
           s"${f.dataType.simpleString} -> ${nf.dataType.simpleString} " +
           "— incompatible (null-backfill cannot express a cast)")
+      // nullable → non-nullable would commit a schemaJson that
+      // MISDESCRIBES null-bearing committed data; the reverse
+      // (widening to nullable) is always safe
+      require(!f.nullable || nf.nullable,
+        s"evolveSchema($dir): column '${f.name}' cannot tighten " +
+          "nullable -> non-nullable over committed data")
     }
     val oldNames = old.fieldNames.toSet
     val added = newSchema.fields.filterNot(f => oldNames(f.name))
@@ -1328,8 +1386,16 @@ object VersionedTable {
       s"evolveSchema($dir): added column(s) " +
         s"${added.filterNot(_.nullable).map(_.name).mkString(",")} " +
         "must be nullable — existing rows are null-backfilled")
-    if (added.isEmpty) return m.version
-    publishFilesIfUnchanged(spark, dir, s"evolve-of-v${m.version}",
+    if (added.isEmpty && newSchema.json == m.schemaJson) return m.version
+    // the TARGET schema is part of the replay identity: two writers
+    // evolving the same base version to DIFFERENT schemas must
+    // conflict (the second retries from the new latest), not have the
+    // second silently swallowed by the first's batchId
+    val schemaTag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(newSchema.json).toLong
+        & 0xffffffffL)
+    publishFilesIfUnchanged(spark, dir,
+      s"evolve-of-v${m.version}-$schemaTag",
       newSchema.json, m.files, expectedBaseVersion = m.version)
   }
 
@@ -1403,55 +1469,14 @@ object VersionedTable {
 
   private def readStagedManifest(fs: FileSystem,
                                  p: Path): Option[Manifest] = {
+    // a torn staged write (crashed stager) is invisible, like a torn
+    // manifest; staged manifests carry no version (they are not
+    // committed) — same line grammar otherwise (parseManifestText)
     val in = try fs.open(p) catch {
       case _: java.io.FileNotFoundException => return None
     }
-    val txt = try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-    val lines = txt.split("\n", -1).toSeq
-    // a torn staged write (crashed stager) is invisible, like a torn
-    // manifest
-    if (!lines.contains(StagedTerminator)) return None
-    def field(k: String): Option[String] =
-      lines.find(_.startsWith(k + "=")).map(_.drop(k.length + 1))
-    for {
-      b <- field("batchId")
-      s <- field("schema")
-    } yield Manifest(-1L, b, s,
-      lines.filter(_.startsWith("file=")).map(_.drop(5)),
-      lines.filter(_.startsWith("stat=")).flatMap { l =>
-        l.drop(5).split(StatSep, -1) match {
-          case Array(f, c, mn, mx) => scala.util.Try(
-            (f, c, mn.toDouble, mx.toDouble)).toOption
-          case _ => None
-        }
-      },
-      field("ts").flatMap(t =>
-        scala.util.Try(t.toLong).toOption).getOrElse(0L),
-      lines.filter(_.startsWith("bloom=")).flatMap { l =>
-        l.drop(6).split(StatSep, -1) match {
-          case Array(f, c, mb, k, bits) => scala.util.Try(
-            (f, c, mb.toInt, k.toInt, bits)).toOption
-          case _ => None
-        }
-      },
-      lines.filter(_.startsWith("rows=")).flatMap { l =>
-        l.drop(5).split(StatSep, -1) match {
-          case Array(f, n) => scala.util.Try((f, n.toLong)).toOption
-          case _ => None
-        }
-      },
-      lines.filter(_.startsWith("size=")).flatMap { l =>
-        l.drop(5).split(StatSep, -1) match {
-          case Array(f, n) => scala.util.Try((f, n.toLong)).toOption
-          case _ => None
-        }
-      })
+    val txt = try readAll(in) finally in.close()
+    parseManifestText(txt, StagedTerminator)
   }
 
   /** Stage `df` for audit WITHOUT making it readable: data files are
@@ -1477,14 +1502,15 @@ object VersionedTable {
     val dataRel = s"data/$uuid"
     val dataPath = new Path(dir, dataRel)
     df.write.parquet(dataPath.toString)
-    val files = fs.listStatus(dataPath).toSeq
+    val statuses = fs.listStatus(dataPath).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
-      .map(s => s"$dataRel/${s.getPath.getName}").sorted
+    val files = statuses.map(s => s"$dataRel/${s.getPath.getName}").sorted
     val stats = fileStats(spark, dir, files, statsCols)
     val blooms = fileBlooms(spark, dir, files, bloomCols)
     val rowCounts = fileRowCounts(spark, dir, files)
-    val sizes = fileSizes(fs, dir, files)
+    val sizes = statuses.map(s =>
+      s"$dataRel/${s.getPath.getName}" -> s.getLen)
     fs.mkdirs(stagedDir(dir))
     val p = new Path(stagedDir(dir), uuid)
     val o = fs.create(p, false)

@@ -321,7 +321,10 @@ object StreamingMerge {
     require(newNBuckets > 0, "newNBuckets must be positive")
     val m = VersionedTable.latestManifest(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no snapshot at $dir"))
-    val bid = s"rebucket-of-v${m.version}"
+    // the TARGET bucket count is part of the replay identity — a
+    // re-request with a different count must not be swallowed by an
+    // earlier rebucket's batchId (it fails the newDir pin check below)
+    val bid = s"rebucket-of-v${m.version}-to-$newNBuckets"
     VersionedTable.committedVersionOf(spark, newDir, bid) match {
       case Some(v) => return v // replayed rebucket: already done
       case None =>

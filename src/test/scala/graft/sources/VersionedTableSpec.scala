@@ -728,6 +728,13 @@ class VersionedTableSpec extends SparkSpec {
       .toSeq === Seq("id", "s"))
     // replay: evolving to the already-current schema is a no-op
     assert(VersionedTable.evolveSchema(spark, dir, widened) === 2L)
+    // nullable -> non-nullable tightening over null-bearing data is
+    // rejected (checked while the live column IS nullable)
+    intercept[IllegalArgumentException] {
+      VersionedTable.evolveSchema(spark, dir, StructType(
+        widened.fields.map(f =>
+          if (f.name == "score") f.copy(nullable = false) else f)))
+    }
     // new publishes fill the column going forward
     VersionedTable.publish(Seq((3L, "c", 0.5)).toDF("id", "s", "score"),
       dir, "b3")
