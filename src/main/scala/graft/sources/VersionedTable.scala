@@ -466,13 +466,25 @@ object VersionedTable {
       : Seq[(String, Long)] = {
     if (files.isEmpty) return Nil
     if (files.size <= RowCountScanThreshold) {
+      // parallel footer reads (a sequential loop at the threshold is
+      // ~0.5 s of driver latency per commit — measured on d121's
+      // 64-bucket init)
       val conf = spark.sparkContext.hadoopConfiguration
-      return files.map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(dir, f), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        f -> (try r.getRecordCount finally r.close())
-      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      try {
+        val futures = files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[(String, Long)] {
+            def call(): (String, Long) = {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new Path(dir, f), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              f -> (try r.getRecordCount finally r.close())
+            }
+          })
+        }
+        return futures.map(_.get())
+      } finally pool.shutdown()
     }
     import org.apache.spark.sql.functions._
     val rows = spark.read
