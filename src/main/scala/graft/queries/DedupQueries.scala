@@ -178,6 +178,27 @@ object DedupQueries extends Registry {
         (2L, graft.sources.VersionedTable.rowCountOf(s, dir, 2L)))
         .toDF("version", "n_rows")
     }),
+    // D263: COMPOUND BLOOM POINT LOOKUP — `a = x AND b = y` opens
+    // only files passing EVERY probed column's bloom (false-open rate
+    // multiplies down, ~p^k), the conjunctive complement of d134's
+    // single-column probe. The require proves the compound skip beats
+    // the table; rows ≡ the conjunction filter, bit-exact.
+    "d147_multi_point" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_multi_point")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      graft.sources.VersionedTable.publish(
+        docs.repartition(16), dir, "docs-cut",
+        bloomCols = Seq("source", "lang"))
+      val probeLang = docs.filter(col("source") === "src7")
+        .agg(min("lang")).head.getString(0)
+      val (df, opened, total) = graft.sources.VersionedTable
+        .readAsOfPointMulti(s, dir, 1L,
+          Map("source" -> "src7", "lang" -> probeLang))
+      require(opened < total,
+        s"compound bloom skip failed: opened $opened of $total")
+      df
+    }),
     // D261: RESTORE (rollback) — a bad cut shipped; `restore(v)`
     // commits v's exact file list as the new latest: readers flip
     // atomically back, zero bytes copied (the files are immutable and
@@ -994,6 +1015,12 @@ object DedupQueries extends Registry {
       SELECT CAST(2 AS BIGINT),
              CAST(count(*) AS BIGINT) FROM documents
       WHERE doc_id % 503 <> 0""",
+    // the compound pruned read ≡ the conjunction filter
+    "d147_multi_point" -> """
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE source = 'src7'
+        AND lang = (SELECT min(lang) FROM documents
+                    WHERE source = 'src7')""",
     // the restored latest ≡ the original cut
     "d146_restore" -> """
       SELECT doc_id, text, lang, source, n_chars FROM documents""",

@@ -1036,6 +1036,57 @@ object VersionedTable {
       throw new NoSuchElementException(s"no committed version at $dir")),
       column, value)
 
+  /** COMPOUND point lookup: `col1 = v1 AND col2 = v2 AND ...` — a
+    * file is opened only when EVERY probed column's bloom (where
+    * recorded) might contain its value, so the false-open rate
+    * multiplies down (~p^k for k independent probes) and a conjunctive
+    * id probe opens fewer files than any single column alone. Columns
+    * without a recorded bloom prune nothing (conservative), the
+    * residual conjunction filter always applies — result ≡ the
+    * full-scan filter. Returns (dataframe, files opened, files in the
+    * version). */
+  def readAsOfPointMulti(spark: SparkSession, dir: String, version: Long,
+                         probes: Map[String, Any])
+      : (DataFrame, Int, Int) = {
+    require(probes.nonEmpty && probes.values.forall(_ != null),
+      "point probes are non-empty and non-null")
+    val fs = fsOf(spark, dir)
+    val m = manifestOf(fs, dir, version)
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version is not committed at $dir"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val typed = probes.map { case (c, v) =>
+      c -> castProbe(schema(c).dataType, v)
+    }
+    val hashesOf = typed.map { case (c, v) =>
+      c -> (0 until BloomK).map { i =>
+        XxHash64(Seq(Literal(i),
+          Literal.create(v, schema(c).dataType)), 42L).eval(null)
+          .asInstanceOf[Long]
+      }
+    }
+    val bloomOf = m.blooms.map(b => (b._1, b._2) -> b).toMap
+    def mightContain(f: String, c: String): Boolean =
+      bloomOf.get((f, c)) match {
+        case Some((_, _, mb, k, bitsB64)) if k == BloomK && mb > 0 =>
+          val bits = java.util.BitSet.valueOf(
+            java.util.Base64.getDecoder.decode(bitsB64))
+          hashesOf(c).forall(h => bits.get((((h % mb) + mb) % mb).toInt))
+        case _ => true // no/foreign-geometry bloom: keep conservatively
+      }
+    val keep = m.files.filter(f => typed.keys.forall(mightContain(f, _)))
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(keep.map(f => new Path(dir, f).toString): _*)
+    import org.apache.spark.sql.functions.{col, lit}
+    val pred = typed.map { case (c, v) => col(c) === lit(v) }
+      .reduce(_ && _)
+    (base.filter(pred), keep.size, m.files.size)
+  }
+
   /** METADATA-ONLY row count of a committed version: ONE manifest
     * read — every commit since round 15 records `rows=` per data file
     * (new files counted by one narrow scan at publish, carried files

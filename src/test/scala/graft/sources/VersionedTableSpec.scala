@@ -605,6 +605,40 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("readAsOfPointMulti: a conjunctive probe opens no more files " +
+    "than its tightest single column and stays ≡ the filter") {
+    val dir = freshDir("multiprobe")
+    // two independent 32-value keys spread over 16 files: either
+    // column's bloom keeps ~1/32 of files per value, the conjunction
+    // keeps their intersection
+    val df = (1L to 4096L).map(i =>
+      (i, s"a${i % 32}", s"b${(i / 32) % 32}")).toDF("id", "a", "b")
+    VersionedTable.publish(df.repartition(16), dir, "b1",
+      bloomCols = Seq("a", "b"))
+    val (both, oBoth, total) = VersionedTable.readAsOfPointMulti(
+      spark, dir, 1L, Map("a" -> "a7", "b" -> "b3"))
+    val (_, oA, _) = VersionedTable.readAsOfPoint(spark, dir, 1L,
+      "a", "a7")
+    val (_, oB, _) = VersionedTable.readAsOfPoint(spark, dir, 1L,
+      "b", "b3")
+    assert(oBoth <= math.min(oA, oB),
+      s"conjunction must not open more than either side: " +
+        s"$oBoth vs ($oA, $oB) of $total")
+    assert(both.collect().map(_.getLong(0)).toSet ===
+      df.filter(col("a") === "a7" && col("b") === "b3")
+        .collect().map(_.getLong(0)).toSet)
+    // a column without a recorded bloom prunes nothing but stays exact
+    val (byId, oId, _) = VersionedTable.readAsOfPointMulti(
+      spark, dir, 1L, Map("id" -> 77L, "a" -> "a13"))
+    assert(oId <= oA || oId <= total)
+    assert(byId.collect().map(_.getLong(0)).toSeq === Seq(77L))
+    // absent compound value: ~no files, zero rows
+    val (none, _, _) = VersionedTable.readAsOfPointMulti(
+      spark, dir, 1L, Map("a" -> "a7", "b" -> "nope"))
+    assert(none.count() === 0L)
+    VersionedTable.drop(spark, dir)
+  }
+
   test("restore rolls back to an old version's exact content without " +
     "copying data; history keeps the bad cut; gc keeps shared files") {
     val dir = freshDir("restore")

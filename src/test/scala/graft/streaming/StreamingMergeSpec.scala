@@ -310,6 +310,55 @@ class StreamingMergeSpec extends SparkSpec {
     assert(hit.select("score").as[Double].head() === 0.9)
   }
 
+  test("concurrent merges and restores serialize through OCC: every " +
+    "writer commits (after CME retries) and every version stays a " +
+    "complete readable snapshot") {
+    val dir = tmp("race")
+    StreamingMerge.init(base.limit(50), "id", dir, nBuckets = 4)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        try {
+          var attempt = 0
+          var done = false
+          while (!done && attempt < 40) {
+            try {
+              if (i % 2 == 0)
+                StreamingMerge.applyBatch(
+                  Seq(Change(i.toLong, s"race doc $i", 100L + i,
+                    "upsert")).toDF(),
+                  "id", "seq", "op", dir, 4, Some(s"race-$i"))
+              else VersionedTable.restore(spark, dir, 1L)
+              done = true
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+                attempt += 1 // stale base: re-read and retry
+            }
+          }
+          assert(done, s"writer $i starved after 40 CME retries")
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"race errors: ${errors.toArray.toSeq}")
+    // versions contiguous, every snapshot complete and consistent
+    // with its own manifest metadata — no torn or half-applied commit
+    val vs = VersionedTable.versions(spark, dir)
+    assert(vs === (1L to vs.length.toLong),
+      s"versions must be contiguous: $vs")
+    // 4 merges always commit a new version; a restore no-ops when v1
+    // content is already the latest, so total is in [5, 9]
+    assert(vs.length >= 5 && vs.length <= 9, s"got ${vs.length}")
+    vs.foreach { v =>
+      assert(VersionedTable.readAsOf(spark, dir, v).count()
+        === VersionedTable.rowCountOf(spark, dir, v),
+        s"version $v: manifest count must match its snapshot")
+    }
+    val latest = StreamingMerge.snapshot(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(latest.size === VersionedTable.rowCountLatest(spark, dir))
+  }
+
   test("changeFeedRows: inserts/deletes/update pre+post images; " +
     "carried same-bucket rows emit NOTHING; evolution null-aligns") {
     val dir = tmp("cdf")
