@@ -187,9 +187,12 @@ object DedupQueries extends Registry {
       val (_, dir) = indexScratch(d, "graft_multi_point")
       graft.sources.VersionedTable.drop(s, dir)
       val docs = Tables.documents(s, d)
+      // cluster the layout on the lookup keys (the usage pattern any
+      // point-read table wants) — a round-robin layout puts every key
+      // in every file at scale and leaves blooms nothing to skip
       graft.sources.VersionedTable.publish(
-        docs.repartition(16), dir, "docs-cut",
-        bloomCols = Seq("source", "lang"))
+        docs.repartition(16, col("source"), col("lang")), dir,
+        "docs-cut", bloomCols = Seq("source", "lang"))
       val probeLang = docs.filter(col("source") === "src7")
         .agg(min("lang")).head.getString(0)
       val (df, opened, total) = graft.sources.VersionedTable
