@@ -158,7 +158,14 @@ object DumpPlans {
     // round-13: versioned CDC merge — manifest-pruned bucket reads +
     // the latest-wins merge; visibility is the manifest commit, so no
     // dynamic-overwrite machinery appears
-    "d121_versioned_merge")
+    "d121_versioned_merge",
+    // round-15: row-level change feed — ONLY the changed files feed
+    // the full-outer join; carried rows never reach the Exchange
+    "d145_change_data_feed",
+    // round-15: z-ordered joint-predicate read — the pruned file list
+    // is already applied at the scan (a handful of paths), the
+    // residual conjunction is a codegen'd filter over it
+    "d144_zorder_skipping")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
