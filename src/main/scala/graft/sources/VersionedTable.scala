@@ -1237,6 +1237,28 @@ object VersionedTable {
     * any sane write; raise it for huge batch publishes). `publish`
     * additionally re-verifies its files after commit and rolls back
     * loudly if a zero-grace gc raced it. */
+  /** GC DRY RUN: what would `gc(keepLast)` reclaim — (manifests to
+    * drop, data files referenced ONLY by dropped manifests, their
+    * bytes from the manifests' recorded sizes). Pure metadata (no
+    * delete, no file status); orphan data dirs are not included
+    * (their sizes are unrecorded — the sweep itself ages them out).
+    * The capacity question a 100 TB retention policy asks before it
+    * runs. */
+  def gcReport(spark: SparkSession, dir: String,
+               keepLast: Int): (Int, Int, Long) = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val committed = committedManifests(fsOf(spark, dir), dir)
+    val keep = committed.takeRight(keepLast)
+    val drop = committed.dropRight(keepLast)
+    val keptFiles = keep.flatMap(_.files).toSet
+    val doomed = drop.flatMap(m => m.files.map(f => f -> m.sizes.toMap))
+      .filterNot { case (f, _) => keptFiles(f) }
+      .groupBy(_._1).map { case (f, entries) =>
+        f -> entries.flatMap(_._2.get(f)).headOption.getOrElse(0L)
+      }
+    (drop.size, doomed.size, doomed.values.sum)
+  }
+
   def gc(spark: SparkSession, dir: String, keepLast: Int,
          orphanGraceMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1, "keepLast must be >= 1")

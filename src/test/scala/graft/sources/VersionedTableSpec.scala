@@ -605,6 +605,39 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("gcReport: the dry run predicts exactly what gc reclaims, " +
+    "shared (carried) files excluded, bytes from manifest sizes") {
+    val dir = freshDir("gcreport")
+    // v1: two files; v2 CARRIES one of them + adds one (copy-on-write)
+    val a = Seq((1L, "a")).toDF("id", "s")
+    VersionedTable.publish(a, dir, "b1")
+    val v1Files = VersionedTable.filesOf(spark, dir, 1L)
+    val bDir = s"data/extra-${java.util.UUID.randomUUID()}"
+    Seq((2L, "b")).toDF("id", "s").coalesce(1)
+      .write.parquet(s"$dir/$bDir")
+    val bFile = new java.io.File(s"$dir/$bDir").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getName
+    VersionedTable.publishFiles(spark, dir, "b2",
+      a.schema.json, v1Files :+ s"$bDir/$bFile")
+    VersionedTable.publish(Seq((3L, "c")).toDF("id", "s"), dir, "b3")
+    // keepLast=1 drops v1+v2; v1's file is shared with v2 (also
+    // dropped) so it IS reclaimable; nothing v3 references is
+    val (mDrop, fDrop, bytes) = VersionedTable.gcReport(spark, dir, 1)
+    assert(mDrop === 2)
+    assert(fDrop === 2, "v1's file + v2's extra file are reclaimable")
+    assert(bytes > 0L)
+    // keepLast=2 keeps v2+v3: v1's file is CARRIED by v2 — not
+    // reclaimable; dropping v1 reclaims no files
+    assert(VersionedTable.gcReport(spark, dir, 2) === ((1, 0, 0L)))
+    // the dry run ≡ the real sweep (data-dir granularity: v1's dir
+    // and v2's extra dir go; v3's stays)
+    val (mGone, dGone) = VersionedTable.gc(spark, dir, keepLast = 1,
+      orphanGraceMs = 0L)
+    assert(mGone === 2 && dGone === 2)
+    assert(VersionedTable.readLatest(spark, dir).count() === 1L)
+    VersionedTable.drop(spark, dir)
+  }
+
   test("readAsOfPointMulti: a conjunctive probe opens no more files " +
     "than its tightest single column and stays ≡ the filter") {
     val dir = freshDir("multiprobe")
