@@ -79,47 +79,45 @@ object DpLedger {
     require(release.nonEmpty && release != BudgetRelease &&
       !release.contains("\n"), s"bad release name '$release'")
     val (em, dp) = grid(epsilon, delta)
-    var attempt = 0
-    while (true) {
+    // the shared OCC helper re-runs the whole read-check-append body
+    // off the winner's commit, so concurrent releases can never
+    // overspend by basing on the same stale total
+    VersionedTable.withConflictRetry(maxAttempts = 20) {
       VersionedTable.committedVersionOf(spark, dir,
         s"release-$release") match {
-        case Some(v) => return v // replayed release: already accounted
+        case Some(v) => v // replayed release: already accounted
         case None =>
-      }
-      val base = VersionedTable.latestVersion(spark, dir).getOrElse(
-        throw new NoSuchElementException(
-          s"no committed version at $dir — init() first"))
-      val cur = entries(spark, dir).collect() // release-axis sized
-      val budget = cur.find(_.getString(1) == BudgetRelease).getOrElse(
-        throw new IllegalStateException(
-          s"no budget row at $dir — init() first"))
-      if (cur.exists(_.getString(1) == release)) // renamed-batch replay
-        return base
-      val spentE = cur.filter(_.getString(1) != BudgetRelease)
-        .map(_.getLong(3)).foldLeft(0L)(Math.addExact)
-      val spentD = cur.filter(_.getString(1) != BudgetRelease)
-        .map(_.getLong(4)).foldLeft(0L)(Math.addExact)
-      if (Math.addExact(spentE, em) > budget.getLong(3) ||
-          Math.addExact(spentD, dp) > budget.getLong(4))
-        throw new IllegalStateException(
-          s"release '$release' (eps=$epsilon, delta=$delta) would " +
-            s"exceed the budget: spent eps_micro=$spentE/" +
-            s"${budget.getLong(3)}, delta_pico=$spentD/" +
-            s"${budget.getLong(4)}")
-      val ord = cur.map(_.getLong(0)).max + 1L
-      import spark.implicits._
-      val next = entries(spark, dir).unionByName(
-        Seq((ord, release, mechanism, em, dp))
-          .toDF("ord", "release", "mechanism", "eps_micro", "delta_pico"))
-      try {
-        return VersionedTable.publishIfUnchanged(next, dir,
-          s"release-$release", expectedBaseVersion = base)
-      } catch {
-        case _: java.util.ConcurrentModificationException
-            if attempt < 20 => attempt += 1 // re-read, re-check, retry
+          val base = VersionedTable.latestVersion(spark, dir).getOrElse(
+            throw new NoSuchElementException(
+              s"no committed version at $dir — init() first"))
+          val cur = entries(spark, dir).collect() // release-axis sized
+          val budget = cur.find(_.getString(1) == BudgetRelease).getOrElse(
+            throw new IllegalStateException(
+              s"no budget row at $dir — init() first"))
+          if (cur.exists(_.getString(1) == release)) base // renamed replay
+          else {
+            val spentE = cur.filter(_.getString(1) != BudgetRelease)
+              .map(_.getLong(3)).foldLeft(0L)(Math.addExact)
+            val spentD = cur.filter(_.getString(1) != BudgetRelease)
+              .map(_.getLong(4)).foldLeft(0L)(Math.addExact)
+            if (Math.addExact(spentE, em) > budget.getLong(3) ||
+                Math.addExact(spentD, dp) > budget.getLong(4))
+              throw new IllegalStateException(
+                s"release '$release' (eps=$epsilon, delta=$delta) would " +
+                  s"exceed the budget: spent eps_micro=$spentE/" +
+                  s"${budget.getLong(3)}, delta_pico=$spentD/" +
+                  s"${budget.getLong(4)}")
+            val ord = cur.map(_.getLong(0)).max + 1L
+            import spark.implicits._
+            val next = entries(spark, dir).unionByName(
+              Seq((ord, release, mechanism, em, dp))
+                .toDF("ord", "release", "mechanism", "eps_micro",
+                  "delta_pico"))
+            VersionedTable.publishIfUnchanged(next, dir,
+              s"release-$release", expectedBaseVersion = base)
+          }
       }
     }
-    -1L // unreachable
   }
 
   /** ADVANCED COMPOSITION (Dwork–Rothblum–Vadhan, heterogeneous

@@ -178,7 +178,111 @@ object DedupQueries extends Registry {
         (2L, graft.sources.VersionedTable.rowCountOf(s, dir, 2L)))
         .toDF("version", "n_rows")
     }),
-    // D263: COMPOUND BLOOM POINT LOOKUP — `a = x AND b = y` opens
+    // d148_optimize (COVERAGE D266): INCREMENTAL OPTIMIZE — bin-packing
+    // compaction whose cost tracks the small-file DEBT: streaming
+    // appends leave trigger-sized files next to one big base file;
+    // compactIncremental rewrites ONLY the debt (the base file carries
+    // by reference, byte-identical, keeping its metadata through the
+    // sidecar refs). The requires prove the big file was never touched
+    // and exactly the three appends were packed; rows ≡ the full
+    // table, bit-exact.
+    "d148_optimize" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_optimize")
+      graft.sources.VersionedTable.drop(s, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      // the big base file: 3/4 of the table in ONE file
+      graft.sources.VersionedTable.publish(
+        orders.filter(col("o_orderkey") % 4 =!= 0).coalesce(1),
+        dir, "base")
+      val baseFile = graft.sources.VersionedTable.filesOf(s, dir, 1L)
+      require(baseFile.size == 1, "base must be one file")
+      val baseLen = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/${baseFile.head}")).getLen
+      val baseStamp = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/${baseFile.head}")).getModificationTime
+      // three small appends (the per-trigger debt)
+      for (r <- 0 to 2) {
+        val m = graft.sources.VersionedTable.latestManifest(s, dir).get
+        val rel = s"data/app-$r"
+        orders.filter(col("o_orderkey") % 12 === r.toLong * 4)
+          .coalesce(1)
+          .write.parquet(s"$dir/$rel")
+        val fNew = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$dir/$rel")).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .map(st => s"$rel/${st.getPath.getName}")
+        graft.sources.VersionedTable.publishFilesIfUnchanged(s, dir,
+          s"append-$r", m.schemaJson, m.files ++ fNew,
+          expectedBaseVersion = m.version)
+      }
+      // pack the debt: everything STRICTLY below the base file's size
+      val (rewritten, carried, after) = graft.sources.VersionedTable
+        .compactIncremental(s, dir, targetBytes = 1L << 30,
+          smallBytes = baseLen)
+      require(rewritten == 3 && carried == 1 && after == 2,
+        s"debt-only packing expected (3,1,2), got " +
+          s"($rewritten, $carried, $after)")
+      val mAfter = graft.sources.VersionedTable.latestManifest(s, dir).get
+      require(mAfter.files.contains(baseFile.head) &&
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"$dir/${baseFile.head}")).getModificationTime == baseStamp,
+        "the big file must carry by reference, bytes untouched")
+      graft.sources.VersionedTable.readLatest(s, dir)
+    }),
+    // d149_rename_drop (COVERAGE D268): RENAME/DROP COLUMN EVOLUTION —
+    // zero data I/O via per-file physical→logical column maps (the
+    // field-id indirection Iceberg carries in data files, held in
+    // table metadata here since stock-Spark parquet has no field ids):
+    // rename serves old bytes under the new name, drop masks the
+    // physical so a LATER re-add of the same name reads NULL from old
+    // files (stale bytes can never leak), and old versions time-travel
+    // under their own schema. Post-evolution appends interleave with
+    // pre-evolution files in one logical schema — the oracle pins the
+    // whole composition bit-exactly.
+    "d149_rename_drop" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_rename_drop")
+      graft.sources.VersionedTable.drop(s, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      graft.sources.VersionedTable.publish(docs, dir, "docs-v1")
+      graft.sources.VersionedTable.renameColumn(s, dir, "n_chars", "len")
+      graft.sources.VersionedTable.dropColumn(s, dir, "source")
+      // re-add the dropped name: old files must serve NULL, not the
+      // masked bytes
+      val cur = graft.sources.VersionedTable.readLatest(s, dir).schema
+      graft.sources.VersionedTable.evolveSchema(s, dir,
+        org.apache.spark.sql.types.StructType(cur.fields :+
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+      // post-evolution append under the CURRENT logical schema
+      val m = graft.sources.VersionedTable.latestManifest(s, dir).get
+      val rel = "data/gen2"
+      docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumnRenamed("n_chars", "len")
+        .select("doc_id", "text", "lang", "len", "source")
+        .coalesce(1).write.parquet(s"$dir/$rel")
+      val fNew = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/$rel")).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .map(st => s"$rel/${st.getPath.getName}")
+      graft.sources.VersionedTable.publishFilesIfUnchanged(s, dir,
+        "gen2", m.schemaJson, m.files ++ fNew,
+        expectedBaseVersion = m.version)
+      // v1 still time-travels under its ORIGINAL names
+      require(graft.sources.VersionedTable.readAsOf(s, dir, 1L)
+        .schema.fieldNames.toSeq ==
+        Seq("doc_id", "text", "lang", "source", "n_chars"),
+        "pre-evolution version must keep its own schema")
+      graft.sources.VersionedTable.readLatest(s, dir)
+        .select("doc_id", "text", "lang", "len", "source")
+    }),
+    // d147_multi_point (COVERAGE D263): COMPOUND BLOOM POINT LOOKUP — `a = x AND b = y` opens
     // only files passing EVERY probed column's bloom (false-open rate
     // multiplies down, ~p^k), the conjunctive complement of d134's
     // single-column probe. The require proves the compound skip beats
@@ -202,7 +306,7 @@ object DedupQueries extends Registry {
         s"compound bloom skip failed: opened $opened of $total")
       df
     }),
-    // D261: RESTORE (rollback) — a bad cut shipped; `restore(v)`
+    // d146_restore (COVERAGE D261): RESTORE (rollback) — a bad cut shipped; `restore(v)`
     // commits v's exact file list as the new latest: readers flip
     // atomically back, zero bytes copied (the files are immutable and
     // shared), the bad cut stays in history for forensics. The
@@ -225,7 +329,7 @@ object DedupQueries extends Registry {
         "replayed restore must not append")
       graft.sources.VersionedTable.readLatest(s, dir)
     }),
-    // D260: ROW-LEVEL CHANGE DATA FEED — "which rows changed, and
+    // d145_change_data_feed (COVERAGE D260): ROW-LEVEL CHANGE DATA FEED — "which rows changed, and
     // how" between two snapshot versions, derived from the changed
     // files only: updates emit pre+post images, deletes the old row,
     // inserts the new row, and the untouched same-bucket rows a
@@ -255,7 +359,7 @@ object DedupQueries extends Registry {
       graft.streaming.StreamingMerge.changeFeedRows(s, dir, 1L, 2L,
         "doc_id")
     }),
-    // D259: Z-ORDER CLUSTERING — multi-column data skipping: orders
+    // d144_zorder_skipping (COVERAGE D259): Z-ORDER CLUSTERING — multi-column data skipping: orders
     // is rewritten with the bits of (o_totalprice, o_orderkey)
     // interleaved, so zone-map pruning fires on BOTH columns at once
     // (single-column clustering leaves the other column's min/max
@@ -279,7 +383,7 @@ object DedupQueries extends Registry {
       require(oK < tK, s"key pruning failed: opened $oK of $tK")
       byPrice.filter(col("o_orderkey") <= maxKey / 10)
     }),
-    // D257: METADATA-ONLY MIN/MAX — the zone maps recorded for file
+    // d143_metadata_range (COVERAGE D257): METADATA-ONLY MIN/MAX — the zone maps recorded for file
     // skipping double as the answer to `SELECT min(x), max(x)`: the
     // global range is the fold of the per-file ranges, one manifest
     // read, zero data I/O (exact only when every non-empty file
@@ -304,7 +408,7 @@ object DedupQueries extends Registry {
       import s.implicits._
       Seq((mn, mx)).toDF("min_price", "max_price")
     }),
-    // D253: ADD-COLUMN SCHEMA EVOLUTION — a live CDC table widens
+    // d140_schema_evolution (COVERAGE D253): ADD-COLUMN SCHEMA EVOLUTION — a live CDC table widens
     // WITHOUT rewriting data: the snapshot starts WITHOUT n_chars, the
     // changelog starts carrying it (a superset batch), and the commit
     // widens the manifest schema in place. The final table is
@@ -335,7 +439,7 @@ object DedupQueries extends Registry {
         "the pre-evolution version's schema drifted")
       out
     }),
-    // D254: VERSIONED RE-BUCKET — the escape hatch from the immutable
+    // d141_rebucket (COVERAGE D254): VERSIONED RE-BUCKET — the escape hatch from the immutable
     // bucket pin: the 16-bucket CDC snapshot is rewritten into a fresh
     // dir at 64 buckets (one bounded rewrite + pointer-style swap by
     // the caller); a point lookup against the NEW table honors ITS pin
@@ -370,7 +474,7 @@ object DedupQueries extends Registry {
         s"64-bucket lookup should open ~1/64: $opened of $total")
       df
     }),
-    // D255: SKIPPING METADATA ON THE ROLLUP'S OWN TABLE — the
+    // d142_rollup_pruned (COVERAGE D255): SKIPPING METADATA ON THE ROLLUP'S OWN TABLE — the
     // maintained aggregate is itself a real table (|groups| can be
     // 10⁶), so "this group's current state" must not scan the state:
     // init/refresh record group-key bloom filters and the point read
@@ -1018,6 +1122,19 @@ object DedupQueries extends Registry {
       SELECT CAST(2 AS BIGINT),
              CAST(count(*) AS BIGINT) FROM documents
       WHERE doc_id % 503 <> 0""",
+    // debt-only packing ≡ the untouched full table
+    "d148_optimize" -> """
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders""",
+    // rename serves old bytes under the new name; the dropped-then-
+    // re-added column is NULL for pre-evolution rows, filled by the
+    // post-evolution append
+    "d149_rename_drop" -> """
+      SELECT doc_id, text, lang, n_chars AS len,
+             CAST(NULL AS VARCHAR) AS source
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, n_chars AS len, source
+      FROM documents WHERE doc_id % 13 = 0""",
     // the compound pruned read ≡ the conjunction filter
     "d147_multi_point" -> """
       SELECT doc_id, text, lang, source, n_chars FROM documents

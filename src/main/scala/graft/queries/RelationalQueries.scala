@@ -1118,6 +1118,41 @@ object RelationalQueries extends Registry {
           JOIN graft_v_nation n ON n.n_nationkey = c.c_nationkey)
         WHERE rnk <= 3""")
     }),
+    // B17: the SQL surface over VERSIONED tables — before round 16 the
+    // lakehouse layer was Scala-method-only. `versioned('<dir>')` /
+    // `versioned('<dir>', N)` resolve manifests into native-parquet
+    // snapshot views (full pushdown/codegen — deliberately NOT a
+    // custom relation), so `spark.sql` time-travels: the query joins
+    // the CURRENT version against VERSION AS OF 1 to count arrivals
+    // per status, plus a scalar subquery over a ZONE-MAP-PRUNED view
+    // whose file skip is require-asserted (the prune happens at
+    // registration, before the scan is planned — at 10⁶ files that
+    // ordering is the feature).
+    "b17_versioned_sql" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_versioned_sql")
+      graft.sources.VersionedTable.drop(s, dir)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.VersionedTable.publish(
+        orders.filter(col("o_orderkey") % 3 =!= 0), dir, "cut-1")
+      graft.sources.VersionedTable.publish(
+        orders.repartitionByRange(8, col("o_totalprice")), dir, "cut-2",
+        statsCols = Seq("o_totalprice"))
+      val (opened, total) = graft.sources.VersionedSql.registerPruned(
+        s, "graft_b17_band", dir, 2L, "o_totalprice", 50000.0, 100000.0)
+      require(opened < total,
+        s"zone-map prune must fire through the SQL view: $opened/$total")
+      graft.sources.VersionedSql.sql(s, s"""
+        SELECT cur.o_orderstatus AS status,
+          CAST(count(*) AS BIGINT) AS n_cur,
+          CAST(sum(CASE WHEN old.o_orderkey IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          (SELECT CAST(count(*) AS BIGINT) FROM graft_b17_band) AS n_band
+        FROM versioned('$dir') cur
+        LEFT JOIN versioned('$dir', 1) old
+          ON cur.o_orderkey = old.o_orderkey
+        GROUP BY cur.o_orderstatus""")
+    }),
     // D79: triangle counting over the co-purchase graph (parts sharing
     // an order, thinned to high-quantity lines so the graph has
     // realistic density) — degree-oriented wedge join, each triangle
@@ -3326,6 +3361,18 @@ object RelationalQueries extends Registry {
         JOIN customer c ON c.c_custkey = s.o_custkey
         JOIN nation n ON n.n_nationkey = c.c_nationkey) t
       WHERE rnk <= 3""",
+    // versioned SQL: current ≡ full orders, VERSION AS OF 1 ≡ the
+    // %3-filtered cut, so arrivals are exactly the %3 == 0 keys; the
+    // pruned-view scalar ≡ the band count
+    "b17_versioned_sql" -> """
+      SELECT o_orderstatus AS status,
+        CAST(count(*) AS BIGINT) AS n_cur,
+        CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders
+          WHERE CAST(o_totalprice AS DOUBLE) >= 50000.0e0
+            AND CAST(o_totalprice AS DOUBLE) <= 100000.0e0) AS n_band
+      FROM orders GROUP BY o_orderstatus""",
     "d36_local_cc" -> """
       WITH it AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

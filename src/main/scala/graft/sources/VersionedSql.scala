@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL SURFACE FOR VERSIONED TABLES — before round 16 the whole
+  * lakehouse layer (time travel, change feeds, point reads) was
+  * Scala-method-only: the engine's SQL front end (b16) could not see a
+  * [[VersionedTable]] at all. This closes the gap two ways:
+  *
+  *  1. VIEW REGISTRATION: [[register]] / [[registerAsOf]] /
+  *     [[registerAsOfTimestamp]] resolve a manifest ONCE and register
+  *     the exact committed file set as a temp view over the NATIVE
+  *     parquet source — deliberately not a custom relation, so every
+  *     Catalyst capability (predicate pushdown into the parquet scan,
+  *     column pruning, whole-stage codegen, AQE) applies untouched.
+  *     The view is a SNAPSHOT by construction: later publishes change
+  *     nothing until re-registered (exactly the semantics `VERSION AS
+  *     OF` promises — a manifest, once resolved, is immutable).
+  *
+  *  2. INLINE TABLE FUNCTIONS: [[sql]] accepts standard SQL extended
+  *     with `versioned('<dir>')` (latest), `versioned('<dir>', N)`
+  *     (version as of N) and `versioned_ts('<dir>', millis)`
+  *     (timestamp as of) wherever a table name can appear, registers
+  *     each referenced snapshot under a stable digest-derived view
+  *     name, rewrites the text, and hands it to `spark.sql` — the
+  *     same preprocessing shape Delta used for `table@v123` before
+  *     SQL-standard time travel landed. The rewrite only touches the
+  *     `versioned(...)` call sites (single-quoted path, no embedded
+  *     quotes); everything else is Spark SQL, parsed by Spark.
+  *
+  * MANIFEST-LEVEL FILE SKIPPING meets SQL through
+  * [[registerPruned]] / [[registerPoint]]: the zone-map / bloom file
+  * prune happens at registration (the view's scan lists ONLY the
+  * surviving files; the residual predicate keeps results exact), so
+  * `spark.sql` over the view reads the same handful of files the
+  * Scala API would — at 10⁶ files the prune must happen before the
+  * scan is planned, not in it. */
+object VersionedSql {
+
+  /** Register the LATEST committed snapshot as temp view `name`. */
+  def register(spark: SparkSession, name: String, dir: String): Long = {
+    val v = VersionedTable.latestVersion(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed version at $dir"))
+    registerAsOf(spark, name, dir, v)
+  }
+
+  /** Register committed `version` as temp view `name` (VERSION AS OF). */
+  def registerAsOf(spark: SparkSession, name: String, dir: String,
+                   version: Long): Long = {
+    VersionedTable.readAsOf(spark, dir, version)
+      .createOrReplaceTempView(name)
+    version
+  }
+
+  /** Register the newest version committed at or before `tsMillis`
+    * (TIMESTAMP AS OF). */
+  def registerAsOfTimestamp(spark: SparkSession, name: String,
+                            dir: String, tsMillis: Long): Unit =
+    VersionedTable.readAsOfTimestamp(spark, dir, tsMillis)
+      .createOrReplaceTempView(name)
+
+  /** Register a ZONE-MAP PRUNED snapshot (`column ∈ [lo, hi]`) — the
+    * view's scan lists only the surviving files; the residual filter
+    * keeps it exactly equal to the full-scan filter. Returns (files
+    * opened, files in the version). */
+  def registerPruned(spark: SparkSession, name: String, dir: String,
+                     version: Long, column: String, lo: Double,
+                     hi: Double): (Int, Int) = {
+    val (df, opened, total) =
+      VersionedTable.readAsOfPruned(spark, dir, version, column, lo, hi)
+    df.createOrReplaceTempView(name)
+    (opened, total)
+  }
+
+  /** Register a BLOOM-PRUNED point lookup (`column = value`) as a
+    * view. Returns (files opened, files in the version). */
+  def registerPoint(spark: SparkSession, name: String, dir: String,
+                    version: Long, column: String, value: Any)
+      : (Int, Int) = {
+    val (df, opened, total) =
+      VersionedTable.readAsOfPoint(spark, dir, version, column, value)
+    df.createOrReplaceTempView(name)
+    (opened, total)
+  }
+
+  private val VersionedRe =
+    raw"versioned\(\s*'([^']+)'(?:\s*,\s*(\d+))?\s*\)".r
+  private val VersionedTsRe =
+    raw"versioned_ts\(\s*'([^']+)'\s*,\s*(\d+)\s*\)".r
+
+  private def viewName(dir: String, tag: String): String = {
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir@$tag"))
+    s"__graft_versioned_$h"
+  }
+
+  /** Run SQL whose FROM clauses may reference versioned tables via
+    * `versioned('<dir>')`, `versioned('<dir>', N)` and
+    * `versioned_ts('<dir>', millis)`. Each distinct reference resolves
+    * its manifest once, registers the snapshot view, and the rewritten
+    * text runs through the ordinary `spark.sql` front end. */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    var rewritten = VersionedTsRe.replaceAllIn(text, m => {
+      val (dir, ts) = (m.group(1), m.group(2).toLong)
+      val name = viewName(dir, s"ts$ts")
+      registerAsOfTimestamp(spark, name, dir, ts)
+      name
+    })
+    rewritten = VersionedRe.replaceAllIn(rewritten, m => {
+      val dir = m.group(1)
+      val name = Option(m.group(2)) match {
+        case Some(v) =>
+          val n = viewName(dir, s"v$v")
+          registerAsOf(spark, n, dir, v.toLong)
+          n
+        case None =>
+          val n = viewName(dir, "latest")
+          register(spark, n, dir)
+          n
+      }
+      name
+    })
+    spark.sql(rewritten)
+  }
+}

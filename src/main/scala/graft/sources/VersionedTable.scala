@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** ATOMIC VERSIONED PUBLISH + TIME-TRAVEL — the missing table-format
   * capability over plain parquet directories: every other sink here
@@ -100,12 +100,26 @@ object VersionedTable {
   private def manifestDir(dir: String) = new Path(dir, "_manifests")
 
   /** Committed manifest: (version, batchId, schemaJson, relative data
-    * file paths, per-file zone-map stats `(file, column, min, max)`
-    * for numeric columns the publisher asked to track, per-file bloom
-    * filters `(file, column, mBits, k, base64 bits)` for point-lookup
-    * columns, per-file exact row counts `(file, rows)` — recorded at
-    * every commit since round 15 so `count(*)` is ONE manifest read
-    * with zero per-file I/O). */
+    * file paths). Per-file metadata lives in two places:
+    *
+    *  - LEGACY INLINE (manifests written before round 16): zone-map
+    *    stats `(file, column, min, max)`, bloom filters
+    *    `(file, column, mBits, k, base64 bits)`, exact row counts
+    *    `(file, rows)` and byte sizes `(file, size)` as stat=/bloom=/
+    *    rows=/size= lines in the manifest body — still parsed, still
+    *    honored.
+    *  - SIDECARS (every commit since round 16): the manifest carries
+    *    only REFERENCES — `metaref=` (one `_meta/<uuid>.meta` text sidecar
+    *    holding stat/rows/size lines) and `bloomref=` (one PER-COLUMN
+    *    `_meta/<uuid>.bloom` sidecar holding that column's bloom lines).
+    *    Carried files reference the PREVIOUS commit's sidecars, so a
+    *    1-file CDC merge writes O(change) metadata bytes, not
+    *    O(table) — the round-15 inline manifest was the named 100×
+    *    metadata-plane hazard (a 10⁶-file table's manifest carried
+    *    every file's stats plus ~700 KB of base64 bloom payload per
+    *    (file, column), rewritten whole at every commit and parsed
+    *    whole on every read resolution). A point probe now loads
+    *    ONLY the probed column's bloom sidecars. */
   private[graft] case class Manifest(version: Long, batchId: String,
                                      schemaJson: String,
                                      files: Seq[String],
@@ -113,7 +127,69 @@ object VersionedTable {
                                      ts: Long = 0L,
                                      blooms: Seq[(String, String, Int, Int, String)] = Nil,
                                      rowCounts: Seq[(String, Long)] = Nil,
-                                     sizes: Seq[(String, Long)] = Nil)
+                                     sizes: Seq[(String, Long)] = Nil,
+                                     metaRefs: Seq[String] = Nil,
+                                     bloomRefs: Seq[(String, String)] = Nil,
+                                     colmapRefs: Seq[String] = Nil)
+
+  // ---- per-file metadata line grammar (shared by manifest bodies and
+  // sidecar files — one grammar, one parser, one serializer) ----------
+
+  private def parseStatLines(lines: Seq[String])
+      : Seq[(String, String, Double, Double)] =
+    lines.filter(_.startsWith("stat=")).flatMap { l =>
+      l.drop(5).split(StatSep, -1) match {
+        case Array(f, c, mn, mx) => scala.util.Try(
+          (f, c, mn.toDouble, mx.toDouble)).toOption
+        case _ => None
+      }
+    }
+
+  private def parseBloomLines(lines: Seq[String])
+      : Seq[(String, String, Int, Int, String)] =
+    lines.filter(_.startsWith("bloom=")).flatMap { l =>
+      l.drop(6).split(StatSep, -1) match {
+        case Array(f, c, mb, k, bits) => scala.util.Try(
+          (f, c, mb.toInt, k.toInt, bits)).toOption
+        case _ => None
+      }
+    }
+
+  private def parseLongPairs(lines: Seq[String], key: String)
+      : Seq[(String, Long)] =
+    lines.filter(_.startsWith(key + "=")).flatMap { l =>
+      l.drop(key.length + 1).split(StatSep, -1) match {
+        case Array(f, n) => scala.util.Try((f, n.toLong)).toOption
+        case _ => None
+      }
+    }
+
+  /** `colmap=` lines carry per-file PHYSICAL→LOGICAL column mappings
+    * (rename/drop evolution): an empty logical marks a MASKED physical
+    * (a dropped — or renamed-away — column name whose on-disk data
+    * must never serve a same-named logical column again). Later
+    * sidecars override earlier ones per (file, physical). */
+  private def parseColMapLines(lines: Seq[String])
+      : Seq[(String, String, String)] =
+    lines.filter(_.startsWith("colmap=")).flatMap { l =>
+      l.drop(7).split(StatSep, 3) match {
+        case Array(f, p, lg) => Some((f, p, lg))
+        case Array(f, p) => Some((f, p, ""))
+        case _ => None
+      }
+    }
+
+  private def colmapLine(c: (String, String, String)): String =
+    s"colmap=${c._1}$StatSep${c._2}$StatSep${c._3}"
+
+  private def statLine(s: (String, String, Double, Double)): String =
+    s"stat=${s._1}$StatSep${s._2}$StatSep${s._3}$StatSep${s._4}"
+  private def bloomLine(b: (String, String, Int, Int, String)): String =
+    s"bloom=${b._1}$StatSep${b._2}$StatSep${b._3}$StatSep${b._4}$StatSep${b._5}"
+  private def rowLine(r: (String, Long)): String =
+    s"rows=${r._1}$StatSep${r._2}"
+  private def sizeLine(r: (String, Long)): String =
+    s"size=${r._1}$StatSep${r._2}"
 
   /** One parser for BOTH manifest flavors (committed + staged): the
     * payload line grammar is identical, only the terminator and the
@@ -135,34 +211,20 @@ object VersionedTable {
         scala.util.Try(v.toLong).toOption).getOrElse(-1L),
       b, s,
       lines.filter(_.startsWith("file=")).map(_.drop(5)),
-      lines.filter(_.startsWith("stat=")).flatMap { l =>
-        l.drop(5).split(StatSep, -1) match {
-          case Array(f, c, mn, mx) => scala.util.Try(
-            (f, c, mn.toDouble, mx.toDouble)).toOption
-          case _ => None
-        }
-      },
+      parseStatLines(lines),
       field("ts").flatMap(t =>
         scala.util.Try(t.toLong).toOption).getOrElse(0L),
-      lines.filter(_.startsWith("bloom=")).flatMap { l =>
-        l.drop(6).split(StatSep, -1) match {
-          case Array(f, c, mb, k, bits) => scala.util.Try(
-            (f, c, mb.toInt, k.toInt, bits)).toOption
+      parseBloomLines(lines),
+      parseLongPairs(lines, "rows"),
+      parseLongPairs(lines, "size"),
+      lines.filter(_.startsWith("metaref=")).map(_.drop(8)),
+      lines.filter(_.startsWith("bloomref=")).flatMap { l =>
+        l.drop(9).split(StatSep, 2) match {
+          case Array(p, c) => Some((p, c))
           case _ => None
         }
       },
-      lines.filter(_.startsWith("rows=")).flatMap { l =>
-        l.drop(5).split(StatSep, -1) match {
-          case Array(f, n) => scala.util.Try((f, n.toLong)).toOption
-          case _ => None
-        }
-      },
-      lines.filter(_.startsWith("size=")).flatMap { l =>
-        l.drop(5).split(StatSep, -1) match {
-          case Array(f, n) => scala.util.Try((f, n.toLong)).toOption
-          case _ => None
-        }
-      })
+      lines.filter(_.startsWith("colmapref=")).map(_.drop(10)))
   }
 
   private def readAll(in: java.io.InputStream): String = {
@@ -183,8 +245,22 @@ object VersionedTable {
       case _: java.io.FileNotFoundException => return None
     }
     val txt = try readAll(in) finally in.close()
-    // a committed manifest must carry its version number
-    parseManifestText(txt, Terminator).filter(_.version > 0L)
+    // a committed manifest must carry its version number. The
+    // terminator is written LAST, so a terminated manifest is a
+    // complete body: a version line that is PRESENT but malformed is
+    // corruption and must fail loudly (silently treating it as
+    // uncommitted would quietly serve readers an older latest); a
+    // version line ABSENT from a terminated body is the same
+    // corruption class (only staged manifests legitimately omit it,
+    // and they live in _staged/ with a different terminator).
+    val parsed = parseManifestText(txt, Terminator)
+    if (parsed.exists(_.version <= 0L) ||
+        (parsed.isEmpty && txt.split("\n", -1).contains(Terminator)))
+      throw new IllegalStateException(
+        s"corrupt committed manifest at $p: terminated body with a " +
+          "missing or malformed version/batchId/schema line — refusing " +
+          "to silently hide a committed version")
+    parsed
   }
 
   /** FULL parse of every committed manifest — the cold path. Only
@@ -374,11 +450,12 @@ object VersionedTable {
     val files = statuses.map(s => s"$dataRel/${s.getPath.getName}").sorted
     val sizes = statuses.map(s =>
       s"$dataRel/${s.getPath.getName}" -> s.getLen)
-    commitManifest(fs, dir, batchId, df.schema.json, files, maxRetries,
-      fileStats(spark, dir, files, statsCols),
+    val (metaRefs, bloomRefs, colmapRefs) = prepareMeta(spark, dir,
+      files, fileStats(spark, dir, files, statsCols),
       fileBlooms(spark, dir, files, bloomCols),
-      fileRowCounts(spark, dir, files),
-      sizes)
+      fileRowCounts(spark, dir, files), sizes)
+    commitManifest(fs, dir, batchId, df.schema.json, files, maxRetries,
+      metaRefs, bloomRefs, colmapRefs)
   }
 
   /** [[publish]] with [[publishFilesIfUnchanged]]'s optimistic
@@ -414,6 +491,22 @@ object VersionedTable {
         s"$dataRel/${s.getPath.getName}" -> s.getLen))
   }
 
+  /** Map `input_file_name()` outputs back to dir-relative manifest
+    * paths by FULL path (the URI path component, decoded on both
+    * sides). The round-14 last-two-components key mis-keys two ways
+    * the full path cannot: externally-committed SINGLE-component
+    * relative paths never match a two-component key, and two files
+    * sharing the same parent/basename pair (different data dirs)
+    * collide in the map. */
+  private def byUriPath(fs: FileSystem, dir: String,
+                        files: Seq[String]): Map[String, String] =
+    files.map(f =>
+      fs.makeQualified(new Path(dir, f)).toUri.getPath -> f).toMap
+
+  private def uriPathOf(inputFileName: String): String =
+    scala.util.Try(new java.net.URI(inputFileName).getPath).toOption
+      .filter(p => p != null && p.nonEmpty).getOrElse(inputFileName)
+
   /** Per-(file, column) min/max of `statsCols` over `files` — ONE
     * narrow scan grouped by `input_file_name()` (columnar, reads only
     * the stat columns). Files where a column is all-null emit no stat
@@ -433,15 +526,9 @@ object VersionedTable {
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per file — bounded by the publish's files
-    // key on the LAST TWO path components, not the basename: a
-    // bucket-partitioned write gives every bucket file the SAME
-    // part-file basename (only the __bucket=N dir differs), and a
-    // basename map silently collapses to one entry
-    val byName = files.map(f =>
-      f.split("/").takeRight(2).mkString("/") -> f).toMap
+    val byPath = byUriPath(fsOf(spark, dir), dir, files)
     rows.toSeq.flatMap { r =>
-      val name = r.getString(0).split("/").takeRight(2).mkString("/")
-      byName.get(name).toSeq.flatMap { rel =>
+      byPath.get(uriPathOf(r.getString(0))).toSeq.flatMap { rel =>
         statsCols.flatMap { c =>
           val (iMn, iMx) = (r.fieldIndex(s"__mn_$c"), r.fieldIndex(s"__mx_$c"))
           if (r.isNullAt(iMn) || r.isNullAt(iMx)) None
@@ -465,40 +552,49 @@ object VersionedTable {
                                    files: Seq[String])
       : Seq[(String, Long)] = {
     if (files.isEmpty) return Nil
-    if (files.size <= RowCountScanThreshold) {
-      // parallel footer reads (a sequential loop at the threshold is
-      // ~0.5 s of driver latency per commit — measured on d121's
-      // 64-bucket init)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, files.size))
-      try {
-        val futures = files.map { f =>
-          pool.submit(new java.util.concurrent.Callable[(String, Long)] {
-            def call(): (String, Long) = {
-              val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromPath(new Path(dir, f), conf)
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-              f -> (try r.getRecordCount finally r.close())
-            }
-          })
-        }
-        return futures.map(_.get())
-      } finally pool.shutdown()
-    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (files.size <= RowCountScanThreshold)
+      return parallelFooterCounts(conf, dir, files)
     import org.apache.spark.sql.functions._
     val rows = spark.read
       .parquet(files.map(f => new Path(dir, f).toString): _*)
       .groupBy(input_file_name().as("__f"))
       .agg(count(lit(1)).as("__n"))
       .collect() // one row per non-empty file — bounded by the publish
-    // same last-two-components keying as fileStats (bucketed writes
-    // repeat part-file basenames across __bucket=N dirs)
-    val counted = rows.map(r =>
-      r.getString(0).split("/").takeRight(2).mkString("/") ->
-        r.getLong(1)).toMap
-    files.map(f =>
-      f -> counted.getOrElse(f.split("/").takeRight(2).mkString("/"), 0L))
+    val byPath = byUriPath(fsOf(spark, dir), dir, files)
+    val counted = rows.toSeq.flatMap(r =>
+      byPath.get(uriPathOf(r.getString(0))).map(_ -> r.getLong(1))).toMap
+    // files absent from the grouped result are EITHER empty part files
+    // (the scan emits no row for them) OR scan outputs our key failed
+    // to match — footer-read them rather than record a silently wrong
+    // 0 (counted into footerReads so specs see the slow path fire)
+    val unmatched = files.filterNot(counted.contains)
+    unmatched.foreach(_ => footerReads.incrementAndGet())
+    counted.toSeq ++ parallelFooterCounts(conf, dir, unmatched)
+  }
+
+  /** Driver-side parquet footer record counts, on a bounded thread
+    * pool (a sequential loop is ~0.5 s per 64-file commit — measured
+    * on d121's 64-bucket init). */
+  private def parallelFooterCounts(conf: org.apache.hadoop.conf.Configuration,
+                                   dir: String, files: Seq[String])
+      : Seq[(String, Long)] = {
+    if (files.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    try {
+      val futures = files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[(String, Long)] {
+          def call(): (String, Long) = {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(dir, f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            f -> (try r.getRecordCount finally r.close())
+          }
+        })
+      }
+      futures.map(_.get())
+    } finally pool.shutdown()
   }
 
   /** Per-file byte sizes over `files` — one FileStatus probe per NEW
@@ -557,13 +653,9 @@ object VersionedTable {
       .groupBy(col("__f"), col("__c"))
       .agg(collect_set(col("__p")).as("__ps"))
       .collect() // ≤ files × cols rows, each ≤ m positions
-    // same last-two-components keying as fileStats (bucketed writes
-    // repeat basenames across __bucket=N dirs)
-    val byName = files.map(f =>
-      f.split("/").takeRight(2).mkString("/") -> f).toMap
+    val byPath = byUriPath(fsOf(spark, dir), dir, files)
     rows.toSeq.flatMap { r =>
-      val name = r.getString(0).split("/").takeRight(2).mkString("/")
-      byName.get(name).map { rel =>
+      byPath.get(uriPathOf(r.getString(0))).map { rel =>
         val bits = new java.util.BitSet(mBits)
         r.getSeq[Long](2).foreach(p => bits.set(p.toInt))
         (rel, r.getString(1), mBits, BloomK,
@@ -572,51 +664,270 @@ object VersionedTable {
     }
   }
 
-  /** STAT/BLOOM/ROW-COUNT INHERITANCE for copy-on-write commits:
-    * files a new version CARRIES from the previous latest are
-    * byte-identical, so their recorded zone maps / blooms / row
-    * counts stay valid — inherit them into the new manifest
-    * (caller-provided entries for the same (file, column) win)
-    * instead of silently dropping skipping metadata on every merge
-    * trigger. Files still lacking a row count after inheritance (the
-    * commit's NEW files) are counted by one narrow scan — so every
-    * commit path leaves a COMPLETE per-file count set and
-    * [[rowCountOf]] never falls back to footer I/O. One extra
-    * manifest read per commit. */
-  private def inheritFileMeta(spark: SparkSession, dir: String,
-                              files: Seq[String],
-                              stats: Seq[(String, String, Double, Double)],
-                              blooms: Seq[(String, String, Int, Int, String)],
-                              rowCounts: Seq[(String, Long)] = Nil,
-                              sizes: Seq[(String, Long)] = Nil)
-      : (Seq[(String, String, Double, Double)],
-         Seq[(String, String, Int, Int, String)],
-         Seq[(String, Long)],
+  // ---- sidecar metadata plane (round 16) ---------------------------
+  //
+  // Per-file metadata (zone maps, blooms, row counts, sizes) no longer
+  // lives in the manifest body: each commit writes its NEW files'
+  // metadata into immutable sidecar files under `_meta/` and the
+  // manifest carries references; carried files keep pointing at the
+  // sidecars the commit that ADDED them wrote. Commit metadata cost is
+  // therefore O(change) bytes, not O(table files) — the Delta
+  // parquet-checkpoint / Iceberg puffin shape. Sidecars are written
+  // BEFORE the manifest commit (crash → aged `_meta` orphan, reclaimed
+  // by [[gc]]'s grace window, same as data files) and verified to
+  // exist in [[postCommit]]. Readers resolve lazily: stats/rows/sizes
+  // from `metaref=` sidecars on demand, blooms ONLY for the probed
+  // column's `bloomref=` sidecars. A vanished sidecar (a gc racing a
+  // restore of a dropped version) degrades CONSERVATIVELY — missing
+  // stats keep files, missing counts fall back to footers — never to
+  // wrong data.
+
+  private def metaDir(dir: String) = new Path(dir, "_meta")
+
+  /** Bound on carried sidecar references: when a commit would carry
+    * more, it CONSOLIDATES — loads every referenced entry, filters to
+    * its live file set, and writes one merged sidecar. Amortized
+    * O(live/64) per commit; keeps both the manifest's ref list and the
+    * reader's sidecar fan-in bounded on long CDC chains, and drops
+    * dead-file entries on the same cadence. `@volatile var` is a TEST
+    * SEAM only (the consolidation spec lowers it rather than paying 65
+    * real commits); production code never writes it. */
+  @volatile private[graft] var MaxMetaRefs = 64
+
+  /** Parse one meta sidecar (stat=/rows=/size= lines). A MISSING
+    * sidecar degrades to no entries — conservative by every consumer's
+    * contract. */
+  private def readMetaSidecar(fs: FileSystem, dir: String, rel: String)
+      : (Seq[(String, String, Double, Double)], Seq[(String, Long)],
          Seq[(String, Long)]) = {
-    val (st, bl, inheritedRows, inheritedSizes) =
-      latestManifest(spark, dir) match {
-        case None => (stats, blooms, rowCounts, sizes)
-        case Some(prev) =>
-          val carried = files.toSet intersect prev.files.toSet
-          val haveStat = stats.map(s => (s._1, s._2)).toSet
-          val haveBloom = blooms.map(b => (b._1, b._2)).toSet
-          val haveRows0 = rowCounts.map(_._1).toSet
-          val haveSizes0 = sizes.map(_._1).toSet
-          (stats ++ prev.stats.filter(s =>
-             carried(s._1) && !haveStat((s._1, s._2))),
-           blooms ++ prev.blooms.filter(b =>
-             carried(b._1) && !haveBloom((b._1, b._2))),
-           rowCounts ++ prev.rowCounts.filter(rc =>
-             carried(rc._1) && !haveRows0(rc._1)),
-           sizes ++ prev.sizes.filter(sz =>
-             carried(sz._1) && !haveSizes0(sz._1)))
+    val in = try fs.open(new Path(dir, rel)) catch {
+      case _: java.io.FileNotFoundException => return (Nil, Nil, Nil)
+    }
+    val lines = (try readAll(in) finally in.close()).split("\n", -1).toSeq
+    (parseStatLines(lines), parseLongPairs(lines, "rows"),
+      parseLongPairs(lines, "size"))
+  }
+
+  /** Parse one bloom sidecar (bloom= lines, single column). */
+  private def readBloomSidecar(fs: FileSystem, dir: String, rel: String)
+      : Seq[(String, String, Int, Int, String)] = {
+    val in = try fs.open(new Path(dir, rel)) catch {
+      case _: java.io.FileNotFoundException => return Nil
+    }
+    parseBloomLines(
+      (try readAll(in) finally in.close()).split("\n", -1).toSeq)
+  }
+
+  /** A version's complete (stats, rowCounts, sizes): legacy inline
+    * entries ++ every `metaref=` sidecar, filtered to the version's
+    * live file set (carried refs may cover since-removed files — their
+    * entries are simply dead). Later duplicates win in the maps; dup
+    * entries describe the same immutable file so they agree. */
+  private[graft] def loadFileMeta(fs: FileSystem, dir: String, m: Manifest)
+      : (Seq[(String, String, Double, Double)], Map[String, Long],
+         Map[String, Long]) = {
+    val live = m.files.toSet
+    val fromRefs = m.metaRefs.map(readMetaSidecar(fs, dir, _))
+    val stats = (m.stats ++ fromRefs.flatMap(_._1))
+      .filter(s => live(s._1))
+      .distinctBy(s => (s._1, s._2))
+    val rows = (m.rowCounts ++ fromRefs.flatMap(_._2))
+      .filter(r => live(r._1)).toMap
+    val sizes = (m.sizes ++ fromRefs.flatMap(_._3))
+      .filter(s => live(s._1)).toMap
+    (stats, rows, sizes)
+  }
+
+  /** ONE column's bloom filters for a version — legacy inline entries
+    * plus ONLY that column's `bloomref=` sidecars (the point probe
+    * never pays for other columns' payloads). */
+  private[graft] def loadBlooms(fs: FileSystem, dir: String, m: Manifest,
+                                column: String)
+      : Map[String, (String, String, Int, Int, String)] = {
+    val live = m.files.toSet
+    val entries = m.blooms.filter(_._2 == column) ++
+      m.bloomRefs.filter(_._2 == column)
+        .flatMap(r => readBloomSidecar(fs, dir, r._1))
+        .filter(_._2 == column)
+    entries.filter(b => live(b._1)).map(b => b._1 -> b).toMap
+  }
+
+  /** Parse one colmap sidecar. Order matters (later sidecars override
+    * earlier per (file, physical)); a missing sidecar contributes
+    * nothing — NOT conservative like stats (a lost mapping would
+    * mis-serve renamed data), which is why colmap refs are verified at
+    * commit and protected by gc like data files. */
+  private def readColMapSidecar(fs: FileSystem, dir: String, rel: String)
+      : Seq[(String, String, String)] = {
+    val in = try fs.open(new Path(dir, rel)) catch {
+      case _: java.io.FileNotFoundException => return Nil
+    }
+    parseColMapLines(
+      (try readAll(in) finally in.close()).split("\n", -1).toSeq)
+  }
+
+  /** Per-file PHYSICAL→LOGICAL mappings for a version: the fold of its
+    * colmap refs IN ORDER (later wins per (file, physical)), filtered
+    * to the live file set. Empty for tables that never renamed or
+    * dropped a column — the zero-cost common case. */
+  private def loadColMaps(fs: FileSystem, dir: String, m: Manifest)
+      : Map[String, Map[String, String]] = {
+    if (m.colmapRefs.isEmpty) return Map.empty
+    val live = m.files.toSet
+    val acc = scala.collection.mutable.Map[String, Map[String, String]]()
+    m.colmapRefs.foreach { r =>
+      readColMapSidecar(fs, dir, r).foreach { case (f, p, l) =>
+        if (live(f)) acc(f) = acc.getOrElse(f, Map.empty) + (p -> l)
       }
-    val haveRows = inheritedRows.map(_._1).toSet
-    val freshRows = fileRowCounts(spark, dir, files.filterNot(haveRows))
-    val haveSizes = inheritedSizes.map(_._1).toSet
-    val freshSizes = fileSizes(fsOf(spark, dir), dir,
-      files.filterNot(haveSizes))
-    (st, bl, inheritedRows ++ freshRows, inheritedSizes ++ freshSizes)
+    }
+    acc.toMap
+  }
+
+  private def writeSidecar(fs: FileSystem, dir: String, rel: String,
+                           lines: Seq[String]): Unit = {
+    fs.mkdirs(metaDir(dir))
+    val o = fs.create(new Path(dir, rel), false)
+    try o.write((lines.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally o.close()
+  }
+
+  /** Prepare a commit's metadata plane: write sidecars for this
+    * commit's NEW metadata, carry the previous latest's sidecar
+    * references forward BY REFERENCE for carried files, and return the
+    * final (metaRefs, bloomRefs) for the manifest body.
+    *
+    *  - `stats`/`blooms`/`rowCounts`/`sizes`: the caller's NEW-file
+    *    metadata (computed over the files it just wrote).
+    *  - Files carried from the previous latest are covered by ITS refs
+    *    (every sidecar-era commit leaves complete coverage — the
+    *    inheritance induction); legacy INLINE entries for carried
+    *    files migrate into this commit's sidecar once.
+    *  - `extraRefs`/`extraCovered`: references the CALLER knows cover
+    *    some of its files (restore carries the restored version's
+    *    refs), so nothing is recounted.
+    *  - Files still uncovered for rows/sizes after all of the above
+    *    (externally-written paths) are counted/stat'd fresh, so every
+    *    commit path leaves a COMPLETE per-file count set and
+    *    [[rowCountOf]] stays footer-free. */
+  private def prepareMeta(spark: SparkSession, dir: String,
+                          files: Seq[String],
+                          stats: Seq[(String, String, Double, Double)],
+                          blooms: Seq[(String, String, Int, Int, String)],
+                          rowCounts: Seq[(String, Long)],
+                          sizes: Seq[(String, Long)],
+                          extraRefs: (Seq[String], Seq[(String, String)],
+                            Seq[String]) = (Nil, Nil, Nil),
+                          extraCovered: Set[String] = Set.empty,
+                          colMaps: Seq[(String, String, String)] = Nil)
+      : (Seq[String], Seq[(String, String)], Seq[String]) = {
+    val fs = fsOf(spark, dir)
+    val prev = latestManifest(spark, dir)
+    val fileSet = files.toSet
+    val carried = prev.map(p => fileSet intersect p.files.toSet)
+      .getOrElse(Set.empty[String])
+    // carry forward by reference — the O(change) core. A commit that
+    // carries NOTHING (publish/compact full rewrites) takes no refs:
+    // every prev entry would be dead weight for its readers.
+    val prevRefs = prev.filter(_ => carried.nonEmpty)
+    var metaRefs = (prevRefs.map(_.metaRefs).getOrElse(Nil) ++
+      extraRefs._1).distinct
+    var bloomRefs = (prevRefs.map(_.bloomRefs).getOrElse(Nil) ++
+      extraRefs._2).distinct
+    // colmap refs: ORDER IS SEMANTICS (later wins), so no distinct
+    // reshuffling — carried refs in their original order, extras after
+    var colmapRefs = {
+      val c = prevRefs.map(_.colmapRefs).getOrElse(Nil) ++ extraRefs._3
+      c.foldLeft(Seq.empty[String])((acc, r) =>
+        if (acc.contains(r)) acc else acc :+ r)
+    }
+    var newColMaps = colMaps
+    // legacy inline entries for carried files migrate into THIS
+    // commit's sidecar (once: after this commit they live in a ref)
+    val legacyStats = prev.map(_.stats.filter(s => carried(s._1)))
+      .getOrElse(Nil)
+    val legacyBlooms = prev.map(_.blooms.filter(b => carried(b._1)))
+      .getOrElse(Nil)
+    val legacyRows = prev.map(_.rowCounts.filter(r => carried(r._1)))
+      .getOrElse(Nil)
+    val legacySizes = prev.map(_.sizes.filter(s => carried(s._1)))
+      .getOrElse(Nil)
+    // carried-file rows/sizes coverage: a sidecar-era prev covers every
+    // carried file through its refs (induction); a legacy prev covers
+    // exactly its inline entries — the rest are counted fresh
+    def carriedCovered(inline: Seq[(String, Long)]): Set[String] =
+      prev match {
+        case Some(p) if p.metaRefs.nonEmpty => carried
+        case Some(_) => inline.map(_._1).toSet
+        case None => Set.empty
+      }
+    val rowsCovered = rowCounts.map(_._1).toSet ++
+      carriedCovered(legacyRows) ++ legacyRows.map(_._1) ++ extraCovered
+    val sizesCovered = sizes.map(_._1).toSet ++
+      carriedCovered(legacySizes) ++ legacySizes.map(_._1) ++ extraCovered
+    val freshRows = fileRowCounts(spark, dir, files.filterNot(rowsCovered))
+    val freshSizes = fileSizes(fs, dir, files.filterNot(sizesCovered))
+    var newStats = (stats ++ legacyStats).distinctBy(s => (s._1, s._2))
+    var newBlooms = (blooms ++ legacyBlooms).distinctBy(b => (b._1, b._2))
+    var newRows = (rowCounts ++ legacyRows ++ freshRows).distinctBy(_._1)
+    var newSizes = (sizes ++ legacySizes ++ freshSizes).distinctBy(_._1)
+    // consolidation: bound the carried ref list (amortized O(live)/64)
+    if (metaRefs.size >= MaxMetaRefs) {
+      val loaded = metaRefs.map(readMetaSidecar(fs, dir, _))
+      newStats = (newStats ++ loaded.flatMap(_._1))
+        .filter(s => fileSet(s._1)).distinctBy(s => (s._1, s._2))
+      newRows = (newRows ++ loaded.flatMap(_._2))
+        .filter(r => fileSet(r._1)).distinctBy(_._1)
+      newSizes = (newSizes ++ loaded.flatMap(_._3))
+        .filter(s => fileSet(s._1)).distinctBy(_._1)
+      metaRefs = Nil
+    }
+    val bloomRefsByCol = bloomRefs.groupBy(_._2)
+    val overfullCols = bloomRefsByCol.collect {
+      case (c, refs) if refs.size >= MaxMetaRefs => c
+    }.toSet
+    if (overfullCols.nonEmpty) {
+      val consolidated = overfullCols.toSeq.flatMap { c =>
+        bloomRefsByCol(c).flatMap(r => readBloomSidecar(fs, dir, r._1))
+          .filter(b => b._2 == c && fileSet(b._1))
+      }
+      newBlooms = (newBlooms ++ consolidated).distinctBy(b => (b._1, b._2))
+      bloomRefs = bloomRefs.filterNot(r => overfullCols(r._2))
+    }
+    if (colmapRefs.size >= MaxMetaRefs) {
+      // fold IN ORDER to the final per-(file, physical) mapping, then
+      // emit it once — later-wins semantics survive the collapse
+      val folded = scala.collection.mutable
+        .LinkedHashMap[(String, String), String]()
+      colmapRefs.foreach(r => readColMapSidecar(fs, dir, r).foreach {
+        case (f, p, l) => if (fileSet(f)) folded((f, p)) = l
+      })
+      newColMaps = folded.toSeq.map { case ((f, p), l) => (f, p, l) } ++
+        newColMaps
+      colmapRefs = Nil
+    }
+    // write THIS commit's sidecars (immutable, invisible until the
+    // manifest referencing them commits)
+    val uuid = java.util.UUID.randomUUID().toString
+    val metaLines = newStats.map(statLine) ++ newRows.map(rowLine) ++
+      newSizes.map(sizeLine)
+    if (metaLines.nonEmpty) {
+      val rel = s"_meta/$uuid.meta"
+      writeSidecar(fs, dir, rel, metaLines)
+      metaRefs = metaRefs :+ rel
+    }
+    newBlooms.groupBy(_._2).toSeq.sortBy(_._1).zipWithIndex.foreach {
+      case ((c, entries), i) =>
+        val rel = s"_meta/$uuid.$i.bloom"
+        writeSidecar(fs, dir, rel, entries.map(bloomLine))
+        bloomRefs = bloomRefs :+ (rel, c)
+    }
+    if (newColMaps.nonEmpty) {
+      val rel = s"_meta/$uuid.colmap"
+      writeSidecar(fs, dir, rel, newColMaps.map(colmapLine))
+      colmapRefs = colmapRefs :+ rel
+    }
+    (metaRefs, bloomRefs, colmapRefs)
   }
 
   /** Commit EXTERNALLY-WRITTEN data files (paths relative to `dir`,
@@ -643,9 +954,10 @@ object VersionedTable {
       case Some(s) => return s.version // replay: already committed
       case None =>
     }
-    val (st, bl, rc, sz) = inheritFileMeta(spark, dir, files, stats, Nil)
+    val (metaRefs, bloomRefs, colmapRefs) =
+      prepareMeta(spark, dir, files, stats, Nil, Nil, Nil)
     commitManifest(fs, dir, batchId, schemaJson, files.sorted, maxRetries,
-      st, bl, rc, sz)
+      metaRefs, bloomRefs, colmapRefs)
   }
 
   /** OPTIMISTIC-CONCURRENCY commit for READ-MODIFY-WRITE publishers
@@ -673,7 +985,11 @@ object VersionedTable {
                               stats: Seq[(String, String, Double, Double)] = Nil,
                               blooms: Seq[(String, String, Int, Int, String)] = Nil,
                               rowCounts: Seq[(String, Long)] = Nil,
-                              sizes: Seq[(String, Long)] = Nil)
+                              sizes: Seq[(String, Long)] = Nil,
+                              extraRefs: (Seq[String], Seq[(String, String)],
+                                Seq[String]) = (Nil, Nil, Nil),
+                              extraCovered: Set[String] = Set.empty,
+                              colMaps: Seq[(String, String, String)] = Nil)
       : Long = {
     require(!batchId.contains("\n") && batchId.nonEmpty,
       "batchId must be a non-empty single-line string")
@@ -685,9 +1001,11 @@ object VersionedTable {
       case None =>
     }
     fs.mkdirs(manifestDir(dir))
-    // carried files keep their skipping metadata across the commit
-    val (st, bl, rc, sz) = inheritFileMeta(spark, dir, files, stats,
-      blooms, rowCounts, sizes)
+    // carried files keep their skipping metadata across the commit —
+    // by sidecar REFERENCE, so the commit writes O(change) bytes
+    val (metaRefs, bloomRefs, colmapRefs) = prepareMeta(spark, dir,
+      files, stats, blooms, rowCounts, sizes, extraRefs, extraCovered,
+      colMaps)
     // TWO-PHASE: claim the slot and write the body WITHOUT the
     // terminator (invisible), validate the window, only then
     // terminate. Validating after visibility is not enough — a third
@@ -697,12 +1015,9 @@ object VersionedTable {
     val body = (Seq(s"version=%d", s"batchId=$batchId",
       s"ts=${System.currentTimeMillis()}", s"schema=$schemaJson") ++
       files.sorted.map(f => s"file=$f") ++
-      st.map { case (f, c, mn, mx) =>
-        s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
-      bl.map { case (f, c, mb, k, bits) =>
-        s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } ++
-      rc.map { case (f, n) => s"rows=$f$StatSep$n" } ++
-      sz.map { case (f, n) => s"size=$f$StatSep$n" })
+      metaRefs.map(r => s"metaref=$r") ++
+      bloomRefs.map { case (p, c) => s"bloomref=$p$StatSep$c" } ++
+      colmapRefs.map(r => s"colmapref=$r"))
     var attempt = 0
     while (attempt < 20) {
       val next = maxSlot(fs, dir) + 1L
@@ -737,9 +1052,11 @@ object VersionedTable {
             try o.close() catch { case _: Throwable => () }
           } else o.close()
           // ownership verify + canonicalization/data checks, as in
-          // the unconditional commit path
+          // the unconditional commit path (sidecar refs verified too)
           if (readManifest(fs, mPath).exists(_.batchId == batchId))
-            return postCommit(fs, dir, batchId, next, files.sorted)
+            return postCommit(fs, dir, batchId, next,
+              files.sorted ++ metaRefs ++ bloomRefs.map(_._1) ++
+                colmapRefs)
           attempt += 1
         case None => attempt += 1
       }
@@ -815,10 +1132,9 @@ object VersionedTable {
   private def commitManifest(fs: FileSystem, dir: String, batchId: String,
                              schemaJson: String, files: Seq[String],
                              maxRetries: Int,
-                             stats: Seq[(String, String, Double, Double)] = Nil,
-                             blooms: Seq[(String, String, Int, Int, String)] = Nil,
-                             rowCounts: Seq[(String, Long)] = Nil,
-                             sizes: Seq[(String, Long)] = Nil)
+                             metaRefs: Seq[String] = Nil,
+                             bloomRefs: Seq[(String, String)] = Nil,
+                             colmapRefs: Seq[String] = Nil)
       : Long = {
     fs.mkdirs(manifestDir(dir))
     var attempt = 0
@@ -832,12 +1148,9 @@ object VersionedTable {
               s"ts=${System.currentTimeMillis()}",
               s"schema=$schemaJson") ++
               files.map(f => s"file=$f") ++
-              stats.map { case (f, c, mn, mx) =>
-                s"stat=$f$StatSep$c$StatSep$mn$StatSep$mx" } ++
-              blooms.map { case (f, c, mb, k, bits) =>
-                s"bloom=$f$StatSep$c$StatSep$mb$StatSep$k$StatSep$bits" } ++
-              rowCounts.map { case (f, n) => s"rows=$f$StatSep$n" } ++
-              sizes.map { case (f, n) => s"size=$f$StatSep$n" } :+
+              metaRefs.map(r => s"metaref=$r") ++
+              bloomRefs.map { case (p, c) => s"bloomref=$p$StatSep$c" } ++
+              colmapRefs.map(r => s"colmapref=$r") :+
               Terminator :+ "")
               .mkString("\n")
             o.write(body.getBytes(StandardCharsets.UTF_8))
@@ -847,7 +1160,8 @@ object VersionedTable {
           // sure OUR batch owns it; a foreign batchId means the race
           // was lost after all — retry at the next slot
           if (readManifest(fs, mPath).exists(_.batchId == batchId))
-            return postCommit(fs, dir, batchId, next, files)
+            return postCommit(fs, dir, batchId, next,
+              files ++ metaRefs ++ bloomRefs.map(_._1) ++ colmapRefs)
           attempt += 1
         case None => attempt += 1
       }
@@ -905,14 +1219,53 @@ object VersionedTable {
     readManifest(fs, slotPath(dir, version))
 
   private def dfOf(spark: SparkSession, dir: String,
-                   m: Manifest): DataFrame =
+                   m: Manifest): DataFrame = {
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (m.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-    else
-      spark.read.schema(
-        DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else if (m.colmapRefs.isEmpty) // the zero-cost common case
+      spark.read.schema(schema)
         .parquet(m.files.map(f => new Path(dir, f).toString): _*)
+    else readMapped(spark, dir, m, schema)
+  }
+
+  /** Read a RENAMED/DROPPED-evolved version: files are grouped by
+    * their physical→logical column mapping; each group is scanned
+    * under its PHYSICAL schema and projected to the logical one
+    * (renamed physicals aliased, claimed physicals — renamed-away or
+    * dropped names — served as null for any same-named logical column,
+    * so stale on-disk data can never leak into a re-added column).
+    * Still the native parquet source per group: pushdown, pruning and
+    * codegen apply; the union is by name over identical schemas. */
+  private def readMapped(spark: SparkSession, dir: String, m: Manifest,
+                         logical: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = fsOf(spark, dir)
+    val byFile = loadColMaps(fs, dir, m)
+    val groups = m.files.groupBy(f => byFile.getOrElse(f, Map.empty))
+    groups.toSeq.map { case (mapping, files) =>
+      val inverse = mapping.collect { case (p, l) if l.nonEmpty => l -> p }
+      val readFields = logical.fields.flatMap { lf =>
+        inverse.get(lf.name) match {
+          case Some(p) =>
+            Some(StructField(p, lf.dataType, nullable = true))
+          case None if mapping.contains(lf.name) => None // claimed: null
+          case None =>
+            Some(StructField(lf.name, lf.dataType, nullable = true))
+        }
+      }
+      val raw = spark.read.schema(StructType(readFields))
+        .parquet(files.map(f => new Path(dir, f).toString): _*)
+      raw.select(logical.fields.toSeq.map { lf =>
+        inverse.get(lf.name) match {
+          case Some(p) => col(p).as(lf.name)
+          case None if mapping.contains(lf.name) =>
+            lit(null).cast(lf.dataType).as(lf.name)
+          case None => col(lf.name)
+        }
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
 
   /** Snapshot read "as of" committed `version` — the exact file set
     * that version's manifest names, immune to later publishes. Fails
@@ -951,18 +1304,17 @@ object VersionedTable {
     val m = manifestOf(fs, dir, version)
       .getOrElse(throw new NoSuchElementException(
         s"version $version is not committed at $dir"))
-    val statOf = m.stats.filter(_._2 == column)
+    val statOf = loadFileMeta(fs, dir, m)._1.filter(_._2 == column)
       .map(s => s._1 -> (s._3, s._4)).toMap
     val keep = m.files.filter(f => statOf.get(f) match {
       case Some((mn, mx)) => mx >= lo && mn <= hi
       case None => true // no stats recorded: keep conservatively
     })
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    val base =
-      if (keep.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(keep.map(f => new Path(dir, f).toString): _*)
+    // dfOf on the pruned subset: the mapped-read path (rename/drop
+    // evolution) applies here too — a raw schema read would serve a
+    // renamed column as null
+    val base = dfOf(spark, dir, m.copy(files = keep))
     import org.apache.spark.sql.functions.col
     (base.filter(col(column).cast("double") >= lo &&
       col(column).cast("double") <= hi), keep.size, m.files.size)
@@ -1010,8 +1362,9 @@ object VersionedTable {
     }
     def probeBits(mb: Int): Seq[Int] =
       hashes.map(h => (((h % mb) + mb) % mb).toInt)
-    val bloomOf = m.blooms.filter(_._2 == column)
-      .map(b => b._1 -> b).toMap
+    // loads ONLY the probed column's bloom sidecars — the other
+    // columns' payloads never reach the driver
+    val bloomOf = loadBlooms(fs, dir, m, column)
     val keep = m.files.filter(f => bloomOf.get(f) match {
       case Some((_, _, mb, k, bitsB64)) if k == BloomK && mb > 0 =>
         val bits = java.util.BitSet.valueOf(
@@ -1019,11 +1372,10 @@ object VersionedTable {
         probeBits(mb).forall(bits.get)
       case _ => true // no/foreign-geometry bloom: keep conservatively
     })
-    val base =
-      if (keep.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(keep.map(f => new Path(dir, f).toString): _*)
+    // dfOf on the pruned subset: the mapped-read path (rename/drop
+    // evolution) applies here too — a raw schema read would serve a
+    // renamed column as null
+    val base = dfOf(spark, dir, m.copy(files = keep))
     import org.apache.spark.sql.functions.col
     (base.filter(col(column) === org.apache.spark.sql.functions
       .lit(scalaV)), keep.size, m.files.size)
@@ -1066,7 +1418,9 @@ object VersionedTable {
           .asInstanceOf[Long]
       }
     }
-    val bloomOf = m.blooms.map(b => (b._1, b._2) -> b).toMap
+    // per-column lazy load: only the PROBED columns' sidecars open
+    val bloomOf = typed.keys.flatMap(c =>
+      loadBlooms(fs, dir, m, c).values.map(b => (b._1, b._2) -> b)).toMap
     def mightContain(f: String, c: String): Boolean =
       bloomOf.get((f, c)) match {
         case Some((_, _, mb, k, bitsB64)) if k == BloomK && mb > 0 =>
@@ -1076,11 +1430,10 @@ object VersionedTable {
         case _ => true // no/foreign-geometry bloom: keep conservatively
       }
     val keep = m.files.filter(f => typed.keys.forall(mightContain(f, _)))
-    val base =
-      if (keep.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(keep.map(f => new Path(dir, f).toString): _*)
+    // dfOf on the pruned subset: the mapped-read path (rename/drop
+    // evolution) applies here too — a raw schema read would serve a
+    // renamed column as null
+    val base = dfOf(spark, dir, m.copy(files = keep))
     import org.apache.spark.sql.functions.{col, lit}
     val pred = typed.map { case (c, v) => col(c) === lit(v) }
       .reduce(_ && _)
@@ -1104,19 +1457,16 @@ object VersionedTable {
     val m = manifestOf(fs, dir, version)
       .getOrElse(throw new NoSuchElementException(
         s"version $version is not committed at $dir"))
-    val counted = m.rowCounts.toMap
+    val counted = loadFileMeta(fs, dir, m)._2
     if (m.files.forall(counted.contains)) m.files.map(counted).sum
     else {
-      val conf = spark.sparkContext.hadoopConfiguration
-      m.files.map { f =>
-        counted.getOrElse(f, {
-          footerReads.incrementAndGet()
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new Path(dir, f), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        })
-      }.sum
+      // legacy fallback on the same 16-way pool the publish path uses
+      // (a sequential footer loop at 10⁶ S3 files is hours)
+      val missing = m.files.filterNot(counted.contains)
+      missing.foreach(_ => footerReads.incrementAndGet())
+      val extra = parallelFooterCounts(
+        spark.sparkContext.hadoopConfiguration, dir, missing).toMap
+      m.files.map(f => counted.getOrElse(f, extra(f))).sum
     }
   }
 
@@ -1138,9 +1488,9 @@ object VersionedTable {
     val m = manifestOf(fs, dir, version)
       .getOrElse(throw new NoSuchElementException(
         s"version $version is not committed at $dir"))
-    val statOf = m.stats.filter(_._2 == column)
+    val (allStats, counted, _) = loadFileMeta(fs, dir, m)
+    val statOf = allStats.filter(_._2 == column)
       .map(s => s._1 -> (s._3, s._4)).toMap
-    val counted = m.rowCounts.toMap
     val covered = m.files.forall(f =>
       statOf.contains(f) || counted.get(f).contains(0L))
     val ranges = m.files.flatMap(statOf.get)
@@ -1156,9 +1506,10 @@ object VersionedTable {
   def fileRowCountsOf(spark: SparkSession, dir: String,
                       version: Long): Map[String, Long] = {
     val fs = fsOf(spark, dir)
-    manifestOf(fs, dir, version).map(_.rowCounts.toMap).getOrElse(
-      throw new NoSuchElementException(
-        s"version $version is not committed at $dir"))
+    manifestOf(fs, dir, version)
+      .map(m => loadFileMeta(fs, dir, m)._2).getOrElse(
+        throw new NoSuchElementException(
+          s"version $version is not committed at $dir"))
   }
 
   /** METADATA-ONLY table size of a committed version: the sum of the
@@ -1174,13 +1525,39 @@ object VersionedTable {
     val m = manifestOf(fs, dir, version)
       .getOrElse(throw new NoSuchElementException(
         s"version $version is not committed at $dir"))
-    val sized = m.sizes.toMap
+    val sized = loadFileMeta(fs, dir, m)._3
     m.files.map { f =>
       sized.getOrElse(f, {
         sizeProbes.incrementAndGet()
         fs.getFileStatus(new Path(dir, f)).getLen
       })
     }.sum
+  }
+
+  /** A committed version's resolved per-file (stats, rowCounts,
+    * sizes) — the sidecar-era view specs and tools use instead of the
+    * Manifest's (now legacy-only) inline fields. */
+  private[graft] def fileMetaOf(spark: SparkSession, dir: String,
+                                version: Long)
+      : (Seq[(String, String, Double, Double)], Map[String, Long],
+         Map[String, Long]) = {
+    val fs = fsOf(spark, dir)
+    val m = manifestOf(fs, dir, version)
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version is not committed at $dir"))
+    loadFileMeta(fs, dir, m)
+  }
+
+  /** A committed version's sidecar references (metaRefs, bloomRefs) —
+    * for specs/tools measuring the metadata plane. */
+  private[graft] def fileMetaRefsOf(spark: SparkSession, dir: String,
+                                    version: Long)
+      : (Seq[String], Seq[(String, String)]) = {
+    val fs = fsOf(spark, dir)
+    val m = manifestOf(fs, dir, version)
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version is not committed at $dir"))
+    (m.metaRefs, m.bloomRefs)
   }
 
   /** [[rowCountOf]] on the latest committed version. */
@@ -1247,14 +1624,19 @@ object VersionedTable {
   def gcReport(spark: SparkSession, dir: String,
                keepLast: Int): (Int, Int, Long) = {
     require(keepLast >= 1, "keepLast must be >= 1")
-    val committed = committedManifests(fsOf(spark, dir), dir)
+    val fs = fsOf(spark, dir)
+    val committed = committedManifests(fs, dir)
     val keep = committed.takeRight(keepLast)
     val drop = committed.dropRight(keepLast)
     val keptFiles = keep.flatMap(_.files).toSet
-    val doomed = drop.flatMap(m => m.files.map(f => f -> m.sizes.toMap))
+    val doomed = drop
+      .flatMap { m =>
+        val sized = loadFileMeta(fs, dir, m)._3
+        m.files.map(f => f -> sized.get(f))
+      }
       .filterNot { case (f, _) => keptFiles(f) }
       .groupBy(_._1).map { case (f, entries) =>
-        f -> entries.flatMap(_._2.get(f)).headOption.getOrElse(0L)
+        f -> entries.flatMap(_._2).headOption.getOrElse(0L)
       }
     (drop.size, doomed.size, doomed.values.sum)
   }
@@ -1325,6 +1707,20 @@ object VersionedTable {
         fs.delete(s.getPath, true); dDeleted += 1
       }
     }
+    // metadata sidecars: keep every ref a retained (or staged)
+    // manifest names; the rest are superseded/orphaned — aged like
+    // data orphans (a publisher mid-commit has unreferenced sidecars
+    // inside the grace window)
+    val keepMeta = (keep ++ stagedFiles.flatMap(_._2))
+      .flatMap(m => m.metaRefs ++ m.bloomRefs.map(_._1) ++ m.colmapRefs)
+      .toSet
+    val mdd = metaDir(dir)
+    if (fs.exists(mdd)) fs.listStatus(mdd).foreach { s =>
+      if (s.isFile && !s.getPath.getName.startsWith(".") &&
+          !keepMeta(s"_meta/${s.getPath.getName}") &&
+          s.getModificationTime < cutoff)
+        fs.delete(s.getPath, false)
+    }
     // drop every checkpoint (they may summarize just-GC'd versions —
     // harmless for correctness, but stale entries bloat) and write one
     // fresh summary of the retained tail; a reader racing the prune
@@ -1334,6 +1730,33 @@ object VersionedTable {
       fs.listStatus(cd).foreach(s => fs.delete(s.getPath, false))
     writeCheckpoint(fs, dir)
     (mDeleted, dDeleted)
+  }
+
+  /** BOUNDED-BACKOFF OCC RETRY — the loop every read-modify-write
+    * publisher needs around its derive-and-commit body. The body MUST
+    * re-read the current latest on each attempt (deriving its content
+    * and its `expectedBaseVersion` fresh) and commit through an
+    * IfUnchanged path; on ConcurrentModificationException the helper
+    * backs off linearly (deterministic — no RNG in this repo's
+    * runtime paths) and re-runs the body against the winner's commit.
+    * Before round 16 every consumer (compact, z-order, merge, rollup,
+    * ledger) hand-rolled this at each call site. Attempts exhausted →
+    * the last CME propagates (the table is under sustained write
+    * pressure; the caller should reschedule, not spin). */
+  def withConflictRetry[T](maxAttempts: Int = 8,
+                           backoffMs: Long = 25L)(body: => T): T = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(backoffMs * attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** VERSIONED COMPACTION — the small-files fix WITHOUT the in-place
@@ -1360,9 +1783,9 @@ object VersionedTable {
       case Some(_) => return (m.files.size, m.files.size) // replayed
       case None =>
     }
-    // sizing from the manifest's recorded sizes — zero status probes
-    // on round-15 manifests (legacy files fall back per file, counted)
-    val sized = m.sizes.toMap
+    // sizing from the recorded sizes (sidecar-resolved) — zero status
+    // probes on modern manifests (legacy files fall back, counted)
+    val sized = loadFileMeta(fs, dir, m)._3
     val bytes = m.files.map(f => sized.getOrElse(f, {
       sizeProbes.incrementAndGet()
       fs.getFileStatus(new Path(dir, f)).getLen
@@ -1394,6 +1817,70 @@ object VersionedTable {
     (m.files.size, files.size)
   }
 
+  /** INCREMENTAL OPTIMIZE — bin-packing compaction whose cost tracks
+    * the SMALL-FILE DEBT, never the table: files at or above
+    * `smallBytes` are CARRIED into the new version by reference
+    * (byte-identical, keeping their zone maps / blooms / row counts
+    * through the sidecar refs); only the under-sized files — the
+    * trigger-sized residue streaming appends accumulate — are read
+    * and rewritten into `ceil(debtBytes / targetBytes)` right-sized
+    * files. [[compact]] rewrites the WORLD to fix what on a 100 TB
+    * table is usually a few GB of small-file debt; this is the
+    * bin-packing `OPTIMIZE` shape Delta ships. A single (or zero)
+    * small file is already optimal — no-op. NOT for bucket-layout CDC
+    * tables (packing would merge across `__bucket=N` directories and
+    * break the layout prune — use
+    * [[graft.streaming.StreamingMerge.compact]] there). Idempotent
+    * per (source version, thresholds); optimistic — wrap in
+    * [[withConflictRetry]] under concurrent writers. Returns
+    * (filesRewritten, filesCarried, filesAfter). */
+  def compactIncremental(spark: SparkSession, dir: String,
+                         targetBytes: Long = 256L << 20,
+                         smallBytes: Long = 128L << 20,
+                         sortCol: Option[String] = None,
+                         statsCols: Seq[String] = Nil,
+                         bloomCols: Seq[String] = Nil): (Int, Int, Int) = {
+    require(targetBytes > 0 && smallBytes > 0,
+      "targetBytes and smallBytes must be positive")
+    val fs = fsOf(spark, dir)
+    val m = latestManifest(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed version at $dir"))
+    val batchId = s"optimize-of-v${m.version}-t$targetBytes-s$smallBytes"
+    committedVersionOf(spark, dir, batchId) match {
+      case Some(_) => return (0, m.files.size, m.files.size) // replayed
+      case None =>
+    }
+    val sized = loadFileMeta(fs, dir, m)._3
+    def sizeOf(f: String): Long = sized.getOrElse(f, {
+      sizeProbes.incrementAndGet()
+      fs.getFileStatus(new Path(dir, f)).getLen
+    })
+    val (small, carried) = m.files.partition(f => sizeOf(f) < smallBytes)
+    if (small.size <= 1) return (0, m.files.size, m.files.size)
+    val debtBytes = small.map(sizeOf).sum
+    val nOut = math.max(1,
+      math.ceil(debtBytes.toDouble / targetBytes).toInt)
+    // read ONLY the debt — the carried files' bytes are never opened
+    val df = readFileSubset(spark, dir, m.version, small)
+    val laid = sortCol match {
+      case Some(c) => df.repartitionByRange(nOut,
+        org.apache.spark.sql.functions.col(c))
+      case None => df.coalesce(nOut)
+    }
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataRel = s"data/$uuid"
+    laid.write.parquet(new Path(dir, dataRel).toString)
+    val newFiles = fs.listStatus(new Path(dir, dataRel)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s"$dataRel/${s.getPath.getName}").sorted
+    publishFilesIfUnchanged(spark, dir, batchId, m.schemaJson,
+      carried ++ newFiles, expectedBaseVersion = m.version,
+      stats = fileStats(spark, dir, newFiles, statsCols),
+      blooms = fileBlooms(spark, dir, newFiles, bloomCols))
+    (small.size, carried.size, carried.size + newFiles.size)
+  }
+
   /** RESTORE — roll the table back to a committed `version` by
     * committing THAT version's exact file list (and schema, stats,
     * blooms, counts, sizes) as the NEW latest: the bad cut stays in
@@ -1421,7 +1908,11 @@ object VersionedTable {
     publishFilesIfUnchanged(spark, dir,
       s"restore-v$version-over-v${cur.version}", m.schemaJson, m.files,
       expectedBaseVersion = cur.version, stats = m.stats,
-      blooms = m.blooms, rowCounts = m.rowCounts, sizes = m.sizes)
+      blooms = m.blooms, rowCounts = m.rowCounts, sizes = m.sizes,
+      // the restored version's sidecar refs carry over by reference —
+      // its files are covered by them, so nothing is recounted
+      extraRefs = (m.metaRefs, m.bloomRefs, m.colmapRefs),
+      extraCovered = m.files.toSet)
   }
 
   // ---- schema evolution (add-column) ------------------------------
@@ -1482,6 +1973,83 @@ object VersionedTable {
     publishFilesIfUnchanged(spark, dir,
       s"evolve-of-v${m.version}-$schemaTag",
       newSchema.json, m.files, expectedBaseVersion = m.version)
+  }
+
+  // ---- rename/drop evolution (per-file column maps) ----------------
+
+  /** The latest version's per-file physical name for logical column
+    * `name` (default: the name itself for files with no mapping). */
+  private def physicalOf(byFile: Map[String, Map[String, String]],
+                         f: String, name: String): String =
+    byFile.getOrElse(f, Map.empty)
+      .collectFirst { case (p, l) if l == name => p }.getOrElse(name)
+
+  /** RENAME-COLUMN EVOLUTION — zero data I/O, like [[evolveSchema]]:
+    * the commit carries the file list unchanged and records a per-file
+    * PHYSICAL→LOGICAL mapping in a colmap sidecar (Iceberg solves this
+    * with field-ids written into the data files; parquet written by
+    * stock Spark carries none, so the indirection lives in table
+    * metadata instead). Readers scan old files under their physical
+    * schema and alias to the logical name; files written AFTER the
+    * rename carry the new name physically and need no mapping. Old
+    * versions time-travel under their own schema and mappings.
+    *
+    * Residual cost, documented: zone-map/bloom entries are keyed by
+    * the physical name at write time, so skipping on the RENAMED
+    * column degrades to conservative (no prune) for pre-rename files
+    * until a compaction rewrites them. Not supported on bucket-layout
+    * CDC tables (the merge path reads raw — rebucket to a fresh dir).
+    * Idempotent per (source version, names); optimistic (CME → retry
+    * via [[withConflictRetry]]). */
+  def renameColumn(spark: SparkSession, dir: String, oldName: String,
+                   newName: String): Long = {
+    require(newName.nonEmpty && !newName.contains("\n") &&
+      !newName.contains(StatSep), s"bad column name '$newName'")
+    val fs = fsOf(spark, dir)
+    val m = latestManifest(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed version at $dir"))
+    val old = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(old.fieldNames.contains(oldName),
+      s"renameColumn($dir): no column '$oldName' in the latest schema")
+    if (oldName == newName) return m.version
+    require(!old.fieldNames.contains(newName),
+      s"renameColumn($dir): column '$newName' already exists")
+    val newSchema = StructType(old.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val byFile = loadColMaps(fs, dir, m)
+    // map each file's CURRENT physical for the renamed logical —
+    // rename chains compose (a→b→c keeps pointing at physical a)
+    val colMaps = m.files.map(f =>
+      (f, physicalOf(byFile, f, oldName), newName))
+    publishFilesIfUnchanged(spark, dir,
+      s"rename-of-v${m.version}-$oldName-to-$newName", newSchema.json,
+      m.files, expectedBaseVersion = m.version, colMaps = colMaps)
+  }
+
+  /** DROP-COLUMN EVOLUTION — the data-destructive intent made
+    * EXPLICIT (unlike [[evolveSchema]], which rejects drops): the
+    * commit removes the column from the logical schema and MASKS its
+    * physical name per carried file, so the bytes stay on disk (old
+    * versions still read them) but can never leak into a same-named
+    * column added later. Zero data I/O; parquet column pruning means
+    * dropped data is never even scanned. Same constraints/idempotence
+    * as [[renameColumn]]. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val fs = fsOf(spark, dir)
+    val m = latestManifest(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed version at $dir"))
+    val old = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(old.fieldNames.contains(name),
+      s"dropColumn($dir): no column '$name' in the latest schema")
+    require(old.fields.length > 1,
+      s"dropColumn($dir): cannot drop the only column")
+    val newSchema = StructType(old.fields.filterNot(_.name == name))
+    val byFile = loadColMaps(fs, dir, m)
+    val colMaps = m.files.map(f =>
+      (f, physicalOf(byFile, f, name), ""))
+    publishFilesIfUnchanged(spark, dir,
+      s"drop-of-v${m.version}-$name", newSchema.json, m.files,
+      expectedBaseVersion = m.version, colMaps = colMaps)
   }
 
   // ---- manifest-level change feed ---------------------------------
@@ -1642,8 +2210,16 @@ object VersionedTable {
         s"no staged publish '$stagedId' at $dir"))
     val v = committedSummaries(fs, dir).find(_.batchId == m.batchId)
       .map(_.version)
-      .getOrElse(commitManifest(fs, dir, m.batchId, m.schemaJson,
-        m.files, 20, m.stats, m.blooms, m.rowCounts, m.sizes))
+      .getOrElse {
+        // the staged manifest's inline metadata moves into the commit's
+        // sidecars (staged manifests stay inline: they're short-lived
+        // audit state, never carried by reference)
+        val (metaRefs, bloomRefs, colmapRefs) = prepareMeta(spark, dir,
+          m.files, m.stats, m.blooms, m.rowCounts, m.sizes,
+          extraCovered = m.files.toSet)
+        commitManifest(fs, dir, m.batchId, m.schemaJson, m.files, 20,
+          metaRefs, bloomRefs, colmapRefs)
+      }
     fs.delete(p, false)
     v
   }

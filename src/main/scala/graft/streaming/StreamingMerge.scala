@@ -103,6 +103,12 @@ object StreamingMerge {
     val m = VersionedTable.latestManifest(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"no snapshot at $dir — call init() first"))
+    // the merge reads touched buckets RAW under the logical schema —
+    // a rename/drop-evolved table would serve renamed columns as null
+    require(m.colmapRefs.isEmpty,
+      s"applyBatch($dir): rename/drop column evolution is not " +
+        "supported on CDC merge tables — rebucket into a fresh dir " +
+        "with the target schema instead")
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     // SCHEMA EVOLUTION: the batch may carry a SUPERSET of the snapshot
     // row schema — new payload columns widen the table in this commit
@@ -186,6 +192,9 @@ object StreamingMerge {
     VersionedBuckets.checkNBuckets(spark, dir, nBuckets)
     val m = VersionedTable.latestManifest(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no snapshot at $dir"))
+    require(m.colmapRefs.isEmpty,
+      s"lookup($dir): rename/drop-evolved tables are not CDC merge " +
+        "tables (see applyBatch)")
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val dt = schema(idCol).dataType
@@ -278,6 +287,18 @@ object StreamingMerge {
       .foldLeft(oldRaw)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
     val payload = newRows.columns.filter(_ != idCol).toSeq
+    // id-only table: struct() with zero fields fails at analysis, and
+    // no update is expressible anyway (the row IS the id) — compare on
+    // the id alone and emit an insert/delete-only feed
+    if (payload.isEmpty) {
+      val joined = oldRows.select(col(idCol), lit(true).as("__o"))
+        .join(newRows.select(col(idCol), lit(true).as("__n")),
+          Seq(idCol), "full_outer")
+      return joined
+        .filter(col("__o").isNull || col("__n").isNull)
+        .select(when(col("__o").isNull, lit("insert"))
+          .otherwise(lit("delete")).as("__change_type"), col(idCol))
+    }
     def packed(df: DataFrame, as: String) = df.select(col(idCol),
       struct(payload.map(col): _*).as(as))
     val joined = packed(oldRows, "__o")
@@ -330,10 +351,13 @@ object StreamingMerge {
       case None =>
     }
     // pin the NEW count at the new dir (create-no-overwrite: a racing
-    // rebucket to the same dir must agree or fail loudly)
+    // rebucket to the same dir must agree or fail loudly). The catch
+    // alone is not enough: a transient create failure leaves NO pin,
+    // and checkNBuckets passes vacuously on a missing pin — require
+    // the pin to exist before publishing the rewrite.
     try VersionedBuckets.writeNBuckets(spark, newDir, newNBuckets)
-    catch { case _: java.io.IOException =>
-      VersionedBuckets.checkNBuckets(spark, newDir, newNBuckets) }
+    catch { case _: java.io.IOException => () }
+    VersionedBuckets.requireNBuckets(spark, newDir, newNBuckets)
     val df = VersionedTable.readAsOf(spark, dir, m.version)
     val files = writeBucketed(df, idCol, newDir, newNBuckets)
     VersionedTable.publishFiles(spark, newDir, bid, m.schemaJson, files)

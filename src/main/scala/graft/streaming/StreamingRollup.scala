@@ -91,46 +91,39 @@ object StreamingRollup {
               groupCols: Seq[String], valueCol: String,
               statsCols: Seq[String] = Nil,
               bloomCols: Seq[String] = Nil,
-              statePartitions: Option[Int] = None): Long = {
-    var attempt = 0
-    while (true) {
+              statePartitions: Option[Int] = None): Long =
+    // OPTIMISTIC commit keyed on the rollup version we derived from:
+    // a racing refresher (or a slower one finishing late) would
+    // otherwise land an OLDER state on top of a newer one — the
+    // conflict aborts the stale writer, and the shared retry helper
+    // re-runs the whole derive-and-commit body off the winner
+    VersionedTable.withConflictRetry(maxAttempts = 20) {
       val curV = VersionedTable.latestVersion(spark, snapDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot at $snapDir"))
       val fromV = reflectedVersion(spark, rollupDir).getOrElse(
         throw new IllegalStateException(
           s"no rollup at $rollupDir — call init() first"))
       val rollupBase = VersionedTable.latestVersion(spark, rollupDir).get
-      if (fromV == curV) return rollupBase
-      // replay check before any work (exactly-once across re-runs)
-      VersionedTable.committedVersionOf(spark, rollupDir,
+      if (fromV == curV) rollupBase
+      else VersionedTable.committedVersionOf(spark, rollupDir,
         s"$BatchPrefix$curV") match {
-        case Some(v) => return v
+        // replay check before any work (exactly-once across re-runs)
+        case Some(v) => v
         case None =>
-      }
-      val next =
-        try IncrementalAgg.maintainOverVersions(spark, snapDir, fromV,
-          curV, current(spark, rollupDir), groupCols, valueCol)
-        catch {
-          case _: NoSuchElementException =>
-            // reflected version GC'd from the snapshot: full recompute
-            IncrementalAgg.retractableState(
-              VersionedTable.readAsOf(spark, snapDir, curV), groupCols,
-              valueCol)
-        }
-      // OPTIMISTIC commit keyed on the rollup version we derived from:
-      // a racing refresher (or a slower one finishing late) would
-      // otherwise land an OLDER state on top of a newer one — the
-      // conflict aborts the stale writer, which re-reads and retries
-      try {
-        return VersionedTable.publishIfUnchanged(
-          layout(next, groupCols, statePartitions), rollupDir,
-          s"$BatchPrefix$curV", expectedBaseVersion = rollupBase,
-          statsCols = statsCols, bloomCols = bloomCols)
-      } catch {
-        case _: java.util.ConcurrentModificationException
-            if attempt < 20 => attempt += 1 // re-derive off the winner
+          val next =
+            try IncrementalAgg.maintainOverVersions(spark, snapDir, fromV,
+              curV, current(spark, rollupDir), groupCols, valueCol)
+            catch {
+              case _: NoSuchElementException =>
+                // reflected version GC'd from the snapshot: recompute
+                IncrementalAgg.retractableState(
+                  VersionedTable.readAsOf(spark, snapDir, curV), groupCols,
+                  valueCol)
+            }
+          VersionedTable.publishIfUnchanged(
+            layout(next, groupCols, statePartitions), rollupDir,
+            s"$BatchPrefix$curV", expectedBaseVersion = rollupBase,
+            statsCols = statsCols, bloomCols = bloomCols)
       }
     }
-    -1L // unreachable
-  }
 }

@@ -60,6 +60,23 @@ private[streaming] object VersionedBuckets {
     }
   }
 
+  /** [[checkNBuckets]], but the pin file must EXIST — the guard for
+    * writers that just tried to create it ([[StreamingMerge.rebucket]]
+    * falls back to this after a racing-create IOException): a
+    * transient create failure that left NO pin must not pass
+    * vacuously, or the rewrite publishes unpinned and a later caller
+    * with a different nBuckets silently mis-prunes lookups — the
+    * exact corruption the pin exists to prevent. */
+  def requireNBuckets(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, nBuckets: Int): Unit = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(dir, "_nbuckets")),
+      s"no _nbuckets pin at $dir — the pin create failed (not a " +
+        "racing writer); retry rather than publish an unpinned table")
+    checkNBuckets(spark, dir, nBuckets)
+  }
+
   /** Write `df` (which must already carry [[BucketCol]]) partitioned
     * by bucket into a fresh invisible data dir under `dir`; return
     * the dir-relative file paths (each carrying its `__bucket=N`

@@ -34,6 +34,29 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("a terminated manifest with a malformed version line fails " +
+    "LOUDLY instead of silently hiding a committed version") {
+    val dir = freshDir("corrupt")
+    VersionedTable.publish(Seq((1L, "a")).toDF("id", "s"), dir, "b1")
+    // hand-write a terminated manifest whose version line is garbage —
+    // manifest corruption, not a torn write (the terminator is last)
+    val p = new java.io.File(s"$dir/_manifests/2")
+    val w = new java.io.FileWriter(p)
+    w.write("version=abc\nbatchId=bx\nschema={}\ncommitted\n")
+    w.close()
+    val ex = intercept[IllegalStateException] {
+      VersionedTable.versions(spark, dir)
+    }
+    assert(ex.getMessage.contains("corrupt committed manifest"))
+    // an UNTERMINATED stub with the same garbage stays invisible (a
+    // torn write, not corruption)
+    val w2 = new java.io.FileWriter(p)
+    w2.write("version=abc\nbatchId=bx\nschema={}\n")
+    w2.close()
+    assert(VersionedTable.versions(spark, dir) === Seq(1L))
+    VersionedTable.drop(spark, dir)
+  }
+
   test("a torn write is invisible: orphan data files and an " +
     "unterminated manifest never reach a reader") {
     val dir = freshDir("torn")
@@ -280,8 +303,9 @@ class VersionedTableSpec extends SparkSpec {
       .repartitionByRange(16, col("id"))
     VersionedTable.publish(df, dir, "b1", statsCols = Seq("id"))
     val m = VersionedTable.latestManifest(spark, dir).get
-    assert(m.files.size === 16 && m.stats.size === 16,
-      s"one id stat per file: ${m.stats.size}/${m.files.size}")
+    val mStats = VersionedTable.fileMetaOf(spark, dir, m.version)._1
+    assert(m.files.size === 16 && mStats.size === 16,
+      s"one id stat per file: ${mStats.size}/${m.files.size}")
     val (pruned, opened, total) =
       VersionedTable.readLatestPruned(spark, dir, "id", 2000.0, 2500.0)
     assert(total === 16 && opened <= 3,
@@ -596,7 +620,8 @@ class VersionedTableSpec extends SparkSpec {
     // fallback gives the same answer and counts its opens
     val mPath = s"$dir/_manifests/1"
     val src = scala.io.Source.fromFile(mPath)
-    val stripped = try src.getLines().filterNot(_.startsWith("rows="))
+    val stripped = try src.getLines().filterNot(l =>
+      l.startsWith("rows=") || l.startsWith("metaref="))
       .mkString("\n") + "\n" finally src.close()
     val w = new java.io.FileWriter(mPath); w.write(stripped); w.close()
     assert(VersionedTable.rowCountOf(spark, dir, 1L) === 100L)
@@ -732,7 +757,8 @@ class VersionedTableSpec extends SparkSpec {
     // legacy manifest (no size= lines): fallback equal and counted
     val mPath = s"$dir/_manifests/1"
     val src = scala.io.Source.fromFile(mPath)
-    val stripped = try src.getLines().filterNot(_.startsWith("size="))
+    val stripped = try src.getLines().filterNot(l =>
+      l.startsWith("size=") || l.startsWith("metaref="))
       .mkString("\n") + "\n" finally src.close()
     val w = new java.io.FileWriter(mPath); w.write(stripped); w.close()
     assert(VersionedTable.tableBytesOf(spark, dir, 1L) === walked)
@@ -822,5 +848,324 @@ class VersionedTableSpec extends SparkSpec {
         widened.fields :+ StructField("must", LongType, nullable = false)))
     }
     VersionedTable.drop(spark, dir)
+  }
+
+  test("sidecar metadata plane: a 1-file change commits O(change) " +
+    "metadata bytes — carried files keep stats/blooms/counts by " +
+    "reference, and the manifest body holds refs only") {
+    val dir = freshDir("sidecar")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def slotBytes(v: Long): Long =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/_manifests/$v")).getLen
+    def refBytes(v: Long): Long = {
+      val m = VersionedTable.fileMetaRefsOf(spark, dir, v)
+      (m._1 ++ m._2.map(_._1)).map(r => fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/$r")).getLen).sum
+    }
+    // v1: 16 files with zone maps AND blooms — the heavy metadata
+    val df = (1L to 20000L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartitionByRange(16, col("id"))
+    VersionedTable.publish(df, dir, "b1", statsCols = Seq("id"),
+      bloomCols = Seq("id"))
+    val m1 = VersionedTable.latestManifest(spark, dir).get
+    assert(m1.metaRefs.nonEmpty && m1.bloomRefs.nonEmpty,
+      "round-16 commits must reference sidecars")
+    assert(m1.stats.isEmpty && m1.blooms.isEmpty &&
+      m1.rowCounts.isEmpty && m1.sizes.isEmpty,
+      "no inline per-file metadata in a sidecar-era manifest")
+    // v2: a 1-file change — carry 15, add 1 new file
+    val extraRel = s"data/extra-${java.util.UUID.randomUUID()}"
+    (90001L to 90002L).map(i => (i, s"n$i")).toDF("id", "s").coalesce(1)
+      .write.parquet(s"$dir/$extraRel")
+    val newFile = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/$extraRel")).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(s => s"$extraRel/${s.getPath.getName}")
+    val v2files = m1.files.tail ++ newFile
+    VersionedTable.publishFilesIfUnchanged(spark, dir, "b2",
+      m1.schemaJson, v2files, expectedBaseVersion = 1L,
+      stats = VersionedTable.fileStats(spark, dir, newFile, Seq("id")),
+      blooms = VersionedTable.fileBlooms(spark, dir, newFile, Seq("id")))
+    // the CHANGE commit's metadata bytes: its manifest + the sidecars
+    // it wrote (refs v2 carries that v1 didn't have) must be a small
+    // fraction of v1's full metadata — O(change), not O(table)
+    val m2 = VersionedTable.latestManifest(spark, dir).get
+    val v1Refs = (m1.metaRefs ++ m1.bloomRefs.map(_._1)).toSet
+    val newRefs = (m2.metaRefs ++ m2.bloomRefs.map(_._1))
+      .filterNot(v1Refs)
+    val newRefBytes = newRefs.map(r => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/$r")).getLen).sum
+    val changeBytes = slotBytes(2L) + newRefBytes
+    assert(changeBytes * 4 < refBytes(1L),
+      s"1-of-16-file change wrote $changeBytes metadata bytes vs " +
+        s"${refBytes(1L)} for the full table — not O(change)")
+    // carried metadata still serves every reader, bit-exactly
+    val before = VersionedTable.footerReads.get()
+    assert(VersionedTable.rowCountOf(spark, dir, 2L) ===
+      VersionedTable.readAsOf(spark, dir, 2L).count())
+    assert(VersionedTable.footerReads.get() === before,
+      "carried rows= must resolve through refs, no footer I/O")
+    val (pruned, opened, total) =
+      VersionedTable.readAsOfPruned(spark, dir, 2L, "id", 3000.0, 3100.0)
+    assert(total === 16 && opened <= 3, s"zone maps: $opened/$total")
+    assert(pruned.count() === 101L)
+    val (hit, pOpened, pTotal) =
+      VersionedTable.readAsOfPoint(spark, dir, 2L, "id", 90001L)
+    assert(pOpened < pTotal, s"blooms must skip: $pOpened/$pTotal")
+    assert(hit.count() === 1L)
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("metadata consolidation bounds carried sidecar refs; reads stay " +
+    "exact across the collapse") {
+    val dir = freshDir("consolidate")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val saved = VersionedTable.MaxMetaRefs
+    VersionedTable.MaxMetaRefs = 4 // test seam: 65 real commits is slow
+    try {
+      VersionedTable.publish(Seq((0L, "v0")).toDF("id", "s"), dir, "b0",
+        statsCols = Seq("id"))
+      // each APPEND commit carries all prior files + adds one → one
+      // more carried ref per commit, until the bound forces a
+      // consolidation
+      for (i <- 1 to 7) {
+        val m = VersionedTable.latestManifest(spark, dir).get
+        val rel = s"data/app-$i"
+        Seq((i.toLong, s"v$i")).toDF("id", "s").coalesce(1)
+          .write.parquet(s"$dir/$rel")
+        val fNew = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$dir/$rel")).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .map(s => s"$rel/${s.getPath.getName}")
+        VersionedTable.publishFilesIfUnchanged(spark, dir, s"b$i",
+          m.schemaJson, m.files ++ fNew, expectedBaseVersion = m.version,
+          stats = VersionedTable.fileStats(spark, dir, fNew, Seq("id")))
+      }
+      val m = VersionedTable.latestManifest(spark, dir).get
+      assert(m.files.size === 8)
+      assert(m.metaRefs.size <= VersionedTable.MaxMetaRefs,
+        s"refs must stay bounded, got ${m.metaRefs.size}")
+      // full history still reads exactly (consolidation never loses
+      // carried entries)
+      val (stats, rows, sizes) =
+        VersionedTable.fileMetaOf(spark, dir, m.version)
+      assert(stats.map(_._1).toSet === m.files.toSet,
+        "every live file keeps its zone map through consolidation")
+      assert(rows.keySet === m.files.toSet && sizes.keySet === m.files.toSet)
+      assert(VersionedTable.rowCountOf(spark, dir, m.version) === 8L)
+      val (rangeHit, opened, total) = VersionedTable.readAsOfPruned(
+        spark, dir, m.version, "id", 3.0, 3.0)
+      assert(rangeHit.collect().map(_.getString(1)).toSeq === Seq("v3"))
+      assert(opened === 1 && total === 8,
+        s"single-point zone maps must prune to 1 file: $opened/$total")
+    } finally VersionedTable.MaxMetaRefs = saved
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("gc sweeps superseded sidecars and keeps every referenced one") {
+    val dir = freshDir("gcmeta")
+    VersionedTable.publish(
+      (1L to 100L).map(i => (i, s"x$i")).toDF("id", "s").repartition(4),
+      dir, "b1", statsCols = Seq("id"))
+    // full rewrite: v2 references ONLY its own sidecars
+    VersionedTable.compact(spark, dir, targetBytes = 1L << 30,
+      statsCols = Seq("id"))
+    VersionedTable.gc(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    val m = VersionedTable.latestManifest(spark, dir).get
+    val live = new java.io.File(s"$dir/_meta").listFiles()
+      .filterNot(_.getName.startsWith(".")) // local-FS .crc shadows
+      .map(f => s"_meta/${f.getName}").toSet
+    val referenced = (m.metaRefs ++ m.bloomRefs.map(_._1)).toSet
+    assert(live === referenced,
+      s"gc must keep exactly the referenced sidecars: $live vs $referenced")
+    // and the retained metadata still answers
+    assert(VersionedTable.rowCountOf(spark, dir, m.version) === 100L)
+    assert(VersionedTable.statRangeOf(spark, dir, m.version, "id")
+      === Some((1.0, 100.0)))
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("compactIncremental packs only the small-file debt: big files " +
+    "carry byte-identically, content is preserved, replay no-ops") {
+    val dir = freshDir("optinc")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one BIG file + several small append commits (the streaming debt)
+    VersionedTable.publish(
+      (1L to 50000L).map(i => (i, s"row-with-some-padding-$i"))
+        .toDF("id", "s").coalesce(1), dir, "base")
+    val big = VersionedTable.filesOf(spark, dir, 1L)
+    assert(big.size === 1)
+    for (i <- 1 to 4) {
+      val m = VersionedTable.latestManifest(spark, dir).get
+      val rel = s"data/append-$i"
+      Seq((100000L + i, s"small-$i")).toDF("id", "s").coalesce(1)
+        .write.parquet(s"$dir/$rel")
+      val fNew = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+        .toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(s => s"$rel/${s.getPath.getName}")
+      VersionedTable.publishFilesIfUnchanged(spark, dir, s"app-$i",
+        m.schemaJson, m.files ++ fNew, expectedBaseVersion = m.version)
+    }
+    val mBefore = VersionedTable.latestManifest(spark, dir).get
+    assert(mBefore.files.size === 5)
+    val want = VersionedTable.readLatest(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bigStamp = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/${big.head}"))
+    // pack the debt: the big file is above smallBytes, the 4 appends
+    // are below — only they are rewritten
+    val (rewritten, carried, after) = VersionedTable.compactIncremental(
+      spark, dir, targetBytes = 1L << 30, smallBytes = 64L << 10)
+    assert(rewritten === 4 && carried === 1 && after === 2,
+      s"($rewritten, $carried, $after)")
+    val mAfter = VersionedTable.latestManifest(spark, dir).get
+    assert(mAfter.files.contains(big.head),
+      "the big file must carry by reference")
+    val stamp2 = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/${big.head}"))
+    assert(stamp2.getModificationTime === bigStamp.getModificationTime &&
+      stamp2.getLen === bigStamp.getLen,
+      "carried bytes must be untouched on disk")
+    assert(VersionedTable.readLatest(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet === want,
+      "content must be identical after packing")
+    // replay: same source version + thresholds → no-op
+    val v = VersionedTable.latestVersion(spark, dir).get
+    VersionedTable.compactIncremental(spark, dir,
+      targetBytes = 1L << 30, smallBytes = 64L << 10)
+    // (new latest has ≤1 small file → no-op, no new version)
+    assert(VersionedTable.latestVersion(spark, dir).get === v)
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("renameColumn: zero-data-I/O rename round-trip — old files " +
+    "serve the new name, old versions travel under the old name, " +
+    "rename chains compose") {
+    val dir = freshDir("rename")
+    VersionedTable.publish(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "s", "score"),
+      dir, "b1")
+    val dataBytes = new java.io.File(s"$dir/data").listFiles().length
+    assert(VersionedTable.renameColumn(spark, dir, "score", "rating")
+      === 2L)
+    // no data rewritten: same number of data dirs
+    assert(new java.io.File(s"$dir/data").listFiles().length === dataBytes)
+    val latest = VersionedTable.readLatest(spark, dir)
+    assert(latest.schema.fieldNames.toSeq === Seq("id", "s", "rating"))
+    assert(latest.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      === Map(1L -> 10.0, 2L -> 20.0),
+      "renamed column must serve the OLD files' values")
+    // time travel: v1 still reads under the old name
+    val v1 = VersionedTable.readAsOf(spark, dir, 1L)
+    assert(v1.schema.fieldNames.toSeq === Seq("id", "s", "score"))
+    assert(v1.collect().map(_.getDouble(2)).sorted.toSeq === Seq(10.0, 20.0))
+    // a post-rename publish writes the new name physically; both
+    // generations serve one logical schema
+    val m2 = VersionedTable.latestManifest(spark, dir).get
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rel = "data/gen2"
+    Seq((3L, "c", 30.0)).toDF("id", "s", "rating").coalesce(1)
+      .write.parquet(s"$dir/$rel")
+    val fNew = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+      .toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(s => s"$rel/${s.getPath.getName}")
+    VersionedTable.publishFilesIfUnchanged(spark, dir, "b3",
+      m2.schemaJson, m2.files ++ fNew, expectedBaseVersion = m2.version)
+    assert(VersionedTable.readLatest(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      === Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // chain: rating -> grade keeps resolving the ORIGINAL physical
+    VersionedTable.renameColumn(spark, dir, "rating", "grade")
+    val chained = VersionedTable.readLatest(spark, dir)
+    assert(chained.schema.fieldNames.toSeq === Seq("id", "s", "grade"))
+    assert(chained.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      === Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // replay: same (version, names) no-ops; bad renames are loud
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, dir, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, dir, "grade", "id")
+    }
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("dropColumn masks the physical data: re-adding the same name " +
+    "serves NULL for old files, never the stale bytes") {
+    val dir = freshDir("dropcol")
+    VersionedTable.publish(
+      Seq((1L, "a", 99.0), (2L, "b", 88.0)).toDF("id", "s", "secret"),
+      dir, "b1")
+    assert(VersionedTable.dropColumn(spark, dir, "secret") === 2L)
+    val dropped = VersionedTable.readLatest(spark, dir)
+    assert(dropped.schema.fieldNames.toSeq === Seq("id", "s"))
+    // v1 still time-travels WITH the column
+    assert(VersionedTable.readAsOf(spark, dir, 1L)
+      .collect().map(_.getDouble(2)).sorted.toSeq === Seq(88.0, 99.0))
+    // re-add the SAME name via add-column evolution: old files must
+    // serve null (the mask), not the stale 99/88
+    val withReadd = org.apache.spark.sql.types.StructType(
+      dropped.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "secret", org.apache.spark.sql.types.DoubleType, nullable = true))
+    VersionedTable.evolveSchema(spark, dir, withReadd)
+    val readded = VersionedTable.readLatest(spark, dir)
+    assert(readded.schema.fieldNames.toSeq === Seq("id", "s", "secret"))
+    assert(readded.where(col("secret").isNotNull).count() === 0L,
+      "masked physical data must NEVER leak into a re-added column")
+    // new writers fill it going forward
+    val m = VersionedTable.latestManifest(spark, dir).get
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rel = "data/gen2"
+    Seq((3L, "c", 7.0)).toDF("id", "s", "secret").coalesce(1)
+      .write.parquet(s"$dir/$rel")
+    val fNew = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+      .toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(s => s"$rel/${s.getPath.getName}")
+    VersionedTable.publishFilesIfUnchanged(spark, dir, "b4",
+      m.schemaJson, m.files ++ fNew, expectedBaseVersion = m.version)
+    val vals = VersionedTable.readLatest(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(vals === Map(1L -> None, 2L -> None, 3L -> Some(7.0)))
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, dir, "ghost")
+    }
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("withConflictRetry: re-runs the body on CME with bounded " +
+    "backoff, propagates after maxAttempts") {
+    var calls = 0
+    val got = VersionedTable.withConflictRetry(maxAttempts = 5,
+      backoffMs = 1L) {
+      calls += 1
+      if (calls < 3)
+        throw new java.util.ConcurrentModificationException("stale")
+      42
+    }
+    assert(got === 42 && calls === 3)
+    var calls2 = 0
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.withConflictRetry(maxAttempts = 3, backoffMs = 1L) {
+        calls2 += 1
+        throw new java.util.ConcurrentModificationException("always")
+      }
+    }
+    assert(calls2 === 3, "attempts must be bounded")
+    // non-CME failures propagate immediately, no retry
+    var calls3 = 0
+    intercept[IllegalStateException] {
+      VersionedTable.withConflictRetry(maxAttempts = 5, backoffMs = 1L) {
+        calls3 += 1
+        throw new IllegalStateException("real failure")
+      }
+    }
+    assert(calls3 === 1)
   }
 }

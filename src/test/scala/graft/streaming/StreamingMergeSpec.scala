@@ -212,7 +212,8 @@ class StreamingMergeSpec extends SparkSpec {
     StreamingMerge.init(base, "id", dir, nBuckets = 8,
       statsCols = Seq("v"))
     val m1 = VersionedTable.latestManifest(spark, dir).get
-    assert(m1.stats.map(_._1).toSet === m1.files.toSet,
+    assert(VersionedTable.fileMetaOf(spark, dir, m1.version)._1
+      .map(_._1).toSet === m1.files.toSet,
       "init must record stats for every file")
     // one batch touching a single id → one bucket rewritten
     val b = Seq((3L, "d3 v2", 100L, "upsert"))
@@ -221,7 +222,8 @@ class StreamingMergeSpec extends SparkSpec {
     StreamingMerge.applyBatch(b.select("id", "text", "v", "seq", "op"),
       "id", "seq", "op", dir, 8, Some("e0"), statsCols = Seq("v"))
     val m2 = VersionedTable.latestManifest(spark, dir).get
-    assert(m2.stats.map(_._1).toSet === m2.files.toSet,
+    assert(VersionedTable.fileMetaOf(spark, dir, m2.version)._1
+      .map(_._1).toSet === m2.files.toSet,
       "carried buckets must inherit stats, new buckets get fresh ones")
     // and the maintained zone maps actually skip: probe one bucket
     val (df, opened, total) = VersionedTable.readLatestPruned(
@@ -443,5 +445,32 @@ class StreamingMergeSpec extends SparkSpec {
     assert(StreamingMerge.snapshot(spark, newDir)
       .filter(col("id") === 5L).select("text").as[String].head()
       === "doc 5 v3")
+  }
+
+  test("changeFeedRows on an id-only table: insert/delete-only feed, " +
+    "carried ids emit nothing (struct() analysis failure fixed)") {
+    val dir = tmp("cfr_idonly")
+    VersionedTable.publish(Seq(1L, 2L).toDF("id"), dir, "b1")
+    VersionedTable.publish(Seq(2L, 3L).toDF("id"), dir, "b2")
+    val feed = StreamingMerge.changeFeedRows(spark, dir, 1L, 2L, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // id 2 is in both versions' (fully rewritten) file sets with an
+    // empty payload — identical, so NO event; 1 deleted, 3 inserted
+    assert(feed === Set(("insert", 3L), ("delete", 1L)))
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("requireNBuckets fails on a MISSING pin instead of passing " +
+    "vacuously (rebucket's create-failure fallback)") {
+    val dir = tmp("nopin")
+    intercept[IllegalArgumentException] {
+      VersionedBuckets.requireNBuckets(spark, dir, 16)
+    }
+    VersionedBuckets.writeNBuckets(spark, dir, 16)
+    VersionedBuckets.requireNBuckets(spark, dir, 16) // now fine
+    intercept[IllegalArgumentException] {
+      VersionedBuckets.requireNBuckets(spark, dir, 8) // mismatch
+    }
+    VersionedTable.drop(spark, dir)
   }
 }

@@ -139,4 +139,40 @@ class StreamingRollupSpec extends SparkSpec {
     VersionedTable.drop(spark, snap)
     VersionedTable.drop(spark, roll)
   }
+
+  test("two RACING refreshes serialize through the shared OCC retry: " +
+    "both land (or dedupe), the final state is exact, no CME escapes") {
+    val snap = tmp("racesnap"); val roll = tmp("raceroll")
+    val base = (1L to 200L)
+      .map(i => (i, if (i % 2 == 0) "even" else "odd", i.toDouble))
+      .toDF("id", "grp", "v")
+    StreamingMerge.init(base, "id", snap, nBuckets = 8)
+    StreamingRollup.init(spark, snap, roll, Seq("grp"), "v")
+    // two snapshot advances, then two maintainers racing to catch up —
+    // the slower one must re-derive off the winner, never lose state
+    // or land a stale rollup on top of a newer one
+    StreamingMerge.applyBatch(
+      Seq((7L, "even", 100.0, 10L, "upsert"))
+        .toDF("id", "grp", "v", "seq", "op"),
+      "id", "seq", "op", snap, 8, Some("e0"))
+    StreamingMerge.applyBatch(
+      Seq((8L, "odd", 200.0, 11L, "upsert"))
+        .toDF("id", "grp", "v", "seq", "op"),
+      "id", "seq", "op", snap, 8, Some("e1"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map(_ => new Thread(() => {
+      try StreamingRollup.refresh(spark, snap, roll, Seq("grp"), "v")
+      catch { case t: Throwable => errors.add(t) }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"no exception may escape the retry: $errors")
+    assert(maintained(roll) === recompute(snap),
+      "racing refreshes must leave the exact rollup")
+    // the final rollup reflects the snapshot's CURRENT version
+    assert(StreamingRollup.refresh(spark, snap, roll, Seq("grp"), "v")
+      === VersionedTable.latestVersion(spark, roll).get,
+      "a follow-up refresh must be a no-op")
+    VersionedTable.drop(spark, snap)
+    VersionedTable.drop(spark, roll)
+  }
 }
