@@ -93,8 +93,12 @@ object ProfileMetaPlane {
         VersionedTable.readAsOfPoint(spark, dir, 2L, "id", 7L); r += 1
       }
       val probeMs = (System.nanoTime() - tP) / 1e6 / reps
+      // changePayload = the sidecar bytes the change commit wrote —
+      // the O(change) claim; the slot's file= list is the named
+      // O(files) residual (manifest-list sharding is the next step)
       println(f"F=$f%5d  build=$buildS%6.1fs  fullMeta=$fullMeta%10d B" +
-        f"  1-file-change=$changeMeta%8d B  slot=$slotBytes%7d B" +
+        f"  changePayload=${changeMeta - slotBytes}%7d B" +
+        f"  slot(file list)=$slotBytes%8d B" +
         f"  resolve=$resolveMs%7.2f ms  pointProbe=$probeMs%7.2f ms")
       VersionedTable.drop(spark, dir)
     }
