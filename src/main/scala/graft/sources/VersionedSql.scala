@@ -94,21 +94,53 @@ object VersionedSql {
     s"__graft_versioned_$h"
   }
 
+  /** Character spans of single-quoted SQL string literals (`''`
+    * escapes read as two adjacent literals, which is equivalent for
+    * span membership). The rewrite must not fire on `versioned(...)`
+    * TEXT inside a literal — a raw regex pass would register views
+    * for, and splice view names into, quoted data. */
+  private def quotedSpans(text: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    var open = -1
+    while (i < text.length) {
+      if (text.charAt(i) == '\'') {
+        if (open < 0) open = i
+        else { spans += ((open, i)); open = -1 }
+      }
+      i += 1
+    }
+    spans.result()
+  }
+
+  private def rewriteOutsideLiterals(text: String,
+                                     re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val spans = quotedSpans(text)
+    def inLiteral(pos: Int): Boolean =
+      spans.exists { case (a, b) => pos > a && pos < b }
+    re.replaceAllIn(text, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (inLiteral(m.start)) m.matched else f(m)))
+  }
+
   /** Run SQL whose FROM clauses may reference versioned tables via
     * `versioned('<dir>')`, `versioned('<dir>', N)` and
     * `versioned_ts('<dir>', millis)`. Each distinct reference resolves
     * its manifest once, registers the snapshot view, and the rewritten
-    * text runs through the ordinary `spark.sql` front end. */
+    * text runs through the ordinary `spark.sql` front end. References
+    * that START inside a single-quoted string literal are left alone
+    * (data, not a call site). */
   def sql(spark: SparkSession, text: String): DataFrame = {
-    var rewritten = VersionedTsRe.replaceAllIn(text, m => {
+    var rewritten = rewriteOutsideLiterals(text, VersionedTsRe) { m =>
       val (dir, ts) = (m.group(1), m.group(2).toLong)
       val name = viewName(dir, s"ts$ts")
       registerAsOfTimestamp(spark, name, dir, ts)
       name
-    })
-    rewritten = VersionedRe.replaceAllIn(rewritten, m => {
+    }
+    rewritten = rewriteOutsideLiterals(rewritten, VersionedRe) { m =>
       val dir = m.group(1)
-      val name = Option(m.group(2)) match {
+      Option(m.group(2)) match {
         case Some(v) =>
           val n = viewName(dir, s"v$v")
           registerAsOf(spark, n, dir, v.toLong)
@@ -118,8 +150,7 @@ object VersionedSql {
           register(spark, n, dir)
           n
       }
-      name
-    })
+    }
     spark.sql(rewritten)
   }
 }

@@ -718,19 +718,61 @@ object VersionedTable {
       (try readAll(in) finally in.close()).split("\n", -1).toSeq)
   }
 
+  /** Bounded-pool parallel map for driver-side sidecar I/O (the same
+    * 16-way shape as [[parallelFooterCounts]] — 64 serial S3 opens at
+    * ~50 ms each is seconds of driver latency per metadata call).
+    * Preserves item order. */
+  private def parallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.size <= 2) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, items.size))
+    try {
+      items.map(a => pool.submit(
+        new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+        .map(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** Re-key PHYSICAL-name metadata entries to LOGICAL names through a
+    * version's column maps: a stat/bloom recorded for physical `p` on
+    * file `f` describes the logical column `p` now maps to (same
+    * bytes — renamed entries stay valid), and entries for MASKED
+    * physicals (dropped columns) are discarded — without this, a
+    * dropped-then-re-added column would serve the OLD files' stale
+    * min/max as the metadata answer for data that actually reads
+    * NULL. No-op (and zero cost) for unmapped tables. */
+  private def remapToLogical[T](byFile: Map[String, Map[String, String]],
+                                entries: Seq[T],
+                                fileOf: T => String, colOf: T => String,
+                                rekey: (T, String) => T): Seq[T] = {
+    if (byFile.isEmpty) return entries
+    entries.flatMap { e =>
+      byFile.get(fileOf(e)).flatMap(_.get(colOf(e))) match {
+        case None => Some(e) // unmapped physical keeps its name
+        case Some("") => None // masked (dropped): stale, discard
+        case Some(logical) => Some(rekey(e, logical))
+      }
+    }
+  }
+
   /** A version's complete (stats, rowCounts, sizes): legacy inline
-    * entries ++ every `metaref=` sidecar, filtered to the version's
-    * live file set (carried refs may cover since-removed files — their
-    * entries are simply dead). Later duplicates win in the maps; dup
-    * entries describe the same immutable file so they agree. */
+    * entries ++ every `metaref=` sidecar (loaded on a bounded pool),
+    * filtered to the version's live file set (carried refs may cover
+    * since-removed files — their entries are simply dead) and stat
+    * columns re-keyed through the column maps ([[remapToLogical]]).
+    * Later duplicates win in the maps; dup entries describe the same
+    * immutable file so they agree. */
   private[graft] def loadFileMeta(fs: FileSystem, dir: String, m: Manifest)
       : (Seq[(String, String, Double, Double)], Map[String, Long],
          Map[String, Long]) = {
     val live = m.files.toSet
-    val fromRefs = m.metaRefs.map(readMetaSidecar(fs, dir, _))
-    val stats = (m.stats ++ fromRefs.flatMap(_._1))
+    val fromRefs = parallelMap(m.metaRefs)(readMetaSidecar(fs, dir, _))
+    val stats0 = (m.stats ++ fromRefs.flatMap(_._1))
       .filter(s => live(s._1))
       .distinctBy(s => (s._1, s._2))
+    val stats = remapToLogical[(String, String, Double, Double)](
+      loadColMaps(fs, dir, m), stats0, _._1, _._2,
+      (s, l) => (s._1, l, s._3, s._4))
     val rows = (m.rowCounts ++ fromRefs.flatMap(_._2))
       .filter(r => live(r._1)).toMap
     val sizes = (m.sizes ++ fromRefs.flatMap(_._3))
@@ -740,16 +782,27 @@ object VersionedTable {
 
   /** ONE column's bloom filters for a version — legacy inline entries
     * plus ONLY that column's `bloomref=` sidecars (the point probe
-    * never pays for other columns' payloads). */
+    * never pays for other columns' payloads), re-keyed through the
+    * column maps (bloom bits hash the VALUE only, so renamed entries
+    * stay valid; masked entries are discarded). On a mapped table the
+    * probed logical column's entries may live under the physical
+    * name, so sidecars are selected by either name. */
   private[graft] def loadBlooms(fs: FileSystem, dir: String, m: Manifest,
                                 column: String)
       : Map[String, (String, String, Int, Int, String)] = {
     val live = m.files.toSet
-    val entries = m.blooms.filter(_._2 == column) ++
-      m.bloomRefs.filter(_._2 == column)
-        .flatMap(r => readBloomSidecar(fs, dir, r._1))
-        .filter(_._2 == column)
-    entries.filter(b => live(b._1)).map(b => b._1 -> b).toMap
+    val byFile = loadColMaps(fs, dir, m)
+    // physical aliases the logical column may be recorded under
+    val aliases = Set(column) ++
+      byFile.values.flatMap(_.collect { case (p, l) if l == column => p })
+    val refs = m.bloomRefs.filter(r => aliases(r._2)).map(_._1)
+    val entries0 = m.blooms.filter(b => aliases(b._2)) ++
+      parallelMap(refs)(readBloomSidecar(fs, dir, _)).flatten
+        .filter(b => aliases(b._2))
+    val entries = remapToLogical[(String, String, Int, Int, String)](
+      byFile, entries0.filter(b => live(b._1)), _._1, _._2,
+      (b, l) => (b._1, l, b._3, b._4, b._5))
+    entries.filter(_._2 == column).map(b => b._1 -> b).toMap
   }
 
   /** Parse one colmap sidecar. Order matters (later sidecars override
@@ -775,8 +828,9 @@ object VersionedTable {
     if (m.colmapRefs.isEmpty) return Map.empty
     val live = m.files.toSet
     val acc = scala.collection.mutable.Map[String, Map[String, String]]()
-    m.colmapRefs.foreach { r =>
-      readColMapSidecar(fs, dir, r).foreach { case (f, p, l) =>
+    // reads on the pool; the later-wins FOLD stays in ref order
+    parallelMap(m.colmapRefs)(readColMapSidecar(fs, dir, _)).foreach {
+      entries => entries.foreach { case (f, p, l) =>
         if (live(f)) acc(f) = acc.getOrElse(f, Map.empty) + (p -> l)
       }
     }
@@ -819,7 +873,8 @@ object VersionedTable {
                           extraRefs: (Seq[String], Seq[(String, String)],
                             Seq[String]) = (Nil, Nil, Nil),
                           extraCovered: Set[String] = Set.empty,
-                          colMaps: Seq[(String, String, String)] = Nil)
+                          colMaps: Seq[(String, String, String)] = Nil,
+                          carryPrevColmaps: Boolean = true)
       : (Seq[String], Seq[(String, String)], Seq[String]) = {
     val fs = fsOf(spark, dir)
     val prev = latestManifest(spark, dir)
@@ -837,7 +892,14 @@ object VersionedTable {
     // colmap refs: ORDER IS SEMANTICS (later wins), so no distinct
     // reshuffling — carried refs in their original order, extras after
     var colmapRefs = {
-      val c = prevRefs.map(_.colmapRefs).getOrElse(Nil) ++ extraRefs._3
+      // column maps belong to the SCHEMA GENERATION, not the file set:
+      // restore commits an OLD schema and must pair it with the OLD
+      // maps (extraRefs), never the rolled-back latest's — carrying a
+      // rename's map under the pre-rename schema would mask the
+      // restored column as "claimed" and read it as NULL
+      val prevCol = if (carryPrevColmaps)
+        prevRefs.map(_.colmapRefs).getOrElse(Nil) else Nil
+      val c = prevCol ++ extraRefs._3
       c.foldLeft(Seq.empty[String])((acc, r) =>
         if (acc.contains(r)) acc else acc :+ r)
     }
@@ -939,7 +1001,17 @@ object VersionedTable {
     * commit, never a rewrite of readable bytes. Same batchId
     * idempotence, slot-claim and canonicalization rules as
     * [[publish]]; carried files INHERIT the previous version's
-    * zone-map/bloom entries ([[inheritFileMeta]]). */
+    * zone-map/bloom entries (sidecar references, [[prepareMeta]]).
+    *
+    * PATH-FRESHNESS CONTRACT: dir-relative paths must be globally
+    * fresh — NEVER reuse a previously-committed path for different
+    * bytes, even after the version that referenced it was removed.
+    * The whole format keys on "same path ⇒ same immutable bytes":
+    * [[changedFiles]] treats common paths as unchanged, [[gc]]
+    * reference-counts by path, and carried metadata sidecars attribute
+    * stats/blooms/counts by path — a reused path would silently serve
+    * all three wrong. Internal writers satisfy this by construction
+    * (fresh `data/<uuid>/` per commit); external callers must too. */
   def publishFiles(spark: SparkSession, dir: String, batchId: String,
                    schemaJson: String, files: Seq[String],
                    maxRetries: Int = 20,
@@ -989,7 +1061,8 @@ object VersionedTable {
                               extraRefs: (Seq[String], Seq[(String, String)],
                                 Seq[String]) = (Nil, Nil, Nil),
                               extraCovered: Set[String] = Set.empty,
-                              colMaps: Seq[(String, String, String)] = Nil)
+                              colMaps: Seq[(String, String, String)] = Nil,
+                              carryPrevColmaps: Boolean = true)
       : Long = {
     require(!batchId.contains("\n") && batchId.nonEmpty,
       "batchId must be a non-empty single-line string")
@@ -1005,7 +1078,7 @@ object VersionedTable {
     // by sidecar REFERENCE, so the commit writes O(change) bytes
     val (metaRefs, bloomRefs, colmapRefs) = prepareMeta(spark, dir,
       files, stats, blooms, rowCounts, sizes, extraRefs, extraCovered,
-      colMaps)
+      colMaps, carryPrevColmaps)
     // TWO-PHASE: claim the slot and write the body WITHOUT the
     // terminator (invisible), validate the window, only then
     // terminate. Validating after visibility is not enough — a third
@@ -1629,9 +1702,16 @@ object VersionedTable {
     val keep = committed.takeRight(keepLast)
     val drop = committed.dropRight(keepLast)
     val keptFiles = keep.flatMap(_.files).toSet
+    // dropped versions' ref chains share sidecars heavily — parse each
+    // sidecar once per call, not once per (version × ref)
+    val cache = scala.collection.mutable.Map[String, Map[String, Long]]()
     val doomed = drop
       .flatMap { m =>
-        val sized = loadFileMeta(fs, dir, m)._3
+        val live = m.files.toSet
+        val sized = (m.sizes ++ m.metaRefs.flatMap(r =>
+          cache.getOrElseUpdate(r,
+            readMetaSidecar(fs, dir, r)._3.toMap)))
+          .filter { case (f, _) => live(f) }.toMap
         m.files.map(f => f -> sized.get(f))
       }
       .filterNot { case (f, _) => keptFiles(f) }
@@ -1842,7 +1922,19 @@ object VersionedTable {
                          bloomCols: Seq[String] = Nil): (Int, Int, Int) = {
     require(targetBytes > 0 && smallBytes > 0,
       "targetBytes and smallBytes must be positive")
+    // targetBytes < smallBytes never converges: every run would pack
+    // the debt into files that are STILL below the small threshold
+    // and re-pack them forever (a new version per scheduled run)
+    require(targetBytes >= smallBytes,
+      s"compactIncremental($dir): targetBytes ($targetBytes) must be " +
+        s">= smallBytes ($smallBytes) or packed output stays small " +
+        "forever and every run rewrites the debt again")
     val fs = fsOf(spark, dir)
+    // packed files would lose their __bucket=N path component and
+    // silently break the CDC merge/lookup bucket prune
+    requireNotBucketLayout(fs, dir, "compactIncremental",
+      "use graft.streaming.StreamingMerge.compact (it preserves the " +
+        "bucket layout)")
     val m = latestManifest(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no committed version at $dir"))
     val batchId = s"optimize-of-v${m.version}-t$targetBytes-s$smallBytes"
@@ -1910,9 +2002,11 @@ object VersionedTable {
       expectedBaseVersion = cur.version, stats = m.stats,
       blooms = m.blooms, rowCounts = m.rowCounts, sizes = m.sizes,
       // the restored version's sidecar refs carry over by reference —
-      // its files are covered by them, so nothing is recounted
+      // its files are covered by them, so nothing is recounted; the
+      // LATEST's colmaps are NOT carried (the rollback restores the
+      // old schema generation, which pairs with the OLD maps only)
       extraRefs = (m.metaRefs, m.bloomRefs, m.colmapRefs),
-      extraCovered = m.files.toSet)
+      extraCovered = m.files.toSet, carryPrevColmaps = false)
   }
 
   // ---- schema evolution (add-column) ------------------------------
@@ -1977,6 +2071,16 @@ object VersionedTable {
 
   // ---- rename/drop evolution (per-file column maps) ----------------
 
+  /** Refuse an operation on a bucket-layout CDC table (identified by
+    * its `_nbuckets` pin): these tables' readers prune on the
+    * `__bucket=N` path component and read files RAW under the logical
+    * schema, so the operation would corrupt lookups/merges silently
+    * later instead of failing loudly now. */
+  private def requireNotBucketLayout(fs: FileSystem, dir: String,
+                                     op: String, fix: String): Unit =
+    require(!fs.exists(new Path(dir, "_nbuckets")),
+      s"$op($dir): not supported on a bucket-layout CDC table - $fix")
+
   /** The latest version's per-file physical name for logical column
     * `name` (default: the name itself for files with no mapping). */
   private def physicalOf(byFile: Map[String, Map[String, String]],
@@ -2006,6 +2110,8 @@ object VersionedTable {
     require(newName.nonEmpty && !newName.contains("\n") &&
       !newName.contains(StatSep), s"bad column name '$newName'")
     val fs = fsOf(spark, dir)
+    requireNotBucketLayout(fs, dir, "renameColumn",
+      "rebucket into a fresh dir with the target schema instead")
     val m = latestManifest(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no committed version at $dir"))
     val old = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -2036,6 +2142,8 @@ object VersionedTable {
     * as [[renameColumn]]. */
   def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
     val fs = fsOf(spark, dir)
+    requireNotBucketLayout(fs, dir, "dropColumn",
+      "rebucket into a fresh dir with the target schema instead")
     val m = latestManifest(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no committed version at $dir"))
     val old = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]

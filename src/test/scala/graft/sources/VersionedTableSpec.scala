@@ -1139,6 +1139,109 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("restore to a pre-rename version serves the ORIGINAL values " +
+    "(the rollback pairs the old schema with the old maps)") {
+    val dir = freshDir("restorerename")
+    VersionedTable.publish(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score"), dir, "b1")
+    VersionedTable.renameColumn(spark, dir, "score", "rating")
+    assert(VersionedTable.restore(spark, dir, 1L) === 3L)
+    val back = VersionedTable.readLatest(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "score"))
+    assert(back.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      === Map(1L -> 10.0, 2L -> 20.0),
+      "restored column must serve its values, not NULL from a " +
+        "carried rename map")
+    // and restoring FORWARD to the renamed version works too
+    VersionedTable.restore(spark, dir, 2L)
+    val fwd = VersionedTable.readLatest(spark, dir)
+    assert(fwd.schema.fieldNames.toSeq === Seq("id", "rating"))
+    assert(fwd.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      === Map(1L -> 10.0, 2L -> 20.0))
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("metadata answers respect column maps: renamed columns keep " +
+    "pruning/ranging under the NEW name; a dropped-then-re-added " +
+    "column never serves stale stats or blooms") {
+    val dir = freshDir("metamap")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VersionedTable.publish(
+      (1L to 1000L).map(i => (i, i.toDouble)).toDF("id", "v")
+        .repartitionByRange(8, col("id")),
+      dir, "b1", statsCols = Seq("id", "v"), bloomCols = Seq("id"))
+    // RENAME: stats/blooms recorded under the physical name keep
+    // working for the logical name (same bytes)
+    VersionedTable.renameColumn(spark, dir, "id", "key")
+    assert(VersionedTable.statRangeOf(spark, dir, 2L, "key")
+      === Some((1.0, 1000.0)))
+    assert(VersionedTable.statRangeOf(spark, dir, 2L, "id") === None,
+      "the renamed-away name must not answer")
+    val (pruned, opened, total) =
+      VersionedTable.readAsOfPruned(spark, dir, 2L, "key", 100.0, 150.0)
+    assert(opened < total, s"zone maps must survive rename: $opened/$total")
+    assert(pruned.count() === 51L)
+    val (hit, pOpened, pTotal) =
+      VersionedTable.readAsOfPoint(spark, dir, 2L, "key", 7L)
+    assert(pOpened < pTotal, s"blooms must survive rename: $pOpened/$pTotal")
+    assert(hit.count() === 1L)
+    // DROP then RE-ADD: the re-added column reads NULL from old files,
+    // so the metadata range must NOT serve the masked stats
+    VersionedTable.dropColumn(spark, dir, "v")
+    val cur = VersionedTable.readLatest(spark, dir).schema
+    VersionedTable.evolveSchema(spark, dir,
+      org.apache.spark.sql.types.StructType(cur.fields :+
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val v4 = VersionedTable.latestVersion(spark, dir).get
+    assert(VersionedTable.statRangeOf(spark, dir, v4, "v") === None,
+      "stale masked stats must never answer for a re-added column")
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("bucket-layout CDC tables loudly refuse compactIncremental, " +
+    "renameColumn and dropColumn; nonsensical packing thresholds too") {
+    val dir = freshDir("bucketguard")
+    graft.streaming.StreamingMerge.init(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "text"), "id", dir,
+      nBuckets = 4)
+    intercept[IllegalArgumentException] {
+      VersionedTable.compactIncremental(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, dir, "text", "body")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, dir, "text")
+    }
+    VersionedTable.drop(spark, dir)
+    val d2 = freshDir("thresholds")
+    VersionedTable.publish(Seq((1L, "a")).toDF("id", "s"), d2, "b1")
+    intercept[IllegalArgumentException] { // never converges
+      VersionedTable.compactIncremental(spark, d2,
+        targetBytes = 64L << 20, smallBytes = 256L << 20)
+    }
+    VersionedTable.drop(spark, d2)
+  }
+
+  test("VersionedSql.sql leaves versioned(...) text inside string " +
+    "literals alone") {
+    val dir = freshDir("sqlliteral")
+    VersionedTable.publish(
+      Seq((1L, "see versioned('/nonexistent')")).toDF("id", "note"),
+      dir, "b1")
+    val got = VersionedSql.sql(spark,
+      s"SELECT note FROM versioned('$dir') " +
+        "WHERE note = 'see versioned(''/nonexistent'')'")
+      .collect()
+    assert(got.length === 1 &&
+      got.head.getString(0) === "see versioned('/nonexistent')",
+      "the literal must compare unrewritten (and no view registered " +
+        "for the quoted path)")
+    VersionedTable.drop(spark, dir)
+  }
+
   test("withConflictRetry: re-runs the body on CME with bounded " +
     "backoff, propagates after maxAttempts") {
     var calls = 0
