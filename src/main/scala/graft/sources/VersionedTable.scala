@@ -130,7 +130,24 @@ object VersionedTable {
                                      sizes: Seq[(String, Long)] = Nil,
                                      metaRefs: Seq[String] = Nil,
                                      bloomRefs: Seq[(String, String)] = Nil,
-                                     colmapRefs: Seq[String] = Nil)
+                                     colmapRefs: Seq[String] = Nil,
+                                     // DELTA-ENCODED file list (round
+                                     // 16): `base=` names a committed
+                                     // version whose RESOLVED list this
+                                     // manifest patches with add=/
+                                     // remove= lines — so a 1-file CDC
+                                     // trigger writes O(change) lines,
+                                     // not the table's whole file list.
+                                     // Chains are writer-capped at
+                                     // [[MaxChainDepth]] (a full
+                                     // manifest resets depth, the Delta
+                                     // checkpoint cadence). Resolved
+                                     // manifests have baseVersion None
+                                     // and the full `files`.
+                                     baseVersion: Option[Long] = None,
+                                     depth: Int = 0,
+                                     adds: Seq[String] = Nil,
+                                     removes: Seq[String] = Nil)
 
   // ---- per-file metadata line grammar (shared by manifest bodies and
   // sidecar files — one grammar, one parser, one serializer) ----------
@@ -224,7 +241,12 @@ object VersionedTable {
           case _ => None
         }
       },
-      lines.filter(_.startsWith("colmapref=")).map(_.drop(10)))
+      lines.filter(_.startsWith("colmapref=")).map(_.drop(10)),
+      field("base").flatMap(v => scala.util.Try(v.toLong).toOption),
+      field("depth").flatMap(v =>
+        scala.util.Try(v.toInt).toOption).getOrElse(0),
+      lines.filter(_.startsWith("add=")).map(_.drop(4)),
+      lines.filter(_.startsWith("remove=")).map(_.drop(7)))
   }
 
   private def readAll(in: java.io.InputStream): String = {
@@ -263,16 +285,62 @@ object VersionedTable {
     parsed
   }
 
-  /** FULL parse of every committed manifest — the cold path. Only
-    * [[gc]] (which must resolve every version's file references) still
-    * walks this; every hot operation runs on [[committedSummaries]]. */
+  /** Writer cap on delta-manifest chain length: a commit whose base
+    * chain would exceed this writes a FULL file list instead (the
+    * Delta-log parquet-checkpoint cadence), bounding every snapshot
+    * resolution at ≤ this many manifest reads. */
+  private val MaxChainDepth = 10
+
+  /** A version's RAW manifest — the live slot, or its `{v}.base`
+    * shadow (a version dropped by gc/canonicalization but still
+    * referenced as a delta BASE keeps its manifest file under the
+    * shadow name: invisible to listings and time travel, resolvable
+    * for file-list algebra). */
+  private def rawSlot(fs: FileSystem, dir: String,
+                      v: Long): Option[Manifest] =
+    readManifest(fs, slotPath(dir, v)).orElse(
+      readManifest(fs, new Path(manifestDir(dir), s"$v.base")))
+
+  /** Resolve a raw manifest's file list through its base chain:
+    * files = resolve(base).files − removes + adds. A missing base is
+    * CORRUPTION (gc shadows bases instead of deleting them) and fails
+    * loudly rather than serving a partial snapshot. */
+  private def resolveFiles(fs: FileSystem, dir: String, m: Manifest,
+                           hops: Int = 0): Manifest =
+    m.baseVersion match {
+      case None => m
+      case Some(b) =>
+        require(hops < 1000, // cycles are unwritable; guard anyway
+          s"manifest base chain at $dir exceeds 1000 hops (cycle?)")
+        val baseRaw = rawSlot(fs, dir, b).getOrElse(
+          throw new IllegalStateException(
+            s"corrupt manifest chain at $dir: version ${m.version} " +
+              s"bases on $b, which has no live slot or .base shadow"))
+        val base = resolveFiles(fs, dir, baseRaw, hops + 1)
+        val rm = m.removes.toSet
+        m.copy(
+          files = (base.files.filterNot(rm) ++ m.adds).sorted,
+          baseVersion = None, adds = Nil, removes = Nil)
+    }
+
+  /** RAW manifest at `p`, file list resolved. */
+  private def readResolved(fs: FileSystem, dir: String,
+                           p: Path): Option[Manifest] =
+    readManifest(fs, p).map(resolveFiles(fs, dir, _))
+
+  /** FULL parse of every committed manifest (file lists resolved) —
+    * the cold path. Only [[gc]]/[[gcReport]] (which must resolve every
+    * version's file references) still walk this; every hot operation
+    * runs on [[committedSummaries]]. Numeric slot names only — a
+    * `{v}.base` shadow is NOT a committed version. */
   private def committedManifests(fs: FileSystem,
                                  dir: String): Seq[Manifest] = {
     val md = manifestDir(dir)
     if (!fs.exists(md)) return Seq.empty
     fs.listStatus(md).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-      .flatMap(s => readManifest(fs, s.getPath))
+      .filter(s => s.isFile &&
+        scala.util.Try(s.getPath.getName.toLong).isSuccess)
+      .flatMap(s => readResolved(fs, dir, s.getPath))
       .sortBy(_.version)
   }
 
@@ -392,7 +460,7 @@ object VersionedTable {
                                     dir: String): Option[Manifest] = {
     val fs = fsOf(spark, dir)
     committedSummaries(fs, dir).lastOption
-      .flatMap(s => readManifest(fs, slotPath(dir, s.version)))
+      .flatMap(s => readResolved(fs, dir, slotPath(dir, s.version)))
   }
 
   /** The committed version carrying `batchId`, if any — the replay
@@ -450,12 +518,13 @@ object VersionedTable {
     val files = statuses.map(s => s"$dataRel/${s.getPath.getName}").sorted
     val sizes = statuses.map(s =>
       s"$dataRel/${s.getPath.getName}" -> s.getLen)
+    val prev = latestManifest(spark, dir)
     val (metaRefs, bloomRefs, colmapRefs) = prepareMeta(spark, dir,
-      files, fileStats(spark, dir, files, statsCols),
+      files, prev, fileStats(spark, dir, files, statsCols),
       fileBlooms(spark, dir, files, bloomCols),
       fileRowCounts(spark, dir, files), sizes)
     commitManifest(fs, dir, batchId, df.schema.json, files, maxRetries,
-      metaRefs, bloomRefs, colmapRefs)
+      metaRefs, bloomRefs, colmapRefs, prev)
   }
 
   /** [[publish]] with [[publishFilesIfUnchanged]]'s optimistic
@@ -866,6 +935,7 @@ object VersionedTable {
     *    [[rowCountOf]] stays footer-free. */
   private def prepareMeta(spark: SparkSession, dir: String,
                           files: Seq[String],
+                          prev: Option[Manifest],
                           stats: Seq[(String, String, Double, Double)],
                           blooms: Seq[(String, String, Int, Int, String)],
                           rowCounts: Seq[(String, Long)],
@@ -877,7 +947,6 @@ object VersionedTable {
                           carryPrevColmaps: Boolean = true)
       : (Seq[String], Seq[(String, String)], Seq[String]) = {
     val fs = fsOf(spark, dir)
-    val prev = latestManifest(spark, dir)
     val fileSet = files.toSet
     val carried = prev.map(p => fileSet intersect p.files.toSet)
       .getOrElse(Set.empty[String])
@@ -1026,10 +1095,11 @@ object VersionedTable {
       case Some(s) => return s.version // replay: already committed
       case None =>
     }
+    val prev = latestManifest(spark, dir)
     val (metaRefs, bloomRefs, colmapRefs) =
-      prepareMeta(spark, dir, files, stats, Nil, Nil, Nil)
+      prepareMeta(spark, dir, files, prev, stats, Nil, Nil, Nil)
     commitManifest(fs, dir, batchId, schemaJson, files.sorted, maxRetries,
-      metaRefs, bloomRefs, colmapRefs)
+      metaRefs, bloomRefs, colmapRefs, prev)
   }
 
   /** OPTIMISTIC-CONCURRENCY commit for READ-MODIFY-WRITE publishers
@@ -1076,9 +1146,10 @@ object VersionedTable {
     fs.mkdirs(manifestDir(dir))
     // carried files keep their skipping metadata across the commit —
     // by sidecar REFERENCE, so the commit writes O(change) bytes
+    val prev = latestManifest(spark, dir)
     val (metaRefs, bloomRefs, colmapRefs) = prepareMeta(spark, dir,
-      files, stats, blooms, rowCounts, sizes, extraRefs, extraCovered,
-      colMaps, carryPrevColmaps)
+      files, prev, stats, blooms, rowCounts, sizes, extraRefs,
+      extraCovered, colMaps, carryPrevColmaps)
     // TWO-PHASE: claim the slot and write the body WITHOUT the
     // terminator (invisible), validate the window, only then
     // terminate. Validating after visibility is not enough — a third
@@ -1087,7 +1158,7 @@ object VersionedTable {
     // 8-recorder race lost rows exactly that way).
     val body = (Seq(s"version=%d", s"batchId=$batchId",
       s"ts=${System.currentTimeMillis()}", s"schema=$schemaJson") ++
-      files.sorted.map(f => s"file=$f") ++
+      fileListLines(files.sorted, prev) ++
       metaRefs.map(r => s"metaref=$r") ++
       bloomRefs.map { case (p, c) => s"bloomref=$p$StatSep$c" } ++
       colmapRefs.map(r => s"colmapref=$r"))
@@ -1202,12 +1273,35 @@ object VersionedTable {
     }
   }
 
+  /** File-list body lines: a DELTA (`base=`/`depth=`/`add=`/`remove=`)
+    * against the previous latest when that is strictly smaller and the
+    * chain stays under [[MaxChainDepth]]; a FULL `file=` list
+    * otherwise (including every [[MaxChainDepth]]-th commit — the
+    * chain reset that bounds snapshot resolution). Pure encoding: the
+    * resolved list is identical either way, and ANY committed base
+    * works (gc shadows dropped bases instead of deleting them). */
+  private def fileListLines(files: Seq[String],
+                            prev: Option[Manifest]): Seq[String] =
+    prev match {
+      case Some(p) if p.depth < MaxChainDepth =>
+        val pf = p.files.toSet
+        val nf = files.toSet
+        val adds = files.filterNot(pf)
+        val removes = p.files.filterNot(nf)
+        if (adds.size + removes.size < files.size / 2)
+          Seq(s"base=${p.version}", s"depth=${p.depth + 1}") ++
+            adds.map(f => s"add=$f") ++ removes.map(f => s"remove=$f")
+        else files.map(f => s"file=$f")
+      case _ => files.map(f => s"file=$f")
+    }
+
   private def commitManifest(fs: FileSystem, dir: String, batchId: String,
                              schemaJson: String, files: Seq[String],
                              maxRetries: Int,
                              metaRefs: Seq[String] = Nil,
                              bloomRefs: Seq[(String, String)] = Nil,
-                             colmapRefs: Seq[String] = Nil)
+                             colmapRefs: Seq[String] = Nil,
+                             prev: Option[Manifest] = None)
       : Long = {
     fs.mkdirs(manifestDir(dir))
     var attempt = 0
@@ -1220,7 +1314,7 @@ object VersionedTable {
             val body = (Seq(s"version=$next", s"batchId=$batchId",
               s"ts=${System.currentTimeMillis()}",
               s"schema=$schemaJson") ++
-              files.map(f => s"file=$f") ++
+              fileListLines(files, prev) ++
               metaRefs.map(r => s"metaref=$r") ++
               bloomRefs.map { case (p, c) => s"bloomref=$p$StatSep$c" } ++
               colmapRefs.map(r => s"colmapref=$r") :+
@@ -1279,6 +1373,18 @@ object VersionedTable {
           "orphanGraceMs=0 raced the publish?) — commit rolled back: " +
           missing.take(3).mkString(", "))
     }
+    // a delta commit's base chain must resolve — a zero-grace gc
+    // racing the commit window could have dropped the base without
+    // shadowing it (our manifest was not yet visible to its closure
+    // walk). Same rollback contract as missing data files.
+    try { readResolved(fs, dir, ourPath); () } catch {
+      case e: IllegalStateException =>
+        fs.delete(ourPath, false)
+        throw new IllegalStateException(
+          s"publish($dir, $batchId): committed version $ourVersion " +
+            "has an unresolvable base chain (a gc raced the publish?) " +
+            "— commit rolled back", e)
+    }
     // refresh the summary checkpoint on the cadence — best-effort,
     // after the commit is final (never on the canonicalized-loser path)
     if (ourVersion % CheckpointEvery == 0L) writeCheckpoint(fs, dir)
@@ -1289,7 +1395,7 @@ object VersionedTable {
     * read, no listing. */
   private def manifestOf(fs: FileSystem, dir: String,
                          version: Long): Option[Manifest] =
-    readManifest(fs, slotPath(dir, version))
+    readResolved(fs, dir, slotPath(dir, version))
 
   private def dfOf(spark: SparkSession, dir: String,
                    m: Manifest): DataFrame = {
@@ -1765,18 +1871,46 @@ object VersionedTable {
     val keepDataDirs = (keep.flatMap(_.files)
       .map(f => f.split("/").take(2).mkString("/")).toSet) ++
       stagedKeepDirs
+    // base-chain closure of the RETAINED manifests: a dropped version
+    // referenced as a DELTA BASE keeps its manifest file as an
+    // invisible `{v}.base` shadow (pure file-list algebra input for
+    // resolving retained snapshots) instead of being deleted; shadows
+    // fall out of every listing, time travel to them fails, and once
+    // no retained chain references them they age out below.
+    def chainOf(v: Long): Set[Long] = {
+      var acc = Set.empty[Long]
+      var cur = rawSlot(fs, dir, v).flatMap(_.baseVersion)
+      while (cur.isDefined && !acc(cur.get)) {
+        acc += cur.get
+        cur = rawSlot(fs, dir, cur.get).flatMap(_.baseVersion)
+      }
+      acc
+    }
+    val baseRefs = keep.map(_.version).flatMap(chainOf).toSet
     val md = manifestDir(dir)
     var mDeleted = 0
     if (fs.exists(md)) fs.listStatus(md).foreach { s =>
-      readManifest(fs, s.getPath) match {
-        case Some(m) =>
-          if (!keepVersions(m.version)) {
-            fs.delete(s.getPath, false); mDeleted += 1
-          }
-        case None => // uncommitted stub: a crash orphan only once aged
-          if (s.getModificationTime < cutoff) {
-            fs.delete(s.getPath, false); mDeleted += 1
-          }
+      val name = s.getPath.getName
+      if (scala.util.Try(name.toLong).isSuccess) {
+        readManifest(fs, s.getPath) match {
+          case Some(m) =>
+            if (!keepVersions(m.version)) {
+              if (baseRefs(m.version))
+                fs.rename(s.getPath, new Path(md, s"${m.version}.base"))
+              else fs.delete(s.getPath, false)
+              mDeleted += 1
+            }
+          case None => // uncommitted stub: a crash orphan only once aged
+            if (s.getModificationTime < cutoff) {
+              fs.delete(s.getPath, false); mDeleted += 1
+            }
+        }
+      } else if (name.endsWith(".base") && !name.startsWith(".")) {
+        // shadow no retained chain references anymore: aged out
+        val v = scala.util.Try(name.stripSuffix(".base").toLong).toOption
+        if (v.exists(x => !baseRefs(x) && !keepVersions(x)) &&
+            s.getModificationTime < cutoff)
+          fs.delete(s.getPath, false)
       }
     }
     val dd = new Path(dir, "data")
@@ -2322,11 +2456,12 @@ object VersionedTable {
         // the staged manifest's inline metadata moves into the commit's
         // sidecars (staged manifests stay inline: they're short-lived
         // audit state, never carried by reference)
+        val prev = latestManifest(spark, dir)
         val (metaRefs, bloomRefs, colmapRefs) = prepareMeta(spark, dir,
-          m.files, m.stats, m.blooms, m.rowCounts, m.sizes,
+          m.files, prev, m.stats, m.blooms, m.rowCounts, m.sizes,
           extraCovered = m.files.toSet)
         commitManifest(fs, dir, m.batchId, m.schemaJson, m.files, 20,
-          metaRefs, bloomRefs, colmapRefs)
+          metaRefs, bloomRefs, colmapRefs, prev)
       }
     fs.delete(p, false)
     v

@@ -165,7 +165,22 @@ object DumpPlans {
     // round-15: z-ordered joint-predicate read — the pruned file list
     // is already applied at the scan (a handful of paths), the
     // residual conjunction is a codegen'd filter over it
-    "d144_zorder_skipping")
+    "d144_zorder_skipping",
+    // round-16: versioned SQL surface — the rewritten spark.sql text
+    // plans as ordinary relations over the NATIVE parquet source:
+    // time-travel join of two snapshots plus the zone-map-pruned view
+    // (file skip applied BEFORE planning, so the band scan lists only
+    // surviving paths)
+    "b17_versioned_sql",
+    // round-16: debt-only OPTIMIZE output — the packed table's scan
+    // reads 2 files (1 carried big + 1 packed), proving the rewrite
+    // touched only the small-file debt
+    "d148_optimize",
+    // round-16: rename/drop-evolved read — per-mapping file groups
+    // each scan the native parquet source under the PHYSICAL schema,
+    // project to logical names, and union; still codegen'd scans, no
+    // UDF anywhere in the mapping path
+    "d149_rename_drop")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

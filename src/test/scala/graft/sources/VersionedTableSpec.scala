@@ -1242,6 +1242,72 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("delta-encoded file lists: append commits write O(change) " +
+    "manifest lines, chains cap at the depth bound, and gc shadows a " +
+    "dropped base so retained snapshots keep resolving") {
+    val dir = freshDir("deltalist")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VersionedTable.publish(
+      (1L to 800L).map(i => (i, s"x$i")).toDF("id", "s").repartition(8),
+      dir, "b0")
+    for (i <- 1 to 15) {
+      val m = VersionedTable.latestManifest(spark, dir).get
+      val rel = s"data/app-$i"
+      Seq((10000L + i, s"n$i")).toDF("id", "s").coalesce(1)
+        .write.parquet(s"$dir/$rel")
+      val fNew = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/$rel")).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(s => s"$rel/${s.getPath.getName}")
+      VersionedTable.publishFilesIfUnchanged(spark, dir, s"a$i",
+        m.schemaJson, m.files ++ fNew, expectedBaseVersion = m.version)
+    }
+    def slotText(v: Long): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/_manifests/$v"))
+    // an append manifest is a DELTA: base= + one add=, no file= lines
+    val d = slotText(5L).split("\n").toSeq
+    assert(d.exists(_.startsWith("base=")) &&
+      d.count(_.startsWith("add=")) === 1 &&
+      !d.exists(_.startsWith("file=")),
+      s"append slot must be a delta, got:\n${d.mkString("\n")}")
+    // the chain resets with a FULL manifest within the depth bound
+    val fullSlots = (2L to 16L).filter(v =>
+      slotText(v).split("\n").exists(_.startsWith("file=")))
+    assert(fullSlots.nonEmpty,
+      "some commit within the bound must write a full list (cap)")
+    // resolution is exact at every version
+    assert(VersionedTable.readAsOf(spark, dir, 1L).count() === 800L)
+    assert(VersionedTable.readAsOf(spark, dir, 9L).count() === 808L)
+    assert(VersionedTable.readLatest(spark, dir).count() === 815L)
+    assert(VersionedTable.filesOf(spark, dir, 16L).size === 23)
+    // metadata still resolves footer-free through the chain
+    val before = VersionedTable.footerReads.get()
+    assert(VersionedTable.rowCountOf(spark, dir, 16L) === 815L)
+    assert(VersionedTable.footerReads.get() === before)
+    // gc: dropped versions that are BASES of retained deltas survive
+    // as invisible .base shadows; everything keeps resolving
+    VersionedTable.gc(spark, dir, keepLast = 2, orphanGraceMs = 0L)
+    assert(VersionedTable.versions(spark, dir) === Seq(15L, 16L))
+    assert(VersionedTable.readLatest(spark, dir).count() === 815L)
+    assert(VersionedTable.readAsOf(spark, dir, 15L).count() === 814L)
+    intercept[NoSuchElementException] { // dropped: invisible
+      VersionedTable.readAsOf(spark, dir, 9L)
+    }
+    val names = new java.io.File(s"$dir/_manifests").list().toSeq
+    assert(names.exists(_.endsWith(".base")),
+      s"a referenced base must survive as a shadow: $names")
+    // a later full rewrite drops the chain; the shadows age out
+    VersionedTable.compact(spark, dir, targetBytes = 1L << 30)
+    VersionedTable.gc(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    val names2 = new java.io.File(s"$dir/_manifests").list().toSeq
+    assert(!names2.exists(_.endsWith(".base")),
+      s"unreferenced shadows must age out: $names2")
+    assert(VersionedTable.readLatest(spark, dir).count() === 815L)
+    VersionedTable.drop(spark, dir)
+  }
+
   test("withConflictRetry: re-runs the body on CME with bounded " +
     "backoff, propagates after maxAttempts") {
     var calls = 0
