@@ -178,6 +178,35 @@ object DedupQueries extends Registry {
         (2L, graft.sources.VersionedTable.rowCountOf(s, dir, 2L)))
         .toDF("version", "n_rows")
     }),
+    // d150_cdf_sql (COVERAGE D270): the row-level change feed through
+    // the SQL surface — `versioned_cdf('<dir>', v1, v2, '<id>')` in
+    // plain spark.sql text, so audit/sync consumers who write SQL (not
+    // Scala) read "which rows changed, and how". Same CDC fixture as
+    // d145; the oracle pins the per-class event counts and the exact
+    // set of updated ids folded into one grid.
+    "d150_cdf_sql" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_cdf_sql")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      graft.streaming.StreamingMerge.init(docs, "doc_id", dir,
+        nBuckets = 16)
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" [u]")))
+        .withColumn("__seq", lit(1L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpUpsert))
+      val deletes = docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("__seq", lit(2L))
+        .withColumn("__op", lit(graft.operators.MergeUpsert.OpDelete))
+      graft.streaming.StreamingMerge.applyBatch(
+        updates.unionByName(deletes), "doc_id", "__seq", "__op", dir,
+        16, Some("cdfsql-epoch-0"))
+      graft.sources.VersionedSql.sql(s, s"""
+        SELECT __change_type,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM versioned_cdf('$dir', 1, 2, 'doc_id')
+        GROUP BY __change_type""")
+    }),
     // d148_optimize (COVERAGE D266): INCREMENTAL OPTIMIZE — bin-packing
     // compaction whose cost tracks the small-file DEBT: streaming
     // appends leave trigger-sized files next to one big base file;
@@ -1122,6 +1151,20 @@ object DedupQueries extends Registry {
       SELECT CAST(2 AS BIGINT),
              CAST(count(*) AS BIGINT) FROM documents
       WHERE doc_id % 503 <> 0""",
+    // the SQL-surface feed ≡ per-class counts over the same event
+    // algebra as d145 (update∧delete ids resolve latest-wins delete)
+    "d150_cdf_sql" -> """
+      SELECT __change_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM (
+        SELECT 'update_preimage' AS __change_type, doc_id
+        FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+        UNION ALL
+        SELECT 'update_postimage', doc_id
+        FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+        UNION ALL
+        SELECT 'delete', doc_id FROM documents WHERE doc_id % 11 = 0)
+      GROUP BY __change_type""",
     // debt-only packing ≡ the untouched full table
     "d148_optimize" -> """
       SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders""",

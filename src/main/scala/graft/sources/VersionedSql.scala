@@ -83,10 +83,23 @@ object VersionedSql {
     (opened, total)
   }
 
+  /** Register the ROW-LEVEL CHANGE FEED between two committed versions
+    * as a temp view — downstream SQL consumers (sync jobs, audit
+    * queries) read "which rows changed, and how" without the Scala
+    * API. Cost ∝ the change (derived from the changed files only,
+    * [[graft.streaming.StreamingMerge.changeFeedRows]]). */
+  def registerChangeFeed(spark: SparkSession, name: String, dir: String,
+                         vOld: Long, vNew: Long, idCol: String): Unit =
+    graft.streaming.StreamingMerge
+      .changeFeedRows(spark, dir, vOld, vNew, idCol)
+      .createOrReplaceTempView(name)
+
   private val VersionedRe =
     raw"versioned\(\s*'([^']+)'(?:\s*,\s*(\d+))?\s*\)".r
   private val VersionedTsRe =
     raw"versioned_ts\(\s*'([^']+)'\s*,\s*(\d+)\s*\)".r
+  private val VersionedCdfRe =
+    raw"versioned_cdf\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*'([^']+)'\s*\)".r
 
   private def viewName(dir: String, tag: String): String = {
     val h = java.lang.Integer.toHexString(
@@ -132,7 +145,14 @@ object VersionedSql {
     * that START inside a single-quoted string literal are left alone
     * (data, not a call site). */
   def sql(spark: SparkSession, text: String): DataFrame = {
-    var rewritten = rewriteOutsideLiterals(text, VersionedTsRe) { m =>
+    var rewritten = rewriteOutsideLiterals(text, VersionedCdfRe) { m =>
+      val (dir, vOld, vNew, idCol) =
+        (m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4))
+      val name = viewName(dir, s"cdf$vOld-$vNew-$idCol")
+      registerChangeFeed(spark, name, dir, vOld, vNew, idCol)
+      name
+    }
+    rewritten = rewriteOutsideLiterals(rewritten, VersionedTsRe) { m =>
       val (dir, ts) = (m.group(1), m.group(2).toLong)
       val name = viewName(dir, s"ts$ts")
       registerAsOfTimestamp(spark, name, dir, ts)
