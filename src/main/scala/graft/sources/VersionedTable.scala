@@ -1145,8 +1145,13 @@ object VersionedTable {
     }
     fs.mkdirs(manifestDir(dir))
     // carried files keep their skipping metadata across the commit —
-    // by sidecar REFERENCE, so the commit writes O(change) bytes
-    val prev = latestManifest(spark, dir)
+    // by sidecar REFERENCE, so the commit writes O(change) bytes.
+    // `prev` is the EXPECTED-BASE manifest by direct slot read (one
+    // read, no listing): the caller's content derives from it by the
+    // OCC contract; if a newer commit exists the window check aborts
+    // before anything carried from the stale base becomes visible.
+    val prev = manifestOf(fs, dir, expectedBaseVersion)
+      .orElse(latestManifest(spark, dir))
     val (metaRefs, bloomRefs, colmapRefs) = prepareMeta(spark, dir,
       files, prev, stats, blooms, rowCounts, sizes, extraRefs,
       extraCovered, colMaps, carryPrevColmaps)

@@ -368,7 +368,14 @@ object StreamingMerge {
     * commit it as a new version (idempotent per source version via
     * batchId `merge-compact-of-v{N}`). Unlike
     * [[VersionedTable.compact]] this PRESERVES the bucket layout the
-    * incremental reads prune on. Returns (filesBefore, filesAfter). */
+    * incremental reads prune on. Rewriting the world is the RIGHT
+    * shape here: each trigger already leaves exactly one file per
+    * touched bucket (writeBucketed repartitions on the bucket id), so
+    * the latest version never accumulates intra-bucket small files —
+    * the debt a bucket table accrues is superseded VERSIONS ([[
+    * graft.sources.VersionedTable.gc]]) and under-sized buckets
+    * ([[rebucket]]), not per-bucket fragments. Returns (filesBefore,
+    * filesAfter). */
   def compact(spark: SparkSession, dir: String, idCol: String,
               nBuckets: Int = 64): (Int, Int) = {
     VersionedBuckets.checkNBuckets(spark, dir, nBuckets)
