@@ -178,6 +178,24 @@ object DedupQueries extends Registry {
         (2L, graft.sources.VersionedTable.rowCountOf(s, dir, 2L)))
         .toDF("version", "n_rows")
     }),
+    // d151_history (COVERAGE D272): DESCRIBE HISTORY — one row per
+    // committed version (version, batch_id, n_rows), zero data I/O
+    // (n_rows folds the manifest-carried counts). The batchIds ARE
+    // the operations log: the restore commit's id names its source
+    // and victim versions. Read through the SQL surface
+    // (versioned_history) so auditors need no Scala.
+    "d151_history" -> ((s, d) => {
+      val (_, dir) = indexScratch(d, "graft_history")
+      graft.sources.VersionedTable.drop(s, dir)
+      val docs = Tables.documents(s, d)
+      graft.sources.VersionedTable.publish(docs, dir, "cut-1")
+      graft.sources.VersionedTable.publish(
+        docs.filter(col("doc_id") % 3 === 0), dir, "cut-2")
+      graft.sources.VersionedTable.restore(s, dir, 1L)
+      graft.sources.VersionedSql.sql(s,
+        s"SELECT version, batch_id, n_rows " +
+          s"FROM versioned_history('$dir')")
+    }),
     // d150_cdf_sql (COVERAGE D270): the row-level change feed through
     // the SQL surface — `versioned_cdf('<dir>', v1, v2, '<id>')` in
     // plain spark.sql text, so audit/sync consumers who write SQL (not
@@ -1151,6 +1169,18 @@ object DedupQueries extends Registry {
       SELECT CAST(2 AS BIGINT),
              CAST(count(*) AS BIGINT) FROM documents
       WHERE doc_id % 503 <> 0""",
+    // the operations log ≡ the three commits' (version, batchId,
+    // metadata-only count) rows
+    "d151_history" -> """
+      SELECT CAST(1 AS BIGINT) AS version, 'cut-1' AS batch_id,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'cut-2',
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+         WHERE doc_id % 3 = 0)
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'restore-v1-over-v2',
+        (SELECT CAST(count(*) AS BIGINT) FROM documents)""",
     // the SQL-surface feed ≡ per-class counts over the same event
     // algebra as d145 (update∧delete ids resolve latest-wins delete)
     "d150_cdf_sql" -> """

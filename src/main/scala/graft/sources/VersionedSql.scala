@@ -83,6 +83,13 @@ object VersionedSql {
     (opened, total)
   }
 
+  /** Register the table's HISTORY (`DESCRIBE HISTORY` shape — one row
+    * per committed version: version, ts_millis, batch_id, n_files,
+    * n_rows, zero data I/O) as a temp view. */
+  def registerHistory(spark: SparkSession, name: String,
+                      dir: String): Unit =
+    VersionedTable.history(spark, dir).createOrReplaceTempView(name)
+
   /** Register the ROW-LEVEL CHANGE FEED between two committed versions
     * as a temp view — downstream SQL consumers (sync jobs, audit
     * queries) read "which rows changed, and how" without the Scala
@@ -100,6 +107,8 @@ object VersionedSql {
     raw"versioned_ts\(\s*'([^']+)'\s*,\s*(\d+)\s*\)".r
   private val VersionedCdfRe =
     raw"versioned_cdf\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*'([^']+)'\s*\)".r
+  private val VersionedHistoryRe =
+    raw"versioned_history\(\s*'([^']+)'\s*\)".r
 
   private def viewName(dir: String, tag: String): String = {
     val h = java.lang.Integer.toHexString(
@@ -145,7 +154,13 @@ object VersionedSql {
     * that START inside a single-quoted string literal are left alone
     * (data, not a call site). */
   def sql(spark: SparkSession, text: String): DataFrame = {
-    var rewritten = rewriteOutsideLiterals(text, VersionedCdfRe) { m =>
+    var rewritten = rewriteOutsideLiterals(text, VersionedHistoryRe) { m =>
+      val dir = m.group(1)
+      val name = viewName(dir, "history")
+      registerHistory(spark, name, dir)
+      name
+    }
+    rewritten = rewriteOutsideLiterals(rewritten, VersionedCdfRe) { m =>
       val (dir, vOld, vNew, idCol) =
         (m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4))
       val name = viewName(dir, s"cdf$vOld-$vNew-$idCol")

@@ -1763,6 +1763,34 @@ object VersionedTable {
       case (_, v) => v
     }
 
+  /** TABLE HISTORY — the `DESCRIBE HISTORY` surface: one row per
+    * committed version with (version, ts_millis, batch_id, n_files,
+    * n_rows). The operations log an operator reads before a restore
+    * ("which cut do I roll back to?") and an auditor reads after one
+    * ("what landed when?"). Driver cost: the summary level for the
+    * version list plus one manifest + meta-ref resolution per
+    * RETAINED version (bounded by gc retention, never by table size);
+    * n_rows is the metadata-only [[rowCountOf]] fold, so the whole
+    * history costs zero data I/O. batchIds are the audit trail: the
+    * copy-on-write sinks encode their operation and source version in
+    * them (`merge-epoch-3`, `compact-of-v7`, `restore-v2-over-v9`,
+    * `rename-of-v4-score-to-rating`). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val rows = committedSummaries(fs, dir).map { s =>
+      val m = manifestOf(fs, dir, s.version)
+      val nFiles = m.map(_.files.size).getOrElse(0)
+      val nRows = m.map { mm =>
+        val counted = loadFileMeta(fs, dir, mm)._2
+        if (mm.files.forall(counted.contains)) mm.files.map(counted).sum
+        else -1L // legacy manifest without counts: unknown, not a scan
+      }.getOrElse(-1L)
+      (s.version, s.ts, s.batchId, nFiles, nRows)
+    }
+    import spark.implicits._
+    rows.toDF("version", "ts_millis", "batch_id", "n_files", "n_rows")
+  }
+
   /** TIMESTAMP TIME TRAVEL: the newest version committed at or before
     * `tsMillis` (manifests record their commit wall clock). The
     * timestamp is ADVISORY — version order is the truth; writer clock

@@ -1308,6 +1308,29 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("history: one metadata-only row per committed version, " +
+    "operation-encoding batchIds, zero data I/O") {
+    val dir = freshDir("history")
+    VersionedTable.publish(
+      (1L to 90L).map(i => (i, s"x$i")).toDF("id", "s"), dir, "cut-1")
+    VersionedTable.publish(
+      (1L to 30L).map(i => (i, s"y$i")).toDF("id", "s"), dir, "cut-2")
+    VersionedTable.restore(spark, dir, 1L)
+    val before = VersionedTable.footerReads.get()
+    val h = VersionedTable.history(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3),
+        r.getLong(4)))
+    assert(VersionedTable.footerReads.get() === before,
+      "history must be metadata-only")
+    assert(h.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(h.map(_._2).toSeq ===
+      Seq("cut-1", "cut-2", "restore-v1-over-v2"),
+      "batchIds are the operations log")
+    assert(h.map(_._4).toSeq === Seq(90L, 30L, 90L))
+    assert(h.forall(_._3 > 0), "file counts recorded")
+    VersionedTable.drop(spark, dir)
+  }
+
   test("withConflictRetry: re-runs the body on CME with bounded " +
     "backoff, propagates after maxAttempts") {
     var calls = 0
