@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** SQL SURFACE FOR VERSIONED TABLES — before round 16 the whole
@@ -101,19 +103,26 @@ object VersionedSql {
       .changeFeedRows(spark, dir, vOld, vNew, idCol)
       .createOrReplaceTempView(name)
 
+  // left boundary: only whole-word call sites match — an identifier
+  // merely ENDING in the function name (e.g. a UDF `unversioned('/p')`)
+  // must not be partially rewritten into a spurious snapshot view
   private val VersionedRe =
-    raw"versioned\(\s*'([^']+)'(?:\s*,\s*(\d+))?\s*\)".r
+    raw"(?<![A-Za-z0-9_])versioned\(\s*'([^']+)'(?:\s*,\s*(\d+))?\s*\)".r
   private val VersionedTsRe =
-    raw"versioned_ts\(\s*'([^']+)'\s*,\s*(\d+)\s*\)".r
+    raw"(?<![A-Za-z0-9_])versioned_ts\(\s*'([^']+)'\s*,\s*(\d+)\s*\)".r
   private val VersionedCdfRe =
-    raw"versioned_cdf\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*'([^']+)'\s*\)".r
+    raw"(?<![A-Za-z0-9_])versioned_cdf\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*'([^']+)'\s*\)".r
   private val VersionedHistoryRe =
-    raw"versioned_history\(\s*'([^']+)'\s*\)".r
+    raw"(?<![A-Za-z0-9_])versioned_history\(\s*'([^']+)'\s*\)".r
 
+  /** Full SHA-1 of `dir@tag` — a 32-bit hash here risked silent view
+    * replacement (createOrReplaceTempView) on a collision between two
+    * distinct snapshots referenced in one session, i.e. wrong data
+    * with no error. 160 bits makes that impossible in practice. */
   private def viewName(dir: String, tag: String): String = {
-    val h = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$dir@$tag"))
-    s"__graft_versioned_$h"
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s"$dir@$tag".getBytes(StandardCharsets.UTF_8))
+    s"__graft_versioned_${digest.map("%02x".format(_)).mkString}"
   }
 
   /** Character spans of single-quoted SQL string literals (`''`

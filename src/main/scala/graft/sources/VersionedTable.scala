@@ -829,8 +829,12 @@ object VersionedTable {
     * filtered to the version's live file set (carried refs may cover
     * since-removed files — their entries are simply dead) and stat
     * columns re-keyed through the column maps ([[remapToLogical]]).
-    * Later duplicates win in the maps; dup entries describe the same
-    * immutable file so they agree. */
+    * Duplicate precedence, explicit: stats keep the FIRST occurrence
+    * (distinctBy — inline beats sidecar, earlier ref beats later);
+    * the rows/sizes maps keep the LAST (toMap). The asymmetry is
+    * harmless ONLY because duplicates describe the same immutable
+    * file and therefore agree; if consolidation ever REWRITES values,
+    * unify on one rule first. */
   private[graft] def loadFileMeta(fs: FileSystem, dir: String, m: Manifest)
       : (Seq[(String, String, Double, Double)], Map[String, Long],
          Map[String, Long]) = {
@@ -1777,11 +1781,19 @@ object VersionedTable {
     * `rename-of-v4-score-to-rating`). */
   def history(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)
+    // consecutive versions carry most meta sidecars BY REFERENCE, so
+    // memoize each ref's row-count parse per call (the gcReport cache
+    // shape): O(distinct refs) sidecar opens, not O(versions × refs)
+    val cache = scala.collection.mutable.Map[String, Seq[(String, Long)]]()
     val rows = committedSummaries(fs, dir).map { s =>
       val m = manifestOf(fs, dir, s.version)
       val nFiles = m.map(_.files.size).getOrElse(0)
       val nRows = m.map { mm =>
-        val counted = loadFileMeta(fs, dir, mm)._2
+        // same fold as loadFileMeta's rows (inline ++ refs in order,
+        // last wins); dead-file entries are harmless — only mm.files
+        // are looked up
+        val counted = (mm.rowCounts ++ mm.metaRefs.flatMap(r =>
+          cache.getOrElseUpdate(r, readMetaSidecar(fs, dir, r)._2))).toMap
         if (mm.files.forall(counted.contains)) mm.files.map(counted).sum
         else -1L // legacy manifest without counts: unknown, not a scan
       }.getOrElse(-1L)
@@ -2248,12 +2260,27 @@ object VersionedTable {
     require(!fs.exists(new Path(dir, "_nbuckets")),
       s"$op($dir): not supported on a bucket-layout CDC table - $fix")
 
-  /** The latest version's per-file physical name for logical column
-    * `name` (default: the name itself for files with no mapping). */
-  private def physicalOf(byFile: Map[String, Map[String, String]],
-                         f: String, name: String): String =
-    byFile.getOrElse(f, Map.empty)
-      .collectFirst { case (p, l) if l == name => p }.getOrElse(name)
+  /** Colmap entries for renaming/dropping logical `name` across the
+    * carried files: remap the file's actual physical backing when one
+    * exists; otherwise fall back to the name itself ONLY when that
+    * physical key is unclaimed in the file's map. A claimed key —
+    * masked by a drop (`p -> ""`) or renamed away (`p -> other`) —
+    * means the logical column has NO physical backing in that file
+    * (it reads as null), so no entry is needed and emitting one would
+    * override the mask/claim under later-wins folding: drop(c) →
+    * re-add(c) → rename(c, d) would silently serve the dropped
+    * column's stale on-disk bytes as d. */
+  private def remapEntries(byFile: Map[String, Map[String, String]],
+                           files: Seq[String], name: String,
+                           target: String): Seq[(String, String, String)] =
+    files.flatMap { f =>
+      val fm = byFile.getOrElse(f, Map.empty)
+      fm.collectFirst { case (p, l) if l == name => p } match {
+        case Some(p) => Some((f, p, target))
+        case None if fm.contains(name) => None // masked/claimed: keep it
+        case None => Some((f, name, target))
+      }
+    }
 
   /** RENAME-COLUMN EVOLUTION — zero data I/O, like [[evolveSchema]]:
     * the commit carries the file list unchanged and records a per-file
@@ -2291,9 +2318,9 @@ object VersionedTable {
       if (f.name == oldName) f.copy(name = newName) else f))
     val byFile = loadColMaps(fs, dir, m)
     // map each file's CURRENT physical for the renamed logical —
-    // rename chains compose (a→b→c keeps pointing at physical a)
-    val colMaps = m.files.map(f =>
-      (f, physicalOf(byFile, f, oldName), newName))
+    // rename chains compose (a→b→c keeps pointing at physical a);
+    // files with no backing (masked/claimed key) get NO entry
+    val colMaps = remapEntries(byFile, m.files, oldName, newName)
     publishFilesIfUnchanged(spark, dir,
       s"rename-of-v${m.version}-$oldName-to-$newName", newSchema.json,
       m.files, expectedBaseVersion = m.version, colMaps = colMaps)
@@ -2320,8 +2347,7 @@ object VersionedTable {
       s"dropColumn($dir): cannot drop the only column")
     val newSchema = StructType(old.fields.filterNot(_.name == name))
     val byFile = loadColMaps(fs, dir, m)
-    val colMaps = m.files.map(f =>
-      (f, physicalOf(byFile, f, name), ""))
+    val colMaps = remapEntries(byFile, m.files, name, "")
     publishFilesIfUnchanged(spark, dir,
       s"drop-of-v${m.version}-$name", newSchema.json, m.files,
       expectedBaseVersion = m.version, colMaps = colMaps)

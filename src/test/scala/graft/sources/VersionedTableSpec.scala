@@ -1139,6 +1139,55 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.drop(spark, dir)
   }
 
+  test("drop -> re-add -> rename preserves the mask: the renamed " +
+    "re-added column must NOT serve the dropped column's stale bytes") {
+    val dir = freshDir("dropreaddrename")
+    VersionedTable.publish(
+      Seq((1L, "a", 99.0), (2L, "b", 88.0)).toDF("id", "s", "secret"),
+      dir, "b1")
+    VersionedTable.dropColumn(spark, dir, "secret")
+    val cur = VersionedTable.readLatest(spark, dir).schema
+    VersionedTable.evolveSchema(spark, dir,
+      org.apache.spark.sql.types.StructType(cur.fields :+
+        org.apache.spark.sql.types.StructField("secret",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+    // the bug: rename's colmap fallback-to-name emitted (file, secret,
+    // disclosed) for old files whose map already MASKS physical
+    // `secret` (-> ""), and later-wins folding overrode the mask
+    VersionedTable.renameColumn(spark, dir, "secret", "disclosed")
+    val out = VersionedTable.readLatest(spark, dir)
+    assert(out.schema.fieldNames.toSeq === Seq("id", "s", "disclosed"))
+    assert(out.where(col("disclosed").isNotNull).count() === 0L,
+      "masked bytes must never leak through a rename of the re-added " +
+        "column")
+    VersionedTable.drop(spark, dir)
+  }
+
+  test("rename -> re-add old name -> rename: the second rename must " +
+    "not orphan the first rename's data (claimed physical is skipped)") {
+    val dir = freshDir("renamereaddrename")
+    VersionedTable.publish(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "a"), dir, "b1")
+    VersionedTable.renameColumn(spark, dir, "a", "b") // physical a -> b
+    val cur = VersionedTable.readLatest(spark, dir).schema
+    VersionedTable.evolveSchema(spark, dir,
+      org.apache.spark.sql.types.StructType(cur.fields :+
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+    // the bug: renaming the RE-ADDED `a` fell back to physical `a`,
+    // which is claimed by the first rename (a -> b); the override
+    // orphaned b's data AND served a's stale bytes under c
+    VersionedTable.renameColumn(spark, dir, "a", "c")
+    val out = VersionedTable.readLatest(spark, dir)
+    assert(out.schema.fieldNames.toSeq === Seq("id", "b", "c"))
+    assert(out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      === Map(1L -> 10.0, 2L -> 20.0),
+      "the first rename's column must keep serving its physical bytes")
+    assert(out.where(col("c").isNotNull).count() === 0L,
+      "the re-added column has no physical backing in old files")
+    VersionedTable.drop(spark, dir)
+  }
+
   test("restore to a pre-rename version serves the ORIGINAL values " +
     "(the rollback pairs the old schema with the old maps)") {
     val dir = freshDir("restorerename")
@@ -1240,6 +1289,21 @@ class VersionedTableSpec extends SparkSpec {
       "the literal must compare unrewritten (and no view registered " +
         "for the quoted path)")
     VersionedTable.drop(spark, dir)
+  }
+
+  test("VersionedSql.sql rewrites only whole-word call sites: an " +
+    "identifier merely ENDING in 'versioned(' is left alone") {
+    // pre-fix, the regex matched the `versioned('/nonexistent')` tail
+    // of `unversioned(...)` and registration threw
+    // NoSuchElementException("no committed version at /nonexistent");
+    // post-fix the text reaches spark.sql untouched and fails as an
+    // unresolved FUNCTION, naming `unversioned`
+    val ex = intercept[Exception] {
+      VersionedSql.sql(spark, "SELECT unversioned('/nonexistent')")
+    }
+    assert(!ex.isInstanceOf[NoSuchElementException] &&
+      Option(ex.getMessage).exists(_.contains("unversioned")),
+      s"the rewrite must not fire inside identifiers, got: $ex")
   }
 
   test("delta-encoded file lists: append commits write O(change) " +
