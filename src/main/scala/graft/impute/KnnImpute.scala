@@ -31,6 +31,35 @@ import org.apache.spark.sql.functions._
   */
 object KnnImpute {
 
+  /** ONE driver-side collect of the donor-side A4 fit — per-feature
+    * (min, max) plus the donor COUNT in the same aggregate. The
+    * multi-action paths (imputeAnn / writeDonorIndex) previously
+    * re-computed the stats subtree (a full donor scan) inside every
+    * downstream action via `crossJoin(broadcast(stats))`, plus a
+    * separate `donorSide.count()` scan to size the cell count; this
+    * is one scan total (guide §1.2/§2.4 — remove redundant passes),
+    * and the values embed as LITERALS carrying the same doubles the
+    * broadcast row carried, so the A5 scaling arithmetic is
+    * bit-identical. */
+  private def collectStats(donors: DataFrame, featureCols: Seq[String])
+      : (Map[String, (Option[Double], Option[Double])], Long) = {
+    val aggs = count(lit(1)).as("__n") +: featureCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val r = donors.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val byCol = featureCols.zipWithIndex.map { case (c, i) =>
+      val mnI = 1 + 2 * i
+      c -> (if (r.isNullAt(mnI)) None else Some(r.getDouble(mnI)),
+        if (r.isNullAt(mnI + 1)) None else Some(r.getDouble(mnI + 1)))
+    }.toMap
+    (byCol, r.getLong(0))
+  }
+
+  /** A collected stat as a literal Column (null-preserving: an empty
+    * donor set yields null min/max exactly like the aggregate row). */
+  private def litOf(v: Option[Double]): Column =
+    v.map(lit).getOrElse(lit(null).cast("double"))
+
   /** Impute nulls of `targetCol` from the `k` nearest complete rows in
     * `featureCols` space. Output: input columns with `targetCol`
     * replaced by its imputed value where it was null (rows with a null
@@ -183,16 +212,15 @@ object KnnImpute {
     require(featureCols.nonEmpty && k >= 1 && nProbe >= 1)
     val featOk = featureCols.map(col(_).isNotNull).reduce(_ && _)
     val donors = df.filter(col(targetCol).isNotNull && featOk)
-    val stats = donors.agg(
-      featureCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c"))).head,
-      featureCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*)
+    // ONE donor scan fits the stats AND counts the donors (collectStats
+    // scaladoc); before, the stats subtree re-ran inside every action
+    // (count, fit checkpoint, index build, recipients, final join) —
+    // ~7 source scans for one query. Literal stats also drop the
+    // 1-row BroadcastNestedLoopJoin from every subplan.
+    val (st, nDonors) = collectStats(donors, featureCols)
     def scaledVec: Column = array(featureCols.map(c =>
       Scaling.scale(col(c).cast("double"),
-        col(s"__mn_$c"), col(s"__mx_$c"))): _*)
+        litOf(st(c)._1), litOf(st(c)._2))): _*)
     // cells ≈ √|donors| (the IVF heuristic). The cap is generous —
     // the native CentroidTopK expression carries its centroid matrix
     // INSIDE one expression object (k·dim doubles, not k plan
@@ -202,21 +230,31 @@ object KnnImpute {
       .select(Seq(col(idCol).as("__did"),
         col(targetCol).cast("decimal(18,2)").as("__dv")) ++
         featureCols.map(c => col(c)): _*)
-      .crossJoin(broadcast(stats))
       .withColumn("__vec", scaledVec)
       .select("__did", "__dv", "__vec")
     val cells =
       if (numCells > 0) numCells
       else math.max(2, math.min(4096,
-        math.ceil(math.sqrt(donorSide.count().toDouble)).toInt))
+        math.ceil(math.sqrt(nDonors.toDouble)).toInt))
     val model = graft.ml.KMeansLloyd.fit(donorSide, "__did", "__vec",
       cells, fitIters)
+    // the one-shot analogue of the SERVE path's bucketed donor layout:
+    // spread the assigned donors across the session's shuffle width on
+    // __cell BEFORE the candidate join. Without it, a small-file input
+    // leaves the scan at one split and the whole pair-scoring +
+    // per-recipient group-limit tail on ONE task (the broadcast join
+    // streams the donor side at scan parallelism); at corpus scale
+    // this is the same donor-side exchange ENSURE_REQUIREMENTS inserts
+    // for the shuffle join. Width follows spark.sql.shuffle.partitions
+    // (conf-derived, never a local constant).
+    val width = df.sparkSession.conf.get(
+      "spark.sql.shuffle.partitions").toInt
     val indexed = donorSide
       .withColumn("__cell",
         graft.ml.KMeansLloyd.nearestCell(col("__vec"), model))
+      .repartition(width, col("__cell"))
     val recipients = df.filter(col(targetCol).isNull && featOk)
       .select(col(idCol).as("__rid") +: featureCols.map(c => col(c)): _*)
-      .crossJoin(broadcast(stats))
       .withColumn("__rvec", scaledVec)
       .select(col("__rid"), col("__rvec"),
         explode(graft.ml.KMeansLloyd.probeCells(col("__rvec"), model,
@@ -270,28 +308,39 @@ object KnnImpute {
     import spark.implicits._
     val featOk = featureCols.map(col(_).isNotNull).reduce(_ && _)
     val donors = df.filter(col(targetCol).isNotNull && featOk)
-    val stats = donors.agg(
+    // one donor scan for stats + count (collectStats scaladoc); the
+    // stats sidecar is then written from the collected row — same
+    // column names/values/nullability as the old aggregate write, so
+    // imputeServe/mergeDonorIndex read an identical file
+    val (st, nDonors) = collectStats(donors, featureCols)
+    val statsSchema = org.apache.spark.sql.types.StructType(
       featureCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c"))).head,
-      featureCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*)
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+        org.apache.spark.sql.types.StructField(s"__mn_$c",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField(s"__mx_$c",
+          org.apache.spark.sql.types.DoubleType))))
+    val statsRow = org.apache.spark.sql.Row.fromSeq(featureCols.flatMap(
+      c => Seq(st(c)._1.map(Double.box).orNull,
+        st(c)._2.map(Double.box).orNull)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(statsRow), statsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     def scaledVec: Column = array(featureCols.map(c =>
       Scaling.scale(col(c).cast("double"),
-        col(s"__mn_$c"), col(s"__mx_$c"))): _*)
+        litOf(st(c)._1), litOf(st(c)._2))): _*)
+    // materialized once: the fit, the cell assignment and the bucketed
+    // write all consume this projection
     val donorSide = donors
       .select(Seq(col(idCol).as("__did"),
         col(targetCol).cast("decimal(18,2)").as("__dv")) ++
         featureCols.map(c => col(c)): _*)
-      .crossJoin(broadcast(stats))
       .withColumn("__vec", scaledVec)
       .select("__did", "__dv", "__vec")
+      .localCheckpoint()
     val cells =
       if (numCells > 0) numCells
       else math.max(2, math.min(4096,
-        math.ceil(math.sqrt(donorSide.count().toDouble)).toInt))
+        math.ceil(math.sqrt(nDonors.toDouble)).toInt))
     val model = graft.ml.KMeansLloyd.fit(donorSide, "__did", "__vec",
       cells, fitIters)
     model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -324,18 +373,21 @@ object KnnImpute {
     val featOk = featureCols.map(col(_).isNotNull).reduce(_ && _)
     val donors = df.filter(col(targetCol).isNotNull && featOk)
     if (donors.isEmpty) return
-    val stats = spark.read.parquet(s"$path/stats")
+    val sr = spark.read.parquet(s"$path/stats").collect()(0)
+    def statOf(name: String): Column = {
+      val i = sr.fieldIndex(name)
+      if (sr.isNullAt(i)) lit(null).cast("double") else lit(sr.getDouble(i))
+    }
     val model = graft.ml.KMeansLloyd.Model(
       spark.read.parquet(s"$path/centroids").orderBy("i").collect()
         .map(_.getSeq[Double](1).toArray), Seq.empty)
     def scaledVec: Column = array(featureCols.map(c =>
       Scaling.scale(col(c).cast("double"),
-        col(s"__mn_$c"), col(s"__mx_$c"))): _*)
+        statOf(s"__mn_$c"), statOf(s"__mx_$c"))): _*)
     val donorSide = donors
       .select(Seq(col(idCol).as("__did"),
         col(targetCol).cast("decimal(18,2)").as("__dv")) ++
         featureCols.map(c => col(c)): _*)
-      .crossJoin(broadcast(stats))
       .withColumn("__vec", scaledVec)
       .select("__did", "__dv", "__vec")
     graft.sources.TableSink.appendBucketed(
@@ -355,16 +407,22 @@ object KnnImpute {
     val model = graft.ml.KMeansLloyd.Model(
       spark.read.parquet(s"$path/centroids").orderBy("i").collect()
         .map(_.getSeq[Double](1).toArray), Seq.empty)
-    val stats = spark.read.parquet(s"$path/stats")
+    // the persisted stats are ONE row — collect to literals (same
+    // doubles, bit-identical scaling) instead of planning a 1-row
+    // broadcast join into the batch subtree
+    val sr = spark.read.parquet(s"$path/stats").collect()(0)
+    def statOf(name: String): Column = {
+      val i = sr.fieldIndex(name)
+      if (sr.isNullAt(i)) lit(null).cast("double") else lit(sr.getDouble(i))
+    }
     def scaledVec: Column = array(featureCols.map(c =>
       Scaling.scale(col(c).cast("double"),
-        col(s"__mn_$c"), col(s"__mx_$c"))): _*)
+        statOf(s"__mn_$c"), statOf(s"__mx_$c"))): _*)
     val featOk = featureCols.map(col(_).isNotNull).reduce(_ && _)
     // probe column named __qcell (not __cell) so plan asserts can tell
     // the batch-side exchange from an index-side one (IvfIndex naming)
     val recipients = df.filter(col(targetCol).isNull && featOk)
       .select(col(idCol).as("__rid") +: featureCols.map(c => col(c)): _*)
-      .crossJoin(broadcast(stats))
       .withColumn("__rvec", scaledVec)
       .select(col("__rid"), col("__rvec"),
         explode(graft.ml.KMeansLloyd.probeCells(col("__rvec"), model,

@@ -1053,11 +1053,18 @@ object TextQueries extends Registry {
     // dropped doc to its first failing stage (counts telescope,
     // CurationFunnelSpec convention).
     "c7_curation_v4" -> ((s, d) => {
-      val (_, _, _, _, _, mixed) = v4Stages(s, d)
+      // checkpoint = true (the funnel twin's shape): each stage feeds
+      // the next AND later consumers — without materialization the
+      // final plan replicates the whole 6-stage chain per reference
+      // (measured 120 Exchanges / 24 scans / 32 SMJs in one plan;
+      // checkpointed: ~1/5 of that). `split` is referenced twice
+      // (rows + packing input), so it materializes too.
+      val (_, _, _, _, _, mixed) = v4Stages(s, d, checkpoint = true)
       val split = graft.operators.Sampling.assignSplitsLeakageSafe(
         mixed.select(col("doc_id"), col("final_text").as("text"),
           col("source"), col("rate")),
         "doc_id", "text", SplitWeights)
+        .localCheckpoint()
       val packed = graft.text.Packing.docPacking(
         split.filter(col("split") === "train")
           .select(col("doc_id"), col("text")),
