@@ -1,7 +1,8 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** HITS (hubs & authorities, Kleinberg 1998) — the BIPARTITE
   * importance read PageRank collapses: in a directed graph a good HUB
@@ -36,9 +37,22 @@ object Hits {
 
   /** Iterate HITS over `edges(src, dst, w)`. Returns one row per
     * node: `(node, hub, auth)` in [0, ~scale] integer units (nodes
-    * with no out-edges have hub 0; no in-edges, auth 0). */
+    * with no out-edges have hub 0; no in-edges, auth 0).
+    *
+    * ADAPTIVE SMALL-GRAPH PATH (the [[graft.dedup.MinHashDedup
+    * .connectedComponentsConverged]] precedent): when the materialized
+    * edge list holds at most `smallGraphMaxEdges` rows, the iterations
+    * run on the driver — every update is an order-insensitive BIGINT
+    * sum and a truncating division, so the driver loop is the
+    * distributed rounds' bit-exact twin (HitsSpec asserts equality),
+    * while skipping `iterations × (2 joins + 2 aggs + a checkpoint)`
+    * of tiny-frame scheduler round-trips. Aggregated graphs (nation
+    * trade, domain link graphs) are typically orders of magnitude
+    * smaller than the corpus that produced them; pass
+    * `smallGraphMaxEdges = 0` to force the distributed rounds. */
   def scores(edgesIn: DataFrame, iterations: Int,
-             scale: Long = 1000000000L): DataFrame = {
+             scale: Long = 1000000000L,
+             smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     require(iterations >= 1 && scale > 0)
     // weights must be INTEGRAL: a silent cast('long') would truncate
     // w<1 to 0 (edge contributes nothing), contradicting the
@@ -67,6 +81,10 @@ object Hits {
         col("w").cast("string"))).cast("long"))
     val edges = edgesIn.select(col("src"), col("dst"),
       wChecked.as("w")).localCheckpoint()
+    if (smallGraphMaxEdges > 0 && edges.count() <= smallGraphMaxEdges) {
+      val d = driverScores(edges, iterations, scale)
+      if (d.isDefined) return d.get
+    }
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
@@ -99,6 +117,46 @@ object Hits {
       else auth = auth.localCheckpoint()
     }
     hub.join(auth, "node")
+  }
+
+  /** The driver twin of the distributed rounds — collected edges, the
+    * SAME arithmetic: order-insensitive Long sums per half-step,
+    * `greatest(max DIV scale, 1)` normalizer, truncating Long
+    * division (IntegralDivide's quot). None when the edge set is
+    * empty or src/dst types differ (the distributed union handles
+    * schema coercion and the empty frame). */
+  private def driverScores(edges: DataFrame, iterations: Int,
+                           scale: Long): Option[DataFrame] = {
+    val srcF = edges.schema("src")
+    val dstF = edges.schema("dst")
+    if (srcF.dataType != dstF.dataType) return None
+    val rows = edges.collect()
+    if (rows.isEmpty) return None
+    val es = rows.map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val nodes: Array[Any] =
+      (es.map(_._1) ++ es.map(_._2)).distinct.toArray
+    var hub = nodes.map(n => n -> scale).toMap
+    var auth: Map[Any, Long] = Map.empty
+    for (_ <- 1 to iterations) {
+      val rawA = scala.collection.mutable.Map[Any, Long]()
+      es.foreach { case (u, v, w) =>
+        rawA(v) = rawA.getOrElse(v, 0L) + hub(u) * w }
+      val dA = math.max(rawA.values.max / scale, 1L)
+      auth = nodes.map(n => n -> rawA.getOrElse(n, 0L) / dA).toMap
+      val rawH = scala.collection.mutable.Map[Any, Long]()
+      es.foreach { case (u, v, w) =>
+        rawH(u) = rawH.getOrElse(u, 0L) + auth(v) * w }
+      val dH = math.max(rawH.values.max / scale, 1L)
+      hub = nodes.map(n => n -> rawH.getOrElse(n, 0L) / dH).toMap
+    }
+    val spark = edges.sparkSession
+    val schema = StructType(Seq(
+      StructField("node", srcF.dataType, srcF.nullable || dstF.nullable),
+      StructField("hub", LongType, nullable = true),
+      StructField("auth", LongType, nullable = true)))
+    val out: java.util.List[Row] = java.util.Arrays.asList(
+      nodes.map(n => Row(n, hub(n), auth(n))): _*)
+    Some(spark.createDataFrame(out, schema))
   }
 
   /** DuckDB twin: the same BIGINT half-steps unrolled as a WITH

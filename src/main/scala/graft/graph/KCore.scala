@@ -32,10 +32,23 @@ object KCore {
 
   /** Nodes of the k-core of undirected `edges(a, b)` (a < b, dedup'd)
     * with their in-core degree: `(node, degree)`. Empty when no
-    * k-core exists. */
-  def kCore(edgesIn: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    * k-core exists.
+    *
+    * ADAPTIVE SMALL-GRAPH PATH (the connectedComponents /
+    * [[Hits.scores]] precedent): at most `smallGraphMaxEdges`
+    * materialized edges peel on the driver — the fixed point is
+    * unique, so the result set is identical by construction
+    * (KCoreSpec asserts driver ≡ distributed), without paying one
+    * checkpoint + count + semi-join round per peel cascade step.
+    * Pass `smallGraphMaxEdges = 0` to force the distributed rounds. */
+  def kCore(edgesIn: DataFrame, k: Int, maxIter: Int = 100,
+            smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     require(k >= 1 && maxIter >= 1)
     var edges = edgesIn.select(col("a"), col("b")).localCheckpoint()
+    if (smallGraphMaxEdges > 0 && edges.count() <= smallGraphMaxEdges) {
+      val d = driverKCore(edges, k)
+      if (d.isDefined) return d.get
+    }
     var n = -1L
     var rounds = 0
     var done = false
@@ -68,5 +81,44 @@ object KCore {
       .union(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       .filter(col("degree") >= k)
+  }
+
+  /** Driver peel to the (unique) fixed point over collected edges.
+    * None when a/b types differ (the distributed union handles the
+    * coercion). Output schema matches the distributed path: `(node,
+    * degree bigint)`. */
+  private def driverKCore(edges: org.apache.spark.sql.DataFrame,
+                          k: Int): Option[DataFrame] = {
+    val aF = edges.schema("a")
+    val bF = edges.schema("b")
+    if (aF.dataType != bF.dataType) return None
+    var es = edges.collect().map(r => (r.get(0), r.get(1)))
+    var changed = true
+    while (changed && es.nonEmpty) {
+      val deg = scala.collection.mutable.Map[Any, Long]()
+      es.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1L
+        deg(b) = deg.getOrElse(b, 0L) + 1L
+      }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.length != es.length
+      es = next
+    }
+    val deg = scala.collection.mutable.LinkedHashMap[Any, Long]()
+    es.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1L
+      deg(b) = deg.getOrElse(b, 0L) + 1L
+    }
+    val spark = edges.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", aF.dataType,
+        aF.nullable || bF.nullable),
+      org.apache.spark.sql.types.StructField("degree",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(deg.toSeq.filter(_._2 >= k)
+        .map { case (n, d) => org.apache.spark.sql.Row(n, d) }: _*)
+    Some(spark.createDataFrame(rows, schema))
   }
 }

@@ -48,11 +48,21 @@ object PageRank {
 
   /** Iterate weighted PageRank over `edges(src, dst, w)`.
     * Returns one row per node: (node, pr_rank) with pr_rank in
-    * [0, scale] micro-units. */
+    * [0, scale] micro-units.
+    *
+    * ADAPTIVE SMALL-GRAPH PATH (the [[Hits.scores]] /
+    * connectedComponents precedent): at most `smallGraphMaxEdges`
+    * materialized edges iterate on the driver — every update is an
+    * order-insensitive BIGINT sum and a truncating division, so the
+    * driver loop is the distributed rounds' bit-exact twin
+    * (PageRankSpec asserts equality) without `iterations × (2 joins +
+    * 1 agg)` scheduler round-trips over tiny frames. Pass
+    * `smallGraphMaxEdges = 0` to force the distributed rounds. */
   def ranks(edgesIn: DataFrame, iterations: Int,
             scale: Long = 1000000000000L,
             dampNumer: Long = 85, dampDenom: Long = 100,
-            checkpointEvery: Int = 8): DataFrame = {
+            checkpointEvery: Int = 8,
+            smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     require(iterations >= 0 && scale > 0 && dampDenom > 0 &&
       dampNumer >= 0 && dampNumer <= dampDenom && checkpointEvery > 0)
     // localCheckpoint the edge frame (and the #nodes-sized outw/nodes
@@ -61,6 +71,10 @@ object PageRank {
     // redundant corpus-join re-runs before this materialization.
     val edges = edgesIn.select(col("src"), col("dst"),
       col("w").cast("long").as("w")).localCheckpoint()
+    if (smallGraphMaxEdges > 0 && edges.count() <= smallGraphMaxEdges) {
+      val d = driverRanks(edges, iterations, scale, dampNumer, dampDenom)
+      if (d.isDefined) return d.get
+    }
     val outw = edges.groupBy("src").agg(sum("w").as("ow")).localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
@@ -90,6 +104,49 @@ object PageRank {
         ranks = ranks.localCheckpoint()
     }
     ranks
+  }
+
+  /** The driver twin of the distributed rounds — collected edges, the
+    * SAME arithmetic: `(rank(src)·w) quot ow(src)` summed per dst in
+    * Long (order-insensitive), `teleport + (dampNumer·Σ) quot
+    * dampDenom`. None when src/dst types differ or the edge set is
+    * empty (the distributed path handles coercion and the
+    * empty-set require). */
+  private def driverRanks(edges: DataFrame, iterations: Int, scale: Long,
+                          dampNumer: Long, dampDenom: Long)
+      : Option[DataFrame] = {
+    val srcF = edges.schema("src")
+    val dstF = edges.schema("dst")
+    if (srcF.dataType != dstF.dataType) return None
+    val rows = edges.collect()
+    if (rows.isEmpty) return None
+    val es = rows.map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val nodes: Array[Any] =
+      (es.map(_._1) ++ es.map(_._2)).distinct.toArray
+    val ow = scala.collection.mutable.Map[Any, Long]()
+    es.foreach { case (s, _, w) => ow(s) = ow.getOrElse(s, 0L) + w }
+    val n = nodes.length.toLong
+    val base = scale / n
+    val teleport = ((dampDenom - dampNumer) * base) / dampDenom
+    var ranks = nodes.map(nd => nd -> base).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = scala.collection.mutable.Map[Any, Long]()
+      es.foreach { case (s, d, w) =>
+        contrib(d) = contrib.getOrElse(d, 0L) + (ranks(s) * w) / ow(s) }
+      ranks = nodes.map(nd =>
+        nd -> (teleport +
+          (dampNumer * contrib.getOrElse(nd, 0L)) / dampDenom)).toMap
+    }
+    val spark = edges.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", srcF.dataType,
+        srcF.nullable || dstF.nullable),
+      org.apache.spark.sql.types.StructField("pr_rank",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.map(nd =>
+        org.apache.spark.sql.Row(nd, ranks(nd))): _*)
+    Some(spark.createDataFrame(out, schema))
   }
 
   /** DuckDB twin: the same BIGINT iteration unrolled as a WITH chain.

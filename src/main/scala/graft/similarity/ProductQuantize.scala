@@ -57,27 +57,6 @@ object ProductQuantize {
       centroids.map(_.map(_.map(x => Math.round(x))))
   }
 
-  /** Squared L2 of one grid subvector against one grid centroid,
-    * UNROLLED to a plain left-assoc arithmetic chain: the lambda-based
-    * `aggregate(zip_with(...))` form stays outside whole-stage codegen
-    * and costs interpreted lambda dispatch per element — measured 2×
-    * on the encode pass, which evaluates m × ksub of these per row.
-    * Same op order as the fold (e₁² + e₂² + …), so values are
-    * identical; sub is small (8), so the expression tree is too. */
-  private def d2Unrolled(grid: Column, off: Int, c: Array[Long]): Column =
-    (0 until c.length).map { t =>
-      val e = element_at(grid, off + t + 1).cast("double") - lit(c(t).toDouble)
-      e * e
-    }.reduce(_ + _)
-
-  /** (code, d2) argmin of subspace `j` — ties to the lower id, the
-    * KMeansLloyd tie-break. */
-  private def codeExpr(grid: Column, j: Int, cb: Codebooks): Column =
-    array_min(array(cb.gridCentroids(j).zipWithIndex.map { case (c, ci) =>
-      struct(d2Unrolled(grid, j * cb.sub, c).as("d"),
-        lit(ci.toLong).as("i"))
-    }.toIndexedSeq: _*)).getField("i")
-
   /** Spark `round(x · 10⁶)`'s exact driver twin: the multiply runs in
     * double, then HALF_UP decimal rounding (Spark's RoundBase goes
     * through BigDecimal HALF_UP — NOT Math.round, which floors x+0.5
@@ -159,20 +138,23 @@ object ProductQuantize {
   }
 
   /** PQ codes: `(id, codes array<bigint> length m)` — the persisted
-    * serving table (m bytes/vector at ksub ≤ 256). */
-  /** Codegen note: the m × ksub × sub argmin is ~3k expression nodes —
-    * past the JVM's 64 KB method limit, so Spark compiles what it can
-    * and falls back to interpreted projection for the rest (a logged
-    * warning, not an error). The cost is a constant factor on this one
-    * narrow pass, independent of corpus size (the expression is
-    * parameter-bound); the ADC join dominates the query either way. */
+    * serving table (m bytes/vector at ksub ≤ 256). The m-subspace
+    * argmin runs in the NATIVE [[graft.expressions.PqEncode]]
+    * expression: the Column form (~3k expression nodes at the default
+    * shape) blew past the JVM's 64 KB generated-method limit and fell
+    * back to INTERPRETED projection for the whole pass — measured
+    * 2.7 s for 2,000 rows at sf0.1 vs ~0.1 s native, a constant
+    * factor on the pass that touches EVERY corpus vector at build
+    * time. Arithmetic and (d, id) tie order are bit-identical
+    * (PqEncode scaladoc; ProductQuantizeSpec pins the codes). */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              cb: Codebooks): DataFrame = {
-    df.select(col(idCol).as("__id"),
-        KMeansLloyd.quantize(col(vecCol)).as("__g"))
-      .select(col("__id"),
-        array((0 until cb.m).map(j => codeExpr(col("__g"), j, cb)): _*)
-          .as("__codes"))
+    val grid = KMeansLloyd.quantize(col(vecCol))
+    val codes = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.PqEncode(
+        org.apache.spark.sql.GraftColumnBridge.expression(grid),
+        cb.gridCentroids.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq))
+    df.select(col(idCol).as("__id"), codes.as("__codes"))
   }
 
   /** ADC top-k with exact re-rank. Output `(query_id, id, d2, rank)`:

@@ -75,6 +75,21 @@ class HitsSpec extends SparkSpec {
     assert(r.exists(_.getLong(1) > 0) && r.exists(_.getLong(2) > 0))
   }
 
+  test("small-graph driver path ≡ distributed rounds (incl. negative " +
+    "and skewed weights)") {
+    val e = Seq((1L, 2L, 3L), (2L, 3L, -1L), (3L, 1L, 2L), (1L, 3L, 5L),
+      (4L, 1L, 1000000L), (2L, 4L, 7L)).toDF("src", "dst", "w")
+    for (iters <- Seq(1, 3, 5)) {
+      val drv = Hits.scores(e, iters)
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+        .toMap
+      val dist = Hits.scores(e, iters, smallGraphMaxEdges = 0)
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+        .toMap
+      assert(drv === dist, s"iters=$iters driver/distributed differ")
+    }
+  }
+
   test("fractional edge weights fail loudly instead of truncating to 0") {
     import spark.implicits._
     val e = Seq((1L, 2L, 0.5)).toDF("src", "dst", "w")

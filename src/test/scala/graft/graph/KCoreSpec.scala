@@ -44,11 +44,28 @@ class KCoreSpec extends SparkSpec {
     "returning a truncated core") {
     import spark.implicits._
     // path 1-2-3-4 at k=2 needs two peel rounds to reach the (empty)
-    // fixed point; maxIter=1 must fail loudly
+    // fixed point; maxIter=1 must fail loudly. Forced onto the
+    // distributed rounds — the driver path always reaches the fixed
+    // point, which is the other half of this contract.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val ex = intercept[IllegalStateException] {
-      KCore.kCore(edges, k = 2, maxIter = 1).collect()
+      KCore.kCore(edges, k = 2, maxIter = 1, smallGraphMaxEdges = 0)
+        .collect()
     }
     assert(ex.getMessage.contains("maxIter"))
+  }
+
+  test("small-graph driver peel ≡ distributed rounds") {
+    val e = Triangles.coOccurrenceEdges(
+      graft.Tables.lineitem(spark, sf0001)
+        .filter(org.apache.spark.sql.functions.col("l_quantity") >= 40),
+      "l_orderkey", "l_partkey")
+    for (k <- Seq(1, 2, 3)) {
+      val drv = KCore.kCore(e, k)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val dist = KCore.kCore(e, k, smallGraphMaxEdges = 0)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(drv === dist, s"k=$k driver/distributed cores differ")
+    }
   }
 }

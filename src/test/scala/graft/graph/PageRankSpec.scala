@@ -71,6 +71,17 @@ class PageRankSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("small-graph driver path ≡ distributed rounds") {
+    val df = g.toDF("src", "dst", "w")
+    for (iters <- Seq(0, 1, 3, 5)) {
+      val drv = PageRank.ranks(df, iters)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val dist = PageRank.ranks(df, iters, smallGraphMaxEdges = 0)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(drv === dist, s"iters=$iters driver/distributed differ")
+    }
+  }
+
   test("oracle SQL text unrolls the requested iteration count") {
     val sql = PageRank.sqlRanks("SELECT 1 AS src, 2 AS dst, 1 AS w", 3)
     assert(sql.contains("r3") && sql.contains("c3") && !sql.contains("c4"))
