@@ -81,6 +81,9 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // guide §1.5: label the query's jobs so a Spark UI / event-log
+        // reading of a bench run maps stages back to queries
+        spark.sparkContext.setJobDescription(s"bench: $name")
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val ok = try {
