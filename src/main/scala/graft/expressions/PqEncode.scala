@@ -25,9 +25,11 @@ import org.apache.spark.sql.types._
   * double over the caller's micro-unit integer grid (exact in
   * double); the argmin scans centroid ids ascending with strict <,
   * so the lowest id wins ties — the (d, i) struct-min order. Returns
-  * `array<bigint>` of m codes; null for a null, null-element or
-  * wrong-dimension input (dimension mismatch is a data bug — a
-  * silent prefix encode would mis-code plausibly). */
+  * `array<bigint>` of m codes; null for a null or null-element
+  * input; a WRONG-DIMENSION vector THROWS — a dimension mismatch is
+  * a data bug, and the Column form this replaces also failed loudly
+  * there (ANSI element_at past the array end), so a malformed vector
+  * must not silently vanish from the PQ table. */
 case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with CodegenFallback {
 
@@ -65,7 +67,11 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   override def nullSafeEval(input: Any): Any = {
     val q = input.asInstanceOf[ArrayData]
-    if (q.numElements() != dim) return null
+    if (q.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode: input vector has ${q.numElements()} " +
+          s"elements, codebooks expect $dim (m=$m × sub=$sub) - " +
+          "a dimension mismatch is a data bug, refusing to mis-code")
     val qd = new Array[Double](dim)
     var i = 0
     while (i < dim) {

@@ -122,16 +122,19 @@ object Hits {
   /** The driver twin of the distributed rounds — collected edges, the
     * SAME arithmetic: order-insensitive Long sums per half-step,
     * `greatest(max DIV scale, 1)` normalizer, truncating Long
-    * division (IntegralDivide's quot). None when the edge set is
-    * empty or src/dst types differ (the distributed union handles
-    * schema coercion and the empty frame). */
+    * division (IntegralDivide's quot). Sums/products use
+    * add/multiplyExact so a caller past the documented weight bounds
+    * fails LOUDLY (ArithmeticException) exactly where the distributed
+    * rounds fail under ANSI overflow — never a silent wrap. None when
+    * the edge set is empty or [[GraphDriver.collectEdges]] declines
+    * (type mismatch / binary keys / null keys — the distributed path
+    * handles those). */
   private def driverScores(edges: DataFrame, iterations: Int,
                            scale: Long): Option[DataFrame] = {
+    val rows = GraphDriver.collectEdges(edges).getOrElse(return None)
+    if (rows.isEmpty) return None
     val srcF = edges.schema("src")
     val dstF = edges.schema("dst")
-    if (srcF.dataType != dstF.dataType) return None
-    val rows = edges.collect()
-    if (rows.isEmpty) return None
     val es = rows.map(r => (r.get(0), r.get(1), r.getLong(2)))
     val nodes: Array[Any] =
       (es.map(_._1) ++ es.map(_._2)).distinct.toArray
@@ -140,12 +143,14 @@ object Hits {
     for (_ <- 1 to iterations) {
       val rawA = scala.collection.mutable.Map[Any, Long]()
       es.foreach { case (u, v, w) =>
-        rawA(v) = rawA.getOrElse(v, 0L) + hub(u) * w }
+        rawA(v) = Math.addExact(rawA.getOrElse(v, 0L),
+          Math.multiplyExact(hub(u), w)) }
       val dA = math.max(rawA.values.max / scale, 1L)
       auth = nodes.map(n => n -> rawA.getOrElse(n, 0L) / dA).toMap
       val rawH = scala.collection.mutable.Map[Any, Long]()
       es.foreach { case (u, v, w) =>
-        rawH(u) = rawH.getOrElse(u, 0L) + auth(v) * w }
+        rawH(u) = Math.addExact(rawH.getOrElse(u, 0L),
+          Math.multiplyExact(auth(v), w)) }
       val dH = math.max(rawH.values.max / scale, 1L)
       hub = nodes.map(n => n -> rawH.getOrElse(n, 0L) / dH).toMap
     }

@@ -84,15 +84,16 @@ object KCore {
   }
 
   /** Driver peel to the (unique) fixed point over collected edges.
-    * None when a/b types differ (the distributed union handles the
-    * coercion). Output schema matches the distributed path: `(node,
+    * None when [[GraphDriver.collectEdges]] declines (a/b type
+    * mismatch, binary keys, null keys — the distributed path handles
+    * those). Output schema matches the distributed path: `(node,
     * degree bigint)`. */
   private def driverKCore(edges: org.apache.spark.sql.DataFrame,
                           k: Int): Option[DataFrame] = {
     val aF = edges.schema("a")
     val bF = edges.schema("b")
-    if (aF.dataType != bF.dataType) return None
-    var es = edges.collect().map(r => (r.get(0), r.get(1)))
+    var es = GraphDriver.collectEdges(edges).getOrElse(return None)
+      .map(r => (r.get(0), r.get(1)))
     var changed = true
     while (changed && es.nonEmpty) {
       val deg = scala.collection.mutable.Map[Any, Long]()

@@ -109,22 +109,29 @@ object PageRank {
   /** The driver twin of the distributed rounds — collected edges, the
     * SAME arithmetic: `(rank(src)·w) quot ow(src)` summed per dst in
     * Long (order-insensitive), `teleport + (dampNumer·Σ) quot
-    * dampDenom`. None when src/dst types differ or the edge set is
-    * empty (the distributed path handles coercion and the
-    * empty-set require). */
+    * dampDenom`, add/multiplyExact so overflow fails loudly exactly
+    * where ANSI does on the distributed path. A null-weight edge
+    * contributes to NOTHING except node membership — the distributed
+    * twin's `sum` skips the null product and `sum(w)` the null weight
+    * (and a src with only null-weight edges has null outWeight, so
+    * every product through it is null). None when the edge set is
+    * empty or [[GraphDriver.collectEdges]] declines (type mismatch /
+    * binary keys / null keys). */
   private def driverRanks(edges: DataFrame, iterations: Int, scale: Long,
                           dampNumer: Long, dampDenom: Long)
       : Option[DataFrame] = {
+    val rows = GraphDriver.collectEdges(edges).getOrElse(return None)
+    if (rows.isEmpty) return None
     val srcF = edges.schema("src")
     val dstF = edges.schema("dst")
-    if (srcF.dataType != dstF.dataType) return None
-    val rows = edges.collect()
-    if (rows.isEmpty) return None
-    val es = rows.map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val all = rows.map(r =>
+      (r.get(0), r.get(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
     val nodes: Array[Any] =
-      (es.map(_._1) ++ es.map(_._2)).distinct.toArray
+      (all.map(_._1) ++ all.map(_._2)).distinct.toArray
+    val es = all.collect { case (s, d, Some(w)) => (s, d, w) }
     val ow = scala.collection.mutable.Map[Any, Long]()
-    es.foreach { case (s, _, w) => ow(s) = ow.getOrElse(s, 0L) + w }
+    es.foreach { case (s, _, w) =>
+      ow(s) = Math.addExact(ow.getOrElse(s, 0L), w) }
     val n = nodes.length.toLong
     val base = scale / n
     val teleport = ((dampDenom - dampNumer) * base) / dampDenom
@@ -132,10 +139,12 @@ object PageRank {
     for (_ <- 1 to iterations) {
       val contrib = scala.collection.mutable.Map[Any, Long]()
       es.foreach { case (s, d, w) =>
-        contrib(d) = contrib.getOrElse(d, 0L) + (ranks(s) * w) / ow(s) }
+        contrib(d) = Math.addExact(contrib.getOrElse(d, 0L),
+          Math.multiplyExact(ranks(s), w) / ow(s)) }
       ranks = nodes.map(nd =>
         nd -> (teleport +
-          (dampNumer * contrib.getOrElse(nd, 0L)) / dampDenom)).toMap
+          Math.multiplyExact(dampNumer,
+            contrib.getOrElse(nd, 0L)) / dampDenom)).toMap
     }
     val spark = edges.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -60,6 +60,14 @@ object KnnImpute {
   private def litOf(v: Option[Double]): Column =
     v.map(lit).getOrElse(lit(null).cast("double"))
 
+  /** A persisted-stats row field as a literal Column (the serve-side
+    * twin of [[litOf]] — same doubles the old 1-row broadcast join
+    * carried, null-preserving). */
+  private def statOf(sr: org.apache.spark.sql.Row, name: String): Column = {
+    val i = sr.fieldIndex(name)
+    if (sr.isNullAt(i)) lit(null).cast("double") else lit(sr.getDouble(i))
+  }
+
   /** Impute nulls of `targetCol` from the `k` nearest complete rows in
     * `featureCols` space. Output: input columns with `targetCol`
     * replaced by its imputed value where it was null (rows with a null
@@ -374,16 +382,12 @@ object KnnImpute {
     val donors = df.filter(col(targetCol).isNotNull && featOk)
     if (donors.isEmpty) return
     val sr = spark.read.parquet(s"$path/stats").collect()(0)
-    def statOf(name: String): Column = {
-      val i = sr.fieldIndex(name)
-      if (sr.isNullAt(i)) lit(null).cast("double") else lit(sr.getDouble(i))
-    }
     val model = graft.ml.KMeansLloyd.Model(
       spark.read.parquet(s"$path/centroids").orderBy("i").collect()
         .map(_.getSeq[Double](1).toArray), Seq.empty)
     def scaledVec: Column = array(featureCols.map(c =>
       Scaling.scale(col(c).cast("double"),
-        statOf(s"__mn_$c"), statOf(s"__mx_$c"))): _*)
+        statOf(sr, s"__mn_$c"), statOf(sr, s"__mx_$c"))): _*)
     val donorSide = donors
       .select(Seq(col(idCol).as("__did"),
         col(targetCol).cast("decimal(18,2)").as("__dv")) ++
@@ -411,13 +415,9 @@ object KnnImpute {
     // doubles, bit-identical scaling) instead of planning a 1-row
     // broadcast join into the batch subtree
     val sr = spark.read.parquet(s"$path/stats").collect()(0)
-    def statOf(name: String): Column = {
-      val i = sr.fieldIndex(name)
-      if (sr.isNullAt(i)) lit(null).cast("double") else lit(sr.getDouble(i))
-    }
     def scaledVec: Column = array(featureCols.map(c =>
       Scaling.scale(col(c).cast("double"),
-        statOf(s"__mn_$c"), statOf(s"__mx_$c"))): _*)
+        statOf(sr, s"__mn_$c"), statOf(sr, s"__mx_$c"))): _*)
     val featOk = featureCols.map(col(_).isNotNull).reduce(_ && _)
     // probe column named __qcell (not __cell) so plan asserts can tell
     // the batch-side exchange from an index-side one (IvfIndex naming)

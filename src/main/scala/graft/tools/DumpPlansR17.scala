@@ -30,7 +30,11 @@ object DumpPlansR17 {
     Files.createDirectories(Paths.get("plans/r17"))
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sf)
-      df.write.mode("overwrite").format("noop").save() // AQE finalizes
+      // execute THIS QueryExecution so the dumped plan is the
+      // AQE-FINAL executed plan (a noop write plans and runs its OWN
+      // QueryExecution, leaving df.queryExecution un-executed with
+      // isFinalPlan=false — the DumpPlans collect() convention)
+      df.collect()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       Files.writeString(Paths.get(s"plans/r17/${name}_$suffix.txt"), plan)

@@ -82,6 +82,19 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("driver path ≡ distributed on null-weight edges (null products " +
+    "contribute nothing, endpoints still count as nodes)") {
+    val e = Seq((1, 2, Some(3L)), (2, 3, None), (3, 1, Some(2L)),
+      (4, 1, Some(1L)), (4, 5, None)).toDF("src", "dst", "w")
+    val drv = PageRank.ranks(e, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val dist = PageRank.ranks(e, 3, smallGraphMaxEdges = 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(drv === dist, "null-weight semantics must match")
+    assert(drv.keySet === Set(1, 2, 3, 4, 5),
+      "null-weight edges still contribute their endpoints as nodes")
+  }
+
   test("oracle SQL text unrolls the requested iteration count") {
     val sql = PageRank.sqlRanks("SELECT 1 AS src, 2 AS dst, 1 AS w", 3)
     assert(sql.contains("r3") && sql.contains("c3") && !sql.contains("c4"))
