@@ -43,6 +43,48 @@ object Bench {
       .toMap
   }
 
+  /** Parse the `queries` object out of a prior bench.json line.
+    * Per-entry parse tolerance: Double.toString emits scientific
+    * notation below 1e-3 (negative exponent — the char class includes
+    * '-' for it), and one malformed entry must drop only ITSELF, not
+    * silently erase the whole prior map (which would turn the
+    * contamination guard off with no diagnostic). */
+  private[graft] def parseQueries(txt: String): Map[String, Double] = {
+    val start = txt.indexOf("\"queries\":{")
+    val end = txt.indexOf("}", start)
+    if (start < 0 || end < 0) Map.empty
+    else """"([^"]+)":(-?[0-9.eE+-]+)""".r
+      .findAllMatchIn(txt.substring(start + 11, end))
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble)
+        .toOption)
+      .toMap
+  }
+
+  /** The >3x-per-query contamination self-guard (round 6 shipped a
+    * 13.2 s driver reading for a 2.9 s query; min-of-2 reps did not
+    * protect because contention landed on both reps). Pure so
+    * BenchGateSpec can drive it with synthetic slowdowns. The +1 s
+    * absolute floor keeps sub-second jitter from flagging. */
+  private[graft] def suspectsOf(results: Iterable[(String, Double)],
+                                prior: Map[String, Double]): Seq[String] =
+    results.collect { case (name, v)
+      if v > 0 && prior.get(name).exists(p => p > 0 && v > 3 * p && v - p > 1.0)
+      => name }.toSeq.sorted
+
+  /** Load the prior-bench text for the contamination guard: the live
+    * `outPath` when present (same-workspace re-runs), else the
+    * COMMITTED reference bench (`refPath`). The fallback is what keeps
+    * the guard alive on fresh checkouts: bench.json is untracked, so
+    * driver rounds start with no prior and round 17's contended window
+    * (a 21 s reading for a 1.5 s query) shipped unflagged — the
+    * committed per-round close file still describes last round's
+    * quiet-host timings and catches exactly that. */
+  private[graft] def loadPriorText(outPath: String, refPath: String): String =
+    Seq(outPath, refPath).iterator
+      .flatMap(p => scala.util.Try(Files.readString(Paths.get(p))).toOption)
+      .find(_.contains("\"queries\":{"))
+      .getOrElse("")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -107,35 +149,16 @@ object Bench {
         if (ok.nonEmpty) errors.remove(name)
         name -> (if (ok.nonEmpty) ok.min else -1.0)
       }
-    // Self-guard against contaminated artifacts: round 6 shipped a
-    // 13.2 s driver reading for a query that re-measures at 2.9 s —
-    // host contention that landed on BOTH reps, so min-of-2 didn't
-    // protect. Compare each timing to the previous bench.json (the
-    // file is committed per round, so at run time it holds last
-    // round's values) and flag >3× outliers as "suspect": the
-    // artifact identifies its own noise instead of reading as a
-    // regression. The absolute floor (+1 s) keeps sub-second jitter
-    // from flagging.
-    // per-entry parse tolerance: Double.toString emits scientific
-    // notation below 1e-3 (negative exponent — the char class includes
-    // '-' for it), and one malformed entry must drop only ITSELF, not
-    // silently erase the whole prior map (which would turn the guard
-    // off with no diagnostic)
-    val prior: Map[String, Double] =
-      try {
-        val txt = Files.readString(Paths.get(outPath))
-        val start = txt.indexOf("\"queries\":{")
-        val end = txt.indexOf("}", start)
-        if (start < 0 || end < 0) Map.empty
-        else """"([^"]+)":(-?[0-9.eE+-]+)""".r
-          .findAllMatchIn(txt.substring(start + 11, end))
-          .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble)
-            .toOption)
-          .toMap
-      } catch { case _: Exception => Map.empty }
-    val suspects = results.collect { case (name, v)
-      if v > 0 && prior.get(name).exists(p => p > 0 && v > 3 * p && v - p > 1.0)
-      => name }.toSeq.sorted
+    // Self-guard against contaminated artifacts: compare each timing
+    // to the prior bench (live bench.json, else the committed
+    // reference — see loadPriorText) and flag >3× outliers as
+    // "suspect": the artifact identifies its own noise instead of
+    // reading as a regression.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "bench_reference.json")
+    val priorTxt = loadPriorText(outPath, refPath)
+    val prior: Map[String, Double] = parseQueries(priorTxt)
+    val suspects = suspectsOf(results, prior)
     if (suspects.nonEmpty) System.err.println(
       s"[bench] SUSPECT (>3x their last-round time — likely host " +
         s"contention, re-measure isolated): ${suspects.mkString(", ")}")
@@ -184,9 +207,7 @@ object Bench {
     // meaningful on full runs: a subset run's family counts never
     // match the prior full run's, so the equal-count rule keeps the
     // gate silent there by construction
-    val priorFamilies =
-      try parseFamilies(Files.readString(Paths.get(outPath)))
-      catch { case _: Exception => Map.empty[String, (Int, Double)] }
+    val priorFamilies = parseFamilies(priorTxt)
     val famSuspects = familyGate(families, priorFamilies)
     if (famSuspects.nonEmpty) System.err.println(
       s"[bench] FAMILY SUSPECT (>2x last-round family total at equal " +

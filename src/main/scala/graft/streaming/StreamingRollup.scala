@@ -36,14 +36,25 @@ object StreamingRollup {
 
   private val BatchPrefix = "rollup-of-v"
 
-  /** Hash-layout the state on its group key into an EXPLICIT file
-    * count (an explicit repartition survives AQE coalescing, which
-    * would otherwise pack a small state into one file and leave the
-    * bloom skip nothing to skip). None keeps the planner's layout. */
+  /** RANGE-layout the state on its group key into an EXPLICIT file
+    * count. Range, not hash: `repartition(k, groupCols)` is ELIDED
+    * whenever the upstream aggregate already hash-partitioned on the
+    * group key at width k (i.e. whenever `spark.sql.shuffle.partitions
+    * == k`), and AQE then coalesces the aggregate's own exchange into
+    * one file — the state's file count silently tracked the SESSION
+    * width (one file at 8 cores, k files at 32), which broke the
+    * bloom-skip contract under a narrower cluster shape. A range
+    * shuffle can never be satisfied by the aggregate's hash
+    * partitioning, and its REPARTITION_BY_NUM origin is exempt from
+    * AQE coalescing, so the layout is deterministic in the data alone.
+    * Range clustering also makes the per-file min/max sidecars tight
+    * (each file covers a contiguous group-key slice), so stats-based
+    * skipping composes with the blooms. None keeps the planner's
+    * layout. */
   private def layout(df: DataFrame, groupCols: Seq[String],
                      statePartitions: Option[Int]): DataFrame =
     statePartitions match {
-      case Some(k) => df.repartition(k,
+      case Some(k) => df.repartitionByRange(k,
         groupCols.map(org.apache.spark.sql.functions.col): _*)
       case None => df
     }

@@ -140,6 +140,44 @@ class StreamingRollupSpec extends SparkSpec {
     VersionedTable.drop(spark, roll)
   }
 
+  test("the state layout is deterministic in the data, not the session " +
+    "width: statePartitions yields a multi-file state even when " +
+    "spark.sql.shuffle.partitions equals statePartitions") {
+    // Regression for the round-17 8-core bench failure: with
+    // shuffle.partitions == statePartitions the old hash repartition
+    // was elided (the upstream aggregate already satisfied it) and AQE
+    // coalesced the aggregate's exchange to ONE file — the bloom skip
+    // had nothing to prune. Run the same rollup at two shuffle widths,
+    // one of them exactly equal to statePartitions.
+    val priorWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (width <- Seq("8", "32")) {
+        spark.conf.set("spark.sql.shuffle.partitions", width)
+        val snap = tmp(s"wsnap$width"); val roll = tmp(s"wroll$width")
+        val base = (1L to 512L)
+          .map(i => (i, s"g${i % 64}", i.toDouble)).toDF("id", "grp", "v")
+        StreamingMerge.init(base, "id", snap, nBuckets = 8)
+        StreamingRollup.init(spark, snap, roll, Seq("grp"), "v",
+          bloomCols = Seq("grp"), statePartitions = Some(8))
+        val b = (1L to 40L).map(i => (i * 7, s"g${(i * 7) % 64}", 9.0,
+          10L, "upsert")).toDF("id", "grp", "v", "seq", "op")
+        StreamingMerge.applyBatch(b, "id", "seq", "op", snap, 8, Some("e0"))
+        StreamingRollup.refresh(spark, snap, roll, Seq("grp"), "v",
+          bloomCols = Seq("grp"), statePartitions = Some(8))
+        val (hit, opened, total) = VersionedTable.readLatestPoint(
+          spark, roll, "grp", "g7")
+        assert(total > 1,
+          s"state must span several files at width $width, got $total")
+        assert(opened < total,
+          s"bloom skip must fire at width $width: $opened of $total")
+        assert(hit.count() === 1L)
+        assert(maintained(roll) === recompute(snap))
+        VersionedTable.drop(spark, snap)
+        VersionedTable.drop(spark, roll)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", priorWidth)
+  }
+
   test("two RACING refreshes serialize through the shared OCC retry: " +
     "both land (or dedupe), the final state is exact, no CME escapes") {
     val snap = tmp("racesnap"); val roll = tmp("raceroll")
