@@ -35,6 +35,14 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
     codebooks.head.head.nonEmpty)
+  // m/ksub/sub and the flat layout all derive from codebooks.head; a
+  // RAGGED codebook (books with differing centroid counts, or centroids
+  // of differing dims) would read a truncated/shifted centroid and emit
+  // wrong codes silently — reject at construction, not mid-eval
+  require(codebooks.forall(_.length == codebooks.head.length),
+    "ragged codebook: every subspace must have the same centroid count")
+  require(codebooks.forall(_.forall(_.length == codebooks.head.head.length)),
+    "ragged codebook: every centroid must have the same dimension")
 
   @transient private lazy val m = codebooks.length
   @transient private lazy val ksub = codebooks.head.length

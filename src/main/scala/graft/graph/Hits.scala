@@ -49,7 +49,23 @@ object Hits {
     * of tiny-frame scheduler round-trips. Aggregated graphs (nation
     * trade, domain link graphs) are typically orders of magnitude
     * smaller than the corpus that produced them; pass
-    * `smallGraphMaxEdges = 0` to force the distributed rounds. */
+    * `smallGraphMaxEdges = 0` to force the distributed rounds.
+    *
+    * DRIVER-HEAP GUARD: the default bound assumes fixed-width node
+    * keys (ints/longs — the aggregated-graph shape). For
+    * variable-width keys (strings, structs) the collected Rows plus
+    * the per-iteration score maps can be an order of magnitude
+    * heavier per edge, so the effective bound drops to
+    * `smallGraphMaxEdges / 8` — lower `smallGraphMaxEdges` further
+    * (or pass 0) for graphs with very wide keys on a small driver.
+    *
+    * OVERFLOW PARITY NOTE: the driver twin folds each node's incoming
+    * contributions sequentially with Math.addExact; the distributed
+    * partial aggregation adds in a different order, so with
+    * mixed-sign products near the Long bound one path can overflow an
+    * INTERMEDIATE sum the other never forms. Parity (including
+    * failure parity) is guaranteed only while Σ|hub(u)·w| per node
+    * stays under 2^63 — the documented weight-scale contract above. */
   def scores(edgesIn: DataFrame, iterations: Int,
              scale: Long = 1000000000L,
              smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
@@ -81,7 +97,20 @@ object Hits {
         col("w").cast("string"))).cast("long"))
     val edges = edgesIn.select(col("src"), col("dst"),
       wChecked.as("w")).localCheckpoint()
-    if (smallGraphMaxEdges > 0 && edges.count() <= smallGraphMaxEdges) {
+    // variable-width keys weigh far more per collected edge than the
+    // fixed-width aggregated-graph shape the default bound was sized
+    // for — scale the row bound down (see the driver-heap guard note)
+    val fixedWidthKeys = Seq(edges.schema(0), edges.schema(1)).forall(
+      _.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      })
+    val effectiveMax =
+      if (fixedWidthKeys) smallGraphMaxEdges else smallGraphMaxEdges / 8
+    if (effectiveMax > 0 && edges.count() <= effectiveMax) {
       val d = driverScores(edges, iterations, scale)
       if (d.isDefined) return d.get
     }

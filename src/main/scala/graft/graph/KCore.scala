@@ -40,7 +40,15 @@ object KCore {
     * unique, so the result set is identical by construction
     * (KCoreSpec asserts driver ≡ distributed), without paying one
     * checkpoint + count + semi-join round per peel cascade step.
-    * Pass `smallGraphMaxEdges = 0` to force the distributed rounds. */
+    * Pass `smallGraphMaxEdges = 0` to force the distributed rounds.
+    *
+    * `maxIter` CAVEAT: the distributed rounds throw
+    * IllegalStateException when the fixed point is not reached within
+    * `maxIter`; the driver peel always runs to completion, so graphs
+    * under the small-graph bound never hit that failure. A caller
+    * using `maxIter` as a cost/sanity guard keeps it only on the
+    * distributed path — force it with `smallGraphMaxEdges = 0` if the
+    * bound must be enforced regardless of graph size. */
   def kCore(edgesIn: DataFrame, k: Int, maxIter: Int = 100,
             smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     require(k >= 1 && maxIter >= 1)

@@ -273,10 +273,33 @@ object Louvain {
     * ([[sqlTwoLevel]]). Returns `(node, label)` — labels are level-2
     * community ids (min super-node id, themselves level-1 labels). */
   def twoLevel(edges: DataFrame, labels: DataFrame,
-               sweeps: Int): DataFrame = {
+               sweeps: Int): DataFrame =
+    twoLevel(edges, labels, sweeps, SmallGraphMax)
+
+  /** [[twoLevel]] with an explicit small-graph bound (pass 0 to force
+    * the distributed path). Below the bound the WHOLE two-level
+    * dataflow — level-1 refine, contraction, level-2 weighted refine,
+    * label map-back — runs as one driver computation: the distributed
+    * shape pays ~8 scheduler round-trips on inter-level frames that
+    * are tiny whenever both levels' inputs are (the contracted graph
+    * is never larger than the base graph). */
+  def twoLevel(edges: DataFrame, labels: DataFrame, sweeps: Int,
+               smallGraphMax: Long): DataFrame = {
     val e = edges.select(col("a").cast("bigint").as("a"),
       col("b").cast("bigint").as("b")).localCheckpoint()
-    val l1 = refine(e, labels, sweeps).localCheckpoint()
+    val lab0 = labels.select(col("node").cast("bigint").as("node"),
+      col("label").cast("bigint").as("label")).localCheckpoint()
+    if (e.count() <= smallGraphMax && lab0.count() <= smallGraphMax) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val edgeSeq = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val labSeq = lab0.collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq
+      return twoLevelDriver(edgeSeq, labSeq, sweeps, connectivity = false)
+        .toDF("node", "label")
+    }
+    val l1 = refineWeighted(e.select(col("a"), col("b"),
+      lit(1L).as("w")), lab0, sweeps, smallGraphMax).localCheckpoint()
     val la = l1.select(col("node").as("a"), col("label").as("__la"))
     val lb = l1.select(col("node").as("b"), col("label").as("__lb"))
     val superEdges = e.join(la, "a").join(lb, "b")
@@ -285,11 +308,69 @@ object Louvain {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
     val ident = l1.select(col("label").as("node")).distinct()
       .withColumn("label", col("node"))
-    val l2 = refineWeighted(superEdges, ident, sweeps)
+    val l2 = refineWeighted(superEdges, ident, sweeps, smallGraphMax)
     l1.join(l2.select(col("node").as("__c1"), col("label").as("__c2")),
         col("label") === col("__c1"), "left")
       .select(col("node"),
         coalesce(col("__c2"), col("label")).as("label"))
+  }
+
+  /** Driver twin of the two-level composition — the SAME dataflow as
+    * the distributed [[twoLevel]]/[[leidenTwoLevel]] bodies, term for
+    * term: level-1 refine (+ connectivity split when `connectivity`),
+    * contraction via inner label lookups (edges with an unlabeled
+    * endpoint drop, as the distributed equi-joins drop them),
+    * super-edge weights = base-edge counts per (least, greatest) label
+    * pair, identity labeling of the distinct level-1 labels, level-2
+    * refine (+ split), and the left-join label map-back. */
+  private def twoLevelDriver(edges: Seq[(Long, Long)],
+                             labels: Seq[(Long, Long)], sweeps: Int,
+                             connectivity: Boolean): Seq[(Long, Long)] = {
+    def split(lab: Seq[(Long, Long)],
+              es: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      if (connectivity) connectivityDriver(es, lab) else lab
+    val l1 = split(refineWeightedDriver(
+      edges.map(e => (e._1, e._2, 1L)), labels, sweeps), edges)
+    val l1Map = l1.toMap
+    val superEdges = edges.flatMap { case (a, b) =>
+      for (la <- l1Map.get(a); lb <- l1Map.get(b))
+        yield (math.min(la, lb), math.max(la, lb))
+    }.groupBy(identity).map { case ((a, b), g) =>
+      (a, b, g.size.toLong) }.toSeq
+    val ident = l1Map.values.toSeq.distinct.map(l => (l, l))
+    val l2 = split(refineWeightedDriver(superEdges, ident, sweeps),
+      superEdges.map(e => (e._1, e._2))).toMap
+    l1.map { case (node, c1) => (node, l2.getOrElse(c1, c1)) }
+  }
+
+  /** Driver twin of [[connectivityPass]] over collected seqs — the
+    * union-find body shared with the DataFrame entry point. */
+  private def connectivityDriver(edges: Seq[(Long, Long)],
+                                 labels: Seq[(Long, Long)])
+      : Seq[(Long, Long)] = {
+    val labMap = labels.toMap
+    val intra = edges.filter { case (a, b) => a != b &&
+      labMap.get(a).exists(la => labMap.get(b).contains(la)) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    intra.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
+    labMap.keys.foreach { n =>
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+    }
+    labMap.keys.toSeq.map(n => (n, minOfRoot(find(n))))
   }
 
   /** LEIDEN CONNECTIVITY POST-PASS (Traag/Waltman/van Eck 2019, the
@@ -392,10 +473,31 @@ object Louvain {
   /** [[refine]] + [[connectivityPass]]: one-level Leiden-style local
     * moves whose output communities are PROVABLY internally
     * connected. */
-  def leiden(edges: DataFrame, labels: DataFrame, sweeps: Int): DataFrame = {
+  def leiden(edges: DataFrame, labels: DataFrame, sweeps: Int): DataFrame =
+    leiden(edges, labels, sweeps, SmallGraphMax)
+
+  /** [[leiden]] with an explicit small-graph bound (pass 0 to force
+    * the distributed path). Below it, refine + connectivity split run
+    * as ONE driver computation and one toDF — the separate entry
+    * points each re-collected the same tiny frames. */
+  def leiden(edges: DataFrame, labels: DataFrame, sweeps: Int,
+             smallGraphMax: Long): DataFrame = {
     val e = edges.select(col("a").cast("bigint").as("a"),
       col("b").cast("bigint").as("b")).localCheckpoint()
-    connectivityPass(e, refine(e, labels, sweeps))
+    val lab0 = labels.select(col("node").cast("bigint").as("node"),
+      col("label").cast("bigint").as("label")).localCheckpoint()
+    if (e.count() <= smallGraphMax && lab0.count() <= smallGraphMax) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val edgeSeq = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val labSeq = lab0.collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq
+      return connectivityDriver(edgeSeq, refineWeightedDriver(
+          edgeSeq.map(x => (x._1, x._2, 1L)), labSeq, sweeps))
+        .toDF("node", "label")
+    }
+    connectivityPass(e, refineWeighted(e.select(col("a"), col("b"),
+      lit(1L).as("w")), lab0, sweeps, smallGraphMax))
   }
 
   /** DuckDB twin of [[leiden]]. */
@@ -413,10 +515,30 @@ object Louvain {
     * guarantee, structural end to end. Deterministic; the whole
     * dataflow unrolls into the DuckDB oracle ([[sqlLeidenTwoLevel]]). */
   def leidenTwoLevel(edges: DataFrame, labels: DataFrame,
-                     sweeps: Int): DataFrame = {
+                     sweeps: Int): DataFrame =
+    leidenTwoLevel(edges, labels, sweeps, SmallGraphMax)
+
+  /** [[leidenTwoLevel]] with an explicit small-graph bound (pass 0 to
+    * force the distributed path); below it the whole two-level
+    * dataflow including both connectivity splits runs driver-side. */
+  def leidenTwoLevel(edges: DataFrame, labels: DataFrame, sweeps: Int,
+                     smallGraphMax: Long): DataFrame = {
     val e = edges.select(col("a").cast("bigint").as("a"),
       col("b").cast("bigint").as("b")).localCheckpoint()
-    val l1 = connectivityPass(e, refine(e, labels, sweeps)).localCheckpoint()
+    val lab0 = labels.select(col("node").cast("bigint").as("node"),
+      col("label").cast("bigint").as("label")).localCheckpoint()
+    if (e.count() <= smallGraphMax && lab0.count() <= smallGraphMax) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val edgeSeq = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val labSeq = lab0.collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq
+      return twoLevelDriver(edgeSeq, labSeq, sweeps, connectivity = true)
+        .toDF("node", "label")
+    }
+    val l1 = connectivityPass(e, refineWeighted(e.select(col("a"),
+      col("b"), lit(1L).as("w")), lab0, sweeps, smallGraphMax))
+      .localCheckpoint()
     val la = l1.select(col("node").as("a"), col("label").as("__la"))
     val lb = l1.select(col("node").as("b"), col("label").as("__lb"))
     val superEdges = e.join(la, "a").join(lb, "b")
@@ -427,7 +549,7 @@ object Louvain {
     val ident = l1.select(col("label").as("node")).distinct()
       .withColumn("label", col("node"))
     val l2 = connectivityPass(superEdges.select(col("a"), col("b")),
-      refineWeighted(superEdges, ident, sweeps))
+      refineWeighted(superEdges, ident, sweeps, smallGraphMax))
     l1.join(l2.select(col("node").as("__c1"), col("label").as("__c2")),
         col("label") === col("__c1"), "left")
       .select(col("node"),

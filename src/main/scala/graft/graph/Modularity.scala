@@ -31,7 +31,13 @@ object Modularity {
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val la = labels.select(col("node").as("a"), col("label").as("__la"))
     val lb = labels.select(col("node").as("b"), col("label").as("__lb"))
-    val tagged = edges.join(la, "a").join(lb, "b")
+    // materialized once: tagged is consumed by the m count, the
+    // within-community histogram AND both sides of the degree union —
+    // unchecked, the edges⋈labels⋈labels subtree executed up to 6×
+    // inside one plan (d108's executed plan read 121 Exchanges). The
+    // count() below was already a full materialization of the subtree;
+    // the checkpoint makes it the ONLY one.
+    val tagged = edges.join(la, "a").join(lb, "b").localCheckpoint()
     val m = tagged.count()
     require(m > 0, "modularity over an empty labeled edge set")
     val within = tagged.filter(col("__la") === col("__lb"))
@@ -47,6 +53,8 @@ object Modularity {
     val q = d(col("m_within")) / md -
       (d(col("d_total")) / (lit(2.0) * md)) *
         (d(col("d_total")) / (lit(2.0) * md))
+    // community-axis frame, referenced by the per-community output AND
+    // the total row — materialized so the aggregation subtree runs once
     val perC = deg.join(within, Seq("label"), "left")
       .select(col("label"), col("n_nodes"),
         coalesce(col("m_within"), lit(0L)).as("m_within"),
@@ -55,6 +63,7 @@ object Modularity {
           (d(col("d_total")) / (lit(2.0) * md)) *
             (d(col("d_total")) / (lit(2.0) * md))) * lit(1e9) + lit(0.5))
           .cast("bigint").as("__q9"))
+      .localCheckpoint()
     val total = perC.agg(sum(col("n_nodes")).as("n_nodes"),
       sum(col("m_within")).as("m_within"),
       sum(col("d_total")).as("d_total"),

@@ -34,6 +34,13 @@ object CurationFunnel {
       lit(stages.size.toLong)) { case (((_, p), i), rest) =>
         when(!coalesce(p, lit(false)), lit(i.toLong)).otherwise(rest)
     }
+    // NOTE: hist is referenced twice below (joined to the spine AND
+    // folded into the total), so the input subtree executes more than
+    // once in the final plan. Deliberately NOT cut here: for cheap
+    // inputs (c7_curation_funnel's one-scan gates) an eager
+    // materialization costs more than the recompute (measured 0.65 →
+    // 2.66 s), and expensive callers can — and do — localCheckpoint
+    // their OWN flags frame before calling (c7_curation_v4_funnel).
     val hist = df.select(firstFail.as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__n"))
     val total = hist.agg(sum(col("__n")).as("__total"))

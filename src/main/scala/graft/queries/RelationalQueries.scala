@@ -1642,6 +1642,10 @@ object RelationalQueries extends Registry {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
+        // materialized once: trade feeds BOTH the LPA labels and the
+        // undirected edge set — unchecked, the 4-table join +
+        // aggregate subtree executes twice per query
+        .localCheckpoint()
       val labels = graft.graph.LabelPropagation.communities(trade,
         rounds = 4)
       val und = trade.filter(col("src") =!= col("dst"))
@@ -1665,6 +1669,10 @@ object RelationalQueries extends Registry {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
+        // materialized once: trade feeds BOTH the undirected edge set
+        // and the LPA seed labels — unchecked, the 4-table join +
+        // aggregate subtree executes twice per query
+        .localCheckpoint()
       val und = trade.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -1692,6 +1700,10 @@ object RelationalQueries extends Registry {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
+        // materialized once: trade feeds BOTH the undirected edge set
+        // and the LPA seed labels — unchecked, the 4-table join +
+        // aggregate subtree executes twice per query
+        .localCheckpoint()
       val und = trade.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -1717,6 +1729,10 @@ object RelationalQueries extends Registry {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
+        // materialized once: trade feeds BOTH the undirected edge set
+        // and the LPA seed labels — unchecked, the 4-table join +
+        // aggregate subtree executes twice per query
+        .localCheckpoint()
       val und = trade.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -1742,6 +1758,10 @@ object RelationalQueries extends Registry {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
+        // materialized once: trade feeds BOTH the undirected edge set
+        // and the LPA seed labels — unchecked, the 4-table join +
+        // aggregate subtree executes twice per query
+        .localCheckpoint()
       val und = trade.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))

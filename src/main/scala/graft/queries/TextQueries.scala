@@ -1083,16 +1083,35 @@ object TextQueries extends Registry {
     "c7_curation_v4_funnel" -> ((s, d) => {
       val (docs, cleaned, contam, quality, stripped, mixed) =
         v4Stages(s, d, checkpoint = true)
+      // ONE pass over the five (already checkpointed) stage frames
+      // instead of five sequential left joins: union the per-stage
+      // marks, fold them onto doc_id in a single aggregate (each doc
+      // appears at most once per stage, so max() is exact identity —
+      // values keep their types, absent docs stay null exactly as the
+      // old left joins left them), then one left join onto the base.
+      // 5 join shuffles of the corpus-sized base → 1 agg + 1 join.
+      def mark(df: org.apache.spark.sql.DataFrame, k: Int,
+               c: org.apache.spark.sql.Column) =
+        df.select(col("doc_id"), lit(k).as("__k"),
+          c.cast("double").as("__v"))
+      val marks = mark(cleaned, 0, lit(1.0))
+        .unionByName(mark(contam, 1, col("contamination")))
+        .unionByName(mark(quality, 2, col("quality")))
+        .unionByName(mark(stripped, 3, lit(1.0)))
+        .unionByName(mark(mixed, 4, lit(1.0)))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("__k") === 0, lit(true))).as("__g1"),
+          max(when(col("__k") === 1, col("__v"))).as("contamination"),
+          max(when(col("__k") === 2, col("__v"))).as("quality"),
+          max(when(col("__k") === 3, lit(true))).as("__g4"),
+          max(when(col("__k") === 4, lit(true))).as("__g5"))
+      // materialize the narrow flags frame (one row per base doc):
+      // CurationFunnel.report references its input from two subtrees
+      // (histogram + total), and an unmaterialized flags frame would
+      // re-run the whole stage-marks aggregation per reference
       val flags = docs.filter(col("doc_id") >= 100).select(col("doc_id"))
-        .join(cleaned.select(col("doc_id"), lit(true).as("__g1")),
-          Seq("doc_id"), "left")
-        .join(contam, Seq("doc_id"), "left")
-        .join(quality.select(col("doc_id"), col("quality")),
-          Seq("doc_id"), "left")
-        .join(stripped.select(col("doc_id"), lit(true).as("__g4")),
-          Seq("doc_id"), "left")
-        .join(mixed.select(col("doc_id"), lit(true).as("__g5")),
-          Seq("doc_id"), "left")
+        .join(marks, Seq("doc_id"), "left")
+        .localCheckpoint()
       graft.operators.CurationFunnel.report(flags, Seq(
         "substring_dedup" -> col("__g1"),
         "decontam" -> (col("contamination") <= 0.2),

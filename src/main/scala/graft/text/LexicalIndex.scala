@@ -45,20 +45,32 @@ object LexicalIndex {
     * text, so ~1 bucket per 2–5 GB of corpus. */
   def write(corpus: DataFrame, idCol: String, textCol: String,
             table: String, path: String, numBuckets: Int = 32): Unit = {
-    val toks = corpus.select(col(idCol).as("doc_id"),
+    // ONE corpus pass builds the postings (tokenize + per-(doc, term)
+    // count), checkpointed once; every other persisted aggregate
+    // derives from postings, which is post-aggregation and far smaller
+    // than the exploded token frame the previous shape materialized
+    // (guide §1.2: the token frame was checkpointed only to feed two
+    // aggregates that both fold onto postings anyway — dl is the sum
+    // of the doc's tf, n_docs/total_len fold over dl).
+    val postings = corpus.select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .localCheckpoint()
-    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val doclen = toks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"))
       .localCheckpoint()
-    doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    // n_docs counts docs with >= 1 token (the doclen frame's row count
+    // in the old shape); total_len = sum of all tf = total token count
+    postings.agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("total_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/terms")
+    // dl by window instead of a join against a separate doclen frame:
+    // one shuffle of postings by doc_id, no second materialization,
+    // the same exact integers (sum of longs)
     TableSink.writeBucketed(
-      postings.join(doclen, "doc_id")
+      postings.withColumn("dl", sum(col("tf")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))))
         .select(col("term"), col("doc_id"), col("tf"), col("dl")),
       table, s"$path/postings", Seq("term"), numBuckets)
   }
@@ -92,20 +104,26 @@ object LexicalIndex {
   def merge(spark: SparkSession, table: String, path: String,
             newDocs: DataFrame, idCol: String, textCol: String,
             numBuckets: Int = 32): Unit = {
-    if (newDocs.isEmpty) return
-    val toks = newDocs.select(col(idCol).as("doc_id"),
+    // ONE batch pass builds the batch postings (same fusion as
+    // [[write]]): the old shape materialized the token frame AND a
+    // doclen frame just to feed aggregates that fold onto postings
+    val postings = newDocs.select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .localCheckpoint()
-    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val doclen = toks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"))
-      .localCheckpoint()
-    // stats: two 1-row reads, one additive rewrite
+    // empty-batch no-op decided on the checkpointed postings (free)
+    // instead of a separate limit-1 scan of the batch source; a batch
+    // whose docs carry no tokens is equally a no-op — such docs never
+    // enter the index (dl derives from tokens), so there is nothing
+    // to add to stats/terms/postings
+    if (postings.isEmpty) return
+    // stats: one 1-row read, one batch-postings fold, one additive
+    // rewrite (same integers as the old doclen fold: docs with >= 1
+    // token, total token count)
     val old = spark.read.parquet(s"$path/stats").collect()(0)
-    val add = doclen.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-      .collect()(0)
+    val add = postings.agg(countDistinct(col("doc_id")).as("n"),
+      sum(col("tf")).as("t")).collect()(0)
     import spark.implicits._
     Seq((old.getLong(old.fieldIndex("n_docs")) + add.getLong(0),
         old.getLong(old.fieldIndex("total_len")) + add.getLong(1)))
@@ -119,9 +137,12 @@ object LexicalIndex {
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .localCheckpoint()
     updatedTerms.write.mode("overwrite").parquet(s"$path/terms")
-    // postings: append the batch's rows to the bucketed table
+    // postings: append the batch's rows to the bucketed table, dl by
+    // window (no doclen join, same exact integers)
     graft.sources.TableSink.appendBucketed(
-      postings.join(doclen, "doc_id")
+      postings.withColumn("dl", sum(col("tf")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))))
         .select(col("term"), col("doc_id"), col("tf"), col("dl")),
       table, Seq("term"), numBuckets)
     // appended files must be visible to an already-resolved table

@@ -211,6 +211,45 @@ class LouvainSpec extends SparkSpec {
     }
   }
 
+  test("composed two-level / leiden driver paths produce EXACTLY the " +
+    "distributed labels") {
+    // the same pseudo-random-ish graph as the one-level driver test,
+    // unweighted (the two-level entry points take (a, b)), plus an
+    // isolated labeled node; compare the fully-composed driver run
+    // against the forced-distributed run for every composition
+    val e = (0 until 60).map { i =>
+      val a = (i * 7) % 23; val b = (i * 13 + 5) % 23
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(p => p._1 != p._2).distinct.toDF("a", "b")
+    val nodes = (0L to 23L) :+ 99L
+    val lab = nodes.map(n => (n, n % 5)).toDF("node", "label")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (sweeps <- Seq(1, 4)) {
+      assert(asMap(Louvain.twoLevel(e, lab, sweeps)) ===
+        asMap(Louvain.twoLevel(e, lab, sweeps, smallGraphMax = 0L)),
+        s"twoLevel driver != distributed at sweeps=$sweeps")
+      assert(asMap(Louvain.leiden(e, lab, sweeps)) ===
+        asMap(Louvain.leiden(e, lab, sweeps, smallGraphMax = 0L)),
+        s"leiden driver != distributed at sweeps=$sweeps")
+      assert(asMap(Louvain.leidenTwoLevel(e, lab, sweeps)) ===
+        asMap(Louvain.leidenTwoLevel(e, lab, sweeps, smallGraphMax = 0L)),
+        s"leidenTwoLevel driver != distributed at sweeps=$sweeps")
+    }
+    // stranded-bridge fixture: the connectivity split must fire
+    // identically on both paths (two zero-coupled triangles forced
+    // into one community split to min-member labels)
+    val tri2 = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val oneCommunity = Seq(0L, 1L, 2L, 10L, 11L, 12L)
+      .map(n => (n, 0L)).toDF("node", "label")
+    assert(asMap(Louvain.leiden(tri2, oneCommunity, 4)) ===
+      asMap(Louvain.leiden(tri2, oneCommunity, 4, smallGraphMax = 0L)))
+    assert(asMap(Louvain.leidenTwoLevel(tri2, oneCommunity, 4)) ===
+      asMap(Louvain.leidenTwoLevel(tri2, oneCommunity, 4,
+        smallGraphMax = 0L)))
+  }
+
   test("overflow bound is ENFORCED: 2*m*max(k) past BIGINT fails " +
     "loudly instead of wrapping") {
     val e = Seq((0L, 1L, 1L << 61)).toDF("a", "b", "w")

@@ -199,6 +199,17 @@ class KnnImputeSpec extends SparkSpec {
         s"donor scan not bucketed:\n${physical.take(2000)}")
       assert(!physical.contains("Exchange hashpartitioning(__cell"),
         s"the DONOR side shuffled:\n${physical.take(2000)}")
+      // pin the at-scale join FAMILY, not just the absence of a donor
+      // exchange: with broadcast off, the candidate join must be the
+      // bucketed sort-merge (the shape a corpus-scale donor index
+      // serves under), and the BATCH side must really shuffle to meet
+      // it (__qcell exchange present) — i.e. the zero-donor-Exchange
+      // assert is non-trivial, not satisfied by an empty plan
+      assert(physical.contains("SortMergeJoin"),
+        s"candidate join is not the bucketed SMJ:\n${physical.take(2000)}")
+      assert(physical.contains("Exchange hashpartitioning(__qcell"),
+        s"batch side did not shuffle to meet the bucketed donors " +
+          s"(assert would be vacuous):\n${physical.take(2000)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 }
